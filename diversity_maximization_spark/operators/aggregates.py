@@ -1,0 +1,256 @@
+"""Aggregations (SURVEY.md §2.2-D).
+
+All run as Catalyst two-phase hash aggregates (partial map-side combine
+-> shuffle on group keys -> final), which is exactly the plan that
+scales: the shuffle carries one row per (partition x group), not the
+data. Money/quantity sums go through DECIMAL(18,2) so the result is
+exact and order-independent — the only way a distributed sum can
+hash-match a single-threaded DuckDB oracle bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+# Exact money arithmetic: every fixture money column is a 2-dp value,
+# so ROUND(x*100) recovers the exact integer cents (verified: max
+# |x*100 - round(x*100)| < 1e-8 across all money columns). Integer
+# sums are associative — a 1000-way distributed sum hash-matches a
+# single-threaded oracle exactly, which no double or double->DECIMAL
+# cast can guarantee (Java's shortest-repr double->decimal rounding
+# diverges from DuckDB's binary rounding on 3/4-dp products).
+
+
+def cents(expr: str) -> str:
+    """Exact integer cents of a 2-dp double column (SQL fragment)."""
+    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
+
+
+def dsum(expr: str) -> Column:
+    """Exact order-independent sum of a 2-dp numeric, as double."""
+    return F.expr(f"CAST(SUM({cents(expr)}) AS DOUBLE) / 100")
+
+
+def duck_dsum(expr: str) -> str:
+    return f"(CAST(SUM({cents(expr)}) AS DOUBLE) / 100)"
+
+
+def davg(expr: str) -> Column:
+    """Exact-cents-sum / count — identical double in both engines."""
+    return F.expr(f"CAST(SUM({cents(expr)}) AS DOUBLE) / 100 / COUNT(*)")
+
+
+def duck_davg(expr: str) -> str:
+    return f"(CAST(SUM({cents(expr)}) AS DOUBLE) / 100 / COUNT(*))"
+
+
+def dsum2(a: str, b_complement: str) -> Column:
+    """Exact SUM(a * (1 - b)) for 2-dp a and b: cents(a)*(100-cents(b))/1e4."""
+    return F.expr(
+        f"CAST(SUM({cents(a)} * (100 - {cents(b_complement)})) AS DOUBLE) / 10000"
+    )
+
+
+def duck_dsum2(a: str, b_complement: str) -> str:
+    return (
+        f"(CAST(SUM({cents(a)} * (100 - {cents(b_complement)})) AS DOUBLE) / 10000)"
+    )
+
+
+def dsum3(a: str, b_minus: str, c_plus: str) -> Column:
+    """Exact SUM(a * (1 - b) * (1 + c)) via integer cents."""
+    return F.expr(
+        f"CAST(SUM({cents(a)} * (100 - {cents(b_minus)}) * (100 + {cents(c_plus)})) "
+        f"AS DOUBLE) / 1000000"
+    )
+
+
+def duck_dsum3(a: str, b_minus: str, c_plus: str) -> str:
+    return (
+        f"(CAST(SUM({cents(a)} * (100 - {cents(b_minus)}) * (100 + {cents(c_plus)})) "
+        f"AS DOUBLE) / 1000000)"
+    )
+
+
+@query(
+    "agg_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {duck_dsum('l_quantity')} AS sum_qty,
+       {duck_dsum('l_extendedprice')} AS sum_base_price,
+       {duck_dsum2('l_extendedprice', 'l_discount')} AS sum_disc_price,
+       {duck_dsum3('l_extendedprice', 'l_discount', 'l_tax')} AS sum_charge,
+       {duck_davg('l_quantity')} AS avg_qty,
+       {duck_davg('l_extendedprice')} AS avg_price,
+       {duck_davg('l_discount')} AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary (the flagship relational agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum2("l_extendedprice", "l_discount").alias("sum_disc_price"),
+            dsum3("l_extendedprice", "l_discount", "l_tax").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(*) AS n_customers
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct (Expand + two-phase agg in the physical plan)."""
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query("agg_approx_cd")  # rows-only: HLL sketches differ across engines
+def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — the 100 TB path for distincts.
+
+    Tests assert the estimate is within 5% of exact; the driver records
+    a rows-only check because DuckDB's approx sketch differs.
+    """
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@query(
+    "agg_having",
+    oracle=f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {duck_dsum('o_totalprice')} AS total_spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 12
+""",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total_spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+_ROLLUP_BODY = f"""
+SELECT l_returnflag, l_linestatus,
+       {duck_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY {{grouping}} (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_BODY.format(grouping="ROLLUP"))
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query("agg_cube", oracle=_ROLLUP_BODY.format(grouping="CUBE"))
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       {duck_dsum('l_quantity')} AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(var_samp(l_discount), 6) AS var_disc
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/corr/variance)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.var_samp("l_discount"), 6).alias("var_disc"),
+    )
+
+
+@query(
+    "agg_percentile",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines).
+
+    At 100 TB the production path is percentile_approx (t-digest,
+    mergeable, one pass); the exact variant is the correctness anchor.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+    )

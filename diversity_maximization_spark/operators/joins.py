@@ -1,0 +1,285 @@
+"""Joins (SURVEY.md §2.2-C).
+
+Join-strategy notes for the 100 TB plan (verified via .explain in
+tests/test_plans.py):
+- dimension chains (region/nation/supplier) are explicitly
+  `broadcast()` — BroadcastHashJoin, no shuffle of the fact table;
+- fact-to-fact equi joins (orders⋈customer, lineitem⋈orders) are left
+  to Catalyst: sort-merge with AQE skew splitting;
+- the theta self-join over embeddings is the one operator whose naive
+  plan is O(n^2); it is exact here (test scale) and is replaced by the
+  bucketed-LSH rewrite in plans/distance_join.py above test scale;
+- the as-of join is the union-window rewrite (one shuffle, no range
+  explosion) — the scalable form of a time-travel join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+from .aggregates import dsum, dsum2, duck_dsum, duck_dsum2
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 5000
+""",
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000)
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_name", "c_mktsegment", "o_totalprice"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle=f"""
+SELECT r.r_name, n.n_name, {duck_dsum2('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast dimension chain — zero fact-side shuffle pre-agg."""
+    li = load(spark, sf_dir, "lineitem")
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum2("l_extendedprice", "l_discount").alias("revenue"))
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle=f"""
+WITH os AS (
+  SELECT o_custkey, COUNT(*) AS n_orders, {duck_dsum('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+), es AS (
+  SELECT user_id, COUNT(*) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(os.o_custkey, es.user_id) AS uid, n_orders, spend, n_events
+FROM os FULL OUTER JOIN es ON os.o_custkey = es.user_id
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over pre-aggregated sides (aggregate-before-join:
+    the scale pattern — shuffle one row per key, not the raw facts)."""
+    os_ = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("spend"))
+    )
+    es = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return os_.join(es, os_.o_custkey == es.user_id, "full").select(
+        F.coalesce("o_custkey", "user_id").alias("uid"),
+        "n_orders",
+        "spend",
+        "n_events",
+    )
+
+
+@query(
+    "join_theta_self",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({V.duck_l2_dist('a.embedding', 'b.embedding')}, 6) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {V.duck_l2_dist('a.embedding', 'b.embedding')} < 1.32
+""",
+)
+def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance theta self-join — the pairwise substrate of every
+    diversity evaluator (SURVEY.md §2.1). Exact O(n^2) at test scale;
+    plans/distance_join.py provides the LSH-bucketed rewrite for scale."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    dist = V.l2_dist("ea", "eb")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("dist_raw", dist)
+        .filter(F.col("dist_raw") < 1.32)
+        .select("vec_a", "vec_b", F.round("dist_raw", 6).alias("dist"))
+    )
+
+
+@query(
+    "join_range_interval",
+    oracle="""
+SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+WHERE a.event_type = 'signup'
+""",
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: events within 5 min after a signup, same user.
+    Equi on user_id (the shuffle key) + range residual — sort-merge
+    friendly; at scale add a time-bucket prejoin key to bound the range."""
+    ev = load(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("event_id").alias("eid_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id").alias("user_b"),
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return a.join(
+        b,
+        (a.user_id == b.user_b)
+        & (F.col("eid_a") < F.col("eid_b"))
+        & (F.col("ts_b") >= F.col("ts_a"))
+        & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")),
+    ).select("user_id", "eid_a", "eid_b")
+
+
+@query(
+    "join_asof",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id AS purchase_id, p.user_id, v.ts AS view_ts, v.view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase ⋈ most recent view at-or-before it,
+    per user. Spark has no native ASOF; this is the union-window
+    rewrite — tag both sides, one shuffle on user_id, a running
+    last_value(ignorenulls) carries the view forward. Scales linearly
+    (vs the naive range-join explosion); ties are broken by
+    (ts, tag, view_id) with views pre-deduped to max event_id per
+    (user, ts) in BOTH engines so the at-or-before winner is unique.
+    """
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    tagged = v.select(
+        "user_id", "ts", F.lit(0).alias("tag"), "view_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionAll(
+        p.select(
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"), "purchase_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn("lv_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "lv_ts",
+            F.last(
+                F.when(F.col("view_id").isNotNull(), F.col("ts")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.col("lv_ts").alias("view_ts"),
+            F.col("lv_id").alias("view_id"),
+        )
+    )
+
+
+@query(
+    "join_cross_dims",
+    oracle="""
+SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+""",
+)
+def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small cartesian (dims only — never cross-join facts)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")

@@ -1,0 +1,301 @@
+"""Scalar-function families (SURVEY.md §2.2-B,H).
+
+All JVM-side built-ins inside whole-stage codegen — no Python in the
+hot path. Dialect notes: DuckDB year()/len()/ceil() return BIGINT or
+DOUBLE where Spark returns INT/LONG, so the oracle SQL carries the
+explicit casts; dayofweek is 0-based in DuckDB vs 1-based in Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "proj_compute",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem
+""",
+)
+def proj_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic projection — identical IEEE expression tree both
+    engines, so no rounding needed (bit-identical per row)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        (
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+        ).alias("charge"),
+    )
+
+
+@query(
+    "filter_pred",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM customer
+WHERE (c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+       AND c_acctbal BETWEEN 1000 AND 8000)
+   OR c_name LIKE '%0042%'
+""",
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.filter(
+        (
+            F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")
+            & F.col("c_acctbal").between(1000, 8000)
+        )
+        | F.col("c_name").like("%0042%")
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+@query(
+    "filter_date",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_shipdate
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1999-01-01'
+""",
+)
+def filter_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1998-01-01") & (F.col("l_shipdate") < "1999-01-01")
+    ).select("l_orderkey", "l_linenumber", "l_shipdate")
+
+
+@query(
+    "fn_string",
+    oracle="""
+SELECT c_custkey,
+       upper(c_name) AS uname,
+       lower(c_mktsegment) AS lseg,
+       substr(c_name, 1, 9) AS name9,
+       CAST(length(c_name) AS INTEGER) AS name_len,
+       concat(c_name, ':', c_mktsegment) AS tagged,
+       trim('  ' || c_name || ' ') AS trimmed,
+       regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+       CASE WHEN c_name LIKE 'customer_0%' THEN 1 ELSE 0 END AS is_low
+FROM customer
+""",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.substring("c_name", 1, 9).alias("name9"),
+        F.length("c_name").alias("name_len"),
+        F.concat(F.col("c_name"), F.lit(":"), F.col("c_mktsegment")).alias("tagged"),
+        F.trim(F.concat(F.lit("  "), F.col("c_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        F.when(F.col("c_name").like("customer_0%"), 1).otherwise(0).alias("is_low"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+SELECT o_orderkey,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(extract(day FROM o_orderdate) AS INTEGER) AS dom,
+       CAST(extract(dow FROM o_orderdate) AS INTEGER) AS dow,
+       CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+       o_orderdate + INTERVAL 90 DAY AS due_date
+FROM orders
+""",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),  # Spark 1=Sun; DuckDB 0=Sun
+        F.datediff(F.lit("2002-01-01").cast("date"), F.col("o_orderdate")).alias(
+            "days_to_2002"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice / 7, 2) AS r1,
+       abs(l_extendedprice - 30000) AS dev,
+       sqrt(l_quantity) AS sq,
+       round(ln(l_extendedprice), 6) AS lnp,
+       round(exp(l_discount), 6) AS ed,
+       power(l_quantity, 2) AS q2,
+       CAST(l_linenumber % 3 AS INTEGER) AS m3,
+       CAST(ceil(l_quantity / 7) AS BIGINT) AS c7,
+       CAST(floor(l_quantity / 7) AS BIGINT) AS f7
+FROM lineitem
+""",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") / 7, 2).alias("r1"),
+        F.abs(F.col("l_extendedprice") - 30000).alias("dev"),
+        F.sqrt("l_quantity").alias("sq"),
+        F.round(F.log("l_extendedprice"), 6).alias("lnp"),
+        F.round(F.exp("l_discount"), 6).alias("ed"),
+        F.pow("l_quantity", 2).alias("q2"),
+        (F.col("l_linenumber") % 3).alias("m3"),
+        F.ceil(F.col("l_quantity") / 7).alias("c7"),
+        F.floor(F.col("l_quantity") / 7).alias("f7"),
+    )
+
+
+@query(
+    "fn_array",
+    oracle="""
+SELECT vec_id,
+       CAST(len(embedding) AS INTEGER) AS dim,
+       CAST(embedding[1] AS DOUBLE) AS first_el,
+       list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head2x,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS el_sum,
+       round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS el_max
+FROM embeddings
+""",
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_el"),
+        F.expr(
+            "transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2)"
+        ).alias("head2x"),
+        F.round(
+            F.expr(
+                "aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"
+            ),
+            6,
+        ).alias("el_sum"),
+        F.round(F.array_max(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")), 6).alias(
+            "el_max"
+        ),
+    )
+
+
+@query(
+    "fn_vector",
+    oracle=f"""
+SELECT a.vec_id,
+       round({V.duck_dot('a.embedding', 'b.embedding')}, 6) AS dot_next,
+       round({V.duck_l2_dist('a.embedding', 'b.embedding')}, 6) AS l2_next,
+       round({V.duck_cosine_sim('a.embedding', 'b.embedding')}, 6) AS cos_next
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+""",
+)
+def fn_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector ops between consecutive vectors — pure higher-order SQL,
+    no UDF (functions/vector.py; the reference's Distance.scala
+    surface, SURVEY.md §1.1)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select((F.col("vec_id") - 1).alias("join_id"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, a.vec_id == b.join_id)
+        .select(
+            "vec_id",
+            F.round(V.dot("ea", "eb"), 6).alias("dot_next"),
+            F.round(V.l2_dist("ea", "eb"), 6).alias("l2_next"),
+            F.round(V.cosine_sim("ea", "eb"), 6).alias("cos_next"),
+        )
+    )
+
+
+@query(
+    "fn_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+       json_extract_string(props, '$.missing') AS missing_val,
+       CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+            THEN 'high' ELSE 'low' END AS k_band
+FROM events
+""",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.select(
+        "event_id",
+        k.alias("k_val"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.when(k > 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+SELECT c_custkey,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 5000 THEN 'mid'
+            ELSE 'rich' END AS tier,
+       coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+       least(c_acctbal, 5000.0) AS capped,
+       greatest(c_acctbal, 0.0) AS floored
+FROM customer
+""",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("tier"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.least("c_acctbal", F.lit(5000.0)).alias("capped"),
+        F.greatest("c_acctbal", F.lit(0.0)).alias("floored"),
+    )
+
+
+@query(
+    "fn_explode",
+    oracle="""
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+GROUP BY word
+""",
+)
+def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequency over the corpus (explode = built-in UDTF-class op;
+    the generate/expand node scales linearly, no driver involvement)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

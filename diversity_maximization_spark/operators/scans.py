@@ -1,0 +1,88 @@
+"""Scans, sources, sinks (SURVEY.md §2.2-A).
+
+scan_parquet exercises the full-table read path on every fixture;
+scan_pruned exercises Catalyst column pruning + predicate pushdown
+(at 100 TB the difference between these two plans is the whole game:
+`.explain` on scan_pruned shows PushedFilters and a 2-column
+ReadSchema). sink_parquet round-trips a partitioned write.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import TABLES, load
+
+_SCAN_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, COUNT(*) AS n_rows FROM {t}" for t in TABLES
+)
+
+
+@query("scan_parquet", oracle=_SCAN_ORACLE)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan of every fixture table -> (tbl, n_rows)."""
+    out = None
+    for t in TABLES:
+        df = load(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(t).alias("tbl"), F.col("n_rows")
+        )
+        out = df if out is None else out.unionAll(df)
+    return out
+
+
+@query(
+    "scan_pruned",
+    oracle="""
+SELECT l_orderkey, l_extendedprice
+FROM lineitem
+WHERE l_quantity < 5 AND l_shipdate >= TIMESTAMP '2000-01-01'
+""",
+)
+def scan_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-pruned, predicate-pushed scan (2 of 11 columns read)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") < 5) & (F.col("l_shipdate") >= "2000-01-01"))
+        .select("l_orderkey", "l_extendedprice")
+    )
+
+
+@query(
+    "source_json_props",
+    oracle="""
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k
+FROM events
+""",
+)
+def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse the JSON `props` column into a typed field."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+    )
+
+
+@query("sink_parquet")  # rows-only: read-back equivalence is asserted in tests
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet write + read-back (the engine's result sink).
+
+    Writes `events` partitioned by event_type (the scale pattern: one
+    directory per low-cardinality partition key, enabling partition
+    pruning downstream) and returns the read-back DataFrame.
+    """
+    ev = load(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="dms_sink_")
+    try:
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+        back = spark.read.parquet(out_dir).select(*TABLES["events"])
+        # materialize before the temp dir can vanish
+        back = spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return back

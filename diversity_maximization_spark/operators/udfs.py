@@ -1,0 +1,137 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.2-K).
+
+Python is the slow path; when we must cross the boundary we do it
+Arrow-batched (pandas UDFs), never row-at-a-time. Each key here has a
+pure-SQL oracle so the UDF result is checked against the JVM-side
+equivalent — the point is to prove the Arrow plumbing, batch shapes,
+and schemas, not to do work SQL could do.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def _normalize_udf(vecs: pd.Series) -> pd.Series:
+    """L2-normalize, element math in float64 matching the SQL mirror."""
+    def norm_one(v):
+        arr = np.asarray(v, dtype=np.float64)
+        # sequential-order sum (math.fsum not needed: mirror aggregate())
+        ss = 0.0
+        for x in arr:
+            ss += x * x
+        n = math.sqrt(ss)
+        return [round(float(x) / n, 6) for x in arr]
+
+    return vecs.map(norm_one)
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle=f"""
+SELECT vec_id,
+       list_transform({V.duck_l2_normalize('embedding')}, x -> round(x, 6)) AS unit_vec
+FROM embeddings
+""",
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF (Arrow batches) vs SQL oracle."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", _normalize_udf("embedding").alias("unit_vec"))
+
+
+@pandas_udf(DoubleType())
+def _sum_decimal_like(v: pd.Series) -> float:
+    # Exact 2-dp sum (mirror of the DECIMAL(18,2) oracle): sum cents as ints
+    cents = np.rint(v.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+    return float(cents.sum()) / 100.0
+
+
+@query(
+    "udaf_grouped_pandas",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (partial aggregation happens per Arrow
+    batch JVM-side; the UDF sees each group once)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        _sum_decimal_like("value").alias("total_value")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
+    mu = bal.sum() / len(bal)
+    sd = math.sqrt(((bal - mu) ** 2).sum() / (len(bal) - 1)) if len(bal) > 1 else 0.0
+    z = (bal - mu) / sd if sd > 0 else np.zeros_like(bal)
+    return pd.DataFrame(
+        {
+            "c_custkey": pdf["c_custkey"],
+            "c_mktsegment": pdf["c_mktsegment"],
+            "z": np.round(z, 4),
+        }
+    )
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+SELECT c_custkey, c_mktsegment,
+       round((c_acctbal - AVG(c_acctbal) OVER seg)
+             / stddev_samp(c_acctbal) OVER seg, 4) AS z
+FROM customer
+WINDOW seg AS (PARTITION BY c_mktsegment)
+""",
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map (the per-group-kernel pattern the
+    MapReduce coreset uses, SURVEY.md §2.1) — z-score per segment.
+
+    Rounded to 4 dp: numpy's pairwise sum vs DuckDB's streaming sum
+    differ at ~1e-12 relative; 4 dp on O(1) z-scores is safely inside.
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").applyInPandas(
+        _zscore_group, "c_custkey bigint, c_mktsegment string, z double"
+    )
+
+
+def _token_count_batches(batches):
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_tokens": pdf["text"].str.split(" ").map(len),
+            }
+        )
+
+
+@query(
+    "udtf_map_in_pandas",
+    oracle="""
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens
+FROM documents
+""",
+)
+def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas partition-wise iterator (schema-changing map)."""
+    d = load(spark, sf_dir, "documents")
+    return d.mapInPandas(_token_count_batches, "doc_id bigint, n_tokens int")

@@ -1,0 +1,229 @@
+"""Window functions (SURVEY.md §2.2-E).
+
+Each window is one shuffle on its partition key; queries that stack
+windows (sessionize) reuse the same partitioning so Catalyst plans a
+single Exchange. Every ORDER BY inside a window is tie-broken with a
+unique key — non-negotiable for oracle hash-stability.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "win_topk_pergroup",
+    oracle="""
+SELECT c_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (rank-filter pattern; at scale this
+    is the per-group top-k that AQE turns into a partial top-k)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@query(
+    "win_rank_dense",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk,
+       DENSE_RANK() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS drnk
+FROM orders
+""",
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return o.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+SELECT event_id, user_id,
+       epoch(ts) - epoch(LAG(ts) OVER w) AS gap_sec,
+       LEAD(event_id) OVER w AS next_event
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap per user. epoch seconds computed identically
+    (timestamp_ntz treated as UTC in both engines)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("ts").cast("timestamp").cast("double")
+            - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+        ).alias("gap_sec"),
+        F.lead("event_id").over(w).alias("next_event"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle="""
+SELECT event_id, user_id,
+       round(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS ma7
+FROM events
+""",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("ma7")
+    )
+
+
+@query(
+    "win_range_frame",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS n_7d
+FROM orders
+""",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range frame: orders of the same customer in the trailing 7 days
+    (inclusive). RANGE frames need no tie-break — peers share values."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("timestamp").cast("double"))
+        .rangeBetween(-604800, 0)
+    )
+    return o.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_7d")
+    )
+
+
+@query(
+    "win_running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+         AS running_spend
+FROM orders
+""",
+)
+def win_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer (decimal-exact running sum)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .over(w)
+            .cast("double")
+            / 100
+        ).alias("running_spend"),
+    )
+
+
+@query(
+    "win_ntile_pctrank",
+    oracle="""
+SELECT o_orderkey,
+       NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+       PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey) AS pct_rank
+FROM orders
+""",
+)
+def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global quartiles — a single-partition window; at 100 TB the
+    production form is approx quantile bucketing, this is the anchor."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
+    "win_sessionize",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap sessionization: lag -> boundary flag -> running sum.
+    Both windows share one partitioning (single Exchange in the plan).
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    prev_ts = F.lag(ts_sec).over(w)
+    flagged = ev.withColumn(
+        "new_sess",
+        F.when(prev_ts.isNull() | ((ts_sec - prev_ts) > 1800), 1).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("new_sess").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

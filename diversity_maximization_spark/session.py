@@ -1,0 +1,36 @@
+"""SparkSession factory.
+
+Local defaults mirror what we'd set on a real cluster: AQE on (runtime
+re-planning, skew-join splitting, partition coalescing), Arrow on (all
+pandas-UDF traffic is Arrow-batched), and a shuffle-partition count
+sized for the local test harness. On a 1000-executor cluster the only
+knobs that change are shuffle partitions (let AQE coalesce from a high
+initial number) and memory sizing; nothing in the engine code assumes
+local mode.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "diversity-maximization-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.ts is parquet TIMESTAMP(NANOS); Spark has no nanos type,
+        # so read as int64 and convert in the loader (sources/tables.py)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )

@@ -1,0 +1,80 @@
+"""Fixture table loaders with declared schemas.
+
+Schemas are declared (FIXTURES.md), not inferred: the loader reads the
+self-describing parquet and then *asserts* the declared column set, so
+a fixture drift fails loudly instead of silently hashing differently
+against the DuckDB oracle. Column order is normalized to the declared
+order.
+
+At 100 TB these `spark.read.parquet` scans are the engine's only data
+entry point, so every query built on them benefits from Catalyst's
+predicate pushdown / column pruning automatically — see
+operators/scans.py for the explicit verification query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# table -> declared columns, in order (FIXTURES.md, verified 2026-08-13)
+TABLES: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
+    "orders": [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ],
+    "lineitem": [
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+EMBEDDING_DIM = 64
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, asserting its declared columns.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark
+    cannot represent; with spark.sql.legacy.parquet.nanosAsLong it
+    arrives as int64 nanos and is converted here to timestamp_ntz at
+    microsecond precision (truncation — matching how DuckDB's
+    micro-resolution TIMESTAMP reads the same column, so the oracle
+    sees identical values).
+    """
+    cols = TABLES[name]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    missing = set(cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"fixture {name} missing declared columns {missing}")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.expr("CAST(timestamp_micros(ts DIV 1000) AS TIMESTAMP_NTZ)"),
+        )
+    return df.select(*cols)
+
+
+def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load(spark, sf_dir, name) for name in TABLES}
