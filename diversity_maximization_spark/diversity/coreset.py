@@ -1,0 +1,143 @@
+"""MapReduce composable coreset (SURVEY.md §2.1 / PAPER-VLDB17 §4).
+
+Plan shape (idiomatic Spark, no RDDs):
+
+  points --[deterministic pseudo-random partition key:
+            xxhash64(id, seed) % p]--> groupBy(part)
+         --applyInPandas--> per-partition farthest-first kernel of
+            size k' + up to m delegates per kernel point
+         --> small DataFrame (p * k' * (m+1) rows) that either
+             composes by union with other coresets or collects to the
+             driver for the sequential finish.
+
+The partition key is a hash of the unique id, not repartition()'s
+round-robin: the coreset guarantee needs a random-like assignment
+that is ALSO reproducible across runs and cluster layouts
+(SURVEY.md §4.3). At 100 TB, p scales with cluster size and the
+shuffle moves each point once; the applyInPandas kernel is O(n_p·k')
+per partition in vectorized numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import kernel as K
+
+CORESET_SCHEMA = (
+    "part int, vec_id bigint, label int, is_kernel int, center_rank int, "
+    "dist_to_center double, weight bigint, embedding array<double>"
+)
+
+
+def _partition_coreset(kprime: int, m: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        chosen, _, _ = K.farthest_first(X, kprime, start=0)
+        assign = K.assign_to_centers(X, chosen)
+        # weight = cluster size (delegate-weighted coreset)
+        counts = np.bincount(assign, minlength=len(chosen))
+        rows = []
+        part = int(pdf["part"].iloc[0])
+        for rank, c in enumerate(chosen):
+            dist_c = K.l2_to_point(X, X[c])
+            members = np.where((assign == rank) & (np.arange(len(X)) != c))[0]
+            taken = members[:m]  # deterministic: lowest vec_id delegates
+            # kernel weight = cluster members it represents (itself +
+            # non-exported members); exported delegates weigh 1 each,
+            # so each input point is accounted exactly once
+            rows.append(
+                (part, int(pdf["vec_id"].iloc[c]), int(pdf["label"].iloc[c]), 1,
+                 rank, 0.0, int(counts[rank]) - len(taken), list(map(float, X[c])))
+            )
+            for d in taken:
+                rows.append(
+                    (part, int(pdf["vec_id"].iloc[d]), int(pdf["label"].iloc[d]),
+                     0, rank, float(dist_c[d]), 1, list(map(float, X[d])))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "part", "vec_id", "label", "is_kernel", "center_rank",
+                "dist_to_center", "weight", "embedding",
+            ],
+        )
+
+    return fn
+
+
+def mr_coreset(
+    df: DataFrame,
+    p: int = 4,
+    kprime: int = 16,
+    m: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Composable coreset over (vec_id, embedding, label) rows."""
+    parted = df.withColumn(
+        "part",
+        F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(p)).cast("int"),
+    )
+    return parted.groupBy("part").applyInPandas(
+        _partition_coreset(kprime, m), CORESET_SCHEMA
+    )
+
+
+ASSIGN_SCHEMA = (
+    "part int, vec_id bigint, label int, center_rank int, "
+    "dist_to_center double, embedding array<double>"
+)
+
+
+def _partition_assign(kprime: int):
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+        chosen, _, _ = K.farthest_first(X, kprime, start=0)
+        assign = K.assign_to_centers(X, chosen)
+        dists = np.array(
+            [K.l2_to_point(X[i : i + 1], X[chosen[assign[i]]])[0] for i in range(len(X))]
+        )
+        return pd.DataFrame(
+            {
+                "part": pdf["part"],
+                "vec_id": pdf["vec_id"],
+                "label": pdf["label"],
+                "center_rank": assign.astype(int),
+                "dist_to_center": dists,
+                "embedding": pdf["embedding"],
+            }
+        )
+
+    return fn
+
+
+def cluster_assignments(
+    df: DataFrame, p: int = 4, kprime: int = 8, seed: int = 42
+) -> DataFrame:
+    """Every point tagged with its (partition, cluster) — the substrate
+    for matroid-aware delegate selection (windowed top-m per
+    (cluster, category), SURVEY.md §2.2-I div_matroid_partition)."""
+    parted = df.withColumn(
+        "part",
+        F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(p)).cast("int"),
+    )
+    return parted.groupBy("part").applyInPandas(
+        _partition_assign(kprime), ASSIGN_SCHEMA
+    )
+
+
+def collect_coreset(coreset_df: DataFrame):
+    """Compose (union is implicit — one DataFrame) and materialize the
+    coreset on the driver for the sequential finish: returns
+    (ids, labels, X, weights) sorted by vec_id."""
+    rows = coreset_df.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    w = np.array([r["weight"] for r in rows])
+    return ids, labels, X, w

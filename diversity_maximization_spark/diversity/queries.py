@@ -1,1 +1,218 @@
-"""Diversity-native query registrations (SURVEY.md §2.2-I) — filled in M3."""
+"""Diversity-native query registrations (SURVEY.md §2.2-I).
+
+The candidate set for the evaluator queries is the deterministic
+subset ``vec_id % 25 = 0`` (20 points at the 500-row fixtures) —
+small enough for the O(|S|^2) oracles, fixed so golden values pin.
+Heuristic outputs (gmm / matching / local search / coresets) are
+rows-only keys: seeded, deterministic, covered by property + golden
+tests (tests/test_diversity.py) instead of SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+from . import evaluators as E
+from . import kernel as K
+from .coreset import cluster_assignments, collect_coreset, mr_coreset
+from .gmm import gmm_distributed
+from .matroid import PartitionMatroid, TransversalMatroid
+
+_CAND_FILTER = "vec_id % 25 = 0"
+
+
+def _cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").filter(_CAND_FILTER)
+
+
+_PAIR_ORACLE = f"""
+SELECT {V.duck_l2_dist('a.embedding', 'b.embedding')} AS dist,
+       a.vec_id AS vec_a, b.vec_id AS vec_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0
+"""
+
+
+@query(
+    "div_eval_edge",
+    oracle=f"SELECT 'edge' AS objective, round(MIN(dist), 6) AS value FROM ({_PAIR_ORACLE})",
+)
+def div_eval_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-edge value of the candidate set (min pairwise L2)."""
+    return E.edge_value(_cand(spark, sf_dir))
+
+
+@query(
+    "div_eval_clique",
+    oracle=f"SELECT 'clique' AS objective, round(SUM(dist), 6) AS value FROM ({_PAIR_ORACLE})",
+)
+def div_eval_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-clique value (sum of pairwise distances)."""
+    return E.clique_value(_cand(spark, sf_dir))
+
+
+@query(
+    "div_eval_star",
+    oracle=f"""
+SELECT 'star' AS objective, round(MIN(star_sum), 6) AS value FROM (
+  SELECT a.vec_id, SUM({V.duck_l2_dist('a.embedding', 'b.embedding')}) AS star_sum
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0
+  GROUP BY a.vec_id)
+""",
+)
+def div_eval_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-star value (min over centers of summed distances)."""
+    return E.star_value(_cand(spark, sf_dir))
+
+
+@query("div_eval_tree")  # rows-only: MST is not SQL-expressible
+def div_eval_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = E.tree_cycle_values(_cand(spark, sf_dir))
+    return spark.createDataFrame(vals[:1], "objective string, value double")
+
+
+@query("div_eval_cycle")  # rows-only: TSP tour is not SQL-expressible
+def div_eval_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vals = E.tree_cycle_values(_cand(spark, sf_dir))
+    return spark.createDataFrame(vals[1:], "objective string, value double")
+
+
+@query("div_gmm")  # rows-only: iterative; covered by property+golden tests
+def div_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed farthest-first traversal, k=16, over all embeddings."""
+    emb = load(spark, sf_dir, "embeddings")
+    centers = gmm_distributed(emb, k=16)
+    rows = [(rank, int(vid), round(d, 6)) for rank, vid, d, _vec in centers]
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id bigint, dist_when_chosen double"
+    )
+
+
+@query("div_coreset_mr")  # rows-only: invariants tested in test_diversity.py
+def div_coreset_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapReduce composable coreset (p=4, k'=16, m=1, seed=42)."""
+    emb = load(spark, sf_dir, "embeddings")
+    cs = mr_coreset(emb, p=4, kprime=16, m=1, seed=42)
+    return cs.select(
+        "part", "vec_id", "label", "is_kernel", "center_rank", "weight",
+        F.round("dist_to_center", 6).alias("dist_to_center"),
+    )
+
+
+@query("div_matching")  # rows-only
+def div_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matching heuristic (k/2 far pairs) on the composed coreset."""
+    emb = load(spark, sf_dir, "embeddings")
+    ids, _labels, X, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
+    D = K.pairwise_l2(X)
+    flat = K.matching_heuristic(D, k=16)
+    rows = [
+        (i // 2, int(ids[flat[i]]), int(ids[flat[i + 1]]),
+         round(float(D[flat[i], flat[i + 1]]), 6))
+        for i in range(0, len(flat), 2)
+    ]
+    return spark.createDataFrame(
+        rows, "pair_rank int, vec_id_a bigint, vec_id_b bigint, dist double"
+    )
+
+
+@query("div_local_search")  # rows-only
+def div_local_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swap local search for remote-clique (k=12) on the coreset."""
+    emb = load(spark, sf_dir, "embeddings")
+    ids, _labels, X, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
+    D = K.pairwise_l2(X)
+    gmm_idx, _, _ = K.farthest_first(X, 12, start=0)
+    sel, val = K.local_search_clique(D, k=12, init=list(gmm_idx))
+    rows = [(int(ids[i]), round(val, 6)) for i in sel]
+    return spark.createDataFrame(rows, "vec_id bigint, clique_value double")
+
+
+@query("div_matroid_partition")  # rows-only; independence asserted in tests
+def div_matroid_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity under a partition matroid (capacity 1 per label,
+    k=10). Distributed part: matroid-aware delegate selection = keep
+    top-2 points per (partition, cluster, label) — a windowed top-m,
+    exactly the KDD18 category-aware coreset; driver part: constrained
+    local search with the independence oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    assigned = cluster_assignments(emb, p=4, kprime=8, seed=42)
+    w = Window.partitionBy("part", "center_rank", "label").orderBy(
+        F.col("dist_to_center").desc(), F.col("vec_id")
+    )
+    delegates = assigned.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 2
+    )
+    rows = delegates.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    labels = np.array([r["label"] for r in rows])
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    D = K.pairwise_l2(X)
+    matroid = PartitionMatroid({lab: 1 for lab in range(10)})
+
+    # greedy independent init in vec_id order
+    init: list[int] = []
+    for i in range(len(ids)):
+        if len(init) == 10:
+            break
+        if matroid.is_independent(labels[init + [i]]):
+            init.append(i)
+    sel, _val = K.local_search_clique(
+        D, k=10, init=init,
+        is_independent=lambda s: matroid.is_independent(labels[list(s)]),
+    )
+    out = [(int(ids[i]), int(labels[i])) for i in sel]
+    return spark.createDataFrame(out, "vec_id bigint, label int")
+
+
+@query("div_matroid_transversal")  # rows-only
+def div_matroid_transversal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity under a transversal matroid: point i covers topics
+    {label, (label+3) mod 10}; k=6 points must match distinct topics
+    (bipartite matching oracle, driver-side)."""
+    emb = load(spark, sf_dir, "embeddings")
+    ids, labels, X, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
+    D = K.pairwise_l2(X)
+    topics = {
+        i: frozenset({int(labels[i]), (int(labels[i]) + 3) % 10})
+        for i in range(len(ids))
+    }
+    matroid = TransversalMatroid(topics)
+    init: list[int] = []
+    for i in range(len(ids)):
+        if len(init) == 6:
+            break
+        if matroid.is_independent(init + [i]):
+            init.append(i)
+    sel, _val = K.local_search_clique(
+        D, k=6, init=init, is_independent=matroid.is_independent
+    )
+    out = [(int(ids[i]), int(labels[i])) for i in sel]
+    return spark.createDataFrame(out, "vec_id bigint, label int")
+
+
+@query(
+    "div_random_baseline",
+    oracle="""
+SELECT vec_id, label FROM embeddings
+ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+LIMIT 16
+""",
+)
+def div_random_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform-k baseline via deterministic hash ordering (md5 agrees
+    across engines, unlike rand(seed) which depends on partition
+    layout — SURVEY.md §7 known-hard #7)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .select("vec_id", "label")
+        .limit(16)
+    )

@@ -1,0 +1,198 @@
+"""Property + golden tests for the diversity core (SURVEY.md §5.2).
+
+Mirrors the reference's reconstructed test strategy: coreset
+invariants, farthest-first guarantees vs brute force on tiny sets,
+matroid independence, heuristic monotonicity.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from diversity_maximization_spark.diversity import kernel as K
+from diversity_maximization_spark.diversity.coreset import (
+    collect_coreset,
+    mr_coreset,
+)
+from diversity_maximization_spark.diversity.gmm import gmm_distributed
+from diversity_maximization_spark.diversity.matroid import (
+    PartitionMatroid,
+    TransversalMatroid,
+)
+from diversity_maximization_spark.sources import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def X_all(emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def test_farthest_first_vs_bruteforce_edge(X_all):
+    """2-approx guarantee for remote-edge, checked exactly on a tiny set."""
+    _ids, X = X_all
+    Xs = X[:10]
+    D = K.pairwise_l2(Xs)
+    k = 3
+    chosen, _, _ = K.farthest_first(Xs, k, start=0)
+    heur = K.eval_edge(D[np.ix_(chosen, chosen)])
+    best = max(
+        K.eval_edge(D[np.ix_(c, c)]) for c in map(list, itertools.combinations(range(10), k))
+    )
+    assert heur >= best / 2 - 1e-9
+    assert heur <= best + 1e-9
+
+
+def test_gmm_distributed_matches_local(spark, emb, X_all):
+    """The distributed broadcast-argmax GMM must equal the sequential
+    kernel run on the same points (same start, same tie-breaks)."""
+    ids, X = X_all
+    k = 8
+    dist_centers = gmm_distributed(emb, k=k)
+    local_idx, local_dist, _ = K.farthest_first(X, k, start=0)
+    assert [c[1] for c in dist_centers] == [int(ids[i]) for i in local_idx]
+    np.testing.assert_allclose(
+        [c[2] for c in dist_centers], local_dist, rtol=1e-9, atol=1e-9
+    )
+
+
+def test_gmm_k2_lower_bound(X_all):
+    """At k=2 the chosen pair spans >= diameter/2."""
+    _ids, X = X_all
+    D = K.pairwise_l2(X)
+    chosen, dist_when, _ = K.farthest_first(X, 2, start=0)
+    assert dist_when[1] >= D.max() / 2 - 1e-9
+
+
+def test_coreset_invariants(spark, emb):
+    p, kprime, m = 4, 16, 1
+    cs = mr_coreset(emb, p=p, kprime=kprime, m=m, seed=42).collect()
+    by_part = {}
+    for r in cs:
+        by_part.setdefault(r["part"], []).append(r)
+    assert set(by_part) == set(range(p))
+    total_weight = 0
+    for part, rows in by_part.items():
+        kernels = [r for r in rows if r["is_kernel"] == 1]
+        delegates = [r for r in rows if r["is_kernel"] == 0]
+        assert len(kernels) == kprime
+        assert len(delegates) <= kprime * m
+        # farthest-first invariant: kernel pairwise min >= max assign dist
+        KX = np.stack([np.asarray(r["embedding"]) for r in kernels])
+        Dk = K.pairwise_l2(KX)
+        min_kernel_pair = Dk[np.triu_indices(len(KX), k=1)].min()
+        max_assign = max((r["dist_to_center"] for r in delegates), default=0.0)
+        assert min_kernel_pair >= max_assign - 1e-9
+        total_weight += sum(r["weight"] for r in rows)
+    # weights account for every input point exactly once
+    assert total_weight == emb.count()
+
+
+def test_coreset_deterministic(spark, emb):
+    a = sorted(
+        (r["part"], r["vec_id"], r["center_rank"])
+        for r in mr_coreset(emb, p=4, kprime=8, m=1, seed=7).collect()
+    )
+    b = sorted(
+        (r["part"], r["vec_id"], r["center_rank"])
+        for r in mr_coreset(emb, p=4, kprime=8, m=1, seed=7).collect()
+    )
+    assert a == b
+
+
+def test_coreset_quality_vs_full(spark, emb, X_all):
+    """Coreset-then-finish must stay close to the full-data heuristic
+    (the paper's composable-coreset claim, checked loosely)."""
+    _ids, X = X_all
+    k = 8
+    full_idx, _, _ = K.farthest_first(X, k, start=0)
+    full_val = K.eval_edge(K.pairwise_l2(X[full_idx]))
+    _cids, _labels, CX, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
+    cs_idx, _, _ = K.farthest_first(CX, k, start=0)
+    cs_val = K.eval_edge(K.pairwise_l2(CX[cs_idx]))
+    assert cs_val >= full_val / 3  # generous: theory gives ~(1-2eps)/2
+
+
+def test_matching_disjoint_pairs(X_all):
+    _ids, X = X_all
+    D = K.pairwise_l2(X[:50])
+    flat = K.matching_heuristic(D, k=10)
+    assert len(flat) == 10
+    assert len(set(flat.tolist())) == 10
+    # first pair is the true farthest pair
+    iu = np.triu_indices(50, k=1)
+    assert np.isclose(D[flat[0], flat[1]], D[iu].max())
+
+
+def test_local_search_improves(X_all):
+    _ids, X = X_all
+    D = K.pairwise_l2(X[:60])
+    init, _, _ = K.farthest_first(X[:60], 8, start=0)
+
+    def clique(s):
+        idx = np.array(s)
+        return D[np.ix_(idx, idx)].sum() / 2
+
+    sel, val = K.local_search_clique(D, k=8, init=list(init))
+    assert val >= clique(init) - 1e-9
+    assert np.isclose(val, clique(sel))
+
+
+def test_partition_matroid():
+    m = PartitionMatroid({0: 2, 1: 1})
+    assert m.is_independent([0, 0, 1])
+    assert not m.is_independent([0, 0, 0])
+    assert not m.is_independent([1, 1])
+
+
+def test_transversal_matroid():
+    topics = {0: frozenset({0}), 1: frozenset({0}), 2: frozenset({0, 1})}
+    m = TransversalMatroid(topics)
+    assert m.is_independent([0, 2])
+    assert not m.is_independent([0, 1])  # both only cover topic 0
+    assert m.is_independent([1, 2])
+
+
+def test_matroid_queries_independent(spark, sf_dir):
+    from diversity_maximization_spark.registry import QUERIES
+
+    part_rows = QUERIES["div_matroid_partition"](spark, sf_dir).collect()
+    labels = [r["label"] for r in part_rows]
+    assert len(labels) == 10
+    assert len(set(labels)) == len(labels)  # capacity 1 per label
+
+    trans_rows = QUERIES["div_matroid_transversal"](spark, sf_dir).collect()
+    assert len(trans_rows) == 6
+
+
+def test_evaluators_match_numpy(spark, sf_dir, X_all):
+    """SQL evaluators vs numpy on the same candidate set."""
+    from diversity_maximization_spark.registry import QUERIES
+
+    ids, X = X_all
+    cand_mask = ids % 25 == 0
+    D = K.pairwise_l2(X[cand_mask])
+    for key, fn in [
+        ("div_eval_edge", K.eval_edge),
+        ("div_eval_clique", K.eval_clique),
+        ("div_eval_star", K.eval_star),
+    ]:
+        row = QUERIES[key](spark, sf_dir).collect()[0]
+        assert abs(row["value"] - round(fn(D), 6)) < 1e-5, key
+
+
+def test_flagship_runs(spark, sf_dir):
+    from diversity_maximization_spark.diversity.flagship import flagship
+
+    rows = flagship(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert rows[0]["sel_order"] == 0
+    assert all(r["edge_div"] > 0 for r in rows)
