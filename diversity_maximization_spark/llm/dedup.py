@@ -1,0 +1,267 @@
+"""Deduplication operators (SURVEY.md §2.2-L; 100 TB mandate).
+
+Four tiers, each the standard scale architecture:
+- exact: hash-groupBy on md5(text) — one shuffle of (hash, id);
+- minhash LSH: shingle -> 16 minhashes -> 4 bands -> bucket join.
+  Only documents sharing a band bucket are ever paired, so the
+  all-pairs O(n^2) never materializes; candidates are verified with
+  exact shingle-set Jaccard via a sparse self-join;
+- simhash: 64-bit signature, banded by 16-bit chunks, verified by
+  hamming distance (bit_count(xor)) — all JVM-side;
+- n-gram Jaccard: the sparse inverted-index self-join formulation
+  (pairs exist only if they share a shingle) — pure SQL, scales with
+  the posting-list sizes, not n^2.
+
+All hashes are deterministic (xxhash64 with fixed seeds / md5), so
+results are reproducible across runs and cluster layouts.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = 4
+SHINGLE = 3
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_doc
+FROM documents
+GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups (all hash groups; n_copies > 1 = dups).
+    The canonical keeper is the minimum doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc")
+    )
+
+
+def shingles_df(d: DataFrame) -> DataFrame:
+    """Distinct word-3-shingles per doc (built-in exprs only)."""
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, greatest(size(split(text, ' ')) - {SHINGLE}, 0)), "
+                    f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {SHINGLE})))"
+                )
+            )
+        ).alias("shingle"),
+    ).filter(F.length("shingle") > 0).distinct()
+
+
+def minhash_signatures(sh: DataFrame) -> DataFrame:
+    """16 minhashes per doc: min over shingles of xxhash64(shingle, i)."""
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(N_MINHASH)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@query("dedup_minhash")  # rows-only: hash family is engine-specific
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs, verified with exact
+    Jaccard. Pipeline: shingle -> signature -> band buckets ->
+    bucket self-join -> sparse exact-Jaccard verification.
+    Property (tests): every exact-duplicate pair must appear."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    sig = minhash_signatures(sh)
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    # exact Jaccard verification via the sparse shingle join
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a").join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        common.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def _simhash_batches(batches):
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            words, counts = np.unique(text.split(" "), return_counts=True)
+            acc = np.zeros(64, dtype=np.int64)
+            for w, c in zip(words, counts):
+                h = int.from_bytes(
+                    hashlib.md5(w.encode()).digest()[:8], "big", signed=False
+                )
+                bits = np.array([(h >> j) & 1 for j in range(64)], dtype=np.int64)
+                acc += np.where(bits == 1, int(c), -int(c))
+            sig = 0
+            for j in range(64):
+                if acc[j] > 0:
+                    sig |= 1 << j
+            if sig >= 1 << 63:  # two's-complement into int64
+                sig -= 1 << 64
+            out.append((doc_id, sig))
+        yield pd.DataFrame(out, columns=["doc_id", "simhash"])
+
+
+def simhash_df(d: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc (Arrow-batched pandas; deterministic md5
+    word hashes)."""
+    return d.select("doc_id", "text").mapInPandas(
+        _simhash_batches, "doc_id bigint, simhash bigint"
+    )
+
+
+@query("dedup_simhash")  # rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4
+    16-bit chunks (near-dups agree on >=1 chunk), verify by hamming
+    distance <= 12 via bit_count(xor) — JVM built-ins end to end."""
+    d = load(spark, sf_dir, "documents")
+    sig = simhash_df(d)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 12)
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity via the inverted-index sparse
+    self-join (pairs only exist where a shingle is shared — the
+    scalable exact formulation)."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

@@ -1,0 +1,158 @@
+"""Similarity search over embeddings (SURVEY.md §2.2-L).
+
+- sim_search_topk: exact top-5 cosine neighbors per vector. The plan
+  is a theta self-join (pair blow-up) + per-query top-k window — all
+  JVM higher-order exprs, exact at test scale. This is the
+  correctness anchor AND the heavy benchmark query (BASELINE.md:
+  DuckDB needs 18.2 s at sf0.1).
+- sim_search_ivf: the 100 TB path — IVF coarse quantization: pick
+  n_centroids by farthest-first on a collected sample, assign every
+  vector to its nearest centroid (broadcast, linear), then search
+  only within the nprobe nearest centroid buckets of each query.
+  Pair count drops from n^2 to ~n^2 * nprobe / n_centroids.
+  Approximate: tests assert recall@5 against the exact result.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+from ..diversity import kernel as K
+
+TOPK = 5
+
+
+@query(
+    "sim_search_topk",
+    oracle=f"""
+SELECT vec_id, neighbor, sim, rn FROM (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
+         round({V.duck_cosine_sim('a.embedding', 'b.embedding')}, 6) AS sim,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY {V.duck_cosine_sim('a.embedding', 'b.embedding')} DESC, b.vec_id
+         ) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+) WHERE rn <= {TOPK}
+""",
+)
+def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors per vector (brute force)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("vec_id") != F.col("neighbor")).withColumn(
+        "sim_raw", V.cosine_sim("ea", "eb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK)
+        .select("vec_id", "neighbor", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
+def _assign_centroids(df: DataFrame, cents: np.ndarray, out_col: str) -> DataFrame:
+    """Nearest-centroid id via a broadcast literal array of centroids
+    (linear scan per row, JVM-side; no shuffle)."""
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    )
+    # argmin over centroids of L2; ties -> lowest centroid id
+    expr = F.expr(
+        "array_position(cd, array_min(cd)) - 1"
+    )
+    cd = F.expr(
+        "transform(cents, c -> aggregate(zip_with(embedding, c, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0 AS DOUBLE), (s, v) -> s + v))"
+    )
+    return (
+        df.withColumn("cents", cent_arr)
+        .withColumn("cd", cd)
+        .withColumn(out_col, expr.cast("int"))
+        .drop("cents", "cd")
+    )
+
+
+def ivf_topk(
+    spark: SparkSession,
+    e: DataFrame,
+    n_centroids: int = 16,
+    nprobe: int = 8,
+    k: int = TOPK,
+) -> DataFrame:
+    sample = e.orderBy("vec_id").limit(512).collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
+    cidx, _, _ = K.farthest_first(X, n_centroids, start=0)
+    cents = X[cidx]
+
+    data = _assign_centroids(e, cents, "bucket")
+
+    # per-query probe list: nprobe nearest centroids
+    D = K.pairwise_l2(np.vstack([cents]))
+    probes = _assign_centroids(e, cents, "bucket0")
+    order = np.argsort(D, axis=1, kind="stable")
+    probe_map = {
+        int(i): [int(x) for x in order[i, :nprobe]] for i in range(n_centroids)
+    }
+    probe_entries = F.map_from_arrays(
+        F.array(*[F.lit(i) for i in probe_map]),
+        F.array(*[F.array(*[F.lit(x) for x in v]) for v in probe_map.values()]),
+    )
+    queries = probes.withColumn(
+        "probe", F.explode(probe_entries[F.col("bucket0")])
+    ).select(F.col("vec_id"), F.col("embedding").alias("ea"), "probe")
+
+    cands = data.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("embedding").alias("eb"),
+        F.col("bucket").alias("probe"),
+    )
+    pairs = queries.join(cands, "probe").filter(
+        F.col("vec_id") != F.col("neighbor")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor")
+    )
+    return (
+        pairs.withColumn("sim_raw", V.cosine_sim("ea", "eb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "neighbor", F.round("sim_raw", 6).alias("sim"), "rn")
+    )
+
+
+@query("sim_search_ivf")  # rows-only: approximate; recall tested vs exact
+def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return ivf_topk(spark, e)
+
+
+@query(
+    "dedup_embedding",
+    oracle=f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({V.duck_cosine_sim('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {V.duck_cosine_sim('a.embedding', 'b.embedding')} > 0.35
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold join). Exact
+    at test scale; the scale path reuses the IVF bucketing above."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cs", V.cosine_sim("ea", "eb"))
+        .filter(F.col("cs") > 0.35)
+        .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
+    )

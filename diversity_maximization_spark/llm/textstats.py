@@ -1,0 +1,262 @@
+"""Text analysis operators (SURVEY.md §2.2-L): stats, TF-IDF,
+language-ID, quality scoring, token counting, fingerprints.
+
+All pure JVM built-ins (split/explode/window/agg) — the shapes that
+survive 100 TB: one explode pass builds the inverted index; everything
+downstream aggregates or joins on (doc, word) / (lang, word) keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load
+
+
+def words_df(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+
+
+@query(
+    "text_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(length(text) AS INTEGER) AS n_chars,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS avg_word_len,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / len(string_split(text, ' ')), 6) AS ttr
+FROM documents
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats: tokens, chars, mean word length,
+    type-token ratio."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("ttr"),
+    )
+
+
+@query(
+    "lang_topn_words",
+    oracle="""
+SELECT lang, word, n, rn FROM (
+  SELECT lang, word, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  GROUP BY lang, word
+) WHERE rn <= 5
+""",
+)
+def lang_topn_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 words per language (explode -> count -> windowed top-k)."""
+    d = load(spark, sf_dir, "documents")
+    counts = words_df(d).groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "word", "n", "rn")
+    )
+
+
+@query(
+    "tfidf",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), tf AS (
+  SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+), df AS (
+  SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.word,
+       round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+WHERE tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) > 0
+""",
+)
+def tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF over the corpus (inverted-index joins; df table is tiny
+    and broadcast by Catalyst)."""
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.count()
+    w = words_df(d)
+    tf = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .filter(score > 0)
+        .select("doc_id", "word", F.round(score, 6).alias("tfidf"))
+    )
+
+
+@query(
+    "lang_id_ngram",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), lexicon AS (
+  SELECT lang, word FROM (
+    SELECT lang, word,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+    FROM words GROUP BY lang, word
+  ) WHERE rn <= 20
+), scores AS (
+  SELECT w.doc_id, l.lang AS cand_lang, COUNT(*) AS hits
+  FROM words w JOIN lexicon l ON w.word = l.word
+  GROUP BY w.doc_id, l.lang
+)
+SELECT doc_id, cand_lang AS pred_lang, hits FROM (
+  SELECT doc_id, cand_lang, hits,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY hits DESC, cand_lang) AS rn
+  FROM scores
+) WHERE rn = 1
+""",
+)
+def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID: corpus-derived top-20 lexicon per language, docs
+    classified by argmax lexicon hits (the classic n-gram-profile
+    heuristic; the lexicon is tiny -> broadcast join at scale)."""
+    d = load(spark, sf_dir, "documents")
+    w = words_df(d)
+    counts = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    lexicon = (
+        counts.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") <= 20)
+        .select(F.col("lang").alias("cand_lang"), "word")
+    )
+    scores = (
+        w.select("doc_id", "word")
+        .join(F.broadcast(lexicon), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy(
+        F.col("hits").desc(), F.col("cand_lang")
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("pred_lang"), "hits")
+    )
+
+
+@query(
+    "quality_score",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_types,
+         len(list_filter(string_split(text, ' '),
+             w -> w IN ('the', 'a', 'of', 'and'))) AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(least(CAST(n_tokens AS DOUBLE) / 64, 1.0) * 0.4
+             + (CAST(n_types AS DOUBLE) / n_tokens) * 0.4
+             + least(CAST(n_stop AS DOUBLE) / n_tokens * 10, 1.0) * 0.2,
+             6) AS quality
+FROM t
+""",
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length saturation + lexical
+    diversity + stopword-rate band (the standard cheap pre-filter for
+    LLM training corpora)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks).cast("double")
+    n_types = F.size(F.array_distinct(toks)).cast("double")
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin("the", "a", "of", "and"))
+    ).cast("double")
+    quality = (
+        F.least(n_tokens / 64, F.lit(1.0)) * 0.4
+        + (n_types / n_tokens) * 0.4
+        + F.least(n_stop / n_tokens * 10, F.lit(1.0)) * 0.2
+    )
+    return d.select("doc_id", F.round(quality, 6).alias("quality"))
+
+
+@query(
+    "token_count",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS re_tokens
+FROM documents
+""",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace and a BPE-ish regex
+    pre-tokenizer (alpha runs / digit runs)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+"), 0)).alias(
+            "re_tokens"
+        ),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+         AS fingerprint
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-canonical content fingerprint: md5 over the sorted
+    distinct word set — invariant to word order and repetition (the
+    cheap doc-level signature for cross-shard dedup)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(F.split("text", " "))))
+        ).alias("fingerprint"),
+    )
+
+
+@query(
+    "multimodal_join",
+    oracle="""
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       CAST(len(e.embedding) AS INTEGER) AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+""",
+)
+def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text ⋈ vector modality rows (doc_id = vec_id)."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    return d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
+    )
