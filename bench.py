@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Timing discipline (BASELINE.md notes): the session is created and
+warmed (one trivial job) before any query is timed, so numbers are
+steady-state job time, not JVM/session startup. Each query is forced
+with a full collect() — the same materialization the driver's
+correctness check performs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_broadcast",
+    "win_topk_pergroup",
+    "win_sessionize",
+    "div_eval_edge",
+    "div_eval_clique",
+    "dedup_exact",
+    "sim_search_topk",
+    "div_gmm",
+    "div_coreset_mr",
+    "dedup_minhash",
+    "text_stats",
+    "tfidf",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "32")
+
+    from diversity_maximization_spark.session import get_spark
+
+    spark = get_spark()
+
+    from diversity_maximization_spark import registry
+
+    registry.load_all()
+
+    # Warm the JVM + Python worker pool with one trivial job.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            rows = fn(spark, sf_dir).collect()
+            times[name] = round(time.perf_counter() - t0, 3)
+            del rows
+        except Exception as exc:  # keep benching the rest
+            print(f"bench: {name} failed: {exc}", file=sys.stderr)
+            times[name] = -1.0
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

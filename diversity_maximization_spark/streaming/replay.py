@@ -1,0 +1,86 @@
+"""Stream replay: turn the `events` fixture into a file-source stream
+(SURVEY.md §5.2.4 batch-equivalence harness).
+
+Files are written in timestamp order (one file per time slice) and
+consumed with maxFilesPerTrigger=1, so micro-batch boundaries — and
+therefore watermark advancement — are deterministic. Late-data
+fixtures are built by moving a chosen set of records into a later
+file than their timestamps warrant (FIXTURES.md: never by modifying
+the source table).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load
+
+EVENT_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def write_replay_files(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> str:
+    """Write events as n_slices time-ordered parquet files; returns dir."""
+    out = tempfile.mkdtemp(prefix="dms_stream_")
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.approxQuantile(
+        "event_id", [i / n_slices for i in range(1, n_slices)], 0.0
+    )
+    lo = None
+    for i in range(n_slices):
+        hi = bounds[i] if i < len(bounds) else None
+        part = ev
+        if lo is not None:
+            part = part.filter(F.col("event_id") > lo)
+        if hi is not None:
+            part = part.filter(F.col("event_id") <= hi)
+        part.orderBy("ts").coalesce(1).write.mode("overwrite").parquet(
+            f"{out}/slice={i}"
+        )
+        lo = hi
+    # flatten: move the single parquet file of each slice up, in order
+    final = tempfile.mkdtemp(prefix="dms_stream_files_")
+    for i in range(n_slices):
+        d = f"{out}/slice={i}"
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        shutil.copy(os.path.join(d, files[0]), os.path.join(final, f"{i:04d}.parquet"))
+    shutil.rmtree(out, ignore_errors=True)
+    return final
+
+
+def stream_events(spark: SparkSession, replay_dir: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (ltz); session tz is UTC so the
+    ntz->ltz cast preserves wall-clock values (queries cast window
+    bounds back to ntz for oracle comparison)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, mode: str = "complete"
+) -> DataFrame:
+    """Run the streaming query to completion against a memory sink and
+    return the final result table."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,194 @@
+"""Structured Streaming window operators (SURVEY.md §2.2-J).
+
+Each queries() entry REALLY runs a streaming query (file-source
+replay -> watermark -> windowed agg -> memory sink, availableNow
+trigger) and returns the final table; the oracle is the equivalent
+batch SQL over the full data — the batch-equivalence check the
+reference's streaming algorithms were validated with
+(SURVEY.md §5.1/5.2.4).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+from .replay import run_to_memory, stream_events, write_replay_files
+
+_counter = itertools.count()
+
+
+def _fresh(name: str) -> str:
+    return f"{name}_{next(_counter)}"
+
+
+@query(
+    "stream_tumbling",
+    oracle="""
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type, COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts per event type, 10-min watermark,
+    replayed as a real stream (complete mode -> final state equals the
+    batch answer)."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    agg = (
+        st.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_memory(agg, _fresh("tumbling"), mode="complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"), "event_type", "cnt"
+    )
+
+
+@query(
+    "stream_sliding",
+    oracle="""
+SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+            - j * INTERVAL 15 MINUTE AS TIMESTAMP) AS window_start,
+       COUNT(*) AS cnt
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 15 min (each event lands in 4)."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    agg = (
+        st.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    out = run_to_memory(agg, _fresh("sliding"), mode="complete")
+    return out.select(F.col("window.start").cast("timestamp_ntz").alias("window_start"), "cnt")
+
+
+@query(
+    "stream_session",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(ts, '30 minutes') per user — Spark's native
+    session windows; grouping is provably identical to the gap-based
+    sessionization oracle. Runs in batch mode (same operator;
+    append-mode streaming session windows can never close their final
+    session in a finite replay — tests/test_streaming.py drives the
+    streaming variant with a sentinel)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dropDuplicates within the watermark."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    dd = (
+        st.withWatermark("ts", "10 minutes")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dd, _fresh("dedup"), mode="append")
+
+
+@query("stream_late_data")  # rows-only: watermark-drop semantics
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constructed late-arrival replay: the last slice re-delivers
+    records from the first hour; with a 10-minute watermark already
+    advanced far beyond them, append-mode aggregation drops them.
+    Returns per-window counts EXCLUDING the dropped late rows
+    (asserted against the batch count in tests)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").orderBy("ts")
+    tmin = ev.agg(F.min("ts")).collect()[0][0]
+    cutoff = ev.agg(F.expr("min(ts) + INTERVAL 1 HOUR")).collect()[0][0]
+
+    on_time = ev.filter(F.col("ts") > cutoff)
+    late = ev.filter(F.col("ts") <= cutoff)  # will arrive LAST -> dropped
+
+    replay = tempfile.mkdtemp(prefix="dms_late_")
+    checkpoint = tempfile.mkdtemp(prefix="dms_late_ckpt_")
+
+    def add_file(part, idx):
+        d = tempfile.mkdtemp()
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, f), os.path.join(replay, f"{idx:04d}.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+
+    collected: list = []
+
+    def run_once():
+        st = stream_events(spark, replay)
+        agg = (
+            st.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+                "cnt",
+            )
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda bdf, _id: collected.extend(bdf.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: on-time data only -> advances the watermark to ~max(ts)-10min.
+    # Run 2 (same checkpoint): the late file arrives; every row is behind
+    # the watermark -> dropped; run 2 emits the finalized on-time windows.
+    add_file(on_time, 0)
+    run_once()
+    add_file(late, 1)
+    run_once()
+    return spark.createDataFrame(
+        collected, "window_start timestamp_ntz, cnt bigint"
+    )

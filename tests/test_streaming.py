@@ -1,0 +1,88 @@
+"""Streaming tests (SURVEY.md §5.2.4): batch-equivalence of the
+stateful coreset, doubling invariants, watermark late-drop semantics.
+(The windowed aggs are covered by their DuckDB oracles in
+test_oracle.py — they run real streams.)"""
+
+import math
+
+import numpy as np
+import pytest
+
+from diversity_maximization_spark.registry import QUERIES
+from diversity_maximization_spark.sources import load
+from diversity_maximization_spark.streaming.coreset import KPRIME, fold_point
+
+
+@pytest.fixture(scope="module")
+def emb_rows(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    )
+
+
+def _batch_fold(rows):
+    st = {"tau": 0.0, "centers": []}
+    for r in rows:
+        fold_point(st, int(r["vec_id"]), [float(x) for x in r["embedding"]])
+    return st
+
+
+def test_stream_coreset_equals_batch_fold(spark, sf_dir, emb_rows):
+    """The streaming stateful operator must produce exactly the same
+    summary as folding the points sequentially in one process — state
+    round-trips through the state store without drift."""
+    got = {
+        r["vec_id"]: r["weight"]
+        for r in QUERIES["div_coreset_stream"](spark, sf_dir).collect()
+    }
+    want = {c[0]: c[2] for c in _batch_fold(emb_rows)["centers"]}
+    assert got == want
+
+
+def test_stream_coreset_invariants(spark, sf_dir, emb_rows):
+    rows = QUERIES["div_coreset_stream"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= KPRIME
+    assert sum(r["weight"] for r in rows) == len(emb_rows)
+    tau = rows[0]["tau"]
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in emb_rows}
+    centers = [vecs[r["vec_id"]] for r in rows]
+    for i, a in enumerate(centers):
+        for b in centers[i + 1 :]:
+            assert math.sqrt(((a - b) ** 2).sum()) > tau
+
+
+def test_late_data_dropped(spark, sf_dir):
+    """Late slice (first hour, delivered last) must be dropped by the
+    watermark: no window at/before the cutoff, counts match batch for
+    on-time windows that closed."""
+    from pyspark.sql import functions as F
+
+    out = {
+        r["window_start"]: r["cnt"]
+        for r in QUERIES["stream_late_data"](spark, sf_dir).collect()
+    }
+    ev = load(spark, sf_dir, "events")
+    tmin = ev.agg(F.min("ts")).collect()[0][0]
+    cutoff_hour = tmin.replace(minute=0, second=0, microsecond=0)
+    assert cutoff_hour not in out  # the late hour never appears
+    batch = {
+        r["h"]: r["cnt"]
+        for r in ev.filter(
+            F.col("ts") > F.lit(tmin) + F.expr("INTERVAL 1 HOUR")
+        )
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for w, c in out.items():
+        assert batch.get(w) == c, (w, c)
+
+
+def test_session_window_matches_gap_sessionize(spark, sf_dir):
+    """session_window grouping == lag/cumsum sessionization grouping
+    (cross-validates the two operators against each other)."""
+    native = QUERIES["stream_session"](spark, sf_dir).collect()
+    manual = QUERIES["win_sessionize"](spark, sf_dir).collect()
+    n_key = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in native)
+    m_key = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in manual)
+    assert n_key == m_key
