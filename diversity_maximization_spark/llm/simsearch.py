@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions import vector as V
+from ..plans.distance_join import (
+    blas_threshold_pairs,
+    blas_topk_candidates,
+    lsh_candidate_pairs,
+)
 from ..registry import query
 from ..sources import load
 from ..diversity import kernel as K
@@ -65,7 +70,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     phase is unchanged.
     """
     e = load(spark, sf_dir, "embeddings")
-    cand = _blas_candidates(spark, e, TOPK + 20)
+    cand = blas_topk_candidates(spark, e, TOPK + 20)
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     pairs = (
@@ -81,45 +86,6 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _blas_candidates(spark: SparkSession, e: DataFrame, n_cand: int) -> DataFrame:
-    """(vec_id, neighbor) candidate pairs: top n_cand cosine neighbors
-    per query by BLAS matmul against the broadcast corpus matrix."""
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
-    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Bn))
-
-    def gen(it):
-        import pandas as pd
-
-        cids, corpus = bc.value
-        pos = {int(v): i for i, v in enumerate(cids)}
-        for pdf in it:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            S = An @ corpus.T
-            qids = pdf["vec_id"].to_numpy()
-            out_q, out_n = [], []
-            for r, qid in enumerate(qids):
-                s = S[r]
-                self_pos = pos.get(int(qid))
-                if self_pos is not None:
-                    s = s.copy()
-                    s[self_pos] = -np.inf
-                m = min(n_cand, len(s) - (self_pos is not None))
-                top = np.argpartition(-s, m - 1)[:m]
-                out_q.append(np.full(m, qid, dtype=np.int64))
-                out_n.append(cids[top])
-            yield pd.DataFrame(
-                {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
-            )
-
-    return e.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_id bigint, neighbor bigint"
-    )
 
 
 def _assign_centroids(df: DataFrame, cents: np.ndarray, out_col: str) -> DataFrame:
@@ -219,7 +185,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is chunked or replaced by IVF bucketing."""
     thresh = 0.35
     e = load(spark, sf_dir, "embeddings")
-    cand = _blas_threshold_pairs(spark, e, thresh)
+    cand = blas_threshold_pairs(spark, e, thresh)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
@@ -231,32 +197,23 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _blas_threshold_pairs(
-    spark: SparkSession, e: DataFrame, thresh: float, eps: float = 1e-9
-) -> DataFrame:
-    """(vec_a < vec_b) candidate pairs with BLAS cosine > thresh - eps."""
-    rows = e.select("vec_id", "embedding").collect()
-    ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
-    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
-    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, Bn))
-
-    def gen(it):
-        import pandas as pd
-
-        cids, corpus = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            S = An @ corpus.T
-            qids = pdf["vec_id"].to_numpy()
-            # keep only a < b and sim above the relaxed threshold
-            mask = (S > thresh - eps) & (qids[:, None] < cids[None, :])
-            qi, ci = np.nonzero(mask)
-            yield pd.DataFrame({"vec_a": qids[qi], "vec_b": cids[ci]})
-
-    return e.select("vec_id", "embedding").mapInPandas(
-        gen, "vec_a bigint, vec_b bigint"
+@query("dedup_embedding_lsh")  # rows-only: approximate; recall tested vs exact
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs via the no-broadcast LSH-bucketed
+    strategy (plans/distance_join.py strategy 3) — the plan shape that
+    survives 100 TB: SimHash band signatures as shuffle equi-join
+    keys, exact fold re-score of colliding pairs. Output is a subset
+    of dedup_embedding; recall asserted in tests/test_llm.py."""
+    thresh = 0.35
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    cand = lsh_candidate_pairs(e, dim)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cs", V.cosine_sim("ea", "eb"))
+        .filter(F.col("cs") > thresh)
+        .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
     )

@@ -111,3 +111,22 @@ def test_dedup_exact_keeper_is_min(spark, sf_dir):
         )
         assert r["n_copies"] == len(ids)
         assert r["keeper_doc"] == min(ids)
+
+
+def test_lsh_dedup_recall_and_subset(spark, sf_dir):
+    """LSH-bucketed near-dup join (the no-broadcast scale plan) must
+    return a subset of the exact threshold join, at decent recall, and
+    be deterministic (seeded planes)."""
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    lsh_rows = QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    lsh = {(r["vec_a"], r["vec_b"]) for r in lsh_rows}
+    assert lsh <= exact  # exact re-score guarantees no false positives
+    assert len(lsh) / len(exact) >= 0.3, f"recall={len(lsh)/len(exact):.3f}"
+    again = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    assert lsh == again
