@@ -1,0 +1,95 @@
+"""Physical-plan regression tests (SURVEY.md §4.2): the plans the
+engine relies on at scale must actually appear — predicate pushdown
+and column pruning reaching the parquet scan, broadcast joins for
+dimension chains, partial (map-side) aggregation, TakeOrdered for
+global top-k, and whole-stage codegen on the relational surface.
+A correctness-green query with the wrong plan is a 100 TB bug."""
+
+import pytest
+
+from diversity_maximization_spark.registry import QUERIES
+from diversity_maximization_spark.sources import load
+
+
+def plan_of(spark, key, sf_dir) -> str:
+    df = QUERIES[key](spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_pruned_pushdown(spark, sf_dir):
+    """Filter and projection must reach the parquet scan."""
+    plan = plan_of(spark, "scan_pruned", sf_dir)
+    assert "PushedFilters: [" in plan
+    # pushed filters are non-empty
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan
+    # the scan reads only the queried columns, not the whole row
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "o_orderkey" not in read_schema or "struct<" in read_schema
+
+
+def test_column_pruning_narrow_projection(spark, sf_dir):
+    """A 2-column projection over lineitem must not scan all 11 cols."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    plan = li._sc._jvm.PythonSQLUtils.explainString(
+        li._jdf.queryExecution(), "formatted"
+    )
+    read_schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_extendedprice" not in read_schema
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+
+
+def test_join_broadcast_uses_broadcast_hash_join(spark, sf_dir):
+    plan = plan_of(spark, "join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_anti_join_types(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, "join_semi", sf_dir)
+    assert "LeftAnti" in plan_of(spark, "join_anti", sf_dir)
+
+
+def test_agg_partial_final(spark, sf_dir):
+    """Two-phase hash aggregation: partial (map-side combine) before
+    the exchange, final after — the shuffle moves group states, not
+    rows."""
+    plan = plan_of(spark, "agg_pricing_summary", sf_dir)
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_global_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a global sort."""
+    plan = plan_of(spark, "topk_global", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_on_relational_surface(spark, sf_dir):
+    """codegen-mode explain (the AQE pre-execution formatted plan hides
+    codegen spans) must find at least one whole-stage subtree."""
+    for key in ("agg_pricing_summary", "filter_pred", "win_topk_pergroup"):
+        df = QUERIES[key](spark, sf_dir)
+        df.collect()  # AQE materializes the final plan only on execution
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "[codegen id :" in plan, (key, plan)  # codegen'd spans
+
+
+def test_sim_search_no_nested_loop(spark, sf_dir):
+    """The two-phase exact plan must not contain the quadratic
+    BroadcastNestedLoopJoin the naive theta join produces."""
+    plan = plan_of(spark, "sim_search_topk", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan  # BLAS candidate stage present
+
+
+def test_lsh_is_shuffle_equi_join(spark, sf_dir):
+    """The LSH scale path must be an equi-join (hash-partitioned or
+    AQE-converted broadcast at test size), not a nested loop."""
+    plan = plan_of(spark, "dedup_embedding_lsh", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
