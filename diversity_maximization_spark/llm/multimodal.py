@@ -77,3 +77,93 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, media_type string, n_bytes int, width int, height int, "
         "mean_luma double",
     )
+
+
+TARGET_W, TARGET_H = 32, 32
+
+
+def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize: deterministic re-hash standing in for the resized
+    pixel buffer (a real backend returns the actual w*h buffer)."""
+    if REAL_CODECS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("real image resize not wired yet")
+    return hashlib.md5(payload + f"{w}x{h}".encode()).digest()
+
+
+@query("multimodal_resize")  # rows-only: stub codec, real plumbing
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image rows -> fixed-size thumbnails: filter to one modality
+    (pushed to the scan), Arrow-batched per-partition transform, typed
+    output schema carrying the new geometry."""
+    d = load(spark, sf_dir, "documents")
+    media = with_fake_media(d).filter(F.col("media_type") == "image/png")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": TARGET_W,
+                    "height": TARGET_H,
+                    "thumb": [
+                        _resize_stub(p, TARGET_W, TARGET_H) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id bigint, width int, height int, thumb binary"
+    )
+
+
+FEAT_DIM = 8
+
+
+@query("multimodal_features")  # rows-only: stub codec, real plumbing
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction: media bytes -> fixed-dim float vector
+    (deterministic hash-derived stub; a real model would run in the
+    same Arrow batch shape). Output is join-ready with `embeddings`."""
+    d = load(spark, sf_dir, "documents")
+    media = with_fake_media(d)
+
+    def gen(batches):
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                h = hashlib.sha256(p).digest()
+                feats.append(
+                    [round(b / 255.0, 6) for b in h[:FEAT_DIM]]
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return media.mapInPandas(gen, "doc_id bigint, feature array<double>")
+
+
+N_FRAMES = 4
+
+
+@query("multimodal_frame_sample")  # rows-only: stub codec, real plumbing
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video rows -> N sampled frames each (1->N mapInPandas): every
+    output row carries (doc_id, frame_idx, frame payload stub). The
+    fan-out happens executor-side in the same task as the decode —
+    no shuffle between decode and sampling."""
+    d = load(spark, sf_dir, "documents")
+    media = with_fake_media(d).filter(F.col("media_type") == "video/mp4")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                for i in range(N_FRAMES):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(hashlib.md5(p + bytes([i])).digest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id bigint, frame_idx int, frame binary"
+    )

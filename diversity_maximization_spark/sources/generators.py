@@ -1,0 +1,98 @@
+"""Synthetic point sources (SURVEY.md §2.1 "Point sources": the
+reference ships uniform sphere/ball and gaussian generators for its
+experiments).
+
+Generated fully distributed and DETERMINISTICALLY: `spark.range(n)`
+plus per-(row, dimension) counter-based hashing — `xxhash64(id, dim,
+seed)` mapped to (0,1), gaussians via Box–Muller. No RNG state, no
+driver data, and the value of a point depends only on (id, dim, seed),
+never on partitioning — so the output is identical on 1 core or 1000
+executors, which `rand(seed)` cannot promise (it is per-partition).
+Everything is JVM-side column expressions inside codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+
+N_POINTS = 1_000
+DIM = 8
+SEED = 42
+
+
+def _u01(expr: str) -> str:
+    """Deterministic uniform (0,1) from a counter-based hash — the
+    low 40 bits of xxhash64, offset half a step to avoid exact 0/1."""
+    return f"((pmod(xxhash64({expr}), 1099511627776D) + 0.5) / 1099511627776D)"
+
+
+def random_gaussian(
+    spark: SparkSession, n: int = N_POINTS, dim: int = DIM, seed: int = SEED
+) -> DataFrame:
+    """n iid standard-gaussian points: Box–Muller over two hashed
+    uniforms per (id, dim)."""
+    u1 = _u01(f"id, j, 'u1', {seed}")
+    u2 = _u01(f"id, j, 'u2', {seed}")
+    vec = (
+        f"transform(sequence(0, {dim - 1}), j -> "
+        f"sqrt(-2.0D * ln({u1})) * cos(2.0D * pi() * {u2}))"
+    )
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.expr(vec).alias("embedding")
+    )
+
+
+def random_sphere(
+    spark: SparkSession, n: int = N_POINTS, dim: int = DIM, seed: int = SEED
+) -> DataFrame:
+    """Uniform on the unit sphere: normalized gaussian vector."""
+    g = random_gaussian(spark, n, dim, seed)
+    norm = (
+        "sqrt(aggregate(transform(embedding, x -> x * x), "
+        "CAST(0 AS DOUBLE), (s, v) -> s + v))"
+    )
+    return g.select(
+        "vec_id", F.expr(f"transform(embedding, x -> x / {norm})").alias("embedding")
+    )
+
+
+def random_ball(
+    spark: SparkSession, n: int = N_POINTS, dim: int = DIM, seed: int = SEED
+) -> DataFrame:
+    """Uniform in the unit ball: sphere point scaled by U^(1/dim)."""
+    s = random_sphere(spark, n, dim, seed)
+    r = f"power({_u01(f'vec_id, {SEED + 1}')}, 1.0D / {dim}D)"
+    return s.select(
+        "vec_id", F.expr(f"transform(embedding, x -> x * {r})").alias("embedding")
+    )
+
+
+@query("source_random_points")  # rows-only: moments/determinism in tests
+def source_random_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-parity synthetic source: per-point norm + first coord
+    of each generator family (gaussian / sphere / ball), exercising
+    the full generation path. sf_dir is unused — the source IS the
+    generator."""
+    out = None
+    for name, gen in (
+        ("gaussian", random_gaussian),
+        ("sphere", random_sphere),
+        ("ball", random_ball),
+    ):
+        d = gen(spark).select(
+            F.lit(name).alias("family"),
+            "vec_id",
+            F.round(
+                F.expr(
+                    "sqrt(aggregate(transform(embedding, x -> x * x), "
+                    "CAST(0 AS DOUBLE), (s, v) -> s + v))"
+                ),
+                6,
+            ).alias("norm"),
+            F.round(F.expr("embedding[0]"), 6).alias("x0"),
+        )
+        out = d if out is None else out.unionAll(d)
+    return out

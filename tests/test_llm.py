@@ -130,3 +130,28 @@ def test_lsh_dedup_recall_and_subset(spark, sf_dir):
         for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
     }
     assert lsh == again
+
+
+def test_multimodal_resize_and_frames(spark, sf_dir):
+    """Resize: images only, fixed geometry, deterministic thumbs.
+    Frame-sample: exactly N_FRAMES rows per video, deterministic."""
+    from diversity_maximization_spark.llm.multimodal import N_FRAMES, TARGET_H, TARGET_W
+
+    rs = QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    assert rs and all(r["width"] == TARGET_W and r["height"] == TARGET_H for r in rs)
+    again = QUERIES["multimodal_resize"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rs)) == sorted(map(tuple, again))
+
+    fr = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
+    per_doc: dict = {}
+    for r in fr:
+        per_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
+    assert all(v == set(range(N_FRAMES)) for v in per_doc.values())
+
+
+def test_multimodal_features_shape(spark, sf_dir):
+    from diversity_maximization_spark.llm.multimodal import FEAT_DIM
+
+    rows = QUERIES["multimodal_features"](spark, sf_dir).collect()
+    assert all(len(r["feature"]) == FEAT_DIM for r in rows)
+    assert all(0.0 <= x <= 1.0 for r in rows for x in r["feature"])
