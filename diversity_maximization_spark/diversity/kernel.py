@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from ..metrics import KERNEL_DISTANCE_EVALS
+
 
 def pairwise_l2(X: np.ndarray) -> np.ndarray:
     """Dense pairwise Euclidean distances (float64)."""
@@ -20,12 +22,14 @@ def pairwise_l2(X: np.ndarray) -> np.ndarray:
     sq = (X * X).sum(axis=1)
     d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
     np.maximum(d2, 0.0, out=d2)
+    KERNEL_DISTANCE_EVALS.add(len(X) * (len(X) - 1) // 2)
     return np.sqrt(d2)
 
 
 def l2_to_point(X: np.ndarray, c: np.ndarray) -> np.ndarray:
     X = np.asarray(X, dtype=np.float64)
     diff = X - np.asarray(c, dtype=np.float64)[None, :]
+    KERNEL_DISTANCE_EVALS.add(len(X))
     return np.sqrt((diff * diff).sum(axis=1))
 
 

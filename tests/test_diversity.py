@@ -196,3 +196,30 @@ def test_flagship_runs(spark, sf_dir):
     assert len(rows) == 10
     assert rows[0]["sel_order"] == 0
     assert all(r["edge_div"] > 0 for r in rows)
+
+
+def test_distance_eval_accounting(spark, sf_dir):
+    """Reference PerformanceMetrics parity: plan-side observe() counts
+    the pair rows of a distributed evaluator; kernel-side counter
+    tracks numpy distance evaluations."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.diversity import evaluators, kernel as K
+    from diversity_maximization_spark.metrics import (
+        KERNEL_DISTANCE_EVALS,
+        observe_distance_evals,
+    )
+    from diversity_maximization_spark.sources import load
+
+    cand = load(spark, sf_dir, "embeddings").limit(20)
+    observed, obs = observe_distance_evals(evaluators.pairs(cand))
+    observed.agg(F.min("dist")).collect()
+    assert obs.get["n_distance_evals"] == 20 * 19 // 2
+
+    KERNEL_DISTANCE_EVALS.reset()
+    X = np.random.RandomState(0).standard_normal((30, 4))
+    K.pairwise_l2(X)
+    assert KERNEL_DISTANCE_EVALS.n == 30 * 29 // 2
+    K.l2_to_point(X, X[0])
+    assert KERNEL_DISTANCE_EVALS.n == 30 * 29 // 2 + 30
