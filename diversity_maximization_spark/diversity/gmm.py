@@ -44,8 +44,12 @@ def gmm_distributed(
     centers = [(0, first[id_col], 0.0, list(first[vec_col]))]
     cur = base.withColumn("min_dist", _dist_to_lit(vec_col, first[vec_col]))
     for i in range(1, k):
+        # chosen ids are excluded so duplicate points (min_dist 0 for
+        # every remaining row) can never re-select a chosen center —
+        # same tie discipline as the local kernel
         far = (
-            cur.orderBy(F.col("min_dist").desc(), F.col(id_col))
+            cur.filter(~F.col(id_col).isin([c[1] for c in centers]))
+            .orderBy(F.col("min_dist").desc(), F.col(id_col))
             .limit(1)
             .collect()[0]
         )

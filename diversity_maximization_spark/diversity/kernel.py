@@ -47,8 +47,12 @@ def farthest_first(X: np.ndarray, k: int, start: int = 0):
     dist_when = [0.0]
     min_dist = l2_to_point(X, X[start])
     for _ in range(1, k):
-        # argmax with lowest-index tie-break (np.argmax returns first max)
-        idx = int(np.argmax(min_dist))
+        # argmax with lowest-index tie-break (np.argmax returns first
+        # max); chosen points are masked out so duplicate points (all
+        # remaining distances 0) never re-select a chosen index
+        masked = min_dist.copy()
+        masked[np.asarray(chosen)] = -np.inf
+        idx = int(np.argmax(masked))
         chosen.append(idx)
         dist_when.append(float(min_dist[idx]))
         np.minimum(min_dist, l2_to_point(X, X[idx]), out=min_dist)

@@ -1,0 +1,109 @@
+"""Hypothesis property tests (SURVEY.md §5.2.2) over the pure
+sequential kernels and the streaming fold — randomized invariants the
+algorithms must hold for ANY point set, complementing the fixed-seed
+golden tests. No SparkSession: these run in milliseconds."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from diversity_maximization_spark.diversity import kernel as K
+from diversity_maximization_spark.streaming.coreset import KPRIME, fold_point
+
+pointsets = arrays(
+    np.float64,
+    st.tuples(st.integers(2, 24), st.integers(1, 6)),
+    elements=st.floats(-100, 100, allow_nan=False, width=32),
+)
+
+
+@given(pointsets, st.integers(2, 8))
+@settings(max_examples=60, deadline=None)
+def test_farthest_first_invariants(X, k):
+    chosen, dist_when, min_dist = K.farthest_first(X, k, start=0)
+    kk = min(k, len(X))
+    assert len(chosen) == kk
+    assert len(set(chosen.tolist())) == kk  # no repeats
+    # greedy radii are non-increasing after the start sentinel
+    assert all(
+        dist_when[i] >= dist_when[i + 1] - 1e-9 for i in range(1, kk - 1)
+    )
+    # every point is within the last chosen radius of the chosen set
+    if kk >= 2:
+        assert min_dist.max() <= dist_when[-1] + 1e-9
+
+
+@given(pointsets)
+@settings(max_examples=60, deadline=None)
+def test_gmm_2approx_edge_bound(X):
+    """Gonzalez guarantee at k=2: the chosen pair's distance is >=
+    half the true diameter (it is exactly max dist from the start)."""
+    if len(X) < 2:
+        return
+    D = K.pairwise_l2(X)
+    chosen, dist_when, _ = K.farthest_first(X, 2, start=0)
+    assert dist_when[1] >= D.max() / 2.0 - 1e-9
+
+
+@given(pointsets)
+@settings(max_examples=60, deadline=None)
+def test_evaluator_inequalities(X):
+    """edge <= any MST edge -> (k-1)*edge <= tree <= cycle; star >=
+    (k-1)*edge."""
+    D = K.pairwise_l2(X)
+    k = len(D)
+    edge, tree, cycle = K.eval_edge(D), K.eval_tree(D), K.eval_cycle(D)
+    star = K.eval_star(D)
+    assert (k - 1) * edge <= tree + 1e-6
+    assert tree <= cycle + 1e-6
+    assert star >= (k - 1) * edge - 1e-6
+
+
+@given(pointsets, st.integers(2, 10))
+@settings(max_examples=40, deadline=None)
+def test_matching_disjoint_and_bound(X, k):
+    D = K.pairwise_l2(X)
+    sel = K.matching_heuristic(D, k)
+    assert len(sel) == len(set(sel.tolist()))  # disjoint
+    assert len(sel) == 2 * min(k // 2, len(X) // 2)
+    if len(sel) >= 2:
+        # first pair is the true farthest pair
+        i, j = sel[0], sel[1]
+        assert D[i, j] >= D.max() - 1e-9
+
+
+@given(pointsets, st.integers(2, 6))
+@settings(max_examples=30, deadline=None)
+def test_local_search_never_worse_than_init(X, k):
+    D = K.pairwise_l2(X)
+    kk = min(k, len(X))
+    init = list(range(kk))
+    sel, val = K.local_search_clique(D, kk, init=init)
+    init_val = float(D[np.ix_(init, init)].sum() / 2.0)
+    assert val >= init_val - 1e-9
+    assert len(sel) == kk
+
+
+@given(
+    arrays(
+        np.float64,
+        st.tuples(st.integers(1, 120), st.integers(1, 4)),
+        elements=st.floats(-50, 50, allow_nan=False, width=32),
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_streaming_fold_invariants(X):
+    """Doubling-coreset invariants for any input order: <= k' centers,
+    weights partition the input, centers pairwise-separated by tau."""
+    st_ = {"tau": 0.0, "centers": []}
+    for i, row in enumerate(X):
+        fold_point(st_, i, [float(v) for v in row])
+    centers = st_["centers"]
+    assert 1 <= len(centers) <= KPRIME
+    assert sum(c[2] for c in centers) == len(X)
+    tau = st_["tau"]
+    for i, a in enumerate(centers):
+        for b in centers[i + 1 :]:
+            d = float(np.linalg.norm(np.asarray(a[1]) - np.asarray(b[1])))
+            assert d > tau - 1e-9
