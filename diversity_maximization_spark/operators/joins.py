@@ -283,3 +283,50 @@ def join_cross_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(n).select("r_name", "n_name")
+
+
+@query(
+    "join_bucketed",
+    oracle="""
+SELECT o.o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice * 100 AS DECIMAL(18,0))) AS DOUBLE) / 100
+         AS total_spent,
+       MAX(c.c_mktsegment) AS segment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey
+""",
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketed storage — the 100 TB pattern for
+    repeated fact⋈fact joins: both sides are written bucketed+sorted
+    on the join key, so the join (and the following same-key groupBy)
+    needs NO shuffle exchange at read time (asserted in
+    tests/test_plans.py). On a cluster the bucketed write is a one-off
+    cost amortized over every later join on that key."""
+    import hashlib
+
+    db = "dms_buckets"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:10]  # stable per dir
+    for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
+        name = f"{db}.{tbl}_b{sfx}"
+        if not spark.catalog.tableExists(name):
+            (
+                load(spark, sf_dir, tbl)
+                .write.mode("overwrite")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+    o = spark.table(f"{db}.orders_b{sfx}")
+    c = spark.table(f"{db}.customer_b{sfx}")
+    cents = F.sum(F.expr("CAST(o_totalprice * 100 AS DECIMAL(18,0))"))
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (cents.cast("double") / 100).alias("total_spent"),
+            F.max("c_mktsegment").alias("segment"),
+        )
+    )

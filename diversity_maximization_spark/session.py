@@ -12,15 +12,24 @@ local mode.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
 
 def get_spark(app_name: str = "diversity-maximization-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # per-process managed-table warehouse (bucketed tables): keeps the
+    # repo clean and avoids location collisions across sessions, since
+    # the in-memory catalog forgets tables but their dirs persist
+    warehouse = os.environ.get(
+        "SPARK_WAREHOUSE_DIR",
+        os.path.join(tempfile.gettempdir(), f"dms_warehouse_{os.getpid()}"),
+    )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -93,3 +93,32 @@ def test_lsh_is_shuffle_equi_join(spark, sf_dir):
     AQE-converted broadcast at test size), not a nested loop."""
     plan = plan_of(spark, "dedup_embedding_lsh", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    """The bucketed join + same-key groupBy must read pre-bucketed
+    tables with NO exchange anywhere in the plan. Auto-broadcast is
+    disabled for the check: at fixture scale AQE would broadcast the
+    small side (also shuffle-free, but that proves nothing about
+    bucketing); forcing sort-merge shows the co-location is real."""
+    thresholds = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in thresholds}
+    try:
+        for k, v in thresholds.items():
+            spark.conf.set(k, v)
+        df = QUERIES["join_bucketed"](spark, sf_dir)
+        df.collect()
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
