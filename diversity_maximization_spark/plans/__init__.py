@@ -1,1 +1,1 @@
-from . import distance_join  # noqa: F401
+from . import distance_join, skew  # noqa: F401

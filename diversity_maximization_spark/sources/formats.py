@@ -1,0 +1,77 @@
+"""Additional source formats (SURVEY.md §2.2-A: the engine's data
+entry points beyond parquet). Each query round-trips the `events`
+fixture through the format with a DECLARED schema (never inferred —
+inference reorders types between engines) and returns the read-back
+rows; the oracle is the original table, so a lossy writer or reader
+fails the hash. Timestamps go through ISO-8601 strings; doubles
+through repr round-trip."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from . import load
+
+_CACHE: dict[tuple[str, str], str] = {}
+
+EVENTS_ORACLE = """
+SELECT event_id, ts, user_id, event_type, value FROM events
+"""
+
+READ_SCHEMA = (
+    "event_id bigint, ts timestamp_ntz, user_id bigint, "
+    "event_type string, value double"
+)
+
+
+def _written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write events once per (sf_dir, fmt) per process; return path."""
+    key = (sf_dir, fmt)
+    if key not in _CACHE:
+        out = tempfile.mkdtemp(prefix=f"dms_{fmt}_")
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        w = ev.write.mode("overwrite")
+        if fmt == "csv":
+            w.option("header", "true").option(
+                "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).csv(out)
+        elif fmt == "json":
+            w.option(
+                "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+            ).json(out)
+        else:
+            raise ValueError(fmt)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+@query("source_csv", oracle=EVENTS_ORACLE)
+def source_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> CSV -> read back with declared schema. Header on,
+    microsecond timestamps; values must hash-match the parquet
+    original exactly."""
+    path = _written(spark, sf_dir, "csv")
+    return (
+        spark.read.schema(READ_SCHEMA)
+        .option("header", "true")
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+
+
+@query("source_jsonl", oracle=EVENTS_ORACLE)
+def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> JSON-lines -> read back with declared schema."""
+    path = _written(spark, sf_dir, "json")
+    return (
+        spark.read.schema(READ_SCHEMA)
+        .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .json(path)
+    )

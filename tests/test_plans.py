@@ -122,3 +122,20 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    """Salted skew join must be semantically identical to the plain
+    equi-join, for inner and left."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.plans.skew import salted_join
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("inner", "left"):
+        plain = sorted(map(tuple, o.join(c, "o_custkey", how).collect()))
+        salted = sorted(map(tuple, salted_join(o, c, "o_custkey", 4, how).collect()))
+        assert plain == salted, how
