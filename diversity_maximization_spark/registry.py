@@ -52,6 +52,7 @@ def load_all() -> None:
         scalars,
         scans,
         sorts_setops,
+        tpch,
         udfs,
         windows,
     )
