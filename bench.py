@@ -19,6 +19,9 @@ import time
 
 HEADLINE = [
     "agg_pricing_summary",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
     "join_broadcast",
     "win_topk_pergroup",
     "win_sessionize",

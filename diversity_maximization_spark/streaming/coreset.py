@@ -34,7 +34,7 @@ from ..sources import load
 KPRIME = 16
 
 OUTPUT_SCHEMA = (
-    "seq int, rank int, vec_id bigint, weight bigint, tau double"
+    "shard int, seq int, rank int, vec_id bigint, weight bigint, tau double"
 )
 STATE_SCHEMA = "seq int, payload string"
 
@@ -43,19 +43,21 @@ def _dist(a, b) -> float:
     return math.sqrt(sum((x - y) * (x - y) for x, y in zip(a, b)))
 
 
-def fold_point(state: dict, vec_id: int, vec: list) -> None:
-    """Insert one point into the (tau, centers) summary — the exact
-    per-item update of the streaming algorithm."""
+def fold_point(state: dict, vec_id: int, vec: list, w: int = 1) -> None:
+    """Insert one (optionally weighted) point into the (tau, centers)
+    summary — the exact per-item update of the streaming algorithm.
+    Weighted inserts (w > 1) are how per-shard coresets COMPOSE: a
+    shard's center re-folds carrying its delegate count."""
     centers = state["centers"]  # list of [vec_id, vec, weight]
     if not centers:
-        centers.append([vec_id, vec, 1])
+        centers.append([vec_id, vec, w])
         return
     dists = [_dist(vec, c[1]) for c in centers]
     dmin = min(dists)
     if dmin <= state["tau"]:
-        centers[min(range(len(dists)), key=lambda i: (dists[i], i))][2] += 1
+        centers[min(range(len(dists)), key=lambda i: (dists[i], i))][2] += w
         return
-    centers.append([vec_id, vec, 1])
+    centers.append([vec_id, vec, w])
     # overflow: raise tau (geometric growth, floored just above the
     # closest center pair so each round merges >= 1 center) and
     # greedily re-merge until back under k'. The paper's pure tau*2
@@ -100,10 +102,10 @@ def _handler(key, pdf_iter, state: GroupState):
     state.update((seq, json.dumps(st)))
     yield pd.DataFrame(
         [
-            (seq, rank, c[0], c[2], st["tau"])
+            (int(key[0]), seq, rank, c[0], c[2], st["tau"])
             for rank, c in enumerate(st["centers"])
         ],
-        columns=["seq", "rank", "vec_id", "weight", "tau"],
+        columns=["shard", "seq", "rank", "vec_id", "weight", "tau"],
     )
 
 
@@ -164,3 +166,113 @@ def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> Da
 def div_coreset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass doubling coreset over the embeddings stream."""
     return streaming_coreset(spark, sf_dir)
+
+
+def streaming_coreset_sharded(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4, n_slices: int = 4
+) -> DataFrame:
+    """Parallel stateful coreset: points are hash-sharded, each shard
+    key maintains its own (tau, centers) state concurrently in the
+    state store — n_shards independent doubling summaries built in one
+    streaming query. The per-shard coresets then COMPOSE exactly like
+    the MapReduce variant: union the weighted centers and re-merge
+    with the same fold (weights carried), giving a single summary of
+    <= k' centers. This is the scale shape: state is partitioned by
+    shard across executors, and only the tiny per-shard summaries meet
+    at the end."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    per = max(1, n // n_slices)
+    replay = tempfile.mkdtemp(prefix="dms_scoreshard_")
+    for i in range(n_slices):
+        lo, hi = i * per, (i + 1) * per if i < n_slices - 1 else n
+        part = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            if i < n_slices - 1
+            else (F.col("vec_id") >= lo)
+        )
+        d = tempfile.mkdtemp()
+        part.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+
+    st = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    from .windows import _fresh
+
+    snap = (
+        st.select(
+            F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int").alias("g"),
+            "vec_id",
+            "embedding",
+        )
+        .groupBy("g")
+        .applyInPandasWithState(
+            _handler,
+            OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _fresh("scoreshard")
+    q = (
+        snap.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_snaps = spark.table(name)
+
+    # final snapshot per shard (seq counts per key, so max per shard)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("shard").orderBy(F.col("seq").desc(), "rank")
+    latest = (
+        all_snaps.withColumn(
+            "is_last",
+            F.col("seq")
+            == F.max("seq").over(Window.partitionBy("shard")),
+        )
+        .filter("is_last")
+        .select("shard", "vec_id", "weight")
+    )
+    rows = latest.collect()
+
+    # compose: union the per-shard weighted centers, re-fold with
+    # weights carried — tau starts at the max shard tau so the merged
+    # summary keeps the separation invariant
+    shard_taus = {
+        r["shard"]: r["tau"]
+        for r in all_snaps.groupBy("shard")
+        .agg(F.max_by("tau", "seq").alias("tau"))
+        .collect()
+    }
+    vec_of = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(
+            F.col("vec_id").isin([r["vec_id"] for r in rows])
+        ).collect()
+    }
+    merged = {"tau": max(shard_taus.values(), default=0.0), "centers": []}
+    for r in sorted(rows, key=lambda r: (r["vec_id"],)):
+        fold_point(merged, int(r["vec_id"]), vec_of[r["vec_id"]], int(r["weight"]))
+    return spark.createDataFrame(
+        [
+            (rank, c[0], c[2], round(merged["tau"], 6))
+            for rank, c in enumerate(merged["centers"])
+        ],
+        "rank int, vec_id bigint, weight bigint, tau double",
+    )
+
+
+@query("div_coreset_stream_sharded")  # rows-only: invariants in tests
+def div_coreset_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded parallel streaming coreset + composition."""
+    return streaming_coreset_sharded(spark, sf_dir)

@@ -86,3 +86,18 @@ def test_session_window_matches_gap_sessionize(spark, sf_dir):
     n_key = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in native)
     m_key = sorted((r["user_id"], r["session_start"], r["n_events"]) for r in manual)
     assert n_key == m_key
+
+
+def test_sharded_stream_coreset_composes(spark, sf_dir, emb_rows):
+    """Parallel per-shard stateful coresets + weighted re-fold must
+    yield one valid summary: <= k' centers, weights partition the
+    input, centers pairwise-separated by the merged tau."""
+    rows = QUERIES["div_coreset_stream_sharded"](spark, sf_dir).collect()
+    assert 1 <= len(rows) <= KPRIME
+    assert sum(r["weight"] for r in rows) == len(emb_rows)
+    tau = rows[0]["tau"]
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], float) for r in emb_rows}
+    centers = [vecs[r["vec_id"]] for r in rows]
+    for i, a in enumerate(centers):
+        for b in centers[i + 1 :]:
+            assert math.sqrt(((a - b) ** 2).sum()) > tau
