@@ -1,0 +1,193 @@
+"""High-level library API — the surface a user of the reference
+library would call (SURVEY.md §3.1 entry points EP1–EP3), over any
+DataFrame of (id, vector[, category]) rows.
+
+    from diversity_maximization_spark import api
+
+    sel = api.gmm(points, k=10)                      # EP1 sequential-style
+    sel = api.gmm_coreset(points, k=10, p=64)        # EP1 MapReduce coreset
+    val = api.diversity(points, objective="clique")  # Diversity.*
+    sel = api.local_search(points, k=8, matroid=m)   # EP3 matroid-constrained
+    summ = api.streaming_coreset_fold(rows_iter)     # EP2 one-pass
+
+Every function takes/returns DataFrames (or plain values) and accepts
+`id_col` / `vec_col` so it works on any schema, not just the fixture
+tables. Metrics: euclidean | cosine.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+import numpy as np
+from pyspark.sql import DataFrame
+
+from .diversity import kernel as K
+from .diversity.coreset import collect_coreset, mr_coreset
+from .diversity.gmm import gmm_distributed
+from .diversity.matroid import PartitionMatroid, TransversalMatroid  # noqa: F401
+from .streaming.coreset import fold_point
+
+
+def _collect_xy(df: DataFrame, id_col: str, vec_col: str):
+    rows = df.select(id_col, vec_col).orderBy(id_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    return ids, X
+
+
+def gmm(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+    distributed: bool = True,
+) -> DataFrame:
+    """Farthest-first traversal (k centers). distributed=True runs the
+    iterative broadcast-argmax over the cluster (euclidean only —
+    the JVM expression path); distributed=False collects and runs the
+    numpy kernel (any metric) — for data that fits the driver."""
+    spark = df.sparkSession
+    if distributed and metric == "euclidean":
+        centers = gmm_distributed(df, k, id_col=id_col, vec_col=vec_col)
+        rows = [(r, i, round(float(d), 6)) for (r, i, d, _v) in centers]
+    else:
+        ids, X = _collect_xy(df, id_col, vec_col)
+        chosen, dist_when, _ = K.farthest_first(X, k, start=0, metric=metric)
+        rows = [
+            (rank, ids[c].item(), round(float(dist_when[rank]), 6))
+            for rank, c in enumerate(chosen)
+        ]
+    return spark.createDataFrame(
+        rows, f"sel_order int, {id_col} bigint, dist_when_chosen double"
+    )
+
+
+def gmm_coreset(
+    df: DataFrame,
+    k: int,
+    p: int = 4,
+    kprime: Optional[int] = None,
+    m: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: Optional[str] = None,
+    metric: str = "euclidean",
+    seed: int = 42,
+) -> DataFrame:
+    """EP1: MapReduce composable coreset -> sequential GMM finish on
+    the driver. p partitions, per-partition kernel size k' (default
+    4k), m delegates per kernel point."""
+    spark = df.sparkSession
+    sel = df.select(
+        df[id_col].alias("vec_id"),
+        df[vec_col].alias("embedding"),
+        (df[label_col] if label_col else df[id_col] % 1).cast("int").alias("label"),
+    )
+    cs = mr_coreset(sel, p=p, kprime=kprime or 4 * k, m=m, seed=seed)
+    ids, labels, X, w = collect_coreset(cs)
+    chosen, dist_when, _ = K.farthest_first(X, k, start=0, metric=metric)
+    rows = [
+        (rank, int(ids[c]), round(float(dist_when[rank]), 6))
+        for rank, c in enumerate(chosen)
+    ]
+    return spark.createDataFrame(
+        rows, f"sel_order int, {id_col} bigint, dist_when_chosen double"
+    )
+
+
+def diversity(
+    df: DataFrame,
+    objective: str = "edge",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+) -> float:
+    """Evaluate a diversity objective (edge | clique | star | tree |
+    cycle) on a candidate set. Collects — candidate sets are small by
+    construction (SURVEY.md §7 known-hard #4)."""
+    _, X = _collect_xy(df, id_col, vec_col)
+    D = K.pairwise(X, metric)
+    fn = {
+        "edge": K.eval_edge,
+        "clique": K.eval_clique,
+        "star": K.eval_star,
+        "tree": K.eval_tree,
+        "cycle": K.eval_cycle,
+    }[objective]
+    return float(fn(D))
+
+
+def matching(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    metric: str = "euclidean",
+) -> DataFrame:
+    """Remote-clique matching heuristic: k//2 mutually-far pairs."""
+    spark = df.sparkSession
+    ids, X = _collect_xy(df, id_col, vec_col)
+    sel = K.matching_heuristic(K.pairwise(X, metric), k)
+    return spark.createDataFrame(
+        [(i // 2, int(ids[s])) for i, s in enumerate(sel)],
+        f"pair int, {id_col} bigint",
+    )
+
+
+def local_search(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: Optional[str] = None,
+    matroid=None,
+    metric: str = "euclidean",
+    eps: float = 1e-4,
+) -> DataFrame:
+    """EP3: swap local search for remote-clique, optionally under a
+    matroid constraint (PartitionMatroid over label_col values, or
+    any object with is_independent)."""
+    spark = df.sparkSession
+    cols = [id_col, vec_col] + ([label_col] if label_col else [])
+    rows = df.select(*cols).orderBy(id_col).collect()
+    ids = np.array([r[id_col] for r in rows])
+    X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    labels = np.array([r[label_col] for r in rows]) if label_col else None
+    is_indep = None
+    if matroid is not None:
+        if labels is not None and isinstance(matroid, PartitionMatroid):
+            is_indep = lambda sel: matroid.is_independent(labels[np.asarray(sel)])  # noqa: E731
+        else:
+            is_indep = lambda sel: matroid.is_independent(  # noqa: E731
+                [int(ids[i]) for i in sel]
+            )
+    init = None
+    if is_indep is not None:
+        # greedy independent start (ids order) instead of the first k
+        init = []
+        for i in range(len(ids)):
+            if len(init) == k:
+                break
+            if is_indep(init + [i]):
+                init.append(i)
+    sel, val = K.local_search_clique(
+        K.pairwise(X, metric), k, eps=eps, is_independent=is_indep, init=init
+    )
+    return spark.createDataFrame(
+        [(int(ids[i]), round(float(val), 6)) for i in sel],
+        f"{id_col} bigint, clique_value double",
+    )
+
+
+def streaming_coreset_fold(
+    points: Iterable[tuple[int, list]], tau0: float = 0.0
+) -> dict:
+    """EP2: one-pass doubling summary over an arbitrary (id, vector)
+    iterator — the sequential form of the stateful streaming operator
+    (they share fold_point, so results are identical)."""
+    state = {"tau": tau0, "centers": []}
+    for vid, vec in points:
+        fold_point(state, int(vid), [float(x) for x in vec])
+    return state

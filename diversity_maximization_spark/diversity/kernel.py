@@ -26,6 +26,26 @@ def pairwise_l2(X: np.ndarray) -> np.ndarray:
     return np.sqrt(d2)
 
 
+def pairwise_cosine(X: np.ndarray) -> np.ndarray:
+    """Pairwise cosine distances 1 - cos(a,b) — the reference's second
+    metric family (SURVEY.md §1.1 Distance.scala)."""
+    X = np.asarray(X, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    D = 1.0 - Xn @ Xn.T
+    np.maximum(D, 0.0, out=D)
+    np.fill_diagonal(D, 0.0)
+    KERNEL_DISTANCE_EVALS.add(len(X) * (len(X) - 1) // 2)
+    return D
+
+
+def pairwise(X: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    if metric == "euclidean":
+        return pairwise_l2(X)
+    if metric == "cosine":
+        return pairwise_cosine(X)
+    raise ValueError(f"unknown metric: {metric}")
+
+
 def l2_to_point(X: np.ndarray, c: np.ndarray) -> np.ndarray:
     X = np.asarray(X, dtype=np.float64)
     diff = X - np.asarray(c, dtype=np.float64)[None, :]
@@ -33,19 +53,37 @@ def l2_to_point(X: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.sqrt((diff * diff).sum(axis=1))
 
 
-def farthest_first(X: np.ndarray, k: int, start: int = 0):
+def cosine_to_point(X: np.ndarray, c: np.ndarray) -> np.ndarray:
+    X = np.asarray(X, dtype=np.float64)
+    c = np.asarray(c, dtype=np.float64)
+    Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+    cn = c / max(float(np.linalg.norm(c)), 1e-300)
+    KERNEL_DISTANCE_EVALS.add(len(X))
+    return np.maximum(1.0 - Xn @ cn, 0.0)
+
+
+def dist_to_point(X: np.ndarray, c: np.ndarray, metric: str = "euclidean"):
+    if metric == "euclidean":
+        return l2_to_point(X, c)
+    if metric == "cosine":
+        return cosine_to_point(X, c)
+    raise ValueError(f"unknown metric: {metric}")
+
+
+def farthest_first(X: np.ndarray, k: int, start: int = 0, metric: str = "euclidean"):
     """Gonzalez farthest-first traversal (GMM), 2-approx for
     remote-edge [SURVEY.md §2.1 / PAPER-VLDB17 §2].
 
     Returns (chosen_indices, dist_when_chosen, min_dist_per_point):
     chosen[0] = start; each next point maximizes distance to the
-    chosen set; ties broken by lowest index.
+    chosen set; ties broken by lowest index. `metric` is euclidean or
+    cosine (the reference's two distance families).
     """
     n = len(X)
     k = min(k, n)
     chosen = [start]
     dist_when = [0.0]
-    min_dist = l2_to_point(X, X[start])
+    min_dist = dist_to_point(X, X[start], metric)
     for _ in range(1, k):
         # argmax with lowest-index tie-break (np.argmax returns first
         # max); chosen points are masked out so duplicate points (all
@@ -55,7 +93,7 @@ def farthest_first(X: np.ndarray, k: int, start: int = 0):
         idx = int(np.argmax(masked))
         chosen.append(idx)
         dist_when.append(float(min_dist[idx]))
-        np.minimum(min_dist, l2_to_point(X, X[idx]), out=min_dist)
+        np.minimum(min_dist, dist_to_point(X, X[idx], metric), out=min_dist)
     return np.array(chosen), np.array(dist_when), min_dist
 
 

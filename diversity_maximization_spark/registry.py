@@ -56,6 +56,7 @@ def load_all() -> None:
         udfs,
         windows,
     )
+    from .diversity import bow as _bow  # noqa: F401
     from .diversity import queries as _div_queries  # noqa: F401
     from .sources import formats as _formats  # noqa: F401
     from .sources import generators as _generators  # noqa: F401

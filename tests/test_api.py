@@ -1,0 +1,90 @@
+"""High-level API surface (SURVEY.md §3.1 EP1-EP3 parity): the
+library calls a reference user would port to."""
+
+import numpy as np
+import pytest
+
+from diversity_maximization_spark import api
+from diversity_maximization_spark.diversity import kernel as K
+from diversity_maximization_spark.registry import QUERIES
+from diversity_maximization_spark.sources import load
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+def test_gmm_distributed_equals_local(spark, emb):
+    dist = {r[1] for r in api.gmm(emb, 6, distributed=True).collect()}
+    loc = {r[1] for r in api.gmm(emb, 6, distributed=False).collect()}
+    assert dist == loc
+
+
+def test_gmm_cosine_metric(spark, emb):
+    rows = api.gmm(emb, 5, metric="cosine", distributed=False).collect()
+    assert len(rows) == 5
+    # cosine distances live in [0, 2]
+    assert all(0.0 <= r["dist_when_chosen"] <= 2.0 for r in rows[1:])
+
+
+def test_gmm_coreset_quality(spark, emb):
+    """Coreset-based GMM edge value must be within 2x of full GMM."""
+    full = api.gmm(emb, 6, distributed=False)
+    cs = api.gmm_coreset(emb, 6, p=4)
+    ids_full = [r["vec_id"] for r in full.collect()]
+    ids_cs = [r["vec_id"] for r in cs.collect()]
+    e = emb
+    from pyspark.sql import functions as F
+
+    def edge_of(ids):
+        return api.diversity(e.filter(F.col("vec_id").isin(ids)), "edge")
+
+    assert edge_of(ids_cs) >= edge_of(ids_full) / 2.0 - 1e-9
+
+
+def test_diversity_objectives(spark, emb):
+    from pyspark.sql import functions as F
+
+    cand = emb.filter(F.col("vec_id") < 12)
+    vals = {o: api.diversity(cand, o) for o in ("edge", "clique", "star", "tree", "cycle")}
+    assert all(v > 0 for v in vals.values())
+    assert vals["tree"] <= vals["cycle"] + 1e-9
+
+
+def test_local_search_matroid(spark, emb):
+    from pyspark.sql import functions as F
+
+    m = api.PartitionMatroid({i: 1 for i in range(10)})
+    sel = api.local_search(
+        emb.filter(F.col("vec_id") < 60), 4, label_col="label", matroid=m
+    ).collect()
+    labels = {
+        r["label"]
+        for r in emb.filter(
+            F.col("vec_id").isin([s["vec_id"] for s in sel])
+        ).collect()
+    }
+    assert len(labels) == 4  # capacity 1 per label -> all distinct
+
+
+def test_streaming_fold_matches_query(spark, sf_dir, emb):
+    rows = emb.orderBy("vec_id").collect()
+    st = api.streaming_coreset_fold((r["vec_id"], r["embedding"]) for r in rows)
+    got = {c[0]: c[2] for c in st["centers"]}
+    q = {
+        r["vec_id"]: r["weight"]
+        for r in QUERIES["div_coreset_stream"](spark, sf_dir).collect()
+    }
+    assert got == q
+
+
+def test_bow_pipeline(spark, sf_dir):
+    v = QUERIES["bow_vectorize"](spark, sf_dir).collect()
+    assert all(r["nnz"] > 0 for r in v)
+    a = sorted(map(tuple, v))
+    b = sorted(map(tuple, QUERIES["bow_vectorize"](spark, sf_dir).collect()))
+    assert a == b  # deterministic hashing
+    g = QUERIES["div_gmm_bow"](spark, sf_dir).collect()
+    assert len(g) == 8
+    assert len({r["doc_id"] for r in g}) == 8
