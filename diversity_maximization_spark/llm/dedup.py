@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..registry import query
+from ..registry import QUERIES, query
 from ..sources import load
 
 N_MINHASH = 16
@@ -264,4 +264,73 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}), "doc_b")
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Distributed connected components by min-label propagation —
+    iterative equi-joins only, no GraphFrames (SURVEY.md §7 M4).
+
+    `edges` (src, dst) undirected pairs; `vertices` one `id` column.
+    Each round every vertex takes the min of its own label and its
+    neighbors' labels; converges in O(component diameter) rounds
+    (near-dup clusters are tiny, so a handful). Lineage is cut with
+    localCheckpoint per round so the plan stays flat; the loop stops
+    when a round changes nothing (count of changed labels — one cheap
+    agg per round). Deterministic: component id = min vertex id."""
+    sym = (
+        edges.selectExpr("src", "dst")
+        .unionAll(edges.selectExpr("dst AS src", "src AS dst"))
+        .distinct()
+    )
+    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.dst, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nmin", "label")).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("chg"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint()
+        changed = new_labels.filter("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    return labels
+
+
+@query("dedup_components")  # rows-only: verified vs union-find in tests
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate GROUPS: union the exact-dup and minhash near-dup
+    pair sets, run distributed connected components, and report every
+    document's component (component id = min doc_id — the keeper).
+    The step that turns pairwise dedup into actual group-and-keep at
+    scale."""
+    d = load(spark, sf_dir, "documents")
+    exact_pairs = (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.expr("sort_array(ids)[0]").alias("src"),
+            F.explode(F.expr("slice(sort_array(ids), 2, size(ids))")).alias("dst"),
+        )
+    )
+    near_pairs = QUERIES["dedup_minhash"](spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = exact_pairs.unionAll(near_pairs)
+    verts = d.select(F.col("doc_id").alias("id"))
+    comps = connected_components(edges, verts)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
     )

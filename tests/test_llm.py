@@ -155,3 +155,42 @@ def test_multimodal_features_shape(spark, sf_dir):
     rows = QUERIES["multimodal_features"](spark, sf_dir).collect()
     assert all(len(r["feature"]) == FEAT_DIM for r in rows)
     assert all(0.0 <= x <= 1.0 for r in rows for x in r["feature"])
+
+
+def test_connected_components_match_union_find(spark, sf_dir):
+    """Distributed min-label propagation must produce exactly the
+    components a sequential union-find builds from the same edges."""
+    from diversity_maximization_spark.llm.dedup import connected_components
+    from pyspark.sql import functions as F
+
+    comps = {
+        r["doc_id"]: r["component"]
+        for r in QUERIES["dedup_components"](spark, sf_dir).collect()
+    }
+    # rebuild the same edge set
+    d = load(spark, sf_dir, "documents").collect()
+    by_text: dict = {}
+    for r in d:
+        by_text.setdefault(r["text"], []).append(r["doc_id"])
+    edges = []
+    for ids in by_text.values():
+        ids = sorted(ids)
+        edges += [(ids[0], o) for o in ids[1:]]
+    edges += [
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
+    ]
+    parent = {r["doc_id"]: r["doc_id"] for r in d}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in parent}
+    assert comps == want
