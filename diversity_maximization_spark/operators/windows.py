@@ -227,3 +227,71 @@ def win_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+@query(
+    "win_first_last",
+    oracle="""
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_type,
+       LAST_VALUE(event_type)  OVER w AS last_type,
+       COUNT(*) OVER (PARTITION BY user_id) AS n_events
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user over the full-partition frame."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_events"),
+    ).distinct()
+
+
+@query(
+    "funnel_signup_purchase",
+    oracle="""
+WITH f AS (
+  SELECT user_id,
+         MIN(ts) FILTER (event_type = 'signup')   AS first_signup,
+         MIN(ts) FILTER (event_type = 'purchase') AS first_purchase
+  FROM events GROUP BY user_id
+)
+SELECT COUNT(*) FILTER (first_signup IS NOT NULL) AS n_signed,
+       COUNT(*) FILTER (first_signup IS NOT NULL
+                        AND first_purchase > first_signup) AS n_converted
+FROM f
+""",
+)
+def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite funnel analytic: users who signed up and later
+    purchased — one conditional-min aggregation, no self-join (the
+    shape that scales: a single shuffle on user_id)."""
+    ev = load(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return f.agg(
+        F.count(F.when(F.col("first_signup").isNotNull(), 1)).alias("n_signed"),
+        F.count(
+            F.when(
+                F.col("first_signup").isNotNull()
+                & (F.col("first_purchase") > F.col("first_signup")),
+                1,
+            )
+        ).alias("n_converted"),
+    )
