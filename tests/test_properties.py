@@ -107,3 +107,53 @@ def test_streaming_fold_invariants(X):
         for b in centers[i + 1 :]:
             d = float(np.linalg.norm(np.asarray(a[1]) - np.asarray(b[1])))
             assert d > tau - 1e-9
+
+
+@given(
+    arrays(
+        np.float64,
+        st.tuples(st.integers(4, 10), st.integers(1, 3)),
+        elements=st.floats(-10, 10, allow_nan=False, width=32),
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=30, deadline=None)
+def test_gmm_2approx_vs_bruteforce(X, k):
+    """Gonzalez guarantee against the true optimum (n<=10, k<=4):
+    GMM's remote-edge value >= OPT/2."""
+    from itertools import combinations
+
+    if len(X) < k:
+        return
+    D = K.pairwise_l2(X)
+    chosen, _, _ = K.farthest_first(X, k, start=0)
+    gmm_edge = K.eval_edge(D[np.ix_(chosen, chosen)])
+    opt = max(
+        K.eval_edge(D[np.ix_(s, s)]) for s in combinations(range(len(X)), k)
+    )
+    assert gmm_edge >= opt / 2.0 - 1e-9
+
+
+@given(
+    arrays(
+        np.float64,
+        st.tuples(st.integers(4, 9), st.integers(1, 3)),
+        elements=st.floats(-10, 10, allow_nan=False, width=32),
+    ),
+    st.integers(2, 4),
+)
+@settings(max_examples=20, deadline=None)
+def test_local_search_half_approx_vs_bruteforce(X, k):
+    """Local search for remote-clique vs the true optimum (the swap
+    search is a (1/2)-approx for metric clique diversity)."""
+    from itertools import combinations
+
+    if len(X) < k:
+        return
+    D = K.pairwise_l2(X)
+    _, val = K.local_search_clique(D, k)
+    opt = max(
+        float(D[np.ix_(s, s)].sum() / 2.0)
+        for s in combinations(range(len(X)), k)
+    )
+    assert val >= opt / 2.0 - 1e-9
