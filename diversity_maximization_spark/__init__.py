@@ -10,6 +10,8 @@ with the relational host surface and LLM-data-pipeline operators the
 
 Layout
 ------
+- ``api``        : high-level library surface (gmm, gmm_coreset,
+                   diversity, matching, local_search, streaming fold).
 - ``session``    : SparkSession factory with scale-aware defaults.
 - ``sources``    : fixture table loaders (declared schemas) and sinks.
 - ``functions``  : column-expression libraries (vector math, text).
@@ -19,8 +21,11 @@ Layout
 - ``diversity``  : the reference's native surface — GMM/farthest-first,
                    matching, local search, diversity evaluators,
                    MapReduce coreset, matroid constraints.
-- ``llm``        : dedup (exact/minhash/simhash), similarity search,
-                   text stats, TF-IDF, multimodal plumbing.
+- ``llm``        : dedup (exact/minhash/simhash/components),
+                   similarity search, text stats, TF-IDF, multimodal
+                   plumbing.
+- ``plans``      : distance-join planner and skew rewrites.
+- ``metrics``    : distance-evaluation counters.
 - ``streaming``  : Structured Streaming ops (windows, sessionization,
                    dedup, streaming coreset).
 - ``registry``   : the QUERIES/ORACLES registries consumed by
