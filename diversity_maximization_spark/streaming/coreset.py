@@ -276,3 +276,125 @@ def streaming_coreset_sharded(
 def div_coreset_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded parallel streaming coreset + composition."""
     return streaming_coreset_sharded(spark, sf_dir)
+
+
+class _CoresetProcessor:
+    """StatefulProcessor for the doubling coreset — the PySpark 4.x
+    transformWithStateInPandas form of the same algorithm (ValueState
+    holds (seq, payload); fold shared with the applyInPandasWithState
+    path, so the two operators must produce identical summaries)."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("summary", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._state.exists():
+            seq, payload = self._state.get()
+            st = json.loads(payload)
+        else:
+            seq, st = 0, {"tau": 0.0, "centers": []}
+        for pdf in rows:
+            pdf = pdf.sort_values("vec_id")
+            for vid, vec in zip(pdf["vec_id"], pdf["embedding"]):
+                fold_point(st, int(vid), [float(x) for x in vec])
+        seq += 1
+        self._state.update((seq, json.dumps(st)))
+        yield pd.DataFrame(
+            [
+                (int(key[0]), seq, rank, c[0], c[2], st["tau"])
+                for rank, c in enumerate(st["centers"])
+            ],
+            columns=["shard", "seq", "rank", "vec_id", "weight", "tau"],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas runs a protobuf-based state-server
+    worker; this container's google.protobuf is broken (ImportError:
+    cannot import 'descriptor'), which crashes the runner at stream
+    start. Gate the key on a working protobuf so environments that
+    have it get the modern-API variant and this one skips it."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def div_coreset_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doubling coreset via transformWithStateInPandas (the current
+    stateful API; needs the RocksDB state store provider). Shares
+    fold_point with div_coreset_stream — equality tested."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    cls = type("CoresetProcessor", (_CoresetProcessor, StatefulProcessor), {})
+
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_slices = 4
+    per = max(1, n // n_slices)
+    replay = tempfile.mkdtemp(prefix="dms_tws_")
+    for i in range(n_slices):
+        lo, hi = i * per, (i + 1) * per if i < n_slices - 1 else n
+        part = emb.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            if i < n_slices - 1
+            else (F.col("vec_id") >= lo)
+        )
+        d = tempfile.mkdtemp()
+        part.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))
+        shutil.rmtree(d, ignore_errors=True)
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        st = (
+            spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(replay)
+        )
+        from .windows import _fresh
+
+        snap = (
+            st.select(F.lit(0).alias("g"), "vec_id", "embedding")
+            .groupBy("g")
+            .transformWithStateInPandas(
+                statefulProcessor=cls(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="Update",
+                timeMode="None",
+            )
+        )
+        name = _fresh("tws")
+        q = (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, saved)
+    all_snaps = spark.table(name)
+    last = all_snaps.agg(F.max("seq")).collect()[0][0]
+    return all_snaps.filter(F.col("seq") == last).select(
+        "rank", "vec_id", "weight", F.round("tau", 6).alias("tau")
+    )
+
+
+if _tws_available():  # pragma: no cover — protobuf broken in this env
+    query("div_coreset_stream_tws")(div_coreset_stream_tws)
