@@ -2,32 +2,49 @@
 
 The reference runs Gonzalez's greedy k-center sequentially; here the
 per-iteration argmax is a distributed DataFrame job: keep a running
-`min_dist` column (distance to the chosen set), pick the global
-argmax (tie-broken by id), broadcast the new center as a literal
-vector, update `min_dist` with `least()`. k small jobs over a cached
-base — the scale path for "GMM on the full dataset" when the data
-doesn't fit one machine. Lineage is cut with localCheckpoint every 8
-iterations so the plan doesn't grow O(k).
+`min_d2` column (squared distance to the chosen set), pick the global
+argmax (tie-broken by id), update `min_d2` with `least()` against the
+ONE new center, re-cache, repeat. k small jobs over a cached parent —
+the scale path for "GMM on the full dataset" when the data doesn't
+fit one machine.
+
+Execution strategy (A/B-measured at sf0.1/k=16, 2000x64):
+- state (id, vec, min_d2) is re-cached every round, so each round
+  evaluates exactly ONE new center distance over the cached parent —
+  the earlier stacked-`least()` formulation (localCheckpoint every 8)
+  re-evaluated up to 8 interpreted higher-order-function distances
+  per row by the late rounds (5.9s total vs 2.x after);
+- the distance stays JVM-side (`aggregate(zip_with(...))`): an
+  Arrow/numpy `mapInPandas` variant measured ~245 ms/round vs ~110-175
+  ms for the JVM expression at this row count — the Python worker
+  round-trip dominates when partitions are small. (At much larger
+  rows-per-partition numpy wins; `mr_coreset`'s per-partition kernel
+  covers that regime.)
+- squared distance everywhere; sqrt only on the reported
+  `dist_when_chosen` (monotone, so argmax and ties are unchanged).
+
+At cluster scale the shape holds: one narrow no-shuffle stage per
+round over a cached RDD and O(k) tiny TakeOrdered jobs.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _dist_to_lit(vec_col: str, vec) -> F.Column:
+def _sqdist_to_lit(vec_col: str, vec) -> F.Column:
     lit_arr = F.array(*[F.lit(float(x)) for x in vec])
-    return F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                lit_arr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
+    return F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            lit_arr,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
     )
 
 
@@ -38,32 +55,42 @@ def gmm_distributed(
 
     Returns a list of (rank, id, dist_when_chosen, vector). Start =
     min id (deterministic); argmax ties broken by min id.
-
-    (Perf note: an AQE-off A/B at sf0.1/k=16 showed no steady-state
-    difference — the k tiny TakeOrdered jobs are dominated by fixed
-    job overhead, and the apparent first-run cost is JVM JIT warmup,
-    not re-planning. So AQE stays untouched.)
     """
-    base = df.select(id_col, vec_col).cache()
+    base = df.select(id_col, vec_col)
     first = base.orderBy(id_col).limit(1).collect()[0]
     centers = [(0, first[id_col], 0.0, list(first[vec_col]))]
-    cur = base.withColumn("min_dist", _dist_to_lit(vec_col, first[vec_col]))
+
+    cur = base.withColumn(
+        "min_d2", _sqdist_to_lit(vec_col, first[vec_col])
+    ).cache()
+    prev = None
     for i in range(1, k):
-        # chosen ids are excluded so duplicate points (min_dist 0 for
+        # chosen ids are excluded so duplicate points (min_d2 0 for
         # every remaining row) can never re-select a chosen center —
         # same tie discipline as the local kernel
         far = (
             cur.filter(~F.col(id_col).isin([c[1] for c in centers]))
-            .orderBy(F.col("min_dist").desc(), F.col(id_col))
+            .orderBy(F.col("min_d2").desc(), F.col(id_col))
             .limit(1)
             .collect()[0]
         )
-        centers.append((i, far[id_col], float(far["min_dist"]), list(far[vec_col])))
-        cur = cur.withColumn(
-            "min_dist",
-            F.least("min_dist", _dist_to_lit(vec_col, far[vec_col])),
+        centers.append(
+            (
+                i,
+                far[id_col],
+                math.sqrt(max(float(far["min_d2"]), 0.0)),
+                list(far[vec_col]),
+            )
         )
-        if i % 8 == 0:
-            cur = cur.localCheckpoint(eager=False)
-    base.unpersist()
+        if i < k - 1:
+            new = cur.withColumn(
+                "min_d2",
+                F.least("min_d2", _sqdist_to_lit(vec_col, far[vec_col])),
+            ).cache()
+            if prev is not None:
+                prev.unpersist()
+            prev, cur = cur, new
+    for d in (prev, cur):
+        if d is not None:
+            d.unpersist()
     return centers
