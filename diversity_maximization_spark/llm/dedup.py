@@ -321,7 +321,22 @@ def connected_components(
     return labels
 
 
-@query("dedup_components")  # rows-only: verified vs union-find in tests
+def _exact_dup_edges(d: DataFrame) -> DataFrame:
+    """Star edges (min id -> other ids) per exact-duplicate text group
+    — one shuffle of (hash, id), never the O(group^2) pair set. Any
+    spanning edge set yields the same connected components."""
+    return (
+        d.groupBy(F.md5("text").alias("h"))
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.expr("ids[0]").alias("src"),
+            F.explode(F.expr("slice(ids, 2, size(ids))")).alias("dst"),
+        )
+    )
+
+
+@query("dedup_components")  # rows-only: minhash edge set is hash-family-specific
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate GROUPS: union the exact-dup and minhash near-dup
     pair sets, run distributed connected components, and report every
@@ -329,19 +344,65 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     The step that turns pairwise dedup into actual group-and-keep at
     scale."""
     d = load(spark, sf_dir, "documents")
-    exact_pairs = (
-        d.groupBy(F.md5("text").alias("h"))
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(
-            F.expr("sort_array(ids)[0]").alias("src"),
-            F.explode(F.expr("slice(sort_array(ids), 2, size(ids))")).alias("dst"),
-        )
-    )
     near_pairs = QUERIES["dedup_minhash"](spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
-    edges = exact_pairs.unionAll(near_pairs)
+    edges = _exact_dup_edges(d).unionAll(near_pairs)
+    verts = d.select(F.col("doc_id").alias("id"))
+    comps = connected_components(edges, verts)
+    return comps.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component")
+    )
+
+
+@query(
+    "dedup_components_ngram",
+    oracle=f"""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), jpairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN sizes sa ON sa.doc_id = a.doc_id
+  JOIN sizes sb ON sb.doc_id = b.doc_id
+  GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh
+  HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.2
+), epairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b ON a.text = b.text AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT src, dst FROM jpairs UNION SELECT dst AS src, src AS dst FROM jpairs
+  UNION SELECT src, dst FROM epairs UNION SELECT dst AS src, src AS dst FROM epairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+""",
+)
+def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ORACLE-EXPRESSIBLE edge set
+    (exact-dup pairs + n-gram Jaccard >= 0.2 pairs), so the iterative
+    min-label-propagation operator itself is hash-checked against a
+    DuckDB recursive-CTE transitive closure — the strong-form check
+    dedup_components (minhash edges, engine-specific hash family)
+    can't have. Same component semantics: id = min doc_id reachable."""
+    d = load(spark, sf_dir, "documents")
+    near_pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    edges = _exact_dup_edges(d).unionAll(near_pairs)
     verts = d.select(F.col("doc_id").alias("id"))
     comps = connected_components(edges, verts)
     return comps.select(
