@@ -148,10 +148,20 @@ SELECT doc_id, cand_lang AS pred_lang, hits FROM (
 def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID: corpus-derived top-20 lexicon per language, docs
     classified by argmax lexicon hits (the classic n-gram-profile
-    heuristic; the lexicon is tiny -> broadcast join at scale)."""
+    heuristic; the lexicon is tiny -> broadcast join at scale).
+
+    Single corpus pass (same shape as tfidf): both the lexicon
+    derivation and the per-doc scoring re-aggregate the cached
+    (doc_id, lang, word, cnt) table, so occurrence counts become
+    sum(cnt) and the corpus is scanned/exploded once."""
     d = load(spark, sf_dir, "documents")
-    w = words_df(d)
-    counts = w.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    wc = (
+        words_df(d)
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()
+    )
+    counts = wc.groupBy("lang", "word").agg(F.sum("cnt").alias("n"))
     wl = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
     lexicon = (
         counts.withColumn("rn", F.row_number().over(wl))
@@ -159,10 +169,10 @@ def lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("lang").alias("cand_lang"), "word")
     )
     scores = (
-        w.select("doc_id", "word")
+        wc.select("doc_id", "word", "cnt")
         .join(F.broadcast(lexicon), "word")
         .groupBy("doc_id", "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(F.sum("cnt").alias("hits"))
     )
     wd = Window.partitionBy("doc_id").orderBy(
         F.col("hits").desc(), F.col("cand_lang")
