@@ -259,7 +259,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (pairs only exist where a shingle is shared — the
     scalable exact formulation)."""
     d = load(spark, sf_dir, "documents")
-    sh = shingles_df(d)
+    # cached: sh feeds sizes + BOTH sides of the self-join, and the
+    # shingle generation is a Python (mapInPandas) pass over the corpus
+    # — without the cache it runs three times per execution
+    sh = shingles_df(d).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
