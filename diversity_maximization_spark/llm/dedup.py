@@ -358,9 +358,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_components_ngram",
-    oracle=f"""
+# Shared oracle CTE block: n-gram-Jaccard + exact-dup edge set, then
+# transitive closure (`reach`) — the recursive-CTE ground truth for the
+# distributed min-label-propagation operator.
+_CC_NGRAM_ORACLE_CTES = f"""
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), sh AS (
@@ -391,8 +392,13 @@ WITH RECURSIVE words AS (
   UNION
   SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
 )
-SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
-""",
+"""
+
+
+@query(
+    "dedup_components_ngram",
+    oracle=_CC_NGRAM_ORACLE_CTES
+    + "SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id",
 )
 def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the ORACLE-EXPRESSIBLE edge set
@@ -411,3 +417,29 @@ def dedup_components_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component")
     )
+
+
+@query(
+    "dedup_keep_canonical",
+    oracle=_CC_NGRAM_ORACLE_CTES
+    + """, comp AS (
+  SELECT id, MIN(r) AS component FROM reach GROUP BY id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d JOIN comp ON d.doc_id = comp.id
+WHERE comp.id = comp.component
+""",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup deliverable: the DEDUPLICATED corpus.
+    One document per near-dup component (keeper = min doc_id = the
+    component id), joined back to the corpus for its surviving
+    metadata. At scale the keeper set is ~corpus-sized, so this is a
+    plain shuffled equi-join on doc_id, not a broadcast."""
+    d = load(spark, sf_dir, "documents")
+    keep = (
+        QUERIES["dedup_components_ngram"](spark, sf_dir)
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+    return d.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
