@@ -281,3 +281,66 @@ def multimodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(e, d.doc_id == e.vec_id).select(
         "doc_id", "lang", "n_chars", "label", F.size("embedding").alias("dim")
     )
+
+
+@query(
+    "quality_bigram_logprob",
+    oracle="""
+WITH bg AS (
+  SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2
+), pre AS (
+  SELECT w1, SUM(c2) AS c1 FROM bgc GROUP BY w1
+)
+SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+       round(SUM(ln(CAST(c2 AS DOUBLE) / c1)) / COUNT(*), 6) AS avg_logprob
+FROM bg JOIN bgc USING (w1, w2) JOIN pre USING (w1)
+GROUP BY bg.doc_id
+""",
+)
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived bigram language-model quality score: mean
+    ln P(w2|w1) over each document's bigrams, with MLE probabilities
+    C(w1,w2)/C(w1·) estimated from the corpus itself (C(w1·) = bigram
+    -prefix count, so both tables derive from ONE cached bigram pass).
+    Low scores flag token-salad documents — the classic LM-based
+    quality filter for training-data pipelines.
+
+    Shape notes for scale: bigrams come from posexplode + lead() over
+    (doc_id, pos) — split() runs once per document (a transform()
+    lambda over the split array would re-evaluate split per element
+    after CollapseProject inlining, the same O(words^2) trap measured
+    in dedup shingling); the count tables re-aggregate the cached
+    bigram table; joins are shuffled equi-joins on word keys (the
+    bigram vocabulary is corpus-sized — NOT broadcastable)."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        w.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+        .cache()
+    )
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pre = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    return (
+        bg.join(bgc, ["w1", "w2"])
+        .join(pre, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum(F.log(F.col("c2").cast("double") / F.col("c1")))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
