@@ -194,3 +194,17 @@ def test_connected_components_match_union_find(spark, sf_dir):
             parent[max(ra, rb)] = min(ra, rb)
     want = {i: find(i) for i in parent}
     assert comps == want
+
+
+def test_keep_canonical_consistent_with_components(spark, sf_dir):
+    """The deduplicated corpus is exactly the component keepers: one
+    doc per component, each the min doc_id of its component, and every
+    document's component id appears as a kept doc."""
+    comps = QUERIES["dedup_components_ngram"](spark, sf_dir).collect()
+    kept = {r["doc_id"] for r in QUERIES["dedup_keep_canonical"](spark, sf_dir).collect()}
+    components = {}
+    for r in comps:
+        components.setdefault(r["component"], []).append(r["doc_id"])
+    assert kept == set(components)  # one keeper per component, no extras
+    for cid, members in components.items():
+        assert cid == min(members)  # keeper is the min doc_id
