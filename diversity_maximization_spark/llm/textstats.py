@@ -344,3 +344,40 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob"),
         )
     )
+
+
+# Portable multiplicative (Knuth) hash over doc_id: identical integer
+# arithmetic in Spark and DuckDB (no engine hash functions), with the
+# inner % 2^31 keeping the product inside signed-64 range. doc_id is
+# reduced mod 2^31 first, so ids that collide mod 2^31 land in the
+# same bucket — irrelevant for splitting, which only needs a stable
+# pseudo-random bucket per id.
+_HASH_BUCKET = "((doc_id % 2147483648) * 2654435761 % 4294967296) % 100"
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+SELECT doc_id, {_HASH_BUCKET} AS bucket,
+       CASE WHEN {_HASH_BUCKET} < 80 THEN 'train'
+            WHEN {_HASH_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by a
+    portable multiplicative hash of doc_id — the reproducible,
+    cluster-layout-independent way to split a training corpus (a
+    narrow map, no shuffle, no RNG state; the same document lands in
+    the same split on any engine or partitioning)."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.expr(_HASH_BUCKET)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
