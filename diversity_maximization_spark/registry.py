@@ -53,6 +53,7 @@ def load_all() -> None:
         scans,
         sorts_setops,
         tpch,
+        tpch_more,
         udfs,
         windows,
     )
