@@ -216,3 +216,81 @@ def div_random_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label")
         .limit(16)
     )
+
+
+@query("div_gmm_cosine")  # rows-only: iterative; property-tested vs local kernel
+def div_gmm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-first traversal under COSINE distance, k=16, fully
+    distributed. Spark-first reduction instead of a second kernel:
+    for L2-normalized vectors ||x-y||^2 = 2*(1 - cos(x,y)), a strictly
+    monotone map — so euclidean farthest-first on the normalized
+    corpus IS cosine farthest-first, and the one distributed GMM
+    implementation serves both metrics. Reported distances are mapped
+    back: cos_dist = d^2 / 2."""
+    emb = load(spark, sf_dir, "embeddings")
+    normed = emb.select("vec_id", V.l2_normalize("embedding").alias("embedding"))
+    centers = gmm_distributed(normed, k=16)
+    rows = [
+        (rank, int(vid), round((d * d) / 2.0, 6)) for rank, vid, d, _vec in centers
+    ]
+    return spark.createDataFrame(
+        rows, "sel_order int, vec_id bigint, cos_dist_when_chosen double"
+    )
+
+
+@query("div_kmeans")  # rows-only: iterative float means; property-tested
+def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 5 iterations) over the
+    embeddings — the center-based complement of the remote-* diversity
+    objectives (the reference's coreset machinery targets k-center;
+    k-means is the classic centroid objective a data pipeline also
+    wants, e.g. for IVF list training).
+
+    Spark shape per iteration: assignment is a narrow map (centers are
+    baked into the expression as literals — a k x d broadcast), and
+    the center update is ONE partial+final agg over (cluster, dim)
+    after posexplode — the shuffle carries 32 x k x d partial sums,
+    never the data. Init = the k smallest vec_ids (deterministic);
+    argmin ties break to the lowest cluster index."""
+    from .gmm import _sqdist_to_lit
+
+    k, iters = 8, 5
+    pts = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
+    centers = [
+        list(r["embedding"])
+        for r in pts.orderBy("vec_id").limit(k).collect()
+    ]
+    assigned = None
+    for _ in range(iters):
+        dists = F.array(*[_sqdist_to_lit("embedding", c) for c in centers])
+        assigned = pts.select(
+            "vec_id",
+            "embedding",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cluster"),
+            F.sqrt(F.array_min(dists)).alias("dist"),
+        )
+        means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+        centers = [
+            [by_cluster[c][d] for d in range(len(centers[0]))]
+            if c in by_cluster
+            else centers[c]  # empty cluster keeps its old center
+            for c in range(k)
+        ]
+    # final assignment against the converged centers
+    dists = F.array(*[_sqdist_to_lit("embedding", c) for c in centers])
+    out = pts.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        F.round(F.sqrt(F.array_min(dists)), 6).alias("dist"),
+    )
+    return out

@@ -381,3 +381,70 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+# Stratified variant of the hash split: per-label keep rates over the
+# embeddings table (downsample the over-represented strata of a
+# training corpus). Same portable multiplicative hash, on vec_id.
+_VHASH = "((vec_id % 2147483648) * 2654435761 % 4294967296) % 100"
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+SELECT vec_id, label FROM embeddings
+WHERE {_VHASH} < 10 * (label + 1)
+""",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: keep 10*(label+1)% of each
+    label stratum by portable hash of vec_id — label 0 kept at 10%,
+    label 9 at 100%. A narrow map with no shuffle and no RNG state;
+    the same row survives on any engine, partitioning, or replay —
+    the reproducibility property a training-data pipeline needs from
+    its samplers (vs sample()/sampleBy(), whose per-partition RNG
+    changes with the split layout)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.filter(F.expr(_VHASH) < 10 * (F.col("label") + 1)).select(
+        "vec_id", "label"
+    )
+
+
+@query(
+    "text_ngrams",
+    oracle="""
+WITH bg AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+)
+SELECT w1 || ' ' || w2 AS bigram, COUNT(*) AS n
+FROM bg GROUP BY w1, w2
+ORDER BY n DESC, bigram
+LIMIT 20
+""",
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus bigrams. Same posexplode + lead() bigram
+    derivation as quality_bigram_logprob (split() evaluated once per
+    document — the transform()-lambda form re-splits per element
+    after CollapseProject inlining); the count is one partial+final
+    shuffle on the bigram key and the top-k is TakeOrdered, never a
+    global sort."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = words.withColumn("w2", F.lead("w1").over(w)).filter(
+        F.col("w2").isNotNull()
+    )
+    return (
+        bigrams.groupBy(
+            F.concat_ws(" ", "w1", "w2").alias("bigram")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )

@@ -282,3 +282,61 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("P", F.lit(0)).alias("n_p"),
         )
     )
+
+
+@query(
+    "agg_mode",
+    oracle="""
+SELECT n_nationkey, segment AS mode_segment, c AS n_customers FROM (
+  SELECT c_nationkey AS n_nationkey, c_mktsegment AS segment,
+         COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+) WHERE rn = 1
+""",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent market segment per
+    nation). Built as count + rank with an explicit lexicographic
+    tie-break rather than engine mode() — engine tie behavior is
+    unspecified and would not hash-match; this form is two exact
+    shuffles (count, then tiny window) at any scale."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    counted = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c"), "c_mktsegment")
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("c_nationkey").alias("n_nationkey"),
+            F.col("c_mktsegment").alias("mode_segment"),
+            F.col("c").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "agg_histogram",
+    oracle=f"""
+SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+       COUNT(*) AS n, {duck_dsum('o_totalprice')} AS total
+FROM orders GROUP BY 1 ORDER BY 1
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 buckets of 50k, top
+    bucket open). Bucketing is a narrow map; the agg is one
+    partial+final shuffle carrying <=10 groups — the histogram shape
+    that works at any scale (vs sort-based percentile binning)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("bucket")
+    )

@@ -330,3 +330,42 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_mktsegment").alias("segment"),
         )
     )
+
+
+@query(
+    "join_skew_salted",
+    oracle=f"""
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_items,
+       {duck_dsum2('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY s.s_suppkey
+""",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The explicit skew-salted join (plans/skew.py) as a query:
+    lineitem x supplier revenue, with the fact side scattered across
+    8 salt subkeys and the dimension replicated 8x, so a pathologically
+    hot supplier key would still spread over 8 tasks. Semantics are
+    identical to the plain equi-join — the oracle IS the plain join.
+    (At this fixture's skew AQE alone suffices; the rewrite is the
+    belt-and-braces path for single-key hotspots AQE cannot split.)"""
+    from ..plans.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+    joined = salted_join(li, s, "l_suppkey", n_salt=8)
+    return (
+        joined.groupBy("l_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum2("l_extendedprice", "l_discount").alias("revenue"),
+        )
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "n_items",
+            "revenue",
+        )
+        .orderBy("s_suppkey")
+    )

@@ -295,3 +295,30 @@ def funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_converted"),
     )
+
+
+@query(
+    "win_cume_dist",
+    oracle="""
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       CUME_DIST() OVER w AS cd,
+       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+""",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value per priority group. The order key includes
+    the unique o_orderkey so frames (and therefore nth_value and the
+    cume_dist numerator) are identical in both engines; cume_dist is a
+    ratio of exact integers — the division is the same IEEE op."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cd"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
