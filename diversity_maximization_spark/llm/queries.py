@@ -34,3 +34,37 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("unit_vec"),
         F.round(F.sqrt(V.sq_norm("embedding")), 6).alias("norm"),
     )
+
+
+@query(
+    "embed_quantize",
+    oracle="""
+SELECT vec_id,
+       list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 127 /
+                list_aggregate(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE))), 'max'))
+              AS BIGINT)) AS q8,
+       round(list_aggregate(list_transform(embedding,
+             y -> abs(CAST(y AS DOUBLE))), 'max') / 127, 6) AS scale
+FROM embeddings
+""",
+)
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column
+    (q = round(127 * x / max|x|), per-vector scale) — the standard
+    memory-4x-reduction step before ANN indexing of a 100 TB corpus.
+    Integer outputs are hash-exact across engines. A narrow map, no
+    shuffle. (Expression form re-derives the max per element after
+    projection collapse — O(d^2) per row, fine at d=64; for large d
+    the same map runs in one pass per vector as an Arrow-batched
+    mapInPandas, like multimodal_features.)"""
+    e = load(spark, sf_dir, "embeddings")
+    amax = "aggregate(embedding, CAST(0 AS DOUBLE), (s, y) -> greatest(s, abs(CAST(y AS DOUBLE))))"
+    return e.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / {amax}) AS BIGINT))"
+        ).alias("q8"),
+        F.expr(f"round({amax} / 127, 6)").alias("scale"),
+    )

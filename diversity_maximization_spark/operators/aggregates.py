@@ -340,3 +340,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("bucket")
     )
+
+
+@query(
+    "agg_percentile_grouped",
+    oracle=f"""
+SELECT o_orderpriority,
+       quantile_cont({cents('o_totalprice')}, 0.25) / 100 AS p25,
+       quantile_cont({cents('o_totalprice')}, 0.50) / 100 AS median,
+       quantile_cont({cents('o_totalprice')}, 0.75) / 100 AS p75
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+)
+def agg_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (25/50/75) of order totals. Quantiles
+    interpolate over exact integer CENTS (integers are exact in
+    doubles, so both engines' linear interpolation produces the
+    identical double) and divide by 100 at the end. Exact percentile
+    sorts within each group — fine per-group; the approx sketch
+    (agg_percentile) is the scale path for global quantiles."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"percentile({c}, 0.25) / 100").alias("p25"),
+            F.expr(f"percentile({c}, 0.50) / 100").alias("median"),
+            F.expr(f"percentile({c}, 0.75) / 100").alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )

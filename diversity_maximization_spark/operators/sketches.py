@@ -1,0 +1,178 @@
+"""Sketch operators (SURVEY.md §2.2-D extension; 100 TB mandate).
+
+Mergeable sketches are the scale path for cardinality / frequency /
+membership questions a training-data pipeline asks constantly (how
+many distinct users, how often does this key occur, have we seen this
+id). Two design points here:
+
+- count-min and Bloom are built from PORTABLE multiplicative hashes
+  (plain integer arithmetic, no engine hash functions), so the whole
+  sketch — not just its answers — is bit-identical in Spark and
+  DuckDB and the keys carry full SQL✓ oracles. Both build as ONE
+  partial+final aggregation over (hash-index, bucket): the shuffle
+  carries d*w counters per map partition, never the data.
+- sketch_hll_merge uses Spark's native datasketches HLL
+  (hll_sketch_agg / hll_union_agg): per-group sketches built
+  independently, merged with union — the architecture that answers
+  distinct-count at 100 TB with one pass and O(groups * 1.5 kB)
+  state. Estimates are engine-specific, so the key is rows-only with
+  a tolerance property test vs exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+# h_j(x) = ((x mod 2^31) * A_j mod 2^32) mod w — Knuth multiplicative
+# family with distinct odd constants; identical signed-64 arithmetic
+# in both engines (the mod-2^31 reduction keeps products in range).
+_CMS_A = [2654435761, 2246822519, 3266489917, 668265263]
+_CMS_W = 64
+_BLOOM_A = _CMS_A[:3]
+_BLOOM_M = 1024
+
+
+def _h(expr: str, a: int, m: int) -> str:
+    return f"((({expr}) % 2147483648) * {a} % 4294967296) % {m}"
+
+
+def _cms_hashes_sql(expr: str) -> list[str]:
+    return [_h(expr, a, _CMS_W) for a in _CMS_A]
+
+
+@query(
+    "sketch_countmin",
+    oracle=f"""
+WITH sk AS (
+  SELECT j, bucket, COUNT(*) AS c FROM (
+    SELECT u.j,
+           CASE u.j
+             {' '.join(f"WHEN {j} THEN {_h('l_suppkey', a, _CMS_W)}" for j, a in enumerate(_CMS_A))}
+           END AS bucket
+    FROM lineitem, (SELECT unnest(generate_series(0, {len(_CMS_A) - 1})) AS j) u
+  ) GROUP BY j, bucket
+), truth AS (
+  SELECT l_suppkey, COUNT(*) AS true_cnt FROM lineitem GROUP BY l_suppkey
+)
+SELECT t.l_suppkey, t.true_cnt, MIN(sk.c) AS est_cnt
+FROM truth t JOIN sk
+  ON sk.bucket = (CASE sk.j
+       {' '.join(f"WHEN {j} THEN {_h('t.l_suppkey', a, _CMS_W)}" for j, a in enumerate(_CMS_A))}
+     END)
+GROUP BY t.l_suppkey, t.true_cnt
+ORDER BY t.l_suppkey
+""",
+)
+def sketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch of lineitem supplier frequencies (d=4, w=64),
+    queried for every supplier next to the true count (est >= true
+    always; overestimate bounded by collisions). Build = explode the
+    4 hash rows and count into (j, bucket) — one partial+final agg;
+    probe = equi-join the tiny sketch back on the bucket expression
+    and take the min over j."""
+    li = load(spark, sf_dir, "lineitem")
+    hashes = _cms_hashes_sql("l_suppkey")
+    exploded = li.select(
+        F.posexplode(F.array(*[F.expr(h) for h in hashes])).alias("j", "bucket")
+    )
+    sk = exploded.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    truth = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probe_bucket = "CASE j " + " ".join(
+        f"WHEN {j} THEN {_h('l_suppkey', a, _CMS_W)}"
+        for j, a in enumerate(_CMS_A)
+    ) + " END"
+    return (
+        truth.join(F.broadcast(sk), sk.bucket == F.expr(probe_bucket))
+        .groupBy("l_suppkey", "true_cnt")
+        .agg(F.min("c").alias("est_cnt"))
+        .orderBy("l_suppkey")
+    )
+
+
+@query(
+    "sketch_bloom",
+    oracle=f"""
+WITH bits AS (
+  SELECT DISTINCT (CASE u.j
+    {' '.join(f"WHEN {j} THEN {_h('o_custkey', a, _BLOOM_M)}" for j, a in enumerate(_BLOOM_A))}
+  END) AS pos
+  FROM orders, (SELECT unnest(generate_series(0, {len(_BLOOM_A) - 1})) AS j) u
+)
+SELECT c.c_custkey,
+       ({' AND '.join(f"{_h('c.c_custkey', a, _BLOOM_M)} IN (SELECT pos FROM bits)" for a in _BLOOM_A)})
+         AS bloom_positive,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AS has_orders
+FROM customer c
+ORDER BY c.c_custkey
+""",
+)
+def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (k=3, m=1024) of order custkeys, tested
+    for every customer next to the semi-join truth — no false
+    negatives by construction, false positives bounded by load. The
+    filter is the distinct set of bit positions (tiny), broadcast
+    into three membership probes; this is the join-pre-filter pattern
+    that cuts a 100 TB probe side before the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    bits = (
+        o.select(
+            F.explode(
+                F.array(*[F.expr(_h("o_custkey", a, _BLOOM_M)) for a in _BLOOM_A])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probes = c.select("c_custkey")
+    for i, a in enumerate(_BLOOM_A):
+        probes = (
+            probes.withColumn(f"p{i}", F.expr(_h("c_custkey", a, _BLOOM_M)))
+            .join(
+                F.broadcast(bits.withColumnRenamed("pos", f"hit{i}")),
+                F.col(f"p{i}") == F.col(f"hit{i}"),
+                "left",
+            )
+            .drop(f"p{i}")
+        )
+    has = o.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "has", F.lit(True)
+    )
+    return (
+        probes.join(F.broadcast(has), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            (
+                F.col("hit0").isNotNull()
+                & F.col("hit1").isNotNull()
+                & F.col("hit2").isNotNull()
+            ).alias("bloom_positive"),
+            F.coalesce(F.col("has"), F.lit(False)).alias("has_orders"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@query("sketch_hll_merge")  # rows-only: datasketches estimates are engine-specific
+def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches: build one HLL sketch of
+    customer keys per (nation, mktsegment) subgroup with
+    hll_sketch_agg, then union the subgroup sketches per nation with
+    hll_union_agg and estimate. Property test: every estimate within
+    5% of the exact distinct count. This is the one-pass mergeable
+    architecture for distinct-counting at 100 TB (exact
+    count_distinct re-shuffles raw keys; sketches shuffle ~1.5 kB per
+    group)."""
+    c = load(spark, sf_dir, "customer")
+    per_seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.expr("hll_sketch_agg(c_custkey)").alias("sk")
+    )
+    return (
+        per_seg.groupBy("c_nationkey")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"))
+        .orderBy("c_nationkey")
+    )

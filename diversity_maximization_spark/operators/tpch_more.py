@@ -288,3 +288,91 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(dsum2("l_extendedprice", "l_discount").alias("revenue"))
     )
+
+
+@query(
+    "tpch_q15",
+    oracle=f"""
+WITH rev AS (
+  SELECT l_suppkey, {duck_dsum2('l_extendedprice', 'l_discount')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, rev.total_rev
+FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s.s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-supplier pattern (TPC-H Q15): the supplier(s) achieving the
+    quarter's maximum revenue. The revenue CTE is computed ONCE and
+    reused for both the max and the equality filter (cached — Spark
+    would otherwise recompute the agg for each use); revenue is exact
+    integer cents so the equality against MAX is exact, not an
+    epsilon-compare."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(dsum2("l_extendedprice", "l_discount").alias("total_rev"))
+        .cache()
+    )
+    max_rev = rev.agg(F.max("total_rev")).collect()[0][0]
+    s = load(spark, sf_dir, "supplier")
+    out = (
+        s.join(rev.filter(F.col("total_rev") == max_rev), s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+    return out
+
+
+@query(
+    "tpch_q22",
+    oracle=f"""
+WITH avgbal AS (
+  SELECT CAST(SUM({cents('c_acctbal')}) AS DOUBLE) / 100 / COUNT(*) AS a
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_nationkey, COUNT(*) AS numcust, {duck_dsum('c.c_acctbal')} AS totacctbal
+FROM customer c, avgbal
+WHERE c.c_acctbal > avgbal.a
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1998-01-01')
+GROUP BY c.c_nationkey
+ORDER BY c.c_nationkey
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-sales-opportunity pattern (TPC-H Q22): rich customers
+    with no recent orders, by nation. The scalar average is one tiny
+    agg broadcast into the filter; the no-recent-orders test is a
+    LEFT ANTI join against the date-filtered orders (never a
+    correlated per-row subquery). (Fixture adaptation: grouped by
+    c_nationkey — there is no phone column to prefix.)"""
+    c = load(spark, sf_dir, "customer")
+    avgbal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.expr(f"CAST(SUM({cents('c_acctbal')}) AS DOUBLE) / 100 / COUNT(*)")
+        )
+        .collect()[0][0]
+    )
+    recent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= "1998-01-01"
+    )
+    return (
+        c.filter(F.col("c_acctbal") > avgbal)
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -51,6 +51,7 @@ def load_all() -> None:
         joins,
         scalars,
         scans,
+        sketches,
         sorts_setops,
         tpch,
         tpch_more,

@@ -208,3 +208,33 @@ def test_keep_canonical_consistent_with_components(spark, sf_dir):
     assert kept == set(components)  # one keeper per component, no extras
     for cid, members in components.items():
         assert cid == min(members)  # keeper is the min doc_id
+
+
+def test_sketch_properties(spark, sf_dir):
+    """CMS never underestimates; Bloom has no false negatives; merged
+    HLL estimates land within 5% of exact distinct counts."""
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+
+    cms = QUERIES["sketch_countmin"](spark, sf_dir).collect()
+    assert cms and all(r["est_cnt"] >= r["true_cnt"] for r in cms)
+
+    bloom = QUERIES["sketch_bloom"](spark, sf_dir).collect()
+    assert bloom and all(r["bloom_positive"] for r in bloom if r["has_orders"])
+
+    hll = {
+        r["c_nationkey"]: r["est_distinct"]
+        for r in QUERIES["sketch_hll_merge"](spark, sf_dir).collect()
+    }
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["c_nationkey"]: r["d"]
+        for r in load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("d"))
+        .collect()
+    }
+    assert set(hll) == set(exact)
+    for nk, est in hll.items():
+        assert abs(est - exact[nk]) <= 0.05 * exact[nk] + 1
