@@ -75,12 +75,18 @@ def gmm_distributed(
         # chosen ids are excluded so duplicate points (min_d2 0 for
         # every remaining row) can never re-select a chosen center —
         # same tie discipline as the local kernel
-        far = (
+        rows = (
             cur.filter(~F.col(id_col).isin([c[1] for c in centers]))
             .orderBy(F.col("min_d2").desc(), F.col(id_col))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # k exceeds the number of distinct points: return what we
+            # have, matching the local kernel's k = min(k, n) clamp
+            # (ADVICE r01).
+            break
+        far = rows[0]
         centers.append(
             (
                 i,

@@ -67,7 +67,10 @@ def shingles_df(d: DataFrame) -> DataFrame:
             ids, shs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 ws = text.split(" ")
-                n = max(len(ws) - SHINGLE, 0) + 1
+                # docs shorter than SHINGLE words produce NO shingles,
+                # matching the oracle's generate_series(1, len-2) being
+                # empty for len < 3 (ADVICE r01).
+                n = max(len(ws) - SHINGLE + 1, 0)
                 uniq = {" ".join(ws[i : i + SHINGLE]) for i in range(n)}
                 uniq.discard("")
                 ids.extend([doc_id] * len(uniq))
@@ -185,8 +188,14 @@ def simhash_df(d: DataFrame) -> DataFrame:
 @query("dedup_simhash")  # rows-only
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4
-    16-bit chunks (near-dups agree on >=1 chunk), verify by hamming
-    distance <= 12 via bit_count(xor) — JVM built-ins end to end."""
+    16-bit chunks, verify by hamming distance <= 12 via bit_count(xor)
+    — JVM built-ins end to end.
+
+    Recall note (ADVICE r01): banding guarantees a shared chunk only
+    for hamming <= 3 (pigeonhole on 4 chunks); above that, candidate
+    generation is lossy — a pair at hamming 4..12 is found only if its
+    flipped bits cluster outside one chunk. This is the standard
+    LSH recall/cost trade; raise band count for higher recall."""
     d = load(spark, sf_dir, "documents")
     sig = simhash_df(d)
     chunks = sig.select(

@@ -16,22 +16,30 @@ from ..sources import load
     "embed_normalize",
     oracle=f"""
 SELECT vec_id,
-       list_transform({V.duck_l2_normalize('embedding')}, x -> round(x, 6)) AS unit_vec,
+       array_to_string(list_transform({V.duck_l2_normalize('embedding')},
+         x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS unit_vec_q,
        round(sqrt({V.duck_sq_norm('embedding')}), 6) AS norm
 FROM embeddings
 """,
 )
 def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize the embedding column — pure higher-order SQL."""
+    """L2-normalize the embedding column — pure higher-order SQL.
+
+    The normalized vector is serialized as comma-joined 1e6-scaled
+    int64 (driver canonicalizer cannot hash list cells; int formatting
+    is engine-identical, float formatting is not)."""
     e = load(spark, sf_dir, "embeddings")
     return e.select(
         "vec_id",
-        F.expr(
-            "transform(embedding, x -> round(CAST(x AS DOUBLE) / "
-            "sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> "
-            "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
-            "(s, v) -> s + v)), 6))"
-        ).alias("unit_vec"),
+        F.array_join(
+            F.expr(
+                "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / "
+                "sqrt(aggregate(zip_with(embedding, embedding, (p, q) -> "
+                "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), "
+                "(s, v) -> s + v)) * 1000000) AS BIGINT))"
+            ),
+            ",",
+        ).alias("unit_vec_q"),
         F.round(F.sqrt(V.sq_norm("embedding")), 6).alias("norm"),
     )
 
@@ -40,11 +48,11 @@ def embed_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_quantize",
     oracle="""
 SELECT vec_id,
-       list_transform(embedding,
+       array_to_string(list_transform(embedding,
          x -> CAST(round(CAST(x AS DOUBLE) * 127 /
                 list_aggregate(list_transform(embedding,
                                y -> abs(CAST(y AS DOUBLE))), 'max'))
-              AS BIGINT)) AS q8,
+              AS BIGINT)), ',') AS q8,
        round(list_aggregate(list_transform(embedding,
              y -> abs(CAST(y AS DOUBLE))), 'max') / 127, 6) AS scale
 FROM embeddings
@@ -63,8 +71,11 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     amax = "aggregate(embedding, CAST(0 AS DOUBLE), (s, y) -> greatest(s, abs(CAST(y AS DOUBLE))))"
     return e.select(
         "vec_id",
-        F.expr(
-            f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / {amax}) AS BIGINT))"
+        F.array_join(
+            F.expr(
+                f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 127 / {amax}) AS BIGINT))"
+            ),
+            ",",
         ).alias("q8"),
         F.expr(f"round({amax} / 127, 6)").alias("scale"),
     )

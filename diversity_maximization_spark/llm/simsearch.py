@@ -22,9 +22,9 @@ from pyspark.sql.window import Window
 
 from ..functions import vector as V
 from ..plans.distance_join import (
-    blas_threshold_pairs,
-    blas_topk_candidates,
     lsh_candidate_pairs,
+    threshold_candidate_pairs,
+    topk_candidate_pairs,
 )
 from ..registry import query
 from ..sources import load
@@ -65,12 +65,16 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
        ~1e-14 discrepancy); every returned sim/rank comes from the
        exact fold.
 
-    At cluster scale the broadcast corpus is chunked (running top-k
-    merge per chunk) or replaced by the IVF route below; the re-score
-    phase is unchanged.
+    Candidate generation is dispatched by corpus size
+    (plans/distance_join.py choose_strategy): theta <=512 rows,
+    broadcast-BLAS while the corpus matrix fits ~2 GB, LSH-bucketed
+    equi-join beyond — so the full-corpus collect inside the BLAS path
+    is only reachable when it provably fits, and at 100 TB the plan is
+    an ordinary shuffle join. The re-score phase is identical in all
+    three.
     """
     e = load(spark, sf_dir, "embeddings")
-    cand = blas_topk_candidates(spark, e, TOPK + 20)
+    cand = topk_candidate_pairs(spark, e, TOPK + 20)
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     pairs = (
@@ -181,11 +185,13 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps pairs with sim > threshold - eps (eps absorbs the BLAS vs
     sequential-fold summation-order difference), then the surviving
     pairs are re-scored with the oracle-identical fold and filtered at
-    the true threshold. At cluster scale the prefilter's broadcast
-    corpus is chunked or replaced by IVF bucketing."""
+    the true threshold. Candidate generation is dispatched by corpus
+    size (choose_strategy): the broadcast prefilter runs only while
+    the corpus provably fits; beyond that the LSH-bucketed equi-join
+    takes over with no driver collect anywhere."""
     thresh = 0.35
     e = load(spark, sf_dir, "embeddings")
-    cand = blas_threshold_pairs(spark, e, thresh)
+    cand = threshold_candidate_pairs(spark, e, thresh)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -131,16 +131,38 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_cd")  # rows-only: HLL sketches differ across engines
+@query(
+    "agg_approx_cd",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HLL++) — the 100 TB path for distincts.
 
-    Tests assert the estimate is within 5% of exact; the driver records
-    a rows-only check because DuckDB's approx sketch differs.
+    HLL sketches are engine-specific, so the oracle formulation is a
+    tolerance check: the query emits the EXACT distinct count plus a
+    flag that the HLL estimate (rsd 1%) lands within 5% of it; the
+    oracle returns the exact count and TRUE. A lying estimate flips
+    the flag and fails the driver's value hash.
     """
     ev = load(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            (
+                F.abs(
+                    F.approx_count_distinct("user_id", 0.01)
+                    - F.countDistinct("user_id")
+                )
+                / F.countDistinct("user_id")
+            )
+            <= 0.05
+        ).alias("approx_ok"),
     )
 
 

@@ -176,21 +176,29 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT vec_id,
        CAST(len(embedding) AS INTEGER) AS dim,
        CAST(embedding[1] AS DOUBLE) AS first_el,
-       list_transform(list_slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2) AS head2x,
+       CAST(embedding[1] AS DOUBLE) * 2 AS head2x_1,
+       CAST(embedding[2] AS DOUBLE) * 2 AS head2x_2,
+       CAST(embedding[3] AS DOUBLE) * 2 AS head2x_3,
        round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS el_sum,
        round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'max'), 6) AS el_max
 FROM embeddings
 """,
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order fns. Array-typed OUTPUT columns are projected
+    to scalars (head2x_1..3) because the driver's canonicalizer
+    pandas-sorts result rows and cannot hash Python lists
+    (CORRECTNESS_r01 fn_array err); the transform/slice machinery is
+    still exercised, only the final projection is scalar."""
     e = load(spark, sf_dir, "embeddings")
+    h = F.expr("transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2)")
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).cast("double").alias("first_el"),
-        F.expr(
-            "transform(slice(embedding, 1, 3), x -> CAST(x AS DOUBLE) * 2)"
-        ).alias("head2x"),
+        F.element_at(h, 1).alias("head2x_1"),
+        F.element_at(h, 2).alias("head2x_2"),
+        F.element_at(h, 3).alias("head2x_3"),
         F.round(
             F.expr(
                 "aggregate(embedding, CAST(0 AS DOUBLE), (s, x) -> s + CAST(x AS DOUBLE))"

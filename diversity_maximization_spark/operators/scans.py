@@ -9,7 +9,6 @@ ReadSchema). sink_parquet round-trips a partitioned write.
 
 from __future__ import annotations
 
-import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,21 +67,23 @@ def source_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sink_parquet")  # rows-only: read-back equivalence is asserted in tests
+_SINK_ORACLE = (
+    "SELECT " + ", ".join(TABLES["events"]) + " FROM events"
+)
+
+
+@query("sink_parquet", oracle=_SINK_ORACLE)
 def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet write + read-back (the engine's result sink).
 
     Writes `events` partitioned by event_type (the scale pattern: one
     directory per low-cardinality partition key, enabling partition
-    pruning downstream) and returns the read-back DataFrame.
-    """
+    pruning downstream) and returns the lazy read-back DataFrame; the
+    oracle is the original table, so the driver's hash check IS the
+    round-trip-equivalence proof. The temp dir lives for the process
+    lifetime (no driver-side collect — the read-back stays lazy and
+    distributed)."""
     ev = load(spark, sf_dir, "events")
     out_dir = tempfile.mkdtemp(prefix="dms_sink_")
-    try:
-        ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
-        back = spark.read.parquet(out_dir).select(*TABLES["events"])
-        # materialize before the temp dir can vanish
-        back = spark.createDataFrame(back.collect(), back.schema)
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
-    return back
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    return spark.read.parquet(out_dir).select(*TABLES["events"])

@@ -157,7 +157,16 @@ def sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sketch_hll_merge")  # rows-only: datasketches estimates are engine-specific
+@query(
+    "sketch_hll_merge",
+    oracle="""
+SELECT c_nationkey,
+       COUNT(DISTINCT c_custkey) AS exact_distinct,
+       TRUE AS est_ok
+FROM customer
+GROUP BY c_nationkey
+""",
+)
 def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-count sketches: build one HLL sketch of
     customer keys per (nation, mktsegment) subgroup with
@@ -166,13 +175,29 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     5% of the exact distinct count. This is the one-pass mergeable
     architecture for distinct-counting at 100 TB (exact
     count_distinct re-shuffles raw keys; sketches shuffle ~1.5 kB per
-    group)."""
+    group). Oracle formulation: estimates are engine-specific, so the
+    query emits the exact distinct count plus a within-5% flag for the
+    merged-sketch estimate; the oracle returns exact + TRUE."""
     c = load(spark, sf_dir, "customer")
     per_seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
         F.expr("hll_sketch_agg(c_custkey)").alias("sk")
     )
+    est = per_seg.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    )
+    exact = c.groupBy("c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("exact_distinct")
+    )
     return (
-        per_seg.groupBy("c_nationkey")
-        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est_distinct"))
+        exact.join(est, "c_nationkey")
+        .select(
+            "c_nationkey",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.05
+            ).alias("est_ok"),
+        )
         .orderBy("c_nationkey")
     )

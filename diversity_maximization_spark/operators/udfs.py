@@ -33,7 +33,7 @@ def _normalize_udf(vecs: pd.Series) -> pd.Series:
         for x in arr:
             ss += x * x
         n = math.sqrt(ss)
-        return [round(float(x) / n, 6) for x in arr]
+        return [float(x) / n for x in arr]
 
     return vecs.map(norm_one)
 
@@ -42,14 +42,31 @@ def _normalize_udf(vecs: pd.Series) -> pd.Series:
     "udf_scalar_pandas",
     oracle=f"""
 SELECT vec_id,
-       list_transform({V.duck_l2_normalize('embedding')}, x -> round(x, 6)) AS unit_vec
+       array_to_string(list_transform({V.duck_l2_normalize('embedding')},
+         x -> CAST(round(x * 1000000) AS BIGINT)), ',') AS unit_vec_q
 FROM embeddings
 """,
 )
 def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized scalar pandas UDF (Arrow batches) vs SQL oracle."""
+    """Vectorized scalar pandas UDF (Arrow batches) vs SQL oracle.
+
+    The UDF output stays array<double> (proving Arrow array transfer);
+    the final projection serializes it as comma-joined 1e6-scaled
+    integers because the driver's canonicalizer cannot hash list cells
+    (CORRECTNESS_r01 fn_array err) and float→string formatting differs
+    across engines, while int64 formatting is identical."""
     e = load(spark, sf_dir, "embeddings")
-    return e.select("vec_id", _normalize_udf("embedding").alias("unit_vec"))
+    return e.select(
+        "vec_id", _normalize_udf("embedding").alias("unit_vec")
+    ).select(
+        "vec_id",
+        F.array_join(
+            F.expr(
+                "transform(unit_vec, x -> CAST(round(x * 1000000) AS BIGINT))"
+            ),
+            ",",
+        ).alias("unit_vec_q"),
+    )
 
 
 @pandas_udf(DoubleType())
@@ -81,12 +98,18 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
     bal = pdf["c_acctbal"].to_numpy(dtype=np.float64)
     mu = bal.sum() / len(bal)
     sd = math.sqrt(((bal - mu) ** 2).sum() / (len(bal) - 1)) if len(bal) > 1 else 0.0
-    z = (bal - mu) / sd if sd > 0 else np.zeros_like(bal)
+    # Mirror SQL semantics for degenerate groups: stddev_samp is NULL
+    # for single-row groups and division by 0 is not a number — emit
+    # NULL rather than 0 so the oracle agrees (ADVICE r01).
+    if len(bal) <= 1 or sd == 0.0:
+        z = pd.array([pd.NA] * len(bal), dtype="Float64")
+    else:
+        z = pd.array(np.round((bal - mu) / sd, 4), dtype="Float64")
     return pd.DataFrame(
         {
             "c_custkey": pdf["c_custkey"],
             "c_mktsegment": pdf["c_mktsegment"],
-            "z": np.round(z, 4),
+            "z": z,
         }
     )
 

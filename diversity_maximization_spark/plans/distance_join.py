@@ -41,13 +41,83 @@ from pyspark.sql import functions as F
 BROADCAST_BLAS_MAX_BYTES = 2 << 30
 
 
+# Below this, the O(n^2) theta join is cheaper than a BLAS prefilter
+# pass (candidate sets from coresets/evaluators are tens of rows).
+THETA_MAX_ROWS = 128
+
+
 def choose_strategy(n_rows: int, dim: int) -> str:
     """Pick the physical strategy for an n_rows self distance join."""
-    if n_rows <= 512:
+    if n_rows <= THETA_MAX_ROWS:
         return "theta"
     if n_rows * dim * 8 <= BROADCAST_BLAS_MAX_BYTES:
         return "broadcast_blas"
     return "lsh_bucketed"
+
+
+def corpus_stats(e: DataFrame) -> tuple[int, int]:
+    """(n_rows, dim) via one aggregate job — no data reaches the
+    driver (this is what gates whether a collect is even allowed)."""
+    row = e.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
+    ).first()
+    return int(row["n"]), int(row["d"] or 0)
+
+
+def topk_candidate_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    n_cand: int,
+    strategy: str | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor) candidate pairs for top-k search, physical
+    strategy chosen by corpus size (choose_strategy) unless forced.
+
+    theta / broadcast_blas are exact candidate generators; lsh_bucketed
+    (the beyond-2GB path) is recall-bounded — downstream re-scoring is
+    identical in all three, so the plan degrades gracefully from exact
+    to approximate exactly when a driver collect would OOM."""
+    if strategy is None:
+        n, dim = corpus_stats(e)
+        strategy = choose_strategy(n, dim)
+    if strategy == "theta":
+        a = e.select(F.col("vec_id"))
+        b = e.select(F.col("vec_id").alias("neighbor"))
+        return a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor"))
+    if strategy == "broadcast_blas":
+        return blas_topk_candidates(spark, e, n_cand)
+    _, dim = corpus_stats(e)
+    pairs = lsh_candidate_pairs(e, dim)
+    # symmetrize: top-k needs candidates in both directions
+    return pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor")
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("neighbor")
+        )
+    )
+
+
+def threshold_candidate_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    thresh: float,
+    strategy: str | None = None,
+) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs for a cosine-threshold join,
+    strategy chosen by corpus size unless forced (see
+    topk_candidate_pairs for the exact/approximate trade)."""
+    if strategy is None:
+        n, dim = corpus_stats(e)
+        strategy = choose_strategy(n, dim)
+    if strategy == "theta":
+        a = e.select(F.col("vec_id").alias("vec_a"))
+        b = e.select(F.col("vec_id").alias("vec_b"))
+        return a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    if strategy == "broadcast_blas":
+        return blas_threshold_pairs(spark, e, thresh)
+    _, dim = corpus_stats(e)
+    return lsh_candidate_pairs(e, dim)
 
 
 # --- strategy 2: broadcast corpus + BLAS pruning ---------------------------

@@ -44,8 +44,78 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
     return deco
 
 
+# The driver's correctness gate checks the FIRST 50 keys in
+# registration order (CORRECTNESS_r01 == list(QUERIES)[:50]). This
+# explicit window puts the keys that most need driver verification
+# first: round-1 ERR repairs, then the win_/div_/LLM/streaming/UDF
+# inventory that round 1 never saw. Every key here MUST have an
+# oracle (a no-oracle key in the window is an automatic err slot) —
+# enforced by a test in tests/test_registry.py. Keys already
+# driver-green in round 1 sort after the window.
+CHECK_WINDOW: list[str] = [
+    # round-1 ERR repairs (nanos ts / array hashing / no_oracle)
+    "scan_parquet",
+    "source_json_props",
+    "sink_parquet",
+    "agg_approx_cd",
+    "join_full_outer",
+    "join_range_interval",
+    "join_asof",
+    "fn_json",
+    "fn_array",
+    "sketch_hll_merge",
+    # window functions (§2.2-E, all unseen in round 1)
+    "win_topk_pergroup",
+    "win_rank_dense",
+    "win_lag_lead",
+    "win_moving_avg",
+    "win_range_frame",
+    "win_running_total",
+    "win_ntile_pctrank",
+    "win_sessionize",
+    # diversity evaluators with SQL oracles (§2.2-I)
+    "div_eval_edge",
+    "div_eval_clique",
+    "div_eval_star",
+    "div_random_baseline",
+    # LLM-pipeline operators (§2.2-L)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_components_ngram",
+    "dedup_keep_canonical",
+    "dedup_embedding",
+    "sim_search_topk",
+    "text_stats",
+    "tfidf",
+    "lang_topn_words",
+    "lang_id_ngram",
+    "token_count",
+    "text_ngrams",
+    "doc_fingerprint",
+    "quality_score",
+    "quality_bigram_logprob",
+    "embed_normalize",
+    "embed_quantize",
+    "sample_hash_split",
+    "sample_stratified",
+    "multimodal_join",
+    # streaming (§2.2-J, batch-equivalence oracles)
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    # UDF surface (§2.2-K)
+    "udf_scalar_pandas",
+    "udaf_grouped_pandas",
+    "udf_grouped_map",
+    "udtf_map_in_pandas",
+]
+
+
 def load_all() -> None:
-    """Import every module that registers queries (idempotent)."""
+    """Import every module that registers queries (idempotent), then
+    reorder the registry so CHECK_WINDOW comes first (the driver
+    verifies the first 50 keys in registration order)."""
     from .operators import (  # noqa: F401
         aggregates,
         joins,
@@ -64,3 +134,11 @@ def load_all() -> None:
     from .sources import generators as _generators  # noqa: F401
     from .llm import queries as _llm_queries  # noqa: F401
     from .streaming import queries as _stream_queries  # noqa: F401
+
+    missing = [k for k in CHECK_WINDOW if k not in QUERIES]
+    if missing:
+        raise RuntimeError(f"CHECK_WINDOW keys not registered: {missing}")
+    ordered = CHECK_WINDOW + [k for k in QUERIES if k not in CHECK_WINDOW]
+    reordered = {k: QUERIES[k] for k in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)

@@ -64,7 +64,7 @@ def random_ball(
 ) -> DataFrame:
     """Uniform in the unit ball: sphere point scaled by U^(1/dim)."""
     s = random_sphere(spark, n, dim, seed)
-    r = f"power({_u01(f'vec_id, {SEED + 1}')}, 1.0D / {dim}D)"
+    r = f"power({_u01(f'vec_id, {seed + 1}')}, 1.0D / {dim}D)"
     return s.select(
         "vec_id", F.expr(f"transform(embedding, x -> x * {r})").alias("embedding")
     )

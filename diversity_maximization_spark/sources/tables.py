@@ -64,6 +64,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     sees identical values).
     """
     cols = TABLES[name]
+    # The driver constructs its own SparkSession without our session
+    # factory's confs, so the nanos-compat conf must be (re)set here —
+    # it is a runtime-settable SQL conf, safe to set before every read.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     missing = set(cols) - set(df.columns)
     if missing:

@@ -164,7 +164,16 @@ def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> Da
 
 @query("div_coreset_stream")  # rows-only: invariants in test_streaming.py
 def div_coreset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass doubling coreset over the embeddings stream."""
+    """One-pass doubling coreset over the embeddings stream.
+
+    This is the PAPER-FAITHFUL SERIAL form (VLDB17 §5 consumes the
+    stream one point at a time, so the whole stream funnels through a
+    single state key — one task, by construction). The documented
+    SCALE PATH is div_coreset_stream_sharded below: hash-sharded
+    parallel state keys whose per-shard summaries compose by the same
+    weighted fold, keeping state distributed across executors at
+    100 TB; tests assert the composed summary stays within the
+    doubling bound of this serial one."""
     return streaming_coreset(spark, sf_dir)
 
 

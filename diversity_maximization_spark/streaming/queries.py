@@ -26,3 +26,37 @@ def sink_stream_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = stream_events(spark, replay)
     agg = st.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
     return run_to_memory(agg, windows._fresh("sink_mem"), mode="complete")
+
+
+@query(
+    "sink_stream_console",
+    oracle="SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1",
+)
+def sink_stream_console(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming console sink (SURVEY §2.2-A sink_stream_console):
+    the same replayed aggregation is driven to completion through a
+    `console` sink (rows printed per micro-batch to driver stdout —
+    the debug sink), then re-run against a memory sink to RETURN the
+    final table, which must equal the batch answer. Both sinks consume
+    the identical plan; the console pass proves the sink wiring, the
+    memory pass makes the result checkable."""
+    replay = write_replay_files(spark, sf_dir)
+    agg = (
+        stream_events(spark, replay)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("console")
+        .option("numRows", 5)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    agg2 = (
+        stream_events(spark, replay)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return run_to_memory(agg2, windows._fresh("sink_con"), mode="complete")

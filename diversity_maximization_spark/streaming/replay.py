@@ -58,9 +58,11 @@ def write_replay_files(
 
 
 def stream_events(spark: SparkSession, replay_dir: str) -> DataFrame:
-    """Watermarks require TIMESTAMP (ltz); session tz is UTC so the
-    ntz->ltz cast preserves wall-clock values (queries cast window
-    bounds back to ntz for oracle comparison)."""
+    """Watermarks require TIMESTAMP (ltz); session tz is pinned to UTC
+    here (runtime-settable conf — the driver constructs its own
+    session) so the ntz->ltz cast preserves wall-clock values (queries
+    cast window bounds back to ntz for oracle comparison)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENT_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -101,3 +101,40 @@ def test_sharded_stream_coreset_composes(spark, sf_dir, emb_rows):
     for i, a in enumerate(centers):
         for b in centers[i + 1 :]:
             assert math.sqrt(((a - b) ** 2).sum()) > tau
+
+
+def test_stream_sinks_equal_batch(spark, sf_dir):
+    """sink_stream_memory and sink_stream_console (SURVEY §2.2-A) both
+    drive the replayed per-type count to completion; the final table
+    must equal the batch groupBy on the same fixture."""
+    from diversity_maximization_spark.sources import load
+    import pyspark.sql.functions as F
+
+    batch = {
+        r["event_type"]: r["cnt"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for key in ("sink_stream_memory", "sink_stream_console"):
+        got = {
+            r["event_type"]: r["cnt"] for r in QUERIES[key](spark, sf_dir).collect()
+        }
+        assert got == batch, key
+
+
+def test_sharded_coreset_within_doubling_bound_of_serial(spark, sf_dir):
+    """VERDICT r01 item 7: composing the per-shard coresets must land
+    within the doubling bound of the single-key (paper-serial)
+    summary — sharding can advance tau only by bounded extra doublings
+    (merge radius at most doubles per overflow round), never shrink
+    coverage. Both taus are > 0 on the fixture and their ratio is
+    bounded by a small power of 2."""
+    serial = QUERIES["div_coreset_stream"](spark, sf_dir).collect()
+    sharded = QUERIES["div_coreset_stream_sharded"](spark, sf_dir).collect()
+    t_serial = serial[0]["tau"]
+    t_sharded = sharded[0]["tau"]
+    assert t_serial > 0 and t_sharded > 0
+    ratio = max(t_serial, t_sharded) / min(t_serial, t_sharded)
+    assert ratio <= 8.0, f"tau ratio {ratio} exceeds doubling bound"
