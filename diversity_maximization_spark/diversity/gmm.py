@@ -55,30 +55,60 @@ def _sqdist_to_lit(vec_col: str, vec) -> F.Column:
     )
 
 
+def _sqdist_local(a, b) -> float:
+    """Sequential-fold squared distance — EXACTLY the IEEE operation
+    order of _sqdist_to_lit's aggregate(zip_with(...)), so a locally
+    refined min_d2 is bit-identical to the JVM column."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s = s + d * d
+    return s
+
+
 def gmm_distributed(
-    df: DataFrame, k: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: int | None = None,
 ):
     """Farthest-first traversal over a DataFrame of points.
 
     Returns a list of (rank, id, dist_when_chosen, vector). Start =
     min id (deterministic); argmax ties broken by min id.
-    """
+
+    Batched candidate refill (round-2 perf): each Spark job collects
+    the top-m candidates by current min_d2 instead of just the argmax,
+    then greedy selection continues LOCALLY on that sample while it is
+    provably global: every non-collected point has min_d2 <= the m-th
+    collected value (the threshold), and updates only shrink min_d2,
+    so as long as the local pick's refined min_d2 is STRICTLY above
+    the threshold no outside point can beat or tie it (strictness
+    protects the min-id tie-break). Local refinement uses the same
+    sequential-fold arithmetic as the JVM expression, so the chosen
+    centers and reported distances are bit-identical to the
+    one-center-per-job formulation — A/B-checked in
+    tests/test_diversity.py. Cuts the k sequential jobs (~0.25 s
+    scheduling floor each locally; a full pass each at cluster scale)
+    to ~k/4 jobs in practice."""
     base = df.select(id_col, vec_col)
     first = base.orderBy(id_col).limit(1).collect()[0]
     centers = [(0, first[id_col], 0.0, list(first[vec_col]))]
 
+    m = batch if batch is not None else max(16, 2 * k)
     cur = base.withColumn(
         "min_d2", _sqdist_to_lit(vec_col, first[vec_col])
     ).cache()
     prev = None
-    for i in range(1, k):
+    while len(centers) < k:
         # chosen ids are excluded so duplicate points (min_d2 0 for
         # every remaining row) can never re-select a chosen center —
         # same tie discipline as the local kernel
         rows = (
             cur.filter(~F.col(id_col).isin([c[1] for c in centers]))
             .orderBy(F.col("min_d2").desc(), F.col(id_col))
-            .limit(1)
+            .limit(m)
             .collect()
         )
         if not rows:
@@ -86,23 +116,63 @@ def gmm_distributed(
             # have, matching the local kernel's k = min(k, n) clamp
             # (ADVICE r01).
             break
-        far = rows[0]
-        centers.append(
-            (
-                i,
-                far[id_col],
-                math.sqrt(max(float(far["min_d2"]), 0.0)),
-                list(far[vec_col]),
+        # threshold: max possible min_d2 of any non-collected point.
+        # If fewer than m rows came back we collected EVERY remaining
+        # point and can finish entirely locally.
+        exhaustive = len(rows) < m
+        threshold = float(rows[-1]["min_d2"])
+        cand = [
+            [r[id_col], float(r["min_d2"]), list(r[vec_col])] for r in rows
+        ]
+        new_centers = []
+        while len(centers) < k and cand:
+            # argmax by refined min_d2, ties by min id (ids are numeric)
+            j = max(range(len(cand)), key=lambda i: (cand[i][1], -cand[i][0]))
+            cid, cd2, cvec = cand[j]
+            if not exhaustive and not (cd2 > threshold):
+                break  # an uncollected point could beat or tie this pick
+            centers.append(
+                (
+                    len(centers),
+                    cid,
+                    math.sqrt(max(cd2, 0.0)),
+                    cvec,
+                )
             )
-        )
-        if i < k - 1:
-            new = cur.withColumn(
-                "min_d2",
-                F.least("min_d2", _sqdist_to_lit(vec_col, far[vec_col])),
-            ).cache()
+            new_centers.append(cvec)
+            del cand[j]
+            for c in cand:
+                nd2 = _sqdist_local(c[2], cvec)
+                if nd2 < c[1]:
+                    c[1] = nd2
+        if len(centers) < k and new_centers:
+            col = F.col("min_d2")
+            for vec in new_centers:
+                col = F.least(col, _sqdist_to_lit(vec_col, vec))
+            new = cur.withColumn("min_d2", col).cache()
             if prev is not None:
                 prev.unpersist()
             prev, cur = cur, new
+        elif len(centers) < k and not new_centers:
+            # no candidate cleared the threshold (degenerate: all ties)
+            # fall back to taking the single global argmax this round
+            far = rows[0]
+            centers.append(
+                (
+                    len(centers),
+                    far[id_col],
+                    math.sqrt(max(float(far["min_d2"]), 0.0)),
+                    list(far[vec_col]),
+                )
+            )
+            if len(centers) < k:
+                new = cur.withColumn(
+                    "min_d2",
+                    F.least("min_d2", _sqdist_to_lit(vec_col, far[vec_col])),
+                ).cache()
+                if prev is not None:
+                    prev.unpersist()
+                prev, cur = cur, new
     for d in (prev, cur):
         if d is not None:
             d.unpersist()

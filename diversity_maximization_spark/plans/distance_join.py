@@ -56,12 +56,13 @@ def choose_strategy(n_rows: int, dim: int) -> str:
 
 
 def corpus_stats(e: DataFrame) -> tuple[int, int]:
-    """(n_rows, dim) via one aggregate job — no data reaches the
-    driver (this is what gates whether a collect is even allowed)."""
-    row = e.agg(
-        F.count(F.lit(1)).alias("n"), F.max(F.size("embedding")).alias("d")
-    ).first()
-    return int(row["n"]), int(row["d"] or 0)
+    """(n_rows, dim): a column-pruned count job plus a single-row dim
+    probe — no data reaches the driver (this is what gates whether a
+    collect is even allowed), and neither job reads the full vector
+    column."""
+    n = e.count()
+    row = e.select(F.size("embedding").alias("d")).first()
+    return n, int(row["d"]) if row is not None else 0
 
 
 def topk_candidate_pairs(

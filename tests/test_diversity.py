@@ -64,6 +64,18 @@ def test_gmm_distributed_matches_local(spark, emb, X_all):
     )
 
 
+def test_gmm_batched_refill_identical_to_single_step(spark, emb):
+    """The batched-candidate-refill optimization must be a pure perf
+    change: batch=1 degenerates to the one-center-per-job formulation,
+    and the default batch must produce bit-identical centers, order,
+    and distances."""
+    k = 8
+    batched = gmm_distributed(emb, k=k)
+    single = gmm_distributed(emb, k=k, batch=1)
+    assert [(c[0], c[1]) for c in batched] == [(c[0], c[1]) for c in single]
+    assert [c[2] for c in batched] == [c[2] for c in single]
+
+
 def test_gmm_k2_lower_bound(X_all):
     """At k=2 the chosen pair spans >= diameter/2."""
     _ids, X = X_all
