@@ -1,6 +1,6 @@
 """LLM-pipeline query registrations (SURVEY.md §2.2-L)."""
 
-from . import dedup, multimodal, simsearch, textstats  # noqa: F401
+from . import dedup, multimodal, simsearch, textstats, transforms  # noqa: F401
 
 
 # embed_normalize lives here (pure-SQL twin of udf_scalar_pandas)

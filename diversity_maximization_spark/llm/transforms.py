@@ -1,0 +1,177 @@
+"""Training-data transform operators (SURVEY.md §2.2-L extensions):
+PII redaction, document chunking, repetition-based quality.
+
+All three are NARROW maps (per-row / per-doc work, no shuffle) — the
+ideal 100 TB shape: they pipeline inside the scan stage and scale
+linearly with executors. Oracles run the identical expression in
+DuckDB (regex class chosen to behave the same under Java regex and
+RE2; slicing/series bounds verified to agree element-for-element).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+# No backrefs / lookaround: identical semantics in Java regex (Spark)
+# and RE2 (DuckDB).
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+@query(
+    "text_pii_redact",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id ||
+         '@example.com or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(length(t) - length(regexp_replace(t, '{_EMAIL_RE}', '', 'g')) > 0
+            AS BOOLEAN) AS had_email
+FROM aug
+""",
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / phone numbers from document text — the standard
+    pre-training scrub pass. The fixture corpus has no organic PII, so
+    each doc is first augmented with a DETERMINISTIC synthetic email +
+    phone derived from doc_id (same expression in the oracle), proving
+    the redaction actually fires on every row. Narrow map, no
+    shuffle; regexes are Java/RE2-compatible by construction."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ).alias("clean_text"),
+        (
+            F.length(aug) - F.length(F.regexp_replace(aug, _EMAIL_RE, "")) > 0
+        ).alias("had_email"),
+    )
+
+
+CHUNK_SIZE = 50
+CHUNK_STRIDE = 40
+
+
+@query(
+    "doc_chunk",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), chunks AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws), 1),
+                                {CHUNK_STRIDE})) AS i
+  FROM words
+)
+SELECT doc_id,
+       CAST((i - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       array_to_string(ws[i:i+{CHUNK_SIZE - 1}], ' ') AS chunk,
+       CAST(len(ws[i:i+{CHUNK_SIZE - 1}]) AS INTEGER) AS n_tokens
+FROM chunks
+""",
+)
+def doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping 50-token windows with
+    stride 40 — the sharding step that turns raw docs into training
+    sequences. One narrow 1->N explode per doc (fan-out without
+    shuffle); chunk boundaries are pure arithmetic so the DuckDB
+    oracle reproduces them exactly (Spark slice(start, len) == DuckDB
+    list_slice(start, start+len-1), both 1-based inclusive)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ws), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start"), F.lit(CHUNK_SIZE)), " "
+            ).alias("chunk"),
+            F.size(F.slice(F.col("ws"), F.col("start"), F.lit(CHUNK_SIZE))).alias(
+                "n_tokens"
+            ),
+        )
+    )
+
+
+@query(
+    "quality_repetition",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                i -> array_to_string(ws[i:i+2], ' '))) AS tg
+  FROM words
+), per AS (
+  SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY doc_id, tg
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_trigrams,
+       round(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio,
+       MAX(c) * 1.0 / SUM(c) > 0.2 AS is_repetitive
+FROM per
+GROUP BY doc_id
+""",
+)
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signal (Gopher-style): fraction of a
+    doc's word trigrams taken by its single most frequent trigram.
+    Computed entirely INSIDE one Arrow batch pass (mapInPandas): the
+    per-doc trigram histogram never leaves the task, so there is no
+    explode blow-up and no shuffle — at 100 TB this is a pure map over
+    the corpus. Docs with fewer than 3 words emit nothing (no
+    trigrams), matching the oracle's empty generate_series."""
+
+    def gen(batches):
+        for pdf in batches:
+            out_id, out_n, out_r = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                n = len(ws) - 2
+                if n <= 0:
+                    continue
+                counts: dict[str, int] = {}
+                for i in range(n):
+                    tg = " ".join(ws[i : i + 3])
+                    counts[tg] = counts.get(tg, 0) + 1
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_r.append(max(counts.values()) / n)
+            yield pd.DataFrame(
+                {"doc_id": out_id, "n_trigrams": out_n, "ratio": out_r}
+            )
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n_trigrams bigint, ratio double"
+    )
+    return raw.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("ratio", 6).alias("rep_ratio"),
+        (F.col("ratio") > 0.2).alias("is_repetitive"),
+    )

