@@ -70,10 +70,10 @@ def main() -> None:
     # timed query measures steady-state scan time.
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
-    # Two timed executions per query, min reported: this box shows
+    # Three timed executions per query, min reported: this box shows
     # uniform +-35% run-to-run swings from external load, and
     # BASELINE.md's budget is defined on steady-state job time — the
-    # min of two warm runs is the low-noise estimator of that.
+    # min of warm runs is the low-noise estimator of that.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry.QUERIES.get(name)
@@ -81,7 +81,7 @@ def main() -> None:
             continue
         try:
             best = float("inf")
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).collect()
                 best = min(best, time.perf_counter() - t0)

@@ -96,7 +96,11 @@ def gmm_distributed(
     first = base.orderBy(id_col).limit(1).collect()[0]
     centers = [(0, first[id_col], 0.0, list(first[vec_col]))]
 
-    m = batch if batch is not None else max(16, 2 * k)
+    # A/B at sf0.1/k=16: batch 32 -> 2.2s, 128 -> 1.5s, 512 -> 0.9s
+    # (identical centers each time); the collect is ~rows*dim*8 bytes,
+    # so 512 x 64-d is 256 KB — the threshold just gets tighter and
+    # more picks clear it locally per job.
+    m = batch if batch is not None else max(256, 32 * k)
     cur = base.withColumn(
         "min_d2", _sqdist_to_lit(vec_col, first[vec_col])
     ).cache()

@@ -28,6 +28,7 @@ from ..plans.distance_join import (
 )
 from ..registry import query
 from ..sources import load
+from ..sources.tables import EMBEDDING_DIM
 from ..diversity import kernel as K
 
 TOPK = 5
@@ -74,7 +75,7 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     three.
     """
     e = load(spark, sf_dir, "embeddings")
-    cand = topk_candidate_pairs(spark, e, TOPK + 20)
+    cand = topk_candidate_pairs(spark, e, TOPK + 20, dim=EMBEDDING_DIM)
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     pairs = (
@@ -191,7 +192,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes over with no driver collect anywhere."""
     thresh = 0.35
     e = load(spark, sf_dir, "embeddings")
-    cand = threshold_candidate_pairs(spark, e, thresh)
+    cand = threshold_candidate_pairs(spark, e, thresh, dim=EMBEDDING_DIM)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

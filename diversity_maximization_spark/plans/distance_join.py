@@ -70,6 +70,7 @@ def topk_candidate_pairs(
     e: DataFrame,
     n_cand: int,
     strategy: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_id, neighbor) candidate pairs for top-k search, physical
     strategy chosen by corpus size (choose_strategy) unless forced.
@@ -79,15 +80,19 @@ def topk_candidate_pairs(
     identical in all three, so the plan degrades gracefully from exact
     to approximate exactly when a driver collect would OOM."""
     if strategy is None:
-        n, dim = corpus_stats(e)
-        strategy = choose_strategy(n, dim)
+        if dim is None:
+            _, dim = corpus_stats(e)
+        # declared dim skips the probe job: gating then costs ONE
+        # column-pruned count
+        strategy = choose_strategy(e.count(), dim)
     if strategy == "theta":
         a = e.select(F.col("vec_id"))
         b = e.select(F.col("vec_id").alias("neighbor"))
         return a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor"))
     if strategy == "broadcast_blas":
         return blas_topk_candidates(spark, e, n_cand)
-    _, dim = corpus_stats(e)
+    if dim is None:
+        _, dim = corpus_stats(e)
     pairs = lsh_candidate_pairs(e, dim)
     # symmetrize: top-k needs candidates in both directions
     return pairs.select(
@@ -104,20 +109,23 @@ def threshold_candidate_pairs(
     e: DataFrame,
     thresh: float,
     strategy: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """(vec_a < vec_b) candidate pairs for a cosine-threshold join,
     strategy chosen by corpus size unless forced (see
     topk_candidate_pairs for the exact/approximate trade)."""
     if strategy is None:
-        n, dim = corpus_stats(e)
-        strategy = choose_strategy(n, dim)
+        if dim is None:
+            _, dim = corpus_stats(e)
+        strategy = choose_strategy(e.count(), dim)
     if strategy == "theta":
         a = e.select(F.col("vec_id").alias("vec_a"))
         b = e.select(F.col("vec_id").alias("vec_b"))
         return a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
     if strategy == "broadcast_blas":
         return blas_threshold_pairs(spark, e, thresh)
-    _, dim = corpus_stats(e)
+    if dim is None:
+        _, dim = corpus_stats(e)
     return lsh_candidate_pairs(e, dim)
 
 
