@@ -304,16 +304,26 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_plans.py). On a cluster the bucketed write is a one-off
     cost amortized over every later join on that key."""
     import hashlib
+    import os
+    import tempfile
 
     db = "dms_buckets"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
-    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:10]  # stable per dir
+    db_loc = os.path.join(tempfile.gettempdir(), f"dms_buckets_db_{os.getpid()}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
+    # Suffix is per (dir, process): a bare driver session's default
+    # warehouse is ./spark-warehouse, whose directories outlive the
+    # in-memory catalog — a dir-only suffix collided with the leftover
+    # LOCATION on re-run (LOCATION_ALREADY_EXISTS). The explicit temp
+    # path also keeps bucket data out of the repo tree.
+    sfx = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         name = f"{db}.{tbl}_b{sfx}"
         if not spark.catalog.tableExists(name):
+            path = tempfile.mkdtemp(prefix=f"dms_bucket_{tbl}_")
             (
                 load(spark, sf_dir, tbl)
                 .write.mode("overwrite")
+                .option("path", path)
                 .bucketBy(8, key)
                 .sortBy(key)
                 .saveAsTable(name)

@@ -50,6 +50,12 @@ def _norm(v):
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.01")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep every registered key (outside the window, a "
+        "no-oracle key is a rows-only check, not a failure)",
+    )
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
@@ -75,8 +81,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    keys = args.keys or list(queries)[:50]
-    n_pass = n_fail = 0
+    if args.keys:
+        keys = args.keys
+    elif args.all:
+        keys = list(queries)
+    else:
+        keys = list(queries)[:50]
+    n_pass = n_fail = n_rows = 0
     for key in keys:
         t0 = time.time()
         try:
@@ -90,8 +101,12 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if key not in oracles:
-            print(f"FAIL  {key}: no_oracle")
-            n_fail += 1
+            if args.all and key not in list(queries)[:50]:
+                print(f"rows  {key}: {len(spdf)} rows ({dt:.1f}s)")
+                n_rows += 1
+            else:
+                print(f"FAIL  {key}: no_oracle")
+                n_fail += 1
             continue
         try:
             dpdf = pd.DataFrame(
@@ -123,7 +138,7 @@ def main() -> int:
         else:
             print(f"PASS  {key} ({dt:.1f}s)")
             n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    print(f"\n{n_pass} pass, {n_rows} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 
 
