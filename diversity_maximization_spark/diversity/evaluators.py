@@ -64,3 +64,13 @@ def tree_cycle_values(cand: DataFrame) -> list[tuple[str, float]]:
         ("tree", round(K.eval_tree(D), 6)),
         ("cycle", round(K.eval_cycle(D), 6)),
     ]
+
+
+def bipartition_value(cand: DataFrame) -> list[tuple[str, float]]:
+    """Driver-side remote-bipartition (min balanced cut weight) of the
+    (small) candidate set — exhaustive up to 14 points, deterministic
+    swap descent beyond (see kernel.eval_bipartition)."""
+    rows = cand.orderBy("vec_id").collect()
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    D = K.pairwise_l2(X)
+    return [("bipartition", round(K.eval_bipartition(D), 6))]

@@ -138,6 +138,61 @@ def eval_tree(D: np.ndarray) -> float:
     return total
 
 
+def eval_bipartition(D: np.ndarray, exhaustive_max: int = 14) -> float:
+    """Remote-bipartition: min over balanced bipartitions (one side of
+    size floor(k/2)) of the total distance crossing the cut
+    [SURVEY.md §2.1 evaluator list]. Exhaustive over C(k, k//2) cuts
+    up to `exhaustive_max` points; beyond that a deterministic
+    best-swap descent from the by-index split (the same
+    heuristic-evaluator precedent as eval_cycle's nearest-neighbor
+    tour — exact evaluation is NP-hard). Tests cross-check the descent
+    against the exhaustive optimum on small sets."""
+    import itertools
+
+    n = len(D)
+    if n <= 1:
+        return 0.0
+    half = n // 2
+    idx = np.arange(n)
+
+    def cut_of(mask: np.ndarray) -> float:
+        return float(D[np.ix_(idx[mask], idx[~mask])].sum())
+
+    if n <= exhaustive_max:
+        best = float("inf")
+        # fix element 0's side to halve the even-n enumeration; for
+        # odd n also enumerate element 0 on the larger side
+        sizes = {half - 1}
+        if n % 2 == 1:
+            sizes.add(n - half - 1)
+        for size in sorted(sizes):
+            for comb in itertools.combinations(range(1, n), size):
+                mask = np.zeros(n, dtype=bool)
+                mask[np.array((0,) + comb, dtype=int)] = True
+                best = min(best, cut_of(mask))
+        return best
+
+    # deterministic best-improvement swap descent; swapping i in S1
+    # with j in S2 changes the cut by
+    #   delta = (s1sum[i]-s2sum[i]) - (s1sum[j]-s2sum[j]) + 2*D[i,j]
+    # where s?sum[v] = sum of D[v, .] over that side — one vectorized
+    # delta matrix per pass, O(n^2) per accepted swap.
+    mask = np.zeros(n, dtype=bool)
+    mask[:half] = True
+    for _ in range(2 * n):  # convergence cap (descent, so it halts)
+        s1sum = D[:, mask].sum(axis=1)
+        s2sum = D[:, ~mask].sum(axis=1)
+        g = s1sum - s2sum
+        s1, s2 = idx[mask], idx[~mask]
+        delta = g[s1][:, None] - g[s2][None, :] + 2.0 * D[np.ix_(s1, s2)]
+        pos = np.unravel_index(np.argmin(delta), delta.shape)
+        if delta[pos] >= -1e-12:
+            break
+        i, j = int(s1[pos[0]]), int(s2[pos[1]])
+        mask[i], mask[j] = False, True
+    return cut_of(mask)
+
+
 def eval_cycle(D: np.ndarray) -> float:
     """Remote-cycle: TSP-tour weight, deterministic nearest-neighbor
     tour from index 0 (ties -> lowest index), closing the cycle."""

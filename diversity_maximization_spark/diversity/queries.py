@@ -84,6 +84,17 @@ def div_eval_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(vals[1:], "objective string, value double")
 
 
+@query("div_eval_bipartition")  # rows-only: min balanced cut is NP-hard
+def div_eval_bipartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-bipartition value of the candidate set (SURVEY §2.1
+    evaluator list): min over balanced bipartitions of the summed
+    distance crossing the cut. Exhaustive on small sets; deterministic
+    best-swap descent beyond (cross-checked vs exhaustive in
+    tests/test_diversity.py)."""
+    vals = E.bipartition_value(_cand(spark, sf_dir))
+    return spark.createDataFrame(vals, "objective string, value double")
+
+
 @query("div_gmm")  # rows-only: iterative; covered by property+golden tests
 def div_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed farthest-first traversal, k=16, over all embeddings."""

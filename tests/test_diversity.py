@@ -20,6 +20,7 @@ from diversity_maximization_spark.diversity.matroid import (
     PartitionMatroid,
     TransversalMatroid,
 )
+from diversity_maximization_spark.registry import QUERIES
 from diversity_maximization_spark.sources import load
 
 
@@ -74,6 +75,37 @@ def test_gmm_batched_refill_identical_to_single_step(spark, emb):
     single = gmm_distributed(emb, k=k, batch=1)
     assert [(c[0], c[1]) for c in batched] == [(c[0], c[1]) for c in single]
     assert [c[2] for c in batched] == [c[2] for c in single]
+
+
+def test_bipartition_descent_matches_exhaustive(X_all):
+    """On sets small enough to enumerate, the swap-descent heuristic
+    must land on (or near) the exhaustive optimum; on a 2-cluster
+    construction it must find the exact obvious cut."""
+    import itertools
+
+    _ids, X = X_all
+    for n in (6, 9, 12):
+        D = K.pairwise_l2(X[:n])
+        exact = K.eval_bipartition(D)  # exhaustive path (n <= 14)
+        heur = K.eval_bipartition(D, exhaustive_max=0)  # force descent
+        assert heur >= exact - 1e-9  # descent can't beat the optimum
+    # two tight clusters far apart: optimal balanced cut keeps each
+    # cluster whole; descent must find it exactly
+    a = np.random.RandomState(7).normal(0, 0.01, (4, 8))
+    b = a + 100.0
+    D = K.pairwise_l2(np.vstack([a, b]))
+    exact = K.eval_bipartition(D)
+    heur = K.eval_bipartition(D, exhaustive_max=0)
+    # same cut, possibly complementary mask -> summation order differs
+    assert abs(exact - heur) < 1e-9 * max(abs(exact), 1.0) + 1e-9 or abs(
+        exact - heur
+    ) / max(abs(exact), 1.0) < 1e-8
+
+
+def test_div_eval_bipartition_query(spark, sf_dir):
+    rows = QUERIES["div_eval_bipartition"](spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0]["objective"] == "bipartition"
+    assert rows[0]["value"] > 0
 
 
 def test_gmm_k2_lower_bound(X_all):
