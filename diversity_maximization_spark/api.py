@@ -104,15 +104,17 @@ def diversity(
     vec_col: str = "embedding",
     metric: str = "euclidean",
 ) -> float:
-    """Evaluate a diversity objective (edge | clique | star | tree |
-    cycle) on a candidate set. Collects — candidate sets are small by
-    construction (SURVEY.md §7 known-hard #4)."""
+    """Evaluate a diversity objective (edge | clique | star |
+    bipartition | tree | cycle) on a candidate set. Collects —
+    candidate sets are small by construction (SURVEY.md §7
+    known-hard #4)."""
     _, X = _collect_xy(df, id_col, vec_col)
     D = K.pairwise(X, metric)
     fn = {
         "edge": K.eval_edge,
         "clique": K.eval_clique,
         "star": K.eval_star,
+        "bipartition": K.eval_bipartition,
         "tree": K.eval_tree,
         "cycle": K.eval_cycle,
     }[objective]

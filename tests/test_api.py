@@ -47,9 +47,15 @@ def test_diversity_objectives(spark, emb):
     from pyspark.sql import functions as F
 
     cand = emb.filter(F.col("vec_id") < 12)
-    vals = {o: api.diversity(cand, o) for o in ("edge", "clique", "star", "tree", "cycle")}
+    vals = {
+        o: api.diversity(cand, o)
+        for o in ("edge", "clique", "star", "bipartition", "tree", "cycle")
+    }
     assert all(v > 0 for v in vals.values())
     assert vals["tree"] <= vals["cycle"] + 1e-9
+    # a balanced cut contains at least edge-many weight per cross pair
+    assert vals["bipartition"] >= vals["edge"] - 1e-9
+    assert vals["bipartition"] <= vals["clique"] + 1e-9
 
 
 def test_local_search_matroid(spark, emb):
