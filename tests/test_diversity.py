@@ -77,6 +77,16 @@ def test_gmm_batched_refill_identical_to_single_step(spark, emb):
     assert [c[2] for c in batched] == [c[2] for c in single]
 
 
+def test_gmm_k_exceeds_n_returns_all_points(spark, emb):
+    """ADVICE r01: k > number of distinct points must return every
+    point (the local kernel's min(k, n) clamp), not raise."""
+    from pyspark.sql import functions as F
+
+    few = emb.filter(F.col("vec_id") < 5)
+    centers = gmm_distributed(few, k=10)
+    assert sorted(c[1] for c in centers) == [0, 1, 2, 3, 4]
+
+
 def test_bipartition_descent_matches_exhaustive(X_all):
     """On sets small enough to enumerate, the swap-descent heuristic
     must land on (or near) the exhaustive optimum; on a 2-cluster

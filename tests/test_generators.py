@@ -27,6 +27,16 @@ def test_sphere_unit_norm(spark):
 
 def test_ball_radius_distribution(spark):
     rows = random_ball(spark, n=2000, dim=8).collect()
+    # ADVICE r01: the radius draw must derive from the caller's seed —
+    # different seeds must differ in norm distribution, not only
+    # direction
+    r1 = sorted(
+        sum(x * x for x in r["embedding"]) for r in random_ball(spark, n=50, dim=8, seed=1).collect()
+    )
+    r2 = sorted(
+        sum(x * x for x in r["embedding"]) for r in random_ball(spark, n=50, dim=8, seed=2).collect()
+    )
+    assert r1 != r2
     norms = np.linalg.norm(np.array([r["embedding"] for r in rows]), axis=1)
     assert norms.max() <= 1.0 + 1e-9
     # P[r <= t] = t^dim -> median radius = 0.5^(1/8)
