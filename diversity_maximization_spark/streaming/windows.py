@@ -192,3 +192,32 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         collected, "window_start timestamp_ntz, cnt bigint"
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.event_type, c.c_mktsegment,
+       CAST(ROUND(e.value * 100) AS BIGINT) AS value_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+""",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (a core Structured Streaming
+    capability): the replayed event stream joins a STATIC dimension
+    (customer) per micro-batch — the standard 100 TB enrichment shape,
+    where the static side broadcasts into every micro-batch and no
+    stream-side state accumulates. Append mode; the final sink
+    contents must equal the batch join."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+    joined = st.join(F.broadcast(dim), st.user_id == dim.c_custkey).select(
+        "event_id",
+        "event_type",
+        "c_mktsegment",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+    return run_to_memory(joined, _fresh("sjoin"), mode="append")
