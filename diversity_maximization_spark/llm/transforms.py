@@ -175,3 +175,117 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ratio", 6).alias("rep_ratio"),
         (F.col("ratio") > 0.2).alias("is_repetitive"),
     )
+
+
+MIN_TOKENS = 20
+MAX_REP = 0.2
+_BUCKET = "((doc_id % 2147483648) * 2654435761 % 4294967296) % 100"
+
+
+@query(
+    "pipeline_pretrain_corpus",
+    oracle=f"""
+WITH dedup AS (
+  SELECT MIN(doc_id) AS doc_id, text
+  FROM documents GROUP BY text
+), words AS (
+  SELECT doc_id, text, string_split(text, ' ') AS ws FROM dedup
+), tri AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - 2, 0)),
+                i -> array_to_string(ws[i:i+2], ' '))) AS tg
+  FROM words
+), rep AS (
+  SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS ratio FROM (
+    SELECT doc_id, tg, COUNT(*) AS c FROM tri GROUP BY doc_id, tg
+  ) GROUP BY doc_id
+), kept AS (
+  -- chunking operates on the REDACTED text (redaction precedes
+  -- chunking in the pipeline), so re-split after the scrub
+  SELECT w.doc_id,
+         string_split(regexp_replace(w.text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      ' ') AS ws
+  FROM words w JOIN rep r ON w.doc_id = r.doc_id
+  WHERE len(w.ws) >= {MIN_TOKENS} AND r.ratio <= {MAX_REP}
+), chunks AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, greatest(len(ws), 1),
+                                {CHUNK_STRIDE})) AS i
+  FROM kept
+)
+SELECT doc_id,
+       CAST((i - 1) / {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+       array_to_string(ws[i:i+{CHUNK_SIZE - 1}], ' ') AS chunk,
+       CASE WHEN {_BUCKET} < 80 THEN 'train'
+            WHEN {_BUCKET} < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM chunks
+""",
+)
+def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus pipeline — the operators of §2.2-L
+    composed the way a real pre-training data job chains them:
+
+      exact dedup (keep min doc_id per text)
+      -> quality gate (>= 20 tokens, top-trigram share <= 0.2)
+      -> PII scrub (email redaction)
+      -> overlapping 50/40 token chunking
+      -> deterministic 80/10/10 train/val/test split by doc hash
+
+    Every stage is the same logic as its standalone key, and the whole
+    chain stays one shuffle deep (the dedup groupBy); quality scoring
+    is the Arrow-batched per-doc histogram, everything else is narrow.
+    The oracle is the identical five-stage CTE chain in DuckDB, so the
+    full composition — not just each piece — is hash-verified."""
+    d = load(spark, sf_dir, "documents")
+    dedup = d.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+    def rep_gen(batches):
+        for pdf in batches:
+            out_id, out_r = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                n = len(ws) - 2
+                if n <= 0:
+                    continue
+                counts: dict[str, int] = {}
+                for i in range(n):
+                    tg = " ".join(ws[i : i + 3])
+                    counts[tg] = counts.get(tg, 0) + 1
+                out_id.append(doc_id)
+                out_r.append(max(counts.values()) / n)
+            yield pd.DataFrame({"doc_id": out_id, "ratio": out_r})
+
+    rep = dedup.select("doc_id", "text").mapInPandas(
+        rep_gen, "doc_id bigint, ratio double"
+    )
+    ws = F.split("text", " ")
+    kept = (
+        dedup.join(rep, "doc_id")
+        .filter((F.size(ws) >= MIN_TOKENS) & (F.col("ratio") <= MAX_REP))
+        .select(
+            "doc_id",
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>").alias("text"),
+        )
+    )
+    ws2 = F.split("text", " ")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(ws2), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    bucket = F.expr(_BUCKET)
+    return (
+        kept.select(
+            "doc_id", ws2.alias("ws"), F.explode(starts).alias("start")
+        )
+        .select(
+            "doc_id",
+            ((F.col("start") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("ws"), F.col("start"), F.lit(CHUNK_SIZE)), " "
+            ).alias("chunk"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

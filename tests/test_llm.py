@@ -295,3 +295,29 @@ def test_quality_repetition_flags_repeated_text(spark, sf_dir):
         assert got[r["doc_id"]][0] == n
         assert abs(got[r["doc_id"]][1] - ratio) < 1e-6
         assert got[r["doc_id"]][2] == (ratio > 0.2)
+
+
+def test_pipeline_pretrain_corpus_stages(spark, sf_dir):
+    """The composed pipeline must reflect each stage: only deduped
+    keeper docs appear, every kept doc passes the quality gate, all
+    three splits occur, and chunk_ids start at 0 per doc."""
+    from diversity_maximization_spark.llm.transforms import MAX_REP, MIN_TOKENS
+
+    rows = QUERIES["pipeline_pretrain_corpus"](spark, sf_dir).collect()
+    assert rows
+    keepers = {
+        r["keeper_doc"] for r in QUERIES["dedup_exact"](spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: (r["n_trigrams"], r["rep_ratio"])
+        for r in QUERIES["quality_repetition"](spark, sf_dir).collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert doc_id in keepers
+        n_tri, rep = quality[doc_id]
+        assert n_tri + 2 >= MIN_TOKENS and rep <= MAX_REP
+        assert min(r["chunk_id"] for r in rs) == 0
+    assert {r["split"] for r in rows} == {"train", "val", "test"}
