@@ -25,11 +25,19 @@ EVENT_SCHEMA = (
     "value double, props string"
 )
 
+# one replay dir per (sf_dir, n_slices) per process: the slices are a
+# deterministic function of the fixture, and every streaming key pays
+# the ~2-4 s write otherwise
+_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
 
 def write_replay_files(
     spark: SparkSession, sf_dir: str, n_slices: int = 4
 ) -> str:
     """Write events as n_slices time-ordered parquet files; returns dir."""
+    key = (sf_dir, n_slices)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
     out = tempfile.mkdtemp(prefix="dms_stream_")
     ev = load(spark, sf_dir, "events")
     bounds = ev.approxQuantile(
@@ -54,6 +62,7 @@ def write_replay_files(
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
         shutil.copy(os.path.join(d, files[0]), os.path.join(final, f"{i:04d}.parquet"))
     shutil.rmtree(out, ignore_errors=True)
+    _REPLAY_CACHE[key] = final
     return final
 
 
