@@ -109,8 +109,18 @@ def _handler(key, pdf_iter, state: GroupState):
     )
 
 
-def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> DataFrame:
-    # replay embeddings as an ordered stream
+# one embedding-replay dir per (sf_dir, n_slices) per process (same
+# rationale as replay._REPLAY_CACHE: the slices are deterministic)
+_EMB_REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+
+def embedding_replay(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str:
+    """Write embeddings as n_slices vec_id-ordered parquet files,
+    replayed with maxFilesPerTrigger=1 for deterministic micro-batch
+    boundaries; returns the directory (cached per process)."""
+    key = (sf_dir, n_slices)
+    if key in _EMB_REPLAY_CACHE:
+        return _EMB_REPLAY_CACHE[key]
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     per = max(1, n // n_slices)
@@ -127,6 +137,12 @@ def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> Da
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
         shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))
         shutil.rmtree(d, ignore_errors=True)
+    _EMB_REPLAY_CACHE[key] = replay
+    return replay
+
+
+def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> DataFrame:
+    replay = embedding_replay(spark, sf_dir, n_slices)
 
     st = (
         spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
@@ -190,21 +206,7 @@ def streaming_coreset_sharded(
     shard across executors, and only the tiny per-shard summaries meet
     at the end."""
     emb = load(spark, sf_dir, "embeddings")
-    n = emb.count()
-    per = max(1, n // n_slices)
-    replay = tempfile.mkdtemp(prefix="dms_scoreshard_")
-    for i in range(n_slices):
-        lo, hi = i * per, (i + 1) * per if i < n_slices - 1 else n
-        part = emb.filter(
-            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            if i < n_slices - 1
-            else (F.col("vec_id") >= lo)
-        )
-        d = tempfile.mkdtemp()
-        part.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(d)
-        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
-        shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))
-        shutil.rmtree(d, ignore_errors=True)
+    replay = embedding_replay(spark, sf_dir, n_slices)
 
     st = (
         spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
@@ -407,3 +409,172 @@ def div_coreset_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _tws_available():  # pragma: no cover — protobuf broken in this env
     query("div_coreset_stream_tws")(div_coreset_stream_tws)
+
+
+# --- matroid-aware streaming coreset (KDD18 / TKDD20 line) ----------------
+
+MATROID_CAP = 1  # capacity per label (partition matroid)
+MATROID_K = 10
+
+MATROID_OUTPUT_SCHEMA = (
+    "shard int, seq int, center_rank int, vec_id bigint, label int, "
+    "is_center boolean, tau double"
+)
+
+
+def fold_matroid_point(
+    state: dict, vec_id: int, vec: list, label: int, cap: int = MATROID_CAP
+) -> None:
+    """KDD18 category-aware per-item update: like fold_point, but each
+    center keeps up to `cap` DELEGATE POINTS per label (not just a
+    weight), so the final summary contains an independent set of every
+    category composition the full stream could offer — the invariant
+    the matroid-constrained sequential finish needs. Delegates of
+    merged centers re-attach to the surviving center, truncated per
+    label back to cap (lowest vec_id kept — deterministic)."""
+    centers = state["centers"]  # [vec_id, vec, label, {label: [[id, vec], ...]}]
+    if not centers:
+        centers.append([vec_id, vec, label, {}])
+        return
+    dists = [_dist(vec, c[1]) for c in centers]
+    dmin = min(dists)
+    if dmin <= state["tau"]:
+        c = centers[min(range(len(dists)), key=lambda i: (dists[i], i))]
+        dele = c[3].setdefault(str(label), [])
+        if len(dele) < cap:
+            dele.append([vec_id, vec])
+        return
+    centers.append([vec_id, vec, label, {}])
+    while len(centers) > KPRIME:
+        pair_min = min(
+            _dist(a[1], b[1])
+            for i, a in enumerate(centers)
+            for b in centers[i + 1 :]
+        )
+        state["tau"] = max(1.1 * state["tau"], pair_min * 1.000001)
+        kept: list = []
+        dropped: list = []
+        for c in centers:
+            if all(_dist(c[1], kc[1]) > state["tau"] for kc in kept):
+                kept.append(c)
+            else:
+                dropped.append(c)
+        for c in dropped:
+            tgt = kept[
+                min(range(len(kept)), key=lambda i: (_dist(c[1], kept[i][1]), i))
+            ]
+            # the dropped center itself becomes a delegate of its label
+            merged = dict(c[3])
+            merged.setdefault(str(c[2]), []).insert(0, [c[0], c[1]])
+            for lab, dl in merged.items():
+                cur = tgt[3].setdefault(lab, [])
+                cur.extend(dl)
+                cur.sort(key=lambda e: e[0])
+                del cur[cap:]
+        centers = kept
+    state["centers"] = centers
+
+
+def _matroid_handler(key, pdf_iter, state: GroupState):
+    if state.exists:
+        seq, payload = state.get
+        st = json.loads(payload)
+    else:
+        seq, st = 0, {"tau": 0.0, "centers": []}
+    for pdf in pdf_iter:
+        pdf = pdf.sort_values("vec_id")
+        for vid, vec, lab in zip(pdf["vec_id"], pdf["embedding"], pdf["label"]):
+            fold_matroid_point(st, int(vid), [float(x) for x in vec], int(lab))
+    seq += 1
+    state.update((seq, json.dumps(st)))
+    rows = []
+    for rank, c in enumerate(st["centers"]):
+        rows.append((int(key[0]), seq, rank, c[0], c[2], True, st["tau"]))
+        for lab, dl in sorted(c[3].items()):
+            for did, _dvec in dl:
+                rows.append(
+                    (int(key[0]), seq, rank, did, int(lab), False, st["tau"])
+                )
+    yield pd.DataFrame(
+        rows,
+        columns=[
+            "shard", "seq", "center_rank", "vec_id", "label", "is_center", "tau",
+        ],
+    )
+
+
+@query("div_coreset_stream_matroid")  # rows-only: invariants in tests
+def div_coreset_stream_matroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matroid-constrained diversity from ONE STREAMING PASS
+    (KDD18/TKDD20): the doubling coreset additionally retains up to
+    MATROID_CAP delegate points per (center, label), so the summary
+    supports a partition-matroid independent set; the sequential
+    finish (greedy init + constrained local search, the same driver
+    code path as div_matroid_partition) runs on the tiny summary.
+    Returns the selected independent set (vec_id, label)."""
+    import numpy as np
+
+    from ..diversity import kernel as K
+    from ..diversity.matroid import PartitionMatroid
+    from .windows import _fresh
+
+    replay = embedding_replay(spark, sf_dir)
+    st = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>, label int")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(replay)
+    )
+    snap = (
+        st.select(F.lit(0).alias("g"), "vec_id", "embedding", "label")
+        .groupBy("g")
+        .applyInPandasWithState(
+            _matroid_handler,
+            MATROID_OUTPUT_SCHEMA,
+            STATE_SCHEMA,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = _fresh("scorematroid")
+    q = (
+        snap.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    all_snaps = spark.table(name)
+    last = all_snaps.agg(F.max("seq")).collect()[0][0]
+    summary = (
+        all_snaps.filter(F.col("seq") == last)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+        .collect()
+    )
+    # sequential matroid-constrained finish on the summary points
+    emb = load(spark, sf_dir, "embeddings")
+    ids = [r["vec_id"] for r in summary]
+    vec_of = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    ids = [i for i in ids if i in vec_of]
+    labels = np.array([r["label"] for r in summary if r["vec_id"] in vec_of])
+    X = np.stack([vec_of[i] for i in ids])
+    D = K.pairwise_l2(X)
+    matroid = PartitionMatroid({lab: MATROID_CAP for lab in range(10)})
+    init: list = []
+    for i in range(len(ids)):
+        if len(init) == MATROID_K:
+            break
+        if matroid.is_independent(labels[init + [i]]):
+            init.append(i)
+    sel, _val = K.local_search_clique(
+        D,
+        k=MATROID_K,
+        init=init,
+        is_independent=lambda s: matroid.is_independent(labels[list(s)]),
+    )
+    out = [(int(ids[i]), int(labels[i])) for i in sel]
+    return spark.createDataFrame(out, "vec_id bigint, label int")

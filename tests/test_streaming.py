@@ -138,3 +138,32 @@ def test_sharded_coreset_within_doubling_bound_of_serial(spark, sf_dir):
     assert t_serial > 0 and t_sharded > 0
     ratio = max(t_serial, t_sharded) / min(t_serial, t_sharded)
     assert ratio <= 8.0, f"tau ratio {ratio} exceeds doubling bound"
+
+
+def test_matroid_stream_coreset_independent_selection(spark, sf_dir):
+    """One-pass matroid-aware coreset (KDD18): the final selection
+    must be a size-k independent set of the partition matroid (<= cap
+    per label), drawn from the stream, and deterministic."""
+    from diversity_maximization_spark.streaming.coreset import (
+        MATROID_CAP,
+        MATROID_K,
+        fold_matroid_point,
+    )
+
+    rows = QUERIES["div_coreset_stream_matroid"](spark, sf_dir).collect()
+    assert len(rows) == MATROID_K
+    per_label: dict = {}
+    for r in rows:
+        per_label[r["label"]] = per_label.get(r["label"], 0) + 1
+    assert all(v <= MATROID_CAP for v in per_label.values())
+    again = QUERIES["div_coreset_stream_matroid"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # unit invariant of the fold: delegate lists never exceed cap
+    st = {"tau": 0.0, "centers": []}
+    rng = np.random.RandomState(3)
+    for i in range(300):
+        fold_matroid_point(st, i, list(rng.normal(0, 1, 4)), i % 5, cap=2)
+    for c in st["centers"]:
+        for dl in c[3].values():
+            assert len(dl) <= 2
