@@ -307,3 +307,75 @@ def fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "fn_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric,
+       CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         'quantity' AS metric, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""",
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (melt) of three lineitem measures via the
+    built-in `stack` generator — the inverse of agg_pivot. One narrow
+    1->3 expand inside the scan stage, no shuffle; values serialized
+    as exact integer cents so the hash is engine-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (metric, value)"
+        ),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "metric",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
+    )
+
+
+@query(
+    "fn_levenshtein",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+            AS INTEGER) AS edit_dist
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+""",
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit distance between consecutive docs' 40-char prefixes — the
+    JVM built-in string-similarity primitive (used by fuzzy dedup /
+    record linkage). Equi-join on adjacent ids keeps the pair count
+    linear; both engines implement classic Levenshtein so the integer
+    distances hash-match exactly."""
+    d = load(spark, sf_dir, "documents")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.substring("text", 1, 40).alias("ta"),
+    )
+    b = d.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.substring("text", 1, 40).alias("tb"),
+    )
+    return (
+        a.join(b, a.doc_a == b.join_id)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
+        )
+    )
