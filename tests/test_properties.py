@@ -157,3 +157,61 @@ def test_local_search_half_approx_vs_bruteforce(X, k):
         for s in combinations(range(len(X)), k)
     )
     assert val >= opt / 2.0 - 1e-9
+
+
+@given(pointsets)
+@settings(max_examples=40, deadline=None)
+def test_bipartition_bounds(X):
+    """Remote-bipartition is sandwiched between remote-edge (one cross
+    pair at least) and remote-clique (all pairs), for any point set,
+    on both the exhaustive and descent paths."""
+    if len(X) < 2:
+        return
+    D = K.pairwise_l2(X)
+    edge, clique = K.eval_edge(D), K.eval_clique(D)
+    for forced in (None, 0):
+        v = (
+            K.eval_bipartition(D)
+            if forced is None
+            else K.eval_bipartition(D, exhaustive_max=0)
+        )
+        assert v >= edge - 1e-9
+        assert v <= clique + 1e-9
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 4),  # label
+            st.lists(
+                st.floats(-50, 50, allow_nan=False, width=32), min_size=3, max_size=3
+            ),
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    st.integers(1, 3),
+)
+@settings(max_examples=40, deadline=None)
+def test_matroid_fold_invariants(points, cap):
+    """For ANY stream: <= KPRIME centers, <= cap delegates per
+    (center, label), centers pairwise-separated by tau, and every
+    retained id came from the stream exactly once."""
+    from diversity_maximization_spark.streaming.coreset import fold_matroid_point
+
+    st_ = {"tau": 0.0, "centers": []}
+    for i, (lab, vec) in enumerate(points):
+        fold_matroid_point(st_, i, [float(x) for x in vec], lab, cap=cap)
+    centers = st_["centers"]
+    assert 1 <= len(centers) <= KPRIME
+    seen = []
+    for c in centers:
+        seen.append(c[0])
+        for lab, dl in c[3].items():
+            assert len(dl) <= cap
+            seen.extend(d[0] for d in dl)
+    assert len(seen) == len(set(seen))  # no id retained twice
+    for i, a in enumerate(centers):
+        for b in centers[i + 1 :]:
+            d = sum((x - y) ** 2 for x, y in zip(a[1], b[1])) ** 0.5
+            assert d > st_["tau"] - 1e-12
