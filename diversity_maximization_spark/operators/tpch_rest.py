@@ -1,0 +1,384 @@
+"""The remaining classic TPC-H query patterns (Q2 / Q9 / Q11 / Q16 /
+Q20 / Q21), completing 22/22 coverage of the suite (SURVEY.md §2.2-K;
+Q1 is agg_pricing_summary). The fixtures have no partsupp table and
+no l_commitdate/l_receiptdate, so the part↔supplier relation is
+DERIVED from lineitem (distinct (l_partkey, l_suppkey) with
+MIN(l_extendedprice) as the supply-cost stand-in) and Q21's
+"late" predicate is re-targeted onto l_returnflag — the *query
+shapes* (correlated min-per-group join-back, nested-agg semi join,
+scalar-subquery HAVING, distinct-count with anti-joined exclusions,
+double-correlated EXISTS / NOT EXISTS) are the TPC-H ones.
+
+Exactness: every money aggregate goes through integer cents
+(operators/aggregates.cents) in BOTH engines; counts are integers;
+the only double divisions happen once, on exact integer sums, with
+identical expression trees — bit-identical across Spark and DuckDB.
+
+Plan notes (audited via tools/explain_audit.py): the derived
+partsupp is one shuffled agg over lineitem reused by Q2/Q16/Q20;
+every dimension (part, supplier, nation, region) broadcasts; the
+min-per-group join-back in Q2 broadcasts the per-part min (25k rows
+at TPC-H sf100 — always small); Q21's self-semi/anti joins are
+equi-joins on l_orderkey, so at 100 TB they shuffle lineitem at most
+twice on the same key and AQE picks shuffled-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+from .aggregates import cents, dsum
+
+# Derived part↔supplier relation: the fixture has no partsupp, so
+# every query needing one aggregates it from lineitem the same way.
+_PARTSUPP_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS ps_cost_cents
+  FROM lineitem
+  GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(F.min(F.expr(cents("l_extendedprice"))).alias("ps_cost_cents"))
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL}),
+eu AS (
+  SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_cost_cents,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM partsupp ps
+  JOIN supplier s ON ps.ps_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT e.s_acctbal, e.s_name, e.n_name, e.ps_partkey AS p_partkey,
+       CAST(e.ps_cost_cents AS DOUBLE) / 100 AS supply_cost
+FROM eu e
+JOIN part p ON e.ps_partkey = p.p_partkey
+JOIN (SELECT ps_partkey, MIN(ps_cost_cents) AS min_cents
+      FROM eu GROUP BY ps_partkey) m
+  ON e.ps_partkey = m.ps_partkey AND e.ps_cost_cents = m.min_cents
+WHERE p.p_size <= 10 AND p.p_type = 'LARGE'
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost-supplier pattern (TPC-H Q2): for each qualifying
+    part, the European supplier(s) achieving the minimum supply cost.
+    The correlated MIN subquery is a per-part min over the derived
+    partsupp joined back on (partkey, min) — the min table broadcasts
+    (≤ one row per part). Ties keep all minimal suppliers, exactly
+    like the reference query."""
+    ps = _partsupp(spark, sf_dir)
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "LARGE")
+    )
+    eu = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_cost_cents", "s_acctbal", "s_name", "n_name")
+    )
+    m = eu.groupBy(F.col("ps_partkey").alias("m_partkey")).agg(
+        F.min("ps_cost_cents").alias("min_cents")
+    )
+    return (
+        eu.join(
+            F.broadcast(m),
+            (F.col("ps_partkey") == F.col("m_partkey"))
+            & (F.col("ps_cost_cents") == F.col("min_cents")),
+        )
+        .join(F.broadcast(p), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("ps_partkey").alias("p_partkey"),
+            (F.col("ps_cost_cents").cast("double") / 100).alias("supply_cost"),
+        )
+    )
+
+
+@query(
+    "tpch_q9",
+    oracle=f"""
+SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+       CAST(SUM({cents('l.l_extendedprice')} * (100 - {cents('l.l_discount')})
+                - {cents('p.p_retailprice')} * {cents('l.l_quantity')})
+            AS DOUBLE) / 10000 AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, year(o.o_orderdate)
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type-profit pattern (TPC-H Q9): profit by supplier
+    nation and order year over parts matching a name pattern.
+    (Fixture adaptation: unit cost is p_retailprice — no
+    ps_supplycost.) The profit difference is computed entirely in
+    integer units (cents x percent and cents x cents) and summed
+    before ONE double division, so both engines agree bit-for-bit.
+    Plan: lineitem⋈orders is the only shuffle; part/supplier/nation
+    broadcast; the name LIKE filter prunes parts before the join."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    amount = (
+        f"{cents('l_extendedprice')} * (100 - {cents('l_discount')})"
+        f" - {cents('p_retailprice')} * {cents('l_quantity')}"
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.expr(f"CAST(SUM({amount}) AS DOUBLE) / 10000").alias("sum_profit")
+        )
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+WITH val AS (
+  SELECT l.l_partkey,
+         SUM({cents('l.l_extendedprice')} * {cents('l.l_quantity')}) AS v
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_3'
+  GROUP BY l.l_partkey
+)
+SELECT l_partkey AS ps_partkey, CAST(v AS DOUBLE) / 10000 AS part_value
+FROM val, (SELECT CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean_v FROM val) t
+WHERE v > 4.0 * mean_v
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock pattern (TPC-H Q11): parts whose inventory
+    value from one nation's suppliers exceeds a threshold derived
+    from the grand total — here 4x the mean per-part value, which is
+    scale-free (the spec's 0.0001/SF fraction, reformulated so the
+    predicate stays selective-but-non-empty at every fixture sf).
+    (Fixture adaptation: value is l_extendedprice x l_quantity summed
+    from lineitem — no ps_availqty.) The threshold is a scalar
+    subquery: one tiny
+    second aggregation of the cached per-part values, broadcast into
+    the filter — the per-part table is computed ONCE and reused for
+    both the values and the total."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    val = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.expr(f"{cents('l_extendedprice')} * {cents('l_quantity')}")
+            ).alias("v")
+        )
+        .cache()
+    )
+    mean_v = val.agg(
+        F.expr("CAST(SUM(v) AS DOUBLE) / COUNT(*)")
+    ).collect()[0][0]
+    return val.filter(F.col("v") > 4.0 * mean_v).select(
+        F.col("l_partkey").alias("ps_partkey"),
+        (F.col("v").cast("double") / 10000).alias("part_value"),
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+FROM partsupp ps
+JOIN part p ON ps.ps_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND ps.ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 1000)
+GROUP BY p.p_brand, p.p_type, p.p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts/supplier-relationship pattern (TPC-H Q16): distinct
+    supplier count per (brand, type, size) with brand/type/size
+    exclusions and a supplier blacklist. (Fixture adaptation: the
+    blacklist is s_acctbal < 1000 — no comment column.) The
+    blacklist is a broadcast LEFT ANTI join (never a per-row NOT IN
+    scan); the distinct count shuffles once on the group keys."""
+    ps = _partsupp(spark, sf_dir)
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+    )
+    bad = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000)
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "tpch_q20",
+    oracle=f"""
+WITH shipped AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         SUM({cents('l.l_quantity')}) AS qty_cents
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l.l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+tot AS (
+  SELECT l_partkey, SUM(qty_cents) AS total_cents
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM shipped sh
+    JOIN tot t ON sh.l_partkey = t.l_partkey
+    JOIN part p ON sh.l_partkey = p.p_partkey
+    WHERE sh.l_suppkey = s.s_suppkey
+      AND p.p_name LIKE 'small%'
+      AND sh.qty_cents > 0.2 * t.total_cents
+  )
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Potential-part-promotion pattern (TPC-H Q20): suppliers in one
+    nation holding a dominant share of a qualifying part's shipped
+    volume in one year. (Fixture adaptation: "availqty > half the
+    shipped quantity" becomes "this supplier shipped > 20% of the
+    part's 1997 volume" — same nested-aggregate semi-join shape, no
+    partsupp.) Plan: one shuffled agg per grain (part+supplier, then
+    part), an equi join between them, a broadcast part-name filter,
+    then a LEFT SEMI into supplier — suppliers are never fanned out."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.expr(cents("l_quantity"))).alias("qty_cents")
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty_cents").alias("total_cents")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    qualifying = (
+        shipped.join(tot, F.col("l_partkey") == F.col("t_partkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("qty_cents") > 0.2 * F.col("total_cents"))
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON l1.l_orderkey = o.o_orderkey
+WHERE n.n_name = 'NATION_2'
+  AND o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s.s_name
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-who-kept-orders-waiting pattern (TPC-H Q21): count,
+    per supplier in one nation, the finalized multi-supplier orders
+    where that supplier was the ONLY one whose line came back flagged
+    'R'. (Fixture adaptation: the late-delivery predicate
+    receiptdate > commitdate becomes l_returnflag = 'R'.) The double
+    correlation is a LEFT SEMI (some other supplier in the order)
+    plus a LEFT ANTI (no other flagged supplier) — both equi-joins on
+    l_orderkey with the supplier inequality as a residual, so
+    lineitem shuffles on one key and AQE picks the join strategy."""
+    li = load(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"),
+        F.col("l_suppkey").alias("o2_suppkey"),
+    ).distinct()
+    flagged_others = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+        .distinct()
+    )
+    l1 = l1.join(
+        others,
+        (l1.l_orderkey == F.col("o2_orderkey"))
+        & (l1.l_suppkey != F.col("o2_suppkey")),
+        "left_semi",
+    ).join(
+        flagged_others,
+        (F.col("l_orderkey") == F.col("o3_orderkey"))
+        & (F.col("l_suppkey") != F.col("o3_suppkey")),
+        "left_anti",
+    )
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    return (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

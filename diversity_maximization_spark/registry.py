@@ -125,6 +125,7 @@ def load_all() -> None:
         sorts_setops,
         tpch,
         tpch_more,
+        tpch_rest,
         udfs,
         windows,
     )
