@@ -1,0 +1,240 @@
+"""Pre-training corpus hygiene operators (SURVEY.md §2.2-L
+extensions): benchmark decontamination, sequence packing, and
+maximal-marginal-relevance (MMR) subset selection.
+
+- decontam_ngram: the GPT-3/PaLM-style decontamination pass — flag
+  training documents that share at least one word n-gram with a
+  held-out benchmark set (here: the docs of source 'src0', a 5%
+  slice, standing in for an eval suite). At 100 TB the benchmark
+  side is tiny (eval suites are MBs), so its distinct shingle set
+  BROADCASTS and the train side never shuffles — the whole pass
+  pipelines inside the train scan.
+- pack_sequences: concat-then-chunk sequence packing — documents in
+  doc_id order are laid head-to-tail and cut into fixed token-budget
+  sequences; each doc reports the sequence it starts in and its
+  offset. The global running sum is computed as a two-phase scan
+  (per-range-partition sums collected — one tiny row per partition —
+  then broadcast back as prefix offsets), NEVER a single-partition
+  window, so it scales to any corpus size.
+- select_mmr: greedy MMR (Carbonell & Goldstein 1998) over the
+  embedding table: rank = argmax lambda*rel - (1-lambda)*max-sim to
+  the already-selected set. Same distributed-greedy shape as
+  diversity/gmm.py: a cached (id, vec, rel, max_sim) state, one
+  narrow argmax job per pick, max_sim updated against the single new
+  pick with greatest(); rows-only (iterative, not SQL-expressible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import vector as V
+from ..registry import query
+from ..sources import load
+from .dedup import SHINGLE, shingles_df
+
+# Held-out "benchmark" slice: one source out of 20 (5% of docs).
+_BENCH_SOURCE = "src0"
+
+# Token budget per packed sequence. Docs are 20-90 tokens, so each
+# sequence packs ~3-10 docs at every fixture sf.
+_SEQ_BUDGET = 256
+
+
+@query(
+    "decontam_ngram",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, source, shingle FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'
+)
+SELECT s.doc_id, COUNT(*) AS n_shared
+FROM sh s JOIN bench b ON s.shingle = b.shingle
+WHERE s.source <> '{_BENCH_SOURCE}'
+GROUP BY s.doc_id
+""",
+)
+def decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for every training doc (source !=
+    'src0') count its distinct {SHINGLE}-gram shingles that also
+    occur anywhere in the benchmark slice (source == 'src0'). A doc
+    with n_shared > 0 is contaminated and would be dropped before
+    training; the count grades severity. Plan: benchmark shingles
+    dedup to a small set and broadcast into a hash join against the
+    train shingles — no shuffle of the train side at any scale."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d.select("doc_id", "text")).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    bench = (
+        sh.filter(F.col("source") == _BENCH_SOURCE)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        sh.filter(F.col("source") != _BENCH_SOURCE)
+        .join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+), run AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS prev
+  FROM toks
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(prev // {_SEQ_BUDGET} AS BIGINT) AS seq_id,
+       CAST(prev % {_SEQ_BUDGET} AS BIGINT) AS seq_offset
+FROM run
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents in doc_id order
+    are laid head-to-tail into a single token stream cut every
+    {_SEQ_BUDGET} tokens; each doc reports (seq_id, seq_offset) of
+    its first token — exactly the packing step of a pre-training
+    tokenizer pipeline (a doc may straddle a boundary; it belongs to
+    the sequence it starts in).
+
+    The running sum is a two-phase scan: range-repartition by doc_id
+    (partition i holds strictly lower ids than i+1), per-partition
+    token sums collected to the driver (ONE ROW per partition), the
+    exclusive prefix broadcast back, and a per-partition window adds
+    the local running sum. No single-partition global window — at
+    100 TB each partition scans once in parallel and the driver sees
+    only num_partitions integers."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    nparts = max(toks.rdd.getNumPartitions(), 1)
+    ranged = toks.repartitionByRange(nparts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.cache()
+    part_sums = {
+        r["pid"]: r["s"]
+        for r in ranged.groupBy("pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(part_sums):
+        offsets[pid] = acc
+        acc += part_sums[pid]
+    off_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, part_off bigint"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev = (F.col("part_off") + F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        ranged.join(F.broadcast(off_df), "pid")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (prev / _SEQ_BUDGET).cast("bigint").alias("seq_id"),
+            (prev % _SEQ_BUDGET).cast("bigint").alias("seq_offset"),
+        )
+    )
+
+
+_MMR_K = 10
+_MMR_LAMBDA = 0.5
+
+
+def _cos_to_lit(vec_col: str, vec) -> F.Column:
+    lit_arr = F.array(*[F.lit(float(x)) for x in vec])
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), lit_arr, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    qn = sum(float(x) * float(x) for x in vec) ** 0.5
+    return dot / (F.sqrt(V.sq_norm(vec_col)) * F.lit(qn))
+
+
+@query("select_mmr")  # rows-only: greedy/iterative, not SQL-expressible
+def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection of k=10 vectors:
+    pick argmax of lambda*rel(v) - (1-lambda)*max_{s in S} cos(v, s),
+    where rel(v) is cosine similarity to the corpus mean embedding
+    (computed with exact integer micro-unit sums so the query vector
+    — and hence every pick — is deterministic under any row order).
+
+    Distributed-greedy shape (same as diversity/gmm.py): cached
+    (id, vec, rel, max_sim) state; each round is one narrow argmax
+    job (orderBy ... limit 1 = TakeOrdered, no full sort) plus a
+    greatest() update against the single new pick and a re-cache.
+    k rounds = k passes; batched refill (gmm.py) applies unchanged
+    if k grows."""
+    e = load(spark, sf_dir, "embeddings")
+    # Deterministic mean: per-dimension exact integer sum of
+    # round(x * 1e6), divided by count — order-independent.
+    dim_rows = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.expr("CAST(ROUND(x * 1000000) AS BIGINT)")).alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    qvec = [r["s"] / 1e6 / r["c"] for r in dim_rows]
+
+    state = e.select(
+        "vec_id",
+        "embedding",
+        _cos_to_lit("embedding", qvec).alias("rel"),
+        F.lit(-1.0).alias("max_sim"),
+    ).cache()
+    lam = _MMR_LAMBDA
+    picks = []
+    prev = None
+    for rank in range(_MMR_K):
+        score = lam * F.col("rel") - (1 - lam) * F.col("max_sim")
+        row = (
+            state.filter(~F.col("vec_id").isin([p[1] for p in picks]))
+            .orderBy(score.desc(), F.col("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        mmr = lam * r["rel"] - (1 - lam) * r["max_sim"]
+        picks.append((rank, r["vec_id"], float(r["rel"]), float(mmr)))
+        nxt = state.withColumn(
+            "max_sim",
+            F.greatest("max_sim", _cos_to_lit("embedding", list(r["embedding"]))),
+        ).cache()
+        nxt.count()
+        if prev is not None:
+            prev.unpersist()
+        prev, state = state, nxt
+    state.unpersist()
+    if prev is not None:
+        prev.unpersist()
+    return spark.createDataFrame(
+        picks, "sel_order int, vec_id bigint, rel double, mmr_score double"
+    )

@@ -133,6 +133,7 @@ def load_all() -> None:
     from .diversity import queries as _div_queries  # noqa: F401
     from .sources import formats as _formats  # noqa: F401
     from .sources import generators as _generators  # noqa: F401
+    from .llm import decontam as _decontam  # noqa: F401
     from .llm import queries as _llm_queries  # noqa: F401
     from .streaming import queries as _stream_queries  # noqa: F401
 

