@@ -79,3 +79,93 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("q8"),
         F.expr(f"round({amax} / 127, 6)").alias("scale"),
     )
+
+
+_PCA_DIM = 8
+
+
+@query("embed_pca")  # rows-only: eigendecomposition is not SQL-expressible
+def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA projection of the embedding table to 8
+    dimensions — the standard compression step before clustering /
+    ANN indexing a pre-training corpus.
+
+    Scale shape: the ONLY driver-side state is the d x d Gram matrix
+    (64 x 64 doubles = 32 KB) — each partition computes its partial
+    X^T X and row-sum with numpy inside mapInPandas (Arrow-batched),
+    the driver sums the partials in sorted partition order
+    (deterministic), eigendecomposes with numpy, and broadcasts the
+    8 x 64 component matrix back into a JVM-side projection. The data
+    never funnels through fewer than all partitions; 100 TB of rows
+    still produce one 32 KB partial per partition.
+
+    Sign convention: each component's largest-|coordinate| entry is
+    made positive, so the output is unique regardless of the
+    eigensolver's sign choice. Output is one double column per
+    principal component (pc0 highest-variance) — no array cells."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()["embedding"])
+
+    def partials(batches):
+        gram = np.zeros((dim, dim))
+        rsum = np.zeros(dim)
+        cnt, pid = 0, -1
+        for pdf in batches:
+            pid = int(pdf["pid"].iloc[0])
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            gram += X.T @ X
+            rsum += X.sum(axis=0)
+            cnt += len(X)
+        if cnt:
+            yield pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "gram": [gram.ravel().tolist()],
+                    "rsum": [rsum.tolist()],
+                    "cnt": [cnt],
+                }
+            )
+
+    rows = (
+        e.select("embedding")
+        .withColumn("pid", F.spark_partition_id())
+        .mapInPandas(
+            partials,
+            "pid int, gram array<double>, rsum array<double>, cnt bigint",
+        )
+        .collect()
+    )
+    gram = np.zeros((dim, dim))
+    rsum = np.zeros(dim)
+    n = 0
+    # sum partials in partition order: deterministic float reduction
+    for r in sorted(rows, key=lambda r: r["pid"]):
+        gram += np.array(r["gram"]).reshape(dim, dim)
+        rsum += np.array(r["rsum"])
+        n += r["cnt"]
+    mu = rsum / n
+    cov = gram / n - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :_PCA_DIM].T  # rows = components, desc variance
+    for i in range(_PCA_DIM):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    proj_cols = []
+    for i in range(_PCA_DIM):
+        lit = F.array(*[F.lit(float(c)) for c in comps[i]])
+        centered_dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                lit,
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        ) - F.lit(float(comps[i] @ mu))
+        proj_cols.append(centered_dot.alias(f"pc{i}"))
+    return e.select("vec_id", *proj_cols)

@@ -87,3 +87,37 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="dms_sink_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     return spark.read.parquet(out_dir).select(*TABLES["events"])
+
+
+@query(
+    "sink_partition_prune",
+    oracle="""
+SELECT event_type, COUNT(*) AS n, CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+       AS DOUBLE) / 100 AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+""",
+)
+def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned read-back: write events partitioned by
+    event_type, then aggregate ONLY two partitions. The filter on the
+    partition column becomes a PartitionFilters entry on the scan —
+    Spark lists just the two matching directories and never opens the
+    other files. This read-the-directories-you-need layout is the
+    single biggest 100 TB lever for selective queries (a pinned
+    assertion in tests/test_plans.py checks the pruned scan reads
+    only the two partition dirs). Oracle = the same aggregate over
+    the original table, proving prune-correctness."""
+    ev = load(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="dms_prune_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100"
+        ).alias("total_value"),
+    )

@@ -376,3 +376,31 @@ def test_select_mmr_greedy_properties(spark, sf_dir):
     # selected mmr_scores are non-increasing.
     for a, b in zip(rows, rows[1:]):
         assert b["mmr_score"] <= a["mmr_score"] + 1e-9
+
+
+def test_embed_pca_matches_local_numpy(spark, sf_dir):
+    """Distributed gram-matrix PCA equals a plain local PCA: per-
+    component projections agree up to the documented sign convention,
+    and component variances are non-increasing."""
+    np = pytest.importorskip("numpy")
+    rows = sorted(
+        QUERIES["embed_pca"](spark, sf_dir).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    e = sorted(
+        load(spark, sf_dir, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    X = np.array([list(map(float, r["embedding"])) for r in e])
+    mu = X.mean(axis=0)
+    cov = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(cov)
+    comps = evecs[:, ::-1][:, :8].T
+    for i in range(8):
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    P = (X - mu) @ comps.T
+    got = np.array([[r[f"pc{i}"] for i in range(8)] for r in rows])
+    assert np.allclose(got, P, atol=1e-6)
+    var = got.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))

@@ -139,3 +139,13 @@ def test_salted_join_equals_plain(spark, sf_dir):
         plain = sorted(map(tuple, o.join(c, "o_custkey", how).collect()))
         salted = sorted(map(tuple, salted_join(o, c, "o_custkey", 4, how).collect()))
         assert plain == salted, how
+
+
+def test_sink_partition_prune_reads_two_dirs(spark, sf_dir):
+    """The partition-column filter must become PartitionFilters on the
+    read-back scan (directory-level pruning, not row filtering)."""
+    plan = plan_of(spark, "sink_partition_prune", sf_dir)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2, plan
+    inside = pf[1].split("]", 1)[0]
+    assert "event_type" in inside, plan
