@@ -193,3 +193,11 @@ def streaming_coreset_fold(
     for vid, vec in points:
         fold_point(state, int(vid), [float(x) for x in vec])
     return state
+
+
+def sql(spark, sf_dir: str, text: str) -> DataFrame:
+    """Run arbitrary ANSI SQL against the corpus tables (registered
+    as temp views on first call) — the engine's SQL front door."""
+    from .operators.sql_interface import sql as _sql
+
+    return _sql(spark, sf_dir, text)

@@ -238,3 +238,47 @@ def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, "sel_order int, vec_id bigint, rel double, mmr_score double"
     )
+
+
+# Portable multiplicative hash -> uniform [0,1) at 1e-9 resolution
+# (same idiom as sample_hash_split; identical arithmetic both engines).
+_MIX_U01 = "(((doc_id % 2147483648) * 2654435761 % 4294967296) / 4294967296.0)"
+
+
+@query(
+    "mix_sources",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), target AS (
+  SELECT 0.6 * MIN(n_s) AS t FROM counts
+)
+SELECT d.doc_id, d.source
+FROM documents d
+JOIN counts c ON d.source = c.source, target
+WHERE {_MIX_U01} < CAST(target.t AS DOUBLE) / c.n_s
+""",
+)
+def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source rebalancing (data mixing): downsample
+    every source toward 60% of the smallest source's row count (the
+    fixture corpus is balanced by construction, so a target BELOW the
+    minimum is what makes the sampler actually fire), so the mixed
+    corpus is ~uniform across sources — the per-source keep fraction
+    is target/n_s and a doc survives iff its portable hash-uniform is
+    below it. No RNG state: the same doc survives on any engine,
+    partitioning, or replay. Plan: one tiny per-source count agg
+    broadcasts back into a narrow filter — the corpus itself never
+    shuffles, at any scale. (Approximate counts by design — the
+    hash-threshold sampler is the layout-independent scale form; an
+    exact-count variant would need a per-source row_number window.)"""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    target = 0.6 * counts.agg(F.min("n_s")).collect()[0][0]
+    return (
+        d.join(F.broadcast(counts), "source")
+        .filter(
+            F.expr(_MIX_U01) < F.lit(float(target)) / F.col("n_s")
+        )
+        .select("doc_id", "source")
+    )

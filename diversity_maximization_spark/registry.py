@@ -123,6 +123,7 @@ def load_all() -> None:
         scans,
         sketches,
         sorts_setops,
+        sql_interface,
         tpch,
         tpch_more,
         tpch_rest,

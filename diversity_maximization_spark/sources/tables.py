@@ -82,3 +82,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so arbitrary
+    ANSI SQL runs against the corpus via ``spark.sql`` — the
+    engine's direct SQL entry point (same names the DuckDB oracle
+    layer registers, so any oracle query text runs on both engines
+    verbatim). Views are lazy: no scan happens until a query runs,
+    and Catalyst pushes each query's filters/projections into the
+    per-view parquet scans independently."""
+    for name in TABLES:
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
