@@ -124,6 +124,7 @@ def load_all() -> None:
         sketches,
         sorts_setops,
         sql_interface,
+        timeseries,
         tpch,
         tpch_more,
         tpch_rest,
