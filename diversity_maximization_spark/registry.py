@@ -137,6 +137,7 @@ def load_all() -> None:
     from .sources import generators as _generators  # noqa: F401
     from .llm import decontam as _decontam  # noqa: F401
     from .llm import queries as _llm_queries  # noqa: F401
+    from .llm import textrank as _textrank  # noqa: F401
     from .streaming import queries as _stream_queries  # noqa: F401
 
     missing = [k for k in CHECK_WINDOW if k not in QUERIES]

@@ -75,3 +75,18 @@ def source_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         .json(path)
     )
+
+
+@query("source_orc", oracle=EVENTS_ORACLE)
+def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> ORC -> read back (binary columnar round-trip; ORC
+    stores timestamp_ntz natively, so no string formatting is
+    involved — a lossy writer or reader fails the hash)."""
+    key = (sf_dir, "orc")
+    if key not in _CACHE:
+        out = tempfile.mkdtemp(prefix="dms_orc_")
+        load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        ).write.mode("overwrite").orc(out)
+        _CACHE[key] = out
+    return spark.read.schema(READ_SCHEMA).orc(_CACHE[key])

@@ -404,3 +404,32 @@ def test_embed_pca_matches_local_numpy(spark, sf_dir):
     assert np.allclose(got, P, atol=1e-6)
     var = got.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(7))
+
+
+def test_text_pagerank_matches_local_power_iteration(spark, sf_dir):
+    """Distributed TextRank equals a local numpy power iteration on
+    the same edge set (same damping/iterations), and ranks form a
+    probability distribution."""
+    from diversity_maximization_spark.llm.textrank import (
+        _DAMPING, _ITERS, word_edges,
+    )
+
+    top = QUERIES["text_pagerank"](spark, sf_dir).collect()
+    assert len(top) == 25
+    d = load(spark, sf_dir, "documents")
+    edges = word_edges(d).collect()
+    words = sorted({r["src"] for r in edges} | {r["dst"] for r in edges})
+    idx = {w: i for i, w in enumerate(words)}
+    n = len(words)
+    W = np.zeros((n, n))
+    for r in edges:
+        W[idx[r["src"]], idx[r["dst"]]] = r["w"]
+    P = W / W.sum(axis=1, keepdims=True)
+    rank = np.full(n, 1.0 / n)
+    for _ in range(_ITERS):
+        rank = (1 - _DAMPING) / n + _DAMPING * (P.T @ rank)
+    want = {w: rank[idx[w]] for w in words}
+    for r in top:
+        assert abs(want[r["word"]] - r["rank"]) < 1e-9, r["word"]
+    # ranks approach a distribution (mass conserved up to damping leak)
+    assert abs(rank.sum() - 1.0) < 1e-6
