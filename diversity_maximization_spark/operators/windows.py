@@ -322,3 +322,48 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     )
+
+
+@query(
+    "win_topk_salted",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def win_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase top-k per group: phase 1 ranks within
+    (group, salt) — 8 salt buckets by hash of the row key, so a
+    pathologically hot group spreads over 8 tasks — and keeps k rows
+    per bucket; phase 2 re-ranks the ≤ 8k survivors per group. The
+    oracle is the NAIVE single-window top-k: the hash match proves
+    the salted plan computes identical semantics (any group's true
+    top-3 survives its bucket's top-3). At 100 TB this is the shape
+    that survives a group holding 10% of all rows; the plain
+    win_topk_pergroup window would funnel that group through one
+    task."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    salt = (F.xxhash64("o_orderkey") % 8).cast("int").alias("salt")
+    w1 = Window.partitionBy("o_custkey", "salt").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    survivors = (
+        o.withColumn("salt", salt)
+        .withColumn("prn", F.row_number().over(w1))
+        .filter(F.col("prn") <= 3)
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
