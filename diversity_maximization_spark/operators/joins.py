@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 from ..functions import vector as V
 from ..registry import query
 from ..sources import load
-from .aggregates import dsum, dsum2, duck_dsum, duck_dsum2
+from .aggregates import cents, dsum, dsum2, duck_dsum, duck_dsum2
 
 
 @query(
@@ -378,4 +378,55 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
         .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "merge_upsert",
+    oracle=f"""
+WITH src AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM({cents('o_totalprice')}) AS DOUBLE) / 100 AS total
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name,
+       CASE WHEN s.o_custkey IS NOT NULL THEN s.total
+            ELSE c.c_acctbal END AS c_acctbal,
+       CASE WHEN s.o_custkey IS NOT NULL THEN 'updated'
+            ELSE 'unchanged' END AS merge_action
+FROM customer c LEFT JOIN src s ON c.c_custkey = s.o_custkey
+WHERE NOT (s.o_custkey IS NOT NULL AND s.n_orders < 2)
+""",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lakehouse MERGE semantics as one left join (the CDC-apply /
+    SCD-1 pattern): source = per-customer order rollup; WHEN MATCHED
+    AND n_orders < 2 THEN DELETE; WHEN MATCHED THEN UPDATE balance;
+    WHEN NOT MATCHED [BY SOURCE] THEN KEEP. Spark has no MERGE INTO
+    on plain parquet, but the relational decomposition is exactly
+    what Delta/Iceberg execute underneath: join base to changes on
+    the key, route rows by match case. One shuffle on the join key
+    (or none, if base and source share bucketing); the row routing
+    is a narrow projection."""
+    c = load(spark, sf_dir, "customer")
+    src = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("total"),
+        )
+    )
+    matched = F.col("o_custkey").isNotNull()
+    return (
+        c.join(src, c.c_custkey == src.o_custkey, "left")
+        .filter(~(matched & (F.col("n_orders") < 2)))
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(matched, F.col("total"))
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(matched, "updated").otherwise("unchanged").alias("merge_action"),
+        )
     )
