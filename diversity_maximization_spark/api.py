@@ -201,3 +201,77 @@ def sql(spark, sf_dir: str, text: str) -> DataFrame:
     from .operators.sql_interface import sql as _sql
 
     return _sql(spark, sf_dir, text)
+
+
+def ann_topk(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors per vector of an arbitrary (id, vector)
+    DataFrame. Candidate generation is dispatched by corpus size
+    (plans/distance_join.choose_strategy: exact theta / broadcast-BLAS
+    prefilter / LSH-bucketed equi-join at scale); survivors are
+    re-scored with the exact JVM fold, so results degrade from exact
+    to recall-bounded only past the broadcast limit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .functions import vector as V
+    from .plans.distance_join import topk_candidate_pairs
+
+    spark = df.sparkSession
+    e = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cand = topk_candidate_pairs(spark, e, k + 20)
+    a = e.select("vec_id", F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor")
+    )
+    return (
+        cand.join(a, "vec_id")
+        .join(b, "neighbor")
+        .withColumn("sim_raw", V.cosine_sim("ea", "eb"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("vec_id").alias(id_col),
+            "neighbor",
+            F.round("sim_raw", 6).alias("sim"),
+            "rn",
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs of an arbitrary (id, vector) DataFrame with cosine
+    similarity above `threshold` (embedding near-dup detection).
+    Same size-dispatched candidate generation + exact re-score as
+    ann_topk; pairs are returned once (id_a < id_b)."""
+    from pyspark.sql import functions as F
+
+    from .functions import vector as V
+    from .plans.distance_join import threshold_candidate_pairs
+
+    spark = df.sparkSession
+    e = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
+    cand = threshold_candidate_pairs(spark, e, threshold)
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("cs", V.cosine_sim("ea", "eb"))
+        .filter(F.col("cs") > threshold)
+        .select(
+            F.col("vec_a").alias(f"{id_col}_a"),
+            F.col("vec_b").alias(f"{id_col}_b"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )

@@ -79,8 +79,8 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     pairs = (
-        cand.join(F.broadcast(a), "vec_id")
-        .join(F.broadcast(b), "neighbor")
+        cand.join(a, "vec_id")
+        .join(b, "neighbor")
         .withColumn("sim_raw", V.cosine_sim("ea", "eb"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor"))
@@ -196,8 +196,8 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (
-        cand.join(F.broadcast(a), "vec_a")
-        .join(F.broadcast(b), "vec_b")
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
         .withColumn("cs", V.cosine_sim("ea", "eb"))
         .filter(F.col("cs") > thresh)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))

@@ -94,3 +94,35 @@ def test_bow_pipeline(spark, sf_dir):
     g = QUERIES["div_gmm_bow"](spark, sf_dir).collect()
     assert len(g) == 8
     assert len({r["doc_id"] for r in g}) == 8
+
+
+def test_api_ann_topk_generic_schema(spark, sf_dir):
+    """ann_topk works on arbitrary column names and agrees with the
+    registered sim_search_topk on the fixture table."""
+    from diversity_maximization_spark import api
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("pid"), F.col("embedding").alias("v")
+    )
+    got = {
+        (r["pid"], r["neighbor"], r["rn"])
+        for r in api.ann_topk(e, k=5, id_col="pid", vec_col="v").collect()
+    }
+    want = {
+        (r["vec_id"], r["neighbor"], r["rn"])
+        for r in QUERIES["sim_search_topk"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_api_near_dup_pairs_threshold(spark, sf_dir):
+    from diversity_maximization_spark import api
+    from diversity_maximization_spark.sources import load
+
+    e = load(spark, sf_dir, "embeddings")
+    rows = api.near_dup_pairs(e, threshold=0.35).collect()
+    assert rows and all(r["cos_sim"] > 0.35 for r in rows)
+    assert all(r["vec_id_a"] < r["vec_id_b"] for r in rows)
