@@ -52,3 +52,16 @@ def test_choose_strategy_switches_at_size_thresholds():
     assert choose_strategy(fits, 64) == "broadcast_blas"
     assert choose_strategy(fits + 1, 64) == "lsh_bucketed"
     assert choose_strategy(10**9, 64) == "lsh_bucketed"
+
+
+def test_no_oracled_key_emits_complex_types(spark, sf_dir):
+    """Every ORACLED key (not just the window) must emit scalar-only
+    columns: the driver's pandas canonicalizer cannot hash list/dict
+    cells, and any oracled key may rotate into a future window."""
+    bad = []
+    for key in registry.ORACLES:
+        df = registry.QUERIES[key](spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((key, f.name, f.dataType.simpleString()))
+    assert bad == [], f"complex-typed outputs in oracled keys: {bad}"
