@@ -221,3 +221,37 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("value_cents"),
     )
     return run_to_memory(joined, _fresh("sjoin"), mode="append")
+
+
+@query(
+    "stream_topk_window",
+    oracle="""
+SELECT window_start, event_type, max_value
+FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         event_type, MAX(value) AS max_value
+  FROM events GROUP BY 1, 2
+)
+""",
+)
+def stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day per-type running maximum value, computed as a REAL
+    stream (watermark + daily tumbling window, complete mode) — the
+    streaming leaderboard pattern. Max is order-insensitive, so the
+    final streaming state must equal the batch aggregate exactly
+    (batch-equivalence oracle). At scale: windowed max keeps one
+    scalar per open (window, type) group in the state store; the
+    watermark bounds state growth."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    agg = (
+        st.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(F.max("value").alias("max_value"))
+    )
+    out = run_to_memory(agg, _fresh("topkwin"), mode="complete")
+    return out.select(
+        F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "max_value",
+    )
