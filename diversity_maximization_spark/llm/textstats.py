@@ -448,3 +448,70 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+# Hash-uniform in (0,1]: (h+1)/2^32 over the 32-bit multiplicative
+# hash — never 0, so ln(u) is finite; identical arithmetic both engines.
+_WU01 = "((((doc_id % 2147483648) * 2654435761 % 4294967296) + 1) / 4294967296.0)"
+_W_TOPN = 100
+
+
+@query(
+    "sample_weighted",
+    oracle=f"""
+SELECT doc_id, n_chars, wkey FROM (
+  SELECT doc_id, n_chars,
+         round(-ln({_WU01}) / n_chars, 9) AS wkey,
+         ROW_NUMBER() OVER (ORDER BY round(-ln({_WU01}) / n_chars, 9), doc_id)
+           AS rn
+  FROM documents
+) WHERE rn <= {_W_TOPN}
+""",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis-Spirakis A-ES): each doc draws a hash-uniform u and
+    keeps key = -ln(u)/w with weight w = n_chars; the {_W_TOPN}
+    smallest keys are the sample — inclusion probability rises with
+    document length, and the draw is reproducible on any engine or
+    partitioning (no RNG state). Keys are rounded to 9 dp BEFORE
+    ranking so the ln() libm difference between engines (< 1 ulp)
+    cannot flip an order; ties break by doc_id. At scale the global
+    top-N is a TakeOrdered (partial per-partition top-N, no full
+    sort)."""
+    d = load(spark, sf_dir, "documents")
+    key = F.expr(f"round(-ln({_WU01}) / n_chars, 9)")
+    return (
+        d.select("doc_id", "n_chars", key.alias("wkey"))
+        .orderBy("wkey", "doc_id")
+        .limit(_W_TOPN)
+    )
+
+
+@query(
+    "sample_n_per_group",
+    oracle=f"""
+SELECT doc_id, lang, rn FROM (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ((doc_id % 2147483648) * 2654435761 % 4294967296), doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 20
+""",
+)
+def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language cap: keep at most 20 docs per lang, chosen by
+    portable hash order (a deterministic 'random' subset — the
+    language-balancing cap of a multilingual corpus). One window per
+    group; for a pathologically hot group the two-phase salted
+    pattern of win_topk_salted applies unchanged."""
+    d = load(spark, sf_dir, "documents")
+    hsh = F.expr("((doc_id % 2147483648) * 2654435761 % 4294967296)")
+    w = Window.partitionBy("lang").orderBy(hsh, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+    )

@@ -392,3 +392,60 @@ def agg_percentile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "agg_corr_cov",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({cents('l_quantity')}) AS DOUBLE) AS sx,
+         CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS sy,
+         CAST(SUM({cents('l_quantity')} * {cents('l_extendedprice')}) AS DOUBLE) AS sxy,
+         CAST(SUM({cents('l_quantity')} * {cents('l_quantity')}) AS DOUBLE) AS sxx,
+         CAST(SUM({cents('l_extendedprice')} * {cents('l_extendedprice')}) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       round((n * sxy - sx * sy) / (n * n), 4) AS cov_pop_cents2,
+       round((n * sxy - sx * sy)
+             / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+             6) AS corr_qty_price
+FROM s ORDER BY l_returnflag
+""",
+)
+def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group covariance and Pearson correlation, computed from
+    EXACT integer-cents moment sums (n, sx, sy, sxy, sxx, syy) with
+    one double expression at the end — unlike the built-in
+    corr()/covar_pop() (whose float accumulation order varies with
+    partitioning), this formulation is bit-identical on any engine,
+    any partition layout. The moments are one partial+final agg pass;
+    the integer products stay within int64 at any group size that
+    fits a bigint."""
+    li = load(spark, sf_dir, "lineitem")
+    cx, cy = cents("l_quantity"), cents("l_extendedprice")
+    # squared-cents sums exceed int64 at sf0.1 (measured 2.2e19), so
+    # the moment sums accumulate as DECIMAL(38,0) in Spark / HUGEINT
+    # in DuckDB — both exact — and convert to double ONCE at the end
+    # (the same nearest-double rounding on both engines).
+    dec = "DECIMAL(38,0)"
+    s = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM(CAST({cx} AS {dec})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST({cy} AS {dec})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST({cx} * {cy} AS {dec})) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST({cx} * {cx} AS {dec})) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST({cy} * {cy} AS {dec})) AS DOUBLE)").alias("syy"),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr("round((n * sxy - sx * sy) / (n * n), 4)").alias(
+            "cov_pop_cents2"
+        ),
+        F.expr(
+            "round((n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
+        ).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")

@@ -255,3 +255,61 @@ def stream_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "max_value",
     )
+
+
+@query(
+    "sink_stream_foreach_batch",
+    oracle="""
+SELECT event_type, COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value
+FROM events
+GROUP BY event_type
+""",
+)
+def sink_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink — the production streaming sink pattern
+    (per-micro-batch custom write with exactly-once batch ids): each
+    micro-batch's per-type partial counts/cent-sums are appended to a
+    parquet directory keyed by batch id, then the final answer
+    re-aggregates the partials. The oracle is the plain batch
+    aggregate — equality proves (a) every micro-batch was delivered
+    exactly once and (b) the partial-then-final decomposition is
+    lossless (integer cents are associative). At scale foreachBatch
+    is how streams write to lakehouse tables, dims, or external
+    stores; the partial-agg-then-merge shape keeps each batch's write
+    proportional to the number of groups, not rows."""
+    import tempfile as _tf
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    out_dir = _tf.mkdtemp(prefix="dms_feb_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                    "cents"
+                ),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_dir)
+        .groupBy("event_type")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            (F.sum("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
