@@ -379,3 +379,46 @@ def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("ta", "tb").cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "fn_url",
+    oracle="""
+WITH aug AS (
+  SELECT doc_id,
+         'https://host' || (doc_id % 7) || '.example.com/docs/' || doc_id ||
+         '?lang=' || (doc_id % 3) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS scheme,
+       regexp_extract(url, '^[a-z]+://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?]lang=([0-9]+)', 1) AS lang_param
+FROM aug
+""",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing — the WARC/CommonCrawl metadata pass of a web
+    corpus pipeline. The fixture has no URL column, so a
+    DETERMINISTIC synthetic URL is derived from doc_id (same
+    expression in the oracle), then scheme/host/path/query params are
+    extracted with backref-free regexes (identical semantics under
+    Java regex and RE2). Narrow map, no shuffle; at scale this
+    pipelines inside the scan like every other scalar pass."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract(url, "^([a-z]+)://", 1).alias("scheme"),
+        F.regexp_extract(url, "^[a-z]+://([^/]+)/", 1).alias("host"),
+        F.regexp_extract(url, "^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
+        F.regexp_extract(url, "[?]lang=([0-9]+)", 1).alias("lang_param"),
+    )

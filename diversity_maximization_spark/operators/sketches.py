@@ -201,3 +201,55 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "sketch_percentile_merge",
+    oracle="""
+WITH parts AS (
+  SELECT event_type,
+         quantile_cont(value, 0.50) AS p50_exact,
+         quantile_cont(value, 0.95) AS p95_exact
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(p50_exact, 2) AS p50_exact, round(p95_exact, 2) AS p95_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok
+FROM parts
+""",
+)
+def sketch_percentile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable approximate percentiles (Greenwald-Khanna via
+    approx_percentile, accuracy 10000): the 100 TB path for
+    quantiles — each partition builds a bounded sketch, sketches
+    merge associatively, no sort of the data ever happens. Tolerance
+    oracle (the sketch is engine-specific): emit the exact p50/p95
+    per group plus flags that the approximate answers land within
+    1.5% relative (or 0.01 absolute for tiny values); the oracle
+    returns the exact values and TRUE. A drifting sketch flips a
+    flag and fails the value hash.
+
+    The exact percentile here uses the same interpolated definition
+    as DuckDB's quantile_cont (percentile() in Spark interpolates),
+    rounded to 2 dp to absorb the one-interpolation float
+    difference."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.50D)").alias("p50e"),
+        F.expr("percentile(value, 0.95D)").alias("p95e"),
+        F.expr("approx_percentile(value, 0.50D, 10000)").alias("p50a"),
+        F.expr("approx_percentile(value, 0.95D, 10000)").alias("p95a"),
+    )
+    return g.select(
+        "event_type",
+        F.round("p50e", 2).alias("p50_exact"),
+        F.round("p95e", 2).alias("p95_exact"),
+        (
+            F.abs(F.col("p50a") - F.col("p50e"))
+            <= F.greatest(F.abs(F.col("p50e")) * 0.015, F.lit(0.01))
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("p95a") - F.col("p95e"))
+            <= F.greatest(F.abs(F.col("p95e")) * 0.015, F.lit(0.01))
+        ).alias("p95_ok"),
+    )
