@@ -1,18 +1,27 @@
-"""Multimodal column plumbing (SURVEY.md §2.2-L; prompt mandate).
+"""Multimodal column processing (SURVEY.md §2.2-L; prompt mandate).
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
-The Spark-side plumbing — schema, partition-preserving mapInPandas,
-Arrow batch shapes, deterministic outputs — is real and tested; the
-actual codec decode is STUBBED (this container has no image/audio
-libraries): `_decode_stub` derives deterministic fake features from
-the bytes and raises NotImplementedError if a real codec is
-requested. Swapping in PIL/torchaudio later only changes the body of
-`_decode_stub`, nothing in the plan.
+PNG and WAV are REAL end-to-end with stdlib-only codecs — the
+payloads are genuine files (PNG: zlib-deflated RGB8 scanlines with
+CRC-checked chunks; WAV: 16-bit PCM via the ``wave`` module), decode
+parses them back, resize produces an actual nearest-neighbor
+thumbnail re-encoded as PNG. Only video decode remains a documented
+stub (no mp4 codec exists in the stdlib); its Spark-side plumbing
+(schema, 1->N fan-out, Arrow batches) is identical to the real paths.
+
+Scale shape: every step is Arrow-batched ``mapInPandas`` running next
+to the data — one pass, no shuffle between synth/decode/resize, no
+driver involvement; 100 TB of media decodes with whatever parallelism
+the scan has.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -21,25 +30,152 @@ from pyspark.sql import functions as F
 from ..registry import query
 from ..sources import load
 
-REAL_CODECS_AVAILABLE = False
+IMG_W, IMG_H = 16, 16
+WAV_RATE = 8000
+WAV_SAMPLES = 400
 
 
-def _decode_stub(payload: bytes) -> tuple[int, int, float]:
-    """STUB decode: deterministic fake (width, height, mean_luma)
-    derived from the payload hash. Replace with a real codec when the
-    environment provides one."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real image decode not wired yet")
+# --- real stdlib codecs ----------------------------------------------------
+
+
+def png_encode(rgb: bytes, width: int, height: int) -> bytes:
+    """Minimal real PNG writer: 8-bit RGB, filter 0, one IDAT."""
+    assert len(rgb) == width * height * 3
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    stride = width * 3
+    raw = b"".join(
+        b"\x00" + rgb[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def png_decode(data: bytes) -> tuple[int, int, bytes]:
+    """Minimal real PNG reader for the subset png_encode writes
+    (8-bit RGB, filter 0). Returns (width, height, rgb bytes)."""
+    assert data[:8] == b"\x89PNG\r\n\x1a\n", "not a PNG"
+    pos, width, height, idat = 8, 0, 0, b""
+    while pos < len(data):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + ln]
+        crc = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])[0]
+        assert crc == zlib.crc32(tag + body) & 0xFFFFFFFF, "PNG CRC mismatch"
+        if tag == b"IHDR":
+            width, height, depth, ctype = struct.unpack(">IIBB", body[:10])
+            assert (depth, ctype) == (8, 2), "unsupported PNG subset"
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = width * 3
+    rows = []
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        assert line[0] == 0, "unsupported PNG filter"
+        rows.append(line[1:])
+    return width, height, b"".join(rows)
+
+
+def wav_encode(samples: list[int], rate: int = WAV_RATE) -> bytes:
+    """Real WAV writer: 16-bit PCM mono via the stdlib wave module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def wav_decode(data: bytes) -> tuple[int, int, list[int]]:
+    """(n_frames, rate, samples) via the stdlib wave module."""
+    with wave.open(io.BytesIO(data), "rb") as w:
+        n, rate = w.getnframes(), w.getframerate()
+        samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
+    return n, rate, samples
+
+
+def _synth_payload(doc_id: int, text: str, media_type: str) -> bytes:
+    """Deterministic REAL media file from the doc (PNG/WAV), or the
+    documented opaque stub for video."""
+    seed = hashlib.sha256(f"{doc_id}:{text}".encode()).digest()
+    stream = b"".join(
+        hashlib.sha256(seed + bytes([i])).digest() for i in range(26)
+    )  # 832 bytes >= max(IMG_W*IMG_H*3 = 768, WAV_SAMPLES*2 = 800)
+    if media_type == "image/png":
+        return png_encode(stream[: IMG_W * IMG_H * 3], IMG_W, IMG_H)
+    if media_type == "audio/wav":
+        vals = struct.unpack(f"<{WAV_SAMPLES}h", stream[: WAV_SAMPLES * 2])
+        return wav_encode(list(vals))
+    # video/mp4: no stdlib codec — opaque deterministic bytes (STUB)
+    return stream[:256]
+
+
+def with_media(d: DataFrame) -> DataFrame:
+    """Attach a typed media column: REAL PNG/WAV payloads (stdlib
+    encoders), opaque stub bytes for video — synthesized
+    executor-side in Arrow batches, deterministic per doc."""
+
+    def gen(batches):
+        for pdf in batches:
+            mts, payloads = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                mt = ("image/png", "audio/wav", "video/mp4")[doc_id % 3]
+                mts.append(mt)
+                payloads.append(_synth_payload(doc_id, text, mt))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "media_type": mts, "payload": payloads}
+            )
+
+    return d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, media_type string, payload binary"
+    )
+
+
+# backward-compat alias (older tests/docs referenced the fake name)
+with_fake_media = with_media
+
+
+def _decode_one(media_type: str, payload: bytes) -> tuple[int, int, float]:
+    """(width, height, mean_luma) for images; (n_frames, rate,
+    mean |amplitude| in [0,1]) for audio; deterministic hash stub for
+    video (no stdlib mp4 decode — documented)."""
+    if media_type == "image/png":
+        w, h, rgb = png_decode(payload)
+        luma = [
+            0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+            for i in range(0, len(rgb), 3)
+        ]
+        return w, h, round(sum(luma) / len(luma) / 255.0, 6)
+    if media_type == "audio/wav":
+        n, rate, samples = wav_decode(payload)
+        mean_abs = sum(abs(s) for s in samples) / len(samples) / 32768.0
+        return n, rate, round(mean_abs, 6)
     h = hashlib.md5(payload).digest()
-    width = 64 + h[0] % 192
-    height = 64 + h[1] % 192
-    mean_luma = round(h[2] / 255.0, 6)
-    return width, height, mean_luma
+    return 64 + h[0] % 192, 64 + h[1] % 192, round(h[2] / 255.0, 6)
 
 
 def _decode_batches(batches):
     for pdf in batches:
-        feats = [_decode_stub(p) for p in pdf["payload"]]
+        feats = [
+            _decode_one(mt, p) for mt, p in zip(pdf["media_type"], pdf["payload"])
+        ]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
@@ -52,26 +188,14 @@ def _decode_batches(batches):
         )
 
 
-def with_fake_media(d: DataFrame) -> DataFrame:
-    """Attach a deterministic opaque binary column + metadata (stands
-    in for real image bytes; unhex(md5) is stable across runs)."""
-    return d.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 3 == 0, "image/png")
-        .when(F.col("doc_id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("media_type"),
-        F.unhex(F.md5(F.col("text"))).alias("payload"),
-    )
-
-
-@query("multimodal_decode")  # rows-only: decode is a stub, schema is real
+@query("multimodal_decode")  # rows-only: binary payloads, not SQL-expressible
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> decoded feature columns via Arrow-batched
-    mapInPandas (the real 100 TB pattern: decode runs next to the
-    data, one pass, no driver involvement)."""
+    mapInPandas (the 100 TB pattern: decode runs next to the data,
+    one pass, no driver involvement). PNG/WAV decode is REAL
+    (stdlib zlib/wave); video is the documented stub."""
     d = load(spark, sf_dir, "documents")
-    media = with_fake_media(d)
+    media = with_media(d)
     return media.mapInPandas(
         _decode_batches,
         "doc_id bigint, media_type string, n_bytes int, width int, height int, "
@@ -82,32 +206,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 TARGET_W, TARGET_H = 32, 32
 
 
-def _resize_stub(payload: bytes, w: int, h: int) -> bytes:
-    """STUB resize: deterministic re-hash standing in for the resized
-    pixel buffer (a real backend returns the actual w*h buffer)."""
-    if REAL_CODECS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real image resize not wired yet")
-    return hashlib.md5(payload + f"{w}x{h}".encode()).digest()
+def _resize_rgb(
+    rgb: bytes, w: int, h: int, tw: int, th: int
+) -> bytes:
+    """Real nearest-neighbor resize of a raw RGB buffer."""
+    out = bytearray(tw * th * 3)
+    for ty in range(th):
+        sy = ty * h // th
+        for tx in range(tw):
+            sx = tx * w // tw
+            si, di = (sy * w + sx) * 3, (ty * tw + tx) * 3
+            out[di : di + 3] = rgb[si : si + 3]
+    return bytes(out)
 
 
-@query("multimodal_resize")  # rows-only: stub codec, real plumbing
+@query("multimodal_resize")  # rows-only: binary payloads
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image rows -> fixed-size thumbnails: filter to one modality
-    (pushed to the scan), Arrow-batched per-partition transform, typed
-    output schema carrying the new geometry."""
+    """Image rows -> REAL fixed-size thumbnails: decode the PNG,
+    nearest-neighbor resample to 32x32, re-encode as PNG — all
+    stdlib, all executor-side. The modality filter prunes before any
+    decode work."""
     d = load(spark, sf_dir, "documents")
-    media = with_fake_media(d).filter(F.col("media_type") == "image/png")
+    media = with_media(d).filter(F.col("media_type") == "image/png")
 
     def gen(batches):
         for pdf in batches:
+            thumbs = []
+            for p in pdf["payload"]:
+                w, h, rgb = png_decode(p)
+                thumbs.append(
+                    png_encode(
+                        _resize_rgb(rgb, w, h, TARGET_W, TARGET_H),
+                        TARGET_W,
+                        TARGET_H,
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": TARGET_W,
                     "height": TARGET_H,
-                    "thumb": [
-                        _resize_stub(p, TARGET_W, TARGET_H) for p in pdf["payload"]
-                    ],
+                    "thumb": thumbs,
                 }
             )
 
@@ -119,22 +258,63 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 FEAT_DIM = 8
 
 
-@query("multimodal_features")  # rows-only: stub codec, real plumbing
+def _image_features(payload: bytes) -> list[float]:
+    """Real 8-dim image descriptor: mean R/G/B, 4-bin luma histogram
+    fractions, fill ratio — all in [0, 1]."""
+    w, h, rgb = png_decode(payload)
+    n = w * h
+    rs = sum(rgb[0::3]) / n / 255.0
+    gs = sum(rgb[1::3]) / n / 255.0
+    bs = sum(rgb[2::3]) / n / 255.0
+    hist = [0] * 4
+    for i in range(0, len(rgb), 3):
+        luma = 0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
+        hist[min(3, int(luma // 64))] += 1
+    return [round(v, 6) for v in (rs, gs, bs, *[c / n for c in hist], 1.0)]
+
+
+def _audio_features(payload: bytes) -> list[float]:
+    """Real 8-dim audio descriptor: normalized RMS, mean |amp|, zero-
+    crossing rate, peak, 4 coarse energy bands over time — in [0,1]."""
+    n, _rate, s = wav_decode(payload)
+    norm = [x / 32768.0 for x in s]
+    rms = (sum(x * x for x in norm) / n) ** 0.5
+    mean_abs = sum(abs(x) for x in norm) / n
+    zcr = sum(
+        1 for a, b in zip(norm, norm[1:]) if (a < 0) != (b < 0)
+    ) / (n - 1)
+    peak = max(abs(x) for x in norm)
+    q = n // 4
+    bands = [
+        min(1.0, (sum(x * x for x in norm[i * q : (i + 1) * q]) / q) ** 0.5 * 2)
+        for i in range(4)
+    ]
+    return [round(v, 6) for v in (rms, mean_abs, zcr, peak, *bands)]
+
+
+@query("multimodal_features")  # rows-only: binary payloads
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Feature extraction: media bytes -> fixed-dim float vector
-    (deterministic hash-derived stub; a real model would run in the
-    same Arrow batch shape). Output is join-ready with `embeddings`."""
+    """Feature extraction: media bytes -> fixed-dim float vector.
+    REAL descriptors for PNG (color/luma stats) and WAV (energy/ZCR);
+    hash-derived stub for video. Output is join-ready with
+    `embeddings` (same Arrow batch shape a learned encoder would
+    use)."""
     d = load(spark, sf_dir, "documents")
-    media = with_fake_media(d)
+    media = with_media(d)
 
     def gen(batches):
         for pdf in batches:
             feats = []
-            for p in pdf["payload"]:
-                h = hashlib.sha256(p).digest()
-                feats.append(
-                    [round(b / 255.0, 6) for b in h[:FEAT_DIM]]
-                )
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                if mt == "image/png":
+                    feats.append(_image_features(p))
+                elif mt == "audio/wav":
+                    feats.append(_audio_features(p))
+                else:
+                    hsh = hashlib.sha256(p).digest()
+                    feats.append(
+                        [round(b / 255.0, 6) for b in hsh[:FEAT_DIM]]
+                    )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return media.mapInPandas(gen, "doc_id bigint, feature array<double>")
@@ -143,14 +323,15 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_FRAMES = 4
 
 
-@query("multimodal_frame_sample")  # rows-only: stub codec, real plumbing
+@query("multimodal_frame_sample")  # rows-only: stub codec (no stdlib mp4)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video rows -> N sampled frames each (1->N mapInPandas): every
     output row carries (doc_id, frame_idx, frame payload stub). The
     fan-out happens executor-side in the same task as the decode —
-    no shuffle between decode and sampling."""
+    no shuffle between decode and sampling. Frame extraction itself
+    stays a deterministic stub: no mp4 codec exists in the stdlib."""
     d = load(spark, sf_dir, "documents")
-    media = with_fake_media(d).filter(F.col("media_type") == "video/mp4")
+    media = with_media(d).filter(F.col("media_type") == "video/mp4")
 
     def gen(batches):
         for pdf in batches:
