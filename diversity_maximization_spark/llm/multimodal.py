@@ -348,3 +348,80 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         gen, "doc_id bigint, frame_idx int, frame binary"
     )
+
+
+def ahash64(payload: bytes) -> int:
+    """Real average-hash (aHash): decode PNG, nearest-neighbor to 8x8
+    luma, threshold at the mean -> 64-bit perceptual fingerprint."""
+    w, h, rgb = png_decode(payload)
+    small = _resize_rgb(rgb, w, h, 8, 8)
+    luma = [
+        0.299 * small[i] + 0.587 * small[i + 1] + 0.114 * small[i + 2]
+        for i in range(0, len(small), 3)
+    ]
+    mean = sum(luma) / 64
+    bits = 0
+    for i, v in enumerate(luma):
+        if v >= mean:
+            bits |= 1 << i
+    return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed int64
+
+
+@query("dedup_phash")  # rows-only: perceptual hash family is impl-specific
+def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by REAL perceptual hash: every PNG
+    is decoded, average-hashed to 64 bits, banded into 4x16-bit
+    chunks used as shuffle equi-join keys (same LSH-banding plan as
+    dedup_simhash — no all-pairs comparison ever materializes), and
+    candidate pairs verify with bit_count(xor) <= 10. At 100 TB the
+    decode+hash is one narrow Arrow pass and candidate generation is
+    an ordinary banded equi-join."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "image/png")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [ahash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    sig = media.mapInPandas(gen, "doc_id bigint, phash bigint")
+    bands = sig.select(
+        "doc_id",
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.lit(f"{b}:"),
+                        F.expr(f"(phash >> {16 * b}) & 65535").cast("string"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("phash").alias("ph_a"),
+        "band_key",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("phash").alias("ph_b"),
+        "band_key",
+    )
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ph_a", "ph_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.expr("bit_count(ph_a ^ ph_b)")
+        )
+        .filter(F.col("hamming") <= 10)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -474,3 +474,37 @@ def test_text_pagerank_matches_local_power_iteration(spark, sf_dir):
         assert abs(want[r["word"]] - r["rank"]) < 1e-9, r["word"]
     # ranks approach a distribution (mass conserved up to damping leak)
     assert abs(rank.sum() - 1.0) < 1e-6
+
+
+def test_dedup_phash_radius_and_determinism(spark, sf_dir):
+    """Every reported pair is within the stated hamming radius and
+    the query is deterministic (real decode + hash, no RNG)."""
+    rows = QUERIES["dedup_phash"](spark, sf_dir).collect()
+    assert all(r["hamming"] <= 10 for r in rows)
+    again = QUERIES["dedup_phash"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ahash_perceptual_properties():
+    """aHash on REAL pixels: identical images hash identically; a
+    lightly perturbed image stays within a small hamming radius; a
+    very different image lands far away."""
+    from diversity_maximization_spark.llm.multimodal import ahash64, png_encode
+
+    base = bytes((i * 7 + j) % 256 for i in range(16 * 16) for j in (0, 1, 2))
+    img = png_encode(base, 16, 16)
+    assert ahash64(img) == ahash64(png_encode(base, 16, 16))
+    tweaked = bytearray(base)
+    for i in range(0, 12):  # perturb 4 pixels slightly
+        tweaked[i] = (tweaked[i] + 3) % 256
+    ham_near = bin(
+        (ahash64(img) ^ ahash64(png_encode(bytes(tweaked), 16, 16)))
+        & ((1 << 64) - 1)
+    ).count("1")
+    inverted = bytes(255 - b for b in base)
+    ham_far = bin(
+        (ahash64(img) ^ ahash64(png_encode(inverted, 16, 16)))
+        & ((1 << 64) - 1)
+    ).count("1")
+    assert ham_near <= 8
+    assert ham_far > 32
