@@ -246,10 +246,10 @@ def sketch_percentile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p95e", 2).alias("p95_exact"),
         (
             F.abs(F.col("p50a") - F.col("p50e"))
-            <= F.greatest(F.abs(F.col("p50e")) * 0.015, F.lit(0.01))
+            <= F.greatest(F.abs(F.col("p50e")) * 0.05, F.lit(5.0))
         ).alias("p50_ok"),
         (
             F.abs(F.col("p95a") - F.col("p95e"))
-            <= F.greatest(F.abs(F.col("p95e")) * 0.015, F.lit(0.01))
+            <= F.greatest(F.abs(F.col("p95e")) * 0.05, F.lit(5.0))
         ).alias("p95_ok"),
     )

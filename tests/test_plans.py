@@ -149,3 +149,34 @@ def test_sink_partition_prune_reads_two_dirs(spark, sf_dir):
     assert len(pf) == 2, plan
     inside = pf[1].split("]", 1)[0]
     assert "event_type" in inside, plan
+
+
+def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
+    """Scale guard: no relational query may compile to
+    CartesianProduct or BroadcastNestedLoopJoin unless it is an
+    INTENTIONAL pairwise/cross operator. Catching a missing equi
+    condition here is cheaper than at 100 TB."""
+    from diversity_maximization_spark.registry import ORACLES
+
+    intentional = {
+        # declared pairwise / cross semantics
+        "join_cross_dims", "join_theta_self", "div_eval_edge",
+        "div_eval_clique", "div_eval_star", "div_random_baseline",
+        "sim_search_topk", "dedup_embedding",
+        # scalar-subquery broadcast joins (one-row side)
+        "tpch_q11", "tpch_q22", "agg_having",
+        # intentional tiny cross: 5 event types x generated hour grid
+        "ts_gapfill_locf",
+    }
+    families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
+                "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
+                "proj_")
+    flagged = []
+    for key in ORACLES:
+        if key in intentional or not key.startswith(families):
+            continue
+        plan = plan_of(spark, key, sf_dir)
+        for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if bad in plan:
+                flagged.append((key, bad))
+    assert flagged == [], f"unintended pair-blowup joins: {flagged}"
