@@ -508,3 +508,28 @@ def test_ahash_perceptual_properties():
     ).count("1")
     assert ham_near <= 8
     assert ham_far > 32
+
+
+def test_audio_fingerprint_properties(spark, sf_dir):
+    """Real FFT fingerprints: deterministic over the corpus; identical
+    signals collide, spectrally different signals differ."""
+    import math
+
+    from diversity_maximization_spark.llm.multimodal import audio_fp, wav_encode
+
+    rows = QUERIES["audio_fingerprint"](spark, sf_dir).collect()
+    assert rows and all(0 <= r["dominant_band"] < 16 for r in rows)
+    again = QUERIES["audio_fingerprint"](spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    low = wav_encode(
+        [int(20000 * math.sin(2 * math.pi * 3 * i / 400)) for i in range(400)]
+    )
+    high = wav_encode(
+        [int(20000 * math.sin(2 * math.pi * 150 * i / 400)) for i in range(400)]
+    )
+    fp_low, dom_low, _ = audio_fp(low)
+    fp_high, dom_high, _ = audio_fp(high)
+    assert audio_fp(low) == audio_fp(low)
+    assert dom_low < dom_high  # energy concentrates where the tone is
+    assert fp_low != fp_high
