@@ -430,3 +430,61 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(matched, "updated").otherwise("unchanged").alias("merge_action"),
         )
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+WITH probes AS (
+  SELECT c_custkey AS probe_id,
+         substr(c_name, 1, ((c_custkey % 5) + 2))
+           || substr(c_name, ((c_custkey % 5) + 4)) AS probe_name
+  FROM customer WHERE c_custkey % 7 = 0
+)
+SELECT p.probe_id, c.c_custkey, c.c_name,
+       CAST(levenshtein(p.probe_name, c.c_name) AS INTEGER) AS edit_dist
+FROM probes p
+JOIN customer c
+  ON substr(p.probe_name, 1, 2) = substr(c.c_name, 1, 2)
+ AND abs(length(p.probe_name) - length(c.c_name)) <= 2
+WHERE levenshtein(p.probe_name, c.c_name) <= 2
+""",
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join with BLOCKING (record linkage):
+    a probe set of corrupted names (one char deleted at a
+    key-derived position — deterministic, same expression in the
+    oracle) matches back to customers with edit distance <= 2. The
+    blocking key (2-char prefix + length band) turns the O(n*m)
+    all-pairs levenshtein into an ordinary equi-join on the prefix
+    with a tiny residual — THE scalable shape for fuzzy matching:
+    at 100 TB only same-block pairs are ever scored, and a hot block
+    splits under AQE like any other skewed join key."""
+    c = load(spark, sf_dir, "customer")
+    cut = (F.col("c_custkey") % 5) + 2
+    probes = c.filter(F.col("c_custkey") % 7 == 0).select(
+        F.col("c_custkey").alias("probe_id"),
+        F.concat(
+            F.expr("substr(c_name, 1, (c_custkey % 5) + 2)"),
+            F.expr("substr(c_name, (c_custkey % 5) + 4)"),
+        ).alias("probe_name"),
+    )
+    return (
+        probes.join(
+            c,
+            (
+                F.expr("substr(probe_name, 1, 2)")
+                == F.expr("substr(c_name, 1, 2)")
+            )
+            & (
+                F.abs(F.length("probe_name") - F.length("c_name")) <= 2
+            ),
+        )
+        .filter(F.levenshtein("probe_name", "c_name") <= 2)
+        .select(
+            "probe_id",
+            "c_custkey",
+            "c_name",
+            F.levenshtein("probe_name", "c_name").cast("int").alias("edit_dist"),
+        )
+    )
