@@ -313,3 +313,61 @@ def sink_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100).alias("total_value"),
         )
     )
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s JOIN events p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+""",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: signups joined to purchases of the
+    same user within 5 minutes, both sides watermarked (45 min: the
+    replay slices are cut by event_id, so cross-file event-time
+    disorder can exceed a tight watermark; state eviction must
+    out-wait the disorder bound or in-window pairs drop) — the hardest
+    Structured Streaming operator (state on BOTH sides; the watermark
+    + time-range condition is what lets Spark evict join state, so
+    memory stays bounded by the time window, not the stream length).
+    Replayed as a real two-stream query; the oracle is the identical
+    batch interval join over the full table — equality proves no
+    in-window pair was dropped or duplicated across micro-batches.
+    At 100 TB/day this is the canonical attribution join."""
+    replay = write_replay_files(spark, sf_dir)
+    s = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "45 minutes")
+    )
+    p = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_p"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", "45 minutes")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("user_p"))
+        & (F.col("ts_p") >= F.col("ts_s"))
+        & (F.col("ts_p") <= F.col("ts_s") + F.expr("INTERVAL 5 MINUTE")),
+    )
+    out = run_to_memory(
+        joined.select("user_id", "signup_id", "purchase_id"),
+        _fresh("ssjoin"),
+        mode="append",
+    )
+    return out
