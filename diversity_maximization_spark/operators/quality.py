@@ -1,0 +1,143 @@
+"""Data-quality audit operators (the production gate a 100 TB
+ingest runs before training): declarative rules evaluated as
+aggregates — null rates, range violations, key uniqueness,
+referential integrity — plus Spark's native observe() metrics API
+for free in-flight counters on a query that is running anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "dq_checks",
+    oracle="""
+SELECT 'customer_key_unique' AS rule, (
+  SELECT COUNT(*) FROM (
+    SELECT c_custkey FROM customer GROUP BY c_custkey HAVING COUNT(*) > 1)
+) AS n_violations
+UNION ALL
+SELECT 'orders_fk_customer', (
+  SELECT COUNT(*) FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+UNION ALL
+SELECT 'lineitem_qty_range', (
+  SELECT COUNT(*) FROM lineitem
+  WHERE l_quantity IS NULL OR l_quantity <= 0 OR l_quantity > 100)
+UNION ALL
+SELECT 'events_value_nonnull', (
+  SELECT COUNT(*) FROM events WHERE value IS NULL)
+UNION ALL
+SELECT 'documents_text_nonempty', (
+  SELECT COUNT(*) FROM documents
+  WHERE text IS NULL OR length(text) = 0)
+""",
+)
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality audit: five rule families evaluated
+    with ONE aggregate-shaped job per table — uniqueness is a
+    group-count, referential integrity a LEFT ANTI join count, range
+    and null rules are conditional counts inside the scan. Violations
+    come back as a tiny (rule, count) report; a green run is all
+    zeros. At 100 TB every rule is either a narrow scan-side count or
+    one keyed shuffle — the audit costs no more than the cheapest
+    aggregate over each table."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    ev = load(spark, sf_dir, "events")
+    d = load(spark, sf_dir, "documents")
+
+    dup_keys = (
+        c.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("customer_key_unique").alias("rule"), "n_violations")
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("orders_fk_customer").alias("rule"), "n_violations")
+    )
+    qty = (
+        li.agg(
+            F.sum(
+                F.when(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") <= 0)
+                    | (F.col("l_quantity") > 100),
+                    1,
+                ).otherwise(0)
+            ).alias("n_violations")
+        )
+        .select(F.lit("lineitem_qty_range").alias("rule"), "n_violations")
+    )
+    nulls = (
+        ev.agg(
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias(
+                "n_violations"
+            )
+        )
+        .select(F.lit("events_value_nonnull").alias("rule"), "n_violations")
+    )
+    empties = (
+        d.agg(
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                ).otherwise(0)
+            ).alias("n_violations")
+        )
+        .select(F.lit("documents_text_nonempty").alias("rule"), "n_violations")
+    )
+    return (
+        dup_keys.unionAll(orphans)
+        .unionAll(qty)
+        .unionAll(nulls)
+        .unionAll(empties)
+    )
+
+
+@query(
+    "obs_quality_metrics",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
+       MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_price_cents
+FROM orders
+""",
+)
+def obs_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's native observe() metrics: quality counters attached to
+    a query that runs ANYWAY (here a pass over orders) — the
+    zero-extra-scan way to monitor a production pipeline (metrics
+    accumulate inside the existing job, surfaced via the Observation
+    API, no second aggregation job over the data)."""
+    from pyspark.sql import Observation
+
+    o = load(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "n_nonpositive"
+        ),
+        # observe() forbids DISTINCT aggregates — use min/max style
+        # counters (the typical in-flight monitors anyway)
+        F.max(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "max_price_cents"
+        ),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_nonpositive"], m["max_price_cents"])],
+        "n_rows bigint, n_nonpositive bigint, max_price_cents bigint",
+    )
