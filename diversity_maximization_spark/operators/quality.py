@@ -141,3 +141,81 @@ def obs_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(m["n_rows"], m["n_nonpositive"], m["max_price_cents"])],
         "n_rows bigint, n_nonpositive bigint, max_price_cents bigint",
     )
+
+
+@query(
+    "feat_bucketize",
+    oracle="""
+WITH t AS (
+  SELECT c_custkey, c_acctbal,
+         NTILE(8) OVER (ORDER BY c_acctbal, c_custkey) AS bucket
+  FROM customer
+)
+SELECT bucket, COUNT(*) AS n,
+       round(MIN(c_acctbal), 2) AS lo, round(MAX(c_acctbal), 2) AS hi
+FROM t GROUP BY bucket
+ORDER BY bucket
+""",
+)
+def feat_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth feature bucketization (the quantile-binning step of
+    feature engineering): NTILE(8) over account balance, reporting
+    each bucket's population and [lo, hi] bounds. Ties broken by key
+    so the assignment is total and engine-independent. The global
+    NTILE is a single-partition window at this shape — at scale the
+    same binning comes from approx_percentile boundaries (see
+    sketch_percentile_merge) applied as a narrow map; this key pins
+    the exact semantics those boundaries approximate."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    return (
+        c.select("c_custkey", "c_acctbal", F.ntile(8).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "feat_string_index",
+    oracle="""
+WITH freq AS (
+  SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+), idx AS (
+  SELECT c_mktsegment,
+         ROW_NUMBER() OVER (ORDER BY n DESC, c_mktsegment) - 1 AS label_idx
+  FROM freq
+)
+SELECT c.c_custkey, c.c_mktsegment, i.label_idx
+FROM customer c JOIN idx i ON c.c_mktsegment = i.c_mktsegment
+""",
+)
+def feat_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer semantics without MLlib: categorical labels map
+    to dense integer ids ordered by frequency (most frequent = 0),
+    ties by name — deterministic on any engine. The index table is
+    one tiny agg (cardinality of the category, not the data) that
+    broadcasts back onto the rows: the standard train-time encoding
+    pass, shuffle-free on the fact side."""
+    c = load(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    freq = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    idx = freq.select(
+        "c_mktsegment",
+        (
+            F.row_number().over(
+                Window.orderBy(F.col("n").desc(), F.col("c_mktsegment"))
+            )
+            - 1
+        ).alias("label_idx"),
+    )
+    return c.select("c_custkey", "c_mktsegment").join(
+        F.broadcast(idx), "c_mktsegment"
+    ).select("c_custkey", "c_mktsegment", "label_idx")
