@@ -1,0 +1,275 @@
+"""Behavioral / product-analytics operators over the events table:
+cohort retention, event-transition (Markov) matrix, peak-concurrency
+sweep-line, daily anomaly z-scores, and SCD2 (type-2 slowly-changing
+dimension) history building.
+
+These are the event-log workloads a 100 TB analytics engine serves
+daily. Scale notes per operator:
+
+- retention_cohort: two shuffled aggs on user_id (first-touch, then
+  cohort cell counts) — user_id is the natural high-cardinality
+  partition key, no skew beyond real user skew (AQE handles).
+- markov_transitions: one window over (user_id) — per-user sequences
+  parallelize across users; the transition matrix itself is tiny
+  (|event_type|^2) so the final agg collapses fast map-side.
+- interval_concurrency: the naive sweep-line is ONE global-ordered
+  running sum — a single-task scale-killer. Implemented instead as
+  the two-phase decomposition: a per-day partitioned prefix sum
+  (parallel across days) plus a day-level carry (window over the tiny
+  per-day totals), recombined additively. The oracle IS the naive
+  global form, so the hash match proves the decomposition exact.
+- anomaly_daily_zscore: per-type daily counts then a per-type window
+  — parallelism = number of series, the standard anomaly shape.
+- scd2_history: lag/lead over (user_id, ts) — the CDC-to-dimension
+  compaction every lakehouse runs; one shuffle on the entity key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "retention_cohort",
+    oracle="""
+WITH first AS (
+  SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+)
+SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+       CAST(date_diff('day', date_trunc('week', f.first_ts),
+                      date_trunc('week', e.ts)) / 7 AS INT) AS week_offset,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by the week of
+    their first event; each cell counts distinct users from that
+    cohort active N weeks later. Week offsets are exact day-diffs of
+    week-truncated timestamps divided by 7 (always integral), so no
+    engine-specific week-number arithmetic is involved."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_trunc("week", "first_ts").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.date_trunc("week", F.col("first_ts")),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
+    "markov_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type, next_type, COUNT(*) AS n,
+       round(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+""",
+)
+def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: for each user's time-ordered
+    event sequence (ties broken by event_id), count type->next-type
+    pairs and normalize to per-source-type probabilities. p is an
+    exact-integer ratio rounded to 6 dp, so the hash is stable."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    trans = pairs.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    per_src = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(per_src), 6
+        ).alias("p"),
+    )
+
+
+@query(
+    "interval_concurrency",
+    oracle="""
+WITH deltas AS (
+  SELECT ts AS t, 1 AS delta, event_id FROM events
+  UNION ALL
+  SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS delta, event_id FROM events
+), run AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t, delta, event_id
+                             ROWS UNBOUNDED PRECEDING) AS cur
+  FROM deltas
+)
+SELECT CAST(date_trunc('day', t) AS TIMESTAMP) AS day,
+       CAST(MAX(cur) AS BIGINT) AS peak
+FROM run GROUP BY 1
+""",
+)
+def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 30-minute event windows per day, by sweep-line.
+
+    The oracle is the textbook single-ordered running sum (+1 at each
+    start, -1 at each end). That form is a one-task bottleneck at
+    scale, so the Spark plan decomposes it: within-day prefix sums run
+    partitioned by day (parallel), a day-level cumulative carry runs
+    over the tiny per-day totals, and peak(day) = carry + max(prefix).
+    Exact because day(t) is monotone in the global sweep order — the
+    hash match against the naive oracle proves the decomposition.
+
+    Tie discipline: ends sort before starts at the same instant
+    (delta -1 < +1), then event_id — a total order on both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    starts = ev.select(
+        F.col("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        F.expr("ts + INTERVAL 30 MINUTES").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    deltas = starts.unionAll(ends).withColumn(
+        "day", F.date_trunc("day", "t")
+    )
+    in_day = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pref = deltas.withColumn("prefix", F.sum("delta").over(in_day))
+    day_tot = pref.groupBy("day").agg(
+        F.sum("delta").alias("day_delta"), F.max("prefix").alias("day_peak")
+    )
+    carry_w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return day_tot.select(
+        "day",
+        (
+            F.sum("day_delta").over(carry_w)
+            - F.col("day_delta")
+            + F.col("day_peak")
+        ).alias("peak"),
+    )
+
+
+@query(
+    "anomaly_daily_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+  FROM events GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
+       round((n - AVG(n) OVER t) / stddev_samp(n) OVER t, 4) AS z
+FROM daily
+WINDOW t AS (PARTITION BY event_type)
+""",
+)
+def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-count anomaly scores: z-score of each day's count
+    against that event type's own daily distribution. Rounded to 4 dp
+    on O(1) magnitudes (same discipline as udf_grouped_map — the two
+    engines' stddev accumulation orders differ at ~1e-12 relative).
+    Parallelism = number of series; the window partitions by type."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            (F.col("n") - F.avg("n").over(t)) / F.stddev_samp("n").over(t),
+            4,
+        ).alias("z"),
+    )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), changes AS (
+  SELECT user_id, event_type AS state, ts AS valid_from, event_id
+  FROM marked
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, state, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_id) IS NULL
+         AS is_current
+FROM changes
+""",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: compact each user's
+    event stream into validity ranges of their current event_type
+    "state" — a row per state change carrying [valid_from, valid_to)
+    and an is_current flag. The CDC-to-dimension compaction pattern:
+    one shuffle on the entity key, two stacked windows over the same
+    partitioning (Catalyst plans a single Exchange + two Window
+    nodes, no second shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("valid_from"),
+            "event_id",
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -118,6 +118,7 @@ def load_all() -> None:
     verifies the first 50 keys in registration order)."""
     from .operators import (  # noqa: F401
         aggregates,
+        behavior,
         joins,
         quality,
         scalars,
