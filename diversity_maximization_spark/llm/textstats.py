@@ -515,3 +515,61 @@ def sample_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
     )
+
+
+@query(
+    "entropy_source",
+    oracle="""
+WITH cnt AS (
+  SELECT source, w, COUNT(*) AS c FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+)
+SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_types,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT))
+                    AS DOUBLE) / 1000000 / CAST(SUM(c) AS DOUBLE),
+             6) AS entropy
+FROM cnt GROUP BY source
+""",
+)
+def entropy_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's word distribution (nats):
+    H = ln(N) - (Σ c·ln c)/N over per-source word counts — the
+    vocabulary-diversity signal used to spot template-generated or
+    boilerplate-heavy corpus slices (low entropy = repetitive source).
+
+    Float discipline: the Σ c·ln c accumulation is the only
+    order-dependent term, so each term is fixed-pointed to integer
+    micro-nats (CAST(ROUND(·*1e6) AS BIGINT)) and summed exactly —
+    order-independent in both engines — then the final entropy is
+    rounded to 6 dp. One explode pass, two shuffled aggs on
+    (source, word) then (source); all JVM built-ins."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(
+                F.expr("CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)")
+            ).alias("micro"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.log(F.col("n_tokens").cast("double"))
+                - F.col("micro").cast("double")
+                / 1000000
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )

@@ -121,3 +121,49 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100"
         ).alias("total_value"),
     )
+
+
+@query(
+    "sink_clustered_layout",
+    oracle="""
+SELECT COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1995-04-01'
+""",
+)
+def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered data layout + data-skipping read-back: write
+    lineitem range-partitioned AND sorted within files on l_shipdate,
+    then aggregate a tight date slice of the read-back.
+
+    This is the zone-map / clustering lever for high-cardinality
+    columns where directory partitioning (sink_partition_prune) is
+    wrong: because each output file covers a disjoint l_shipdate
+    range, the read-back's pushed-down range predicate (PushedFilters
+    on the scan) lets parquet row-group min/max statistics skip every
+    file outside the slice. At 100 TB this turns a full-table scan
+    into reading ~1/Nth of the files — the same reason lakehouses
+    Z-order on query keys. Oracle = the same aggregate over the
+    original table, proving layout round-trip correctness."""
+    li = load(spark, sf_dir, "lineitem")
+    out_dir = tempfile.mkdtemp(prefix="dms_cluster_")
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    back = spark.read.parquet(out_dir).filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) "
+            "AS DOUBLE) / 100"
+        ).alias("revenue"),
+    )

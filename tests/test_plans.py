@@ -180,3 +180,14 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
             if bad in plan:
                 flagged.append((key, bad))
     assert flagged == [], f"unintended pair-blowup joins: {flagged}"
+
+
+def test_clustered_layout_pushes_range_filter(spark, sf_dir):
+    """The clustered read-back's date-range predicate must reach the
+    parquet scan as PushedFilters — that is what lets row-group
+    min/max stats skip files outside the slice in the range-sorted
+    layout."""
+    plan = plan_of(spark, "sink_clustered_layout", sf_dir)
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed, plan
