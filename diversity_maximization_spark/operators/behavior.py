@@ -273,3 +273,105 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("valid_from").over(w2).alias("valid_to"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+@query(
+    "rolling_dau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), grid AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT CAST(g.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT CASE WHEN u.day = g.day THEN u.user_id END) AS dau,
+       COUNT(DISTINCT u.user_id) AS wau
+FROM grid g JOIN ud u
+  ON u.day <= g.day AND u.day >= g.day - INTERVAL 6 DAY
+GROUP BY g.day
+""",
+)
+def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and rolling-7-day active users per day. COUNT(DISTINCT)
+    over a sliding range is not window-expressible in Spark, so the
+    rolling set is materialized as (day-grid) ⋈ (distinct user-days)
+    range join. Scale shape: the day grid is one row per day —
+    broadcast — while the big side is the deduplicated (user, day)
+    pairs (one shuffled distinct), so the range join is a broadcast
+    fan-out of ≤7 grid rows per user-day, then one count-distinct agg
+    keyed by day. No all-pairs anything."""
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    grid = ud.select("day").distinct()
+    j = F.broadcast(grid.withColumnRenamed("day", "g_day")).join(
+        ud,
+        (F.col("day") <= F.col("g_day"))
+        & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+    )
+    return (
+        j.groupBy("g_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("g_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("wau"),
+        )
+        .withColumnRenamed("g_day", "day")
+    )
+
+
+@query(
+    "time_to_conversion",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+)
+SELECT s.user_id, s.signup_ts, p.first_purchase_ts,
+       CAST(date_diff('microsecond', s.signup_ts, p.first_purchase_ts)
+            AS DOUBLE) / 3600000000 AS hours_to_convert
+FROM s JOIN p USING (user_id)
+""",
+)
+def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion latency per user: first signup,
+    first subsequent purchase, and the gap in hours (exact integer
+    microseconds / 3.6e9 — deterministic double; whole-second diffs
+    disagree between engines on sub-second timestamps: Spark
+    truncates the full interval, DuckDB counts boundary crossings). Two aggs on user_id plus
+    one equi-join, all on the same shuffle key, so Catalyst reuses
+    one Exchange lineage — the funnel-latency companion to
+    funnel_signup_purchase."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return s.join(p, "user_id").select(
+        "user_id",
+        "signup_ts",
+        "first_purchase_ts",
+        (
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, signup_ts,"
+                " first_purchase_ts) AS DOUBLE)"
+            )
+            / 3600000000
+        ).alias("hours_to_convert"),
+    )
