@@ -375,3 +375,129 @@ def time_to_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 3600000000
         ).alias("hours_to_convert"),
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+""",
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily per-type
+    aggregate MV is materialized to parquet for history (days before
+    2024-01-16), then refreshed by merging ONLY the delta partition's
+    partial aggregate — never rescanning history. The oracle is the
+    full recompute over all events, so the hash match proves
+    merge-refresh ≡ recompute (exact integer cents make the two-level
+    sum associative). At 100 TB this is the difference between an
+    O(delta) nightly refresh and an O(history) one."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    split = "2024-01-16"
+
+    def day_agg(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias(
+                "cents"
+            ),
+        )
+
+    mv_dir = tempfile.mkdtemp(prefix="dms_mv_")
+    day_agg(ev.filter(F.col("ts") < split)).write.mode(
+        "overwrite"
+    ).parquet(mv_dir)
+    base = spark.read.parquet(mv_dir)
+    delta = day_agg(ev.filter(F.col("ts") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+        .select(
+            "event_type",
+            "day",
+            "n",
+            (F.col("cents").cast("double") / 100).alias("total_value"),
+        )
+    )
+
+
+@query(
+    "sketch_rolling_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), grid AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT CAST(g.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT u.user_id) AS exact_wau,
+       TRUE AS est_ok
+FROM grid g JOIN ud u
+  ON u.day <= g.day AND u.day >= g.day - INTERVAL 6 DAY
+GROUP BY g.day
+""",
+)
+def sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct actives from MERGEABLE daily HLL
+    sketches: one sketch per day (a single pass over events), then
+    each day's weekly estimate is the union of ≤7 daily sketches —
+    no re-touching of raw user ids. This is how rolling distinct
+    counts are served at 100 TB: the exact form (rolling_dau)
+    re-shuffles raw (user, day) pairs per window, the sketch form
+    shuffles ~1.5 kB per day. Estimates are engine-specific, so the
+    key emits the exact count plus a within-5% flag for the sketch
+    estimate; the oracle returns exact + TRUE (same formulation as
+    sketch_hll_merge)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    grid = daily.select(F.col("day").alias("g_day"))
+    est = (
+        F.broadcast(grid)
+        .join(
+            daily,
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+        )
+        .groupBy("g_day")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+        )
+    )
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    exact = (
+        F.broadcast(grid)
+        .join(
+            ud,
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+        )
+        .groupBy("g_day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        exact.join(est, "g_day")
+        .select(
+            F.col("g_day").alias("day"),
+            "exact_wau",
+            (
+                F.abs(F.col("est") - F.col("exact_wau"))
+                / F.col("exact_wau")
+                <= 0.05
+            ).alias("est_ok"),
+        )
+    )
