@@ -1,0 +1,191 @@
+"""Lakehouse table-maintenance operators: snapshot diffing (CDC
+validation), small-file compaction, and schema-evolution reads.
+
+These are the table-format workloads (Delta/Iceberg-style) re-expressed
+over plain parquet + DataFrame ops, so the engine covers the
+maintenance side of a 100 TB lake, not just queries:
+
+- snapshot_diff: full-outer join of two table versions on the key,
+  emitting added/removed/changed rows — one shuffle on the key (or
+  zero with co-located bucketing, see join_bucketed). This is how a
+  CDC feed is validated against a table snapshot.
+- sink_compact: the OPTIMIZE/compaction pattern — a fragmented write
+  (many small files) rewritten to few large files. Small files are
+  the classic 100 TB read-amplification killer: each file costs a
+  task + open + footer parse, so 10^6 x 1 MB files can be slower
+  than 10^3 x 1 GB files for the same bytes.
+- source_schema_evolution: mergeSchema read over parts written with
+  different schemas (a column added mid-stream) — old rows surface
+  NULL for the new column; proves the engine reads evolving layouts
+  without rewrite.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources import load
+
+
+@query(
+    "snapshot_diff",
+    oracle="""
+WITH v0 AS (
+  SELECT event_id, value FROM events
+), v1 AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE)
+                   / 100 + 1
+              ELSE value END AS value
+  FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_id + 1000000000 AS event_id, value
+  FROM events WHERE event_type = 'signup'
+)
+SELECT COALESCE(v0.event_id, v1.event_id) AS event_id,
+       CASE WHEN v0.event_id IS NULL THEN 'added'
+            WHEN v1.event_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       v0.value AS old_value, v1.value AS new_value
+FROM v0 FULL OUTER JOIN v1 USING (event_id)
+WHERE v0.event_id IS NULL OR v1.event_id IS NULL
+   OR v0.value <> v1.value
+""",
+)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff: given snapshot v0 (events) and v1 (a
+    deterministic simulated next snapshot: error rows deleted,
+    purchase values bumped by 1.00, signup rows re-inserted under new
+    ids), emit the change set — added / removed / changed keys with
+    old and new values. One full-outer equi-join on the table key;
+    unchanged rows are filtered out so the output is O(changes), the
+    CDC-validation shape (the inverse of merge_upsert, which APPLIES
+    a change set). The value bump goes through exact cents so both
+    engines compute the identical new double."""
+    ev = load(spark, sf_dir, "events")
+    v0 = ev.select("event_id", "value")
+    v1 = (
+        ev.filter(F.col("event_type") != "error")
+        .select(
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr(
+                    "CAST(CAST(ROUND(value * 100) AS BIGINT) AS DOUBLE)"
+                    " / 100 + 1"
+                ),
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        .unionAll(
+            ev.filter(F.col("event_type") == "signup").select(
+                (F.col("event_id") + 1000000000).alias("event_id"),
+                "value",
+            )
+        )
+    )
+    a = v0.alias("a")
+    b = v1.alias("b")
+    j = a.join(b, F.col("a.event_id") == F.col("b.event_id"), "full_outer")
+    return j.filter(
+        F.col("a.event_id").isNull()
+        | F.col("b.event_id").isNull()
+        | (F.col("a.value") != F.col("b.value"))
+    ).select(
+        F.coalesce(F.col("a.event_id"), F.col("b.event_id")).alias(
+            "event_id"
+        ),
+        F.when(F.col("a.event_id").isNull(), "added")
+        .when(F.col("b.event_id").isNull(), "removed")
+        .otherwise("changed")
+        .alias("status"),
+        F.col("a.value").alias("old_value"),
+        F.col("b.value").alias("new_value"),
+    )
+
+
+@query(
+    "sink_compact",
+    oracle="""
+SELECT COUNT(*) AS n_rows, TRUE AS compacted
+FROM events
+""",
+)
+def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (OPTIMIZE): events is first written
+    fragmented (repartition(64) → 64 small files), then compacted by
+    a plain read → repartition(4) → rewrite. The result row carries
+    the read-back row count plus a `compacted` flag asserting the
+    file count actually dropped (counted distributively via
+    input_file_name(), no filesystem listing on the driver). The
+    oracle pins n_rows to the original table — compaction must be
+    row-lossless."""
+    ev = load(spark, sf_dir, "events")
+    frag_dir = tempfile.mkdtemp(prefix="dms_frag_")
+    ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_files_before = (
+        frag.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    compact_dir = tempfile.mkdtemp(prefix="dms_compact_")
+    frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
+    back = spark.read.parquet(compact_dir)
+    # input_file_name() is non-deterministic to Catalyst, so the file
+    # count runs as its own distinct job (still distributed), and the
+    # flag enters the result as a literal.
+    n_files_after = (
+        back.select(F.input_file_name().alias("f")).distinct().count()
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(n_files_after < n_files_before).alias("compacted"),
+    )
+
+
+@query(
+    "source_schema_evolution",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_v2,
+       CAST(SUM(CASE WHEN event_id % 2 = 1
+                     THEN CAST(ROUND(value * 100) AS BIGINT) END)
+            AS DOUBLE) / 100 AS v2_total
+FROM events
+""",
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: even-keyed events are written with the
+    original schema, odd-keyed events with an added `value_v2` column
+    (the migrated re-ingest), and the table is read back with
+    mergeSchema — old files surface NULL for the new column, new
+    files carry it. The aggregate counts and sums only the evolved
+    rows, so the oracle (CASE on the same parity split) proves NULL
+    back-fill semantics. This is the add-a-column-without-rewriting
+    path every long-lived 100 TB table takes."""
+    ev = load(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="dms_evolve_")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{out_dir}/part=a"
+    )
+    (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .withColumn(
+            "value_v2", F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+        )
+        .write.mode("overwrite")
+        .parquet(f"{out_dir}/part=b")
+    )
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out_dir}/part=a", f"{out_dir}/part=b"
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("value_v2").alias("n_with_v2"),
+        (F.sum("value_v2").cast("double") / 100).alias("v2_total"),
+    )

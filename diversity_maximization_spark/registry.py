@@ -120,6 +120,7 @@ def load_all() -> None:
         aggregates,
         behavior,
         joins,
+        lakehouse,
         quality,
         scalars,
         scans,
