@@ -305,3 +305,53 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.array_min(dists)), 6).alias("dist"),
     )
     return out
+
+
+@query("div_experiment_report")  # rows-only: seeded heuristic outputs
+def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's experiment-reporter workflow (SURVEY.md §3.1
+    EP1) as one query: compose a MapReduce coreset, run every
+    sequential heuristic on it — farthest-first (GMM), matching,
+    swap local search, and a deterministic random baseline — and
+    report each algorithm's remote-edge and remote-clique objectives
+    side by side, the comparison table the reference's experiments
+    module emits as JSON rows. Deterministic: fixed coreset seed
+    partitioning, fixed start point, md5-hash 'random' order."""
+    import hashlib
+
+    emb = load(spark, sf_dir, "embeddings")
+    ids, _labels, X, _w = collect_coreset(
+        mr_coreset(emb, p=4, kprime=16, m=1)
+    )
+    D = K.pairwise_l2(X)
+    k = 12
+    gmm_idx, _, _ = K.farthest_first(X, k, start=0)
+    ls_sel, _ = K.local_search_clique(D, k=k, init=list(gmm_idx))
+    rnd = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(str(int(ids[i])).encode()).hexdigest(),
+            int(ids[i]),
+        ),
+    )[:k]
+    sels = {
+        "gmm": list(gmm_idx),
+        "matching": list(K.matching_heuristic(D, k=k)),
+        "local_search": list(ls_sel),
+        "random": rnd,
+    }
+    rows = []
+    for alg in sorted(sels):
+        sel = sels[alg]
+        sub = D[np.ix_(sel, sel)]
+        rows.append(
+            (
+                alg,
+                len(sel),
+                round(float(K.eval_edge(sub)), 6),
+                round(float(K.eval_clique(sub)), 6),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "algorithm string, k int, edge_div double, clique_div double"
+    )

@@ -332,3 +332,27 @@ def test_kmeans_assignment_is_nearest_center(spark, sf_dir, X_all):
         1 for vid, (c, _d) in assign.items() if nearest[id_to_row[int(vid)]] == c
     )
     assert agree / len(ids) >= 0.95
+
+
+def test_experiment_report_invariants(spark, sf_dir):
+    """local search starts from GMM and only takes improving swaps, so
+    its clique value dominates GMM's; every algorithm returns k points
+    and non-negative objectives; random never beats local search."""
+    from diversity_maximization_spark.registry import QUERIES
+
+    rows = {
+        r["algorithm"]: r
+        for r in QUERIES["div_experiment_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"gmm", "matching", "local_search", "random"}
+    for r in rows.values():
+        assert r["k"] == 12
+        assert r["edge_div"] >= 0 and r["clique_div"] >= 0
+    assert (
+        rows["local_search"]["clique_div"]
+        >= rows["gmm"]["clique_div"] - 1e-9
+    )
+    assert (
+        rows["local_search"]["clique_div"]
+        >= rows["random"]["clique_div"] - 1e-9
+    )
