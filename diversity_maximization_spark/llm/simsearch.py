@@ -123,6 +123,22 @@ def ivf_topk(
     nprobe: int = 8,
     k: int = TOPK,
 ) -> DataFrame:
+    """IVF top-k: assign every vector to its nearest of C farthest-
+    first centroids; each query probes its nprobe nearest centroid
+    buckets; scoring runs as ONE cogrouped per-bucket BLAS GEMM
+    (`applyInPandas` over the bucket key), emitting only each query's
+    per-bucket top-(k+1); a cheap global window re-ranks the
+    ≤ nprobe·(k+1) survivors per query.
+
+    Scale shape: the shuffle moves each corpus vector once (to its
+    bucket) and each query vector nprobe times — never pairs. The
+    earlier formulation equi-joined queries×members into ~n·(n·
+    nprobe/C) materialized pair rows, each carrying both embeddings
+    (66 s at sf0.1); the cogrouped GEMM does the same arithmetic
+    inside Arrow batches at a few seconds, and at 100 TB keeps every
+    bucket's matrix executor-local."""
+    import pandas as pd
+
     sample = e.orderBy("vec_id").limit(512).collect()
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
     cidx, _, _ = K.farthest_first(X, n_centroids, start=0)
@@ -130,9 +146,8 @@ def ivf_topk(
 
     data = _assign_centroids(e, cents, "bucket")
 
-    # per-query probe list: nprobe nearest centroids
+    # per-centroid probe list: nprobe nearest centroids (tiny, literal)
     D = K.pairwise_l2(np.vstack([cents]))
-    probes = _assign_centroids(e, cents, "bucket0")
     order = np.argsort(D, axis=1, kind="stable")
     probe_map = {
         int(i): [int(x) for x in order[i, :nprobe]] for i in range(n_centroids)
@@ -141,26 +156,63 @@ def ivf_topk(
         F.array(*[F.lit(i) for i in probe_map]),
         F.array(*[F.array(*[F.lit(x) for x in v]) for v in probe_map.values()]),
     )
-    queries = probes.withColumn(
-        "probe", F.explode(probe_entries[F.col("bucket0")])
-    ).select(F.col("vec_id"), F.col("embedding").alias("ea"), "probe")
-
-    cands = data.select(
-        F.col("vec_id").alias("neighbor"),
-        F.col("embedding").alias("eb"),
+    queries = data.withColumn(
+        "probe", F.explode(probe_entries[F.col("bucket")])
+    ).select("vec_id", "embedding", "probe")
+    members = data.select(
+        F.col("vec_id").alias("neighbor"), "embedding",
         F.col("bucket").alias("probe"),
     )
-    pairs = queries.join(cands, "probe").filter(
-        F.col("vec_id") != F.col("neighbor")
+
+    kk = k + 1  # absorb the self row
+
+    def _score(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(mpdf):
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "neighbor": pd.Series([], dtype="int64"),
+                    "sim": pd.Series([], dtype="float64"),
+                }
+            )
+        Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
+        M = np.stack(mpdf["embedding"].to_numpy()).astype(np.float64)
+        Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        S = Q @ M.T
+        qids = qpdf["vec_id"].to_numpy()
+        mids = mpdf["neighbor"].to_numpy()
+        take = min(kk, S.shape[1])
+        idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
+        out_q: list[int] = []
+        out_n: list[int] = []
+        out_s: list[float] = []
+        for r in range(S.shape[0]):
+            cand = idx[r]
+            sims = S[r, cand]
+            for j in np.lexsort((mids[cand], -sims)):
+                nb = int(mids[cand[j]])
+                if nb == int(qids[r]):
+                    continue
+                out_q.append(int(qids[r]))
+                out_n.append(nb)
+                out_s.append(float(sims[j]))
+        return pd.DataFrame(
+            {"vec_id": out_q, "neighbor": out_n, "sim": out_s}
+        )
+
+    part = (
+        queries.groupBy("probe")
+        .cogroup(members.groupBy("probe"))
+        .applyInPandas(_score, "vec_id bigint, neighbor bigint, sim double")
     )
     w = Window.partitionBy("vec_id").orderBy(
-        F.col("sim_raw").desc(), F.col("neighbor")
+        F.col("sim").desc(), F.col("neighbor")
     )
     return (
-        pairs.withColumn("sim_raw", V.cosine_sim("ea", "eb"))
-        .withColumn("rn", F.row_number().over(w))
+        part.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
-        .select("vec_id", "neighbor", F.round("sim_raw", 6).alias("sim"), "rn")
+        .select("vec_id", "neighbor", F.round("sim", 6).alias("sim"), "rn")
     )
 
 

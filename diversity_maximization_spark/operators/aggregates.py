@@ -449,3 +449,61 @@ def agg_corr_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)"
         ).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
+
+
+_MOM_FINAL = """
+round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+      / pow(s2 / n - pow(s1 / n, 2), 1.5), 6)
+""".strip()
+_KURT_FINAL = """
+round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * pow(s1 / n, 2) * (s2 / n)
+       - 3 * pow(s1 / n, 4))
+      / pow(s2 / n - pow(s1 / n, 2), 2) - 3, 6)
+""".strip()
+
+
+@query(
+    "agg_skew_kurtosis",
+    oracle=f"""
+WITH s AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({cents('l_quantity')}) AS DOUBLE) AS s1,
+         CAST(SUM({cents('l_quantity')} * {cents('l_quantity')}) AS DOUBLE) AS s2,
+         CAST(SUM({cents('l_quantity')} * {cents('l_quantity')}
+                  * {cents('l_quantity')}) AS DOUBLE) AS s3,
+         CAST(SUM({cents('l_quantity')} * {cents('l_quantity')}
+                  * {cents('l_quantity')} * {cents('l_quantity')}) AS DOUBLE) AS s4
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       {_MOM_FINAL} AS skewness_pop,
+       {_KURT_FINAL} AS kurtosis_excess
+FROM s ORDER BY l_returnflag
+""",
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from EXACT
+    integer-cents power sums (n, Σx, Σx², Σx³, Σx⁴) — the built-in
+    skewness()/kurtosis() accumulate floats in partition order (and
+    engines disagree on bias correction), while raw power sums are
+    one exact partial+final agg pass with a single double expression
+    at the end, identical on both engines. Quantity cents ≤ 5100 keep
+    x⁴ products inside int64 (6.8e14); the sums stay exact in
+    bigint/hugeint at any fixture scale."""
+    li = load(spark, sf_dir, "lineitem")
+    cx = cents("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({cx}) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM({cx} * {cx}) AS DOUBLE)").alias("s2"),
+        F.expr(f"CAST(SUM({cx} * {cx} * {cx}) AS DOUBLE)").alias("s3"),
+        F.expr(f"CAST(SUM({cx} * {cx} * {cx} * {cx}) AS DOUBLE)").alias(
+            "s4"
+        ),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr(_MOM_FINAL).alias("skewness_pop"),
+        F.expr(_KURT_FINAL).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
