@@ -183,20 +183,22 @@ def ivf_topk(
         qids = qpdf["vec_id"].to_numpy()
         mids = mpdf["neighbor"].to_numpy()
         take = min(kk, S.shape[1])
-        idx = np.argpartition(-S, take - 1, axis=1)[:, :take]
         out_q: list[int] = []
         out_n: list[int] = []
         out_s: list[float] = []
         for r in range(S.shape[0]):
-            cand = idx[r]
-            sims = S[r, cand]
-            for j in np.lexsort((mids[cand], -sims)):
-                nb = int(mids[cand[j]])
+            # full stable order by (-sim, neighbor id) BEFORE the cut:
+            # an argpartition cut would break exact-sim ties at the
+            # boundary by arbitrary Arrow row order (registry
+            # discipline: every ranking tie-broken by a unique key)
+            ordr = np.lexsort((mids, -S[r]))[:take]
+            for j in ordr:
+                nb = int(mids[j])
                 if nb == int(qids[r]):
                     continue
                 out_q.append(int(qids[r]))
                 out_n.append(nb)
-                out_s.append(float(sims[j]))
+                out_s.append(float(S[r, j]))
         return pd.DataFrame(
             {"vec_id": out_q, "neighbor": out_n, "sim": out_s}
         )

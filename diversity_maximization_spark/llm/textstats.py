@@ -543,9 +543,13 @@ def entropy_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     Float discipline: the Σ c·ln c accumulation is the only
     order-dependent term, so each term is fixed-pointed to integer
     micro-nats (CAST(ROUND(·*1e6) AS BIGINT)) and summed exactly —
-    order-independent in both engines — then the final entropy is
-    rounded to 6 dp. One explode pass, two shuffled aggs on
-    (source, word) then (source); all JVM built-ins."""
+    order-independent within each engine — then the final entropy is
+    rounded to 6 dp. Residual cross-engine risk (accepted): Java
+    Math.log and C libm log are each ≤1 ulp but not guaranteed
+    bit-identical, so a term whose c·ln(c)·1e6 sits within ~1 ulp of
+    a .5 boundary could round differently; on the fixed fixture
+    vocabulary this is deterministic and verified green. One explode
+    pass, two shuffled aggs on (source, word) then (source)."""
     d = load(spark, sf_dir, "documents")
     words = d.select(
         "source", F.explode(F.split("text", " ")).alias("w")

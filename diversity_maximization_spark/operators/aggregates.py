@@ -489,18 +489,26 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines disagree on bias correction), while raw power sums are
     one exact partial+final agg pass with a single double expression
     at the end, identical on both engines. Quantity cents ≤ 5100 keep
-    x⁴ products inside int64 (6.8e14); the sums stay exact in
-    bigint/hugeint at any fixture scale."""
+    x⁴ PRODUCTS inside int64 (6.8e14), but the x⁴ SUM passes 9.2e18
+    at sf0.1 (measured 2.6e19 per group), so sums accumulate as
+    DECIMAL(38,0) in Spark / hugeint in DuckDB — the same
+    overflow-safe pattern as agg_corr_cov — and convert to double
+    once at the end."""
     li = load(spark, sf_dir, "lineitem")
     cx = cents("l_quantity")
+    dec = "DECIMAL(38,0)"
     s = li.groupBy("l_returnflag").agg(
         F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
-        F.expr(f"CAST(SUM({cx}) AS DOUBLE)").alias("s1"),
-        F.expr(f"CAST(SUM({cx} * {cx}) AS DOUBLE)").alias("s2"),
-        F.expr(f"CAST(SUM({cx} * {cx} * {cx}) AS DOUBLE)").alias("s3"),
-        F.expr(f"CAST(SUM({cx} * {cx} * {cx} * {cx}) AS DOUBLE)").alias(
-            "s4"
+        F.expr(f"CAST(SUM(CAST({cx} AS {dec})) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM(CAST({cx} * {cx} AS {dec})) AS DOUBLE)").alias(
+            "s2"
         ),
+        F.expr(
+            f"CAST(SUM(CAST({cx} * {cx} * {cx} AS {dec})) AS DOUBLE)"
+        ).alias("s3"),
+        F.expr(
+            f"CAST(SUM(CAST({cx} * {cx} * {cx} * {cx} AS {dec})) AS DOUBLE)"
+        ).alias("s4"),
     )
     return s.select(
         "l_returnflag",

@@ -275,6 +275,23 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_user_days(ev: DataFrame) -> DataFrame:
+    """(g_day, day, user_id): each day-grid row paired with the
+    distinct user-days inside its trailing 7-day window, via a
+    broadcast day-grid range join — the shared exact substrate of
+    rolling_dau and sketch_rolling_wau's verification branch."""
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    grid = ud.select("day").distinct()
+    return F.broadcast(grid.withColumnRenamed("day", "g_day")).join(
+        ud,
+        (F.col("day") <= F.col("g_day"))
+        & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+    )
+
+
 @query(
     "rolling_dau",
     oracle="""
@@ -301,18 +318,9 @@ def rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out of ≤7 grid rows per user-day, then one count-distinct agg
     keyed by day. No all-pairs anything."""
     ev = load(spark, sf_dir, "events")
-    ud = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
-        .distinct()
-    )
-    grid = ud.select("day").distinct()
-    j = F.broadcast(grid.withColumnRenamed("day", "g_day")).join(
-        ud,
-        (F.col("day") <= F.col("g_day"))
-        & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
-    )
     return (
-        j.groupBy("g_day")
+        _rolling_user_days(ev)
+        .groupBy("g_day")
         .agg(
             F.countDistinct(
                 F.when(F.col("day") == F.col("g_day"), F.col("user_id"))
@@ -475,17 +483,8 @@ def sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
         )
     )
-    ud = (
-        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
-        .distinct()
-    )
     exact = (
-        F.broadcast(grid)
-        .join(
-            ud,
-            (F.col("day") <= F.col("g_day"))
-            & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
-        )
+        _rolling_user_days(ev)
         .groupBy("g_day")
         .agg(F.countDistinct("user_id").alias("exact_wau"))
     )

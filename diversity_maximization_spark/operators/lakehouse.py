@@ -154,8 +154,8 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT COUNT(*) AS n_rows,
        COUNT(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_v2,
        CAST(SUM(CASE WHEN event_id % 2 = 1
-                     THEN CAST(ROUND(value * 100) AS BIGINT) END)
-            AS DOUBLE) / 100 AS v2_total
+                     THEN CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)
+                END) AS DOUBLE) / 100 AS v2_total
 FROM events
 """,
 )
@@ -173,10 +173,14 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
         f"{out_dir}/part=a"
     )
+    # COALESCE keeps value_v2 non-null on every evolved row, so
+    # count(value_v2) counts exactly the odd-keyed (evolved-file)
+    # rows even if a future fixture introduces NULL values
     (
         ev.filter(F.col("event_id") % 2 == 1)
         .withColumn(
-            "value_v2", F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+            "value_v2",
+            F.expr("CAST(ROUND(COALESCE(value, 0) * 100) AS BIGINT)"),
         )
         .write.mode("overwrite")
         .parquet(f"{out_dir}/part=b")
