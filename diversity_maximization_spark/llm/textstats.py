@@ -577,3 +577,88 @@ def entropy_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("entropy"),
         )
     )
+
+
+@query(
+    "word_collocations",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), bg AS (
+  SELECT b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+), bgc AS (
+  SELECT w1, w2, COUNT(*) AS c_xy FROM bg GROUP BY w1, w2
+), tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS n_uni,
+         (SELECT COUNT(*) FROM bg) AS n_bi
+)
+SELECT w1, w2, c_xy,
+       round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+                / (CAST(n_bi AS DOUBLE) * ux.c * uy.c)), 6) AS pmi
+FROM bgc JOIN uni ux ON bgc.w1 = ux.w
+         JOIN uni uy ON bgc.w2 = uy.w
+         CROSS JOIN tot
+WHERE c_xy >= 10
+ORDER BY pmi DESC, w1, w2
+LIMIT 100
+""",
+)
+def word_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top adjacent word pairs by pointwise
+    mutual information, PMI = ln(P(xy) / (P(x)P(y))) with bigram and
+    unigram MLE counts — the corpus-analysis tool that surfaces
+    multiword expressions ("new york") vs chance co-occurrence. The
+    PMI argument is an exact integer ratio evaluated in one double
+    expression written identically in both engines, rounded to 6 dp,
+    and the ranking orders by the ROUNDED value with (w1, w2) as the
+    unique tie-break — so the top-100 cut is hash-stable. Shape: one
+    explode pass, two count aggs, two equi-joins on word keys (the
+    vocabulary is corpus-sized — shuffled, not broadcast), two scalar
+    totals."""
+    d = load(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        w.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select("w1", "w2")
+        .cache()
+    )
+    uni = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 10)
+    )
+    tot = uni.agg(F.sum("c").alias("n_uni")).crossJoin(
+        bg.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    ux = uni.select(F.col("w").alias("w1"), F.col("c").alias("cx"))
+    uy = uni.select(F.col("w").alias("w2"), F.col("c").alias("cy"))
+    return (
+        bgc.join(ux, "w1")
+        .join(uy, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                "round(ln((CAST(c_xy AS DOUBLE) * n_uni * n_uni)"
+                " / (CAST(n_bi AS DOUBLE) * cx * cy)), 6)"
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
