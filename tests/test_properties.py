@@ -215,3 +215,42 @@ def test_matroid_fold_invariants(points, cap):
         for b in centers[i + 1 :]:
             d = sum((x - y) ** 2 for x, y in zip(a[1], b[1])) ** 0.5
             assert d > st_["tau"] - 1e-12
+
+
+@given(st.lists(st.integers(0, 7 * 86400 - 1), min_size=0, max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_interval_concurrency_decomposition(starts):
+    """The two-phase sweep-line in interval_concurrency (per-day
+    prefix peaks + cumulative day-level carry) must equal the naive
+    single-ordered running sum's per-day max for ANY interval set,
+    not just the fixture — the algebraic identity the operator's
+    oracle hash-match rests on. Ties follow the operator's order:
+    (t, delta, unique id), ends before starts."""
+    from collections import defaultdict
+
+    deltas = []
+    for i, s in enumerate(starts):
+        deltas.append((s, 1, i))
+        deltas.append((s + 1800, -1, i))
+
+    run = 0
+    peak_naive = {}
+    for t, d, _ in sorted(deltas, key=lambda x: (x[0], x[1], x[2])):
+        run += d
+        day = t // 86400
+        peak_naive[day] = max(peak_naive.get(day, -(10**9)), run)
+
+    by_day = defaultdict(list)
+    for t, d, i in deltas:
+        by_day[t // 86400].append((t, d, i))
+    carry = 0
+    peak_two = {}
+    for day in sorted(by_day):
+        run_d, pk = 0, -(10**9)
+        for t, d, i in sorted(by_day[day], key=lambda x: (x[0], x[1], x[2])):
+            run_d += d
+            pk = max(pk, run_d)
+        peak_two[day] = carry + pk
+        carry += run_d
+
+    assert peak_two == peak_naive
