@@ -488,3 +488,68 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("probe_name", "c_name").cast("int").alias("edit_dist"),
         )
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+SELECT a.user_id, a.event_id AS eid_a, b.event_id AS eid_b
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_id < b.event_id
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+WHERE a.event_type = 'signup'
+""",
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for join_range_interval: identical semantics
+    (events within 5 min after a signup, same user — same oracle
+    text), but the join key is the COMPOSITE (user_id, time_bucket)
+    with bucket width = the window, each left row probing its bucket
+    and the next. join_range_interval shuffles on user_id alone, so
+    one user's entire multi-year history lands in one task and the
+    range residual scans it; binning bounds every task's work to two
+    5-minute buckets per probe regardless of per-user history length
+    — the standard interval-join binning rewrite. Buckets derive from
+    tz-independent timestampdiff arithmetic (no epoch/session-tz
+    dependence), and since the window never spans more than two
+    buckets and each right row owns exactly one bucket, every
+    qualifying pair is produced exactly once."""
+    ev = load(spark, sf_dir, "events")
+    secs = (
+        "timestampdiff(SECOND, TIMESTAMP '2000-01-01 00:00:00', {c})"
+    )
+    a = (
+        ev.filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("eid_a"),
+            F.col("ts").alias("ts_a"),
+        )
+        .withColumn(
+            "bkt",
+            F.explode(
+                F.array(
+                    F.expr(f"({secs.format(c='ts_a')}) DIV 300"),
+                    F.expr(f"({secs.format(c='ts_a')}) DIV 300 + 1"),
+                )
+            ),
+        )
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("eid_b"),
+        F.col("ts").alias("ts_b"),
+    ).withColumn("bkt", F.expr(f"({secs.format(c='ts_b')}) DIV 300"))
+    return (
+        a.join(b, ["user_id", "bkt"])
+        .filter(
+            (F.col("eid_a") < F.col("eid_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (
+                F.col("ts_b")
+                <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTE")
+            )
+        )
+        .select("user_id", "eid_a", "eid_b")
+    )
