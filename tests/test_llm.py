@@ -95,7 +95,7 @@ def test_multimodal_decode_deterministic(spark, sf_dir):
     a = sorted(map(tuple, QUERIES["multimodal_decode"](spark, sf_dir).collect()))
     b = sorted(map(tuple, QUERIES["multimodal_decode"](spark, sf_dir).collect()))
     assert a == b
-    assert {r[1] for r in a} == {"image/png", "audio/wav", "video/mp4"}
+    assert {r[1] for r in a} == {"image/png", "audio/wav", "video/mpng"}
     for r in a:
         if r[1] == "image/png":  # REAL decode: true geometry + luma
             assert (r[3], r[4]) == (IMG_W, IMG_H) and 0.0 <= r[5] <= 1.0
@@ -188,6 +188,17 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for r in fr:
         per_doc.setdefault(r["doc_id"], set()).add(r["frame_idx"])
     assert all(v == set(range(N_FRAMES)) for v in per_doc.values())
+    # sampled frames are REAL standalone PNGs from the MPNG container
+    from diversity_maximization_spark.llm.multimodal import (
+        IMG_H as _ih,
+        IMG_W as _iw,
+        png_decode as _pngd,
+    )
+
+    for r in fr[:8]:
+        w, h, rgb = _pngd(bytes(r["frame"]))
+        assert (w, h) == (_iw, _ih) and len(rgb) == _iw * _ih * 3
+        assert r["src_frame"] == r["frame_idx"] * 2
 
 
 def test_multimodal_features_shape(spark, sf_dir):
