@@ -215,12 +215,8 @@ def _decode_one(media_type: str, payload: bytes) -> tuple[int, int, float]:
     # video/mpng: REAL container parse + first-frame PNG decode —
     # (n_frames, frame width, first-frame mean luma)
     frames = mpng_decode(payload)
-    w, _h, rgb = png_decode(frames[0])
-    luma = [
-        0.299 * rgb[i] + 0.587 * rgb[i + 1] + 0.114 * rgb[i + 2]
-        for i in range(0, len(rgb), 3)
-    ]
-    return len(frames), w, round(sum(luma) / len(luma) / 255.0, 6)
+    w, _h, luma = _decode_one("image/png", frames[0])
+    return len(frames), w, luma
 
 
 def _decode_batches(batches):
@@ -244,8 +240,9 @@ def _decode_batches(batches):
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> decoded feature columns via Arrow-batched
     mapInPandas (the 100 TB pattern: decode runs next to the data,
-    one pass, no driver involvement). PNG/WAV decode is REAL
-    (stdlib zlib/wave); video is the documented stub."""
+    one pass, no driver involvement). PNG/WAV decode is REAL (stdlib
+    zlib/wave); video is a REAL MPNG container parse + first-frame
+    PNG decode."""
     d = load(spark, sf_dir, "documents")
     media = with_media(d)
     return media.mapInPandas(
@@ -364,11 +361,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 elif mt == "audio/wav":
                     feats.append(_audio_features(p))
                 else:
-                    frames = mpng_decode(bytes(p))
-                    stride = N_TOTAL_FRAMES // N_FRAMES
                     fs = [
-                        _image_features(frames[s])
-                        for s in range(0, len(frames), stride)
+                        _image_features(f)
+                        for _src, f in sample_frames(mpng_decode(bytes(p)))
                     ]
                     feats.append(
                         [round(sum(c) / len(fs), 6) for c in zip(*fs)]
@@ -380,6 +375,14 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_TOTAL_FRAMES = 8
 N_FRAMES = 4  # sampled: every (N_TOTAL_FRAMES // N_FRAMES)-th frame
+FRAME_STRIDE = N_TOTAL_FRAMES // N_FRAMES
+
+
+def sample_frames(frames: list[bytes]) -> list[tuple[int, bytes]]:
+    """THE sampling policy, shared by frame_sample and features so
+    the two can never drift: (source index, frame) for every
+    FRAME_STRIDE-th frame."""
+    return [(src, frames[src]) for src in range(0, len(frames), FRAME_STRIDE)]
 
 
 @query("multimodal_frame_sample")  # rows-only: binary frames, not SQL
@@ -393,18 +396,17 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus needs."""
     d = load(spark, sf_dir, "documents")
     media = with_media(d).filter(F.col("media_type") == "video/mpng")
-    stride = N_TOTAL_FRAMES // N_FRAMES
 
     def gen(batches):
         for pdf in batches:
             ids, idxs, srcs, frames = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                all_frames = mpng_decode(bytes(p))
-                for i, src in enumerate(range(0, len(all_frames), stride)):
+                sampled = sample_frames(mpng_decode(bytes(p)))
+                for i, (src, frame) in enumerate(sampled):
                     ids.append(doc_id)
                     idxs.append(i)
                     srcs.append(src)
-                    frames.append(all_frames[src])
+                    frames.append(frame)
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -517,7 +517,10 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying pair is produced exactly once."""
     ev = load(spark, sf_dir, "events")
     secs = (
-        "timestampdiff(SECOND, TIMESTAMP '2000-01-01 00:00:00', {c})"
+        # TIMESTAMP_NTZ literal: a plain TIMESTAMP literal is LTZ and
+        # would coerce the NTZ ts through the session timezone, making
+        # buckets DST-dependent under a non-UTC driver session
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '2000-01-01 00:00:00', {c})"
     )
     a = (
         ev.filter(F.col("event_type") == "signup")

@@ -190,6 +190,7 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     assert all(v == set(range(N_FRAMES)) for v in per_doc.values())
     # sampled frames are REAL standalone PNGs from the MPNG container
     from diversity_maximization_spark.llm.multimodal import (
+        FRAME_STRIDE as _stride,
         IMG_H as _ih,
         IMG_W as _iw,
         png_decode as _pngd,
@@ -198,7 +199,7 @@ def test_multimodal_resize_and_frames(spark, sf_dir):
     for r in fr[:8]:
         w, h, rgb = _pngd(bytes(r["frame"]))
         assert (w, h) == (_iw, _ih) and len(rgb) == _iw * _ih * 3
-        assert r["src_frame"] == r["frame_idx"] * 2
+        assert r["src_frame"] == r["frame_idx"] * _stride
 
 
 def test_multimodal_features_shape(spark, sf_dir):

@@ -225,7 +225,10 @@ def test_interval_concurrency_decomposition(starts):
     single-ordered running sum's per-day max for ANY interval set,
     not just the fixture — the algebraic identity the operator's
     oracle hash-match rests on. Ties follow the operator's order:
-    (t, delta, unique id), ends before starts."""
+    (t, delta, unique id), ends before starts. (The production
+    operator itself is driven against the naive form by its DuckDB
+    oracle at three scale factors; this test extends the identity to
+    arbitrary inputs beyond the fixtures.)"""
     from collections import defaultdict
 
     deltas = []
