@@ -367,3 +367,64 @@ def win_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
     )
+
+
+@query(
+    "win_reset_running_total",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS epoch
+  FROM events
+)
+SELECT user_id, event_id, epoch,
+       CAST(SUM(cents) OVER (PARTITION BY user_id, epoch
+                             ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100
+         AS running_value
+FROM marked
+""",
+)
+def win_reset_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total that RESETS at each boundary event (here: every
+    'signup' starts a new epoch for that user) — the conditional-
+    cumsum idiom SQL has no native construct for: window 1 counts
+    boundary markers into an epoch id, window 2 accumulates within
+    (user, epoch). Same two-stacked-window shape as sessionization;
+    the second window's (user_id, epoch) partitioning refines the
+    first's, so the rows arrive already sorted and Catalyst plans one
+    Exchange with two Window nodes. Exact integer cents keep the
+    running sums hash-stable."""
+    ev = load(spark, sf_dir, "events")
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+        F.sum(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        )
+        .over(w1)
+        .alias("epoch"),
+    )
+    w2 = (
+        Window.partitionBy("user_id", "epoch")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        "epoch",
+        (F.sum("cents").over(w2).cast("double") / 100).alias(
+            "running_value"
+        ),
+    )
