@@ -55,12 +55,20 @@ def write_replay_files(
             f"{out}/slice={i}"
         )
         lo = hi
-    # flatten: move the single parquet file of each slice up, in order
+    # flatten: move the single parquet file of each slice up, in order.
+    # FileStreamSource orders files by MODIFICATION TIME, not name —
+    # copies landing in the same clock tick would make the replay
+    # order (and the two sources' batch alignment in stream-stream
+    # joins) nondeterministic under load, so each file gets an
+    # explicit strictly-increasing mtime.
     final = tempfile.mkdtemp(prefix="dms_stream_files_")
+    base = 1_700_000_000
     for i in range(n_slices):
         d = f"{out}/slice={i}"
         files = [f for f in os.listdir(d) if f.endswith(".parquet")]
-        shutil.copy(os.path.join(d, files[0]), os.path.join(final, f"{i:04d}.parquet"))
+        dst = os.path.join(final, f"{i:04d}.parquet")
+        shutil.copy(os.path.join(d, files[0]), dst)
+        os.utime(dst, (base + 60 * i, base + 60 * i))
     shutil.rmtree(out, ignore_errors=True)
     _REPLAY_CACHE[key] = final
     return final

@@ -155,7 +155,10 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = tempfile.mkdtemp()
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
-        shutil.copy(os.path.join(d, f), os.path.join(replay, f"{idx:04d}.parquet"))
+        dst = os.path.join(replay, f"{idx:04d}.parquet")
+        shutil.copy(os.path.join(d, f), dst)
+        # deterministic replay order: the file source sorts by mtime
+        os.utime(dst, (1_700_000_000 + 60 * idx, 1_700_000_000 + 60 * idx))
         shutil.rmtree(d, ignore_errors=True)
 
     collected: list = []
