@@ -500,3 +500,55 @@ def sketch_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+@query(
+    "win_gaps_islands",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), numbered AS (
+  SELECT user_id,
+         date_diff('day', DATE '2024-01-01', day) AS day_num,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM ud
+), islands AS (
+  SELECT user_id, day_num - rn AS anchor, COUNT(*) AS streak_len
+  FROM numbered GROUP BY user_id, day_num - rn
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       COUNT(*) AS n_streaks,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+FROM islands GROUP BY user_id
+""",
+)
+def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's consecutive-active-day streaks.
+    The classic trick — numbering a user's distinct days makes
+    (day_number - row_number) constant exactly within a consecutive
+    run, so one window plus two aggs finds every streak with no
+    self-join. Day numbers are exact integer day-diffs from a fixed
+    date (no epoch/tz arithmetic). Shape: one shuffled distinct on
+    (user, day), one per-user window, two aggs on the same key
+    lineage — the engagement-streak query every analytics team
+    ships."""
+    ev = load(spark, sf_dir, "events")
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    numbered = ud.select(
+        "user_id",
+        F.datediff(F.col("day"), F.lit("2024-01-01")).alias("day_num"),
+        F.row_number().over(w).alias("rn"),
+    )
+    islands = numbered.groupBy(
+        "user_id", (F.col("day_num") - F.col("rn")).alias("anchor")
+    ).agg(F.count(F.lit(1)).alias("streak_len"))
+    return islands.groupBy("user_id").agg(
+        F.sum("streak_len").alias("n_active_days"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_len").alias("longest_streak"),
+    )
