@@ -515,3 +515,37 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MOM_FINAL).alias("skewness_pop"),
         F.expr(_KURT_FINAL).alias("kurtosis_excess"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "agg_weighted_avg",
+    oracle=f"""
+SELECT l_returnflag,
+       round(CAST(SUM({cents('l_extendedprice')} * CAST(l_quantity AS BIGINT))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) / 100,
+             4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean extended price per return flag, from
+    EXACT integer sums (price cents × integral quantity) with one
+    double division at the end — the weighted-average discipline that
+    stays hash-stable where a float-accumulated avg(w*x)/avg(w)
+    varies with partition order. l_quantity is integral in the
+    fixtures (TPC-H semantics), so the weight cast is lossless."""
+    li = load(spark, sf_dir, "lineitem")
+    cp = cents("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.expr(
+            f"CAST(SUM({cp} * CAST(l_quantity AS BIGINT)) AS DOUBLE)"
+        ).alias("num"),
+        F.expr("CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)").alias(
+            "den"
+        ),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr("round(num / den / 100, 4)").alias("wavg_price"),
+    )
