@@ -108,7 +108,8 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     "obs_quality_metrics",
     oracle="""
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_nonpositive,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nonpositive,
        MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_price_cents
 FROM orders
 """,
@@ -159,19 +160,21 @@ ORDER BY bucket
 )
 def feat_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-depth feature bucketization (the quantile-binning step of
-    feature engineering): NTILE(8) over account balance, reporting
-    each bucket's population and [lo, hi] bounds. Ties broken by key
-    so the assignment is total and engine-independent. The global
-    NTILE is a single-partition window at this shape — at scale the
-    same binning comes from approx_percentile boundaries (see
-    sketch_percentile_merge) applied as a narrow map; this key pins
-    the exact semantics those boundaries approximate."""
-    from pyspark.sql.window import Window
+    feature engineering): exact NTILE(8) over account balance via the
+    distributed global-row-number plan (plans/global_rank.py — no
+    single-partition window), reporting each bucket's population and
+    [lo, hi] bounds. Ties broken by key so the assignment is total
+    and engine-independent."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
 
-    c = load(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal"), F.col("c_custkey"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    numbered, n = with_global_row_number(
+        c, ["c_acctbal", "c_custkey"], out_col="_rn"
+    )
     return (
-        c.select("c_custkey", "c_acctbal", F.ntile(8).over(w).alias("bucket"))
+        numbered.select(
+            "c_custkey", "c_acctbal", ntile_expr("_rn", n, 8).alias("bucket")
+        )
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -176,14 +176,26 @@ FROM orders
 """,
 )
 def win_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global quartiles — a single-partition window; at 100 TB the
-    production form is approx quantile bucketing, this is the anchor."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Global quartiles WITHOUT the single-partition window: exact
+    distributed row numbers from plans/global_rank.py (quantile range
+    buckets + per-bucket offsets + narrow Arrow map), then NTILE /
+    PERCENT_RANK as closed-form column expressions. Same hash as the
+    naive ``Window.orderBy`` form, but no task ever holds more than
+    one bucket — the plan that survives 100 TB."""
+    from ..plans.global_rank import (
+        ntile_expr,
+        percent_rank_expr,
+        with_global_row_number,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    numbered, n = with_global_row_number(
+        o, ["o_totalprice", "o_orderkey"], out_col="_rn"
+    )
+    return numbered.select(
         "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+        ntile_expr("_rn", n, 4).alias("quartile"),
+        percent_rank_expr("_rn", n).alias("pct_rank"),
     )
 
 
@@ -199,8 +211,9 @@ WITH flagged AS (
   FROM events
 ), sess AS (
   SELECT user_id, event_id, ts,
-         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                             ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -375,9 +388,9 @@ def win_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH marked AS (
   SELECT user_id, event_id, ts, event_type,
          CAST(ROUND(value * 100) AS BIGINT) AS cents,
-         SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-           OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS UNBOUNDED PRECEDING) AS epoch
+         CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS epoch
   FROM events
 )
 SELECT user_id, event_id, epoch,

@@ -2,8 +2,10 @@
 
 Runs every queries() entry at a given scale factor; where an oracle
 exists, executes it in DuckDB over the same parquet and compares
-row count, column names, and order-insensitive values (exact equality
-after canonicalization). Usage:
+row count, column names, and order-insensitive values through the
+SAME pandas canonicalization path the driver uses (see
+diversity_maximization_spark/testing.py — fetchdf/toPandas dtype
+coercions are part of the contract). Usage:
 
     python tools/check.py [--sf 0.01] [key ...]
 """
@@ -11,101 +13,64 @@ after canonicalization). Usage:
 from __future__ import annotations
 
 import argparse
-import math
+import json
 import sys
 import time
-from decimal import Decimal
 
 sys.path.insert(0, ".")
 
-import duckdb
-
 from diversity_maximization_spark import registry
 from diversity_maximization_spark.session import get_spark
-from diversity_maximization_spark.sources import TABLES
+from diversity_maximization_spark.testing import compare, duck_connection
 
 registry.load_all()
-
-
-def canon(v):
-    if isinstance(v, Decimal):
-        return float(v)
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
-    if isinstance(v, list):
-        return tuple(canon(x) for x in v)
-    return v
-
-
-def rows_key(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = tuple(canon(r[i]) for i in order)
-        out.append(vals)
-    out.sort(key=repr)
-    return out
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="0.01")
+    ap.add_argument("--json-out", default=None)
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     sf_dir = f"/root/testdata/sf{args.sf}"
 
     spark = get_spark("dms-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    con = duck_connection(sf_dir)
 
     keys = args.keys or list(registry.QUERIES)
+    results = {}
     n_pass = n_fail = n_rows_only = 0
     for key in keys:
         fn = registry.QUERIES[key]
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = sdf.collect()
+            if key not in registry.ORACLES:
+                n = sdf.count()
+                dt = time.time() - t0
+                print(f"rows  {key}: {n} rows ({dt:.1f}s) [no oracle]", flush=True)
+                results[key] = {"status": "rows_only", "rows": n}
+                n_rows_only += 1
+                continue
+            problems = compare(sdf, con, registry.ORACLES[key])
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {key}: spark error: {type(e).__name__}: {e}")
+            print(f"FAIL  {key}: error: {type(e).__name__}: {e}", flush=True)
+            results[key] = {"status": "error", "err": f"{type(e).__name__}: {e}"}
             n_fail += 1
             continue
         dt = time.time() - t0
-        if key not in registry.ORACLES:
-            print(f"rows  {key}: {len(srows)} rows ({dt:.1f}s) [no oracle]")
-            n_rows_only += 1
-            continue
-        try:
-            rel = con.sql(registry.ORACLES[key])
-            dcols = rel.columns
-            drows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {key}: duckdb error: {type(e).__name__}: {e}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(drows):
-            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"columns {sorted(scols)} vs {sorted(dcols)}")
-        if not problems:
-            sk, dk = rows_key(srows, scols), rows_key(drows, dcols)
-            if sk != dk:
-                bad = next(
-                    (i, a, b) for i, (a, b) in enumerate(zip(sk, dk)) if a != b
-                )
-                problems.append(f"values differ, first at sorted idx {bad[0]}: spark={bad[1]!r} duck={bad[2]!r}")
         if problems:
-            print(f"FAIL  {key}: " + "; ".join(problems))
+            print(f"FAIL  {key}: " + "; ".join(problems), flush=True)
+            results[key] = {"status": "fail", "problems": problems}
             n_fail += 1
         else:
-            print(f"PASS  {key}: {len(srows)} rows ({dt:.1f}s)")
+            print(f"PASS  {key} ({dt:.1f}s)", flush=True)
+            results[key] = {"status": "pass"}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump(results, f, indent=1)
     return 1 if n_fail else 0
 
 
