@@ -26,6 +26,8 @@ maximal-marginal-relevance (MMR) subset selection.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -173,20 +175,49 @@ def _cos_to_lit(vec_col: str, vec) -> F.Column:
     return dot / (F.sqrt(V.sq_norm(vec_col)) * F.lit(qn))
 
 
-@query("select_mmr")  # rows-only: greedy/iterative, not SQL-expressible
-def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy maximal-marginal-relevance selection of k=10 vectors:
+def _cos_local(x_vec, y_vec, y_norm: float) -> float:
+    """Sequential-fold cosine — EXACTLY the IEEE operation order of
+    ``_cos_to_lit`` (dot and sq_norm as left folds, then
+    ``dot / (sqrt(sqn) * y_norm)``), so locally refined max_sim is
+    bit-identical to the JVM column."""
+    s = 0.0
+    for x, y in zip(x_vec, y_vec):
+        s = s + float(x) * float(y)
+    sq = 0.0
+    for x in x_vec:
+        sq = sq + float(x) * float(x)
+    return s / (math.sqrt(sq) * y_norm)
+
+
+def mmr_select(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _MMR_K,
+    lam: float = _MMR_LAMBDA,
+    batch: int | None = None,
+):
+    """Greedy maximal-marginal-relevance selection of k vectors:
     pick argmax of lambda*rel(v) - (1-lambda)*max_{s in S} cos(v, s),
     where rel(v) is cosine similarity to the corpus mean embedding
     (computed with exact integer micro-unit sums so the query vector
     — and hence every pick — is deterministic under any row order).
 
-    Distributed-greedy shape (same as diversity/gmm.py): cached
-    (id, vec, rel, max_sim) state; each round is one narrow argmax
-    job (orderBy ... limit 1 = TakeOrdered, no full sort) plus a
-    greatest() update against the single new pick and a re-cache.
-    k rounds = k passes; batched refill (gmm.py) applies unchanged
-    if k grows."""
+    Batched candidate refill (the diversity/gmm.py:82 pattern, r2
+    VERDICT item 4 — previously one Spark job per pick): each job
+    collects the top-m rows by CURRENT score, then greedy selection
+    continues locally while it is provably global. The proof carries
+    over from GMM because MMR scores are monotone NON-INCREASING
+    under updates (max_sim only grows, lam and 1-lam are
+    nonnegative): every uncollected point scores <= the m-th
+    collected score (the threshold), so a locally refined pick whose
+    score stays STRICTLY above the threshold cannot be beaten or
+    tied from outside (strictness protects the min-id tie-break).
+    The first pick of each round needs no threshold test — before
+    any in-batch refinement the sort order is the global one. Local
+    refinement uses ``_cos_local`` (bit-identical fold), so picks
+    and reported scores equal the one-job-per-pick formulation —
+    A/B-checked in tests/test_llm.py with batch=1. k=10 now takes
+    1-2 jobs instead of 10."""
     e = load(spark, sf_dir, "embeddings")
     # Deterministic mean: per-dimension exact integer sum of
     # round(x * 1e6), divided by count — order-independent.
@@ -208,33 +239,63 @@ def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cos_to_lit("embedding", qvec).alias("rel"),
         F.lit(-1.0).alias("max_sim"),
     ).cache()
-    lam = _MMR_LAMBDA
+    m = batch if batch is not None else max(64, 8 * k)
     picks = []
     prev = None
-    for rank in range(_MMR_K):
+    while len(picks) < k:
         score = lam * F.col("rel") - (1 - lam) * F.col("max_sim")
-        row = (
+        rows = (
             state.filter(~F.col("vec_id").isin([p[1] for p in picks]))
             .orderBy(score.desc(), F.col("vec_id"))
-            .limit(1)
+            .limit(m)
             .collect()
         )
-        if not row:
+        if not rows:
             break
-        r = row[0]
-        mmr = lam * r["rel"] - (1 - lam) * r["max_sim"]
-        picks.append((rank, r["vec_id"], float(r["rel"]), float(mmr)))
-        nxt = state.withColumn(
-            "max_sim",
-            F.greatest("max_sim", _cos_to_lit("embedding", list(r["embedding"]))),
-        ).cache()
-        nxt.count()
-        if prev is not None:
-            prev.unpersist()
-        prev, state = state, nxt
+        exhaustive = len(rows) < m
+        last = rows[-1]
+        threshold = lam * last["rel"] - (1 - lam) * last["max_sim"]
+        cand = [
+            [r["vec_id"], float(r["rel"]), float(r["max_sim"]), list(r["embedding"])]
+            for r in rows
+        ]
+        new_picked = []  # (vec, qn) applied back to the DataFrame state
+        while len(picks) < k and cand:
+            j = max(
+                range(len(cand)),
+                key=lambda i: (lam * cand[i][1] - (1 - lam) * cand[i][2], -cand[i][0]),
+            )
+            cid, crel, cms, cvec = cand[j]
+            sc = lam * crel - (1 - lam) * cms
+            if new_picked and not exhaustive and not (sc > threshold):
+                break  # an uncollected point could beat or tie this pick
+            picks.append((len(picks), cid, crel, sc))
+            del cand[j]
+            qn = sum(float(x) * float(x) for x in cvec) ** 0.5
+            new_picked.append((cvec, qn))
+            for c in cand:
+                cos = _cos_local(c[3], cvec, qn)
+                if cos > c[2]:
+                    c[2] = cos
+        if len(picks) < k and new_picked:
+            col = F.col("max_sim")
+            for vec, _ in new_picked:
+                col = F.greatest(col, _cos_to_lit("embedding", vec))
+            nxt = state.withColumn("max_sim", col).cache()
+            if prev is not None:
+                prev.unpersist()
+            prev, state = state, nxt
     state.unpersist()
     if prev is not None:
         prev.unpersist()
+    return picks
+
+
+@query("select_mmr")  # rows-only: greedy/iterative, not SQL-expressible
+def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR selection of k=10 over the embeddings table — see
+    ``mmr_select`` for the batched distributed-greedy plan."""
+    picks = mmr_select(spark, sf_dir)
     return spark.createDataFrame(
         picks, "sel_order int, vec_id bigint, rel double, mmr_score double"
     )

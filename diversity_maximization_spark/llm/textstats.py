@@ -625,11 +625,14 @@ def word_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w1")
     )
     win = Window.partitionBy("doc_id").orderBy("pos")
+    # NOT cached: bg is read twice (pair counts + the n_bi total), but
+    # a pinned corpus-sized bigram cache outlives the query in a
+    # long-lived driver session (ADVICE r02) — recomputing the narrow
+    # explode+lead pass is the cheaper steady-state trade.
     bg = (
         w.withColumn("w2", F.lead("w1").over(win))
         .filter(F.col("w2").isNotNull())
         .select("w1", "w2")
-        .cache()
     )
     uni = (
         d.select(F.explode(F.split("text", " ")).alias("w"))

@@ -192,7 +192,7 @@ WITH daily AS (
   FROM events GROUP BY event_type, date_trunc('day', ts)
 )
 SELECT event_type, CAST(day AS TIMESTAMP) AS day, n,
-       round((n - AVG(n) OVER t) / stddev_samp(n) OVER t, 4) AS z
+       round((n - AVG(n) OVER t) / nullif(stddev_samp(n) OVER t, 0), 4) AS z
 FROM daily
 WINDOW t AS (PARTITION BY event_type)
 """,
@@ -202,18 +202,24 @@ def anomaly_daily_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     against that event type's own daily distribution. Rounded to 4 dp
     on O(1) magnitudes (same discipline as udf_grouped_map — the two
     engines' stddev accumulation orders differ at ~1e-12 relative).
+    Zero variance (a type with identical counts every day) is pinned
+    to NULL in BOTH engines via nullif / a when-guard: Spark's
+    non-ANSI x/0.0 is NULL but DuckDB's is inf, so the unguarded form
+    hash-diverges on constant series (ADVICE r02).
     Parallelism = number of series; the window partitions by type."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
     t = Window.partitionBy("event_type")
+    sd = F.stddev_samp("n").over(t)
     return daily.select(
         "event_type",
         "day",
         "n",
         F.round(
-            (F.col("n") - F.avg("n").over(t)) / F.stddev_samp("n").over(t),
+            (F.col("n") - F.avg("n").over(t))
+            / F.when(sd != 0, sd),
             4,
         ).alias("z"),
     )

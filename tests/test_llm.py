@@ -431,6 +431,18 @@ def test_select_mmr_greedy_properties(spark, sf_dir):
         assert b["mmr_score"] <= a["mmr_score"] + 1e-9
 
 
+def test_select_mmr_batched_equals_one_per_job(spark, sf_dir):
+    """The batched candidate refill (one job collects top-m, greedy
+    continues locally under the threshold proof) must produce
+    BIT-IDENTICAL picks and scores to the one-job-per-pick
+    formulation (batch=1 reproduces it exactly)."""
+    from diversity_maximization_spark.llm.decontam import mmr_select
+
+    batched = mmr_select(spark, sf_dir)
+    sequential = mmr_select(spark, sf_dir, batch=1)
+    assert batched == sequential
+
+
 def test_embed_pca_matches_local_numpy(spark, sf_dir):
     """Distributed gram-matrix PCA equals a plain local PCA: per-
     component projections agree up to the documented sign convention,

@@ -65,3 +65,30 @@ def test_no_oracled_key_emits_complex_types(spark, sf_dir):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((key, f.name, f.dataType.simpleString()))
     assert bad == [], f"complex-typed outputs in oracled keys: {bad}"
+
+
+def test_zscore_zero_variance_pinned_null(spark):
+    """A constant daily series (stddev 0) must yield NULL z in BOTH
+    engines: Spark's non-ANSI x/0.0 is already NULL, DuckDB needs the
+    nullif guard — this pins the guarded behavior on a synthetic
+    constant series (the fixtures happen to vary daily, ADVICE r02)."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [("a", 1, 5), ("a", 2, 5), ("a", 3, 5)], "event_type string, d int, n int"
+    )
+    t = Window.partitionBy("event_type")
+    sd = F.stddev_samp("n").over(t)
+    z = df.select(
+        F.round((F.col("n") - F.avg("n").over(t)) / F.when(sd != 0, sd), 4).alias("z")
+    ).collect()
+    assert all(r["z"] is None for r in z)
+
+    con = duckdb.connect()
+    dz = con.sql(
+        "SELECT round((n - AVG(n) OVER ()) / nullif(stddev_samp(n) OVER (), 0), 4)"
+        " AS z FROM (VALUES (5), (5), (5)) AS t(n)"
+    ).fetchall()
+    assert all(r[0] is None for r in dz)

@@ -167,3 +167,27 @@ def test_matroid_stream_coreset_independent_selection(spark, sf_dir):
     for c in st["centers"]:
         for dl in c[3].values():
             assert len(dl) <= 2
+
+
+def test_tws_gate_honest_both_ways(spark, sf_dir):
+    """The transformWithStateInPandas gate must track reality: when
+    google.protobuf works, the modern-API key MUST be registered and
+    must reproduce the legacy applyInPandasWithState coreset (shared
+    fold_point); when protobuf is broken, the key must be absent AND
+    the import must actually fail — a stale always-False gate would
+    silently keep a fixed environment on the legacy path."""
+    from diversity_maximization_spark.streaming.coreset import _tws_available
+
+    if _tws_available():
+        assert "div_coreset_stream_tws" in QUERIES
+        tws = sorted(
+            map(tuple, QUERIES["div_coreset_stream_tws"](spark, sf_dir).collect())
+        )
+        legacy = sorted(
+            map(tuple, QUERIES["div_coreset_stream"](spark, sf_dir).collect())
+        )
+        assert tws == legacy
+    else:
+        assert "div_coreset_stream_tws" not in QUERIES
+        with pytest.raises(ImportError):
+            from google.protobuf import descriptor  # noqa: F401
