@@ -343,3 +343,61 @@ def mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "source")
     )
+
+
+@query(
+    "sample_temperature",
+    oracle=f"""
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source
+), fixed AS (
+  SELECT source, n_s,
+         CAST(ROUND(sqrt(n_s) * 1000000) AS BIGINT) AS ss
+  FROM counts
+), tot AS (
+  SELECT CAST(SUM(ss) AS BIGINT) AS s_sum, CAST(SUM(n_s) AS BIGINT) AS n_tot
+  FROM fixed
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN fixed f ON d.source = f.source, tot
+WHERE {_MIX_U01} <
+      least(1.0, (0.5 * n_tot) * (CAST(ss AS DOUBLE) / s_sum) / f.n_s)
+""",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced source sampling (the multinomial
+    p_s ∝ n_s^(1/T) upsampling used to flatten source distributions
+    for pretraining), at T=2 so the exponent is sqrt — IEEE
+    correctly-rounded in BOTH engines, unlike pow(x, 0.7) whose libm
+    results may differ. Target total = 50% of the corpus; source s
+    keeps min(1, target * q_s / n_s) of its docs where
+    q_s = sqrt(n_s) / sum_t sqrt(n_t).
+
+    Cross-engine determinism: the q_s denominator is a sum of
+    IRRATIONAL doubles, and float summation order differs between
+    engines — so the sqrt values are fixed to exact integer
+    micro-units first and summed as BIGINTs (order-independent),
+    then divided once. Keep/drop is the portable hash-uniform
+    threshold (no RNG state, layout-independent). Plan: tiny
+    per-source agg broadcasts back into a narrow filter — the corpus
+    never shuffles."""
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    fixed = counts.withColumn(
+        "ss", F.expr("CAST(ROUND(sqrt(n_s) * 1000000) AS BIGINT)")
+    )
+    tot = fixed.agg(
+        F.sum("ss").alias("s_sum"), F.sum("n_s").alias("n_tot")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (0.5 * F.col("n_tot"))
+        * (F.col("ss").cast("double") / F.col("s_sum"))
+        / F.col("n_s"),
+    )
+    return (
+        d.join(F.broadcast(fixed), "source")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr(_MIX_U01) < rate)
+        .select("doc_id", "source")
+    )

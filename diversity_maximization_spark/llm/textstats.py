@@ -665,3 +665,55 @@ def word_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(100)
     )
+
+
+@query(
+    "corpus_report",
+    oracle="""
+WITH t AS (
+  SELECT source, lang, doc_id, string_split(text, ' ') AS ws FROM documents
+), flat AS (
+  SELECT source, lang, unnest(ws) AS w FROM t
+), per AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types
+  FROM flat GROUP BY source, lang
+), docs AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(ws)) AS BIGINT) AS sum_words
+  FROM t GROUP BY source, lang
+)
+SELECT d.source, d.lang, d.n_docs, d.sum_words AS n_words,
+       round(d.sum_words * 1.0 / d.n_docs, 6) AS mean_doc_len,
+       round(p.n_types * 1.0 / p.n_words, 6) AS corpus_ttr
+FROM docs d JOIN per p ON d.source = p.source AND d.lang = p.lang
+""",
+)
+def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (source, lang) corpus report card — the dataset-curation
+    dashboard query: document count, token volume, mean document
+    length, and corpus-level type-token ratio per slice. Two
+    partial+final aggregations (doc-level and word-level) meeting in
+    a broadcast-sized join on the tiny (source, lang) grid; the
+    word-level distinct is the only corpus-sized shuffle and it
+    carries (source, lang, word) triples, not documents."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.split("text", " ")
+    t = d.select("source", "lang", "doc_id", ws.alias("ws"))
+    docs = t.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("ws")).alias("sum_words"),
+    )
+    flat = t.select("source", "lang", F.explode("ws").alias("w"))
+    per = flat.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.countDistinct("w").alias("n_types"),
+    )
+    return docs.join(per, ["source", "lang"]).select(
+        "source",
+        "lang",
+        "n_docs",
+        F.col("sum_words").alias("n_words"),
+        F.round(F.col("sum_words") * 1.0 / F.col("n_docs"), 6).alias("mean_doc_len"),
+        F.round(F.col("n_types") * 1.0 / F.col("n_words"), 6).alias("corpus_ttr"),
+    )

@@ -289,3 +289,81 @@ def pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@query(
+    "quality_gopher_rules",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(text) AS nc,
+         len(list_distinct(string_split(text, ' '))) AS n_types
+  FROM documents
+), h AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, w, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+    GROUP BY doc_id, w
+  ) GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       round((nc - (n_words - 1)) * 1.0 / n_words, 6) AS mean_word_len,
+       round(n_types * 1.0 / n_words, 6) AS ttr,
+       round(top_c * 1.0 / n_words, 6) AS top_share,
+       (n_words BETWEEN 10 AND 1000)
+         AND ((nc - (n_words - 1)) * 1.0 / n_words BETWEEN 2 AND 12)
+         AND (n_types * 1.0 / n_words >= 0.3)
+         AND (top_c * 1.0 / n_words <= 0.2) AS pass
+FROM t JOIN h ON t.doc_id = h.doc_id
+""",
+)
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality filter: word-count bounds, mean
+    word length band, type-token ratio floor, and top-word share cap,
+    with the per-rule signals AND the conjunction reported per doc.
+
+    All four signals come out of ONE Arrow batch pass (mapInPandas):
+    the per-doc word histogram (for top-word share) never leaves the
+    task — same no-explode/no-shuffle shape as quality_repetition, a
+    pure map over the corpus at 100 TB. The rule booleans are
+    evaluated on the UNROUNDED doubles (identical operand order in
+    both engines); rounding is display-only."""
+
+    def gen(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "n_words": [], "nc": [], "n_types": [], "top_c": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                counts: dict[str, int] = {}
+                for w in ws:
+                    counts[w] = counts.get(w, 0) + 1
+                out["doc_id"].append(doc_id)
+                out["n_words"].append(len(ws))
+                out["nc"].append(len(text))
+                out["n_types"].append(len(counts))
+                out["top_c"].append(max(counts.values()) if counts else 0)
+            yield pd.DataFrame(out)
+
+    d = load(spark, sf_dir, "documents")
+    raw = d.select("doc_id", "text").mapInPandas(
+        gen, "doc_id bigint, n_words bigint, nc bigint, n_types bigint, top_c bigint"
+    )
+    nw = F.col("n_words")
+    mean_wl = (F.col("nc") - (nw - 1)) * 1.0 / nw
+    ttr = F.col("n_types") * 1.0 / nw
+    top_share = F.col("top_c") * 1.0 / nw
+    return raw.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(ttr, 6).alias("ttr"),
+        F.round(top_share, 6).alias("top_share"),
+        (
+            nw.between(10, 1000)
+            & mean_wl.between(2, 12)
+            & (ttr >= 0.3)
+            & (top_share <= 0.2)
+        ).alias("pass"),
+    )

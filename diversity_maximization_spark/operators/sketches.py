@@ -253,3 +253,90 @@ def sketch_percentile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.abs(F.col("p95e")) * 0.05, F.lit(5.0))
         ).alias("p95_ok"),
     )
+
+
+_MG_COUNTERS = 512  # Misra-Gries counters per partition
+_HH_DIVISOR = 100  # heavy hitter = word with count >= ceil(n/100)
+
+
+@query(
+    "sketch_heavy_hitters",
+    oracle=f"""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+), tot AS (
+  SELECT greatest(1, CAST(ceil(COUNT(*) / {_HH_DIVISOR}.0) AS BIGINT)) AS thr
+  FROM w
+)
+SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM w, tot
+GROUP BY w, thr
+HAVING COUNT(*) >= thr
+""",
+)
+def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT heavy hitters (words with count >= ceil(n/100)) without
+    ever shuffling the full word stream — the two-pass Misra-Gries
+    plan:
+
+    1. A narrow Arrow pass runs a k={_MG_COUNTERS}-counter
+       Misra-Gries summary PER PARTITION (pure map, no shuffle) and
+       emits only each partition's surviving candidate words. MG
+       guarantees any item with local count > n_p/(k+1) survives, so
+       summing over partitions every word with global count
+       > n/(k+1) is caught by at least one partition; with
+       threshold = ceil(n/{_HH_DIVISOR}) > n/{_MG_COUNTERS + 1}
+       the candidate union provably contains ALL heavy hitters.
+    2. Candidates (<= k per partition — a few KB) collect to the
+       driver and broadcast back; an explode + broadcast-semi-join
+       filters the stream BEFORE the groupBy, so the only shuffle
+       carries candidate occurrences, and exact counts + the final
+       threshold filter reproduce the oracle's full GROUP BY
+       verbatim.
+
+    When the corpus is too small for the guarantee
+    (threshold * (k+1) <= n can't happen with these constants unless
+    n < {_HH_DIVISOR}), fall back to the exact one-shuffle groupBy —
+    same result, and only ever taken on toy inputs."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    n = d.select(F.sum(F.size(F.split("text", " "))).alias("n")).collect()[0]["n"]
+    n = int(n or 0)
+    thr = max(1, -(-n // _HH_DIVISOR))  # ceil(n/100)
+
+    words = d.select(F.explode(F.split("text", " ")).alias("word"))
+    exact = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+    )
+    if thr * (_MG_COUNTERS + 1) <= n:
+        return exact  # guarantee would not hold; exact fallback
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for text in pdf["text"]:
+                for w in text.split(" "):
+                    if w in counters:
+                        counters[w] += 1
+                    elif len(counters) < _MG_COUNTERS:
+                        counters[w] = 1
+                    else:
+                        dead = [k for k in counters if counters[k] == 1]
+                        for k in dead:
+                            del counters[k]
+                        for k in counters:
+                            counters[k] -= 1
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    cands = (
+        d.select("text").mapInPandas(mg, "word string").distinct()
+    )
+    return (
+        words.join(F.broadcast(cands), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+    )

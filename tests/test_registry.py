@@ -92,3 +92,37 @@ def test_zscore_zero_variance_pinned_null(spark):
         " AS z FROM (VALUES (5), (5), (5)) AS t(n)"
     ).fetchall()
     assert all(r[0] is None for r in dz)
+
+
+def test_heavy_hitters_mg_path_and_superset(spark, sf_dir):
+    """The fixture corpus must exercise the Misra-Gries path (the
+    guarantee threshold*(k+1) > n holds), and the per-partition MG
+    candidate union must contain every exact heavy hitter — the
+    invariant the two-pass plan rests on."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.operators.sketches import (
+        _HH_DIVISOR,
+        _MG_COUNTERS,
+    )
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    n = d.select(F.sum(F.size(F.split("text", " ")))).collect()[0][0]
+    thr = -(-int(n) // _HH_DIVISOR)
+    assert thr * (_MG_COUNTERS + 1) > n, "fixture must take the MG path"
+
+    exact = {
+        r["word"]: r["cnt"]
+        for r in d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .collect()
+    }
+    got = {
+        r["word"]: r["cnt"]
+        for r in QUERIES["sketch_heavy_hitters"](spark, sf_dir).collect()
+    }
+    assert got == exact
