@@ -452,3 +452,41 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     return d.join(keep, "doc_id").select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "dedup_incremental",
+    oracle="""
+WITH split AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+), bound AS (
+  SELECT MAX(doc_id) // 2 AS b FROM documents
+), old AS (
+  SELECT DISTINCT h FROM split, bound WHERE doc_id < b
+), new AS (
+  SELECT doc_id, h FROM split, bound WHERE doc_id >= b
+)
+SELECT n.doc_id, (o.h IS NOT NULL) AS is_dup_of_existing
+FROM new n LEFT JOIN old o ON n.h = o.h
+""",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) exact dedup — the daily-crawl
+    shape: the lower half of doc_id space stands in for the already-
+    ingested corpus, the upper half for today's batch; each new doc
+    is flagged iff its content hash already exists in the corpus.
+
+    Plan: both sides reduce to 32-byte (hash) keys BEFORE any
+    shuffle — the existing corpus contributes a DISTINCT hash set
+    (in production this is the stored dedup index, not a rescan) and
+    the join is a plain shuffled hash join on those keys; document
+    text never moves. At 100 TB the shuffle carries only digests."""
+    d = load(spark, sf_dir, "documents")
+    b = d.agg(F.max("doc_id")).collect()[0][0] // 2
+    hashed = d.select("doc_id", F.md5("text").alias("h"))
+    old = hashed.filter(F.col("doc_id") < b).select("h").distinct()
+    new = hashed.filter(F.col("doc_id") >= b)
+    return (
+        new.join(old.withColumnRenamed("h", "oh"), new["h"] == F.col("oh"), "left")
+        .select("doc_id", F.col("oh").isNotNull().alias("is_dup_of_existing"))
+    )

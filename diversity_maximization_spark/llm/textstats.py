@@ -717,3 +717,54 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_words") * 1.0 / F.col("n_docs"), 6).alias("mean_doc_len"),
         F.round(F.col("n_types") * 1.0 / F.col("n_words"), 6).alias("corpus_ttr"),
     )
+
+
+_VOCAB_TOP = 100
+
+
+@query(
+    "vocab_coverage",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rn
+    FROM words GROUP BY w
+  ) WHERE rn <= {_VOCAB_TOP}
+)
+SELECT ws.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
+       round(COUNT(*) FILTER (v.w IS NULL) * 1.0 / COUNT(*), 6) AS oov_rate
+FROM words ws LEFT JOIN vocab v ON ws.w = v.w
+GROUP BY ws.doc_id
+""",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV rate against the corpus top-{_VOCAB_TOP}
+    vocabulary — the tokenizer-coverage health check run before
+    committing a vocab. The vocabulary is derived with
+    orderBy+limit (TakeOrdered: per-partition top-k merged on the
+    driver, never a global sort), then BROADCAST into a left join
+    the per-doc aggregation consumes map-side — the corpus word
+    stream shuffles only for the vocabulary count agg."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(_VOCAB_TOP)
+        .select(F.col("w").alias("vw"))
+    )
+    j = words.join(
+        F.broadcast(vocab), words["w"] == vocab["vw"], "left"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("vw").isNull(), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("vw").isNull(), 1)) * 1.0 / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
