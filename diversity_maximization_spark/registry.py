@@ -119,6 +119,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         behavior,
+        graph,
         joins,
         lakehouse,
         quality,
