@@ -193,3 +193,56 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("value_v2").alias("n_with_v2"),
         (F.sum("value_v2").cast("double") / 100).alias("v2_total"),
     )
+
+
+@query(
+    "sink_dynamic_overwrite",
+    oracle="""
+WITH merged AS (
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type <> 'click'
+  UNION ALL
+  SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) * 2 AS cents
+  FROM events WHERE event_type = 'click'
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(cents) AS BIGINT) AS total_cents
+FROM merged GROUP BY event_type
+""",
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION):
+    events lands partitioned by event_type, then a corrected 'click'
+    batch (cents doubled) overwrites ONLY its own partition under
+    partitionOverwriteMode=dynamic — the daily-restatement pattern
+    where one day/type is recomputed without rewriting the table.
+    The read-back per-type counts and exact cent totals prove both
+    sides: untouched partitions byte-survive (their totals equal the
+    original) and the overwritten partition carries the new data.
+    Values travel as exact integer cents so the proof is hash-exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    base = tempfile.mkdtemp(prefix="dms_dynover_")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
+
+    corrected = ev.filter(F.col("event_type") == "click").withColumn(
+        "cents", F.col("cents") * 2
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(mode_key, None)
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("event_type").parquet(base)
+    finally:
+        if saved is None:
+            spark.conf.unset(mode_key)
+        else:
+            spark.conf.set(mode_key, saved)
+
+    back = spark.read.parquet(base)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
+    )
