@@ -24,6 +24,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import QUERIES, query
 from ..sources import load
@@ -489,4 +490,106 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         new.join(old.withColumnRenamed("h", "oh"), new["h"] == F.col("oh"), "left")
         .select("doc_id", F.col("oh").isNotNull().alias("is_dup_of_existing"))
+    )
+
+
+_PF_T = 0.5  # Jaccard threshold for the prefix-filter join
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+         AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= {_PF_T}
+""",
+)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity join with PREFIX FILTERING (PPJoin family):
+    exact Jaccard >= {_PF_T} pairs, but candidate generation only
+    indexes each document's RAREST n - ceil(t*n) + 1 shingles under a
+    global (frequency asc, shingle) order. The classic prefix lemma:
+    two sets whose prefixes under a shared total order are disjoint
+    cannot reach Jaccard t, so the candidate set provably contains
+    every qualifying pair — while common shingles (the frequent ones
+    that inflate candidate lists in a plain shingle equi-join, e.g.
+    dedup_ngram_jaccard's) never become join keys. Survivors are
+    re-scored with the exact sparse intersection, so the output equals
+    the all-pairs oracle verbatim.
+
+    Plan shape: one frequency agg over (doc, shingle); a per-doc
+    rarity window (partitioned by doc_id — bounded rows per doc);
+    the candidate equi-join carries ONLY prefix shingles; the verify
+    join carries only candidate pairs. At 100 TB the frequent-shingle
+    hot buckets that would dominate a naive shingle join simply don't
+    exist here."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d.select("doc_id", "text"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("fr"))
+    ranked = sh.join(freq, "shingle")
+    wd = Window.partitionBy("doc_id").orderBy("fr", "shingle")
+    wn = Window.partitionBy("doc_id")
+    pref = (
+        ranked.withColumn("rn", F.row_number().over(wd))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wn))
+        # p = n - ceil(t*n) + 1, exact integers for t = 0.5
+        .filter(F.col("rn") <= F.col("n_sh") - (F.col("n_sh") + 1) / 2 + 1)
+        .select("doc_id", "shingle", "n_sh")
+    )
+    a = pref.select(
+        F.col("doc_id").alias("doc_a"), "shingle", F.col("n_sh").alias("na")
+    )
+    b = pref.select(
+        F.col("doc_id").alias("doc_b"), "shingle", F.col("n_sh").alias("nb")
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingle").alias("sha"))
+    sb = sh.select(F.col("doc_id").alias("b2"), F.col("shingle").alias("shb"))
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("b2")) & (F.col("sha") == F.col("shb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")),
+            "doc_b",
+        )
+        .filter(jac >= _PF_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -557,3 +557,43 @@ def test_audio_fingerprint_properties(spark, sf_dir):
     assert audio_fp(low) == audio_fp(low)
     assert dom_low < dom_high  # energy concentrates where the tone is
     assert fp_low != fp_high
+
+
+def test_prefix_filter_prunes_candidates(spark, sf_dir):
+    """The prefix index must be a strict subset of the full shingle
+    index, and the candidate pair count must shrink vs the naive
+    all-shingle equi-join — the whole point of prefix filtering —
+    while the oracle (test_oracle) pins that no qualifying pair is
+    lost."""
+    from diversity_maximization_spark.llm.dedup import shingles_df
+    from diversity_maximization_spark.sources import load
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d.select("doc_id", "text"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    naive_pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+        .count()
+    )
+    out = QUERIES["dedup_prefix_filter"](spark, sf_dir)
+    qualifying = out.count()
+    assert qualifying <= naive_pairs
+    # the prefix index is at most ~half the full index (p = n-ceil(n/2)+1)
+    full_index = sh.count()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("fr"))
+    from pyspark.sql.window import Window
+
+    wd = Window.partitionBy("doc_id").orderBy("fr", "shingle")
+    wn = Window.partitionBy("doc_id")
+    pref_index = (
+        sh.join(freq, "shingle")
+        .withColumn("rn", F.row_number().over(wd))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") <= F.col("n_sh") - (F.col("n_sh") + 1) / 2 + 1)
+        .count()
+    )
+    assert pref_index < full_index
