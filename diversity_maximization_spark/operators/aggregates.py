@@ -549,3 +549,33 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         F.expr("round(num / den / 100, 4)").alias("wavg_price"),
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+SELECT r.r_name,
+       string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+       CAST(COUNT(*) AS BIGINT) AS n_nations
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+""",
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG WITHIN GROUP — the report
+    formatting staple): comma-joined nation names per region, sorted
+    so the concatenation is deterministic under any partitioning.
+    Spark 4's native listagg with WITHIN GROUP ordering; DuckDB's
+    string_agg with ORDER BY mirrors it."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )

@@ -422,3 +422,33 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(url, "^[a-z]+://[^/]+(/[^?]*)", 1).alias("path"),
         F.regexp_extract(url, "[?]lang=([0-9]+)", 1).alias("lang_param"),
     )
+
+
+@query(
+    "fn_variant",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod,
+       (CAST(json_extract_string(props, '$.k') AS INTEGER) IS NOT NULL)
+         AS has_k
+FROM events
+""",
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type:
+    ``parse_json`` once into a variant value, then typed
+    ``try_variant_get`` extractions — the modern lakehouse path for
+    JSON columns (parse cost paid once per row, shredded binary
+    encoding instead of per-field string re-parsing like
+    fn_json's get_json_object). DuckDB oracles the same accesses
+    via json_extract."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.try_variant_get(v, "$.k", "int")
+    return ev.select(
+        "event_id",
+        k.alias("k"),
+        (k % 10).alias("k_mod"),
+        k.isNotNull().alias("has_k"),
+    )

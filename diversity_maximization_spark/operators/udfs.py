@@ -158,3 +158,41 @@ def udtf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas partition-wise iterator (schema-changing map)."""
     d = load(spark, sf_dir, "documents")
     return d.mapInPandas(_token_count_batches, "doc_id bigint, n_tokens int")
+
+
+@query(
+    "udtf_python",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+  WHERE doc_id < 50
+)
+SELECT doc_id, unnest(generate_series(1, len(ws))) - 1 AS pos,
+       unnest(ws) AS w
+FROM t
+""",
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python user-defined table function (Spark 4 @udtf) used
+    through the SQL LATERAL syntax — one input row expands to one row
+    per token with its position. This key covers the UDTF API
+    surface; it runs row-based Python (the slow path by design), so
+    the corpus-scale equivalents remain fn_explode (JVM) and
+    udtf_map_in_pandas (Arrow) — here it is deliberately applied to a
+    bounded slice (doc_id < 50), the shape a real pipeline would use
+    for expanding small control tables."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, w string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield (i, w)
+
+    spark.udtf.register("split_words_udtf", SplitWords)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    d.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, s.pos, s.w "
+        "FROM udtf_docs_in d, LATERAL split_words_udtf(d.text) s"
+    )
