@@ -191,3 +191,39 @@ def test_clustered_layout_pushes_range_filter(spark, sf_dir):
     assert "PushedFilters: [" in plan
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "l_shipdate" in pushed, plan
+
+
+def test_ntile_has_no_global_window(spark, sf_dir):
+    """The scale-safe NTILE plan must contain NO Window node at all
+    (the global quartiles come from the distributed row-number map)
+    and must keep the Arrow stage (MapInPandas)."""
+    for key in ("win_ntile_pctrank", "feat_bucketize"):
+        plan = plan_of(spark, key, sf_dir)
+        assert "Window" not in plan, key
+        assert "MapInPandas" in plan, key
+
+
+def test_vocab_coverage_broadcasts_vocab(spark, sf_dir):
+    """The top-k vocabulary must arrive via TakeOrdered (no global
+    sort) and join broadcast (map-side), never a SortMergeJoin."""
+    plan = plan_of(spark, "vocab_coverage", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_incremental_joins_digests_only(spark, sf_dir):
+    """The dedup join must carry md5 digests, never document text:
+    text appears only below the hash projection, and the join is a
+    plain equi hash join."""
+    plan = plan_of(spark, "dedup_incremental", sf_dir)
+    join_part = plan.split("Join")[1]
+    assert "text" not in join_part.split("\n\n")[0]
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
+    """The exact second pass must semi-join against BROADCAST
+    candidates (map-side filter before the shuffle)."""
+    plan = plan_of(spark, "sketch_heavy_hitters", sf_dir)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
