@@ -275,3 +275,107 @@ def near_dup_pairs(
             F.round("cs", 6).alias("cos_sim"),
         )
     )
+
+
+def mmr(
+    df: DataFrame,
+    k: int = 10,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Greedy maximal-marginal-relevance selection over an arbitrary
+    (id, vector) DataFrame: argmax lam*rel - (1-lam)*max-sim, rel =
+    cosine to the (deterministic) corpus mean. Batched distributed
+    greedy — one job collects a provably sufficient candidate
+    frontier, so k picks cost ~1-2 jobs. Returns
+    [(rank, id, rel, mmr_score)]."""
+    from .llm.decontam import mmr_over
+
+    return mmr_over(df, k=k, lam=lam, id_col=id_col, vec_col=vec_col)
+
+
+def quality_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style per-document quality signals + pass flag for any
+    (id, text) DataFrame — one Arrow pass, no shuffle."""
+    from .llm.transforms import gopher_signals
+
+    return gopher_signals(df, id_col=id_col, text_col=text_col)
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, divisor: int = 100, counters: int = 512
+) -> DataFrame:
+    """EXACT heavy hitters of a value column (count >= ceil(n/divisor))
+    without shuffling the value stream: per-partition Misra-Gries
+    candidates (narrow Arrow pass) + a broadcast-semi-join-filtered
+    exact second pass. Coverage is guaranteed while
+    ceil(n/divisor) * (counters+1) > n; otherwise falls back to the
+    exact one-shuffle groupBy (tiny inputs only)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    vals = df.select(F.col(col).alias("v"))
+    n = vals.count()
+    thr = max(1, -(-n // divisor))
+    exact = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .select(F.col("v").alias(col), "cnt")
+    )
+    if thr * (counters + 1) <= n:
+        return exact
+
+    def mg(batches):
+        c: dict = {}
+        for pdf in batches:
+            for v in pdf["v"]:
+                if v in c:
+                    c[v] += 1
+                elif len(c) < counters:
+                    c[v] = 1
+                else:
+                    dead = [k for k in c if c[k] == 1]
+                    for k in dead:
+                        del c[k]
+                    for k in c:
+                        c[k] -= 1
+        yield pd.DataFrame({"v": list(c.keys())})
+
+    schema = vals.schema["v"].dataType.simpleString()
+    cands = vals.mapInPandas(mg, f"v {schema}").distinct()
+    return (
+        vals.join(F.broadcast(cands), "v", "left_semi")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= thr)
+        .select(F.col("v").alias(col), "cnt")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: tuple = (80, 10, 10),
+    names: tuple = ("train", "val", "test"),
+) -> DataFrame:
+    """Deterministic train/val/test assignment by portable
+    multiplicative hash of the id — RNG-free, layout- and
+    engine-independent, a pure narrow map (the sample_hash_split
+    idiom generalized to arbitrary weights)."""
+    from pyspark.sql import functions as F
+
+    assert len(weights) == len(names) and sum(weights) == 100
+    bucket = F.expr(
+        f"(({id_col} % 2147483648) * 2654435761 % 4294967296) % 100"
+    )
+    col = None
+    acc = 0
+    for w, name in zip(weights, names):
+        acc += w
+        cond = bucket < acc
+        col = F.when(cond, name) if col is None else col.when(cond, name)
+    return df.withColumn("split", col)

@@ -196,6 +196,18 @@ def mmr_select(
     lam: float = _MMR_LAMBDA,
     batch: int | None = None,
 ):
+    """MMR over the fixture embeddings table — see ``mmr_over``."""
+    return mmr_over(load(spark, sf_dir, "embeddings"), k=k, lam=lam, batch=batch)
+
+
+def mmr_over(
+    df: DataFrame,
+    k: int = _MMR_K,
+    lam: float = _MMR_LAMBDA,
+    batch: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
     """Greedy maximal-marginal-relevance selection of k vectors:
     pick argmax of lambda*rel(v) - (1-lambda)*max_{s in S} cos(v, s),
     where rel(v) is cosine similarity to the corpus mean embedding
@@ -218,7 +230,9 @@ def mmr_select(
     and reported scores equal the one-job-per-pick formulation —
     A/B-checked in tests/test_llm.py with batch=1. k=10 now takes
     1-2 jobs instead of 10."""
-    e = load(spark, sf_dir, "embeddings")
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     # Deterministic mean: per-dimension exact integer sum of
     # round(x * 1e6), divided by count — order-independent.
     dim_rows = (

@@ -320,6 +320,14 @@ FROM t JOIN h ON t.doc_id = h.doc_id
 """,
 )
 def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality filter over the fixture corpus
+    — see ``gopher_signals`` for the plan."""
+    return gopher_signals(load(spark, sf_dir, "documents"))
+
+
+def gopher_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
     """Gopher-style multi-rule quality filter: word-count bounds, mean
     word length band, type-token ratio floor, and top-word share cap,
     with the per-rule signals AND the conjunction reported per doc.
@@ -346,8 +354,9 @@ def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["top_c"].append(max(counts.values()) if counts else 0)
             yield pd.DataFrame(out)
 
-    d = load(spark, sf_dir, "documents")
-    raw = d.select("doc_id", "text").mapInPandas(
+    raw = df.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    ).mapInPandas(
         gen, "doc_id bigint, n_words bigint, nc bigint, n_types bigint, top_c bigint"
     )
     nw = F.col("n_words")
