@@ -553,8 +553,14 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = (
         ranked.withColumn("rn", F.row_number().over(wd))
         .withColumn("n_sh", F.count(F.lit(1)).over(wn))
-        # p = n - ceil(t*n) + 1, exact integers for t = 0.5
-        .filter(F.col("rn") <= F.col("n_sh") - (F.col("n_sh") + 1) / 2 + 1)
+        # p = n - ceil(t*n) + 1 with t = 0.5: ceil(n/2) = (n+1) DIV 2,
+        # INTEGER division — `(n+1)/2` would be double division in
+        # Spark and silently shorten even-n prefixes by one element
+        # (a completeness hole the oracle only catches when a
+        # borderline pair exists).
+        .filter(
+            F.col("rn") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1
+        )
         .select("doc_id", "shingle", "n_sh")
     )
     a = pref.select(

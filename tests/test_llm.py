@@ -593,7 +593,7 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         sh.join(freq, "shingle")
         .withColumn("rn", F.row_number().over(wd))
         .withColumn("n_sh", F.count(F.lit(1)).over(wn))
-        .filter(F.col("rn") <= F.col("n_sh") - (F.col("n_sh") + 1) / 2 + 1)
+        .filter(F.col("rn") <= F.col("n_sh") - F.expr("(n_sh + 1) DIV 2") + 1)
         .count()
     )
     assert pref_index < full_index
