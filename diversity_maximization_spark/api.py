@@ -379,3 +379,20 @@ def hash_split(
         cond = bucket < acc
         col = F.when(cond, name) if col is None else col.when(cond, name)
     return df.withColumn("split", col)
+
+
+def near_dup_texts(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Text near-duplicate pairs for any (id, text) DataFrame:
+    MinHash-LSH banded candidate generation (shuffle-only equi-join,
+    the 100 TB path) verified with exact shingle Jaccard — returns
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    from .llm.dedup import minhash_near_dup_pairs
+
+    return minhash_near_dup_pairs(
+        df, threshold=threshold, id_col=id_col, text_col=text_col
+    )

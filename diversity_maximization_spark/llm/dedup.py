@@ -94,11 +94,26 @@ def minhash_signatures(sh: DataFrame) -> DataFrame:
 
 @query("dedup_minhash")  # rows-only: hash family is engine-specific
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs, verified with exact
-    Jaccard. Pipeline: shingle -> signature -> band buckets ->
-    bucket self-join -> sparse exact-Jaccard verification.
-    Property (tests): every exact-duplicate pair must appear."""
-    d = load(spark, sf_dir, "documents")
+    """MinHash-LSH near-dup pairs over the fixture corpus — see
+    ``minhash_near_dup_pairs``."""
+    return minhash_near_dup_pairs(load(spark, sf_dir, "documents"))
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs over any (id, text)
+    DataFrame, verified with exact Jaccard. Pipeline: shingle ->
+    signature -> band buckets -> bucket self-join -> sparse
+    exact-Jaccard verification.
+    Property (tests): every exact-duplicate pair must appear.
+    (The shingle cache is read four times — signatures, sizes, both
+    verify sides — which is why it is cached; callers running many
+    queries in one driver session can spark.catalog.clearCache().)"""
+    d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sh = shingles_df(d).cache()
     sig = minhash_signatures(sh)
 
@@ -150,7 +165,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ),
         )
-        .filter(F.col("jaccard") >= 0.35)
+        .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
     return out
