@@ -579,3 +579,25 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+@query(
+    "agg_bool_logic",
+    oracle="""
+SELECT event_type,
+       COUNT(*) FILTER (value > 100) AS n_large,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(value > 900) AS any_huge
+FROM events GROUP BY event_type
+""",
+)
+def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate family (count_if, bool_and,
+    bool_or) — the data-quality assertion aggregates; all three
+    partial+final combinable, one shuffle of tiny per-group state."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("count_if(value > 100)").alias("n_large"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 900).alias("any_huge"),
+    )

@@ -558,3 +558,57 @@ def win_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_streaks"),
         F.max("streak_len").alias("longest_streak"),
     )
+
+
+@query(
+    "seq_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type,
+         lag(event_type, 1) OVER w AS t1, lag(ts, 1) OVER w AS ts1,
+         lag(event_type, 2) OVER w AS t2, lag(ts, 2) OVER w AS ts2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts AS purchase_ts, ts1 AS click_ts, ts2 AS view_ts
+FROM seq
+WHERE event_type = 'purchase' AND t1 = 'click' AND t2 = 'view'
+  AND epoch(ts) - epoch(ts2) <= 3600
+""",
+)
+def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence pattern matching (the MATCH_RECOGNIZE shape SQL
+    engines bolt on, expressed with lag chains): emit every
+    view -> click -> purchase run of three CONSECUTIVE events by one
+    user completing within an hour. One window partitioning (by
+    user), two lags — a single Exchange at any scale, and each match
+    row carries the full timeline for attribution."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("ts", 1).over(w).alias("ts1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+        (ts_sec - F.lag(ts_sec, 2).over(w)).alias("span"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "view")
+            & (F.col("span") <= 3600)
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("ts1").alias("click_ts"),
+            F.col("ts2").alias("view_ts"),
+        )
+    )

@@ -452,3 +452,28 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k % 10).alias("k_mod"),
         k.isNotNull().alias("has_k"),
     )
+
+
+@query(
+    "fn_bitwise",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS lo_byte,
+       xor(event_id, 255) AS xored,
+       event_id << 2 AS shifted,
+       bit_count(event_id) AS popcount
+FROM events
+""",
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (mask/xor/shift/popcount) — the hash and
+    signature substrate (simhash banding, bucket masks) exposed as a
+    first-class key; pure narrow JVM expressions."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("event_id & 255").alias("lo_byte"),
+        F.expr("event_id ^ 255").alias("xored"),
+        F.expr("shiftleft(event_id, 2)").alias("shifted"),
+        F.expr("bit_count(event_id)").alias("popcount"),
+    )
