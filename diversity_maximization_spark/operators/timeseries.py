@@ -131,3 +131,120 @@ def ts_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("n"),
         (F.sum("total_cents").cast("double") / 100).alias("total_value"),
     )
+
+
+@query(
+    "ts_resample_interp",
+    oracle=f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         COUNT(*) AS n, SUM({cents('value')}) AS total_cents
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), bounds AS (
+  SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM hourly
+), grid AS (
+  SELECT t.event_type, g.bucket
+  FROM (SELECT DISTINCT event_type FROM events) t,
+       (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        FROM bounds) g
+), joined AS (
+  SELECT g.event_type, g.bucket, h.n, h.total_cents,
+         epoch(g.bucket) AS et
+  FROM grid g LEFT JOIN hourly h
+    ON g.event_type = h.event_type AND g.bucket = h.bucket
+), win AS (
+  SELECT event_type, bucket, COALESCE(n, 0) AS n, total_cents,
+         last_value(total_cents IGNORE NULLS) OVER wp AS pc,
+         last_value(CASE WHEN total_cents IS NOT NULL THEN et END
+                    IGNORE NULLS) OVER wp AS pt,
+         first_value(total_cents IGNORE NULLS) OVER wf AS nc,
+         first_value(CASE WHEN total_cents IS NOT NULL THEN et END
+                     IGNORE NULLS) OVER wf AS nt,
+         et
+  FROM joined
+  WINDOW wp AS (PARTITION BY event_type ORDER BY bucket
+                ROWS UNBOUNDED PRECEDING),
+         wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket, CAST(n AS BIGINT) AS n,
+       round(CASE WHEN total_cents IS NOT NULL
+                  THEN CAST(total_cents AS DOUBLE) / 100
+                  WHEN pc IS NOT NULL AND nc IS NOT NULL
+                  THEN (CAST(pc AS DOUBLE)
+                        + (nc - pc) * ((et - pt) / (nt - pt))) / 100
+             END, 6) AS interp_total
+FROM win
+""",
+)
+def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling on the dense hourly grid (the
+    companion to ts_gapfill_locf): empty buckets get the straight
+    line between the surrounding observations by time fraction;
+    leading/trailing gaps (no neighbor on one side) stay NULL.
+    Per-series windows (one forward, one backward over the same
+    partitioning — a single Exchange), exact integer cents inside the
+    interpolation so the only float ops are the final fraction and
+    multiply, written in the identical order in both engines."""
+    hourly = _hourly(spark, sf_dir).cache()
+    lo, hi = hourly.agg(F.min("bucket"), F.max("bucket")).collect()[0]
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(TIMESTAMP '{lo}', TIMESTAMP '{hi}', "
+                    "INTERVAL 1 HOUR)"
+                )
+            ).alias("bucket")
+        )
+        .crossJoin(
+            F.broadcast(
+                load(spark, sf_dir, "events").select("event_type").distinct()
+            )
+        )
+    )
+    et = F.col("bucket").cast("timestamp").cast("double")
+    joined = grid.join(hourly, ["event_type", "bucket"], "left").withColumn(
+        "et", et
+    )
+    obs_t = F.when(F.col("total_cents").isNotNull(), F.col("et"))
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    win = joined.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        "total_cents",
+        F.last("total_cents", ignorenulls=True).over(wp).alias("pc"),
+        F.last(obs_t, ignorenulls=True).over(wp).alias("pt"),
+        F.first("total_cents", ignorenulls=True).over(wf).alias("nc"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("nt"),
+        "et",
+    )
+    frac = (F.col("et") - F.col("pt")) / (F.col("nt") - F.col("pt"))
+    interp = (
+        F.col("pc").cast("double") + (F.col("nc") - F.col("pc")) * frac
+    ) / 100
+    return win.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.round(
+            F.when(
+                F.col("total_cents").isNotNull(),
+                F.col("total_cents").cast("double") / 100,
+            ).when(
+                F.col("pc").isNotNull() & F.col("nc").isNotNull(), interp
+            ),
+            6,
+        ).alias("interp_total"),
+    )
