@@ -614,3 +614,42 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= _PF_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@query(
+    "dedup_rate_by_source",
+    oracle="""
+WITH marked AS (
+  SELECT source, doc_id, md5(text) AS h,
+         MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (doc_id <> keeper) AS BIGINT) AS n_dups,
+       round(COUNT(*) FILTER (doc_id <> keeper) * 1.0 / COUNT(*), 6)
+         AS dup_rate
+FROM marked GROUP BY source
+""",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate — the corpus-health metric a
+    curation dashboard tracks per crawl/source: a doc counts as a dup
+    iff it is not its content-hash group's keeper (min doc_id). One
+    window over the hash (the dedup shuffle) + one tiny per-source
+    agg."""
+    d = load(spark, sf_dir, "documents")
+    wk = Window.partitionBy(F.md5("text"))
+    marked = d.select(
+        "source",
+        "doc_id",
+        F.min("doc_id").over(wk).alias("keeper"),
+    )
+    is_dup = F.col("doc_id") != F.col("keeper")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(is_dup, 1)).alias("n_dups"),
+        F.round(F.count(F.when(is_dup, 1)) * 1.0 / F.count(F.lit(1)), 6).alias(
+            "dup_rate"
+        ),
+    )

@@ -278,3 +278,43 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cs") > thresh)
         .select("vec_a", "vec_b", F.round("cs", 6).alias("cos_sim"))
     )
+
+
+@query(
+    "dedup_embedding_components",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {V.duck_cosine_sim('a.embedding', 'b.embedding')} > 0.35
+), edges AS (
+  SELECT src, dst FROM pairs UNION SELECT dst AS src, src AS dst FROM pairs
+), reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS vec_id, CAST(MIN(r) AS BIGINT) AS component FROM reach GROUP BY id
+""",
+)
+def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the cosine > 0.35 pair graph
+    (dedup_embedding's exact, hash-stable pairs) grouped into
+    connected components by distributed min-label propagation — the
+    end-to-end semantic-dedup deliverable (pick one representative
+    per component downstream, like dedup_keep_canonical does for
+    text). Oracle = DuckDB recursive-CTE transitive closure over the
+    identical pair set, so BOTH the threshold join and the iterative
+    component operator are hash-checked."""
+    from ..registry import QUERIES
+    from .dedup import connected_components
+
+    e = load(spark, sf_dir, "embeddings")
+    edges = QUERIES["dedup_embedding"](spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    verts = e.select(F.col("vec_id").alias("id"))
+    comps = connected_components(edges, verts)
+    return comps.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("component")
+    )

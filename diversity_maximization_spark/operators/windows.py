@@ -441,3 +441,46 @@ def win_reset_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "running_value"
         ),
     )
+
+
+@query(
+    "win_percent_of_total",
+    oracle="""
+WITH per AS (
+  SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       CAST(cents AS DOUBLE) / 100 AS revenue,
+       round(CAST(cents AS DOUBLE) / SUM(cents) OVER (), 6) AS rev_share,
+       round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS count_share
+FROM per
+""",
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total per group (the report staple): revenue and
+    count shares per order priority. The unpartitioned window runs
+    over the POST-AGGREGATION table (one row per priority — bounded),
+    never the fact table, so the global frame is safe at any scale;
+    exact integer cents make the shares hash-stable."""
+    o = load(spark, sf_dir, "orders")
+    per = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        ),
+    )
+    wall = Window.partitionBy()
+    return per.select(
+        "o_orderpriority",
+        "n",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wall), 6
+        ).alias("rev_share"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wall), 6).alias(
+            "count_share"
+        ),
+    )
