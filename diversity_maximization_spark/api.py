@@ -396,3 +396,13 @@ def near_dup_texts(
     return minhash_near_dup_pairs(
         df, threshold=threshold, id_col=id_col, text_col=text_col
     )
+
+
+def components(edges: DataFrame, vertices: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Distributed connected components by min-label propagation over
+    (src, dst) edge and (id) vertex DataFrames — iterative equi-joins
+    with per-round localCheckpoint, no graph library needed. Returns
+    (id, label) with label = min vertex id of the component."""
+    from .llm.dedup import connected_components
+
+    return connected_components(edges, vertices, max_iter=max_iter)

@@ -126,3 +126,37 @@ def test_api_near_dup_pairs_threshold(spark, sf_dir):
     rows = api.near_dup_pairs(e, threshold=0.35).collect()
     assert rows and all(r["cos_sim"] > 0.35 for r in rows)
     assert all(r["vec_id_a"] < r["vec_id_b"] for r in rows)
+
+
+def test_api_pipeline_ops_generic_schema(spark, sf_dir):
+    """The training-pipeline api functions accept arbitrary column
+    names and return the documented shapes."""
+    from pyspark.sql import functions as F
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .select(F.col("doc_id").alias("k"), F.col("text").alias("body"))
+    )
+    q = api.quality_signals(d, id_col="k", text_col="body")
+    assert {"doc_id", "n_words", "ttr", "top_share", "pass"} <= set(q.columns)
+    assert q.count() == d.count()
+
+    s = api.hash_split(d, "k", weights=(50, 25, 25), names=("a", "b", "c"))
+    got = {r["split"] for r in s.select("split").distinct().collect()}
+    assert got <= {"a", "b", "c"}
+
+    pairs = api.near_dup_texts(d, threshold=0.9, id_col="k", text_col="body")
+    assert all(r["jaccard"] >= 0.9 for r in pairs.collect())
+
+
+def test_api_components_generic(spark):
+    """components() on a hand-built graph: two triangles bridged to
+    nothing — labels are the min id of each component."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12)], "src bigint, dst bigint"
+    )
+    verts = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "id bigint"
+    )
+    got = {r["id"]: r["label"] for r in api.components(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
