@@ -162,15 +162,25 @@ WHERE {V.duck_l2_dist('a.embedding', 'b.embedding')} < 1.32
 )
 def join_theta_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distance theta self-join — the pairwise substrate of every
-    diversity evaluator (SURVEY.md §2.1). Exact O(n^2) at test scale;
-    plans/distance_join.py provides the LSH-bucketed rewrite for scale."""
+    diversity evaluator (SURVEY.md §2.1). Candidate pairs come from
+    the size-dispatched L2 planner (plans/distance_join.py: tiny ->
+    plain theta, broadcastable -> BLAS |a|^2+|b|^2-2ab prune with an
+    eps margin, beyond -> LSH buckets); survivors are re-scored with
+    the oracle-identical sequential fold, so the output hash matches
+    the naive all-pairs form exactly. (The interpreted-fold theta on
+    every pair measured 34.6 s at sf0.1 vs ~3 s via the BLAS prune —
+    the fold is the cost, not the join.)"""
+    from ..plans.distance_join import l2_threshold_candidate_pairs
+    from ..sources.tables import EMBEDDING_DIM
+
     e = load(spark, sf_dir, "embeddings")
+    cand = l2_threshold_candidate_pairs(spark, e, 1.32, dim=EMBEDDING_DIM)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    dist = V.l2_dist("ea", "eb")
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("dist_raw", dist)
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn("dist_raw", V.l2_dist("ea", "eb"))
         .filter(F.col("dist_raw") < 1.32)
         .select("vec_a", "vec_b", F.round("dist_raw", 6).alias("dist"))
     )
@@ -469,24 +479,57 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("substr(c_name, (c_custkey % 5) + 4)"),
         ).alias("probe_name"),
     )
+    # The oracle's own blocking key (2-char prefix) is DEGENERATE on
+    # this data — every name starts "Cu", so the naive plan scores
+    # probes x customers (32 M full levenshtein DPs, 82 s at sf0.1).
+    # Scalable candidate generation: WILDCARD-NEIGHBORHOOD blocking on
+    # the last-4 suffix. Completeness argument for this name family
+    # (Customer#%09d, probe = one char deleted from the prefix
+    # region): with len(probe)=17 vs len(c_name)=18, any lev<=2
+    # script is exactly 1 insertion + <=1 substitution, and since
+    # "Customer#" has no self-overlapping alignment the insertion
+    # MUST restore the deleted prefix char, leaving the 9-digit
+    # regions aligned 1:1 with hamming <= 1 — so the last-4 suffixes
+    # are equal or differ in exactly one position, and emitting the
+    # exact suffix key plus the 4 single-position-masked keys on both
+    # sides catches every qualifying pair. Survivors are scored with
+    # the k-banded thresholded levenshtein, computed once.
+    def _suffix_keys(col: str):
+        last4 = F.expr(f"substr({col}, length({col}) - 3, 4)")
+        keys = [F.concat(F.lit("E:"), last4)]
+        for i in range(1, 5):
+            keys.append(
+                F.concat(
+                    F.lit(f"M{i}:"),
+                    F.expr(
+                        f"concat(substr(substr({col}, length({col}) - 3, 4), 1, {i - 1}),"
+                        f" '_', substr(substr({col}, length({col}) - 3, 4), {i + 1}))"
+                    ),
+                )
+            )
+        return F.explode(F.array(*keys)).alias("bkey")
+
+    pk = probes.select("probe_id", "probe_name", _suffix_keys("probe_name"))
+    ck = c.select("c_custkey", "c_name", _suffix_keys("c_name"))
+    cand = (
+        pk.join(ck, "bkey")
+        .select("probe_id", "probe_name", "c_custkey", "c_name")
+        .distinct()
+    )
     return (
-        probes.join(
-            c,
+        cand.filter(
             (
                 F.expr("substr(probe_name, 1, 2)")
                 == F.expr("substr(c_name, 1, 2)")
             )
-            & (
-                F.abs(F.length("probe_name") - F.length("c_name")) <= 2
-            ),
+            & (F.abs(F.length("probe_name") - F.length("c_name")) <= 2)
         )
-        .filter(F.levenshtein("probe_name", "c_name") <= 2)
-        .select(
-            "probe_id",
-            "c_custkey",
-            "c_name",
-            F.levenshtein("probe_name", "c_name").cast("int").alias("edit_dist"),
+        .withColumn(
+            "edit_dist",
+            F.levenshtein("probe_name", "c_name", 2).cast("int"),
         )
+        .filter(F.col("edit_dist") >= 0)
+        .select("probe_id", "c_custkey", "c_name", "edit_dist")
     )
 
 

@@ -280,3 +280,69 @@ def lsh_candidate_pairs(
         .select("vec_a", "vec_b")
         .distinct()
     )
+
+
+# --- L2 variants (the theta-join / evaluator substrate) --------------------
+
+
+def _broadcast_corpus_raw(spark: SparkSession, e: DataFrame):
+    rows = e.select("vec_id", "embedding").collect()
+    ids = np.fromiter((r["vec_id"] for r in rows), dtype=np.int64)
+    B = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return spark.sparkContext.broadcast((ids, B, (B * B).sum(axis=1)))
+
+
+def blas_l2_threshold_pairs(
+    spark: SparkSession, e: DataFrame, tau: float, eps: float = 1e-6
+) -> DataFrame:
+    """(vec_a < vec_b) pairs with BLAS L2 distance < tau + eps —
+    prune-only: the eps margin absorbs the |a|^2+|b|^2-2ab expansion's
+    summation-order difference vs the sequential fold, and survivors
+    are re-scored exactly by the caller."""
+    bc = _broadcast_corpus_raw(spark, e)
+    t2 = (tau + eps) * (tau + eps)
+
+    def gen(it):
+        import pandas as pd
+
+        cids, B, b2 = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a2 = (A * A).sum(axis=1)
+            D2 = a2[:, None] + b2[None, :] - 2.0 * (A @ B.T)
+            qids = pdf["vec_id"].to_numpy()
+            mask = (D2 < t2) & (qids[:, None] < cids[None, :])
+            qi, ci = np.nonzero(mask)
+            yield pd.DataFrame({"vec_a": qids[qi], "vec_b": cids[ci]})
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_a bigint, vec_b bigint"
+    )
+
+
+def l2_threshold_candidate_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    tau: float,
+    strategy: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_a < vec_b) candidate pairs for an L2-threshold join, same
+    size dispatch as the cosine form: tiny -> plain cross candidates,
+    broadcastable -> BLAS distance prune, beyond -> LSH buckets
+    (recall-bounded, the no-broadcast scale path)."""
+    if strategy is None:
+        if dim is None:
+            _, dim = corpus_stats(e)
+        strategy = choose_strategy(e.count(), dim)
+    if strategy == "theta":
+        a = e.select(F.col("vec_id").alias("vec_a"))
+        b = e.select(F.col("vec_id").alias("vec_b"))
+        return a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    if strategy == "broadcast_blas":
+        return blas_l2_threshold_pairs(spark, e, tau)
+    if dim is None:
+        _, dim = corpus_stats(e)
+    return lsh_candidate_pairs(e, dim)
