@@ -601,3 +601,28 @@ def agg_bool_logic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 900).alias("any_huge"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT date_trunc('day', ts)) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+""",
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one GROUP BY — planned through
+    Spark's Expand operator (one pass over the input replicated per
+    distinct set, then a two-level aggregate) instead of N separate
+    scans + a join; the canonical engine capability check for
+    dashboard queries that count several distinct dimensions at
+    once."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

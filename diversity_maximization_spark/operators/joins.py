@@ -599,3 +599,40 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "eid_a", "eid_b")
     )
+
+
+@query(
+    "join_lateral_topn",
+    oracle="""
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+WHERE c.c_acctbal > 9000
+""",
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (each outer row runs its own
+    ordered+limited inner query) — the modern SQL form of per-entity
+    top-n. The IDENTICAL SQL text runs on Spark and DuckDB; Catalyst
+    decorrelates it into the same window/rank plan win_topk_pergroup
+    writes by hand, which is exactly the point: declarative lateral,
+    distributed execution."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c,
+     LATERAL (SELECT o_orderkey, o_totalprice
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+              ORDER BY o_totalprice DESC, o_orderkey
+              LIMIT 2) t
+WHERE c.c_acctbal > 9000
+"""
+    )
