@@ -374,3 +374,80 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return out
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE streaming
+    dedup (state for a key expires once the watermark passes it, so
+    state size tracks the watermark horizon instead of growing
+    forever like plain dropDuplicates). Exercised here with a
+    watermark wider than the replayed event-time range so no key
+    expires mid-replay and the result provably equals the batch
+    DISTINCT oracle; in production the same query runs with a real
+    horizon (and re-emits a key only if it recurs beyond it — the
+    documented, intended semantics of the API)."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    dd = (
+        st.withWatermark("ts", "3650 days")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dd, _fresh("ddww"), mode="append")
+
+
+@query(
+    "stream_session_dynamic_gap",
+    oracle="""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'error' THEN 300 ELSE 1800 END AS gap
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) > MAX(epoch(ts) + gap) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              OR ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS new_sess
+  FROM g
+), sess AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-gap session windows — session_window(ts, expr) where
+    the gap depends on the event ('error' events hold the session
+    open only 5 minutes, everything else 30): Spark merges events
+    whose [ts, ts+gap] intervals chain-overlap. The oracle replays
+    the same semantics as a running max of (epoch + gap) per user —
+    a new session starts exactly when an event's time exceeds every
+    previous event's reach. Batch mode (same operator as streaming;
+    see stream_session for why finite replays can't close final
+    sessions in append mode)."""
+    ev = load(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", "5 minutes").otherwise(
+        "30 minutes"
+    )
+    return (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
