@@ -166,7 +166,7 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         # scalar-subquery broadcast joins (one-row side)
         "tpch_q11", "tpch_q22", "agg_having",
         # intentional tiny cross: 5 event types x generated hour grid
-        "ts_gapfill_locf",
+        "ts_gapfill_locf", "ts_resample_interp",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
