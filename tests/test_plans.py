@@ -227,3 +227,32 @@ def test_heavy_hitters_candidates_broadcast(spark, sf_dir):
     candidates (map-side filter before the shuffle)."""
     plan = plan_of(spark, "sketch_heavy_hitters", sf_dir)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_global_row_number_matches_local_sort(spark, sf_dir):
+    """with_global_row_number must equal the locally-sorted rank for
+    (a) the orders fixture and (b) a synthetic frame whose leading key
+    is heavily duplicated (every boundary lands mid-duplicate-run —
+    the case where a buggy bucket function would misorder)."""
+    from diversity_maximization_spark.plans.global_rank import (
+        with_global_row_number,
+    )
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    numbered, n = with_global_row_number(
+        o, ["o_totalprice", "o_orderkey"], out_col="rn"
+    )
+    got = {r["o_orderkey"]: r["rn"] for r in numbered.collect()}
+    rows = sorted(o.collect(), key=lambda r: (r["o_totalprice"], r["o_orderkey"]))
+    assert n == len(rows)
+    for i, r in enumerate(rows, start=1):
+        assert got[r["o_orderkey"]] == i
+
+    skew = spark.range(0, 5000).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS k"  # 7 distinct leading values
+    )
+    numbered2, n2 = with_global_row_number(skew, ["k", "id"], out_col="rn")
+    got2 = {r["id"]: r["rn"] for r in numbered2.collect()}
+    rows2 = sorted(skew.collect(), key=lambda r: (r["k"], r["id"]))
+    assert n2 == 5000
+    assert all(got2[r["id"]] == i for i, r in enumerate(rows2, start=1))
