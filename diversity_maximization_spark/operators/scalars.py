@@ -477,3 +477,34 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftleft(event_id, 2)").alias("shifted"),
         F.expr("bit_count(event_id)").alias("popcount"),
     )
+
+
+@query(
+    "fn_collation_group",
+    oracle="""
+WITH mixed AS (
+  SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+              ELSE c_mktsegment END AS seg
+  FROM customer
+)
+SELECT lower(seg) AS segment, CAST(COUNT(*) AS BIGINT) AS n
+FROM mixed GROUP BY lower(seg)
+""",
+)
+def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware aggregation (Spark 4 collations): a mixed-case
+    segment column grouped under UTF8_LCASE compares
+    case-insensitively at the COLLATION level — no lower() rewrite in
+    the grouping expression; the reported key is lowercased only for
+    a deterministic display form. The oracle states the equivalent
+    lower()-grouping semantics."""
+    c = load(spark, sf_dir, "customer")
+    mixed = F.when(
+        F.col("c_custkey") % 2 == 0, F.lower("c_mktsegment")
+    ).otherwise(F.col("c_mktsegment"))
+    return (
+        c.select(F.collate(mixed, "UTF8_LCASE").alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lower("g").alias("segment"), "n")
+    )

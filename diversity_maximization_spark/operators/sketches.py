@@ -340,3 +340,42 @@ def sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= thr)
     )
+
+
+@query(
+    "sketch_hll_persist",
+    oracle="""
+SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS est_ok
+FROM events
+""",
+)
+def sketch_hll_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch PERSISTENCE round-trip — the pre-aggregate table pattern
+    a 100 TB lake uses for distinct counts: per-day HLL sketches are
+    materialized to parquet (binary column), read back, and unioned
+    into the whole-period estimate with hll_union_agg — nothing rescans
+    the raw events. The oracle carries the exact distinct count and
+    the key reports est_ok = |est - exact| / exact <= 5% (the
+    datasketches HLL error bound at default lgK), so the hash match
+    proves the persisted-merge path stays within tolerance."""
+    import tempfile
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    d = tempfile.mkdtemp(prefix="dms_hll_")
+    daily.write.mode("overwrite").parquet(d)
+    back = spark.read.parquet(d)
+    est_row = back.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+    ).collect()[0]
+    exact = ev.agg(F.countDistinct("user_id")).collect()[0][0]
+    ok = abs(int(est_row["est"]) - exact) / exact <= 0.05
+    return spark.createDataFrame(
+        [(int(est_row["n_days"]), int(exact), bool(ok))],
+        "n_days bigint, exact_users bigint, est_ok boolean",
+    )
