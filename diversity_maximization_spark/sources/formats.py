@@ -90,3 +90,56 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.mode("overwrite").orc(out)
         _CACHE[key] = out
     return spark.read.schema(READ_SCHEMA).orc(_CACHE[key])
+
+
+@query(
+    "source_python_datasource",
+    oracle="""
+SELECT range AS id, range * range AS sq, CAST(range % 10 AS INT) AS bucket
+FROM range(0, 1000)
+""",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Spark 4 Python Data Source (spark.dataSource.register +
+    read.format): a custom partitioned reader generating a
+    deterministic derived-column table across 4 input partitions —
+    the extension point for reading proprietary formats without JVM
+    code. Arrow-batched per partition; the DuckDB oracle states the
+    identical table via range()."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    N = 1000
+    P = 4
+
+    class SynthReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", N))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(P)]
+
+        def read(self, partition):
+            i = partition.value
+            per = self.n // P
+            lo = i * per
+            hi = self.n if i == P - 1 else lo + per
+            for x in range(lo, hi):
+                yield (x, x * x, x % 10)
+
+    class SynthSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dms_synth"
+
+        def schema(self):
+            return "id bigint, sq bigint, bucket int"
+
+        def reader(self, schema):
+            return SynthReader(self.options)
+
+    spark.dataSource.register(SynthSource)
+    return spark.read.format("dms_synth").option("n", str(N)).load()

@@ -451,3 +451,57 @@ def stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@query(
+    "stream_checkpoint_resume",
+    oracle="""
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+""",
+)
+def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACTLY-ONCE restart through a checkpoint — the operational
+    guarantee streaming pipelines live on: the replay is delivered in
+    two separate runs of the same query against one
+    checkpointLocation (run 1 sees half the files, run 2 the rest);
+    the file-source offsets in the checkpoint make run 2 process ONLY
+    the unseen files, and the parquet sink's commit log keeps the
+    output exactly-once, so the combined sink equals the batch oracle
+    with no duplicates and no gaps."""
+    import os
+    import shutil
+    import tempfile
+
+    from .replay import EVENT_SCHEMA, write_replay_files
+
+    full = write_replay_files(spark, sf_dir)
+    files = sorted(os.listdir(full))
+    src = tempfile.mkdtemp(prefix="dms_ckres_src_")
+    ckpt = tempfile.mkdtemp(prefix="dms_ckres_ck_")
+    out = tempfile.mkdtemp(prefix="dms_ckres_out_")
+
+    def run_once():
+        st = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            st.filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    half = max(1, len(files) // 2)
+    for f in files[:half]:
+        shutil.copy(os.path.join(full, f), os.path.join(src, f))
+    run_once()
+    for f in files[half:]:
+        shutil.copy(os.path.join(full, f), os.path.join(src, f))
+    run_once()
+    return spark.read.parquet(out)
