@@ -508,3 +508,32 @@ def fn_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lower("g").alias("segment"), "n")
     )
+
+
+@query(
+    "fn_try_arith",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_id % 5 = 0 THEN NULL
+            ELSE round(value / (event_id % 5), 6) END AS safe_div,
+       CASE WHEN event_id % 7 = 0 THEN NULL
+            ELSE CAST(event_id // (event_id % 7) AS BIGINT) END AS safe_intdiv
+FROM events
+""",
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide): division by zero yields
+    NULL instead of an ANSI error or an engine-dependent inf — the
+    family a pipeline uses so one bad row cannot kill a 100 TB job.
+    The oracle states the guarded CASE form; Spark evaluates the
+    native try_ functions."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("value"), F.col("event_id") % 5), 6
+        ).alias("safe_div"),
+        F.try_divide(F.col("event_id"), F.col("event_id") % 7)
+        .cast("bigint")
+        .alias("safe_intdiv"),
+    )

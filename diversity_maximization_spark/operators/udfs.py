@@ -196,3 +196,38 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, s.pos, s.w "
         "FROM udtf_docs_in d, LATERAL split_words_udtf(d.text) s"
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    oracle="""
+SELECT doc_id,
+       upper(substr(lang, 1, 1)) || substr(lang, 2) AS lang_title,
+       CAST(length(text) % 97 AS INTEGER) AS len_mod
+FROM documents
+""",
+)
+def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Arrow-OPTIMIZED Python scalar UDF (@udf(useArrow=True)):
+    the per-function Arrow serialization path that replaces pickled
+    row-at-a-time transfer — distinct from pandas_udf (whole-batch
+    pandas semantics) and the legacy pickle UDF this engine bans. The
+    function body is plain-Python per value but transport is
+    columnar; the oracle states the identical string/length
+    arithmetic."""
+    from pyspark.sql.functions import udf
+
+    @udf(returnType="string", useArrow=True)
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:] if s else s
+
+    @udf(returnType="int", useArrow=True)
+    def len_mod(s: str) -> int:
+        return len(s) % 97
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        title_case("lang").alias("lang_title"),
+        len_mod("text").alias("len_mod"),
+    )
