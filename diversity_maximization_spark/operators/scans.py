@@ -167,3 +167,73 @@ def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS DOUBLE) / 100"
         ).alias("revenue"),
     )
+
+
+def _morton_expr(a: str, b: str, bits: int = 16):
+    """Z-value: interleave the low `bits` of two non-negative ints —
+    pure JVM shift/mask expressions, no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        abit = F.shiftright(F.col(a).cast("bigint"), i) % 2
+        bbit = F.shiftright(F.col(b).cast("bigint"), i) % 2
+        z = z + F.shiftleft(abit, 2 * i + 1) + F.shiftleft(bbit, 2 * i)
+    return z
+
+
+def write_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write orders Z-order-clustered on (customer bucket, day number);
+    returns the directory (see sink_zorder_layout)."""
+    o = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    zsrc = o.withColumn("ck", (F.col("o_custkey") % 1024).cast("bigint")).withColumn(
+        "dy", day.cast("bigint")
+    )
+    zv = _morton_expr("ck", "dy")
+    out_dir = tempfile.mkdtemp(prefix="dms_zorder_")
+    (
+        zsrc.withColumn("zv", zv)
+        .repartitionByRange(8, "zv")
+        .sortWithinPartitions("zv")
+        .drop("zv", "dy")
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+@query(
+    "sink_zorder_layout",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS cents
+FROM orders
+WHERE o_custkey % 1024 BETWEEN 100 AND 160
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+""",
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton-interleaved) multi-column clustering — the
+    lakehouse layout lever when queries filter on TWO independent
+    columns and single-key range clustering can only serve one:
+    orders are written range-partitioned and sorted by the bit
+    interleave of (customer bucket, day number), so every file covers
+    a small rectangle of the (customer, date) plane and parquet
+    row-group min/max statistics skip files for predicates on EITHER
+    column. The interleave is pure JVM shift/mask expressions (no
+    UDF). The key returns a two-predicate aggregate over the
+    read-back, hash-checked against the original table; the skipping
+    effect itself is pinned in tests/test_plans.py."""
+    out_dir = write_zorder_layout(spark, sf_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("ck").between(100, 160)
+        & (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")).alias(
+            "cents"
+        ),
+    )

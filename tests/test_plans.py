@@ -256,3 +256,33 @@ def test_global_row_number_matches_local_sort(spark, sf_dir):
     rows2 = sorted(skew.collect(), key=lambda r: (r["k"], r["id"]))
     assert n2 == 5000
     assert all(got2[r["id"]] == i for i, r in enumerate(rows2, start=1))
+
+
+def test_zorder_layout_confines_rectangle_to_few_files(spark, sf_dir):
+    """Z-order clustering effectiveness: rows matching the
+    two-predicate rectangle must live in a strict minority of the
+    files (both filter columns benefit from one layout), and the
+    read-back filter must reach the scan as pushed filters."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.operators.scans import (
+        write_zorder_layout,
+    )
+
+    d = write_zorder_layout(spark, sf_dir)
+    full = spark.read.parquet(d)
+    total = full.select(F.input_file_name().alias("f")).distinct().count()
+    touched = (
+        full.filter(
+            F.col("ck").between(100, 160)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert touched <= max(1, total // 2), (touched, total)
+
+    plan = plan_of(spark, "sink_zorder_layout", sf_dir)
+    assert "PushedFilters: [" in plan
