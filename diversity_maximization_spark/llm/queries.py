@@ -169,3 +169,52 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) - F.lit(float(comps[i] @ mu))
         proj_cols.append(centered_dot.alias(f"pc{i}"))
     return e.select("vec_id", *proj_cols)
+
+
+@query(
+    "embed_centroids_report",
+    oracle="""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+)
+SELECT label, CAST(pos AS INTEGER) AS pos,
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       round(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*), 6) AS mean_x
+FROM dims
+WHERE pos <= 8
+GROUP BY label, pos
+""",
+)
+def embed_centroids_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid report over the first 8 embedding
+    dimensions (the embedding-space health check before clustering /
+    dedup thresholds are chosen): exact integer micro-unit sums make
+    the per-dimension means order-independent and hash-stable
+    (FLOOR(x*1e6 + 0.5), not ROUND — float32 values times 1e6 can
+    land exactly on .5 and the engines break round-half ties
+    differently, and the float32 element must be cast to DOUBLE
+    BEFORE the multiply — Spark evaluates float*int in float32 while
+    DuckDB promotes, measured one micro-unit apart at sf0.001); one
+    posexplode + partial/final aggregate, output one row per
+    (label, dim) so the driver's scalar-only canonicalizer applies."""
+    e = load(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label", F.posexplode("embedding").alias("pos0", "x")
+    ).filter(F.col("pos0") < 8)
+    micro = F.sum(F.expr("CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+    return (
+        dims.groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            micro.alias("sum_micro"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                micro.cast("double") / 1000000 / F.count(F.lit(1)), 6
+            ).alias("mean_x"),
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"),
+                "sum_micro", "n", "mean_x")
+    )

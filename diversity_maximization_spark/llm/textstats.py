@@ -768,3 +768,60 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("vw").isNull(), 1)) * 1.0 / F.count(F.lit(1)), 6
         ).alias("oov_rate"),
     )
+
+
+@query(
+    "lang_id_eval",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), lexicon AS (
+  SELECT lang, word FROM (
+    SELECT lang, word,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, word) AS rn
+    FROM words GROUP BY lang, word
+  ) WHERE rn <= 20
+), scores AS (
+  SELECT w.doc_id, l.lang AS cand_lang, COUNT(*) AS hits
+  FROM words w JOIN lexicon l ON w.word = l.word
+  GROUP BY w.doc_id, l.lang
+), pred AS (
+  SELECT doc_id, cand_lang AS pred_lang FROM (
+    SELECT doc_id, cand_lang,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY hits DESC, cand_lang) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT d.lang AS true_lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (p.pred_lang = d.lang) AS BIGINT) AS n_correct,
+       round(COUNT(*) FILTER (p.pred_lang = d.lang) * 1.0 / COUNT(*), 6)
+         AS accuracy
+FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+GROUP BY d.lang
+""",
+)
+def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier EVALUATION as a first-class operator: per-language
+    accuracy of the lang_id_ngram predictor against the labeled
+    column — the precision/recall report every data-pipeline model
+    gate runs. Reuses the registered predictor (same cached single
+    corpus pass) and joins back to truth; one tiny per-language
+    aggregate."""
+    from ..registry import QUERIES
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    pred = QUERIES["lang_id_ngram"](spark, sf_dir).select("doc_id", "pred_lang")
+    hit = F.col("pred_lang") == F.col("lang")
+    return (
+        d.join(pred, "doc_id")
+        .groupBy(F.col("lang").alias("true_lang"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(hit, 1)).alias("n_correct"),
+            F.round(F.count(F.when(hit, 1)) * 1.0 / F.count(F.lit(1)), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
