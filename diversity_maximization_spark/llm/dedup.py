@@ -653,3 +653,107 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_rate"
         ),
     )
+
+
+PASSAGE_WORDS = 15
+_BOILERPLATE = (
+    "this work is licensed under the creative commons attribution share "
+    "alike international license terms apply to all copies distributed "
+    "worldwide"
+)
+
+
+@query(
+    "dedup_passage",
+    oracle=f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || ' {_BOILERPLATE}'
+              ELSE text END AS t
+  FROM documents
+), w AS (
+  SELECT doc_id, string_split(t, ' ') AS ws FROM aug
+), idx AS (
+  SELECT doc_id, ws,
+         unnest(generate_series(1, len(ws) - {PASSAGE_WORDS - 1})) AS i
+  FROM w
+), pos AS (
+  SELECT doc_id, array_to_string(ws[i:i+{PASSAGE_WORDS - 1}], ' ') AS g
+  FROM idx
+), per_g AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS nd FROM pos GROUP BY g
+), per_doc AS (
+  SELECT pos.doc_id, COUNT(*) AS n,
+         SUM(CASE WHEN per_g.nd >= 2 THEN 1 ELSE 0 END) AS ndup
+  FROM pos JOIN per_g USING (g) GROUP BY pos.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(per_doc.n, 0) AS BIGINT) AS n_passages,
+       CAST(COALESCE(per_doc.ndup, 0) AS BIGINT) AS n_dup_passages,
+       CASE WHEN COALESCE(per_doc.n, 0) > 0
+            THEN CAST(per_doc.ndup AS DOUBLE) / CAST(per_doc.n AS DOUBLE)
+            ELSE 0.0 END AS dup_frac
+FROM documents d LEFT JOIN per_doc ON d.doc_id = per_doc.doc_id
+""",
+)
+def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection — the exact-substring
+    tier of training-data dedup (boilerplate headers, licenses, quoted
+    chunks): every {PASSAGE_WORDS}-word sliding window is a passage;
+    a position is duplicated iff its passage occurs in >= 2 DISTINCT
+    documents. Output is the per-doc duplicated-passage fraction a
+    cleaning pipeline thresholds on.
+
+    The fixture corpus is random word soup (organic cross-doc
+    15-grams ~ 0), so docs with doc_id % 3 == 0 are first augmented
+    with a deterministic shared boilerplate sentence — same
+    expression in the oracle — proving the detector actually fires.
+
+    Scale shape: passages explode JVM-side (split + transform/slice,
+    no Python), shuffle as xxhash64 FINGERPRINTS (8 bytes, not the
+    ~100-byte strings — the oracle groups the raw strings; a 2^-64
+    collision is the accepted trade, same as dedup_exact's md5),
+    one groupBy per passage + one groupBy per doc. This is the
+    MapReduce form of suffix-array ExactSubstr dedup: linear in
+    corpus size, never all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
+    ).otherwise(F.col("text"))
+    words = F.split(aug, " ")
+    npos = F.size(words) - (PASSAGE_WORDS - 1)
+    grams = F.when(
+        npos > 0,
+        F.transform(
+            F.sequence(F.lit(0), npos - 1),
+            lambda i: F.xxhash64(
+                F.array_join(F.slice(words, i + 1, PASSAGE_WORDS), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    pos = d.select("doc_id", F.explode(grams).alias("h"))
+    per_g = pos.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd")
+    )
+    per_doc = (
+        pos.join(per_g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias("ndup"),
+        )
+    )
+    return d.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_passages"),
+        F.coalesce(F.col("ndup"), F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_passages"),
+        F.when(
+            F.coalesce(F.col("n"), F.lit(0)) > 0,
+            F.col("ndup").cast("double") / F.col("n").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_frac"),
+    )

@@ -78,3 +78,135 @@ def graph_ancestor_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d") + F.col("jd")).alias("d"),
         )
     return state.select(F.col("u").alias("doc_id"), F.col("d").alias("depth"))
+
+
+@query(
+    "graph_triangle_count",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), verts AS (
+  SELECT u AS x FROM edges UNION SELECT v FROM edges
+)
+SELECT
+  (SELECT COUNT(*) FROM verts) AS n_vertices,
+  (SELECT COUNT(*) FROM edges) AS n_edges,
+  (SELECT COUNT(*)
+     FROM edges e1
+     JOIN edges e2 ON e2.u = e1.v
+     JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+""",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph (parts are
+    adjacent iff some order contains both). The scale-correct plan is
+    the degree-oriented wedge join (Cohen's MapReduce triangle
+    algorithm / "node-iterator++"): orient every undirected edge from
+    its lower-(degree, id) endpoint to the higher one, join oriented
+    edges head-to-tail to enumerate wedges, then close each wedge
+    with a semi-join back against the oriented edge set. Orientation
+    bounds out-degree by O(sqrt(m)), so the wedge shuffle is
+    O(m^{3/2}) worst-case instead of sum(deg^2) — the difference
+    between feasible and not on a skewed 100 TB co-occurrence graph.
+    Each triangle has exactly one source-of-two-out-edges vertex
+    under a total order, so the count needs no de-dup division.
+    The oracle counts the same triangles with the naive u<v<w
+    three-way join (fine at oracle scale, wrong shape at 100 TB —
+    intentionally naive, see PLANS.md)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    other = li.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        li.join(other, "o")
+        .filter(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+    )
+    # Degree of every endpoint, then orient by (degree, id).
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    # deg is |V|-sized (unbounded at 100 TB) — no forced broadcast;
+    # AQE promotes it to a broadcast join when it measures small.
+    with_deg = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.t") == F.col("e2.s")
+    ).select(
+        F.col("e1.s").alias("a"),
+        F.col("e1.t").alias("b"),
+        F.col("e2.t").alias("c"),
+    )
+    closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["a", "c"], "left_semi")
+
+    n_vertices = deg.agg(F.count(F.lit(1)).alias("n"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n"))
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        n_vertices.select(F.col("n").alias("n_vertices"))
+        .crossJoin(n_edges.select(F.col("n").alias("n_edges")))
+        .crossJoin(n_tri.select(F.col("n").alias("n_triangles")))
+    )
+
+
+@query(
+    "graph_degree_stats",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY x
+)
+SELECT d AS degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY d
+""",
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph — the first thing an
+    analyst plots before choosing a graph algorithm (and the input to
+    the orientation bound graph_triangle_count relies on). Two
+    narrow-key aggregations; the edge materialization is shared
+    logic with graph_triangle_count and at 100 TB would be a
+    persisted intermediate (see sink_compact)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    other = li.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        li.join(other, "o")
+        .filter(F.col("p") < F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))

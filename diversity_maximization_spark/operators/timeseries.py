@@ -248,3 +248,60 @@ def ts_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("interp_total"),
     )
+
+
+EWMA_ALPHA = 0.3
+
+
+@query(
+    "ts_ewma",
+    oracle=f"""
+WITH w AS (
+  SELECT user_id, event_id,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS hist
+  FROM events
+)
+SELECT user_id, event_id,
+       list_reduce(hist, (acc, v) -> {EWMA_ALPHA} * v
+                                     + {1 - EWMA_ALPHA} * acc) AS ewma
+FROM w
+""",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series exponentially-weighted moving average (the classic
+    smoother a metrics pipeline runs per device/user): ewma_1 = x_1,
+    ewma_t = a*x_t + (1-a)*ewma_{t-1}, ordered by (ts, event_id).
+    The recurrence is inherently sequential PER KEY but embarrassingly
+    parallel ACROSS keys, so the scale-correct plan is one shuffle by
+    user_id followed by an Arrow-batched applyInPandas that runs the
+    O(n) fold next to the data — state is one float per series, never
+    the history. (A window-function formulation would need either
+    per-row weighted re-sums — O(n*w) — or exp/log tricks that
+    underflow; the fold is both faster and exact.)
+
+    Hash-exactness: IEEE-754 double ops are deterministic, so as long
+    as BOTH engines apply literally `a*x + (1-a)*acc` in the same
+    order the results are bit-identical — the oracle replays the
+    identical fold with DuckDB's list_reduce over a window-collected
+    ordered history (fine at oracle scale, O(n^2) list
+    materialization — intentionally naive, see PLANS.md)."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    a = EWMA_ALPHA
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        acc = None
+        for v in pdf["value"].to_numpy():
+            acc = v if acc is None else a * v + (1 - a) * acc
+            out.append(acc)
+        pdf = pdf.assign(ewma=out)
+        return pdf[["user_id", "event_id", "ewma"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold, "user_id bigint, event_id bigint, ewma double"
+    )

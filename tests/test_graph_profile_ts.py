@@ -1,0 +1,91 @@
+"""Property tests for the round-3 additions: triangle counting
+(vs brute force), EWMA (vs pandas ewm), passage dedup (the planted
+boilerplate must fire), and the column profiler (vs direct pandas)."""
+
+from itertools import combinations
+
+import pandas as pd
+
+from diversity_maximization_spark import registry
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_dir):
+    row = registry.QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+
+    li = (
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+            ["l_orderkey", "l_partkey"]
+        ]
+        .drop_duplicates()
+        .groupby("l_orderkey")["l_partkey"]
+        .apply(sorted)
+    )
+    edges = set()
+    for parts in li:
+        for a, b in combinations(parts, 2):
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in edges:
+        tri += len(adj[a] & adj[b])
+    assert row["n_edges"] == len(edges)
+    assert row["n_vertices"] == len(adj)
+    assert row["n_triangles"] == tri // 3  # each triangle seen from 3 edges
+
+
+def test_degree_stats_sums_to_vertices(spark, sf_dir):
+    deg = registry.QUERIES["graph_degree_stats"](spark, sf_dir).collect()
+    tri = registry.QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert sum(r["n_vertices"] for r in deg) == tri["n_vertices"]
+    # handshake lemma: sum(degree * count) == 2 |E|
+    assert sum(r["degree"] * r["n_vertices"] for r in deg) == 2 * tri["n_edges"]
+
+
+def test_ewma_matches_pandas_ewm(spark, sf_dir):
+    out = (
+        registry.QUERIES["ts_ewma"](spark, sf_dir)
+        .toPandas()
+        .set_index("event_id")["ewma"]
+    )
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["ts", "event_id"]
+    )
+    # pandas ewm(adjust=False) is exactly the a*x + (1-a)*acc recurrence
+    expect = (
+        ev.groupby("user_id")["value"]
+        .transform(lambda s: s.ewm(alpha=0.3, adjust=False).mean())
+    )
+    expect.index = ev["event_id"]
+    joined = pd.DataFrame({"got": out, "want": expect})
+    assert len(joined) == len(ev)
+    assert (joined["got"] - joined["want"]).abs().max() < 1e-9
+
+
+def test_dedup_passage_planted_boilerplate_fires(spark, sf_dir):
+    rows = registry.QUERIES["dedup_passage"](spark, sf_dir).collect()
+    planted = [r for r in rows if r["doc_id"] % 3 == 0]
+    assert planted, "fixture must contain doc_id % 3 == 0 docs"
+    # the 20-word boilerplate contains 6 fully-interior 15-grams shared
+    # by every planted doc (boundary-spanning grams differ per doc)
+    assert all(r["n_dup_passages"] >= 6 for r in planted)
+    for r in rows:
+        assert 0.0 <= r["dup_frac"] <= 1.0
+        assert r["n_dup_passages"] <= r["n_passages"]
+
+
+def test_profile_columns_vs_pandas(spark, sf_dir):
+    prof = {
+        r["column_name"]: r
+        for r in registry.QUERIES["profile_columns"](spark, sf_dir).collect()
+    }
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    assert set(prof) == set(o.columns)
+    for c in o.columns:
+        assert prof[c]["n_nulls"] == int(o[c].isna().sum())
+        assert prof[c]["n_distinct"] == int(o[c].dropna().nunique())
+    assert prof["o_totalprice"]["min_num"] == float(o["o_totalprice"].min())
+    assert prof["o_totalprice"]["max_num"] == float(o["o_totalprice"].max())
