@@ -139,6 +139,7 @@ def load_all() -> None:
     from .diversity import queries as _div_queries  # noqa: F401
     from .sources import formats as _formats  # noqa: F401
     from .sources import generators as _generators  # noqa: F401
+    from .llm import bpe as _bpe  # noqa: F401
     from .llm import decontam as _decontam  # noqa: F401
     from .llm import queries as _llm_queries  # noqa: F401
     from .llm import textrank as _textrank  # noqa: F401
