@@ -636,3 +636,102 @@ FROM customer c,
 WHERE c.c_acctbal > 9000
 """
     )
+
+
+SPATIAL_RADIUS = 0.05
+
+
+@query(
+    "join_spatial_grid",
+    oracle=f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+), nb AS (
+  SELECT a.vec_id,
+         COUNT(*) AS n_neighbors,
+         MIN(sqrt((a.x - b.x) * (a.x - b.x)
+                  + (a.y - b.y) * (a.y - b.y))) AS nearest_dist
+  FROM p a JOIN p b
+    ON a.vec_id <> b.vec_id
+   AND sqrt((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y)) < {SPATIAL_RADIUS}
+  GROUP BY a.vec_id
+)
+SELECT p.vec_id,
+       CAST(COALESCE(nb.n_neighbors, 0) AS BIGINT) AS n_neighbors,
+       nb.nearest_dist
+FROM p LEFT JOIN nb ON p.vec_id = nb.vec_id
+""",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius neighbor counting in 2-D (points = the first two
+    embedding dimensions): for every point, how many others lie
+    within r, and how close is the nearest — the density/isolation
+    statistic behind DBSCAN cores, fraud rings, and geo clustering.
+
+    Scale plan: GRID BUCKETING. Each point hashes to a cell of side r
+    (floor(x/r), floor(y/r)); the probe side is replicated to its 3x3
+    cell neighborhood (a 9x map-side expansion, constant) and the
+    join is a plain equi-join on the cell key — any pair within r is
+    provably in adjacent cells, so the O(n^2) cross never
+    materializes and skew follows data density, not input order. The
+    exact distance filter then removes corner candidates. The oracle
+    is the brute-force all-pairs theta join (intentionally naive, see
+    PLANS.md). Distance expressions are written identically on both
+    engines, so IEEE determinism keeps the hash exact; float32
+    coords promote to float64 losslessly on both sides."""
+    r = SPATIAL_RADIUS
+    p = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(c / F.lit(r)).cast("bigint")  # noqa: E731
+    home = p.select(
+        "vec_id", "x", "y", cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy")
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    probe = (
+        home.select(
+            F.col("vec_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            "cx",
+            "cy",
+            offsets.alias("o"),
+        )
+        .select(
+            "b_id",
+            "bx",
+            "by",
+            (F.col("cx") + F.col("o.dx")).alias("cx"),
+            (F.col("cy") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    dist = F.sqrt(
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+    )
+    nb = (
+        home.join(probe, ["cx", "cy"])
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < r)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.min("dist").alias("nearest_dist"),
+        )
+    )
+    return p.select("vec_id").join(nb, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("n_neighbors"), F.lit(0))
+        .cast("bigint")
+        .alias("n_neighbors"),
+        "nearest_dist",
+    )

@@ -286,3 +286,40 @@ def test_zorder_layout_confines_rectangle_to_few_files(spark, sf_dir):
 
     plan = plan_of(spark, "sink_zorder_layout", sf_dir)
     assert "PushedFilters: [" in plan
+
+
+def test_profile_columns_single_scan_with_expand(spark, sf_dir):
+    """The profiler's whole point is ONE scan feeding every
+    per-column aggregate (multi-distinct via Expand) — not one scan
+    per column like the oracle's UNION ALL."""
+    plan = plan_of(spark, "profile_columns", sf_dir)
+    # formatted explain prints each scan node twice (tree + details);
+    # the details block has exactly one Location: line per real scan
+    assert plan.count("Location:") == 1, plan
+    assert "Expand" in plan
+
+
+def test_dedup_passage_shuffles_fingerprints_not_strings(spark, sf_dir):
+    """Passages must shuffle as xxhash64 fingerprints; the raw
+    passage strings never leave the scan stage."""
+    plan = plan_of(spark, "dedup_passage", sf_dir)
+    assert "xxhash64" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangle_count_wedge_join_is_equi(spark, sf_dir):
+    """The wedge enumeration and closure must be equi-joins (hash or
+    sort-merge) — the only nested-loop joins allowed are the final
+    1-row scalar crosses."""
+    plan = plan_of(spark, "graph_triangle_count", sf_dir)
+    assert "LeftSemi" in plan  # wedge closure is a semi join
+    assert "CartesianProduct" not in plan
+
+
+def test_spatial_grid_is_equi_join_on_cells(spark, sf_dir):
+    """The radius join must compile to an equi-join on the cell key
+    (hash-partitioned), never a nested-loop theta join."""
+    plan = plan_of(spark, "join_spatial_grid", sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
