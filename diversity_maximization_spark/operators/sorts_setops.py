@@ -111,3 +111,66 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
     s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
+
+
+@query(
+    "sort_skyline",
+    oracle="""
+SELECT p_partkey, p_retailprice, p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part q
+  WHERE q.p_retailprice >= p.p_retailprice AND q.p_size <= p.p_size
+    AND (q.p_retailprice > p.p_retailprice OR q.p_size < p.p_size))
+""",
+)
+def sort_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) over parts — maximize p_retailprice
+    while minimizing p_size: the multi-criteria shortlist every
+    "best tradeoff" query wants and SQL can only say as a quadratic
+    NOT EXISTS anti-self-join (the oracle; intentionally naive, see
+    PLANS.md).
+
+    Scale plan — the MapReduce skyline decomposition: (1) each
+    partition computes its LOCAL skyline with an O(n log n)
+    sort-and-sweep in Arrow batches (per input split, next to the
+    data); (2) the union of local skylines — provably a superset of
+    the global skyline, and at most frontier-size x partitions rows —
+    is swept once more on a single partition. The quadratic never
+    runs; stage 2's input is tiny by construction. Dominance is
+    strict-in-at-least-one, so duplicate (price, size) points
+    survive together on both engines."""
+    import pandas as pd
+
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+    def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["p_retailprice", "p_size"], ascending=[False, True]
+        )
+        keep = []
+        best = None  # min size among strictly-higher-price points
+        for price, grp in pdf.groupby("p_retailprice", sort=False):
+            gmin = grp["p_size"].iloc[0]
+            if best is None or gmin < best:
+                keep.append(grp[grp["p_size"] == gmin])
+            best = gmin if best is None else min(best, gmin)
+        return pd.concat(keep) if keep else pdf.iloc[0:0]
+
+    def local(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield sweep(pdf)
+
+    schema = "p_partkey bigint, p_retailprice double, p_size int"
+    candidates = part.mapInPandas(local, schema)
+
+    def merge(batches):
+        dfs = [pdf for pdf in batches if len(pdf)]
+        if dfs:
+            yield sweep(pd.concat(dfs))
+
+    # stage 2: one tiny partition sweeps the candidate union
+    return candidates.coalesce(1).mapInPandas(merge, schema)

@@ -305,3 +305,76 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fold, "user_id bigint, event_id bigint, ewma double"
     )
+
+
+HOLT_ALPHA = 0.5
+HOLT_BETA = 0.3
+
+
+@query(
+    "ts_holt",
+    oracle=f"""
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, event_id, rn, value,
+         CAST(value AS DOUBLE) AS level, CAST(0.0 AS DOUBLE) AS trend
+  FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.event_id, ev.rn, ev.value,
+         {HOLT_ALPHA} * ev.value
+           + {1 - HOLT_ALPHA} * (r.level + r.trend) AS level,
+         {HOLT_BETA} * (({HOLT_ALPHA} * ev.value
+                         + {1 - HOLT_ALPHA} * (r.level + r.trend)) - r.level)
+           + {1 - HOLT_BETA} * r.trend AS trend
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+)
+SELECT user_id, event_id, level, trend, level + trend AS forecast_1
+FROM r
+""",
+)
+def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (level+trend double-exponential) smoothing per
+    series, with the one-step-ahead forecast — what a capacity
+    planner runs per metric key. Two floats of state per series:
+    level' = a*x + (1-a)*(level+trend);
+    trend' = b*(level'-level) + (1-b)*trend, seeded (x_1, 0).
+
+    Same execution contract as ts_ewma: one shuffle by series key,
+    then an Arrow applyInPandas O(n) fold — sequential per key,
+    embarrassingly parallel across keys. The oracle cannot replay a
+    TWO-variable recurrence with list_reduce (the accumulator must
+    be element-typed), so it walks the identical arithmetic with a
+    recursive CTE instead — one recursion step per position, exactly
+    the graph_ancestor_depth pattern. Both engines evaluate literally
+    the same expression tree, so IEEE determinism keeps the driver
+    hash exact."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    a, b = HOLT_ALPHA, HOLT_BETA
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        levels, trends = [], []
+        level = trend = None
+        for x in pdf["value"].to_numpy():
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = a * x + (1 - a) * (level + trend)
+                trend = b * (new_level - level) + (1 - b) * trend
+                level = new_level
+            levels.append(level)
+            trends.append(trend)
+        pdf = pdf.assign(level=levels, trend=trends)
+        pdf["forecast_1"] = pdf["level"] + pdf["trend"]
+        return pdf[["user_id", "event_id", "level", "trend", "forecast_1"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, event_id bigint, level double, trend double,"
+        " forecast_1 double",
+    )

@@ -505,3 +505,80 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(os.path.join(full, f), os.path.join(src, f))
     run_once()
     return spark.read.parquet(out)
+
+
+# Shared expression text for stream_anomaly: both engines evaluate
+# LITERALLY these fragments, so the doubles are bit-identical.
+_AN_CENTS = "CAST(ROUND((value) * 100) AS BIGINT)"
+_AN_MEAN = "(CAST(sum_c AS DOUBLE) / 100) / n"
+_AN_STD = (
+    "sqrt(((CAST(sumsq_c AS DOUBLE) / 10000)"
+    " - ((CAST(sum_c AS DOUBLE) / 100) * (CAST(sum_c AS DOUBLE) / 100)) / n)"
+    " / (n - 1))"
+)
+
+
+@query(
+    "stream_anomaly",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM({_AN_CENTS}) AS BIGINT) AS sum_c,
+         CAST(SUM({_AN_CENTS} * {_AN_CENTS}) AS BIGINT) AS sumsq_c
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n, {_AN_MEAN} AS mean, {_AN_STD} AS std FROM s
+)
+SELECT m.event_type, m.n, m.mean, m.std,
+       CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+FROM events e JOIN m ON e.event_type = m.event_type
+GROUP BY m.event_type, m.n, m.mean, m.std
+""",
+)
+def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly profile: per-event-type moment sketches
+    (count + exact integer cent sums + squared-cent sums) accumulate
+    in a REAL streaming aggregation over the file replay — the moment
+    triple is order- and batching-independent, so the final streamed
+    state provably equals the batch aggregate regardless of
+    micro-batch boundaries (the property that makes this safe where a
+    prefix-z-score stream would depend on arrival order). The final
+    sketch (one row per event type) then broadcasts onto the static
+    table to flag |x - mean| > 3*sigma outliers.
+
+    At 100 TB this is the production monitoring shape: the stream
+    maintains tiny mergeable state forever; flagging is a narrow
+    broadcast-join pass over whatever slice needs scoring. Exact
+    integer micro-units keep the driver hash bit-exact (the
+    mean/std/flag expressions are literally the same SQL text on
+    both engines)."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    sketch = st.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_AN_CENTS)).alias("sum_c"),
+        F.sum(F.expr(f"{_AN_CENTS} * {_AN_CENTS}")).alias("sumsq_c"),
+    )
+    final = run_to_memory(sketch, _fresh("anomaly"), mode="complete")
+    m = final.select(
+        "event_type",
+        "n",
+        F.expr(_AN_MEAN).alias("mean"),
+        F.expr(_AN_STD).alias("std"),
+    )
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(m), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean"))
+                    > F.lit(3.0) * F.col("std"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_anomalies")
+        )
+        .select("event_type", "n", "mean", "std", "n_anomalies")
+    )
