@@ -626,3 +626,72 @@ def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# agg_regr_trend: exact moment sums -> one double expression at the
+# end (the agg_corr_cov pattern); x = epoch seconds, y = value cents.
+_REGR_X = "CAST(epoch_us_col / 1000000 AS BIGINT)"
+_REGR_SLOPE = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+
+
+@query(
+    "agg_regr_trend",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS x,
+         {cents('value')} AS y
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type,
+       {_REGR_SLOPE} * 86400 AS slope_cents_per_day,
+       (sy - {_REGR_SLOPE} * sx) / n AS intercept_cents,
+       pow(n * sxy - sx * sy, 2)
+         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+FROM s
+""",
+)
+def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line — regr_slope / regr_intercept / regr_r2
+    semantics (is metric value drifting over time, per event type?)
+    computed from EXACT integer moment sums: x = epoch seconds,
+    y = value cents, sums accumulated as DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — both exact, so partition layout cannot change
+    the result — and converted to double ONCE for the closed-form
+    slope/intercept/r2 expressions, which are literally the same text
+    on both engines. One partial+final agg pass over the scan; the
+    built-in regr_* aggregates would float-accumulate in partition
+    order and could never hash-match across engines."""
+    ev = load(spark, sf_dir, "events")
+    dec = "DECIMAL(38,0)"
+    cy = cents("value")
+    x = "CAST(CAST(ts AS TIMESTAMP) AS BIGINT)"  # epoch seconds (UTC)
+    s = ev.groupBy("event_type").agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM(CAST({x} AS {dec})) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM(CAST({cy} AS {dec})) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST({x} * {cy} AS {dec})) AS DOUBLE)").alias("sxy"),
+        F.expr(
+            f"CAST(SUM(CAST({x} AS {dec}) * CAST({x} AS {dec})) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(
+            f"CAST(SUM(CAST({cy} AS {dec}) * CAST({cy} AS {dec})) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.expr(f"{_REGR_SLOPE} * 86400").alias("slope_cents_per_day"),
+        F.expr(f"(sy - {_REGR_SLOPE} * sx) / n").alias("intercept_cents"),
+        F.expr(
+            "pow(n * sxy - sx * sy, 2)"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
+        ).alias("r2"),
+    )

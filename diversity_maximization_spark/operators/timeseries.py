@@ -378,3 +378,36 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id bigint, event_id bigint, level double, trend double,"
         " forecast_1 double",
     )
+
+
+_HIER_SQL = """
+SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+            WHEN d IS NOT NULL THEN 'day'
+            ELSE 'month' END AS level,
+       coalesce(h, d, m) AS bucket,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM (SELECT date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m,
+             value
+      FROM events)
+GROUP BY GROUPING SETS ((h), (d), (m))
+""".strip()
+
+
+@query("ts_rollup_hierarchy", oracle=_HIER_SQL)
+def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month continuous-aggregate hierarchy from ONE scan via
+    GROUPING SETS — the hypertable rollup family ts_rollup_daily
+    demonstrates two-level, generalized: Catalyst plans the three
+    granularities as a single Expand (3x row replication with
+    map-side partial aggregation), so the fact table is read once,
+    not once per level. Exact integer cents make every level's total
+    reproducible and re-aggregable. The IDENTICAL SQL text runs on
+    both engines (the sql_adhoc contract)."""
+    from ..sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_HIER_SQL)
