@@ -406,3 +406,86 @@ def components(edges: DataFrame, vertices: DataFrame, max_iter: int = 25) -> Dat
     from .llm.dedup import connected_components
 
     return connected_components(edges, vertices, max_iter=max_iter)
+
+
+def skyline(
+    df: DataFrame,
+    maximize: str,
+    minimize: str,
+    keep_cols: Optional[list] = None,
+) -> DataFrame:
+    """2-D Pareto frontier (rows not strictly dominated on
+    (maximize up, minimize down)) via the MapReduce skyline
+    decomposition — partition-local sort-and-sweep then one sweep of
+    the small candidate union; the quadratic never runs."""
+    from .operators.sorts_setops import skyline_2d
+
+    return skyline_2d(df, maximize, minimize, keep_cols=keep_cols)
+
+
+def smooth(
+    df: DataFrame,
+    key_cols: list,
+    order_cols: list,
+    value_col: str,
+    alpha: float = 0.3,
+    beta: Optional[float] = None,
+) -> DataFrame:
+    """Per-series exponential smoothing: EWMA (beta=None) or Holt
+    level+trend (beta set). One shuffle by key + Arrow O(n) fold with
+    constant state — sequential per key, parallel across keys."""
+    from .operators.timeseries import smooth_series
+
+    return smooth_series(df, key_cols, order_cols, value_col, alpha, beta)
+
+
+def triangles(edges: DataFrame) -> DataFrame:
+    """Triangle count over a distinct (u < v) undirected edge
+    DataFrame via the degree-oriented wedge join (O(m^1.5) bound).
+    Returns one row (n_vertices, n_edges, n_triangles)."""
+    from .operators.graph import triangle_count
+
+    return triangle_count(edges)
+
+
+def profile(df: DataFrame, cols: list) -> DataFrame:
+    """One-scan column profiler: cols is [(name, kind)] with kind in
+    {'num', 'ts', 'str'}; returns per-column null count, exact
+    distinct count, and numeric/temporal min-max."""
+    from .operators.quality import profile_table
+
+    return profile_table(df, cols)
+
+
+def passage_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = 15,
+) -> DataFrame:
+    """Cross-document repeated-passage fraction (exact-substring dedup
+    tier): sliding n-word windows shuffled as 8-byte fingerprints.
+    Returns (id, n_passages, n_dup_passages, dup_frac)."""
+    from .llm.dedup import passage_dup_stats
+
+    return passage_dup_stats(df, id_col, text_col, n_words)
+
+
+def radius_neighbors(
+    points: DataFrame, id_col: str, x_col: str, y_col: str, r: float
+) -> DataFrame:
+    """Grid-bucketed 2-D radius neighbor counts: 3x3 cell replication
+    turns the radius predicate into an equi-join on the cell key.
+    Returns (id, n_neighbors, nearest_dist)."""
+    from .operators.joins import radius_neighbors as _rn
+
+    return _rn(points, id_col, x_col, y_col, r)
+
+
+def bpe_vocab(df: DataFrame, k: int = 20) -> list:
+    """Learn k exact BPE merges from any DataFrame with a `text`
+    column (distributed over the distinct-word frequency table).
+    Returns [((left, right), count), ...] in merge order."""
+    from .llm.bpe import bpe_train_merges
+
+    return bpe_train_merges(df, k)

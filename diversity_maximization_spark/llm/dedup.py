@@ -721,14 +721,28 @@ def dedup_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 3 == 0,
         F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)),
     ).otherwise(F.col("text"))
-    words = F.split(aug, " ")
-    npos = F.size(words) - (PASSAGE_WORDS - 1)
+    return passage_dup_stats(d.select("doc_id", aug.alias("text")))
+
+
+def passage_dup_stats(
+    d: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_words: int = PASSAGE_WORDS,
+) -> DataFrame:
+    """Cross-document repeated-passage fraction over any (id, text)
+    DataFrame — the generic core of dedup_passage (see its docstring
+    for semantics and the scale analysis). Returns (id, n_passages,
+    n_dup_passages, dup_frac)."""
+    d = d.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    words = F.split(F.col("text"), " ")
+    npos = F.size(words) - (n_words - 1)
     grams = F.when(
         npos > 0,
         F.transform(
             F.sequence(F.lit(0), npos - 1),
             lambda i: F.xxhash64(
-                F.array_join(F.slice(words, i + 1, PASSAGE_WORDS), " ")
+                F.array_join(F.slice(words, i + 1, n_words), " ")
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))

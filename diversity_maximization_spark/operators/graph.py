@@ -116,18 +116,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle counts the same triangles with the naive u<v<w
     three-way join (fine at oracle scale, wrong shape at 100 TB —
     intentionally naive, see PLANS.md)."""
+    return triangle_count(_copurchase_edges(spark, sf_dir))
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected (u < v) part co-purchase edges."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .distinct()
     )
     other = li.select(F.col("o"), F.col("p").alias("q"))
-    edges = (
+    return (
         li.join(other, "o")
         .filter(F.col("p") < F.col("q"))
         .select(F.col("p").alias("u"), F.col("q").alias("v"))
         .distinct()
     )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Degree-oriented triangle counting over any (u, v) undirected
+    edge DataFrame (edges must be distinct with u < v). Returns one
+    row (n_vertices, n_edges, n_triangles). See graph_triangle_count
+    for the scale analysis."""
     # Degree of every endpoint, then orient by (degree, id).
     deg = (
         edges.select(F.col("u").alias("x"))
@@ -191,18 +203,7 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow-key aggregations; the edge materialization is shared
     logic with graph_triangle_count and at 100 TB would be a
     persisted intermediate (see sink_compact)."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    other = li.select(F.col("o"), F.col("p").alias("q"))
-    edges = (
-        li.join(other, "o")
-        .filter(F.col("p") < F.col("q"))
-        .select(F.col("p").alias("u"), F.col("q").alias("v"))
-        .distinct()
-    )
+    edges = _copurchase_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("x"))
         .unionAll(edges.select(F.col("v").alias("x")))

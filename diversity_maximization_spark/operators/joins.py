@@ -682,11 +682,24 @@ def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     PLANS.md). Distance expressions are written identically on both
     engines, so IEEE determinism keeps the hash exact; float32
     coords promote to float64 losslessly on both sides."""
-    r = SPATIAL_RADIUS
     p = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
+    )
+    return radius_neighbors(p, "vec_id", "x", "y", SPATIAL_RADIUS)
+
+
+def radius_neighbors(
+    points: DataFrame, id_col: str, x_col: str, y_col: str, r: float
+) -> DataFrame:
+    """Generic grid-bucketed 2-D radius neighbor counting over any
+    (id, x, y) DataFrame — the scale plan join_spatial_grid
+    demonstrates. Returns (id, n_neighbors, nearest_dist)."""
+    p = points.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
     )
     cell = lambda c: F.floor(c / F.lit(r)).cast("bigint")  # noqa: E731
     home = p.select(

@@ -270,9 +270,17 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode(array(struct...)) — no driver loop. The oracle runs the
     textbook one-SELECT-per-column UNION ALL, proving the fused
     single-scan plan is semantics-preserving."""
-    o = load(spark, sf_dir, "orders")
+    return profile_table(load(spark, sf_dir, "orders"), _PROFILE_COLS)
+
+
+def profile_table(
+    o: DataFrame, cols: list[tuple[str, str]]
+) -> DataFrame:
+    """Generic one-scan column profiler over any DataFrame: cols is
+    [(name, kind)] with kind in {'num', 'ts', 'str'}. See
+    profile_columns for the plan analysis."""
     aggs = []
-    for c, kind in _PROFILE_COLS:
+    for c, kind in cols:
         aggs.append(
             (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls")
         )
@@ -301,6 +309,6 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(f"{c}__min").alias("min_num"),
             F.col(f"{c}__max").alias("max_num"),
         )
-        for c, _ in _PROFILE_COLS
+        for c, _ in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")

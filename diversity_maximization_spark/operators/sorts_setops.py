@@ -129,33 +129,48 @@ def sort_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     while minimizing p_size: the multi-criteria shortlist every
     "best tradeoff" query wants and SQL can only say as a quadratic
     NOT EXISTS anti-self-join (the oracle; intentionally naive, see
-    PLANS.md).
+    PLANS.md). Scale plan in ``skyline_2d``."""
+    return skyline_2d(
+        load(spark, sf_dir, "part"),
+        maximize="p_retailprice",
+        minimize="p_size",
+        keep_cols=["p_partkey"],
+    )
 
-    Scale plan — the MapReduce skyline decomposition: (1) each
-    partition computes its LOCAL skyline with an O(n log n)
-    sort-and-sweep in Arrow batches (per input split, next to the
-    data); (2) the union of local skylines — provably a superset of
-    the global skyline, and at most frontier-size x partitions rows —
-    is swept once more on a single partition. The quadratic never
-    runs; stage 2's input is tiny by construction. Dominance is
-    strict-in-at-least-one, so duplicate (price, size) points
-    survive together on both engines."""
+
+def skyline_2d(
+    df: DataFrame,
+    maximize: str,
+    minimize: str,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """2-D Pareto frontier over any DataFrame: rows not strictly
+    dominated on (maximize up, minimize down).
+
+    The MapReduce skyline decomposition: (1) each partition computes
+    its LOCAL skyline with an O(n log n) sort-and-sweep in Arrow
+    batches (per input split, next to the data); (2) the union of
+    local skylines — provably a superset of the global skyline, and
+    at most frontier-size x partitions rows — is swept once more on
+    a single partition. The quadratic never runs; stage 2's input is
+    tiny by construction. Dominance is strict-in-at-least-one, so
+    duplicate (maximize, minimize) points survive together."""
     import pandas as pd
 
-    part = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_retailprice", "p_size"
+    cols = list(keep_cols or []) + [maximize, minimize]
+    part = df.select(*cols)
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in part.schema.fields
     )
 
     def sweep(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(
-            ["p_retailprice", "p_size"], ascending=[False, True]
-        )
+        pdf = pdf.sort_values([maximize, minimize], ascending=[False, True])
         keep = []
-        best = None  # min size among strictly-higher-price points
-        for price, grp in pdf.groupby("p_retailprice", sort=False):
-            gmin = grp["p_size"].iloc[0]
+        best = None  # min of `minimize` among strictly-better rows
+        for _, grp in pdf.groupby(maximize, sort=False):
+            gmin = grp[minimize].iloc[0]
             if best is None or gmin < best:
-                keep.append(grp[grp["p_size"] == gmin])
+                keep.append(grp[grp[minimize] == gmin])
             best = gmin if best is None else min(best, gmin)
         return pd.concat(keep) if keep else pdf.iloc[0:0]
 
@@ -164,7 +179,6 @@ def sort_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(pdf):
                 yield sweep(pdf)
 
-    schema = "p_partkey bigint, p_retailprice double, p_size int"
     candidates = part.mapInPandas(local, schema)
 
     def merge(batches):

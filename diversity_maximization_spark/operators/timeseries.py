@@ -287,24 +287,10 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical fold with DuckDB's list_reduce over a window-collected
     ordered history (fine at oracle scale, O(n^2) list
     materialization — intentionally naive, see PLANS.md)."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
-    )
-    a = EWMA_ALPHA
-
-    def fold(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
-        out = []
-        acc = None
-        for v in pdf["value"].to_numpy():
-            acc = v if acc is None else a * v + (1 - a) * acc
-            out.append(acc)
-        pdf = pdf.assign(ewma=out)
-        return pdf[["user_id", "event_id", "ewma"]]
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold, "user_id bigint, event_id bigint, ewma double"
-    )
+    ev = load(spark, sf_dir, "events")
+    return smooth_series(
+        ev, ["user_id"], ["ts", "event_id"], "value", alpha=EWMA_ALPHA
+    ).select("user_id", "event_id", "ewma")
 
 
 HOLT_ALPHA = 0.5
@@ -351,32 +337,14 @@ def ts_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     the graph_ancestor_depth pattern. Both engines evaluate literally
     the same expression tree, so IEEE determinism keeps the driver
     hash exact."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "value"
+    ev = load(spark, sf_dir, "events")
+    sm = smooth_series(
+        ev, ["user_id"], ["ts", "event_id"], "value",
+        alpha=HOLT_ALPHA, beta=HOLT_BETA,
     )
-    a, b = HOLT_ALPHA, HOLT_BETA
-
-    def fold(pdf):
-        pdf = pdf.sort_values(["ts", "event_id"])
-        levels, trends = [], []
-        level = trend = None
-        for x in pdf["value"].to_numpy():
-            if level is None:
-                level, trend = x, 0.0
-            else:
-                new_level = a * x + (1 - a) * (level + trend)
-                trend = b * (new_level - level) + (1 - b) * trend
-                level = new_level
-            levels.append(level)
-            trends.append(trend)
-        pdf = pdf.assign(level=levels, trend=trends)
-        pdf["forecast_1"] = pdf["level"] + pdf["trend"]
-        return pdf[["user_id", "event_id", "level", "trend", "forecast_1"]]
-
-    return ev.groupBy("user_id").applyInPandas(
-        fold,
-        "user_id bigint, event_id bigint, level double, trend double,"
-        " forecast_1 double",
+    return sm.select(
+        "user_id", "event_id", "level", "trend",
+        (F.col("level") + F.col("trend")).alias("forecast_1"),
     )
 
 
@@ -411,3 +379,51 @@ def ts_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_HIER_SQL)
+
+
+def smooth_series(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alpha: float = EWMA_ALPHA,
+    beta: float | None = None,
+) -> DataFrame:
+    """Generic per-series exponential smoothing over any DataFrame:
+    EWMA (beta=None) or Holt level+trend (beta set). One shuffle by
+    key, then an Arrow applyInPandas O(n) fold with constant state —
+    the execution contract ts_ewma / ts_holt demonstrate on the
+    fixture. Output = key cols + order cols + value + the smoothed
+    column(s)."""
+    cols = key_cols + order_cols + [value_col]
+    src = df.select(*cols)
+    base = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
+    )
+    extra = "level double, trend double" if beta is not None else "ewma double"
+    a, b = alpha, beta
+
+    def fold(pdf):
+        pdf = pdf.sort_values(order_cols)
+        if b is None:
+            out, acc = [], None
+            for v in pdf[value_col].to_numpy():
+                acc = v if acc is None else a * v + (1 - a) * acc
+                out.append(acc)
+            return pdf.assign(ewma=out)
+        levels, trends = [], []
+        level = trend = None
+        for x in pdf[value_col].to_numpy():
+            if level is None:
+                level, trend = x, 0.0
+            else:
+                new_level = a * x + (1 - a) * (level + trend)
+                trend = b * (new_level - level) + (1 - b) * trend
+                level = new_level
+            levels.append(level)
+            trends.append(trend)
+        return pdf.assign(level=levels, trend=trends)
+
+    return df.select(*cols).groupBy(*key_cols).applyInPandas(
+        fold, f"{base}, {extra}"
+    )

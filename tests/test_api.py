@@ -160,3 +160,86 @@ def test_api_components_generic(spark):
     )
     got = {r["id"]: r["label"] for r in api.components(edges, verts).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_api_skyline_generic_schema(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 5), (2, 10.0, 5), (3, 9.0, 3), (4, 8.0, 4), (5, 7.0, 1)],
+        "id bigint, score double, cost int",
+    )
+    got = {
+        r["id"]
+        for r in api.skyline(
+            df, maximize="score", minimize="cost", keep_cols=["id"]
+        ).collect()
+    }
+    # 1,2 duplicate non-dominated; 3 better cost at lower score; 4 is
+    # dominated by 3 (lower score AND higher cost); 5 cheapest
+    assert got == {1, 2, 3, 5}
+
+
+def test_api_smooth_ewma_and_holt(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10.0), (1, 2, 20.0), (1, 3, 15.0), (2, 1, 5.0)],
+        "k bigint, t bigint, x double",
+    )
+    ew = {
+        (r["k"], r["t"]): r["ewma"]
+        for r in api.smooth(df, ["k"], ["t"], "x", alpha=0.3).collect()
+    }
+    assert ew[(1, 1)] == 10.0
+    assert abs(ew[(1, 2)] - 13.0) < 1e-12
+    assert abs(ew[(1, 3)] - 13.6) < 1e-12
+    assert ew[(2, 1)] == 5.0
+    ho = {
+        (r["k"], r["t"]): (r["level"], r["trend"])
+        for r in api.smooth(
+            df, ["k"], ["t"], "x", alpha=0.5, beta=0.3
+        ).collect()
+    }
+    assert ho[(1, 1)] == (10.0, 0.0)
+    assert abs(ho[(1, 2)][0] - 15.0) < 1e-12  # 0.5*20 + 0.5*10
+    assert abs(ho[(1, 2)][1] - 1.5) < 1e-12  # 0.3*5
+
+
+def test_api_triangles_toy_graph(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "u bigint, v bigint"
+    )
+    row = api.triangles(edges).collect()[0]
+    assert (row["n_vertices"], row["n_edges"], row["n_triangles"]) == (4, 4, 1)
+
+
+def test_api_profile_generic(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (None, "b")], "x bigint, s string"
+    )
+    prof = {
+        r["column_name"]: r
+        for r in api.profile(df, [("x", "num"), ("s", "str")]).collect()
+    }
+    assert prof["x"]["n_nulls"] == 1 and prof["x"]["n_distinct"] == 2
+    assert prof["x"]["min_num"] == 1.0 and prof["x"]["max_num"] == 2.0
+    assert prof["s"]["n_nulls"] == 1 and prof["s"]["min_num"] is None
+
+
+def test_api_passage_dups_and_neighbors(spark):
+    boiler = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(1, "alpha " + boiler), (2, "beta " + boiler), (3, "solo text only")],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in api.passage_dups(docs).collect()}
+    assert out[1]["n_dup_passages"] >= 6 and out[2]["n_dup_passages"] >= 6
+    assert out[3]["n_dup_passages"] == 0 and out[3]["n_passages"] == 0
+
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.01, 0.0), (3, 5.0, 5.0)],
+        "id bigint, x double, y double",
+    )
+    nb = {
+        r["vec_id"]: r
+        for r in api.radius_neighbors(pts, "id", "x", "y", 0.05).collect()
+    }
+    assert nb[1]["n_neighbors"] == 1 and nb[2]["n_neighbors"] == 1
+    assert nb[3]["n_neighbors"] == 0
