@@ -627,7 +627,7 @@ WITH marked AS (
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) FILTER (doc_id <> keeper) AS BIGINT) AS n_dups,
-       round(COUNT(*) FILTER (doc_id <> keeper) * 1.0 / COUNT(*), 6)
+       COUNT(*) FILTER (doc_id <> keeper) * 1.0 / COUNT(*)
          AS dup_rate
 FROM marked GROUP BY source
 """,
@@ -649,7 +649,7 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return marked.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(is_dup, 1)).alias("n_dups"),
-        F.round(F.count(F.when(is_dup, 1)) * 1.0 / F.count(F.lit(1)), 6).alias(
+        (F.count(F.when(is_dup, 1)) * 1.0 / F.count(F.lit(1))).alias(
             "dup_rate"
         ),
     )

@@ -182,8 +182,8 @@ WITH dims AS (
 SELECT label, CAST(pos AS INTEGER) AS pos,
        CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_micro,
        CAST(COUNT(*) AS BIGINT) AS n,
-       round(CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
-             / 1000000 / COUNT(*), 6) AS mean_x
+       CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000 / COUNT(*) AS mean_x
 FROM dims
 WHERE pos <= 8
 GROUP BY label, pos
@@ -193,7 +193,9 @@ def embed_centroids_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid report over the first 8 embedding
     dimensions (the embedding-space health check before clustering /
     dedup thresholds are chosen): exact integer micro-unit sums make
-    the per-dimension means order-independent and hash-stable
+    the per-dimension means order-independent and hash-stable —
+    reported UNROUNDED, because identical-integer division is already
+    bit-identical while round() half-tie behavior differs per engine
     (FLOOR(x*1e6 + 0.5), not ROUND — float32 values times 1e6 can
     land exactly on .5 and the engines break round-half ties
     differently, and the float32 element must be cast to DOUBLE
@@ -211,9 +213,13 @@ def embed_centroids_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             micro.alias("sum_micro"),
             F.count(F.lit(1)).alias("n"),
-            F.round(
-                micro.cast("double") / 1000000 / F.count(F.lit(1)), 6
-            ).alias("mean_x"),
+            # UNROUNDED: the division of identical exact integers is
+            # bit-identical on both engines, while round(x, 6) breaks
+            # ties differently when sum/n lands exactly on a half
+            # micro-unit (seen at sf0.1: 616992/192 -> 0.0032135)
+            (micro.cast("double") / 1000000 / F.count(F.lit(1))).alias(
+                "mean_x"
+            ),
         )
         .select("label", F.col("pos").cast("int").alias("pos"),
                 "sum_micro", "n", "mean_x")

@@ -318,3 +318,38 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.select(
         F.col("id").alias("vec_id"), F.col("label").alias("component")
     )
+
+
+@query("sim_search_recall_eval")  # rows-only: grades the approximate path
+def sim_search_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k report card for the IVF approximate path against the
+    exact top-k — the evaluation any ANN deployment gates on before
+    trading exactness for speed (the lang_id_eval pattern applied to
+    similarity search). Per query: |approx ∩ exact| / k; the report
+    is the distribution (recall level -> query count), deterministic
+    because both paths are (farthest-first centroids, fixed
+    tie-breaks). Computed with two semi/left joins over the two
+    (query, neighbor) top-k sets — never the raw vectors."""
+    exact = sim_search_topk(spark, sf_dir).select("vec_id", "neighbor")
+    approx = sim_search_ivf(spark, sf_dir).select("vec_id", "neighbor")
+    hits = (
+        exact.join(approx, ["vec_id", "neighbor"], "left_semi")
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    per_q = (
+        exact.select("vec_id")
+        .distinct()
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / TOPK
+            ).alias("recall"),
+        )
+    )
+    return (
+        per_q.groupBy("recall")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("recall")
+    )

@@ -684,8 +684,8 @@ WITH t AS (
   FROM t GROUP BY source, lang
 )
 SELECT d.source, d.lang, d.n_docs, d.sum_words AS n_words,
-       round(d.sum_words * 1.0 / d.n_docs, 6) AS mean_doc_len,
-       round(p.n_types * 1.0 / p.n_words, 6) AS corpus_ttr
+       d.sum_words * 1.0 / d.n_docs AS mean_doc_len,
+       p.n_types * 1.0 / p.n_words AS corpus_ttr
 FROM docs d JOIN per p ON d.source = p.source AND d.lang = p.lang
 """,
 )
@@ -714,8 +714,8 @@ def corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_docs",
         F.col("sum_words").alias("n_words"),
-        F.round(F.col("sum_words") * 1.0 / F.col("n_docs"), 6).alias("mean_doc_len"),
-        F.round(F.col("n_types") * 1.0 / F.col("n_words"), 6).alias("corpus_ttr"),
+        (F.col("sum_words") * 1.0 / F.col("n_docs")).alias("mean_doc_len"),
+        (F.col("n_types") * 1.0 / F.col("n_words")).alias("corpus_ttr"),
     )
 
 
@@ -736,7 +736,7 @@ WITH words AS (
 SELECT ws.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) FILTER (v.w IS NULL) AS BIGINT) AS n_oov,
-       round(COUNT(*) FILTER (v.w IS NULL) * 1.0 / COUNT(*), 6) AS oov_rate
+       COUNT(*) FILTER (v.w IS NULL) * 1.0 / COUNT(*) AS oov_rate
 FROM words ws LEFT JOIN vocab v ON ws.w = v.w
 GROUP BY ws.doc_id
 """,
@@ -764,8 +764,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.count(F.when(F.col("vw").isNull(), 1)).alias("n_oov"),
-        F.round(
-            F.count(F.when(F.col("vw").isNull(), 1)) * 1.0 / F.count(F.lit(1)), 6
+        (
+            F.count(F.when(F.col("vw").isNull(), 1)) * 1.0 / F.count(F.lit(1))
         ).alias("oov_rate"),
     )
 
@@ -796,7 +796,7 @@ WITH words AS (
 SELECT d.lang AS true_lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(COUNT(*) FILTER (p.pred_lang = d.lang) AS BIGINT) AS n_correct,
-       round(COUNT(*) FILTER (p.pred_lang = d.lang) * 1.0 / COUNT(*), 6)
+       COUNT(*) FILTER (p.pred_lang = d.lang) * 1.0 / COUNT(*)
          AS accuracy
 FROM documents d JOIN pred p ON d.doc_id = p.doc_id
 GROUP BY d.lang
@@ -820,7 +820,7 @@ def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count(F.when(hit, 1)).alias("n_correct"),
-            F.round(F.count(F.when(hit, 1)) * 1.0 / F.count(F.lit(1)), 6).alias(
+            (F.count(F.when(hit, 1)) * 1.0 / F.count(F.lit(1))).alias(
                 "accuracy"
             ),
         )

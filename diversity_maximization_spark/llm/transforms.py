@@ -131,7 +131,7 @@ WITH words AS (
 )
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_trigrams,
-       round(MAX(c) * 1.0 / SUM(c), 6) AS rep_ratio,
+       MAX(c) * 1.0 / SUM(c) AS rep_ratio,
        MAX(c) * 1.0 / SUM(c) > 0.2 AS is_repetitive
 FROM per
 GROUP BY doc_id
@@ -172,7 +172,7 @@ def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.select(
         "doc_id",
         "n_trigrams",
-        F.round("ratio", 6).alias("rep_ratio"),
+        F.col("ratio").alias("rep_ratio"),
         (F.col("ratio") > 0.2).alias("is_repetitive"),
     )
 
@@ -309,9 +309,9 @@ WITH t AS (
 )
 SELECT t.doc_id,
        CAST(n_words AS BIGINT) AS n_words,
-       round((nc - (n_words - 1)) * 1.0 / n_words, 6) AS mean_word_len,
-       round(n_types * 1.0 / n_words, 6) AS ttr,
-       round(top_c * 1.0 / n_words, 6) AS top_share,
+       (nc - (n_words - 1)) * 1.0 / n_words AS mean_word_len,
+       n_types * 1.0 / n_words AS ttr,
+       top_c * 1.0 / n_words AS top_share,
        (n_words BETWEEN 10 AND 1000)
          AND ((nc - (n_words - 1)) * 1.0 / n_words BETWEEN 2 AND 12)
          AND (n_types * 1.0 / n_words >= 0.3)
@@ -335,9 +335,11 @@ def gopher_signals(
     All four signals come out of ONE Arrow batch pass (mapInPandas):
     the per-doc word histogram (for top-word share) never leaves the
     task — same no-explode/no-shuffle shape as quality_repetition, a
-    pure map over the corpus at 100 TB. The rule booleans are
-    evaluated on the UNROUNDED doubles (identical operand order in
-    both engines); rounding is display-only."""
+    pure map over the corpus at 100 TB. Rule booleans and the
+    reported ratios are both the UNROUNDED exact-integer quotients
+    (identical operand order in both engines — bit-exact, and
+    immune to the round() half-tie divergence found at sf0.1 in
+    embed_centroids_report)."""
 
     def gen(batches):
         for pdf in batches:
@@ -366,9 +368,9 @@ def gopher_signals(
     return raw.select(
         "doc_id",
         "n_words",
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(ttr, 6).alias("ttr"),
-        F.round(top_share, 6).alias("top_share"),
+        mean_wl.alias("mean_word_len"),
+        ttr.alias("ttr"),
+        top_share.alias("top_share"),
         (
             nw.between(10, 1000)
             & mean_wl.between(2, 12)

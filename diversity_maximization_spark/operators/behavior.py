@@ -86,8 +86,8 @@ WITH seq AS (
   FROM events
 )
 SELECT event_type, next_type, COUNT(*) AS n,
-       round(CAST(COUNT(*) AS DOUBLE)
-             / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+       CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS p
 FROM seq WHERE next_type IS NOT NULL
 GROUP BY event_type, next_type
 """,
@@ -112,9 +112,7 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "next_type",
         "n",
-        F.round(
-            F.col("n").cast("double") / F.sum("n").over(per_src), 6
-        ).alias("p"),
+        (F.col("n").cast("double") / F.sum("n").over(per_src)).alias("p"),
     )
 
 

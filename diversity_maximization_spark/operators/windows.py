@@ -454,8 +454,8 @@ WITH per AS (
 )
 SELECT o_orderpriority, n,
        CAST(cents AS DOUBLE) / 100 AS revenue,
-       round(CAST(cents AS DOUBLE) / SUM(cents) OVER (), 6) AS rev_share,
-       round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS count_share
+       CAST(cents AS DOUBLE) / SUM(cents) OVER () AS rev_share,
+       CAST(n AS DOUBLE) / SUM(n) OVER () AS count_share
 FROM per
 """,
 )
@@ -477,10 +477,10 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         "n",
         (F.col("cents").cast("double") / 100).alias("revenue"),
-        F.round(
-            F.col("cents").cast("double") / F.sum("cents").over(wall), 6
-        ).alias("rev_share"),
-        F.round(F.col("n").cast("double") / F.sum("n").over(wall), 6).alias(
+        (F.col("cents").cast("double") / F.sum("cents").over(wall)).alias(
+            "rev_share"
+        ),
+        (F.col("n").cast("double") / F.sum("n").over(wall)).alias(
             "count_share"
         ),
     )

@@ -597,3 +597,18 @@ def test_prefix_filter_prunes_candidates(spark, sf_dir):
         .count()
     )
     assert pref_index < full_index
+
+
+def test_sim_search_recall_eval_report(spark, sf_dir):
+    rows = QUERIES["sim_search_recall_eval"](spark, sf_dir).collect()
+    total = sum(r["n_queries"] for r in rows)
+    mean = sum(r["recall"] * r["n_queries"] for r in rows) / total
+    assert all(0.0 <= r["recall"] <= 1.0 for r in rows)
+    # same floor as test_ivf_recall: at the 100-vector test fixture
+    # the 16-centroid/nprobe-8 configuration is deliberately coarse
+    assert mean >= 0.5, f"mean recall collapsed: {mean}"
+    # every embedding row is a query
+    import pandas as pd
+
+    n = len(pd.read_parquet(f"{sf_dir}/embeddings.parquet"))
+    assert total == n
