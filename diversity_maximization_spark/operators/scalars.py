@@ -537,3 +537,47 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("safe_intdiv"),
     )
+
+
+@query(
+    "fn_xml",
+    oracle="""
+SELECT c_custkey,
+       c_name AS xml_name,
+       CAST(c_nationkey AS INTEGER) AS xml_nation,
+       c_acctbal AS xml_acctbal
+FROM customer
+""",
+)
+def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4 ``from_xml`` + XPath): each
+    customer row is serialized to an XML fragment executor-side and
+    parsed straight back — schema-on-read for the XML feeds a real
+    warehouse still receives. Extraction happens twice, through BOTH
+    native paths (typed ``from_xml`` struct access for name/nation,
+    ``xpath_number`` for the balance), proving the full surface.
+    The oracle is the identity projection — if parsing is lossless
+    and type-faithful the round trip hash-matches the raw columns.
+    Narrow map, no shuffle, whole-stage-codegen'd XML expressions."""
+    c = load(spark, sf_dir, "customer")
+    xml = F.concat(
+        F.lit("<cust><name>"),
+        F.col("c_name"),
+        F.lit("</name><nation>"),
+        F.col("c_nationkey").cast("string"),
+        F.lit("</nation><bal>"),
+        F.col("c_acctbal").cast("string"),
+        F.lit("</bal></cust>"),
+    )
+    parsed = F.from_xml(
+        xml, "STRUCT<name: STRING, nation: INT, bal: DOUBLE>"
+    )
+    return c.select(
+        "c_custkey",
+        parsed.getField("name").alias("xml_name"),
+        parsed.getField("nation").alias("xml_nation"),
+        F.expr(
+            "xpath_number(concat('<cust><bal>', CAST(c_acctbal AS STRING),"
+            " '</bal></cust>'), '/cust/bal')"
+        ).alias("xml_acctbal"),
+    )

@@ -143,3 +143,97 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(SynthSource)
     return spark.read.format("dms_synth").option("n", str(N)).load()
+
+
+@query(
+    "source_python_datasource_stream",
+    oracle="""
+SELECT CAST(range % 10 AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(range * range) AS BIGINT) AS sum_sq
+FROM range(0, 1000) GROUP BY 1
+""",
+)
+def source_python_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The STREAMING side of the Spark 4 Python Data Source API: a
+    custom DataSourceStreamReader with real offset management
+    (initialOffset -> latestOffset -> partitions(start, end) ->
+    read(partition)) emitting the same deterministic table as
+    source_python_datasource in offset-bounded batches, 4
+    partitions per batch (under availableNow the engine takes the
+    whole initial->latest span as one batch; partitions() must cover
+    EXACTLY the committed range — clamping it drops rows, the bug
+    this key's first draft shipped and the oracle caught). Consumed with availableNow and aggregated
+    per bucket in complete mode; the batch-equivalence oracle states
+    the same totals via range() — proving exactly-once offset
+    accounting (no gap, no double-read) end to end through the
+    Python source seam a proprietary feed would plug into."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    N = 1000
+    P = 4
+
+    class _Part(InputPartition):
+        def __init__(self, lo, hi):
+            self.lo, self.hi = lo, hi
+
+    class SynthStreamReader(DataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def latestOffset(self):
+            return {"pos": N}
+
+        def partitions(self, start, end):
+            # MUST cover exactly [start, end): the engine commits the
+            # offset range it asked for, so clamping here would drop
+            # rows silently (exactly-once means read what you commit)
+            lo, hi = start["pos"], end["pos"]
+            span = max(hi - lo, 0)
+            per = max(span // P, 1)
+            parts = []
+            at = lo
+            while at < hi:
+                parts.append(_Part(at, min(at + per, hi)))
+                at += per
+            return parts or [_Part(lo, lo)]
+
+        def read(self, partition):
+            for x in range(partition.lo, partition.hi):
+                yield (x, x * x, x % 10)
+
+        def commit(self, end):
+            pass  # no external offsets to clean up
+
+    class SynthStreamSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dms_synth_stream"
+
+        def schema(self):
+            return "id bigint, sq bigint, bucket int"
+
+        def streamReader(self, schema):
+            return SynthStreamReader()
+
+    spark.dataSource.register(SynthStreamSource)
+    st = spark.readStream.format("dms_synth_stream").load()
+    agg = st.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("id") * F.col("id")).alias("sum_sq"),
+    )
+    from ..streaming.replay import run_to_memory
+
+    name = f"pyds_stream_{next(_PYDS_COUNTER)}"
+    return run_to_memory(agg, name, mode="complete")
+
+
+import itertools as _itertools
+
+_PYDS_COUNTER = _itertools.count()
