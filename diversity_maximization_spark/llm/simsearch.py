@@ -353,3 +353,60 @@ def sim_search_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_queries"))
         .orderBy("recall")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.96
+SEMDEDUP_CLUSTERS = 16
+
+
+@query("dedup_semdedup")  # rows-only: iterative float clustering
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): cluster the embedding space, then WITHIN each
+    cluster greedily drop any item whose cosine similarity to an
+    already-kept item exceeds the threshold — the cheap way to prune
+    near-identical content that exact/minhash dedup cannot see.
+
+    Scale shape (the paper's own recipe): the n^2 problem is confined
+    to clusters — k farthest-first centroids (deterministic, from a
+    fixed ordered sample), one broadcast nearest-centroid assignment
+    (narrow, JVM-side), one shuffle by cluster id, then an Arrow
+    applyInPandas greedy pass per cluster whose pairwise work is
+    sum(|cluster|^2) << n^2 and embarrassingly parallel across
+    clusters. Ascending-id greedy order makes the kept set
+    deterministic on any layout (pinned by tests against a local
+    numpy replay). Returns every vector with its cluster and
+    kept/dropped verdict."""
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = e.orderBy("vec_id").limit(512).collect()
+    X = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
+    )
+    cidx, _, _ = K.farthest_first(X, SEMDEDUP_CLUSTERS, start=0)
+    data = _assign_centroids(e, X[cidx], "cluster")
+    t = SEMDEDUP_THRESHOLD
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id")
+        M = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        M = M / norms[:, None]
+        kept_rows: list[int] = []
+        kept = np.zeros(len(pdf), dtype=bool)
+        for i in range(len(pdf)):
+            if not kept_rows or (M[kept_rows] @ M[i]).max() <= t:
+                kept[i] = True
+                kept_rows.append(i)
+        out = pdf[["vec_id", "cluster"]].copy()
+        out["kept"] = kept
+        return out
+
+    return data.select("vec_id", "cluster", "embedding").groupBy(
+        "cluster"
+    ).applyInPandas(prune, "vec_id bigint, cluster int, kept boolean")

@@ -612,3 +612,39 @@ def test_sim_search_recall_eval_report(spark, sf_dir):
 
     n = len(pd.read_parquet(f"{sf_dir}/embeddings.parquet"))
     assert total == n
+
+
+def test_semdedup_matches_local_replay(spark, sf_dir):
+    """The distributed SemDeDup verdicts must equal a full local numpy
+    replay: same clusters, same ascending-id greedy kept set."""
+    from diversity_maximization_spark.llm.simsearch import (
+        SEMDEDUP_CLUSTERS,
+        SEMDEDUP_THRESHOLD,
+    )
+    from diversity_maximization_spark.diversity import kernel as K
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    }
+    rows = sorted(
+        load(spark, sf_dir, "embeddings").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = [r["vec_id"] for r in rows]
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    cidx, _, _ = K.farthest_first(X[:512], SEMDEDUP_CLUSTERS, start=0)
+    cents = X[:512][cidx]
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    clusters = d2.argmin(axis=1)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0] = 1.0
+    Xn = X / norms[:, None]
+    assert len(got) == len(ids)
+    for c in range(SEMDEDUP_CLUSTERS):
+        members = [i for i in range(len(ids)) if clusters[i] == c]
+        kept: list[int] = []
+        for i in members:  # ids sorted ascending already
+            keep = not kept or (Xn[kept] @ Xn[i]).max() <= SEMDEDUP_THRESHOLD
+            assert got[ids[i]] == (c, keep), ids[i]
+            if keep:
+                kept.append(i)
