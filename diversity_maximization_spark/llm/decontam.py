@@ -415,3 +415,74 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.expr(_MIX_U01) < rate)
         .select("doc_id", "source")
     )
+
+
+MIX_BUDGET_X = 2.0  # token budget = 2x the corpus
+MIX_MAX_EPOCHS = 4.0
+
+
+@query(
+    "mix_epochs",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+  FROM documents GROUP BY source
+), fixed AS (
+  SELECT source, n_tok,
+         CAST(ROUND(sqrt(n_tok) * 1000000) AS BIGINT) AS ss
+  FROM toks
+), tot AS (
+  SELECT CAST(SUM(ss) AS BIGINT) AS s_sum, CAST(SUM(n_tok) AS BIGINT) AS t_tot
+  FROM fixed
+)
+SELECT f.source, f.n_tok AS n_tokens,
+       CAST(ss AS DOUBLE) / s_sum AS target_weight,
+       least({MIX_MAX_EPOCHS},
+             ({MIX_BUDGET_X} * t_tot) * (CAST(ss AS DOUBLE) / s_sum)
+               / f.n_tok) AS epochs
+FROM fixed f, tot
+""",
+)
+def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing epoch planner — given a token budget (2x the
+    corpus) and temperature-T=2 target weights (p_s ∝ tokens_s^0.5),
+    how many epochs of each source does the training run consume?
+    epochs_s = budget * w_s / tokens_s, capped (no source repeats
+    more than {MIX_MAX_EPOCHS}x — the standard repetition-harm
+    guard). This is the planning half of sample_temperature: that key
+    materializes a rebalanced sample, this one emits the per-source
+    recipe a dataloader consumes.
+
+    Determinism: the same integer-micro-unit trick as
+    sample_temperature — sqrt weights fixed to exact BIGINT
+    micro-units and summed order-independently, every double derived
+    once from identical integers with identical expression text.
+    Plan: one narrow map + two tiny aggs; the corpus never
+    shuffles."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tok")
+    )
+    fixed = toks.withColumn(
+        "ss", F.expr("CAST(ROUND(sqrt(n_tok) * 1000000) AS BIGINT)")
+    )
+    tot = fixed.agg(
+        F.sum("ss").cast("bigint").alias("s_sum"),
+        F.sum("n_tok").cast("bigint").alias("t_tot"),
+    )
+    return (
+        fixed.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.col("n_tok").alias("n_tokens"),
+            (F.col("ss").cast("double") / F.col("s_sum")).alias(
+                "target_weight"
+            ),
+            F.least(
+                F.lit(MIX_MAX_EPOCHS),
+                (F.lit(MIX_BUDGET_X) * F.col("t_tot"))
+                * (F.col("ss").cast("double") / F.col("s_sum"))
+                / F.col("n_tok"),
+            ).alias("epochs"),
+        )
+    )

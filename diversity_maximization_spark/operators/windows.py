@@ -484,3 +484,84 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_share"
         ),
     )
+
+
+_RC_FRAME = 20  # rolling frame: 19 preceding + current
+_RC_CORR = (
+    "CASE WHEN n > 1 THEN"
+    " (n * sxy - sx * sy)"
+    " / nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+    "          * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0)"
+    " ELSE NULL END"
+)
+
+
+@query(
+    "win_rolling_corr",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, event_id, ts,
+         CAST(ROUND((value) * 100) AS BIGINT) AS x,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - (SELECT CAST(floor(epoch(MIN(ts))) AS BIGINT) FROM events) AS y
+  FROM events
+), w AS (
+  SELECT event_type, event_id,
+         COUNT(*) OVER f AS n,
+         CAST(SUM(x) OVER f AS BIGINT) AS sx,
+         CAST(SUM(y) OVER f AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER f AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER f AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER f AS BIGINT) AS syy
+  FROM b
+  WINDOW f AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN {_RC_FRAME - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, n, {_RC_CORR} AS rolling_corr
+FROM w
+""",
+)
+def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between metric value and time over
+    a {_RC_FRAME}-row frame per series — the windowed drift detector
+    (is this metric locally trending?), and the windowed-statistics
+    generalization of agg_regr_trend. All five moment sums are EXACT
+    integer window aggregates (value cents x seconds-since-corpus-
+    start — the epoch shift keeps y^2 sums far inside int64), so the
+    only float math is the closed-form corr expression evaluated from
+    identical integers with identical text on both engines:
+    bit-exact, no rounding needed. Zero-variance frames pin to NULL
+    via nullif on both engines (the ADVICE-r2 zscore rule). One
+    Exchange per event_type serves all six window aggregates."""
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(
+        F.expr("CAST(CAST(MIN(ts) AS TIMESTAMP) AS BIGINT)")
+    ).collect()[0][0]
+    b = ev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND((value) * 100) AS BIGINT)").alias("x"),
+        (
+            F.expr("CAST(CAST(ts AS TIMESTAMP) AS BIGINT)")
+            - F.lit(t0)
+        ).alias("y"),
+    )
+    f = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_RC_FRAME - 1), 0)
+    )
+    w = b.select(
+        "event_type",
+        "event_id",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("x").over(f).alias("sx"),
+        F.sum("y").over(f).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(f).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(f).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(f).alias("syy"),
+    )
+    return w.select(
+        "event_type", "event_id", "n", F.expr(_RC_CORR).alias("rolling_corr")
+    )
