@@ -323,3 +323,20 @@ def test_spatial_grid_is_equi_join_on_cells(spark, sf_dir):
     plan = plan_of(spark, "join_spatial_grid", sf_dir)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_rollup_hierarchy_single_scan_expand(spark, sf_dir):
+    """Three time granularities from ONE scan: a single Expand node,
+    a single parquet scan — never one pass per level."""
+    plan = plan_of(spark, "ts_rollup_hierarchy", sf_dir)
+    assert plan.count("Location:") == 1, plan
+    assert "Expand" in plan
+
+
+def test_rolling_corr_single_exchange(spark, sf_dir):
+    """All six window aggregates of win_rolling_corr must share ONE
+    Exchange (same partition + order), not one per aggregate."""
+    plan = plan_of(spark, "win_rolling_corr", sf_dir)
+    tree = plan.split("\n\n(1)")[0]
+    assert tree.count("Exchange") == 1, tree
+    assert "Window" in tree
