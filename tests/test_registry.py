@@ -126,3 +126,28 @@ def test_heavy_hitters_mg_path_and_superset(spark, sf_dir):
         for r in QUERIES["sketch_heavy_hitters"](spark, sf_dir).collect()
     }
     assert got == exact
+
+
+def test_strict_artifacts_cover_every_key():
+    """CHECK_sf001_strict.json / CHECK_sf01_strict.json must stay in
+    lockstep with the registry: a key added without re-verifying it at
+    BOTH scales fails here, so the committed artifacts can be trusted
+    as full-coverage claims (and no stale key lingers after a
+    rename)."""
+    import json
+    from pathlib import Path
+
+    from diversity_maximization_spark.registry import QUERIES
+
+    root = Path(__file__).resolve().parent.parent
+    for name in ("CHECK_sf001_strict.json", "CHECK_sf01_strict.json"):
+        art = json.loads((root / name).read_text())
+        missing = sorted(set(QUERIES) - set(art))
+        stale = sorted(set(art) - set(QUERIES))
+        assert not missing, f"{name} missing keys: {missing}"
+        assert not stale, f"{name} stale keys: {stale}"
+        bad = {
+            k: v for k, v in art.items()
+            if v.get("status") not in ("pass", "rows_only")
+        }
+        assert not bad, f"{name} non-green entries: {bad}"
