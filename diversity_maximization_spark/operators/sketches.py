@@ -440,7 +440,7 @@ def sketch_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "agg_bitmap_distinct",
     oracle="""
-SELECT date_trunc('day', ts) AS day,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
        COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
 """,
