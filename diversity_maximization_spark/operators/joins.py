@@ -748,3 +748,73 @@ def radius_neighbors(
         .alias("n_neighbors"),
         "nearest_dist",
     )
+
+
+@query(
+    "join_asof_tolerance",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id AS purchase_id, p.user_id,
+       CASE WHEN p.ts - v.ts <= INTERVAL 1 HOUR THEN v.ts END AS view_ts,
+       CASE WHEN p.ts - v.ts <= INTERVAL 1 HOUR THEN v.view_id END AS view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a MAX-GAP TOLERANCE (pandas merge_asof's
+    `tolerance`, kdb's wj window bound): the most recent view
+    at-or-before each purchase counts only if it happened within the
+    last hour — stale state is worse than no state in attribution
+    and sensor pipelines. Same union-window rewrite as join_asof
+    (one shuffle, linear; no native Spark ASOF), with the tolerance
+    applied AFTER the carry-forward so the 'too old' verdict is
+    per-purchase, never dropping the carried state itself. DuckDB
+    has ASOF JOIN but no tolerance clause — the oracle post-filters
+    the gap with the identical CASE, which is exactly how a user
+    would express it there."""
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    tagged = v.select(
+        "user_id", "ts", F.lit(0).alias("tag"), "view_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionAll(
+        p.select(
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"), "purchase_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "view_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fresh = F.col("lv_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR")
+    return (
+        tagged.withColumn("lv_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn(
+            "lv_ts",
+            F.last(
+                F.when(F.col("view_id").isNotNull(), F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.when(fresh, F.col("lv_ts")).alias("view_ts"),
+            F.when(fresh, F.col("lv_id")).alias("view_id"),
+        )
+    )
