@@ -695,3 +695,92 @@ def agg_regr_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((n * sxx - sx * sx) * (n * syy - sy * sy))"
         ).alias("r2"),
     )
+
+
+# Poisson(1) inverse CDF thresholds (cumulative e^-1 * 1/k!), exact
+# double literals -> identical CASE ladder on both engines.
+_BOOT_U01 = (
+    "((((event_id * 37 + rep) % 2147483648) * 2654435761)"
+    " % 4294967296) / 4294967296.0"
+)
+_BOOT_WT = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0"
+    " WHEN u < 0.7357588823428847 THEN 1"
+    " WHEN u < 0.9196986029286058 THEN 2"
+    " WHEN u < 0.9810118431238462 THEN 3"
+    " WHEN u < 0.9963401531726563 THEN 4"
+    " WHEN u < 0.9994058151824183 THEN 5"
+    " ELSE 6 END"
+)
+_BOOT_R = 32
+
+
+@query(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS rep),
+base AS (
+  SELECT e.event_type, r.rep,
+         {_BOOT_U01} AS u,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events e CROSS JOIN reps r
+), wtd AS (
+  SELECT event_type, rep, {_BOOT_WT} AS wt, c FROM base
+), m AS (
+  SELECT event_type, rep,
+         CAST(SUM(wt * c) AS DOUBLE) / 100
+           / nullif(CAST(SUM(wt) AS DOUBLE), 0) AS mean_r
+  FROM wtd GROUP BY event_type, rep
+), ranked AS (
+  SELECT event_type, mean_r,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY mean_r, rep) AS rn
+  FROM m
+)
+SELECT event_type,
+       MIN(CASE WHEN rn = 2 THEN mean_r END) AS boot_lo,
+       MIN(CASE WHEN rn = {_BOOT_R - 1} THEN mean_r END) AS boot_hi
+FROM ranked GROUP BY event_type
+""",
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap confidence interval for the per-group mean
+    (Chamandy et al., "Estimating Uncertainty for Massive Data
+    Streams" — the Google one-pass bootstrap): each row joins every
+    replicate with weight ~ Poisson(1) drawn DETERMINISTICALLY from a
+    hash of (row id, replicate id) via the inverse CDF, so resampling
+    needs no RNG state, no data movement, and reproduces identically
+    on any cluster layout or engine. 32 replicate means per group,
+    report the 2nd and 31st order statistics (~94% interval).
+
+    Scale shape: the replicate fan-out is a constant-factor (32x)
+    narrow map — at 100 TB you run it on the aggregate's INPUT KEYS
+    only, never materializing the fan-out to disk — and each
+    replicate mean is an exact integer-cents ratio, so the entire
+    statistic is bit-reproducible (same CASE ladder of exact double
+    thresholds on both engines). Order statistics tie-break by
+    replicate id."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.expr(cents("value")).alias("c")
+    )
+    fan = ev.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+    ).withColumn("u", F.expr(_BOOT_U01)).withColumn(
+        "wt", F.expr(_BOOT_WT)
+    )
+    m = fan.groupBy("event_type", "rep").agg(
+        F.expr(
+            "CAST(SUM(wt * c) AS DOUBLE) / 100"
+            " / nullif(CAST(SUM(wt) AS DOUBLE), 0)"
+        ).alias("mean_r")
+    )
+    w = Window.partitionBy("event_type").orderBy("mean_r", "rep")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("event_type").agg(
+        F.min(F.when(F.col("rn") == 2, F.col("mean_r"))).alias("boot_lo"),
+        F.min(F.when(F.col("rn") == _BOOT_R - 1, F.col("mean_r"))).alias(
+            "boot_hi"
+        ),
+    )
