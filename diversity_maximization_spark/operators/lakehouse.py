@@ -246,3 +246,53 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("cents").alias("total_cents")
     )
+
+
+@query(
+    "catalog_analyze_stats",
+    oracle="""
+SELECT 'nation' AS table_name, (SELECT COUNT(*) FROM nation) AS n_rows,
+       TRUE AS stats_ok
+UNION ALL
+SELECT 'region', (SELECT COUNT(*) FROM region), TRUE
+""",
+)
+def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog statistics for the cost-based optimizer: tables are
+    registered in the warehouse, ANALYZE TABLE ... COMPUTE STATISTICS
+    runs, and the optimizer-visible rowCount (read back through the
+    logical plan's stats, the numbers CBO joins/reorders with) is
+    checked against the exact count. At 100 TB stats collection is
+    the cheap scan you amortize over every subsequent plan choice —
+    broadcast-threshold decisions, join reordering — and WRONG stats
+    are worse than none, hence the exactness flag."""
+    import hashlib
+    import os
+    import tempfile
+
+    db = "dms_stats"
+    db_loc = os.path.join(
+        tempfile.gettempdir(), f"dms_stats_db_{os.getpid()}"
+    )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
+    # rowCount surfaces in logical-plan Statistics only under CBO
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    sfx = hashlib.md5(f"{sf_dir}:{os.getpid()}".encode()).hexdigest()[:10]
+    out = []
+    for tbl in ("nation", "region"):
+        name = f"{db}.{tbl}_s{sfx}"
+        if not spark.catalog.tableExists(name):
+            path = tempfile.mkdtemp(prefix=f"dms_stats_{tbl}_")
+            load(spark, sf_dir, tbl).write.mode("overwrite").option(
+                "path", path
+            ).saveAsTable(name)
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        # the stats CBO actually sees: logical plan rowCount
+        stats = spark.table(name)._jdf.queryExecution().optimizedPlan().stats()
+        rc = stats.rowCount()
+        row_count = int(str(rc.get())) if rc.isDefined() else -1
+        exact = load(spark, sf_dir, tbl).count()
+        out.append((tbl, exact, row_count == exact))
+    return spark.createDataFrame(
+        out, "table_name string, n_rows bigint, stats_ok boolean"
+    )
