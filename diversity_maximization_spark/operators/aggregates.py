@@ -784,3 +784,86 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "boot_hi"
         ),
     )
+
+
+_TT_MEAN = "(CAST(s1 AS DOUBLE) / 100) / n"
+_TT_VAR = (
+    "((CAST(s2 AS DOUBLE) / 10000)"
+    " - ((CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100)) / n)"
+    " / (n - 1)"
+)
+
+
+@query(
+    "agg_ttest_welch",
+    oracle=f"""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM({cents('value')}) AS BIGINT) AS s1,
+         CAST(SUM({cents('value')} * {cents('value')}) AS BIGINT) AS s2
+  FROM events WHERE event_type IN ('view', 'purchase')
+  GROUP BY event_type
+), m AS (
+  SELECT event_type, n, {_TT_MEAN} AS mean, {_TT_VAR} AS var FROM g
+), a AS (SELECT * FROM m WHERE event_type = 'view'),
+  b AS (SELECT * FROM m WHERE event_type = 'purchase')
+SELECT a.n AS n_view, b.n AS n_purchase,
+       a.mean - b.mean AS mean_diff,
+       (a.mean - b.mean) / sqrt(a.var / a.n + b.var / b.n) AS t_stat,
+       pow(a.var / a.n + b.var / b.n, 2)
+         / (pow(a.var / a.n, 2) / (a.n - 1)
+            + pow(b.var / b.n, 2) / (b.n - 1)) AS welch_dof
+FROM a, b
+""",
+)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test (the A/B experimentation staple —
+    unequal variances, unequal sizes): is the mean event value of
+    'view' events different from 'purchase' events? Everything
+    derives from two (n, sum, sum-of-squares) exact-integer triples —
+    one partial+final agg over the filtered scan — and the t
+    statistic + Welch-Satterthwaite dof evaluate as one closed-form
+    double expression from identical integers with identical text on
+    both engines: bit-exact, no rounding, and layout-independent
+    (the same property agg_regr_trend and sample_poisson_bootstrap
+    build on). At 100 TB the experiment readout costs one aggregate
+    over the metric scan."""
+    ev = load(spark, sf_dir, "events")
+    c = cents("value")
+    g = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM({c}) AS BIGINT)").alias("s1"),
+            F.expr(f"CAST(SUM({c} * {c}) AS BIGINT)").alias("s2"),
+        )
+    )
+    m = g.select(
+        "event_type",
+        "n",
+        F.expr(_TT_MEAN).alias("mean"),
+        F.expr(_TT_VAR).alias("var"),
+    )
+    a = m.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_view"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = m.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n_purchase"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    se2 = "var_a / n_view + var_b / n_purchase"
+    return a.crossJoin(b).select(
+        "n_view",
+        "n_purchase",
+        F.expr("mean_a - mean_b").alias("mean_diff"),
+        F.expr(f"(mean_a - mean_b) / sqrt({se2})").alias("t_stat"),
+        F.expr(
+            f"pow({se2}, 2)"
+            " / (pow(var_a / n_view, 2) / (n_view - 1)"
+            "    + pow(var_b / n_purchase, 2) / (n_purchase - 1))"
+        ).alias("welch_dof"),
+    )

@@ -427,3 +427,60 @@ def smooth_series(
     return df.select(*cols).groupBy(*key_cols).applyInPandas(
         fold, f"{base}, {extra}"
     )
+
+
+@query(
+    "ts_cusum_drift",
+    oracle="""
+WITH mu AS (
+  SELECT (CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE) / 100)
+           / COUNT(*) AS m
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         list(value - (SELECT m FROM mu))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hist
+  FROM events
+)
+SELECT user_id, event_id,
+       list_reduce(list_prepend(0.0, hist),
+                   (acc, v) -> greatest(0.0, acc + v)) AS cusum
+FROM w
+""",
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per series (Page's cumulative
+    sum — the classical sequential change detector a monitoring
+    pipeline thresholds on): s_0 = 0, s_t = max(0, s_{t-1} + (x_t -
+    mu)) against the corpus-wide exact-cents mean mu. Same execution
+    contract as ts_ewma: one shuffle by key + Arrow O(n) fold with
+    one float of state; mu is a broadcast scalar from exact integers.
+    The oracle replays the identical fold via list_prepend(0.0) +
+    list_reduce(greatest(0.0, acc + v)) — seeding with the prepended
+    zero makes DuckDB's first-element-as-seed semantics apply the
+    clamp to every element, matching the recurrence exactly
+    (bit-exact; intentionally naive O(n^2) history materialization,
+    see PLANS.md on ts_ewma)."""
+    ev = load(spark, sf_dir, "events")
+    mu = ev.agg(
+        F.expr(
+            "(CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS DOUBLE)"
+            " / 100) / COUNT(*)"
+        ).alias("m")
+    ).collect()[0]["m"]
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out = []
+        acc = 0.0
+        for v in pdf["value"].to_numpy():
+            acc = max(0.0, acc + (v - mu))
+            out.append(acc)
+        return pdf.assign(cusum=out)[["user_id", "event_id", "cusum"]]
+
+    return (
+        ev.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, "user_id bigint, event_id bigint, cusum double")
+    )
