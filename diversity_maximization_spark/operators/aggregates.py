@@ -867,3 +867,123 @@ def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    + pow(var_b / n_purchase, 2) / (n_purchase - 1))"
         ).alias("welch_dof"),
     )
+
+
+_GINI = (
+    "(2.0 * CAST(swr AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sw AS DOUBLE)))"
+    " - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)"
+)
+
+
+@query(
+    "agg_gini",
+    oracle=f"""
+WITH ranked AS (
+  SELECT o_orderpriority,
+         CAST(ROUND((o_totalprice) * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY CAST(ROUND((o_totalprice) * 100) AS BIGINT),
+                                     o_orderkey) AS i
+  FROM orders
+), s AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS sw,
+         CAST(SUM(i * c) AS BIGINT) AS swr
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n, {_GINI} AS gini
+FROM s
+""",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per order priority —
+    the inequality/concentration metric (how top-heavy is spend?)
+    every marketplace dashboard carries. Closed form over the
+    ascending-rank weighted sum: G = 2*sum(i*x_i)/(n*sum(x)) -
+    (n+1)/n, with x in exact integer cents and ranks from a
+    deterministic (value, key) sort — both sums are exact BIGINTs,
+    so the one double expression at the end is bit-identical on any
+    engine or layout. One window (the rank) + one aggregate; at a
+    scale where the per-group window is hot, the distributed
+    row-number machinery of plans/global_rank.py substitutes
+    directly."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = F.expr(cents("o_totalprice"))
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.expr(cents("o_totalprice")), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderpriority",
+        c.alias("c"),
+        F.row_number().over(w).alias("i"),
+    )
+    s = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("sw"),
+        F.sum(F.col("i") * F.col("c")).cast("bigint").alias("swr"),
+    )
+    return s.select("o_orderpriority", "n", F.expr(_GINI).alias("gini"))
+
+
+_CHI_E = (
+    "CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(gt AS DOUBLE)"
+)
+
+
+@query(
+    "agg_chi2_cells",
+    oracle=f"""
+WITH cells AS (
+  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
+), rows_t AS (
+  SELECT source, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY source
+), cols_t AS (
+  SELECT lang, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY lang
+), grand AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS gt FROM cells
+)
+SELECT c.source, c.lang, c.o AS observed,
+       {_CHI_E} AS expected,
+       (CAST(c.o AS DOUBLE) - {_CHI_E}) * (CAST(c.o AS DOUBLE) - {_CHI_E})
+         / {_CHI_E} AS contribution
+FROM cells c
+JOIN rows_t USING (source) JOIN cols_t USING (lang), grand
+""",
+)
+def agg_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (is document language
+    independent of source?) reported PER CELL: observed count,
+    margin-product expected count, and the (o-e)^2/e contribution.
+    All inputs are exact integer counts, and each cell's doubles
+    derive from its own integers with identical expression text —
+    bit-exact. The per-cell form is deliberate: the chi2 TOTAL is a
+    float sum whose accumulation order differs across engines, so
+    the operator emits the order-free cells and leaves the tiny
+    final sum to the consumer (grid-sized, driver-cheap) — the same
+    reasoning that keeps exact-integer quotients unrounded
+    elsewhere. One shuffle for the cells; margins are cell-table
+    aggregates (grid-sized, broadcast back)."""
+    d = load(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    rows_t = cells.groupBy("source").agg(
+        F.sum("o").cast("bigint").alias("rt")
+    )
+    cols_t = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("ct"))
+    grand = cells.agg(F.sum("o").cast("bigint").alias("gt"))
+    j = (
+        cells.join(F.broadcast(rows_t), "source")
+        .join(F.broadcast(cols_t), "lang")
+        .crossJoin(F.broadcast(grand))
+    )
+    return j.select(
+        "source",
+        "lang",
+        F.col("o").alias("observed"),
+        F.expr(_CHI_E).alias("expected"),
+        F.expr(
+            f"(CAST(o AS DOUBLE) - {_CHI_E}) * (CAST(o AS DOUBLE) - {_CHI_E})"
+            f" / {_CHI_E}"
+        ).alias("contribution"),
+    )

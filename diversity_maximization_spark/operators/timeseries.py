@@ -484,3 +484,64 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .applyInPandas(fold, "user_id bigint, event_id bigint, cusum double")
     )
+
+
+@query(
+    "ts_forecast_eval",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), lagged AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER w AS naive_f,
+         lag(c, 24) OVER w AS snaive_f
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type,
+       CAST(COUNT(snaive_f) AS BIGINT) AS n_eval,
+       CAST(SUM(abs(c - naive_f)) FILTER (snaive_f IS NOT NULL) AS DOUBLE)
+         / 100 / COUNT(snaive_f) AS mae_naive,
+       CAST(SUM(abs(c - snaive_f)) FILTER (snaive_f IS NOT NULL) AS DOUBLE)
+         / 100 / COUNT(snaive_f) AS mae_seasonal_naive
+FROM lagged WHERE snaive_f IS NOT NULL
+GROUP BY event_type
+""",
+)
+def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast baseline evaluation per series — the sanity harness
+    any forecasting deployment needs BEFORE models: mean absolute
+    error of the naive (last observation) and seasonal-naive (24
+    observations back, the denominator of MASE) forecasts over the
+    hourly revenue series. Errors are |exact cents - exact cents|
+    integer sums, so both MAEs are single exact-integer quotients —
+    bit-identical across engines, no rounding. Both lags share one
+    window Exchange; evaluation is restricted to points where the
+    seasonal forecast exists so the two MAEs cover the same rows
+    (an honest MASE numerator/denominator pairing)."""
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND((value) * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    lagged = hourly.select(
+        "event_type",
+        "c",
+        F.lag("c", 1).over(w).alias("naive_f"),
+        F.lag("c", 24).over(w).alias("snaive_f"),
+    ).filter(F.col("snaive_f").isNotNull())
+    return lagged.groupBy("event_type").agg(
+        F.count("snaive_f").alias("n_eval"),
+        F.expr(
+            "CAST(SUM(abs(c - naive_f)) AS DOUBLE) / 100 / COUNT(snaive_f)"
+        ).alias("mae_naive"),
+        F.expr(
+            "CAST(SUM(abs(c - snaive_f)) AS DOUBLE) / 100 / COUNT(snaive_f)"
+        ).alias("mae_seasonal_naive"),
+    )
