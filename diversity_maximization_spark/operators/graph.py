@@ -211,3 +211,118 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+BFS_MAX_HOPS = 4
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p <> b.p
+), walk AS (
+  SELECT CAST((SELECT MIN(l_partkey) FROM lineitem) AS BIGINT) AS node,
+         CAST(0 AS BIGINT) AS d
+  UNION
+  SELECT e.v AS node, walk.d + 1 AS d
+  FROM walk JOIN edges e ON e.u = walk.node
+  WHERE walk.d < {BFS_MAX_HOPS}
+)
+SELECT d AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+  SELECT node, MIN(d) AS d FROM walk GROUP BY node
+) GROUP BY d
+""",
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reachability from a fixed source (the minimum
+    part key) over the co-purchase graph: how many parts sit at each
+    hop distance — the neighborhood-growth curve behind
+    recommendation radius and blast-radius questions. The engine
+    runs LEVEL-SYNCHRONOUS FRONTIER BFS: each round joins only the
+    current frontier against the edge list (one equi-join shuffle
+    per level, frontier-sized, never whole-graph), anti-joins the
+    visited set, and stops at {BFS_MAX_HOPS} hops or an empty
+    frontier — the textbook Pregel iteration as plain DataFrame
+    joins. The oracle walks the same levels with a recursive CTE
+    whose UNION dedup bounds the recursion (hop cap mirrors the
+    engine's)."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    other = li.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        li.join(other, "o")
+        .filter(F.col("p") != F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    src = li.agg(F.min("p")).collect()[0][0]
+    spark_ = edges.sparkSession
+    visited = spark_.createDataFrame(
+        [(int(src), 0)], "node bigint, d bigint"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("d", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy(F.col("d").alias("hops")).agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+KCORE_K = 12
+
+
+@query("graph_kcore")  # rows-only: iterative peeling fixpoint
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-core of the co-purchase graph (k=KCORE_K=12): iteratively
+    peel vertices of degree < k until a fixpoint — the standard dense-
+    subgraph/community seed and the cheapest 'influential node'
+    filter. Each round is two aggregate-shaped jobs (degree count +
+    filter) and two semi-joins trimming the edge list; the loop
+    converges in a handful of rounds (peeling cascades), with
+    localCheckpoint keeping lineage flat — the same iterative-join
+    discipline as connected components and pointer jumping. Output:
+    the surviving vertices with their within-core degree. Exactness
+    is pinned by tests/test_graph_profile_ts.py against a local
+    NetworkX-free python peeling replay."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    while True:
+        deg = (
+            edges.select(F.col("u").alias("x"))
+            .unionAll(edges.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= KCORE_K).select("x")
+        n_before = edges.count()
+        edges = (
+            edges.join(keep.withColumnRenamed("x", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        if edges.count() == n_before:
+            break
+    return (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )

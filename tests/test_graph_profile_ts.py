@@ -89,3 +89,36 @@ def test_profile_columns_vs_pandas(spark, sf_dir):
         assert prof[c]["n_distinct"] == int(o[c].dropna().nunique())
     assert prof["o_totalprice"]["min_num"] == float(o["o_totalprice"].min())
     assert prof["o_totalprice"]["max_num"] == float(o["o_totalprice"].max())
+
+
+def test_kcore_matches_local_peeling(spark, sf_dir):
+    from diversity_maximization_spark.operators.graph import (
+        KCORE_K,
+        _copurchase_edges,
+    )
+
+    got = {
+        r["node"]: r["core_degree"]
+        for r in registry.QUERIES["graph_kcore"](spark, sf_dir).collect()
+    }
+    edges = {
+        (r["u"], r["v"]) for r in _copurchase_edges(spark, sf_dir).collect()
+    }
+    # local peeling replay
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {x for x, d in deg.items() if d >= KCORE_K}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    want: dict[int, int] = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    assert got == want
+    # every member really has core degree >= k
+    assert all(d >= KCORE_K for d in got.values()) or not got
