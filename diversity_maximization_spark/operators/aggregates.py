@@ -987,3 +987,105 @@ def agg_chi2_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_CHI_E}"
         ).alias("contribution"),
     )
+
+
+_AB_U01 = (
+    "(((user_id % 2147483648) * 2654435761 % 4294967296) / 4294967296.0)"
+)
+
+
+@query(
+    "sample_ab_assignment",
+    oracle=f"""
+WITH arms AS (
+  SELECT DISTINCT user_id,
+         CASE WHEN {_AB_U01} < 0.5 THEN 'A' ELSE 'B' END AS arm
+  FROM events
+), c AS (
+  SELECT arm, COUNT(*) AS n FROM arms GROUP BY arm
+), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM c)
+SELECT arm, n,
+       CAST(t AS DOUBLE) / 2 AS expected,
+       (CAST(n AS DOUBLE) - CAST(t AS DOUBLE) / 2)
+         * (CAST(n AS DOUBLE) - CAST(t AS DOUBLE) / 2)
+         / (CAST(t AS DOUBLE) / 2) AS srm_chi2_term
+FROM c, tot
+""",
+)
+def sample_ab_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic experiment bucketing + sample-ratio-mismatch
+    audit: users hash into arms A/B with the engine's stateless
+    uniform hash (no RNG, stable across sessions, layouts, engines —
+    the property real experimentation systems require so a user
+    never flips arms), then each arm's count is checked against the
+    50/50 design with its chi-square SRM term (the standard broken-
+    randomization alarm; threshold ~3.84 for p<0.05 with the two
+    terms summed). All doubles derive from exact counts with
+    identical expression text — bit-exact. One distinct + two tiny
+    aggregates."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        "user_id",
+        F.when(F.expr(_AB_U01) < 0.5, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("arm"),
+    ).distinct()
+    c = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").cast("bigint").alias("t"))
+    half = "CAST(t AS DOUBLE) / 2"
+    return c.crossJoin(F.broadcast(tot)).select(
+        "arm",
+        "n",
+        F.expr(half).alias("expected"),
+        F.expr(
+            f"(CAST(n AS DOUBLE) - {half}) * (CAST(n AS DOUBLE) - {half})"
+            f" / ({half})"
+        ).alias("srm_chi2_term"),
+    )
+
+
+@query(
+    "agg_hhi",
+    oracle=f"""
+WITH per AS (
+  SELECT o_orderpriority, o_custkey,
+         CAST(SUM({cents('o_totalprice')}) AS BIGINT) AS c
+  FROM orders GROUP BY o_orderpriority, o_custkey
+), s AS (
+  SELECT o_orderpriority,
+         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS sq,
+         CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS tot,
+         COUNT(*) AS n_sellers
+  FROM per GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n_sellers, sq / (tot * tot) AS hhi
+FROM s
+""",
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per order priority:
+    HHI = sum over customers of (revenue share)^2, computed WITHOUT
+    ever materializing float shares — sum(c_i^2) / (sum c_i)^2 over
+    exact integer cents, accumulated as DECIMAL(38,0) / HUGEINT
+    (squared cents overflow int64 at scale — the agg_corr_cov
+    pattern), one double division at the end: order-independent and
+    bit-identical on both engines. Two aggregations: per-(group,
+    customer) revenue, then the power sums — the naive
+    share-then-square form would need a third pass AND an
+    order-dependent float sum."""
+    dec = "DECIMAL(38,0)"
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    per = o.groupBy("o_orderpriority", "o_custkey").agg(
+        F.expr(f"CAST(SUM({c}) AS BIGINT)").alias("c")
+    )
+    s = per.groupBy("o_orderpriority").agg(
+        F.expr(
+            f"CAST(SUM(CAST(c AS {dec}) * CAST(c AS {dec})) AS DOUBLE)"
+        ).alias("sq"),
+        F.expr(f"CAST(SUM(CAST(c AS {dec})) AS DOUBLE)").alias("tot"),
+        F.count(F.lit(1)).alias("n_sellers"),
+    )
+    return s.select(
+        "o_orderpriority", "n_sellers", F.expr("sq / (tot * tot)").alias("hhi")
+    )
