@@ -545,3 +545,60 @@ def ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(abs(c - snaive_f)) AS DOUBLE) / 100 / COUNT(snaive_f)"
         ).alias("mae_seasonal_naive"),
     )
+
+
+_SEAS_MEAN = "(CAST(s1 AS DOUBLE) / 100) / n"
+_SEAS_VAR = (
+    "((CAST(s2 AS DOUBLE) / 10000)"
+    " - ((CAST(s1 AS DOUBLE) / 100) * (CAST(s1 AS DOUBLE) / 100)) / n)"
+    " / (n - 1)"
+)
+
+
+@query(
+    "ts_seasonal_profile",
+    oracle=f"""
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS INTEGER) AS hod,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT event_type, hod, COUNT(*) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM b GROUP BY event_type, hod
+)
+SELECT event_type, hod, n,
+       {_SEAS_MEAN} AS seasonal_mean,
+       {_SEAS_VAR} AS var_within
+FROM g
+""",
+)
+def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal profile per series — the decomposition
+    table a seasonal-adjustment or anomaly pipeline subtracts before
+    thresholding residuals: per (event_type, hour-of-day) the count,
+    seasonal mean, and within-hour sample variance, all closed-form
+    doubles from exact integer moment triples (bit-exact per row;
+    any cross-hour statistic is left to the consumer so no
+    order-dependent float summation exists anywhere — the
+    agg_chi2_cells discipline). ONE partial+final aggregate over the
+    scan; 24 x |series| output rows regardless of data size."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.hour("ts").cast("int").alias("hod"),
+        F.expr("CAST(ROUND((value) * 100) AS BIGINT)").alias("c"),
+    )
+    g = b.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("bigint").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+    )
+    return g.select(
+        "event_type",
+        "hod",
+        "n",
+        F.expr(_SEAS_MEAN).alias("seasonal_mean"),
+        F.expr(_SEAS_VAR).alias("var_within"),
+    )
