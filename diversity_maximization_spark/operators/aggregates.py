@@ -1089,3 +1089,99 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority", "n_sellers", F.expr("sq / (tot * tot)").alias("hhi")
     )
+
+
+_MWU_FINAL = """
+SELECT n1 AS n_view, n2 AS n_purchase,
+       CAST(u2 AS DOUBLE) / 2 AS u_stat,
+       (CAST(u2 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * n2 / 2)
+         / sqrt(CAST(n1 AS DOUBLE) * n2 / 12
+                * ((n1 + n2 + 1)
+                   - CAST(tsum AS DOUBLE)
+                     / ((CAST(n1 AS DOUBLE) + n2)
+                        * (CAST(n1 AS DOUBLE) + n2 - 1)))) AS z_stat
+""".strip()
+
+
+@query(
+    "agg_mannwhitney_u",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT event_type AS grp, event_id,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+), numbered AS (
+  SELECT grp, c,
+         ROW_NUMBER() OVER (ORDER BY c, grp, event_id) AS rn
+  FROM rows_
+), vals AS (
+  SELECT c, MIN(rn) AS mn, MAX(rn) AS mx, COUNT(*) AS t,
+         CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cnt_a
+  FROM numbered GROUP BY c
+), s AS (
+  SELECT CAST(SUM(cnt_a * (mn + mx)) AS BIGINT) AS r1_2,
+         CAST(SUM(cnt_a) AS BIGINT) AS n1,
+         CAST(SUM(t - cnt_a) AS BIGINT) AS n2,
+         CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+  FROM vals
+), u AS (
+  SELECT n1, n2, tsum,
+         2 * n1 * n2 + n1 * (n1 + 1) - r1_2 AS u2
+  FROM s
+)
+{_MWU_FINAL}
+FROM u
+""",
+)
+def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) — the nonparametric A/B
+    test for when means mislead: compares 'view' vs 'purchase' value
+    distributions by ranks. EXACT arithmetic throughout: global
+    ranks come from the distributed row-number plan
+    (plans/global_rank.py — range buckets + per-bucket offsets, NO
+    single-partition window), tied ranks use the midrank identity
+    avg_rank = (min_rn + max_rn)/2 kept as the INTEGER doubled rank
+    sum r1_2 = sum(cnt_a * (mn + mx)), and the tie-corrected normal
+    approximation z evaluates once from five exact BIGINTs with
+    identical expression text on both engines — bit-exact, no
+    rounding. The oracle replays the same ranks with a plain global
+    window (intentionally naive single-task sort at scale; the
+    engine path is the distributed one)."""
+    from ..plans.global_rank import with_global_row_number
+
+    ev = load(spark, sf_dir, "events")
+    rows_ = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.expr(cents("value")).alias("c"),
+    )
+    numbered, _n = with_global_row_number(
+        rows_, ["c", "grp", "event_id"], out_col="rn"
+    )
+    vals = numbered.groupBy("c").agg(
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+        F.count(F.lit(1)).alias("t"),
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("cnt_a"),
+    )
+    s = vals.agg(
+        F.sum(F.col("cnt_a") * (F.col("mn") + F.col("mx")))
+        .cast("bigint")
+        .alias("r1_2"),
+        F.sum("cnt_a").cast("bigint").alias("n1"),
+        F.sum(F.col("t") - F.col("cnt_a")).cast("bigint").alias("n2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tsum"),
+    )
+    u = s.select(
+        "n1",
+        "n2",
+        "tsum",
+        F.expr("2 * n1 * n2 + n1 * (n1 + 1) - r1_2").alias("u2"),
+    )
+    u.createOrReplaceTempView("mwu_u")
+    return spark.sql(f"{_MWU_FINAL}\nFROM mwu_u")
