@@ -141,3 +141,75 @@ def collect_coreset(coreset_df: DataFrame):
     X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     w = np.array([r["weight"] for r in rows])
     return ids, labels, X, w
+
+
+def _weighted_partition_coreset(kprime: int):
+    """Level-2+ kernel: points already CARRY weights (they are a
+    lower level's coreset); the kernel keeps farthest-first geometry
+    and each kernel point absorbs the total weight of the points
+    assigned to it — the invariant that makes composition lossless
+    in mass at every level."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].map(np.asarray).to_numpy()).astype(
+            np.float64
+        )
+        chosen, _, _ = K.farthest_first(X, kprime, start=0)
+        assign = K.assign_to_centers(X, chosen)
+        w_in = pdf["weight"].to_numpy()
+        w_out = np.zeros(len(chosen), dtype=np.int64)
+        for i, a in enumerate(assign):
+            w_out[a] += w_in[i]
+        rows = []
+        for rank, idx in enumerate(chosen):
+            rows.append(
+                (
+                    int(pdf["part"].iloc[0]),
+                    int(pdf["vec_id"].iloc[idx]),
+                    int(pdf["label"].iloc[idx]),
+                    1,
+                    rank,
+                    0.0,
+                    int(w_out[rank]),
+                    list(map(float, X[idx])),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "part", "vec_id", "label", "is_kernel", "center_rank",
+                "dist_to_center", "weight", "embedding",
+            ],
+        )
+
+    return fn
+
+
+def tree_coreset(
+    df: DataFrame,
+    p1: int = 8,
+    p2: int = 2,
+    kprime: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """TWO-LEVEL composable-coreset tree (the composability theorem
+    exercised, not just asserted): level 1 builds p1 per-partition
+    coresets from the raw points; level 2 groups those coresets into
+    p2 groups and runs the WEIGHTED kernel over them, so the final
+    coreset is a coreset-of-coresets whose weights still sum to n.
+    This is the multi-round MapReduce shape a 100 TB input needs
+    when p1 coresets are themselves too many to union on one node:
+    tree fan-in bounds every task's input at max(n/p1, p1*k'/p2,
+    p2*k') rows — each level is one groupBy + one Arrow kernel."""
+    lvl1 = mr_coreset(df, p=p1, kprime=kprime, m=0, seed=seed)
+    regrouped = lvl1.filter(F.col("is_kernel") == 1).select(
+        F.pmod(F.col("part").cast("bigint"), F.lit(p2)).cast("int").alias("part"),
+        "vec_id",
+        "label",
+        "weight",
+        "embedding",
+    )
+    return regrouped.groupBy("part").applyInPandas(
+        _weighted_partition_coreset(kprime), CORESET_SCHEMA
+    )

@@ -355,3 +355,17 @@ def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "algorithm string, k int, edge_div double, clique_div double"
     )
+
+
+@query("div_coreset_tree")  # rows-only: invariants in test_diversity.py
+def div_coreset_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level composable-coreset tree (p1=8 -> p2=2, k'=16):
+    coresets of coresets with weight-conserving kernels — see
+    diversity/coreset.py:tree_coreset for the fan-in analysis."""
+    from .coreset import tree_coreset
+
+    emb = load(spark, sf_dir, "embeddings")
+    cs = tree_coreset(emb, p1=8, p2=2, kprime=16, seed=42)
+    return cs.select(
+        "part", "vec_id", "label", "center_rank", "weight",
+    )

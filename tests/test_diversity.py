@@ -356,3 +356,44 @@ def test_experiment_report_invariants(spark, sf_dir):
         rows["local_search"]["clique_div"]
         >= rows["random"]["clique_div"] - 1e-9
     )
+
+
+def test_tree_coreset_composition_invariants(spark, sf_dir):
+    """The coreset-of-coresets must conserve total weight exactly,
+    bound its size by p2*k', keep kernel points that exist in the
+    source, and stay deterministic across runs. Its GMM diversity
+    value must be in the same regime as the flat coreset's (tree
+    composition loses at most a constant factor)."""
+    import numpy as np
+
+    from diversity_maximization_spark.diversity import kernel as K
+    from diversity_maximization_spark.diversity.coreset import (
+        collect_coreset,
+        mr_coreset,
+        tree_coreset,
+    )
+    from diversity_maximization_spark.sources import load as load_t
+
+    emb = load_t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    tree = tree_coreset(emb, p1=8, p2=2, kprime=16, seed=42)
+    rows = tree.collect()
+    assert sum(r["weight"] for r in rows) == n  # mass conserved
+    assert len(rows) <= 2 * 16
+    src_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    assert all(r["vec_id"] in src_ids for r in rows)
+    again = tree_coreset(emb, p1=8, p2=2, kprime=16, seed=42).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    # diversity value sanity: tree-coreset GMM vs flat-coreset GMM
+    def gmm_edge(cs):
+        ids, _labels, X, _w = collect_coreset(cs)
+        k = min(8, len(X))
+        chosen, _, _ = K.farthest_first(X, k, start=0)
+        return K.eval_edge(K.pairwise_l2(X[chosen]))
+
+    flat_val = gmm_edge(mr_coreset(emb, p=4, kprime=16, m=0))
+    tree_val = gmm_edge(tree.withColumn(
+        "dist_to_center", tree["weight"] * 0.0
+    ).withColumn("is_kernel", tree["weight"] * 0 + 1))
+    assert tree_val >= 0.3 * flat_val
