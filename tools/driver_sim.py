@@ -101,12 +101,15 @@ def main() -> int:
             continue
         dt = time.time() - t0
         if key not in oracles:
-            if args.all and key not in list(queries)[:50]:
-                print(f"rows  {key}: {len(spdf)} rows ({dt:.1f}s)")
-                n_rows += 1
-            else:
+            # inside the driver's 50-key window a no-oracle key IS an
+            # error slot; outside it (--all sweep or explicitly named
+            # keys) a rows-only execution check is the contract
+            if key in list(queries)[:50]:
                 print(f"FAIL  {key}: no_oracle")
                 n_fail += 1
+            else:
+                print(f"rows  {key}: {len(spdf)} rows ({dt:.1f}s)")
+                n_rows += 1
             continue
         try:
             dpdf = pd.DataFrame(
