@@ -582,3 +582,86 @@ def stream_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "mean", "std", "n_anomalies")
     )
+
+
+@query(
+    "stream_cdc_apply",
+    oracle="""
+WITH ops AS (
+  SELECT user_id, ts, event_id, value,
+         (event_id % 97 = 0) AS is_delete,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, value AS last_value, event_id AS last_event_id
+FROM ops WHERE rn = 1 AND NOT is_delete
+""",
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply — a change stream of upserts and deletes
+    (every event_id % 97 == 0 is a tombstone) maintained as a keyed
+    table via foreachBatch MERGE onto parquet. The merge is
+    VERSION-BASED last-writer-wins on (ts, event_id), not
+    arrival-order-based: each micro-batch reduces to its per-key
+    argmax op, unions with the state table, and keeps the global
+    argmax — so the final table is provably independent of batch
+    boundaries and replay slicing (the same order-independence
+    discipline as stream_anomaly), which is exactly how production
+    CDC sinks survive reordered feeds (a version/sequence column,
+    not wall-clock arrival). Tombstones stay in the state as flagged
+    rows (so a late earlier-versioned upsert cannot resurrect a
+    deleted key) and are filtered at read time. Batch-equivalence
+    oracle: last op per key wins, deletes erase."""
+    import os
+    import shutil
+    import tempfile
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    state_dir = tempfile.mkdtemp(prefix="dms_cdc_state_")
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    def apply_batch(batch_df, batch_id):
+        from pyspark.sql import functions as BF
+        from pyspark.sql.window import Window as BW
+
+        ops = batch_df.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            (BF.col("event_id") % 97 == 0).alias("is_delete"),
+        )
+        sess = batch_df.sparkSession
+        if os.path.exists(state_dir):
+            ops = sess.read.parquet(state_dir).unionByName(ops)
+        w = BW.partitionBy("user_id").orderBy(
+            BF.col("ts").desc(), BF.col("event_id").desc()
+        )
+        merged = (
+            ops.withColumn("rn", BF.row_number().over(w))
+            .filter(BF.col("rn") == 1)
+            .drop("rn")
+        )
+        tmp = state_dir + f"_b{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    q = (
+        st.writeStream.foreachBatch(apply_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="dms_cdc_ckpt_")
+        )
+        .start()
+    )
+    q.awaitTermination()
+    final = spark.read.parquet(state_dir)
+    return final.filter(~F.col("is_delete")).select(
+        "user_id",
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_event_id"),
+    )
