@@ -378,3 +378,71 @@ def gopher_signals(
             & (top_share <= 0.2)
         ).alias("pass"),
     )
+
+@query(
+    "text_readability",
+    oracle="""
+WITH m AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           AS n_syllables
+  FROM documents
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+         AS flesch_ease
+FROM m
+WHERE n_words > 0
+""",
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability
+    quality signal for corpus curation, with the standard
+    vowel-group syllable approximation (a maximal [aeiouy]+ run is
+    one syllable): words, sentence terminators (clamped >= 1), and
+    syllable groups all come from simple character-class regexes
+    that RE2 (DuckDB) and Java regex (Spark) treat identically.
+    The score is per-row IEEE arithmetic on exact integer counts —
+    same expression tree both engines, left unrounded. One narrow
+    projection, no shuffle: at 100 TB this is a pure map over the
+    corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    n_words = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sent.alias("n_sentences"),
+            n_syl.alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+        .select(
+            "doc_id",
+            "n_words",
+            "n_sentences",
+            "n_syllables",
+            (
+                F.lit(206.835)
+                - 1.015
+                * (
+                    F.col("n_words").cast("double")
+                    / F.col("n_sentences")
+                )
+                - 84.6
+                * (
+                    F.col("n_syllables").cast("double")
+                    / F.col("n_words")
+                )
+            ).alias("flesch_ease"),
+        )
+    )

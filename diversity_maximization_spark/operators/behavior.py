@@ -610,3 +610,163 @@ def seq_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts2").alias("view_ts"),
         )
     )
+
+@query(
+    "attribution_last_touch",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT COALESCE(channel, '(direct)') AS channel,
+       COUNT(*) AS n_purchases,
+       CAST(CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+            / 100 AS DOUBLE) AS revenue
+FROM touched
+WHERE event_type = 'purchase'
+GROUP BY 1
+""",
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the most recent PRIOR non-purchase event of the same user (the
+    carried channel), '(direct)' when the purchase is the user's
+    first event. One window per user (ignore-nulls last over the
+    strictly-preceding frame), then a tiny per-channel rollup —
+    a single Exchange on user_id regardless of scale, the same shape
+    ad-attribution pipelines run over trillions of touches. Revenue
+    goes through exact integer cents (associative, order-free)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        .withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            (
+                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).cast(
+                    "double"
+                )
+                / 100
+            ).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "anomaly_mad_robust",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), med AS (
+  SELECT event_type, median(n) AS med FROM daily GROUP BY 1
+), mad AS (
+  SELECT d.event_type, med,
+         median(abs(n - med)) AS mad
+  FROM daily d JOIN med USING (event_type)
+  GROUP BY d.event_type, med
+)
+SELECT d.event_type, day, n, med, mad,
+       0.6745 * (n - med) / nullif(mad, 0) AS robust_z,
+       COALESCE(abs(0.6745 * (n - med) / nullif(mad, 0)) > 3.5,
+                FALSE) AS is_anomaly
+FROM daily d JOIN mad ON d.event_type = mad.event_type
+""",
+)
+def anomaly_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) daily-count anomaly detection per event
+    type — the outlier-resistant companion to anomaly_daily_zscore:
+    a burst day cannot drag its own threshold the way it drags a
+    mean/stddev. med and MAD are EXACT interpolated medians
+    (percentile 0.5: the midpoint of two integers, then of two such
+    midpoints — identical IEEE arithmetic in both engines), the
+    robust z is the standard 0.6745 scaling, pinned NULL when MAD=0
+    (constant series). Shape: one daily rollup, two tiny per-type
+    aggs, one broadcast-back join — the per-series state is O(types),
+    never O(days)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    mad = (
+        daily.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(n - med), 0.5)").alias("mad"))
+    )
+    z = 0.6745 * (F.col("n") - F.col("med")) / F.nullif(
+        F.col("mad"), F.lit(0.0)
+    )
+    return (
+        daily.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            "mad",
+            z.alias("robust_z"),
+            F.coalesce(F.abs(z) > 3.5, F.lit(False)).alias("is_anomaly"),
+        )
+    )
+
+
+@query(
+    "ts_wow_change",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+)
+SELECT c.day,
+       CAST(c.cents AS DOUBLE) / 100 AS revenue,
+       CAST(p.cents AS DOUBLE) / 100 AS revenue_prev_week,
+       (c.cents - p.cents) AS delta_cents,
+       CAST(c.cents - p.cents AS DOUBLE) / p.cents AS wow_change
+FROM daily c JOIN daily p ON p.day = c.day - INTERVAL 7 DAY
+""",
+)
+def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue change, CALENDAR-aligned: each day is
+    compared to the day exactly 7 days earlier by an equi-join on
+    the shifted date — not LAG(7), which silently mis-aligns the
+    moment a day is missing from the series. Cents are exact
+    integers, so delta and ratio are deterministic; the self-join is
+    on the tiny daily rollup (O(days) rows), not the fact table."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents")
+    )
+    prev = daily.select(
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("cents").alias("p_cents"),
+    )
+    return daily.join(prev, "day").select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        (F.col("p_cents").cast("double") / 100).alias("revenue_prev_week"),
+        (F.col("cents") - F.col("p_cents")).alias("delta_cents"),
+        (
+            (F.col("cents") - F.col("p_cents")).cast("double")
+            / F.col("p_cents")
+        ).alias("wow_change"),
+    )

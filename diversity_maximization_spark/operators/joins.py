@@ -818,3 +818,91 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.col("lv_id")).alias("view_id"),
         )
     )
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+WITH s AS (
+  SELECT event_id AS sid, ts AS st, ts + INTERVAL 30 MINUTE AS se
+  FROM events WHERE event_type = 'signup'
+), e AS (
+  SELECT event_id AS eid, ts AS et, ts + INTERVAL 30 MINUTE AS ee
+  FROM events WHERE event_type = 'error'
+)
+SELECT CAST(date_trunc('day', st) AS TIMESTAMP) AS day,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(date_diff('microsecond', GREATEST(st, et),
+                          LEAST(se, ee))) AS BIGINT) AS overlap_us
+FROM s JOIN e ON st < ee AND et < se
+GROUP BY 1
+""",
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join — signup sessions vs error
+    windows (both 30-minute intervals), reporting overlapping-pair
+    counts and total overlap per day. The oracle is the naive theta
+    join (O(n*m), a scale-killer); the implementation is the binned
+    form: each interval lands in every hour bucket it touches (<= 2
+    for 30-min intervals), candidates meet on an EQUI key, and each
+    overlapping pair is counted exactly once by crediting it to the
+    bucket its overlap STARTS in — the standard dedup trick that
+    avoids a global distinct on pair ids. Per-bucket work is bounded
+    by interval density per hour, so tasks stay even at any scale;
+    hash-match against the theta oracle proves the decomposition
+    exact."""
+    ev = load(spark, sf_dir, "events")
+    span = F.expr("ts + INTERVAL 30 MINUTES")
+    hour = 3600 * 1000 * 1000  # microseconds per bucket
+
+    def side(etype: str, prefix: str) -> DataFrame:
+        # ts is TIMESTAMP_NTZ: exact integer microseconds via a
+        # timestampdiff from a fixed NTZ anchor (no tz arithmetic)
+        us = F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+        )
+        return ev.filter(F.col("event_type") == etype).select(
+            F.col("event_id").alias(f"{prefix}id"),
+            F.col("ts").alias(f"{prefix}t"),
+            span.alias(f"{prefix}e"),
+            us.alias(f"{prefix}t_us"),
+            (us + 30 * 60 * 1000 * 1000).alias(f"{prefix}e_us"),
+        )
+
+    s = side("signup", "s").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("st_us") / hour).cast("long"),
+                (F.col("se_us") / hour).cast("long"),
+            )
+        ),
+    )
+    e = side("error", "e").withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                (F.col("et_us") / hour).cast("long"),
+                (F.col("ee_us") / hour).cast("long"),
+            )
+        ),
+    )
+    overlap_start = F.greatest("st_us", "et_us")
+    pairs = (
+        s.join(e, "bucket")
+        .filter(
+            (F.col("st") < F.col("ee"))
+            & (F.col("et") < F.col("se"))
+            # credit the pair to the bucket where its overlap starts,
+            # so no pair is double-counted across shared buckets
+            & ((overlap_start / hour).cast("long") == F.col("bucket"))
+        )
+    )
+    return pairs.groupBy(
+        F.date_trunc("day", "st").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            F.least("se_us", "ee_us") - F.greatest("st_us", "et_us")
+        ).alias("overlap_us"),
+    )

@@ -312,3 +312,48 @@ def profile_table(
         for c, _ in cols
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+@query(
+    "privacy_k_anon",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         COUNT(*) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, bal_band, class_size,
+       class_size >= 5 AS meets_k,
+       CAST(MIN(class_size) OVER () AS BIGINT) AS k_anonymity
+FROM classes
+""",
+)
+def privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the check a
+    training-data pipeline runs before releasing user-derived
+    features: group customers by the QI tuple (nation, market
+    segment, account-balance band), report every equivalence class
+    with its size, whether it meets k=5, and the dataset-wide
+    k-anonymity level (the smallest class). One shuffled agg on the
+    QI tuple; the global MIN window runs over the tiny class table
+    (O(classes) rows, single partition is fine and the oracle shape),
+    not the fact table."""
+    cust = load(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    from pyspark.sql.window import Window as W
+
+    return classes.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "bal_band",
+        "class_size",
+        (F.col("class_size") >= 5).alias("meets_k"),
+        F.min("class_size")
+        .over(W.partitionBy(F.lit(1)))
+        .alias("k_anonymity"),
+    )

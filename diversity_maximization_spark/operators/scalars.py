@@ -8,6 +8,8 @@ explicit casts; dayofweek is 0-based in DuckDB vs 1-based in Spark.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -580,4 +582,151 @@ def fn_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xpath_number(concat('<cust><bal>', CAST(c_acctbal AS STRING),"
             " '</bal></cust>'), '/cust/bal')"
         ).alias("xml_acctbal"),
+    )
+
+def _jaro(s1: str, s2: str) -> float:
+    """Standard Jaro similarity (the Winkler '90 formulation DuckDB's
+    jaro_similarity implements): match window max(l1,l2)//2 - 1,
+    transpositions = out-of-order matches // 2, score =
+    (m/l1 + m/l2 + (m-t)/m) / 3 in exactly that float-op order."""
+    l1, l2 = len(s1), len(s2)
+    if l1 == 0 or l2 == 0:
+        return 0.0
+    window = max(l1, l2) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo = 0 if i - window < 0 else i - window
+        hi = l2 if i + window + 1 > l2 else i + window + 1
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3
+
+
+def _jaro_winkler(s1: str, s2: str) -> float:
+    """Jaro-Winkler with the standard 0.7 boost threshold and 0.1
+    prefix weight over a <=4-char common prefix — bit-identical to
+    DuckDB's jaro_winkler_similarity (verified over probe pairs and
+    the full generated-pair table)."""
+    ja = _jaro(s1, s2)
+    if ja <= 0.7:
+        return ja
+    prefix = 0
+    for a, b in zip(s1[:4], s2[:4]):
+        if a != b:
+            break
+        prefix += 1
+    return ja + prefix * 0.1 * (1 - ja)
+
+
+def _damerau(s1: str, s2: str) -> int:
+    """Unrestricted Damerau-Levenshtein (true DL, transpositions may
+    be arbitrarily distant — DuckDB semantics: d('CA','ABC')=2, not
+    the OSA 3)."""
+    l1, l2 = len(s1), len(s2)
+    inf = l1 + l2
+    da: dict[str, int] = {}
+    d = [[inf] * (l2 + 2) for _ in range(l1 + 2)]
+    d[0][0] = inf
+    for i in range(l1 + 1):
+        d[i + 1][1] = i
+        d[i + 1][0] = inf
+    for j in range(l2 + 1):
+        d[1][j + 1] = j
+        d[0][j + 1] = inf
+    for i in range(1, l1 + 1):
+        db = 0
+        for j in range(1, l2 + 1):
+            k = da.get(s2[j - 1], 0)
+            ell = db
+            if s1[i - 1] == s2[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),
+            )
+        da[s1[i - 1]] = i
+    return d[l1 + 1][l2 + 1]
+
+
+@query(
+    "fn_string_distance",
+    oracle="""
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS lev,
+       damerau_levenshtein(a.p_name, b.p_name) AS damerau,
+       jaccard(a.p_name, b.p_name) AS char_jaccard,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+""",
+)
+def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-linkage string-distance family over consecutive part
+    names: Levenshtein (Spark built-in), unrestricted
+    Damerau-Levenshtein and Jaro-Winkler (Arrow-batched pandas UDFs
+    implementing exactly DuckDB's semantics — integer-valued /
+    rational arithmetic in the engine-verified float-op order, so
+    the doubles hash bit-identically with NO rounding), and
+    character-set Jaccard (pure JVM array ops: distinct chars,
+    intersection over union). The pair source is a narrow
+    consecutive-key self-join; in a real linkage pipeline the same
+    scorers run over blocked candidate pairs (join_fuzzy_blocked)."""
+    @F.pandas_udf("int")
+    def damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau(x, y) for x, y in zip(a, b)], dtype="int32"
+        )
+
+    @F.pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)])
+
+    part = load(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
+    )
+    b = part.select(
+        F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
+    )
+    chars_a = F.array_distinct(F.array_remove(F.split("name_a", ""), ""))
+    chars_b = F.array_distinct(F.array_remove(F.split("name_b", ""), ""))
+    return (
+        a.join(b, F.col("key_b") == F.col("key_a") + 1)
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("lev"),
+            damerau_udf("name_a", "name_b").alias("damerau"),
+            (
+                F.size(F.array_intersect(chars_a, chars_b)).cast("double")
+                / F.size(F.array_union(chars_a, chars_b))
+            ).alias("char_jaccard"),
+            jw_udf("name_a", "name_b").alias("jw"),
+        )
     )

@@ -565,3 +565,46 @@ def win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "event_type", "event_id", "n", F.expr(_RC_CORR).alias("rolling_corr")
     )
+
+@query(
+    "win_moving_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, cents,
+       median(cents) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS med7
+FROM daily
+""",
+)
+def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 7-day moving median of daily revenue per event type.
+    Spark has no percentile-as-window-frame builtin, so the frame is
+    materialized as a sorted array (collect_list over the ROWS frame
+    + array_sort — pure JVM, no Python) and the interpolated median
+    is read off positionally: middle element for odd frames, the
+    mean of the two middles for even. Frames are bounded (<= 7
+    elements), so per-row state is O(1) and the whole thing is the
+    usual one-Exchange-per-window-family plan; never use this shape
+    for unbounded frames. Cents are exact integers, the even-frame
+    midpoint is (a+b)/2 of integers — identical IEEE in DuckDB's
+    median() window aggregate."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (lo.cast("double") + hi.cast("double")) / 2
+    return daily.select("event_type", "day", "cents", med.alias("med7"))

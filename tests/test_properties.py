@@ -257,3 +257,75 @@ def test_interval_concurrency_decomposition(starts):
         carry += run_d
 
     assert peak_two == peak_naive
+
+
+@given(
+    st.lists(
+        st.tuples(st.text("ab kitten", max_size=12),
+                  st.text("abs ittng", max_size=12)),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_string_distances_match_duckdb(pairs):
+    """_damerau and _jaro_winkler (the pandas-UDF kernels behind
+    fn_string_distance) are bit-identical to DuckDB's
+    damerau_levenshtein / jaro_winkler_similarity on arbitrary
+    strings — the same property the oracle gate checks on the part
+    table, here over adversarial random inputs."""
+    import duckdb
+
+    from diversity_maximization_spark.operators.scalars import (
+        _damerau,
+        _jaro_winkler,
+    )
+
+    con = duckdb.connect()
+    for a, b in pairs:
+        dl, jw = con.execute(
+            "SELECT damerau_levenshtein(?, ?),"
+            " jaro_winkler_similarity(?, ?)",
+            [a, b, a, b],
+        ).fetchone()
+        assert _damerau(a, b) == dl, (a, b)
+        assert _jaro_winkler(a, b) == jw, (a, b)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 120)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 120)),
+        min_size=1,
+        max_size=60,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_interval_overlap_bucket_dedup(left, right):
+    """The join_interval_overlap decomposition invariant, as pure
+    arithmetic: expanding each interval to every bucket it touches
+    and crediting a pair to the bucket where its overlap STARTS
+    yields each overlapping pair exactly once — for ANY interval
+    sets and bucket width."""
+    width = 64
+    naive = {
+        (i, j)
+        for i, (s1, d1) in enumerate(left)
+        for j, (s2, d2) in enumerate(right)
+        if s1 < s2 + d2 and s2 < s1 + d1
+    }
+    got = set()
+    for i, (s1, d1) in enumerate(left):
+        for b1 in range(s1 // width, (s1 + d1) // width + 1):
+            for j, (s2, d2) in enumerate(right):
+                for b2 in range(s2 // width, (s2 + d2) // width + 1):
+                    if b1 != b2:
+                        continue
+                    if not (s1 < s2 + d2 and s2 < s1 + d1):
+                        continue
+                    if max(s1, s2) // width == b1:
+                        got.add((i, j))
+    assert got == naive
