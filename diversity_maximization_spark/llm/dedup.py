@@ -99,6 +99,42 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load(spark, sf_dir, "documents"))
 
 
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """Band-bucket LSH candidate pairs from a minhash signature table:
+    each signature is folded into N_BANDS bucket keys, docs sharing a
+    (band, bucket) key are paired by an EQUI self-join, pairs
+    deduped. This is the pre-verification candidate set the banding
+    scheme commits to — dedup_minhash_eval measures its recall and
+    precision against exact-Jaccard ground truth."""
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            ).alias("bucket"),
+        )
+        for b in range(N_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
 def minhash_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.35,
@@ -117,33 +153,7 @@ def minhash_near_dup_pairs(
     sh = shingles_df(d).cache()
     sig = minhash_signatures(sh)
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                *[f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-            ).alias("bucket"),
-        )
-        for b in range(N_BANDS)
-    ]
-    banded = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    cand = lsh_candidate_pairs(sig)
 
     # exact Jaccard verification via the sparse shingle join
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -770,4 +780,89 @@ def passage_dup_stats(
         )
         .otherwise(F.lit(0.0))
         .alias("dup_frac"),
+    )
+
+@query("dedup_minhash_eval")  # rows-only: hash family is engine-specific
+def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-quality report for the MinHash-LSH banding scheme —
+    the measurement every dedup pipeline owes its operators before
+    trusting a hash family at 100 TB. Ground truth is the COMPLETE
+    exact-Jaccard pair set >= threshold from the sparse shingle
+    inverted-index join (complete because any pair with j > 0 shares
+    a shingle); candidates are the raw band-bucket pairs BEFORE
+    verification. Reports, per the banding theory curve
+    P(candidate) = 1 - (1 - j^r)^b: truth/candidate counts, true
+    positives, misses, recall against truth, and the share of
+    candidates that verify (the wasted-verification cost). Exact
+    integer counts; ratios are exact-int quotients. One row out."""
+    thresh = 0.35
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    cand = lsh_candidate_pairs(minhash_signatures(sh))
+
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    truth = (
+        sa.join(sb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}),
+            "doc_b",
+        )
+        .filter(
+            F.col("n_common")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+            >= thresh
+        )
+        .select("doc_a", "doc_b")
+    )
+    joined = truth.withColumn("is_truth", F.lit(1)).join(
+        cand.withColumn("is_cand", F.lit(1)), ["doc_a", "doc_b"], "full_outer"
+    )
+    return joined.agg(
+        F.lit(thresh).alias("threshold"),
+        F.sum("is_truth").alias("n_truth"),
+        F.sum("is_cand").alias("n_candidates"),
+        F.sum(
+            F.when(
+                F.col("is_truth").isNotNull() & F.col("is_cand").isNotNull(),
+                1,
+            )
+        ).alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_truth").isNotNull() & F.col("is_cand").isNull(),
+                    1,
+                )
+            ),
+            F.lit(0),
+        ).alias("misses"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_truth").isNotNull()
+                    & F.col("is_cand").isNotNull(),
+                    1,
+                )
+            ).cast("double")
+            / F.sum("is_truth")
+        ).alias("recall"),
+        (
+            F.sum(
+                F.when(
+                    F.col("is_truth").isNotNull()
+                    & F.col("is_cand").isNotNull(),
+                    1,
+                )
+            ).cast("double")
+            / F.sum("is_cand")
+        ).alias("verify_yield"),
     )

@@ -224,3 +224,92 @@ def embed_centroids_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", F.col("pos").cast("int").alias("pos"),
                 "sum_micro", "n", "mean_x")
     )
+
+# ---------------------------------------------------------------- PQ
+
+PQ_M = 8          # subspaces (64-dim -> 8 x 8)
+PQ_K = 16         # centroids per subspace (4-bit codes)
+PQ_ITERS = 10     # fixed Lloyd iterations (deterministic)
+PQ_SAMPLE = 2048  # training sample cap (first N by vec_id)
+
+
+def pq_train_codebooks(spark: SparkSession, e: DataFrame):
+    """Train product-quantization codebooks on the driver from a
+    DETERMINISTIC sample (first PQ_SAMPLE vectors by vec_id): per
+    subspace, PQ_ITERS Lloyd iterations seeded from the first PQ_K
+    sample rows. The codebook is O(M*K*dim/M) floats — tiny — while
+    the training sample is bounded, so this is the standard
+    train-small / encode-everywhere split ANN systems use at scale.
+    Returns a numpy array (M, K, dsub)."""
+    import numpy as np
+
+    sample = (
+        e.orderBy("vec_id").limit(PQ_SAMPLE).select("embedding").collect()
+    )
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    dim = X.shape[1]
+    dsub = dim // PQ_M
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = X[:, m * dsub : (m + 1) * dsub]
+        cent = sub[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(PQ_K):
+                mask = assign == k
+                if mask.any():
+                    cent[k] = sub[mask].mean(axis=0)
+        books[m] = cent
+    return books
+
+
+@query("embed_pq")  # rows-only: codebook is trainer-specific
+def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column — the third
+    compression tier next to embed_quantize (scalar int8) and
+    sim_search_ivf (coarse cells): 8 subspaces x 16 centroids = 8
+    4-bit codes per 64-dim vector (64x smaller than float64). The
+    tiny trained codebook is broadcast; encoding is an Arrow-batched
+    narrow map next to the data (argmin over 16 centroids per
+    subspace — vectorized numpy, no shuffle, no driver round-trips
+    beyond the bounded training sample). Emits each vector's code
+    word and exact reconstruction error; the corpus-level MSE is the
+    quality metric ANN deployments track. Deterministic: fixed
+    sample, fixed iterations, ties to the lowest centroid index.
+    Pinned against a pure-numpy replay in tests."""
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    books = pq_train_codebooks(spark, e)
+    bks = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        B = bks.value
+        m_, k_, dsub = B.shape
+        for pdf in batches:
+            X = np.array(list(pdf["embedding"]), dtype=np.float64)
+            codes = np.empty((len(X), m_), dtype=np.int64)
+            err = np.zeros(len(X))
+            for m in range(m_):
+                sub = X[:, m * dsub : (m + 1) * dsub]
+                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                a = d2.argmin(axis=1)
+                codes[:, m] = a
+                err += d2[np.arange(len(X)), a]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "codes": [
+                        ",".join(str(c) for c in row) for row in codes
+                    ],
+                    "recon_err": np.round(np.sqrt(err), 6),
+                }
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        encode, "vec_id bigint, codes string, recon_err double"
+    )

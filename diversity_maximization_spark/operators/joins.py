@@ -906,3 +906,109 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("se_us", "ee_us") - F.greatest("st_us", "et_us")
         ).alias("overlap_us"),
     )
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, ts, MAX(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.event_id AS purchase_id, p.user_id, l.view_ts, l.view_id,
+       l.gap_us
+FROM p LEFT JOIN LATERAL (
+  SELECT v.ts AS view_ts, v.view_id,
+         abs(epoch_us(v.ts) - epoch_us(p.ts)) AS gap_us
+  FROM v
+  WHERE v.user_id = p.user_id
+    AND abs(epoch_us(v.ts) - epoch_us(p.ts)) <= 7200000000
+  ORDER BY abs(epoch_us(v.ts) - epoch_us(p.ts)), v.ts
+  LIMIT 1
+) l ON TRUE
+""",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join (asof direction='nearest', the sensor /
+    clickstream alignment variant): each purchase matches the view
+    closest in time EITHER side, within a 2-hour tolerance;
+    equidistant ties go to the earlier view. The oracle is the
+    per-row LATERAL scan (O(n*m) work); the implementation runs the
+    union-window rewrite TWICE over ONE shuffle on user_id — a
+    carried last-before and a first-after per purchase — then picks
+    the smaller gap. Views are pre-deduped to max event_id per
+    (user, ts) in both engines so the winner is unique. Linear at
+    any scale, same plan family as join_asof."""
+    tol_us = 7_200_000_000
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_id"))
+    )
+    tagged = v.select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        "view_id",
+        F.lit(None).cast("long").alias("purchase_id"),
+    ).unionAll(
+        p.select(
+            "user_id",
+            "ts",
+            F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("view_id"),
+            "purchase_id",
+        )
+    )
+    order = ["ts", "tag", "view_id"]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("view_id").isNotNull(), F.col("ts"))
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00', ts)"
+    )
+    view_us = F.when(F.col("view_id").isNotNull(), us)
+    enriched = (
+        tagged.withColumn(
+            "b_id", F.last("view_id", ignorenulls=True).over(wb)
+        )
+        .withColumn("b_ts", F.last(view_ts, ignorenulls=True).over(wb))
+        .withColumn("b_us", F.last(view_us, ignorenulls=True).over(wb))
+        .withColumn(
+            "f_id", F.first("view_id", ignorenulls=True).over(wf)
+        )
+        .withColumn("f_ts", F.first(view_ts, ignorenulls=True).over(wf))
+        .withColumn("f_us", F.first(view_us, ignorenulls=True).over(wf))
+        .filter(F.col("tag") == 1)
+    )
+    b_gap = F.abs(F.col("b_us") - us)
+    f_gap = F.abs(F.col("f_us") - us)
+    b_ok = F.col("b_id").isNotNull() & (b_gap <= tol_us)
+    f_ok = F.col("f_id").isNotNull() & (f_gap <= tol_us)
+    # nearest of the two candidates; equidistant -> the earlier (backward)
+    take_b = b_ok & (~f_ok | (b_gap <= f_gap))
+    take_f = f_ok & ~take_b
+    return enriched.select(
+        "purchase_id",
+        "user_id",
+        F.when(take_b, F.col("b_ts"))
+        .when(take_f, F.col("f_ts"))
+        .alias("view_ts"),
+        F.when(take_b, F.col("b_id"))
+        .when(take_f, F.col("f_id"))
+        .alias("view_id"),
+        F.when(take_b, b_gap).when(take_f, f_gap).alias("gap_us"),
+    )

@@ -648,3 +648,44 @@ def test_semdedup_matches_local_replay(spark, sf_dir):
             assert got[ids[i]] == (c, keep), ids[i]
             if keep:
                 kept.append(i)
+
+
+def test_embed_pq_matches_numpy_replay(spark, sf_dir):
+    """embed_pq's distributed encode must equal a pure-numpy replay of
+    the same deterministic pipeline (sample -> Lloyd -> argmin codes),
+    code-for-code and error-for-error."""
+    from diversity_maximization_spark.llm.queries import (
+        PQ_M,
+        pq_train_codebooks,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    got = {
+        r["vec_id"]: (r["codes"], r["recon_err"])
+        for r in QUERIES["embed_pq"](spark, sf_dir).collect()
+    }
+    books = pq_train_codebooks(spark, e)
+    rows = e.select("vec_id", "embedding").collect()
+    dsub = books.shape[2]
+    for r in rows:
+        x = np.array(r["embedding"], dtype=np.float64)
+        codes, err = [], 0.0
+        for m in range(PQ_M):
+            sub = x[m * dsub : (m + 1) * dsub]
+            d2 = ((books[m] - sub) ** 2).sum(axis=1)
+            a = int(d2.argmin())
+            codes.append(a)
+            err += float(d2[a])
+        want = (",".join(map(str, codes)), float(np.round(np.sqrt(err), 6)))
+        assert got[r["vec_id"]] == want
+
+
+def test_minhash_eval_metrics_consistent(spark, sf_dir):
+    """The eval report's identities must hold (tp + misses = truth,
+    recall = tp/truth) and every EXACT duplicate pair — identical
+    signatures, so guaranteed candidates — must be covered: on the
+    fixture corpus where all truth pairs are exact dups, recall = 1."""
+    row = QUERIES["dedup_minhash_eval"](spark, sf_dir).collect()[0]
+    assert row["tp"] + row["misses"] == row["n_truth"]
+    assert row["recall"] == row["tp"] / row["n_truth"]
+    assert 0.0 < row["verify_yield"] <= 1.0
