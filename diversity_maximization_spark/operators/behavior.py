@@ -770,3 +770,202 @@ def ts_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("p_cents")
         ).alias("wow_change"),
     )
+
+@query(
+    "funnel_multi_step",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM v) AS n_view,
+       (SELECT COUNT(*) FROM c) AS n_view_click,
+       (SELECT COUNT(*) FROM p) AS n_view_click_purchase,
+       CAST((SELECT COUNT(*) FROM c) AS DOUBLE)
+         / (SELECT COUNT(*) FROM v) AS conv_step2,
+       CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+         / nullif((SELECT COUNT(*) FROM c), 0) AS conv_step3
+""",
+)
+def funnel_multi_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered three-step funnel (view -> click -> purchase): a user
+    advances a stage only with an event STRICTLY AFTER their previous
+    stage's first event — the sequencing every funnel tool promises
+    and a bare COUNT(DISTINCT) funnel silently fakes. Three
+    first-touch aggregates chained by user_id equi-joins, all on the
+    same shuffle key lineage, then single-row stage counts with
+    exact-integer conversion ratios."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            p.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+    return counts.select(
+        "n_view",
+        "n_view_click",
+        "n_view_click_purchase",
+        (
+            F.col("n_view_click").cast("double") / F.col("n_view")
+        ).alias("conv_step2"),
+        (
+            F.col("n_view_click_purchase").cast("double")
+            / F.nullif(F.col("n_view_click"), F.lit(0))
+        ).alias("conv_step3"),
+    )
+
+@query(
+    "survival_km",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT s.user_id,
+         CASE WHEN p.tp IS NOT NULL
+              THEN CAST(floor((epoch_us(p.tp) - epoch_us(s.t0))
+                              / 86400000000) AS BIGINT)
+              ELSE CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                               - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+         END AS dur,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+), risk AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM durs GROUP BY dur
+), tbl AS (
+  SELECT dur, n_events, n_censored,
+         CAST(SUM(n_total) OVER (ORDER BY dur
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_at_risk
+  FROM risk
+), curve AS (
+  SELECT dur, n_events, n_censored, n_at_risk,
+         list(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS fs
+  FROM tbl
+)
+SELECT dur AS day, n_at_risk, n_events, n_censored,
+       CAST(n_events AS DOUBLE) / n_at_risk AS hazard,
+       list_reduce(fs, (a, x) -> a * x) AS survival
+FROM curve WHERE n_events > 0
+""",
+)
+def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for signup -> first purchase with
+    RIGHT-CENSORING (users who never purchase are censored at the
+    2024-01-31 study end) — the estimator behind every retention /
+    time-to-convert curve that doesn't throw away non-converters.
+    Per event day: at-risk count (reverse cumulative total), deaths,
+    censorings, hazard d/n, and S(t) = prod(1 - d_j/n_j). The curve
+    arithmetic runs on the O(distinct days) risk table, so the
+    global windows are oracle-shape-tiny; the per-user reduction is
+    two first-touch aggs + one equi-join on user_id. The cumulative
+    product is a SEQUENTIAL left fold over the per-day factor list
+    in BOTH engines (list fold, not a product aggregate), so the
+    doubles hash bit-identically — multiplying the skipped zero-event
+    days' exact 1.0 factors is a no-op by IEEE."""
+    ev = load(spark, sf_dir, "events")
+    end_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+        " TIMESTAMP_NTZ'2024-01-31 00:00:00')"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    diff_us = F.when(
+        F.col("tp").isNotNull(),
+        F.expr("timestampdiff(MICROSECOND, t0, tp)").cast("double"),
+    ).otherwise(
+        end_us.cast("double")
+        - F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', t0)"
+        ).cast("double")
+    )
+    durs = s.join(p, "user_id", "left").select(
+        F.floor(diff_us / 86400000000).cast("long").alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    risk = durs.groupBy("dur").agg(
+        F.sum("ev").cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("n_censored"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    w_rev = Window.orderBy("dur").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_fwd = Window.orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tbl = risk.select(
+        "dur",
+        "n_events",
+        "n_censored",
+        F.sum("n_total").over(w_rev).alias("n_at_risk"),
+    )
+    factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_at_risk"
+    )
+    curve = tbl.withColumn(
+        "fs", F.collect_list(factor).over(w_fwd)
+    )
+    return curve.filter(F.col("n_events") > 0).select(
+        F.col("dur").alias("day"),
+        "n_at_risk",
+        "n_events",
+        "n_censored",
+        (F.col("n_events").cast("double") / F.col("n_at_risk")).alias(
+            "hazard"
+        ),
+        F.expr(
+            "aggregate(fs, CAST(1.0 AS DOUBLE), (a, x) -> a * x)"
+        ).alias("survival"),
+    )

@@ -608,3 +608,72 @@ def win_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     med = (lo.cast("double") + hi.cast("double")) / 2
     return daily.select("event_type", "day", "cents", med.alias("med7"))
+
+@query(
+    "win_hampel_filter",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n,
+       median(n) OVER w AS med7,
+       mad(n) OVER w AS mad7,
+       COALESCE(abs(n - median(n) OVER w)
+                  > 3 * 1.4826 * nullif(mad(n) OVER w, 0),
+                FALSE) AS is_outlier
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+""",
+)
+def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel outlier filter — the standard time-series spike cleaner:
+    each daily count is judged against the MEDIAN and MAD of its own
+    centered 7-point window (3*1.4826*MAD threshold), so one spike
+    can neither hide itself nor poison its neighbors' thresholds the
+    way a rolling mean/stddev does. Spark has neither median nor MAD
+    as window frames; both are read exactly off ONE sorted
+    collect_list per frame (bounded 7 elements): interpolated median
+    positionally, MAD as the interpolated median of the sorted
+    absolute deviations (transform + array_sort, all JVM
+    higher-order functions). Zero-MAD frames (constant weeks) pin
+    the flag FALSE via nullif in both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+
+    def interp_median(arr):  # exact interpolated median of sorted arr
+        n = F.size(arr)
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return (lo.cast("double") + hi.cast("double")) / 2
+
+    frame = F.array_sort(F.collect_list("n").over(w))
+    med = interp_median(frame)
+    with_med = daily.select(
+        "event_type", "day", "n", frame.alias("frame"), med.alias("med7")
+    )
+    devs = F.array_sort(
+        F.expr("transform(frame, x -> abs(CAST(x AS DOUBLE) - med7))")
+    )
+    mad = interp_median(devs)
+    return with_med.select(
+        "event_type",
+        "day",
+        "n",
+        "med7",
+        mad.alias("mad7"),
+        F.coalesce(
+            F.abs(F.col("n") - F.col("med7"))
+            > 3 * 1.4826 * F.nullif(mad, F.lit(0.0)),
+            F.lit(False),
+        ).alias("is_outlier"),
+    )
