@@ -489,3 +489,83 @@ def bpe_vocab(df: DataFrame, k: int = 20) -> list:
     from .llm.bpe import bpe_train_merges
 
     return bpe_train_merges(df, k)
+
+
+def attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    conversion: str,
+    value_col: str,
+) -> DataFrame:
+    """Last-touch attribution over any event DataFrame: credits each
+    conversion to the user's most recent prior non-conversion event
+    type. Returns (channel, n_purchases, revenue)."""
+    from .operators.behavior import last_touch_attribution
+
+    return last_touch_attribution(
+        events, user_col, ts_col, tiebreak_col, type_col, conversion,
+        value_col,
+    )
+
+
+def survival(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
+    """Kaplan-Meier curve from (duration, event 0/1) rows — at-risk
+    counts, hazards, and S(t) with right-censoring. Returns one row
+    per event time."""
+    from .operators.behavior import km_curve
+
+    return km_curve(durs, dur_col, event_col)
+
+
+def hampel(
+    series: DataFrame,
+    key_cols: list,
+    order_col: str,
+    value_col: str,
+    half_window: int = 3,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Hampel outlier filter over any keyed series: centered rolling
+    median/MAD spike detection with exact bounded-frame medians."""
+    from .operators.windows import hampel_filter
+
+    return hampel_filter(
+        series, key_cols, order_col, value_col, half_window, n_sigma
+    )
+
+
+def string_scores(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Record-linkage scores for any (string, string) pair DataFrame:
+    appends levenshtein, unrestricted Damerau-Levenshtein,
+    character-set Jaccard, and Jaro-Winkler (DuckDB-bit-identical
+    kernels, Arrow-batched)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .operators.scalars import _damerau, _jaro_winkler
+
+    @F.pandas_udf("int")
+    def damerau_udf(a, b):
+        return pd.Series(
+            [_damerau(x, y) for x, y in zip(a, b)], dtype="int32"
+        )
+
+    @F.pandas_udf("double")
+    def jw_udf(a, b):
+        return pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)])
+
+    ca = F.array_distinct(F.array_remove(F.split(col_a, ""), ""))
+    cb = F.array_distinct(F.array_remove(F.split(col_b, ""), ""))
+    return pairs.select(
+        "*",
+        F.levenshtein(col_a, col_b).alias("lev"),
+        damerau_udf(col_a, col_b).alias("damerau"),
+        (
+            F.size(F.array_intersect(ca, cb)).cast("double")
+            / F.size(F.array_union(ca, cb))
+        ).alias("char_jaccard"),
+        jw_udf(col_a, col_b).alias("jw"),
+    )

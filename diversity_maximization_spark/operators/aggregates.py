@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load
@@ -1185,3 +1186,156 @@ def agg_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u.createOrReplaceTempView("mwu_u")
     return spark.sql(f"{_MWU_FINAL}\nFROM mwu_u")
+
+@query(
+    "agg_ks_test",
+    oracle="""
+WITH rows_ AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('view', 'purchase')
+), vals AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM rows_ GROUP BY c
+), cum AS (
+  SELECT c,
+         CAST(SUM(da) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cb,
+         CAST(SUM(da) OVER () AS BIGINT) AS n1,
+         CAST(SUM(db) OVER () AS BIGINT) AS n2
+  FROM vals
+)
+SELECT n1, n2,
+       MAX(abs(CAST(ca AS DOUBLE) / n1 - CAST(cb AS DOUBLE) / n2))
+         AS d_stat,
+       MAX(abs(CAST(ca AS DOUBLE) / n1 - CAST(cb AS DOUBLE) / n2))
+         * sqrt(CAST(n1 AS DOUBLE) * n2 / (CAST(n1 AS DOUBLE) + n2))
+         AS ks_scaled
+FROM cum GROUP BY n1, n2
+""",
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test ('view' vs 'purchase'
+    value distributions): D = sup |ECDF_a - ECDF_b|, evaluated at
+    every distinct pooled value, plus the sqrt(n1*n2/(n1+n2))-scaled
+    statistic. The 100 TB shape: the fact stream collapses FIRST to
+    per-distinct-value group counts (one shuffled agg; the distinct
+    count is bounded by the VALUE DOMAIN — cents here, ~1e5 — not by
+    corpus size), and the cumulative window runs over that tiny
+    table, the same bounded-domain argument as survival_km's risk
+    table. ECDF ratios are exact-integer quotients; D is a max of
+    identical IEEE doubles — no rounding anywhere."""
+    ev = load(spark, sf_dir, "events")
+    rows_ = ev.filter(
+        F.col("event_type").isin("view", "purchase")
+    ).select(
+        F.col("event_type").alias("grp"),
+        F.expr(cents("value")).alias("c"),
+    )
+    vals = rows_.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("da"),
+        F.sum(F.when(F.col("grp") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+    )
+    w_cum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "c",
+        F.sum("da").over(w_cum).alias("ca"),
+        F.sum("db").over(w_cum).alias("cb"),
+        F.sum("da").over(w_all).alias("n1"),
+        F.sum("db").over(w_all).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("n1")
+        - F.col("cb").cast("double") / F.col("n2")
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(F.max(diff).alias("d_stat"))
+        .select(
+            "n1",
+            "n2",
+            "d_stat",
+            (
+                F.col("d_stat")
+                * F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    / (F.col("n1").cast("double") + F.col("n2"))
+                )
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+@query(
+    "agg_benford",
+    oracle="""
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice
+               / power(10, floor(log10(o_totalprice)))) AS BIGINT)
+           AS digit
+  FROM orders WHERE o_totalprice > 0
+), counts AS (
+  SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+), tot AS (
+  SELECT digit, n, CAST(SUM(n) OVER () AS BIGINT) AS total FROM counts
+)
+SELECT digit, n,
+       CAST(n AS DOUBLE) / total AS observed,
+       log10(1 + 1.0 / digit) AS expected,
+       (CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit))
+         * (CAST(n AS DOUBLE) / total - log10(1 + 1.0 / digit))
+         * total / log10(1 + 1.0 / digit) AS chi2_term
+FROM tot
+""",
+)
+def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    fraud/data-quality screen auditors run over ledgers: observed
+    leading-digit frequency vs log10(1 + 1/d), with per-digit
+    chi-square contributions. The leading digit is extracted
+    NUMERICALLY (x / 10^floor(log10 x)) with the identical
+    expression in both engines, so any libm edge behaves the same on
+    both sides; the fact table collapses to <= 9 rows before the
+    tiny total window. All ratios exact-integer quotients."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digits = o.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.orderBy("digit").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = counts.select(
+        "digit", "n", F.sum("n").over(w_all).alias("total")
+    )
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return tot.select(
+        "digit",
+        "n",
+        obs.alias("observed"),
+        exp.alias("expected"),
+        ((obs - exp) * (obs - exp) * F.col("total") / exp).alias(
+            "chi2_term"
+        ),
+    )

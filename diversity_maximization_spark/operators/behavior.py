@@ -640,27 +640,50 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single Exchange on user_id regardless of scale, the same shape
     ad-attribution pipelines run over trillions of touches. Revenue
     goes through exact integer cents (associative, order-free)."""
-    ev = load(spark, sf_dir, "events")
+    return last_touch_attribution(
+        load(spark, sf_dir, "events"),
+        user_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+        type_col="event_type",
+        conversion="purchase",
+        value_col="value",
+    )
+
+
+def last_touch_attribution(
+    df,
+    user_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    type_col: str,
+    conversion: str,
+    value_col: str,
+) -> DataFrame:
+    """Generic last-touch attribution over any event DataFrame (the
+    library form of attribution_last_touch): one window per user
+    carrying the most recent non-conversion type, then a per-channel
+    rollup with exact integer cents."""
     w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     channel = F.last(
-        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        F.when(F.col(type_col) != conversion, F.col(type_col)),
         ignorenulls=True,
     ).over(w)
     return (
-        ev.select("user_id", "event_id", "ts", "event_type", "value")
+        df.select(user_col, tiebreak_col, ts_col, type_col, value_col)
         .withColumn("channel", channel)
-        .filter(F.col("event_type") == "purchase")
+        .filter(F.col(type_col) == conversion)
         .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
         .agg(
             F.count(F.lit(1)).alias("n_purchases"),
             (
-                F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).cast(
-                    "double"
-                )
+                F.sum(
+                    F.expr(f"CAST(ROUND({value_col} * 100) AS BIGINT)")
+                ).cast("double")
                 / 100
             ).alias("revenue"),
         )
@@ -934,9 +957,19 @@ def survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(diff_us / 86400000000).cast("long").alias("dur"),
         F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
     )
-    risk = durs.groupBy("dur").agg(
-        F.sum("ev").cast("long").alias("n_events"),
-        (F.count(F.lit(1)) - F.sum("ev")).cast("long").alias("n_censored"),
+    return km_curve(durs, dur_col="dur", event_col="ev")
+
+
+def km_curve(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
+    """Kaplan-Meier estimator over any (duration, event 0/1)
+    DataFrame — the library form of survival_km. Collapses to the
+    O(distinct durations) risk table, reverse-cumulative at-risk
+    counts, and a sequential left-fold cumulative product."""
+    risk = durs.groupBy(F.col(dur_col).alias("dur")).agg(
+        F.sum(event_col).cast("long").alias("n_events"),
+        (F.count(F.lit(1)) - F.sum(event_col))
+        .cast("long")
+        .alias("n_censored"),
         F.count(F.lit(1)).alias("n_total"),
     )
     w_rev = Window.orderBy("dur").rowsBetween(

@@ -326,3 +326,65 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
+
+@query(
+    "graph_neighbor_jaccard",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), deg AS (
+  SELECT p, COUNT(*) AS d FROM op GROUP BY p
+), common AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*) AS n_common
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY a.p, b.p
+)
+SELECT u, v, n_common,
+       CAST(n_common AS DOUBLE)
+         / (da.d + db.d - n_common) AS jaccard
+FROM common
+JOIN deg da ON da.p = u
+JOIN deg db ON db.p = v
+WHERE CAST(n_common AS DOUBLE) / (da.d + db.d - n_common) >= 0.2
+""",
+)
+def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item neighborhood Jaccard similarity over the bipartite
+    order-part graph — the classic collaborative-filtering
+    candidate generator: parts whose ORDER sets overlap strongly
+    (|N(u) n N(v)| / |N(u) u N(v)| >= 0.2). Co-occurrence pairs
+    come from the inverted-index self-join on the order key (pairs
+    exist only where a shared order exists — posting-list work, not
+    all-pairs); degrees join back from a tiny per-part table. At
+    scale the per-order pair fan-out is bounded by basket size, the
+    same O(sum b^2) guarantee every co-occurrence pipeline relies
+    on; a hot mega-basket would be capped upstream. Exact-integer
+    Jaccard quotient, unrounded."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    other = li.select("o", F.col("p").alias("q"))
+    common = (
+        li.join(other, "o")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    )
+    return (
+        common.join(
+            deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u"
+        )
+        .join(
+            deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v"
+        )
+        .filter(jac >= 0.2)
+        .select("u", "v", "n_common", jac.alias("jaccard"))
+    )

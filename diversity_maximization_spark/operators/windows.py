@@ -644,10 +644,31 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("n"))
+    return hampel_filter(
+        daily,
+        key_cols=["event_type"],
+        order_col="day",
+        value_col="n",
+        half_window=3,
+    )
+
+
+def hampel_filter(
+    df: DataFrame,
+    key_cols: list,
+    order_col: str,
+    value_col: str,
+    half_window: int = 3,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Generic Hampel filter over any keyed series DataFrame (the
+    library form of win_hampel_filter): centered rolling median and
+    MAD read exactly off one sorted bounded frame per row;
+    zero-MAD frames pin the flag FALSE."""
     w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-3, 3)
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-half_window, half_window)
     )
 
     def interp_median(arr):  # exact interpolated median of sorted arr
@@ -656,24 +677,28 @@ def win_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi = F.element_at(arr, (n / 2 + 1).cast("int"))
         return (lo.cast("double") + hi.cast("double")) / 2
 
-    frame = F.array_sort(F.collect_list("n").over(w))
+    frame = F.array_sort(F.collect_list(value_col).over(w))
     med = interp_median(frame)
-    with_med = daily.select(
-        "event_type", "day", "n", frame.alias("frame"), med.alias("med7")
+    with_med = df.select(
+        *key_cols,
+        order_col,
+        value_col,
+        frame.alias("frame"),
+        med.alias("med7"),
     )
     devs = F.array_sort(
         F.expr("transform(frame, x -> abs(CAST(x AS DOUBLE) - med7))")
     )
     mad = interp_median(devs)
     return with_med.select(
-        "event_type",
-        "day",
-        "n",
+        *key_cols,
+        order_col,
+        value_col,
         "med7",
         mad.alias("mad7"),
         F.coalesce(
-            F.abs(F.col("n") - F.col("med7"))
-            > 3 * 1.4826 * F.nullif(mad, F.lit(0.0)),
+            F.abs(F.col(value_col) - F.col("med7"))
+            > n_sigma * 1.4826 * F.nullif(mad, F.lit(0.0)),
             F.lit(False),
         ).alias("is_outlier"),
     )

@@ -243,3 +243,46 @@ def test_api_passage_dups_and_neighbors(spark):
     }
     assert nb[1]["n_neighbors"] == 1 and nb[2]["n_neighbors"] == 1
     assert nb[3]["n_neighbors"] == 0
+
+
+def test_api_attribution_survival_hampel_strings(spark):
+    """The generic library wrappers must reproduce hand-checked
+    values on tiny synthetic frames (KM: S = 3/4 then 3/4 * 2/3;
+    Hampel flags only the spike; kitten/sitting classics)."""
+    from diversity_maximization_spark import api
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", "click", 1.0),
+            (1, 2, "2024-01-01 01:00:00", "buy", 5.0),
+            (2, 3, "2024-01-01 02:00:00", "buy", 7.0),
+        ],
+        "u bigint, eid bigint, t string, k string, v double",
+    ).selectExpr("u", "eid", "CAST(t AS TIMESTAMP) AS t", "k", "v")
+    att = {
+        r["channel"]: (r["n_purchases"], r["revenue"])
+        for r in api.attribution(ev, "u", "t", "eid", "k", "buy", "v").collect()
+    }
+    assert att == {"(direct)": (1, 7.0), "click": (1, 5.0)}
+
+    d = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 0), (5, 0)], "dur long, ev int"
+    )
+    km = {r["day"]: r for r in api.survival(d, "dur", "ev").collect()}
+    assert km[1]["survival"] == 0.75 and km[1]["n_at_risk"] == 4
+    assert km[2]["survival"] == 0.5 and km[2]["n_censored"] == 1
+
+    xs = [10, 11, 10, 50, 9, 10, 11]
+    ser = spark.createDataFrame(
+        [("a", i, xs[i]) for i in range(7)], "k string, i long, x long"
+    )
+    flags = [
+        r["is_outlier"]
+        for r in api.hampel(ser, ["k"], "i", "x").orderBy("i").collect()
+    ]
+    assert flags == [False, False, False, True, False, False, False]
+
+    pr = spark.createDataFrame([("kitten", "sitting")], "a string, b string")
+    row = api.string_scores(pr, "a", "b").collect()[0]
+    assert (row["lev"], row["damerau"]) == (3, 3)
+    assert abs(row["jw"] - 0.746031746031746) < 1e-15
