@@ -665,3 +665,90 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("last_value"),
         F.col("event_id").alias("last_event_id"),
     )
+
+@query(
+    "stream_funnel",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), stages AS (
+  SELECT u.user_id,
+         CASE WHEN p.user_id IS NOT NULL THEN 3
+              WHEN c.user_id IS NOT NULL THEN 2
+              WHEN v.user_id IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT stage, COUNT(*) AS n_users FROM stages GROUP BY stage
+""",
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming funnel: a per-user state machine
+    (none -> view -> click-after-view -> purchase-after-click) held
+    in the state store via applyInPandasWithState, keyed by user_id —
+    state is distributed across executors exactly like production
+    funnel tracking, one tiny (stage, anchor) record per user. Each
+    micro-batch folds that user's events in (ts, event_id) order;
+    replay slices are time-ordered (event_id is monotone in ts), so
+    the greedy advance is exactly the batch first-touch chain and
+    the final per-stage census hash-matches the batch SQL oracle —
+    the strongest equivalence a stateful stream op can claim. Stage
+    is monotone, so the final stage per user is the MAX over
+    update-mode emissions."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+
+    def handler(key, pdfs, state: GroupState):
+        if state.exists:
+            stage, anchor = state.get
+        else:
+            stage, anchor = 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        for ts, etype in zip(rows["ts"], rows["event_type"]):
+            us = int(ts.value) // 1000  # pandas ns -> us
+            if stage == 0 and etype == "view":
+                stage, anchor = 1, us
+            elif stage == 1 and etype == "click" and us > anchor:
+                stage, anchor = 2, us
+            elif stage == 2 and etype == "purchase" and us > anchor:
+                stage, anchor = 3, us
+        state.update((stage, anchor))
+        yield pd.DataFrame({"user_id": [key[0]], "stage": [stage]})
+
+    snap = (
+        st.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handler,
+            "user_id bigint, stage int",
+            "stage int, anchor bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(snap, _fresh("funnel"), mode="update")
+    final = out.groupBy("user_id").agg(F.max("stage").alias("stage"))
+    return final.groupBy("stage").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
