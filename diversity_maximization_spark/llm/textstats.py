@@ -825,3 +825,46 @@ def lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+@query(
+    "sample_balanced",
+    oracle="""
+WITH sized AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+), cap AS (
+  SELECT MIN(n) AS k FROM sized
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rn
+  FROM documents
+)
+SELECT r.doc_id, r.source
+FROM ranked r, cap
+WHERE r.rn <= cap.k
+""",
+)
+def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — every source keeps exactly
+    min-class-size documents, the rebalancing step before training
+    on skewed corpora. Selection is DETERMINISTIC and seed-free:
+    rank within class by md5(doc_id) (a fixed pseudo-random order
+    both engines share) and keep the first k. One window per class
+    plus a broadcast scalar cap; at 100 TB the per-class rank is the
+    only shuffle and the hash order makes the sample stable under
+    any layout."""
+    d = load(spark, sf_dir, "documents")
+    sized = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    k = sized.agg(F.min("n").alias("k"))
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = d.select(
+        "doc_id", "source", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .select("doc_id", "source")
+    )

@@ -357,3 +357,75 @@ def privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy(F.lit(1)))
         .alias("k_anonymity"),
     )
+
+@query(
+    "feat_assembly",
+    oracle="""
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_error,
+       COUNT(DISTINCT date_trunc('day', ts)) AS days_active,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS total_value,
+       CAST(date_diff('day', CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP),
+                      TIMESTAMP '2024-01-31 00:00:00') AS BIGINT)
+         AS recency_days,
+       CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+            AS DOUBLE) / 100 AS purchase_value
+FROM events
+GROUP BY user_id
+""",
+)
+def feat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store assembly: the per-user wide feature row a
+    churn/LTV model trains on — per-type event counts (conditional
+    aggregation, NOT a self-join per feature), distinct active days,
+    exact-cents monetary totals, and recency vs the study end. ONE
+    shuffled aggregate on user_id builds every feature; this is the
+    shape that keeps feature backfills at one pass over 100 TB
+    instead of one join per feature."""
+    ev = load(spark, sf_dir, "events")
+
+    def n_of(t: str):
+        return (
+            F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{t}")
+        )
+
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        n_of("view"),
+        n_of("click"),
+        n_of("purchase"),
+        n_of("error"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("days_active"),
+        (
+            F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).cast(
+                "double"
+            )
+            / 100
+        ).alias("total_value"),
+        F.datediff(
+            F.lit("2024-01-31"), F.date_trunc("day", F.max("ts"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).cast("double")
+            / 100
+        ).alias("purchase_value"),
+    )

@@ -602,3 +602,85 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_SEAS_MEAN).alias("seasonal_mean"),
         F.expr(_SEAS_VAR).alias("var_within"),
     )
+
+@query(
+    "ts_stl_decompose",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT day, cents,
+         CAST(SUM(cents) OVER w AS DOUBLE)
+           / COUNT(*) OVER w AS trend,
+         dayofweek(day) AS dow
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), det AS (
+  SELECT day, cents, trend, dow, cents - trend AS detrended
+  FROM trended
+), seas AS (
+  SELECT dow,
+         list_reduce(list(detrended ORDER BY day),
+                     (a, x) -> a + x) / COUNT(*) AS seasonal
+  FROM det GROUP BY dow
+)
+SELECT d.day, CAST(d.cents AS DOUBLE) / 100 AS revenue, d.trend,
+       s.seasonal, d.detrended - s.seasonal AS residual
+FROM det d JOIN seas s ON d.dow = s.dow
+""",
+)
+def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of daily revenue (the
+    STL shape, moving-average flavor): trend = centered 7-day moving
+    average (exact integer window sums / counts), seasonal =
+    day-of-week mean of the detrended series, residual = the rest.
+    The one float-order hazard — summing detrended DOUBLES per
+    weekday — is pinned by folding each weekday's values in DAY
+    ORDER on both engines (sorted-list left fold, the survival_km
+    discipline), so the decomposition hashes bit-identically. Runs
+    on the O(days) rollup; every window/group is domain-bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("cents")
+    )
+    w7 = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "cents",
+        (
+            F.sum("cents").over(w7).cast("double")
+            / F.count(F.lit(1)).over(w7)
+        ).alias("trend"),
+        F.dayofweek("day").alias("dow"),
+    )
+    det = trended.withColumn(
+        "detrended", F.col("cents") - F.col("trend")
+    )
+    seas = (
+        det.groupBy("dow")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("day", "detrended"))
+            ).alias("arr"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "dow",
+            (
+                F.expr(
+                    "aggregate(arr, CAST(0.0 AS DOUBLE),"
+                    " (a, s) -> a + s.detrended)"
+                )
+                / F.col("n")
+            ).alias("seasonal"),
+        )
+    )
+    return det.join(F.broadcast(seas), "dow").select(
+        "day",
+        (F.col("cents").cast("double") / 100).alias("revenue"),
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )
