@@ -1339,3 +1339,94 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+_OLS_FINAL = """
+SELECT grp, n_rows,
+       (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+          + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+       (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) / det AS b_qty,
+       (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - s11 * s2)) / det AS b_disc,
+       1 - (syy
+            - ((sy * (s11 * s22 - s12 * s12)
+                - s1 * (s1y * s22 - s12 * s2y)
+                + s2 * (s1y * s12 - s11 * s2y)) / det) * sy
+            - ((n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+                + s2 * (s1 * s2y - s1y * s2)) / det) * s1y
+            - ((n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+                + sy * (s1 * s12 - s11 * s2)) / det) * s2y)
+         / (syy - sy * sy / n) AS r2
+""".strip()
+
+_OLS_DET = """
+  SELECT grp, n, n AS n_rows, s1, s2, sy, s11, s22, s12, s1y, s2y, syy,
+         n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2) AS det
+""".strip()
+
+
+@query(
+    "agg_ols_multi",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+         CAST(SUM({cents('l_discount')}) AS DOUBLE) AS s2,
+         CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS s11,
+         CAST(SUM({cents('l_discount')} * {cents('l_discount')}) AS DOUBLE)
+           AS s22,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * {cents('l_discount')})
+              AS DOUBLE) AS s12,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * {cents('l_extendedprice')})
+              AS DOUBLE) AS s1y,
+         CAST(SUM({cents('l_discount')} * {cents('l_extendedprice')})
+              AS DOUBLE) AS s2y,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag
+), d AS (
+{_OLS_DET}
+  FROM m
+)
+{_OLS_FINAL}
+FROM d
+""",
+)
+def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form TWO-FEATURE OLS per return flag: extended price
+    (cents) regressed on quantity and discount via the 3x3 normal
+    equations solved by Cramer's rule — the multivariate companion
+    to agg_regr_trend. Nine moment sums accumulate EXACTLY (int64
+    where products fit, DECIMAL(38)/HUGEINT for the y^2 sum that
+    overflows at sf0.1), convert to double once, and the
+    coefficient/R^2 expressions are a SHARED SQL fragment evaluated
+    identically by both engines — bit-exact, no rounding. One
+    partial+final aggregate over the scan; the fit itself is O(1)
+    per group. This is how distributed linear models on bounded
+    feature counts actually train: moments in one pass, solve on
+    the driver-side expression."""
+    li = load(spark, sf_dir, "lineitem")
+    q = "CAST(l_quantity AS BIGINT)"
+    cd, cy = cents("l_discount"), cents("l_extendedprice")
+    dec = "DECIMAL(38,0)"
+    m = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({q}) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM({cd}) AS DOUBLE)").alias("s2"),
+        F.expr(f"CAST(SUM({cy}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({q} * {q}) AS DOUBLE)").alias("s11"),
+        F.expr(f"CAST(SUM({cd} * {cd}) AS DOUBLE)").alias("s22"),
+        F.expr(f"CAST(SUM({q} * {cd}) AS DOUBLE)").alias("s12"),
+        F.expr(f"CAST(SUM({q} * {cy}) AS DOUBLE)").alias("s1y"),
+        F.expr(f"CAST(SUM({cd} * {cy}) AS DOUBLE)").alias("s2y"),
+        F.expr(
+            f"CAST(SUM(CAST({cy} AS {dec}) * {cy}) AS DOUBLE)"
+        ).alias("syy"),
+    )
+    m.createOrReplaceTempView("ols_m")
+    spark.sql(f"{_OLS_DET}\nFROM ols_m").createOrReplaceTempView("ols_d")
+    return spark.sql(f"{_OLS_FINAL}\nFROM ols_d")

@@ -45,70 +45,76 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
 
 
 # The driver's correctness gate checks the FIRST 50 keys in
-# registration order (CORRECTNESS_r01 == list(QUERIES)[:50]). This
-# explicit window puts the keys that most need driver verification
-# first: round-1 ERR repairs, then the win_/div_/LLM/streaming/UDF
-# inventory that round 1 never saw. Every key here MUST have an
-# oracle (a no-oracle key in the window is an automatic err slot) —
-# enforced by a test in tests/test_registry.py. Keys already
-# driver-green in round 1 sort after the window.
+# registration order (CORRECTNESS_r01/r02 == list(QUERIES)[:50] of
+# their rounds). The window therefore rotates per round to the keys
+# that most need DRIVER verification now. Round 3: (a) the four
+# oracles repaired after r2's HUGEINT finding (win_sessionize was
+# r2's only red row; the other three were latent same-class bugs the
+# verdict predicted would fail when sampled) — their green rows are
+# the proof of the fix; (b) every SQL-oracle key added in round 3;
+# (c) never-sampled keys across the TPC-H / stats / behavioral /
+# lakehouse / scale-plan families, prioritizing ones whose engine
+# plan differs structurally from the naive oracle (salted top-k,
+# distributed ranks, sketch-filtered heavy hitters, skyline,
+# incremental refresh) where a driver hash-match proves the rewrite
+# exact. Every key here MUST have an oracle (a no-oracle key in the
+# window is an automatic err slot) — enforced in tests.
 CHECK_WINDOW: list[str] = [
-    # round-1 ERR repairs (nanos ts / array hashing / no_oracle)
-    "scan_parquet",
-    "source_json_props",
-    "sink_parquet",
-    "agg_approx_cd",
-    "join_full_outer",
-    "join_range_interval",
-    "join_asof",
-    "fn_json",
-    "fn_array",
-    "sketch_hll_merge",
-    # window functions (§2.2-E, all unseen in round 1)
-    "win_topk_pergroup",
-    "win_rank_dense",
-    "win_lag_lead",
-    "win_moving_avg",
-    "win_range_frame",
-    "win_running_total",
-    "win_ntile_pctrank",
+    # (a) r2 red row + the three repaired latent HUGEINT oracles
     "win_sessionize",
-    # diversity evaluators with SQL oracles (§2.2-I)
-    "div_eval_edge",
-    "div_eval_clique",
-    "div_eval_star",
-    "div_random_baseline",
-    # LLM-pipeline operators (§2.2-L)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_components_ngram",
-    "dedup_keep_canonical",
-    "dedup_embedding",
-    "sim_search_topk",
-    "text_stats",
-    "tfidf",
-    "lang_topn_words",
-    "lang_id_ngram",
-    "token_count",
-    "text_ngrams",
-    "doc_fingerprint",
-    "quality_score",
-    "quality_bigram_logprob",
-    "embed_normalize",
-    "embed_quantize",
-    "sample_hash_split",
-    "sample_stratified",
-    "multimodal_join",
-    # streaming (§2.2-J, batch-equivalence oracles)
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    # UDF surface (§2.2-K)
-    "udf_scalar_pandas",
-    "udaf_grouped_pandas",
-    "udf_grouped_map",
-    "udtf_map_in_pandas",
+    "tpch_q12",
+    "win_reset_running_total",
+    "obs_quality_metrics",
+    # (b) round-3 additions (SQL-oracle keys, registration order)
+    "attribution_last_touch",
+    "anomaly_mad_robust",
+    "ts_wow_change",
+    "win_moving_median",
+    "privacy_k_anon",
+    "join_interval_overlap",
+    "text_readability",
+    "fn_string_distance",
+    "join_asof_nearest",
+    "funnel_multi_step",
+    "survival_km",
+    "win_hampel_filter",
+    "agg_ks_test",
+    "agg_benford",
+    "graph_neighbor_jaccard",
+    "stream_funnel",
+    "ts_stl_decompose",
+    "sample_balanced",
+    "feat_assembly",
+    # (c) never-sampled: scale-plan-vs-naive-oracle proofs
+    "win_topk_salted",
+    "feat_bucketize",
+    "sketch_heavy_hitters",
+    "sort_skyline",
+    "interval_concurrency",
+    "agg_mannwhitney_u",
+    "profile_columns",
+    "graph_triangle_count",
+    "dedup_prefix_filter",
+    "pack_sequences",
+    "mv_incremental_refresh",
+    # (c) never-sampled: TPC-H spread
+    "tpch_q2",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    # (c) never-sampled: stats / behavioral / lakehouse / streaming
+    "agg_ttest_welch",
+    "agg_chi2_cells",
+    "agg_gini",
+    "scd2_history",
+    "merge_upsert",
+    "join_fuzzy_blocked",
+    "join_spatial_grid",
+    "snapshot_diff",
+    "source_schema_evolution",
+    "ts_holt",
+    "stream_cdc_apply",
 ]
 
 
