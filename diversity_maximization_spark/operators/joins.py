@@ -1012,3 +1012,59 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("view_id"),
         F.when(take_b, b_gap).when(take_f, f_gap).alias("gap_us"),
     )
+
+@query(
+    "join_bloom_reduced",
+    oracle=f"""
+SELECT l.l_orderkey, l.l_partkey, o.o_orderdate,
+       {duck_dsum2('l.l_extendedprice', 'l.l_discount')} AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_totalprice > 400000
+GROUP BY l.l_orderkey, l.l_partkey, o.o_orderdate
+""",
+)
+def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom filter — the
+    technique that keeps a selective dimension filter from shuffling
+    the whole fact table: the filtered orders' keys set k=3 hashed
+    bit positions in an m=2^17 filter (materialized as the DISTINCT
+    position table — size bounded by m REGARDLESS of key count, the
+    property that distinguishes a bloom from a broadcast key list),
+    the fact scan pre-filters through three broadcast semi-joins on
+    those positions BEFORE its shuffle, and the exact join afterwards
+    removes the false positives — the result is EXACTLY the plain
+    join the oracle states, but the shuffle carries only the
+    surviving fraction of the fact table. This is what runtime
+    bloom-filter pushdown does; stated explicitly so the plan shape
+    is pinned rather than left to cost heuristics."""
+    from .sketches import _BLOOM_A, _h
+
+    m = 1 << 17
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 400000
+    )
+    bits = (
+        o.select(
+            F.explode(
+                F.array(
+                    *[F.expr(_h("o_orderkey", a, m)) for a in _BLOOM_A]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    reduced = li
+    for i, a in enumerate(_BLOOM_A):
+        reduced = reduced.withColumn(
+            f"p{i}", F.expr(_h("l_orderkey", a, m))
+        ).join(
+            F.broadcast(bits.withColumnRenamed("pos", f"hit{i}")),
+            F.col(f"p{i}") == F.col(f"hit{i}"),
+            "left_semi",
+        )
+    return (
+        reduced.join(o, reduced.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_partkey", "o_orderdate")
+        .agg(dsum2("l_extendedprice", "l_discount").alias("revenue"))
+    )

@@ -296,3 +296,50 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "table_name string, n_rows bigint, stats_ok boolean"
     )
+
+@query(
+    "sink_sharded_export",
+    oracle="""
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(((doc_id % 2147483648) * 2654435761 % 4294967296) % 8
+              AS BIGINT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM assigned GROUP BY shard
+""",
+)
+def sink_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard export — the terminal op of a pretraining
+    pipeline: documents are hash-assigned to 8 size-balanced shards
+    (a Knuth multiplicative hash in plain integer arithmetic,
+    identical in both engines, so the split is stable under any
+    layout or rerun), physically written
+    partitionBy(shard), and the returned manifest (docs, chars,
+    id range per shard) is computed from the READ-BACK files — the
+    hash match against the oracle's direct aggregation proves the
+    export wrote every document exactly once. At 100 TB the shard
+    count scales with the dataloader fleet; the write is one
+    hash-partitioned pass."""
+    import tempfile
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            "CAST(((doc_id % 2147483648) * 2654435761 % 4294967296) % 8"
+            " AS BIGINT)"
+        ).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="dms_shards_")
+    d.write.partitionBy("shard").mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
