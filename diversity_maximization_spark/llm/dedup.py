@@ -866,3 +866,44 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("is_cand")
         ).alias("verify_yield"),
     )
+
+@query("dedup_cascade_report")  # rows-only: hash-family-specific tiers
+def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiered-dedup marginal-catch report — the planning table for a
+    production cascade (cheap exact pass first, then fuzzy tiers):
+    tier 1 = exact text hash, tier 2 = MinHash-LSH-verified Jaccard
+    >= 0.35, tier 3 = SimHash hamming <= 12. For each tier: total
+    pairs it finds and NEW pairs no earlier (cheaper) tier caught —
+    the marginal value that justifies the tier's cost at 100 TB.
+    Tiers reuse the registered operators' own pair generators, so
+    the report measures exactly what the engine ships. One small
+    full-outer pair union; counts exact."""
+    d = load(spark, sf_dir, "documents")
+    exact = (
+        _exact_dup_edges(d)
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    mh = minhash_near_dup_pairs(d).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    sh = QUERIES["dedup_simhash"](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+
+    def tier(df: DataFrame, name: str, prev: DataFrame | None):
+        total = df.count()
+        new = df.join(prev, ["a", "b"], "left_anti").count() if prev is not None else total
+        return (name, total, new)
+
+    rows = [
+        tier(exact, "1_exact", None),
+        tier(mh, "2_minhash_jaccard", exact),
+        tier(sh, "3_simhash", exact.unionByName(mh).distinct()),
+    ]
+    return spark.createDataFrame(
+        rows, "tier string, n_pairs bigint, n_new_pairs bigint"
+    )

@@ -429,3 +429,50 @@ def feat_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("purchase_value"),
     )
+
+@query(
+    "feat_winsorize",
+    oracle="""
+WITH q AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.05) AS p05,
+         quantile_cont(c_acctbal, 0.95) AS p95
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal, q.p05, q.p95,
+       CASE WHEN c.c_acctbal < q.p05 THEN q.p05
+            WHEN c.c_acctbal > q.p95 THEN q.p95
+            ELSE c.c_acctbal END AS acctbal_winsorized,
+       c.c_acctbal < q.p05 OR c.c_acctbal > q.p95 AS clipped
+FROM customer c JOIN q ON c.c_mktsegment = q.c_mktsegment
+""",
+)
+def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the outlier-capping step before
+    feature scaling: account balances clip to their market segment's
+    exact interpolated [p5, p95]. The quantile table is O(groups)
+    and broadcast back, so the fact table sees one narrow map after
+    one shuffled agg; EXACT percentile_cont interpolation matches
+    DuckDB's quantile_cont bit-for-bit (both are linear
+    interpolation between order statistics of the same doubles)."""
+    c = load(spark, sf_dir, "customer")
+    q = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile(c_acctbal, 0.05)").alias("p05"),
+        F.expr("percentile(c_acctbal, 0.95)").alias("p95"),
+    )
+    j = c.join(F.broadcast(q), "c_mktsegment")
+    clipped = (F.col("c_acctbal") < F.col("p05")) | (
+        F.col("c_acctbal") > F.col("p95")
+    )
+    return j.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        "p05",
+        "p95",
+        F.when(F.col("c_acctbal") < F.col("p05"), F.col("p05"))
+        .when(F.col("c_acctbal") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal_winsorized"),
+        clipped.alias("clipped"),
+    )

@@ -689,3 +689,21 @@ def test_minhash_eval_metrics_consistent(spark, sf_dir):
     assert row["tp"] + row["misses"] == row["n_truth"]
     assert row["recall"] == row["tp"] / row["n_truth"]
     assert 0.0 < row["verify_yield"] <= 1.0
+
+
+def test_dedup_cascade_report_consistent(spark, sf_dir):
+    """Cascade identities: marginal catch never exceeds the tier
+    total, tier 1 is all-new by definition, and totals match the
+    registered tier operators' own pair counts."""
+    rows = {
+        r["tier"]: r
+        for r in QUERIES["dedup_cascade_report"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"1_exact", "2_minhash_jaccard", "3_simhash"}
+    for r in rows.values():
+        assert 0 <= r["n_new_pairs"] <= r["n_pairs"]
+    assert rows["1_exact"]["n_new_pairs"] == rows["1_exact"]["n_pairs"]
+    assert (
+        rows["2_minhash_jaccard"]["n_pairs"]
+        == QUERIES["dedup_minhash"](spark, sf_dir).count()
+    )
