@@ -1068,3 +1068,42 @@ def join_bloom_reduced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_partkey", "o_orderdate")
         .agg(dsum2("l_extendedprice", "l_discount").alias("revenue"))
     )
+
+@query(
+    "join_null_safe",
+    oracle="""
+WITH a AS (
+  SELECT c_custkey, nullif(c_nationkey, 5) AS nk FROM customer
+), b AS (
+  SELECT s_suppkey, nullif(s_nationkey, 5) AS nk FROM supplier
+)
+SELECT a.nk, COUNT(*) AS n_pairs,
+       COUNT(DISTINCT a.c_custkey) AS n_cust,
+       COUNT(DISTINCT b.s_suppkey) AS n_supp
+FROM a JOIN b ON a.nk IS NOT DISTINCT FROM b.nk
+GROUP BY a.nk
+""",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of silently dropping — the semantics a
+    CDC/entity-resolution join needs when the key itself is
+    nullable. Nation 5 is nulled on both sides to exercise the NULL
+    bucket; the plan stays a hash join because <=> is still an
+    equality predicate (NULLs hash to one bucket — at scale a hot
+    NULL bucket is the classic skew case join_skew_salted handles)."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr("nullif(c_nationkey, 5)").alias("nk")
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.expr("nullif(s_nationkey, 5)").alias("nk_s")
+    )
+    return (
+        c.join(s, F.col("nk").eqNullSafe(F.col("nk_s")))
+        .groupBy("nk")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("c_custkey").alias("n_cust"),
+            F.countDistinct("s_suppkey").alias("n_supp"),
+        )
+    )

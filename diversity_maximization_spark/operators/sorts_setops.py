@@ -188,3 +188,43 @@ def skyline_2d(
 
     # stage 2: one tiny partition sweeps the candidate union
     return candidates.coalesce(1).mapInPandas(merge, schema)
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+SELECT o_custkey AS user_id FROM orders
+INTERSECT ALL
+SELECT user_id FROM events
+""",
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — the MULTISET intersection (min of the two
+    multiplicities per key), distinct from the set-semantics
+    setop_intersect: a key ordering 3 times that fired 2 events
+    appears twice. Same DataFrame verb (intersectAll), one shuffle
+    per side on the value."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    e = load(spark, sf_dir, "events").select("user_id")
+    return o.intersectAll(e)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+SELECT o_custkey AS user_id FROM orders
+EXCEPT ALL
+SELECT user_id FROM events
+""",
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (multiplicities subtract,
+    floor at zero), vs setop_except's set semantics. exceptAll is
+    the audit-friendly form: how many ORDER ROWS have no matching
+    event occurrence left after pairing one-for-one."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id")
+    )
+    e = load(spark, sf_dir, "events").select("user_id")
+    return o.exceptAll(e)
