@@ -1430,3 +1430,53 @@ def agg_ols_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     m.createOrReplaceTempView("ols_m")
     spark.sql(f"{_OLS_DET}\nFROM ols_m").createOrReplaceTempView("ols_d")
     return spark.sql(f"{_OLS_FINAL}\nFROM ols_d")
+
+@query(
+    "agg_grouping_labels",
+    oracle="""
+SELECT COALESCE(l_returnflag, '(all)') AS rf,
+       COALESCE(l_linestatus, '(all)') AS ls,
+       CASE WHEN GROUPING(l_returnflag) = 1 AND GROUPING(l_linestatus) = 1
+              THEN 'grand_total'
+            WHEN GROUPING(l_linestatus) = 1 THEN 'flag_subtotal'
+            ELSE 'leaf' END AS level,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT)
+         AS grouping_id,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def agg_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING()/grouping-id semantics on a rollup — the part of
+    the cube surface agg_rollup doesn't exercise: distinguishing a
+    REAL NULL group key from a rollup-generated subtotal row. Each
+    row carries its human label (leaf / flag_subtotal / grand_total)
+    and the packed grouping id, identical CASE logic in both
+    engines. Still one Expand + one aggregate exchange."""
+    li = load(spark, sf_dir, "lineitem")
+    g_rf = F.grouping("l_returnflag").cast("int")
+    g_ls = F.grouping("l_linestatus").cast("int")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            g_rf.alias("g_rf"),
+            g_ls.alias("g_ls"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            F.when(
+                (F.col("g_rf") == 1) & (F.col("g_ls") == 1),
+                "grand_total",
+            )
+            .when(F.col("g_ls") == 1, "flag_subtotal")
+            .otherwise("leaf")
+            .alias("level"),
+            (F.col("g_rf") * 2 + F.col("g_ls"))
+            .cast("bigint")
+            .alias("grouping_id"),
+            "n",
+        )
+    )
