@@ -569,3 +569,110 @@ def string_scores(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
         ).alias("char_jaccard"),
         jw_udf(col_a, col_b).alias("jw"),
     )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov D over any integer-valued column:
+    collapses to per-distinct-value group counts (bounded by the
+    value domain), then the ECDF max-gap. Returns one row
+    (n1, n2, d_stat, ks_scaled)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows_ = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+    ).select(F.col(group_col).alias("grp"), F.col(value_col).alias("c"))
+    vals = rows_.groupBy("c").agg(
+        F.sum(F.when(F.col("grp") == group_a, 1).otherwise(0))
+        .cast("bigint")
+        .alias("da"),
+        F.sum(F.when(F.col("grp") == group_b, 1).otherwise(0))
+        .cast("bigint")
+        .alias("db"),
+    )
+    w_cum = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_all = W.orderBy("c").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = vals.select(
+        F.sum("da").over(w_cum).alias("ca"),
+        F.sum("db").over(w_cum).alias("cb"),
+        F.sum("da").over(w_all).alias("n1"),
+        F.sum("db").over(w_all).alias("n2"),
+    )
+    diff = F.abs(
+        F.col("ca").cast("double") / F.col("n1")
+        - F.col("cb").cast("double") / F.col("n2")
+    )
+    return (
+        cum.groupBy("n1", "n2")
+        .agg(F.max(diff).alias("d_stat"))
+        .select(
+            "n1",
+            "n2",
+            "d_stat",
+            (
+                F.col("d_stat")
+                * F.sqrt(
+                    F.col("n1").cast("double")
+                    * F.col("n2")
+                    / (F.col("n1").cast("double") + F.col("n2"))
+                )
+            ).alias("ks_scaled"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization: clip value_col to its group's exact
+    interpolated [lo, hi] quantiles via a broadcast quantile table.
+    Appends p_lo/p_hi/<value>_winsorized/clipped columns."""
+    from pyspark.sql import functions as F
+
+    q = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({value_col}, {hi})").alias("p_hi"),
+    )
+    j = df.join(F.broadcast(q), group_col)
+    c = F.col(value_col)
+    return j.select(
+        "*",
+        F.when(c < F.col("p_lo"), F.col("p_lo"))
+        .when(c > F.col("p_hi"), F.col("p_hi"))
+        .otherwise(c)
+        .alias(f"{value_col}_winsorized"),
+        ((c < F.col("p_lo")) | (c > F.col("p_hi"))).alias("clipped"),
+    )
+
+
+def balanced_sample(
+    df: DataFrame, class_col: str, id_col: str
+) -> DataFrame:
+    """Class-balanced downsampling to the min class size, seed-free:
+    rank within class by md5(id) and keep the first k."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    sized = df.groupBy(class_col).agg(F.count(F.lit(1)).alias("n"))
+    k = sized.agg(F.min("n").alias("k"))
+    w = W.partitionBy(class_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(k))
+        .filter(F.col("rn") <= F.col("k"))
+        .drop("rn", "k")
+    )

@@ -237,3 +237,91 @@ def source_python_datasource_stream(
 import itertools as _itertools
 
 _PYDS_COUNTER = _itertools.count()
+
+@query(
+    "source_csv_permissive",
+    oracle="""
+WITH numbered AS (
+  SELECT value, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM events
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN rn % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bad,
+       CAST(SUM(CASE WHEN rn % 100 <> 0
+                THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+            AS DOUBLE) / 100 AS good_value_total
+FROM numbered
+""",
+)
+def source_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV ingestion audit — the PERMISSIVE-mode contract
+    every lakehouse ingest relies on: a CSV written with every 100th
+    row (in event_id order) deterministically corrupted is read
+    under the declared schema; damaged rows surface as NULL-keyed
+    rows instead of killing the job. The audit over the READ-BACK
+    file (total rows, NULL-keyed rows, exact-cents total over clean
+    rows) must hash-match the oracle's prediction computed purely
+    from the pristine parquet and the corruption rule — proving
+    PERMISSIVE parsing dropped exactly the planted rows and nothing
+    else."""
+    path = _permissive_fixture(spark, sf_dir)
+    df = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, event_type string,"
+            " value double"
+        )
+        .option("header", "true")
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("user_id").isNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_bad"),
+        (
+            F.sum(
+                F.when(
+                    F.col("user_id").isNotNull(),
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).cast("double")
+            / 100
+        ).alias("good_value_total"),
+    )
+
+
+_PERMISSIVE_CACHE: dict = {}
+
+
+def _permissive_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Write a single CSV of events where every 100th row (1-indexed
+    in event_id order) is corrupted (replaced by an unparseable
+    line) — deterministic, cached per sf."""
+    import os
+    import tempfile
+
+    if sf_dir in _PERMISSIVE_CACHE:
+        return _PERMISSIVE_CACHE[sf_dir]
+    rows = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "value")
+        .orderBy("event_id")
+        .collect()
+    )
+    d = tempfile.mkdtemp(prefix="dms_badcsv_")
+    path = os.path.join(d, "events_dirty.csv")
+    with open(path, "w") as f:
+        f.write("event_id,user_id,event_type,value\n")
+        for i, r in enumerate(rows):
+            if i % 100 == 99:
+                f.write("CORRUPT\n")
+            else:
+                f.write(
+                    f"{r['event_id']},{r['user_id']},"
+                    f"{r['event_type']},{r['value']!r}\n"
+                )
+    _PERMISSIVE_CACHE[sf_dir] = path
+    return path
