@@ -343,3 +343,51 @@ def test_rolling_corr_single_exchange(spark, sf_dir):
     tree = plan.split("\n\n(1)")[0]
     assert tree.count("Exchange") == 1, tree
     assert "Window" in tree
+
+
+def _tree(plan: str) -> str:
+    """The plan tree section only (node list before the per-node
+    details, where each operator name appears exactly once)."""
+    return plan.split("\n\n(1)")[0]
+
+
+def test_bloom_reduced_is_semi_probe_chain(spark, sf_dir):
+    """join_bloom_reduced's reduction must compile to three broadcast
+    LeftSemi probes on the bit-position table (never a nested loop),
+    with the dimension filter pushed into the orders scan."""
+    plan = plan_of(spark, "join_bloom_reduced", sf_dir)
+    tree = _tree(plan)
+    assert tree.count("BroadcastHashJoin LeftSemi") == 3, tree
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan
+    assert "o_totalprice" in plan.split("PushedFilters: [", 1)[1]
+
+
+def test_interval_overlap_is_equi_on_bucket(spark, sf_dir):
+    """The binned interval-overlap join must meet on the bucket equi
+    key — a hash join, not the CartesianProduct the naive interval
+    theta join would plan."""
+    plan = plan_of(spark, "join_interval_overlap", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_nearest_single_exchange(spark, sf_dir):
+    """Both framed passes of the nearest-asof rewrite must share ONE
+    shuffle on user_id — stacking the backward and forward windows
+    may not introduce a second Exchange over the union."""
+    tree = _tree(plan_of(spark, "join_asof_nearest", sf_dir))
+    # exchanges: the view pre-dedup agg + ONE union-window shuffle;
+    # all six framed expressions stack over a single Sort (no
+    # per-window re-shuffle)
+    assert tree.count("Exchange") == 2, tree
+    assert tree.count("Sort") == 1, tree
+
+
+def test_hampel_single_window_exchange(spark, sf_dir):
+    """The Hampel filter's median and MAD come from the SAME sorted
+    frame: one Window node (two exchanges total: the daily rollup on
+    (type, day), then the window repartition on type)."""
+    tree = _tree(plan_of(spark, "win_hampel_filter", sf_dir))
+    assert tree.count("Window") == 1, tree
+    assert tree.count("Exchange") == 2, tree
