@@ -1480,3 +1480,96 @@ def agg_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+@query(
+    "agg_mutual_info",
+    oracle="""
+WITH joint AS (
+  SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
+         COUNT(*) AS n_ab
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(n_ab) AS BIGINT) AS n FROM joint
+), ma AS (
+  SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM joint GROUP BY a
+), mb AS (
+  SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM joint GROUP BY b
+)
+SELECT j.a AS event_type, j.b AS hour, j.n_ab,
+       round((CAST(j.n_ab AS DOUBLE) / n)
+             * ln((CAST(j.n_ab AS DOUBLE) * n)
+                  / (CAST(n_a AS DOUBLE) * n_b)), 9) AS mi_term
+FROM joint j JOIN tot ON TRUE
+JOIN ma ON ma.a = j.a
+JOIN mb ON mb.b = j.b
+""",
+)
+def agg_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and hour of day,
+    emitted per contingency CELL (p_ab * ln(p_ab / (p_a * p_b))) —
+    the feature-selection statistic, kept order-free by the same
+    per-cell discipline as agg_chi2_cells: summing the terms is the
+    caller's (order-sensitive) business, the engine ships exact
+    cell values. All ratios exact-integer quotients; ln on identical
+    doubles. The contingency table is |types| x 24 regardless of
+    corpus size — one partial+final agg plus two tiny margin joins.
+    mi_term rounds to 9 dp: Java's Math.log and libm disagree by one
+    ulp on some inputs (observed at sf0.01), the same policy
+    tfidf/quality_bigram_logprob use for ln-valued outputs."""
+    ev = load(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.hour("ts").cast("bigint").alias("b"),
+    ).agg(F.count(F.lit(1)).alias("n_ab"))
+    tot = joint.agg(F.sum("n_ab").cast("bigint").alias("n"))
+    ma = joint.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    mb = joint.groupBy("b").agg(F.sum("n_ab").cast("bigint").alias("n_b"))
+    j = (
+        joint.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ma), "a")
+        .join(F.broadcast(mb), "b")
+    )
+    p_ab = F.col("n_ab").cast("double") / F.col("n")
+    return j.select(
+        F.col("a").alias("event_type"),
+        F.col("b").alias("hour"),
+        "n_ab",
+        F.round(
+            p_ab
+            * F.log(
+                (F.col("n_ab").cast("double") * F.col("n"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ),
+            9,
+        ).alias("mi_term"),
+    )
+
+@query(
+    "agg_percentile_disc",
+    oracle="""
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS p25_disc,
+       quantile_disc(l_extendedprice, 0.50) AS p50_disc,
+       quantile_disc(l_extendedprice, 0.75) AS p75_disc,
+       quantile_disc(l_extendedprice, 0.99) AS p99_disc
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCRETE percentiles (percentile_disc semantics: the smallest
+    ACTUAL value whose cumulative share >= p — an order statistic,
+    never an interpolated synthetic) next to agg_percentile's
+    continuous form. Discrete quantiles are what SLO/latency
+    reporting wants: the returned number really happened. Exact
+    match is trivially stable — both engines return the identical
+    stored double."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.expr(
+                f"percentile_disc({p}) WITHIN GROUP"
+                " (ORDER BY l_extendedprice)"
+            ).alias(f"p{int(p * 100)}_disc")
+            for p in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )

@@ -476,3 +476,37 @@ def feat_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_winsorized"),
         clipped.alias("clipped"),
     )
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+SELECT event_type AS feed,
+       MAX(ts) AS latest_ts,
+       CAST((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+             - epoch_us(MAX(ts))) / 3600000000.0 AS DOUBLE)
+         AS staleness_hours,
+       (epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+        - epoch_us(MAX(ts))) / 3600000000.0 <= 24.0 AS within_sla,
+       COUNT(*) AS n_rows
+FROM events GROUP BY event_type
+""",
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit — the first page of every pipeline
+    dashboard: per feed (event type), the latest landed timestamp,
+    staleness versus the 2024-01-31 reference instant in hours
+    (exact integer microseconds over a float constant — identical
+    arithmetic both engines), and the 24-hour SLA verdict. One
+    partial+final MAX/COUNT aggregate; the scan never re-reads for
+    the audit."""
+    ev = load(spark, sf_dir, "events")
+    anchor = (
+        "timestampdiff(MICROSECOND, MAX(ts),"
+        " TIMESTAMP_NTZ'2024-01-31 00:00:00')"
+    )
+    return ev.groupBy(F.col("event_type").alias("feed")).agg(
+        F.max("ts").alias("latest_ts"),
+        (F.expr(anchor) / 3600000000.0).alias("staleness_hours"),
+        (F.expr(anchor) / 3600000000.0 <= 24.0).alias("within_sla"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

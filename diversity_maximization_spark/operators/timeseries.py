@@ -684,3 +684,89 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         (F.col("detrended") - F.col("seasonal")).alias("residual"),
     )
+
+@query(
+    "ts_acf",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT a.c AS x, b.c AS y, l.lag
+  FROM daily a
+  JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s,
+         CAST(SUM(c * c) AS DOUBLE) AS ss
+  FROM daily
+)
+SELECT lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       (CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE)
+          - COUNT(*) * (s / n) * (s / n))
+         / (ss - n * (s / n) * (s / n)) AS acf
+FROM lagged, stats
+GROUP BY lag, n, s, ss
+""",
+)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7 — the
+    seasonality detector run before choosing window widths: ACF(k) =
+    (sum(x_t * x_{t+k}) - m * mean^2) / (ss - n * mean^2) with every
+    sum an EXACT integer (HUGEINT / DECIMAL(38) for the cross
+    products) and one double expression at the end, identical text
+    both engines. Lag pairs come from a calendar-shifted equi-join
+    on the O(days) rollup (LAG would mis-pair across gaps); the
+    global moments are a broadcast scalar."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("c")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        (
+            F.col("day")
+            + F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)")
+        ).alias("day"),
+        F.col("c").alias("x"),
+        "lag",
+    )
+    pairs = shifted.join(
+        daily.select("day", F.col("c").alias("y")), "day"
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("ss"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("lag", "n", "s", "ss")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.col("x").cast("decimal(38,0)") * F.col("y")
+            ).cast("double").alias("sxy"),
+        )
+        .select(
+            "lag",
+            "n_pairs",
+            (
+                (
+                    F.col("sxy")
+                    - F.col("n_pairs")
+                    * (F.col("s") / F.col("n"))
+                    * (F.col("s") / F.col("n"))
+                )
+                / (
+                    F.col("ss")
+                    - F.col("n")
+                    * (F.col("s") / F.col("n"))
+                    * (F.col("s") / F.col("n"))
+                )
+            ).alias("acf"),
+        )
+    )

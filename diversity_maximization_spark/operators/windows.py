@@ -702,3 +702,37 @@ def hampel_filter(
             F.lit(False),
         ).alias("is_outlier"),
     )
+
+@query(
+    "win_nth_value",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice,
+       nth_value(o_totalprice, 3) OVER w AS third_highest,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nth_value over the full partition frame — the 'third-highest
+    order per customer' ask that rank+filter answers clumsily;
+    NULL where the customer has fewer than n orders. Unbounded
+    frame + unique tie-break keeps every engine's answer
+    identical."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.nth_value("o_totalprice", 3).over(w).alias("third_highest"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )

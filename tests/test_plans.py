@@ -167,9 +167,12 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         "tpch_q11", "tpch_q22", "agg_having",
         # intentional tiny cross: 5 event types x generated hour grid
         "ts_gapfill_locf", "ts_resample_interp",
+        # intentional tiny cross: 7-row lag grid + 1-row moment scalar
+        "ts_acf",
         # broadcast-scalar crosses (1-row / grid-sized side):
         # two-arm stats row, margins-x-grand totals
-        "agg_ttest_welch", "agg_chi2_cells",
+        "agg_ttest_welch", "agg_chi2_cells", "agg_mutual_info",
+        "ts_stl_decompose",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
