@@ -446,3 +446,57 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flesch_ease"),
         )
     )
+
+@query(
+    "text_sentence_split",
+    oracle="""
+WITH sents AS (
+  SELECT doc_id,
+         list_transform(
+           regexp_extract_all(text, '[^.!?]+[.!?]*'),
+           s -> trim(s)) AS ss
+  FROM documents
+)
+, idx AS (
+  SELECT doc_id, ss,
+         unnest(generate_series(1, len(ss))) AS i
+  FROM sents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS sent_idx,
+       ss[i] AS sentence,
+       CAST(len(regexp_extract_all(ss[i], '[A-Za-z]+')) AS INT)
+         AS n_words
+FROM idx
+WHERE ss[i] <> ''
+""",
+)
+def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation — the unit-of-work splitter upstream of
+    chunking/embedding: terminator-delimited runs extracted with a
+    lookbehind-free character-class regex (RE2 and Java regex agree),
+    trimmed, empties dropped, emitted with a per-doc sentence index
+    and word count. posexplode keeps the index without a window;
+    pure narrow map over the corpus scan."""
+    docs = load(spark, sf_dir, "documents")
+    sents = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(regexp_extract_all(text, '[^.!?]+[.!?]*', 0),"
+            " s -> trim(s))"
+        ).alias("ss"),
+    )
+    return (
+        sents.select(
+            "doc_id", F.posexplode("ss").alias("pos", "sentence")
+        )
+        .filter(F.col("sentence") != "")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("int").alias("sent_idx"),
+            "sentence",
+            F.size(
+                F.expr("regexp_extract_all(sentence, '[A-Za-z]+', 0)")
+            ).alias("n_words"),
+        )
+    )

@@ -1573,3 +1573,50 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (0.25, 0.50, 0.75, 0.99)
         ]
     )
+
+@query(
+    "agg_approx_quantile_eval",
+    oracle="""
+SELECT CAST(0.5 AS DOUBLE) AS p, quantile_cont(o_totalprice, 0.5) AS exact_val,
+       TRUE AS est_ok FROM orders
+UNION ALL
+SELECT CAST(0.9 AS DOUBLE), quantile_cont(o_totalprice, 0.9), TRUE FROM orders
+UNION ALL
+SELECT CAST(0.99 AS DOUBLE), quantile_cont(o_totalprice, 0.99), TRUE FROM orders
+""",
+)
+def agg_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy gate for the approximate-quantile path — the report
+    that justifies replacing an exact sort with a sketch at 100 TB:
+    approx_percentile(accuracy=10000) against the exact interpolated
+    quantile, per percentile, with a 1%-relative-error verdict. The
+    oracle returns exact + TRUE (the sketch estimate is
+    engine-specific — the same formulation sketch_hll_merge uses);
+    a failing flag would hash-mismatch, so the driver gate enforces
+    the tolerance."""
+    o = load(spark, sf_dir, "orders")
+    rows = []
+    for p in (0.5, 0.9, 0.99):
+        rows.append(
+            o.agg(
+                F.lit(p).alias("p"),
+                F.expr(f"percentile(o_totalprice, {p})").alias(
+                    "exact_val"
+                ),
+                F.expr(
+                    f"approx_percentile(o_totalprice, {p}, 10000)"
+                ).alias("est"),
+            )
+        )
+    u = rows[0]
+    for r in rows[1:]:
+        u = u.unionByName(r)
+    return u.select(
+        "p",
+        "exact_val",
+        (
+            F.abs(F.col("est") - F.col("exact_val"))
+            / F.abs(F.col("exact_val"))
+            <= 0.01
+        ).alias("est_ok"),
+    )

@@ -730,3 +730,55 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             jw_udf("name_a", "name_b").alias("jw"),
         )
     )
+
+@query(
+    "fn_map",
+    oracle="""
+WITH m AS (
+  SELECT event_id,
+         MAP {'type': event_type,
+              'user': CAST(user_id AS VARCHAR),
+              'cents': CAST(CAST(ROUND(value * 100) AS BIGINT)
+                            AS VARCHAR)} AS props_map
+  FROM events
+)
+SELECT event_id,
+       CAST(cardinality(props_map) AS INT) AS n_keys,
+       array_to_string(list_sort(map_keys(props_map)), ',') AS keys_sorted,
+       (props_map['type'])[1] AS type_val,
+       CAST(list_contains(map_keys(props_map), 'cents') AS BOOLEAN)
+         AS has_cents
+FROM m
+""",
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column surface: build a string map per event
+    (map_from constructor), then cardinality, sorted key list
+    (serialized — the driver canonicalizer can't hash map cells),
+    value access by key, and key membership. Narrow
+    whole-stage-codegen'd map expressions; the map type is how
+    semi-structured per-row properties travel when a fixed schema
+    can't."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.select(
+        "event_id",
+        F.create_map(
+            F.lit("type"),
+            F.col("event_type"),
+            F.lit("user"),
+            F.col("user_id").cast("string"),
+            F.lit("cents"),
+            F.expr("CAST(CAST(ROUND(value * 100) AS BIGINT) AS STRING)"),
+        ).alias("props_map"),
+    )
+    return m.select(
+        "event_id",
+        F.size("props_map").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys("props_map")), ",").alias(
+            "keys_sorted"
+        ),
+        F.col("props_map").getItem("type").alias("type_val"),
+        F.array_contains(F.map_keys("props_map"), "cents").alias(
+            "has_cents"
+        ),
+    )
