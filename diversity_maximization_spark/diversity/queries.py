@@ -369,3 +369,84 @@ def div_coreset_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.select(
         "part", "vec_id", "label", "center_rank", "weight",
     )
+
+def kcenter_with_outliers(
+    X, w, k: int, z_weight: float
+):
+    """Weighted k-center with outliers on a (small) coreset, solved
+    exactly over the candidate-radius grid: for each candidate r
+    (a pairwise coreset distance, ascending), greedily pick the
+    point whose radius-r disk covers the most uncovered WEIGHT
+    (ties -> lowest index), k times; r is feasible when the
+    uncovered weight is <= z_weight. Returns (center_idx, radius,
+    excluded_weight) for the smallest r the binary search certifies
+    feasible — every returned solution is VERIFIED (disks re-checked
+    against the weight budget), so the guarantee is unconditional
+    even where greedy feasibility is not perfectly monotone in r. O(|C|^3 log |C|)
+    on the driver — the coreset bounds |C|, which is exactly the
+    composable-coreset contract: heavy lifting distributed, robust
+    finish sequential on a provably small summary.
+
+    This is the center-based-clustering-with-outliers extension of
+    the reference's coreset lifecycle (the follow-up line to
+    SURVEY.md §2.1's MapReduce coreset): planted far-away junk must
+    not dictate the radius."""
+    import numpy as np
+
+    from . import kernel as K
+
+    D = K.pairwise_l2(X)
+    cands = np.unique(D)
+    lo, hi = 0, len(cands) - 1
+    best = None
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        r = cands[mid]
+        covered = np.zeros(len(X), dtype=bool)
+        centers = []
+        for _ in range(k):
+            gain = ((D <= r) & ~covered[None, :]) @ w
+            c = int(gain.argmax())
+            centers.append(c)
+            covered |= D[c] <= r
+        excluded = float(w[~covered].sum())
+        if excluded <= z_weight:
+            best = (centers, float(r), excluded)
+            hi = mid - 1
+        else:
+            lo = mid + 1
+    assert best is not None  # r = max distance always covers all
+    return best
+
+
+@query("div_kcenter_outliers")  # rows-only: greedy/coreset-specific
+def div_kcenter_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust k-center (k=8) over the embeddings via the standard
+    two-stage scale shape: distributed weighted MR coreset, then the
+    exact greedy radius search of ``kcenter_with_outliers`` on the
+    driver with an outlier budget of 2% of total weight. Emits the
+    chosen centers with the robust radius and excluded weight —
+    compare div_gmm, whose radius a single far-away point can
+    dictate."""
+    from .coreset import collect_coreset, mr_coreset
+
+    e = load(spark, sf_dir, "embeddings")
+    ids, labels, X, w = collect_coreset(mr_coreset(e, p=4, kprime=32))
+    centers, radius, excluded = kcenter_with_outliers(
+        X, w, k=8, z_weight=0.02 * float(w.sum())
+    )
+    rows = [
+        (
+            int(rank),
+            int(ids[c]),
+            int(labels[c]),
+            round(radius, 6),
+            round(excluded, 6),
+        )
+        for rank, c in enumerate(centers)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, vec_id bigint, label int, robust_radius double,"
+        " excluded_weight double",
+    )

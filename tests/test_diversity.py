@@ -397,3 +397,34 @@ def test_tree_coreset_composition_invariants(spark, sf_dir):
         "dist_to_center", tree["weight"] * 0.0
     ).withColumn("is_kernel", tree["weight"] * 0 + 1))
     assert tree_val >= 0.3 * flat_val
+
+
+def test_kcenter_outliers_ignores_planted_junk():
+    """Planted far-away outliers must not dictate the robust radius:
+    with a budget covering them the radius stays at cluster scale,
+    and the excluded weight is exactly the junk weight; with z=0 the
+    radius is forced out to the junk."""
+    import numpy as np
+
+    from diversity_maximization_spark.diversity.queries import (
+        kcenter_with_outliers,
+    )
+
+    rng = np.random.default_rng(7)
+    clusters = np.concatenate(
+        [rng.normal(c, 0.1, size=(30, 2)) for c in ((0, 0), (5, 5), (9, 0))]
+    )
+    junk = np.array([[100.0, 100.0], [-80.0, 50.0]])
+    X = np.concatenate([clusters, junk])
+    w = np.ones(len(X))
+
+    centers, r, excluded = kcenter_with_outliers(X, w, k=3, z_weight=2.0)
+    assert r < 1.0, r                      # cluster-scale radius
+    assert excluded == 2.0                 # exactly the junk
+    assert len(set(centers)) == 3
+
+    _, r0, ex0 = kcenter_with_outliers(X, w, k=3, z_weight=0.0)
+    # without a budget the junk must be covered: two centers burn on
+    # junk and one must span all three clusters -> radius inflates
+    # by an order of magnitude over the robust solution
+    assert r0 > 5 * r and ex0 == 0.0
