@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load
@@ -387,4 +388,67 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(jac >= 0.2)
         .select("u", "v", "n_common", jac.alias("jaccard"))
+    )
+
+LPA_ROUNDS = 5
+
+
+@query("graph_lpa_communities")  # rows-only: iterative fixed-round
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    part co-purchase graph, made fully deterministic: every vertex
+    starts as its own label; each of LPA_ROUNDS rounds every vertex
+    simultaneously adopts its neighborhood's most frequent label
+    (ties -> smallest label; a vertex with no neighbors keeps its
+    own). Each round is ONE shuffle of the directed edge list joined
+    to the current labels plus a per-vertex arg-max window — the
+    same bounded-rounds iterative-join discipline as pointer jumping
+    and k-core, lineage kept flat with localCheckpoint. Output:
+    (node, community, community_size). Exactness pinned against a
+    pure-python synchronous replay in tests."""
+    edges = _copurchase_edges(spark, sf_dir)
+    directed = (
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        directed.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(LPA_ROUNDS):
+        nbr = directed.join(
+            labels.withColumnRenamed("node", "dst").withColumnRenamed(
+                "lbl", "nbr_lbl"
+            ),
+            "dst",
+        )
+        counts = nbr.groupBy(
+            F.col("src").alias("node"), F.col("nbr_lbl")
+        ).agg(F.count(F.lit(1)).alias("n"))
+        w = Window.partitionBy("node").orderBy(
+            F.col("n").desc(), F.col("nbr_lbl")
+        )
+        winner = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", F.col("nbr_lbl").alias("new_lbl"))
+        )
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_lbl", "lbl").alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return labels.join(sizes, "lbl").select(
+        "node",
+        F.col("lbl").alias("community"),
+        "community_size",
     )

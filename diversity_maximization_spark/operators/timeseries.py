@@ -770,3 +770,80 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
     )
+
+LTTB_BUCKETS = 50
+
+
+def lttb_indices(x, y, n_out: int):
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson '13):
+    keep endpoints; for each interior bucket keep the point forming
+    the largest triangle with the PREVIOUSLY kept point and the NEXT
+    bucket's centroid. Pure numpy, deterministic (ties -> first
+    argmax). Returns ascending indices into x/y."""
+    import numpy as np
+
+    n = len(x)
+    if n_out >= n or n_out < 3:
+        return list(range(n))
+    kept = [0]
+    bounds = [
+        1 + int(round(i * (n - 2) / (n_out - 2)))
+        for i in range(n_out - 1)
+    ]
+    bounds[-1] = n - 1
+    for b in range(n_out - 2):
+        lo, hi = bounds[b], bounds[b + 1]
+        nlo, nhi = bounds[b + 1], (
+            n if b + 2 >= n_out - 1 else bounds[b + 2]
+        )
+        cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+        ax, ay = x[kept[-1]], y[kept[-1]]
+        seg_x, seg_y = x[lo:hi], y[lo:hi]
+        area = np.abs(
+            (ax - cx) * (seg_y - ay) - (ax - seg_x) * (ay - cy)
+        )
+        kept.append(lo + int(area.argmax()))
+    kept.append(n - 1)
+    return kept
+
+
+@query("ts_downsample_lttb")  # rows-only: greedy geometric selection
+def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB chart downsampling per event-type series: each hourly
+    revenue series (~720 points) reduces to LTTB_BUCKETS visually
+    faithful points — the standard dashboard decimation that
+    preserves spikes a stride sample would miss. One shuffle by
+    series key, then an Arrow-batched per-series numpy kernel
+    (sequential by construction — LTTB chains off the previously
+    kept point); endpoints always survive. Pinned against a direct
+    numpy replay in tests."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.sum(F.expr(cents("value"))).alias("c"))
+
+    def ds(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("h").reset_index(drop=True)
+        x = pdf["h"].astype("int64").to_numpy().astype(np.float64)
+        y = pdf["c"].to_numpy().astype(np.float64)
+        idx = lttb_indices(x, y, LTTB_BUCKETS)
+        out = pdf.iloc[idx][["event_type", "h", "c"]].copy()
+        out["pos"] = range(len(idx))
+        return out
+
+    return (
+        hourly.groupBy("event_type")
+        .applyInPandas(
+            ds, "event_type string, h timestamp_ntz, c bigint, pos int"
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("hour"),
+            (F.col("c").cast("double") / 100).alias("revenue"),
+            "pos",
+        )
+    )

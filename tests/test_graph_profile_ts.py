@@ -122,3 +122,83 @@ def test_kcore_matches_local_peeling(spark, sf_dir):
     assert got == want
     # every member really has core degree >= k
     assert all(d >= KCORE_K for d in got.values()) or not got
+
+
+def test_lpa_matches_python_replay(spark, sf_dir):
+    """graph_lpa_communities must equal a pure-python synchronous
+    replay of the same deterministic rule (most frequent neighbor
+    label, ties to smallest, LPA_ROUNDS rounds) on the same edges."""
+    from collections import Counter
+
+    from diversity_maximization_spark.operators.graph import (
+        LPA_ROUNDS,
+        _copurchase_edges,
+    )
+    from diversity_maximization_spark.registry import QUERIES
+
+    edges = [
+        (r["u"], r["v"])
+        for r in _copurchase_edges(spark, sf_dir).collect()
+    ]
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    lbl = {n: n for n in adj}
+    for _ in range(LPA_ROUNDS):
+        new = {}
+        for n, nbrs in adj.items():
+            c = Counter(lbl[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lbl = new
+    got = {
+        r["node"]: r["community"]
+        for r in QUERIES["graph_lpa_communities"](spark, sf_dir).collect()
+    }
+    assert got == lbl
+
+
+def test_lttb_matches_numpy_replay(spark, sf_dir):
+    """ts_downsample_lttb must equal a direct numpy replay per series
+    (same bucket bounds, same tie-to-first argmax) and keep both
+    endpoints."""
+    import numpy as np
+
+    from diversity_maximization_spark.operators.timeseries import (
+        LTTB_BUCKETS,
+        lttb_indices,
+    )
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.sum(
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+            ).alias("c")
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in hourly:
+        series.setdefault(r["event_type"], []).append((r["h"], r["c"]))
+    got: dict = {}
+    for r in QUERIES["ts_downsample_lttb"](spark, sf_dir).collect():
+        got.setdefault(r["event_type"], []).append(
+            (r["pos"], r["hour"], r["revenue"])
+        )
+    for et, pts in series.items():
+        pts.sort()
+        x = np.array([p[0].timestamp() for p in pts]) * 1e6
+        y = np.array([p[1] for p in pts], dtype=np.float64)
+        idx = lttb_indices(x, y, LTTB_BUCKETS)
+        want = [
+            (i, pts[j][0], pts[j][1] / 100.0)
+            for i, j in enumerate(idx)
+        ]
+        assert sorted(got[et]) == want, et
+        assert idx[0] == 0 and idx[-1] == len(pts) - 1
