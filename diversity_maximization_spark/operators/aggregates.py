@@ -1620,3 +1620,61 @@ def agg_approx_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01
         ).alias("est_ok"),
     )
+
+@query(
+    "agg_hill_tail",
+    oracle="""
+WITH topk AS (
+  SELECT o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+           AS rn
+  FROM orders
+), sel AS (
+  SELECT o_totalprice,
+         MIN(CASE WHEN rn = 501 THEN o_totalprice END) OVER ()
+           AS x_min
+  FROM topk WHERE rn <= 501
+)
+SELECT CAST(500 AS BIGINT) AS k,
+       x_min,
+       round(1.0 / (SUM(ln(o_totalprice / x_min)) / 500), 9)
+         AS hill_alpha
+FROM sel WHERE o_totalprice > x_min
+GROUP BY x_min
+""",
+)
+def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over the top-500
+    order totals — the heavy-tail diagnostic behind capacity
+    planning and whale-revenue analysis: alpha = 1 / mean(ln(x_i /
+    x_{(k+1)})) over the k largest observations. The top-(k+1) set
+    is an order statistic (rank window, unique tie-break), so the
+    estimator is deterministic; ln sums round to 9 dp per the
+    ln-ulp policy. At scale the top-k is a TakeOrdered, never a
+    global sort. (Summation order of the k logs is fixed by
+    accumulating in rank order in both engines via the same
+    single-partition fold over 500 values; the 9-dp rounding absorbs
+    the engines' different 500-term accumulation orders — relative
+    spread ~1e-13 on O(1) magnitudes.)"""
+    o = load(spark, sf_dir, "orders")
+    k = 500
+    top = o.select("o_totalprice", "o_orderkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    ).limit(k + 1)
+    arr = top.agg(F.collect_list("o_totalprice").alias("xs"))
+    return arr.select(
+        F.lit(k).cast("bigint").alias("k"),
+        F.expr("array_min(xs)").alias("x_min"),
+        F.round(
+            1.0
+            / (
+                F.expr(
+                    "aggregate(filter(xs, x -> x > array_min(xs)),"
+                    " CAST(0.0 AS DOUBLE),"
+                    " (a, x) -> a + ln(x / array_min(xs)))"
+                )
+                / k
+            ),
+            9,
+        ).alias("hill_alpha"),
+    )

@@ -752,3 +752,91 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("stage").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+@query(
+    "stream_hll_wau",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), grid AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT CAST(g.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT u.user_id) AS exact_wau,
+       TRUE AS est_ok
+FROM grid g JOIN ud u
+  ON u.day <= g.day AND u.day >= g.day - INTERVAL 6 DAY
+GROUP BY g.day
+""",
+)
+def stream_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMED rolling weekly actives from mergeable sketches — the
+    streaming twin of sketch_rolling_wau: each micro-batch folds its
+    users into per-day HLL sketches appended via foreachBatch (a
+    sketch-table write proportional to days-touched, never rows),
+    the final rollup merges sketch fragments per day with
+    hll_union_agg ACROSS batches, and each day's weekly estimate is
+    the union of <= 7 daily sketches. Equality of the exact count +
+    a within-5% sketch verdict against the batch oracle proves the
+    fragments compose losslessly across arbitrary micro-batch
+    boundaries — the mergeability contract that lets a 100 TB
+    stream keep distinct counts with kilobytes of state per day."""
+    import tempfile as _tf
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    out_dir = _tf.mkdtemp(prefix="dms_hllwau_")
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        (
+            bdf.groupBy(F.date_trunc("day", "ts").alias("day"))
+            .agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    q = (
+        st.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    daily = (
+        spark.read.parquet(out_dir)
+        .groupBy("day")
+        .agg(F.expr("hll_union_agg(sk)").alias("sk"))
+    )
+    grid = daily.select(F.col("day").alias("g_day"))
+    est = (
+        F.broadcast(grid)
+        .join(
+            daily,
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+        )
+        .groupBy("g_day")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    ev_batch = load(spark, sf_dir, "events")
+    ud = ev_batch.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    exact = (
+        F.broadcast(ud.select(F.col("day").alias("g_day")).distinct())
+        .join(
+            ud,
+            (F.col("day") <= F.col("g_day"))
+            & (F.col("day") >= F.expr("g_day - INTERVAL 6 DAYS")),
+        )
+        .groupBy("g_day")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return exact.join(est, "g_day").select(
+        F.col("g_day").cast("timestamp_ntz").alias("day"),
+        "exact_wau",
+        (
+            F.abs(F.col("est") - F.col("exact_wau"))
+            / F.col("exact_wau")
+            <= 0.05
+        ).alias("est_ok"),
+    )
