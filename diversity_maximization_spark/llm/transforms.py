@@ -500,3 +500,88 @@ def text_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_words"),
         )
     )
+
+@query(
+    "text_boilerplate_strip",
+    oracle="""
+WITH sent AS (
+  SELECT doc_id, source,
+         unnest(list_transform(
+           regexp_extract_all(text, '[^.!?]+[.!?]*'),
+           s -> trim(s))) AS sentence
+  FROM documents
+), nonempty AS (
+  SELECT doc_id, source, sentence FROM sent WHERE sentence <> ''
+), df AS (
+  SELECT source, sentence,
+         COUNT(DISTINCT doc_id) AS n_docs_with
+  FROM nonempty GROUP BY source, sentence
+), src_sizes AS (
+  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+), flagged AS (
+  SELECT d.source, d.sentence,
+         CAST(d.n_docs_with AS DOUBLE) / s.n_docs >= 0.25
+           AS is_boiler
+  FROM df d JOIN src_sizes s USING (source)
+)
+SELECT n.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sentences,
+       CAST(SUM(CASE WHEN f.is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_boiler,
+       CAST(SUM(CASE WHEN f.is_boiler THEN 0 ELSE len(n.sentence) END)
+            AS BIGINT) AS kept_chars
+FROM nonempty n
+JOIN flagged f ON f.source = n.source AND f.sentence = n.sentence
+GROUP BY n.doc_id
+""",
+)
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal — the web-corpus cleaning pass that strips
+    repeated headers/footers: a sentence appearing in >= 25% of a
+    SOURCE's documents is boilerplate for that source; per document,
+    report sentence counts, flagged counts, and surviving characters.
+    The document-frequency table is the inverted index the dedup
+    family already relies on (explode -> distinct-doc counts ->
+    broadcast-back join); per-source normalization means a template
+    common on one site doesn't censor another. One explode shuffle +
+    one DF agg, both bounded by sentence cardinality."""
+    docs = load(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(regexp_extract_all(text, '[^.!?]+[.!?]*', 0),"
+                " s -> trim(s))"
+            )
+        ).alias("sentence"),
+    ).filter(F.col("sentence") != "")
+    df_tab = sent.groupBy("source", "sentence").agg(
+        F.countDistinct("doc_id").alias("n_docs_with")
+    )
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    flagged = df_tab.join(F.broadcast(sizes), "source").select(
+        "source",
+        "sentence",
+        (
+            F.col("n_docs_with").cast("double") / F.col("n_docs")
+            >= 0.25
+        ).alias("is_boiler"),
+    )
+    return (
+        sent.join(flagged, ["source", "sentence"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler"),
+            F.sum(
+                F.when(F.col("is_boiler"), 0).otherwise(
+                    F.length("sentence")
+                )
+            )
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )

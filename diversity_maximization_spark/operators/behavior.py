@@ -1002,3 +1002,89 @@ def km_curve(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
             "aggregate(fs, CAST(1.0 AS DOUBLE), (a, x) -> a * x)"
         ).alias("survival"),
     )
+
+@query(
+    "ltv_cohort_curve",
+    oracle="""
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+           AS cohort_week
+  FROM events GROUP BY user_id
+), sized AS (
+  SELECT cohort_week, COUNT(*) AS cohort_users FROM first GROUP BY 1
+), cells AS (
+  SELECT f.cohort_week,
+         CAST(date_diff('day', f.cohort_week,
+                        date_trunc('week', e.ts)) / 7 AS INT)
+           AS week_offset,
+         CAST(SUM(CASE WHEN e.event_type = 'purchase'
+                  THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS cents
+  FROM events e JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT c.cohort_week, c.week_offset, s.cohort_users,
+       CAST(SUM(c.cents) OVER (PARTITION BY c.cohort_week
+                               ORDER BY c.week_offset
+                               ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         / 100 / s.cohort_users AS cum_ltv_per_user
+FROM cells c JOIN sized s USING (cohort_week)
+""",
+)
+def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve — the revenue triangle every growth team
+    tracks: users cohorted by first-touch week, purchase revenue
+    bucketed by weeks-since-cohort, and the CUMULATIVE
+    revenue-per-cohort-user read off a running window over the tiny
+    (cohort x offset) cell table. Exact integer cents make the
+    cumulative sum order-free; the only windows run over O(weeks^2)
+    cells. Same first-touch chain as retention_cohort, so the two
+    reports share their heavy aggregation shape."""
+    ev = load(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    sized = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    cells = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")),
+                    F.col("cohort_week"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cells.join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "cohort_users",
+            (
+                F.sum("cents").over(w).cast("double")
+                / 100
+                / F.col("cohort_users")
+            ).alias("cum_ltv_per_user"),
+        )
+    )
