@@ -9,6 +9,8 @@ and schemas, not to do work SQL could do.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import math
 
 import numpy as np
@@ -231,3 +233,29 @@ def udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
         title_case("lang").alias("lang_title"),
         len_mod("text").alias("len_mod"),
     )
+
+@query(
+    "udf_iter_pandas",
+    oracle="""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) * 31 % 1000003 AS sig
+FROM documents
+""",
+)
+def udf_iter_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (Iterator[pd.Series] ->
+    Iterator[pd.Series]) — the UDF form for amortizing expensive
+    per-worker initialization (model load, dictionary mmap) across
+    every Arrow batch of a partition instead of paying it per batch:
+    the 'model' here is a deterministic constant pair loaded ONCE
+    per worker before the loop. Completes the pandas-UDF API surface
+    next to scalar, grouped-agg, grouped-map, and map-iterator
+    forms."""
+    @pandas_udf("bigint")
+    def sig_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        mult, mod = 31, 1000003  # "model" loaded once per worker
+        for s in it:
+            yield s.str.len().astype("int64") * mult % mod
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", sig_udf("text").alias("sig"))

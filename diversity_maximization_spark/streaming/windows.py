@@ -840,3 +840,77 @@ def stream_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_ok"),
     )
+
+@query(
+    "stream_late_metrics",
+    oracle="""
+WITH b AS (
+  SELECT date_trunc('hour', MAX(ts)) AS last_hour FROM events
+)
+SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_input,
+       CAST((SELECT COUNT(*) FROM events e, b WHERE e.ts < b.last_hour)
+            AS BIGINT) AS n_emitted,
+       CAST((SELECT COUNT(*) FROM events e, b WHERE e.ts >= b.last_hour)
+            AS BIGINT) AS n_open
+""",
+)
+def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-mode window-closure reconciliation under OUT-OF-ORDER
+    replay — the audit an on-call runs before trusting a streaming
+    table: engine-reported input rows (StreamingQueryProgress,
+    summed over batches) vs rows the sink actually emitted. The
+    first-hour slice is delivered LAST, after the watermark has
+    advanced a month past it; availableNow still flushes every
+    CLOSED window on wrap-up, so emitted = all rows except the final
+    still-open hour (watermark = max ts - 10 min never passes its
+    end), with nothing duplicated and nothing lost despite the
+    out-of-order delivery. The oracle predicts all three numbers
+    purely from the corpus, so the hash match pins this build's
+    exact semantics — including the one-batch watermark lag that
+    parks late rows in state instead of dropping them at ingestion
+    (a final flush then emits their closed windows)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load(spark, sf_dir, "events").orderBy("ts")
+    cutoff = ev.agg(F.expr("min(ts) + INTERVAL 1 HOUR")).collect()[0][0]
+    on_time = ev.filter(F.col("ts") > cutoff)
+    late = ev.filter(F.col("ts") <= cutoff)
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    replay = tempfile.mkdtemp(prefix="dms_latem_")
+
+    def add_file(part, idx):
+        d = tempfile.mkdtemp()
+        part.coalesce(1).write.mode("overwrite").parquet(d)
+        f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
+        dst = os.path.join(replay, f"{idx:04d}.parquet")
+        shutil.copy(os.path.join(d, f), dst)
+        os.utime(dst, (1_700_000_000 + 60 * idx,) * 2)
+        shutil.rmtree(d, ignore_errors=True)
+
+    add_file(on_time.select(*cols), 0)
+    add_file(late.select(*cols), 1)
+
+    st = stream_events(spark, replay)
+    agg = (
+        st.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = _fresh("latem")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_input = sum(p["numInputRows"] for p in q.recentProgress)
+    emitted = spark.table(name).agg(F.sum("cnt")).collect()[0][0] or 0
+    return spark.createDataFrame(
+        [(int(n_input), int(emitted), int(n_input - emitted))],
+        "n_input bigint, n_emitted bigint, n_open bigint",
+    )
