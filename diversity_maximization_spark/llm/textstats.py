@@ -868,3 +868,151 @@ def sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("k"))
         .select("doc_id", "source")
     )
+
+@query(
+    "quality_lm_heldout",
+    oracle=f"""
+WITH split AS (
+  SELECT doc_id, text, {_HASH_BUCKET} AS bucket FROM documents
+), bg AS (
+  SELECT doc_id, bucket, b.w1 AS w1, b.w2 AS w2 FROM (
+    SELECT doc_id, bucket,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+    FROM (SELECT doc_id, bucket, string_split(text, ' ') AS ws
+          FROM split))
+), train_bgc AS (
+  SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE bucket < 80
+  GROUP BY w1, w2
+), train_pre AS (
+  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM train_bgc GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT w2) AS v FROM train_bgc
+)
+SELECT t.doc_id, COUNT(*) AS n_bigrams,
+       round(SUM(ln((CAST(COALESCE(c.c2, 0) AS DOUBLE) + 1)
+                    / (CAST(COALESCE(p.c1, 0) AS DOUBLE) + v)))
+             / COUNT(*), 6) AS avg_logprob
+FROM bg t
+LEFT JOIN train_bgc c ON c.w1 = t.w1 AND c.w2 = t.w2
+LEFT JOIN train_pre p ON p.w1 = t.w1
+JOIN vocab ON TRUE
+WHERE t.bucket >= 90
+GROUP BY t.doc_id
+""",
+)
+def quality_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT language-model evaluation — the train/test hygiene
+    quality_bigram_logprob skips: bigram counts fit on the hash-split
+    train docs (bucket < 80) score the untouched test docs (bucket >=
+    90) with add-one smoothing over the train vocabulary, so unseen
+    bigrams cost ln(1/(c1+V)) instead of crashing the join. This is
+    the perplexity-proxy gate a data-mixing change must pass before
+    shipping. Counts exact; the ln-sum rounds to 6 dp (the
+    quality_bigram_logprob policy). Scale shape: one bigram explode,
+    two train-side aggregates, broadcast vocabulary scalar, sparse
+    left joins on the bigram key."""
+    d = load(spark, sf_dir, "documents").withColumn(
+        "bucket", F.expr(_HASH_BUCKET)
+    )
+    bg = (
+        d.select(
+            "doc_id", "bucket", F.split("text", " ").alias("ws")
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.posexplode(F.expr("slice(ws, 1, size(ws) - 1)")).alias(
+                "i", "w1"
+            ),
+            F.col("ws"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            "w1",
+            F.expr("ws[i + 1]").alias("w2"),
+        )
+    )
+    train = bg.filter(F.col("bucket") < 80)
+    bgc = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    pre = bgc.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = bgc.agg(F.countDistinct("w2").alias("v"))
+    test = bg.filter(F.col("bucket") >= 90)
+    scored = (
+        test.join(bgc, ["w1", "w2"], "left")
+        .join(pre, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    lp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)).cast("double") + 1)
+        / (F.coalesce(F.col("c1"), F.lit(0)).cast("double") + F.col("v"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum(lp) / F.count(F.lit(1)), 6).alias("avg_logprob"),
+    )
+
+@query(
+    "quality_zipf_fit",
+    oracle="""
+WITH wc AS (
+  SELECT w AS word, COUNT(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+), top AS (
+  SELECT word, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rank
+  FROM wc QUALIFY rank <= 100
+), pts AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(n AS DOUBLE)) AS y
+  FROM top
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       round((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)), 6)
+         AS zipf_slope,
+       round((SUM(y) - ((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+             / (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))) * SUM(x))
+             / COUNT(*), 6) AS intercept
+FROM pts
+""",
+)
+def quality_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit — the corpus-health fingerprint: OLS slope of
+    ln(frequency) on ln(rank) over the top-100 words (natural text
+    sits near -1; synthetic or template-heavy corpora flatten). The
+    top-100 is a TakeOrdered with a unique tie-break, the fit is the
+    closed form over six sums of 100 doubles, rounded to 6 dp per
+    the ln policy. A one-row gate cheap enough to run per ingest
+    batch."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "word")
+    top = (
+        wc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 100)
+    )
+    pts = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    slope = (
+        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+        - F.sum("x") * F.sum("y")
+    ) / (
+        F.count(F.lit(1)) * F.sum(F.col("x") * F.col("x"))
+        - F.sum("x") * F.sum("x")
+    )
+    return pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.sum("y") - slope * F.sum("x")) / F.count(F.lit(1)), 6
+        ).alias("intercept"),
+    )
