@@ -237,3 +237,59 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         ),
     )
+
+@query(
+    "plan_cache_reuse",
+    oracle="""
+WITH enriched AS (
+  SELECT o.o_custkey, c.c_mktsegment, o.o_totalprice
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment AS seg,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS total,
+       (SELECT COUNT(DISTINCT o_custkey) FROM enriched) AS n_buyers_all
+FROM enriched GROUP BY c_mktsegment
+""",
+)
+def plan_cache_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit intermediate caching — the dashboard pattern where
+    one expensive enrichment join feeds several reports: the joined
+    (order x customer) intermediate is .cache()d and BOTH consumers
+    (per-segment rollup + global distinct-buyer count) read the
+    InMemoryTableScan instead of re-running the join (pinned by a
+    plan test). At 100 TB this is the decision of materializing a
+    hot intermediate once per refresh instead of once per panel;
+    results are cache-independent — the oracle proves equality, the
+    plan proves reuse. The cache is unpersisted before returning so
+    a long-lived session doesn't pin it (ADVICE r02 discipline)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    enriched = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_custkey", "c_mktsegment", "o_totalprice")
+        .cache()
+    )
+    try:
+        buyers = enriched.select(
+            F.countDistinct("o_custkey").alias("n_buyers_all")
+        )
+        per_seg = enriched.groupBy(
+            F.col("c_mktsegment").alias("seg")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+                ).cast("double")
+                / 100
+            ).alias("total"),
+        )
+        out = per_seg.crossJoin(F.broadcast(buyers)).select(
+            "seg", "n", "total", "n_buyers_all"
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        enriched.unpersist()
+    return out

@@ -228,3 +228,46 @@ def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load(spark, sf_dir, "events").select("user_id")
     return o.exceptAll(e)
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+SELECT o_orderkey AS id, o_totalprice AS amount,
+       CAST(NULL AS VARCHAR) AS event_type, 'order' AS src
+FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT event_id AS id, value AS amount, event_type,
+       'event' AS src
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift union: two feeds with DIFFERENT columns combine
+    by NAME with missing columns NULL-backfilled
+    (unionByName(allowMissingColumns=True)) — the union a pipeline
+    actually needs when producers evolve independently, vs UNION
+    ALL's silent by-position mispairing. The oracle spells out the
+    aligned projection explicitly; matching proves the name-based
+    alignment puts every value in the right column."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("amount"),
+            F.lit("order").alias("src"),
+        )
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("id"),
+            F.col("value").alias("amount"),
+            "event_type",
+            F.lit("event").alias("src"),
+        )
+    )
+    return o.unionByName(e, allowMissingColumns=True).select(
+        "id", "amount", "event_type", "src"
+    )

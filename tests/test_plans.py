@@ -394,3 +394,32 @@ def test_hampel_single_window_exchange(spark, sf_dir):
     tree = _tree(plan_of(spark, "win_hampel_filter", sf_dir))
     assert tree.count("Window") == 1, tree
     assert tree.count("Exchange") == 2, tree
+
+
+def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
+    """Both consumers of plan_cache_reuse's cached enrichment must
+    read the InMemoryTableScan, not re-run the join."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.sources import load
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    enriched = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("o_custkey", "c_mktsegment", "o_totalprice")
+        .cache()
+    )
+    try:
+        enriched.count()  # materialize
+        for consumer in (
+            enriched.groupBy("c_mktsegment").count(),
+            enriched.select(F.countDistinct("o_custkey")),
+        ):
+            plan = consumer._sc._jvm.PythonSQLUtils.explainString(
+                consumer._jdf.queryExecution(), "formatted"
+            )
+            assert "InMemoryTableScan" in plan or "TableCacheQueryStage" in plan, plan
+            assert "SortMergeJoin" not in plan, plan
+    finally:
+        enriched.unpersist()
