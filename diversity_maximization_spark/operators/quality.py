@@ -510,3 +510,119 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr(anchor) / 3600000000.0 <= 24.0).alias("within_sla"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+@query(
+    "drift_psi",
+    oracle="""
+WITH base AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+), ref_day AS (
+  SELECT MIN(day) AS d0 FROM base
+), bounds AS (
+  SELECT quantile_disc(c, 0.1) AS b1, quantile_disc(c, 0.2) AS b2,
+         quantile_disc(c, 0.3) AS b3, quantile_disc(c, 0.4) AS b4,
+         quantile_disc(c, 0.5) AS b5, quantile_disc(c, 0.6) AS b6,
+         quantile_disc(c, 0.7) AS b7, quantile_disc(c, 0.8) AS b8,
+         quantile_disc(c, 0.9) AS b9
+  FROM base, ref_day WHERE day = d0
+), bucketed AS (
+  SELECT day,
+         1 + CAST(c > b1 AS INT) + CAST(c > b2 AS INT)
+           + CAST(c > b3 AS INT) + CAST(c > b4 AS INT)
+           + CAST(c > b5 AS INT) + CAST(c > b6 AS INT)
+           + CAST(c > b7 AS INT) + CAST(c > b8 AS INT)
+           + CAST(c > b9 AS INT) AS bucket
+  FROM base, bounds
+), cells AS (
+  SELECT day, bucket, COUNT(*) AS n FROM bucketed GROUP BY day, bucket
+), grid AS (
+  SELECT d.day, g.bucket,
+         COALESCE(c.n, 0) AS n,
+         CAST(SUM(COALESCE(c.n, 0)) OVER (PARTITION BY d.day)
+              AS BIGINT) AS day_total
+  FROM (SELECT DISTINCT day FROM cells) d
+  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS bucket) g
+  LEFT JOIN cells c ON c.day = d.day AND c.bucket = g.bucket
+), ref AS (
+  SELECT bucket, n AS rn, day_total AS rt
+  FROM grid, ref_day WHERE day = d0
+)
+SELECT g.day,
+       round(SUM(((CAST(g.n AS DOUBLE) + 1) / (g.day_total + 10)
+                  - (CAST(r.rn AS DOUBLE) + 1) / (r.rt + 10))
+                 * ln(((CAST(g.n AS DOUBLE) + 1) / (g.day_total + 10))
+                      / ((CAST(r.rn AS DOUBLE) + 1) / (r.rt + 10)))),
+             6) AS psi,
+       CAST(MAX(g.day_total) AS BIGINT) AS n_rows
+FROM grid g JOIN ref r USING (bucket)
+GROUP BY g.day
+""",
+)
+def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per day — the ML-ops drift gate
+    run before a model trained on yesterday's distribution serves
+    today's: the FIRST day's exact decile bounds (order statistics
+    on integer cents) bucket every day's values, and PSI =
+    sum((p - q) ln(p / q)) per day with add-one smoothing so empty
+    cells price in instead of exploding. Bounds are a 9-scalar
+    broadcast; each day collapses to 10 cells before any window;
+    ln rounds to 6 dp per the ln policy. PSI > 0.2 is the
+    conventional retrain trigger — day one scores 0 against itself
+    by construction."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    d0 = base.agg(F.min("day").alias("d0"))
+    bounds = (
+        base.join(F.broadcast(d0), base.day == d0.d0)
+        .agg(
+            *[
+                F.expr(
+                    f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY c)"
+                ).alias(f"b{i}")
+                for i in range(1, 10)
+            ]
+        )
+    )
+    bucket = F.lit(1)
+    for i in range(1, 10):
+        bucket = bucket + (F.col("c") > F.col(f"b{i}")).cast("int")
+    cells = (
+        base.crossJoin(F.broadcast(bounds))
+        .select("day", bucket.alias("bucket"))
+        .groupBy("day", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    days = cells.select("day").distinct()
+    grid_b = spark.range(1, 11).select(F.col("id").cast("int").alias("bucket"))
+    grid = (
+        days.crossJoin(F.broadcast(grid_b))
+        .join(cells, ["day", "bucket"], "left")
+        .select(
+            "day", "bucket", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    totals = grid.withColumn(
+        "day_total", F.sum("n").over(W.partitionBy("day"))
+    )
+    ref = (
+        totals.join(F.broadcast(d0), totals.day == d0.d0)
+        .select(
+            "bucket",
+            F.col("n").alias("rn"),
+            F.col("day_total").alias("rt"),
+        )
+    )
+    j = totals.join(F.broadcast(ref), "bucket")
+    p = (F.col("n").cast("double") + 1) / (F.col("day_total") + 10)
+    q = (F.col("rn").cast("double") + 1) / (F.col("rt") + 10)
+    return j.groupBy("day").agg(
+        F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
+        F.max("day_total").cast("bigint").alias("n_rows"),
+    )
