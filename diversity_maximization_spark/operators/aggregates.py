@@ -1678,3 +1678,76 @@ def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("hill_alpha"),
     )
+
+_RATIO_CI_FINAL = """
+SELECT grp, n,
+       sx / sy AS ratio,
+       sqrt(greatest(
+         ((sxx - sx * sx / n)
+          - 2 * (sx / sy) * (sxy - sx * sy / n)
+          + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+         / (n - 1), 0.0)) / (sy / n) / sqrt(n) AS se,
+       sx / sy - 1.959963984540054 *
+         (sqrt(greatest(
+           ((sxx - sx * sx / n)
+            - 2 * (sx / sy) * (sxy - sx * sy / n)
+            + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+           / (n - 1), 0.0)) / (sy / n) / sqrt(n)) AS ci_lo,
+       sx / sy + 1.959963984540054 *
+         (sqrt(greatest(
+           ((sxx - sx * sx / n)
+            - 2 * (sx / sy) * (sxy - sx * sy / n)
+            + (sx / sy) * (sx / sy) * (syy - sy * sy / n))
+           / (n - 1), 0.0)) / (sy / n) / sqrt(n)) AS ci_hi
+""".strip()
+
+
+@query(
+    "agg_ratio_delta_ci",
+    oracle=f"""
+WITH m AS (
+  SELECT l_returnflag AS grp,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS DOUBLE) AS syy,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * l_quantity) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+{_RATIO_CI_FINAL}
+FROM m
+""",
+)
+def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric
+    (revenue-cents per unit quantity, per return flag) — the
+    experimentation readout for per-user/per-session ratios where
+    the naive per-row mean is simply wrong: the ratio of sums is the
+    estimand and its sampling noise comes from the joint (x, y)
+    variation, se^2 = (var_x - 2 r cov + r^2 var_y) / (n ybar^2).
+    Six exact moment sums (HUGEINT / DECIMAL(38) where cents
+    products overflow int64) convert to double once; the CI
+    expression is a SHARED SQL fragment run verbatim by both
+    engines — bit-exact, no rounding."""
+    li = load(spark, sf_dir, "lineitem")
+    cy = cents("l_extendedprice")
+    q = "CAST(l_quantity AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    m = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({cy}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({q}) AS DOUBLE)").alias("sy"),
+        F.expr(
+            f"CAST(SUM(CAST({cy} AS {dec}) * {cy}) AS DOUBLE)"
+        ).alias("sxx"),
+        F.expr(f"CAST(SUM({q} * {q}) AS DOUBLE)").alias("syy"),
+        F.expr(
+            f"CAST(SUM(CAST({cy} AS {dec}) * l_quantity) AS DOUBLE)"
+        ).alias("sxy"),
+    )
+    m.createOrReplaceTempView("ratio_ci_m")
+    return spark.sql(f"{_RATIO_CI_FINAL}\nFROM ratio_ci_m")
