@@ -676,3 +676,73 @@ def balanced_sample(
         .filter(F.col("rn") <= F.col("k"))
         .drop("rn", "k")
     )
+
+
+def benford(df: DataFrame, value_col: str) -> DataFrame:
+    """First-digit Benford audit of any positive numeric column:
+    per-digit observed share, expected log10(1+1/d), and chi-square
+    contribution."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    d = df.filter(F.col(value_col) > 0).select(
+        F.floor(
+            F.col(value_col)
+            / F.pow(F.lit(10.0), F.floor(F.log10(value_col)))
+        )
+        .cast("bigint")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    w_all = W.orderBy("digit").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    tot = counts.select("digit", "n", F.sum("n").over(w_all).alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return tot.select(
+        "digit",
+        "n",
+        obs.alias("observed"),
+        exp.alias("expected"),
+        ((obs - exp) * (obs - exp) * F.col("total") / exp).alias(
+            "chi2_term"
+        ),
+    )
+
+
+def neighbor_jaccard(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_jaccard: float = 0.2,
+) -> DataFrame:
+    """Item-item collaborative similarity over any (basket, item)
+    co-occurrence table: inverted-index self-join on the basket key,
+    exact Jaccard of basket sets, thresholded."""
+    from pyspark.sql import functions as F
+
+    li = df.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    other = li.select("o", F.col("p").alias("q"))
+    common = (
+        li.join(other, "o")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    )
+    return (
+        common.join(
+            deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u"
+        )
+        .join(
+            deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v"
+        )
+        .filter(jac >= min_jaccard)
+        .select("u", "v", "n_common", jac.alias("jaccard"))
+    )
