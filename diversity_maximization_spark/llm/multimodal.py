@@ -548,3 +548,89 @@ def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         gen, "doc_id bigint, fingerprint bigint, dominant_band int, rms double"
     )
+
+VAD_FRAME = 50          # samples per frame (6.25 ms @ 8 kHz)
+VAD_THRESH_FRAC = 0.5   # active = frame RMS > frac * clip RMS
+
+
+def vad_segments(samples: list[int]) -> list[tuple[int, int, float]]:
+    """Energy-based voice-activity detection on 16-bit PCM: frame
+    RMS against a clip-relative threshold, consecutive active
+    frames merged into (start_frame, end_frame_exclusive, mean_rms)
+    segments. Deterministic pure-numpy; the relative threshold makes
+    it gain-invariant."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    n_frames = len(x) // VAD_FRAME
+    if n_frames == 0:
+        return []
+    frames = x[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME)
+    rms = np.sqrt((frames**2).mean(axis=1))
+    clip_rms = float(np.sqrt((x**2).mean())) or 1.0
+    active = rms > VAD_THRESH_FRAC * clip_rms
+    segs = []
+    start = None
+    for i, a in enumerate(active):
+        if a and start is None:
+            start = i
+        elif not a and start is not None:
+            segs.append((start, i, float(rms[start:i].mean())))
+            start = None
+    if start is not None:
+        segs.append(
+            (start, n_frames, float(rms[start:n_frames].mean()))
+        )
+    return segs
+
+
+@query("multimodal_audio_vad")  # rows-only: binary media pipeline
+def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity detection over the REAL WAV assets — the
+    speech-data curation step that decides which clips carry enough
+    signal to transcribe: per audio document, energy segments from
+    ``vad_segments`` (frame RMS vs a clip-relative threshold) give
+    segment count, active-frame fraction, and the loudest segment's
+    bounds. Arrow-batched mapInPandas next to the data — the same
+    no-shuffle no-driver plumbing as the other multimodal ops;
+    determinism pinned by a synthetic silence+tone test."""
+    import pandas as pd
+
+    d = with_media(load(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "audio/wav"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _n, _rate, samples = wav_decode(bytes(payload))
+                segs = vad_segments(samples)
+                n_frames = len(samples) // VAD_FRAME
+                active = sum(e - s for s, e, _ in segs)
+                loud = max(segs, key=lambda t: t[2], default=None)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(segs),
+                        round(active / n_frames, 6) if n_frames else 0.0,
+                        int(loud[0]) if loud else -1,
+                        int(loud[1]) if loud else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_segments",
+                    "active_frac",
+                    "loud_start",
+                    "loud_end",
+                ],
+            )
+
+    return d.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id bigint, n_segments int, active_frac double,"
+        " loud_start int, loud_end int",
+    )

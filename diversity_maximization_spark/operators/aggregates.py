@@ -1751,3 +1751,43 @@ def agg_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m.createOrReplaceTempView("ratio_ci_m")
     return spark.sql(f"{_RATIO_CI_FINAL}\nFROM ratio_ci_m")
+
+@query(
+    "agg_exact_median_distributed",
+    oracle="""
+SELECT median(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+         AS median_price,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+""",
+)
+def agg_exact_median_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT global median WITHOUT a single-partition sort — the
+    distributed-selection plan: global row numbers come from the
+    range-bucket machinery (plans/global_rank.py: quantile
+    boundaries, per-bucket offsets, Arrow-numbered buckets), then
+    the two middle order statistics are picked by rank and averaged.
+    A plain median() pulls every value through one task at 100 TB;
+    this shape touches each row once and sorts only within buckets.
+    Cents are exact integers, so the even-count midpoint is
+    deterministic IEEE in both engines."""
+    from ..plans.global_rank import with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
+        "o_orderkey",
+    )
+    numbered, n = with_global_row_number(
+        o, ["c", "o_orderkey"], out_col="rn"
+    )
+    lo, hi = (n + 1) // 2, n // 2 + 1
+    mids = numbered.filter(F.col("rn").isin(lo, hi))
+    return mids.agg(
+        (
+            (F.sum("c").cast("double") / F.count(F.lit(1)))
+            / 100.0
+        ).alias("median_price"),
+        F.lit(n).cast("bigint").alias("n"),
+    )

@@ -707,3 +707,27 @@ def test_dedup_cascade_report_consistent(spark, sf_dir):
         rows["2_minhash_jaccard"]["n_pairs"]
         == QUERIES["dedup_minhash"](spark, sf_dir).count()
     )
+
+
+def test_vad_silence_and_tone():
+    """vad_segments must find exactly the planted tone burst in a
+    silence|tone|silence clip and nothing in pure silence."""
+    import math
+
+    from diversity_maximization_spark.llm.multimodal import (
+        VAD_FRAME,
+        vad_segments,
+    )
+
+    silence = [0] * (VAD_FRAME * 10)
+    tone = [
+        int(10000 * math.sin(2 * math.pi * 440 * i / 8000))
+        for i in range(VAD_FRAME * 6)
+    ]
+    clip = silence + tone + silence
+    segs = vad_segments(clip)
+    assert len(segs) == 1
+    s, e, rms = segs[0]
+    assert (s, e) == (10, 16)
+    assert rms > 0
+    assert vad_segments(silence) == []
