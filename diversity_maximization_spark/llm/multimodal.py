@@ -634,3 +634,60 @@ def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_segments int, active_frac double,"
         " loud_start int, loud_end int",
     )
+
+def laplacian_var(gray) -> float:
+    """Variance of the 4-neighbour Laplacian response — the standard
+    cheap blur score (sharp edges -> high variance). Pure numpy,
+    valid-region convolution."""
+    import numpy as np
+
+    g = np.asarray(gray, dtype=np.float64)
+    lap = (
+        -4 * g[1:-1, 1:-1]
+        + g[:-2, 1:-1]
+        + g[2:, 1:-1]
+        + g[1:-1, :-2]
+        + g[1:-1, 2:]
+    )
+    return float(lap.var())
+
+
+@query("multimodal_image_blur")  # rows-only: binary media pipeline
+def multimodal_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blur screening over the REAL PNG assets — the image-curation
+    twin of the audio VAD: decode to luma, score with the Laplacian
+    variance (sharp edges -> high response variance; defocused or
+    synthetic-flat images -> low), and flag the bottom against a
+    fixed threshold. Arrow-batched mapInPandas next to the data;
+    the sharp-vs-blurred ordering is pinned by a synthetic test
+    (checkerboard vs its box-blurred copy)."""
+    import numpy as np
+    import pandas as pd
+
+    d = with_media(load(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image/png"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = png_decode(bytes(payload))
+                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
+                luma = (
+                    0.299 * a[:, :, 0]
+                    + 0.587 * a[:, :, 1]
+                    + 0.114 * a[:, :, 2]
+                )
+                lv = laplacian_var(luma)
+                rows.append((int(doc_id), w, h, round(lv, 6), lv < 50.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "lap_var", "is_blurry"],
+            )
+
+    return d.select("doc_id", "payload").mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, lap_var double,"
+        " is_blurry boolean",
+    )

@@ -1016,3 +1016,48 @@ def quality_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("y") - slope * F.sum("x")) / F.count(F.lit(1)), 6
         ).alias("intercept"),
     )
+
+@query(
+    "sample_group_kfold",
+    oracle="""
+WITH folds AS (
+  SELECT user_id,
+         CAST(((user_id % 2147483648) * 2654435761 % 4294967296) % 5
+              AS INT) AS fold
+  FROM (SELECT DISTINCT user_id FROM events)
+)
+SELECT f.fold,
+       COUNT(DISTINCT e.user_id) AS n_users,
+       COUNT(*) AS n_events
+FROM events e JOIN folds f USING (user_id)
+GROUP BY f.fold
+""",
+)
+def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-aware k-fold assignment (k=5) — the cross-validation
+    hygiene that prevents leakage: every row of a user lands in the
+    SAME fold because the fold is a function of the group key alone
+    (the portable multiplicative hash), never of the row. The report
+    shows per-fold user and event counts; the map side is a narrow
+    join against the tiny distinct-user fold table. Seed-free and
+    layout-independent like every sampling op here."""
+    ev = load(spark, sf_dir, "events")
+    folds = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.expr(
+                "CAST(((user_id % 2147483648) * 2654435761"
+                " % 4294967296) % 5 AS INT)"
+            ).alias("fold"),
+        )
+    )
+    return (
+        ev.join(F.broadcast(folds), "user_id")
+        .groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -731,3 +731,26 @@ def test_vad_silence_and_tone():
     assert (s, e) == (10, 16)
     assert rms > 0
     assert vad_segments(silence) == []
+
+
+def test_blur_score_orders_sharp_vs_blurred():
+    """Laplacian variance must rank a checkerboard far above its
+    box-blurred copy, and a constant image at exactly zero."""
+    import numpy as np
+
+    from diversity_maximization_spark.llm.multimodal import laplacian_var
+
+    g = np.indices((16, 16)).sum(axis=0) % 2 * 255.0
+    blurred = g.copy()
+    for _ in range(3):  # crude 3x box blur via neighbor averaging
+        b = blurred.copy()
+        b[1:-1, 1:-1] = (
+            blurred[:-2, 1:-1]
+            + blurred[2:, 1:-1]
+            + blurred[1:-1, :-2]
+            + blurred[1:-1, 2:]
+            + blurred[1:-1, 1:-1]
+        ) / 5
+        blurred = b
+    assert laplacian_var(g) > 10 * laplacian_var(blurred)
+    assert laplacian_var(np.full((8, 8), 7.0)) == 0.0
