@@ -754,3 +754,18 @@ def test_blur_score_orders_sharp_vs_blurred():
         blurred = b
     assert laplacian_var(g) > 10 * laplacian_var(blurred)
     assert laplacian_var(np.full((8, 8), 7.0)) == 0.0
+
+
+def test_shot_boundaries_planted_cut():
+    """Two constant scenes spliced together must yield exactly one
+    cut at the splice; a constant clip yields none."""
+    import numpy as np
+
+    from diversity_maximization_spark.llm.multimodal import (
+        shot_boundaries,
+    )
+
+    dark = [np.zeros((8, 8)) + i * 0.01 for i in range(5)]
+    bright = [np.full((8, 8), 200.0) + i * 0.01 for i in range(5)]
+    assert shot_boundaries(dark + bright) == [5]
+    assert shot_boundaries(dark) == []
