@@ -1791,3 +1791,34 @@ def agg_exact_median_distributed(
         ).alias("median_price"),
         F.lit(n).cast("bigint").alias("n"),
     )
+
+@query(
+    "agg_max_by",
+    oracle="""
+SELECT o_custkey,
+       arg_max(o_orderkey, o_totalprice ORDER BY o_orderkey) AS biggest_order,
+       MAX(o_totalprice) AS biggest_total,
+       arg_min(o_orderkey, o_totalprice ORDER BY o_orderkey) AS smallest_order
+FROM orders
+GROUP BY o_custkey
+""",
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by / min_by (arg-max aggregates) — 'which order was the
+    customer's biggest' WITHOUT a window+filter round trip: one
+    partial+final aggregate carries the (value, arg) pair. Ties on
+    the value are broken deterministically toward the LOWEST order
+    key by folding the key into the comparison struct in BOTH
+    engines (DuckDB's ORDER BY arg form; Spark by max_by on a
+    (value, -key) struct), so the hash is stable on duplicate
+    totals."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.expr(
+            "max_by(o_orderkey, struct(o_totalprice, -o_orderkey))"
+        ).alias("biggest_order"),
+        F.max("o_totalprice").alias("biggest_total"),
+        F.expr(
+            "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
+        ).alias("smallest_order"),
+    )

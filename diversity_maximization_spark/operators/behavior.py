@@ -1088,3 +1088,67 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+def absorption_expected_steps(trans_counts, absorbing: str):
+    """Expected steps to absorption for each transient state of a
+    Markov chain given raw transition COUNTS {(a, b): n}: build the
+    row-stochastic matrix, solve (I - Q) t = 1 over the transient
+    block with numpy. Returns {state: expected_steps}. The linear
+    solve is O(|states|^3) on the driver — states are event types,
+    a handful — while the counts come from the distributed
+    transition aggregate; states that cannot reach the absorbing
+    state get +inf."""
+    import numpy as np
+
+    states = sorted({a for a, _ in trans_counts} | {b for _, b in trans_counts})
+    transient = [s for s in states if s != absorbing]
+    idx = {s: i for i, s in enumerate(transient)}
+    Q = np.zeros((len(transient), len(transient)))
+    for (a, b), n in trans_counts.items():
+        if a == absorbing:
+            continue
+        row_total = sum(
+            m for (x, _), m in trans_counts.items() if x == a
+        )
+        if b != absorbing:
+            Q[idx[a], idx[b]] = n / row_total
+    try:
+        t = np.linalg.solve(np.eye(len(transient)) - Q, np.ones(len(transient)))
+    except np.linalg.LinAlgError:
+        return {s: float("inf") for s in transient}
+    return {s: float(t[idx[s]]) for s in transient}
+
+
+@query("markov_absorption")  # rows-only: linear solve on the driver
+def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected events until PURCHASE from each starting event type —
+    the absorbing-Markov-chain readout of the journey matrix: the
+    distributed transition-count aggregate (markov_transitions'
+    shape) collapses to a |types| x |types| table, and the driver
+    solves (I - Q) t = 1 for the transient block. This is the
+    funnel question 'how many more touches until conversion' that
+    per-stage conversion rates can't answer. Deterministic: exact
+    integer counts in, one fixed numpy solve out (values rounded to
+    6 dp). Closed-form behavior pinned in tests on a hand-built
+    chain."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {
+        (r["event_type"], r["next_type"]): r["n"] for r in pairs
+    }
+    steps = absorption_expected_steps(counts, absorbing="purchase")
+    rows = [
+        (s, round(v, 6) if v != float("inf") else -1.0)
+        for s, v in sorted(steps.items())
+    ]
+    return spark.createDataFrame(
+        rows, "start_type string, expected_steps_to_purchase double"
+    )

@@ -329,3 +329,20 @@ def test_interval_overlap_bucket_dedup(left, right):
                     if max(s1, s2) // width == b1:
                         got.add((i, j))
     assert got == naive
+
+
+def test_absorption_closed_forms():
+    """Two hand-built chains with known answers: a geometric chain
+    (E = 1/p) and a two-hop deterministic chain (E = 2)."""
+    from diversity_maximization_spark.operators.behavior import (
+        absorption_expected_steps,
+    )
+
+    # state a: with prob 0.25 -> done, else stay
+    geo = {("a", "done"): 25, ("a", "a"): 75}
+    assert abs(absorption_expected_steps(geo, "done")["a"] - 4.0) < 1e-12
+
+    # a -> b -> done deterministically
+    two = {("a", "b"): 10, ("b", "done"): 10}
+    got = absorption_expected_steps(two, "done")
+    assert abs(got["a"] - 2.0) < 1e-12 and abs(got["b"] - 1.0) < 1e-12
