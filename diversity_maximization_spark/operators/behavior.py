@@ -1152,3 +1152,91 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "start_type string, expected_steps_to_purchase double"
     )
+
+def absorption_probability(trans_counts, absorbing: str, drop=None):
+    """P(eventually absorbed | start state) for the chain given raw
+    transition COUNTS, optionally with one state REMOVED (its
+    transitions deleted; rows renormalize implicitly by solving on
+    the remaining mass — removed-state visits become terminal
+    non-conversions, the Markov-attribution convention). Solves
+    (I - Q) p = r with numpy on the tiny type matrix."""
+    import numpy as np
+
+    counts = {
+        (a, b): n
+        for (a, b), n in trans_counts.items()
+        if a != drop and b != drop
+    }
+    states = sorted({a for a, _ in counts} | {b for _, b in counts})
+    transient = [s for s in states if s != absorbing]
+    if absorbing not in states:
+        return {s: 0.0 for s in transient}
+    idx = {s: i for i, s in enumerate(transient)}
+    Q = np.zeros((len(transient), len(transient)))
+    r = np.zeros(len(transient))
+    # row totals INCLUDE dropped-target transitions: removing a
+    # channel sends that probability mass to a terminal sink
+    row_tot = {}
+    for (a, b), n in trans_counts.items():
+        if a != drop:
+            row_tot[a] = row_tot.get(a, 0) + n
+    for (a, b), n in counts.items():
+        if a == absorbing:
+            continue
+        if b == absorbing:
+            r[idx[a]] += n / row_tot[a]
+        else:
+            Q[idx[a], idx[b]] += n / row_tot[a]
+    p = np.linalg.solve(np.eye(len(transient)) - Q, r)
+    return {s: float(p[idx[s]]) for s in transient}
+
+
+@query("attribution_markov_removal")  # rows-only: linear solve
+def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution — the data-driven
+    counterweight to last-touch: each channel's credit is how much
+    the purchase-absorption probability from 'view' DROPS when that
+    channel's transitions are removed from the journey chain
+    (removed mass becomes terminal non-conversion, the standard
+    convention). Transition counts aggregate distributed; the
+    removal solves are |channels| tiny numpy systems on the driver.
+    Emits per channel: removal conversion, absolute effect, and
+    normalized credit share. Hand-built chains pin the closed forms
+    in tests."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    counts = {(r["event_type"], r["next_type"]): r["n"] for r in pairs}
+    base = absorption_probability(counts, "purchase").get("view", 0.0)
+    channels = sorted(
+        {a for a, _ in counts} - {"purchase", "view"}
+    )
+    effects = {}
+    for ch in channels:
+        p = absorption_probability(counts, "purchase", drop=ch).get(
+            "view", 0.0
+        )
+        effects[ch] = max(base - p, 0.0)
+    total = sum(effects.values()) or 1.0
+    rows = [
+        (
+            ch,
+            round(base, 6),
+            round(base - effects[ch], 6),
+            round(effects[ch], 6),
+            round(effects[ch] / total, 6),
+        )
+        for ch in channels
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, base_conversion double, removal_conversion"
+        " double, removal_effect double, credit_share double",
+    )

@@ -346,3 +346,31 @@ def test_absorption_closed_forms():
     two = {("a", "b"): 10, ("b", "done"): 10}
     got = absorption_expected_steps(two, "done")
     assert abs(got["a"] - 2.0) < 1e-12 and abs(got["b"] - 1.0) < 1e-12
+
+
+def test_markov_removal_attribution_closed_form():
+    """view -> click -> purchase deterministic chain: removing click
+    kills conversion entirely (full credit); a bypass path halves
+    the effect."""
+    from diversity_maximization_spark.operators.behavior import (
+        absorption_probability,
+    )
+
+    chain = {("view", "click"): 10, ("click", "purchase"): 10}
+    assert absorption_probability(chain, "purchase")["view"] == 1.0
+    assert (
+        absorption_probability(chain, "purchase", drop="click").get(
+            "view", 0.0
+        )
+        == 0.0
+    )
+
+    # half the views go straight to purchase, half via click
+    mix = {
+        ("view", "purchase"): 5,
+        ("view", "click"): 5,
+        ("click", "purchase"): 10,
+    }
+    assert abs(absorption_probability(mix, "purchase")["view"] - 1.0) < 1e-12
+    p_drop = absorption_probability(mix, "purchase", drop="click")["view"]
+    assert abs(p_drop - 0.5) < 1e-12
