@@ -471,3 +471,66 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.groupBy("day").agg(
         F.sum(F.bit_count("mask")).cast("bigint").alias("n_users")
     )
+
+KMV_K = 256
+
+
+@query(
+    "sketch_kmv_distinct",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS est_ok
+FROM events GROUP BY event_type
+""",
+)
+def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values cardinality sketch — the third mergeable
+    distinct-counter next to HLL (log-space) and bitmaps (exact):
+    keep the K smallest 64-bit hashes per group (a bounded
+    sort-merge: collect, sort, slice — each partial is <= K values,
+    so merges are associative), estimate n = (K - 1) / max_kth as a
+    uniform-order-statistic identity. The per-group state is K
+    hashes (~2 kB) with rigorous relative error ~1/sqrt(K); same
+    flag-oracle formulation as the HLL keys (exact + within-10%
+    verdict, enforced by the hash gate)."""
+    ev = load(spark, sf_dir, "events")
+    # 64-bit hash mapped to (0, 1]: use the positive half for a
+    # clean uniform fraction (deterministic, engine-side xxhash64)
+    h = (
+        F.abs(F.xxhash64("user_id")).cast("double")
+        / F.lit(float(2**63))
+    )
+    kth = (
+        ev.select("event_type", h.alias("u"))
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"slice(array_sort(collect_set(u)), 1, {KMV_K})"
+            ).alias("mins")
+        )
+        .select(
+            "event_type",
+            F.size("mins").alias("m"),
+            F.element_at("mins", F.size("mins")).alias("kth"),
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("m") < KMV_K, F.col("m").cast("double")
+    ).otherwise((KMV_K - 1) / F.col("kth"))
+    return (
+        exact.join(kth, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            (
+                F.abs(est - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= 0.10
+            ).alias("est_ok"),
+        )
+    )
