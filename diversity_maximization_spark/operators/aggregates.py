@@ -1822,3 +1822,134 @@ def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_by(o_orderkey, struct(o_totalprice, o_orderkey))"
         ).alias("smallest_order"),
     )
+
+@query(
+    "agg_cov_matrix",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
+         CAST(SUM({cents('l_discount')}) AS DOUBLE) AS s3,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS DOUBLE) AS s11,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * l_quantity) AS DOUBLE) AS s12,
+         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_discount')}) AS DOUBLE) AS s13,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * l_quantity) AS DOUBLE)
+           AS s22,
+         CAST(SUM(CAST(l_quantity AS BIGINT) * {cents('l_discount')})
+              AS DOUBLE) AS s23,
+         CAST(SUM({cents('l_discount')} * {cents('l_discount')})
+              AS DOUBLE) AS s33
+  FROM lineitem
+)
+SELECT u.i, u.j, u.sij, u.si, u.sj, n,
+       (u.sij - u.si * u.sj / n) / (n - 1) AS cov
+FROM m, (
+  SELECT unnest(['price','price','price','qty','qty','disc']) AS i,
+         unnest(['price','qty','disc','qty','disc','disc']) AS j,
+         unnest([s11, s12, s13, s22, s23, s33]) AS sij,
+         unnest([s1, s1, s1, s2, s2, s3]) AS si,
+         unnest([s1, s2, s3, s2, s3, s3]) AS sj
+  FROM m
+) u
+""",
+)
+def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sample covariance MATRIX of (price, quantity, discount)
+    in one pass — the feature-preprocessing statistic PCA/whitening
+    starts from: nine exact moment sums (HUGEINT/decimal where cents
+    products overflow int64) unpivoted to the six upper-triangle
+    cells, each covariance one deterministic double expression. The
+    per-cell output keeps the matrix order-free for hashing, the
+    agg_chi2_cells discipline."""
+    li = load(spark, sf_dir, "lineitem")
+    cy, cd = cents("l_extendedprice"), cents("l_discount")
+    q = "CAST(l_quantity AS BIGINT)"
+    dec = "DECIMAL(38,0)"
+    m = li.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({cy}) AS DOUBLE)").alias("s1"),
+        F.expr(f"CAST(SUM({q}) AS DOUBLE)").alias("s2"),
+        F.expr(f"CAST(SUM({cd}) AS DOUBLE)").alias("s3"),
+        F.expr(f"CAST(SUM(CAST({cy} AS {dec}) * {cy}) AS DOUBLE)").alias("s11"),
+        F.expr(f"CAST(SUM(CAST({cy} AS {dec}) * l_quantity) AS DOUBLE)").alias("s12"),
+        F.expr(f"CAST(SUM(CAST({cy} AS {dec}) * {cd}) AS DOUBLE)").alias("s13"),
+        F.expr(f"CAST(SUM({q} * l_quantity) AS DOUBLE)").alias("s22"),
+        F.expr(f"CAST(SUM({q} * {cd}) AS DOUBLE)").alias("s23"),
+        F.expr(f"CAST(SUM({cd} * {cd}) AS DOUBLE)").alias("s33"),
+    )
+    cells = m.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        F.col(sij).alias("sij"),
+                        F.col(si).alias("si"),
+                        F.col(sj).alias("sj"),
+                    )
+                    for i, j, sij, si, sj in [
+                        ("price", "price", "s11", "s1", "s1"),
+                        ("price", "qty", "s12", "s1", "s2"),
+                        ("price", "disc", "s13", "s1", "s3"),
+                        ("qty", "qty", "s22", "s2", "s2"),
+                        ("qty", "disc", "s23", "s2", "s3"),
+                        ("disc", "disc", "s33", "s3", "s3"),
+                    ]
+                ]
+            )
+        ).alias("c"),
+    )
+    return cells.select(
+        F.col("c.i").alias("i"),
+        F.col("c.j").alias("j"),
+        F.col("c.sij").alias("sij"),
+        F.col("c.si").alias("si"),
+        F.col("c.sj").alias("sj"),
+        "n",
+        (
+            (F.col("c.sij") - F.col("c.si") * F.col("c.sj") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("cov"),
+    )
+
+@query(
+    "agg_histogram_2d",
+    oracle="""
+SELECT CAST(least(floor(o_totalprice / 60000), 9) AS INT) AS price_bin,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100 AS total
+FROM orders
+GROUP BY 1, 2
+""",
+)
+def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (price band x order day-of-week) — the heatmap
+    backend query every BI layer issues: equi-width price bins
+    clamped into a top bucket, calendar second axis, count and exact
+    cents per cell. ONE partial+final aggregate; output is
+    O(bins x 7) regardless of fact size. (dayofweek numbering:
+    Spark is 1-7 Sunday-first, DuckDB 0-6 — the oracle adds one to
+    share the label space; caught by the hash gate.)"""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9))
+        .cast("int")
+        .alias("price_bin"),
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(
+                F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)")
+            ).cast("double")
+            / 100
+        ).alias("total"),
+    )
