@@ -647,9 +647,11 @@ WITH b AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
          CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(x * y AS HUGEINT)) AS DOUBLE) AS sxy,
-         CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST(x * y AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS VARCHAR)
+              AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS VARCHAR)
+              AS DOUBLE) AS syy
   FROM b GROUP BY event_type
 )
 SELECT event_type,
@@ -1054,7 +1056,8 @@ WITH per AS (
   FROM orders GROUP BY o_orderpriority, o_custkey
 ), s AS (
   SELECT o_orderpriority,
-         CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS DOUBLE) AS sq,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS VARCHAR)
+              AS DOUBLE) AS sq,
          CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS tot,
          COUNT(*) AS n_sellers
   FROM per GROUP BY o_orderpriority
@@ -1385,8 +1388,9 @@ WITH m AS (
               AS DOUBLE) AS s1y,
          CAST(SUM({cents('l_discount')} * {cents('l_extendedprice')})
               AS DOUBLE) AS s2y,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * {cents('l_extendedprice')}) AS DOUBLE) AS syy
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS VARCHAR) AS DOUBLE)
+           AS syy
   FROM lineitem GROUP BY l_returnflag
 ), d AS (
 {_OLS_DET}
@@ -1710,12 +1714,13 @@ WITH m AS (
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS sx,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sy,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * {cents('l_extendedprice')}) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS VARCHAR) AS DOUBLE)
+           AS sxx,
          CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
               AS DOUBLE) AS syy,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * l_quantity) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * l_quantity) AS VARCHAR) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 {_RATIO_CI_FINAL}
@@ -1831,12 +1836,14 @@ WITH m AS (
          CAST(SUM({cents('l_extendedprice')}) AS DOUBLE) AS s1,
          CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s2,
          CAST(SUM({cents('l_discount')}) AS DOUBLE) AS s3,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * {cents('l_extendedprice')}) AS DOUBLE) AS s11,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * l_quantity) AS DOUBLE) AS s12,
-         CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
-                  * {cents('l_discount')}) AS DOUBLE) AS s13,
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_extendedprice')}) AS VARCHAR) AS DOUBLE)
+           AS s11,
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * l_quantity) AS VARCHAR) AS DOUBLE) AS s12,
+         CAST(CAST(SUM(CAST({cents('l_extendedprice')} AS HUGEINT)
+                  * {cents('l_discount')}) AS VARCHAR) AS DOUBLE)
+           AS s13,
          CAST(SUM(CAST(l_quantity AS BIGINT) * l_quantity) AS DOUBLE)
            AS s22,
          CAST(SUM(CAST(l_quantity AS BIGINT) * {cents('l_discount')})

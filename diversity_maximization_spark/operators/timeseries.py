@@ -705,7 +705,7 @@ WITH daily AS (
 )
 SELECT lag,
        CAST(COUNT(*) AS BIGINT) AS n_pairs,
-       (CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE)
+       (CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
           - COUNT(*) * (s / n) * (s / n))
          / (ss - n * (s / n) * (s / n)) AS acf
 FROM lagged, stats
