@@ -1960,3 +1960,87 @@ def agg_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("total"),
     )
+
+@query(
+    "agg_runs_test",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), signs AS (
+  SELECT day,
+         CASE WHEN c > lag(c) OVER (ORDER BY day) THEN 1
+              WHEN c < lag(c) OVER (ORDER BY day) THEN -1 END AS s
+  FROM daily
+), seq AS (
+  SELECT s, lag(s) OVER (ORDER BY day) AS prev
+  FROM signs WHERE s IS NOT NULL
+), agg AS (
+  SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(1 + SUM(CASE WHEN prev IS NOT NULL AND s <> prev
+                      THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM seq
+)
+SELECT n1, n2, runs,
+       CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1 AS mu,
+       (CAST(runs AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+         / sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+                / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                   * (n1 + n2 - 1))) AS z
+FROM agg
+""",
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue moves — the
+    randomness check that flags trending or oscillating series
+    before a forecaster assumes i.i.d. noise: up/down signs of
+    day-over-day deltas (flat days dropped), the observed run count,
+    and the exact-moment normal z. Everything reduces on the tiny
+    daily table; the final z is one shared-shape double expression
+    over three exact integers."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("c")
+    )
+    w = Window.orderBy("day")
+    signs = daily.select(
+        "day",
+        F.when(F.col("c") > F.lag("c").over(w), 1)
+        .when(F.col("c") < F.lag("c").over(w), -1)
+        .alias("s"),
+    ).filter(F.col("s").isNotNull())
+    seq = signs.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev"))
+    agg = seq.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("s") != F.col("prev")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    agg.createOrReplaceTempView("runs_agg")
+    return spark.sql(
+        """
+SELECT n1, n2, runs,
+       CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1 AS mu,
+       (CAST(runs AS DOUBLE) - (CAST(2 AS DOUBLE) * n1 * n2 / (n1 + n2) + 1))
+         / sqrt(CAST(2 AS DOUBLE) * n1 * n2 * (CAST(2 AS DOUBLE) * n1 * n2 - n1 - n2)
+                / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2)
+                   * (n1 + n2 - 1))) AS z
+FROM runs_agg
+"""
+    )
