@@ -847,3 +847,91 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos",
         )
     )
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+              ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.day < b.day
+), ties AS (
+  SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT COUNT(*) AS t FROM daily GROUP BY c)
+), agg AS (
+  SELECT CAST(SUM(sgn) AS BIGINT) AS s,
+         CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n,
+         (SELECT tie_term FROM ties) AS tie_term
+  FROM pairs
+)
+SELECT s, n,
+       (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term) / 18
+         AS var_s,
+       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18)
+            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18)
+            ELSE CAST(0 AS DOUBLE) END AS z
+FROM agg
+""",
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test on daily revenue — the nonparametric
+    monotone-trend detector (no linearity or normality assumption)
+    that pairs with agg_runs_test's randomness check: S sums the
+    signs of all O(days^2) ordered pairs of the TINY daily rollup
+    (the fact stream never self-joins), the variance carries the
+    exact tie correction, and the continuity-corrected z is one
+    shared closed form over exact integers. All constants typed
+    explicitly to double (the decimal-literal lesson)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("c")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    pairs = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    ties = (
+        daily.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n_tbl = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    agg = (
+        pairs.agg(F.sum("sgn").cast("bigint").alias("s"))
+        .crossJoin(F.broadcast(n_tbl))
+        .crossJoin(F.broadcast(ties))
+    )
+    agg.createOrReplaceTempView("mk_agg")
+    return spark.sql(
+        """
+SELECT s, n,
+       (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tie_term) / 18
+         AS var_s,
+       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18)
+            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                 / sqrt((CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5)
+                         - tie_term) / 18)
+            ELSE CAST(0 AS DOUBLE) END AS z
+FROM mk_agg
+"""
+    )

@@ -169,6 +169,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         "ts_gapfill_locf", "ts_resample_interp",
         # intentional tiny cross: 7-row lag grid + 1-row moment scalar
         "ts_acf",
+        # intentional tiny cross: O(days^2) pair join + scalar totals
+        "ts_mann_kendall",
         # broadcast-scalar crosses (1-row / grid-sized side):
         # two-arm stats row, margins-x-grand totals
         "agg_ttest_welch", "agg_chi2_cells", "agg_mutual_info",
