@@ -541,34 +541,10 @@ def string_scores(pairs: DataFrame, col_a: str, col_b: str) -> DataFrame:
     """Record-linkage scores for any (string, string) pair DataFrame:
     appends levenshtein, unrestricted Damerau-Levenshtein,
     character-set Jaccard, and Jaro-Winkler (DuckDB-bit-identical
-    kernels, Arrow-batched)."""
-    import pandas as pd
-    from pyspark.sql import functions as F
+    kernels, Arrow-batched). Delegates to the operator kernel."""
+    from .operators.scalars import string_scores_over
 
-    from .operators.scalars import _damerau, _jaro_winkler
-
-    @F.pandas_udf("int")
-    def damerau_udf(a, b):
-        return pd.Series(
-            [_damerau(x, y) for x, y in zip(a, b)], dtype="int32"
-        )
-
-    @F.pandas_udf("double")
-    def jw_udf(a, b):
-        return pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)])
-
-    ca = F.array_distinct(F.array_remove(F.split(col_a, ""), ""))
-    cb = F.array_distinct(F.array_remove(F.split(col_b, ""), ""))
-    return pairs.select(
-        "*",
-        F.levenshtein(col_a, col_b).alias("lev"),
-        damerau_udf(col_a, col_b).alias("damerau"),
-        (
-            F.size(F.array_intersect(ca, cb)).cast("double")
-            / F.size(F.array_union(ca, cb))
-        ).alias("char_jaccard"),
-        jw_udf(col_a, col_b).alias("jw"),
-    )
+    return string_scores_over(pairs, col_a, col_b)
 
 
 def ks_test(
@@ -719,30 +695,8 @@ def neighbor_jaccard(
 ) -> DataFrame:
     """Item-item collaborative similarity over any (basket, item)
     co-occurrence table: inverted-index self-join on the basket key,
-    exact Jaccard of basket sets, thresholded."""
-    from pyspark.sql import functions as F
+    exact Jaccard of basket sets, thresholded. Delegates to the
+    operator kernel."""
+    from .operators.graph import neighbor_jaccard_over
 
-    li = df.select(
-        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
-    ).distinct()
-    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    other = li.select("o", F.col("p").alias("q"))
-    common = (
-        li.join(other, "o")
-        .filter(F.col("p") < F.col("q"))
-        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("da") + F.col("db") - F.col("n_common")
-    )
-    return (
-        common.join(
-            deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u"
-        )
-        .join(
-            deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v"
-        )
-        .filter(jac >= min_jaccard)
-        .select("u", "v", "n_common", jac.alias("jaccard"))
-    )
+    return neighbor_jaccard_over(df, basket_col, item_col, min_jaccard)

@@ -1091,32 +1091,52 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def absorption_expected_steps(trans_counts, absorbing: str):
     """Expected steps to absorption for each transient state of a
-    Markov chain given raw transition COUNTS {(a, b): n}: build the
-    row-stochastic matrix, solve (I - Q) t = 1 over the transient
-    block with numpy. Returns {state: expected_steps}. The linear
-    solve is O(|states|^3) on the driver — states are event types,
-    a handful — while the counts come from the distributed
-    transition aggregate; states that cannot reach the absorbing
-    state get +inf."""
+    Markov chain given raw transition COUNTS {(a, b): n}. Returns
+    {state: expected_steps}; the linear solve is O(|states|^3) on
+    the driver — states are event types, a handful — while the
+    counts come from the distributed transition aggregate.
+
+    States that cannot reach the absorbing state — dead ends with
+    no outgoing transitions, and members of closed non-absorbing
+    classes — are detected by backward reachability FIRST and get
+    +inf, and the solve runs ONLY over the can-reach block. That
+    keeps the restricted (I - Q) nonsingular (every solve state has
+    escape mass, spectral radius < 1), so no blanket-inf fallback:
+    a dead-end event type reports inf, never a bogus 1.0, and one
+    closed class cannot poison every other state's answer. For a
+    can-reach state the value is the expected steps until the walk
+    leaves the can-reach block (absorbed, or lost to a dead end)."""
     import numpy as np
 
     states = sorted({a for a, _ in trans_counts} | {b for _, b in trans_counts})
     transient = [s for s in states if s != absorbing]
-    idx = {s: i for i, s in enumerate(transient)}
-    Q = np.zeros((len(transient), len(transient)))
+    rev: dict = {}
     for (a, b), n in trans_counts.items():
-        if a == absorbing:
-            continue
-        row_total = sum(
-            m for (x, _), m in trans_counts.items() if x == a
-        )
-        if b != absorbing:
-            Q[idx[a], idx[b]] = n / row_total
-    try:
-        t = np.linalg.solve(np.eye(len(transient)) - Q, np.ones(len(transient)))
-    except np.linalg.LinAlgError:
-        return {s: float("inf") for s in transient}
-    return {s: float(t[idx[s]]) for s in transient}
+        if n > 0:
+            rev.setdefault(b, set()).add(a)
+    can_reach: set = set()
+    frontier = [absorbing]
+    while frontier:
+        x = frontier.pop()
+        for p in rev.get(x, ()):
+            if p != absorbing and p not in can_reach:
+                can_reach.add(p)
+                frontier.append(p)
+    solve_states = [s for s in transient if s in can_reach]
+    idx = {s: i for i, s in enumerate(solve_states)}
+    row_total: dict = {}
+    for (a, _), n in trans_counts.items():
+        row_total[a] = row_total.get(a, 0) + n
+    Q = np.zeros((len(solve_states), len(solve_states)))
+    for (a, b), n in trans_counts.items():
+        if a in idx and b in idx:
+            Q[idx[a], idx[b]] += n / row_total[a]
+    t = np.linalg.solve(
+        np.eye(len(solve_states)) - Q, np.ones(len(solve_states))
+    )
+    out = {s: float("inf") for s in transient}
+    out.update({s: float(t[idx[s]]) for s in solve_states})
+    return out
 
 
 @query("markov_absorption")  # rows-only: linear solve on the driver

@@ -328,6 +328,42 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("core_degree"))
     )
 
+def neighbor_jaccard_over(
+    df, basket_col: str, item_col: str, min_jaccard: float = 0.2
+):
+    """Item-item Jaccard similarity over any (basket, item)
+    co-occurrence table: inverted-index self-join on the basket key
+    (pairs exist only where a shared basket exists — posting-list
+    work, not all-pairs), degrees joined back from the tiny
+    per-item table, exact-integer Jaccard quotient thresholded.
+    Single kernel shared by the registered graph_neighbor_jaccard
+    query and api.neighbor_jaccard so fixes reach both surfaces."""
+    li = df.select(
+        F.col(basket_col).alias("o"), F.col(item_col).alias("p")
+    ).distinct()
+    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
+    other = li.select("o", F.col("p").alias("q"))
+    common = (
+        li.join(other, "o")
+        .filter(F.col("p") < F.col("q"))
+        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("da") + F.col("db") - F.col("n_common")
+    )
+    return (
+        common.join(
+            deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u"
+        )
+        .join(
+            deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v"
+        )
+        .filter(jac >= min_jaccard)
+        .select("u", "v", "n_common", jac.alias("jaccard"))
+    )
+
+
 @query(
     "graph_neighbor_jaccard",
     oracle="""
@@ -360,34 +396,13 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the per-order pair fan-out is bounded by basket size, the
     same O(sum b^2) guarantee every co-occurrence pipeline relies
     on; a hot mega-basket would be capped upstream. Exact-integer
-    Jaccard quotient, unrounded."""
-    li = (
-        load(spark, sf_dir, "lineitem")
-        .select(
-            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
-    )
-    deg = li.groupBy("p").agg(F.count(F.lit(1)).alias("d"))
-    other = li.select("o", F.col("p").alias("q"))
-    common = (
-        li.join(other, "o")
-        .filter(F.col("p") < F.col("q"))
-        .groupBy(F.col("p").alias("u"), F.col("q").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common").cast("double") / (
-        F.col("da") + F.col("db") - F.col("n_common")
-    )
-    return (
-        common.join(
-            deg.select(F.col("p").alias("u"), F.col("d").alias("da")), "u"
-        )
-        .join(
-            deg.select(F.col("p").alias("v"), F.col("d").alias("db")), "v"
-        )
-        .filter(jac >= 0.2)
-        .select("u", "v", "n_common", jac.alias("jaccard"))
+    Jaccard quotient, unrounded. Delegates to neighbor_jaccard_over
+    (shared with the api surface)."""
+    return neighbor_jaccard_over(
+        load(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_jaccard=0.2,
     )
 
 LPA_ROUNDS = 5

@@ -520,13 +520,25 @@ WITH base AS (
   FROM events
 ), ref_day AS (
   SELECT MIN(day) AS d0 FROM base
+), day0 AS (
+  SELECT c FROM base, ref_day WHERE day = d0
+), cnts AS (
+  SELECT c, COUNT(*) AS cnt FROM day0 GROUP BY c
+), cum AS (
+  SELECT c, CAST(SUM(cnt) OVER (ORDER BY c) AS BIGINT) AS cum FROM cnts
+), ntot AS (
+  SELECT COUNT(*) AS n FROM day0
 ), bounds AS (
-  SELECT quantile_disc(c, 0.1) AS b1, quantile_disc(c, 0.2) AS b2,
-         quantile_disc(c, 0.3) AS b3, quantile_disc(c, 0.4) AS b4,
-         quantile_disc(c, 0.5) AS b5, quantile_disc(c, 0.6) AS b6,
-         quantile_disc(c, 0.7) AS b7, quantile_disc(c, 0.8) AS b8,
-         quantile_disc(c, 0.9) AS b9
-  FROM base, ref_day WHERE day = d0
+  SELECT MIN(CASE WHEN cum >= CEIL(1*n/10.0) THEN c END) AS b1,
+         MIN(CASE WHEN cum >= CEIL(2*n/10.0) THEN c END) AS b2,
+         MIN(CASE WHEN cum >= CEIL(3*n/10.0) THEN c END) AS b3,
+         MIN(CASE WHEN cum >= CEIL(4*n/10.0) THEN c END) AS b4,
+         MIN(CASE WHEN cum >= CEIL(5*n/10.0) THEN c END) AS b5,
+         MIN(CASE WHEN cum >= CEIL(6*n/10.0) THEN c END) AS b6,
+         MIN(CASE WHEN cum >= CEIL(7*n/10.0) THEN c END) AS b7,
+         MIN(CASE WHEN cum >= CEIL(8*n/10.0) THEN c END) AS b8,
+         MIN(CASE WHEN cum >= CEIL(9*n/10.0) THEN c END) AS b9
+  FROM cum, ntot
 ), bucketed AS (
   SELECT day,
          1 + CAST(c > b1 AS INT) + CAST(c > b2 AS INT)
@@ -570,23 +582,43 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; each day collapses to 10 cells before any window;
     ln rounds to 6 dp per the ln policy. PSI > 0.2 is the
     conventional retrain trigger — day one scores 0 against itself
-    by construction."""
+    by construction.
+
+    The decile bounds are deliberately NOT the engines' discrete-
+    quantile builtins: Spark ``percentile_disc`` picks order
+    statistic ceil(p*n) while DuckDB ``quantile_disc`` picks
+    floor(p*(n-1))+1, and those diverge whenever frac(p*n) < p.
+    Both engines instead share one rank-threshold formulation —
+    b_i = MIN(c) with cumulative count >= ceil(i*n/10) over the
+    per-cent count table. The cumulative window is unpartitioned
+    but runs over DISTINCT integer cents (bounded domain, see
+    PLANS.md window-audit)."""
     ev = load(spark, sf_dir, "events")
     base = ev.select(
         F.date_trunc("day", "ts").alias("day"),
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
     )
     d0 = base.agg(F.min("day").alias("d0"))
-    bounds = (
-        base.join(F.broadcast(d0), base.day == d0.d0)
-        .agg(
-            *[
-                F.expr(
-                    f"percentile_disc(0.{i}) WITHIN GROUP (ORDER BY c)"
-                ).alias(f"b{i}")
-                for i in range(1, 10)
-            ]
-        )
+    day0 = base.join(F.broadcast(d0), base.day == d0.d0).select("c")
+    from pyspark.sql.window import Window as W0
+
+    cum = (
+        day0.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum", F.sum("cnt").over(W0.orderBy("c")))
+    )
+    ntot = day0.agg(F.count(F.lit(1)).alias("n"))
+    bounds = cum.crossJoin(F.broadcast(ntot)).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cum")
+                    >= F.ceil(F.lit(i) * F.col("n") / F.lit(10.0)),
+                    F.col("c"),
+                )
+            ).alias(f"b{i}")
+            for i in range(1, 10)
+        ]
     )
     bucket = F.lit(1)
     for i in range(1, 10):

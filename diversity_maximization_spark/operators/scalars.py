@@ -672,6 +672,41 @@ def _damerau(s1: str, s2: str) -> int:
     return d[l1 + 1][l2 + 1]
 
 
+def string_scores_over(pairs, col_a: str, col_b: str):
+    """Append the record-linkage score family to any (string, string)
+    pair DataFrame: Levenshtein (Spark built-in), unrestricted
+    Damerau-Levenshtein and Jaro-Winkler (Arrow-batched pandas UDFs
+    implementing exactly DuckDB's semantics — integer-valued /
+    rational arithmetic in the engine-verified float-op order, so
+    the doubles hash bit-identically with NO rounding), and
+    character-set Jaccard (pure JVM array ops). Single kernel shared
+    by the registered fn_string_distance query and api.string_scores
+    so fixes reach both surfaces."""
+
+    @F.pandas_udf("int")
+    def damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_damerau(x, y) for x, y in zip(a, b)], dtype="int32"
+        )
+
+    @F.pandas_udf("double")
+    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)])
+
+    ca = F.array_distinct(F.array_remove(F.split(col_a, ""), ""))
+    cb = F.array_distinct(F.array_remove(F.split(col_b, ""), ""))
+    return pairs.select(
+        "*",
+        F.levenshtein(col_a, col_b).alias("lev"),
+        damerau_udf(col_a, col_b).alias("damerau"),
+        (
+            F.size(F.array_intersect(ca, cb)).cast("double")
+            / F.size(F.array_union(ca, cb))
+        ).alias("char_jaccard"),
+        jw_udf(col_a, col_b).alias("jw"),
+    )
+
+
 @query(
     "fn_string_distance",
     oracle="""
@@ -694,17 +729,9 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-set Jaccard (pure JVM array ops: distinct chars,
     intersection over union). The pair source is a narrow
     consecutive-key self-join; in a real linkage pipeline the same
-    scorers run over blocked candidate pairs (join_fuzzy_blocked)."""
-    @F.pandas_udf("int")
-    def damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [_damerau(x, y) for x, y in zip(a, b)], dtype="int32"
-        )
-
-    @F.pandas_udf("double")
-    def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series([_jaro_winkler(x, y) for x, y in zip(a, b)])
-
+    scorers run over blocked candidate pairs (join_fuzzy_blocked).
+    Scoring delegates to string_scores_over (shared with the api
+    surface)."""
     part = load(spark, sf_dir, "part")
     a = part.select(
         F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a")
@@ -712,24 +739,8 @@ def fn_string_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = part.select(
         F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b")
     )
-    chars_a = F.array_distinct(F.array_remove(F.split("name_a", ""), ""))
-    chars_b = F.array_distinct(F.array_remove(F.split("name_b", ""), ""))
-    return (
-        a.join(b, F.col("key_b") == F.col("key_a") + 1)
-        .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("lev"),
-            damerau_udf("name_a", "name_b").alias("damerau"),
-            (
-                F.size(F.array_intersect(chars_a, chars_b)).cast("double")
-                / F.size(F.array_union(chars_a, chars_b))
-            ).alias("char_jaccard"),
-            jw_udf("name_a", "name_b").alias("jw"),
-        )
-    )
+    pairs = a.join(b, F.col("key_b") == F.col("key_a") + 1)
+    return string_scores_over(pairs, "name_a", "name_b")
 
 @query(
     "fn_map",

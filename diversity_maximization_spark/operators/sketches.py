@@ -487,33 +487,39 @@ FROM events GROUP BY event_type
 def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values cardinality sketch — the third mergeable
     distinct-counter next to HLL (log-space) and bitmaps (exact):
-    keep the K smallest 64-bit hashes per group (a bounded
-    sort-merge: collect, sort, slice — each partial is <= K values,
-    so merges are associative), estimate n = (K - 1) / max_kth as a
-    uniform-order-statistic identity. The per-group state is K
-    hashes (~2 kB) with rigorous relative error ~1/sqrt(K); same
-    flag-oracle formulation as the HLL keys (exact + within-10%
-    verdict, enforced by the hash gate)."""
+    keep the K smallest 64-bit hashes per group and estimate
+    n = (K - 1) / max_kth as a uniform-order-statistic identity,
+    rigorous relative error ~1/sqrt(K).
+
+    The K-bound is enforced by the PLAN, not a claim: the
+    ``row_number() <= K`` filter triggers Catalyst's rank-limit
+    pushdown (SPARK-37099), which inserts a Partial WindowGroupLimit
+    BEFORE the exchange — each map task forwards at most K rows per
+    group, so per-partial state is genuinely <= K hashes (~2 kB)
+    and merges (the final WindowGroupLimit) are associative.
+    Pinned in test_plans.py. The unit-interval mapping is the
+    shifted unsigned hash (h + 2^63 + 1) / 2^64 in (0, 1] —
+    ``abs()`` would map Long.MIN_VALUE to a negative fraction.
+    Same flag-oracle formulation as the HLL keys (exact +
+    within-10% verdict, enforced by the hash gate)."""
+    from pyspark.sql.window import Window
+
     ev = load(spark, sf_dir, "events")
-    # 64-bit hash mapped to (0, 1]: use the positive half for a
-    # clean uniform fraction (deterministic, engine-side xxhash64)
     h = (
-        F.abs(F.xxhash64("user_id")).cast("double")
-        / F.lit(float(2**63))
-    )
+        F.xxhash64("user_id").cast("double")
+        + F.lit(float(2**63))
+        + F.lit(1.0)
+    ) / F.lit(float(2**64))
+    w = Window.partitionBy("event_type").orderBy("u")
     kth = (
         ev.select("event_type", h.alias("u"))
         .distinct()
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= KMV_K)
         .groupBy("event_type")
         .agg(
-            F.expr(
-                f"slice(array_sort(collect_set(u)), 1, {KMV_K})"
-            ).alias("mins")
-        )
-        .select(
-            "event_type",
-            F.size("mins").alias("m"),
-            F.element_at("mins", F.size("mins")).alias("kth"),
+            F.max("rk").cast("int").alias("m"),
+            F.max("u").alias("kth"),
         )
     )
     exact = ev.groupBy("event_type").agg(

@@ -700,7 +700,7 @@ WITH daily AS (
 ), stats AS (
   SELECT CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(c) AS DOUBLE) AS s,
-         CAST(SUM(c * c) AS DOUBLE) AS ss
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
   FROM daily
 )
 SELECT lag,
@@ -740,7 +740,13 @@ def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = daily.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         F.sum("c").cast("double").alias("s"),
-        F.sum(F.col("c") * F.col("c")).cast("double").alias("ss"),
+        # c*c on bigint can silently wrap with ANSI off while DuckDB
+        # errors — same overflow class as the HUGEINT discipline, so
+        # the product goes through decimal(38,0) (and HUGEINT-via-
+        # VARCHAR in the oracle) exactly like sxy below.
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
     )
     return (
         pairs.crossJoin(F.broadcast(stats))

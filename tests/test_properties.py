@@ -348,6 +348,26 @@ def test_absorption_closed_forms():
     assert abs(got["a"] - 2.0) < 1e-12 and abs(got["b"] - 1.0) < 1e-12
 
 
+def test_absorption_dead_ends_and_closed_classes():
+    """A dead-end state (no outgoing transitions) must report inf,
+    not the 1.0 an all-zero Q row would yield; a closed
+    non-absorbing class must report inf WITHOUT making the solve
+    singular for every other (solvable) state."""
+    from diversity_maximization_spark.operators.behavior import (
+        absorption_expected_steps,
+    )
+
+    inf = float("inf")
+    dead = {("a", "done"): 5, ("a", "c"): 5}
+    got = absorption_expected_steps(dead, "done")
+    assert got["c"] == inf and abs(got["a"] - 1.0) < 1e-12
+
+    closed = {("a", "done"): 10, ("d", "e"): 5, ("e", "d"): 5}
+    got = absorption_expected_steps(closed, "done")
+    assert got["d"] == inf and got["e"] == inf
+    assert abs(got["a"] - 1.0) < 1e-12  # not poisoned to inf
+
+
 def test_markov_removal_attribution_closed_form():
     """view -> click -> purchase deterministic chain: removing click
     kills conversion entirely (full credit); a bypass path halves
