@@ -964,7 +964,24 @@ def km_curve(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
     """Kaplan-Meier estimator over any (duration, event 0/1)
     DataFrame — the library form of survival_km. Collapses to the
     O(distinct durations) risk table, reverse-cumulative at-risk
-    counts, and a sequential left-fold cumulative product."""
+    counts, and a sequential left-fold cumulative product.
+
+    Scale design: NO unpartitioned Window — both order-by-dur prefix
+    passes use the plans/global_rank two-phase machinery (pinned in
+    test_plans.py). The risk table is range-bucketed on dur; the
+    at-risk count is grand_total minus (driver-side cumulative of
+    per-bucket subtotals + a bucket-PARTITIONED running sum), exact
+    integers throughout. The survival product must stay a sequential
+    IEEE left fold to hash-match the oracle, so it chains through
+    buckets: one driver pass over the per-bucket ORDERED factor
+    arrays (zero-event days carry an exact 1.0 factor — skipping
+    them is an IEEE no-op, so only event days fold) computes each
+    bucket's entering prefix, and each row finishes with
+    aggregate(local_factors, entering, a*x). Driver state is
+    O(distinct event durations) — the size of the OUTPUT curve —
+    never the per-subject rows."""
+    from ..plans.global_rank import with_range_bucket
+
     risk = durs.groupBy(F.col(dur_col).alias("dur")).agg(
         F.sum(event_col).cast("long").alias("n_events"),
         (F.count(F.lit(1)) - F.sum(event_col))
@@ -972,25 +989,66 @@ def km_curve(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
         .alias("n_censored"),
         F.count(F.lit(1)).alias("n_total"),
     )
-    w_rev = Window.orderBy("dur").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    rb = with_range_bucket(
+        risk, "dur", num_buckets=None
+    ).localCheckpoint(eager=False)
+
+    subtotals = {
+        r["_gr_bucket"]: r["bt"]
+        for r in rb.groupBy("_gr_bucket")
+        .agg(F.sum("n_total").alias("bt"))
+        .collect()
+    }
+    grand = sum(subtotals.values())
+    offsets, acc = {}, 0
+    for b in sorted(subtotals):
+        offsets[b] = acc  # rows in buckets strictly before b
+        acc += subtotals[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
     )
-    w_fwd = Window.orderBy("dur").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    w_before = Window.partitionBy("_gr_bucket").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, -1
     )
-    tbl = risk.select(
+    tbl = rb.select(
+        "_gr_bucket",
         "dur",
         "n_events",
         "n_censored",
-        F.sum("n_total").over(w_rev).alias("n_at_risk"),
+        (
+            F.lit(grand)
+            - F.element_at(off_map, F.col("_gr_bucket"))
+            - F.coalesce(F.sum("n_total").over(w_before), F.lit(0))
+        ).cast("long").alias("n_at_risk"),
     )
     factor = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
         "n_at_risk"
     )
-    curve = tbl.withColumn(
-        "fs", F.collect_list(factor).over(w_fwd)
+    # no checkpoint here: recomputing the bucket-partitioned window
+    # over the O(distinct durs) risk table (behind the rb checkpoint)
+    # is cheap, and keeping the lineage open leaves BOTH prefix
+    # passes visible in the executed plan for the test_plans pin.
+    evd = tbl.filter(F.col("n_events") > 0)
+
+    arrs = (
+        evd.select("_gr_bucket", F.struct("dur", factor.alias("f")).alias("s"))
+        .groupBy("_gr_bucket")
+        .agg(F.sort_array(F.collect_list("s")).alias("a"))
+        .collect()
     )
-    return curve.filter(F.col("n_events") > 0).select(
+    entering, accp = {}, 1.0
+    for r in sorted(arrs, key=lambda r: r["_gr_bucket"]):
+        entering[r["_gr_bucket"]] = accp
+        for s in r["a"]:
+            accp = accp * s["f"]  # Python float == IEEE double
+    ent_map = F.create_map(
+        *[F.lit(x) for b in sorted(entering) for x in (b, entering[b])]
+    )
+    w_fwd = Window.partitionBy("_gr_bucket").orderBy("dur").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = evd.withColumn("fs", F.collect_list(factor).over(w_fwd))
+    return curve.select(
         F.col("dur").alias("day"),
         "n_at_risk",
         "n_events",
@@ -998,8 +1056,10 @@ def km_curve(durs: DataFrame, dur_col: str, event_col: str) -> DataFrame:
         (F.col("n_events").cast("double") / F.col("n_at_risk")).alias(
             "hazard"
         ),
-        F.expr(
-            "aggregate(fs, CAST(1.0 AS DOUBLE), (a, x) -> a * x)"
+        F.aggregate(
+            "fs",
+            F.element_at(ent_map, F.col("_gr_bucket")).cast("double"),
+            lambda a, x: a * x,
         ).alias("survival"),
     )
 

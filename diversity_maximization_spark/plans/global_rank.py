@@ -35,6 +35,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def with_range_bucket(
+    df: DataFrame, lead: str, num_buckets: int | None = None
+) -> DataFrame:
+    """Phase 1 of the two-phase prefix machinery: append ``_gr_bucket``,
+    a contiguous range-bucket id over ``lead`` (approxQuantile
+    boundaries → JVM fold assignment). Bucket is non-decreasing in
+    ``lead`` and equal values always share a bucket, so any
+    order-by-``lead`` prefix aggregate decomposes into (driver-side
+    cumulative of per-bucket subtotals) + (a PARTITIONED window within
+    the bucket) — no single-task global Sort/Window."""
+    spark = df.sparkSession
+    if num_buckets is None:
+        num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    boundaries = sorted(set(df.stat.approxQuantile(lead, qs, 0.001)))
+
+    if boundaries:
+        barr = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc + F.when(F.col(lead) > b, 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    return df.withColumn("_gr_bucket", bucket)
+
+
 def with_global_row_number(
     df: DataFrame,
     order_cols: list[str],
@@ -50,21 +79,7 @@ def with_global_row_number(
     spark = df.sparkSession
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    lead = order_cols[0]
-
-    qs = [i / num_buckets for i in range(1, num_buckets)]
-    boundaries = sorted(set(df.stat.approxQuantile(lead, qs, 0.001)))
-
-    if boundaries:
-        barr = F.array(*[F.lit(b) for b in boundaries])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc + F.when(F.col(lead) > b, 1).otherwise(0),
-        )
-    else:
-        bucket = F.lit(0)
-    bucketed = df.withColumn("_gr_bucket", bucket)
+    bucketed = with_range_bucket(df, order_cols[0], num_buckets)
 
     counts = {
         r["_gr_bucket"]: r["n"]

@@ -425,3 +425,41 @@ def test_cache_reuse_hits_inmemory_scan(spark, sf_dir):
             assert "SortMergeJoin" not in plan, plan
     finally:
         enriched.unpersist()
+
+
+def test_survival_km_no_single_partition_window(spark, sf_dir):
+    """Both order-by-dur prefix passes of the KM curve must run as
+    bucket-PARTITIONED windows over the two-phase prefix machinery —
+    an unpartitioned Window.orderBy would funnel the whole risk
+    table through one task at scale. The executed plan must contain
+    no SinglePartition exchange and every Window must carry a
+    partition spec."""
+    import re
+
+    plan = plan_of(spark, "survival_km", sf_dir)
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # the partitioned passes are really there
+    for m in re.finditer(r"Arguments: .*partitionBy=\[\]", plan):
+        raise AssertionError(f"unpartitioned window: {m.group(0)[:120]}")
+
+
+def test_zipf_fit_rank_filter_becomes_take_ordered(spark, sf_dir):
+    """quality_zipf_fit's scale-safety rests on Catalyst rewriting
+    the rank<=100 window filter to TakeOrderedAndProject BELOW the
+    window (InferWindowGroupLimit + limit pushdown), so only 100
+    rows ever reach the global-order stage. Pin the rewrite so a
+    future refactor that silently reintroduces the full-vocabulary
+    global sort is caught."""
+    plan = plan_of(spark, "quality_zipf_fit", sf_dir)
+    assert (
+        "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    ), plan
+
+
+def test_kmv_sketch_bounded_by_window_group_limit(spark, sf_dir):
+    """sketch_kmv_distinct's K-bound claim is structural: the
+    row_number<=K filter must trigger the rank-limit pushdown, whose
+    Partial WindowGroupLimit before the exchange caps per-partition
+    state at K rows per group (SPARK-37099)."""
+    plan = plan_of(spark, "sketch_kmv_distinct", sf_dir)
+    assert "WindowGroupLimit" in plan, plan
