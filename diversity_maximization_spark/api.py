@@ -572,7 +572,9 @@ def ks_test(
         .cast("bigint")
         .alias("db"),
     )
+    # bounded: distinct values of the integer-valued column
     w_cum = W.orderBy("c").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # bounded: same distinct-value domain
     w_all = W.orderBy("c").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
@@ -670,6 +672,7 @@ def benford(df: DataFrame, value_col: str) -> DataFrame:
         .alias("digit")
     )
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # bounded: 9 leading digits
     w_all = W.orderBy("digit").rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )

@@ -10,17 +10,17 @@ groupBy(word).count() — after that, every merge iteration touches
 only the vocabulary table. That is the property that makes BPE
 training distributable at all, and this module keeps it:
 
-- ``bpe_train``: k sequential merge rounds. Each round is one small
-  Spark job over the (word, freq, symbols) table: explode adjacent
-  symbol pairs weighted by word frequency, groupBy pair, take the
-  argmax (count desc, then lexicographic pair — fully deterministic),
-  broadcast the winning pair back, and contract it in every word's
-  symbol array with a narrow Arrow-batched map. The k driver
-  round-trips are inherent to exact greedy BPE (each merge changes
-  the next round's pair counts) — the same sequential-frontier shape
-  as diversity/gmm.py, and like there a batched variant (apply the
-  top-m non-overlapping pairs per round, SentencePiece-style) would
-  trade exactness for fewer rounds.
+- ``bpe_train``: after the collapse, the merge loop runs in one of
+  two tiers chosen by word-table size (see ``bpe_train_merges``):
+  a LOCAL FINISH on the collected vocabulary-sized table (the
+  production shape — <= 3 Spark jobs total, only one corpus-sized),
+  or the distributed k-round loop for vocabularies too large to
+  collect: each round one small Spark job over the (word, freq,
+  symbols) table — explode adjacent symbol pairs weighted by word
+  frequency, groupBy pair, take the argmax (count desc, then
+  lexicographic pair — fully deterministic), contract with a narrow
+  Arrow-batched map. The sequential rounds are inherent to exact
+  greedy BPE (each merge changes the next round's pair counts).
 - ``tokenize_bpe``: apply the learned merge list (broadcast — it is
   k rows) to every document with one Arrow-batched mapInPandas pass:
   narrow, shuffle-free, linear in corpus size.
@@ -125,9 +125,50 @@ def _contract(batch_iter, left: str, right: str):
         )
 
 
-def bpe_train_merges(d: DataFrame, k: int = N_MERGES) -> list[tuple]:
-    """Learn k merges distributed; returns [((l, r), count), ...]."""
+# Local-finish threshold: after the one corpus-sized shuffle the
+# distinct-word table is vocabulary-sized; when it fits comfortably on
+# the driver (<= this many words, ~tens of MB) the merge loop runs
+# locally with the exact reference implementation instead of k
+# sequential Spark jobs. See PLANS.md "bpe_train local finish".
+LOCAL_FINISH_MAX_WORDS = 500_000
+
+
+def bpe_train_merges(
+    d: DataFrame,
+    k: int = N_MERGES,
+    local_finish_max_words: int = LOCAL_FINISH_MAX_WORDS,
+) -> list[tuple]:
+    """Learn k merges; returns [((l, r), count), ...].
+
+    Two tiers, identical results (same greedy argmax, same
+    count-desc-then-lexicographic tie-break — equality pinned in
+    tests/test_bpe.py):
+
+    - local finish (word table <= ``local_finish_max_words``): ONE
+      corpus-sized Spark job builds + checkpoints the word-frequency
+      table, two vocabulary-sized jobs count and collect it (AQE may
+      split these into a few more physical jobs — the count stays a
+      constant, pinned in tests), and the
+      merge loop runs on the driver via ``bpe_reference``. This is
+      the production shape for real corpora — a 32k-merge vocabulary
+      as 32k sequential cluster-wide shuffles is a scheduler-floor
+      disaster, while the collapsed word table is vocabulary-sized
+      BY CONSTRUCTION and the driver loop touches no corpus data.
+    - distributed (above threshold): the original k-round loop, one
+      small Spark job per merge over the (word, freq, syms) table —
+      explode adjacent pairs weighted by frequency, argmax, contract
+      with an Arrow-batched map. Kept for vocabularies too large to
+      collect; merges interact, so the gmm.py batched-refill proof
+      does not apply and rounds stay sequential.
+    """
     wf = word_freq_table(d)
+    if local_finish_max_words:
+        wf = wf.localCheckpoint(eager=True)
+        if wf.count() <= local_finish_max_words:
+            word_freqs = {
+                r["word"]: int(r["freq"]) for r in wf.collect()
+            }
+            return bpe_reference(word_freqs, k)
     state = wf.select(
         "word",
         "freq",

@@ -993,6 +993,8 @@ def quality_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # bounded: rank<=100 filter rewrites to TakeOrderedAndProject
+    # below the window (plan-pinned in test_plans.py)
     w = Window.orderBy(F.col("n").desc(), "word")
     top = (
         wc.withColumn("rank", F.row_number().over(w))

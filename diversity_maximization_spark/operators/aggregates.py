@@ -1248,9 +1248,11 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("db"),
     )
+    # bounded: distinct integer cents of a bounded value domain
     w_cum = Window.orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # bounded: same distinct-cents domain
     w_all = Window.orderBy("c").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -1325,6 +1327,7 @@ def agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digit")
     )
     counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # bounded: 9 leading digits
     w_all = Window.orderBy("digit").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
@@ -2004,6 +2007,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(F.expr(cents("value"))).alias("c")
     )
+    # bounded: O(days) daily rollup
     w = Window.orderBy("day")
     signs = daily.select(
         "day",
@@ -2011,6 +2015,7 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("c") < F.lag("c").over(w), -1)
         .alias("s"),
     ).filter(F.col("s").isNotNull())
+    # bounded: O(days) daily rollup
     seq = signs.select("s", F.lag("s").over(Window.orderBy("day")).alias("prev"))
     agg = seq.agg(
         F.sum(F.when(F.col("s") == 1, 1).otherwise(0))

@@ -168,7 +168,7 @@ def interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_tot = pref.groupBy("day").agg(
         F.sum("delta").alias("day_delta"), F.max("prefix").alias("day_peak")
     )
-    carry_w = (
+    carry_w = (  # bounded: O(days) daily rollup
         Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )

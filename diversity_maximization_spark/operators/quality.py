@@ -214,6 +214,7 @@ def feat_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         (
             F.row_number().over(
+                # bounded: 5 market segments
                 Window.orderBy(F.col("n").desc(), F.col("c_mktsegment"))
             )
             - 1
@@ -605,6 +606,7 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = (
         day0.groupBy("c")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # bounded: distinct integer cents of a bounded value domain
         .withColumn("cum", F.sum("cnt").over(W0.orderBy("c")))
     )
     ntot = day0.agg(F.count(F.lit(1)).alias("n"))

@@ -645,6 +645,7 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(F.expr(cents("value"))).alias("cents")
     )
+    # bounded: O(days) daily rollup, <= study-window rows
     w7 = Window.orderBy("day").rowsBetween(-3, 3)
     trended = daily.select(
         "day",

@@ -25,10 +25,39 @@ def _ref_word_freqs(sf_dir):
 
 
 def test_bpe_train_matches_reference(spark, sf_dir):
+    """The DISTRIBUTED tier (local finish forced off) must match the
+    pure-Python reference merge-for-merge."""
     wf = _ref_word_freqs(sf_dir)
     want = bpe_reference(wf, N_MERGES)
-    got = bpe_train_merges(load(spark, sf_dir, "documents"), N_MERGES)
+    got = bpe_train_merges(
+        load(spark, sf_dir, "documents"), N_MERGES,
+        local_finish_max_words=0,
+    )
     assert got == want
+
+
+def test_bpe_local_finish_equals_distributed(spark, sf_dir):
+    """The default local-finish tier must learn the identical merge
+    sequence as the distributed loop (the tier switch is a pure
+    performance decision) and must stay within the documented job
+    budget: a constant handful (AQE splits the corpus aggregation
+    into a few jobs), never one-plus jobs per merge like the
+    distributed loop's ~2*N_MERGES."""
+    d = load(spark, sf_dir, "documents")
+    local = bpe_train_merges(d, N_MERGES)  # fixture is under threshold
+    dist = bpe_train_merges(d, N_MERGES, local_finish_max_words=0)
+    assert local == dist
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    sc.setJobGroup("bpe-local-finish", "job-count probe")
+    try:
+        bpe_train_merges(d, N_MERGES)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = len(tracker.getJobIdsForGroup("bpe-local-finish") or [])
+    assert 0 < jobs <= 6 < N_MERGES, jobs
 
 
 def test_bpe_train_key_schema_and_determinism(spark, sf_dir):

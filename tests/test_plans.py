@@ -463,3 +463,33 @@ def test_kmv_sketch_bounded_by_window_group_limit(spark, sf_dir):
     state at K rows per group (SPARK-37099)."""
     plan = plan_of(spark, "sketch_kmv_distinct", sf_dir)
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_unpartitioned_windows_carry_bound_notes():
+    """Window-audit lint (PLANS.md "Unpartitioned-window audit"):
+    every direct ``Window.orderBy(...)`` — the unpartitioned form
+    that funnels all rows into one task — in non-test package source
+    must carry a ``# bounded:`` note within the three preceding
+    lines stating the domain bound that makes it safe. A new
+    unpartitioned ranking window without a bound note fails here."""
+    import pathlib
+    import re
+
+    pkg = pathlib.Path("diversity_maximization_spark")
+    pat = re.compile(r"\b(Window|W|W0)\.orderBy\(")
+    offenders = []
+    for py in sorted(pkg.rglob("*.py")):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines):
+            if not pat.search(line):
+                continue
+            if "``" in line or line.lstrip().startswith("#"):
+                continue  # prose/docstring mention, not code
+            window = "\n".join(lines[max(0, i - 3) : i + 1])
+            if "bounded" not in window:
+                offenders.append(f"{py}:{i + 1}: {line.strip()[:80]}")
+    assert not offenders, (
+        "unpartitioned Window.orderBy without a '# bounded:' note "
+        "(add the domain bound or partition the window):\n"
+        + "\n".join(offenders)
+    )
