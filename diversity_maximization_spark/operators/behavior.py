@@ -1320,3 +1320,44 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channel string, base_conversion double, removal_conversion"
         " double, removal_effect double, credit_share double",
     )
+
+@query(
+    "win_cume_unique_users",
+    oracle="""
+WITH fs AS (
+  SELECT user_id, MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day
+  FROM events GROUP BY user_id
+), per_day AS (
+  SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day
+)
+SELECT day, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS users_to_date
+FROM per_day
+""",
+)
+def win_cume_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-unique adoption curve — distinct users seen TO DATE
+    per day, the growth chart next to rolling_dau's sliding window.
+    A windowed COUNT(DISTINCT) is not expressible in Spark (and would
+    re-touch every user per day anyway); the standard first-seen
+    decomposition is exact and one-pass: each user contributes on
+    exactly their first-touch day (one shuffled min-agg on user_id),
+    the per-day new-user counts collapse to the O(days) rollup, and
+    the running total is a prefix sum over that rollup."""
+    ev = load(spark, sf_dir, "events")
+    per_day = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    # bounded: O(days) first-touch rollup, <= study-window rows
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
+    )

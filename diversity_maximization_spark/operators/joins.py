@@ -1107,3 +1107,91 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("s_suppkey").alias("n_supp"),
         )
     )
+
+KNN_K = 3
+KNN_RADIUS = 0.08
+
+
+@query(
+    "join_knn_radius",
+    oracle=f"""
+WITH p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id, b.vec_id AS neighbor,
+         sqrt((a.x - b.x) * (a.x - b.x)
+              + (a.y - b.y) * (a.y - b.y)) AS dist
+  FROM p a JOIN p b
+    ON a.vec_id <> b.vec_id
+   AND sqrt((a.x - b.x) * (a.x - b.x)
+            + (a.y - b.y) * (a.y - b.y)) < {KNN_RADIUS}
+), ranked AS (
+  SELECT vec_id, neighbor, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, neighbor) AS rn
+  FROM pairs
+)
+SELECT vec_id, neighbor, dist, CAST(rn AS INT) AS rn
+FROM ranked WHERE rn <= {KNN_K}
+""",
+)
+def join_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-nearest-neighbor join in 2-D, bounded by a search radius —
+    the exact spatial companion to sim_search_topk's embedding ANN:
+    for every point, its {KNN_K} nearest others within r (geo
+    proximity matching, store-to-customer assignment, hotspot
+    linkage). Bounding by r is what makes EXACT distributed kNN
+    possible with one equi-join: any neighbor within r provably lies
+    in the 3x3 cell neighborhood of an r-sided grid, so candidates
+    come from the same constant-replication grid join as
+    join_spatial_grid and the per-point top-k is a PARTITIONED
+    row_number (rank-limit pushdown bounds state at k per partition).
+    The oracle is the brute-force all-pairs theta join + window
+    (intentionally naive, see PLANS.md). Distances are the identical
+    IEEE expression on both engines, unrounded; ties break by
+    neighbor id so the ranking is total."""
+    r = KNN_RADIUS
+    p = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cell = lambda c: F.floor(c / F.lit(r)).cast("bigint")  # noqa: E731
+    home = p.select(
+        "vec_id", "x", "y",
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    probe = home.select(
+        F.col("vec_id").alias("neighbor"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "neighbor",
+        "bx",
+        "by",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    dist = F.sqrt(
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "neighbor")
+    return (
+        home.join(probe, ["cx", "cy"])
+        .filter(F.col("vec_id") != F.col("neighbor"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") < r)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+        .select("vec_id", "neighbor", "dist", "rn")
+    )

@@ -793,3 +793,39 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_cents"
         ),
     )
+
+@query(
+    "fn_regex",
+    oracle="""
+SELECT p_partkey,
+       p_name,
+       regexp_extract(p_name, '[aeiou][a-z]*') AS first_vowel_run,
+       CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INTEGER)
+         AS n_alpha_runs,
+       regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+       regexp_matches(p_name, '(navy|ivory)') AS has_navy_ivory
+FROM part
+""",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family over part names — extract / extract-all /
+    global replace / match — restricted to the character-class +
+    alternation subset where Java regex (Spark) and RE2 (DuckDB)
+    agree symbol-for-symbol, so the oracle hash is exact without any
+    normalization. All four run JVM-side inside whole-stage codegen;
+    none is a UDF. (DuckDB's regexp_replace needs the explicit 'g'
+    flag to match Spark's replace-all default — the kind of
+    cross-engine trap this key pins.)"""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_name",
+        F.regexp_extract("p_name", "[aeiou][a-z]*", 0).alias(
+            "first_vowel_run"
+        ),
+        F.size(F.regexp_extract_all("p_name", F.lit("[a-z]+"), 0)).alias(
+            "n_alpha_runs"
+        ),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+        F.col("p_name").rlike("(navy|ivory)").alias("has_navy_ivory"),
+    )
