@@ -261,6 +261,111 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_oracle_sig_sql() -> str:
+    """DuckDB CTE computing the EXACT same 64-bit SimHash as
+    _simhash_batches, bit for bit: md5 word hashes (identical hex in
+    hashlib and DuckDB), per-bit weighted sign sums over the word
+    counts, two's-complement assembly into BIGINT. Bit j of the
+    big-endian first-8-bytes value lives in hex nibble (63-j)//4 at
+    nibble bit j%4 — all small-int arithmetic, no int128 anywhere.
+    Validated char-for-char against the Python reference."""
+    acc_cols = ",\n".join(
+        "SUM(c * (CASE WHEN (((strpos('0123456789abcdef', "
+        f"substr(md5(word), {(63 - j) // 4 + 1}, 1)) - 1) >> {j % 4})"
+        f" & 1) = 1 THEN 1 ELSE -1 END)) AS a{j}"
+        for j in range(64)
+    )
+    sig_expr = " + ".join(
+        (
+            f"(CASE WHEN a{j} > 0 THEN "
+            "CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+            if j == 63
+            else f"(CASE WHEN a{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+            " ELSE 0 END)"
+        )
+        for j in range(64)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), accs AS (
+  SELECT doc_id, {acc_cols} FROM words GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_expr} AS simhash FROM accs
+)
+"""
+
+
+SIMHASH_EXACT_D = 3
+
+
+@query(
+    "dedup_simhash_exact",
+    oracle=_simhash_oracle_sig_sql()
+    + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_EXACT_D}
+""",
+)
+def dedup_simhash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL SimHash pairs at hamming distance <= {d} — the exact tier
+    of the simhash family, and the hash-matched proof the banding
+    machinery dedup_simhash builds on is sound: with 4 chunks over
+    64 bits, any pair with <= 3 flipped bits shares at least one
+    untouched chunk (pigeonhole), so the banded candidate join is
+    LOSSLESS at this threshold and the engine result is exact while
+    never materializing all pairs. The oracle recomputes the
+    signatures bit-for-bit in SQL (md5 nibble arithmetic, see
+    _simhash_oracle_sig_sql) and brute-forces every pair —
+    intentionally naive (PLANS.md). dedup_simhash keeps the wider
+    d <= 12 recall-bounded tier; this key is the d <= {d} exact
+    contract a dedup pipeline can actually certify.""".format(
+        d=SIMHASH_EXACT_D
+    )
+    d = load(spark, sf_dir, "documents")
+    sig = simhash_df(d)
+    chunks = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_EXACT_D)
+    )
+
+
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -313,6 +418,152 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}), "doc_a"
         )
         .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}), "doc_b")
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+CERT_NH = 8  # 32-bit md5 minhashes
+CERT_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))  # 2 bands x 4 rows
+
+
+def _md5_hex32_sql(arg: str) -> str:
+    """DuckDB BIGINT expression for the first 32 bits of md5(arg):
+    nibble-sum over the first 8 hex chars — identical to Spark's
+    conv(substr(md5(x), 1, 8), 16, 10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {k}, 1)) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    ) + ")"
+
+
+def _minhash_certified_oracle() -> str:
+    hv = _md5_hex32_sql("shingle || '|' || CAST(i AS VARCHAR)")
+    pivots = ",\n".join(
+        f"MIN(CASE WHEN i = {i} THEN hv END) AS h{i}"
+        for i in range(CERT_NH)
+    )
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"a.h{i} = b.h{i}" for i in band) + ")"
+        for band in CERT_BANDS
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), hv AS (
+  SELECT doc_id, i, {hv} AS hv
+  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, {CERT_NH - 1})) AS i)
+), mh AS (
+  SELECT doc_id, {pivots} FROM hv GROUP BY doc_id
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM mh a JOIN mh b ON a.doc_id < b.doc_id AND ({band_eq})
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(n_common AS DOUBLE)
+             / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+FROM cand JOIN common c USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.2
+"""
+
+
+@query("dedup_minhash_certified", oracle=_minhash_certified_oracle())
+def dedup_minhash_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash-LSH near-dup pipeline with every stage
+    hash-checked: 3-word shingles -> 8 md5-based 32-bit minhashes ->
+    2 bands x 4 rows -> banded candidate equi-join -> exact-Jaccard
+    re-score (>= 0.2). Unlike dedup_minhash (xxhash64 signatures —
+    engine-specific hash family, rows-only), the md5 hash family is
+    bit-identical in DuckDB, so the oracle replays the ENTIRE chain
+    in SQL (naive all-pairs band comparison — see PLANS.md) and the
+    driver hash proves signature, banding, and re-score all exact.
+    Scale shape is the production one: minhashes are 8 min-aggs over
+    the shingle explosion (no UDF — md5/substr/conv built-ins),
+    candidates come from a banded equi-join (never all pairs), and
+    only candidates are re-scored."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    hcols = [
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("shingle"), F.lit(f"|{i}"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{i}")
+        for i in range(CERT_NH)
+    ]
+    mh = sh.groupBy("doc_id").agg(*hcols)
+    bands = mh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        *[
+                            F.col(f"h{i}").alias(f"k{j}")
+                            for j, i in enumerate(band)
+                        ],
+                    )
+                    for bi, band in enumerate(CERT_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.*")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            ["band", "k0", "k1", "k2", "k3"],
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    common = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        cand.join(common, ["doc_a", "doc_b"])
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}),
+            "doc_a",
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}),
+            "doc_b",
+        )
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
