@@ -1,13 +1,15 @@
 """Bag-of-words points (SURVEY.md §1.1: the reference's sparse
 `ArrayBagOfWords` substrate, used for its musiXmatch song
 experiments). Documents become fixed-dim vectors by feature hashing —
-word -> pmod(xxhash64(word), dim) bucket, counts summed per bucket —
-entirely JVM-side (explode / groupBy / map_from_entries / transform),
-so the vectorization is one shuffle of (doc, bucket) pairs and scales
-like any aggregation. The hashed vectors then flow through the SAME
-diversity pipeline as dense embeddings (GMM, coresets, evaluators) —
-exactly how the reference treats BoW points as just another metric
-space.
+word -> first-32-bits-of-md5(word) % dim bucket, counts summed per
+bucket — entirely JVM-side (md5/conv/explode/groupBy/
+map_from_entries/transform), so the vectorization is one shuffle of
+(doc, bucket) pairs and scales like any aggregation. md5 (not
+xxhash64) is deliberate: the hash family is bit-identical in DuckDB,
+which makes bow_vectorize a fully hash-checked oracle key instead of
+rows-only. The hashed vectors then flow through the SAME diversity
+pipeline as dense embeddings (GMM, coresets, evaluators) — exactly
+how the reference treats BoW points as just another metric space.
 """
 
 from __future__ import annotations
@@ -27,6 +29,9 @@ def bow_vectors(d: DataFrame, dim: int = BOW_DIM) -> DataFrame:
     """(doc_id, embedding array<double>, label) — feature-hashed word
     counts; label = a hash bucket of `lang` so the matroid machinery
     works unchanged on BoW points."""
+    def h32(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
     words = d.select(
         "doc_id",
         "lang",
@@ -35,7 +40,7 @@ def bow_vectors(d: DataFrame, dim: int = BOW_DIM) -> DataFrame:
     buckets = words.groupBy(
         "doc_id",
         "lang",
-        F.pmod(F.xxhash64("word"), F.lit(dim)).cast("int").alias("bucket"),
+        (h32(F.col("word")) % dim).cast("int").alias("bucket"),
     ).agg(F.count(F.lit(1)).cast("double").alias("cnt"))
     dense = (
         buckets.groupBy("doc_id", "lang")
@@ -50,16 +55,57 @@ def bow_vectors(d: DataFrame, dim: int = BOW_DIM) -> DataFrame:
                 f"transform(sequence(0, {dim - 1}), "
                 f"i -> coalesce(element_at(m, i), CAST(0 AS DOUBLE)))"
             ).alias("embedding"),
-            F.pmod(F.xxhash64("lang"), F.lit(4)).cast("int").alias("label"),
+            (h32(F.col("lang")) % 4).cast("int").alias("label"),
         )
     )
     return dense
 
 
-@query("bow_vectorize")  # rows-only: hash family is engine-specific
+def _bow_hex32_sql(arg: str) -> str:
+    """DuckDB BIGINT expression for the first 32 bits of md5(arg) —
+    identical to Spark's conv(substr(md5(x), 1, 8), 16, 10)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {k}, 1)) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    ) + ")"
+
+
+@query(
+    "bow_vectorize",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), w2 AS (
+  SELECT * FROM words WHERE length(word) > 0
+), buckets AS (
+  SELECT doc_id, lang,
+         CAST({_bow_hex32_sql('word')} % {BOW_DIM} AS INT) AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS cnt
+  FROM w2 GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, lang,
+         CAST(COUNT(*) AS INTEGER) AS nnz,
+         list(cnt * cnt ORDER BY bucket) AS sq
+  FROM buckets GROUP BY 1, 2
+)
+SELECT doc_id AS vec_id,
+       CAST({_bow_hex32_sql('lang')} % 4 AS INT) AS label,
+       nnz,
+       round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), sq),
+                              (a, x) -> a + x)), 6) AS l2_norm
+FROM per_doc
+""",
+)
 def bow_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents -> feature-hashed BoW vectors (norm + nnz exposed so
-    the driver check sees stable values)."""
+    the driver check sees stable values). Hash-checked end to end:
+    the md5-based bucket family is bit-identical in DuckDB (nibble
+    arithmetic, see _bow_hex32_sql), and the l2 fold over the dense
+    64-slot array in index order equals the oracle's fold over the
+    present buckets in ascending bucket order because the empty
+    slots' exact +0.0 terms are IEEE no-ops."""
     d = load(spark, sf_dir, "documents")
     v = bow_vectors(d)
     return v.select(
