@@ -408,7 +408,48 @@ def graph_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 LPA_ROUNDS = 5
 
 
-@query("graph_lpa_communities")  # rows-only: iterative fixed-round
+def _lpa_oracle() -> str:
+    """DuckDB replay of the synchronous deterministic LPA: the same
+    co-purchase edge derivation, then LPA_ROUNDS UNROLLED rounds —
+    each one neighbor-label counting + (count desc, label asc)
+    arg-max + keep-own-on-no-winner — ending with community sizes.
+    Unrolling (not recursion) because each round REPLACES the label
+    table, which recursive-CTE union semantics cannot express."""
+    rounds = []
+    for r in range(LPA_ROUNDS):
+        prev, cur = f"l{r}", f"l{r + 1}"
+        rounds.append(f"""c{r} AS (
+  SELECT e.src AS node, l.lbl AS nl, COUNT(*) AS n
+  FROM ed e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
+), w{r} AS (
+  SELECT node, nl,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, nl) AS rn
+  FROM c{r}
+), {cur} AS (
+  SELECT p.node, COALESCE(w.nl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN (SELECT node, nl FROM w{r} WHERE rn = 1) w
+    USING (node)
+)""")
+    last = f"l{LPA_ROUNDS}"
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), ed AS (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS lbl FROM ed
+), {', '.join(rounds)}
+SELECT t.node, t.lbl AS community, CAST(s.cnt AS BIGINT) AS community_size
+FROM {last} t
+JOIN (SELECT lbl, COUNT(*) AS cnt FROM {last} GROUP BY lbl) s USING (lbl)
+"""
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by SYNCHRONOUS label propagation over the
     part co-purchase graph, made fully deterministic: every vertex
@@ -420,7 +461,10 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bounded-rounds iterative-join discipline as pointer jumping
     and k-core, lineage kept flat with localCheckpoint. Output:
     (node, community, community_size). Exactness pinned against a
-    pure-python synchronous replay in tests."""
+    pure-python synchronous replay in tests AND against a DuckDB
+    oracle that unrolls the LPA_ROUNDS rounds in SQL (_lpa_oracle) —
+    the fixed round count is what makes this iterative operator
+    hash-checkable at all."""
     edges = _copurchase_edges(spark, sf_dir)
     directed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
