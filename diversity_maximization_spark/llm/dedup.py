@@ -625,15 +625,57 @@ def _exact_dup_edges(d: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_components")  # rows-only: minhash edge set is hash-family-specific
+def _cc_certified_oracle() -> str:
+    """Recursive-closure ground truth over (exact-dup ∪ certified-
+    minhash-LSH) edges: the _minhash_certified_oracle pipeline down
+    to thresholded pairs, unioned with exact-text pairs, then the
+    same `reach` transitive closure as the ngram CC oracle."""
+    body = _minhash_certified_oracle()
+    # strip the final SELECT: keep the WITH ... CTE chain, re-close it
+    # (RECURSIVE is required up front for the closure CTE below)
+    ctes = body.split("\nSELECT c.doc_a", 1)[0].replace(
+        "WITH words", "WITH RECURSIVE words", 1
+    )
+    return (
+        ctes
+        + f""", lsh AS (
+  SELECT c.doc_a AS src, c.doc_b AS dst
+  FROM cand JOIN common c USING (doc_a, doc_b)
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+        >= 0.2
+), epairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM documents a JOIN documents b
+    ON a.text = b.text AND a.doc_id < b.doc_id
+), alledges AS (
+  SELECT src, dst FROM lsh UNION SELECT dst, src FROM lsh
+  UNION SELECT src, dst FROM epairs UNION SELECT dst, src FROM epairs
+), reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN alledges e ON reach.r = e.src
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+"""
+    )
+
+
+@query("dedup_components", oracle=_cc_certified_oracle())
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate GROUPS: union the exact-dup and minhash near-dup
-    pair sets, run distributed connected components, and report every
-    document's component (component id = min doc_id — the keeper).
-    The step that turns pairwise dedup into actual group-and-keep at
-    scale."""
+    """Near-duplicate GROUPS: union the exact-dup and minhash-LSH
+    near-dup pair sets, run distributed connected components, and
+    report every document's component (component id = min doc_id —
+    the keeper). The step that turns pairwise dedup into actual
+    group-and-keep at scale. The near-pair source is the CERTIFIED
+    md5 minhash tier (dedup_minhash_certified), so since round 4 the
+    whole group-and-keep pipeline — signatures, banding, re-score,
+    star edges, min-label propagation — is driver-hash-checked
+    against a recursive-CTE transitive closure (the xxhash64 tier
+    dedup_minhash remains for wider-signature workloads)."""
     d = load(spark, sf_dir, "documents")
-    near_pairs = QUERIES["dedup_minhash"](spark, sf_dir).select(
+    near_pairs = QUERIES["dedup_minhash_certified"](spark, sf_dir).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     edges = _exact_dup_edges(d).unionAll(near_pairs)

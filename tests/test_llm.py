@@ -231,7 +231,7 @@ def test_connected_components_match_union_find(spark, sf_dir):
         edges += [(ids[0], o) for o in ids[1:]]
     edges += [
         (r["doc_a"], r["doc_b"])
-        for r in QUERIES["dedup_minhash"](spark, sf_dir).collect()
+        for r in QUERIES["dedup_minhash_certified"](spark, sf_dir).collect()
     ]
     parent = {r["doc_id"]: r["doc_id"] for r in d}
 

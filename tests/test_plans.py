@@ -493,3 +493,22 @@ def test_unpartitioned_windows_carry_bound_notes():
         "(add the domain bound or partition the window):\n"
         + "\n".join(offenders)
     )
+
+
+def test_knn_radius_is_equi_join_on_cells(spark, sf_dir):
+    """join_knn_radius's candidate generation must be the grid-cell
+    EQUI join (3x3 constant replication), never a cross/theta product
+    over points, and the per-point top-k must trigger the rank-limit
+    pushdown (WindowGroupLimit) so state is k-bounded."""
+    plan = plan_of(spark, "join_knn_radius", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_minhash_certified_banded_join_is_equi(spark, sf_dir):
+    """dedup_minhash_certified's candidate stage must be the banded
+    equi-join — all-pairs comparison lives only in the ORACLE."""
+    plan = plan_of(spark, "dedup_minhash_certified", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -394,3 +394,76 @@ def test_markov_removal_attribution_closed_form():
     assert abs(absorption_probability(mix, "purchase")["view"] - 1.0) < 1e-12
     p_drop = absorption_probability(mix, "purchase", drop="click")["view"]
     assert abs(p_drop - 0.5) < 1e-12
+
+
+def test_simhash_exact_banding_lossless_at_boundary(spark):
+    """dedup_simhash_exact's exactness claim is the pigeonhole lemma:
+    4 chunks over 64 bits recover EVERY pair at hamming <= 3. Plant
+    signature pairs at hamming exactly 3 (must be found even when the
+    flipped bits straddle three different chunks) and at hamming 4
+    spread across all four chunks (allowed to be missed by banding,
+    and excluded by the <= 3 filter regardless), and check the banded
+    candidate join against brute force over the signatures."""
+    from pyspark.sql import functions as F
+
+    base = 0x0123456789ABCDEF
+    sigs = [
+        (1, base),
+        (2, base ^ (1 << 0) ^ (1 << 20) ^ (1 << 40)),  # d=3, 3 chunks
+        (3, base ^ (1 << 5) ^ (1 << 6)),               # d=2, one chunk
+        (4, base ^ (1 << 1) ^ (1 << 17) ^ (1 << 33) ^ (1 << 49)),  # d=4
+    ]
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(i, to_i64(s)) for i, s in sigs], "doc_id bigint, simhash bigint"
+    )
+    chunks = df.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned("simhash", 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", "cc.chunk", "cc.val")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in (
+            a.join(
+                b,
+                (F.col("a.chunk") == F.col("b.chunk"))
+                & (F.col("a.val") == F.col("b.val"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                ).alias("hamming"),
+            )
+            .distinct()
+            .filter(F.col("hamming") <= 3)
+            .collect()
+        )
+    }
+    want = set()
+    for i, (ia, sa) in enumerate(sigs):
+        for ib, sb in sigs[i + 1 :]:
+            if bin(sa ^ sb).count("1") <= 3:
+                want.add((ia, ib))
+    assert got == want
+    assert (1, 2) in got  # the straddling d=3 pair was recovered
+    assert (1, 4) not in got  # d=4 is outside the exact contract
