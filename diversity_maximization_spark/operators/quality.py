@@ -360,6 +360,128 @@ def privacy_k_anon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @query(
+    "privacy_l_diversity",
+    oracle="""
+WITH classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size,
+         COUNT(DISTINCT c_mktsegment) AS l_distinct
+  FROM customer
+  GROUP BY 1, 2
+)
+SELECT c_nationkey, bal_band, class_size, l_distinct,
+       l_distinct >= 3 AS meets_l,
+       CAST(MIN(l_distinct) OVER () AS BIGINT) AS l_diversity
+FROM classes
+""",
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary companion: a
+    class can be large (k-anonymous) yet leak the sensitive
+    attribute if every member shares one value. Group by the QI
+    tuple (nation, balance band), count DISTINCT sensitive values
+    (market segment) per class, flag classes below l=3, and report
+    the dataset-wide l (the weakest class). Same scale shape as
+    privacy_k_anon: one shuffled agg on the QI tuple; the global
+    MIN window runs over the tiny class table."""
+    cust = load(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("c_mktsegment").alias("l_distinct"),
+    )
+    from pyspark.sql.window import Window as W
+
+    return classes.select(
+        "c_nationkey",
+        "bal_band",
+        "class_size",
+        "l_distinct",
+        (F.col("l_distinct") >= 3).alias("meets_l"),
+        F.min("l_distinct")
+        .over(W.partitionBy(F.lit(1)))
+        .alias("l_diversity"),
+    )
+
+
+DP_EPS_SCALE = 10.0  # Laplace b = sensitivity/epsilon = 1/0.1
+
+
+@query(
+    "privacy_dp_counts",
+    oracle=f"""
+WITH cnts AS (
+  SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM customer GROUP BY 1, 2
+), seeded AS (
+  SELECT *,
+         (( (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 1, 1)) - 1) * 268435456
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 2, 1)) - 1) * 16777216
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 3, 1)) - 1) * 1048576
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 4, 1)) - 1) * 65536
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 5, 1)) - 1) * 4096
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 6, 1)) - 1) * 256
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 7, 1)) - 1) * 16
+          + (strpos('0123456789abcdef', substr(md5(CAST(c_nationkey AS VARCHAR)
+              || '|' || c_mktsegment), 8, 1)) - 1)) + 0.5) / 4294967296.0
+           AS u
+  FROM cnts
+)
+SELECT c_nationkey, c_mktsegment, true_count,
+       round(true_count
+             - {DP_EPS_SCALE} * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 6) AS dp_count
+FROM seeded
+""",
+)
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release counts with SEEDED Laplace
+    noise — the reproducible-DP pattern real release pipelines use
+    (a keyed PRG, not an OS RNG, so reruns and both engines draw the
+    identical noise): u = (first 32 md5 bits of the group key + 0.5)
+    / 2^32 in (0,1), inverse-CDF Laplace noise
+    -b*sign(u-1/2)*ln(1-2|u-1/2|) with b = 1/eps = {b}. The uniform
+    is an exact rational (identical in both engines), the ln/abs
+    chain is the same IEEE expression order, and the result rounds
+    to 6 dp per the ln policy. One shuffled agg; the noise is a
+    narrow per-row expression.""".format(b=DP_EPS_SCALE)
+    cust = load(spark, sf_dir, "customer")
+    cnts = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    key = F.concat(
+        F.col("c_nationkey").cast("string"),
+        F.lit("|"),
+        F.col("c_mktsegment"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    noise = (
+        F.lit(-DP_EPS_SCALE)
+        * F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+    )
+    return cnts.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("dp_count"),
+    )
+
+
+@query(
     "feat_assembly",
     oracle="""
 SELECT user_id,
