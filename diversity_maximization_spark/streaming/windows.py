@@ -130,6 +130,35 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(dd, _fresh("dedup"), mode="append")
 
 
+@query(
+    "stream_cume_unique",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY event_type
+""",
+)
+def stream_cume_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed distinct-users-to-date per event type — the streaming
+    form of the adoption curve, and a MULTI-stateful-operator chain:
+    distinct aggregates are unsupported in streaming, so the standard
+    decomposition chains stateful dropDuplicates (first-seen state)
+    into a plain streaming count (complete mode), two state stores in
+    one query (Spark 3.5+ multi-stateful support). After full replay
+    the final table must equal the batch COUNT(DISTINCT) — the
+    batch-equivalence contract every key in this module carries."""
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    dd = (
+        st.withWatermark("ts", "10 minutes")
+        .select("event_type", "user_id", "ts")
+        .dropDuplicates(["event_type", "user_id"])
+    )
+    agg = dd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("unique_users")
+    )
+    return run_to_memory(agg, _fresh("cume_unique"), mode="complete")
+
+
 @query("stream_late_data")  # rows-only: watermark-drop semantics
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constructed late-arrival replay: the last slice re-delivers
