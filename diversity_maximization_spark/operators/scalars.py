@@ -829,3 +829,32 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
         F.col("p_name").rlike("(navy|ivory)").alias("has_navy_ivory"),
     )
+
+@query(
+    "fn_encoding",
+    oracle="""
+SELECT p_partkey,
+       base64(encode(p_name)) AS b64,
+       decode(from_base64(base64(encode(p_name)))) AS b64_roundtrip,
+       hex(p_name) AS hx,
+       CAST(length(p_name) AS INTEGER) AS n_bytes
+FROM part
+""",
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-encoding scalar family — base64 encode + round-trip and
+    hex over part names, the interchange plumbing every export /
+    fingerprint pipeline leans on. All JVM built-ins; both engines
+    emit uppercase hex and padded MIME base64, so the strings hash
+    exactly. (DuckDB needs the explicit encode()/decode() blob hops;
+    Spark casts string<->binary implicitly.)"""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.base64(F.col("p_name").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("p_name").cast("binary")))
+        .cast("string")
+        .alias("b64_roundtrip"),
+        F.hex(F.col("p_name")).alias("hx"),
+        F.length("p_name").alias("n_bytes"),
+    )

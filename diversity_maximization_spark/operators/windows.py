@@ -736,3 +736,45 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 3).over(w).alias("third_highest"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+@query(
+    "win_time_range_frame",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(SUM(cents) OVER (PARTITION BY event_type ORDER BY epoch(day)
+                             RANGE BETWEEN 172800 PRECEDING
+                                       AND CURRENT ROW) AS DOUBLE) / 100
+         AS rolling_3d_value
+FROM daily
+""",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval RANGE frame — the rolling 3-DAY revenue window
+    that a ROWS frame cannot express when days are missing (a gap
+    must shrink the window, not slide over it). Spark range frames
+    need a numeric order key, so the day rolls to epoch seconds and
+    the frame is RANGE [-2 days, now] (172800 s); the oracle states
+    the identical numeric formulation. Runs on the O(days x types)
+    rollup; the window partitions by series. Exact integer cents
+    inside the frame, one cast out."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("cents"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_timestamp("day"))
+        .rangeBetween(-172800, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        (F.sum("cents").over(w).cast("double") / 100).alias(
+            "rolling_3d_value"
+        ),
+    )
