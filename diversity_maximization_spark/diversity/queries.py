@@ -72,16 +72,111 @@ def div_eval_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return E.star_value(_cand(spark, sf_dir))
 
 
-@query("div_eval_tree")  # rows-only: MST is not SQL-expressible
+# Max greedy rounds the tree/cycle oracles unroll. The candidate set
+# is |vec_id % 25 = 0| = 20 points at sf0.01 and 80 at sf0.1; rounds
+# past |S|-1 operate on empty CTEs (LIMIT 1 of nothing) and contribute
+# no rows, so any unroll >= |S|-1 is exact. 100 covers both fixtures
+# with margin; a larger SF needs this constant raised.
+_TREE_ORACLE_ROUNDS = 100
+
+_CAND_DIST_CTE = f"""
+cand AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE {_CAND_FILTER}),
+d AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         {V.duck_l2_dist('a.embedding', 'b.embedding')} AS w
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+n0 AS (SELECT vec_id AS v FROM cand ORDER BY vec_id LIMIT 1)"""
+
+
+def _tree_oracle() -> str:
+    """Unrolled Prim MST over the candidate pair-distance table:
+    state bK(v) = min distance from v to the tree; each round picks
+    argmin (ties -> lowest vec_id, numpy argmin's first-index rule)
+    and relaxes with least(). Rounds beyond |S|-1 are empty
+    pass-throughs. The engine computes the same greedy on the driver
+    (kernel.eval_tree); distances differ only in the ~1e-12 tail
+    (numpy expansion formula vs the SQL fold), absorbed by round(.,6)
+    on the summed weight."""
+    parts = [
+        "WITH " + _CAND_DIST_CTE + ",",
+        "b0 AS MATERIALIZED (SELECT d.ib AS v, d.w AS best FROM d JOIN n0 ON d.ia = n0.v)",
+    ]
+    for r in range(1, _TREE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f", p{r} AS (SELECT v, best FROM b{r - 1} ORDER BY best ASC, v ASC LIMIT 1)"
+        )
+        if r < _TREE_ORACLE_ROUNDS:
+            parts.append(
+                f", b{r} AS MATERIALIZED (SELECT b.v, least(b.best, d.w) AS best "
+                f"FROM b{r - 1} b JOIN p{r} p ON b.v <> p.v "
+                f"JOIN d ON d.ia = p.v AND d.ib = b.v)"
+            )
+    picks = " UNION ALL ".join(
+        f"SELECT best FROM p{r}" for r in range(1, _TREE_ORACLE_ROUNDS + 1)
+    )
+    parts.append(
+        f" SELECT 'tree' AS objective, round(SUM(best), 6) AS value FROM ({picks})"
+    )
+    return "\n".join(parts)
+
+
+def _cycle_oracle() -> str:
+    """Unrolled deterministic nearest-neighbor TSP tour from the
+    min-vec_id start (kernel.eval_cycle's recurrence): each round
+    hops to the nearest unvisited point (ties -> lowest vec_id),
+    accumulating edge weights; the closing edge returns from the last
+    visited point to the start. Empty rounds past |S|-1 contribute
+    nothing and step numbers let the closing edge find the true last
+    hop."""
+    parts = [
+        "WITH " + _CAND_DIST_CTE + ",",
+        "v0 AS (SELECT v FROM n0), c0 AS (SELECT v FROM n0)",
+    ]
+    for r in range(1, _TREE_ORACLE_ROUNDS + 1):
+        parts.append(
+            f", p{r} AS MATERIALIZED (SELECT d.ib AS v, d.w AS w "
+            f"FROM d JOIN c{r - 1} c ON d.ia = c.v "
+            f"WHERE d.ib NOT IN (SELECT v FROM v{r - 1}) "
+            f"ORDER BY d.w ASC, d.ib ASC LIMIT 1)"
+        )
+        if r < _TREE_ORACLE_ROUNDS:
+            parts.append(
+                f", v{r} AS MATERIALIZED (SELECT v FROM v{r - 1} UNION ALL SELECT v FROM p{r})"
+            )
+            parts.append(f", c{r} AS (SELECT v FROM p{r})")
+    hops = " UNION ALL ".join(
+        f"SELECT {r} AS step, v, w FROM p{r}"
+        for r in range(1, _TREE_ORACLE_ROUNDS + 1)
+    )
+    parts.append(
+        f""", hops AS MATERIALIZED ({hops}),
+last AS (SELECT v FROM hops ORDER BY step DESC LIMIT 1),
+closing AS (SELECT d.w FROM d JOIN last ON d.ia = last.v JOIN n0 ON d.ib = n0.v)
+SELECT 'cycle' AS objective,
+       round((SELECT SUM(w) FROM hops) + (SELECT w FROM closing), 6) AS value"""
+    )
+    return "\n".join(parts)
+
+
+@query("div_eval_tree", oracle=_tree_oracle())
 def div_eval_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-tree (MST weight) of the candidate set — hash-checked
+    against an unrolled-Prim DuckDB oracle (see _tree_oracle)."""
     vals = E.tree_cycle_values(_cand(spark, sf_dir))
-    return spark.createDataFrame(vals[:1], "objective string, value double")
+    return spark.createDataFrame(
+        vals[:1], "objective string, value double"
+    ).select("objective", F.round("value", 6).alias("value"))
 
 
-@query("div_eval_cycle")  # rows-only: TSP tour is not SQL-expressible
+@query("div_eval_cycle", oracle=_cycle_oracle())
 def div_eval_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remote-cycle (greedy NN tour weight) of the candidate set —
+    hash-checked against an unrolled-tour DuckDB oracle
+    (see _cycle_oracle)."""
     vals = E.tree_cycle_values(_cand(spark, sf_dir))
-    return spark.createDataFrame(vals[1:], "objective string, value double")
+    return spark.createDataFrame(
+        vals[1:], "objective string, value double"
+    ).select("objective", F.round("value", 6).alias("value"))
 
 
 @query("div_eval_bipartition")  # rows-only: min balanced cut is NP-hard
@@ -95,14 +190,92 @@ def div_eval_bipartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(vals, "objective string, value double")
 
 
-@query("div_gmm")  # rows-only: iterative; covered by property+golden tests
+def _duck_sqdist(a: str, b: str) -> str:
+    """Squared-L2 as a strict left fold — bit-identical to
+    gmm._sqdist_to_lit's aggregate(zip_with(...)) (list_sum is a
+    sequential fold over DOUBLE; verified bitwise on the fixture
+    embeddings)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _gmm_oracle(k: int = 16, cosine: bool = False) -> str:
+    """Unrolled farthest-first traversal in DuckDB: seed = min vec_id,
+    then k-1 rounds of (argmax min_d2, tie-break min id) + least()
+    update, each round dropping the picked row. The comparisons are on
+    raw doubles, which is sound because both engines compute the SAME
+    left-fold IEEE operation sequence (see _duck_sqdist); sqrt and
+    round(.,6) only on the reported column, exactly like the engine.
+    The CTE chain must be MATERIALIZED: inlining doubles per round
+    (s15 would expand to 2^15 scans).
+
+    cosine=True mirrors div_gmm_cosine's reduction: L2-normalize
+    first (duck_l2_normalize is the same elementwise divide /
+    fold-sqrt sequence as the Spark expression), run the identical
+    euclidean recurrence, and report cos_dist = d*d/2 THROUGH the
+    engine's sqrt round-trip (sqrt(md)^2/2, not md/2 — the engine
+    squares the reported sqrt, and the round-trip is lossy in the
+    last ulp)."""
+    if cosine:
+        e_cte = (
+            "e AS MATERIALIZED (SELECT vec_id, "
+            f"{V.duck_l2_normalize('embedding')} AS embedding FROM embeddings),"
+        )
+        val = "round((sqrt(md) * sqrt(md)) / 2, 6)"
+        col = "cos_dist_when_chosen"
+    else:
+        e_cte = "e AS (SELECT vec_id, embedding FROM embeddings),"
+        val = "round(sqrt(md), 6)"
+        col = "dist_when_chosen"
+    parts = [
+        "WITH " + e_cte,
+        "p0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),",
+        "s0 AS MATERIALIZED (SELECT e.vec_id, e.embedding, "
+        f"{_duck_sqdist('e.embedding', 'p0.embedding')} AS md "
+        "FROM e CROSS JOIN p0 WHERE e.vec_id <> p0.vec_id)",
+    ]
+    for r in range(1, k):
+        parts.append(
+            f", p{r} AS (SELECT vec_id, embedding, md FROM s{r - 1} "
+            f"ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f", s{r} AS MATERIALIZED (SELECT s.vec_id, s.embedding, "
+                f"least(s.md, {_duck_sqdist('s.embedding', f'p{r}.embedding')}) AS md "
+                f"FROM s{r - 1} s CROSS JOIN p{r} WHERE s.vec_id <> p{r}.vec_id)"
+            )
+    sel = [
+        "SELECT CAST(0 AS INTEGER) AS sel_order, vec_id, "
+        f"CAST(0.0 AS DOUBLE) AS {col} FROM p0"
+    ]
+    for r in range(1, k):
+        sel.append(f"SELECT CAST({r} AS INTEGER), vec_id, {val} FROM p{r}")
+    parts.append(" " + " UNION ALL ".join(sel))
+    return "\n".join(parts)
+
+
+@query("div_gmm", oracle=_gmm_oracle(16))
 def div_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed farthest-first traversal, k=16, over all embeddings."""
+    """Distributed farthest-first traversal, k=16, over all embeddings.
+
+    Hash-checked: the DuckDB oracle unrolls the identical greedy
+    recurrence (see _gmm_oracle); the engine's batched candidate
+    refill is proven bit-identical to the one-pick-per-round
+    formulation (gmm.py docstring + tests/test_diversity.py), so the
+    selection sequence and reported distances hash-match exactly."""
     emb = load(spark, sf_dir, "embeddings")
     centers = gmm_distributed(emb, k=16)
-    rows = [(rank, int(vid), round(d, 6)) for rank, vid, d, _vec in centers]
+    rows = [(rank, int(vid), float(d)) for rank, vid, d, _vec in centers]
     return spark.createDataFrame(
         rows, "sel_order int, vec_id bigint, dist_when_chosen double"
+    ).select(
+        "sel_order",
+        "vec_id",
+        F.round("dist_when_chosen", 6).alias("dist_when_chosen"),
     )
 
 
@@ -229,7 +402,7 @@ def div_random_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_gmm_cosine")  # rows-only: iterative; property-tested vs local kernel
+@query("div_gmm_cosine", oracle=_gmm_oracle(16, cosine=True))
 def div_gmm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Farthest-first traversal under COSINE distance, k=16, fully
     distributed. Spark-first reduction instead of a second kernel:
@@ -237,15 +410,19 @@ def div_gmm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone map — so euclidean farthest-first on the normalized
     corpus IS cosine farthest-first, and the one distributed GMM
     implementation serves both metrics. Reported distances are mapped
-    back: cos_dist = d^2 / 2."""
+    back: cos_dist = d^2 / 2. Hash-checked: the oracle normalizes
+    with the same IEEE expression sequence and unrolls the identical
+    greedy recurrence (see _gmm_oracle(cosine=True))."""
     emb = load(spark, sf_dir, "embeddings")
     normed = emb.select("vec_id", V.l2_normalize("embedding").alias("embedding"))
     centers = gmm_distributed(normed, k=16)
-    rows = [
-        (rank, int(vid), round((d * d) / 2.0, 6)) for rank, vid, d, _vec in centers
-    ]
+    rows = [(rank, int(vid), (d * d) / 2.0) for rank, vid, d, _vec in centers]
     return spark.createDataFrame(
         rows, "sel_order int, vec_id bigint, cos_dist_when_chosen double"
+    ).select(
+        "sel_order",
+        "vec_id",
+        F.round("cos_dist_when_chosen", 6).alias("cos_dist_when_chosen"),
     )
 
 

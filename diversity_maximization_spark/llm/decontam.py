@@ -305,10 +305,66 @@ def mmr_over(
     return picks
 
 
-@query("select_mmr")  # rows-only: greedy/iterative, not SQL-expressible
+def _mmr_oracle(k: int = _MMR_K) -> str:
+    """Unrolled greedy MMR in DuckDB, mirroring ``mmr_over`` IEEE op
+    for op: the query vector from exact integer micro-unit sums with
+    the same `(s / 1e6) / c` division order; rel and every pairwise
+    cosine as `dot / (sqrt(sqn) * qn)` left folds (list_sum is a
+    sequential fold, bit-matching Spark's aggregate(); CPython's
+    `** 0.5` and sqrt() are both correctly rounded, so qn matches);
+    score = 0.5*rel - 0.5*max_sim with exact 0.5 literals. Each round
+    picks argmax (score DESC, vec_id ASC) and drops the picked row,
+    exactly the engine's excluded-ids discipline. MATERIALIZED stops
+    the per-round chain from inlining exponentially."""
+    sq = "list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    head = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+dims AS (SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM e))) AS i),
+q AS MATERIALIZED (
+  SELECT i AS pos,
+         SUM(CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+         COUNT(*) AS c
+  FROM e CROSS JOIN dims GROUP BY i),
+qv AS (SELECT list((s / 1000000.0) / c ORDER BY pos) AS v FROM q),
+qn AS (SELECT sqrt(list_sum({sq.format(v='v')})) AS n FROM qv),
+s0 AS MATERIALIZED (
+  SELECT e.vec_id, e.embedding,
+         list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> CAST(e.embedding[i] AS DOUBLE) * qv.v[i]))
+           / (sqrt(list_sum({sq.format(v='e.embedding')})) * qn.n) AS rel,
+         CAST(-1.0 AS DOUBLE) AS max_sim
+  FROM e CROSS JOIN qv CROSS JOIN qn)"""
+    parts = [head]
+    for r in range(1, k + 1):
+        parts.append(f"""
+, p{r} AS MATERIALIZED (
+  SELECT vec_id, embedding, rel, 0.5 * rel - 0.5 * max_sim AS mmr_score,
+         sqrt(list_sum({sq.format(v='embedding')})) AS pn
+  FROM s{r - 1} ORDER BY 0.5 * rel - 0.5 * max_sim DESC, vec_id ASC LIMIT 1)""")
+        if r < k:
+            parts.append(f"""
+, s{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.embedding, s.rel,
+         greatest(s.max_sim,
+           list_sum(list_transform(generate_series(1, len(s.embedding)),
+             i -> CAST(s.embedding[i] AS DOUBLE) * CAST(p.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum({sq.format(v='s.embedding')})) * p.pn)) AS max_sim
+  FROM s{r - 1} s CROSS JOIN p{r} p WHERE s.vec_id <> p.vec_id)""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS sel_order, vec_id, rel, mmr_score FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@query("select_mmr", oracle=_mmr_oracle())
 def select_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR selection of k=10 over the embeddings table — see
-    ``mmr_select`` for the batched distributed-greedy plan."""
+    ``mmr_select`` for the batched distributed-greedy plan.
+    Hash-checked: the DuckDB oracle unrolls the identical greedy
+    recurrence with bit-matching IEEE expression sequences
+    (see _mmr_oracle) — raw doubles, no rounding tolerance needed."""
     picks = mmr_select(spark, sf_dir)
     return spark.createDataFrame(
         picks, "sel_order int, vec_id bigint, rel double, mmr_score double"

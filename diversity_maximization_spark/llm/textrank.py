@@ -40,6 +40,116 @@ def word_edges(d: DataFrame) -> DataFrame:
     return sym.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
 
 
+_R_SCALE = 1_000_000_000_000  # rank fixed-point scale (1e12)
+_P_SCALE = 1_000_000  # transition-probability fixed-point scale (1e6)
+_EXACT_ITERS = 10
+_EXACT_TOPN = 25
+
+
+def _pagerank_exact_oracle() -> str:
+    """Unrolled scaled-integer PageRank in DuckDB — bit-exact vs the
+    Spark loop because every operation is integer floor division /
+    multiply / sum (order-independent), never a float. Same
+    unrolled-iteration discipline as graph_lpa_communities."""
+    head = f"""
+WITH bg AS (
+  SELECT b.w1 AS src, b.w2 AS dst FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                  i -> {{'w1': ws[i], 'w2': ws[i + 1]}})) AS b
+    FROM (SELECT string_split(text, ' ') AS ws FROM documents))
+  WHERE b.w1 <> b.w2
+), sym AS (
+  SELECT src, dst FROM bg UNION ALL SELECT dst AS src, src AS dst FROM bg
+), edges AS (
+  SELECT src, dst, count(*) AS w FROM sym GROUP BY src, dst
+), trans AS (
+  SELECT e.src, e.dst, (e.w * {_P_SCALE}) // o.out_w AS p_scaled
+  FROM edges e JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) o
+    ON e.src = o.src
+), nn AS (
+  SELECT count(DISTINCT src) AS n FROM trans
+), consts AS (
+  SELECT n, {_R_SCALE} // n AS r_init,
+         ((15 * {_R_SCALE}) // 100) // n AS base FROM nn
+), r0 AS (
+  SELECT src, (SELECT r_init FROM consts) AS rank_scaled
+  FROM (SELECT DISTINCT src FROM trans)
+)"""
+    rounds = []
+    for i in range(1, _EXACT_ITERS + 1):
+        rounds.append(f"""
+, r{i} AS (
+  SELECT t.dst AS src,
+         (SELECT base FROM consts)
+           + (85 * SUM((r.rank_scaled * t.p_scaled) // {_P_SCALE})) // 100
+           AS rank_scaled
+  FROM trans t JOIN r{i - 1} r ON t.src = r.src
+  GROUP BY t.dst
+)""")
+    tail = f"""
+SELECT src AS word, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{_EXACT_ITERS}
+ORDER BY rank_scaled DESC, word LIMIT {_EXACT_TOPN}
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("text_pagerank_exact", oracle=_pagerank_exact_oracle())
+def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact TextRank tier: the same PageRank recurrence in
+    SCALED-INTEGER arithmetic (rank at 1e12 fixed point, transition
+    probabilities quantized to 1e6), so every per-edge contribution is
+    a bigint and the per-node sum is order-independent — the float
+    version's 10-dp rounding tolerance becomes exact equality the
+    DuckDB oracle can hash-match. Same plan shape as text_pagerank
+    (one equi-join shuffle per round over the edge table, node-sized
+    rank state); floor division is identical in Spark (`div`) and
+    DuckDB (`//`) for the all-positive operands here. Overflow-safe:
+    rank <= 1e12 and p_scaled <= 1e6, so rank * p_scaled <= 1e18 <
+    2^63. Output: top-{_EXACT_TOPN} (word, rank_scaled) — integers and
+    strings only."""
+    d = load(spark, sf_dir, "documents")
+    edges = word_edges(d)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        edges.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(w * {_P_SCALE}) div out_w").alias("p_scaled"),
+        )
+        .cache()
+    )
+    n = trans.select("src").distinct().count()
+    r_init = _R_SCALE // n
+    base = ((15 * _R_SCALE) // 100) // n
+    ranks = trans.select("src").distinct().select(
+        "src", F.lit(r_init).cast("long").alias("rank_scaled")
+    )
+    for i in range(_EXACT_ITERS):
+        ranks = (
+            trans.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(f"(rank_scaled * p_scaled) div {_P_SCALE}")
+                ).alias("in_sum")
+            )
+            .select(
+                F.col("dst").alias("src"),
+                (F.lit(base) + F.expr("(85 * in_sum) div 100"))
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.select(F.col("src").alias("word"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), "word")
+        .limit(_EXACT_TOPN)
+    )
+
+
 @query("text_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
 def text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{_TOPN} corpus keywords by TextRank. Per iteration:

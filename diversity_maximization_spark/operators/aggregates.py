@@ -2049,3 +2049,65 @@ SELECT n1, n2, runs,
 FROM runs_agg
 """
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey % 1000 AS cohort,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey % 1000
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_custkey % 1000) AS n
+  FROM orders
+), kept AS (
+  SELECT cohort, c
+  FROM ranked
+  WHERE r > CAST(floor(n * 0.1) AS BIGINT)
+    AND r <= n - CAST(floor(n * 0.1) AS BIGINT)
+)
+SELECT cohort,
+       COUNT(*) AS n_kept,
+       CAST(SUM(c) AS DOUBLE) / 100 / COUNT(*) AS trimmed_mean_price
+FROM kept GROUP BY cohort
+""",
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value per customer cohort (custkey %
+    1000) — the robust central tendency a revenue dashboard wants
+    when a few whale orders skew plain AVG. Trim bounds via a SHARED
+    row_number formulation (rank > floor(0.1n) and rank <=
+    n - floor(0.1n), ties broken by o_orderkey) rather than each
+    engine's discrete-quantile builtin, whose order-statistic
+    conventions differ (the drift_psi lesson); the mean itself is the
+    exact-integer-cents sum / count double. Scale shape: the cohort
+    modulus gives many balanced groups (and scales up with data by
+    raising the modulus), so the per-cohort window sorts many small
+    partitions after one hash shuffle — no single-task window, no
+    skew."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cohort", F.expr("o_custkey % 1000")
+    )
+    w = Window.partitionBy("cohort").orderBy(
+        F.expr(cents("o_totalprice")), "o_orderkey"
+    )
+    ranked = o.select(
+        "cohort",
+        F.expr(cents("o_totalprice")).alias("c"),
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cohort"))
+        .alias("n"),
+    )
+    kept = ranked.filter(
+        (F.col("r") > F.expr("CAST(floor(n * 0.1) AS BIGINT)"))
+        & (F.col("r") <= F.col("n") - F.expr("CAST(floor(n * 0.1) AS BIGINT)"))
+    )
+    return kept.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.expr("CAST(SUM(c) AS DOUBLE) / 100 / COUNT(*)").alias(
+            "trimmed_mean_price"
+        ),
+    )

@@ -858,3 +858,77 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hex(F.col("p_name")).alias("hx"),
         F.length("p_name").alias("n_bytes"),
     )
+
+
+_SOUNDEX_CODE = """CASE
+  WHEN {c} IN ('B','F','P','V') THEN '1'
+  WHEN {c} IN ('C','G','J','K','Q','S','X','Z') THEN '2'
+  WHEN {c} IN ('D','T') THEN '3'
+  WHEN {c} = 'L' THEN '4'
+  WHEN {c} IN ('M','N') THEN '5'
+  WHEN {c} = 'R' THEN '6'
+  WHEN {c} IN ('H','W') THEN '-'
+  ELSE '0' END"""
+
+
+def _duck_soundex(col: str) -> str:
+    """American Soundex in pure DuckDB SQL, matching Spark's builtin
+    variant exactly (probed live: HW-transparent — codes adjacent
+    through h/w collapse, 'ashcraft'->A261, 'hnm'->H500; vowels incl.
+    y are separators; the first letter's own code joins the adjacency
+    chain UNLESS the first letter is h/w, in which case nothing is
+    dropped before the first real code — 'pfister'->P236 vs
+    'hnm'->H500). Pipeline: upper -> per-char codes -> drop h/w ->
+    collapse adjacent duplicates -> drop the leading code when the
+    first letter is not h/w -> drop vowel 0s -> pad to 3 digits."""
+    u = f"upper({col})"
+    chars = f"string_split({u}, '')"
+    codes = f"list_transform({chars}, c -> {_SOUNDEX_CODE.format(c='c')})"
+    nohw = f"list_filter({codes}, c -> c <> '-')"
+    collapsed = (
+        f"list_filter(list_transform(generate_series(1, len({nohw})), "
+        f"i -> CASE WHEN i = 1 OR ({nohw})[i] <> ({nohw})[i - 1] "
+        f"THEN ({nohw})[i] END), x -> x IS NOT NULL)"
+    )
+    body = (
+        f"CASE WHEN {_SOUNDEX_CODE.format(c=f'({u})[1]')} = '-' "
+        f"THEN {collapsed} ELSE ({collapsed})[2:] END"
+    )
+    digits = f"list_filter({body}, d -> d <> '0')"
+    # array_to_string([]) is NULL in DuckDB 1.0, not '' — coalesce
+    return (
+        f"({u})[1] || substr(coalesce(array_to_string({digits}, ''), '') "
+        f"|| '000', 1, 3)"
+    )
+
+
+@query(
+    "fn_phonetic",
+    oracle=f"""
+WITH words AS MATERIALIZED (
+  SELECT DISTINCT unnest(string_split(p_name, ' ')) AS w FROM part
+)
+SELECT {_duck_soundex('w')} AS sdx,
+       COUNT(*) AS n_words,
+       MIN(w) AS example_word
+FROM words GROUP BY 1
+""",
+)
+def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking keys over the part-name vocabulary: soundex
+    per distinct word, grouped into blocks — the classic cheap
+    entity-resolution blocking function (sound-alike names land in
+    one bucket, turning fuzzy matching into an equi-join at scale).
+    Spark side is the JVM builtin F.soundex inside codegen; the
+    DuckDB oracle reimplements the identical HW-transparent American
+    Soundex in SQL list ops (see _duck_soundex). The distinct-word
+    table is vocabulary-sized, so the groupBy shuffles a few thousand
+    short strings regardless of corpus size."""
+    p = load(spark, sf_dir, "part")
+    words = p.select(
+        F.explode(F.split("p_name", " ")).alias("w")
+    ).distinct()
+    return words.select("w", F.soundex("w").alias("sdx")).groupBy("sdx").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.min("w").alias("example_word"),
+    )
