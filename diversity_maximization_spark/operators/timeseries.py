@@ -814,7 +814,90 @@ def lttb_indices(x, y, n_out: int):
     return kept
 
 
-@query("ts_downsample_lttb")  # rows-only: greedy geometric selection
+def _lttb_oracle(n_out: int = LTTB_BUCKETS) -> str:
+    """Unrolled LTTB in DuckDB, exact: x is series-relative
+    microseconds and y integer cents, so every centroid mean
+    (CAST(SUM) AS DOUBLE / COUNT — sums < 2^53 are exact under any
+    order, matching numpy's mean on the same ints) and every triangle
+    area operand is an exactly-representable double; the per-bucket
+    argmax (area DESC, i ASC — numpy argmax's first-max rule) then
+    replays the kernel bit-for-bit. Bucket bounds mirror
+    ``lttb_indices``: 1 + round_half_even(b*(n-2)/(n_out-2)), last
+    bound pinned to n-1; the next-bucket window for the final
+    interior bucket extends to n. Assumes n > n_out for every series
+    (true at sf0.001+: >=166 hourly points); the engine's
+    all-points fallback for shorter series is not mirrored."""
+    last_b = n_out - 3  # interior buckets 0..last_b (n_out-2 of them)
+    nb = n_out - 2
+    head = f"""
+WITH hourly AS MATERIALIZED (
+  SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2),
+ser AS MATERIALIZED (
+  SELECT event_type, h, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) - 1 AS i,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         epoch_us(h) - MIN(epoch_us(h)) OVER (PARTITION BY event_type) AS x
+  FROM hourly),
+sn AS (SELECT DISTINCT event_type, n FROM ser),
+bounds AS MATERIALIZED (
+  SELECT sn.event_type, b.b,
+         CASE WHEN b.b = {n_out - 2} THEN sn.n - 1
+              ELSE 1 + CAST(round_even(b.b * (sn.n - 2) / {nb}.0, 0) AS BIGINT)
+         END AS bound
+  FROM sn CROSS JOIN (SELECT unnest(generate_series(0, {n_out - 2})) AS b) b),
+bw AS MATERIALIZED (
+  SELECT lo.event_type, lo.b, lo.bound AS lo, hi.bound AS hi,
+         hi.bound AS nlo,
+         CASE WHEN lo.b = {last_b} THEN sn.n ELSE n2.bound END AS nhi
+  FROM bounds lo
+  JOIN bounds hi ON hi.event_type = lo.event_type AND hi.b = lo.b + 1
+  LEFT JOIN bounds n2 ON n2.event_type = lo.event_type AND n2.b = lo.b + 2
+  JOIN sn ON sn.event_type = lo.event_type
+  WHERE lo.b <= {last_b}),
+cent AS MATERIALIZED (
+  SELECT bw.event_type, bw.b,
+         CAST(SUM(s.x) AS DOUBLE) / COUNT(*) AS cx,
+         CAST(SUM(s.c) AS DOUBLE) / COUNT(*) AS cy
+  FROM bw JOIN ser s ON s.event_type = bw.event_type
+                    AND s.i >= bw.nlo AND s.i < bw.nhi
+  GROUP BY 1, 2),
+pprev AS (SELECT event_type, x AS ax, c AS ay FROM ser WHERE i = 0)"""
+    rounds = []
+    for b in range(n_out - 2):
+        prev = "pprev" if b == 0 else f"pick{b - 1}"
+        rounds.append(f"""
+, pick{b} AS MATERIALIZED (
+  SELECT event_type, i, h, c, x, x AS ax, c AS ay FROM (
+    SELECT s.event_type, s.i, s.h, s.c, s.x,
+           ROW_NUMBER() OVER (PARTITION BY s.event_type ORDER BY
+             abs((CAST(p.ax AS DOUBLE) - ct.cx) * CAST(s.c - p.ay AS DOUBLE)
+               - CAST(p.ax - s.x AS DOUBLE) * (CAST(p.ay AS DOUBLE) - ct.cy))
+             DESC, s.i ASC) AS rn
+    FROM ser s
+    JOIN bw ON bw.event_type = s.event_type AND bw.b = {b}
+           AND s.i >= bw.lo AND s.i < bw.hi
+    JOIN cent ct ON ct.event_type = s.event_type AND ct.b = {b}
+    JOIN {prev} p ON p.event_type = s.event_type)
+  WHERE rn = 1)""")
+    picks = " UNION ALL ".join(
+        f"SELECT event_type, h, c, CAST({b + 1} AS INTEGER) AS pos FROM pick{b}"
+        for b in range(n_out - 2)
+    )
+    tail = f"""
+SELECT event_type, h AS hour, CAST(c AS DOUBLE) / 100 AS revenue, pos
+FROM (
+  SELECT event_type, h, c, CAST(0 AS INTEGER) AS pos FROM ser WHERE i = 0
+  UNION ALL {picks}
+  UNION ALL
+  SELECT event_type, h, c, CAST({n_out - 1} AS INTEGER) AS pos
+  FROM ser WHERE i = n - 1
+)"""
+    return head + "".join(rounds) + tail
+
+
+@query("ts_downsample_lttb", oracle=_lttb_oracle())
 def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTTB chart downsampling per event-type series: each hourly
     revenue series (~720 points) reduces to LTTB_BUCKETS visually
@@ -823,7 +906,9 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     series key, then an Arrow-batched per-series numpy kernel
     (sequential by construction — LTTB chains off the previously
     kept point); endpoints always survive. Pinned against a direct
-    numpy replay in tests."""
+    numpy replay in tests AND hash-checked against an unrolled
+    DuckDB replay of the greedy walk (see _lttb_oracle — exact
+    because all operands are sub-2^53 integers in float64)."""
     import pandas as pd
 
     ev = load(spark, sf_dir, "events")
@@ -835,7 +920,14 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         pdf = pdf.sort_values("h").reset_index(drop=True)
-        x = pdf["h"].astype("int64").to_numpy().astype(np.float64)
+        # Series-relative MICROSECONDS, not absolute nanos: every x,
+        # every bucket centroid sum, and every triangle-area operand
+        # then stays exactly representable in float64 (< 2^53), so
+        # the selection is bit-deterministic under ANY summation
+        # order — which is what lets the DuckDB oracle replay the
+        # greedy walk exactly (absolute nanos are ~1.7e18 and round).
+        xi = pdf["h"].astype("int64") // 1000
+        x = (xi - xi.iloc[0]).to_numpy().astype(np.float64)
         y = pdf["c"].to_numpy().astype(np.float64)
         idx = lttb_indices(x, y, LTTB_BUCKETS)
         out = pdf.iloc[idx][["event_type", "h", "c"]].copy()

@@ -193,7 +193,10 @@ def test_lttb_matches_numpy_replay(spark, sf_dir):
         )
     for et, pts in series.items():
         pts.sort()
-        x = np.array([p[0].timestamp() for p in pts]) * 1e6
+        # Same series-relative integer-microsecond convention as the
+        # engine kernel (exact float64 operands, see ds() docstring).
+        xs = [int(p[0].timestamp() * 1e6) for p in pts]
+        x = np.array([v - xs[0] for v in xs], dtype=np.float64)
         y = np.array([p[1] for p in pts], dtype=np.float64)
         idx = lttb_indices(x, y, LTTB_BUCKETS)
         want = [
