@@ -423,6 +423,68 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_containment",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+         AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+""",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-containment near-dup pairs: |A n B| / min(|A|, |B|) over
+    the same 3-gram shingle sets as dedup_ngram_jaccard. Containment
+    is the measure Jaccard structurally misses — a short document
+    quoted whole inside a long one scores ~|A|/|B| on Jaccard (tiny)
+    but ~1.0 on containment, which is exactly the
+    quoted-inside/boilerplate-inclusion case a pretraining dedup
+    cascade must catch (same motivation as passage-level dedup, but
+    pairwise). Identical inverted-index sparse-join shape: pairs
+    exist only where a shingle is shared, the shingle table shuffles
+    once, and the threshold (0.5) prunes before output."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        common.join(
+            sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "sz_a"}), "doc_a"
+        )
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "sz_b"}), "doc_b")
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 6).alias("containment"))
+    )
+
+
 CERT_NH = 8  # 32-bit md5 minhashes
 CERT_BANDS = ((0, 1, 2, 3), (4, 5, 6, 7))  # 2 bands x 4 rows
 

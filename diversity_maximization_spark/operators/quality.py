@@ -782,3 +782,99 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((p - q) * F.log(p / q)), 6).alias("psi"),
         F.max("day_total").cast("bigint").alias("n_rows"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+WITH tot AS (
+  SELECT COUNT(*) AS n FROM customer
+), seg AS (
+  SELECT c_mktsegment AS s, COUNT(*) AS g FROM customer GROUP BY 1
+), classes AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2
+), cls_seg AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         c_mktsegment AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY 1, 2, 3
+), num AS (
+  SELECT c.c_nationkey, c.bal_band, c.class_size,
+         CAST(SUM(abs(coalesce(cs.cnt, 0) * tot.n - seg.g * c.class_size))
+              AS BIGINT) AS vd_num
+  FROM classes c
+  CROSS JOIN tot
+  CROSS JOIN seg
+  LEFT JOIN cls_seg cs ON cs.c_nationkey = c.c_nationkey
+                      AND cs.bal_band = c.bal_band AND cs.s = seg.s
+  GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, bal_band, class_size,
+       CAST(vd_num AS DOUBLE)
+         / CAST(2 * class_size * (SELECT n FROM tot) AS DOUBLE) AS t_dist,
+       CAST(vd_num AS DOUBLE)
+         / CAST(2 * class_size * (SELECT n FROM tot) AS DOUBLE) <= 0.4
+         AS meets_t,
+       MAX(CAST(vd_num AS DOUBLE)
+         / CAST(2 * class_size * (SELECT n FROM tot) AS DOUBLE)) OVER ()
+         AS t_closeness
+FROM num
+""",
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the k-anonymity / l-diversity /
+    t-closeness release-check triad: a class can be large and
+    l-diverse yet still leak if its sensitive-value DISTRIBUTION
+    deviates sharply from the corpus-wide one. Per QI class (nation,
+    balance band) the variational distance to the global
+    c_mktsegment distribution: t = (1/2) sum_s |p_s - q_s|, computed
+    via the EXACT integer numerator sum_s |cnt_s*N - g_s*class_size|
+    (order-independent bigint arithmetic; one final double division,
+    bit-identical in both engines), flagged against t <= 0.4, with
+    the dataset-wide t (worst class) as a MAX window over the tiny
+    class table. Scale shape: two shuffled aggs on the QI tuple plus
+    a broadcast-sized 5-row segment table — the fact table never
+    moves twice."""
+    cust = load(spark, sf_dir, "customer")
+    n = cust.count()
+    seg = cust.groupBy(F.col("c_mktsegment").alias("s")).agg(
+        F.count(F.lit(1)).alias("g")
+    )
+    qi = [F.col("c_nationkey"), F.floor(F.col("c_acctbal") / 1000).alias("bal_band")]
+    classes = cust.groupBy(*qi).agg(F.count(F.lit(1)).alias("class_size"))
+    cls_seg = cust.groupBy(
+        *qi, F.col("c_mktsegment").alias("s")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    num = (
+        classes.crossJoin(F.broadcast(seg))
+        .join(
+            cls_seg,
+            ["c_nationkey", "bal_band", "s"],
+            "left",
+        )
+        .groupBy("c_nationkey", "bal_band", "class_size")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce(F.col("cnt"), F.lit(0)) * F.lit(n)
+                    - F.col("g") * F.col("class_size")
+                )
+            ).alias("vd_num")
+        )
+    )
+    t = F.col("vd_num").cast("double") / (
+        F.lit(2) * F.col("class_size") * F.lit(n)
+    ).cast("double")
+    from pyspark.sql.window import Window as W
+
+    return num.select(
+        "c_nationkey",
+        "bal_band",
+        "class_size",
+        t.alias("t_dist"),
+        (t <= 0.4).alias("meets_t"),
+        F.max(t).over(W.partitionBy(F.lit(1))).alias("t_closeness"),
+    )
