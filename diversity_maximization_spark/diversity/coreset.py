@@ -3,7 +3,8 @@
 Plan shape (idiomatic Spark, no RDDs):
 
   points --[deterministic pseudo-random partition key:
-            xxhash64(id, seed) % p]--> groupBy(part)
+            portable multiplicative mix of (id, seed) -> 0..p-1,
+            see part_mix()]--> groupBy(part)
          --applyInPandas--> per-partition farthest-first kernel of
             size k' + up to m delegates per kernel point
          --> small DataFrame (p * k' * (m+1) rows) that either
@@ -70,6 +71,22 @@ def _partition_coreset(kprime: int, m: int):
     return fn
 
 
+def part_mix(p: int, seed: int, id_col: str = "vec_id") -> str:
+    """Deterministic pseudo-random partition key as a PORTABLE SQL
+    fragment (the sample_hash_split Knuth-mix idiom): high bits of a
+    32-bit multiplicative hash mapped through [0,1) to 0..p-1.
+    Identical arithmetic in Spark and DuckDB, which is what lets the
+    div_coreset_mr oracle replay the partitioning — the previous
+    xxhash64 key was engine-specific. Still id-only (reproducible
+    across runs and cluster layouts, SURVEY.md §4.3) and random-like
+    (the multiplier mixes the high bits; taking floor(u01 * p) uses
+    them, never id % p)."""
+    return (
+        f"CAST(floor(((({id_col} + {seed}) % 2147483648) * 2654435761 "
+        f"% 4294967296) / 4294967296.0 * {p}) AS INT)"
+    )
+
+
 def mr_coreset(
     df: DataFrame,
     p: int = 4,
@@ -78,10 +95,7 @@ def mr_coreset(
     seed: int = 42,
 ) -> DataFrame:
     """Composable coreset over (vec_id, embedding, label) rows."""
-    parted = df.withColumn(
-        "part",
-        F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(p)).cast("int"),
-    )
+    parted = df.withColumn("part", F.expr(part_mix(p, seed)))
     return parted.groupBy("part").applyInPandas(
         _partition_coreset(kprime, m), CORESET_SCHEMA
     )
@@ -122,10 +136,7 @@ def cluster_assignments(
     """Every point tagged with its (partition, cluster) — the substrate
     for matroid-aware delegate selection (windowed top-m per
     (cluster, category), SURVEY.md §2.2-I div_matroid_partition)."""
-    parted = df.withColumn(
-        "part",
-        F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(p)).cast("int"),
-    )
+    parted = df.withColumn("part", F.expr(part_mix(p, seed)))
     return parted.groupBy("part").applyInPandas(
         _partition_assign(kprime), ASSIGN_SCHEMA
     )

@@ -279,9 +279,101 @@ def div_gmm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_coreset_mr")  # rows-only: invariants tested in test_diversity.py
+def _coreset_mr_oracle(
+    p: int = 4,
+    kprime: int = 16,
+    m: int = 1,
+    seed: int = 42,
+    source_sql: str = "SELECT vec_id, embedding, label FROM embeddings",
+) -> str:
+    """Unrolled MapReduce-coreset replay in DuckDB: the portable
+    multiplicative partition mix (coreset.part_mix — the reason the
+    key is oracle-able at all), then k'-1 lockstep farthest-first
+    rounds with one pick PER PARTITION per round (ROW_NUMBER over
+    part, dist DESC, vec_id ASC — numpy argmax's first-max rule over
+    the vec_id-sorted partition frame), nearest-center assignment
+    (ties -> earlier center), per-cluster delegate selection (lowest
+    vec_id, excluding the center), and delegate-weighted kernel
+    weights. Distances are sqrt-of-left-fold; the kernel's numpy
+    pairwise summation differs only in the last ulp, absorbed by
+    round(.,6) on the one float output column — selection flips
+    would need sub-ulp near-ties, absent from the fixtures."""
+    from .coreset import part_mix
+
+    dist = lambda a, b: f"sqrt({_duck_sqdist(a, b)})"  # noqa: E731
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, label, {part_mix(p, seed)} AS part
+  FROM ({source_sql})),
+p0 AS MATERIALIZED (
+  SELECT part, vec_id, embedding, CAST(0 AS INTEGER) AS rank FROM (
+    SELECT part, vec_id, embedding,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY vec_id) AS rn
+    FROM e) WHERE rn = 1),
+s0 AS MATERIALIZED (
+  SELECT e.part, e.vec_id, e.embedding,
+         {dist('e.embedding', 'c.embedding')} AS md
+  FROM e JOIN p0 c ON c.part = e.part WHERE e.vec_id <> c.vec_id)"""
+    rounds = []
+    for r in range(1, kprime):
+        rounds.append(f"""
+, p{r} AS MATERIALIZED (
+  SELECT part, vec_id, embedding, CAST({r} AS INTEGER) AS rank FROM (
+    SELECT part, vec_id, embedding,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY md DESC, vec_id ASC) AS rn
+    FROM s{r - 1}) WHERE rn = 1)""")
+        if r < kprime - 1:
+            rounds.append(f"""
+, s{r} AS MATERIALIZED (
+  SELECT s.part, s.vec_id, s.embedding,
+         least(s.md, {dist('s.embedding', 'c.embedding')}) AS md
+  FROM s{r - 1} s JOIN p{r} c ON c.part = s.part
+  WHERE s.vec_id <> c.vec_id)""")
+    centers = " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(kprime))
+    tail = f"""
+, centers AS MATERIALIZED ({centers}),
+assign_d AS MATERIALIZED (
+  SELECT e.part, e.vec_id, e.label, c.rank, c.vec_id AS cvid,
+         {dist('e.embedding', 'c.embedding')} AS d
+  FROM e JOIN centers c ON c.part = e.part),
+assign AS MATERIALIZED (
+  SELECT part, vec_id, label, rank, cvid, d FROM (
+    SELECT part, vec_id, label, rank, cvid, d,
+           ROW_NUMBER() OVER (PARTITION BY part, vec_id
+                              ORDER BY d ASC, rank ASC) AS rn
+    FROM assign_d) WHERE rn = 1),
+delegates AS MATERIALIZED (
+  SELECT part, vec_id, label, rank, d FROM (
+    SELECT part, vec_id, label, rank, d,
+           ROW_NUMBER() OVER (PARTITION BY part, rank ORDER BY vec_id) AS rn
+    FROM assign WHERE vec_id <> cvid) WHERE rn <= {m}),
+sizes AS (
+  SELECT part, rank, COUNT(*) AS cluster_size FROM assign GROUP BY 1, 2),
+ntaken AS (
+  SELECT part, rank, COUNT(*) AS n_taken FROM delegates GROUP BY 1, 2)
+SELECT c.part, c.vec_id,
+       CAST(a.label AS INTEGER) AS label,
+       CAST(1 AS INTEGER) AS is_kernel, c.rank AS center_rank,
+       CAST(sz.cluster_size - coalesce(nt.n_taken, 0) AS BIGINT) AS weight,
+       CAST(0.0 AS DOUBLE) AS dist_to_center
+FROM centers c
+JOIN assign a ON a.part = c.part AND a.vec_id = c.vec_id
+JOIN sizes sz ON sz.part = c.part AND sz.rank = c.rank
+LEFT JOIN ntaken nt ON nt.part = c.part AND nt.rank = c.rank
+UNION ALL
+SELECT part, vec_id, CAST(label AS INTEGER) AS label,
+       CAST(0 AS INTEGER) AS is_kernel, rank AS center_rank,
+       CAST(1 AS BIGINT) AS weight, round(d, 6) AS dist_to_center
+FROM delegates"""
+    return head + "".join(rounds) + tail
+
+
+@query("div_coreset_mr", oracle=_coreset_mr_oracle())
 def div_coreset_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MapReduce composable coreset (p=4, k'=16, m=1, seed=42)."""
+    """MapReduce composable coreset (p=4, k'=16, m=1, seed=42) —
+    hash-checked: the DuckDB oracle replays partition mix, per-
+    partition farthest-first, assignment, delegates, and weights
+    (see _coreset_mr_oracle)."""
     emb = load(spark, sf_dir, "embeddings")
     cs = mr_coreset(emb, p=4, kprime=16, m=1, seed=42)
     return cs.select(
@@ -290,20 +382,65 @@ def div_coreset_mr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_matching")  # rows-only
+def _matching_oracle(k: int = 16) -> str:
+    """Unrolled matching-heuristic replay: coreset members (kernels +
+    delegates, from the _coreset_mr_oracle machinery) -> complete
+    pair-distance table -> k/2 greedy rounds picking the farthest
+    remaining disjoint pair. numpy's row-major flat argmax tie rule
+    over the vec_id-sorted index is ORDER BY d DESC, va ASC, vb ASC,
+    and the symmetric matrix's first hit is always the (lo, hi)
+    orientation, matching the engine's pair order."""
+    base = _coreset_mr_oracle()
+    head = base[: base.rindex("\nSELECT c.part, c.vec_id,")]
+    dist = f"sqrt({_duck_sqdist('a.embedding', 'b.embedding')})"
+    parts = [
+        head,
+        """
+, dmem AS MATERIALIZED (
+  SELECT d.vec_id, e.embedding
+  FROM delegates d JOIN e ON e.part = d.part AND e.vec_id = d.vec_id),
+mem AS MATERIALIZED (
+  SELECT vec_id, embedding FROM centers UNION ALL SELECT * FROM dmem),
+q0 AS MATERIALIZED (
+  SELECT a.vec_id AS va, b.vec_id AS vb, """ + dist + """ AS d
+  FROM mem a JOIN mem b ON a.vec_id < b.vec_id)""",
+    ]
+    for r in range(1, k // 2 + 1):
+        parts.append(f"""
+, m{r} AS MATERIALIZED (
+  SELECT va, vb, d FROM q{r - 1} ORDER BY d DESC, va ASC, vb ASC LIMIT 1)""")
+        if r < k // 2:
+            parts.append(f"""
+, q{r} AS MATERIALIZED (
+  SELECT q.va, q.vb, q.d FROM q{r - 1} q CROSS JOIN m{r} m
+  WHERE q.va NOT IN (m.va, m.vb) AND q.vb NOT IN (m.va, m.vb))""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS pair_rank, va AS vec_id_a, "
+        f"vb AS vec_id_b, round(d, 6) AS dist FROM m{r}"
+        for r in range(1, k // 2 + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@query("div_matching", oracle=_matching_oracle())
 def div_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matching heuristic (k/2 far pairs) on the composed coreset."""
+    """Matching heuristic (k/2 far pairs) on the composed coreset —
+    hash-checked against the unrolled greedy replay in
+    _matching_oracle."""
     emb = load(spark, sf_dir, "embeddings")
     ids, _labels, X, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
     D = K.pairwise_l2(X)
     flat = K.matching_heuristic(D, k=16)
     rows = [
         (i // 2, int(ids[flat[i]]), int(ids[flat[i + 1]]),
-         round(float(D[flat[i], flat[i + 1]]), 6))
+         float(D[flat[i], flat[i + 1]]))
         for i in range(0, len(flat), 2)
     ]
     return spark.createDataFrame(
         rows, "pair_rank int, vec_id_a bigint, vec_id_b bigint, dist double"
+    ).select(
+        "pair_rank", "vec_id_a", "vec_id_b", F.round("dist", 6).alias("dist")
     )
 
 
@@ -534,11 +671,80 @@ def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_coreset_tree")  # rows-only: invariants in test_diversity.py
+def _coreset_tree_oracle(p1: int = 8, p2: int = 2, kprime: int = 16,
+                         seed: int = 42) -> str:
+    """Two-level coreset-of-coresets replay: the level-1
+    _coreset_mr_oracle head (m=0, so members are exactly the kernels
+    with cluster-size weights), regrouped part % p2, then a second
+    unrolled weighted farthest-first over the level-1 kernels —
+    geometry identical to the unweighted greedy (weights only flow
+    through the output sums, which are exact integer additions)."""
+    base = _coreset_mr_oracle(p=p1, kprime=kprime, m=0, seed=seed)
+    head = base[: base.rindex("\ndelegates AS MATERIALIZED (")]
+    dist = lambda a, b: f"sqrt({_duck_sqdist(a, b)})"  # noqa: E731
+    parts = [head, f"""
+sizes AS (
+  SELECT part, rank, COUNT(*) AS cluster_size FROM assign GROUP BY 1, 2),
+l1k AS MATERIALIZED (
+  SELECT CAST(c.part % {p2} AS INT) AS part, c.vec_id, a.label,
+         sz.cluster_size AS weight, c.embedding
+  FROM centers c
+  JOIN assign a ON a.part = c.part AND a.vec_id = c.vec_id
+  JOIN sizes sz ON sz.part = c.part AND sz.rank = c.rank),
+q0 AS MATERIALIZED (
+  SELECT part, vec_id, embedding, CAST(0 AS INTEGER) AS rank FROM (
+    SELECT part, vec_id, embedding,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY vec_id) AS rn
+    FROM l1k) WHERE rn = 1),
+u0 AS MATERIALIZED (
+  SELECT l.part, l.vec_id, l.embedding,
+         {dist('l.embedding', 'c.embedding')} AS md
+  FROM l1k l JOIN q0 c ON c.part = l.part WHERE l.vec_id <> c.vec_id)"""]
+    for r in range(1, kprime):
+        parts.append(f"""
+, q{r} AS MATERIALIZED (
+  SELECT part, vec_id, embedding, CAST({r} AS INTEGER) AS rank FROM (
+    SELECT part, vec_id, embedding,
+           ROW_NUMBER() OVER (PARTITION BY part ORDER BY md DESC, vec_id ASC) AS rn
+    FROM u{r - 1}) WHERE rn = 1)""")
+        if r < kprime - 1:
+            parts.append(f"""
+, u{r} AS MATERIALIZED (
+  SELECT u.part, u.vec_id, u.embedding,
+         least(u.md, {dist('u.embedding', 'c.embedding')}) AS md
+  FROM u{r - 1} u JOIN q{r} c ON c.part = u.part
+  WHERE u.vec_id <> c.vec_id)""")
+    centers2 = " UNION ALL ".join(f"SELECT * FROM q{r}" for r in range(kprime))
+    parts.append(f"""
+, centers2 AS MATERIALIZED ({centers2}),
+ad2 AS MATERIALIZED (
+  SELECT l.part, l.vec_id, l.weight, c.rank,
+         {dist('l.embedding', 'c.embedding')} AS d
+  FROM l1k l JOIN centers2 c ON c.part = l.part),
+as2 AS MATERIALIZED (
+  SELECT part, vec_id, weight, rank FROM (
+    SELECT part, vec_id, weight, rank,
+           ROW_NUMBER() OVER (PARTITION BY part, vec_id
+                              ORDER BY d ASC, rank ASC) AS rn
+    FROM ad2) WHERE rn = 1),
+w2 AS (
+  SELECT part, rank, CAST(SUM(weight) AS BIGINT) AS wsum
+  FROM as2 GROUP BY 1, 2)
+SELECT c.part, c.vec_id, CAST(l.label AS INTEGER) AS label,
+       c.rank AS center_rank, w2.wsum AS weight
+FROM centers2 c
+JOIN l1k l ON l.part = c.part AND l.vec_id = c.vec_id
+JOIN w2 ON w2.part = c.part AND w2.rank = c.rank""")
+    return "".join(parts)
+
+
+@query("div_coreset_tree", oracle=_coreset_tree_oracle())
 def div_coreset_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level composable-coreset tree (p1=8 -> p2=2, k'=16):
     coresets of coresets with weight-conserving kernels — see
-    diversity/coreset.py:tree_coreset for the fan-in analysis."""
+    diversity/coreset.py:tree_coreset for the fan-in analysis.
+    Hash-checked: the oracle replays both levels (see
+    _coreset_tree_oracle)."""
     from .coreset import tree_coreset
 
     emb = load(spark, sf_dir, "embeddings")
