@@ -563,7 +563,65 @@ def div_gmm_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_kmeans")  # rows-only: iterative float means; property-tested
+def _kmeans_oracle(k: int = 8, iters: int = 5) -> str:
+    """Unrolled Lloyd replay: init = embeddings of the k smallest
+    vec_ids; each iteration assigns every point to its nearest center
+    (squared-L2 left fold, ties -> lowest cluster index — numpy/
+    array_position's first-min rule) and recomputes centers from the
+    EXACT micro-unit sums (round(v*1e6) bigint, order-independent;
+    division (s / 1e6) / cnt in the engine's exact order), with empty
+    clusters keeping their previous center via coalesce. Distances
+    against center LISTS in dim order, so the fold order matches the
+    engine's zip_with literal expression."""
+    sq = (
+        "list_sum(list_transform(generate_series(1, len({e})), "
+        "j -> (CAST(({e})[j] AS DOUBLE) - ({c})[j]) "
+        "* (CAST(({e})[j] AS DOUBLE) - ({c})[j])))"
+    )
+    head = f"""
+WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+init AS (SELECT vec_id, embedding,
+                ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+         FROM e ORDER BY vec_id LIMIT {k}),
+ctr0 AS MATERIALIZED (
+  SELECT CAST(cluster AS INTEGER) AS cluster,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+  FROM init)"""
+    parts = [head]
+    for i in range(1, iters + 1):
+        parts.append(f"""
+, as{i} AS MATERIALIZED (
+  SELECT vec_id, embedding, cluster FROM (
+    SELECT e.vec_id, e.embedding, c.cluster,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+             {sq.format(e='e.embedding', c='c.cv')} ASC, c.cluster ASC) AS rn
+    FROM e CROSS JOIN ctr{i - 1} c) WHERE rn = 1),
+mu{i} AS MATERIALIZED (
+  SELECT cluster, dim,
+         (CAST(SUM(CAST(round(v * 1000000) AS BIGINT)) AS DOUBLE)
+            / 1000000.0) / COUNT(*) AS m
+  FROM (SELECT cluster, j - 1 AS dim, CAST(embedding[j] AS DOUBLE) AS v
+        FROM as{i}, unnest(generate_series(1, len(embedding))) AS t(j))
+  GROUP BY 1, 2),
+ctr{i} AS MATERIALIZED (
+  SELECT p.cluster,
+         list_transform(generate_series(1, len(p.cv)),
+           j -> coalesce(nv.cv[j], p.cv[j])) AS cv
+  FROM ctr{i - 1} p
+  LEFT JOIN (SELECT cluster, list(m ORDER BY dim) AS cv
+             FROM mu{i} GROUP BY cluster) nv ON nv.cluster = p.cluster)""")
+    parts.append(f"""
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, round(sqrt(d), 6) AS dist
+FROM (
+  SELECT e.vec_id, c.cluster,
+         {sq.format(e='e.embedding', c='c.cv')} AS d,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+           {sq.format(e='e.embedding', c='c.cv')} ASC, c.cluster ASC) AS rn
+  FROM e CROSS JOIN ctr{iters} c) WHERE rn = 1""")
+    return "".join(parts)
+
+
+@query("div_kmeans", oracle=_kmeans_oracle())
 def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the
     embeddings — the center-based complement of the remote-* diversity
@@ -575,8 +633,13 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     baked into the expression as literals — a k x d broadcast), and
     the center update is ONE partial+final agg over (cluster, dim)
     after posexplode — the shuffle carries 32 x k x d partial sums,
-    never the data. Init = the k smallest vec_ids (deterministic);
-    argmin ties break to the lowest cluster index."""
+    never the data. The sums are EXACT micro-unit integers
+    (round(v*1e6) as bigint), so the updated centers are
+    order-independent and the DuckDB oracle replays every iteration
+    bit-for-bit (see _kmeans_oracle) — the float-avg formulation this
+    replaces was correct but unverifiable. Init = the k smallest
+    vec_ids (deterministic); argmin ties break to the lowest cluster
+    index."""
     from .gmm import _sqdist_to_lit
 
     k, iters = 8, 5
@@ -599,12 +662,17 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         means = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
             .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
+            .agg(
+                F.sum(F.expr("CAST(round(v * 1000000) AS BIGINT)")).alias("s"),
+                F.count(F.lit(1)).alias("c"),
+            )
             .collect()
         )
         by_cluster: dict[int, dict[int, float]] = {}
         for r in means:
-            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = r["m"]
+            by_cluster.setdefault(r["cluster"], {})[r["dim"]] = (
+                r["s"] / 1e6 / r["c"]
+            )
         centers = [
             [by_cluster[c][d] for d in range(len(centers[0]))]
             if c in by_cluster

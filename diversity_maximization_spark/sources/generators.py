@@ -24,9 +24,17 @@ SEED = 42
 
 
 def _u01(expr: str) -> str:
-    """Deterministic uniform (0,1) from a counter-based hash — the
-    low 40 bits of xxhash64, offset half a step to avoid exact 0/1."""
-    return f"((pmod(xxhash64({expr}), 1099511627776D) + 0.5) / 1099511627776D)"
+    """Deterministic uniform (0,1) from a counter-based hash: the
+    first 32 bits of md5 over a '|'-joined key, offset half a step to
+    avoid exact 0/1. md5 (not xxhash64) so the hash family is
+    bit-identical in DuckDB (the bow_vectorize discipline) and the
+    generator output is oracle-checkable; the uniform is an exact
+    dyadic rational, so downstream ln/cos see identical inputs in
+    both engines."""
+    return (
+        f"((conv(substring(md5(concat_ws('|', {expr})), 1, 8), 16, 10) + 0.5)"
+        f" / 4294967296D)"
+    )
 
 
 def random_gaussian(
@@ -70,7 +78,54 @@ def random_ball(
     )
 
 
-@query("source_random_points")  # rows-only: moments/determinism in tests
+def _duck_hex32(arg: str) -> str:
+    """DuckDB BIGINT for the first 32 bits of md5(arg) — the
+    bow_vectorize nibble idiom (DuckDB has no conv())."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {k}, 1)) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    ) + ")"
+
+
+def _points_oracle(n: int = N_POINTS, dim: int = DIM, seed: int = SEED) -> str:
+    """Replay of all three generator families in DuckDB: identical
+    md5-counter uniforms (exact dyadic rationals), the same
+    Box-Muller / normalize / radius-scale expression trees, norms as
+    the same left fold. ln/cos/pow may differ from the JVM's by an
+    ulp on some inputs, absorbed by the round(.,6) on the two
+    reported O(1)-magnitude columns."""
+    def u01(key: str) -> str:
+        h = _duck_hex32("concat_ws('|', " + key + ")")
+        return f"(({h} + 0.5) / 4294967296)"
+
+    u1 = u01(f"id, j, 'u1', {seed}")
+    u2 = u01(f"id, j, 'u2', {seed}")
+    ub = u01(f"id, {seed + 1}")
+    norm = "sqrt(list_sum(list_transform({e}, x -> x * x)))"
+    return f"""
+WITH ids AS (SELECT unnest(generate_series(0, {n - 1})) AS id),
+g AS MATERIALIZED (
+  SELECT id, list_transform(generate_series(0, {dim - 1}),
+    j -> sqrt(-2.0 * ln({u1})) * cos(2.0 * pi() * {u2})) AS emb
+  FROM ids),
+s AS MATERIALIZED (
+  SELECT id, list_transform(emb, x -> x / {norm.format(e='emb')}) AS emb
+  FROM g),
+b AS MATERIALIZED (
+  SELECT id,
+         list_transform(emb, x -> x * power({ub}, 1.0 / {dim})) AS emb
+  FROM s)
+SELECT 'gaussian' AS family, id AS vec_id,
+       round({norm.format(e='emb')}, 6) AS norm, round(emb[1], 6) AS x0 FROM g
+UNION ALL
+SELECT 'sphere', id, round({norm.format(e='emb')}, 6), round(emb[1], 6) FROM s
+UNION ALL
+SELECT 'ball', id, round({norm.format(e='emb')}, 6), round(emb[1], 6) FROM b
+"""
+
+
+@query("source_random_points", oracle=_points_oracle())
 def source_random_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference-parity synthetic source: per-point norm + first coord
     of each generator family (gaussian / sphere / ball), exercising
