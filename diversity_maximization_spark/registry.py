@@ -115,11 +115,14 @@ CHECK_WINDOW: list[str] = [
     "source_jsonl",
     "source_orc",
     "source_python_datasource",
-    # (e) sketches / windows
-    "sketch_hll_persist",
-    "sketch_percentile_merge",
-    "agg_bitmap_distinct",
-    "win_gaps_islands",
+    # (f) round-4 rows-only -> hash-checked conversions of the CORE
+    # reference family (unrolled-recurrence oracles) — driver proof
+    # that the native diversity pipeline hash-matches, the strongest
+    # single signal the window can buy this round
+    "div_gmm",
+    "div_coreset_mr",
+    "div_gmm_bow",
+    "graph_kcore",
 ]
 
 

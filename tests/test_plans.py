@@ -512,3 +512,36 @@ def test_minhash_certified_banded_join_is_equi(spark, sf_dir):
     plan = plan_of(spark, "dedup_minhash_certified", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_trimmed_mean_window_is_partitioned(spark, sf_dir):
+    """agg_trimmed_mean's rank window must hash-partition by cohort —
+    a SinglePartition window over orders would bottleneck at scale."""
+    plan = plan_of(spark, "agg_trimmed_mean", sf_dir)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_t_closeness_broadcasts_segment_table(spark, sf_dir):
+    """privacy_t_closeness crosses the class table with the 5-row
+    global segment distribution — that side must broadcast, never
+    shuffle the fact-derived classes against it with a sort-merge."""
+    plan = plan_of(spark, "privacy_t_closeness", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_containment_join_is_equi_on_shingle(spark, sf_dir):
+    """dedup_containment's pair generation must be the inverted-index
+    equi-join on the shingle key (posting-list work), not a cartesian
+    comparison of documents."""
+    plan = plan_of(spark, "dedup_containment", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "shingle" in plan
+
+
+def test_pagerank_exact_joins_stay_equi(spark, sf_dir):
+    """text_pagerank_exact's per-iteration contribution join must be
+    an equi-join on the word key; integer fixed-point math must not
+    force a cartesian or nested-loop shape."""
+    plan = plan_of(spark, "text_pagerank_exact", sf_dir)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
