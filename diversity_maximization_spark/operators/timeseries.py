@@ -1034,3 +1034,73 @@ SELECT s, n,
 FROM mk_agg
 """
     )
+
+
+@query(
+    "ts_theilsen_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type,
+         CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.day, b.day) AS slope
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.day < b.day
+), ranked AS (
+  SELECT event_type, slope,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM pairs
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_pairs,
+       (SUM(CASE WHEN r = (n + 1) // 2 THEN slope END)
+        + SUM(CASE WHEN r = n // 2 + 1 THEN slope END)) / 2
+         AS theilsen_slope
+FROM ranked GROUP BY event_type
+""",
+)
+def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per daily revenue series: the MEDIAN of
+    all pairwise slopes — the estimator that shrugs off the outlier
+    days that wreck an OLS slope (up to ~29% contamination). Every
+    slope is one IEEE division of exact integers (cent delta / day
+    delta), identical in both engines, and the median is selected by
+    shared rank arithmetic — (slope@((n+1) div 2) + slope@(n div 2
+    + 1)) / 2 picks the same row twice when n is odd, so one formula
+    covers both parities with zero float tolerance. Scale shape: the
+    pair join is per-series over the DAILY aggregate (bounded-domain
+    rows, ~90 per series), never the raw events; the heavy table
+    collapses in the first groupBy."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).alias("c"))
+    a = daily.select("event_type", F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select("event_type", F.col("day").alias("db"), F.col("c").alias("cb"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (
+                (F.col("cb") - F.col("ca")).cast("double")
+                / F.datediff("db", "da")
+            ).alias("slope"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("slope")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    lo = F.sum(F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("slope")))
+    hi = F.sum(F.when(F.col("r") == F.expr("n div 2 + 1"), F.col("slope")))
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_pairs"),
+        ((lo + hi) / 2).alias("theilsen_slope"),
+    )
