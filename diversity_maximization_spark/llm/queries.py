@@ -313,3 +313,162 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "embedding").mapInPandas(
         encode, "vec_id bigint, codes string, recon_err double"
     )
+
+
+_DIV_DIST = (
+    "sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+    "i -> (CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)) "
+    "* (CAST(({a})[i] AS DOUBLE) - CAST(({b})[i] AS DOUBLE)))))"
+)
+
+
+@query(
+    "corpus_diversity_by_source",
+    oracle=f"""
+WITH cand AS MATERIALIZED (
+  SELECT d.source, e.vec_id, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+  WHERE e.vec_id % 5 = 0
+), pairs AS (
+  SELECT a.source, {_DIV_DIST.format(a='a.embedding', b='b.embedding')} AS dist
+  FROM cand a JOIN cand b
+    ON a.source = b.source AND a.vec_id < b.vec_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(MIN(dist), 6) AS edge_div,
+       round(SUM(dist) / COUNT(*), 6) AS mean_pair_dist
+FROM pairs GROUP BY source
+""",
+)
+def corpus_diversity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source embedding-diversity report — the reference's
+    remote-edge / mean-pairwise objectives applied as a CORPUS
+    CURATION metric: a source whose documents cluster tightly (low
+    edge_div, low mean distance) contributes redundant data, the
+    signal a diversity-aware mixing policy weights down. Computed
+    over the deterministic vec_id % 5 candidate slice per source
+    (the div_eval discipline); at 100 TB the slice is replaced by
+    each source's MR coreset (mr_coreset machinery) so the per-source
+    pair join stays bounded — the objective and this report's shape
+    are unchanged. Distances are the shared left-fold expression,
+    so MIN is bit-exact and the mean's last-ulp summation noise is
+    absorbed by round(.,6) on O(1) magnitudes."""
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings").filter("vec_id % 5 = 0")
+    cand = d.join(e, d.doc_id == e.vec_id).select("source", "vec_id", "embedding")
+    a = cand.select("source", F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = cand.select("source", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "source")
+        .filter(F.col("va") < F.col("vb"))
+        .select("source", V.l2_dist("ea", "eb").alias("dist"))
+    )
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.min("dist"), 6).alias("edge_div"),
+        F.round(F.sum("dist") / F.count(F.lit(1)), 6).alias("mean_pair_dist"),
+    )
+
+
+def _diverse_per_source_oracle(k: int = 4) -> str:
+    """Lockstep unrolled farthest-first PER SOURCE GROUP (the
+    _coreset_mr_oracle recurrence keyed by source instead of the
+    hash partition): seed = lowest vec_id of each source's embedded
+    docs, k-1 rounds of per-group argmax (ROW_NUMBER over source,
+    min-distance DESC, vec_id ASC) + least() relaxation."""
+    dist = _DIV_DIST
+    head = f"""
+WITH g AS MATERIALIZED (
+  SELECT d.source, e.vec_id, e.embedding
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+p0 AS MATERIALIZED (
+  SELECT source, vec_id, embedding, CAST(0 AS INTEGER) AS sel_order FROM (
+    SELECT source, vec_id, embedding,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY vec_id) AS rn
+    FROM g) WHERE rn = 1),
+s0 AS MATERIALIZED (
+  SELECT g.source, g.vec_id, g.embedding,
+         {dist.format(a='g.embedding', b='c.embedding')} AS md
+  FROM g JOIN p0 c ON c.source = g.source WHERE g.vec_id <> c.vec_id)"""
+    parts = [head]
+    for r in range(1, k):
+        parts.append(f"""
+, p{r} AS MATERIALIZED (
+  SELECT source, vec_id, embedding, md, CAST({r} AS INTEGER) AS sel_order FROM (
+    SELECT source, vec_id, embedding, md,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY md DESC, vec_id ASC) AS rn
+    FROM s{r - 1}) WHERE rn = 1)""")
+        if r < k - 1:
+            parts.append(f"""
+, s{r} AS MATERIALIZED (
+  SELECT s.source, s.vec_id, s.embedding,
+         least(s.md, {dist.format(a='s.embedding', b='c.embedding')}) AS md
+  FROM s{r - 1} s JOIN p{r} c ON c.source = s.source
+  WHERE s.vec_id <> c.vec_id)""")
+    sel = [
+        "SELECT source, CAST(0 AS INTEGER) AS sel_order, vec_id, "
+        "CAST(0.0 AS DOUBLE) AS dist_when_chosen FROM p0"
+    ]
+    for r in range(1, k):
+        sel.append(
+            f"SELECT source, CAST({r} AS INTEGER), vec_id, round(md, 6) FROM p{r}"
+        )
+    parts.append("\n" + " UNION ALL ".join(sel))
+    return "".join(parts)
+
+
+@query("select_diverse_per_source", oracle=_diverse_per_source_oracle())
+def select_diverse_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware sample selection: farthest-first k=4 WITHIN
+    EACH SOURCE — the grouped form of div_gmm that a curation
+    pipeline uses to pick maximally-spread exemplar documents per
+    source (dedup's complement: instead of dropping near-dups, pick
+    the spread). Engine shape: one shuffle by source, then an Arrow
+    applyInPandas greedy per group using the same sequential-fold
+    arithmetic as gmm._sqdist_local, so every group's selection
+    matches the unrolled SQL replay (see
+    _diverse_per_source_oracle). At 100 TB groups are processed in
+    parallel and each group's kernel is O(n_g * k) vectorized
+    numpy."""
+    import pandas as pd
+
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    g = d.join(e, d.doc_id == e.vec_id).select("source", "vec_id", "embedding")
+
+    def ff(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..diversity.gmm import _sqdist_local
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        vecs = [list(map(float, v)) for v in pdf["embedding"]]
+        ids = list(pdf["vec_id"])
+        src = pdf["source"].iloc[0]
+        k = min(4, len(ids))
+        chosen = [0]
+        out = [(src, 0, int(ids[0]), 0.0)]
+        md = [_sqdist_local(v, vecs[0]) for v in vecs]
+        for rank in range(1, k):
+            best, best_i = -1.0, -1
+            for i in range(len(ids)):
+                if i in chosen:
+                    continue
+                if md[i] > best:
+                    best, best_i = md[i], i
+            chosen.append(best_i)
+            out.append((src, rank, int(ids[best_i]), best ** 0.5))
+            for i in range(len(ids)):
+                nd = _sqdist_local(vecs[i], vecs[best_i])
+                if nd < md[i]:
+                    md[i] = nd
+        return pd.DataFrame(
+            out, columns=["source", "sel_order", "vec_id", "dist_when_chosen"]
+        )
+
+    res = g.groupBy("source").applyInPandas(
+        ff, "source string, sel_order int, vec_id bigint, dist_when_chosen double"
+    )
+    return res.select(
+        "source", "sel_order", "vec_id",
+        F.round("dist_when_chosen", 6).alias("dist_when_chosen"),
+    )
