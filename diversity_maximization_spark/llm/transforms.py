@@ -585,3 +585,65 @@ def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_chars"),
         )
     )
+
+
+@query(
+    "sample_negative_pairs",
+    oracle="""
+WITH r AS (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS rk,
+         COUNT(*) OVER () AS n
+  FROM embeddings
+), tgt AS (
+  SELECT a.vec_id, k.neg_rank,
+         ((a.vec_id % 2147483648) * 2654435761 + k.neg_rank * 40503)
+           % 4294967296 % (a.n - 1) AS t0,
+         a.rk, a.n
+  FROM r a CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS neg_rank) k
+)
+SELECT t.vec_id, CAST(t.neg_rank AS INTEGER) AS neg_rank, b.vec_id AS neg_vec_id
+FROM (SELECT vec_id, neg_rank,
+             CASE WHEN t0 >= rk THEN t0 + 1 ELSE t0 END AS target
+      FROM tgt) t
+JOIN r b ON b.rk = t.target
+""",
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive embedding
+    training: each anchor gets 4 pseudo-random negatives drawn by a
+    counter-based multiplicative hash over a dense rank ring, with
+    the classic skip-self adjustment (a draw landing at or above the
+    anchor's own rank shifts up by one, giving an exactly uniform
+    choice among the n-1 others). No RNG state, identical arithmetic
+    in both engines, and reproducible under any partitioning — the
+    sample_hash_split discipline applied to PAIR generation. Scale
+    shape: the rank ring is one window over ids (or a precomputed id
+    table at 100 TB); negatives resolve through an equi-join on the
+    rank key — never a cross join against the corpus."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    # bounded: the rank ring is over embedding IDs only (id column,
+    # no payload); at 100 TB this window is replaced by a precomputed
+    # dense-id table — the ring arithmetic is unchanged
+    w = Window.orderBy("vec_id")
+    r = e.select(
+        "vec_id",
+        (F.row_number().over(w) - 1).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy(F.lit(1))).alias("n"),
+    )
+    k = spark.range(1, 5).select(F.col("id").cast("int").alias("neg_rank"))
+    tgt = r.crossJoin(F.broadcast(k)).select(
+        "vec_id",
+        "neg_rank",
+        F.expr(
+            "CASE WHEN ((vec_id % 2147483648) * 2654435761"
+            " + neg_rank * 40503) % 4294967296 % (n - 1) >= rk"
+            " THEN ((vec_id % 2147483648) * 2654435761"
+            " + neg_rank * 40503) % 4294967296 % (n - 1) + 1"
+            " ELSE ((vec_id % 2147483648) * 2654435761"
+            " + neg_rank * 40503) % 4294967296 % (n - 1) END"
+        ).alias("target"),
+    )
+    b = r.select(F.col("rk").alias("target"), F.col("vec_id").alias("neg_vec_id"))
+    return tgt.join(b, "target").select("vec_id", "neg_rank", "neg_vec_id")

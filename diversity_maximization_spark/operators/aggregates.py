@@ -2111,3 +2111,166 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_price"
         ),
     )
+
+
+@query(
+    "agg_cuped",
+    oracle="""
+WITH post AS (
+  SELECT o_custkey AS cust, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS y
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1
+), pre AS (
+  SELECT o_custkey AS cust, SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x
+  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1
+), units AS (
+  SELECT post.cust, post.y, COALESCE(pre.x, 0) AS x
+  FROM post LEFT JOIN pre ON pre.cust = post.cust
+), m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(x) AS DOUBLE) AS sx,
+         CAST(SUM(y) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM units
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+       round(sy / n / 100, 6) AS mean_post_spend,
+       round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+         AS var_reduction
+FROM m
+""",
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for experiment metrics (Deng et al.
+    2013): theta = Cov(pre-period covariate, post-period metric) /
+    Var(covariate) over customer units, and the variance-reduction
+    factor rho^2 the adjusted metric Y - theta*(X - E[X]) buys. The
+    A/B-testing staple that cuts experiment runtime: the same exact
+    moment-sum discipline as agg_cov_matrix (cents products through
+    DECIMAL(38,0) on the Spark side, HUGEINT->VARCHAR->DOUBLE in the
+    oracle), so theta and rho^2 are deterministic closed forms over
+    order-independent integer sums. One shuffled agg per period plus
+    a broadcast-sized unit join."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    post = (
+        o.filter("o_orderdate >= TIMESTAMP '1998-01-01'")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.expr(f"SUM({c})").alias("y"))
+    )
+    pre = (
+        o.filter("o_orderdate < TIMESTAMP '1998-01-01'")
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.expr(f"SUM({c})").alias("x"))
+    )
+    units = post.join(pre, "cust", "left").select(
+        "y", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    dec = "DECIMAL(38,0)"
+    m = units.agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(SUM(x) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(y) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * y) AS DOUBLE)").alias("sxy"),
+        F.expr(f"CAST(SUM(CAST(x AS {dec}) * x) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM(CAST(y AS {dec}) * y) AS DOUBLE)").alias("syy"),
+    )
+    return m.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_customers"),
+        F.expr("round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)").alias(
+            "theta"
+        ),
+        F.expr("round(sy / n / 100, 6)").alias("mean_post_spend"),
+        F.expr(
+            "round((n * sxy - sx * sy) * (n * sxy - sx * sy)"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)"
+        ).alias("var_reduction"),
+    )
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle="""
+WITH cells AS (
+  SELECT CASE WHEN c_nationkey < 12 THEN 'treat' ELSE 'control' END AS cohort,
+         CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+              THEN 'post' ELSE 'pre' END AS period,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), m AS (
+  SELECT
+    CAST(SUM(CASE WHEN cohort='treat' AND period='pre' THEN c END) AS DOUBLE)
+      / COUNT(CASE WHEN cohort='treat' AND period='pre' THEN 1 END) / 100
+      AS pre_treat,
+    CAST(SUM(CASE WHEN cohort='treat' AND period='post' THEN c END) AS DOUBLE)
+      / COUNT(CASE WHEN cohort='treat' AND period='post' THEN 1 END) / 100
+      AS post_treat,
+    CAST(SUM(CASE WHEN cohort='control' AND period='pre' THEN c END) AS DOUBLE)
+      / COUNT(CASE WHEN cohort='control' AND period='pre' THEN 1 END) / 100
+      AS pre_control,
+    CAST(SUM(CASE WHEN cohort='control' AND period='post' THEN c END) AS DOUBLE)
+      / COUNT(CASE WHEN cohort='control' AND period='post' THEN 1 END) / 100
+      AS post_control,
+    CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM cells
+)
+SELECT n_orders,
+       round(pre_treat, 6) AS pre_treat,
+       round(post_treat, 6) AS post_treat,
+       round(pre_control, 6) AS pre_control,
+       round(post_control, 6) AS post_control,
+       round((post_treat - pre_treat) - (post_control - pre_control), 6)
+         AS did_estimate
+FROM m
+""",
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator over the 2x2 design
+    (treatment cohort = nations 0-11, period split at 1998-01-01,
+    metric = mean order value): the causal-inference workhorse for
+    rollouts without randomization. All four cell means come from ONE
+    conditional-aggregation pass over the order-customer join (exact
+    cents sums / exact counts, single shuffle), and the DiD estimate
+    is a closed-form expression over them — identical SQL text in
+    both engines."""
+    o = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    cells = o.join(cu, o.o_custkey == cu.c_custkey).select(
+        F.expr(
+            "CASE WHEN c_nationkey < 12 THEN 'treat' ELSE 'control' END"
+        ).alias("cohort"),
+        F.expr(
+            "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'"
+            " THEN 'post' ELSE 'pre' END"
+        ).alias("period"),
+        F.expr(cents("o_totalprice")).alias("c"),
+    )
+
+    def cell(coh, per):
+        return (
+            f"CAST(SUM(CASE WHEN cohort='{coh}' AND period='{per}' THEN c END)"
+            f" AS DOUBLE)"
+            f" / COUNT(CASE WHEN cohort='{coh}' AND period='{per}' THEN 1 END)"
+            f" / 100"
+        )
+
+    m = cells.agg(
+        F.expr(cell("treat", "pre")).alias("pre_treat"),
+        F.expr(cell("treat", "post")).alias("post_treat"),
+        F.expr(cell("control", "pre")).alias("pre_control"),
+        F.expr(cell("control", "post")).alias("post_control"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_orders"),
+    )
+    return m.select(
+        "n_orders",
+        F.round("pre_treat", 6).alias("pre_treat"),
+        F.round("post_treat", 6).alias("post_treat"),
+        F.round("pre_control", 6).alias("pre_control"),
+        F.round("post_control", 6).alias("post_control"),
+        F.expr(
+            "round((post_treat - pre_treat) - (post_control - pre_control), 6)"
+        ).alias("did_estimate"),
+    )

@@ -1361,3 +1361,106 @@ def win_cume_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("users_to_date"),
     )
+
+
+@query(
+    "funnel_time_between_steps",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+), lat AS (
+  SELECT 'view_to_click' AS step_pair,
+         date_diff('microsecond', v.t1, c.t2) AS us
+  FROM v JOIN c ON v.user_id = c.user_id
+  UNION ALL
+  SELECT 'click_to_purchase',
+         date_diff('microsecond', c.t2, p.t3)
+  FROM c JOIN p ON c.user_id = p.user_id
+), ranked AS (
+  SELECT step_pair, us,
+         ROW_NUMBER() OVER (PARTITION BY step_pair ORDER BY us) AS r,
+         COUNT(*) OVER (PARTITION BY step_pair) AS n
+  FROM lat
+)
+SELECT step_pair,
+       CAST(MAX(n) AS BIGINT) AS n_users,
+       (CAST(SUM(CASE WHEN r = (n + 1) // 2 THEN us END) AS DOUBLE)
+        + SUM(CASE WHEN r = n // 2 + 1 THEN us END)) / 2 AS median_latency_us,
+       CAST(SUM(us) AS DOUBLE) / MAX(n) AS mean_latency_us
+FROM ranked GROUP BY step_pair
+""",
+)
+def funnel_time_between_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-step latency distribution of the strict ordered funnel
+    (funnel_multi_step's sequencing): exact microsecond gaps between
+    each user's first view->click and click->purchase, with the
+    median picked by the shared-rank formulation ((n+1) div 2 and
+    n div 2 + 1 select the same row when n is odd) and the mean from
+    exact integer sums — the step-latency table an activation team
+    reads next to the conversion rates. Same shuffle-key lineage as
+    the funnel itself; the latency table is user-sized, never
+    event-sized."""
+    ev = load(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    lat = (
+        v.join(c, "user_id")
+        .select(
+            F.lit("view_to_click").alias("step_pair"),
+            F.expr("timestampdiff(MICROSECOND, t1, t2)").alias("us"),
+        )
+        .unionAll(
+            c.join(p, "user_id").select(
+                F.lit("click_to_purchase").alias("step_pair"),
+                F.expr("timestampdiff(MICROSECOND, t2, t3)").alias("us"),
+            )
+        )
+    )
+    w = Window.partitionBy("step_pair").orderBy("us")
+    ranked = lat.select(
+        "step_pair",
+        "us",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("step_pair")).alias("n"),
+    )
+    return ranked.groupBy("step_pair").agg(
+        F.max("n").alias("n_users"),
+        (
+            (
+                F.sum(
+                    F.when(F.col("r") == F.expr("(n + 1) div 2"), F.col("us"))
+                ).cast("double")
+                + F.sum(F.when(F.col("r") == F.expr("n div 2 + 1"), F.col("us")))
+            )
+            / 2
+        ).alias("median_latency_us"),
+        (F.sum("us").cast("double") / F.max("n")).alias("mean_latency_us"),
+    )
