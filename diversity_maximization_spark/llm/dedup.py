@@ -1346,3 +1346,73 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resolved.join(F.broadcast(sizes), "entity_id").select(
         "p_name", "entity_id", "n_parts", "cluster_size"
     )
+
+
+def _er_blocking_oracle() -> str:
+    from ..operators.scalars import _duck_soundex
+
+    return f"""
+WITH words AS MATERIALIZED (
+  SELECT p_partkey, {_duck_soundex("string_split(p_name, ' ')[1]")} AS sdx
+  FROM part
+), truth AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM part a JOIN part b ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+), blocked AS (
+  SELECT a.p_partkey AS pa, b.p_partkey AS pb
+  FROM words a JOIN words b
+    ON a.sdx = b.sdx AND a.p_partkey < b.p_partkey
+), hit AS (
+  SELECT COUNT(*) AS n_hit FROM truth t
+  JOIN blocked bl ON bl.pa = t.pa AND bl.pb = t.pb
+)
+SELECT (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+       (SELECT COUNT(*) FROM blocked) AS n_candidate_pairs,
+       (SELECT n_hit FROM hit) AS n_true_in_block,
+       CAST((SELECT n_hit FROM hit) AS DOUBLE)
+         / nullif((SELECT COUNT(*) FROM truth), 0) AS recall,
+       CAST((SELECT n_hit FROM hit) AS DOUBLE)
+         / nullif((SELECT COUNT(*) FROM blocked), 0) AS precision_proxy
+"""
+
+
+@query("er_blocking_eval", oracle=_er_blocking_oracle())
+def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report for entity resolution: how well does
+    the fn_phonetic soundex block (on the first name word) cover the
+    TRUE duplicate pairs (identical full p_name), and how much
+    candidate volume does it cost — the recall/volume trade-off every
+    blocking key must justify before the expensive pairwise scorer
+    runs (the dedup_minhash_eval discipline applied to ER blocking).
+    Exact integer pair counts; two self-joins, both equi-joins on
+    name/block keys."""
+    p = load(spark, sf_dir, "part")
+    words = p.select(
+        "p_partkey", F.split("p_name", " ")[0].alias("w")
+    ).withColumn("sdx", F.soundex("w"))
+    a = p.select(F.col("p_partkey").alias("pa"), F.col("p_name").alias("na"))
+    b = p.select(F.col("p_partkey").alias("pb"), F.col("p_name").alias("nb"))
+    truth = a.join(b, (F.col("na") == F.col("nb")) & (F.col("pa") < F.col("pb"))).select(
+        "pa", "pb"
+    )
+    wa = words.select(F.col("p_partkey").alias("pa"), F.col("sdx").alias("sa"))
+    wb = words.select(F.col("p_partkey").alias("pb"), F.col("sdx").alias("sb"))
+    blocked = wa.join(
+        wb, (F.col("sa") == F.col("sb")) & (F.col("pa") < F.col("pb"))
+    ).select("pa", "pb")
+    n_true = truth.count()
+    n_cand = blocked.count()
+    n_hit = truth.join(blocked, ["pa", "pb"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_true,
+                n_cand,
+                n_hit,
+                (n_hit / n_true) if n_true else None,
+                (n_hit / n_cand) if n_cand else None,
+            )
+        ],
+        "n_true_pairs bigint, n_candidate_pairs bigint, n_true_in_block bigint,"
+        " recall double, precision_proxy double",
+    )

@@ -2274,3 +2274,132 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "round((post_treat - pre_treat) - (post_control - pre_control), 6)"
         ).alias("did_estimate"),
     )
+
+
+@query(
+    "agg_winsorized_mean",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey % 1000 AS cohort,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey % 1000
+                            ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT),
+                                     o_orderkey) AS r,
+         COUNT(*) OVER (PARTITION BY o_custkey % 1000) AS n
+  FROM orders
+), bounds AS (
+  SELECT cohort,
+         MAX(CASE WHEN r = CAST(floor(n * 0.1) AS BIGINT) + 1 THEN c END) AS lo,
+         MAX(CASE WHEN r = n - CAST(floor(n * 0.1) AS BIGINT) THEN c END) AS hi
+  FROM ranked GROUP BY cohort
+)
+SELECT r.cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN r.c < b.lo THEN b.lo
+                     WHEN r.c > b.hi THEN b.hi
+                     ELSE r.c END) AS DOUBLE) / 100 / COUNT(*)
+         AS winsorized_mean_price
+FROM ranked r JOIN bounds b ON b.cohort = r.cohort
+GROUP BY r.cohort
+""",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% winsorized mean per customer cohort — agg_trimmed_mean's
+    companion: outliers are CLAMPED to the decile boundary values
+    instead of dropped, so every order still counts (the robust mean
+    of choice when sample size matters). Boundary order statistics
+    come from the same shared row_number formulation (rank
+    floor(0.1n)+1 and n-floor(0.1n), ties by o_orderkey), the clamp
+    and sum are exact integer cents. One window pass + one broadcast
+    join of the tiny per-cohort bounds table."""
+    o = load(spark, sf_dir, "orders").withColumn(
+        "cohort", F.expr("o_custkey % 1000")
+    )
+    w = Window.partitionBy("cohort").orderBy(
+        F.expr(cents("o_totalprice")), "o_orderkey"
+    )
+    ranked = o.select(
+        "cohort",
+        F.expr(cents("o_totalprice")).alias("c"),
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("cohort")).alias("n"),
+    )
+    bounds = ranked.groupBy("cohort").agg(
+        F.max(
+            F.when(
+                F.col("r") == F.expr("CAST(floor(n * 0.1) AS BIGINT) + 1"),
+                F.col("c"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("r") == F.expr("n - CAST(floor(n * 0.1) AS BIGINT)"),
+                F.col("c"),
+            )
+        ).alias("hi"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "cohort")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.expr(
+                "CAST(SUM(CASE WHEN c < lo THEN lo WHEN c > hi THEN hi"
+                " ELSE c END) AS DOUBLE) / 100 / COUNT(*)"
+            ).alias("winsorized_mean_price"),
+        )
+    )
+
+
+@query(
+    "agg_power_analysis",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS segment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT) * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+)
+SELECT segment, CAST(n AS BIGINT) AS n_orders,
+       round(s / n / 100, 6) AS mean_value,
+       round(sqrt((ss - s * s / n) / (n - 1)) / 100, 6) AS sd_value,
+       CAST(ceil(2 * (1.959964 + 0.841621) * (1.959964 + 0.841621)
+            * ((ss - s * s / n) / (n - 1))
+            / ((0.05 * s / n) * (0.05 * s / n))) AS BIGINT)
+         AS n_required_5pct_mde
+FROM m
+""",
+)
+def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis per order segment: the required
+    per-arm sample size for a 5% minimum detectable effect on mean
+    order value at alpha=0.05 / power=0.8 — n = 2 (z_{a/2}+z_b)^2
+    sigma^2 / delta^2, the sizing every A/B test starts from.
+    Variance from the exact overflow-safe moment pair (the
+    agg_cov_matrix discipline), z constants fixed literals, one
+    closed-form expression identical in both engines; ceil() on an
+    exact quotient keeps the integer output hash-stable."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    dec = "DECIMAL(38,0)"
+    m = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({c}) AS DOUBLE)").alias("s"),
+        F.expr(f"CAST(SUM(CAST({c} AS {dec}) * {c}) AS DOUBLE)").alias("ss"),
+    )
+    return m.select(
+        "segment",
+        F.expr("CAST(n AS BIGINT)").alias("n_orders"),
+        F.expr("round(s / n / 100, 6)").alias("mean_value"),
+        F.expr("round(sqrt((ss - s * s / n) / (n - 1)) / 100, 6)").alias(
+            "sd_value"
+        ),
+        F.expr(
+            "CAST(ceil(2 * (1.959964 + 0.841621) * (1.959964 + 0.841621)"
+            " * ((ss - s * s / n) / (n - 1))"
+            " / ((0.05 * s / n) * (0.05 * s / n))) AS BIGINT)"
+        ).alias("n_required_5pct_mde"),
+    )
