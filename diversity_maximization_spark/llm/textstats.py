@@ -1063,3 +1063,63 @@ def sample_group_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@query(
+    "quality_ngram_novelty",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - 2, 0)),
+             i -> array_to_string(ws[i:i+2], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), first_owner AS (
+  SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+            AS DOUBLE) / COUNT(*) AS novelty
+FROM sh s JOIN first_owner f ON f.shingle = s.shingle
+GROUP BY s.doc_id
+""",
+)
+def quality_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-gram shingles whose FIRST corpus occurrence (lowest doc_id —
+    the ingestion-order proxy) is this document. The
+    curriculum/data-freshness signal a curation pipeline uses to
+    down-weight documents that only restate earlier material —
+    dedup's soft sibling (a doc can evade every near-dup tier and
+    still contribute nothing new). Shape: the shingle table shuffles
+    once to find each shingle's first owner (a MIN agg, mergeable at
+    any scale), then one equi-join back — no pairwise work at all,
+    unlike the dedup tiers."""
+    from .dedup import shingles_df
+
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+            (
+                F.sum(
+                    F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )
