@@ -444,19 +444,183 @@ def div_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("div_local_search")  # rows-only
+def _local_search_oracle(k: int = 12, rounds: int = 50,
+                         eps: float = 1e-4) -> str:
+    """Unrolled swap-local-search replay: coreset members -> k-round
+    farthest-first init (selection order = list positions) -> up to
+    `rounds` single-swap rounds, each taking the FIRST improving
+    (out_pos, cand) swap in scan order (cand scan = vec_id-sorted
+    member index) with the engine's (1+eps) improvement margin.
+    Converged rounds have an empty pick and carry the state through
+    unchanged, so unrolling to the engine's max_rounds is exact.
+    Trial values use the incremental identity val = cur - rowsum(out)
+    + rowsum(cand) - d(cand, out); the numpy kernel recomputes each
+    clique sum fresh, so the two drift by ulps — absorbed by the
+    1e-4 relative acceptance margin (a flip would need an
+    improvement within ~1e-12 of exactly cur*eps) and by round(.,6)
+    on the one reported float."""
+    base = _coreset_mr_oracle()
+    head = base[: base.rindex("\nSELECT c.part, c.vec_id,")]
+    sq = _duck_sqdist("s.embedding", "c.embedding")
+    parts = [head, """
+, dmem AS MATERIALIZED (
+  SELECT d.vec_id, e.embedding
+  FROM delegates d JOIN e ON e.part = d.part AND e.vec_id = d.vec_id),
+mem AS MATERIALIZED (
+  SELECT vec_id, embedding FROM centers UNION ALL SELECT * FROM dmem),
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sqrt(""" + _duck_sqdist("a.embedding", "b.embedding") + """) AS d
+  FROM mem a JOIN mem b ON a.vec_id <> b.vec_id),
+f0 AS MATERIALIZED (
+  SELECT vec_id, embedding FROM mem ORDER BY vec_id LIMIT 1),
+g0 AS MATERIALIZED (
+  SELECT s.vec_id, s.embedding, """ + _duck_sqdist("s.embedding", "c.embedding").replace("{a}", "s.embedding") + """ AS md
+  FROM mem s CROSS JOIN f0 c WHERE s.vec_id <> c.vec_id)"""]
+    # farthest-first init rounds 1..k-1 (squared distance — argmax-equivalent)
+    for r in range(1, k):
+        parts.append(f"""
+, f{r} AS MATERIALIZED (
+  SELECT vec_id, embedding FROM g{r - 1}
+  ORDER BY md DESC, vec_id ASC LIMIT 1)""")
+        if r < k - 1:
+            parts.append(f"""
+, g{r} AS MATERIALIZED (
+  SELECT s.vec_id, s.embedding, least(s.md, {sq.replace('{a}', 's.embedding')}) AS md
+  FROM g{r - 1} s CROSS JOIN f{r} c WHERE s.vec_id <> c.vec_id)""")
+    init_sel = " UNION ALL ".join(
+        f"SELECT {p} AS pos, vec_id FROM f{p}" for p in range(k)
+    )
+    parts.append(f"""
+, sel0 AS MATERIALIZED ({init_sel}),
+cur0 AS MATERIALIZED (
+  SELECT SUM(pd.d) / 2 AS cur FROM pd
+  WHERE pd.a IN (SELECT vec_id FROM sel0)
+    AND pd.b IN (SELECT vec_id FROM sel0))""")
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+, rs{r} AS MATERIALIZED (
+  SELECT pd.a AS x, SUM(pd.d) AS rsum
+  FROM pd JOIN sel{r - 1} s ON pd.b = s.vec_id GROUP BY pd.a),
+pk{r} AS MATERIALIZED (
+  SELECT out_pos, cand, val FROM (
+    SELECT s.pos AS out_pos, c.vec_id AS cand,
+           (SELECT cur FROM cur{r - 1}) - ro.rsum + rc.rsum
+             - coalesce(pdx.d, 0) AS val
+    FROM sel{r - 1} s
+    CROSS JOIN mem c
+    JOIN rs{r} ro ON ro.x = s.vec_id
+    JOIN rs{r} rc ON rc.x = c.vec_id
+    LEFT JOIN pd pdx ON pdx.a = c.vec_id AND pdx.b = s.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}))
+  WHERE val > (SELECT cur FROM cur{r - 1}) * {1.0 + eps}
+  ORDER BY out_pos ASC, cand ASC LIMIT 1),
+sel{r} AS MATERIALIZED (
+  SELECT s.pos,
+         CASE WHEN s.pos = (SELECT out_pos FROM pk{r})
+              THEN (SELECT cand FROM pk{r}) ELSE s.vec_id END AS vec_id
+  FROM sel{r - 1} s),
+cur{r} AS MATERIALIZED (
+  SELECT coalesce((SELECT val FROM pk{r}),
+                  (SELECT cur FROM cur{r - 1})) AS cur)""")
+    parts.append(f"""
+, final_cs AS (
+  SELECT SUM(pd.d) / 2 AS cs FROM pd
+  WHERE pd.a IN (SELECT vec_id FROM sel{rounds})
+    AND pd.b IN (SELECT vec_id FROM sel{rounds}))
+SELECT vec_id, round((SELECT cs FROM final_cs), 6) AS clique_value
+FROM sel{rounds}""")
+    return "".join(parts)
+
+
+@query("div_local_search", oracle=_local_search_oracle())
 def div_local_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Swap local search for remote-clique (k=12) on the coreset."""
+    """Swap local search for remote-clique (k=12) on the coreset —
+    hash-checked against the unrolled swap replay in
+    _local_search_oracle. The reported value is recomputed from the
+    final set in BOTH engines (sum of pairwise distances / 2), so the
+    kernel's accumulated float state never reaches the output."""
     emb = load(spark, sf_dir, "embeddings")
     ids, _labels, X, _w = collect_coreset(mr_coreset(emb, p=4, kprime=16, m=1))
     D = K.pairwise_l2(X)
     gmm_idx, _, _ = K.farthest_first(X, 12, start=0)
-    sel, val = K.local_search_clique(D, k=12, init=list(gmm_idx))
-    rows = [(int(ids[i]), round(val, 6)) for i in sel]
-    return spark.createDataFrame(rows, "vec_id bigint, clique_value double")
+    sel, _val = K.local_search_clique(D, k=12, init=list(gmm_idx))
+    final_val = float(D[np.ix_(sel, sel)].sum() / 2.0)
+    rows = [(int(ids[i]), final_val) for i in sel]
+    return spark.createDataFrame(
+        rows, "vec_id bigint, clique_value double"
+    ).select("vec_id", F.round("clique_value", 6).alias("clique_value"))
 
 
-@query("div_matroid_partition")  # rows-only; independence asserted in tests
+def _matroid_partition_oracle(k: int = 10, kprime: int = 8,
+                              rounds: int = 50, eps: float = 1e-4) -> str:
+    """Unrolled replay of the full partition-matroid pipeline:
+    cluster_assignments (the _coreset_mr_oracle head at k'=8),
+    matroid-aware delegates (top-2 per (part, cluster, label) by
+    dist DESC, vec_id), greedy independent init (first member of
+    each label in vec_id scan order — capacity 1 per label), then
+    the swap local search under the independence oracle. With one
+    member per label in the selection, a swap is independent iff the
+    candidate's label EQUALS the outgoing member's label (the label
+    multiset is invariant), so the constraint is a join condition.
+    Output is integer-only (vec_id, label) — no float tolerance
+    anywhere; the eps margin covers the trial-value ulp drift as in
+    _local_search_oracle."""
+    base = _coreset_mr_oracle(p=4, kprime=kprime, m=1, seed=42)
+    head = base[: base.rindex("\ndelegates AS MATERIALIZED (")]
+    parts = [head, f"""
+mm AS MATERIALIZED (
+  SELECT a.vec_id, a.label, e.embedding FROM (
+    SELECT part, vec_id, label, rank, d,
+           ROW_NUMBER() OVER (PARTITION BY part, rank, label
+                              ORDER BY d DESC, vec_id) AS rn
+    FROM assign) a
+  JOIN e ON e.vec_id = a.vec_id
+  WHERE a.rn <= 2),
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         sqrt({_duck_sqdist('a.embedding', 'b.embedding')}) AS d
+  FROM mm a JOIN mm b ON a.vec_id <> b.vec_id),
+sel0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS pos, vec_id, label FROM (
+    SELECT label, MIN(vec_id) AS vec_id FROM mm GROUP BY label)),
+cur0 AS MATERIALIZED (
+  SELECT SUM(pd.d) / 2 AS cur FROM pd
+  WHERE pd.a IN (SELECT vec_id FROM sel0)
+    AND pd.b IN (SELECT vec_id FROM sel0))"""]
+    for r in range(1, rounds + 1):
+        parts.append(f"""
+, rs{r} AS MATERIALIZED (
+  SELECT pd.a AS x, SUM(pd.d) AS rsum
+  FROM pd JOIN sel{r - 1} s ON pd.b = s.vec_id GROUP BY pd.a),
+pk{r} AS MATERIALIZED (
+  SELECT out_pos, cand, cand_label, val FROM (
+    SELECT s.pos AS out_pos, c.vec_id AS cand, c.label AS cand_label,
+           (SELECT cur FROM cur{r - 1}) - ro.rsum + rc.rsum
+             - coalesce(pdx.d, 0) AS val
+    FROM sel{r - 1} s
+    JOIN mm c ON c.label = s.label
+    JOIN rs{r} ro ON ro.x = s.vec_id
+    JOIN rs{r} rc ON rc.x = c.vec_id
+    LEFT JOIN pd pdx ON pdx.a = c.vec_id AND pdx.b = s.vec_id
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{r - 1}))
+  WHERE val > (SELECT cur FROM cur{r - 1}) * {1.0 + eps}
+  ORDER BY out_pos ASC, cand ASC LIMIT 1),
+sel{r} AS MATERIALIZED (
+  SELECT s.pos,
+         CASE WHEN s.pos = (SELECT out_pos FROM pk{r})
+              THEN (SELECT cand FROM pk{r}) ELSE s.vec_id END AS vec_id,
+         s.label
+  FROM sel{r - 1} s),
+cur{r} AS MATERIALIZED (
+  SELECT coalesce((SELECT val FROM pk{r}),
+                  (SELECT cur FROM cur{r - 1})) AS cur)""")
+    parts.append(f"""
+SELECT vec_id, CAST(label AS INTEGER) AS label FROM sel{rounds}""")
+    return "".join(parts)
+
+
+@query("div_matroid_partition", oracle=_matroid_partition_oracle())
 def div_matroid_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Diversity under a partition matroid (capacity 1 per label,
     k=10). Distributed part: matroid-aware delegate selection = keep
@@ -689,7 +853,61 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@query("div_experiment_report")  # rows-only: seeded heuristic outputs
+def _experiment_report_oracle(k: int = 12, rounds: int = 50) -> str:
+    """EP1 reporter replay: ONE _local_search_oracle chain (which
+    itself contains the coreset head, member table, pair distances,
+    and the k-round farthest-first init — reused as the gmm
+    selection) extended with the greedy matching rounds, the
+    md5-ordered random baseline, and per-algorithm edge/clique
+    evaluations over the shared pair table. Every selection CTE is
+    the same unrolled recurrence proven on its standalone key; the
+    evaluations are MIN / SUM over unordered pairs with round(.,6)."""
+    base = _local_search_oracle(k=k, rounds=rounds)
+    head = base[: base.rindex("\n, final_cs AS (")]
+    parts = [head]
+    # matching: greedy far pairs over the (va < vb) orientation of pd
+    parts.append("""
+, q0 AS MATERIALIZED (
+  SELECT a AS va, b AS vb, d FROM pd WHERE a < b)""")
+    for r in range(1, k // 2 + 1):
+        parts.append(f"""
+, m{r} AS MATERIALIZED (
+  SELECT va, vb, d FROM q{r - 1} ORDER BY d DESC, va ASC, vb ASC LIMIT 1)""")
+        if r < k // 2:
+            parts.append(f"""
+, q{r} AS MATERIALIZED (
+  SELECT q.va, q.vb, q.d FROM q{r - 1} q CROSS JOIN m{r} m
+  WHERE q.va NOT IN (m.va, m.vb) AND q.vb NOT IN (m.va, m.vb))""")
+    match_sel = " UNION ALL ".join(
+        f"SELECT va AS vec_id FROM m{r} UNION ALL SELECT vb FROM m{r}"
+        for r in range(1, k // 2 + 1)
+    )
+    gmm_sel = " UNION ALL ".join(f"SELECT vec_id FROM f{p}" for p in range(k))
+    parts.append(f"""
+, sel_gmm AS MATERIALIZED ({gmm_sel}),
+sel_matching AS MATERIALIZED ({match_sel}),
+sel_random AS MATERIALIZED (
+  SELECT vec_id FROM mem
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k}),
+report AS (""")
+    evals = []
+    for alg, sel in [("gmm", "sel_gmm"), ("local_search", f"sel{rounds}"),
+                     ("matching", "sel_matching"), ("random", "sel_random")]:
+        evals.append(f"""
+  SELECT '{alg}' AS algorithm,
+         CAST((SELECT COUNT(*) FROM {sel}) AS INTEGER) AS k,
+         round((SELECT MIN(pd.d) FROM pd
+                WHERE pd.a IN (SELECT vec_id FROM {sel})
+                  AND pd.b IN (SELECT vec_id FROM {sel})), 6) AS edge_div,
+         round((SELECT SUM(pd.d) / 2 FROM pd
+                WHERE pd.a IN (SELECT vec_id FROM {sel})
+                  AND pd.b IN (SELECT vec_id FROM {sel})), 6) AS clique_div""")
+    parts.append(" UNION ALL ".join(evals))
+    parts.append(")\nSELECT * FROM report")
+    return "".join(parts)
+
+
+@query("div_experiment_report", oracle=_experiment_report_oracle())
 def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's experiment-reporter workflow (SURVEY.md §3.1
     EP1) as one query: compose a MapReduce coreset, run every
@@ -698,7 +916,9 @@ def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report each algorithm's remote-edge and remote-clique objectives
     side by side, the comparison table the reference's experiments
     module emits as JSON rows. Deterministic: fixed coreset seed
-    partitioning, fixed start point, md5-hash 'random' order."""
+    partitioning, fixed start point, md5-hash 'random' order.
+    Hash-checked: the oracle replays all four selections and both
+    evaluations (see _experiment_report_oracle)."""
     import hashlib
 
     emb = load(spark, sf_dir, "embeddings")
@@ -727,15 +947,15 @@ def div_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = sels[alg]
         sub = D[np.ix_(sel, sel)]
         rows.append(
-            (
-                alg,
-                len(sel),
-                round(float(K.eval_edge(sub)), 6),
-                round(float(K.eval_clique(sub)), 6),
-            )
+            (alg, len(sel), float(K.eval_edge(sub)), float(K.eval_clique(sub)))
         )
     return spark.createDataFrame(
         rows, "algorithm string, k int, edge_div double, clique_div double"
+    ).select(
+        "algorithm",
+        "k",
+        F.round("edge_div", 6).alias("edge_div"),
+        F.round("clique_div", 6).alias("clique_div"),
     )
 
 
