@@ -1149,6 +1149,30 @@ def ltv_cohort_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+def _gauss_jordan(A):
+    """Fixed-order Gauss-Jordan elimination (NO pivoting) on an
+    augmented n x (n+1) matrix; returns [A[i][n] / A[i][i]]. The
+    exact operation ORDER — ``f = A[i][p] / A[p][p]`` then
+    ``A[i][j] - f * A[p][j]`` over the PRE-STEP row values — is the
+    cross-engine contract: the DuckDB oracles for markov_absorption
+    and attribution_markov_removal replay the identical IEEE-double
+    sequence as unrolled MATERIALIZED CTE steps, so the results are
+    bit-identical and the keys hash-match without tolerance. No
+    pivoting is safe here: every solved (I - Q) block is (weakly
+    chained) diagonally dominant because each solve row keeps escape
+    mass (absorption or sink). Matrices are |event types|-sized, so
+    the O(n^3) driver cost is trivial."""
+    n = len(A)
+    for p in range(n):
+        piv = A[p]
+        for i in range(n):
+            if i == p:
+                continue
+            f = A[i][p] / piv[p]
+            A[i] = [A[i][j] - f * piv[j] for j in range(n + 1)]
+    return [A[i][n] / A[i][i] for i in range(n)]
+
+
 def absorption_expected_steps(trans_counts, absorbing: str):
     """Expected steps to absorption for each transient state of a
     Markov chain given raw transition COUNTS {(a, b): n}. Returns
@@ -1166,8 +1190,6 @@ def absorption_expected_steps(trans_counts, absorbing: str):
     closed class cannot poison every other state's answer. For a
     can-reach state the value is the expected steps until the walk
     leaves the can-reach block (absorbed, or lost to a dead end)."""
-    import numpy as np
-
     states = sorted({a for a, _ in trans_counts} | {b for _, b in trans_counts})
     transient = [s for s in states if s != absorbing]
     rev: dict = {}
@@ -1187,19 +1209,125 @@ def absorption_expected_steps(trans_counts, absorbing: str):
     row_total: dict = {}
     for (a, _), n in trans_counts.items():
         row_total[a] = row_total.get(a, 0) + n
-    Q = np.zeros((len(solve_states), len(solve_states)))
+    q: dict = {}
     for (a, b), n in trans_counts.items():
         if a in idx and b in idx:
-            Q[idx[a], idx[b]] += n / row_total[a]
-    t = np.linalg.solve(
-        np.eye(len(solve_states)) - Q, np.ones(len(solve_states))
-    )
+            k = (idx[a], idx[b])
+            q[k] = q.get(k, 0.0) + n / row_total[a]
+    m = len(solve_states)
+    A = [
+        [(1.0 if i == j else 0.0) - q.get((i, j), 0.0) for j in range(m)]
+        + [1.0]
+        for i in range(m)
+    ]
+    t = _gauss_jordan(A)
     out = {s: float("inf") for s in transient}
-    out.update({s: float(t[idx[s]]) for s in solve_states})
+    out.update({s: t[idx[s]] for s in solve_states})
     return out
 
 
-@query("markov_absorption")  # rows-only: linear solve on the driver
+_GJ_PIVOTS = 6  # >= max transient states (5 event types); extra pivots no-op
+
+
+def _gauss_chain(src: str, keys: str, pivots: int = _GJ_PIVOTS) -> str:
+    """Unrolled Gauss-Jordan CTE chain over an augmented cell table
+    ``src(i, j, v)`` (plus optional extra grouping ``keys`` like
+    'd,'). Each step replays _gauss_jordan's pivot-p update with the
+    identical IEEE op order: f = A[i][p]/A[p][p]; v - f*A[p][j],
+    all cells read from the PREVIOUS step's snapshot. Pivots past
+    the matrix size find no pivot row (pe.v IS NULL) and pass cells
+    through unchanged. MATERIALIZED is load-bearing: each step
+    references its predecessor four times, so inlining would expand
+    4^pivots scans."""
+    parts = []
+    prev = src
+    for p in range(pivots):
+        g = f"gj{p + 1}"
+        extra_c = (
+            " AND ".join(f"pc.{k} = c.{k}" for k in keys.split(",") if k)
+            + " AND "
+            if keys
+            else ""
+        )
+        parts.append(
+            f""", {g} AS MATERIALIZED (
+  SELECT c.* EXCLUDE (v),
+         CASE WHEN c.i = {p} OR pe.v IS NULL THEN c.v
+              ELSE c.v - (pc.v / pe.v) * pr.v END AS v
+  FROM {prev} c
+  LEFT JOIN {prev} pc ON {extra_c}pc.i = c.i AND pc.j = {p}
+  LEFT JOIN {prev} pr ON {extra_c.replace('pc.', 'pr.')}pr.i = {p} AND pr.j = c.j
+  LEFT JOIN {prev} pe ON {extra_c.replace('pc.', 'pe.')}pe.i = {p} AND pe.j = {p}
+)"""
+        )
+        prev = g
+    return "".join(parts)
+
+
+def _markov_absorption_oracle() -> str:
+    """DuckDB replay of markov_absorption: transition counts, the
+    backward-reachability rounds, then the exact _gauss_jordan
+    elimination unrolled (see _gauss_chain). Rounded via round_even
+    == Python round() half-even."""
+    reach = []
+    for r in range(1, _GJ_PIVOTS + 1):
+        reach.append(
+            f""", r{r} AS MATERIALIZED (
+  SELECT DISTINCT s FROM (
+    SELECT s FROM r{r - 1}
+    UNION ALL
+    SELECT tc.a AS s FROM tc JOIN r{r - 1} q ON tc.b = q.s
+  )
+)"""
+        )
+    return f"""
+WITH seq AS MATERIALIZED (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events
+), tc AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b
+), st AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT a AS s FROM tc UNION ALL SELECT b FROM tc)
+), r0 AS MATERIALIZED (SELECT CAST('purchase' AS VARCHAR) AS s)
+{''.join(reach)}
+, solve AS MATERIALIZED (
+  SELECT s, CAST(ROW_NUMBER() OVER (ORDER BY s) AS INTEGER) - 1 AS i
+  FROM r{_GJ_PIVOTS} WHERE s <> 'purchase'
+), nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM solve),
+tot AS MATERIALIZED (SELECT a, SUM(n) AS tot FROM tc GROUP BY a),
+qq AS MATERIALIZED (
+  SELECT si.i AS i, sj.i AS j,
+         CAST(tc.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS q
+  FROM tc
+  JOIN solve si ON tc.a = si.s
+  JOIN solve sj ON tc.b = sj.s
+  JOIN tot t ON t.a = tc.a
+), grid AS MATERIALIZED (
+  SELECT si.i, sj.j FROM solve si
+  CROSS JOIN (SELECT i AS j FROM solve UNION ALL SELECT n AS j FROM nn) sj
+), gj0 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CASE WHEN g.j = (SELECT n FROM nn) THEN 1.0
+              ELSE (CASE WHEN g.i = g.j THEN 1.0 ELSE 0.0 END)
+                   - COALESCE(qq.q, 0.0) END AS v
+  FROM grid g LEFT JOIN qq ON qq.i = g.i AND qq.j = g.j
+){_gauss_chain('gj0', '')}
+, sol AS MATERIALIZED (
+  SELECT s.s, bb.v / dg.v AS t
+  FROM solve s
+  JOIN gj{_GJ_PIVOTS} dg ON dg.i = s.i AND dg.j = s.i
+  JOIN gj{_GJ_PIVOTS} bb ON bb.i = s.i AND bb.j = (SELECT n FROM nn)
+)
+SELECT st.s AS start_type,
+       COALESCE(round_even(sol.t, 6), -1.0) AS expected_steps_to_purchase
+FROM st LEFT JOIN sol ON sol.s = st.s
+WHERE st.s <> 'purchase'
+"""
+
+
+@query("markov_absorption", oracle=_markov_absorption_oracle())
 def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected events until PURCHASE from each starting event type —
     the absorbing-Markov-chain readout of the journey matrix: the
@@ -1207,10 +1335,11 @@ def markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape) collapses to a |types| x |types| table, and the driver
     solves (I - Q) t = 1 for the transient block. This is the
     funnel question 'how many more touches until conversion' that
-    per-stage conversion rates can't answer. Deterministic: exact
-    integer counts in, one fixed numpy solve out (values rounded to
-    6 dp). Closed-form behavior pinned in tests on a hand-built
-    chain."""
+    per-stage conversion rates can't answer. Deterministic and
+    hash-checked: exact integer counts in, one fixed-order
+    _gauss_jordan solve out (values rounded to 6 dp) — the oracle
+    replays the identical elimination as unrolled MATERIALIZED CTEs.
+    Closed-form behavior pinned in tests on a hand-built chain."""
     ev = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
@@ -1239,9 +1368,8 @@ def absorption_probability(trans_counts, absorbing: str, drop=None):
     transitions deleted; rows renormalize implicitly by solving on
     the remaining mass — removed-state visits become terminal
     non-conversions, the Markov-attribution convention). Solves
-    (I - Q) p = r with numpy on the tiny type matrix."""
-    import numpy as np
-
+    (I - Q) p = r by the same fixed-order _gauss_jordan the DuckDB
+    oracle replays, on the tiny type matrix."""
     counts = {
         (a, b): n
         for (a, b), n in trans_counts.items()
@@ -1252,8 +1380,8 @@ def absorption_probability(trans_counts, absorbing: str, drop=None):
     if absorbing not in states:
         return {s: 0.0 for s in transient}
     idx = {s: i for i, s in enumerate(transient)}
-    Q = np.zeros((len(transient), len(transient)))
-    r = np.zeros(len(transient))
+    q: dict = {}
+    rv: dict = {}
     # row totals INCLUDE dropped-target transitions: removing a
     # channel sends that probability mass to a terminal sink
     row_tot = {}
@@ -1264,14 +1392,118 @@ def absorption_probability(trans_counts, absorbing: str, drop=None):
         if a == absorbing:
             continue
         if b == absorbing:
-            r[idx[a]] += n / row_tot[a]
+            rv[idx[a]] = rv.get(idx[a], 0.0) + n / row_tot[a]
         else:
-            Q[idx[a], idx[b]] += n / row_tot[a]
-    p = np.linalg.solve(np.eye(len(transient)) - Q, r)
-    return {s: float(p[idx[s]]) for s in transient}
+            k = (idx[a], idx[b])
+            q[k] = q.get(k, 0.0) + n / row_tot[a]
+    m = len(transient)
+    A = [
+        [(1.0 if i == j else 0.0) - q.get((i, j), 0.0) for j in range(m)]
+        + [rv.get(i, 0.0)]
+        for i in range(m)
+    ]
+    p = _gauss_jordan(A)
+    return {s: p[idx[s]] for s in transient}
 
 
-@query("attribution_markov_removal")  # rows-only: linear solve
+def _markov_removal_oracle() -> str:
+    """DuckDB replay of attribution_markov_removal: one shared
+    transition-count table, then EVERY absorption solve — the base
+    chain plus one per removed channel — runs in parallel as a
+    'd'-keyed cell table through one unrolled _gauss_chain. States,
+    row totals (which keep dropped-target mass: removal = terminal
+    sink), Q, r, and the final max(base-p, 0) / sorted-left-fold
+    credit normalization all mirror absorption_probability's exact
+    float ops (list_sum == Python sum's left fold)."""
+    return f"""
+WITH seq AS MATERIALIZED (
+  SELECT event_type AS a,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS b
+  FROM events
+), tc AS MATERIALIZED (
+  SELECT a, b, COUNT(*) AS n FROM seq WHERE b IS NOT NULL GROUP BY a, b
+), st AS MATERIALIZED (
+  SELECT DISTINCT s FROM (SELECT a AS s FROM tc UNION ALL SELECT b FROM tc)
+), drops AS MATERIALIZED (
+  SELECT CAST('__base__' AS VARCHAR) AS d
+  UNION ALL
+  SELECT DISTINCT a AS d FROM tc WHERE a NOT IN ('purchase', 'view')
+), fc AS MATERIALIZED (
+  SELECT dr.d, tc.a, tc.b, tc.n
+  FROM drops dr JOIN tc
+    ON (dr.d = '__base__' OR (tc.a <> dr.d AND tc.b <> dr.d))
+), std AS MATERIALIZED (
+  SELECT DISTINCT d, s FROM (
+    SELECT d, a AS s FROM fc UNION ALL SELECT d, b AS s FROM fc)
+), tr AS MATERIALIZED (
+  SELECT d, s,
+         CAST(ROW_NUMBER() OVER (PARTITION BY d ORDER BY s) AS INTEGER) - 1
+           AS i
+  FROM std WHERE s <> 'purchase'
+), nn AS MATERIALIZED (SELECT d, COUNT(*) AS n FROM tr GROUP BY d),
+tot AS MATERIALIZED (
+  SELECT dr.d, tc.a, SUM(tc.n) AS tot
+  FROM drops dr JOIN tc ON (dr.d = '__base__' OR tc.a <> dr.d)
+  GROUP BY dr.d, tc.a
+), qq AS MATERIALIZED (
+  SELECT fc.d, ti.i AS i, tj.i AS j,
+         CAST(fc.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS q
+  FROM fc
+  JOIN tr ti ON ti.d = fc.d AND ti.s = fc.a
+  JOIN tr tj ON tj.d = fc.d AND tj.s = fc.b
+  JOIN tot t ON t.d = fc.d AND t.a = fc.a
+), rr AS MATERIALIZED (
+  SELECT fc.d, ti.i AS i,
+         CAST(fc.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS r
+  FROM fc
+  JOIN tr ti ON ti.d = fc.d AND ti.s = fc.a
+  JOIN tot t ON t.d = fc.d AND t.a = fc.a
+  WHERE fc.b = 'purchase'
+), grid AS MATERIALIZED (
+  SELECT a.d, a.i, b.j
+  FROM tr a JOIN (
+    SELECT d, i AS j FROM tr UNION ALL SELECT d, n AS j FROM nn
+  ) b ON b.d = a.d
+), gj0 AS MATERIALIZED (
+  SELECT g.d, g.i, g.j,
+         CASE WHEN g.j = nn.n THEN COALESCE(rr.r, 0.0)
+              ELSE (CASE WHEN g.i = g.j THEN 1.0 ELSE 0.0 END)
+                   - COALESCE(qq.q, 0.0) END AS v
+  FROM grid g
+  JOIN nn ON nn.d = g.d
+  LEFT JOIN qq ON qq.d = g.d AND qq.i = g.i AND qq.j = g.j
+  LEFT JOIN rr ON rr.d = g.d AND rr.i = g.i AND g.j = nn.n
+){_gauss_chain('gj0', 'd')}
+, pv AS MATERIALIZED (
+  SELECT t.d, bb.v / dg.v AS p
+  FROM tr t
+  JOIN nn ON nn.d = t.d
+  JOIN gj{_GJ_PIVOTS} dg ON dg.d = t.d AND dg.i = t.i AND dg.j = t.i
+  JOIN gj{_GJ_PIVOTS} bb ON bb.d = t.d AND bb.i = t.i AND bb.j = nn.n
+  WHERE t.s = 'view'
+), base AS MATERIALIZED (
+  SELECT COALESCE((SELECT p FROM pv WHERE d = '__base__'), 0.0) AS p
+), eff AS MATERIALIZED (
+  SELECT dr.d AS channel,
+         GREATEST((SELECT p FROM base) - COALESCE(pv.p, 0.0), 0.0) AS effect
+  FROM drops dr LEFT JOIN pv ON pv.d = dr.d
+  WHERE dr.d <> '__base__'
+), ttl AS MATERIALIZED (
+  SELECT CASE WHEN t = 0.0 THEN 1.0 ELSE t END AS total
+  FROM (SELECT COALESCE(list_sum(list(effect ORDER BY channel)), 0.0) AS t
+        FROM eff)
+)
+SELECT channel,
+       round_even((SELECT p FROM base), 6) AS base_conversion,
+       round_even((SELECT p FROM base) - effect, 6) AS removal_conversion,
+       round_even(effect, 6) AS removal_effect,
+       round_even(effect / (SELECT total FROM ttl), 6) AS credit_share
+FROM eff
+"""
+
+
+@query("attribution_markov_removal", oracle=_markov_removal_oracle())
 def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov-chain (removal-effect) attribution — the data-driven
     counterweight to last-touch: each channel's credit is how much
@@ -1279,7 +1511,9 @@ def attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     channel's transitions are removed from the journey chain
     (removed mass becomes terminal non-conversion, the standard
     convention). Transition counts aggregate distributed; the
-    removal solves are |channels| tiny numpy systems on the driver.
+    removal solves are |channels| tiny fixed-order _gauss_jordan
+    systems on the driver, hash-checked against one 'd'-keyed
+    parallel elimination in the oracle.
     Emits per channel: removal conversion, absolute effect, and
     normalized credit share. Hand-built chains pin the closed forms
     in tests."""
