@@ -410,3 +410,123 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return data.select("vec_id", "cluster", "embedding").groupBy(
         "cluster"
     ).applyInPandas(prune, "vec_id bigint, cluster int, kept boolean")
+
+
+EVAL_K = 10
+EVAL_NQ = 20
+PROXY_DIMS = 8
+# Integer NDCG discount weights round(1e6 / log2(r + 1)): generated
+# once here and embedded as literals in BOTH engines, so the DCG sum
+# is exact bigint arithmetic — no float log, no order sensitivity.
+import math as _math
+
+_NDCG_W = [round(1_000_000 / _math.log2(r + 1)) for r in range(1, EVAL_K + 1)]
+_IDCG = sum(_NDCG_W)
+
+
+def _rank_eval_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN {r + 1} THEN {w}" for r, w in enumerate(_NDCG_W)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS qid, embedding AS qe, embedding[1:{PROXY_DIMS}] AS qe8
+  FROM embeddings ORDER BY vec_id LIMIT {EVAL_NQ}
+), p AS MATERIALIZED (
+  SELECT q.qid, e.vec_id,
+         {V.duck_cosine_sim('q.qe', 'e.embedding')} AS sim_full,
+         {V.duck_cosine_sim('q.qe8', f'e.embedding[1:{PROXY_DIMS}]')} AS sim_proxy
+  FROM q JOIN embeddings e ON e.vec_id <> q.qid
+), r AS MATERIALIZED (
+  SELECT qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_full DESC, vec_id) AS rn_t,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY sim_proxy DESC, vec_id) AS rn_s
+  FROM p
+), truth AS (SELECT qid, vec_id FROM r WHERE rn_t <= {EVAL_K}),
+sys AS (SELECT qid, vec_id, rn_s FROM r WHERE rn_s <= {EVAL_K}),
+j AS (
+  SELECT s.qid, s.rn_s,
+         CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+         CASE s.rn_s {w_case} END AS w
+  FROM sys s
+  LEFT JOIN truth t ON t.qid = s.qid AND t.vec_id = s.vec_id
+)
+SELECT qid AS query_id,
+       CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(hit * w) AS DOUBLE) / {_IDCG} AS ndcg_at_{EVAL_K},
+       COALESCE(1.0 / MIN(CASE WHEN hit = 1 THEN rn_s END), 0.0) AS mrr,
+       CAST(SUM(hit) AS DOUBLE) / {EVAL_K} AS recall_at_{EVAL_K}
+FROM j GROUP BY qid
+"""
+
+
+@query("sim_search_recall_ndcg", oracle=_rank_eval_oracle())
+def sim_search_recall_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality harness for approximate retrieval — NDCG@10,
+    MRR, and recall@10 of a cheap low-dimensional proxy retriever
+    (cosine over the first 8 of 64 dims) against exact full-dim
+    cosine truth, for the 20 smallest query ids. This is the IR-eval
+    counterpart to sim_search_recall_eval's set-recall gate: NDCG
+    weights WHERE in the top-10 the truth lands, not just whether.
+
+    Exactness: discount weights are integer literals
+    round(1e6/log2(r+1)) shared by both engines, so DCG is an exact
+    bigint sum and NDCG/MRR/recall are single divisions — bit-exact,
+    no rounding. Scale shape: the query side is a constant-20
+    broadcast, so pair work is O(20 n) with per-query partitioned
+    windows; nothing quadratic in the corpus."""
+    e = load(spark, sf_dir, "embeddings")
+    q = (
+        e.orderBy("vec_id")
+        .limit(EVAL_NQ)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qe"),
+            F.slice("embedding", 1, PROXY_DIMS).alias("qe8"),
+        )
+    )
+    c = e.select(
+        "vec_id",
+        F.col("embedding").alias("ce"),
+        F.slice("embedding", 1, PROXY_DIMS).alias("ce8"),
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .withColumn("sim_full", V.cosine_sim("qe", "ce"))
+        .withColumn("sim_proxy", V.cosine_sim("qe8", "ce8"))
+    )
+    wt = Window.partitionBy("qid").orderBy(F.desc("sim_full"), "vec_id")
+    ws = Window.partitionBy("qid").orderBy(F.desc("sim_proxy"), "vec_id")
+    r = pairs.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wt).alias("rn_t"),
+        F.row_number().over(ws).alias("rn_s"),
+    )
+    truth = r.filter(F.col("rn_t") <= EVAL_K).select("qid", "vec_id")
+    sys_ = r.filter(F.col("rn_s") <= EVAL_K).select("qid", "vec_id", "rn_s")
+    warr = F.array(*[F.lit(w) for w in _NDCG_W])
+    j = sys_.join(
+        truth.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+    ).select(
+        "qid",
+        "rn_s",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.element_at(warr, F.col("rn_s").cast("int")).alias("w"),
+    )
+    return j.groupBy(F.col("qid").alias("query_id")).agg(
+        F.sum("hit").cast("bigint").alias("n_hits"),
+        (
+            F.sum(F.col("hit") * F.col("w")).cast("double") / F.lit(_IDCG)
+        ).alias(f"ndcg_at_{EVAL_K}"),
+        F.coalesce(
+            F.lit(1.0)
+            / F.min(F.when(F.col("hit") == 1, F.col("rn_s"))),
+            F.lit(0.0),
+        ).alias("mrr"),
+        (F.sum("hit").cast("double") / F.lit(EVAL_K)).alias(
+            f"recall_at_{EVAL_K}"
+        ),
+    )

@@ -1698,3 +1698,222 @@ def funnel_time_between_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_latency_us"),
         (F.sum("us").cast("double") / F.max("n")).alias("mean_latency_us"),
     )
+
+
+@query(
+    "assoc_rules_lift",
+    oracle="""
+WITH baskets AS MATERIALIZED (
+  SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS item
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), nb AS (SELECT COUNT(DISTINCT ok) AS n FROM baskets),
+items AS MATERIALIZED (
+  SELECT item, COUNT(*) AS n_item FROM baskets GROUP BY item
+), pairs AS MATERIALIZED (
+  SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_ab
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 5
+), rules AS (
+  SELECT ia AS antecedent, ib AS consequent, n_ab FROM pairs
+  UNION ALL
+  SELECT ib AS antecedent, ia AS consequent, n_ab FROM pairs
+)
+SELECT r.antecedent, r.consequent, CAST(r.n_ab AS BIGINT) AS n_ab,
+       CAST(r.n_ab AS DOUBLE) / nb.n AS support,
+       CAST(r.n_ab AS DOUBLE) / ha.n_item AS confidence,
+       (CAST(r.n_ab AS DOUBLE) / ha.n_item)
+         / (CAST(hb.n_item AS DOUBLE) / nb.n) AS lift
+FROM rules r
+JOIN items ha ON ha.item = r.antecedent
+JOIN items hb ON hb.item = r.consequent
+CROSS JOIN nb
+""",
+)
+def assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (support / confidence / lift)
+    over order baskets of part brands — the co-purchase signal a
+    recommender bootstraps from. Scale shape: the part dim joins
+    BROADCAST; the basket self-join is an equi-join co-partitioned on
+    the orderkey it was just distinct-shuffled on (no second
+    shuffle); the pair aggregate's key domain is bounded by
+    |brands|^2, so rule stats collapse to a tiny table joined back
+    broadcast. Every metric is count-ratio arithmetic with one shared
+    expression tree (n_ab/n_a, n_b/n -> lift), so raw doubles are
+    bit-identical cross-engine — no rounding needed."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+    n_baskets = baskets.select("ok").distinct().count()
+    items = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("n_item"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    rules = pairs.select(
+        F.col("ia").alias("antecedent"), F.col("ib").alias("consequent"), "n_ab"
+    ).unionAll(
+        pairs.select(
+            F.col("ib").alias("antecedent"), F.col("ia").alias("consequent"), "n_ab"
+        )
+    )
+    ha = items.select(F.col("item").alias("antecedent"), F.col("n_item").alias("n_a"))
+    hb = items.select(F.col("item").alias("consequent"), F.col("n_item").alias("n_b"))
+    return (
+        rules.join(F.broadcast(ha), "antecedent")
+        .join(F.broadcast(hb), "consequent")
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            (F.col("n_ab").cast("double") / F.lit(n_baskets)).alias("support"),
+            (F.col("n_ab").cast("double") / F.col("n_a")).alias("confidence"),
+            (
+                (F.col("n_ab").cast("double") / F.col("n_a"))
+                / (F.col("n_b").cast("double") / F.lit(n_baskets))
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+WITH anchor AS (SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS d0 FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(date_trunc('day', ts) AS DATE)),
+                   (SELECT d0 FROM anchor)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(round(value * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS DOUBLE) / 100 AS monetary,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS INTEGER)
+         AS r_score,
+       CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS INTEGER) AS f_score,
+       CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS INTEGER)
+         AS m_score,
+       CAST(6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+         || CAST(NTILE(5) OVER (ORDER BY monetary_cents, user_id) AS VARCHAR)
+         AS segment
+FROM u
+""",
+)
+def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic marketing scoring: per user,
+    Recency (days since last touch vs the dataset anchor day),
+    Frequency (events), Monetary (exact purchase cents), each scored
+    into quintiles, concatenated into the '555'-style segment.
+
+    Scale shape: one user-level aggregate, then THREE exact global
+    quintiles via plans/global_rank.py's two-phase row numbers
+    (quantile range buckets + per-bucket offsets) — ntile_expr gives
+    the exact SQL NTILE from (row_number, n) with NO single-partition
+    window, three times over a users-sized (not events-sized) table.
+    Ties broken by user_id, so every rank is deterministic."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.select(
+        F.max(F.date_trunc("day", "ts").cast("date")).alias("d0")
+    ).collect()[0]["d0"]
+    u = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.lit(anchor), F.max(F.date_trunc("day", "ts").cast("date"))
+        )
+        .cast("bigint")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+            ).otherwise(0)
+        ).alias("monetary_cents"),
+    )
+    numbered, n = with_global_row_number(
+        u, ["recency_days", "user_id"], out_col="_rn_r"
+    )
+    numbered, _ = with_global_row_number(
+        numbered, ["frequency", "user_id"], out_col="_rn_f"
+    )
+    numbered, _ = with_global_row_number(
+        numbered, ["monetary_cents", "user_id"], out_col="_rn_m"
+    )
+    r5 = (F.lit(6) - ntile_expr("_rn_r", n, 5)).cast("int")
+    f5 = ntile_expr("_rn_f", n, 5)
+    m5 = ntile_expr("_rn_m", n, 5)
+    return numbered.select(
+        "user_id",
+        "recency_days",
+        F.col("frequency").cast("bigint").alias("frequency"),
+        (F.col("monetary_cents").cast("double") / 100).alias("monetary"),
+        r5.alias("r_score"),
+        f5.alias("f_score"),
+        m5.alias("m_score"),
+        F.concat(
+            r5.cast("string"), f5.cast("string"), m5.cast("string")
+        ).alias("segment"),
+    )
+
+
+@query(
+    "path_common_prefixes",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r
+  FROM events
+), paths AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY r) AS path
+  FROM ranked WHERE r <= 5 GROUP BY user_id
+), counted AS (
+  SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+)
+SELECT path, CAST(n_users AS BIGINT) AS n_users
+FROM counted
+ORDER BY n_users DESC, path
+LIMIT 20
+""",
+)
+def path_common_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most common first-5-event journey prefixes — the
+    'what do users actually do first' path report. Per-user windows
+    are PARTITIONED (user_id); the path strings collapse to a
+    bounded-domain count (at most |types|^5 distinct paths, far
+    fewer in practice), and the final top-20 is a
+    TakeOrderedAndProject with the path string as deterministic
+    tie-break — never a global sort."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    paths = (
+        ev.select("user_id", "event_type", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 5)
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">", F.array_sort(F.collect_list(F.struct("r", "event_type")))
+                .getField("event_type")
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )

@@ -878,3 +878,162 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (t <= 0.4).alias("meets_t"),
         F.max(t).over(W.partitionBy(F.lit(1))).alias("t_closeness"),
     )
+
+
+def _impute_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    h = md5_u32_duck("CAST(c_custkey AS VARCHAR)")
+    return f"""
+WITH flagged AS MATERIALIZED (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         (CAST({h} AS DOUBLE) / 4294967296.0) < 0.1 AS was_missing
+  FROM customer
+), med AS (
+  SELECT c_mktsegment,
+         (CAST(csum AS DOUBLE) / 2) / 100 AS seg_median
+  FROM (
+    SELECT c_mktsegment,
+           SUM(CASE WHEN r = (n + 1) // 2 OR r = n // 2 + 1
+                    THEN cents ELSE 0 END)
+             * (CASE WHEN (n + 1) // 2 = n // 2 + 1 THEN 2 ELSE 1 END) AS csum
+    FROM (
+      SELECT c_mktsegment,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS r,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM flagged WHERE NOT was_missing
+    ) GROUP BY c_mktsegment, n
+  )
+)
+SELECT f.c_custkey, f.c_mktsegment, f.was_missing,
+       CASE WHEN f.was_missing THEN m.seg_median ELSE f.c_acctbal END
+         AS acctbal_filled
+FROM flagged f JOIN med m ON m.c_mktsegment = f.c_mktsegment
+"""
+
+
+@query("feat_impute", oracle=_impute_oracle())
+def feat_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median imputation — the feature-store fill step: rows whose
+    portable md5 hash lands under 0.1 play the 'missing' role
+    (deterministic, oracle-replayable missingness), and each missing
+    account balance is filled with its market segment's EXACT
+    interpolated median of the observed values (integer cents, two
+    middle order statistics, one division chain shared with the
+    oracle). Scale shape: the median runs off ONE partitioned
+    window per segment (bounded segment count), and the fill joins
+    the tiny per-segment medians back broadcast."""
+    from ..functions.hashing import md5_u32_spark
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    flagged = c.withColumn(
+        "was_missing",
+        (
+            md5_u32_spark(F.col("c_custkey").cast("string")).cast("double")
+            / F.lit(4294967296.0)
+        )
+        < 0.1,
+    )
+    from pyspark.sql.window import Window
+
+    obs = flagged.filter(~F.col("was_missing")).select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("cents"),
+    )
+    wseg = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    med = (
+        obs.select(
+            "c_mktsegment",
+            "cents",
+            F.row_number().over(wseg).alias("r"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy("c_mktsegment"))
+            .alias("n"),
+        )
+        .groupBy("c_mktsegment", "n")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        (F.col("r") == F.expr("(n + 1) div 2"))
+                        | (F.col("r") == F.expr("n div 2 + 1")),
+                        F.col("cents"),
+                    ).otherwise(0)
+                )
+                * F.expr(
+                    "CASE WHEN (n + 1) div 2 = n div 2 + 1 THEN 2 ELSE 1 END"
+                )
+            ).alias("csum")
+        )
+        .select(
+            "c_mktsegment",
+            ((F.col("csum").cast("double") / 2) / 100).alias("seg_median"),
+        )
+    )
+    return flagged.join(F.broadcast(med), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        "was_missing",
+        F.when(F.col("was_missing"), F.col("seg_median"))
+        .otherwise(F.col("c_acctbal"))
+        .alias("acctbal_filled"),
+    )
+
+
+def _hashing_trick_oracle() -> str:
+    from ..functions.hashing import md5_nibble_duck, md5_u32_duck
+
+    h = md5_u32_duck("tok")
+    s = md5_nibble_duck("tok", 9)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id,
+         {h} % 32 AS bucket,
+         CASE WHEN {s} < 8 THEN 1 ELSE -1 END AS sign
+  FROM toks WHERE tok <> ''
+)
+SELECT doc_id, CAST(bucket AS INTEGER) AS bucket,
+       CAST(SUM(sign) AS BIGINT) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens
+FROM hashed GROUP BY doc_id, bucket
+"""
+
+
+@query("feat_hashing_trick", oracle=_hashing_trick_oracle())
+def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick — fixed-width signed feature hashing
+    (Weinberger et al.): every token maps to one of 32 buckets by the
+    portable md5 family, with a +-1 sign from an independent md5
+    nibble so collisions cancel in expectation. Output is the sparse
+    (doc, bucket, weight) representation a linear model trains on
+    with NO vocabulary pass — the property that makes it the 100 TB
+    featurizer (one explode + one partial-aggregated groupBy; bucket
+    domain is a constant 32, so the shuffle carries at most
+    32 rows/doc of integers, never text)."""
+    from ..functions.hashing import md5_nibble_spark, md5_u32_spark
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hashed = toks.select(
+        "doc_id",
+        F.pmod(md5_u32_spark(F.col("tok")), F.lit(32))
+        .cast("int")
+        .alias("bucket"),
+        F.when(md5_nibble_spark(F.col("tok"), 9) < 8, 1)
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sign").cast("bigint").alias("weight"),
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+    )

@@ -1104,3 +1104,85 @@ def ts_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_pairs"),
         ((lo + hi) / 2).alias("theilsen_slope"),
     )
+
+
+_EMA_TAU_US = 3_600_000_000  # 1 h half-life-ish decay constant, micros
+
+
+@query(
+    "ts_ema_irregular",
+    oracle=f"""
+WITH seq AS (
+  SELECT user_id, event_id, ts, value,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS dt
+  FROM events
+), al AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN dt IS NULL THEN 1.0
+              ELSE CAST(dt AS DOUBLE) / CAST(dt + {_EMA_TAU_US} AS DOUBLE)
+         END AS alpha
+  FROM seq
+)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       list_reduce(
+         list_prepend({{'alpha': 1.0, 'v': 0.0}},
+                      list({{'alpha': alpha, 'v': value}}
+                           ORDER BY ts, event_id)),
+         (a, b) -> {{'alpha': 1.0, 'v': a.v + b.alpha * (b.v - a.v)}}
+       ).v AS ema_value
+FROM al GROUP BY user_id
+""",
+)
+def ts_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Irregular-interval EMA — exponential smoothing whose decay
+    follows the actual gap between events instead of assuming a
+    regular grid: alpha_t = dt / (dt + tau). The RATIONAL decay (one
+    integer-ratio division, not exp(-dt/tau)) is deliberate: both
+    engines produce the identical double, so the sequential fold
+    ema += alpha * (v - ema) is bit-exact cross-engine with NO
+    rounding (Spark aggregate() and DuckDB list_reduce are both
+    strict left folds; the seed {{1.0, 0.0}} plus a first-row
+    alpha of 1.0 makes the first state exactly v_1). Scale shape:
+    one user-partitioned window for the gaps, one groupBy carrying
+    per-user (alpha, v) structs — state bounded by per-user
+    activity, the same contract as the session/survival folds."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    al = (
+        ev.select("user_id", "event_id", "ts", "value")
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "dt", F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+        )
+        .withColumn(
+            "alpha",
+            F.when(F.col("dt").isNull(), F.lit(1.0)).otherwise(
+                F.col("dt").cast("double")
+                / (F.col("dt") + F.lit(_EMA_TAU_US)).cast("double")
+            ),
+        )
+        .withColumn(
+            "t_us",
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " TIMESTAMP_NTZ'2000-01-01 00:00:00', ts)"
+            ),
+        )
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct("t_us", "event_id", "alpha", "value"))
+    )
+    fold = F.aggregate(
+        arr,
+        F.struct(F.lit(1.0).alias("alpha"), F.lit(0.0).alias("v")),
+        lambda acc, x: F.struct(
+            F.lit(1.0).alias("alpha"),
+            (acc["v"] + x["alpha"] * (x["value"] - acc["v"])).alias("v"),
+        ),
+    )["v"]
+    return al.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        fold.alias("ema_value"),
+    )

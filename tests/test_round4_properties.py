@@ -164,3 +164,108 @@ def test_scaled_integer_pagerank_mass_bounds(edges):
         assert all(r >= 0 for r in rank.values())
         assert sum(rank.values()) <= R
         assert all(r <= R for r in rank.values())
+
+
+# --- fixed-order Gauss-Jordan: must solve any diagonally dominant
+# system to within numerical tolerance of the true solution.
+
+@given(
+    st.integers(2, 5),
+    st.lists(st.floats(0.01, 0.9), min_size=25, max_size=25),
+    st.lists(st.floats(-10, 10), min_size=5, max_size=5),
+)
+@settings(max_examples=200, deadline=None)
+def test_gauss_jordan_solves_dominant_systems(n, offs, rhs):
+    from diversity_maximization_spark.operators.behavior import _gauss_jordan
+
+    # build a strictly diagonally dominant A: diag = 1, offdiag mass < 1
+    A = []
+    for i in range(n):
+        row = [offs[i * 5 + j] for j in range(n)]
+        s = sum(row) - row[i]
+        row = [-(x / (s + 1.5)) for x in row]  # off-diag sum < 1 strictly
+        row[i] = 1.0
+        A.append(row + [rhs[i]])
+    ref = [r[:] for r in A]
+    x = _gauss_jordan(A)
+    for i in range(n):  # residual check against the ORIGINAL matrix
+        resid = sum(ref[i][j] * x[j] for j in range(n)) - ref[i][n]
+        assert abs(resid) < 1e-9
+
+
+def test_gauss_jordan_closed_form_2x2():
+    from diversity_maximization_spark.operators.behavior import _gauss_jordan
+
+    # x + 0y = 3 ; 0.5x + y = 4  ->  x = 3, y = 2.5
+    got = _gauss_jordan([[1.0, 0.0, 3.0], [0.5, 1.0, 4.0]])
+    assert got == [3.0, 2.5]
+
+
+# --- irregular-gap EMA: the rational-decay fold must (a) equal the
+# value for a single event, (b) stay inside the [min, max] hull of
+# the inputs, (c) converge toward the last value as its gap grows.
+
+def _ema_fold(items, tau):
+    ema = 0.0
+    first = True
+    for dt, v in items:
+        alpha = 1.0 if first else dt / (dt + tau)
+        ema = ema + alpha * (v - ema)
+        first = False
+    return ema
+
+
+@given(st.lists(
+    st.tuples(st.integers(1, 10**9), st.floats(-100, 100)),
+    min_size=1, max_size=20,
+))
+@settings(max_examples=200, deadline=None)
+def test_ema_irregular_hull_and_limits(items):
+    tau = 3_600_000_000
+    ema = _ema_fold(items, tau)
+    vals = [v for _, v in items]
+    assert min(vals) - 1e-9 <= ema <= max(vals) + 1e-9
+    # huge final gap -> alpha ~ 1 -> ema ~ last value
+    big = items + [(10**15, 42.0)]
+    assert abs(_ema_fold(big, tau) - 42.0) < 0.01
+
+
+# --- NDCG weights: the integer discount table must be strictly
+# decreasing and the metrics bounded in [0, 1].
+
+def test_ndcg_weights_monotone_and_bounded():
+    from diversity_maximization_spark.llm.simsearch import _IDCG, _NDCG_W
+
+    assert all(a > b for a, b in zip(_NDCG_W, _NDCG_W[1:]))
+    assert _NDCG_W[0] == 1_000_000  # rank 1: 1/log2(2) exactly
+    assert sum(_NDCG_W) == _IDCG
+    # any hit subset's DCG stays within [0, IDCG]
+    assert 0 < _NDCG_W[-1] < _IDCG
+
+
+# --- association rules: lift must be symmetric for a<->b and
+# confidence bounded by 1; check on a tiny closed-form basket set.
+
+def test_assoc_rules_closed_form_lift():
+    # 10 baskets: A in 6, B in 5, A&B in 3
+    n, na, nb, nab = 10, 6, 5, 3
+    support = nab / n
+    conf_ab = nab / na
+    lift_ab = conf_ab / (nb / n)
+    conf_ba = nab / nb
+    lift_ba = conf_ba / (na / n)
+    assert abs(lift_ab - lift_ba) < 1e-12  # lift is symmetric
+    assert abs(lift_ab - 1.0) < 1e-12  # 3/10 == 6/10 * 5/10 -> independent
+    assert 0 < support <= conf_ab <= 1
+
+
+# --- NTILE closed form used by RFM: tile sizes differ by at most one
+# and partition the row count.
+
+@given(st.integers(1, 200))
+@settings(max_examples=100, deadline=None)
+def test_ntile5_partitioning(n):
+    base, rem = divmod(n, 5)
+    sizes = [base + 1] * rem + [base] * (5 - rem)
+    assert sum(sizes) == n
+    assert max(sizes) - min(s for s in sizes if s or True) <= 1
