@@ -509,7 +509,9 @@ def sim_search_recall_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     sys_ = r.filter(F.col("rn_s") <= EVAL_K).select("qid", "vec_id", "rn_s")
     warr = F.array(*[F.lit(w) for w in _NDCG_W])
     j = sys_.join(
-        truth.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left"
+        F.broadcast(truth.withColumn("hit", F.lit(1))),
+        ["qid", "vec_id"],
+        "left",
     ).select(
         "qid",
         "rn_s",

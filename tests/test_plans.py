@@ -545,3 +545,50 @@ def test_pagerank_exact_joins_stay_equi(spark, sf_dir):
     plan = plan_of(spark, "text_pagerank_exact", sf_dir)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_assoc_rules_broadcasts_dims_and_copartitions_self_join(spark, sf_dir):
+    """The part dim must join broadcast; the basket self-join is an
+    equi-join on the orderkey both sides were just shuffled on, and
+    the rule-stat joins are broadcast (brand-bounded tables). Any
+    SortMergeJoin on the pair blow-up would be the 100 TB bug."""
+    plan = plan_of(spark, "assoc_rules_lift", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rfm_has_no_single_partition_window(spark, sf_dir):
+    """All three RFM quintiles must come from the two-phase global
+    row-number machinery — a global NTILE window would funnel every
+    user through one task."""
+    import re
+
+    plan = plan_of(spark, "agg_rfm_segmentation", sf_dir)
+    assert "SinglePartition" not in plan, plan
+    for m in re.finditer(r"Arguments: .*partitionBy=\[\]", plan):
+        raise AssertionError(f"unpartitioned window: {m.group(0)[:120]}")
+
+
+def test_path_prefixes_topk_is_take_ordered(spark, sf_dir):
+    """The top-20 paths must compile to TakeOrderedAndProject, never
+    a global Sort over the path table."""
+    plan = plan_of(spark, "path_common_prefixes", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_feat_impute_broadcasts_medians(spark, sf_dir):
+    """The per-segment median table (bounded by |segments|) must join
+    back broadcast; the median window is segment-partitioned."""
+    plan = plan_of(spark, "feat_impute", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ndcg_eval_query_side_is_broadcast(spark, sf_dir):
+    """The 20-query side must broadcast against the corpus — the eval
+    is O(20 n), and a shuffle join on the pair condition would
+    materialize it as a SortMergeJoin instead."""
+    plan = plan_of(spark, "sim_search_recall_ndcg", sf_dir)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
