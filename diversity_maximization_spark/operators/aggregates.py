@@ -2403,3 +2403,93 @@ def agg_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / ((0.05 * s / n) * (0.05 * s / n))) AS BIGINT)"
         ).alias("n_required_5pct_mde"),
     )
+
+
+# SPRT constants, computed ONCE in Python and embedded as repr
+# literals in BOTH engines (repr round-trips the double exactly, so
+# the llr arithmetic s*L1 + f*L0 is bit-identical cross-engine —
+# no engine ever calls ln() on data).
+import math as _math
+
+_SPRT_P0, _SPRT_P1 = 0.10, 0.13
+_SPRT_L1 = _math.log(_SPRT_P1 / _SPRT_P0)  # per-success llr increment
+_SPRT_L0 = _math.log((1 - _SPRT_P1) / (1 - _SPRT_P0))  # per-failure
+_SPRT_A = _math.log(19.0)  # alpha = beta = 0.05 -> ln((1-b)/a)
+
+
+@query(
+    "agg_sprt_sequential",
+    oracle=f"""
+WITH arms AS (
+  SELECT user_id,
+         MIN(CAST(date_trunc('day', ts) AS TIMESTAMP)) AS day,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events
+  WHERE {_AB_U01} >= 0.5
+  GROUP BY user_id
+), daily AS (
+  SELECT day, COUNT(*) AS n, SUM(conv) AS s FROM arms GROUP BY day
+), cum AS (
+  SELECT day,
+         CAST(SUM(n) OVER w AS BIGINT) AS n_cum,
+         CAST(SUM(s) OVER w AS BIGINT) AS s_cum
+  FROM daily WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+)
+SELECT day, n_cum, s_cum,
+       s_cum * CAST({_SPRT_L1!r} AS DOUBLE) + (n_cum - s_cum) * CAST({_SPRT_L0!r} AS DOUBLE) AS llr,
+       CASE WHEN s_cum * CAST({_SPRT_L1!r} AS DOUBLE) + (n_cum - s_cum) * CAST({_SPRT_L0!r} AS DOUBLE)
+                 >= CAST({_SPRT_A!r} AS DOUBLE) THEN 'accept_h1'
+            WHEN s_cum * CAST({_SPRT_L1!r} AS DOUBLE) + (n_cum - s_cum) * CAST({_SPRT_L0!r} AS DOUBLE)
+                 <= -CAST({_SPRT_A!r} AS DOUBLE) THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM cum
+""",
+)
+def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT sequential conversion test — the always-valid
+    peeking monitor the fixed-horizon t-test can't be: treatment-arm
+    users (the sample_ab_assignment hash split) enroll on their
+    first-touch day, and the cumulative log-likelihood ratio of
+    H1: p = 0.13 vs H0: p = 0.10 is read daily against the
+    ln(19) Wald boundaries (alpha = beta = 0.05). The per-success /
+    per-failure llr increments are PYTHON-COMPUTED literals embedded
+    in both engines, so llr = s*L1 + f*L0 is two exact-count double
+    products and one add — bit-identical, no rounding. Scale shape:
+    one user-level aggregate, an O(days) rollup, and a prefix sum
+    over the bounded day domain."""
+    ev = load(spark, sf_dir, "events")
+    arms = (
+        ev.filter(F.expr(_AB_U01) >= 0.5)
+        .groupBy("user_id")
+        .agg(
+            F.min(F.date_trunc("day", "ts")).alias("day"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("conv"),
+        )
+    )
+    daily = arms.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("s")
+    )
+    # bounded: O(days) enrollment rollup, <= study-window rows
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("n").over(w).cast("bigint").alias("n_cum"),
+        F.sum("s").over(w).cast("bigint").alias("s_cum"),
+    )
+    llr = F.col("s_cum") * F.lit(_SPRT_L1) + (
+        F.col("n_cum") - F.col("s_cum")
+    ) * F.lit(_SPRT_L0)
+    return cum.select(
+        "day",
+        "n_cum",
+        "s_cum",
+        llr.alias("llr"),
+        F.when(llr >= F.lit(_SPRT_A), F.lit("accept_h1"))
+        .when(llr <= -F.lit(_SPRT_A), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -932,3 +932,79 @@ def fn_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_words"),
         F.min("w").alias("example_word"),
     )
+
+
+def _fn_ip_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    h = md5_u32_duck("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH u AS (
+  SELECT DISTINCT user_id FROM events
+), ip AS (
+  SELECT user_id, {h} AS ipn FROM u
+), o AS (
+  SELECT user_id, ipn,
+         CAST(ipn // 16777216 AS INTEGER) AS o1,
+         CAST(ipn // 65536 % 256 AS INTEGER) AS o2,
+         CAST(ipn // 256 % 256 AS INTEGER) AS o3,
+         CAST(ipn % 256 AS INTEGER) AS o4
+  FROM ip
+)
+SELECT user_id, CAST(ipn AS BIGINT) AS ip_int,
+       o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip,
+       o1 || '.' || o2 || '.' || o3 || '.0/24' AS cidr24,
+       (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+        OR (o1 = 192 AND o2 = 168)) AS is_private
+FROM o
+"""
+
+
+@query("fn_ip", oracle=_fn_ip_oracle())
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parsing / CIDR bucketing — the access-log enrichment
+    family: a deterministic synthetic address per user (portable md5,
+    same derivation in the oracle — the fn_url precedent for columns
+    the fixture lacks), split into octets by pure integer arithmetic
+    (floor-div/mod, identical both engines), rolled into its /24
+    block, and classified RFC-1918 private. Narrow map over the
+    distinct-user table; at scale this pipelines inside the scan."""
+    from ..functions.hashing import md5_u32_spark
+
+    ev = load(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    o = u.select(
+        "user_id",
+        md5_u32_spark(F.col("user_id").cast("string")).alias("ipn"),
+    ).select(
+        "user_id",
+        "ipn",
+        F.expr("CAST(ipn div 16777216 AS INT)").alias("o1"),
+        F.expr("CAST(ipn div 65536 % 256 AS INT)").alias("o2"),
+        F.expr("CAST(ipn div 256 % 256 AS INT)").alias("o3"),
+        F.expr("CAST(ipn % 256 AS INT)").alias("o4"),
+    )
+    dot = lambda *cs: F.concat_ws(".", *cs)  # noqa: E731
+    return o.select(
+        "user_id",
+        F.col("ipn").cast("bigint").alias("ip_int"),
+        dot(
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("ip"),
+        F.concat(
+            dot(
+                F.col("o1").cast("string"),
+                F.col("o2").cast("string"),
+                F.col("o3").cast("string"),
+            ),
+            F.lit(".0/24"),
+        ).alias("cidr24"),
+        (
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168))
+        ).alias("is_private"),
+    )

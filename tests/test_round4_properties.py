@@ -269,3 +269,39 @@ def test_ntile5_partitioning(n):
     sizes = [base + 1] * rem + [base] * (5 - rem)
     assert sum(sizes) == n
     assert max(sizes) - min(s for s in sizes if s or True) <= 1
+
+
+# --- SPRT: llr increments must reward successes under H1, penalize
+# failures, and the Wald boundaries must be symmetric at alpha=beta.
+
+def test_sprt_constants_and_decision_logic():
+    from diversity_maximization_spark.operators.aggregates import (
+        _SPRT_A, _SPRT_L0, _SPRT_L1,
+    )
+
+    assert _SPRT_L1 > 0 > _SPRT_L0
+    assert _SPRT_A == math.log(19.0)
+    # a pure-success run crosses the upper boundary eventually
+    s = 0.0
+    for n in range(1, 100):
+        s += _SPRT_L1
+        if s >= _SPRT_A:
+            break
+    assert s >= _SPRT_A and n <= 12
+    # at the H0 rate (10%), drift is negative: 1 success + 9 failures
+    assert _SPRT_L1 + 9 * _SPRT_L0 < 0
+    # at the H1 rate (13%), drift is positive per 100 users
+    assert 13 * _SPRT_L1 + 87 * _SPRT_L0 > 0
+
+
+# --- fn_ip: octet decomposition must reconstruct the integer and
+# stay in range for any 32-bit value.
+
+@given(st.integers(0, 2**32 - 1))
+@settings(max_examples=300, deadline=None)
+def test_ip_octets_roundtrip(ipn):
+    o1, o2, o3, o4 = (
+        ipn // 16777216, ipn // 65536 % 256, ipn // 256 % 256, ipn % 256,
+    )
+    assert all(0 <= o <= 255 for o in (o1, o2, o3, o4))
+    assert ((o1 * 256 + o2) * 256 + o3) * 256 + o4 == ipn
