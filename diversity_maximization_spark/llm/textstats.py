@@ -1123,3 +1123,58 @@ def quality_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@query(
+    "token_fertility_report",
+    oracle="""
+WITH per_doc AS (
+  SELECT lang, source,
+         CAST(length(text) AS BIGINT) AS chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT)
+           AS re_toks
+  FROM documents
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS n_chars,
+       CAST(SUM(words) AS BIGINT) AS n_words,
+       CAST(SUM(re_toks) AS BIGINT) AS n_tokens,
+       CAST(SUM(chars) AS DOUBLE) / SUM(re_toks) AS chars_per_token,
+       CAST(SUM(re_toks) AS DOUBLE) / SUM(words) AS tokens_per_word
+FROM per_doc GROUP BY lang, source
+""",
+)
+def token_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by (lang, source) — the table a tokenizer
+    review starts from: how many characters one token buys and how
+    many tokens a whitespace word costs, per corpus slice. High
+    fertility (tokens_per_word) on a language flags a tokenizer that
+    will waste that language's context budget. Exact integer sums;
+    the two ratios are single divisions of those sums (identical
+    expression both engines). One partial-aggregated groupBy over a
+    bounded (lang x source) domain — the shuffle carries six
+    integers per slice, never text."""
+    d = load(spark, sf_dir, "documents")
+    per = d.select(
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("chars"),
+        F.size(F.split("text", " ")).cast("bigint").alias("words"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]+|[0-9]+', 0)"))
+        .cast("bigint")
+        .alias("re_toks"),
+    )
+    return per.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("chars").cast("bigint").alias("n_chars"),
+        F.sum("words").cast("bigint").alias("n_words"),
+        F.sum("re_toks").cast("bigint").alias("n_tokens"),
+        (F.sum("chars").cast("double") / F.sum("re_toks")).alias(
+            "chars_per_token"
+        ),
+        (F.sum("re_toks").cast("double") / F.sum("words")).alias(
+            "tokens_per_word"
+        ),
+    )

@@ -778,3 +778,66 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rolling_3d_value"
         ),
     )
+
+
+@query(
+    "win_moving_p90",
+    oracle="""
+WITH c AS (
+  SELECT user_id, event_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), f AS (
+  SELECT user_id, event_id,
+         list_sort(list(cents) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS frame
+  FROM c
+)
+SELECT user_id, event_id,
+       CAST(len(frame) AS INTEGER) AS n_frame,
+       CAST(frame[CAST(ceil(0.9 * len(frame)) AS INTEGER)] AS DOUBLE) / 100
+         AS p90
+FROM f
+""",
+)
+def win_moving_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 90th percentile over the trailing 7-event frame
+    per user — the tail-latency-style monitor for spend spikes. The
+    order statistic is ONE SHARED FORMULATION in both engines
+    (sorted frame list indexed at ceil(0.9 * n) — the drift_psi
+    lesson: never pair Spark percentile against DuckDB
+    quantile_disc, their discrete conventions differ), over exact
+    integer cents. Scale shape: a single user-partitioned window
+    whose frame is a bounded 7-element list — the same
+    sorted-bounded-frame plan as win_moving_median."""
+    ev = load(spark, sf_dir, "events")
+    # bounded: 7-row frame per user-partitioned window
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, 0)
+    )
+    c = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+    f = c.select(
+        "user_id",
+        "event_id",
+        F.sort_array(F.collect_list("cents").over(w)).alias("frame"),
+    )
+    return f.select(
+        "user_id",
+        "event_id",
+        F.size("frame").cast("int").alias("n_frame"),
+        (
+            F.element_at(
+                "frame",
+                F.ceil(F.lit(0.9) * F.size("frame")).cast("int"),
+            ).cast("double")
+            / 100
+        ).alias("p90"),
+    )
