@@ -2493,3 +2493,132 @@ def agg_sprt_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@query(
+    "agg_roc_auc",
+    oracle="""
+WITH g AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS s,
+         COUNT(*) AS cnt,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+  FROM events GROUP BY 1
+), r AS (
+  SELECT s, cnt, pos,
+         COALESCE(SUM(cnt) OVER (
+           ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS cum_less
+  FROM g
+), a AS (
+  SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+         CAST(SUM(pos * (2 * cum_less + cnt + 1)) AS BIGINT) AS rank2
+  FROM r
+)
+SELECT n_pos, n_neg,
+       CAST(rank2 - n_pos * (n_pos + 1) AS DOUBLE)
+         / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM a
+""",
+)
+def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC AUC of a score (event value) against a
+    binary label (event_type = 'purchase') — the model-eval primitive
+    a curation pipeline runs on every learned quality scorer. Uses
+    the rank-sum identity AUC = (R+ - n+(n+ + 1)/2) / (n+ n-), with
+    tied scores carrying their AVERAGE rank. Everything stays integer
+    until the single final division: per distinct cents score we keep
+    (cnt, pos); twice-the-average-rank of that score is the integer
+    2*cum_less + cnt + 1, so R2 = SUM(pos * that) is an exact BIGINT
+    and AUC = (R2 - n+(n+ +1)) / (2 n+ n-) is ONE double division —
+    bit-identical across engines with no rounding. Scale shape: the
+    grouped score table is bounded by the distinct 2-dp value domain
+    (<= ~49k rows for events.value in [0.01, 490]), so the
+    unpartitioned prefix window runs over a provably small table; the
+    only data-sized pass is the first groupBy. BIGINT headroom: R2
+    <= 2n^2, exact up to n ~ 2e9 rows per AUC computation."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy(F.expr(cents("value")).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("pos"),
+    )
+    # bounded: distinct 2-dp cents of events.value (<= ~49k rows)
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.withColumn(
+        "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    a = r.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum_less") + F.col("cnt") + 1)
+        ).cast("bigint").alias("rank2"),
+    )
+    return a.select(
+        "n_pos",
+        "n_neg",
+        (
+            (
+                F.col("rank2") - F.col("n_pos") * (F.col("n_pos") + 1)
+            ).cast("double")
+            / (2 * F.col("n_pos") * F.col("n_neg")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@query(
+    "agg_calibration_bins",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+), b AS (
+  SELECT sc, pos,
+         NTILE(10) OVER (ORDER BY sc, o_orderkey) AS bin
+  FROM s
+)
+SELECT bin, COUNT(*) AS n_rows,
+       CAST(CAST(SUM(sc) AS BIGINT) AS DOUBLE) / 100 / COUNT(*)
+         AS mean_score,
+       CAST(CAST(SUM(pos) AS BIGINT) AS DOUBLE) / COUNT(*) AS pos_rate
+FROM b GROUP BY bin
+""",
+)
+def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table: order all orders by score (exact
+    total-price cents, o_orderkey tie-break), split into 10 equal-
+    frequency bins, and report mean score vs positive rate (label =
+    finished status) per bin — the reliability-diagram input for any
+    learned scorer. The global NTILE uses the two-phase
+    plans/global_rank.py machinery (range-bucket + per-bucket offsets
+    + partitioned mapInPandas numbering), so no single-task Sort or
+    SinglePartition window touches the full table; the exact
+    NTILE(10) arithmetic on the global row number matches DuckDB's
+    NTILE convention (first n%10 tiles one row bigger). Divisions are
+    double/bigint in the same order both engines."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(cents("o_totalprice")).alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    numbered, n_total = with_global_row_number(o, ["sc", "o_orderkey"])
+    binned = numbered.withColumn(
+        "bin", ntile_expr("_rn", n_total, 10)
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum("sc").cast("bigint").cast("double")
+            / 100
+            / F.count(F.lit(1))
+        ).alias("mean_score"),
+        (
+            F.sum("pos").cast("bigint").cast("double") / F.count(F.lit(1))
+        ).alias("pos_rate"),
+    )

@@ -1917,3 +1917,94 @@ def path_common_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), "path")
         .limit(20)
     )
+
+
+@query(
+    "anomaly_iqr_fences",
+    oracle="""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY c, event_id) AS rn
+  FROM c
+), n AS (
+  SELECT event_type, COUNT(*) AS n FROM c GROUP BY event_type
+), q AS (
+  SELECT r.event_type,
+         MIN(CASE WHEN r.rn = (n.n + 3) // 4 THEN r.c END) AS q1c,
+         MIN(CASE WHEN r.rn = (3 * n.n + 3) // 4 THEN r.c END) AS q3c
+  FROM r JOIN n ON r.event_type = n.event_type
+  GROUP BY r.event_type
+)
+SELECT q.event_type,
+       CAST(n.n AS BIGINT) AS n,
+       CAST(q.q1c AS DOUBLE) / 100 AS q1,
+       CAST(q.q3c AS DOUBLE) / 100 AS q3,
+       CAST(SUM(CASE WHEN 4 * c.c < 4 * q.q1c - 6 * (q.q3c - q.q1c)
+                       OR 4 * c.c > 4 * q.q3c + 6 * (q.q3c - q.q1c)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN q ON c.event_type = q.event_type
+JOIN n ON c.event_type = n.event_type
+GROUP BY q.event_type, n.n, q.q1c, q.q3c
+""",
+)
+def anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier audit per event type: Q1/Q3 are the exact
+    order statistics at ceil(n/4) and ceil(3n/4) of the sorted
+    integer-cents values (ONE shared rank formulation in both
+    engines — the drift_psi lesson: never pair the two engines'
+    discrete-quantile builtins), and the 1.5*IQR fences are compared
+    in scaled integers (4c vs 4q1 - 6*IQR), so the whole operator is
+    integer-exact until the two /100 descales. Scale shape: the rank
+    window partitions by event_type (bounded group count is NOT
+    required — any cardinality hash-partitions), the quartile table
+    is O(types) and broadcasts back onto the fact scan."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    r = c.withColumn("rn", F.row_number().over(w))
+    n = c.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        r.join(n, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min(
+                F.when(F.col("rn") == F.expr("(n + 3) DIV 4"), F.col("c"))
+            ).alias("q1c"),
+            F.min(
+                F.when(
+                    F.col("rn") == F.expr("(3 * n + 3) DIV 4"), F.col("c")
+                )
+            ).alias("q3c"),
+        )
+    )
+    iqr = F.col("q3c") - F.col("q1c")
+    return (
+        c.join(F.broadcast(q), "event_type")
+        .join(F.broadcast(n), "event_type")
+        .groupBy("event_type", "n", "q1c", "q3c")
+        .agg(
+            F.sum(
+                F.when(
+                    (4 * F.col("c") < 4 * F.col("q1c") - 6 * iqr)
+                    | (4 * F.col("c") > 4 * F.col("q3c") + 6 * iqr),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("q1c").cast("double") / 100).alias("q1"),
+            (F.col("q3c").cast("double") / 100).alias("q3"),
+            "n_outliers",
+        )
+    )

@@ -1037,3 +1037,139 @@ def feat_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sign").cast("bigint").alias("weight"),
         F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
     )
+
+
+_RI_RELATIONS = [
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("events.user_id->customer", "events", "user_id", "customer", "c_custkey"),
+]
+
+
+def _ri_oracle() -> str:
+    parts = []
+    for name, child, ckey, parent, pkey in _RI_RELATIONS:
+        parts.append(
+            f"""
+SELECT '{name}' AS relation,
+       COUNT(*) AS child_rows,
+       CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS orphan_rows,
+       CAST(CAST(SUM(CASE WHEN p._pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS orphan_pct
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pkey} AS _pk FROM {parent}) p
+  ON c.{ckey} = p._pk"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("dq_referential_integrity", oracle=_ri_oracle())
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the ingest
+    gate that catches a partial load before it poisons a join. Each
+    relation is ONE pass over the child: left-join the distinct
+    parent key set and count nulls, so the report costs five
+    scan+join+agg jobs and shuffles only (child_key) pairs. The
+    small parents (customer, part, supplier) broadcast under AQE;
+    orders-sized parents fall back to a shuffled hash join, which is
+    the correct 100-TB shape (a bloom-filter pre-pass would be the
+    next tier). events.user_id->customer is the intentionally
+    violable relation (event users need not be customers)."""
+    out = None
+    for name, child, ckey, parent, pkey in _RI_RELATIONS:
+        p = (
+            load(spark, sf_dir, parent)
+            .select(F.col(pkey).alias("_pk"))
+            .distinct()
+        )
+        j = (
+            load(spark, sf_dir, child)
+            .select(F.col(ckey).alias("_ck"))
+            .join(p, F.col("_ck") == F.col("_pk"), "left")
+        )
+        orphans = F.sum(
+            F.when(F.col("_pk").isNull(), 1).otherwise(0)
+        ).cast("bigint")
+        row = j.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            orphans.alias("orphan_rows"),
+        ).select(
+            F.lit(name).alias("relation"),
+            "child_rows",
+            "orphan_rows",
+            (
+                F.col("orphan_rows").cast("double")
+                / F.col("child_rows").cast("double")
+            ).alias("orphan_pct"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+@query(
+    "feat_target_encode",
+    oracle="""
+WITH j AS (
+  SELECT c.c_mktsegment,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS sc
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+), per AS (
+  SELECT c_mktsegment, COUNT(*) AS n_orders,
+         CAST(SUM(sc) AS BIGINT) AS seg_sum
+  FROM j GROUP BY c_mktsegment
+), g AS (
+  SELECT CAST(SUM(sc) AS BIGINT) AS gs, COUNT(*) AS gn FROM j
+)
+SELECT per.c_mktsegment, per.n_orders,
+       CAST(per.seg_sum AS DOUBLE) / per.n_orders / 100 AS seg_mean,
+       (CAST(per.seg_sum AS DOUBLE)
+          + 10 * (CAST(g.gs AS DOUBLE) / g.gn))
+         / (per.n_orders + 10) / 100 AS enc_totalprice
+FROM per, g
+""",
+)
+def feat_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding of a categorical feature (customer
+    market segment) against a continuous target (order total):
+    enc = (seg_sum + m * global_mean) / (seg_n + m), m = 10 — the
+    leakage-controlled encoder every tabular feature pipeline ships.
+    Sums are exact integer cents; the 1-row global aggregate joins
+    back by broadcast (cross join of a scalar), so the plan is two
+    hash aggregates over one fact-dim join and never re-shuffles the
+    fact table. Float ops appear in the SAME order in both engines
+    (sum -> /n -> /100; smoothing before the /100 descale), so the
+    doubles are bit-identical with no rounding."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        "c_mktsegment",
+        F.expr(
+            "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+        ).alias("sc"),
+    )
+    per = j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("sc").cast("bigint").alias("seg_sum"),
+    )
+    g = j.agg(
+        F.sum("sc").cast("bigint").alias("gs"),
+        F.count(F.lit(1)).alias("gn"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "c_mktsegment",
+        "n_orders",
+        (
+            F.col("seg_sum").cast("double") / F.col("n_orders") / 100
+        ).alias("seg_mean"),
+        (
+            (
+                F.col("seg_sum").cast("double")
+                + 10 * (F.col("gs").cast("double") / F.col("gn"))
+            )
+            / (F.col("n_orders") + 10)
+            / 100
+        ).alias("enc_totalprice"),
+    )

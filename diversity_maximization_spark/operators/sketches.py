@@ -540,3 +540,148 @@ def sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_ok"),
         )
     )
+
+
+def _bloom_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    m = 65536
+    key_args = [
+        "'h%d:' || CAST(user_id AS VARCHAR)" % i for i in range(4)
+    ]
+    probe_args = [
+        "'h%d:' || CAST(c_custkey AS VARCHAR)" % i for i in range(4)
+    ]
+    hashes_k = ",\n    ".join(
+        f"{md5_u32_duck(a)} % {m}" for a in key_args
+    )
+    probes_k = ",\n    ".join(
+        f"{md5_u32_duck(a)} % {m}" for a in probe_args
+    )
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT user_id FROM events
+), bits AS (
+  SELECT DISTINCT bit FROM keys,
+  UNNEST([{hashes_k}]) AS t(bit)
+), stats AS (
+  SELECT (SELECT COUNT(*) FROM keys) AS n_keys,
+         (SELECT COUNT(*) FROM bits) AS bits_set
+), probes AS (
+  SELECT DISTINCT c_custkey FROM customer
+), probe_bits AS (
+  SELECT c_custkey, bit FROM probes,
+  UNNEST([{probes_k}]) AS t(bit)
+), hits AS (
+  SELECT pb.c_custkey
+  FROM probe_bits pb JOIN bits b ON pb.bit = b.bit
+  GROUP BY pb.c_custkey HAVING COUNT(DISTINCT pb.bit) = (
+    SELECT COUNT(DISTINCT bit) FROM probe_bits x
+    WHERE x.c_custkey = pb.c_custkey)
+), truth AS (
+  SELECT p.c_custkey,
+         CASE WHEN k.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_member,
+         CASE WHEN h.c_custkey IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM probes p
+  LEFT JOIN keys k ON p.c_custkey = k.user_id
+  LEFT JOIN hits h ON p.c_custkey = h.c_custkey
+)
+SELECT s.n_keys,
+       CAST(s.bits_set AS BIGINT) AS bits_set,
+       (CAST(s.bits_set AS DOUBLE) / {m}) AS fill_ratio,
+       ((CAST(s.bits_set AS DOUBLE) / {m}) * (CAST(s.bits_set AS DOUBLE) / {m}))
+         * ((CAST(s.bits_set AS DOUBLE) / {m}) * (CAST(s.bits_set AS DOUBLE) / {m}))
+         AS est_fpr,
+       (SELECT COUNT(*) FROM truth) AS n_probes,
+       (SELECT CAST(SUM(hit) AS BIGINT) FROM truth) AS probe_hits,
+       (SELECT CAST(SUM(is_member) AS BIGINT) FROM truth) AS true_members,
+       (SELECT CAST(SUM(CASE WHEN hit = 1 AND is_member = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) FROM truth) AS false_positives
+FROM stats s
+"""
+
+
+@query("sketch_bloom_eval", oracle=_bloom_oracle())
+def sketch_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + membership audit, fully replayable: k=4
+    hash functions from the portable md5-u32 family (prefix-salted,
+    mod m=65536 bits) over the distinct event users; the customer key
+    set then probes the filter and the report counts hits, true
+    members, and measured false positives next to the analytic
+    (bits_set/m)^k estimate (computed as (x*x)*(x*x) — identical IEEE
+    multiplication tree in both engines, no pow() libm divergence).
+    Scale shape: the bit set is at most m=65536 rows, so it
+    BROADCASTS to the probe join; building it is one distinct-
+    aggregate over (keys x 4) hashes. The filter itself is the
+    mergeable artifact — per-partition partials union by bit-OR,
+    which the distinct-union here models exactly."""
+    from ..functions.hashing import md5_u32_spark
+
+    m = 65536
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer")
+    keys = ev.select("user_id").distinct()
+
+    def hash_arr(col_name: str):
+        return F.array(
+            *[
+                md5_u32_spark(
+                    F.concat(
+                        F.lit(f"h{i}:"), F.col(col_name).cast("string")
+                    )
+                )
+                % m
+                for i in range(4)
+            ]
+        )
+
+    bits = (
+        keys.select(F.explode(hash_arr("user_id")).alias("bit")).distinct()
+    )
+    n_keys = keys.count()
+    bits_set = bits.count()
+
+    probes = cust.select("c_custkey").distinct()
+    probe_bits = probes.select(
+        "c_custkey", F.explode(hash_arr("c_custkey")).alias("bit")
+    )
+    need = probe_bits.groupBy("c_custkey").agg(
+        F.countDistinct("bit").alias("need")
+    )
+    got = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.countDistinct("bit").alias("got"))
+    )
+    hits = need.join(got, "c_custkey").where(
+        F.col("got") == F.col("need")
+    ).select("c_custkey")
+
+    truth = (
+        probes.join(
+            keys.withColumnRenamed("user_id", "c_custkey").withColumn(
+                "is_member", F.lit(1)
+            ),
+            "c_custkey",
+            "left",
+        )
+        .join(hits.withColumn("hit", F.lit(1)), "c_custkey", "left")
+        .select(
+            F.coalesce("is_member", F.lit(0)).alias("is_member"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+    )
+    fill = float(bits_set) / m
+    return truth.agg(
+        F.lit(n_keys).cast("bigint").alias("n_keys"),
+        F.lit(bits_set).cast("bigint").alias("bits_set"),
+        F.lit(fill).alias("fill_ratio"),
+        F.lit((fill * fill) * (fill * fill)).alias("est_fpr"),
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum("hit").cast("bigint").alias("probe_hits"),
+        F.sum("is_member").cast("bigint").alias("true_members"),
+        F.sum(
+            F.when((F.col("hit") == 1) & (F.col("is_member") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("false_positives"),
+    )

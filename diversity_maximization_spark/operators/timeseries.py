@@ -1186,3 +1186,56 @@ def ts_ema_irregular(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         fold.alias("ema_value"),
     )
+
+
+@query(
+    "ts_peak_detection",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), l AS (
+  SELECT event_type, day, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c,
+         LEAD(c) OVER (PARTITION BY event_type ORDER BY day) AS next_c
+  FROM d
+)
+SELECT event_type, day, CAST(c AS DOUBLE) / 100 AS revenue
+FROM l
+WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+  AND c > prev_c AND c > next_c
+""",
+)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily revenue series per event
+    type: a day is a peak iff its exact integer-cents total strictly
+    exceeds BOTH neighbors (series endpoints excluded — no neighbor,
+    no verdict). The classic lag/lead formulation; comparisons are
+    on exact bigint cents so there is no float tie ambiguity, and
+    the window partitions by series. Day stays TIMESTAMP in both
+    engines (the DATE-vs-datetime64 fetchdf coercion trap)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    l = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.lag("c").over(w).alias("prev_c"),
+        F.lead("c").over(w).alias("next_c"),
+    )
+    return l.where(
+        F.col("prev_c").isNotNull()
+        & F.col("next_c").isNotNull()
+        & (F.col("c") > F.col("prev_c"))
+        & (F.col("c") > F.col("next_c"))
+    ).select(
+        "event_type", "day", (F.col("c").cast("double") / 100).alias("revenue")
+    )

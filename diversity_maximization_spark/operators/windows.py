@@ -841,3 +841,55 @@ def win_moving_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("p90"),
     )
+
+
+@query(
+    "win_gap_islands",
+    oracle="""
+WITH days AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day
+  FROM events
+), r AS (
+  SELECT user_id, day,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+  FROM days
+), a AS (
+  SELECT user_id, day,
+         CAST(day AS DATE) - CAST(rn AS INTEGER) AS anchor
+  FROM r
+)
+SELECT user_id,
+       CAST(MIN(day) AS TIMESTAMP) AS island_start,
+       CAST(MAX(day) AS TIMESTAMP) AS island_end,
+       CAST(COUNT(*) AS INTEGER) AS island_days
+FROM a GROUP BY user_id, anchor
+""",
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per
+    user (the streak detector behind retention and engagement
+    features). The classic trick — day minus its per-user row number
+    is constant within a run — turns the sequence problem into ONE
+    partitioned window plus ONE groupBy; no self-join, no iteration.
+    Scale shape: both the window and the aggregate hash-partition by
+    user_id and reuse the same shuffle (AQE keeps the exchange);
+    state per user is its distinct-day count. Day boundaries stay
+    TIMESTAMP in the output (DATE-coercion trap)."""
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    a = days.withColumn("rn", F.row_number().over(w)).withColumn(
+        "anchor", F.expr("date_add(CAST(day AS DATE), -CAST(rn AS INT))")
+    )
+    return (
+        a.groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("island_start"),
+            F.max("day").alias("island_end"),
+            F.count(F.lit(1)).cast("int").alias("island_days"),
+        )
+        .select("user_id", "island_start", "island_end", "island_days")
+    )
