@@ -2622,3 +2622,153 @@ def agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pos").cast("bigint").cast("double") / F.count(F.lit(1))
         ).alias("pos_rate"),
     )
+
+
+@query(
+    "agg_classifier_eval",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) >= 24500
+              THEN 1 ELSE 0 END AS pred,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS label
+  FROM events
+), m AS (
+  SELECT CAST(SUM(pred * label) AS BIGINT) AS tp,
+         CAST(SUM(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(SUM((1 - pred) * label) AS BIGINT) AS fn,
+         CAST(SUM((1 - pred) * (1 - label)) AS BIGINT) AS tn
+  FROM s
+)
+SELECT tp, fp, fn, tn,
+       CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS precision_,
+       CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) AS recall_,
+       CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE) AS f1,
+       CAST(tp + tn AS DOUBLE) / CAST(tp + fp + fn + tn AS DOUBLE)
+         AS accuracy
+FROM m
+""",
+)
+def agg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded binary-classifier evaluation (pred = score >=
+    245.00, label = purchase): confusion matrix plus precision /
+    recall / F1 / accuracy, each expressed as ONE division of exact
+    BIGINT counts (F1 via 2tp/(2tp+fp+fn), not the P*R composition,
+    so no intermediate float). The whole operator is one partial+
+    final aggregate over the fact scan — the cheapest possible
+    distributed shape. Companion to agg_roc_auc (threshold-free) and
+    agg_calibration_bins (reliability)."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(
+            F.expr(cents("value")) >= 24500, 1
+        ).otherwise(0).alias("pred"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("label"),
+    )
+    m = s.agg(
+        F.sum(F.col("pred") * F.col("label")).cast("bigint").alias("tp"),
+        F.sum(F.col("pred") * (1 - F.col("label")))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum((1 - F.col("pred")) * F.col("label"))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum((1 - F.col("pred")) * (1 - F.col("label")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fp")).cast("double")
+        ).alias("precision_"),
+        (
+            F.col("tp").cast("double")
+            / (F.col("tp") + F.col("fn")).cast("double")
+        ).alias("recall_"),
+        (
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double")
+        ).alias("f1"),
+        (
+            (F.col("tp") + F.col("tn")).cast("double")
+            / (
+                F.col("tp") + F.col("fp") + F.col("fn") + F.col("tn")
+            ).cast("double")
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "agg_lorenz_curve",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sc
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT sc, NTILE(10) OVER (ORDER BY sc, o_custkey) AS decile
+  FROM spend
+), d AS (
+  SELECT decile, COUNT(*) AS n_customers,
+         CAST(SUM(sc) AS BIGINT) AS decile_cents
+  FROM b GROUP BY decile
+), t AS (
+  SELECT CAST(SUM(decile_cents) AS BIGINT) AS total FROM d
+)
+SELECT d.decile, d.n_customers,
+       CAST(d.decile_cents AS DOUBLE) / 100 AS decile_spend,
+       CAST(CAST(SUM(d.decile_cents) OVER (ORDER BY d.decile)
+                 AS BIGINT) AS DOUBLE)
+         / CAST(t.total AS DOUBLE) AS cum_share
+FROM d, t
+""",
+)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer spend concentration: customers sorted
+    by exact total cents into global deciles (plans/global_rank.py —
+    range-bucket + per-bucket offsets, no SinglePartition window),
+    then cumulative share of total spend per decile. The companion
+    to agg_gini: the full inequality curve rather than the scalar.
+    Integer cents end to end; cum_share is one double division of
+    exact bigints. The 10-row decile table's cumulative window is
+    trivially bounded."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("sc"))
+    )
+    numbered, n_total = with_global_row_number(spend, ["sc", "o_custkey"])
+    b = numbered.withColumn("decile", ntile_expr("_rn", n_total, 10))
+    d = b.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("sc").cast("bigint").alias("decile_cents"),
+    )
+    t = d.agg(F.sum("decile_cents").cast("bigint").alias("total"))
+    # bounded: 10 decile rows
+    wc = Window.orderBy("decile")
+    return (
+        d.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cum_cents", F.sum("decile_cents").over(wc).cast("bigint")
+        )
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("decile_cents").cast("double") / 100).alias(
+                "decile_spend"
+            ),
+            (
+                F.col("cum_cents").cast("double")
+                / F.col("total").cast("double")
+            ).alias("cum_share"),
+        )
+    )

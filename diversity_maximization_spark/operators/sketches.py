@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..sources import load
@@ -684,4 +685,188 @@ def sketch_bloom_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("hit") == 1) & (F.col("is_member") == 0), 1)
             .otherwise(0)
         ).cast("bigint").alias("false_positives"),
+    )
+
+
+def _cms_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    w = 1024
+    rows = ",\n    ".join(
+        f"({i}, {md5_u32_duck('%r || CAST(user_id AS VARCHAR)' % ('r%d:' % i))} % {w})"
+        for i in range(4)
+    )
+    return f"""
+WITH h AS (
+  SELECT user_id, t.i, t.bucket FROM events,
+  LATERAL (VALUES {rows}) AS t(i, bucket)
+), counters AS (
+  SELECT i, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM h GROUP BY i, bucket
+), exact AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id
+), top AS (
+  SELECT user_id, exact_cnt FROM exact
+  ORDER BY exact_cnt DESC, user_id LIMIT 20
+), probe AS (
+  SELECT t.user_id, t.exact_cnt, h.i, h.bucket
+  FROM top t JOIN (SELECT DISTINCT user_id, i, bucket FROM h) h
+    ON t.user_id = h.user_id
+)
+SELECT p.user_id, p.exact_cnt,
+       CAST(MIN(c.cnt) AS BIGINT) AS est_cnt,
+       CAST(MIN(c.cnt) - p.exact_cnt AS BIGINT) AS overestimate
+FROM probe p JOIN counters c ON p.i = c.i AND p.bucket = c.bucket
+GROUP BY p.user_id, p.exact_cnt
+"""
+
+
+@query("sketch_cms_heavy", oracle=_cms_oracle())
+def sketch_cms_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (depth 4 x width 1024, portable md5-u32 row
+    hashes) over the event-user stream, audited against exact truth:
+    the 20 highest-frequency users probe the sketch and the report
+    shows est >= exact with the one-sided CMS overestimate. The
+    counter table is at most 4096 rows — the mergeable artifact (a
+    distributed build sums per-partition counter partials, which the
+    groupBy here IS) — and it BROADCASTS to the probe join. The probe
+    set comes from an exact top-20 (count DESC, user_id tie-break,
+    identical in both engines). Every number is an integer; no
+    rounding anywhere."""
+    from ..functions.hashing import md5_u32_spark
+
+    w = 1024
+    ev = load(spark, sf_dir, "events")
+
+    def bucket(i: int):
+        return (
+            md5_u32_spark(
+                F.concat(F.lit(f"r{i}:"), F.col("user_id").cast("string"))
+            )
+            % w
+        )
+
+    h = ev.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"), bucket(i).alias("bucket")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("t"),
+    ).select("user_id", "t.i", "t.bucket")
+    counters = h.groupBy("i", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    top = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(20)
+    probe = top.join(
+        h.select("user_id", "i", "bucket").distinct(), "user_id"
+    )
+    return (
+        probe.join(F.broadcast(counters), ["i", "bucket"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("cnt").cast("bigint").alias("est_cnt"))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+    )
+
+
+@query(
+    "sketch_log_histogram",
+    oracle="""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events
+), b AS (
+  SELECT length(bin(c)) AS bucket, COUNT(*) AS cnt,
+         CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+  FROM c GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b
+), cum AS (
+  SELECT bucket, cnt, lo, hi,
+         CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum_cnt
+  FROM b
+), g AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS v, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+), gc AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v) AS BIGINT) AS cum_v
+  FROM g
+), q AS (
+  SELECT p, (p * (SELECT n FROM tot) + 99) // 100 AS k
+  FROM (VALUES (50), (90), (99)) AS t(p)
+)
+SELECT q.p,
+       CAST((SELECT MIN(hi) FROM cum
+             WHERE cum.cum_cnt >= q.k) AS DOUBLE) / 100 AS est_upper,
+       CAST((SELECT MIN(v) FROM gc
+             WHERE gc.cum_v >= q.k) AS DOUBLE) / 100 AS exact_q,
+       CAST((SELECT MIN(hi) FROM cum WHERE cum.cum_cnt >= q.k)
+            - (SELECT MIN(v) FROM gc WHERE gc.cum_v >= q.k) AS DOUBLE)
+         / CAST((SELECT MIN(v) FROM gc WHERE gc.cum_v >= q.k) AS DOUBLE)
+         AS rel_err
+FROM q
+""",
+)
+def sketch_log_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed histogram quantile sketch, audited against exact
+    order statistics: bucket id = bit-length of the integer cents
+    value (an EXACT integer exponent — no log() call, so no libm
+    divergence can flip a bucket), p50/p90/p99 estimated as the upper
+    bound of the first bucket whose cumulative count reaches k =
+    ceil(p*n/100), next to the exact k-th order statistic and the
+    relative error. The histogram is the mergeable artifact (~34
+    buckets for any bigint domain); the exact side reuses the
+    bounded distinct-cents table. Both cumulative windows run over
+    provably bounded tables."""
+    ev = load(spark, sf_dir, "events")
+    c = ev.select(F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"))
+    b = c.groupBy(F.length(F.bin("c")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("c").cast("bigint").alias("lo"),
+        F.max("c").cast("bigint").alias("hi"),
+    )
+    # bounded: <= 64 log2 buckets for any bigint domain
+    wb = Window.orderBy("bucket")
+    cum = b.withColumn("cum_cnt", F.sum("cnt").over(wb).cast("bigint"))
+    g = c.groupBy(F.col("c").alias("v")).agg(F.count(F.lit(1)).alias("cnt"))
+    # bounded: distinct 2-dp cents of events.value (<= ~49k rows)
+    wv = Window.orderBy("v")
+    gc = g.withColumn("cum_v", F.sum("cnt").over(wv).cast("bigint"))
+    n = c.count()
+    qs = spark.createDataFrame([(50,), (90,), (99,)], "p int")
+    ks = qs.select("p", F.expr(f"(p * CAST({n} AS BIGINT) + 99) DIV 100").alias("k"))
+    est = (
+        ks.crossJoin(cum.select("cum_cnt", "hi"))
+        .where(F.col("cum_cnt") >= F.col("k"))
+        .groupBy("p", "k")
+        .agg(F.min("hi").alias("est_c"))
+    )
+    ex = (
+        ks.crossJoin(gc.select("cum_v", "v"))
+        .where(F.col("cum_v") >= F.col("k"))
+        .groupBy("p")
+        .agg(F.min("v").alias("ex_c"))
+    )
+    return est.join(ex, "p").select(
+        "p",
+        (F.col("est_c").cast("double") / 100).alias("est_upper"),
+        (F.col("ex_c").cast("double") / 100).alias("exact_q"),
+        (
+            (F.col("est_c") - F.col("ex_c")).cast("double")
+            / F.col("ex_c").cast("double")
+        ).alias("rel_err"),
     )
