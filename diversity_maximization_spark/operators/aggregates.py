@@ -2772,3 +2772,112 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_share"),
         )
     )
+
+
+@query(
+    "agg_anova_oneway",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)
+                  * CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS ss
+  FROM events GROUP BY event_type
+), folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS BIGINT) AS s_total,
+         list_sum(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                       ORDER BY event_type)) AS sum_sq_over_n,
+         list_sum(list(CAST(ss AS DOUBLE)
+                       ORDER BY event_type)) AS sum_ss
+  FROM g
+), m AS (
+  SELECT k, n_total,
+         sum_sq_over_n
+           - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / n_total
+           AS ssb,
+         sum_ss - sum_sq_over_n AS ssw
+  FROM folds
+)
+SELECT k, n_total,
+       ssb / 10000 AS ss_between,
+       ssw / 10000 AS ss_within,
+       (ssb / (k - 1)) / (ssw / (n_total - k)) AS f_stat
+FROM m
+""",
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event value across event types — the k-group
+    generalization completing the stats tier (Welch t, chi-square,
+    Mann-Whitney, KS already shipped). Per-group moments (n, sum,
+    sum-of-squares) are exact BIGINTs over integer cents (ss fits
+    bigint up to ~4e9 rows at this value domain; beyond that the
+    decimal(38) ladder of agg_corr_cov applies). The float stage —
+    SSB = sum(s_g^2/n_g) - S^2/N, SSW = sum(ss_g) - sum(s_g^2/n_g) —
+    folds the BOUNDED group table in event_type order via a strict
+    left fold in both engines (Spark F.aggregate over a sorted
+    array == DuckDB list_sum over ORDER BY list — bit-equal), so F
+    needs no rounding. The data-sized pass is one partial+final
+    aggregate; everything after runs on k rows."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr(cents("value"))
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("s"),
+        F.sum(
+            F.expr(
+                f"{cents('value')} * {cents('value')}"
+            )
+        ).cast("bigint").alias("ss"),
+    )
+    terms = g.select(
+        "event_type",
+        "n",
+        "s",
+        "ss",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n")
+        ).alias("t_sq_over_n"),
+        F.col("ss").cast("double").alias("ss_d"),
+    )
+    folds = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "t_sq_over_n"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t_sq_over_n"],
+        ).alias("sum_sq_over_n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "ss_d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ss_d"],
+        ).alias("sum_ss"),
+    )
+    m = folds.select(
+        "k",
+        "n_total",
+        (
+            F.col("sum_sq_over_n")
+            - F.col("s_total").cast("double")
+            * F.col("s_total").cast("double")
+            / F.col("n_total")
+        ).alias("ssb"),
+        (F.col("sum_ss") - F.col("sum_sq_over_n")).alias("ssw"),
+    )
+    return m.select(
+        "k",
+        "n_total",
+        (F.col("ssb") / 10000).alias("ss_between"),
+        (F.col("ssw") / 10000).alias("ss_within"),
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k")))
+        ).alias("f_stat"),
+    )

@@ -1008,3 +1008,47 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("o1") == 192) & (F.col("o2") == 168))
         ).alias("is_private"),
     )
+
+
+@query(
+    "fn_time_bucket",
+    oracle="""
+WITH b AS (
+  SELECT epoch_us(ts) // 900000000 AS bucket_idx,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+)
+SELECT CAST(bucket_idx AS BIGINT) AS bucket_idx,
+       make_timestamp(bucket_idx * 900000000) AS bucket_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(c) AS DOUBLE) / 100 AS revenue
+FROM b GROUP BY bucket_idx
+""",
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width time bucketing (15-minute bins) by pure integer
+    epoch arithmetic — the time_bucket / date_bin primitive without
+    either engine's builtin (DuckDB time_bucket and Spark window()
+    disagree on labels; integer micros-div agrees everywhere).
+    Bucket index = epoch micros DIV 900e9/1000; both operands are
+    non-negative so truncating DIV == floor. The bucket label is
+    reconstructed from the index, so group keys shuffle as one
+    BIGINT. This is also the streaming tumbling-window kernel in
+    batch form."""
+    ev = load(spark, sf_dir, "events")
+    idx = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"
+        " DIV 900000000"
+    )
+    b = ev.select(
+        idx.cast("bigint").alias("bucket_idx"),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    return b.groupBy("bucket_idx").agg(
+        F.expr(
+            "timestampadd(MICROSECOND, bucket_idx * 900000000,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        ).alias("bucket_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("c").cast("double") / 100).alias("revenue"),
+    )

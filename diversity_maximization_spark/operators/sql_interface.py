@@ -43,3 +43,40 @@ def sql_adhoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and on DuckDB as the oracle. Proves a reference user's SQL
     workload ports verbatim."""
     return sql(spark, sf_dir, _ADHOC_SQL)
+
+
+# Identical text on Spark 4 (recursive CTE support, SPARK-24497) and
+# DuckDB: walks the synthetic parent tree parent(u) = hash(u) % u
+# (the same tree graph_ancestor_depth climbs by distributed pointer
+# jumping) down to the root, carrying the full ancestry path string.
+# Each recursion step is one equi-free self-extension; Spark executes
+# it as iterative UNION ALL materializations, so the work per step is
+# one scan of the frontier — the declarative twin of the pointer-
+# jumping loop (which remains the better plan for deep trees:
+# log(depth) rounds vs depth steps here).
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT doc_id, CAST(doc_id AS BIGINT) AS cur, CAST(0 AS BIGINT) AS depth,
+         CAST(doc_id AS VARCHAR(20)) AS path
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         (cur * 2654435761 % 4294967296) % cur,
+         depth + 1,
+         CONCAT(path, '<',
+                CAST((cur * 2654435761 % 4294967296) % cur AS VARCHAR(20)))
+  FROM walk WHERE cur > 0
+)
+SELECT doc_id, depth, path FROM walk WHERE cur = 0
+"""
+
+
+@query("sql_recursive_cte", oracle=_RECURSIVE_SQL)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI recursive CTE through the SQL front door: the IDENTICAL
+    WITH RECURSIVE text resolves every document's root ancestry path
+    on both engines (one terminal row per doc at cur = 0). Proves
+    the engine covers the recursive-query tier of the SQL surface
+    natively — hierarchies, BOM walks, reachability — without the
+    caller hand-rolling an iterative join loop."""
+    return sql(spark, sf_dir, _RECURSIVE_SQL)

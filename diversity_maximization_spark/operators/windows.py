@@ -893,3 +893,83 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "island_start", "island_end", "island_days")
     )
+
+
+@query(
+    "ts_rolling_xcorr",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), f AS (
+  SELECT day,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx,
+         CAST(SUM(y) OVER w AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER w AS BIGINT) AS syy
+  FROM d
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr7
+FROM f
+WHERE n = 7 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def ts_rolling_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day Pearson CROSS-correlation between the daily purchase
+    and click revenue series — the co-movement monitor behind metric
+    diagnosis dashboards. All six frame sums (n, sx, sy, sxy, sxx,
+    syy) are exact BIGINTs over integer cents, so the closed-form
+    correlation is ONE float expression evaluated in the same order
+    in both engines (sqrt is correctly rounded IEEE — no libm
+    divergence), no rounding needed. Degenerate frames (partial or
+    zero-variance) are filtered by exact integer predicates. The
+    window runs over the daily rollup. Scale: per-series-day state;
+    at N series the window partitions by series key."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    # bounded: one row per calendar day of the fixture span
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    f = d.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return f.where(
+        (F.col("n") == 7) & (varx > 0) & (vary > 0)
+    ).select(
+        "day",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+            )
+        ).alias("corr7"),
+    )
