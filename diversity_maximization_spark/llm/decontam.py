@@ -542,3 +542,70 @@ def mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs"),
         )
     )
+
+
+def _importance_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    u = md5_u32_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH mx AS (
+  SELECT CAST(MAX(n_chars) AS BIGINT) AS max_w FROM documents
+), s AS (
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS w,
+         CASE WHEN {u} * mx.max_w
+                   < CAST(d.n_chars AS BIGINT) * 4294967296
+              THEN 1 ELSE 0 END AS acc
+  FROM documents d, mx
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(acc) AS BIGINT) AS n_accepted,
+       CAST(SUM(w) AS BIGINT) AS total_weight,
+       CAST(CAST(SUM(acc) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS acceptance_rate,
+       CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE)
+         / CAST(COUNT(*) * (SELECT max_w FROM mx) AS DOUBLE)
+         AS expected_rate
+FROM s GROUP BY source
+"""
+
+
+@query("sample_importance", oracle=_importance_oracle())
+def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance downsampling by a per-document weight (here doc
+    length as the quality proxy): keep document i with probability
+    w_i / max_w, decided by the stateless portable-md5 coin — accept
+    iff u32(doc_id) * max_w < w_i * 2^32, an EXACT integer
+    comparison (no float probability ever materializes, so the
+    sample is bit-reproducible and re-runnable incrementally). The
+    audit reports measured vs expected acceptance per source. One
+    scan + a broadcast scalar max; products stay under 2^63 for any
+    w_max <= 2^31."""
+    from ..functions.hashing import md5_u32_spark
+
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").cast("bigint").alias("max_w"))
+    s = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        "max_w",
+        F.when(
+            md5_u32_spark(F.col("doc_id").cast("string")) * F.col("max_w")
+            < F.col("n_chars").cast("bigint") * F.lit(4294967296),
+            1,
+        ).otherwise(0).alias("acc"),
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("acc").cast("bigint").alias("n_accepted"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+        (
+            F.sum("acc").cast("bigint").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("acceptance_rate"),
+        (
+            F.sum("w").cast("bigint").cast("double")
+            / (F.count(F.lit(1)) * F.first("max_w")).cast("double")
+        ).alias("expected_rate"),
+    )

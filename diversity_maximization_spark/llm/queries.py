@@ -472,3 +472,42 @@ def select_diverse_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "sel_order", "vec_id",
         F.round("dist_when_chosen", 6).alias("dist_when_chosen"),
     )
+
+
+@query(
+    "corpus_length_histogram",
+    oracle="""
+WITH b AS (
+  SELECT source, lang, length(bin(n_chars)) AS bucket,
+         CAST(n_chars AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT source, lang, CAST(bucket AS INTEGER) AS log2_bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM b GROUP BY source, lang, bucket
+""",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length profile per (source, lang) in log2 buckets —
+    the token-budget planning table (how much of each corpus slice is
+    short-tail vs long-tail before packing). Bucket id = bit length
+    of n_chars: an exact integer exponent, no log() call, so no libm
+    divergence can move a document across a bucket boundary. One
+    partial+final aggregate over the documents scan; the output is
+    bounded by sources x langs x 64 buckets."""
+    d = load(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        "lang",
+        F.length(F.bin("n_chars")).cast("int").alias("log2_bucket"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return b.groupBy("source", "lang", "log2_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").cast("bigint").alias("min_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )

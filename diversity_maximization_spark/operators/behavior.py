@@ -2008,3 +2008,101 @@ def anomaly_iqr_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+_MS_SCALE = 10**12
+_MS_ROUNDS = 30
+
+_MS_SEQ = """
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+"""
+
+
+def _markov_stationary_oracle() -> str:
+    parts = [
+        f"WITH seq AS ({_MS_SEQ})",
+        """, cells AS MATERIALIZED (
+  SELECT event_type AS i, next_type AS j, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)""",
+        """, rmass AS MATERIALIZED (
+  SELECT i, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY i
+)""",
+        """, states AS MATERIALIZED (
+  SELECT i AS s FROM cells UNION SELECT j FROM cells
+)""",
+        f""", v0 AS MATERIALIZED (
+  SELECT s, CAST({_MS_SCALE} // (SELECT COUNT(*) FROM states) AS BIGINT)
+         AS v
+  FROM states
+)""",
+    ]
+    for t in range(1, _MS_ROUNDS + 1):
+        parts.append(
+            f""", v{t} AS MATERIALIZED (
+  SELECT c.j AS s, CAST(SUM((v.v * c.n) // r.r) AS BIGINT) AS v
+  FROM v{t - 1} v JOIN cells c ON v.s = c.i JOIN rmass r ON r.i = c.i
+  GROUP BY c.j
+)"""
+        )
+    parts.append(
+        f"""
+SELECT st.s AS event_type,
+       CAST(COALESCE(vz.v, 0) AS BIGINT) AS v_fixed,
+       CAST(COALESCE(vz.v, 0) AS DOUBLE) / {_MS_SCALE} AS stationary
+FROM states st LEFT JOIN v{_MS_ROUNDS} vz ON st.s = vz.s
+"""
+    )
+    return "".join(parts)
+
+
+@query("agg_markov_stationary", oracle=_markov_stationary_oracle())
+def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by
+    30 rounds of EXACT fixed-point power iteration (scale 1e12):
+    v'_j = sum_i floor(v_i * c_ij / r_i) — every term an integer
+    floor division, so Spark's driver-side loop over the collected
+    <= |types|^2 cell matrix (the accepted tiny-matrix pattern of
+    markov_absorption) replays bit-for-bit as the oracle's unrolled
+    MATERIALIZED CTE chain (the text_pagerank_exact fixed-point
+    recipe; floors lose < 1e-10 of mass total — deterministic on
+    both engines). The data-sized work is ONE lag window + ONE
+    groupBy; the iteration runs on vocabulary-sized state."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    cells = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("i"), F.col("next_type").alias("j")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    )
+    c: dict = {}
+    r: dict = {}
+    states = set()
+    for row in cells:
+        c[(row.i, row.j)] = row.n
+        r[row.i] = r.get(row.i, 0) + row.n
+        states.add(row.i)
+        states.add(row.j)
+    k = len(states)
+    v = {s: _MS_SCALE // k for s in states}
+    for _ in range(_MS_ROUNDS):
+        nv = {s: 0 for s in states}
+        for (i, j), n in c.items():
+            nv[j] += (v.get(i, 0) * n) // r[i]
+        v = nv
+    out = [
+        (s, int(v.get(s, 0)), float(v.get(s, 0)) / _MS_SCALE)
+        for s in sorted(states)
+    ]
+    return spark.createDataFrame(
+        out, "event_type string, v_fixed bigint, stationary double"
+    )

@@ -550,3 +550,91 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lbl").alias("community"),
         "community_size",
     )
+
+
+@query(
+    "graph_degree_assortativity",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), dir AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+), deg AS (
+  SELECT u AS x, CAST(COUNT(*) AS BIGINT) AS d FROM dir GROUP BY u
+), e AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM dir JOIN deg du ON dir.u = du.x JOIN deg dv ON dir.v = dv.x
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM e
+)
+SELECT (SELECT COUNT(*) FROM deg) AS n_vertices,
+       (SELECT COUNT(*) FROM und) AS n_edges,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+         AS assortativity
+FROM m
+""",
+)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the part co-order graph — do
+    high-degree parts co-occur with high-degree parts? Pearson
+    correlation of endpoint degrees over the DIRECTED edge list
+    (each undirected edge both ways, so sum(dx) = sum(dy) and
+    sum(dxx) = sum(dyy) by symmetry and the correlation needs only
+    four integer sums). The moment sums are exact BIGINTs; the final
+    expression casts each to double BEFORE multiplying (n*sxy would
+    overflow int64 on large graphs) and evaluates in identical order
+    on both engines — bit-exact, no rounding. Scale shape: edges are
+    the within-order pair join (bounded by order width^2), degrees
+    one groupBy, moments one aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .distinct()
+    )
+    dir_ = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = dir_.groupBy(F.col("u").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    e = (
+        dir_.join(deg.select(F.col("x").alias("u"), F.col("d").alias("dx")), "u")
+        .join(deg.select(F.col("x").alias("v"), F.col("d").alias("dy")), "v")
+        .select("dx", "dy")
+    )
+    m = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+    )
+    n_vertices = deg.count()
+    n_edges = und.count()
+    return m.select(
+        F.lit(n_vertices).cast("bigint").alias("n_vertices"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        (
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (
+                F.col("n").cast("double") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+        ).alias("assortativity"),
+    )
