@@ -1416,3 +1416,139 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_true_pairs bigint, n_candidate_pairs bigint, n_true_in_block bigint,"
         " recall double, precision_proxy double",
     )
+
+
+def _er_pair_features_oracle() -> str:
+    from ..operators.scalars import _duck_soundex
+
+    return f"""
+WITH blocks AS MATERIALIZED (
+  SELECT p_partkey, p_name, p_brand, p_size,
+         CAST(round(p_retailprice * 100) AS BIGINT) AS pc,
+         p_type,
+         {_duck_soundex("string_split(p_name, ' ')[1]")} AS sdx
+  FROM part
+)
+SELECT a.p_partkey AS pa, b.p_partkey AS pb,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS lev,
+       damerau_levenshtein(a.p_name, b.p_name) AS damerau,
+       jaccard(a.p_name, b.p_name) AS char_jaccard,
+       jaro_winkler_similarity(a.p_name, b.p_name) AS jw,
+       CAST(abs(a.pc - b.pc) AS BIGINT) AS price_diff_cents,
+       CAST(a.p_type = b.p_type AS BOOLEAN) AS same_type
+FROM blocks a JOIN blocks b
+  ON a.sdx = b.sdx AND a.p_brand = b.p_brand AND a.p_size = b.p_size
+ AND a.p_partkey < b.p_partkey
+"""
+
+
+@query("er_pair_features", oracle=_er_pair_features_oracle())
+def er_pair_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature generation for the pairwise ER scorer: candidate pairs
+    from a composite block (first-word soundex x brand x size — the
+    tighter key er_blocking_eval motivates), each scored with the
+    bit-matched record-linkage family (Levenshtein, unrestricted
+    Damerau-Levenshtein, char-set Jaccard, Jaro-Winkler — the
+    string_scores_over kernel shared with fn_string_distance) plus
+    exact-cents price distance and a type-equality flag. This is the
+    table a matching model trains on. Scale shape: blocking is an
+    equi-join (never all-pairs); the Python scorers run Arrow-batched
+    on exactly the candidate set."""
+    from ..operators.scalars import string_scores_over
+
+    p = load(spark, sf_dir, "part")
+    blocks = p.select(
+        "p_partkey",
+        "p_name",
+        "p_brand",
+        "p_size",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("pc"),
+        "p_type",
+        F.soundex(F.split("p_name", " ")[0]).alias("sdx"),
+    )
+    a = blocks.select(
+        F.col("p_partkey").alias("pa"),
+        F.col("p_name").alias("name_a"),
+        F.col("sdx").alias("sdx_a"),
+        F.col("p_brand").alias("brand_a"),
+        F.col("p_size").alias("size_a"),
+        F.col("pc").alias("pc_a"),
+        F.col("p_type").alias("type_a"),
+    )
+    b = blocks.select(
+        F.col("p_partkey").alias("pb"),
+        F.col("p_name").alias("name_b"),
+        F.col("sdx").alias("sdx_b"),
+        F.col("p_brand").alias("brand_b"),
+        F.col("p_size").alias("size_b"),
+        F.col("pc").alias("pc_b"),
+        F.col("p_type").alias("type_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("sdx_a") == F.col("sdx_b"))
+        & (F.col("brand_a") == F.col("brand_b"))
+        & (F.col("size_a") == F.col("size_b"))
+        & (F.col("pa") < F.col("pb")),
+    )
+    scored = string_scores_over(pairs, "name_a", "name_b")
+    return scored.select(
+        "pa",
+        "pb",
+        "name_a",
+        "name_b",
+        "lev",
+        "damerau",
+        "char_jaccard",
+        "jw",
+        F.abs(F.col("pc_a") - F.col("pc_b")).cast("bigint").alias(
+            "price_diff_cents"
+        ),
+        (F.col("type_a") == F.col("type_b")).alias("same_type"),
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(
+           regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+           ' +', ' ', 'g')) AS ntext
+  FROM documents
+)
+SELECT md5(ntext) AS norm_hash,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT md5(text)) AS n_raw_variants,
+       MIN(doc_id) AS keeper_doc
+FROM norm GROUP BY md5(ntext)
+""",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup (the C4 recipe): lowercase,
+    strip non-alphanumerics to spaces, collapse runs, trim — THEN
+    hash. Catches the near-identical copies raw dedup_exact misses
+    (case/punct/whitespace variants); n_raw_variants > 1 marks groups
+    where normalization did extra work. The character class and the
+    collapse regex behave identically under Java regex and RE2 (no
+    engine-specific classes used). Same scale shape as dedup_exact:
+    digests shuffle, never text."""
+    d = load(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        "text",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        ).alias("ntext"),
+    )
+    return norm.groupBy(F.md5("ntext").alias("norm_hash")).agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.countDistinct(F.md5("text")).alias("n_raw_variants"),
+        F.min("doc_id").alias("keeper_doc"),
+    )

@@ -2881,3 +2881,60 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ssw") / (F.col("n_total") - F.col("k")))
         ).alias("f_stat"),
     )
+
+
+@query(
+    "agg_beta_posterior",
+    oracle="""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), m AS (
+  SELECT arm, COUNT(*) AS n,
+         CAST(SUM(conv) AS BIGINT) AS x
+  FROM arms GROUP BY arm
+)
+SELECT arm, n, x,
+       CAST(1 + x AS DOUBLE) / CAST(2 + n AS DOUBLE) AS post_mean,
+       (CAST(1 + x AS DOUBLE) / CAST(2 + n AS DOUBLE))
+         * (CAST(1 + n - x AS DOUBLE) / CAST(2 + n AS DOUBLE))
+         / CAST(3 + n AS DOUBLE) AS post_var
+FROM m
+""",
+)
+def agg_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian conversion-rate posterior per experiment arm under a
+    Beta(1,1) prior: posterior mean (1+x)/(2+n) and variance
+    a*b/((a+b)^2 (a+b+1)) written as a product of single divisions of
+    exact integers in the same order both engines (no pow, no
+    rounding). The conjugate update is one aggregate over the
+    assignment scan — the sequential-decision companion to
+    agg_sprt_sequential (frequentist) and sample_ab_assignment
+    (bucketing + SRM)."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    m = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    post_mean = (1 + F.col("x")).cast("double") / (2 + F.col("n")).cast(
+        "double"
+    )
+    post_b = (1 + F.col("n") - F.col("x")).cast("double") / (
+        2 + F.col("n")
+    ).cast("double")
+    return m.select(
+        "arm",
+        "n",
+        "x",
+        post_mean.alias("post_mean"),
+        (post_mean * post_b / (3 + F.col("n")).cast("double")).alias(
+            "post_var"
+        ),
+    )
