@@ -609,3 +609,127 @@ def sample_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * F.first("max_w")).cast("double")
         ).alias("expected_rate"),
     )
+
+
+_FL_K = 8
+_FL_SCALE = 10**9
+
+
+def _facility_location_oracle(k: int = _FL_K) -> str:
+    sq = "list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    head = f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding, sqrt({sq.format(v='embedding')}) AS nrm
+  FROM embeddings),
+pd AS MATERIALIZED (
+  SELECT a.vec_id AS v, b.vec_id AS c,
+         CAST(round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.nrm * b.nrm) * {_FL_SCALE}) AS BIGINT) AS s
+  FROM e a CROSS JOIN e b),
+s0 AS MATERIALIZED (SELECT vec_id AS v, CAST(0 AS BIGINT) AS cur FROM e),
+pk0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS c WHERE 1 = 0)"""
+    parts = [head]
+    for r in range(1, k + 1):
+        parts.append(f"""
+, g{r} AS MATERIALIZED (
+  SELECT p.c, CAST(SUM(greatest(p.s, st.cur)) AS BIGINT) AS tot
+  FROM pd p JOIN s{r - 1} st ON p.v = st.v
+  WHERE p.c NOT IN (SELECT c FROM pk{r - 1})
+  GROUP BY p.c)
+, p{r} AS MATERIALIZED (
+  SELECT c, tot FROM g{r} ORDER BY tot DESC, c ASC LIMIT 1)
+, pk{r} AS MATERIALIZED (
+  SELECT c FROM pk{r - 1} UNION ALL SELECT c FROM p{r})
+, s{r} AS MATERIALIZED (
+  SELECT st.v, greatest(st.cur, p.s) AS cur
+  FROM s{r - 1} st
+  JOIN pd p ON p.v = st.v AND p.c = (SELECT c FROM p{r}))""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS INTEGER) AS sel_order,"
+        f" CAST(c AS BIGINT) AS vec_id,"
+        f" CAST(tot AS DOUBLE) / {_FL_SCALE} AS objective FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@query("select_facility_location", oracle=_facility_location_oracle())
+def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy facility-location selection (k=8): maximize
+    F(S) = sum_v max_{s in S} cos(v, s) — the submodular coverage
+    objective data-curation pipelines use to pick representative
+    exemplars (1 - 1/e greedy guarantee). The distributed-safety
+    trick: every pairwise cosine is computed ONCE (an IEEE fold
+    identical in both engines) and immediately quantized to an
+    integer at 1e9, so all greedy state — coverage vector, candidate
+    totals, argmax — is exact BIGINT arithmetic whose distributed
+    sums are order-independent; no float accumulation ever crosses a
+    partition boundary. Per round: one integer aggregate over the
+    pair table + one state update join (2 jobs, k rounds). The pair
+    table is the gated tiny-n product (exemplar selection runs on a
+    coreset at scale — div_coreset_mr feeds this); the oracle replays
+    the identical integers over the same MATERIALIZED pair table
+    (~11 s at sf0.1 — documented naive-oracle cost, PLANS.md)."""
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sqf = "aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    en = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(f"sqrt({sqf.format(v='embedding')})").alias("nrm"),
+    )
+    a = en.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    b = en.select(
+        F.col("vec_id").alias("c"),
+        F.col("embedding").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    dot = (
+        "aggregate(zip_with(av, cv, (x, y) -> CAST(x AS DOUBLE)"
+        " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "v",
+            "c",
+            F.expr(
+                f"CAST(round({dot} / (an * cn) * {_FL_SCALE}) AS BIGINT)"
+            ).alias("s"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    state = pairs.select("v").distinct().withColumn(
+        "cur", F.lit(0).cast("bigint")
+    )
+    picked: list = []
+    out = []
+    for r in range(_FL_K):
+        gains = (
+            pairs.where(~F.col("c").isin([p for p in picked]))
+            .join(state, "v")
+            .groupBy("c")
+            .agg(F.sum(F.greatest("s", "cur")).cast("bigint").alias("tot"))
+            .orderBy(F.desc("tot"), "c")
+            .limit(1)
+            .collect()
+        )
+        cid, tot = gains[0]["c"], gains[0]["tot"]
+        picked.append(cid)
+        out.append((r, int(cid), float(tot) / _FL_SCALE))
+        upd = pairs.where(F.col("c") == cid).select("v", "s")
+        state = (
+            state.join(upd, "v")
+            .select("v", F.greatest("cur", "s").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+    return spark.createDataFrame(
+        out, "sel_order int, vec_id bigint, objective double"
+    )
