@@ -1239,3 +1239,89 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "day", (F.col("c").cast("double") / 100).alias("revenue")
     )
+
+
+@query(
+    "ts_pre_post_impact",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT MIN(day) + INTERVAL 14 DAY AS pivot FROM d
+), pre AS (
+  SELECT CAST(SUM(x) AS BIGINT) AS px, CAST(SUM(y) AS BIGINT) AS py
+  FROM d, t WHERE d.day < t.pivot
+), post AS (
+  SELECT day, x, y,
+         CAST(SUM(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_x,
+         CAST(SUM(y) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS cum_y
+  FROM d, t WHERE d.day >= t.pivot
+)
+SELECT day,
+       CAST(x AS DOUBLE) / 100 AS actual,
+       (CAST(px AS DOUBLE) / CAST(py AS DOUBLE)) * CAST(y AS DOUBLE) / 100
+         AS counterfactual,
+       (CAST(cum_x AS DOUBLE)
+          - (CAST(px AS DOUBLE) / CAST(py AS DOUBLE)) * CAST(cum_y AS DOUBLE))
+         / 100 AS cumulative_effect
+FROM post, pre
+""",
+)
+def ts_pre_post_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre/post intervention impact with a ratio counterfactual: the
+    purchase series after day 14 is compared against (pre-period
+    purchase/click ratio) x the click control series — the
+    lightweight causal-impact readout (a synthetic control with one
+    covariate). The pre-period ratio is ONE division of exact
+    bigint sums; the cumulative effect avoids float accumulation
+    entirely by the identity cum_effect = cum_x - ratio * cum_y over
+    exact INTEGER running sums (float windowed sums would be
+    summation-order hazardous across engines — integers are not).
+    The post-period prefix window runs over the bounded daily
+    rollup."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    pivot = d.agg(
+        F.expr("MIN(day) + INTERVAL 14 DAY").alias("pivot")
+    )
+    dp = d.crossJoin(F.broadcast(pivot))
+    pre = dp.where(F.col("day") < F.col("pivot")).agg(
+        F.sum("x").cast("bigint").alias("px"),
+        F.sum("y").cast("bigint").alias("py"),
+    )
+    # bounded: one row per post-period calendar day
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    post = dp.where(F.col("day") >= F.col("pivot")).select(
+        "day",
+        "x",
+        "y",
+        F.sum("x").over(w).cast("bigint").alias("cum_x"),
+        F.sum("y").over(w).cast("bigint").alias("cum_y"),
+    )
+    ratio = F.col("px").cast("double") / F.col("py").cast("double")
+    return post.crossJoin(F.broadcast(pre)).select(
+        "day",
+        (F.col("x").cast("double") / 100).alias("actual"),
+        (ratio * F.col("y").cast("double") / 100).alias("counterfactual"),
+        (
+            (F.col("cum_x").cast("double") - ratio * F.col("cum_y").cast("double"))
+            / 100
+        ).alias("cumulative_effect"),
+    )

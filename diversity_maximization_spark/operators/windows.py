@@ -973,3 +973,82 @@ def ts_rolling_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("corr7"),
     )
+
+
+@query(
+    "win_max_drawdown",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), cumt AS (
+  SELECT event_type, day,
+         CAST(SUM(c) OVER w AS BIGINT) AS cum
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), r AS (
+  SELECT event_type, day, cum,
+         CAST(MAX(cum) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS runmax
+  FROM cumt
+), dd AS (
+  SELECT event_type, day, runmax - cum AS drawdown FROM r
+), mx AS (
+  SELECT event_type, CAST(MAX(drawdown) AS BIGINT) AS max_dd
+  FROM dd GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(m.max_dd AS DOUBLE) / 100 AS max_drawdown,
+       (SELECT MIN(day) FROM dd
+        WHERE dd.event_type = m.event_type
+          AND dd.drawdown = m.max_dd) AS trough_day
+FROM mx m
+""",
+)
+def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the cumulative daily revenue per event
+    type — peak-to-trough decline, the risk statistic for any
+    monotone-ish KPI series. Running sum and running max are EXACT
+    integer cents (a nested window in one shared partition/order),
+    drawdown = runmax - cum is integer subtraction, so max and the
+    earliest trough day are tie-unambiguous. One Exchange serves
+    both windows; everything after runs on the daily rollup."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = d.select(
+        "event_type",
+        "day",
+        F.sum("c").over(w).cast("bigint").alias("cum"),
+    )
+    r = r.withColumn("runmax", F.max("cum").over(w).cast("bigint"))
+    dd = r.select(
+        "event_type", "day", (F.col("runmax") - F.col("cum")).alias("drawdown")
+    )
+    mx = dd.groupBy("event_type").agg(
+        F.max("drawdown").cast("bigint").alias("max_dd")
+    )
+    trough = (
+        dd.join(mx, "event_type")
+        .where(F.col("drawdown") == F.col("max_dd"))
+        .groupBy("event_type", "max_dd")
+        .agg(F.min("day").alias("trough_day"))
+    )
+    return trough.select(
+        "event_type",
+        (F.col("max_dd").cast("double") / 100).alias("max_drawdown"),
+        "trough_day",
+    )
