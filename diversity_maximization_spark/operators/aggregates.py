@@ -2938,3 +2938,90 @@ def agg_beta_posterior(spark: SparkSession, sf_dir: str) -> DataFrame:
             "post_var"
         ),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment AS stratum,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)
+                  * CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS ss
+  FROM customer GROUP BY c_mktsegment
+), sd AS (
+  SELECT stratum, n,
+         sqrt((CAST(ss AS DOUBLE)
+               - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+           AS sigma
+  FROM m
+), tot AS (
+  SELECT list_sum(list(n * sigma ORDER BY stratum)) AS denom FROM sd
+)
+SELECT sd.stratum, sd.n, sd.sigma / 100 AS sigma_bal,
+       (sd.n * sd.sigma) / tot.denom AS neyman_share,
+       CAST(round((sd.n * sd.sigma) / tot.denom * 1000) AS BIGINT)
+         AS alloc_per_1000
+FROM sd, tot
+""",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: per stratum
+    (market segment), the share of a fixed sampling budget that
+    minimizes estimator variance — n_h * sigma_h / sum(n * sigma).
+    Moments are exact bigints over integer cents; sigma is one
+    chained float expression (identical op order both engines, sqrt
+    correctly rounded); the denominator folds the BOUNDED stratum
+    table in stratum order (strict left fold == DuckDB list_sum over
+    an ORDER BY list — the agg_anova_oneway recipe), so the shares
+    are bit-identical with no rounding. The design-of-experiments
+    complement to sample_stratified (which executes a given
+    allocation)."""
+    c = load(spark, sf_dir, "customer")
+    cents_bal = F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)")
+    m = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(cents_bal).cast("bigint").alias("s"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+                " * CAST(ROUND(c_acctbal * 100) AS BIGINT)"
+            )
+        ).cast("bigint").alias("ss"),
+    )
+    sd = m.select(
+        "stratum",
+        "n",
+        F.sqrt(
+            (
+                F.col("ss").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double")
+                / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("sigma"),
+    )
+    tot = sd.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("stratum", (F.col("n") * F.col("sigma")).alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("denom")
+    )
+    return sd.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n",
+        (F.col("sigma") / 100).alias("sigma_bal"),
+        ((F.col("n") * F.col("sigma")) / F.col("denom")).alias(
+            "neyman_share"
+        ),
+        F.expr(
+            "CAST(ROUND((n * sigma) / denom * 1000) AS BIGINT)"
+        ).alias("alloc_per_1000"),
+    )

@@ -1052,3 +1052,47 @@ def win_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("max_dd").cast("double") / 100).alias("max_drawdown"),
         "trough_day",
     )
+
+
+@query(
+    "win_ratio_to_report",
+    oracle="""
+WITH c AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+  FROM lineitem
+), t AS (
+  SELECT l_orderkey, l_linenumber, pc,
+         CAST(SUM(pc) OVER (PARTITION BY l_orderkey) AS BIGINT)
+           AS order_total
+  FROM c
+)
+SELECT l_orderkey, l_linenumber,
+       CAST(pc AS DOUBLE) / 100 AS line_price,
+       CAST(pc AS DOUBLE) / CAST(order_total AS DOUBLE) AS share_of_order
+FROM t
+""",
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT: each line item's share of its order total —
+    the classic within-group contribution window (Oracle/Redshift
+    surface parity). The partition total is one unordered window
+    aggregate over exact integer cents (order-independent), and the
+    share is ONE double division — bit-identical with no rounding.
+    One hash-partitioned exchange on the order key."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("pc"),
+    )
+    w = Window.partitionBy("l_orderkey")
+    t = c.withColumn("order_total", F.sum("pc").over(w).cast("bigint"))
+    return t.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("pc").cast("double") / 100).alias("line_price"),
+        (
+            F.col("pc").cast("double") / F.col("order_total").cast("double")
+        ).alias("share_of_order"),
+    )
