@@ -1178,3 +1178,133 @@ def token_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_word"
         ),
     )
+
+
+_BM25_TERMS = ["window", "merge", "spark"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"('{t}')" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+), corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_len
+  FROM dl
+), q(term) AS (VALUES {terms}),
+tf AS (
+  SELECT t.doc_id, q.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks t JOIN q ON t.w = q.term
+  GROUP BY t.doc_id, q.term
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id,
+         round(
+           ln((CAST(c.n_docs AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+              / (CAST(df.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+           * (CAST(tf.tf AS DOUBLE) * (CAST({_BM25_K1} AS DOUBLE) + 1))
+           / (CAST(tf.tf AS DOUBLE)
+              + CAST({_BM25_K1} AS DOUBLE)
+                * (1 - CAST({_BM25_B} AS DOUBLE)
+                   + CAST({_BM25_B} AS DOUBLE)
+                     * CAST(dl.dl AS DOUBLE) * c.n_docs / c.total_len)),
+           9) AS s
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.term = df.term
+  CROSS JOIN corpus c
+), agg AS (
+  SELECT doc_id,
+         round(list_sum(list(s ORDER BY s, doc_id)), 9) AS bm25
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM agg
+ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+@query("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed 3-term query over
+    the whitespace-token corpus: idf = ln((N-df+0.5)/(df+0.5))
+    rounded at 9 dp (the repo's ln discipline — Java vs libm ln can
+    differ 1 ulp at O(1) scale; rounding kills it before ranking),
+    length normalization via dl*N/total (exact integers into ONE
+    float expression — avgdl never materializes as a rational), and
+    the per-doc sum folds the <=3 term scores in (score, doc_id)
+    order on both engines. Top-20 by (rounded score DESC, doc_id).
+    Scale shape: tokens explode once, tf is a (doc, term) aggregate
+    against a 3-row broadcast term list, df is term-sized, and the
+    final ranking is TakeOrdered(20) — no global sort."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dl")
+    )
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    q = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tf = (
+        toks.join(F.broadcast(q), toks.w == q.term)
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    k1, b = _BM25_K1, _BM25_B
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df").cast("double") + F.lit(0.5))
+                )
+                * (F.col("tf").cast("double") * (F.lit(k1) + 1))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        1
+                        - F.lit(b)
+                        + F.lit(b)
+                        * F.col("dl").cast("double")
+                        * F.col("n_docs")
+                        / F.col("total_len")
+                    )
+                ),
+                9,
+            ).alias("s"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.round(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("s", "doc_id"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["s"],
+            ),
+            9,
+        ).alias("bm25")
+    )
+    return agg.orderBy(F.desc("bm25"), "doc_id").limit(20)

@@ -1052,3 +1052,30 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("c").cast("double") / 100).alias("revenue"),
     )
+
+
+@query(
+    "fn_hash_family",
+    oracle="""
+SELECT doc_id,
+       md5(text) AS h_md5,
+       sha256(text) AS h_sha256,
+       md5(md5(text) || ':' || CAST(doc_id AS VARCHAR)) AS h_keyed
+FROM documents
+""",
+)
+def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic digest surface parity: md5 and sha-256 of the
+    document text agree byte-for-byte across engines (lowercase hex),
+    plus a keyed composition (digest || key re-digested) — the
+    content-addressing primitives every dedup/lineage layer builds
+    on. Pure JVM-side expressions; one narrow projection."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2("text", 256).alias("h_sha256"),
+        F.md5(
+            F.concat(F.md5("text"), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h_keyed"),
+    )

@@ -98,3 +98,19 @@ def test_pre_post_impact_identities(spark, sf_dir):
         )
         prev = r.cumulative_effect
         assert r.counterfactual >= 0
+
+
+def test_bm25_ranking_is_take_ordered(spark, sf_dir):
+    """text_bm25_topk's final ranking must compile to
+    TakeOrderedAndProject(limit=20), never a global Sort."""
+    from tests.test_plans import plan_of
+
+    plan = plan_of(spark, "text_bm25_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bm25_scores_positive_and_bounded(spark, sf_dir):
+    got = rows(spark, "text_bm25_topk", sf_dir)
+    assert 0 < len(got) <= 20
+    scores = [r.bm25 for r in got]
+    assert scores == sorted(scores, reverse=True)
