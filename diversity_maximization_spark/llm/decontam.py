@@ -733,3 +733,111 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "sel_order int, vec_id bigint, objective double"
     )
+
+
+@query(
+    "corpus_overlap_matrix",
+    oracle="""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT source,
+         array_to_string(ws[i : i + 4], ' ') AS g
+  FROM toks,
+  LATERAL (SELECT unnest(generate_series(1, greatest(len(ws) - 4, 0)))
+           AS i) t
+), sz AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_shingles
+  FROM sh GROUP BY source
+), inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, za.n_shingles AS n_a, zb.n_shingles AS n_b,
+       i.n_common,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(za.n_shingles + zb.n_shingles - i.n_common AS DOUBLE)
+         AS jaccard,
+       CAST(i.n_common AS DOUBLE)
+         / CAST(least(za.n_shingles, zb.n_shingles) AS DOUBLE)
+         AS containment
+FROM inter i
+JOIN sz za ON i.source_a = za.source
+JOIN sz zb ON i.source_b = zb.source
+""",
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, the
+    Jaccard and max-containment overlap of their distinct word-5-gram
+    sets — the corpus-health view that catches one feed mirroring
+    another before both are upweighted as 'independent'. Shingles
+    explode once and dedup per source (digest-sized shuffle); the
+    pair intersection is an equi-join on the shingle string grouped
+    to a sources^2-bounded output; both similarity ratios are single
+    double divisions of exact bigints. The per-pair generalization
+    of decontam_ngram's train-vs-eval check."""
+    d = load(spark, sf_dir, "documents")
+
+    # Arrow-batched 5-gram generator (the shingles_df lesson: the
+    # pure-SQL transform(sequence, slice(split...)) form re-splits
+    # the text per shingle index under CollapseProject inlining).
+    def gen5(batches):
+        for pdf in batches:
+            srcs, gs = [], []
+            for src, text in zip(pdf["source"], pdf["text"]):
+                ws2 = text.split(" ")
+                n2 = max(len(ws2) - 4, 0)
+                uniq = {" ".join(ws2[i : i + 5]) for i in range(n2)}
+                uniq.discard("")
+                for g in uniq:
+                    srcs.append(src)
+                    gs.append(g)
+            import pandas as pd
+
+            yield pd.DataFrame({"source": srcs, "g": gs})
+
+    sh = (
+        d.select("source", "text")
+        .mapInPandas(gen5, "source string, g string")
+        .distinct()
+    )
+    sz = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "g")
+    b = sh.select(F.col("source").alias("source_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    za = sz.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("n_a")
+    )
+    zb = sz.select(
+        F.col("source").alias("source_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+            (
+                F.col("n_common").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+    )
