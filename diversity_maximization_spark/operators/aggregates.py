@@ -3025,3 +3025,38 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ROUND((n * sigma) / denom * 1000) AS BIGINT)"
         ).alias("alloc_per_1000"),
     )
+
+
+@query(
+    "agg_bitmap_presence",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+            AS BIGINT) AS presence_bitmap,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                             << CAST(user_id % 63 AS INTEGER)))
+            AS INTEGER) AS n_slots,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence aggregate: per day, a 63-slot user-presence
+    bitmap built with bit_or(1 << user_id % 63) — the mergeable
+    bitmap-index primitive (daily bitmaps AND/OR into
+    retention/overlap queries without touching raw events again;
+    the slot count is the capped-domain distinct estimate). Pure
+    integer bit arithmetic on both engines (slot 63 stays clear so
+    the bigint never goes negative); popcount via bit_count. One
+    partial+final aggregate — bit_or partials merge associatively,
+    the same property that makes the bitmap shuffle-safe at any
+    scale."""
+    ev = load(spark, sf_dir, "events")
+    bm = F.bit_or(
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 63 AS INT))")
+    )
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        bm.cast("bigint").alias("presence_bitmap"),
+        F.bit_count(bm).cast("int").alias("n_slots"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1096,3 +1096,63 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pc").cast("double") / F.col("order_total").cast("double")
         ).alias("share_of_order"),
     )
+
+
+@query(
+    "win_vwap",
+    oracle="""
+WITH c AS (
+  SELECT l_partkey, l_orderkey, l_linenumber, l_shipdate,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS pc,
+         CAST(round(l_quantity) AS BIGINT) AS q
+  FROM lineitem
+), f AS (
+  SELECT l_partkey, l_orderkey, l_linenumber,
+         CAST(SUM(pc * q) OVER w AS BIGINT) AS spq,
+         CAST(SUM(q) OVER w AS BIGINT) AS sq
+  FROM c
+  WINDOW w AS (PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT l_partkey, l_orderkey, l_linenumber,
+       CAST(spq AS DOUBLE) / CAST(sq AS DOUBLE) / 100 AS vwap10
+FROM f
+""",
+)
+def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price over the trailing 10 shipments
+    per part — sum(price x qty)/sum(qty) with BOTH frame sums exact
+    BIGINTs (price cents x integer quantity), so the VWAP is one
+    double division then one descale, bit-identical with no
+    rounding. One part-partitioned window, deterministic
+    (shipdate, orderkey, linenumber) order."""
+    li = load(spark, sf_dir, "lineitem")
+    c = li.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.expr("CAST(ROUND(l_extendedprice * 100) AS BIGINT)").alias("pc"),
+        F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-9, 0)
+    )
+    f = c.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("pc") * F.col("q")).over(w).cast("bigint").alias("spq"),
+        F.sum("q").over(w).cast("bigint").alias("sq"),
+    )
+    return f.select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("spq").cast("double") / F.col("sq").cast("double") / 100
+        ).alias("vwap10"),
+    )
