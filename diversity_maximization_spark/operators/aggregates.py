@@ -3060,3 +3060,96 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(bm).cast("int").alias("n_slots"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "agg_kendall_tau",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), p AS (
+  SELECT CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(SUM(CASE WHEN a.y = b.y AND a.x <> b.x
+                       THEN 1 ELSE 0 END) AS BIGINT) AS ties_y,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM d a JOIN d b ON a.day < b.day
+)
+SELECT concordant, discordant, ties_x, ties_y, n_pairs,
+       CAST(concordant - discordant AS DOUBLE)
+         / (sqrt(CAST(n_pairs - ties_x AS DOUBLE))
+            * sqrt(CAST(n_pairs - ties_y AS DOUBLE))) AS tau_b
+FROM p
+""",
+)
+def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between the daily purchase and
+    click revenue series — the robust, outlier-immune companion to
+    ts_rolling_xcorr's Pearson. Concordant/discordant/tied pair
+    counts are exact integers from the O(days^2) pair join (bounded:
+    the daily rollup, never raw events — ~250 pairs per fixture
+    month; a year is ~66k pairs); tau-b is one float expression of
+    exact integers with correctly-rounded sqrt — bit-identical, no
+    rounding."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = d.select(
+        F.col("day").alias("da"), F.col("x").alias("xa"), F.col("y").alias("ya")
+    )
+    b = d.select(
+        F.col("day").alias("db"), F.col("x").alias("xb"), F.col("y").alias("yb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db"))
+    sgn = (F.col("xa") - F.col("xb")) * (F.col("ya") - F.col("yb"))
+    p = pairs.agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("bigint").alias(
+            "concordant"
+        ),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("bigint").alias(
+            "discordant"
+        ),
+        F.sum(
+            F.when(
+                (F.col("xa") == F.col("xb")) & (F.col("ya") != F.col("yb")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("ties_x"),
+        F.sum(
+            F.when(
+                (F.col("ya") == F.col("yb")) & (F.col("xa") != F.col("xb")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("ties_y"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return p.select(
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        "n_pairs",
+        (
+            (F.col("concordant") - F.col("discordant")).cast("double")
+            / (
+                F.sqrt((F.col("n_pairs") - F.col("ties_x")).cast("double"))
+                * F.sqrt((F.col("n_pairs") - F.col("ties_y")).cast("double"))
+            )
+        ).alias("tau_b"),
+    )

@@ -1325,3 +1325,82 @@ def ts_pre_post_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("cumulative_effect"),
     )
+
+
+@query(
+    "ts_bollinger_bands",
+    oracle="""
+WITH d AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), f AS (
+  SELECT event_type, day, c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         CAST(SUM(c) OVER w AS BIGINT) AS s,
+         CAST(SUM(c * c) OVER w AS BIGINT) AS ss
+  FROM d
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(c AS DOUBLE) / 100 AS revenue,
+       CAST(s AS DOUBLE) / n / 100 AS ma7,
+       sqrt((CAST(n AS DOUBLE) * ss - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+            / (CAST(n AS DOUBLE) * (n - 1))) / 100 AS sd7,
+       (CAST(s AS DOUBLE) / n
+          + 2 * sqrt((CAST(n AS DOUBLE) * ss
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)))) / 100 AS upper_band,
+       (CAST(s AS DOUBLE) / n
+          - 2 * sqrt((CAST(n AS DOUBLE) * ss
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)))) / 100 AS lower_band
+FROM f WHERE n >= 2
+""",
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (trailing-7 mean +/- 2 sample standard
+    deviations) on the daily revenue series per event type. The
+    frame moments (n, sum, sum of squares) are EXACT integer window
+    aggregates; mean, sd, and both bands are closed-form float
+    expressions evaluated in identical order on both engines (sqrt
+    correctly rounded) — bit-exact, no rounding. Frames shorter than
+    2 rows (undefined sample sd) are filtered by an exact integer
+    predicate. One partitioned window serves all three moments."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    f = d.select(
+        "event_type",
+        "day",
+        "c",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n"),
+        F.sum("c").over(w).cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).cast("bigint").alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.sqrt(
+        (nd * F.col("ss") - F.col("s").cast("double") * F.col("s").cast("double"))
+        / (nd * (F.col("n") - 1))
+    )
+    ma = F.col("s").cast("double") / F.col("n")
+    return f.where(F.col("n") >= 2).select(
+        "event_type",
+        "day",
+        (F.col("c").cast("double") / 100).alias("revenue"),
+        (ma / 100).alias("ma7"),
+        (sd / 100).alias("sd7"),
+        ((ma + 2 * sd) / 100).alias("upper_band"),
+        ((ma - 2 * sd) / 100).alias("lower_band"),
+    )
