@@ -1,0 +1,156 @@
+"""Property tests for the round-4 thirteenth-seventeenth waves."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from diversity_maximization_spark.registry import QUERIES
+from diversity_maximization_spark.sources import load
+
+
+def rows(spark, key, sf_dir):
+    return QUERIES[key](spark, sf_dir).collect()
+
+
+def test_ratio_to_report_shares_sum_to_one(spark, sf_dir):
+    got = rows(spark, "win_ratio_to_report", sf_dir)
+    per_order: dict = {}
+    for r in got:
+        per_order[r.l_orderkey] = per_order.get(r.l_orderkey, 0.0) + r.share_of_order
+        assert 0.0 < r.share_of_order <= 1.0
+    for k, total in per_order.items():
+        assert math.isclose(total, 1.0, rel_tol=0, abs_tol=1e-9), k
+
+
+def test_neyman_allocation_shares(spark, sf_dir):
+    got = rows(spark, "sample_neyman_allocation", sf_dir)
+    assert math.isclose(
+        sum(r.neyman_share for r in got), 1.0, rel_tol=0, abs_tol=1e-12
+    )
+    import numpy as np
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.expr("CAST(ROUND(c_acctbal*100) AS BIGINT)").alias("c")
+    )
+    by_seg: dict = {}
+    for r in c.collect():
+        by_seg.setdefault(r.c_mktsegment, []).append(r.c)
+    for r in got:
+        arr = np.array(by_seg[r.stratum], dtype=float)
+        assert r.n == len(arr)
+        assert math.isclose(
+            r.sigma_bal, arr.std(ddof=1) / 100, rel_tol=1e-9
+        )
+
+
+def test_hash_family_is_verifiable(spark, sf_dir):
+    import hashlib
+
+    got = rows(spark, "fn_hash_family", sf_dir)
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    probe = got[0]
+    t = docs[probe.doc_id].encode()
+    assert probe.h_md5 == hashlib.md5(t).hexdigest()
+    assert probe.h_sha256 == hashlib.sha256(t).hexdigest()
+    assert probe.h_keyed == hashlib.md5(
+        (hashlib.md5(t).hexdigest() + ":" + str(probe.doc_id)).encode()
+    ).hexdigest()
+
+
+def test_overlap_matrix_symmetric_bounds(spark, sf_dir):
+    got = rows(spark, "corpus_overlap_matrix", sf_dir)
+    seen = set()
+    for r in got:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0.0 <= r.jaccard <= r.containment <= 1.0
+
+
+def test_bitmap_presence_popcount(spark, sf_dir):
+    for r in rows(spark, "agg_bitmap_presence", sf_dir):
+        assert r.presence_bitmap >= 0  # slot 63 unused: never negative
+        assert r.n_slots == bin(r.presence_bitmap).count("1")
+        assert r.n_slots <= min(63, r.n_users)
+        # each set slot is justified by at least one user mod 63
+        assert r.n_slots >= 1
+
+
+def test_vwap_within_frame_price_range(spark, sf_dir):
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_shipdate",
+            F.expr("CAST(ROUND(l_extendedprice*100) AS BIGINT)").alias("pc"),
+            F.expr("CAST(ROUND(l_quantity) AS BIGINT)").alias("q"),
+        )
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(li, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber)):
+        series.setdefault(r.l_partkey, []).append(r)
+    vw = {
+        (r.l_partkey, r.l_orderkey, r.l_linenumber): r.vwap10
+        for r in rows(spark, "win_vwap", sf_dir)
+    }
+    # replay a few parts end-to-end
+    for pk in list(series)[:5]:
+        hist = series[pk]
+        for i, r in enumerate(hist):
+            frame = hist[max(0, i - 9) : i + 1]
+            spq = sum(x.pc * x.q for x in frame)
+            sq = sum(x.q for x in frame)
+            expect = spq / sq / 100
+            assert math.isclose(
+                vw[(pk, r.l_orderkey, r.l_linenumber)], expect, rel_tol=1e-12
+            )
+
+
+def test_bollinger_bands_geometry(spark, sf_dir):
+    for r in rows(spark, "ts_bollinger_bands", sf_dir):
+        assert r.sd7 >= 0
+        assert math.isclose(
+            r.upper_band - r.ma7, r.ma7 - r.lower_band, rel_tol=0, abs_tol=1e-9
+        )
+        assert r.lower_band <= r.ma7 <= r.upper_band
+
+
+def test_kendall_tau_matches_scipy_style_replay(spark, sf_dir):
+    (r,) = rows(spark, "agg_kendall_tau", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value*100) AS BIGINT)")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", c).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    conc = disc = tx = ty = n = 0
+    for i in range(len(d)):
+        for j in range(i + 1, len(d)):
+            a, b = d[i], d[j]
+            s = (a.x - b.x) * (a.y - b.y)
+            n += 1
+            if s > 0:
+                conc += 1
+            elif s < 0:
+                disc += 1
+            elif a.x == b.x and a.y != b.y:
+                tx += 1
+            elif a.y == b.y and a.x != b.x:
+                ty += 1
+    assert (r.concordant, r.discordant, r.n_pairs) == (conc, disc, n)
+    expect = (conc - disc) / (math.sqrt(n - tx) * math.sqrt(n - ty))
+    assert math.isclose(r.tau_b, expect, rel_tol=1e-12)
+    assert -1.0 <= r.tau_b <= 1.0
