@@ -3153,3 +3153,65 @@ def agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("tau_b"),
     )
+
+
+@query(
+    "agg_wilson_ci",
+    oracle="""
+WITH m AS (
+  SELECT event_type AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN CAST(round(value * 100) AS BIGINT) >= 24500
+                       THEN 1 ELSE 0 END) AS BIGINT) AS x
+  FROM events GROUP BY event_type
+)
+SELECT segment, n, x,
+       CAST(x AS DOUBLE) / n AS rate,
+       ((CAST(x AS DOUBLE) / n)
+          + CAST(3.8415 AS DOUBLE) / (2 * n)
+          - CAST(1.96 AS DOUBLE)
+            * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                   + CAST(3.8415 AS DOUBLE) / (4.0 * n * n)))
+         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_lo,
+       ((CAST(x AS DOUBLE) / n)
+          + CAST(3.8415 AS DOUBLE) / (2 * n)
+          + CAST(1.96 AS DOUBLE)
+            * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
+                   + CAST(3.8415 AS DOUBLE) / (4.0 * n * n)))
+         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_hi
+FROM m
+""",
+)
+def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Wilson score interval for the high-value-event rate per
+    segment — the binomial CI that behaves at small n and extreme
+    rates (unlike the Wald interval every naive dashboard ships).
+    z = 1.96 and z^2 = 3.8415 are embedded literals (CAST AS DOUBLE
+    both engines — the SPRT lesson: DuckDB parses bare decimals as
+    DECIMAL otherwise); counts are exact bigints and the interval is
+    one closed-form float expression in identical order (sqrt
+    correctly rounded) — bit-exact, no rounding. One partial+final
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    m = ev.groupBy(F.col("event_type").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.expr(cents("value")) >= 24500, 1).otherwise(0)
+        ).cast("bigint").alias("x"),
+    )
+    p = F.col("x").cast("double") / F.col("n")
+    z2 = F.lit(3.8415)
+    z = F.lit(1.96)
+    half = z * F.sqrt(
+        p * (1 - p) / F.col("n") + z2 / (4.0 * F.col("n") * F.col("n"))
+    )
+    center = p + z2 / (2 * F.col("n"))
+    denom = 1 + z2 / F.col("n")
+    return m.select(
+        "segment",
+        "n",
+        "x",
+        p.alias("rate"),
+        ((center - half) / denom).alias("wilson_lo"),
+        ((center + half) / denom).alias("wilson_hi"),
+    )
