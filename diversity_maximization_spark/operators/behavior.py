@@ -2106,3 +2106,120 @@ def agg_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "event_type string, v_fixed bigint, stationary double"
     )
+
+
+_CAMPAIGNS = [
+    ("wk1_push", "2024-01-03 00:00:00", "2024-01-05 00:00:00"),
+    ("midmonth_sale", "2024-01-12 00:00:00", "2024-01-16 00:00:00"),
+    ("payday_blitz", "2024-01-25 12:00:00", "2024-01-27 00:00:00"),
+]
+
+
+def _overlap_duration_oracle() -> str:
+    vals = ", ".join(
+        f"('{n}', TIMESTAMP '{s}', TIMESTAMP '{e}')" for n, s, e in _CAMPAIGNS
+    )
+    return f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+), camp(name, c_start, c_end) AS (VALUES {vals}),
+ov AS (
+  SELECT c.name, s.user_id, s.session_id,
+         greatest(CAST(0 AS BIGINT),
+           epoch_us(least(s.s_end, c.c_end))
+             - epoch_us(greatest(s.s_start, c.c_start))) AS us
+  FROM spans s CROSS JOIN camp c
+)
+SELECT name,
+       CAST(SUM(CASE WHEN us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions,
+       COUNT(DISTINCT CASE WHEN us > 0 THEN user_id END) AS n_users,
+       CAST(CAST(SUM(us) AS BIGINT) AS DOUBLE) / 1000000
+         AS total_overlap_sec
+FROM ov GROUP BY name
+"""
+
+
+@query("interval_overlap_duration", oracle=_overlap_duration_oracle())
+def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total session-time overlap with campaign windows: sessionize
+    (the win_sessionize kernel), then for each (session, campaign)
+    the intersection length greatest(0, min(ends) - max(starts)) in
+    EXACT epoch microseconds — the attribution denominator
+    ('how much attended time did each campaign actually get').
+    The campaign list is a 3-row literal relation broadcast onto the
+    session spans; all arithmetic is integer micros until the single
+    /1e6 descale. Session spans reuse one user-partitioned
+    exchange."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (
+                F.col("ts").cast("timestamp").cast("double")
+                - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w)
+                > 1800
+            )
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    spans = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    camp = spark.createDataFrame(
+        _CAMPAIGNS, "name string, c_start string, c_end string"
+    ).select(
+        "name",
+        F.col("c_start").cast("timestamp_ntz").alias("c_start"),
+        F.col("c_end").cast("timestamp_ntz").alias("c_end"),
+    )
+    us = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.expr(
+            "timestampdiff(MICROSECOND,"
+            " greatest(s_start, c_start), least(s_end, c_end))"
+        ),
+    )
+    ov = spans.crossJoin(F.broadcast(camp)).select(
+        "name", "user_id", "session_id", us.alias("us")
+    )
+    return ov.groupBy("name").agg(
+        F.sum(F.when(F.col("us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sessions"),
+        F.countDistinct(
+            F.when(F.col("us") > 0, F.col("user_id"))
+        ).alias("n_users"),
+        (F.sum("us").cast("bigint").cast("double") / 1000000).alias(
+            "total_overlap_sec"
+        ),
+    )
