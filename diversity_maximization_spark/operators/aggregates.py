@@ -3215,3 +3215,141 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("wilson_lo"),
         ((center + half) / denom).alias("wilson_hi"),
     )
+
+
+@query(
+    "sample_rolling_origin_cv",
+    oracle="""
+WITH d AS (
+  SELECT event_id,
+         date_diff('day',
+                   (SELECT date_trunc('day', MIN(ts)) FROM events),
+                   date_trunc('day', ts)) AS day_num
+  FROM events
+), folds(fold, train_end, test_end) AS (
+  VALUES (1, 7, 14), (2, 14, 21), (3, 21, 28)
+)
+SELECT f.fold,
+       CAST(f.train_end AS INTEGER) AS train_days,
+       CAST(SUM(CASE WHEN d.day_num < f.train_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       CAST(SUM(CASE WHEN d.day_num >= f.train_end
+                      AND d.day_num < f.test_end
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM d CROSS JOIN folds f
+GROUP BY f.fold, f.train_end
+""",
+)
+def sample_rolling_origin_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) time-series cross-validation
+    splits: fold k trains on days [0, 7k) and tests on [7k, 7k+7) —
+    the leakage-free CV for any forecasting model (random k-fold
+    leaks the future; sample_group_kfold handles the entity-leak
+    case, this handles the temporal one). Day numbers are exact
+    integer day-diffs from the corpus start; the 3-row fold relation
+    broadcasts and one aggregate emits every fold's train/test
+    census."""
+    ev = load(spark, sf_dir, "events")
+    t0 = ev.agg(F.date_trunc("day", F.min("ts")).alias("t0"))
+    d = ev.crossJoin(F.broadcast(t0)).select(
+        "event_id",
+        F.expr("datediff(date_trunc('day', ts), t0)").alias("day_num"),
+    )
+    folds = spark.createDataFrame(
+        [(1, 7, 14), (2, 14, 21), (3, 21, 28)],
+        "fold int, train_end int, test_end int",
+    )
+    out = (
+        d.crossJoin(F.broadcast(folds))
+        .groupBy("fold", "train_end")
+        .agg(
+            F.sum(
+                F.when(F.col("day_num") < F.col("train_end"), 1).otherwise(0)
+            ).cast("bigint").alias("n_train"),
+            F.sum(
+                F.when(
+                    (F.col("day_num") >= F.col("train_end"))
+                    & (F.col("day_num") < F.col("test_end")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_test"),
+        )
+    )
+    return out.select(
+        "fold",
+        F.col("train_end").alias("train_days"),
+        "n_train",
+        "n_test",
+    )
+
+
+@query(
+    "agg_cohens_kappa",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) >= 24500
+              THEN 1 ELSE 0 END AS rater_a,
+         CASE WHEN event_type IN ('purchase', 'click')
+              THEN 1 ELSE 0 END AS rater_b
+  FROM events
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN rater_a = rater_b THEN 1 ELSE 0 END)
+              AS BIGINT) AS agree,
+         CAST(SUM(rater_a) AS BIGINT) AS a1,
+         CAST(SUM(rater_b) AS BIGINT) AS b1
+  FROM s
+)
+SELECT n, agree, a1, b1,
+       CAST(agree AS DOUBLE) / n AS po,
+       (CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+         / (CAST(n AS DOUBLE) * n) AS pe,
+       (CAST(agree AS DOUBLE) / n
+          - (CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+            / (CAST(n AS DOUBLE) * n))
+         / (1 - (CAST(a1 AS DOUBLE) * b1 + CAST(n - a1 AS DOUBLE) * (n - b1))
+               / (CAST(n AS DOUBLE) * n)) AS kappa
+FROM m
+""",
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa agreement between two binary labelers (a value
+    threshold vs an event-type rule) — the chance-corrected metric
+    for judging weak labelers / LLM-judge agreement before trusting
+    either for training-data filtering. Marginals and agreement are
+    exact bigints; po, pe, and kappa are float expressions of those
+    integers in identical order (products stay in double's exact
+    range far beyond any row count here). One partial+final
+    aggregate."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.expr(cents("value")) >= 24500, 1).otherwise(0).alias(
+            "rater_a"
+        ),
+        F.when(
+            F.col("event_type").isin("purchase", "click"), 1
+        ).otherwise(0).alias("rater_b"),
+    )
+    m = s.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("rater_a") == F.col("rater_b"), 1).otherwise(0)
+        ).cast("bigint").alias("agree"),
+        F.sum("rater_a").cast("bigint").alias("a1"),
+        F.sum("rater_b").cast("bigint").alias("b1"),
+    )
+    nd = F.col("n").cast("double")
+    po = F.col("agree").cast("double") / F.col("n")
+    pe = (
+        F.col("a1").cast("double") * F.col("b1")
+        + (F.col("n") - F.col("a1")).cast("double") * (F.col("n") - F.col("b1"))
+    ) / (nd * F.col("n"))
+    return m.select(
+        "n",
+        "agree",
+        "a1",
+        "b1",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (1 - pe)).alias("kappa"),
+    )
