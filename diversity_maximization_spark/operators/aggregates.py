@@ -3165,6 +3165,7 @@ WITH m AS (
                        THEN 1 ELSE 0 END) AS BIGINT) AS x
   FROM events GROUP BY event_type
 )
+, raw AS (
 SELECT segment, n, x,
        CAST(x AS DOUBLE) / n AS rate,
        ((CAST(x AS DOUBLE) / n)
@@ -3172,14 +3173,19 @@ SELECT segment, n, x,
           - CAST(1.96 AS DOUBLE)
             * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
                    + CAST(3.8415 AS DOUBLE) / (4.0 * n * n)))
-         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_lo,
+         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_lo_raw,
        ((CAST(x AS DOUBLE) / n)
           + CAST(3.8415 AS DOUBLE) / (2 * n)
           + CAST(1.96 AS DOUBLE)
             * sqrt((CAST(x AS DOUBLE) / n) * (1 - CAST(x AS DOUBLE) / n) / n
                    + CAST(3.8415 AS DOUBLE) / (4.0 * n * n)))
-         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_hi
+         / (1 + CAST(3.8415 AS DOUBLE) / n) AS wilson_hi_raw
 FROM m
+)
+SELECT segment, n, x, rate,
+       greatest(CAST(0 AS DOUBLE), wilson_lo_raw) AS wilson_lo,
+       least(CAST(1 AS DOUBLE), wilson_hi_raw) AS wilson_hi
+FROM raw
 """,
 )
 def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3190,8 +3196,10 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines — the SPRT lesson: DuckDB parses bare decimals as
     DECIMAL otherwise); counts are exact bigints and the interval is
     one closed-form float expression in identical order (sqrt
-    correctly rounded) — bit-exact, no rounding. One partial+final
-    aggregate."""
+    correctly rounded) — bit-exact, no rounding; bounds clamp to
+    [0, 1] in BOTH engines (the z vs z^2 literal pair is not an
+    exact square, so the x=0 lower bound lands a few 1e-8 below
+    zero before the clamp). One partial+final aggregate."""
     ev = load(spark, sf_dir, "events")
     m = ev.groupBy(F.col("event_type").alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
@@ -3212,8 +3220,8 @@ def agg_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "x",
         p.alias("rate"),
-        ((center - half) / denom).alias("wilson_lo"),
-        ((center + half) / denom).alias("wilson_hi"),
+        F.greatest(F.lit(0.0), (center - half) / denom).alias("wilson_lo"),
+        F.least(F.lit(1.0), (center + half) / denom).alias("wilson_hi"),
     )
 
 

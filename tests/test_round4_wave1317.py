@@ -154,3 +154,48 @@ def test_kendall_tau_matches_scipy_style_replay(spark, sf_dir):
     expect = (conc - disc) / (math.sqrt(n - tx) * math.sqrt(n - ty))
     assert math.isclose(r.tau_b, expect, rel_tol=1e-12)
     assert -1.0 <= r.tau_b <= 1.0
+
+
+def test_wilson_ci_brackets_rate(spark, sf_dir):
+    for r in rows(spark, "agg_wilson_ci", sf_dir):
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0
+        # interval shrinks like 1/sqrt(n): generous 3z/sqrt(n) cap
+        assert r.wilson_hi - r.wilson_lo <= 3 * 1.96 / math.sqrt(r.n)
+
+
+def test_overlap_duration_bounded_by_campaign_length(spark, sf_dir):
+    from diversity_maximization_spark.operators.behavior import _CAMPAIGNS
+    import datetime
+
+    lens = {
+        n: (
+            datetime.datetime.fromisoformat(e)
+            - datetime.datetime.fromisoformat(s)
+        ).total_seconds()
+        for n, s, e in _CAMPAIGNS
+    }
+    got = rows(spark, "interval_overlap_duration", sf_dir)
+    assert {r.name for r in got} == set(lens)
+    for r in got:
+        assert 0 <= r.n_users <= r.n_sessions
+        # each overlapping session contributes at most the campaign span
+        assert r.total_overlap_sec <= r.n_sessions * lens[r.name] + 1e-6
+
+
+def test_rolling_origin_cv_monotone_train(spark, sf_dir):
+    got = sorted(rows(spark, "sample_rolling_origin_cv", sf_dir), key=lambda r: r.fold)
+    assert [r.fold for r in got] == [1, 2, 3]
+    trains = [r.n_train for r in got]
+    assert trains == sorted(trains)  # expanding window
+    # fold k+1's train set includes fold k's train+test exactly
+    for a, b in zip(got, got[1:]):
+        assert b.n_train == a.n_train + a.n_test
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    (r,) = rows(spark, "agg_cohens_kappa", sf_dir)
+    assert math.isclose(r.po, r.agree / r.n, rel_tol=1e-12)
+    pe = (r.a1 * r.b1 + (r.n - r.a1) * (r.n - r.b1)) / (r.n * r.n)
+    assert math.isclose(r.pe, pe, rel_tol=1e-12)
+    assert math.isclose(r.kappa, (r.po - pe) / (1 - pe), rel_tol=1e-12)
+    assert -1.0 <= r.kappa <= 1.0
