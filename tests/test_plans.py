@@ -175,6 +175,9 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         # two-arm stats row, margins-x-grand totals
         "agg_ttest_welch", "agg_chi2_cells", "agg_mutual_info",
         "ts_stl_decompose",
+        # round-4: 1-row broadcast scalars (decile total; pivot +
+        # pre-period sums) and the bounded O(days^2) pair join
+        "agg_lorenz_curve", "ts_pre_post_impact", "agg_kendall_tau",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
