@@ -3361,3 +3361,111 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (1 - pe)).alias("kappa"),
     )
+
+
+@query(
+    "agg_mcnemar_test",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) >= 24500
+              THEN 1 ELSE 0 END AS rater_a,
+         CASE WHEN event_type IN ('purchase', 'click')
+              THEN 1 ELSE 0 END AS rater_b
+  FROM events
+), m AS (
+  SELECT CAST(SUM(CASE WHEN rater_a = 1 AND rater_b = 0
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN rater_a = 0 AND rater_b = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM s
+)
+SELECT b, c,
+       CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+         AS mcnemar_chi2,
+       CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+         > CAST(3.841 AS DOUBLE) AS reject_h0
+FROM m
+""",
+)
+def agg_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on the two weak labelers of agg_cohens_kappa:
+    do they disagree SYMMETRICALLY (null) or is one systematically
+    stricter? chi2 = (b - c)^2 / (b + c) over the discordant cell
+    counts — exact integers into one double division; the verdict
+    compares against the chi2(1) 5% critical value as an embedded
+    double literal. Kappa says 'how much they agree'; McNemar says
+    'whose errors are biased' — a labeler-audit needs both. One
+    partial+final aggregate."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(F.expr(cents("value")) >= 24500, 1).otherwise(0).alias(
+            "rater_a"
+        ),
+        F.when(
+            F.col("event_type").isin("purchase", "click"), 1
+        ).otherwise(0).alias("rater_b"),
+    )
+    m = s.agg(
+        F.sum(
+            F.when((F.col("rater_a") == 1) & (F.col("rater_b") == 0), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("b"),
+        F.sum(
+            F.when((F.col("rater_a") == 0) & (F.col("rater_b") == 1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("c"),
+    )
+    chi2 = (
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast("double")
+        / (F.col("b") + F.col("c")).cast("double")
+    )
+    return m.select(
+        "b", "c", chi2.alias("mcnemar_chi2"), (chi2 > 3.841).alias("reject_h0")
+    )
+
+
+@query(
+    "agg_inverse_simpson",
+    oracle="""
+WITH m AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source, lang
+), agg AS (
+  SELECT source,
+         CAST(SUM(n) AS BIGINT) AS total,
+         CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM m GROUP BY source
+)
+SELECT source, total, n_langs,
+       CAST(total * total AS DOUBLE) / CAST(sum_sq AS DOUBLE)
+         AS effective_langs
+FROM agg
+""",
+)
+def agg_inverse_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Simpson diversity (Hill number D2) of the language mix
+    per source: (sum n)^2 / sum(n^2) — the 'effective number of
+    languages' a corpus slice really has (a feed that is 99% one
+    language scores ~1 however many langs it nominally lists). All
+    integers until one double division — no entropy/exp needed, so
+    no libm exposure at all. Two stacked aggregates on the source
+    key; the mix-balancing companion to corpus_diversity_by_source."""
+    d = load(spark, sf_dir, "documents")
+    m = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    agg = m.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_sq"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )
+    return agg.select(
+        "source",
+        "total",
+        "n_langs",
+        (
+            (F.col("total") * F.col("total")).cast("double")
+            / F.col("sum_sq").cast("double")
+        ).alias("effective_langs"),
+    )
