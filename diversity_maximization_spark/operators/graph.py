@@ -638,3 +638,144 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("assortativity"),
     )
+
+
+_PPR_R = 1_000_000_000_000
+_PPR_P = 1_000_000
+_PPR_ITERS = 10
+_PPR_BRAND = "Brand#11"
+_PPR_TOPN = 25
+
+
+def _ppr_oracle() -> str:
+    head = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS (
+  SELECT a.p AS src, b.p AS dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p <> b.p
+  GROUP BY a.p, b.p
+), trans AS (
+  SELECT e.src, e.dst, (e.w * {_PPR_P}) // o.out_w AS p_scaled
+  FROM und e JOIN (SELECT src, SUM(w) AS out_w FROM und GROUP BY src) o
+    ON e.src = o.src
+), nodes AS (
+  SELECT DISTINCT src FROM trans
+), seeds AS (
+  SELECT n.src FROM nodes n
+  JOIN part p ON p.p_partkey = n.src AND p.p_brand = '{_PPR_BRAND}'
+), ns AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_seeds FROM seeds
+), r0 AS (
+  SELECT n.src,
+         CASE WHEN s.src IS NOT NULL
+              THEN {_PPR_R} // (SELECT n_seeds FROM ns)
+              ELSE 0 END AS rank_scaled
+  FROM nodes n LEFT JOIN seeds s ON n.src = s.src
+)"""
+    rounds = []
+    for i in range(1, _PPR_ITERS + 1):
+        rounds.append(f"""
+, r{i} AS (
+  SELECT t.dst AS src,
+         CASE WHEN s.src IS NOT NULL
+              THEN ((15 * {_PPR_R}) // 100) // (SELECT n_seeds FROM ns)
+              ELSE 0 END
+           + (85 * SUM((r.rank_scaled * t.p_scaled) // {_PPR_P})) // 100
+           AS rank_scaled
+  FROM trans t JOIN r{i - 1} r ON t.src = r.src
+  LEFT JOIN seeds s ON t.dst = s.src
+  GROUP BY t.dst, s.src
+)"""
+        )
+    tail = f"""
+SELECT src AS p_partkey, CAST(rank_scaled AS BIGINT) AS rank_scaled
+FROM r{_PPR_ITERS}
+ORDER BY rank_scaled DESC, src LIMIT {_PPR_TOPN}
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_ppr_exact", oracle=_ppr_oracle())
+def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank on the part co-order graph, restarted at
+    one brand's parts — 'which parts does THIS brand's purchase
+    neighborhood actually reach' (the related-items / expansion
+    primitive behind recommendation candidate generation). Same
+    scaled-integer fixed-point recipe as text_pagerank_exact (rank
+    1e12, transitions 1e6, floor division both engines, per-node
+    sums order-independent bigints) with the restart mass
+    concentrated on the seed set instead of uniform. One equi-join
+    shuffle per iteration over the edge table; rank state stays
+    node-sized; top-25 is TakeOrdered."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    pairs = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pairs.alias("a")
+    b = pairs.alias("b")
+    und = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .groupBy(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    out_w = und.groupBy("src").agg(F.sum("w").alias("out_w"))
+    trans = (
+        und.join(out_w, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(w * {_PPR_P}) div out_w").alias("p_scaled"),
+        )
+        .cache()
+    )
+    nodes = trans.select("src").distinct()
+    seeds = nodes.join(
+        part.where(F.col("p_brand") == _PPR_BRAND).select(
+            F.col("p_partkey").alias("src")
+        ),
+        "src",
+    ).cache()
+    n_seeds = seeds.count()
+    seed_flag = seeds.withColumn("is_seed", F.lit(1))
+    base_seed = ((15 * _PPR_R) // 100) // n_seeds
+    ranks = (
+        nodes.join(seed_flag, "src", "left")
+        .select(
+            "src",
+            F.when(F.col("is_seed").isNotNull(), F.lit(_PPR_R // n_seeds))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+    )
+    for i in range(_PPR_ITERS):
+        ranks = (
+            trans.join(ranks, "src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.expr(f"(rank_scaled * p_scaled) div {_PPR_P}")
+                ).alias("in_sum")
+            )
+            .join(seed_flag.select(F.col("src").alias("dst"), "is_seed"), "dst", "left")
+            .select(
+                F.col("dst").alias("src"),
+                (
+                    F.when(
+                        F.col("is_seed").isNotNull(), F.lit(base_seed)
+                    ).otherwise(F.lit(0))
+                    + F.expr("(85 * in_sum) div 100")
+                )
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+        )
+        if (i + 1) % 5 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+    return (
+        ranks.select(F.col("src").alias("p_partkey"), "rank_scaled")
+        .orderBy(F.col("rank_scaled").desc(), "p_partkey")
+        .limit(_PPR_TOPN)
+    )
