@@ -841,3 +841,69 @@ def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+def _ht_estimate_oracle() -> str:
+    from ..functions.hashing import md5_u32_duck
+
+    u = md5_u32_duck("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH mx AS (
+  SELECT CAST(MAX(n_chars) AS BIGINT) AS max_w FROM documents
+), s AS (
+  SELECT d.source, CAST(d.n_chars AS BIGINT) AS w,
+         CASE WHEN {u} * mx.max_w
+                   < CAST(d.n_chars AS BIGINT) * 4294967296
+              THEN 1 ELSE 0 END AS acc
+  FROM documents d, mx
+)
+SELECT source,
+       CAST(SUM(w) AS BIGINT) AS true_total_chars,
+       CAST(SUM(acc) AS BIGINT) AS n_accepted,
+       CAST(CAST(SUM(acc) AS BIGINT) * (SELECT max_w FROM mx) AS BIGINT)
+         AS ht_estimate_chars,
+       (CAST(CAST(SUM(acc) AS BIGINT) * (SELECT max_w FROM mx) AS BIGINT)
+          - CAST(SUM(w) AS BIGINT))
+         / CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) AS rel_err
+FROM s GROUP BY source
+"""
+
+
+@query("sample_ht_estimate", oracle=_ht_estimate_oracle())
+def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson total estimation over the sample_importance
+    draw: with inclusion probability p_i = w_i / max_w, each accepted
+    item contributes w_i / p_i = max_w EXACTLY, so the HT estimate of
+    total corpus chars per source is just n_accepted * max_w — an
+    integer — and the audit reports it against the true total with
+    one double division. Demonstrates the estimator a pipeline uses
+    to monitor what its own downsampling is doing, with zero float
+    probability anywhere."""
+    from ..functions.hashing import md5_u32_spark
+
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").cast("bigint").alias("max_w"))
+    s = d.crossJoin(F.broadcast(mx)).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("w"),
+        "max_w",
+        F.when(
+            md5_u32_spark(F.col("doc_id").cast("string")) * F.col("max_w")
+            < F.col("n_chars").cast("bigint") * F.lit(4294967296),
+            1,
+        ).otherwise(0).alias("acc"),
+    )
+    return s.groupBy("source").agg(
+        F.sum("w").cast("bigint").alias("true_total_chars"),
+        F.sum("acc").cast("bigint").alias("n_accepted"),
+        (F.sum("acc").cast("bigint") * F.first("max_w"))
+        .cast("bigint")
+        .alias("ht_estimate_chars"),
+        (
+            (
+                F.sum("acc").cast("bigint") * F.first("max_w")
+                - F.sum("w").cast("bigint")
+            )
+            / F.sum("w").cast("bigint").cast("double")
+        ).alias("rel_err"),
+    )

@@ -3469,3 +3469,89 @@ def agg_inverse_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("sum_sq").cast("double")
         ).alias("effective_langs"),
     )
+
+
+@query(
+    "agg_two_proportion_z",
+    oracle="""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT)
+           AS x1,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT)
+           AS x2
+  FROM arms
+)
+SELECT n1, x1, n2, x2,
+       CAST(x1 AS DOUBLE) / n1 AS p1,
+       CAST(x2 AS DOUBLE) / n2 AS p2,
+       (CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+         / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2))
+         AS z_stat,
+       abs((CAST(x1 AS DOUBLE) / n1 - CAST(x2 AS DOUBLE) / n2)
+           / sqrt((CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (1 - CAST(x1 + x2 AS DOUBLE) / (n1 + n2))
+                  * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)))
+         > CAST(1.96 AS DOUBLE) AS reject_h0
+FROM m
+""",
+)
+def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test between experiment arms — the
+    conversion-rate significance readout (the discrete counterpart
+    to agg_ttest_welch). Counts are exact bigints; p1, p2, the
+    pooled variance, and z are one float expression in identical
+    order (sqrt correctly rounded); the verdict compares |z| against
+    1.96 as an embedded double. One partial+final aggregate over the
+    assignment scan."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    m = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x1"),
+        F.sum(F.when(F.col("arm") == "B", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("x2"),
+    )
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            F.lit(1.0) / F.col("n1")
+            + F.lit(1.0) / F.col("n2")
+        )
+    )
+    return m.select(
+        "n1",
+        "x1",
+        "n2",
+        "x2",
+        p1.alias("p1"),
+        p2.alias("p2"),
+        z.alias("z_stat"),
+        (F.abs(z) > 1.96).alias("reject_h0"),
+    )
