@@ -199,3 +199,64 @@ def test_cohens_kappa_identities(spark, sf_dir):
     assert math.isclose(r.pe, pe, rel_tol=1e-12)
     assert math.isclose(r.kappa, (r.po - pe) / (1 - pe), rel_tol=1e-12)
     assert -1.0 <= r.kappa <= 1.0
+
+
+def test_mcnemar_discordant_cells_match_kappa_marginals(spark, sf_dir):
+    (mc,) = rows(spark, "agg_mcnemar_test", sf_dir)
+    (kp,) = rows(spark, "agg_cohens_kappa", sf_dir)
+    # b + c = total disagreements = n - agree
+    assert mc.b + mc.c == kp.n - kp.agree
+    # and the marginal identity: a1 - b? a1 = tp + b, b1 = tp + c
+    assert mc.b - mc.c == kp.a1 - kp.b1
+    assert mc.mcnemar_chi2 >= 0
+
+
+def test_inverse_simpson_bounds(spark, sf_dir):
+    for r in rows(spark, "agg_inverse_simpson", sf_dir):
+        # 1 <= D2 <= number of categories
+        assert 1.0 - 1e-12 <= r.effective_langs <= r.n_langs + 1e-12
+
+
+def test_ppr_mass_concentrates_on_seed_brand(spark, sf_dir):
+    from diversity_maximization_spark.operators.graph import (
+        _PPR_BRAND,
+        _PPR_R,
+    )
+
+    got = rows(spark, "graph_ppr_exact", sf_dir)
+    assert got, "PPR must return rankings"
+    ranks = [r.rank_scaled for r in got]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(0 <= v <= _PPR_R for v in ranks)
+    # seed parts should be overrepresented in the top ranks vs their
+    # share of the graph (restart mass lands on them every round)
+    brands = {
+        r.p_partkey: r.p_brand
+        for r in load(spark, sf_dir, "part").collect()
+    }
+    top5_seed = sum(1 for r in got[:5] if brands[r.p_partkey] == _PPR_BRAND)
+    assert top5_seed >= 1
+
+
+def test_ht_estimator_is_integer_multiple(spark, sf_dir):
+    got = rows(spark, "sample_ht_estimate", sf_dir)
+    mx = max(
+        r.n_chars
+        for r in load(spark, sf_dir, "documents").select("n_chars").collect()
+    )
+    for r in got:
+        assert r.ht_estimate_chars == r.n_accepted * mx
+        assert math.isclose(
+            r.rel_err,
+            (r.ht_estimate_chars - r.true_total_chars) / r.true_total_chars,
+            rel_tol=1e-12,
+        )
+
+
+def test_two_proportion_z_identities(spark, sf_dir):
+    (r,) = rows(spark, "agg_two_proportion_z", sf_dir)
+    assert r.n1 + r.n2 > 0 and r.x1 <= r.n1 and r.x2 <= r.n2
+    pp = (r.x1 + r.x2) / (r.n1 + r.n2)
+    z = (r.p1 - r.p2) / math.sqrt(pp * (1 - pp) * (1 / r.n1 + 1 / r.n2))
+    assert math.isclose(r.z_stat, z, rel_tol=1e-12)
+    assert r.reject_h0 == (abs(r.z_stat) > 1.96)
