@@ -3555,3 +3555,78 @@ def agg_two_proportion_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > 1.96).alias("reject_h0"),
     )
+
+
+@query(
+    "agg_odds_ratio",
+    oracle="""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events
+), m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN arm = 'A' THEN 1 - conv ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 - conv ELSE 0 END) AS BIGINT) AS d
+  FROM arms
+)
+SELECT a, b, c, d,
+       CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE) AS odds_ratio,
+       round(ln(CAST(a * d AS DOUBLE) / CAST(b * c AS DOUBLE)), 9)
+         AS log_or,
+       round(sqrt(CAST(1 AS DOUBLE) / a + CAST(1 AS DOUBLE) / b
+                  + CAST(1 AS DOUBLE) / c + CAST(1 AS DOUBLE) / d), 9)
+         AS se_log_or
+FROM m
+""",
+)
+def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Odds ratio of conversion between experiment arms with the
+    Woolf log-scale standard error — the effect-size readout that
+    composes across studies (meta-analysis) where risk differences
+    don't. The 2x2 cells are exact bigints; the OR is one double
+    division of exact products; ln and the se are rounded at 9 dp
+    (the ln discipline — 1-ulp libm divergence at O(1) scale).
+    One partial+final aggregate."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "conv"
+        ),
+    )
+    m = arms.agg(
+        F.sum(F.when(F.col("arm") == "A", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("arm") == "A", 1 - F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(F.col("arm") == "B", F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("arm") == "B", 1 - F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    orx = (F.col("a") * F.col("d")).cast("double") / (
+        F.col("b") * F.col("c")
+    ).cast("double")
+    return m.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        orx.alias("odds_ratio"),
+        F.round(F.log(orx), 9).alias("log_or"),
+        F.round(
+            F.sqrt(
+                F.lit(1.0) / F.col("a")
+                + F.lit(1.0) / F.col("b")
+                + F.lit(1.0) / F.col("c")
+                + F.lit(1.0) / F.col("d")
+            ),
+            9,
+        ).alias("se_log_or"),
+    )
