@@ -943,3 +943,110 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(n_input), int(emitted), int(n_input - emitted))],
         "n_input bigint, n_emitted bigint, n_open bigint",
     )
+
+
+@query(
+    "stream_sessionize_state",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, event_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATEFUL streaming sessionization: a per-user
+    applyInPandasWithState processor carrying (session_id, n_events,
+    start_us, last_us) across micro-batches — the 30-min-gap rule of
+    win_sessionize as distributed keyed state instead of a batch
+    window. Each batch folds that user's new events in (ts,
+    event_id) order, opening a new session when the gap exceeds
+    1800 s, and emits the latest snapshot of EVERY session it
+    touched (a session that closes mid-batch still gets its final
+    row). n_events is monotone within a session and batch slices are
+    time-ordered, so the last emission per (user, session) IS the
+    completed session, and the census hash-matches the batch SQL
+    oracle — batch-boundary independence, the stream_funnel
+    equivalence claim applied to sessionization. State per user is
+    one 4-field record regardless of history length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+
+    def handler(key, pdfs, state: GroupState):
+        if state.exists:
+            sid, n_ev, start_us, last_us = state.get
+        else:
+            sid, n_ev, start_us, last_us = 0, 0, 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        touched = {}
+        for ts in rows["ts"]:
+            us = int(ts.value) // 1000  # pandas ns -> us
+            if sid == 0 or us - last_us > 1_800_000_000:
+                sid, n_ev, start_us = sid + 1, 0, us
+            n_ev += 1
+            last_us = us
+            touched[sid] = (n_ev, start_us, last_us)
+        state.update((sid, n_ev, start_us, last_us))
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "session_id": list(touched),
+                    "n_events": [v[0] for v in touched.values()],
+                    "start_us": [v[1] for v in touched.values()],
+                    "end_us": [v[2] for v in touched.values()],
+                }
+            )
+
+    snap = (
+        st.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handler,
+            "user_id bigint, session_id bigint, n_events bigint,"
+            " start_us bigint, end_us bigint",
+            "sid bigint, n_ev bigint, start_us bigint, last_us bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(snap, _fresh("sess_state"), mode="update")
+    final = out.groupBy("user_id", "session_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.min("start_us").alias("start_us"),
+        F.max("end_us").alias("end_us"),
+    )
+    return final.select(
+        "user_id",
+        "session_id",
+        "n_events",
+        F.expr(
+            "timestampadd(MICROSECOND, start_us,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        ).alias("session_start"),
+        F.expr(
+            "timestampadd(MICROSECOND, end_us,"
+            " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
+        ).alias("session_end"),
+    )
