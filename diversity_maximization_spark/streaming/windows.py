@@ -1050,3 +1050,86 @@ def stream_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             " TIMESTAMP_NTZ'1970-01-01 00:00:00')"
         ).alias("session_end"),
     )
+
+
+@query(
+    "stream_minmax_state",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS min_value,
+       CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100
+         AS max_value,
+       CAST(CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+            AS DOUBLE) / 100 AS total_value
+FROM events GROUP BY event_type
+""",
+)
+def stream_minmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed numeric state accumulators over the stream: per event
+    type, a constant-size (count, min, max, sum) record updated by
+    applyInPandasWithState each micro-batch — the running-metrics
+    monitor every ingestion job keeps. Cents are exact integers in
+    state, so accumulation is order- and batch-boundary-independent
+    and the final update-mode snapshot per key (count is monotone —
+    take the max-count row) hash-matches the batch GROUP BY oracle.
+    State per key: four bigints, forever."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+
+    def handler(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mn, mx, s = state.get
+        else:
+            n, mn, mx, s = 0, None, None, 0
+        for pdf in pdfs:
+            cents = (pdf["value"] * 100).round().astype("int64")
+            if len(cents):
+                n += len(cents)
+                cmn, cmx = int(cents.min()), int(cents.max())
+                mn = cmn if mn is None else min(mn, cmn)
+                mx = cmx if mx is None else max(mx, cmx)
+                s += int(cents.sum())
+        state.update((n, mn, mx, s))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_events": [n],
+                "min_c": [mn],
+                "max_c": [mx],
+                "sum_c": [s],
+            }
+        )
+
+    snap = (
+        st.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            handler,
+            "event_type string, n_events bigint, min_c bigint,"
+            " max_c bigint, sum_c bigint",
+            "n bigint, mn bigint, mx bigint, s bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(snap, _fresh("minmax_state"), mode="update")
+    w = out.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("n_events", "min_c", "max_c", "sum_c"), F.col("n_events")
+        ).alias("fin")
+    )
+    return w.select(
+        "event_type",
+        F.col("fin.n_events").alias("n_events"),
+        (F.col("fin.min_c").cast("double") / 100).alias("min_value"),
+        (F.col("fin.max_c").cast("double") / 100).alias("max_value"),
+        (F.col("fin.sum_c").cast("double") / 100).alias("total_value"),
+    )
