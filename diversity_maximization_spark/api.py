@@ -703,3 +703,60 @@ def neighbor_jaccard(
     from .operators.graph import neighbor_jaccard_over
 
     return neighbor_jaccard_over(df, basket_col, item_col, min_jaccard)
+
+
+def roc_auc(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Exact tie-corrected rank-sum ROC AUC of a numeric score
+    against a 0/1 label column. Quantize float scores to integers
+    first (e.g. cents) for cross-engine bit-stability. Delegates to
+    operators.aggregates.roc_auc_over (the registered agg_roc_auc
+    kernel)."""
+    from .operators.aggregates import roc_auc_over
+
+    return roc_auc_over(df, score_col, label_col)
+
+
+def gap_islands(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Maximal consecutive-day activity runs per key (gaps-and-
+    islands). Delegates to operators.windows.gap_islands_over (the
+    registered win_gap_islands kernel)."""
+    from .operators.windows import gap_islands_over
+
+    return gap_islands_over(df, key_col, ts_col)
+
+
+def facility_location(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy submodular facility-location selection of k exemplars
+    (1 - 1/e guarantee) with integer-exact distributed state.
+    Delegates to llm.decontam.facility_location_over (the registered
+    select_facility_location kernel). Run it on a coreset
+    (api.gmm_coreset) when the corpus exceeds pair-table scale."""
+    from .llm.decontam import facility_location_over
+
+    return facility_location_over(df, k, id_col=id_col, vec_col=vec_col)
+
+
+def bm25(
+    docs: DataFrame,
+    terms: list,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    topn: int = 20,
+) -> DataFrame:
+    """BM25 top-n retrieval for a term list over any (id, text)
+    corpus. Delegates to llm.textstats.bm25_over (the registered
+    text_bm25_topk kernel)."""
+    from .llm.textstats import bm25_over
+
+    return bm25_over(
+        docs, terms, id_col=id_col, text_col=text_col, topn=topn
+    )

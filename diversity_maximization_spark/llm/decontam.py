@@ -675,6 +675,24 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical integers over the same MATERIALIZED pair table
     (~11 s at sf0.1 — documented naive-oracle cost, PLANS.md)."""
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return facility_location_over(e, k=_FL_K)
+
+
+def facility_location_over(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy facility-location kernel over any (id, vector) frame —
+    shared by select_facility_location and api.facility_location.
+    Similarities quantize to BIGINT at 1e9 so greedy state is
+    order-independent integers (see the registered key's docstring
+    for the scale argument)."""
+    spark = df.sparkSession
+    e = df.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+    )
     sqf = "aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
     en = e.select(
         "vec_id",
@@ -711,7 +729,7 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked: list = []
     out = []
-    for r in range(_FL_K):
+    for r in range(k):
         gains = (
             pairs.where(~F.col("c").isin([p for p in picked]))
             .join(state, "v")

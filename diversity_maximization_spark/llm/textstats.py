@@ -1243,6 +1243,23 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against a 3-row broadcast term list, df is term-sized, and the
     final ranking is TakeOrdered(20) — no global sort."""
     d = load(spark, sf_dir, "documents")
+    return bm25_over(d, _BM25_TERMS)
+
+
+def bm25_over(
+    docs,
+    terms,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = _BM25_K1,
+    b: float = _BM25_B,
+    topn: int = 20,
+):
+    """BM25 top-n kernel over any (id, text) frame for a term list —
+    shared by text_bm25_topk and api.bm25."""
+    d = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
     )
@@ -1253,8 +1270,8 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    q = load(spark, sf_dir, "documents").sparkSession.createDataFrame(
-        [(t,) for t in _BM25_TERMS], "term string"
+    q = docs.sparkSession.createDataFrame(
+        [(t,) for t in terms], "term string"
     )
     tf = (
         toks.join(F.broadcast(q), toks.w == q.term)
@@ -1264,7 +1281,6 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_ = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
-    k1, b = _BM25_K1, _BM25_B
     scored = (
         tf.join(dl, "doc_id")
         .join(F.broadcast(df_), "term")
@@ -1307,4 +1323,4 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("bm25")
     )
-    return agg.orderBy(F.desc("bm25"), "doc_id").limit(20)
+    return agg.orderBy(F.desc("bm25"), "doc_id").limit(topn)

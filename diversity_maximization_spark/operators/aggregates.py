@@ -2538,13 +2538,26 @@ def agg_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     only data-sized pass is the first groupBy. BIGINT headroom: R2
     <= 2n^2, exact up to n ~ 2e9 rows per AUC computation."""
     ev = load(spark, sf_dir, "events")
-    g = ev.groupBy(F.expr(cents("value")).alias("s")).agg(
-        F.count(F.lit(1)).alias("cnt"),
-        F.sum(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("pos"),
+    scored = ev.select(
+        F.expr(cents("value")).alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "pos"
+        ),
     )
-    # bounded: distinct 2-dp cents of events.value (<= ~49k rows)
+    return roc_auc_over(scored, "s", "pos")
+
+
+def roc_auc_over(df: DataFrame, score_col: str, pos_col: str) -> DataFrame:
+    """Exact tie-corrected rank-sum AUC kernel over (score, 0/1
+    label) rows — shared by agg_roc_auc and api.roc_auc. Scores
+    should be integer-exact (e.g. cents) for cross-engine
+    bit-stability; the grouped score table bounds the prefix
+    window."""
+    g = df.groupBy(F.col(score_col).alias("s")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(pos_col).alias("pos"),
+    )
+    # bounded: distinct values of the (quantized) score domain
     w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     r = g.withColumn(
         "cum_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))

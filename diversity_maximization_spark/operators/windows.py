@@ -877,21 +877,29 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     state per user is its distinct-day count. Day boundaries stay
     TIMESTAMP in the output (DATE-coercion trap)."""
     ev = load(spark, sf_dir, "events")
-    days = ev.select(
-        "user_id", F.date_trunc("day", "ts").alias("day")
+    return gap_islands_over(ev, "user_id", "ts")
+
+
+def gap_islands_over(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Consecutive-day island kernel over (key, timestamp) rows —
+    shared by win_gap_islands and api.gap_islands."""
+    days = df.select(
+        key_col, F.date_trunc("day", ts_col).alias("day")
     ).distinct()
-    w = Window.partitionBy("user_id").orderBy("day")
+    w = Window.partitionBy(key_col).orderBy("day")
     a = days.withColumn("rn", F.row_number().over(w)).withColumn(
         "anchor", F.expr("date_add(CAST(day AS DATE), -CAST(rn AS INT))")
     )
     return (
-        a.groupBy("user_id", "anchor")
+        a.groupBy(key_col, "anchor")
         .agg(
             F.min("day").alias("island_start"),
             F.max("day").alias("island_end"),
             F.count(F.lit(1)).cast("int").alias("island_days"),
         )
-        .select("user_id", "island_start", "island_end", "island_days")
+        .select(key_col, "island_start", "island_end", "island_days")
     )
 
 
