@@ -3643,3 +3643,160 @@ def agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("se_log_or"),
     )
+
+
+@query(
+    "agg_ttest_paired",
+    oracle="""
+WITH halves AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN date_trunc('day', ts)
+                            < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS pre_c,
+         CAST(SUM(CASE WHEN date_trunc('day', ts)
+                            >= TIMESTAMP '2024-01-16 00:00:00'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS post_c
+  FROM events GROUP BY user_id
+), d AS (
+  SELECT post_c - pre_c AS diff FROM halves
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(diff) AS BIGINT) AS s,
+         CAST(SUM(diff * diff) AS BIGINT) AS ss
+  FROM d
+)
+SELECT n,
+       CAST(s AS DOUBLE) / n / 100 AS mean_diff,
+       (CAST(s AS DOUBLE) / n)
+         / sqrt(((CAST(ss AS DOUBLE)
+                  - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+                / n) AS t_stat
+FROM m
+""",
+)
+def agg_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired t-test of per-user spend before vs after mid-month —
+    each user is their own control (the within-subject design that
+    kills between-user variance; agg_ttest_welch is the unpaired
+    counterpart). Differences are exact integer cents; n, sum, and
+    sum-of-squares are exact bigints; mean and t are one float
+    expression in identical order (sqrt correctly rounded) —
+    bit-exact. Two stacked aggregates, the second on user-sized
+    data."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    pivot = "TIMESTAMP_NTZ'2024-01-16 00:00:00'"
+    halves = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.expr(f"date_trunc('day', ts) < {pivot}"), c
+            ).otherwise(0)
+        ).cast("bigint").alias("pre_c"),
+        F.sum(
+            F.when(
+                F.expr(f"date_trunc('day', ts) >= {pivot}"), c
+            ).otherwise(0)
+        ).cast("bigint").alias("post_c"),
+    )
+    d = halves.select((F.col("post_c") - F.col("pre_c")).alias("diff"))
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("s"),
+        F.sum(F.col("diff") * F.col("diff")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("ss").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return m.select(
+        "n",
+        (mean / 100).alias("mean_diff"),
+        (mean / F.sqrt(var / F.col("n"))).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_cramers_v",
+    oracle="""
+WITH cells AS (
+  SELECT event_type AS r,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), margins AS (
+  SELECT r, CAST(SUM(o) AS BIGINT) AS row_n FROM cells GROUP BY r
+), cols AS (
+  SELECT c, CAST(SUM(o) AS BIGINT) AS col_n FROM cells GROUP BY c
+), tot AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS n,
+         (SELECT COUNT(*) FROM margins) AS n_rows,
+         (SELECT COUNT(*) FROM cols) AS n_cols
+  FROM cells
+), chi AS (
+  SELECT list_sum(list(
+           (o - CAST(m.row_n AS DOUBLE) * k.col_n / t.n)
+           * (o - CAST(m.row_n AS DOUBLE) * k.col_n / t.n)
+           / (CAST(m.row_n AS DOUBLE) * k.col_n / t.n)
+           ORDER BY cells.r, cells.c)) AS chi2
+  FROM cells
+  JOIN margins m ON cells.r = m.r
+  JOIN cols k ON cells.c = k.c
+  CROSS JOIN tot t
+)
+SELECT t.n, t.n_rows, t.n_cols, chi.chi2,
+       sqrt(chi.chi2 / (t.n * least(t.n_rows - 1, t.n_cols - 1)))
+         AS cramers_v
+FROM chi, tot t
+""",
+)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramer's V effect size for the event-type x arm contingency
+    table — the normalized [0,1] association strength a raw
+    chi-square can't give (agg_chi2_cells reports the cells; this is
+    the scalar verdict). Cell counts and margins are exact bigints;
+    the chi-square contributions fold over the BOUNDED cell table in
+    (row, col) order (strict left fold both engines), and V is one
+    sqrt of exact-ordered arithmetic. Three small aggregates after
+    one data-sized pass."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("r"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("c"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    margins = cells.groupBy("r").agg(
+        F.sum("o").cast("bigint").alias("row_n")
+    )
+    cols = cells.groupBy("c").agg(F.sum("o").cast("bigint").alias("col_n"))
+    n_rows = margins.count()
+    n_cols = cols.count()
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    joined = (
+        cells.join(F.broadcast(margins), "r")
+        .join(F.broadcast(cols), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    chi = joined.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("r", "c", contrib.alias("x")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["x"],
+        ).alias("chi2"),
+        F.first(F.col("n")).alias("n"),
+    )
+    return chi.select(
+        "n",
+        F.lit(n_rows).cast("bigint").alias("n_rows"),
+        F.lit(n_cols).cast("bigint").alias("n_cols"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("n") * F.least(F.lit(n_rows - 1), F.lit(n_cols - 1)))
+        ).alias("cramers_v"),
+    )

@@ -1164,3 +1164,62 @@ def win_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("spq").cast("double") / F.col("sq").cast("double") / 100
         ).alias("vwap10"),
     )
+
+
+@query(
+    "win_ignore_nulls",
+    oracle="""
+WITH masked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(round(value * 100) AS BIGINT) END AS purchase_c
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(LAST_VALUE(purchase_c IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) / 100 AS last_purchase_value,
+       CAST(LAG(purchase_c IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS DOUBLE) / 100 AS prev_purchase_value
+FROM masked
+""",
+)
+def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window surface parity: carry the most recent
+    purchase amount forward through non-purchase events (LAST_VALUE
+    ... IGNORE NULLS — the LOCF idiom as a window function, not the
+    join-based ts_gapfill_locf), and the strictly-previous purchase
+    via LAG ... IGNORE NULLS. Sparse column stays exact integer
+    cents; the two functions share one user-partitioned exchange.
+    Spark expresses the pair as last(expr, ignoreNulls=True) and
+    lag with ignoreNulls."""
+    ev = load(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.col("event_type") == "purchase",
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+        ).alias("purchase_c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return masked.select(
+        "user_id",
+        "event_id",
+        (
+            F.last("purchase_c", ignorenulls=True)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double")
+            / 100
+        ).alias("last_purchase_value"),
+        (
+            F.expr(
+                "lag(purchase_c, 1) IGNORE NULLS OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id)"
+            ).cast("double")
+            / 100
+        ).alias("prev_purchase_value"),
+    )
