@@ -3876,3 +3876,118 @@ def agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("trend_chi2"),
     )
+
+
+@query(
+    "agg_spearman_rho",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events GROUP BY 1
+), rx AS (
+  SELECT day, x, y,
+         CAST(2 * COUNT(*) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              + COUNT(*) OVER (PARTITION BY x) + 1 AS BIGINT) AS rx2
+  FROM d
+), rxy AS (
+  SELECT day, rx2,
+         CAST(2 * COUNT(*) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              + COUNT(*) OVER (PARTITION BY y) + 1 AS BIGINT) AS ry2
+  FROM rx
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx2) AS BIGINT) AS sx,
+         CAST(SUM(ry2) AS BIGINT) AS sy,
+         CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+         CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+         CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+  FROM rxy
+)
+SELECT n,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS spearman_rho
+FROM m
+""",
+)
+def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Spearman rank correlation between the daily
+    purchase and click revenue series — completes the correlation
+    trio (Pearson: ts_rolling_xcorr; Kendall: agg_kendall_tau).
+    Implemented as Pearson over DOUBLED midranks so the midrank .5s
+    become exact integers: 2*midrank = 2*count_less + count_eq + 1,
+    computed from one prefix window + one peer-count window per
+    axis over the BOUNDED daily table. The moment sums are exact
+    bigints; rho is one float expression with correctly-rounded
+    sqrt — bit-exact, no rounding (scaling both rank vectors by 2
+    leaves Pearson unchanged)."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value * 100) AS BIGINT)")
+    d = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "click", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    # bounded: one row per calendar day of the fixture span
+    wx = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    px = Window.partitionBy("x")
+    rx = d.withColumn(
+        "rx2",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(wx), F.lit(0))
+            + F.count(F.lit(1)).over(px)
+            + 1
+        ).cast("bigint"),
+    )
+    # bounded: one row per calendar day of the fixture span
+    wy = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    py = Window.partitionBy("y")
+    rxy = rx.withColumn(
+        "ry2",
+        (
+            2 * F.coalesce(F.count(F.lit(1)).over(wy), F.lit(0))
+            + F.count(F.lit(1)).over(py)
+            + 1
+        ).cast("bigint"),
+    )
+    m = rxy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rx2").cast("bigint").alias("sx"),
+        F.sum("ry2").cast("bigint").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).cast("bigint").alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "n",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.sqrt(
+                    (
+                        F.col("n") * F.col("sxx")
+                        - F.col("sx") * F.col("sx")
+                    ).cast("double")
+                )
+                * F.sqrt(
+                    (
+                        F.col("n") * F.col("syy")
+                        - F.col("sy") * F.col("sy")
+                    ).cast("double")
+                )
+            )
+        ).alias("spearman_rho"),
+    )
