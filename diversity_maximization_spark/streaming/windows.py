@@ -1133,3 +1133,64 @@ def stream_minmax_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fin.max_c").cast("double") / 100).alias("max_value"),
         (F.col("fin.sum_c").cast("double") / 100).alias("total_value"),
     )
+
+
+@query(
+    "stream_bitmap_state",
+    oracle="""
+SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+       CAST(bit_or(CAST(1 AS BIGINT) << CAST(user_id % 63 AS INTEGER))
+            AS BIGINT) AS presence_bitmap,
+       CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                             << CAST(user_id % 63 AS INTEGER)))
+            AS INTEGER) AS n_slots
+FROM events GROUP BY 1
+""",
+)
+def stream_bitmap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable BITMAP state over the stream: per week, one bigint
+    whose bits record user presence slots (1 << user_id % 63),
+    OR-merged in the state store each micro-batch — the
+    agg_bitmap_presence primitive as keyed streaming state. Bit-OR
+    is associative and idempotent, so the accumulated bitmap is
+    independent of batch boundaries AND replay order, and the final
+    snapshot (bitmap is monotone under OR — take the max-popcount
+    row, tie-broken by the bitmap value itself since OR only adds
+    bits) hash-matches the batch GROUP BY oracle. State per week:
+    exactly one bigint."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+    keyed = st.select(
+        F.date_trunc("week", "ts").alias("week"), "user_id"
+    )
+
+    def handler(key, pdfs, state: GroupState):
+        bm = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"]:
+                bm |= 1 << (int(uid) % 63)
+        state.update((bm,))
+        yield pd.DataFrame({"week": [key[0]], "presence_bitmap": [bm]})
+
+    snap = keyed.groupBy("week").applyInPandasWithState(
+        handler,
+        "week timestamp_ntz, presence_bitmap bigint",
+        "bm bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(snap, _fresh("bitmap_state"), mode="update")
+    fin = out.groupBy("week").agg(
+        F.max("presence_bitmap").alias("presence_bitmap")
+    )
+    return fin.select(
+        "week",
+        "presence_bitmap",
+        F.bit_count("presence_bitmap").cast("int").alias("n_slots"),
+    )
