@@ -260,3 +260,68 @@ def test_two_proportion_z_identities(spark, sf_dir):
     z = (r.p1 - r.p2) / math.sqrt(pp * (1 - pp) * (1 / r.n1 + 1 / r.n2))
     assert math.isclose(r.z_stat, z, rel_tol=1e-12)
     assert r.reject_h0 == (abs(r.z_stat) > 1.96)
+
+
+def test_spearman_matches_scipy_style_replay(spark, sf_dir):
+    (r,) = rows(spark, "agg_spearman_rho", sf_dir)
+    ev = load(spark, sf_dir, "events")
+    c = F.expr("CAST(ROUND(value*100) AS BIGINT)")
+    d = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("event_type") == "click", c).otherwise(0)).alias("y"),
+        )
+        .collect()
+    )
+    import numpy as np
+
+    xs = np.array([row.x for row in d], dtype=float)
+    ys = np.array([row.y for row in d], dtype=float)
+
+    def midranks(a):
+        order = a.argsort(kind="mergesort")
+        ranks = np.empty(len(a))
+        sa = a[order]
+        i = 0
+        while i < len(sa):
+            j = i
+            while j + 1 < len(sa) and sa[j + 1] == sa[i]:
+                j += 1
+            ranks[order[i : j + 1]] = (i + j) / 2 + 1
+            i = j + 1
+        return ranks
+
+    rx, ry = midranks(xs), midranks(ys)
+    expect = np.corrcoef(rx, ry)[0, 1]
+    assert math.isclose(r.spearman_rho, expect, rel_tol=1e-9)
+    assert -1.0 <= r.spearman_rho <= 1.0
+
+
+def test_cochran_armitage_nonnegative_and_bounded(spark, sf_dir):
+    (r,) = rows(spark, "agg_cochran_armitage", sf_dir)
+    assert r.trend_chi2 >= 0
+    assert 0 < r.x < r.n
+
+
+def test_stream_minmax_state_matches_batch(spark, sf_dir):
+    got = {r.event_type: r for r in rows(spark, "stream_minmax_state", sf_dir)}
+    batch = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min(F.expr("CAST(ROUND(value*100) AS BIGINT)")).cast("double") / 100).alias("mn"),
+            (F.max(F.expr("CAST(ROUND(value*100) AS BIGINT)")).cast("double") / 100).alias("mx"),
+        )
+        .collect()
+    )
+    for b in batch:
+        g = got[b.event_type]
+        assert (g.n_events, g.min_value, g.max_value) == (b.n, b.mn, b.mx)
+
+
+def test_stream_bitmap_state_is_superset_monotone(spark, sf_dir):
+    for r in rows(spark, "stream_bitmap_state", sf_dir):
+        assert r.presence_bitmap >= 0
+        assert r.n_slots == bin(r.presence_bitmap).count("1")
