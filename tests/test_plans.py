@@ -178,6 +178,8 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         # round-4: 1-row broadcast scalars (decile total; pivot +
         # pre-period sums) and the bounded O(days^2) pair join
         "agg_lorenz_curve", "ts_pre_post_impact", "agg_kendall_tau",
+        # 1-row broadcast grand-total scalar onto the bounded cell table
+        "agg_cramers_v",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
