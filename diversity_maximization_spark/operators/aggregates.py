@@ -3991,3 +3991,79 @@ def agg_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("spearman_rho"),
     )
+
+
+@query(
+    "agg_cohens_d",
+    oracle="""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM arms GROUP BY arm
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+    MAX(CASE WHEN arm = 'A' THEN s END) AS s1,
+    MAX(CASE WHEN arm = 'A' THEN ss END) AS ss1,
+    MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+    MAX(CASE WHEN arm = 'B' THEN s END) AS s2,
+    MAX(CASE WHEN arm = 'B' THEN ss END) AS ss2
+  FROM m
+)
+SELECT n1, n2,
+       (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100
+         AS mean_diff,
+       ((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        / sqrt(((CAST(ss1 AS DOUBLE)
+                 - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+                + (CAST(ss2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2))
+               / (n1 + n2 - 2))) AS cohens_d
+FROM w
+""",
+)
+def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size between experiment arms —
+    the magnitude readout that makes agg_ttest_welch's significance
+    interpretable (a tiny p with d = 0.02 ships nothing). Pooled SD
+    from exact per-arm moment bigints; mean difference and d are one
+    float expression in identical order. One partial+final aggregate
+    plus a 2-row pivot."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.expr(cents("value")).alias("c"),
+    )
+    m = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss"))).alias("ss2"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m2 = F.col("s2").cast("double") / F.col("n2")
+    ssq1 = F.col("ss1").cast("double") - F.col("s1").cast("double") * F.col(
+        "s1"
+    ).cast("double") / F.col("n1")
+    ssq2 = F.col("ss2").cast("double") - F.col("s2").cast("double") * F.col(
+        "s2"
+    ).cast("double") / F.col("n2")
+    pooled = F.sqrt((ssq1 + ssq2) / (F.col("n1") + F.col("n2") - 2))
+    return w.select(
+        "n1",
+        "n2",
+        ((m1 - m2) / 100).alias("mean_diff"),
+        ((m1 - m2) / pooled).alias("cohens_d"),
+    )
