@@ -4067,3 +4067,84 @@ def agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((m1 - m2) / 100).alias("mean_diff"),
         ((m1 - m2) / pooled).alias("cohens_d"),
     )
+
+
+@query(
+    "agg_bootstrap_diff_ci",
+    oracle=f"""
+WITH reps AS (SELECT unnest(generate_series(0, {_BOOT_R - 1})) AS rep),
+base AS (
+  SELECT CASE WHEN e.user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         r.rep,
+         {_BOOT_U01} AS u,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events e CROSS JOIN reps r
+), wtd AS (
+  SELECT arm, rep, {_BOOT_WT} AS wt, c FROM base
+), m AS (
+  SELECT rep,
+         CAST(SUM(CASE WHEN arm = 'A' THEN wt * c ELSE 0 END) AS DOUBLE)
+           / 100
+           / nullif(CAST(SUM(CASE WHEN arm = 'A' THEN wt ELSE 0 END)
+                         AS DOUBLE), 0)
+         - CAST(SUM(CASE WHEN arm = 'B' THEN wt * c ELSE 0 END) AS DOUBLE)
+           / 100
+           / nullif(CAST(SUM(CASE WHEN arm = 'B' THEN wt ELSE 0 END)
+                         AS DOUBLE), 0) AS diff_r
+  FROM wtd GROUP BY rep
+), ranked AS (
+  SELECT diff_r,
+         ROW_NUMBER() OVER (ORDER BY diff_r, rep) AS rn
+  FROM m
+)
+SELECT MIN(CASE WHEN rn = 2 THEN diff_r END) AS diff_lo,
+       MIN(CASE WHEN rn = {_BOOT_R - 1} THEN diff_r END) AS diff_hi,
+       CAST(SUM(CASE WHEN diff_r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_reps_positive
+FROM ranked
+""",
+)
+def agg_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the DIFFERENCE in
+    arm means — the uncertainty readout an A/B decision actually
+    needs (does the interval cross zero?), built on the
+    sample_poisson_bootstrap machinery: deterministic hash-drawn
+    Poisson(1) weights per (row, replicate), each replicate's diff
+    an exact-integer-cents ratio pair, CI = 2nd/31st order
+    statistics of the 32 replicate diffs, plus the count of positive
+    replicates as the sign-stability readout. Same scale shape:
+    constant 32x narrow fan-out, two aggregates, a 32-row rank."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        "event_id",
+        F.expr(cents("value")).alias("c"),
+    )
+    fan = ev.withColumn(
+        "rep", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_R - 1)))
+    ).withColumn("u", F.expr(_BOOT_U01)).withColumn("wt", F.expr(_BOOT_WT))
+    m = fan.groupBy("rep").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 'A' THEN wt * c ELSE 0 END)"
+            " AS DOUBLE) / 100"
+            " / nullif(CAST(SUM(CASE WHEN arm = 'A' THEN wt ELSE 0 END)"
+            " AS DOUBLE), 0)"
+            " - CAST(SUM(CASE WHEN arm = 'B' THEN wt * c ELSE 0 END)"
+            " AS DOUBLE) / 100"
+            " / nullif(CAST(SUM(CASE WHEN arm = 'B' THEN wt ELSE 0 END)"
+            " AS DOUBLE), 0)"
+        ).alias("diff_r")
+    )
+    # bounded: 32 bootstrap replicate rows
+    w = Window.orderBy("diff_r", "rep")
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("diff_r"))).alias("diff_lo"),
+        F.min(
+            F.when(F.col("rn") == _BOOT_R - 1, F.col("diff_r"))
+        ).alias("diff_hi"),
+        F.sum(F.when(F.col("diff_r") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_reps_positive"),
+    )
