@@ -1079,3 +1079,54 @@ def fn_hash_family(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.md5("text"), F.lit(":"), F.col("doc_id").cast("string"))
         ).alias("h_keyed"),
     )
+
+
+@query(
+    "fn_rounding_modes",
+    oracle="""
+WITH b AS (
+  SELECT event_id,
+         CAST(CAST(round(value * 100) AS BIGINT) * 7 AS DOUBLE) / 2 AS y
+  FROM events
+)
+SELECT event_id, y,
+       round(y) AS round_half_away,
+       round_even(y, 0) AS round_half_even,
+       trunc(y) AS trunc_toward_zero,
+       ceil(y) AS ceil_up,
+       floor(y) AS floor_down
+FROM b
+""",
+)
+def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rounding-mode family on exact .5-boundary doubles (odd
+    integer cents x 7 / 2 — k + 0.5 is exactly representable, so
+    every mode's tie behavior is actually exercised): Spark round ==
+    DuckDB round (half AWAY from zero), Spark bround == DuckDB
+    round_even (banker's), trunc toward zero, ceil, floor. The
+    financial-correctness surface a migration must not silently
+    change — probed engine-side before registration (2.5 -> 3 / 2,
+    -2.5 -> -3). Pure projection."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (
+            (F.expr("CAST(ROUND(value * 100) AS BIGINT)") * 7).cast(
+                "double"
+            )
+            / 2
+        ).alias("y"),
+    )
+    return b.select(
+        "event_id",
+        "y",
+        F.round("y").alias("round_half_away"),
+        F.bround("y").alias("round_half_even"),
+        # Spark trunc() is date-only; double->bigint cast truncates
+        # toward zero, matching DuckDB trunc()
+        F.col("y").cast("bigint").cast("double").alias(
+            "trunc_toward_zero"
+        ),
+        F.ceil("y").cast("double").alias("ceil_up"),
+        F.floor("y").cast("double").alias("floor_down"),
+    )
