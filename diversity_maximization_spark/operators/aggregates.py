@@ -4148,3 +4148,90 @@ def agg_bootstrap_diff_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_reps_positive"),
     )
+
+
+@query(
+    "agg_capture_recapture",
+    oracle="""
+WITH w1 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE date_trunc('week', ts) = TIMESTAMP '2024-01-01 00:00:00'
+), w2 AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE date_trunc('week', ts) = TIMESTAMP '2024-01-08 00:00:00'
+), m AS (
+  SELECT (SELECT COUNT(*) FROM w1) AS n1,
+         (SELECT COUNT(*) FROM w2) AS n2,
+         (SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id)) AS m12,
+         (SELECT COUNT(*) FROM events e
+          WHERE date_trunc('week', e.ts)
+                IN (TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-08 00:00:00')) AS n_events
+), t AS (
+  SELECT n1, n2, m12,
+         (SELECT COUNT(DISTINCT user_id) FROM events
+          WHERE date_trunc('week', ts)
+                IN (TIMESTAMP '2024-01-01 00:00:00',
+                    TIMESTAMP '2024-01-08 00:00:00')) AS true_union
+  FROM m
+)
+SELECT n1, n2, m12, true_union,
+       CAST(n1 AS DOUBLE) * n2 / m12 AS lincoln_petersen,
+       CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m12 + 1) - 1
+         AS chapman_estimate
+FROM t
+""",
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation (Lincoln-Petersen +
+    the small-sample Chapman correction) from two observation
+    windows: week-1 users are the 'marked' capture, week-2 the
+    recapture, and the overlap estimates the total population the
+    two scans draw from — the estimator a dedup/coverage audit uses
+    to answer 'how many entities exist that BOTH passes missed'.
+    Reported against the true two-week union as ground truth. All
+    counts exact; both estimates are single float expressions of
+    exact integers. Three semi-joined distinct-counts over one
+    filtered scan."""
+    ev = load(spark, sf_dir, "events")
+    wk = F.date_trunc("week", "ts")
+    w1d = ev.where(wk == F.expr("TIMESTAMP_NTZ'2024-01-01 00:00:00'")).select(
+        "user_id"
+    ).distinct()
+    w2d = ev.where(wk == F.expr("TIMESTAMP_NTZ'2024-01-08 00:00:00'")).select(
+        "user_id"
+    ).distinct()
+    n1 = w1d.count()
+    n2 = w2d.count()
+    m12 = w1d.join(w2d, "user_id").count()
+    true_union = (
+        ev.where(
+            wk.isin(
+                F.expr("TIMESTAMP_NTZ'2024-01-01 00:00:00'"),
+                F.expr("TIMESTAMP_NTZ'2024-01-08 00:00:00'"),
+            )
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    spark_sess = ev.sparkSession
+    out = spark_sess.createDataFrame(
+        [(n1, n2, m12, true_union)],
+        "n1 bigint, n2 bigint, m12 bigint, true_union bigint",
+    )
+    return out.select(
+        "n1",
+        "n2",
+        "m12",
+        "true_union",
+        (F.col("n1").cast("double") * F.col("n2") / F.col("m12")).alias(
+            "lincoln_petersen"
+        ),
+        (
+            (F.col("n1") + 1).cast("double")
+            * (F.col("n2") + 1)
+            / (F.col("m12") + 1)
+            - 1
+        ).alias("chapman_estimate"),
+    )
