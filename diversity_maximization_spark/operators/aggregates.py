@@ -4235,3 +4235,63 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("chapman_estimate"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle=f"""
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         {cents('l_extendedprice')} AS price_c,
+         CAST(l_quantity AS BIGINT) AS w,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag
+           ORDER BY {cents('l_extendedprice')}, l_orderkey, l_linenumber
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+         SUM(CAST(l_quantity AS BIGINT)) OVER (
+           PARTITION BY l_returnflag) AS total_w
+  FROM lineitem
+)
+SELECT flag,
+       CAST(MIN(CASE WHEN 2 * cumw >= total_w THEN price_c END) AS DOUBLE)
+         / 100 AS weighted_median,
+       CAST(MAX(total_w) AS BIGINT) AS total_weight
+FROM t GROUP BY flag
+""",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median of the line price per return flag —
+    the robust 'typical traded price' a pricing dashboard needs
+    (each line counts by units moved, not once). Shared exact
+    formulation in BOTH engines: sort each group by (price cents,
+    orderkey, linenumber), running cumulative weight, and the
+    weighted median is the SMALLEST price whose cumulative weight
+    reaches half the total (2*cumw >= total — all-integer, no
+    division). One exchange on the group key serves the running
+    window, the per-group total window, and the final groupBy; with
+    k groups the post-window aggregate is k rows. Weights and
+    prices are exact bigints, so the hash match is exact by
+    construction."""
+    li = load(spark, sf_dir, "lineitem")
+    price_c = F.expr(cents("l_extendedprice"))
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(price_c, "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        price_c.alias("price_c"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_run).alias("cumw"),
+        F.sum(F.col("l_quantity").cast("bigint")).over(w_all).alias("total_w"),
+    )
+    return t.groupBy("flag").agg(
+        (
+            F.min(
+                F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("price_c"))
+            ).cast("double")
+            / 100
+        ).alias("weighted_median"),
+        F.max("total_w").cast("bigint").alias("total_weight"),
+    )

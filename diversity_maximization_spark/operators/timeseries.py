@@ -1404,3 +1404,66 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((ma + 2 * sd) / 100).alias("upper_band"),
         ((ma - 2 * sd) / 100).alias("lower_band"),
     )
+
+
+@query(
+    "ts_ohlc",
+    oracle=f"""
+WITH px AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         {cents('value')} AS c,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('day', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events
+)
+SELECT event_type, day,
+       CAST(MAX(CASE WHEN rn_a = 1 THEN c END) AS DOUBLE) / 100 AS open,
+       CAST(MAX(c) AS DOUBLE) / 100 AS high,
+       CAST(MIN(c) AS DOUBLE) / 100 AS low,
+       CAST(MAX(CASE WHEN rn_d = 1 THEN c END) AS DOUBLE) / 100 AS close,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) / 100 AS total
+FROM px GROUP BY event_type, day
+""",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup — the canonical market-data/metrics
+    downsample: per (series, day) bucket, the OPEN (first value by
+    (ts, event_id)), HIGH, LOW, CLOSE (last value) plus tick count
+    and exact total. First/last are expressed as two ROW_NUMBER
+    windows over the SAME partition keys the final groupBy uses, so
+    the whole operator costs ONE exchange: windows and aggregate all
+    run on the (event_type, day)-hashed partitioning, and AQE
+    reuses it (the groupBy adds no second shuffle). All extrema and
+    sums are exact integer cents; the only floats are the final
+    /100 presentations. At 100 TB the bucket count is
+    series x days — the rollup output is tiny relative to input,
+    and per-bucket state is O(1), the same contract as
+    ts_rollup_daily."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w_a = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", day).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    px = ev.select(
+        "event_type",
+        day.alias("day"),
+        F.expr(cents("value")).alias("c"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    return px.groupBy("event_type", "day").agg(
+        (
+            F.max(F.when(F.col("rn_a") == 1, F.col("c"))).cast("double") / 100
+        ).alias("open"),
+        (F.max("c").cast("double") / 100).alias("high"),
+        (F.min("c").cast("double") / 100).alias("low"),
+        (
+            F.max(F.when(F.col("rn_d") == 1, F.col("c"))).cast("double") / 100
+        ).alias("close"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.sum("c").cast("double") / 100).alias("total"),
+    )
