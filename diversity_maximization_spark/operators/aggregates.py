@@ -4295,3 +4295,131 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_median"),
         F.max("total_w").cast("bigint").alias("total_weight"),
     )
+
+
+@query(
+    "agg_levene_bf",
+    oracle=f"""
+WITH t AS (
+  SELECT event_type, {cents('value')} AS c, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY {cents('value')}, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+), med AS (
+  SELECT event_type, MAX(CASE WHEN rn = (n + 1) // 2 THEN c END) AS med_c
+  FROM t GROUP BY event_type
+), z AS (
+  SELECT t.event_type, abs(t.c - med.med_c) AS zc
+  FROM t JOIN med USING (event_type)
+), g AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(zc) AS BIGINT) AS s,
+         CAST(SUM(zc * zc) AS BIGINT) AS ss
+  FROM z GROUP BY event_type
+), folds AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS BIGINT) AS s_total,
+         list_sum(list(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n
+                       ORDER BY event_type)) AS sum_sq_over_n,
+         list_sum(list(CAST(ss AS DOUBLE)
+                       ORDER BY event_type)) AS sum_ss
+  FROM g
+), m AS (
+  SELECT k, n_total,
+         sum_sq_over_n
+           - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / n_total
+           AS ssb,
+         sum_ss - sum_sq_over_n AS ssw
+  FROM folds
+)
+SELECT k, n_total,
+       (ssb / (k - 1)) / (ssw / (n_total - k)) AS w_stat
+FROM m
+""",
+)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe Levene test: are the event-value VARIANCES
+    homogeneous across event types? (The precondition check ANOVA
+    itself assumes — BF is the robust variant scoring absolute
+    deviations from the group MEDIAN, not the mean.) The group
+    median uses the shared rank formulation (lower median at rank
+    (n+1) div 2 over (cents, event_id) order — never the two
+    engines' divergent quantile builtins); deviations are exact
+    integer cents, so the per-group moments (n, sum z, sum z^2) are
+    exact BIGINTs, and the one-way-ANOVA F over them reuses the
+    agg_anova_oneway bounded-k sorted-fold discipline — the only
+    floats are the k-row fold and the final ratio, bit-equal by
+    strict-left-fold parity. One exchange on event_type serves the
+    ranking window, the median join (broadcast, k rows), and the
+    moment aggregate."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr(cents("value"))
+    w_rank = Window.partitionBy("event_type").orderBy(c, "event_id")
+    w_all = Window.partitionBy("event_type")
+    t = ev.select(
+        "event_type",
+        c.alias("c"),
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    med = t.groupBy("event_type").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("c"))
+        ).alias("med_c")
+    )
+    z = t.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("c") - F.col("med_c")).alias("zc")
+    )
+    g = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zc").cast("bigint").alias("s"),
+        F.sum(F.col("zc") * F.col("zc")).cast("bigint").alias("ss"),
+    )
+    folds = g.select(
+        "event_type",
+        "n",
+        "s",
+        "ss",
+        (
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        ).alias("t_sq_over_n"),
+        F.col("ss").cast("double").alias("ss_d"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("event_type", "t_sq_over_n"))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t_sq_over_n"],
+        ).alias("sum_sq_over_n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("event_type", "ss_d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["ss_d"],
+        ).alias("sum_ss"),
+    )
+    m = folds.select(
+        "k",
+        "n_total",
+        (
+            F.col("sum_sq_over_n")
+            - F.col("s_total").cast("double")
+            * F.col("s_total").cast("double")
+            / F.col("n_total")
+        ).alias("ssb"),
+        (F.col("sum_ss") - F.col("sum_sq_over_n")).alias("ssw"),
+    )
+    return m.select(
+        "k",
+        "n_total",
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("n_total") - F.col("k")))
+        ).alias("w_stat"),
+    )

@@ -779,3 +779,72 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank_scaled").desc(), "p_partkey")
         .limit(_PPR_TOPN)
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle="""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), ow AS (
+  SELECT o, CAST(round(1000000000.0 / ln(COUNT(*))) AS BIGINT) AS w
+  FROM op GROUP BY o HAVING COUNT(*) >= 2
+), pairs AS (
+  SELECT a.p AS u, b.p AS v,
+         COUNT(*) AS n_common,
+         CAST(SUM(ow.w) AS BIGINT) AS sw
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  JOIN ow ON ow.o = a.o
+  GROUP BY a.p, b.p
+)
+SELECT u, v, n_common, CAST(sw AS DOUBLE) / 1000000000 AS adamic_adar
+FROM pairs WHERE n_common >= 2
+""",
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the bipartite order-part
+    graph: AA(u,v) = sum over shared orders o of 1/ln(basket(o)) —
+    common neighbors weighted so a 2-item order says far more about
+    (u,v) than a 40-item one. Same posting-list shape as
+    graph_neighbor_jaccard (pairs exist only under a shared order,
+    O(sum basket^2) work, never all-pairs); the per-order weight
+    joins from a tiny per-order table before the pair groupBy, so
+    the big self-join shuffles only (o, p) keys. Exactness: the
+    1/ln weight is QUANTIZED once per order to an integer
+    nano-unit — every downstream sum is exact bigint arithmetic,
+    immune to accumulation order (the select_facility_location
+    recipe); the only float is the final /1e9 presentation. Shared
+    orders have basket >= 2 so ln is never zero."""
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    ow = (
+        op.groupBy("o")
+        .agg(F.count(F.lit(1)).alias("bsize"))
+        .where(F.col("bsize") >= 2)
+        .select(
+            "o",
+            F.round(F.lit(1000000000.0) / F.log(F.col("bsize")))
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    a, b = op.alias("a"), op.alias("b")
+    ow = ow.withColumnRenamed("o", "ow_o")
+    pairs = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(ow, F.col("a.o") == F.col("ow_o"))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w").cast("bigint").alias("sw"),
+        )
+    )
+    return pairs.where(F.col("n_common") >= 2).select(
+        "u",
+        "v",
+        "n_common",
+        (F.col("sw").cast("double") / 1000000000).alias("adamic_adar"),
+    )
