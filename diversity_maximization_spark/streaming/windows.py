@@ -1194,3 +1194,92 @@ def stream_bitmap_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "presence_bitmap",
         F.bit_count("presence_bitmap").cast("int").alias("n_slots"),
     )
+
+
+@query(
+    "stream_decay_state",
+    oracle="""
+WITH RECURSIVE ev AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+), r AS (
+  SELECT user_id, rn, c AS acc FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT ev.user_id, ev.rn, ev.c + r.acc // 2 AS acc
+  FROM r JOIN ev ON ev.user_id = r.user_id AND ev.rn = r.rn + 1
+)
+SELECT user_id,
+       CAST(MAX(rn) AS BIGINT) AS n_events,
+       CAST(arg_max(acc, rn) AS BIGINT) AS decay_acc
+FROM r GROUP BY user_id
+""",
+)
+def stream_decay_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed EXPONENTIAL-DECAY accumulator over the stream: per user,
+    acc' = cents + acc // 2 folded in (ts, event_id) order — the
+    recency-weighted activity score a freshness ranker keeps (each
+    event's contribution halves with every subsequent event). The
+    halving is INTEGER floor division, so state is one exact bigint:
+    no float accumulation, no batch-boundary sensitivity beyond
+    ordering — and slices replay in time order, so the stream fold
+    equals the batch fold and the snapshot census (n_events is
+    monotone — max-n row per user) hash-matches a DuckDB recursive
+    CTE replaying the identical recurrence. The geometric series
+    bounds state at 2x max cents regardless of history length —
+    constant state per key, the same contract as
+    stream_sessionize_state. Alpha is fixed at the dyadic 1/2
+    precisely so quantization is exact in both engines; a float
+    alpha would reintroduce cross-engine rounding drift."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    replay = write_replay_files(spark, sf_dir)
+    st = stream_events(spark, replay)
+
+    def handler(key, pdfs, state: GroupState):
+        if state.exists:
+            acc, n = state.get
+        else:
+            acc, n = 0, 0
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        cents = (rows["value"] * 100).round().astype("int64")
+        for c in cents:
+            acc = int(c) + acc // 2
+            n += 1
+        state.update((acc, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "decay_acc": [acc],
+            }
+        )
+
+    snap = (
+        st.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            handler,
+            "user_id bigint, n_events bigint, decay_acc bigint",
+            "acc bigint, n bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(snap, _fresh("decay_state"), mode="update")
+    fin = out.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_events", "decay_acc"), F.col("n_events")
+        ).alias("fin")
+    )
+    return fin.select(
+        "user_id",
+        F.col("fin.n_events").alias("n_events"),
+        F.col("fin.decay_acc").alias("decay_acc"),
+    )
