@@ -848,3 +848,67 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_common",
         (F.col("sw").cast("double") / 1000000000).alias("adamic_adar"),
     )
+
+
+@query(
+    "graph_reciprocity",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM e r
+              WHERE r.src = e.dst AND r.dst = e.src)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocated,
+       CAST(SUM(CASE WHEN EXISTS (
+              SELECT 1 FROM e r
+              WHERE r.src = e.dst AND r.dst = e.src)
+            THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS reciprocity
+FROM e
+""",
+)
+def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocity of the international trade digraph: a directed
+    edge (a -> b) exists when any supplier in nation a ships a line
+    to a customer in nation b; reciprocity is the fraction of edges
+    whose reverse also exists — the standard digraph symmetry
+    measure (1.0 = every trade lane is two-way). The data-sized work
+    is the q7-shaped join chain that derives edges; DISTINCT then
+    collapses it to at most nations^2 rows, so the reciprocity
+    self-join runs on a broadcast-sized table — the heavy scan
+    never sees a pair join. Exact integer counts, one final
+    division."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .where(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .distinct()
+    )
+    r = e.select(F.col("src").alias("r_src"), F.col("dst").alias("r_dst"))
+    marked = e.join(
+        F.broadcast(r),
+        (F.col("r_src") == F.col("dst")) & (F.col("r_dst") == F.col("src")),
+        "left",
+    ).select(F.when(F.col("r_src").isNotNull(), 1).otherwise(0).alias("rec"))
+    return marked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum("rec").cast("bigint").alias("n_reciprocated"),
+        (
+            F.sum("rec").cast("double") / F.count(F.lit(1))
+        ).alias("reciprocity"),
+    )

@@ -1467,3 +1467,78 @@ def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
         (F.sum("c").cast("double") / 100).alias("total"),
     )
+
+
+@query(
+    "ts_rsi",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM({cents('value')}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), diffs AS (
+  SELECT event_type, day,
+         c - LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS d,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), gl AS (
+  SELECT event_type, day, rn,
+         CAST(SUM(CASE WHEN d > 0 THEN d ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sg,
+         CAST(SUM(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS sl
+  FROM diffs
+)
+SELECT event_type, day,
+       CAST(100 AS DOUBLE) * sg / (sg + sl) AS rsi_14
+FROM gl WHERE rn >= 15 AND sg + sl > 0
+""",
+)
+def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-period Relative Strength Index (Cutler's simple-average
+    variant) over the per-type daily revenue series — the
+    overbought/oversold momentum oscillator, windowed rather than
+    Wilder's recursive smoothing precisely so it stays a pure
+    window expression: RSI = 100 * sum(gains) / (sum(gains) +
+    sum(losses)) over the trailing 14 diffs (the equal window
+    lengths cancel, leaving ONE division of exact bigint cents).
+    Rows need a full 14-diff history (rn >= 15) and a nonzero
+    denominator. One exchange on the series key serves the daily
+    rollup, the lag, and both rolling sums; per-series work is
+    linear. At 100 TB the daily rollup collapses the input before
+    any window sees it — the windows run on series x days rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    diffs = daily.select(
+        "event_type",
+        "day",
+        (F.col("c") - F.lag("c").over(w)).alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    w14 = w.rowsBetween(-13, Window.currentRow)
+    gl = diffs.select(
+        "event_type",
+        "day",
+        "rn",
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w14)
+        .cast("bigint")
+        .alias("sg"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w14)
+        .cast("bigint")
+        .alias("sl"),
+    )
+    return gl.where((F.col("rn") >= 15) & (F.col("sg") + F.col("sl") > 0)).select(
+        "event_type",
+        "day",
+        (
+            F.lit(100).cast("double") * F.col("sg")
+            / (F.col("sg") + F.col("sl"))
+        ).alias("rsi_14"),
+    )
