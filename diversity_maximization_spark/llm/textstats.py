@@ -1324,3 +1324,56 @@ def bm25_over(
         ).alias("bm25")
     )
     return agg.orderBy(F.desc("bm25"), "doc_id").limit(topn)
+
+
+@query(
+    "text_hapax_ratio",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), freq AS (
+  SELECT source, word, COUNT(*) AS n FROM words GROUP BY source, word
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis,
+       CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+         AS hapax_ratio
+FROM freq GROUP BY source
+""",
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax-legomena profile per source: vocabulary size, token
+    count, words seen exactly once (hapax) and exactly twice (dis),
+    and the hapax share of the vocabulary — the classic
+    productivity/contamination signal (a template-generated source
+    has an abnormally LOW hapax ratio; OCR noise an abnormally high
+    one). Good-Turing smoothing starts from exactly these counts.
+    Shape: explode -> two-level aggregate, all exact integers, one
+    final ratio. The per-(source, word) partial aggregate combines
+    map-side, so the shuffle carries distinct words, not token
+    instances — same contract as tfidf's document-frequency pass."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return freq.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        (
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("hapax_ratio"),
+    )

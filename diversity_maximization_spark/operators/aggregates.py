@@ -4423,3 +4423,122 @@ def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ssw") / (F.col("n_total") - F.col("k")))
         ).alias("w_stat"),
     )
+
+
+@query(
+    "agg_icc",
+    oracle=f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM({cents('value')}) AS BIGINT) AS s,
+         CAST(SUM({cents('value')} * {cents('value')}) AS BIGINT) AS ss
+  FROM events GROUP BY user_id
+), q AS (
+  SELECT n, s, ss,
+         CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) AS BIGINT)
+           AS sq_over_n
+  FROM g
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         CAST(SUM(s) AS BIGINT) AS s_total,
+         CAST(SUM(ss) AS BIGINT) AS sum_ss,
+         CAST(SUM(sq_over_n) AS BIGINT) AS sum_q,
+         CAST(SUM(n * n) AS BIGINT) AS sum_n_sq
+  FROM q
+), m AS (
+  SELECT k, n_total,
+         (CAST(sum_q AS DOUBLE)
+            - CAST(s_total AS DOUBLE) * CAST(s_total AS DOUBLE) / n_total)
+           / (k - 1) AS msb,
+         (CAST(sum_ss AS DOUBLE) - CAST(sum_q AS DOUBLE))
+           / (n_total - k) AS msw,
+         (n_total - CAST(sum_n_sq AS DOUBLE) / n_total)
+           / (k - 1) AS n0
+  FROM tot
+)
+SELECT k, n_total,
+       msb / 10000 AS ms_between,
+       msw / 10000 AS ms_within,
+       (msb - msw) / (msb + (n0 - 1) * msw) AS icc1
+FROM m
+""",
+)
+def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1), the one-way random-effects intraclass correlation:
+    what fraction of event-value variance is BETWEEN users rather
+    than within them — the clustering-strength number that decides
+    whether per-user random effects (or cluster-robust errors) are
+    needed. Unlike agg_anova_oneway's bounded-k sorted fold, the
+    group count here (users) is UNBOUNDED, so the between-groups
+    sum uses the integer-quantization discipline instead: each
+    group's s^2/n term is computed with the identical two IEEE ops
+    in both engines (deterministic), quantized once to an integer
+    cents^2 unit, and summed as exact bigints — distributed
+    accumulation order can't perturb the total (the
+    select_facility_location recipe applied to an aggregate).
+    Unbalanced design handled via n0 = (N - sum n_j^2 / N)/(k-1).
+    One partial+final aggregate over the data; everything after is
+    driver-scalar arithmetic on six exact integers."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr(cents("value"))
+    g = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(c).cast("bigint").alias("s"),
+        F.sum(F.expr(f"{cents('value')} * {cents('value')}"))
+        .cast("bigint")
+        .alias("ss"),
+    )
+    q = g.select(
+        "n",
+        "s",
+        "ss",
+        F.round(
+            F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+        )
+        .cast("bigint")
+        .alias("sq_over_n"),
+    )
+    tot = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.sum("s").cast("bigint").alias("s_total"),
+        F.sum("ss").cast("bigint").alias("sum_ss"),
+        F.sum("sq_over_n").cast("bigint").alias("sum_q"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sum_n_sq"),
+    )
+    m = tot.select(
+        "k",
+        "n_total",
+        (
+            (
+                F.col("sum_q").cast("double")
+                - F.col("s_total").cast("double")
+                * F.col("s_total").cast("double")
+                / F.col("n_total")
+            )
+            / (F.col("k") - 1)
+        ).alias("msb"),
+        (
+            (F.col("sum_ss").cast("double") - F.col("sum_q").cast("double"))
+            / (F.col("n_total") - F.col("k"))
+        ).alias("msw"),
+        (
+            (
+                F.col("n_total")
+                - F.col("sum_n_sq").cast("double") / F.col("n_total")
+            )
+            / (F.col("k") - 1)
+        ).alias("n0"),
+    )
+    return m.select(
+        "k",
+        "n_total",
+        (F.col("msb") / 10000).alias("ms_between"),
+        (F.col("msw") / 10000).alias("ms_within"),
+        (
+            (F.col("msb") - F.col("msw"))
+            / (F.col("msb") + (F.col("n0") - 1) * F.col("msw"))
+        ).alias("icc1"),
+    )
