@@ -925,3 +925,133 @@ def sample_ht_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("w").cast("bigint").cast("double")
         ).alias("rel_err"),
     )
+
+
+@query(
+    "corpus_js_divergence",
+    oracle="""
+WITH freq AS (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT source, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY source, word
+), tot AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS n_tot FROM freq GROUP BY source
+), pairs AS (
+  SELECT a.source AS s1, b.source AS s2
+  FROM tot a JOIN tot b ON a.source < b.source
+), wp AS (
+  SELECT p.s1, p.s2, f.word
+  FROM pairs p JOIN freq f ON f.source = p.s1 OR f.source = p.s2
+  GROUP BY 1, 2, 3
+), terms AS (
+  SELECT wp.s1, wp.s2,
+         CAST(round(
+           500000000000.0 * (
+             CASE WHEN COALESCE(f1.n, 0) > 0
+                  THEN (CAST(f1.n AS DOUBLE) / t1.n_tot)
+                       * ln(2 * (CAST(f1.n AS DOUBLE) / t1.n_tot)
+                            / ((CAST(COALESCE(f1.n, 0) AS DOUBLE) / t1.n_tot)
+                               + (CAST(COALESCE(f2.n, 0) AS DOUBLE)
+                                  / t2.n_tot)))
+                  ELSE 0 END
+             + CASE WHEN COALESCE(f2.n, 0) > 0
+                  THEN (CAST(f2.n AS DOUBLE) / t2.n_tot)
+                       * ln(2 * (CAST(f2.n AS DOUBLE) / t2.n_tot)
+                            / ((CAST(COALESCE(f1.n, 0) AS DOUBLE) / t1.n_tot)
+                               + (CAST(COALESCE(f2.n, 0) AS DOUBLE)
+                                  / t2.n_tot)))
+                  ELSE 0 END)) AS BIGINT) AS tq
+  FROM wp
+  LEFT JOIN freq f1 ON f1.source = wp.s1 AND f1.word = wp.word
+  LEFT JOIN freq f2 ON f2.source = wp.s2 AND f2.word = wp.word
+  JOIN tot t1 ON t1.source = wp.s1
+  JOIN tot t2 ON t2.source = wp.s2
+)
+SELECT s1, s2,
+       CAST(COUNT(*) AS BIGINT) AS n_words_union,
+       round(CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000000000, 6)
+         AS js_divergence
+FROM terms GROUP BY s1, s2
+""",
+)
+def corpus_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram
+    distributions of every source pair — the distributional
+    distance a mixture designer reads before weighting sources
+    (0 = identical corpora, ln 2 = disjoint). Per-word
+    contributions 0.5*(p ln(2p/(p+q)) + q ln(2q/(p+q))) are
+    computed with IDENTICAL expression trees in both engines,
+    QUANTIZED once to integer picounits so the big per-word sum is
+    exact bigint arithmetic (shuffle order can't move it), and the
+    final readout is rounded to 6 dp so a sub-picounit ln-ulp
+    wobble on any single word cannot flip the hash. Shape: one
+    explode + word-level aggregate (the tfidf shuffle), then joins
+    against a BOUNDED pair list (k sources -> k(k-1)/2 pairs) —
+    per-pair union vocabularies, never a cross join of words."""
+    d = load(spark, sf_dir, "documents")
+    freq = (
+        d.select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = freq.groupBy("source").agg(
+        F.sum("n").cast("bigint").alias("n_tot")
+    )
+    a = tot.select(F.col("source").alias("s1"))
+    b = tot.select(F.col("source").alias("s2"))
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    wp = (
+        pairs.join(
+            freq,
+            (F.col("source") == F.col("s1")) | (F.col("source") == F.col("s2")),
+        )
+        .select("s1", "s2", "word")
+        .distinct()
+    )
+    f1 = freq.select(
+        F.col("source").alias("f1_s"),
+        F.col("word").alias("f1_w"),
+        F.col("n").alias("n1"),
+    )
+    f2 = freq.select(
+        F.col("source").alias("f2_s"),
+        F.col("word").alias("f2_w"),
+        F.col("n").alias("n2"),
+    )
+    t1 = tot.select(F.col("source").alias("t1_s"), F.col("n_tot").alias("nt1"))
+    t2 = tot.select(F.col("source").alias("t2_s"), F.col("n_tot").alias("nt2"))
+    j = (
+        wp.join(
+            f1,
+            (F.col("f1_s") == F.col("s1")) & (F.col("f1_w") == F.col("word")),
+            "left",
+        )
+        .join(
+            f2,
+            (F.col("f2_s") == F.col("s2")) & (F.col("f2_w") == F.col("word")),
+            "left",
+        )
+        .join(F.broadcast(t1), F.col("t1_s") == F.col("s1"))
+        .join(F.broadcast(t2), F.col("t2_s") == F.col("s2"))
+    )
+    n1z = F.coalesce(F.col("n1"), F.lit(0))
+    n2z = F.coalesce(F.col("n2"), F.lit(0))
+    p = F.col("n1").cast("double") / F.col("nt1")
+    q = F.col("n2").cast("double") / F.col("nt2")
+    pz = n1z.cast("double") / F.col("nt1")
+    qz = n2z.cast("double") / F.col("nt2")
+    term = F.when(n1z > 0, p * F.log(2 * p / (pz + qz))).otherwise(
+        F.lit(0.0)
+    ) + F.when(n2z > 0, q * F.log(2 * q / (pz + qz))).otherwise(F.lit(0.0))
+    terms = j.select(
+        "s1",
+        "s2",
+        F.round(F.lit(500000000000.0) * term).cast("bigint").alias("tq"),
+    )
+    return terms.groupBy("s1", "s2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_words_union"),
+        F.round(
+            F.sum("tq").cast("double") / F.lit(1000000000000), 6
+        ).alias("js_divergence"),
+    )

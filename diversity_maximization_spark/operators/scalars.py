@@ -1130,3 +1130,49 @@ def fn_rounding_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil("y").cast("double").alias("ceil_up"),
         F.floor("y").cast("double").alias("floor_down"),
     )
+
+
+@query(
+    "fn_month_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month,
+       CAST(o_orderdate - INTERVAL 1 MONTH AS TIMESTAMP) AS prev_month,
+       CAST(o_orderdate + INTERVAL 13 MONTH AS TIMESTAMP) AS plus_13,
+       CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+       CAST((year(TIMESTAMP '2002-01-01') - year(o_orderdate)) * 12
+            + (month(TIMESTAMP '2002-01-01') - month(o_orderdate))
+            AS INTEGER) AS months_to_2002
+FROM orders
+""",
+)
+def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-granularity date arithmetic — the parity surface where
+    engines silently disagree if untested: END-OF-MONTH CLAMPING
+    (Jan 31 + 1 month = Feb 29, verified identical between Spark
+    add_months and DuckDB + INTERVAL for forward, backward, and
+    >12-month jumps), last_day, quarter truncation, and the
+    boundary-count month difference expressed as explicit
+    year/month arithmetic in BOTH engines (Spark months_between
+    uses a 31-day-fraction convention DuckDB has no equivalent of —
+    a shared formulation instead of two builtins, the drift_psi
+    rule). Spark add_months returns DATE while DuckDB interval
+    arithmetic stays TIMESTAMP, so every date-ish output is cast to
+    TIMESTAMP on both sides (fetchdf coercion parity)."""
+    o = load(spark, sf_dir, "orders")
+    lit_2002 = F.lit("2002-01-01").cast("timestamp")
+    return o.select(
+        "o_orderkey",
+        F.add_months("o_orderdate", 1).cast("timestamp").alias("next_month"),
+        F.add_months("o_orderdate", -1).cast("timestamp").alias("prev_month"),
+        F.add_months("o_orderdate", 13).cast("timestamp").alias("plus_13"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr_start"),
+        (
+            (F.year(lit_2002) - F.year("o_orderdate")) * 12
+            + (F.month(lit_2002) - F.month("o_orderdate"))
+        )
+        .cast("int")
+        .alias("months_to_2002"),
+    )
