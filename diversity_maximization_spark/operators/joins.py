@@ -1195,3 +1195,74 @@ def join_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= KNN_K)
         .select("vec_id", "neighbor", "dist", "rn")
     )
+
+
+@query(
+    "join_asof_forward",
+    oracle="""
+WITH v AS (
+  SELECT user_id, ts, event_id AS view_id
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT user_id, ts, MIN(event_id) AS purchase_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT v.view_id, v.user_id, p.ts AS purchase_ts, p.purchase_id
+FROM v ASOF LEFT JOIN p ON v.user_id = p.user_id AND v.ts <= p.ts
+""",
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each view ⋈ the EARLIEST purchase
+    at-or-after it, per user — the conversion-attribution direction
+    (join_asof looks backward for causes; this looks forward for
+    outcomes). Same union-window rewrite, time-reversed: tag both
+    sides, one shuffle on user_id, and a running
+    last_value(ignorenulls) over ts-DESCENDING order carries the
+    next purchase backward to every view; at equal ts the purchase
+    sorts first so at-or-after is inclusive, and purchases are
+    pre-deduped to MIN event_id per (user, ts) in BOTH engines so
+    the winner is unique. Linear per key — never a range-join
+    explosion — while DuckDB's native ASOF (<= direction) serves as
+    the oracle."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    tagged = p.select(
+        "user_id", "ts", F.lit(0).alias("tag"), "purchase_id",
+        F.lit(None).cast("long").alias("view_id"),
+    ).unionAll(
+        v.select(
+            "user_id", "ts", F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("purchase_id"), "view_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "np_id", F.last("purchase_id", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "np_ts",
+            F.last(
+                F.when(F.col("purchase_id").isNotNull(), F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("tag") == 1)
+        .select(
+            "view_id",
+            "user_id",
+            F.col("np_ts").alias("purchase_ts"),
+            F.col("np_id").alias("purchase_id"),
+        )
+    )
