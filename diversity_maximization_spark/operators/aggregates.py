@@ -4542,3 +4542,112 @@ def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("msb") + (F.col("n0") - 1) * F.col("msw"))
         ).alias("icc1"),
     )
+
+
+@query(
+    "agg_theil_index",
+    oracle=f"""
+WITH cust AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(SUM({cents('o.o_totalprice')}) AS BIGINT) AS c
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_nationkey
+), g AS (
+  SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s_g
+  FROM cust GROUP BY nk
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n_all,
+         CAST(SUM(s_g) AS BIGINT) AS s_all
+  FROM g
+), terms AS (
+  SELECT cust.nk,
+         CAST(round(1000000000000.0 *
+           (CAST(cust.c AS DOUBLE)
+              / (CAST(g.s_g AS DOUBLE) / g.n_g))
+           * ln(CAST(cust.c AS DOUBLE)
+                / (CAST(g.s_g AS DOUBLE) / g.n_g))) AS BIGINT) AS tq
+  FROM cust JOIN g ON g.nk = cust.nk
+), w AS (
+  SELECT nk, CAST(SUM(tq) AS BIGINT) AS sum_tq FROM terms GROUP BY nk
+)
+SELECT n.n_name AS nation, g.n_g AS n_customers,
+       round(CAST(g.s_g AS DOUBLE) / g.n_g / 100, 2) AS mean_spend,
+       round(CAST(w.sum_tq AS DOUBLE) / 1000000000000 / g.n_g, 6)
+         AS theil_within,
+       round((CAST(g.n_g AS DOUBLE) / tot.n_all)
+             * ((CAST(g.s_g AS DOUBLE) / g.n_g)
+                / (CAST(tot.s_all AS DOUBLE) / tot.n_all))
+             * ln((CAST(g.s_g AS DOUBLE) / g.n_g)
+                  / (CAST(tot.s_all AS DOUBLE) / tot.n_all)), 6)
+         AS between_contrib
+FROM g JOIN w ON w.nk = g.nk
+JOIN nation n ON n.n_nationkey = g.nk
+CROSS JOIN tot
+""",
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality DECOMPOSITION of customer spend by nation —
+    the inequality measure gini can't decompose: total Theil =
+    sum(between_contrib) + spend-share-weighted sum(theil_within),
+    so each nation's row says both how unequal its customers are
+    internally and how much its mean deviates from the global mean.
+    Per-customer terms (x/mu_g) ln(x/mu_g) use the agg_icc
+    quantization discipline: identical IEEE trees in both engines,
+    quantized once to integer picounits, exact-bigint summed per
+    group (unbounded customer count never meets a float
+    accumulator). Group/global stats are exact bigint (count, sum)
+    pairs; all readouts round at 6 dp. Shape: orders->customer
+    aggregate (one shuffle), k=nations-bounded group table
+    broadcast back for the term pass."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    nat = load(spark, sf_dir, "nation")
+    cust = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c")
+        )
+        .select(F.col("c_nationkey").alias("nk"), "c")
+    )
+    g = cust.groupBy("nk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n_all"),
+        F.sum("s_g").cast("bigint").alias("s_all"),
+    )
+    mu_g = F.col("s_g").cast("double") / F.col("n_g")
+    ratio = F.col("c").cast("double") / mu_g
+    terms = cust.join(F.broadcast(g), "nk").select(
+        "nk",
+        F.round(F.lit(1000000000000.0) * ratio * F.log(ratio))
+        .cast("bigint")
+        .alias("tq"),
+    )
+    w = terms.groupBy("nk").agg(F.sum("tq").cast("bigint").alias("sum_tq"))
+    mu_all = F.col("s_all").cast("double") / F.col("n_all")
+    return (
+        g.join(w, "nk")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("nk"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("n_g").alias("n_customers"),
+            F.round(mu_g / 100, 2).alias("mean_spend"),
+            F.round(
+                F.col("sum_tq").cast("double")
+                / 1000000000000
+                / F.col("n_g"),
+                6,
+            ).alias("theil_within"),
+            F.round(
+                (F.col("n_g").cast("double") / F.col("n_all"))
+                * (mu_g / mu_all)
+                * F.log(mu_g / mu_all),
+                6,
+            ).alias("between_contrib"),
+        )
+    )

@@ -1542,3 +1542,78 @@ def ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("sg") + F.col("sl"))
         ).alias("rsi_14"),
     )
+
+
+@query(
+    "ts_sma_crossover",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM({cents('value')}) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT event_type, day,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+         CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS BIGINT) AS s20
+  FROM daily
+), flags AS (
+  SELECT event_type, day, rn, s5, s20,
+         CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END AS fast_above,
+         LAG(CASE WHEN 4 * s5 > s20 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY event_type ORDER BY day) AS prev_above
+  FROM sums
+)
+SELECT event_type, day,
+       CASE WHEN fast_above = 1 THEN 'golden' ELSE 'death' END AS signal,
+       CAST(s5 AS DOUBLE) / 500 AS sma5,
+       CAST(s20 AS DOUBLE) / 2000 AS sma20
+FROM flags
+WHERE rn >= 21 AND fast_above <> prev_above
+""",
+)
+def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average crossover detection (the golden/death-cross
+    trading signal, equally the canonical trend-shift alert for any
+    KPI series): days where the 5-day SMA crosses the 20-day SMA.
+    The comparison never divides — sma5 > sma20 iff 4*s5 > s20 on
+    exact bigint window sums, so crossover flags are
+    integer-exact; /500 and /2000 appear only in the presentation
+    columns. rn >= 21 requires both windows full AND a valid
+    previous flag. One exchange on the series key serves the daily
+    rollup, both rolling sums, and the lag."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    sums = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(w).alias("rn"),
+        F.sum("c").over(w.rowsBetween(-4, 0)).cast("bigint").alias("s5"),
+        F.sum("c").over(w.rowsBetween(-19, 0)).cast("bigint").alias("s20"),
+    )
+    fast_above = F.when(4 * F.col("s5") > F.col("s20"), 1).otherwise(0)
+    flags = sums.select(
+        "event_type",
+        "day",
+        "rn",
+        "s5",
+        "s20",
+        fast_above.alias("fast_above"),
+        F.lag(fast_above).over(w).alias("prev_above"),
+    )
+    return flags.where(
+        (F.col("rn") >= 21) & (F.col("fast_above") != F.col("prev_above"))
+    ).select(
+        "event_type",
+        "day",
+        F.when(F.col("fast_above") == 1, "golden")
+        .otherwise("death")
+        .alias("signal"),
+        (F.col("s5").cast("double") / 500).alias("sma5"),
+        (F.col("s20").cast("double") / 2000).alias("sma20"),
+    )
