@@ -4651,3 +4651,54 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("between_contrib"),
         )
     )
+
+
+@query(
+    "agg_srm_check",
+    oracle="""
+WITH seg AS (
+  SELECT event_type,
+         CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_a,
+         CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_b
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) AS chi2_1df,
+       CAST(n_a - n_b AS DOUBLE) * (n_a - n_b) / (n_a + n_b) > 3.841459
+         AS srm_flag
+FROM seg
+""",
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check, the first gate of any experiment
+    readout: under the 50/50 user_id-parity assignment every
+    segment's arm counts should be binomially balanced, and the
+    1-df chi-square against the expected half-split reduces to
+    (n_a - n_b)^2 / N exactly — integer counts, ONE division, and a
+    flag at the 0.05 critical value (3.841). Run PER SEGMENT
+    (event_type) because aggregate balance can hide segment-level
+    assignment bugs (a client that drops arm-B events only for one
+    event class). One partial+final aggregate; k rows out."""
+    ev = load(spark, sf_dir, "events")
+    seg = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    chi2 = (
+        (F.col("n_a") - F.col("n_b")).cast("double")
+        * (F.col("n_a") - F.col("n_b"))
+        / (F.col("n_a") + F.col("n_b"))
+    )
+    return seg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_1df"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )

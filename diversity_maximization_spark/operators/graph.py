@@ -454,57 +454,64 @@ def _lpa_oracle() -> str:
     arg-max + keep-own-on-no-winner — ending with community sizes.
     Unrolling (not recursion) because each round REPLACES the label
     table, which recursive-CTE union semantics cannot express."""
-    rounds = []
-    for r in range(LPA_ROUNDS):
-        prev, cur = f"l{r}", f"l{r + 1}"
-        rounds.append(f"""c{r} AS (
-  SELECT e.src AS node, l.lbl AS nl, COUNT(*) AS n
-  FROM ed e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
-), w{r} AS (
-  SELECT node, nl,
-         ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, nl) AS rn
-  FROM c{r}
-), {cur} AS (
-  SELECT p.node, COALESCE(w.nl, p.lbl) AS lbl
-  FROM {prev} p LEFT JOIN (SELECT node, nl FROM w{r} WHERE rn = 1) w
-    USING (node)
-)""")
     last = f"l{LPA_ROUNDS}"
-    return f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
-), und AS (
-  SELECT DISTINCT a.p AS u, b.p AS v
-  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
-), ed AS (
-  SELECT u AS src, v AS dst FROM und
-  UNION ALL SELECT v AS src, u AS dst FROM und
-), l0 AS (
-  SELECT DISTINCT src AS node, src AS lbl FROM ed
-), {', '.join(rounds)}
+    prefix = _lpa_chain_prefix(_lpa_rounds_ctes())
+    return (
+        prefix
+        + f"""
 SELECT t.node, t.lbl AS community, CAST(s.cnt AS BIGINT) AS community_size
 FROM {last} t
 JOIN (SELECT lbl, COUNT(*) AS cnt FROM {last} GROUP BY lbl) s USING (lbl)
 """
+    )
 
 
-@query("graph_lpa_communities", oracle=_lpa_oracle())
-def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Community detection by SYNCHRONOUS label propagation over the
-    part co-purchase graph, made fully deterministic: every vertex
-    starts as its own label; each of LPA_ROUNDS rounds every vertex
-    simultaneously adopts its neighborhood's most frequent label
-    (ties -> smallest label; a vertex with no neighbors keeps its
-    own). Each round is ONE shuffle of the directed edge list joined
-    to the current labels plus a per-vertex arg-max window — the
-    same bounded-rounds iterative-join discipline as pointer jumping
-    and k-core, lineage kept flat with localCheckpoint. Output:
-    (node, community, community_size). Exactness pinned against a
-    pure-python synchronous replay in tests AND against a DuckDB
-    oracle that unrolls the LPA_ROUNDS rounds in SQL (_lpa_oracle) —
-    the fixed round count is what makes this iterative operator
-    hash-checkable at all."""
-    edges = _copurchase_edges(spark, sf_dir)
+def _lpa_rounds_ctes() -> list[str]:
+    """The per-round CTE blocks of the unrolled LPA replay (shared by
+    the graph_lpa_communities and graph_modularity oracles)."""
+    rounds = []
+    for r in range(LPA_ROUNDS):
+        prev, cur = f"l{r}", f"l{r + 1}"
+        rounds.append(f"""c{r} AS MATERIALIZED (
+  SELECT e.src AS node, l.lbl AS nl, COUNT(*) AS n
+  FROM ed e JOIN {prev} l ON l.node = e.dst GROUP BY 1, 2
+), w{r} AS MATERIALIZED (
+  SELECT node, nl,
+         ROW_NUMBER() OVER (PARTITION BY node ORDER BY n DESC, nl) AS rn
+  FROM c{r}
+), {cur} AS MATERIALIZED (
+  SELECT p.node, COALESCE(w.nl, p.lbl) AS lbl
+  FROM {prev} p LEFT JOIN (SELECT node, nl FROM w{r} WHERE rn = 1) w
+    USING (node)
+)""")
+    return rounds
+
+
+def _lpa_chain_prefix(rounds: list[str]) -> str:
+    """WITH-clause prefix: co-purchase edges + l0 + the round chain.
+    Every CTE is MATERIALIZED — the modularity oracle references
+    und/ed/l{LPA_ROUNDS} several times each, and DuckDB's default
+    inlining would re-expand the whole round chain per reference
+    (the multiplicative blow-up that filled the disk at sf0.1)."""
+    return f"""
+WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+), ed AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM und
+  UNION ALL SELECT v AS src, u AS dst FROM und
+), l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM ed
+), {', '.join(rounds)}"""
+
+
+def _lpa_labels(edges: DataFrame) -> DataFrame:
+    """Run LPA_ROUNDS of deterministic synchronous label propagation
+    over distinct undirected (u < v) edges; returns (node, lbl).
+    Shared kernel of graph_lpa_communities and graph_modularity —
+    see graph_lpa_communities for the determinism contract."""
     directed = (
         edges.select(F.col("u").alias("src"), F.col("v").alias("dst"))
         .unionAll(
@@ -544,6 +551,26 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return labels
+
+
+@query("graph_lpa_communities", oracle=_lpa_oracle())
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    part co-purchase graph, made fully deterministic: every vertex
+    starts as its own label; each of LPA_ROUNDS rounds every vertex
+    simultaneously adopts its neighborhood's most frequent label
+    (ties -> smallest label; a vertex with no neighbors keeps its
+    own). Each round is ONE shuffle of the directed edge list joined
+    to the current labels plus a per-vertex arg-max window — the
+    same bounded-rounds iterative-join discipline as pointer jumping
+    and k-core, lineage kept flat with localCheckpoint. Output:
+    (node, community, community_size). Exactness pinned against a
+    pure-python synchronous replay in tests AND against a DuckDB
+    oracle that unrolls the LPA_ROUNDS rounds in SQL (_lpa_oracle) —
+    the fixed round count is what makes this iterative operator
+    hash-checkable at all."""
+    labels = _lpa_labels(_copurchase_edges(spark, sf_dir))
     sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
     return labels.join(sizes, "lbl").select(
         "node",
@@ -911,4 +938,103 @@ def graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.sum("rec").cast("double") / F.count(F.lit(1))
         ).alias("reciprocity"),
+    )
+
+
+def _modularity_oracle() -> str:
+    """Modularity of the LPA partition, replayed: the shared LPA
+    chain, then Q = sum_c(m_c)/m - sum_c(d_c^2)/(4 m^2) on exact
+    integer edge/degree sums (the cross-term expansion avoids any
+    per-community float accumulation)."""
+    last = f"l{LPA_ROUNDS}"
+    return (
+        _lpa_chain_prefix(_lpa_rounds_ctes())
+        + f""", deg AS MATERIALIZED (
+  SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY src
+), dc AS MATERIALIZED (
+  SELECT l.lbl, CAST(SUM(deg.d) AS BIGINT) AS d_c
+  FROM {last} l JOIN deg ON deg.node = l.node GROUP BY l.lbl
+), intra AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS sum_mc
+  FROM und e
+  JOIN {last} lu ON lu.node = e.u
+  JOIN {last} lv ON lv.node = e.v
+  WHERE lu.lbl = lv.lbl
+), agg AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS m,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM dc) AS n_communities,
+         (SELECT sum_mc FROM intra) AS intra_edges,
+         (SELECT CAST(SUM(d_c * d_c) AS BIGINT) FROM dc) AS sum_dc2
+)
+SELECT n_nodes, m AS n_edges, n_communities, intra_edges,
+       CAST(intra_edges AS DOUBLE) / m
+         - CAST(sum_dc2 AS DOUBLE)
+           / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) AS modularity
+FROM agg
+"""
+    )
+
+
+@query("graph_modularity", oracle=_modularity_oracle())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA community partition — the
+    quality score that says whether the detected communities are
+    real structure or noise (Q near 0) — closing the loop on
+    graph_lpa_communities: detect, then MEASURE. Q = sum_c[m_c/m -
+    (d_c/2m)^2], computed via the cross-term expansion
+    sum(m_c)/m - sum(d_c^2)/(4m^2) so every accumulation is an
+    exact bigint (intra-edge count; degree-mass squares per
+    community) and only the final two divisions are float — no
+    per-community float sum regardless of community count. Labels
+    come from the shared _lpa_labels kernel (same bounded-rounds
+    iterative joins); the extra cost over detection is one
+    edge-label join and two small aggregates."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    labels = _lpa_labels(edges)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    dc = (
+        labels.join(deg, "node")
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("lbl").alias("lbl_u"))
+    lv = labels.select(F.col("node").alias("v"), F.col("lbl").alias("lbl_v"))
+    intra = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .where(F.col("lbl_u") == F.col("lbl_v"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    nn = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    nc = dc.agg(F.count(F.lit(1)).cast("bigint").alias("n_communities"))
+    dc2 = dc.agg(
+        F.sum(F.col("d_c") * F.col("d_c")).cast("bigint").alias("sum_dc2")
+    )
+    agg = (
+        nn.crossJoin(m)
+        .crossJoin(nc)
+        .crossJoin(intra)
+        .crossJoin(dc2)
+    )
+    return agg.select(
+        "n_nodes",
+        F.col("m").alias("n_edges"),
+        "n_communities",
+        "intra_edges",
+        (
+            F.col("intra_edges").cast("double") / F.col("m")
+            - F.col("sum_dc2").cast("double")
+            / (
+                F.lit(4.0)
+                * F.col("m").cast("double")
+                * F.col("m").cast("double")
+            )
+        ).alias("modularity"),
     )
