@@ -2223,3 +2223,125 @@ def interval_overlap_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_overlap_sec"
         ),
     )
+
+
+@query(
+    "attribution_shapley",
+    oracle="""
+WITH fp AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), pri AS (
+  SELECT f.user_id,
+         CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS bit
+  FROM fp f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type <> 'purchase'
+   AND (e.ts < f.ts OR (e.ts = f.ts AND e.event_id < f.event_id))
+), um AS (
+  SELECT f.user_id, COALESCE(BIT_OR(p.bit), 0) AS mask
+  FROM fp f LEFT JOIN pri p ON p.user_id = f.user_id
+  GROUP BY f.user_id
+), mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY mask
+), vv AS (
+  SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+  FROM generate_series(0, 15) s(s)
+  LEFT JOIN mc ON (mc.mask & s.s) = mc.mask
+  GROUP BY s.s
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                        ('signup', 4), ('view', 8)) AS t(channel, bit)
+)
+SELECT ch.channel,
+       CAST(SUM((CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                      WHEN 2 THEN 2 ELSE 6 END)
+                * (v2.v - v1.v)) AS BIGINT) AS shapley_numer,
+       CAST(CAST(SUM((CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                           WHEN 2 THEN 2 ELSE 6 END)
+                     * (v2.v - v1.v)) AS BIGINT) AS DOUBLE) / 24.0
+         AS shapley_credit
+FROM ch
+JOIN vv v1 ON (v1.s & ch.bit) = 0
+JOIN vv v2 ON v2.s = v1.s + ch.bit
+GROUP BY ch.channel
+""",
+)
+def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value marketing attribution — the game-theoretic credit
+    split last-touch and Markov-removal both approximate. Coalition
+    value v(S) = number of converting users whose pre-first-purchase
+    channel set is contained in S (the conversions that survive if
+    only channels in S existed); each channel's credit is the exact
+    Shapley average of its marginal contributions over all 2^3
+    orderings-by-subset. With the four fixed non-purchase channels
+    (click/error/signup/view) every v(S) is an INTEGER user count,
+    the |S|!(m-1-|S|)! weights are the integers {6,2,2,6}, and the
+    whole computation stays in bigint until ONE division by m!=24 —
+    hash-exact across engines by construction. Shape: the only
+    event-scale work is first-purchase per user (one agg) + one join
+    back for prior touches + a per-user BIT_OR (one agg); everything
+    after runs on <=16-row mask/subset frames (BNLJ on tiny sides),
+    so the plan is two user_id shuffles regardless of corpus size.
+    Efficiency property sum_i(credit_i) = v(full) - v(empty) is
+    fuzz-tested; the direct-conversion mass (empty channel set)
+    cancels out of every marginal, as it must."""
+    ev = load(spark, sf_dir, "events")
+    bit = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "signup", 4)
+        .when(F.col("event_type") == "view", 8)
+        .otherwise(0)
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.struct("ts", "event_id")).alias("fp"))
+    )
+    pri = (
+        ev.filter(F.col("event_type") != "purchase")
+        .join(fp, "user_id")
+        .filter(F.struct("ts", "event_id") < F.col("fp"))
+        .select("user_id", bit.alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("mask0"))
+    )
+    um = fp.join(pri, "user_id", "left").select(
+        "user_id", F.coalesce("mask0", F.lit(0)).alias("mask")
+    )
+    mc = um.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    masks = spark.range(0, 16).select(F.col("id").alias("s"))
+    vv = (
+        masks.join(
+            mc, F.col("mask").bitwiseAND(F.col("s")) == F.col("mask"), "left"
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("bigint").alias("v"))
+    )
+    ch = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit long",
+    )
+    v1 = vv.select(F.col("s").alias("s1"), F.col("v").alias("va"))
+    v2 = vv.select(F.col("s").alias("s2"), F.col("v").alias("vb"))
+    w = (
+        F.when(F.bit_count("s1") == 0, 6)
+        .when(F.bit_count("s1") == 1, 2)
+        .when(F.bit_count("s1") == 2, 2)
+        .otherwise(6)
+    )
+    numer = F.sum(w * (F.col("vb") - F.col("va"))).cast("bigint")
+    return (
+        ch.join(v1, F.col("s1").bitwiseAND(F.col("bit")) == 0)
+        .join(v2, F.col("s2") == F.col("s1") + F.col("bit"))
+        .groupBy("channel")
+        .agg(
+            numer.alias("shapley_numer"),
+            (numer.cast("double") / 24.0).alias("shapley_credit"),
+        )
+    )

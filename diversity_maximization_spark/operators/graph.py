@@ -1038,3 +1038,103 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("modularity"),
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), tri AS MATERIALIZED (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+), tn AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS t FROM (
+    SELECT a AS x FROM tri UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY x
+), deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY x
+)
+SELECT deg.x AS node, deg.d AS degree,
+       CAST(COALESCE(tn.t, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN CAST(2 * COALESCE(tn.t, 0) AS DOUBLE)
+                 / (deg.d * (deg.d - 1))
+            ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+FROM deg LEFT JOIN tn ON tn.x = deg.x
+""",
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node LOCAL clustering coefficient of the co-purchase graph
+    — lcc(v) = 2*T(v) / (d(v)*(d(v)-1)), the fraction of a node's
+    neighbor pairs that are themselves adjacent; the node-level
+    refinement of graph_triangle_count (which only returns the global
+    count). Same degree-oriented wedge-join kernel — orient edges
+    low-(degree,id) -> high, wedge join head-to-tail, close against
+    the oriented edge set — but the closing join is an INNER join
+    (not semi) so each triangle surfaces exactly once with all three
+    vertices, which then explode into per-node counts via one
+    unionAll+groupBy. The O(m^1.5) wedge bound carries over
+    unchanged, so per-node counting costs the same shuffle volume as
+    global counting plus one |V|-sized agg. Integer triangle and
+    degree counts, ONE float division per node, degree<2 pinned to
+    0.0 in both engines. Oracle enumerates triangles with the naive
+    u<v<w three-way join (oracle-scale-only; see PLANS.md)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    with_deg = edges.join(du, "u").join(dv, "v")
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+    )
+    wedges = oriented.alias("e1").join(
+        oriented.alias("e2"), F.col("e1.t") == F.col("e2.s")
+    ).select(
+        F.col("e1.s").alias("a"),
+        F.col("e1.t").alias("b"),
+        F.col("e2.t").alias("c"),
+    )
+    closing = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    tri = wedges.join(closing, ["a", "c"])
+    tn = (
+        tri.select(F.col("a").alias("x"))
+        .unionAll(tri.select(F.col("b").alias("x")))
+        .unionAll(tri.select(F.col("c").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    joined = deg.join(tn, "x", "left").select(
+        F.col("x").alias("node"),
+        F.col("d").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+    )
+    return joined.select(
+        "node",
+        "degree",
+        "triangles",
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.col("triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    )

@@ -305,3 +305,106 @@ def test_ip_octets_roundtrip(ipn):
     )
     assert all(0 <= o <= 255 for o in (o1, o2, o3, o4))
     assert ((o1 * 256 + o2) * 256 + o3) * 256 + o4 == ipn
+
+
+# --- Shapley attribution: pure-python replay of the subset kernel.
+# Efficiency (credits sum to v(full) - v(empty)), dummy-player zero
+# credit, and symmetry for identical channels — the three axioms the
+# integer-weight construction must satisfy on ANY mask distribution.
+
+mask_counts = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(1, 50)),
+    min_size=1, max_size=16,
+)
+
+
+def _shapley_numer(cnt_by_mask):
+    """Integer Shapley numerators (x24) over 4 channels, mirroring
+    attribution_shapley's subset algebra."""
+    def v(s):
+        return sum(c for m, c in cnt_by_mask.items() if m & s == m)
+    w = {0: 6, 1: 2, 2: 2, 3: 6}
+    out = {}
+    for bit in (1, 2, 4, 8):
+        out[bit] = sum(
+            w[bin(s).count("1")] * (v(s | bit) - v(s))
+            for s in range(16) if s & bit == 0
+        )
+    return out, v
+
+
+@given(mask_counts)
+@settings(max_examples=200, deadline=None)
+def test_shapley_efficiency_and_dummy(pairs):
+    cnt = {}
+    for m, c in pairs:
+        cnt[m] = cnt.get(m, 0) + c
+    numer, v = _shapley_numer(cnt)
+    # Efficiency: sum of credits == v(grand) - v(empty), times 24.
+    assert sum(numer.values()) == 24 * (v(15) - v(0))
+    # Dummy player: a channel present in NO user's mask gets zero.
+    for bit in (1, 2, 4, 8):
+        if all(m & bit == 0 for m in cnt):
+            assert numer[bit] == 0
+
+
+@given(st.lists(st.tuples(st.integers(0, 3), st.integers(1, 20)),
+                min_size=1, max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_shapley_symmetry_for_identical_channels(pairs):
+    # Build masks where channels 1 and 2 always appear together:
+    # mask uses bits {1,2} jointly (sym), {4,8} free.
+    cnt = {}
+    for sel, c in pairs:
+        m = (3 if sel & 1 else 0) | (4 if sel & 2 else 0)
+        cnt[m] = cnt.get(m, 0) + c
+    numer, _ = _shapley_numer(cnt)
+    assert numer[1] == numer[2]
+
+
+# --- local clustering coefficient: brute-force adjacency replay on
+# tiny random graphs must match the wedge-count algebra
+# lcc = 2T/(d(d-1)), with the d<2 -> 0 pin.
+
+small_edges = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0, max_size=20,
+)
+
+
+def _lcc_bruteforce(edge_list):
+    adj = {}
+    es = set()
+    for a, b in edge_list:
+        if a == b:
+            continue
+        u, v = min(a, b), max(a, b)
+        if (u, v) in es:
+            continue
+        es.add((u, v))
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    out = {}
+    for x, ns in adj.items():
+        d = len(ns)
+        ns_l = sorted(ns)
+        t = sum(
+            1
+            for i in range(len(ns_l))
+            for j in range(i + 1, len(ns_l))
+            if (min(ns_l[i], ns_l[j]), max(ns_l[i], ns_l[j])) in es
+        )
+        out[x] = (d, t, 2.0 * t / (d * (d - 1)) if d >= 2 else 0.0)
+    return out
+
+
+@given(small_edges)
+@settings(max_examples=200, deadline=None)
+def test_lcc_invariants(edge_list):
+    out = _lcc_bruteforce(edge_list)
+    total_t = sum(t for _, t, _ in out.values())
+    # Every triangle is counted exactly once per corner: 3 | total.
+    assert total_t % 3 == 0
+    for d, t, lcc in out.values():
+        assert 0.0 <= lcc <= 1.0
+        assert t <= d * (d - 1) // 2
