@@ -1502,3 +1502,64 @@ def text_log_odds_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("delta", 6).alias("log_odds"),
         F.round("zs", 6).alias("z_score"),
     )
+
+
+@query(
+    "text_rake_words",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pw AS (
+  SELECT doc_id, unnest(w) AS word,
+         unnest(range(1, len(w) + 1)) AS pos
+  FROM ws
+), nonstop AS (
+  SELECT doc_id, word, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+           AS island
+  FROM pw WHERE word NOT IN ('the', 'a')
+), ph AS (
+  SELECT doc_id, island, word,
+         COUNT(*) OVER (PARTITION BY doc_id, island) AS plen
+  FROM nonstop
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS deg,
+       CAST(CAST(SUM(plen) AS BIGINT) AS DOUBLE) / COUNT(*) AS rake_score
+FROM ph GROUP BY word
+""",
+)
+def text_rake_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword scoring (Rose et al. 2010), word level: candidate
+    phrases are maximal runs of non-stopword tokens (split at the
+    stopwords 'the'/'a'); each word scores deg(w)/freq(w), where
+    freq counts the word's occurrences inside candidate phrases and
+    deg sums the lengths of the phrases it appears in — long-phrase
+    membership is what lifts a word above its raw frequency, which
+    is RAKE's whole idea. Phrase segmentation is the gaps-and-
+    islands trick (pos minus per-doc ROW_NUMBER over non-stop
+    tokens), so the plan is one explode + one per-doc window + one
+    word-keyed agg — per-document parallelism end to end, no global
+    window anywhere. deg and freq stay exact bigints; the ONLY float
+    is the final per-word division, hash-identical across engines."""
+    d = load(spark, sf_dir, "documents")
+    pw = d.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "word"),
+    ).select("doc_id", "word", (F.col("pos0") + 1).alias("pos"))
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    nonstop = (
+        pw.filter(~F.col("word").isin("the", "a"))
+        .withColumn("island", F.col("pos") - F.row_number().over(wdoc))
+    )
+    wph = Window.partitionBy("doc_id", "island")
+    ph = nonstop.withColumn("plen", F.count(F.lit(1)).over(wph))
+    return ph.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("deg"),
+        (
+            F.sum("plen").cast("bigint").cast("double")
+            / F.count(F.lit(1))
+        ).alias("rake_score"),
+    )

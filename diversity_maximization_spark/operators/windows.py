@@ -1223,3 +1223,60 @@ def win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("prev_purchase_value"),
     )
+
+
+@query(
+    "win_longest_streak",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), isl AS (
+  SELECT user_id, day,
+         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+           AS anchor
+  FROM ud
+), runs AS (
+  SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+       CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM runs GROUP BY user_id
+""",
+)
+def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user — the
+    engagement-streak metric (think login streaks) and the canonical
+    gaps-and-islands reduction: distinct (user, epoch-day) pairs,
+    anchor = day minus the per-user ROW_NUMBER (constant within a
+    consecutive run, strictly distinct across runs), then two
+    integer aggs — run lengths per (user, anchor), max/sum/count per
+    user. Dates are epoch-day INTEGERS in both engines (datediff vs
+    date_diff from 1970-01-01), so the whole operator is exact
+    integer arithmetic with no date-type canonicalization risk.
+    Shape at 100 TB: one shuffled distinct + one user-partitioned
+    window + two per-user aggs — user_id is the high-cardinality
+    key, parallelism never collapses."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+            "day"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = ud.withColumn(
+        "anchor", F.col("day") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+    )

@@ -408,3 +408,66 @@ def test_lcc_invariants(edge_list):
     for d, t, lcc in out.values():
         assert 0.0 <= lcc <= 1.0
         assert t <= d * (d - 1) // 2
+
+
+# --- gaps-and-islands streaks: anchor grouping must reproduce a
+# direct consecutive-run scan for any day set.
+
+day_sets = st.sets(st.integers(0, 60), min_size=1, max_size=40)
+
+
+@given(day_sets)
+@settings(max_examples=200, deadline=None)
+def test_streak_anchor_equals_direct_scan(days):
+    ds = sorted(days)
+    # direct scan
+    runs, cur = [], 1
+    for i in range(1, len(ds)):
+        if ds[i] == ds[i - 1] + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    # anchor grouping (the operator's algebra)
+    from collections import Counter
+    anchors = Counter(d - (i + 1) for i, d in enumerate(ds))
+    assert sorted(anchors.values()) == sorted(runs)
+    assert max(anchors.values()) == max(runs)
+    assert sum(anchors.values()) == len(ds)
+
+
+# --- RAKE word scores: deg >= freq (every phrase has length >= 1),
+# and for a single-word phrase universe deg == freq exactly.
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(["the", "a", "x", "y", "z", "w"]),
+             min_size=1, max_size=15),
+    min_size=1, max_size=6,
+)
+
+
+def _rake_scores(docs):
+    deg, freq = {}, {}
+    for doc in docs:
+        phrase = []
+        for tok in doc + ["the"]:
+            if tok in ("the", "a"):
+                for wd in phrase:
+                    deg[wd] = deg.get(wd, 0) + len(phrase)
+                    freq[wd] = freq.get(wd, 0) + 1
+                phrase = []
+            else:
+                phrase.append(tok)
+    return deg, freq
+
+
+@given(docs_strategy)
+@settings(max_examples=200, deadline=None)
+def test_rake_deg_dominates_freq(docs):
+    deg, freq = _rake_scores(docs)
+    for wd in freq:
+        assert deg[wd] >= freq[wd]
+        # deg == freq iff every phrase containing wd has length 1 —
+        # check the upper bound too: deg <= freq * max phrase len.
+        assert deg[wd] <= freq[wd] * 15
