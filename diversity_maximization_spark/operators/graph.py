@@ -1138,3 +1138,129 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coeff"),
     )
+
+
+HITS_ROUNDS = 8
+_HITS_SCALE = 1_000_000_000  # L1-norm fixed point (1e9)
+_HITS_TOPN = 25
+
+
+def _hits_oracle() -> str:
+    """Unrolled scaled-integer HITS in DuckDB — every op is integer
+    sum / multiply / floor-divide, so per-node sums are order-free
+    and the replay is bit-exact vs the Spark loop. MATERIALIZED
+    throughout (each round's tables are referenced twice)."""
+    head = f"""
+WITH eg AS MATERIALIZED (
+  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+), nh AS (SELECT CAST(COUNT(DISTINCT c) AS BIGINT) AS n FROM eg),
+h0 AS MATERIALIZED (
+  SELECT DISTINCT c, {_HITS_SCALE} // (SELECT n FROM nh) AS h FROM eg
+)"""
+    rounds = []
+    for i in range(1, HITS_ROUNDS + 1):
+        rounds.append(f"""
+, ar{i} AS MATERIALIZED (
+  SELECT e.p, CAST(SUM(h.h) AS BIGINT) AS raw
+  FROM eg e JOIN h{i - 1} h ON h.c = e.c GROUP BY e.p
+), a{i} AS MATERIALIZED (
+  SELECT p, (raw * {_HITS_SCALE})
+            // (SELECT CAST(SUM(raw) AS BIGINT) FROM ar{i}) AS a
+  FROM ar{i}
+), hr{i} AS MATERIALIZED (
+  SELECT e.c, CAST(SUM(a.a) AS BIGINT) AS raw
+  FROM eg e JOIN a{i} a ON a.p = e.p GROUP BY e.c
+), h{i} AS MATERIALIZED (
+  SELECT c, (raw * {_HITS_SCALE})
+            // (SELECT CAST(SUM(raw) AS BIGINT) FROM hr{i}) AS h
+  FROM hr{i}
+)""")
+    tail = f"""
+SELECT * FROM (
+  SELECT 'authority' AS role, p AS node, CAST(a AS BIGINT) AS score_scaled
+  FROM a{HITS_ROUNDS} ORDER BY a DESC, p LIMIT {_HITS_TOPN}
+) UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS role, c AS node, CAST(h AS BIGINT) AS score_scaled
+  FROM h{HITS_ROUNDS} ORDER BY h DESC, c LIMIT {_HITS_TOPN}
+)"""
+    return head + "".join(rounds) + tail
+
+
+@query("graph_hits", oracle=_hits_oracle())
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg hubs-and-authorities) over the bipartite
+    customer->part purchase graph: customers are hubs, parts are
+    authorities; auth(p) = sum of hub scores of its buyers, hub(c) =
+    sum of authority scores of its parts, L1-renormalized each round.
+    Arithmetic is the text_pagerank_exact scaled-integer recipe
+    (1e9 fixed point, floor division — Spark `div` == DuckDB `//`
+    on the all-positive operands), so every per-node sum is an
+    order-independent bigint and the {HITS_ROUNDS}-round replay
+    hash-matches exactly. Overflow-safe by the L1 invariant: scores
+    sum to <= 1e9 after each renorm, so raw sums <= 1e9 and
+    raw * SCALE <= 1e18 < 2^63. Scale shape: per round TWO equi-join
+    shuffles of the edge list against node-sized score tables (the
+    exact mirror of PageRank's one — HITS alternates sides) plus two
+    scalar totals that crossJoin back broadcast; localCheckpoint
+    every 4 rounds keeps lineage flat. Output: top-{_HITS_TOPN}
+    authorities and hubs via TakeOrderedAndProject, never a global
+    sort."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"), F.col("o_orderkey").alias("ok")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    )
+    eg = o.join(li, "ok").select("c", "p").distinct().cache()
+    n = eg.select("c").distinct().count()
+    h = eg.select("c").distinct().select(
+        "c", F.lit(_HITS_SCALE // n).cast("long").alias("h")
+    )
+    a = None
+    for i in range(HITS_ROUNDS):
+        # Each raw table feeds BOTH its scalar total and the renorm
+        # select; checkpointing it per round keeps the lineage a
+        # chain — without this the double consumption recomputes the
+        # edge join 2^rounds times (measured: 198 s -> ~10 s at
+        # sf0.001).
+        ar = (
+            eg.join(h, "c")
+            .groupBy("p")
+            .agg(F.sum("h").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        ta = ar.agg(F.sum("raw").cast("bigint").alias("tot"))
+        a = ar.crossJoin(F.broadcast(ta)).select(
+            "p", F.expr(f"(raw * {_HITS_SCALE}) div tot").alias("a")
+        )
+        hr = (
+            eg.join(a, "p")
+            .groupBy("c")
+            .agg(F.sum("a").cast("bigint").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        th = hr.agg(F.sum("raw").cast("bigint").alias("tot"))
+        h = hr.crossJoin(F.broadcast(th)).select(
+            "c", F.expr(f"(raw * {_HITS_SCALE}) div tot").alias("h")
+        )
+    top_a = (
+        a.select(
+            F.lit("authority").alias("role"),
+            F.col("p").alias("node"),
+            F.col("a").cast("bigint").alias("score_scaled"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "node")
+        .limit(_HITS_TOPN)
+    )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("role"),
+            F.col("c").alias("node"),
+            F.col("h").cast("bigint").alias("score_scaled"),
+        )
+        .orderBy(F.col("score_scaled").desc(), "node")
+        .limit(_HITS_TOPN)
+    )
+    return top_a.unionAll(top_h)

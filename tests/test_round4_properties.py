@@ -471,3 +471,40 @@ def test_rake_deg_dominates_freq(docs):
         # deg == freq iff every phrase containing wd has length 1 —
         # check the upper bound too: deg <= freq * max phrase len.
         assert deg[wd] <= freq[wd] * 15
+
+
+# --- scaled-integer HITS: floor-division renorm must keep L1 mass
+# in (SCALE - n_nodes, SCALE] and preserve score ordering vs the
+# exact rational renorm, on any bipartite graph.
+
+bip_edges = st.sets(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1, max_size=20,
+)
+
+
+@given(bip_edges)
+@settings(max_examples=150, deadline=None)
+def test_hits_scaled_renorm_mass_and_order(edges):
+    scale = 1_000_000_000
+    cs = sorted({c for c, _ in edges})
+    h = {c: scale // len(cs) for c in cs}
+    for _ in range(3):
+        raw = {}
+        for c, p in edges:
+            raw[p] = raw.get(p, 0) + h[c]
+        tot = sum(raw.values())
+        a = {p: (r * scale) // tot for p, r in raw.items()}
+        mass = sum(a.values())
+        assert scale - len(a) < mass <= scale
+        # floor renorm preserves the raw ordering
+        ps = sorted(raw)
+        for i in range(len(ps) - 1):
+            x, y = ps[i], ps[i + 1]
+            if raw[x] < raw[y]:
+                assert a[x] <= a[y]
+        hraw = {}
+        for c, p in edges:
+            hraw[c] = hraw.get(c, 0) + a[p]
+        th = sum(hraw.values())
+        h = {c: (r * scale) // th for c, r in hraw.items()}
