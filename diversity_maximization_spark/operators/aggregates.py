@@ -4702,3 +4702,92 @@ def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_1df"),
         (chi2 > 3.841459).alias("srm_flag"),
     )
+
+
+_TOST_EXPR = (
+    "(CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) / 100"
+)
+_TOST_SE = (
+    "sqrt(((CAST(ss1 AS DOUBLE)"
+    " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1) / (n1 - 1) / n1"
+    " + (CAST(ss2 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n2) / (n2 - 1) / n2)"
+    ") / 100"
+)
+
+
+@query(
+    "agg_tost_equivalence",
+    oracle=f"""
+WITH arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM arms GROUP BY arm
+), w AS (
+  SELECT
+    MAX(CASE WHEN arm = 'A' THEN n END) AS n1,
+    MAX(CASE WHEN arm = 'A' THEN s END) AS s1,
+    MAX(CASE WHEN arm = 'A' THEN ss END) AS ss1,
+    MAX(CASE WHEN arm = 'B' THEN n END) AS n2,
+    MAX(CASE WHEN arm = 'B' THEN s END) AS s2,
+    MAX(CASE WHEN arm = 'B' THEN ss END) AS ss2
+  FROM m
+)
+SELECT n1, n2,
+       {_TOST_EXPR} AS mean_diff,
+       {_TOST_SE} AS se_diff,
+       (({_TOST_EXPR}) + 2.0) / ({_TOST_SE}) AS z_lower,
+       (2.0 - ({_TOST_EXPR})) / ({_TOST_SE}) AS z_upper,
+       (({_TOST_EXPR}) + 2.0) / ({_TOST_SE}) > 1.644854
+         AND (2.0 - ({_TOST_EXPR})) / ({_TOST_SE}) > 1.644854
+         AS equivalent
+FROM w
+""",
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST (two one-sided tests) equivalence between experiment
+    arms — the test you need when the goal is to SHOW NO EFFECT
+    (a refactor, an infra migration): both H0s 'diff <= -2.0' and
+    'diff >= +2.0' (dollars) must be rejected at alpha=0.05, i.e.
+    both z statistics above 1.645. A non-significant Welch t is NOT
+    evidence of equivalence; TOST is, which is why it sits beside
+    agg_ttest_welch in the inventory. Per-arm moments are exact
+    bigints (cents discipline); the Welch unpooled SE, the two z's
+    and the flag are ONE float expression whose text is shared
+    verbatim between the Spark plan and the oracle, pinning IEEE
+    evaluation order. One partial+final aggregate + a 2-row pivot."""
+    ev = load(spark, sf_dir, "events")
+    arms = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.expr(cents("value")).alias("c"),
+    )
+    m = arms.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    w = m.agg(
+        F.max(F.when(F.col("arm") == "A", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "A", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == "A", F.col("ss"))).alias("ss1"),
+        F.max(F.when(F.col("arm") == "B", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "B", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("arm") == "B", F.col("ss"))).alias("ss2"),
+    )
+    return w.select(
+        "n1",
+        "n2",
+        F.expr(_TOST_EXPR).alias("mean_diff"),
+        F.expr(_TOST_SE).alias("se_diff"),
+        F.expr(f"(({_TOST_EXPR}) + 2.0) / ({_TOST_SE})").alias("z_lower"),
+        F.expr(f"(2.0 - ({_TOST_EXPR})) / ({_TOST_SE})").alias("z_upper"),
+        F.expr(
+            f"(({_TOST_EXPR}) + 2.0) / ({_TOST_SE}) > 1.644854"
+            f" AND (2.0 - ({_TOST_EXPR})) / ({_TOST_SE}) > 1.644854"
+        ).alias("equivalent"),
+    )

@@ -1617,3 +1617,128 @@ def ts_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s5").cast("double") / 500).alias("sma5"),
         (F.col("s20").cast("double") / 2000).alias("sma20"),
     )
+
+
+def _ljungbox_oracle() -> str:
+    """Ljung-Box replay: the ts_acf moment CTEs, each lag's r_k
+    pivoted into a named column, then ONE fixed-order arithmetic
+    expression — identical text in both engines, so the 7-term float
+    sum evaluates in the same IEEE order by construction."""
+    acf_expr = (
+        "(CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)"
+        " - COUNT(*) * (s / n) * (s / n))"
+        " / (ss - n * (s / n) * (s / n))"
+    )
+    piv = ", ".join(
+        f"MAX(CASE WHEN lag = {k} THEN acf END) AS r{k}"
+        for k in range(1, 8)
+    )
+    terms = " + ".join(
+        f"(r{k} * r{k}) / (n - {k}.0)" for k in range(1, 8)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT a.c AS x, b.c AS y, l.lag
+  FROM daily a
+  JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(c) AS DOUBLE) AS s,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
+  FROM daily
+), acfs AS (
+  SELECT lag, {acf_expr} AS acf
+  FROM lagged, stats GROUP BY lag, n, s, ss
+), piv AS (
+  SELECT (SELECT n FROM stats) AS n, {piv} FROM acfs
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(7 AS INT) AS df,
+       n * (n + 2.0) * ({terms}) AS q_stat,
+       n * (n + 2.0) * ({terms}) > 14.067140 AS reject_white_noise
+FROM piv
+"""
+
+
+@query("ts_ljungbox", oracle=_ljungbox_oracle())
+def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on daily revenue: Q = n(n+2) *
+    sum_{k=1..7} r_k^2/(n-k) against the chi-square(7) 0.05 critical
+    value 14.067 — the is-this-series-white-noise gate run before
+    fitting any ARIMA-class model, and the natural consumer of
+    ts_acf's r_k values. All moments are exact integers (the ts_acf
+    HUGEINT/decimal(38) discipline); the 7 r_k floats then combine
+    in ONE fixed-order expression written out term by term with
+    identical text in both engines, so the float reduction order is
+    pinned by construction (no data-dependent fold). Shape: the
+    O(days) rollup + a 7-way calendar-shift join + a 7-row pivot —
+    nothing scales past the day count."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("c")
+    )
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        (
+            F.col("day")
+            + F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)")
+        ).alias("day"),
+        F.col("c").alias("x"),
+        "lag",
+    )
+    pairs = shifted.join(daily.select("day", F.col("c").alias("y")), "day")
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    acfs = (
+        pairs.crossJoin(F.broadcast(stats))
+        .groupBy("lag", "n", "s", "ss")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+            .cast("double")
+            .alias("sxy"),
+        )
+        .select(
+            "lag",
+            "n",
+            (
+                (
+                    F.col("sxy")
+                    - F.col("n_pairs")
+                    * (F.col("s") / F.col("n"))
+                    * (F.col("s") / F.col("n"))
+                )
+                / (
+                    F.col("ss")
+                    - F.col("n") * (F.col("s") / F.col("n"))
+                    * (F.col("s") / F.col("n"))
+                )
+            ).alias("acf"),
+        )
+    )
+    piv_cols = [
+        F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+        for k in range(1, 8)
+    ]
+    piv = acfs.groupBy("n").agg(*piv_cols)
+    terms = " + ".join(
+        f"(r{k} * r{k}) / (n - {k}.0)" for k in range(1, 8)
+    )
+    return piv.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.lit(7).cast("int").alias("df"),
+        F.expr(f"n * (n + 2.0) * ({terms})").alias("q_stat"),
+        F.expr(
+            f"n * (n + 2.0) * ({terms}) > 14.067140"
+        ).alias("reject_white_noise"),
+    )

@@ -508,3 +508,40 @@ def test_hits_scaled_renorm_mass_and_order(edges):
             hraw[c] = hraw.get(c, 0) + a[p]
         th = sum(hraw.values())
         h = {c: (r * scale) // th for c, r in hraw.items()}
+
+
+# --- Ljung-Box: Q must be nonnegative, zero when all r_k are zero,
+# and monotone in any single |r_k|.
+
+acf_vals = st.lists(
+    st.floats(-0.99, 0.99, allow_nan=False), min_size=7, max_size=7
+)
+
+
+def _ljungbox_q(n, rs):
+    return n * (n + 2.0) * sum(
+        (r * r) / (n - (k + 1)) for k, r in enumerate(rs)
+    )
+
+
+@given(acf_vals, st.integers(20, 500))
+@settings(max_examples=200, deadline=None)
+def test_ljungbox_nonneg_and_monotone(rs, n):
+    q = _ljungbox_q(n, rs)
+    assert q >= 0.0
+    assert _ljungbox_q(n, [0.0] * 7) == 0.0
+    bumped = list(rs)
+    bumped[3] = min(0.999, abs(bumped[3]) * 1.5 + 0.01)
+    assert _ljungbox_q(n, bumped) >= q or abs(bumped[3]) <= abs(rs[3])
+
+
+# --- TOST: equivalence region algebra — declared equivalent iff the
+# 90% CI of the diff lies inside (-margin, margin).
+
+@given(st.floats(-3, 3), st.floats(0.01, 2.0))
+@settings(max_examples=300, deadline=None)
+def test_tost_equals_ci_inclusion(diff, se):
+    margin, zc = 2.0, 1.644854
+    tost = (diff + margin) / se > zc and (margin - diff) / se > zc
+    ci = (diff - zc * se, diff + zc * se)
+    assert tost == (ci[0] > -margin and ci[1] < margin)
