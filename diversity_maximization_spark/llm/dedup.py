@@ -1552,3 +1552,40 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.md5("text")).alias("n_raw_variants"),
         F.min("doc_id").alias("keeper_doc"),
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    oracle="""
+WITH g AS (
+  SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS size
+  FROM documents GROUP BY md5(text)
+)
+SELECT size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(size * COUNT(*) AS BIGINT) AS n_docs,
+       CAST((size - 1) * COUNT(*) AS BIGINT) AS n_removable
+FROM g GROUP BY size
+""",
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the telemetry a curation
+    run reads BEFORE deduplicating: how many exact-duplicate
+    clusters exist at each multiplicity, how many documents they
+    hold, and how many rows deduplication would remove
+    (size-1 per cluster). Two integer aggregations, the second over
+    the already-tiny (hash, size) table; digests shuffle, text never
+    does (the dedup_exact discipline). The n_removable column
+    summed over rows = corpus shrink from exact dedup — pinned
+    against dedup_exact in tests."""
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return g.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

@@ -4791,3 +4791,98 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" AND (2.0 - ({_TOST_EXPR})) / ({_TOST_SE}) > 1.644854"
         ).alias("equivalent"),
     )
+
+
+_MH_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_MH_R = " + ".join(
+    f"(CAST(a{i} AS DOUBLE) * d{i} / (a{i} + b{i} + c{i} + d{i}))"
+    for i in range(1, 6)
+)
+_MH_S = " + ".join(
+    f"(CAST(b{i} AS DOUBLE) * c{i} / (a{i} + b{i} + c{i} + d{i}))"
+    for i in range(1, 6)
+)
+
+
+def _mh_pivot_sql() -> str:
+    cols = []
+    for i, pr in enumerate(_MH_PRIOS, start=1):
+        for letter in "abcd":
+            cols.append(
+                f"CAST(MAX(CASE WHEN pr = '{pr}' THEN {letter} END)"
+                f" AS BIGINT) AS {letter}{i}"
+            )
+    return ", ".join(cols)
+
+
+@query(
+    "agg_mantel_haenszel",
+    oracle=f"""
+WITH cells AS (
+  SELECT o_orderpriority AS pr,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM orders GROUP BY o_orderpriority
+), piv AS (
+  SELECT {_mh_pivot_sql()} FROM cells
+)
+SELECT CAST(5 AS INT) AS n_strata,
+       {_MH_R} AS sum_r,
+       {_MH_S} AS sum_s,
+       ({_MH_R}) / ({_MH_S}) AS or_mh
+FROM piv
+""",
+)
+def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across strata — the
+    confounder-adjusted 2x2 estimate (here: customer-parity exposure
+    vs finished-order outcome, stratified by the five order
+    priorities), the epidemiology/experimentation standard when a
+    crude pooled table would Simpson's-paradox you. Per-stratum cell
+    counts are one partial+final integer aggregate; the five known
+    priority strata pivot into NAMED columns so the R = sum(a_i
+    d_i/n_i) and S = sum(b_i c_i/n_i) float sums are written out
+    term by term in one fixed-order expression shared verbatim with
+    the oracle — the agg_ljungbox/TOST determinism recipe, here
+    applied to a cross-stratum reduction that a data-ordered SUM()
+    could never hash-match. Output: one row, OR_MH = R/S."""
+    o = load(spark, sf_dir, "orders")
+    exposed = F.col("o_custkey") % 2 == 0
+    outcome = F.col("o_orderstatus") == "F"
+    cells = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.sum(F.when(exposed & outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(~exposed & outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(~exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    piv_cols = []
+    for i, pr in enumerate(_MH_PRIOS, start=1):
+        for letter in "abcd":
+            piv_cols.append(
+                F.max(
+                    F.when(F.col("pr") == pr, F.col(letter))
+                )
+                .cast("bigint")
+                .alias(f"{letter}{i}")
+            )
+    piv = cells.agg(*piv_cols)
+    return piv.select(
+        F.lit(5).cast("int").alias("n_strata"),
+        F.expr(_MH_R).alias("sum_r"),
+        F.expr(_MH_S).alias("sum_s"),
+        F.expr(f"({_MH_R}) / ({_MH_S})").alias("or_mh"),
+    )

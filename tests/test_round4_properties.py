@@ -545,3 +545,34 @@ def test_tost_equals_ci_inclusion(diff, se):
     tost = (diff + margin) / se > zc and (margin - diff) / se > zc
     ci = (diff - zc * se, diff + zc * se)
     assert tost == (ci[0] > -margin and ci[1] < margin)
+
+
+# --- Mantel-Haenszel: must equal the common OR on homogeneous
+# strata (collapsibility under no confounding), and be invariant to
+# stratum order by the fixed-expression construction.
+
+stratum = st.tuples(st.integers(1, 50), st.integers(1, 50),
+                    st.integers(1, 50), st.integers(1, 50))
+
+
+@given(st.lists(stratum, min_size=5, max_size=5), st.integers(2, 5))
+@settings(max_examples=200, deadline=None)
+def test_mh_recovers_common_or(strata, mult):
+    # homogeneous case: every stratum is the SAME table scaled
+    a, b, c, d = strata[0]
+    scaled = [(a * k, b * k, c * k, d * k) for k in range(1, 6)]
+    r = sum(ai * di / (ai + bi + ci + di) for ai, bi, ci, di in scaled)
+    s = sum(bi * ci / (ai + bi + ci + di) for ai, bi, ci, di in scaled)
+    or_mh = r / s
+    or_common = (a * d) / (b * c)
+    assert abs(or_mh - or_common) < 1e-9 * max(1.0, or_common)
+
+
+@given(st.lists(stratum, min_size=5, max_size=5))
+@settings(max_examples=200, deadline=None)
+def test_mh_between_stratum_or_extremes(strata):
+    ors = [(a * d) / (b * c) for a, b, c, d in strata]
+    r = sum(a * d / (a + b + c + d) for a, b, c, d in strata)
+    s = sum(b * c / (a + b + c + d) for a, b, c, d in strata)
+    or_mh = r / s
+    assert min(ors) - 1e-9 <= or_mh <= max(ors) + 1e-9
