@@ -1563,3 +1563,121 @@ def text_rake_words(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("rake_score"),
     )
+
+
+@query(
+    "text_good_turing",
+    oracle="""
+WITH wc AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS r FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY word
+), fof AS (
+  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM wc GROUP BY r
+)
+SELECT a.r,
+       a.n_r,
+       CAST(b.n_r AS BIGINT) AS n_r_plus_1,
+       CAST((a.r + 1) * b.n_r AS DOUBLE) / a.n_r AS r_star
+FROM fof a JOIN fof b ON b.r = a.r + 1
+WHERE a.r <= 10
+""",
+)
+def text_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing adjusted counts over the corpus vocabulary:
+    r* = (r+1) * N_{r+1} / N_r for the low frequencies r <= 10 —
+    the smoothing estimate every n-gram LM uses for its unseen-mass
+    budget (r*=... at r shows how much probability the singletons
+    and doubletons should surrender). The frequency-of-frequencies
+    table N_r is two integer aggregations (word counts, then counts
+    of counts — the second over a domain bounded by max word
+    frequency); the self-join on r+1 runs on that tiny table; ONE
+    float division per row. Shape at 100 TB: the only corpus-scale
+    work is the word count (explode + partial/final agg); everything
+    downstream is O(distinct frequencies)."""
+    d = load(spark, sf_dir, "documents")
+    wc = words_df(d).groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    fof = wc.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r")
+    )
+    b = fof.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_plus_1")
+    )
+    return (
+        fof.join(b, "r")
+        .filter(F.col("r") <= 10)
+        .select(
+            "r",
+            "n_r",
+            F.col("n_r_plus_1").cast("bigint").alias("n_r_plus_1"),
+            (
+                ((F.col("r") + 1) * F.col("n_r_plus_1")).cast("double")
+                / F.col("n_r")
+            ).alias("r_star"),
+        )
+    )
+
+
+@query(
+    "agg_chao1_richness",
+    oracle="""
+WITH wc AS (
+  SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS r FROM (
+    SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents
+  ) GROUP BY lang, word
+), per AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM wc GROUP BY lang
+)
+SELECT lang, s_obs, f1, f2,
+       CAST(s_obs AS DOUBLE)
+         + CAST(f1 * f1 AS DOUBLE) / (2 * (f2 + 1))
+         - CAST(f1 * f2 AS DOUBLE) / (2 * (f2 + 1))
+         AS chao1
+FROM per
+""",
+)
+def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 species-richness estimate of the per-language
+    vocabulary — how many word types the corpus would reveal with
+    infinite sampling, estimated from the singleton/doubleton
+    counts: the bias-corrected form S + f1(f1-1)/(2(f2+1)) ==
+    S + f1^2/(2(f2+1)) - f1 f2/(2(f2+1)) ... written as the two-term
+    difference with integer numerators so both engines evaluate the
+    identical float ops (and f2=0 needs no special case). The
+    ecology estimator is exactly the right tool for 'how much
+    vocabulary is my crawl still missing' during corpus curation —
+    the same f1/f2 inputs as capture-recapture but answering
+    richness, not coverage. Two integer aggs; two divisions per
+    language."""
+    d = load(spark, sf_dir, "documents")
+    wc = words_df(d).groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r")
+    )
+    per = wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("r") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("r") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    return per.select(
+        "lang",
+        "s_obs",
+        "f1",
+        "f2",
+        (
+            F.col("s_obs").cast("double")
+            + (F.col("f1") * F.col("f1")).cast("double")
+            / (2 * (F.col("f2") + 1))
+            - (F.col("f1") * F.col("f2")).cast("double")
+            / (2 * (F.col("f2") + 1))
+        ).alias("chao1"),
+    )

@@ -4886,3 +4886,62 @@ def agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_MH_S).alias("sum_s"),
         F.expr(f"({_MH_R}) / ({_MH_S})").alias("or_mh"),
     )
+
+
+@query(
+    "agg_bayes_daily_update",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day,
+         CAST(SUM(conv) OVER (ORDER BY day) AS BIGINT) AS c_conv,
+         CAST(SUM(n) OVER (ORDER BY day) AS BIGINT) AS c_n
+  FROM daily
+)
+SELECT day,
+       CAST(1 + c_conv AS BIGINT) AS alpha,
+       CAST(1 + c_n - c_conv AS BIGINT) AS beta,
+       CAST(1 + c_conv AS DOUBLE) / (2 + c_n) AS posterior_mean
+FROM cum
+""",
+)
+def agg_bayes_daily_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential Bayesian conversion monitoring: starting from a
+    Beta(1,1) prior, each day's purchases/events fold into the
+    conjugate posterior, and the output is the posterior (alpha,
+    beta, mean) AFTER each day — the daily dashboard row of a
+    launch review, and the sequential companion to the one-shot
+    agg_beta_posterior. Conjugacy means the whole history is two
+    cumulative INTEGER sums over the O(days) daily rollup; the
+    running window rides the tiny day table (bounded domain — see
+    the PLANS.md unpartitioned-window audit), and the only float is
+    the per-day posterior-mean division."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # bounded: O(distinct days) rows — the daily rollup, not events
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "day",
+        F.sum("conv").over(w).cast("bigint").alias("c_conv"),
+        F.sum("n").over(w).cast("bigint").alias("c_n"),
+    )
+    return cum.select(
+        "day",
+        (1 + F.col("c_conv")).cast("bigint").alias("alpha"),
+        (1 + F.col("c_n") - F.col("c_conv")).cast("bigint").alias("beta"),
+        (
+            (1 + F.col("c_conv")).cast("double") / (2 + F.col("c_n"))
+        ).alias("posterior_mean"),
+    )

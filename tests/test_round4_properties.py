@@ -576,3 +576,36 @@ def test_mh_between_stratum_or_extremes(strata):
     s = sum(b * c / (a + b + c + d) for a, b, c, d in strata)
     or_mh = r / s
     assert min(ors) - 1e-9 <= or_mh <= max(ors) + 1e-9
+
+
+# --- Good-Turing: total adjusted mass r*·N_r summed over r must not
+# exceed total token mass, and r* interleaves with r when the
+# frequency spectrum is smoothly decreasing.
+
+fof_strategy = st.lists(st.integers(1, 1000), min_size=3, max_size=12)
+
+
+@given(fof_strategy)
+@settings(max_examples=200, deadline=None)
+def test_good_turing_mass_conservation(n_rs):
+    # N_r for r = 1..k; total tokens = sum r * N_r
+    total = sum((r + 1) * n for r, n in enumerate(n_rs))
+    # adjusted mass of classes r=1..k-1: r*·N_r = (r+1)·N_{r+1}
+    adj = sum(
+        (r + 2) * n_rs[r + 1] for r in range(len(n_rs) - 1)
+    )
+    # equals total minus mass of the top class minus N_1 (the
+    # unseen-mass donation) — so it can never exceed total.
+    assert adj <= total
+
+
+# --- Chao1: estimator must be >= observed richness and reduce to
+# s_obs when there are no singletons.
+
+@given(st.integers(1, 10000), st.integers(0, 500), st.integers(0, 500))
+@settings(max_examples=300, deadline=None)
+def test_chao1_bounds(s_obs, f1, f2):
+    chao1 = s_obs + (f1 * f1) / (2 * (f2 + 1)) - (f1 * f2) / (2 * (f2 + 1))
+    assert chao1 >= s_obs - 1e-9
+    if f1 == 0:
+        assert chao1 == s_obs
