@@ -1636,8 +1636,7 @@ WITH wc AS (
 )
 SELECT lang, s_obs, f1, f2,
        CAST(s_obs AS DOUBLE)
-         + CAST(f1 * f1 AS DOUBLE) / (2 * (f2 + 1))
-         - CAST(f1 * f2 AS DOUBLE) / (2 * (f2 + 1))
+         + CAST(f1 * (f1 - 1) AS DOUBLE) / (2 * (f2 + 1))
          AS chao1
 FROM per
 """,
@@ -1646,10 +1645,10 @@ def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chao1 species-richness estimate of the per-language
     vocabulary — how many word types the corpus would reveal with
     infinite sampling, estimated from the singleton/doubleton
-    counts: the bias-corrected form S + f1(f1-1)/(2(f2+1)) ==
-    S + f1^2/(2(f2+1)) - f1 f2/(2(f2+1)) ... written as the two-term
-    difference with integer numerators so both engines evaluate the
-    identical float ops (and f2=0 needs no special case). The
+    counts via the bias-corrected form S + f1(f1-1)/(2(f2+1)) —
+    integer numerator, one division, no f2=0 special case, and
+    provably >= S (the uncorrected f1^2/(2 f2) form is not, which
+    the property test caught on first run). The
     ecology estimator is exactly the right tool for 'how much
     vocabulary is my crawl still missing' during corpus curation —
     the same f1/f2 inputs as capture-recapture but answering
@@ -1675,9 +1674,7 @@ def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2",
         (
             F.col("s_obs").cast("double")
-            + (F.col("f1") * F.col("f1")).cast("double")
-            / (2 * (F.col("f2") + 1))
-            - (F.col("f1") * F.col("f2")).cast("double")
+            + (F.col("f1") * (F.col("f1") - 1)).cast("double")
             / (2 * (F.col("f2") + 1))
         ).alias("chao1"),
     )

@@ -605,7 +605,7 @@ def test_good_turing_mass_conservation(n_rs):
 @given(st.integers(1, 10000), st.integers(0, 500), st.integers(0, 500))
 @settings(max_examples=300, deadline=None)
 def test_chao1_bounds(s_obs, f1, f2):
-    chao1 = s_obs + (f1 * f1) / (2 * (f2 + 1)) - (f1 * f2) / (2 * (f2 + 1))
+    chao1 = s_obs + (f1 * (f1 - 1)) / (2 * (f2 + 1))
     assert chao1 >= s_obs - 1e-9
-    if f1 == 0:
+    if f1 <= 1:
         assert chao1 == s_obs
