@@ -1264,3 +1264,90 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_HITS_TOPN)
     )
     return top_a.unionAll(top_h)
+
+
+@query(
+    "graph_closeness_sample",
+    oracle=f"""
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p <> b.p
+), seeds AS (
+  SELECT p AS seed FROM (SELECT DISTINCT p FROM pairs)
+  ORDER BY p LIMIT 5
+), walk AS (
+  SELECT seed, seed AS node, CAST(0 AS BIGINT) AS d FROM seeds
+  UNION
+  SELECT walk.seed, e.v AS node, walk.d + 1 AS d
+  FROM walk JOIN edges e ON e.u = walk.node
+  WHERE walk.d < {BFS_MAX_HOPS}
+), dist AS (
+  SELECT seed, node, MIN(d) AS d FROM walk GROUP BY seed, node
+)
+SELECT seed,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_reached,
+       CAST(SUM(d) AS BIGINT) AS total_dist,
+       CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d) AS closeness
+FROM dist GROUP BY seed
+""",
+)
+def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated closeness centrality of five fixed seed parts (the
+    five smallest ids) over the co-purchase graph: run ONE
+    level-synchronous multi-source BFS keyed by (seed, node) — the
+    graph_bfs_hops frontier loop with a composite key, so all five
+    sources advance in the same {BFS_MAX_HOPS} join rounds rather
+    than 5 sequential traversals — then closeness = (reached-1) /
+    sum(hop distances) within the {BFS_MAX_HOPS}-hop ball (the
+    standard sampled/truncated estimator for centrality at graph
+    scale, where exact all-pairs BFS is off the table). Reached
+    counts and distance sums are exact integers; ONE division per
+    seed. Chose the classic (not harmonic) form deliberately:
+    harmonic's sum of 1/d floats is reduction-order-dependent,
+    n/sum_d is not. The frontier join is frontier x edges each
+    round — never whole-graph — and the visited anti-join keys on
+    (seed, node), so the 5 BFS trees never cross-contaminate."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    other = li.select(F.col("o"), F.col("p").alias("q"))
+    edges = (
+        li.join(other, "o")
+        .filter(F.col("p") != F.col("q"))
+        .select(F.col("p").alias("u"), F.col("q").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    seeds = [
+        int(r[0])
+        for r in li.select("p").distinct().orderBy("p").limit(5).collect()
+    ]
+    spark_ = edges.sparkSession
+    visited = spark_.createDataFrame(
+        [(s, s, 0) for s in seeds], "seed bigint, node bigint, d bigint"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for depth in range(1, BFS_MAX_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["u"])
+            .select("seed", F.col("v").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(depth).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.groupBy("seed").agg(
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_reached"),
+        F.sum("d").cast("bigint").alias("total_dist"),
+        (
+            (F.count(F.lit(1)) - 1).cast("double") / F.sum("d")
+        ).alias("closeness"),
+    )
