@@ -1678,3 +1678,76 @@ def agg_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * (F.col("f2") + 1))
         ).alias("chao1"),
     )
+
+
+# CAST(1 AS DOUBLE), not the literal 1.0: Spark parses 1.0 as
+# DECIMAL(2,1) and would run the whole fusion in decimal arithmetic
+# (last-ulp mismatch vs DuckDB's double path — caught by the gate).
+_RRF = (
+    "CAST(1 AS DOUBLE) / (60 + r1) + CAST(1 AS DOUBLE) / (60 + r2)"
+    " + CAST(1 AS DOUBLE) / (60 + r3)"
+)
+
+
+@query(
+    "quality_rank_fusion",
+    oracle=f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS s1,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS s2,
+         CAST(length(text) AS BIGINT) AS s3
+  FROM documents
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY -s1, doc_id) AS r1,
+         ROW_NUMBER() OVER (ORDER BY -s2, doc_id) AS r2,
+         ROW_NUMBER() OVER (ORDER BY -s3, doc_id) AS r3
+  FROM sig
+)
+SELECT doc_id, CAST(r1 AS BIGINT) AS r1, CAST(r2 AS BIGINT) AS r2,
+       CAST(r3 AS BIGINT) AS r3,
+       {_RRF} AS rrf
+FROM ranked
+ORDER BY {_RRF} DESC, doc_id
+LIMIT 50
+""",
+)
+def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three document quality signals
+    (token count, distinct-word count, character count): RRF(d) =
+    sum_i 1/(60 + rank_i(d)) — the rank-combination standard when
+    signals live on incomparable scales (k=60 from the original
+    Cormack et al. TREC formulation). Each signal's global ranking
+    runs through the plans/global_rank.py two-phase row-number
+    machinery (range buckets + exact per-bucket offsets) — never a
+    single-task ORDER BY window, and the negated-signal trick gives
+    descending order with the ascending machinery. The three rank
+    integers then combine in ONE fixed-order three-term float
+    expression shared verbatim with the oracle, and the top-50 cut
+    compiles to TakeOrderedAndProject. The oracle ranks with plain
+    global windows (oracle-scale-only, as usual)."""
+    from ..plans.global_rank import with_global_row_number
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sig = d.select(
+        "doc_id",
+        (-F.size(toks)).cast("bigint").alias("n1"),
+        (-F.size(F.array_distinct(toks))).cast("bigint").alias("n2"),
+        (-F.length("text")).cast("bigint").alias("n3"),
+    )
+    ranked, _ = with_global_row_number(sig, ["n1", "doc_id"], out_col="r1")
+    ranked, _ = with_global_row_number(ranked, ["n2", "doc_id"], out_col="r2")
+    ranked, _ = with_global_row_number(ranked, ["n3", "doc_id"], out_col="r3")
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("r1").cast("bigint").alias("r1"),
+            F.col("r2").cast("bigint").alias("r2"),
+            F.col("r3").cast("bigint").alias("r3"),
+            F.expr(_RRF).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(50)
+    )
