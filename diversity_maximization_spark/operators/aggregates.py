@@ -4945,3 +4945,66 @@ def agg_bayes_daily_update(spark: SparkSession, sf_dir: str) -> DataFrame:
             (1 + F.col("c_conv")).cast("double") / (2 + F.col("c_n"))
         ).alias("posterior_mean"),
     )
+
+
+@query(
+    "agg_eb_shrinkage",
+    oracle="""
+WITH per AS (
+  SELECT c.c_nationkey AS nation,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_nationkey
+), g AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_g, CAST(SUM(s) AS BIGINT) AS s_g
+  FROM per
+)
+SELECT nation, n,
+       CAST(s AS DOUBLE) / n / 100 AS raw_mean,
+       (CAST(s AS DOUBLE) + 20 * (CAST(s_g AS DOUBLE) / n_g))
+         / (n + 20) / 100 AS shrunk_mean
+FROM per, g
+""",
+)
+def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes shrinkage of per-nation mean order value
+    toward the grand mean with a 20-pseudo-observation prior:
+    shrunk = (sum + 20 * grand_mean) / (n + 20) — the partial-
+    pooling estimate that keeps a 3-order nation from topping a
+    leaderboard on noise, and the simplest hierarchical-model
+    readout an analytics engine should own. All sums are exact
+    integer cents (one shuffled agg + a broadcast single-row grand
+    total); each output row evaluates ONE fixed float expression,
+    so no cross-row float reduction exists to diverge. Small-n
+    groups move toward the prior, big-n groups barely — the
+    monotone-in-n contraction property is fuzz-tested."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr(cents("o_totalprice")).alias("cts")
+    )
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    per = o.join(c, "o_custkey").groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cts").cast("bigint").alias("s"),
+    )
+    g = per.agg(
+        F.sum("n").cast("bigint").alias("n_g"),
+        F.sum("s").cast("bigint").alias("s_g"),
+    )
+    return per.crossJoin(F.broadcast(g)).select(
+        "nation",
+        "n",
+        (F.col("s").cast("double") / F.col("n") / 100).alias("raw_mean"),
+        (
+            (
+                F.col("s").cast("double")
+                + 20 * (F.col("s_g").cast("double") / F.col("n_g"))
+            )
+            / (F.col("n") + 20)
+            / 100
+        ).alias("shrunk_mean"),
+    )

@@ -1742,3 +1742,62 @@ def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"n * (n + 2.0) * ({terms}) > 14.067140"
         ).alias("reject_white_noise"),
     )
+
+
+@query(
+    "ts_ulcer_index",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dd AS (
+  SELECT day, c,
+         CAST(MAX(c) OVER (ORDER BY day) - c AS BIGINT) AS drawdown_cents
+  FROM daily
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(MAX(drawdown_cents) AS BIGINT) AS max_drawdown_cents,
+       sqrt((CAST(SUM(drawdown_cents * drawdown_cents) AS DOUBLE)
+             / COUNT(*))) / 100 AS ulcer_index
+FROM dd
+""",
+)
+def ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index of the daily revenue series — the drawdown-DEPTH
+    risk metric (Peter Martin's root-mean-square drawdown), the
+    quadratic companion to win_max_drawdown's worst-case point
+    estimate: long shallow slumps and short crashes separate here
+    where max-drawdown conflates them. Drawdowns are exact integer
+    cents below the running peak (the running max rides the O(days)
+    daily rollup — bounded domain), the squared sum stays bigint
+    (drawdown <= ~1e9 cents -> square <= 1e18 at fixture scale), and
+    the ONLY floats are the final mean, sqrt, and cents->dollars
+    rescale in one fixed expression."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).alias("c")
+    )
+    # bounded: O(distinct days) rows — the daily rollup, not events
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    dd = daily.select(
+        "day",
+        (F.max("c").over(w) - F.col("c"))
+        .cast("bigint")
+        .alias("drawdown_cents"),
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.max("drawdown_cents").cast("bigint").alias("max_drawdown_cents"),
+        (
+            F.sqrt(
+                F.sum(
+                    F.col("drawdown_cents") * F.col("drawdown_cents")
+                ).cast("double")
+                / F.count(F.lit(1))
+            )
+            / 100
+        ).alias("ulcer_index"),
+    )

@@ -609,3 +609,35 @@ def test_chao1_bounds(s_obs, f1, f2):
     assert chao1 >= s_obs - 1e-9
     if f1 <= 1:
         assert chao1 == s_obs
+
+
+# --- EB shrinkage: contraction toward the grand mean, monotone in n.
+
+@given(st.integers(1, 10000), st.integers(0, 10**9), st.floats(0, 10**6))
+@settings(max_examples=300, deadline=None)
+def test_eb_shrinkage_contracts(n, s, grand):
+    k = 20
+    raw = s / n
+    shrunk = (s + k * grand) / (n + k)
+    lo, hi = min(raw, grand), max(raw, grand)
+    assert lo - 1e-6 <= shrunk <= hi + 1e-6
+    # more data -> closer to raw
+    shrunk_big = (s * 10 + k * grand) / (n * 10 + k)
+    assert abs(shrunk_big - raw) <= abs(shrunk - raw) + 1e-6
+
+
+# --- ulcer index: rms drawdown is bounded by max drawdown and is
+# zero exactly on a non-decreasing series.
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=50))
+@settings(max_examples=300, deadline=None)
+def test_ulcer_bounds(series):
+    import math
+    peak, dds = -1, []
+    for c in series:
+        peak = max(peak, c)
+        dds.append(peak - c)
+    ui = math.sqrt(sum(d * d for d in dds) / len(dds))
+    assert ui <= max(dds) + 1e-9
+    if series == sorted(series):
+        assert ui == 0.0
