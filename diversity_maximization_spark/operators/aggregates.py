@@ -5008,3 +5008,150 @@ def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("shrunk_mean"),
     )
+
+
+@query(
+    "agg_decile_lift",
+    oracle="""
+WITH s AS (
+  SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+  FROM orders
+), b AS (
+  SELECT sc, pos, NTILE(10) OVER (ORDER BY -sc, o_orderkey) AS decile
+  FROM s
+), per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS p
+  FROM b GROUP BY decile
+), cum AS (
+  SELECT decile, n, p,
+         CAST(SUM(n) OVER (ORDER BY decile) AS BIGINT) AS cum_n,
+         CAST(SUM(p) OVER (ORDER BY decile) AS BIGINT) AS cum_p,
+         (SELECT CAST(SUM(n) AS BIGINT) FROM per) AS n_g,
+         (SELECT CAST(SUM(p) AS BIGINT) FROM per) AS p_g
+  FROM per
+)
+SELECT decile, n, p,
+       cum_n, cum_p,
+       CAST(cum_p * n_g AS DOUBLE) / (cum_n * p_g) AS cum_lift
+FROM cum
+""",
+)
+def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains/lift chart: rank orders by score (total
+    price, DESCENDING via the negated-cents trick), cut into 10
+    equal-frequency deciles with the plans/global_rank.py
+    distributed NTILE, and report each prefix's conversion lift
+    over the base rate — 'the top 30% of scores capture 1.8x their
+    share of conversions', the model-targeting readout every
+    campaign sizing meeting wants. The cumulative sums ride the
+    10-row decile table; lift = (cum_p * N) / (cum_n * P) keeps the
+    numerator and denominator exact bigints so the ONLY float is
+    one division per decile row."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (-F.expr(cents("o_totalprice"))).alias("neg_sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    numbered, n_total = with_global_row_number(o, ["neg_sc", "o_orderkey"])
+    per = (
+        numbered.withColumn("decile", ntile_expr("_rn", n_total, 10))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("p"),
+        )
+    )
+    g = per.agg(
+        F.sum("n").cast("bigint").alias("n_g"),
+        F.sum("p").cast("bigint").alias("p_g"),
+    )
+    # bounded: 10 decile rows
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "decile",
+            "n",
+            "p",
+            F.sum("n").over(w).cast("bigint").alias("cum_n"),
+            F.sum("p").over(w).cast("bigint").alias("cum_p"),
+            "n_g",
+            "p_g",
+        )
+        .select(
+            "decile",
+            "n",
+            "p",
+            "cum_n",
+            "cum_p",
+            (
+                (F.col("cum_p") * F.col("n_g")).cast("double")
+                / (F.col("cum_n") * F.col("p_g"))
+            ).alias("cum_lift"),
+        )
+    )
+
+
+@query(
+    "agg_overdispersion",
+    oracle="""
+WITH uk AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
+  FROM events GROUP BY event_type, user_id
+), per AS (
+  SELECT event_type,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk
+  FROM uk GROUP BY event_type
+), g AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u FROM events
+)
+SELECT event_type, sk AS n_events, u AS n_users,
+       CAST(sk AS DOUBLE) / u AS mean_k,
+       (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / u) / (u - 1)
+         AS var_k,
+       ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / u) / (u - 1))
+         / (CAST(sk AS DOUBLE) / u) AS dispersion_index
+FROM per, g
+""",
+)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion diagnostic for per-user event counts: the
+    variance-to-mean (dispersion) index per event type, INCLUDING
+    the users who never fired the event (they add zeros to the
+    variance through the global user count — the mistake that makes
+    naive versions of this metric meaningless). Index near 1 =
+    Poisson traffic; far above 1 = bursty/heavy-tailed, i.e. a
+    negative-binomial world where per-user rate modeling and Poisson
+    CIs will lie. Zeros contribute nothing to sum(k) or sum(k^2), so
+    the whole computation is the per-(type,user) count rollup plus
+    one exact-bigint aggregate per type and a broadcast global user
+    count; each output row is ONE fixed float expression."""
+    ev = load(spark, sf_dir, "events")
+    uk = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    per = uk.groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    g = ev.agg(F.countDistinct("user_id").cast("bigint").alias("u"))
+    mean_k = F.col("sk").cast("double") / F.col("u")
+    var_k = (
+        F.col("skk").cast("double")
+        - F.col("sk").cast("double") * F.col("sk") / F.col("u")
+    ) / (F.col("u") - 1)
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("sk").alias("n_events"),
+        F.col("u").alias("n_users"),
+        mean_k.alias("mean_k"),
+        var_k.alias("var_k"),
+        (var_k / mean_k).alias("dispersion_index"),
+    )

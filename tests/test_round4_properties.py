@@ -641,3 +641,36 @@ def test_ulcer_bounds(series):
     assert ui <= max(dds) + 1e-9
     if series == sorted(series):
         assert ui == 0.0
+
+
+# --- decile lift: cumulative lift must end at exactly 1.0 on the
+# full prefix and be the ratio of two integer products.
+
+@given(st.lists(st.tuples(st.integers(1, 100), st.integers(0, 100)),
+                min_size=10, max_size=10))
+@settings(max_examples=300, deadline=None)
+def test_decile_lift_terminates_at_one(per):
+    per = [(n, min(p, n)) for n, p in per]
+    if sum(p for _, p in per) == 0:
+        return
+    n_g = sum(n for n, _ in per)
+    p_g = sum(p for _, p in per)
+    cum_n = cum_p = 0
+    last = None
+    for n, p in per:
+        cum_n += n
+        cum_p += p
+        last = (cum_p * n_g) / (cum_n * p_g)
+    assert abs(last - 1.0) < 1e-12
+
+
+# --- dispersion index: exactly 1 - 1/n... no — equals the sample
+# var/mean; check Poisson-like vs constant series extremes.
+
+@given(st.integers(2, 500), st.integers(1, 50))
+@settings(max_examples=200, deadline=None)
+def test_dispersion_zero_for_constant_counts(u, k):
+    sk = u * k
+    skk = u * k * k
+    var = (skk - sk * sk / u) / (u - 1)
+    assert abs(var) < 1e-9  # constant k across users -> zero variance
