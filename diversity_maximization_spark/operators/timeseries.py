@@ -1801,3 +1801,133 @@ def ts_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("ulcer_index"),
     )
+
+
+CROSTON_ALPHA = 0.3
+
+
+def _croston_oracle() -> str:
+    """Recursive-CTE replay of the Croston fold: the same dense
+    day-grid construction, then one recursion step per (type, rn)
+    carrying (z, p, q, started) — the ts_holt pattern with demand-
+    interval state. Identical literal coefficients both engines."""
+    a = CROSTON_ALPHA
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), dc AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT t.event_type, g.day,
+         CAST(date_diff('day', (SELECT lo FROM bounds), g.day) + 1
+              AS BIGINT) AS rn,
+         CAST(COALESCE(dc.n, 0) AS BIGINT) AS x
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN dc ON dc.event_type = t.event_type AND dc.day = g.day
+), r AS (
+  SELECT event_type, day, rn, x,
+         CASE WHEN x > 0 THEN CAST(x AS DOUBLE) END AS z,
+         CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) END AS p,
+         CASE WHEN x > 0 THEN 1 ELSE 2 END AS q,
+         (x > 0) AS started
+  FROM ser WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.day, s.rn, s.x,
+         CASE WHEN s.x > 0 AND r.started
+                THEN {a} * CAST(s.x AS DOUBLE) + {1 - a} * r.z
+              WHEN s.x > 0 THEN CAST(s.x AS DOUBLE)
+              ELSE r.z END AS z,
+         CASE WHEN s.x > 0 AND r.started
+                THEN {a} * CAST(r.q AS DOUBLE) + {1 - a} * r.p
+              WHEN s.x > 0 THEN CAST(r.q AS DOUBLE)
+              ELSE r.p END AS p,
+         CASE WHEN s.x > 0 THEN 1 ELSE r.q + 1 END AS q,
+         (r.started OR s.x > 0) AS started
+  FROM r JOIN ser s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, x, z, p,
+       z / p AS croston_forecast
+FROM r
+"""
+
+
+@query("ts_croston", oracle=_croston_oracle())
+def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston's method for INTERMITTENT demand — the forecasting
+    estimator for series that are mostly zeros (spare parts, long-
+    tail SKUs), where plain EWMA systematically lags: smooth the
+    nonzero demand SIZES (z) and the demand INTERVALS (p) as two
+    separate EWMAs and forecast z/p demand per period. Runs on the
+    dense per-type day grid (zeros are the signal — the grid join
+    is what makes this Croston and not ts_ewma); q counts periods
+    since the last demand and feeds the interval EWMA only on
+    demand days. Execution is the smooth_series contract: one
+    shuffle by series key, Arrow applyInPandas O(n) fold with three
+    scalars of state; the oracle replays the identical IEEE
+    arithmetic one recursion step per period (ts_holt pattern).
+    Pre-first-demand rows carry NULL state in both engines."""
+    ev = load(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = b.select(
+        "lo",
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 day)")
+        ).alias("day"),
+    )
+    types = ev.select("event_type").distinct()
+    dc = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ser = (
+        types.crossJoin(F.broadcast(grid))
+        .join(dc, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            (F.datediff("day", "lo") + 1).cast("bigint").alias("rn"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    a = CROSTON_ALPHA
+
+    def fold(pdf):
+        pdf = pdf.sort_values("rn")
+        zs, ps, fs = [], [], []
+        z = p = None
+        q = 1
+        started = False
+        for x in pdf["x"].to_numpy():
+            if x > 0:
+                if started:
+                    z = a * x + (1 - a) * z
+                    p = a * q + (1 - a) * p
+                else:
+                    z = float(x)
+                    p = float(q)
+                    started = True
+                q = 1
+            else:
+                q += 1
+            zs.append(z)
+            ps.append(p)
+            fs.append(z / p if started else None)
+        return pdf.assign(z=zs, p=ps, croston_forecast=fs)
+
+    out = ser.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, day timestamp, rn bigint, x bigint, "
+        "z double, p double, croston_forecast double",
+    )
+    return out.select("event_type", "day", "x", "z", "p", "croston_forecast")

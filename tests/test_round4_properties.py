@@ -674,3 +674,44 @@ def test_dispersion_zero_for_constant_counts(u, k):
     skk = u * k * k
     var = (skk - sk * sk / u) / (u - 1)
     assert abs(var) < 1e-9  # constant k across users -> zero variance
+
+
+# --- Croston fold: python replay invariants — forecast defined from
+# the first demand on, z bounded by observed demand hull, p >= 1.
+
+demand_series = st.lists(st.integers(0, 20), min_size=1, max_size=60)
+
+
+def _croston(xs, a=0.3):
+    z = p = None
+    q = 1
+    started = False
+    out = []
+    for x in xs:
+        if x > 0:
+            if started:
+                z = a * x + (1 - a) * z
+                p = a * q + (1 - a) * p
+            else:
+                z, p, started = float(x), float(q), True
+            q = 1
+        else:
+            q += 1
+        out.append((z, p, z / p if started else None))
+    return out
+
+
+@given(demand_series)
+@settings(max_examples=300, deadline=None)
+def test_croston_invariants(xs):
+    out = _croston(xs)
+    nz = [x for x in xs if x > 0]
+    seen_demand = False
+    for (z, p, f), x in zip(out, xs):
+        seen_demand = seen_demand or x > 0
+        if not seen_demand:
+            assert z is None and p is None and f is None
+        else:
+            assert min(nz) - 1e-9 <= z <= max(nz) + 1e-9
+            assert p >= 1.0 - 1e-12
+            assert f <= z + 1e-12  # p >= 1 -> forecast <= size EWMA
