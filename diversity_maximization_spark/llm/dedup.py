@@ -1589,3 +1589,121 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+_FS_M = (0.9, 0.8, 0.7)  # P(agree | match) for size, type, price
+_FS_U = (0.1, 0.2, 0.3)  # P(agree | non-match)
+
+
+def _fs_weight(pattern: int) -> float:
+    """Fellegi-Sunter log-likelihood-ratio weight of an agreement
+    pattern (bit 2 = size, bit 1 = type, bit 0 = price), computed in
+    PYTHON so both engines receive the identical double literal —
+    the agg_sprt_sequential constant-embedding discipline (no ln()
+    parity risk at query time)."""
+    import math
+
+    w = 0.0
+    for i, (m, u) in enumerate(zip(_FS_M, _FS_U)):
+        agree = (pattern >> (2 - i)) & 1
+        w += math.log(m / u) if agree else math.log((1 - m) / (1 - u))
+    return w
+
+
+def _fs_weight_case(col: str) -> str:
+    arms = " ".join(
+        f"WHEN {p} THEN CAST({_fs_weight(p)!r} AS DOUBLE)"
+        for p in range(8)
+    )
+    return f"CASE {col} {arms} END"
+
+
+def _er_fs_oracle() -> str:
+    from ..operators.scalars import _duck_soundex
+
+    sdx = _duck_soundex("string_split(p_name, ' ')[1]")
+    return f"""
+WITH blocks AS MATERIALIZED (
+  SELECT p_partkey, p_size, p_type,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc,
+         p_brand,
+         {sdx} AS sdx
+  FROM part
+), pairs AS (
+  SELECT (CASE WHEN a.p_size = b.p_size THEN 4 ELSE 0 END
+          + CASE WHEN a.p_type = b.p_type THEN 2 ELSE 0 END
+          + CASE WHEN abs(a.pc - b.pc) <= 100 THEN 1 ELSE 0 END)
+           AS pattern
+  FROM blocks a JOIN blocks b
+    ON a.sdx = b.sdx AND a.p_brand = b.p_brand
+   AND a.p_partkey < b.p_partkey
+)
+SELECT pattern,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       {_fs_weight_case('pattern')} AS fs_weight,
+       {_fs_weight_case('pattern')} > 0 AS match_leaning
+FROM pairs GROUP BY pattern
+"""
+
+
+@query("er_fs_weights", oracle=_er_fs_oracle())
+def er_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement-pattern table for the record-linkage
+    decision model: block part pairs on (first-word soundex, brand)
+    — the er_pair_features candidate generator — classify each pair
+    into one of 2^3 agreement patterns over (size, type, price
+    within $1), and attach the log-likelihood-ratio weight
+    sum_i ln(m_i/u_i) or ln((1-m_i)/(1-u_i)). The m/u probabilities
+    are declared constants, so every pattern weight is computed ONCE
+    in Python and embedded as an identical double literal in both
+    engines (the SPRT discipline — ln() never runs at query time).
+    Pattern counts are one integer aggregate over the blocked
+    equi-join; the output is <= 8 rows, the exact table a reviewer
+    tunes thresholds on. Upper/lower FS thresholds then partition
+    patterns into link / possible / non-link — match_leaning marks
+    the positive-weight side."""
+    p = load(spark, sf_dir, "part")
+    blocks = p.select(
+        "p_partkey",
+        "p_size",
+        "p_type",
+        F.expr("CAST(ROUND(p_retailprice * 100) AS BIGINT)").alias("pc"),
+        "p_brand",
+        F.soundex(F.split("p_name", " ")[0]).alias("sdx"),
+    )
+    a = blocks.select(
+        F.col("p_partkey").alias("ka"),
+        F.col("p_size").alias("sz_a"),
+        F.col("p_type").alias("ty_a"),
+        F.col("pc").alias("pc_a"),
+        F.col("p_brand").alias("br"),
+        F.col("sdx"),
+    )
+    b = blocks.select(
+        F.col("p_partkey").alias("kb"),
+        F.col("p_size").alias("sz_b"),
+        F.col("p_type").alias("ty_b"),
+        F.col("pc").alias("pc_b"),
+        F.col("p_brand").alias("br"),
+        F.col("sdx"),
+    )
+    pairs = a.join(b, ["sdx", "br"]).filter(F.col("ka") < F.col("kb"))
+    pattern = (
+        F.when(F.col("sz_a") == F.col("sz_b"), 4).otherwise(0)
+        + F.when(F.col("ty_a") == F.col("ty_b"), 2).otherwise(0)
+        + F.when(
+            F.abs(F.col("pc_a") - F.col("pc_b")) <= 100, 1
+        ).otherwise(0)
+    )
+    counted = (
+        pairs.select(pattern.alias("pattern"))
+        .groupBy("pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    wc = _fs_weight_case("pattern")
+    return counted.select(
+        "pattern",
+        "n_pairs",
+        F.expr(wc).alias("fs_weight"),
+        F.expr(f"{wc} > 0").alias("match_leaning"),
+    )

@@ -1280,3 +1280,76 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_active_days"),
         F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
     )
+
+
+ALARM_THRESHOLD = 100.0
+ALARM_COOLDOWN_US = 1_800_000_000  # 30 minutes
+
+
+@query(
+    "win_alarm_debounce",
+    oracle=f"""
+WITH RECURSIVE cand AS (
+  SELECT user_id, event_id,
+         date_diff('microseconds', TIMESTAMP '2024-01-01', ts) AS us,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value > {ALARM_THRESHOLD}
+), r AS (
+  SELECT user_id, event_id, us, rn,
+         TRUE AS emitted, us AS last_emit
+  FROM cand WHERE rn = 1
+  UNION ALL
+  SELECT c.user_id, c.event_id, c.us, c.rn,
+         c.us - r.last_emit > {ALARM_COOLDOWN_US} AS emitted,
+         CASE WHEN c.us - r.last_emit > {ALARM_COOLDOWN_US}
+              THEN c.us ELSE r.last_emit END AS last_emit
+  FROM r JOIN cand c ON c.user_id = r.user_id AND c.rn = r.rn + 1
+)
+SELECT user_id, event_id, CAST(rn AS BIGINT) AS candidate_seq, emitted
+FROM r
+""",
+)
+def win_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing with a refractory period — the on-call
+    pipeline primitive: every reading above {ALARM_THRESHOLD} is an
+    alarm CANDIDATE, but an alarm only FIRES if 30 minutes have
+    passed since the last FIRED alarm for that user. The dependency
+    chains through emissions (a suppressed candidate does NOT reset
+    the clock), so no window/gaps-islands expression exists — this
+    is inherently a per-key sequential fold, run as one shuffle by
+    user_id + an Arrow applyInPandas scan with one integer of state
+    (the ts_ewma execution contract, but INTEGER state: microsecond
+    timestamps, so the replay is exact with no float discipline
+    needed at all). The oracle walks the identical recurrence with
+    a recursive CTE (ts_holt pattern). Candidate filtering pushes
+    to the scan; the fold touches only above-threshold rows."""
+    ev = load(spark, sf_dir, "events")
+    cand = ev.filter(F.col("value") > ALARM_THRESHOLD).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01', ts)"
+        ).alias("us"),
+    )
+    cooldown = ALARM_COOLDOWN_US
+
+    def fold(pdf):
+        pdf = pdf.sort_values(["us", "event_id"])
+        emitted, seqs = [], []
+        last = None
+        for i, us in enumerate(pdf["us"].to_numpy()):
+            seqs.append(i + 1)
+            if last is None or us - last > cooldown:
+                emitted.append(True)
+                last = us
+            else:
+                emitted.append(False)
+        return pdf.assign(candidate_seq=seqs, emitted=emitted)
+
+    out = cand.groupBy("user_id").applyInPandas(
+        fold,
+        "user_id bigint, event_id bigint, us bigint, "
+        "candidate_seq bigint, emitted boolean",
+    )
+    return out.select("user_id", "event_id", "candidate_seq", "emitted")

@@ -715,3 +715,47 @@ def test_croston_invariants(xs):
             assert min(nz) - 1e-9 <= z <= max(nz) + 1e-9
             assert p >= 1.0 - 1e-12
             assert f <= z + 1e-12  # p >= 1 -> forecast <= size EWMA
+
+
+# --- FS weights: monotone in agreement count per feature (flipping
+# any feature from disagree to agree raises the weight), and weight
+# of full agreement is the max over all patterns.
+
+def _fs_w(pattern, m=(0.9, 0.8, 0.7), u=(0.1, 0.2, 0.3)):
+    import math
+    w = 0.0
+    for i in range(3):
+        agree = (pattern >> (2 - i)) & 1
+        w += (math.log(m[i] / u[i]) if agree
+              else math.log((1 - m[i]) / (1 - u[i])))
+    return w
+
+
+def test_fs_weights_monotone():
+    ws = {p: _fs_w(p) for p in range(8)}
+    for p in range(8):
+        for bit in (1, 2, 4):
+            if p & bit == 0:
+                assert ws[p | bit] > ws[p]
+    assert max(ws.values()) == ws[7]
+    assert min(ws.values()) == ws[0]
+
+
+# --- alarm debounce: fold replay — fired alarms are >= cooldown
+# apart; suppressed candidates never reset the clock.
+
+@given(st.lists(st.integers(0, 10**7), min_size=1, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_debounce_spacing(gaps):
+    cooldown = 1_800_000_000
+    ts, t = [], 0
+    for g in gaps:
+        t += g
+        ts.append(t)
+    fired, last = [], None
+    for us in ts:
+        if last is None or us - last > cooldown:
+            fired.append(us)
+            last = us
+    for a, b in zip(fired, fired[1:]):
+        assert b - a > cooldown
