@@ -1931,3 +1931,158 @@ def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
         "z double, p double, croston_forecast double",
     )
     return out.select("event_type", "day", "x", "z", "p", "croston_forecast")
+
+
+HW_ALPHA = 0.4
+HW_BETA = 0.2
+HW_GAMMA = 0.3
+HW_PERIOD = 7
+
+
+def _holt_winters_oracle() -> str:
+    """Recursive replay of the additive Holt-Winters fold with the
+    seven seasonal slots carried as a DOUBLE[] list column — the
+    level' expression is recomputed verbatim inside the trend and
+    seasonal updates (IEEE-identical to the Python fold's reuse of
+    the value). Every arithmetic input is CAST AS DOUBLE first (the
+    ts_croston decimal-literal lesson)."""
+    a, b, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+    lv = (
+        f"{a} * (CAST(s.x AS DOUBLE) - r.s[((s.rn - 1) % {m}) + 1])"
+        f" + {1 - a} * (r.level + r.trend)"
+    )
+    return f"""
+WITH RECURSIVE bounds AS (
+  SELECT date_trunc('day', MIN(ts)) AS lo, date_trunc('day', MAX(ts)) AS hi
+  FROM events
+), grid AS (
+  SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS day
+  FROM bounds b
+), types AS (
+  SELECT DISTINCT event_type FROM events
+), dc AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ser AS (
+  SELECT t.event_type, g.day,
+         CAST(date_diff('day', (SELECT lo FROM bounds), g.day) + 1
+              AS BIGINT) AS rn,
+         CAST(COALESCE(dc.c, 0) AS BIGINT) AS x
+  FROM types t CROSS JOIN grid g
+  LEFT JOIN dc ON dc.event_type = t.event_type AND dc.day = g.day
+), seed0 AS (
+  SELECT event_type,
+         MAX(day) AS day,
+         CAST(SUM(x) AS DOUBLE) / {m} AS level7,
+         list(CAST(x AS DOUBLE) ORDER BY rn) AS xs
+  FROM ser WHERE rn <= {m} GROUP BY event_type
+), r AS (
+  SELECT event_type, day, CAST({m} AS BIGINT) AS rn,
+         CAST(0 AS BIGINT) AS x,
+         level7 AS level, CAST(0 AS DOUBLE) AS trend,
+         list_transform(xs, v -> v - level7) AS s
+  FROM seed0
+  UNION ALL
+  SELECT s.event_type, s.day, s.rn, s.x,
+         {lv} AS level,
+         {b} * (({lv}) - r.level) + {1 - b} * r.trend AS trend,
+         list_transform(r.s, (v, i) ->
+           CASE WHEN i = ((s.rn - 1) % {m}) + 1
+                THEN {g} * (CAST(s.x AS DOUBLE) - ({lv})) + {1 - g} * v
+                ELSE v END) AS s
+  FROM r JOIN ser s
+    ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day, x,
+       level, trend,
+       level + trend + s[(rn % {m}) + 1] AS forecast_1
+FROM r WHERE rn >= {m + 1}
+"""
+
+
+@query("ts_holt_winters", oracle=_holt_winters_oracle())
+def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing) of daily
+    revenue cents per event type, weekly seasonality: level, trend,
+    and SEVEN seasonal slots updated per day — the full classical
+    forecaster ts_holt omits the seasonal third of. Seeded at day 7
+    (level = first-week mean, trend = 0, s_i = deviations); each
+    later day updates level'/trend'/s'[slot] in the standard order
+    and emits the one-step forecast level'+trend'+s'[next slot].
+    Execution: the ts_croston dense-grid construction, one shuffle
+    by event_type, Arrow applyInPandas fold with 9 floats of state;
+    the oracle carries the seasonal vector as a DOUBLE[] list column
+    through a recursive CTE, updating one slot per step with an
+    indexed list_transform lambda — the ts_holt replay pattern
+    extended to vector state. Both engines run literally the same
+    IEEE expression tree (level' recomputed verbatim where Python
+    reuses the bound value — same inputs, same ops, same bits)."""
+    ev = load(spark, sf_dir, "events")
+    b_ = ev.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    grid = b_.select(
+        "lo",
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"),
+    )
+    types = ev.select("event_type").distinct()
+    dc = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    ser = (
+        types.crossJoin(F.broadcast(grid))
+        .join(dc, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            (F.datediff("day", "lo") + 1).cast("bigint").alias("rn"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    a, bb, g, m = HW_ALPHA, HW_BETA, HW_GAMMA, HW_PERIOD
+
+    def fold(pdf):
+        pdf = pdf.sort_values("rn")
+        xs = pdf["x"].to_numpy()
+        if len(xs) < m + 1:
+            return pdf.iloc[0:0].assign(
+                level=[], trend=[], forecast_1=[]
+            )[["event_type", "day", "x", "level", "trend", "forecast_1"]]
+        level = float(sum(int(v) for v in xs[:m])) / m
+        trend = 0.0
+        s = [float(x) - level for x in xs[:m]]
+        rows = []
+        for pos in range(m, len(xs)):
+            rn = pos + 1
+            x = float(xs[pos])
+            idx = (rn - 1) % m
+            new_level = a * (x - s[idx]) + (1 - a) * (level + trend)
+            trend = bb * (new_level - level) + (1 - bb) * trend
+            level = new_level
+            s[idx] = g * (x - level) + (1 - g) * s[idx]
+            rows.append(
+                (
+                    pdf["event_type"].iloc[pos],
+                    pdf["day"].iloc[pos],
+                    int(xs[pos]),
+                    level,
+                    trend,
+                    level + trend + s[rn % m],
+                )
+            )
+        import pandas as pd
+
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "event_type", "day", "x", "level", "trend", "forecast_1",
+            ],
+        )
+
+    return ser.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, day timestamp, x bigint, "
+        "level double, trend double, forecast_1 double",
+    )

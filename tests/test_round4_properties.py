@@ -759,3 +759,29 @@ def test_debounce_spacing(gaps):
             last = us
     for a, b in zip(fired, fired[1:]):
         assert b - a > cooldown
+
+
+# --- Holt-Winters: on an exactly periodic series the seasonal fit
+# is perfect — forecasts equal the upcoming observation and trend
+# stays ~0.
+
+@given(st.lists(st.integers(0, 1000), min_size=7, max_size=7),
+       st.integers(2, 6))
+@settings(max_examples=200, deadline=None)
+def test_holt_winters_exact_on_periodic(week, reps):
+    a, b, g, m = 0.4, 0.2, 0.3, 7
+    xs = week * reps
+    level = sum(week) / m
+    trend = 0.0
+    s = [float(x) - level for x in xs[:m]]
+    for pos in range(m, len(xs)):
+        rn = pos + 1
+        x = float(xs[pos])
+        idx = (rn - 1) % m
+        forecast = level + trend + s[idx]
+        assert abs(forecast - x) < 1e-6  # periodic -> perfect fit
+        new_level = a * (x - s[idx]) + (1 - a) * (level + trend)
+        trend = b * (new_level - level) + (1 - b) * trend
+        level = new_level
+        s[idx] = g * (x - level) + (1 - g) * s[idx]
+        assert abs(trend) < 1e-6
