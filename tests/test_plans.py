@@ -180,6 +180,12 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         "agg_lorenz_curve", "ts_pre_post_impact", "agg_kendall_tau",
         # 1-row broadcast grand-total scalar onto the bounded cell table
         "agg_cramers_v",
+        # round-4 third session: 1-row broadcast scalars (grand
+        # total / user count / moment row / decile totals) and the
+        # 1-row day-bounds row crossed into the dense day grid
+        "agg_theil_index", "agg_eb_shrinkage", "agg_decile_lift",
+        "agg_overdispersion", "ts_ljungbox", "ts_croston",
+        "ts_holt_winters",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
