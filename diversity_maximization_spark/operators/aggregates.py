@@ -5155,3 +5155,91 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         var_k.alias("var_k"),
         (var_k / mean_k).alias("dispersion_index"),
     )
+
+
+# Gumbel method-of-moments constants, computed once in Python and
+# embedded as identical double literals in both engines (the SPRT /
+# er_fs_weights discipline — no pi/sqrt calls at query time).
+_GUMBEL_SQRT6_OVER_PI = 0.779696801233676  # sqrt(6)/pi
+_GUMBEL_EULER = 0.5772156649015329  # Euler-Mascheroni gamma
+# -ln(-ln(1 - 1/100)): the standardized 100-period return level
+_GUMBEL_Z100 = 4.600149226776579
+
+
+@query(
+    "agg_gumbel_daily_max",
+    oracle=f"""
+WITH dm AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS mx
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(mx) AS BIGINT) AS s,
+         CAST(SUM(mx * mx) AS BIGINT) AS ss
+  FROM dm GROUP BY event_type
+)
+SELECT event_type, n,
+       CAST(s AS DOUBLE) / n / 100 AS mean_daily_max,
+       CAST({_GUMBEL_SQRT6_OVER_PI!r} AS DOUBLE)
+         * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                / (n - 1)) / 100 AS gumbel_beta,
+       CAST(s AS DOUBLE) / n / 100
+         - CAST({_GUMBEL_EULER!r} AS DOUBLE)
+           * (CAST({_GUMBEL_SQRT6_OVER_PI!r} AS DOUBLE)
+              * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)) / 100) AS gumbel_mu,
+       CAST(s AS DOUBLE) / n / 100
+         - CAST({_GUMBEL_EULER!r} AS DOUBLE)
+           * (CAST({_GUMBEL_SQRT6_OVER_PI!r} AS DOUBLE)
+              * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)) / 100)
+         + CAST({_GUMBEL_Z100!r} AS DOUBLE)
+           * (CAST({_GUMBEL_SQRT6_OVER_PI!r} AS DOUBLE)
+              * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1)) / 100) AS return_level_100d
+FROM m
+""",
+)
+def agg_gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extreme-value analysis of daily maxima per event type: fit a
+    Gumbel distribution by the method of moments (beta =
+    s*sqrt(6)/pi, mu = mean - gamma*beta) to the block maxima and
+    report the 100-day return level mu + z_100*beta — 'the largest
+    single transaction we should expect in the next hundred days',
+    the capacity/fraud-threshold question mean-and-variance stats
+    cannot answer. Daily maxima are exact integer cents (one rollup);
+    their moments are exact bigints; sqrt(6)/pi, Euler's gamma, and
+    the standardized return level are PYTHON-computed literals so
+    neither engine calls pi()/ln() at query time, and every float
+    expression is written out in one fixed order. O(types x days)
+    intermediate, two aggregates total."""
+    ev = load(spark, sf_dir, "events")
+    dm = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.max(F.expr(cents("value"))).cast("bigint").alias("mx"))
+    m = dm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("mx").cast("bigint").alias("s"),
+        F.sum(F.col("mx") * F.col("mx")).cast("bigint").alias("ss"),
+    )
+    beta_sql = (
+        f"CAST({_GUMBEL_SQRT6_OVER_PI!r} AS DOUBLE)"
+        " * sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+        " / (n - 1)) / 100"
+    )
+    mean_sql = "CAST(s AS DOUBLE) / n / 100"
+    mu_sql = (
+        f"{mean_sql} - CAST({_GUMBEL_EULER!r} AS DOUBLE) * ({beta_sql})"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(mean_sql).alias("mean_daily_max"),
+        F.expr(beta_sql).alias("gumbel_beta"),
+        F.expr(mu_sql).alias("gumbel_mu"),
+        F.expr(
+            f"{mu_sql} + CAST({_GUMBEL_Z100!r} AS DOUBLE) * ({beta_sql})"
+        ).alias("return_level_100d"),
+    )

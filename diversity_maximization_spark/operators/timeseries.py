@@ -2086,3 +2086,64 @@ def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, day timestamp, x bigint, "
         "level double, trend double, forecast_1 double",
     )
+
+
+@query(
+    "ts_record_highs",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rr AS (
+  SELECT event_type, day, c,
+         CASE WHEN c > COALESCE(MAX(c) OVER (
+                PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -1)
+              THEN 1 ELSE 0 END AS is_record
+  FROM daily
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(is_record) AS BIGINT) AS n_records,
+       CAST(MAX(CASE WHEN is_record = 1 THEN day END) AS TIMESTAMP)
+         AS last_record_day,
+       CAST(MAX(c) AS BIGINT) AS best_cents
+FROM rr GROUP BY event_type
+""",
+)
+def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-record statistics of daily revenue per event type:
+    how many days set a new all-time high, when the last record
+    fell, and the standing record — the 'are we still growing'
+    readout (for an i.i.d. series the expected record count is
+    harmonic ~ ln(days), so a materially higher count IS the trend
+    signal). A day is a record iff it strictly exceeds the running
+    max of the PRECEDING frame (first day counts, via the -1
+    sentinel against nonnegative cents). Exact integer cents
+    end-to-end; the running max rides the per-type O(days) rollup —
+    partitioned by series, never global."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rr = daily.withColumn(
+        "is_record",
+        F.when(
+            F.col("c") > F.coalesce(F.max("c").over(w), F.lit(-1)), 1
+        ).otherwise(0),
+    )
+    return rr.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("is_record").cast("bigint").alias("n_records"),
+        F.max(F.when(F.col("is_record") == 1, F.col("day"))).alias(
+            "last_record_day"
+        ),
+        F.max("c").cast("bigint").alias("best_cents"),
+    )

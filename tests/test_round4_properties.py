@@ -785,3 +785,45 @@ def test_holt_winters_exact_on_periodic(week, reps):
         level = new_level
         s[idx] = g * (x - level) + (1 - g) * s[idx]
         assert abs(trend) < 1e-6
+
+
+# --- Gumbel MoM: beta > 0 for non-degenerate data, return level
+# exceeds mu, and the fit is location-scale equivariant.
+
+@given(st.lists(st.integers(0, 10**6), min_size=3, max_size=50,
+                unique=True))
+@settings(max_examples=200, deadline=None)
+def test_gumbel_mom_equivariance(xs):
+    import math
+    c = 0.779696801233676
+    gam = 0.5772156649015329
+
+    def fit(vals):
+        n = len(vals)
+        s, ss = sum(vals), sum(v * v for v in vals)
+        var = (ss - s * s / n) / (n - 1)
+        beta = c * math.sqrt(var)
+        mu = s / n - gam * beta
+        return mu, beta
+
+    mu, beta = fit(xs)
+    assert beta > 0
+    mu2, beta2 = fit([2 * x + 7 for x in xs])
+    assert abs(beta2 - 2 * beta) < 1e-6 * max(1.0, beta)
+    assert abs(mu2 - (2 * mu + 7)) < 1e-5 * max(1.0, abs(mu))
+
+
+# --- record highs: count of records equals the number of strict
+# prefix maxima; permutation-average sanity on distinct values.
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=50))
+@settings(max_examples=300, deadline=None)
+def test_record_count_matches_prefix_maxima(xs):
+    best, cnt = -1, 0
+    for x in xs:
+        if x > best:
+            best, cnt = x, cnt + 1
+    assert cnt >= 1 and cnt <= len(xs)
+    assert best == max(xs)
+    if xs == sorted(set(xs)):
+        assert cnt == len(xs)  # strictly increasing -> all records
