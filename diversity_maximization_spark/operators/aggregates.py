@@ -5243,3 +5243,102 @@ def agg_gumbel_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{mu_sql} + CAST({_GUMBEL_Z100!r} AS DOUBLE) * ({beta_sql})"
         ).alias("return_level_100d"),
     )
+
+
+PPS_SAMPLES = 100
+
+
+@query(
+    "sample_pps_systematic",
+    oracle=f"""
+WITH w AS (
+  SELECT o_custkey AS c_custkey, CAST(COUNT(*) AS BIGINT) AS w
+  FROM orders GROUP BY o_custkey
+), cum AS (
+  SELECT c_custkey, w,
+         CAST(SUM(w) OVER (ORDER BY c_custkey) AS BIGINT) AS cum,
+         (SELECT CAST(SUM(w) AS BIGINT) FROM w) AS total
+  FROM w
+), hits AS (
+  SELECT c_custkey, w, cum, total,
+         (CASE WHEN 2 * {PPS_SAMPLES} * cum < total THEN 0
+               ELSE (2 * {PPS_SAMPLES} * cum - total) // (2 * total) + 1
+          END)
+         - (CASE WHEN 2 * {PPS_SAMPLES} * (cum - w) < total THEN 0
+                 ELSE (2 * {PPS_SAMPLES} * (cum - w) - total)
+                      // (2 * total) + 1
+            END) AS n_hits
+  FROM cum
+)
+SELECT c_custkey, w, cum, CAST(n_hits AS BIGINT) AS n_hits
+FROM hits WHERE n_hits >= 1
+""",
+)
+def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling of
+    {PPS_SAMPLES} customers, weighted by order count — the survey-
+    sampling workhorse (PPS systematic beats Poisson sampling on
+    variance and hits the target size exactly; a heavy unit can be
+    selected multiple times, reported via n_hits). Selection points
+    are the half-offset grid (k+1/2)*total/n over the cumulative
+    weight line; a customer is drawn once per grid point inside its
+    weight interval. ALL arithmetic is integer: the crossing count
+    is the doubled-numerator floor formula with an explicit
+    below-first-point guard, so no negative integer division exists
+    anywhere (Spark's `div` truncates toward zero while DuckDB's
+    `//` floors — they agree only on nonnegative operands, which
+    the guard guarantees). The cumulative weights come from the
+    plans/global_rank.py two-phase machinery (range buckets +
+    driver offsets + bucket-partitioned window) — the survival_km
+    prefix-sum shape, never a single-task global window; the oracle
+    uses the naive global SUM() OVER."""
+    from ..plans.global_rank import with_range_bucket
+
+    o = load(spark, sf_dir, "orders")
+    w = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    rb = with_range_bucket(w, "c_custkey").localCheckpoint(eager=False)
+    subtotals = {
+        r["_gr_bucket"]: r["bt"]
+        for r in rb.groupBy("_gr_bucket")
+        .agg(F.sum("w").alias("bt"))
+        .collect()
+    }
+    total = int(sum(subtotals.values()))
+    offsets, acc = {}, 0
+    for b in sorted(subtotals):
+        offsets[b] = acc
+        acc += subtotals[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    win = (
+        Window.partitionBy("_gr_bucket")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rb.select(
+        "c_custkey",
+        "w",
+        (
+            F.element_at(off_map, F.col("_gr_bucket"))
+            + F.sum("w").over(win)
+        ).cast("bigint").alias("cum"),
+    )
+    n = PPS_SAMPLES
+
+    lo = F.when(
+        2 * n * (F.col("cum") - F.col("w")) < total, F.lit(0)
+    ).otherwise(
+        F.expr(
+            f"({2 * n} * (cum - w) - {total}) div {2 * total}"
+        ) + 1
+    )
+    hi = F.when(2 * n * F.col("cum") < total, F.lit(0)).otherwise(
+        F.expr(f"({2 * n} * cum - {total}) div {2 * total}") + 1
+    )
+    hits = cum.select(
+        "c_custkey", "w", "cum", (hi - lo).cast("bigint").alias("n_hits")
+    )
+    return hits.filter(F.col("n_hits") >= 1)

@@ -827,3 +827,27 @@ def test_record_count_matches_prefix_maxima(xs):
     assert best == max(xs)
     if xs == sorted(set(xs)):
         assert cnt == len(xs)  # strictly increasing -> all records
+
+
+# --- PPS systematic: exactly n draws in total, and every unit's
+# draw count is within 1 of its expected n*w/total (the systematic
+# low-variance guarantee).
+
+@given(st.lists(st.integers(1, 1000), min_size=1, max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_pps_systematic_exact_n_and_bounded_dev(ws):
+    n = 100
+    total = sum(ws)
+    cum = 0
+    draws = []
+    for w in ws:
+        prev, cum = cum, cum + w
+        def count(c):
+            if 2 * n * c < total:
+                return 0
+            return (2 * n * c - total) // (2 * total) + 1
+        draws.append(count(cum) - count(prev))
+    assert sum(draws) == n
+    for w, d in zip(ws, draws):
+        exp = n * w / total
+        assert exp - 1 < d < exp + 1
