@@ -1707,3 +1707,106 @@ def er_fs_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(wc).alias("fs_weight"),
         F.expr(f"{wc} > 0").alias("match_leaning"),
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(ws) - {SHINGLE - 1}, 0)),
+             i -> array_to_string(ws[i:i+{SHINGLE - 1}], ' '))) AS shingle
+    FROM words)
+  WHERE length(shingle) > 0
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT doc_a, doc_b, n_common,
+         sa.n_sh + sb.n_sh - n_common AS n_union
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+), grid AS (
+  SELECT unnest(generate_series(2, 9)) AS t10
+)
+SELECT t10,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT doc_a) + COUNT(DISTINCT doc_b)
+            - COUNT(DISTINCT CASE WHEN doc_a = doc_b THEN doc_a END)
+            AS BIGINT) AS n_endpoint_slots,
+       CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_removable_greedy
+FROM grid JOIN pairs ON 10 * n_common >= t10 * n_union
+GROUP BY t10
+""",
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate threshold tuning table: ONE exact n-gram
+    Jaccard pair computation (the dedup_ngram_jaccard inverted-index
+    self-join), then pair/doc/removal counts at every Jaccard
+    threshold 0.2..0.9 — the sweep a curation run reads to pick its
+    cut before committing to a full dedup pass. Thresholding is the
+    EXACT integer comparison 10*n_common >= t10*n_union (never a
+    float >=, so no boundary pair can flip between engines);
+    n_removable_greedy counts the keep-smallest-id loser side.
+    Scale: the pair table is computed once and the 8-threshold grid
+    replays it with a non-equi broadcast of 8 rows — candidate
+    generation stays the sparse shared-shingle join, never
+    all-pairs."""
+    d = load(spark, sf_dir, "documents")
+    sh = shingles_df(d).cache()
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+    )
+    pairs = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            (F.col("na") + F.col("nb") - F.col("n_common")).alias(
+                "n_union"
+            ),
+        )
+    )
+    grid = spark.range(2, 10).select(F.col("id").alias("t10"))
+    joined = pairs.join(
+        F.broadcast(grid),
+        10 * F.col("n_common") >= F.col("t10") * F.col("n_union"),
+    )
+    return joined.groupBy("t10").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (
+            F.countDistinct("doc_a")
+            + F.countDistinct("doc_b")
+            - F.countDistinct(
+                F.when(F.col("doc_a") == F.col("doc_b"), F.col("doc_a"))
+            )
+        ).cast("bigint").alias("n_endpoint_slots"),
+        F.countDistinct("doc_b").cast("bigint").alias(
+            "n_removable_greedy"
+        ),
+    )
