@@ -1751,3 +1751,73 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf").desc(), "doc_id")
         .limit(50)
     )
+
+
+@query(
+    "text_word_burstiness",
+    oracle="""
+WITH dk AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+    FROM documents
+  ) GROUP BY doc_id, word
+), per AS (
+  SELECT word,
+         CAST(SUM(k) AS BIGINT) AS sk,
+         CAST(SUM(k * k) AS BIGINT) AS skk,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with
+  FROM dk GROUP BY word
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents
+)
+SELECT word, sk AS n_occurrences, n_docs_with,
+       ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / d) / (d - 1))
+         / (CAST(sk AS DOUBLE) / d) AS burstiness
+FROM per, g
+WHERE sk >= 50
+ORDER BY ((CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / d) / (d - 1))
+           / (CAST(sk AS DOUBLE) / d) DESC, word
+LIMIT 25
+""",
+)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word burstiness (Church-Gale): the variance-to-mean ratio of
+    a word's per-document count, zeros included via the global doc
+    count — near 1 means the word sprinkles Poisson-like
+    (function words), far above 1 means it CLUMPS (topical/content
+    words, boilerplate runs), the signal behind burstiness-aware IDF
+    and boilerplate detection. Same exact-moment algebra as
+    agg_overdispersion, per word: zero docs contribute nothing to
+    sum(k)/sum(k^2), so one (doc,word) rollup + one per-word
+    aggregate + a broadcast doc count computes the exact dispersion
+    for every word; the min-support filter and top-25 cut compile
+    to TakeOrderedAndProject, never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    dk = words_df(d).groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    )
+    per = dk.groupBy("word").agg(
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_with"),
+    )
+    g = d.agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    burst = (
+        (
+            F.col("skk").cast("double")
+            - F.col("sk").cast("double") * F.col("sk") / F.col("d")
+        )
+        / (F.col("d") - 1)
+    ) / (F.col("sk").cast("double") / F.col("d"))
+    return (
+        per.crossJoin(F.broadcast(g))
+        .filter(F.col("sk") >= 50)
+        .select(
+            "word",
+            F.col("sk").alias("n_occurrences"),
+            "n_docs_with",
+            burst.alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), "word")
+        .limit(25)
+    )

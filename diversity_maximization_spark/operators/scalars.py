@@ -1176,3 +1176,66 @@ def fn_month_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("months_to_2002"),
     )
+
+
+def _luhn_sum_sql(col: str, n_digits: int, double_odd_left: bool) -> str:
+    """Shared Luhn digit-sum SQL over a fixed-width digit string —
+    identical text both engines (1-based substring, integer CASE
+    doubling). double_odd_left doubles the digits at odd 1-based
+    positions from the LEFT (correct for an 11-digit payload whose
+    check digit will be appended)."""
+    terms = []
+    for i in range(1, n_digits + 1):
+        d = f"CAST(substring({col}, {i}, 1) AS INT)"
+        if (i % 2 == 1) == double_odd_left:
+            terms.append(
+                f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9"
+                f" ELSE 2 * {d} END)"
+            )
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+_LUHN_PAYLOAD = "lpad(CAST(o_orderkey % 100000000000 AS STRING), 11, '0')"
+_LUHN_SUM = _luhn_sum_sql(_LUHN_PAYLOAD, 11, True)
+
+
+@query(
+    "fn_luhn",
+    oracle=f"""
+SELECT o_orderkey,
+       {_LUHN_PAYLOAD} AS payload,
+       CAST((10 - ({_LUHN_SUM}) % 10) % 10 AS INT) AS check_digit,
+       {_LUHN_PAYLOAD}
+         || CAST((10 - ({_LUHN_SUM}) % 10) % 10 AS STRING)
+         AS card_number,
+       ((10 - ({_LUHN_SUM}) % 10) % 10) = 0 AS zero_check_valid
+FROM orders
+""",
+)
+def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn mod-10 check digits over synthetic 11-digit account
+    payloads (zero-padded order keys) — the checksum every intake
+    pipeline validates card/IMEI/account fields with, shown here as
+    the generator side (compute the check digit, emit the valid
+    12-digit number, and flag the payloads whose naive '0' check
+    digit would already pass). The digit extraction and the
+    double-every-other CASE chain are ONE shared SQL fragment
+    (_luhn_sum_sql) evaluated verbatim by both engines — pure
+    integer arithmetic, whole-stage-codegen friendly, no UDF."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(_LUHN_PAYLOAD).alias("payload"),
+        F.expr(
+            f"CAST((10 - ({_LUHN_SUM}) % 10) % 10 AS INT)"
+        ).alias("check_digit"),
+        F.expr(
+            f"{_LUHN_PAYLOAD}"
+            f" || CAST((10 - ({_LUHN_SUM}) % 10) % 10 AS STRING)"
+        ).alias("card_number"),
+        F.expr(
+            f"((10 - ({_LUHN_SUM}) % 10) % 10) = 0"
+        ).alias("zero_check_valid"),
+    )

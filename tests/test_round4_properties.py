@@ -851,3 +851,29 @@ def test_pps_systematic_exact_n_and_bounded_dev(ws):
     for w, d in zip(ws, draws):
         exp = n * w / total
         assert exp - 1 < d < exp + 1
+
+
+# --- Luhn: the generated check digit must make the full number
+# pass the standard right-to-left Luhn validation.
+
+@given(st.integers(0, 10**11 - 1))
+@settings(max_examples=300, deadline=None)
+def test_luhn_check_digit_validates(payload):
+    s = str(payload).zfill(11)
+    # generator (left-based, doubling odd 1-based positions)
+    total = 0
+    for i, ch in enumerate(s, start=1):
+        d = int(ch)
+        if i % 2 == 1:
+            d = 2 * d - 9 if 2 * d > 9 else 2 * d
+        total += d
+    check = (10 - total % 10) % 10
+    full = s + str(check)
+    # standard validation: from the right, double every second digit
+    tot = 0
+    for i, ch in enumerate(reversed(full), start=1):
+        d = int(ch)
+        if i % 2 == 0:
+            d = 2 * d - 9 if 2 * d > 9 else 2 * d
+        tot += d
+    assert tot % 10 == 0
