@@ -603,3 +603,49 @@ def test_ndcg_eval_query_side_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, "sim_search_recall_ndcg", sf_dir)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_rank_fusion_topk_is_take_ordered(spark, sf_dir):
+    """quality_rank_fusion's top-50 cut must compile to
+    TakeOrderedAndProject (never a global Sort), and the three
+    signal rankings must run through the two-phase machinery — no
+    SinglePartition window over the document table."""
+    plan = plan_of(spark, "quality_rank_fusion", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_burstiness_topk_is_take_ordered(spark, sf_dir):
+    """text_word_burstiness's top-25 must be TakeOrderedAndProject."""
+    plan = plan_of(spark, "text_word_burstiness", sf_dir)
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_rake_windows_are_doc_partitioned(spark, sf_dir):
+    """text_rake_words uses two windows (islands + phrase length) —
+    both MUST be partitioned (by doc) so no SinglePartition window
+    exists in the executed plan."""
+    plan = plan_of(spark, "text_rake_words", sf_dir)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_pps_prefix_sum_never_single_partition(spark, sf_dir):
+    """sample_pps_systematic's cumulative weights ride the
+    bucket-partitioned window, never a global one."""
+    plan = plan_of(spark, "sample_pps_systematic", sf_dir)
+    assert "SinglePartition" not in plan, plan
+
+
+def test_clustering_coeff_joins_are_equi(spark, sf_dir):
+    """graph_clustering_coeff's wedge and closing joins must stay
+    equi-joins (SortMergeJoin/ShuffledHashJoin/Broadcast-hash) — a
+    CartesianProduct here is the O(V^2) bug the degree orientation
+    exists to prevent."""
+    plan = plan_of(spark, "graph_clustering_coeff", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_longest_streak_window_is_user_partitioned(spark, sf_dir):
+    """win_longest_streak's island window partitions by user."""
+    plan = plan_of(spark, "win_longest_streak", sf_dir)
+    assert "SinglePartition" not in plan, plan
