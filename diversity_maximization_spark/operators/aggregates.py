@@ -5342,3 +5342,90 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "w", "cum", (hi - lo).cast("bigint").alias("n_hits")
     )
     return hits.filter(F.col("n_hits") >= 1)
+
+
+@query(
+    "agg_simpsons_paradox",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS pr,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM orders GROUP BY o_orderpriority
+), strat AS (
+  SELECT pr,
+         CASE WHEN a * d > b * c THEN 1
+              WHEN a * d < b * c THEN -1 ELSE 0 END AS direction
+  FROM cells
+), pooled AS (
+  SELECT CASE WHEN SUM(a) * SUM(d) > SUM(b) * SUM(c) THEN 1
+              WHEN SUM(a) * SUM(d) < SUM(b) * SUM(c) THEN -1
+              ELSE 0 END AS pooled_direction
+  FROM cells
+)
+SELECT s.pr AS stratum, CAST(s.direction AS INT) AS stratum_direction,
+       CAST(p.pooled_direction AS INT) AS pooled_direction,
+       s.direction <> 0 AND p.pooled_direction <> 0
+         AND s.direction <> p.pooled_direction AS reversed
+FROM strat s, pooled p
+""",
+)
+def agg_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox detector over the Mantel-Haenszel strata:
+    per stratum, the association DIRECTION between exposure and
+    outcome is the exact integer sign of the cross-product a*d vs
+    b*c (no odds-ratio division, so zero cells cost nothing); the
+    pooled direction is the same sign on the collapsed table; a
+    stratum flags `reversed` when it disagrees with the pooled
+    direction — the aggregation-reverses-the-conclusion hazard that
+    motivates stratified estimators in the first place, reduced to
+    pure bigint comparisons that hash-match trivially. One integer
+    aggregate + a 5-row scan."""
+    o = load(spark, sf_dir, "orders")
+    exposed = F.col("o_custkey") % 2 == 0
+    outcome = F.col("o_orderstatus") == "F"
+    cells = o.groupBy(F.col("o_orderpriority").alias("pr")).agg(
+        F.sum(F.when(exposed & outcome, 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~exposed & outcome, 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(~exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    sign = (
+        F.when(F.col("a") * F.col("d") > F.col("b") * F.col("c"), 1)
+        .when(F.col("a") * F.col("d") < F.col("b") * F.col("c"), -1)
+        .otherwise(0)
+    )
+    strat = cells.select(
+        F.col("pr").alias("stratum"), sign.cast("int").alias(
+            "stratum_direction"
+        )
+    )
+    pooled = cells.agg(
+        F.when(
+            F.sum("a") * F.sum("d") > F.sum("b") * F.sum("c"), 1
+        )
+        .when(F.sum("a") * F.sum("d") < F.sum("b") * F.sum("c"), -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("pooled_direction")
+    )
+    return strat.crossJoin(F.broadcast(pooled)).select(
+        "stratum",
+        "stratum_direction",
+        "pooled_direction",
+        (
+            (F.col("stratum_direction") != 0)
+            & (F.col("pooled_direction") != 0)
+            & (F.col("stratum_direction") != F.col("pooled_direction"))
+        ).alias("reversed"),
+    )

@@ -2147,3 +2147,76 @@ def ts_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("c").cast("bigint").alias("best_cents"),
     )
+
+
+@query(
+    "ts_time_weighted_return",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), rets AS (
+  SELECT event_type, day, c,
+         LAG(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+  FROM daily
+), hist AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_periods,
+         list(CAST(c AS DOUBLE) / prev ORDER BY day) AS growths
+  FROM rets WHERE prev IS NOT NULL AND prev > 0
+  GROUP BY event_type
+)
+SELECT event_type, n_periods,
+       list_reduce(growths, (a, x) -> a * x) - 1.0 AS twr,
+       list_reduce(growths, (a, x) -> a * x) AS growth_factor
+FROM hist
+""",
+)
+def ts_time_weighted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted (geometric-linked) return of daily revenue per
+    event type: TWR = prod(c_t / c_{t-1}) - 1 over consecutive days
+    — the portfolio-performance standard that neutralizes flow
+    size, here reading 'compound daily growth' of each revenue
+    stream. Day ratios come from a per-type LAG window (partitioned,
+    O(days) rows); the multiplicative link is an ORDERED left fold:
+    the engine folds in an Arrow applyInPandas scan per type (one
+    float of state), the oracle replays the identical IEEE product
+    with DuckDB's list_reduce over a day-ordered list — the ts_ewma
+    replay contract, multiplicative instead of affine. Ratios are
+    exact-integer-cents quotients so both engines start from
+    identical doubles; zero-revenue days break the chain and are
+    excluded identically (prev > 0)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    rets = daily.withColumn("prev", F.lag("c").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") > 0)
+    )
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day")
+        acc = None
+        for c, prev in zip(
+            pdf["c"].to_numpy(), pdf["prev"].to_numpy()
+        ):
+            g = float(c) / float(prev)
+            acc = g if acc is None else acc * g
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_periods": [len(pdf)],
+                "twr": [acc - 1.0],
+                "growth_factor": [acc],
+            }
+        )
+
+    return rets.groupBy("event_type").applyInPandas(
+        fold,
+        "event_type string, n_periods bigint, twr double, "
+        "growth_factor double",
+    )

@@ -877,3 +877,44 @@ def test_luhn_check_digit_validates(payload):
             d = 2 * d - 9 if 2 * d > 9 else 2 * d
         tot += d
     assert tot % 10 == 0
+
+
+# --- Simpson direction signs: on homogeneous strata no reversal is
+# possible; constructed textbook reversal IS caught.
+
+def test_simpson_detector_on_textbook_reversal():
+    # UC Berkeley-style: two strata, each favoring exposure, pooled
+    # favoring control.
+    strata = [(81, 87, 234, 270), (192, 808, 55, 333)]
+    dirs = [1 if a * d > b * c else -1 if a * d < b * c else 0
+            for a, b, c, d in strata]
+    A = sum(s[0] for s in strata); B = sum(s[1] for s in strata)
+    C = sum(s[2] for s in strata); D = sum(s[3] for s in strata)
+    pooled = 1 if A * D > B * C else -1 if A * D < B * C else 0
+    assert all(d == dirs[0] for d in dirs)
+    assert pooled != dirs[0]  # the paradox fires
+
+
+@given(st.tuples(st.integers(1, 50), st.integers(1, 50),
+                 st.integers(1, 50), st.integers(1, 50)),
+       st.integers(1, 5))
+@settings(max_examples=200, deadline=None)
+def test_simpson_no_reversal_on_scaled_copies(cell, k):
+    a, b, c, d = cell
+    strata = [(a * i, b * i, c * i, d * i) for i in range(1, k + 1)]
+    dirs = {1 if aa * dd > bb * cc else -1 if aa * dd < bb * cc else 0
+            for aa, bb, cc, dd in strata}
+    assert len(dirs) == 1  # scaling never flips a direction sign
+
+
+# --- TWR: telescoping — the geometric link of consecutive ratios
+# equals last/first exactly in rational arithmetic.
+
+@given(st.lists(st.integers(1, 10**6), min_size=2, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_twr_telescopes(cs):
+    from fractions import Fraction
+    prod = Fraction(1)
+    for prev, c in zip(cs, cs[1:]):
+        prod *= Fraction(c, prev)
+    assert prod == Fraction(cs[-1], cs[0])
