@@ -5429,3 +5429,106 @@ def agg_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("stratum_direction") != F.col("pooled_direction"))
         ).alias("reversed"),
     )
+
+
+@query(
+    "agg_price_volume_mix",
+    oracle="""
+WITH li AS (
+  SELECT l.l_partkey AS part,
+         CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01'
+              THEN 0 ELSE 1 END AS period,
+         CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), pv AS (
+  SELECT a.part,
+         a.q AS q0, a.rev AS rev0, b.q AS q1, b.rev AS rev1
+  FROM li a JOIN li b ON a.part = b.part
+  WHERE a.period = 0 AND b.period = 1
+)
+SELECT part, q0, q1,
+       CAST(rev1 - rev0 AS BIGINT) AS rev_change_cents,
+       (CAST(q1 - q0 AS DOUBLE) * (CAST(rev0 AS DOUBLE) / q0)) / 100
+         AS volume_effect,
+       (CAST(q1 AS DOUBLE)
+        * (CAST(rev1 AS DOUBLE) / q1 - CAST(rev0 AS DOUBLE) / q0)) / 100
+         AS price_effect
+FROM pv
+ORDER BY abs(rev1 - rev0) DESC, part
+LIMIT 25
+""",
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of each part's revenue change
+    between the pre-1998 and 1998+ halves of the order history —
+    the FP&A waterfall: volume effect (quantity delta at old unit
+    price) plus price effect (new quantity at unit-price delta)
+    telescopes EXACTLY to the revenue change, q1*p1 - q0*p0. The
+    revenue change itself stays an exact integer (cents), so the
+    top-25 biggest movers are ordered by a bigint — the float
+    effects are per-ROW single expressions from exact integer
+    sums, never summed across rows, so no reduction-order hazard
+    exists. One aggregate over the fact join, a self-join on the
+    per-part period rollup, TakeOrderedAndProject for the cut."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_partkey").alias("part"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.expr(cents("l_extendedprice")).alias("rc"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("period"),
+    )
+    per = (
+        li.join(o, "l_orderkey")
+        .groupBy("part", "period")
+        .agg(
+            F.sum("qty").cast("bigint").alias("q"),
+            F.sum("rc").cast("bigint").alias("rev"),
+        )
+    )
+    a = per.filter(F.col("period") == 0).select(
+        "part",
+        F.col("q").alias("q0"),
+        F.col("rev").alias("rev0"),
+    )
+    b = per.filter(F.col("period") == 1).select(
+        "part",
+        F.col("q").alias("q1"),
+        F.col("rev").alias("rev1"),
+    )
+    both = a.join(b, "part")
+    return (
+        both.select(
+            "part",
+            "q0",
+            "q1",
+            (F.col("rev1") - F.col("rev0"))
+            .cast("bigint")
+            .alias("rev_change_cents"),
+            (
+                (F.col("q1") - F.col("q0")).cast("double")
+                * (F.col("rev0").cast("double") / F.col("q0"))
+                / 100
+            ).alias("volume_effect"),
+            (
+                F.col("q1").cast("double")
+                * (
+                    F.col("rev1").cast("double") / F.col("q1")
+                    - F.col("rev0").cast("double") / F.col("q0")
+                )
+                / 100
+            ).alias("price_effect"),
+        )
+        .orderBy(F.abs(F.col("rev_change_cents")).desc(), "part")
+        .limit(25)
+    )

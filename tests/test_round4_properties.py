@@ -918,3 +918,18 @@ def test_twr_telescopes(cs):
     for prev, c in zip(cs, cs[1:]):
         prod *= Fraction(c, prev)
     assert prod == Fraction(cs[-1], cs[0])
+
+
+# --- price-volume decomposition: effects telescope exactly to the
+# revenue change in rational arithmetic.
+
+@given(st.integers(1, 10**4), st.integers(1, 10**4),
+       st.integers(1, 10**8), st.integers(1, 10**8))
+@settings(max_examples=300, deadline=None)
+def test_pvm_telescopes(q0, q1, rev0, rev1):
+    from fractions import Fraction
+    p0 = Fraction(rev0, q0)
+    p1 = Fraction(rev1, q1)
+    volume = (q1 - q0) * p0
+    price = q1 * (p1 - p0)
+    assert volume + price == rev1 - rev0
