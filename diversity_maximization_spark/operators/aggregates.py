@@ -5532,3 +5532,57 @@ def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rev_change_cents")).desc(), "part")
         .limit(25)
     )
+
+
+@query(
+    "agg_new_vs_returning",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, MIN(date_trunc('day', ts)) AS d0 FROM events
+  GROUP BY user_id
+), ud AS (
+  SELECT DISTINCT e.user_id, date_trunc('day', e.ts) AS day, f.d0
+  FROM events e JOIN first_day f USING (user_id)
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN day <> d0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS returning_users,
+       CAST(CAST(SUM(CASE WHEN day = d0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS DOUBLE) / COUNT(*) AS new_share
+FROM ud GROUP BY day
+""",
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split — the growth-accounting
+    companion to rolling_dau: a user counts as NEW only on their
+    first-ever active day and RETURNING on every later active day,
+    so the two series decompose DAU exactly and the new_share ratio
+    is the acquisition-vs-retention mix product reviews track. Two
+    shuffled aggregates on user_id (first-touch, then the distinct
+    user-day rollup) and one day-keyed count — integer everywhere
+    except the single share division."""
+    ev = load(spark, sf_dir, "events")
+    fd = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("d0")
+    )
+    ud = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day"))
+        .distinct()
+        .join(fd, "user_id")
+    )
+    return ud.groupBy("day").agg(
+        F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(F.when(F.col("day") != F.col("d0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returning_users"),
+        (
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0))
+            .cast("bigint")
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("new_share"),
+    )

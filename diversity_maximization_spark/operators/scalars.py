@@ -1239,3 +1239,66 @@ def fn_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((10 - ({_LUHN_SUM}) % 10) % 10) = 0"
         ).alias("zero_check_valid"),
     )
+
+
+_SEMVER = (
+    "concat('v', CAST(p_partkey % 10 AS STRING), '.',"
+    " CAST((p_partkey // 10) % 20 AS STRING), '.',"
+    " CAST((p_partkey // 200) % 50 AS STRING))"
+)
+
+
+@query(
+    "fn_semver",
+    oracle=f"""
+WITH v AS (
+  SELECT p_partkey, {_SEMVER.replace('//', '//')} AS ver FROM part
+), parsed AS (
+  SELECT p_partkey, ver,
+         CAST(string_split(substring(ver, 2), '.')[1] AS BIGINT) AS major,
+         CAST(string_split(substring(ver, 2), '.')[2] AS BIGINT) AS minor,
+         CAST(string_split(substring(ver, 2), '.')[3] AS BIGINT) AS patch
+  FROM v
+)
+SELECT major, minor,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(MAX(patch) AS BIGINT) AS latest_patch,
+       CAST(MAX(major * 1000000 + minor * 1000 + patch) AS BIGINT)
+         AS max_ordinal
+FROM parsed GROUP BY major, minor
+""",
+)
+def fn_semver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-version parsing and ordering — the data-cleaning
+    chore every device/SDK analytics table needs: split 'vX.Y.Z'
+    strings (synthesized deterministically from part keys) into
+    integer components, order them NUMERICALLY via the packed
+    ordinal major*1e6 + minor*1e3 + patch (string ordering would put
+    v1.10.0 before v1.2.0 — the classic bug), and roll up latest
+    patch per (major, minor) release line. Pure string/integer
+    built-ins, whole-stage codegen, identical split semantics both
+    engines (1-based list index in DuckDB = element 0 of Spark's
+    split)."""
+    p = load(spark, sf_dir, "part")
+    ver = F.expr(
+        "concat('v', CAST(p_partkey % 10 AS STRING), '.',"
+        " CAST(CAST(p_partkey / 10 AS BIGINT) % 20 AS STRING), '.',"
+        " CAST(CAST(p_partkey / 200 AS BIGINT) % 50 AS STRING))"
+    )
+    parts = F.split(F.expr("substring(ver, 2)"), "\\.")
+    parsed = p.select("p_partkey", ver.alias("ver")).select(
+        "p_partkey",
+        "ver",
+        parts.getItem(0).cast("bigint").alias("major"),
+        parts.getItem(1).cast("bigint").alias("minor"),
+        parts.getItem(2).cast("bigint").alias("patch"),
+    )
+    return parsed.groupBy("major", "minor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.max("patch").cast("bigint").alias("latest_patch"),
+        F.max(
+            F.col("major") * 1000000 + F.col("minor") * 1000 + F.col("patch")
+        )
+        .cast("bigint")
+        .alias("max_ordinal"),
+    )
