@@ -5586,3 +5586,124 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("new_share"),
     )
+
+
+@query(
+    "agg_growth_accounting",
+    oracle="""
+WITH um AS (
+  SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
+), fm AS (
+  SELECT user_id, MIN(m) AS m0 FROM um GROUP BY user_id
+), months AS (
+  SELECT DISTINCT m FROM um
+), cur AS (
+  SELECT u.m, u.user_id, f.m0,
+         CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_active
+  FROM um u
+  JOIN fm f USING (user_id)
+  LEFT JOIN um p ON p.user_id = u.user_id
+    AND p.m = u.m - INTERVAL 1 MONTH
+), churn AS (
+  SELECT (p.m + INTERVAL 1 MONTH) AS m,
+         CAST(COUNT(*) AS BIGINT) AS churned
+  FROM um p
+  LEFT JOIN um n ON n.user_id = p.user_id
+    AND n.m = p.m + INTERVAL 1 MONTH
+  WHERE n.user_id IS NULL
+    AND p.m + INTERVAL 1 MONTH <= (SELECT MAX(m) FROM months)
+  GROUP BY 1
+)
+SELECT CAST(c.m AS TIMESTAMP) AS month,
+       CAST(COUNT(*) AS BIGINT) AS mau,
+       CAST(SUM(CASE WHEN c.m = c.m0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_users,
+       CAST(SUM(CASE WHEN c.m <> c.m0 AND c.was_active = 1
+                     THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+       CAST(SUM(CASE WHEN c.m <> c.m0 AND c.was_active = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+       CAST(COALESCE(MAX(ch.churned), 0) AS BIGINT) AS churned
+FROM cur c LEFT JOIN churn ch ON ch.m = c.m
+GROUP BY c.m
+""",
+)
+def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly growth accounting — the MAU decomposition every
+    growth review runs: this month's actives split into NEW (first
+    month ever), RETAINED (also active last month) and RESURRECTED
+    (active before, but not last month), plus last month's actives
+    who went silent (CHURNED, attributed to the month they missed).
+    The identity MAU(t) = new + retained + resurrected and
+    MAU(t) - MAU(t-1) = new + resurrected - churned holds exactly
+    by construction and is property-tested. Shape: the distinct
+    (user, month) rollup is the only corpus-scale object; first
+    months, the previous-month self-join, and the churn anti-join
+    all key on user_id — three user-keyed shuffles, all-integer
+    outputs."""
+    ev = load(spark, sf_dir, "events")
+    um = ev.select(
+        "user_id", F.date_trunc("month", "ts").alias("m")
+    ).distinct()
+    fm = um.groupBy("user_id").agg(F.min("m").alias("m0"))
+    prev = um.select(
+        "user_id",
+        F.expr("m + INTERVAL 1 MONTH").alias("m"),
+        F.lit(1).alias("was_active"),
+    )
+    cur = (
+        um.join(fm, "user_id")
+        .join(prev, ["user_id", "m"], "left")
+        .select(
+            "m",
+            "m0",
+            F.coalesce("was_active", F.lit(0)).alias("was_active"),
+        )
+    )
+    max_m = um.agg(F.max("m").alias("mx"))
+    nxt = um.select(
+        "user_id", F.expr("m + INTERVAL 1 MONTH").alias("nm")
+    )
+    churn = (
+        um.select("user_id", F.expr("m + INTERVAL 1 MONTH").alias("m"))
+        .join(
+            nxt.withColumnRenamed("nm", "m"),
+            ["user_id", "m"],
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(max_m))
+        .filter(F.col("m") <= F.col("mx"))
+        .groupBy("m")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("churned"))
+    )
+    agg = cur.groupBy(F.col("m").alias("month")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("mau"),
+        F.sum(F.when(F.col("m") == F.col("m0"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("new_users"),
+        F.sum(
+            F.when(
+                (F.col("m") != F.col("m0")) & (F.col("was_active") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("retained"),
+        F.sum(
+            F.when(
+                (F.col("m") != F.col("m0")) & (F.col("was_active") == 0),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("resurrected"),
+    )
+    return agg.join(
+        churn.withColumnRenamed("m", "month"), "month", "left"
+    ).select(
+        "month",
+        "mau",
+        "new_users",
+        "retained",
+        "resurrected",
+        F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
+    )

@@ -933,3 +933,34 @@ def test_pvm_telescopes(q0, q1, rev0, rev1):
     volume = (q1 - q0) * p0
     price = q1 * (p1 - p0)
     assert volume + price == rev1 - rev0
+
+
+# --- growth accounting identities on random activity matrices.
+
+@given(st.lists(st.sets(st.integers(0, 11), min_size=1), min_size=1,
+                max_size=20))
+@settings(max_examples=200, deadline=None)
+def test_growth_accounting_identities(user_months):
+    months = sorted({m for s in user_months for m in s})
+    first = {u: min(s) for u, s in enumerate(user_months)}
+    stats = {}
+    for m in months:
+        active = {u for u, s in enumerate(user_months) if m in s}
+        new = {u for u in active if first[u] == m}
+        retained = {u for u in active
+                    if first[u] != m and (m - 1) in user_months[u]}
+        resurrected = active - new - retained
+        churned = {u for u, s in enumerate(user_months)
+                   if (m - 1) in s and m not in s} if m - 1 in months or any(
+                       (m - 1) in s for s in user_months) else set()
+        stats[m] = (len(active), len(new), len(retained),
+                    len(resurrected), len(churned))
+    for m in months:
+        mau, new, ret, res, _ = stats[m]
+        assert mau == new + ret + res
+    for prev, m in zip(months, months[1:]):
+        if m != prev + 1:
+            continue  # identity only links consecutive months
+        mau_p = stats[prev][0]
+        mau, new, ret, res, ch = stats[m]
+        assert mau - mau_p == new + res - ch
