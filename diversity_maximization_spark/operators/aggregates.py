@@ -5707,3 +5707,110 @@ def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resurrected",
         F.coalesce("churned", F.lit(0)).cast("bigint").alias("churned"),
     )
+
+
+@query(
+    "agg_revenue_retention",
+    oracle="""
+WITH cm AS (
+  SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1, 2
+), base AS (
+  SELECT p.m + INTERVAL 1 MONTH AS m,
+         p.c, p.rev AS prev_rev, COALESCE(n.rev, 0) AS cur_rev
+  FROM cm p
+  LEFT JOIN cm n ON n.c = p.c AND n.m = p.m + INTERVAL 1 MONTH
+  WHERE p.m + INTERVAL 1 MONTH <= (SELECT MAX(m) FROM cm)
+)
+SELECT CAST(m AS TIMESTAMP) AS month,
+       CAST(SUM(prev_rev) AS BIGINT) AS base_rev_cents,
+       CAST(SUM(CASE WHEN cur_rev > prev_rev THEN cur_rev - prev_rev
+                     ELSE 0 END) AS BIGINT) AS expansion_cents,
+       CAST(SUM(CASE WHEN cur_rev > 0 AND cur_rev < prev_rev
+                     THEN prev_rev - cur_rev ELSE 0 END) AS BIGINT)
+         AS contraction_cents,
+       CAST(SUM(CASE WHEN cur_rev = 0 THEN prev_rev ELSE 0 END)
+            AS BIGINT) AS churned_cents,
+       CAST(CAST(SUM(cur_rev) AS BIGINT) AS DOUBLE) / SUM(prev_rev)
+         AS nrr,
+       CAST(CAST(SUM(CASE WHEN cur_rev < prev_rev THEN cur_rev
+                          ELSE prev_rev END) AS BIGINT) AS DOUBLE)
+         / SUM(prev_rev) AS grr
+FROM base GROUP BY m
+""",
+)
+def agg_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net / gross revenue retention per month — the SaaS board
+    metric: take last month's paying customers as the base cohort
+    and bridge their revenue into this month as expansion (grew),
+    contraction (shrank but stayed), and churn (went to zero); NRR
+    = cohort's current revenue / base, GRR = same with expansion
+    capped at base per customer (min(cur, prev)). New-customer
+    revenue is deliberately OUT of both ratios — that separation is
+    the metric's whole point. Exact integer cents end-to-end (the
+    bridge components are classification sums over one
+    customer-month self-join keyed on the customer), two float
+    divisions per month row."""
+    o = load(spark, sf_dir, "orders")
+    cm = o.groupBy(
+        F.col("o_custkey").alias("c"),
+        F.date_trunc("month", "o_orderdate").alias("m"),
+    ).agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("rev"))
+    mx = cm.agg(F.max("m").alias("mx"))
+    nxt = cm.select(
+        "c", F.col("m").alias("nm"), F.col("rev").alias("cur_rev")
+    )
+    base = (
+        cm.select(
+            "c",
+            F.expr("m + INTERVAL 1 MONTH").alias("m"),
+            F.col("rev").alias("prev_rev"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("m") <= F.col("mx"))
+        .join(
+            nxt.withColumnRenamed("nm", "m"), ["c", "m"], "left"
+        )
+        .select(
+            "m",
+            "prev_rev",
+            F.coalesce("cur_rev", F.lit(0)).alias("cur_rev"),
+        )
+    )
+    return base.groupBy(F.col("m").alias("month")).agg(
+        F.sum("prev_rev").cast("bigint").alias("base_rev_cents"),
+        F.sum(
+            F.when(
+                F.col("cur_rev") > F.col("prev_rev"),
+                F.col("cur_rev") - F.col("prev_rev"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("expansion_cents"),
+        F.sum(
+            F.when(
+                (F.col("cur_rev") > 0)
+                & (F.col("cur_rev") < F.col("prev_rev")),
+                F.col("prev_rev") - F.col("cur_rev"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contraction_cents"),
+        F.sum(
+            F.when(F.col("cur_rev") == 0, F.col("prev_rev")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("churned_cents"),
+        (
+            F.sum("cur_rev").cast("bigint").cast("double")
+            / F.sum("prev_rev")
+        ).alias("nrr"),
+        (
+            F.sum(F.least("cur_rev", "prev_rev"))
+            .cast("bigint")
+            .cast("double")
+            / F.sum("prev_rev")
+        ).alias("grr"),
+    )
