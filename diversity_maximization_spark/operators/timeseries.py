@@ -2220,3 +2220,71 @@ def ts_time_weighted_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_periods bigint, twr double, "
         "growth_factor double",
     )
+
+
+@query(
+    "ts_time_underwater",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), flags AS (
+  SELECT event_type, day, c,
+         CASE WHEN c < MAX(c) OVER (PARTITION BY event_type
+                                    ORDER BY day) THEN 1 ELSE 0 END
+           AS underwater,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rn
+  FROM daily
+), uw AS (
+  SELECT event_type, day, rn,
+         rn - ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY day) AS anchor
+  FROM flags WHERE underwater = 1
+), spells AS (
+  SELECT event_type, anchor, CAST(COUNT(*) AS BIGINT) AS spell_days
+  FROM uw GROUP BY event_type, anchor
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_spells,
+       CAST(MAX(spell_days) AS BIGINT) AS max_underwater_days,
+       CAST(SUM(spell_days) AS BIGINT) AS total_underwater_days
+FROM spells GROUP BY event_type
+""",
+)
+def ts_time_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-underwater analysis of daily revenue per event type: a
+    day is UNDERWATER when it sits strictly below the running
+    all-time peak, and consecutive underwater days form recovery
+    spells — the DURATION view of drawdowns that win_max_drawdown's
+    depth number and ts_ulcer_index's rms both miss ('how long were
+    we below the high-water mark, and what was the worst stretch').
+    Two stacked per-type windows (running max, then the
+    gaps-islands anchor over the underwater subset) on the O(days)
+    rollup, then two integer aggregations. Integer cents and day
+    counts end-to-end — nothing float anywhere."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    wpeak = Window.partitionBy("event_type").orderBy("day")
+    flags = daily.select(
+        "event_type",
+        "day",
+        F.when(F.col("c") < F.max("c").over(wpeak), 1)
+        .otherwise(0)
+        .alias("underwater"),
+        F.row_number().over(wpeak).alias("rn"),
+    )
+    wuw = Window.partitionBy("event_type").orderBy("day")
+    uw = flags.filter(F.col("underwater") == 1).withColumn(
+        "anchor", F.col("rn") - F.row_number().over(wuw)
+    )
+    spells = uw.groupBy("event_type", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("spell_days")
+    )
+    return spells.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.max("spell_days").cast("bigint").alias("max_underwater_days"),
+        F.sum("spell_days").cast("bigint").alias("total_underwater_days"),
+    )
