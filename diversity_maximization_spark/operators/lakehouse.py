@@ -343,3 +343,70 @@ def sink_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "sink_integrity_manifest",
+    oracle="""
+WITH assigned AS (
+  SELECT o_orderkey AS k,
+         CAST(((o_orderkey % 2147483648) * 2654435761 % 4294967296) % 4
+              AS BIGINT) AS shard
+  FROM orders
+), content AS (
+  SELECT shard,
+         string_agg(CAST(k AS STRING) || chr(10), '' ORDER BY k)
+           AS body
+  FROM assigned GROUP BY shard
+)
+SELECT shard,
+       CAST(length(body) AS BIGINT) AS n_bytes,
+       md5(body) AS content_md5
+FROM content
+""",
+)
+def sink_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level integrity manifest of a deterministic sharded CSV
+    export: order keys hash to 4 shards (the sink_sharded_export
+    Knuth mix), each shard is written as ONE sorted header-less CSV
+    file, the files are read back through Spark's binaryFile source
+    and md5'd — and the manifest hash-matches an oracle that never
+    touches a filesystem, reconstructing each file's exact bytes
+    with an ordered string_agg. That match proves the export is
+    BYTE-reproducible (row order, formatting, newline discipline) —
+    the property a downstream dataloader checksums against, and the
+    reason the export sorts within shards (an unsorted write would
+    be content-nondeterministic under scheduling variation). The shard
+    column maps back from the directory name, not the file name
+    (task-UUID file names are the nondeterminism the manifest
+    design must route around)."""
+    import tempfile
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(((o_orderkey % 2147483648) * 2654435761 % 4294967296)"
+            " % 4 AS BIGINT)"
+        ).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="dms_manifest_")
+    (
+        o.repartition(4, "shard")
+        .sortWithinPartitions("shard", "k")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .option("header", "false")
+        .csv(out)
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.csv")
+        .load(out)
+    )
+    return files.select(
+        F.regexp_extract(F.col("path"), r"shard=(\d+)", 1)
+        .cast("bigint")
+        .alias("shard"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
