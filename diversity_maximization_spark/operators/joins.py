@@ -1266,3 +1266,195 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("np_id").alias("purchase_id"),
         )
     )
+
+
+DBSCAN_EPS2 = 0.0004  # eps = 0.02, compared as squared distance
+DBSCAN_MIN_NEIGHBORS = 3  # minPts = 4 including the point itself
+
+
+@query(
+    "geo_dbscan",
+    oracle=f"""
+WITH RECURSIVE p AS (
+  SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+), prs AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM p a JOIN p b
+    ON a.vec_id <> b.vec_id
+   AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       < CAST({DBSCAN_EPS2!r} AS DOUBLE)
+), deg AS (
+  SELECT u AS vec_id, CAST(COUNT(*) AS BIGINT) AS n FROM prs GROUP BY u
+), core AS (
+  SELECT vec_id FROM deg WHERE n >= {DBSCAN_MIN_NEIGHBORS}
+), ce AS (
+  SELECT u, v FROM prs
+  WHERE u IN (SELECT vec_id FROM core)
+    AND v IN (SELECT vec_id FROM core)
+), r(node, root) AS (
+  SELECT vec_id, vec_id FROM core
+  UNION
+  SELECT e.v, r.root FROM ce e JOIN r ON r.node = e.u
+), comp AS (
+  SELECT node, MIN(root) AS cluster_id FROM r GROUP BY node
+), border AS (
+  SELECT prs.u AS vec_id, MIN(comp.cluster_id) AS cluster_id
+  FROM prs JOIN comp ON comp.node = prs.v
+  WHERE prs.u NOT IN (SELECT vec_id FROM core)
+  GROUP BY prs.u
+)
+SELECT p.vec_id,
+       CASE WHEN c.node IS NOT NULL THEN 'core'
+            WHEN b.vec_id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(COALESCE(c.cluster_id, b.cluster_id) AS BIGINT)
+         AS cluster_id
+FROM p
+LEFT JOIN comp c ON c.node = p.vec_id
+LEFT JOIN border b ON b.vec_id = p.vec_id
+""",
+)
+def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the 2-D embedding projection — the density
+    clustering that finds arbitrary-shape clusters AND labels noise,
+    which k-means structurally cannot: points with >=
+    {DBSCAN_MIN_NEIGHBORS} eps-neighbors are CORES, cores within eps
+    connect into clusters (component id = min core vec_id), non-core
+    points adjacent to a core are BORDERS (ties -> smallest cluster
+    id), everything else is NOISE. Scale plan: the eps-pair table
+    comes from the join_spatial_grid 3x3 grid-cell equi-join (never
+    all-pairs); core components run min-label propagation with a
+    POINTER-JUMPING round after every hop (label = label(label)),
+    collapsing chains exponentially so a blob of diameter D
+    converges in O(log D) shuffles instead of D — the doubling that
+    makes density clustering survive a dense 100 TB region. The
+    oracle replays with the naive all-pairs join + recursive-CTE
+    closure (oracle-scale-only). Distances compare SQUARED against
+    the same literal in both engines — no sqrt anywhere."""
+    p = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    r = 0.02
+    cell = lambda c: F.floor(c / F.lit(r)).cast("bigint")  # noqa: E731
+    home = p.select(
+        "vec_id", "x", "y",
+        cell(F.col("x")).alias("cx"), cell(F.col("y")).alias("cy"),
+    )
+    offsets = F.expr(
+        "explode(flatten(transform(sequence(-1, 1), "
+        "dx -> transform(sequence(-1, 1), dy -> struct(dx, dy)))))"
+    )
+    probe = home.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        "cx",
+        "cy",
+        offsets.alias("o"),
+    ).select(
+        "b_id", "bx", "by",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx")) + (
+        F.col("y") - F.col("by")
+    ) * (F.col("y") - F.col("by"))
+    prs = (
+        home.join(probe, ["cx", "cy"])
+        .filter(F.col("vec_id") != F.col("b_id"))
+        .filter(d2 < F.expr(f"CAST({DBSCAN_EPS2!r} AS DOUBLE)"))
+        .select(F.col("vec_id").alias("u"), F.col("b_id").alias("v"))
+        .localCheckpoint(eager=True)
+    )
+    deg = prs.groupBy(F.col("u").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    core = deg.filter(
+        F.col("n") >= DBSCAN_MIN_NEIGHBORS
+    ).select("vec_id")
+    ce = (
+        prs.join(core.withColumnRenamed("vec_id", "u"), "u")
+        .join(core.withColumnRenamed("vec_id", "v"), "v")
+        .select("u", "v")
+        .localCheckpoint(eager=True)
+    )
+    # min-label propagation + pointer jumping (label = label(label))
+    labels = core.select(
+        F.col("vec_id").alias("id"), F.col("vec_id").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(40):
+        neigh = (
+            ce.join(labels, ce.u == labels.id)
+            .groupBy("v")
+            .agg(F.min("label").alias("nmin"))
+        )
+        hopped = labels.join(
+            neigh, labels.id == neigh.v, "left"
+        ).select(
+            "id",
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+        )
+        lab2 = hopped.select(
+            F.col("id").alias("jid"), F.col("label").alias("jlabel")
+        )
+        jumped = (
+            hopped.join(lab2, hopped.label == lab2.jid, "left")
+            .select(
+                "id",
+                F.least(
+                    "label", F.coalesce("jlabel", "label")
+                ).alias("label"),
+                (
+                    F.coalesce("jlabel", "label") < F.col("label")
+                ).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = jumped.filter("chg").count()
+        labels = jumped.drop("chg")
+        if changed == 0:
+            # one extra hop check: stop only when a hop also changes
+            # nothing (jump-stability alone does not imply hop-
+            # stability on the first rounds)
+            probe_hop = (
+                ce.join(labels, ce.u == labels.id)
+                .groupBy("v")
+                .agg(F.min("label").alias("nmin"))
+                .join(labels, F.col("v") == labels.id)
+                .filter(F.col("nmin") < F.col("label"))
+                .count()
+            )
+            if probe_hop == 0:
+                break
+    comp = labels.select(
+        F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    border = (
+        prs.join(
+            comp.withColumnRenamed("vec_id", "v"), "v"
+        )
+        .join(
+            core.withColumnRenamed("vec_id", "u"), "u", "left_anti"
+        )
+        .groupBy(F.col("u").alias("vec_id"))
+        .agg(F.min("cluster_id").alias("b_cluster"))
+    )
+    return (
+        p.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .join(border, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("cluster_id").isNotNull(), "core")
+            .when(F.col("b_cluster").isNotNull(), "border")
+            .otherwise("noise")
+            .alias("role"),
+            F.coalesce("cluster_id", "b_cluster")
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

@@ -964,3 +964,58 @@ def test_growth_accounting_identities(user_months):
         mau_p = stats[prev][0]
         mau, new, ret, res, ch = stats[m]
         assert mau - mau_p == new + res - ch
+
+
+# --- DBSCAN semantics on brute-force python replay: every core's
+# cluster members are mutually density-reachable; borders touch a
+# core; noise touches no core.
+
+points_2d = st.lists(
+    st.tuples(st.floats(0, 1, allow_nan=False, width=32),
+              st.floats(0, 1, allow_nan=False, width=32)),
+    min_size=5, max_size=60, unique=True,
+)
+
+
+@given(points_2d)
+@settings(max_examples=100, deadline=None)
+def test_dbscan_roles_consistent(pts):
+    eps2, min_n = 0.01, 3
+    n = len(pts)
+    nb = [set() for _ in range(n)]
+    for i in range(n):
+        for j in range(n):
+            if i != j:
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dx + dy * dy < eps2:
+                    nb[i].add(j)
+    core = {i for i in range(n) if len(nb[i]) >= min_n}
+    # components over core-core edges
+    parent = {i: i for i in core}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in core:
+        for j in nb[i]:
+            if j in core:
+                a, b = find(i), find(j)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    for i in range(n):
+        if i in core:
+            continue
+        core_nb = nb[i] & core
+        if core_nb:  # border: assigned cluster must be a neighbor's
+            assert min(find(j) for j in core_nb) in {
+                find(j) for j in core_nb
+            }
+        else:  # noise: no core neighbor by definition
+            assert not core_nb
+    # cluster ids are min member ids -> stable under relabeling
+    for i in core:
+        assert find(i) <= i
