@@ -785,6 +785,55 @@ FROM (
     return "".join(parts)
 
 
+def _kmeans_chain(k: int = 8, iters: int = 5) -> tuple[str, str]:
+    """(WITH-prefix, sq-template) of the unrolled Lloyd replay —
+    the _kmeans_oracle chain up to ctr{iters}, shared with the
+    silhouette oracle (the graph.py _lpa_chain_prefix refactor
+    pattern)."""
+    full = _kmeans_oracle(k, iters)
+    prefix = full.split("\nSELECT vec_id, CAST(cluster AS INTEGER)", 1)[0]
+    sq = (
+        "list_sum(list_transform(generate_series(1, len({e})), "
+        "j -> (CAST(({e})[j] AS DOUBLE) - ({c})[j]) "
+        "* (CAST(({e})[j] AS DOUBLE) - ({c})[j])))"
+    )
+    return prefix, sq
+
+
+def _silhouette_oracle(k: int = 8, iters: int = 5) -> str:
+    """Simplified silhouette replay: the Lloyd chain, then per point
+    the ordered list of center distances — a = nearest, b = second
+    nearest, s = (b - a) / greatest(a, b) — identical expression
+    text both engines, ties collapsing to s = 0 in both."""
+    prefix, sq = _kmeans_chain(k, iters)
+    d_expr = sq.format(e="e.embedding", c="c.cv")
+    return (
+        prefix
+        + f"""
+, dists AS (
+  SELECT e.vec_id, c.cluster, {d_expr} AS d
+  FROM e CROSS JOIN ctr{iters} c
+), ranked AS (
+  SELECT vec_id,
+         MIN(CASE WHEN rn = 1 THEN cluster END) AS cluster,
+         MIN(CASE WHEN rn = 1 THEN d END) AS a2,
+         MIN(CASE WHEN rn = 2 THEN d END) AS b2
+  FROM (SELECT vec_id, cluster, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d ASC, cluster ASC) AS rn
+        FROM dists)
+  GROUP BY vec_id
+)
+SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       round(sqrt(a2), 6) AS a_dist,
+       round(sqrt(b2), 6) AS b_dist,
+       round((sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2)), 6)
+         AS silhouette
+FROM ranked
+"""
+    )
+
+
 @query("div_kmeans", oracle=_kmeans_oracle())
 def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means (k=8, 5 iterations) over the
@@ -804,15 +853,30 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces was correct but unverifiable. Init = the k smallest
     vec_ids (deterministic); argmin ties break to the lowest cluster
     index."""
+    pts, centers = _kmeans_fit(spark, sf_dir, k=8, iters=5)
     from .gmm import _sqdist_to_lit
 
-    k, iters = 8, 5
+    dists = F.array(*[_sqdist_to_lit("embedding", c) for c in centers])
+    out = pts.select(
+        "vec_id",
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
+        F.round(F.sqrt(F.array_min(dists)), 6).alias("dist"),
+    )
+    return out
+
+
+def _kmeans_fit(spark, sf_dir, k=8, iters=5):
+    """Run the div_kmeans Lloyd loop; returns (cached points,
+    converged center lists). Shared by div_kmeans and
+    agg_kmeans_silhouette — see div_kmeans for the exactness
+    contract."""
+    from .gmm import _sqdist_to_lit
+
     pts = load(spark, sf_dir, "embeddings").select("vec_id", "embedding").cache()
     centers = [
         list(r["embedding"])
         for r in pts.orderBy("vec_id").limit(k).collect()
     ]
-    assigned = None
     for _ in range(iters):
         dists = F.array(*[_sqdist_to_lit("embedding", c) for c in centers])
         assigned = pts.select(
@@ -821,7 +885,6 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.array_position(dists, F.array_min(dists)) - 1)
             .cast("int")
             .alias("cluster"),
-            F.sqrt(F.array_min(dists)).alias("dist"),
         )
         means = (
             assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
@@ -843,14 +906,43 @@ def div_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             else centers[c]  # empty cluster keeps its old center
             for c in range(k)
         ]
-    # final assignment against the converged centers
+    return pts, centers
+
+
+@query("agg_kmeans_silhouette", oracle=_silhouette_oracle())
+def agg_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-point SIMPLIFIED silhouette of the div_kmeans clustering
+    (a = distance to own center, b = distance to the second-nearest
+    center, s = (b-a)/max(a,b)) — the cluster-quality readout that
+    says whether k was right, in the centroid-distance form that
+    avoids the full silhouette's O(n^2) pairwise sums AND their
+    reduction-order float hazard: every output value is a per-row
+    expression over the k broadcast centers (a and b are the first
+    two entries of the sorted distance array), so nothing float ever
+    crosses rows. The oracle replays the identical Lloyd chain
+    (shared _kmeans_chain prefix) and the same a/b/s expressions.
+    Scale: one narrow map over the points, centers as literals —
+    the div_kmeans assignment shape with one extra array_sort."""
+    pts, centers = _kmeans_fit(spark, sf_dir, k=8, iters=5)
+    from .gmm import _sqdist_to_lit
+
     dists = F.array(*[_sqdist_to_lit("embedding", c) for c in centers])
-    out = pts.select(
+    ds = F.array_sort(dists)
+    a2 = ds.getItem(0)
+    b2 = ds.getItem(1)
+    return pts.select(
         "vec_id",
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster"),
-        F.round(F.sqrt(F.array_min(dists)), 6).alias("dist"),
+        (F.array_position(dists, F.array_min(dists)) - 1)
+        .cast("int")
+        .alias("cluster"),
+        F.round(F.sqrt(a2), 6).alias("a_dist"),
+        F.round(F.sqrt(b2), 6).alias("b_dist"),
+        F.round(
+            (F.sqrt(b2) - F.sqrt(a2))
+            / F.greatest(F.sqrt(a2), F.sqrt(b2)),
+            6,
+        ).alias("silhouette"),
     )
-    return out
 
 
 def _experiment_report_oracle(k: int = 12, rounds: int = 50) -> str:

@@ -1019,3 +1019,19 @@ def test_dbscan_roles_consistent(pts):
     # cluster ids are min member ids -> stable under relabeling
     for i in core:
         assert find(i) <= i
+
+
+# --- simplified silhouette: bounded in [0, 1) for the min-center
+# assignment (a <= b by construction), zero iff tied centers.
+
+@given(st.lists(st.floats(0.001, 100, allow_nan=False), min_size=2,
+                max_size=8))
+@settings(max_examples=300, deadline=None)
+def test_simplified_silhouette_bounds(d2s):
+    import math
+    ds = sorted(math.sqrt(v) for v in d2s)
+    a, b = ds[0], ds[1]
+    s = (b - a) / max(a, b)
+    assert 0.0 <= s < 1.0
+    if a == b:
+        assert s == 0.0
