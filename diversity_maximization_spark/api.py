@@ -760,3 +760,53 @@ def bm25(
     return bm25_over(
         docs, terms, id_col=id_col, text_col=text_col, topn=topn
     )
+
+
+def longest_streaks(df: DataFrame, key_col: str, ts_col: str) -> DataFrame:
+    """Consecutive-day activity streaks per key (longest run, active
+    days, streak count). Delegates to
+    operators.windows.longest_streaks_over (the registered
+    win_longest_streak kernel)."""
+    from .operators.windows import longest_streaks_over
+
+    return longest_streaks_over(df, key_col, ts_col)
+
+
+def growth_accounting(df: DataFrame, user_col: str, ts_col: str) -> DataFrame:
+    """Monthly MAU decomposition into new / retained / resurrected /
+    churned. Delegates to operators.aggregates.growth_accounting_over
+    (the registered agg_growth_accounting kernel)."""
+    from .operators.aggregates import growth_accounting_over
+
+    return growth_accounting_over(df, user_col, ts_col)
+
+
+def dbscan(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float = 0.02,
+    min_neighbors: int = 3,
+) -> DataFrame:
+    """Grid-bucketed 2-D DBSCAN (core/border/noise roles + cluster
+    ids). Delegates to operators.joins.dbscan_over (the registered
+    geo_dbscan kernel)."""
+    from .operators.joins import dbscan_over
+
+    return dbscan_over(
+        points, id_col, x_col, y_col,
+        eps=eps, eps2_literal=eps * eps, min_neighbors=min_neighbors,
+    )
+
+
+def pps_sample(
+    weights: DataFrame, key_col: str, weight_col: str, n: int = 100
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sample of n keys
+    (n_hits per selected key). Delegates to
+    operators.aggregates.pps_systematic_over (the registered
+    sample_pps_systematic kernel)."""
+    from .operators.aggregates import pps_systematic_over
+
+    return pps_systematic_over(weights, key_col, weight_col, n)

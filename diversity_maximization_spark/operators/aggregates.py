@@ -5292,11 +5292,24 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver offsets + bucket-partitioned window) — the survival_km
     prefix-sum shape, never a single-task global window; the oracle
     uses the naive global SUM() OVER."""
-    from ..plans.global_rank import with_range_bucket
-
     o = load(spark, sf_dir, "orders")
     w = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
         F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    return pps_systematic_over(w, "c_custkey", "w", PPS_SAMPLES)
+
+
+def pps_systematic_over(
+    weights: DataFrame, key_col: str, weight_col: str, n: int
+) -> DataFrame:
+    """Generic systematic PPS sampler over any (key, weight) table —
+    the library form of sample_pps_systematic (same half-offset
+    integer crossing algebra and two-phase prefix sums)."""
+    from ..plans.global_rank import with_range_bucket
+
+    w = weights.select(
+        F.col(key_col).alias("c_custkey"),
+        F.col(weight_col).cast("bigint").alias("w"),
     )
     rb = with_range_bucket(w, "c_custkey").localCheckpoint(eager=False)
     subtotals = {
@@ -5326,8 +5339,6 @@ def sample_pps_systematic(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.sum("w").over(win)
         ).cast("bigint").alias("cum"),
     )
-    n = PPS_SAMPLES
-
     lo = F.when(
         2 * n * (F.col("cum") - F.col("w")) < total, F.lit(0)
     ).otherwise(
@@ -5641,8 +5652,18 @@ def agg_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     all key on user_id — three user-keyed shuffles, all-integer
     outputs."""
     ev = load(spark, sf_dir, "events")
-    um = ev.select(
-        "user_id", F.date_trunc("month", "ts").alias("m")
+    return growth_accounting_over(ev, "user_id", "ts")
+
+
+def growth_accounting_over(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Generic monthly growth-accounting kernel over any (user, ts)
+    event DataFrame — the library form of agg_growth_accounting
+    (same new/retained/resurrected/churned identities)."""
+    um = df.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("month", ts_col).alias("m"),
     ).distinct()
     fm = um.groupBy("user_id").agg(F.min("m").alias("m0"))
     prev = um.select(

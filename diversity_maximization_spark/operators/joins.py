@@ -1338,7 +1338,33 @@ def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
     )
-    r = 0.02
+    return dbscan_over(
+        p, "vec_id", "x", "y",
+        eps=0.02, eps2_literal=DBSCAN_EPS2,
+        min_neighbors=DBSCAN_MIN_NEIGHBORS,
+    )
+
+
+def dbscan_over(
+    points: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    eps2_literal: float,
+    min_neighbors: int,
+) -> DataFrame:
+    """Generic grid-bucketed 2-D DBSCAN over any (id, x, y)
+    DataFrame — the library form of geo_dbscan (same grid pair
+    generation, pointer-jumping components, and border/noise
+    classification). eps2_literal is compared verbatim so callers
+    can pin the exact squared-radius constant."""
+    p = points.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(x_col).cast("double").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    )
+    r = eps
     cell = lambda c: F.floor(c / F.lit(r)).cast("bigint")  # noqa: E731
     home = p.select(
         "vec_id", "x", "y",
@@ -1366,7 +1392,7 @@ def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     prs = (
         home.join(probe, ["cx", "cy"])
         .filter(F.col("vec_id") != F.col("b_id"))
-        .filter(d2 < F.expr(f"CAST({DBSCAN_EPS2!r} AS DOUBLE)"))
+        .filter(d2 < F.expr(f"CAST({eps2_literal!r} AS DOUBLE)"))
         .select(F.col("vec_id").alias("u"), F.col("b_id").alias("v"))
         .localCheckpoint(eager=True)
     )
@@ -1374,7 +1400,7 @@ def geo_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     )
     core = deg.filter(
-        F.col("n") >= DBSCAN_MIN_NEIGHBORS
+        F.col("n") >= min_neighbors
     ).select("vec_id")
     ce = (
         prs.join(core.withColumnRenamed("vec_id", "u"), "u")

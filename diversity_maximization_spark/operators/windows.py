@@ -1262,9 +1262,18 @@ def win_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + two per-user aggs — user_id is the high-cardinality
     key, parallelism never collapses."""
     ev = load(spark, sf_dir, "events")
-    ud = ev.select(
-        "user_id",
-        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias(
+    return longest_streaks_over(ev, "user_id", "ts")
+
+
+def longest_streaks_over(
+    df: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Generic consecutive-day streak kernel over any (key, ts)
+    event DataFrame — the library form of win_longest_streak (same
+    epoch-day integer algebra and island anchors)."""
+    ud = df.select(
+        F.col(key_col).alias("user_id"),
+        F.datediff(F.col(ts_col).cast("date"), F.lit("1970-01-01")).alias(
             "day"
         ),
     ).distinct()
