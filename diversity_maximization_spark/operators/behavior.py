@@ -2345,3 +2345,121 @@ def attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             (numer.cast("double") / 24.0).alias("shapley_credit"),
         )
     )
+
+
+@query(
+    "interval_allocate_hours",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id)) > 1800
+              OR LAG(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_id,
+         ts
+  FROM flagged
+), spans AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS s_start, MAX(ts) AS s_end
+  FROM sess GROUP BY user_id, session_id
+  HAVING MIN(ts) < MAX(ts)
+), alloc AS (
+  SELECT date_trunc('hour', s_start)
+           + (g.i || ' hours')::INTERVAL AS hour,
+         GREATEST(CAST(0 AS BIGINT),
+           date_diff('microsecond',
+             GREATEST(s_start, date_trunc('hour', s_start)
+                               + (g.i || ' hours')::INTERVAL),
+             LEAST(s_end, date_trunc('hour', s_start)
+                          + ((g.i + 1) || ' hours')::INTERVAL)))
+           AS us
+  FROM spans,
+  LATERAL (SELECT unnest(generate_series(0,
+             CAST(date_diff('hour', date_trunc('hour', s_start),
+                            date_trunc('hour', s_end)) AS BIGINT)))
+           AS i) g
+)
+SELECT CAST(hour AS TIMESTAMP) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_session_slices,
+       CAST(SUM(us) AS BIGINT) AS allocated_us,
+       CAST(CAST(SUM(us) AS BIGINT) AS DOUBLE) / 1000000
+         AS allocated_sec
+FROM alloc WHERE us > 0
+GROUP BY hour
+""",
+)
+def interval_allocate_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time allocation of user sessions onto the hourly grid: each
+    30-min-gap session (the win_sessionize spans, zero-length ones
+    dropped) is SPLIT across the clock hours it overlaps, crediting
+    each hour exactly its overlap — the utilization/occupancy rollup
+    ('engaged seconds per hour') that naive count-by-start-hour
+    misstates whenever a session crosses a boundary. Overlaps are
+    exact integer MICROSECONDS (greatest/least clamps on the hour
+    edges), so the allocation sums are order-free bigints and
+    sum(allocated_us) over hours telescopes to total session
+    duration (property-tested). Shape: the session rollup is two
+    same-partitioned windows + one agg; the hour split explodes each
+    session into its spanned-hour count (bounded by session length,
+    ~1-2 rows typical) via sequence(), then one hour-keyed agg."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ts_sec = F.col("ts").cast("timestamp").cast("double")
+    new_sess = F.when(
+        F.lag(ts_sec).over(w).isNull()
+        | (ts_sec - F.lag(ts_sec).over(w) > 1800),
+        1,
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "session_id", F.sum("new_sess").over(wrun).cast("bigint")
+    )
+    spans = (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+        .filter(F.col("s_start") < F.col("s_end"))
+    )
+    alloc = spans.select(
+        F.explode(
+            F.expr(
+                "sequence(0, CAST((unix_seconds(date_trunc('hour', s_end))"
+                " - unix_seconds(date_trunc('hour', s_start))) / 3600"
+                " AS INT))"
+            )
+        ).alias("i"),
+        "s_start",
+        "s_end",
+    ).select(
+        F.expr(
+            "date_trunc('hour', s_start) + make_interval(0,0,0,0,i,0,0)"
+        ).alias("hour"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.expr(
+                "timestampdiff(MICROSECOND,"
+                " greatest(s_start, date_trunc('hour', s_start)"
+                "          + make_interval(0,0,0,0,i,0,0)),"
+                " least(s_end, date_trunc('hour', s_start)"
+                "       + make_interval(0,0,0,0,i + 1,0,0)))"
+            ),
+        ).alias("us"),
+    )
+    return (
+        alloc.filter(F.col("us") > 0)
+        .groupBy("hour")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_session_slices"),
+            F.sum("us").cast("bigint").alias("allocated_us"),
+            (F.sum("us").cast("bigint").cast("double") / 1000000).alias(
+                "allocated_sec"
+            ),
+        )
+    )

@@ -1035,3 +1035,24 @@ def test_simplified_silhouette_bounds(d2s):
     assert 0.0 <= s < 1.0
     if a == b:
         assert s == 0.0
+
+
+# --- hour allocation: per-session slices telescope exactly to the
+# session duration, every slice within [0, 3600s].
+
+@given(st.integers(0, 10**9), st.integers(1, 4 * 3600 * 10**6))
+@settings(max_examples=300, deadline=None)
+def test_hour_allocation_telescopes(start_us, dur_us):
+    HOUR = 3600 * 10**6
+    end_us = start_us + dur_us
+    h0 = (start_us // HOUR) * HOUR
+    total = 0
+    i = 0
+    while h0 + i * HOUR < end_us:
+        lo = max(start_us, h0 + i * HOUR)
+        hi = min(end_us, h0 + (i + 1) * HOUR)
+        us = max(0, hi - lo)
+        assert 0 <= us <= HOUR
+        total += us
+        i += 1
+    assert total == dur_us
