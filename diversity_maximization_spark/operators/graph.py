@@ -1351,3 +1351,121 @@ def graph_closeness_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - 1).cast("double") / F.sum("d")
         ).alias("closeness"),
     )
+
+
+@query(
+    "graph_rich_club",
+    oracle="""
+WITH pairs AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), deg AS MATERIALIZED (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d FROM (
+    SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+  ) GROUP BY x
+), grid AS (SELECT unnest(generate_series(1, 10)) AS k),
+ce AS MATERIALIZED (
+  SELECT g.k, e.u, e.v
+  FROM grid g, edges e
+  JOIN deg du ON du.x = e.u
+  JOIN deg dv ON dv.x = e.v
+  WHERE du.d > g.k AND dv.d > g.k
+), ep AS (
+  SELECT k, CAST(COUNT(DISTINCT x) AS BIGINT) AS n_club_endpoints
+  FROM (SELECT k, u AS x FROM ce UNION ALL SELECT k, v FROM ce)
+  GROUP BY k
+), cedg AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS club_edges FROM ce GROUP BY k
+), cn AS (
+  SELECT g.k, CAST(COUNT(deg.x) AS BIGINT) AS n_club_nodes
+  FROM grid g LEFT JOIN deg ON deg.d > g.k GROUP BY g.k
+)
+SELECT cn.k,
+       CAST(COALESCE(ep.n_club_endpoints, 0) AS BIGINT)
+         AS n_club_endpoints,
+       cn.n_club_nodes,
+       CAST(COALESCE(cedg.club_edges, 0) AS BIGINT) AS club_edges,
+       CASE WHEN cn.n_club_nodes >= 2
+            THEN CAST(2 * COALESCE(cedg.club_edges, 0) AS DOUBLE)
+                 / (cn.n_club_nodes * (cn.n_club_nodes - 1))
+            END AS rich_club_coeff
+FROM cn
+LEFT JOIN ep ON ep.k = cn.k
+LEFT JOIN cedg ON cedg.k = cn.k
+""",
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the co-purchase graph over the
+    degree grid k = 1..10: phi(k) = 2*E_k / (N_k*(N_k-1)), the
+    density of the subgraph induced by nodes of degree > k — 'do
+    the hubs trade with each other', the connectivity-elite
+    diagnostic behind resilience and assortativity analyses
+    (complements graph_degree_assortativity's single correlation
+    number with a full profile). Everything is integer counting —
+    club membership is a degree threshold on the broadcast-joined
+    degree table, club edges are one conditional sum over the edge
+    list replicated across the 10-row grid — with ONE division per
+    k. Output: k, club size, club edges, phi(k)."""
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    grid = spark.range(1, 11).select(F.col("id").alias("k"))
+    club_edges = ed.crossJoin(F.broadcast(grid)).groupBy("k").agg(
+        F.sum(
+            F.when(
+                (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("club_edges")
+    )
+    club_nodes = deg.crossJoin(F.broadcast(grid)).groupBy("k").agg(
+        F.sum(F.when(F.col("d") > F.col("k"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_club_nodes")
+    )
+    endpoints = (
+        ed.crossJoin(F.broadcast(grid))
+        .filter((F.col("du") > F.col("k")) & (F.col("dv") > F.col("k")))
+        .select("k", F.col("u").alias("x"))
+        .unionAll(
+            ed.crossJoin(F.broadcast(grid))
+            .filter(
+                (F.col("du") > F.col("k")) & (F.col("dv") > F.col("k"))
+            )
+            .select("k", F.col("v").alias("x"))
+        )
+        .groupBy("k")
+        .agg(F.countDistinct("x").cast("bigint").alias("n_club_endpoints"))
+    )
+    return (
+        grid.join(club_edges, "k", "left")
+        .join(club_nodes, "k", "left")
+        .join(endpoints, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_club_endpoints", F.lit(0))
+            .cast("bigint")
+            .alias("n_club_endpoints"),
+            F.coalesce("n_club_nodes", F.lit(0))
+            .cast("bigint")
+            .alias("n_club_nodes"),
+            F.coalesce("club_edges", F.lit(0))
+            .cast("bigint")
+            .alias("club_edges"),
+            F.when(
+                F.col("n_club_nodes") >= 2,
+                (2 * F.col("club_edges")).cast("double")
+                / (F.col("n_club_nodes") * (F.col("n_club_nodes") - 1)),
+            ).alias("rich_club_coeff"),
+        )
+    )

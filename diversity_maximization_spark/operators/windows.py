@@ -1362,3 +1362,81 @@ def win_alarm_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candidate_seq bigint, emitted boolean",
     )
     return out.select("user_id", "event_id", "candidate_seq", "emitted")
+
+
+@query(
+    "win_rank_movers",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS c,
+         CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END
+           AS period,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS rev
+  FROM orders GROUP BY 1, 2
+), r0 AS (
+  SELECT c, rev AS rev0,
+         ROW_NUMBER() OVER (ORDER BY -rev, c) AS rank0
+  FROM per WHERE period = 0
+), r1 AS (
+  SELECT c, rev AS rev1,
+         ROW_NUMBER() OVER (ORDER BY -rev, c) AS rank1
+  FROM per WHERE period = 1
+)
+SELECT r0.c AS custkey,
+       CAST(r0.rank0 AS BIGINT) AS rank_before,
+       CAST(r1.rank1 AS BIGINT) AS rank_after,
+       CAST(r0.rank0 - r1.rank1 AS BIGINT) AS rank_gain
+FROM r0 JOIN r1 ON r1.c = r0.c
+ORDER BY abs(r0.rank0 - r1.rank1) DESC, r0.c
+LIMIT 25
+""",
+)
+def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard movers report: rank every customer by revenue in
+    the pre-1998 and 1998+ halves (dense total orders, ties broken
+    by key) and surface the 25 biggest rank swings — 'who shot up /
+    collapsed between periods', the delta view a static top-k never
+    shows. Both rankings run through the plans/global_rank.py
+    two-phase row-number machinery with the negated-revenue
+    descending trick (NO single-task ORDER BY window over the
+    customer table); the rank delta is a pure bigint so the top-25
+    cut is TakeOrderedAndProject on integers. Oracle ranks with
+    plain global windows (oracle-scale-only, as usual)."""
+    from ..plans.global_rank import with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("rc"),
+    )
+    per = o.groupBy("c", "period").agg(
+        F.sum("rc").cast("bigint").alias("rev")
+    )
+    p0 = per.filter(F.col("period") == 0).select(
+        "c", (-F.col("rev")).alias("neg_rev")
+    )
+    p1 = per.filter(F.col("period") == 1).select(
+        "c", (-F.col("rev")).alias("neg_rev")
+    )
+    r0, _ = with_global_row_number(p0, ["neg_rev", "c"], out_col="rank0")
+    r1, _ = with_global_row_number(p1, ["neg_rev", "c"], out_col="rank1")
+    joined = r0.select("c", "rank0").join(
+        r1.select("c", "rank1"), "c"
+    )
+    return (
+        joined.select(
+            F.col("c").alias("custkey"),
+            F.col("rank0").cast("bigint").alias("rank_before"),
+            F.col("rank1").cast("bigint").alias("rank_after"),
+            (F.col("rank0") - F.col("rank1"))
+            .cast("bigint")
+            .alias("rank_gain"),
+        )
+        .orderBy(F.abs(F.col("rank_gain")).desc(), "custkey")
+        .limit(25)
+    )
