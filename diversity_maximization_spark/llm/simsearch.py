@@ -532,3 +532,89 @@ def sim_search_recall_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"recall_at_{EVAL_K}"
         ),
     )
+
+
+def _knn_eval_oracle() -> str:
+    from ..functions.vector import duck_l2_dist
+
+    d = duck_l2_dist("a.embedding", "b.embedding")
+    return f"""
+WITH nn AS (
+  SELECT a.vec_id, a.label AS true_label, b.label AS nb_label,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {d} ASC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), votes AS (
+  SELECT vec_id, true_label, nb_label, COUNT(*) AS n
+  FROM nn WHERE rn <= 5 GROUP BY vec_id, true_label, nb_label
+), pred AS (
+  SELECT vec_id, true_label, nb_label AS predicted_label
+  FROM (SELECT vec_id, true_label, nb_label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY n DESC, nb_label ASC) AS rn
+        FROM votes) WHERE rn = 1
+)
+SELECT CAST(true_label AS INT) AS true_label,
+       CAST(predicted_label AS INT) AS predicted_label,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY true_label, predicted_label
+"""
+
+
+@query("knn_classify_eval", oracle=_knn_eval_oracle())
+def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN classification confusion matrix over the
+    labeled embeddings — the ground-truth eval every ANN index and
+    embedding model is judged against (sim_search_recall_eval grades
+    RETRIEVAL against this same exact-kNN truth; this key grades the
+    LABELS). Each point's 5 nearest others (bit-matched V.l2_dist,
+    ties -> smaller vec_id) vote; majority wins, vote ties -> the
+    smaller label — fully deterministic. The confusion matrix is a
+    10x10 integer table. EVAL-tier scale note: exact leave-one-out
+    kNN is intentionally the quadratic ground truth (that is what
+    makes it a truth set — same doctrine as the sim_search oracles);
+    production classification at corpus scale goes through the IVF /
+    LSH candidate paths, and their quality is measured BY this key.
+    The per-point top-5 is a rank-limit window (WindowGroupLimit
+    caps state at 5 per point)."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("label").alias("true_label"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("label").alias("nb_label"),
+    )
+    from ..functions.vector import l2_dist
+
+    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select(
+        "a_id",
+        "true_label",
+        "nb_label",
+        F.col("b_id"),
+        l2_dist("a_emb", "b_emb").alias("d"),
+    )
+    w = Window.partitionBy("a_id").orderBy(
+        F.col("d").asc(), F.col("b_id").asc()
+    )
+    top5 = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    votes = top5.groupBy("a_id", "true_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wv = Window.partitionBy("a_id").orderBy(
+        F.col("n").desc(), F.col("nb_label").asc()
+    )
+    pred = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("true_label", F.col("nb_label").alias("predicted_label"))
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("predicted_label").cast("int").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
