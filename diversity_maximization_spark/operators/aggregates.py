@@ -5835,3 +5835,99 @@ def agg_revenue_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("prev_rev")
         ).alias("grr"),
     )
+
+
+@query(
+    "agg_abc_classification",
+    oracle="""
+WITH pr AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS rev
+  FROM lineitem GROUP BY l_partkey
+), ranked AS (
+  SELECT part, rev,
+         CAST(SUM(rev) OVER (ORDER BY -rev, part) AS BIGINT) AS cum,
+         (SELECT CAST(SUM(rev) AS BIGINT) FROM pr) AS total
+  FROM pr
+), classed AS (
+  SELECT part, rev,
+         CASE WHEN 5 * (cum - rev) < 4 * total THEN 'A'
+              WHEN 20 * (cum - rev) < 19 * total THEN 'B'
+              ELSE 'C' END AS abc_class,
+         total
+  FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(rev) AS BIGINT) AS revenue_cents,
+       CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) / MAX(total)
+         AS revenue_share
+FROM classed GROUP BY abc_class
+""",
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue and cut
+    the cumulative share at 80% (A) and 95% (B) — the Pareto
+    segmentation purchasing and warehouse-slotting run on every
+    catalog. Class boundaries are the EXACT integer crossings
+    5*(cum_before_item) < 4*total and 20*cum < 19*total evaluated
+    at each item's interval START, so no float share ever decides a
+    class (a boundary part classifies identically in both engines
+    by integer comparison). The descending cumulative revenue runs
+    on the plans/global_rank.py two-phase prefix machinery (range
+    buckets on negated revenue + driver offsets + bucket-partitioned
+    window — the sample_pps_systematic shape); the oracle uses the
+    naive global SUM() OVER. Output: three class rows with exact
+    cents and one share division each."""
+    from ..plans.global_rank import with_range_bucket
+
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.expr(cents("l_extendedprice"))).cast("bigint").alias("rev")
+    )
+    w = pr.select("part", "rev", (-F.col("rev")).alias("neg_rev"))
+    rb = with_range_bucket(w, "neg_rev").localCheckpoint(eager=False)
+    subtotals = {
+        r["_gr_bucket"]: r["bt"]
+        for r in rb.groupBy("_gr_bucket")
+        .agg(F.sum("rev").alias("bt"))
+        .collect()
+    }
+    total = int(sum(subtotals.values()))
+    offsets, acc = {}, 0
+    for b in sorted(subtotals):
+        offsets[b] = acc
+        acc += subtotals[b]
+    off_map = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
+    )
+    win = (
+        Window.partitionBy("_gr_bucket")
+        .orderBy("neg_rev", "part")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rb.select(
+        "part",
+        "rev",
+        (
+            F.element_at(off_map, F.col("_gr_bucket"))
+            + F.sum("rev").over(win)
+        ).cast("bigint").alias("cum"),
+    )
+    classed = cum.select(
+        "rev",
+        F.when(
+            5 * (F.col("cum") - F.col("rev")) < 4 * total, "A"
+        )
+        .when(20 * (F.col("cum") - F.col("rev")) < 19 * total, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("revenue_cents"),
+        (
+            F.sum("rev").cast("bigint").cast("double") / F.lit(total)
+        ).alias("revenue_share"),
+    )

@@ -1056,3 +1056,29 @@ def test_hour_allocation_telescopes(start_us, dur_us):
         total += us
         i += 1
     assert total == dur_us
+
+
+# --- ABC classification: integer crossings partition the ranked
+# items into contiguous classes and the A class always covers
+# < 80% + one item of revenue.
+
+@given(st.lists(st.integers(1, 10**6), min_size=1, max_size=100))
+@settings(max_examples=300, deadline=None)
+def test_abc_contiguous_and_bounded(revs):
+    rs = sorted(revs, reverse=True)
+    total = sum(rs)
+    cum = 0
+    classes = []
+    for r in rs:
+        if 5 * cum < 4 * total:
+            classes.append("A")
+        elif 20 * cum < 19 * total:
+            classes.append("B")
+        else:
+            classes.append("C")
+        cum += r
+    s = "".join(classes)
+    assert "BA" not in s and "CA" not in s and "CB" not in s
+    a_rev = sum(r for r, c in zip(rs, classes) if c == "A")
+    # A covers at least 80% (crossing item included), minus one item
+    assert 5 * (a_rev) >= 4 * total - 5 * max(rs)
