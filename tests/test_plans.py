@@ -186,6 +186,10 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
         "agg_theil_index", "agg_eb_shrinkage", "agg_decile_lift",
         "agg_overdispersion", "ts_ljungbox", "ts_croston",
         "ts_holt_winters",
+        # 1-row broadcast scalars: pooled-direction row, max-month
+        # bound row crossed into the per-entity month tables
+        "agg_simpsons_paradox", "agg_growth_accounting",
+        "agg_revenue_retention",
     }
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
