@@ -5931,3 +5931,74 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev").cast("bigint").cast("double") / F.lit(total)
         ).alias("revenue_share"),
     )
+
+
+@query(
+    "agg_expected_shortfall",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, c,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY c, day) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST((MAX(n) + 19) // 20 AS BIGINT) AS k_tail,
+       CAST(MAX(CASE WHEN rn = (n + 19) // 20 THEN c END) AS BIGINT)
+         AS var95_cents,
+       CAST(SUM(CASE WHEN rn <= (n + 19) // 20 THEN c ELSE 0 END)
+            AS BIGINT) AS tail_sum_cents,
+       CAST(CAST(SUM(CASE WHEN rn <= (n + 19) // 20 THEN c ELSE 0 END)
+                 AS BIGINT) AS DOUBLE)
+         / ((MAX(n) + 19) // 20) / 100 AS expected_shortfall
+FROM ranked GROUP BY event_type
+""",
+)
+def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% Value-at-Risk and Expected Shortfall (CVaR) of daily
+    revenue per event type: the k = ceil(n/20) WORST days define the
+    tail; VaR is the k-th smallest day and ES is the tail's mean —
+    the coherent risk measure Basel replaced VaR with, here reading
+    'how bad is a bad day, on average'. The tail size uses the
+    SHARED integer ceil-rank formula (n+19)//20 in both engines
+    (the win_moving_p90 / drift_psi discrete-quantile lesson: never
+    pair two engines' quantile builtins), ranks break ties by day,
+    and the tail sum stays exact integer cents with ONE division at
+    the end. Per-type windows over the O(days) rollup — partitioned,
+    bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "day")
+    wn = Window.partitionBy("event_type")
+    ranked = daily.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.expr("(n + 19) div 20")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max(k).cast("bigint").alias("k_tail"),
+        F.max(F.when(F.col("rn") == k, F.col("c")))
+        .cast("bigint")
+        .alias("var95_cents"),
+        F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("tail_sum_cents"),
+        (
+            F.sum(F.when(F.col("rn") <= k, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .cast("double")
+            / F.max(k)
+            / 100
+        ).alias("expected_shortfall"),
+    )

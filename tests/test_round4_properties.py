@@ -1082,3 +1082,18 @@ def test_abc_contiguous_and_bounded(revs):
     a_rev = sum(r for r, c in zip(rs, classes) if c == "A")
     # A covers at least 80% (crossing item included), minus one item
     assert 5 * (a_rev) >= 4 * total - 5 * max(rs)
+
+
+# --- expected shortfall: ES <= VaR (mean of the worst <= the cut),
+# tail size is exactly ceil(n/20).
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_expected_shortfall_dominates_var(cs):
+    n = len(cs)
+    k = (n + 19) // 20
+    tail = sorted(cs)[:k]
+    var = tail[-1]
+    es = sum(tail) / k
+    assert es <= var + 1e-9
+    assert k == -(-n // 20)
