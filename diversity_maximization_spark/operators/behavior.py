@@ -2463,3 +2463,64 @@ def interval_allocate_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "rolling_stickiness",
+    oracle="""
+WITH ud AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+), grid AS (
+  SELECT DISTINCT day FROM ud
+)
+SELECT CAST(g.day AS TIMESTAMP) AS day,
+       COUNT(DISTINCT CASE WHEN u.day = g.day THEN u.user_id END) AS dau,
+       COUNT(DISTINCT u.user_id) AS mau30,
+       CAST(COUNT(DISTINCT CASE WHEN u.day = g.day THEN u.user_id END)
+            AS DOUBLE)
+         / COUNT(DISTINCT u.user_id) AS stickiness
+FROM grid g JOIN ud u
+  ON u.day <= g.day AND u.day >= g.day - INTERVAL 29 DAY
+GROUP BY g.day
+""",
+)
+def rolling_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (30-day rolling active base) —
+    THE engagement ratio product teams watch: what fraction of the
+    monthly active base shows up on a given day (20% ~ the
+     'good consumer app' folk threshold). Same materialized range
+    join as rolling_dau — the day grid is one broadcast row per
+    day, the deduplicated (user, day) pairs fan out to <=30 grid
+    rows each, one count-distinct agg keyed by day — because a
+    sliding COUNT(DISTINCT) window does not exist in either engine.
+    Integer counts, ONE division per day row."""
+    ev = load(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    grid = ud.select("day").distinct().select(
+        F.col("day").alias("g_day")
+    )
+    joined = ud.join(
+        F.broadcast(grid),
+        (F.col("day") <= F.col("g_day"))
+        & (F.col("day") >= F.expr("g_day - INTERVAL 29 DAYS")),
+    )
+    return (
+        joined.groupBy("g_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("g_day"), F.col("user_id"))
+            ).alias("dau"),
+            F.countDistinct("user_id").alias("mau30"),
+            (
+                F.countDistinct(
+                    F.when(
+                        F.col("day") == F.col("g_day"), F.col("user_id")
+                    )
+                ).cast("double")
+                / F.countDistinct("user_id")
+            ).alias("stickiness"),
+        )
+        .withColumnRenamed("g_day", "day")
+    )
