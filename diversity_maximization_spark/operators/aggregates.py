@@ -6002,3 +6002,167 @@ def agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("expected_shortfall"),
     )
+
+
+_A2_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _a2_cells() -> list[tuple[int, int]]:
+    return [(p, r) for p in (0, 1) for r in range(5)]
+
+
+def _a2_pivot_sql() -> str:
+    cols = []
+    for p, r in _a2_cells():
+        cols.append(
+            f"CAST(MAX(CASE WHEN par = {p} AND pr = '{_A2_PRIOS[r]}'"
+            f" THEN n END) AS BIGINT) AS n{p}{r}"
+        )
+        cols.append(
+            f"CAST(MAX(CASE WHEN par = {p} AND pr = '{_A2_PRIOS[r]}'"
+            f" THEN s END) AS BIGINT) AS s{p}{r}"
+        )
+    return ", ".join(cols)
+
+
+def _a2_exprs() -> dict[str, str]:
+    """Fixed-order SS expressions over the 10 named pivot cells —
+    identical text in both engines (the Mantel-Haenszel recipe,
+    two-way)."""
+    cells = _a2_cells()
+    n_tot = " + ".join(f"n{p}{r}" for p, r in cells)
+    s_tot = " + ".join(f"s{p}{r}" for p, r in cells)
+    gm = f"(CAST(({s_tot}) AS DOUBLE) / ({n_tot}))"
+    terms_cells = " + ".join(
+        f"(CAST(s{p}{r} AS DOUBLE) / n{p}{r} - {gm})"
+        f" * (CAST(s{p}{r} AS DOUBLE) / n{p}{r} - {gm}) * n{p}{r}"
+        for p, r in cells
+    )
+    ss_a_terms = []
+    for p in (0, 1):
+        np_ = " + ".join(f"n{p}{r}" for r in range(5))
+        sp_ = " + ".join(f"s{p}{r}" for r in range(5))
+        m = f"(CAST(({sp_}) AS DOUBLE) / ({np_}))"
+        ss_a_terms.append(f"({m} - {gm}) * ({m} - {gm}) * ({np_})")
+    ss_b_terms = []
+    for r in range(5):
+        nr_ = " + ".join(f"n{p}{r}" for p in (0, 1))
+        sr_ = " + ".join(f"s{p}{r}" for p in (0, 1))
+        m = f"(CAST(({sr_}) AS DOUBLE) / ({nr_}))"
+        ss_b_terms.append(f"({m} - {gm}) * ({m} - {gm}) * ({nr_})")
+    return {
+        "n_total": n_tot,
+        "ss_cells": terms_cells,
+        "ss_a": " + ".join(ss_a_terms),
+        "ss_b": " + ".join(ss_b_terms),
+        "ss_total": f"ssq - CAST(({s_tot}) AS DOUBLE) * ({s_tot})"
+        f" / ({n_tot})",
+    }
+
+
+_A2 = _a2_exprs()
+
+
+@query(
+    "agg_anova_twoway",
+    oracle=f"""
+WITH cells AS (
+  SELECT o_custkey % 2 AS par, o_orderpriority AS pr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM orders GROUP BY 1, 2
+), ssq_t AS (
+  SELECT CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            AS HUGEINT)
+                       * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ssq
+  FROM orders
+), piv AS (
+  SELECT {_a2_pivot_sql()}, (SELECT ssq FROM ssq_t) AS ssq FROM cells
+)
+SELECT CAST({_A2['n_total']} AS BIGINT) AS n_total,
+       ({_A2['ss_a']}) / 10000 AS ss_parity,
+       ({_A2['ss_b']}) / 10000 AS ss_priority,
+       ({_A2['ss_cells']}) / 10000 AS ss_cells,
+       (({_A2['ss_cells']}) - ({_A2['ss_a']}) - ({_A2['ss_b']}))
+         / 10000 AS ss_interaction,
+       (({_A2['ss_total']}) - ({_A2['ss_cells']})) / 10000 AS ss_within,
+       ({_A2['ss_total']}) / 10000 AS ss_total,
+       ({_A2['ss_cells']}) / ({_A2['ss_total']}) AS eta2_cells
+FROM piv
+""",
+)
+def agg_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way ANOVA decomposition of order value over customer
+    parity x order priority: marginal sums of squares for each
+    factor, the 10-cell between-cells SS, their interaction
+    remainder, and the within-cell residual — the experiment-
+    design readout one factor at a time cannot give ('does the
+    priority effect differ by arm'). All cell counts and sums are
+    exact integers (the value squares ride the ts_acf
+    decimal(38)/HUGEINT-via-VARCHAR discipline since sum(c^2)
+    exceeds 2^63 at sf0.1); the ten cells pivot into NAMED columns
+    and every SS is ONE fixed-order float expression shared
+    verbatim with the oracle. Unbalanced-design caveat documented:
+    with unequal cell sizes the marginal SS are Type-I-style
+    descriptive components, so ss_interaction is the cells-minus-
+    marginals remainder (can go negative under imbalance) — the
+    property test pins the balanced case where the decomposition
+    is exact."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        (F.col("o_custkey") % 2).alias("par"),
+        F.col("o_orderpriority").alias("pr"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("s"),
+    )
+    piv_cols = []
+    for p, r in _a2_cells():
+        piv_cols.append(
+            F.max(
+                F.when(
+                    (F.col("par") == p) & (F.col("pr") == _A2_PRIOS[r]),
+                    F.col("n"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"n{p}{r}")
+        )
+        piv_cols.append(
+            F.max(
+                F.when(
+                    (F.col("par") == p) & (F.col("pr") == _A2_PRIOS[r]),
+                    F.col("s"),
+                )
+            )
+            .cast("bigint")
+            .alias(f"s{p}{r}")
+        )
+    ssq = o.agg(
+        F.sum(
+            F.expr(cents("o_totalprice")).cast("decimal(38,0)")
+            * F.expr(cents("o_totalprice"))
+        )
+        .cast("double")
+        .alias("ssq")
+    )
+    piv = cells.agg(*piv_cols).crossJoin(F.broadcast(ssq))
+    return piv.select(
+        F.expr(f"CAST({_A2['n_total']} AS BIGINT)").alias("n_total"),
+        F.expr(f"({_A2['ss_a']}) / 10000").alias("ss_parity"),
+        F.expr(f"({_A2['ss_b']}) / 10000").alias("ss_priority"),
+        F.expr(f"({_A2['ss_cells']}) / 10000").alias("ss_cells"),
+        F.expr(
+            f"(({_A2['ss_cells']}) - ({_A2['ss_a']}) - ({_A2['ss_b']}))"
+            " / 10000"
+        ).alias("ss_interaction"),
+        F.expr(
+            f"(({_A2['ss_total']}) - ({_A2['ss_cells']})) / 10000"
+        ).alias("ss_within"),
+        F.expr(f"({_A2['ss_total']}) / 10000").alias("ss_total"),
+        F.expr(f"({_A2['ss_cells']}) / ({_A2['ss_total']})").alias(
+            "eta2_cells"
+        ),
+    )

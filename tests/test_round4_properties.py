@@ -1097,3 +1097,43 @@ def test_expected_shortfall_dominates_var(cs):
     es = sum(tail) / k
     assert es <= var + 1e-9
     assert k == -(-n // 20)
+
+
+# --- two-way ANOVA: on a BALANCED design the decomposition is
+# exact: SS_cells = SS_A + SS_B + SS_AB with SS_AB >= 0, and
+# SS_total = SS_cells + SS_within.
+
+@given(st.lists(st.lists(st.integers(0, 100), min_size=4, max_size=4),
+                min_size=10, max_size=10))
+@settings(max_examples=200, deadline=None)
+def test_twoway_balanced_decomposition(cell_vals):
+    # 2 x 5 design, 4 observations per cell (balanced)
+    cells = {}
+    idx = 0
+    for p in (0, 1):
+        for r in range(5):
+            cells[(p, r)] = cell_vals[idx]
+            idx += 1
+    all_vals = [v for vs in cells.values() for v in vs]
+    n = len(all_vals)
+    gm = sum(all_vals) / n
+    ss_total = sum((v - gm) ** 2 for v in all_vals)
+    ss_cells = sum(
+        len(vs) * (sum(vs) / len(vs) - gm) ** 2 for vs in cells.values()
+    )
+    ss_within = ss_total - ss_cells
+    ss_a = sum(
+        20 * (sum(v for (pp, _), vs in cells.items() if pp == p
+                  for v in vs) / 20 - gm) ** 2
+        for p in (0, 1)
+    )
+    ss_b = sum(
+        8 * (sum(v for (_, rr), vs in cells.items() if rr == r
+                 for v in vs) / 8 - gm) ** 2
+        for r in range(5)
+    )
+    ss_ab = ss_cells - ss_a - ss_b
+    assert ss_ab >= -1e-6 * max(1.0, ss_cells)  # balanced: nonneg
+    assert abs(ss_total - (ss_cells + ss_within)) < 1e-6 * max(
+        1.0, ss_total
+    )
