@@ -2288,3 +2288,87 @@ def ts_time_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("spell_days").cast("bigint").alias("max_underwater_days"),
         F.sum("spell_days").cast("bigint").alias("total_underwater_days"),
     )
+
+
+@query(
+    "ts_best_split",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cs,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM daily) AS tot,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n
+  FROM daily
+)
+SELECT CAST(day AS TIMESTAMP) AS split_after_day,
+       CAST(i AS BIGINT) AS n_days_before,
+       CAST(n - i AS BIGINT) AS n_days_after,
+       (CAST(cs AS DOUBLE) / i
+        - CAST(tot - cs AS DOUBLE) / (n - i)) / 100 AS mean_shift,
+       abs(CAST(cs AS DOUBLE) / i
+           - CAST(tot - cs AS DOUBLE) / (n - i))
+         * i * (n - i) / n / 10000 AS shift_score
+FROM cum WHERE i < n
+ORDER BY abs(CAST(cs AS DOUBLE) / i
+             - CAST(tot - cs AS DOUBLE) / (n - i))
+           * i * (n - i) / n / 10000 DESC, day
+LIMIT 1
+""",
+)
+def ts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point detection on daily revenue — the first
+    step of binary segmentation: over every candidate split day,
+    score the before/after mean shift weighted by the balanced
+    sample sizes (|m1 - m2| * n1*n2/n — the two-sample t numerator
+    shape, so edge splits cannot win on noise alone) and return the
+    argmax. Everything derives from ONE pass of cumulative integer
+    sums over the O(days) rollup (bounded-domain window, see
+    PLANS.md audit); each candidate's score is a per-row float
+    expression; the argmax is ORDER BY ... LIMIT 1 — a 1-row
+    TakeOrderedAndProject, ties broken by day. The classic CUSUM
+    key (ts_cusum_drift) monitors drift online; this key answers
+    the offline 'WHEN did the level change'."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(distinct days) rows — the daily rollup, not events
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # bounded: O(distinct days) rows — same rollup
+    wr = Window.orderBy("day")
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    cum = daily.select(
+        "day",
+        F.sum("c").over(w).cast("bigint").alias("cs"),
+        F.row_number().over(wr).cast("bigint").alias("i"),
+    ).crossJoin(F.broadcast(tot))
+    shift = (
+        F.col("cs").cast("double") / F.col("i")
+        - (F.col("tot") - F.col("cs")).cast("double")
+        / (F.col("n") - F.col("i"))
+    )
+    score = (
+        F.abs(shift) * F.col("i") * (F.col("n") - F.col("i")) / F.col("n")
+    )
+    return (
+        cum.filter(F.col("i") < F.col("n"))
+        .select(
+            F.col("day").alias("split_after_day"),
+            F.col("i").alias("n_days_before"),
+            (F.col("n") - F.col("i")).cast("bigint").alias("n_days_after"),
+            (shift / 100).alias("mean_shift"),
+            (score / 10000).alias("shift_score"),
+        )
+        .orderBy(F.col("shift_score").desc(), "split_after_day")
+        .limit(1)
+    )

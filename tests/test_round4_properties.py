@@ -1137,3 +1137,25 @@ def test_twoway_balanced_decomposition(cell_vals):
     assert abs(ss_total - (ss_cells + ss_within)) < 1e-6 * max(
         1.0, ss_total
     )
+
+
+# --- change-point score: a clean level shift must be found at the
+# true boundary.
+
+@given(st.integers(2, 30), st.integers(2, 30), st.integers(1, 1000),
+       st.integers(1, 1000))
+@settings(max_examples=300, deadline=None)
+def test_best_split_finds_clean_shift(n1, n2, lo, delta):
+    hi = lo + delta
+    xs = [lo] * n1 + [hi] * n2
+    n = len(xs)
+    best, best_i = -1.0, None
+    cs = 0
+    for i in range(1, n):
+        cs += xs[i - 1]
+        m1 = cs / i
+        m2 = (sum(xs) - cs) / (n - i)
+        score = abs(m1 - m2) * i * (n - i) / n
+        if score > best:
+            best, best_i = score, i
+    assert best_i == n1
