@@ -2372,3 +2372,61 @@ def ts_best_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("shift_score").desc(), "split_after_day")
         .limit(1)
     )
+
+
+@query(
+    "ts_obv",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c,
+         CAST(COUNT(*) AS BIGINT) AS vol
+  FROM events GROUP BY 1, 2
+), signed AS (
+  SELECT event_type, day, c, vol,
+         CASE WHEN c > LAG(c) OVER (PARTITION BY event_type
+                                    ORDER BY day) THEN vol
+              WHEN c < LAG(c) OVER (PARTITION BY event_type
+                                    ORDER BY day) THEN -vol
+              ELSE 0 END AS dv
+  FROM daily
+)
+SELECT event_type, CAST(day AS TIMESTAMP) AS day,
+       CAST(vol AS BIGINT) AS volume,
+       CAST(SUM(dv) OVER (PARTITION BY event_type ORDER BY day)
+            AS BIGINT) AS obv
+FROM signed
+""",
+)
+def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume of each event-type series: accumulate the
+    day's event volume with the SIGN of the revenue move (up-day
+    adds, down-day subtracts, flat and first days add zero) — the
+    classic volume-confirms-price indicator, here reading 'is
+    engagement flowing into or out of this revenue trend' alongside
+    ts_rsi / ts_sma_crossover. Two stacked per-type windows (LAG
+    for direction, running sum for the accumulation) on the O(days)
+    rollup; exact integer cents decide the sign and exact integer
+    volumes accumulate, so the whole operator is bigint end to
+    end."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("vol"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    signed = daily.withColumn(
+        "dv",
+        F.when(F.col("c") > F.lag("c").over(w), F.col("vol"))
+        .when(F.col("c") < F.lag("c").over(w), -F.col("vol"))
+        .otherwise(F.lit(0)),
+    )
+    return signed.select(
+        "event_type",
+        "day",
+        F.col("vol").alias("volume"),
+        F.sum("dv").over(wrun).cast("bigint").alias("obv"),
+    )
