@@ -6166,3 +6166,127 @@ def agg_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta2_cells"
         ),
     )
+
+
+@query(
+    "agg_mde_curve",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS segment,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+           AS s,
+         CAST(CAST(SUM(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT) * CAST(ROUND(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+), grid AS (
+  SELECT unnest([1000, 5000, 10000, 50000, 100000]) AS n_per_arm
+)
+SELECT segment, n_per_arm,
+       round(sqrt(2 * ((ss - s * s / n) / (n - 1)) / n_per_arm)
+             * (1.959964 + 0.841621) / 100, 6) AS mde_abs,
+       round(sqrt(2 * ((ss - s * s / n) / (n - 1)) / n_per_arm)
+             * (1.959964 + 0.841621) / (s / n), 6) AS mde_rel
+FROM m, grid
+""",
+)
+def agg_mde_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-detectable-effect curve per order segment: for a grid
+    of per-arm sample sizes, the smallest mean shift an alpha=0.05 /
+    power=0.8 test can detect — mde = (z_a/2 + z_b) * sqrt(2
+    sigma^2 / n) — the 'how long must this test run' planning table
+    that inverts agg_power_analysis (same closed form, same fixed z
+    literals, no normal CDF ever evaluated at query time). Variance
+    from the exact overflow-safe moment pair; 5 segments x 5 grid
+    rows out, one fixed float expression each."""
+    o = load(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    dec = "DECIMAL(38,0)"
+    m = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.expr("CAST(COUNT(*) AS DOUBLE)").alias("n"),
+        F.expr(f"CAST(SUM({c}) AS DOUBLE)").alias("s"),
+        F.expr(f"CAST(SUM(CAST({c} AS {dec}) * {c}) AS DOUBLE)").alias(
+            "ss"
+        ),
+    )
+    grid = spark.createDataFrame(
+        [(1000,), (5000,), (10000,), (50000,), (100000,)],
+        "n_per_arm bigint",
+    )
+    return m.crossJoin(F.broadcast(grid)).select(
+        "segment",
+        "n_per_arm",
+        F.expr(
+            "round(sqrt(2 * ((ss - s * s / n) / (n - 1)) / n_per_arm)"
+            " * (1.959964 + 0.841621) / 100, 6)"
+        ).alias("mde_abs"),
+        F.expr(
+            "round(sqrt(2 * ((ss - s * s / n) / (n - 1)) / n_per_arm)"
+            " * (1.959964 + 0.841621) / (s / n), 6)"
+        ).alias("mde_rel"),
+    )
+
+
+@query(
+    "agg_risk_difference",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 0 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus = 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN o_custkey % 2 = 1 AND o_orderstatus <> 'F'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM orders
+)
+SELECT a, b, c, d,
+       CAST(a AS DOUBLE) / (a + b) AS risk_exposed,
+       CAST(c AS DOUBLE) / (c + d) AS risk_control,
+       CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d)
+         AS risk_difference,
+       (CAST(a AS DOUBLE) / (a + b)) / (CAST(c AS DOUBLE) / (c + d))
+         AS risk_ratio,
+       CAST(1 AS DOUBLE)
+         / (CAST(a AS DOUBLE) / (a + b) - CAST(c AS DOUBLE) / (c + d))
+         AS nnt
+FROM cells
+""",
+)
+def agg_risk_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Absolute risk difference, risk ratio, and number-needed-to-
+    treat from the 2x2 exposure/outcome table — the effect measures
+    a clinician (or a growth lead reading an activation experiment)
+    wants BESIDE the odds ratio: OR exaggerates for common outcomes;
+    RD and NNT are the decision-relevant scales. One integer
+    aggregate; every output is a fixed single-row float expression
+    over the four exact cells (agg_odds_ratio's complement — same
+    table, different measures)."""
+    o = load(spark, sf_dir, "orders")
+    exposed = F.col("o_custkey") % 2 == 0
+    outcome = F.col("o_orderstatus") == "F"
+    cells = o.agg(
+        F.sum(F.when(exposed & outcome, 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint").alias("b"),
+        F.sum(F.when(~exposed & outcome, 1).otherwise(0))
+        .cast("bigint").alias("c"),
+        F.sum(F.when(~exposed & ~outcome, 1).otherwise(0))
+        .cast("bigint").alias("d"),
+    )
+    r1 = F.col("a").cast("double") / (F.col("a") + F.col("b"))
+    r0 = F.col("c").cast("double") / (F.col("c") + F.col("d"))
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        r1.alias("risk_exposed"),
+        r0.alias("risk_control"),
+        (r1 - r0).alias("risk_difference"),
+        (r1 / r0).alias("risk_ratio"),
+        (F.lit(1).cast("double") / (r1 - r0)).alias("nnt"),
+    )

@@ -1159,3 +1159,31 @@ def test_best_split_finds_clean_shift(n1, n2, lo, delta):
         if score > best:
             best, best_i = score, i
     assert best_i == n1
+
+
+# --- MDE curve: monotone decreasing in n, scales as 1/sqrt(n).
+
+@given(st.floats(1, 10**6), st.integers(100, 10**5))
+@settings(max_examples=300, deadline=None)
+def test_mde_scales_inverse_sqrt(var, n):
+    import math
+    z = 1.959964 + 0.841621
+    mde_n = z * math.sqrt(2 * var / n)
+    mde_4n = z * math.sqrt(2 * var / (4 * n))
+    assert mde_4n < mde_n
+    assert abs(mde_4n - mde_n / 2) < 1e-9 * max(1.0, mde_n)
+
+
+# --- risk measures: RD/RR/NNT consistency on any 2x2.
+
+@given(st.integers(1, 10**6), st.integers(1, 10**6),
+       st.integers(1, 10**6), st.integers(1, 10**6))
+@settings(max_examples=300, deadline=None)
+def test_risk_measures_consistent(a, b, c, d):
+    r1 = a / (a + b)
+    r0 = c / (c + d)
+    rd = r1 - r0
+    rr = r1 / r0
+    assert (rd > 0) == (rr > 1) or rd == 0
+    if rd != 0:
+        assert abs(1 / rd) >= 1.0 - 1e-12  # |NNT| >= 1 always
