@@ -6290,3 +6290,61 @@ def agg_risk_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r1 / r0).alias("risk_ratio"),
         (F.lit(1).cast("double") / (r1 - r0)).alias("nnt"),
     )
+
+
+@query(
+    "agg_proportion_sizing",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k
+  FROM orders GROUP BY 1
+)
+SELECT segment, n AS n_orders, k AS n_converted,
+       CAST(k AS DOUBLE) / n AS base_rate,
+       CAST(ceil(
+         (1.959964 + 0.841621) * (1.959964 + 0.841621)
+         * ((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)
+            + (CAST(k AS DOUBLE) / n * 1.1)
+              * (1 - CAST(k AS DOUBLE) / n * 1.1))
+         / ((CAST(k AS DOUBLE) / n * 0.1)
+            * (CAST(k AS DOUBLE) / n * 0.1))
+       ) AS BIGINT) AS n_required_10pct_lift
+FROM m
+""",
+)
+def agg_proportion_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-size requirement for a PROPORTION test per segment:
+    per-arm n to detect a 10% relative lift of the segment's
+    conversion rate at alpha=0.05 / power=0.8 — n = (z_a/2+z_b)^2 *
+    (p1 q1 + p2 q2) / (p2-p1)^2 with p2 = 1.1 p1, the binary-metric
+    companion to agg_power_analysis's continuous sizing (rates and
+    means need different formulas, and using the wrong one is the
+    most common test-planning bug). Exact integer counts, fixed z
+    literals, ONE closed-form float expression identical in both
+    engines, ceil() for the hash-stable integer answer."""
+    o = load(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_orderpriority").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    return m.select(
+        "segment",
+        F.col("n").alias("n_orders"),
+        F.col("k").alias("n_converted"),
+        F.expr("CAST(k AS DOUBLE) / n").alias("base_rate"),
+        F.expr(
+            "CAST(ceil("
+            " (1.959964 + 0.841621) * (1.959964 + 0.841621)"
+            " * ((CAST(k AS DOUBLE) / n) * (1 - CAST(k AS DOUBLE) / n)"
+            "    + (CAST(k AS DOUBLE) / n * 1.1)"
+            "      * (1 - CAST(k AS DOUBLE) / n * 1.1))"
+            " / ((CAST(k AS DOUBLE) / n * 0.1)"
+            "    * (CAST(k AS DOUBLE) / n * 0.1))"
+            ") AS BIGINT)"
+        ).alias("n_required_10pct_lift"),
+    )
