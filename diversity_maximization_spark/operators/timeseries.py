@@ -2430,3 +2430,60 @@ def ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vol").alias("volume"),
         F.sum("dv").over(wrun).cast("bigint").alias("obv"),
     )
+
+
+@query(
+    "ts_gini_daily",
+    oracle="""
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c,
+         o_orderkey
+  FROM orders
+), ranked AS (
+  SELECT day, c,
+         CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY c, o_orderkey)
+              AS BIGINT) AS i
+  FROM o
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(c) AS BIGINT) AS revenue_cents,
+       CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+         / (COUNT(*) * SUM(c)) AS gini
+FROM ranked GROUP BY day
+HAVING SUM(c) > 0
+""",
+)
+def ts_gini_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Gini coefficient of order values — the INEQUALITY trend
+    ('is revenue concentrating into fewer, bigger orders over
+    time'), the time-series view of the one-shot agg_gini. Per day:
+    rank orders ascending (key tie-break), then the closed form
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — every sum an
+    exact bigint over a DAY-PARTITIONED window (parallelism = days;
+    no global sort anywhere), ONE division per day. The i*c product
+    peaks around rank * cents ~ 1e4 * 1e7 = 1e11 per row and ~1e15
+    per day-sum at sf0.1 — comfortably inside bigint."""
+    o = load(spark, sf_dir, "orders").select(
+        F.date_trunc("day", "o_orderdate").alias("day"),
+        F.expr(cents("o_totalprice")).alias("c"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("day").orderBy("c", "o_orderkey")
+    ranked = o.withColumn("i", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("c").cast("bigint").alias("revenue_cents"),
+            (
+                (
+                    2 * F.sum(F.col("i") * F.col("c"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("c")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("c"))
+            ).alias("gini"),
+        )
+        .filter(F.col("revenue_cents") > 0)
+    )

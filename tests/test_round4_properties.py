@@ -1187,3 +1187,21 @@ def test_risk_measures_consistent(a, b, c, d):
     assert (rd > 0) == (rr > 1) or rd == 0
     if rd != 0:
         assert abs(1 / rd) >= 1.0 - 1e-12  # |NNT| >= 1 always
+
+
+# --- daily Gini closed form: 0 for equal values, approaches
+# (n-1)/n for one-takes-all, matches the mean-absolute-difference
+# definition.
+
+@given(st.lists(st.integers(1, 10**5), min_size=2, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_gini_rank_form_matches_mad_definition(xs):
+    n = len(xs)
+    s = sorted(xs)
+    total = sum(s)
+    rank_form = (2 * sum((i + 1) * x for i, x in enumerate(s))
+                 - (n + 1) * total) / (n * total)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (2 * n * n)
+    mad_form = mad / (total / n)
+    assert abs(rank_form - mad_form) < 1e-9
+    assert -1e-12 <= rank_form < 1.0
