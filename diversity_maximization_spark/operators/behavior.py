@@ -2524,3 +2524,103 @@ def rolling_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumnRenamed("g_day", "day")
     )
+
+
+@query(
+    "conversion_horizon_cdf",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS purchase_ts
+  FROM events e JOIN s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+  GROUP BY e.user_id
+), d AS (
+  SELECT s.user_id,
+         CASE WHEN p.user_id IS NOT NULL
+              THEN date_diff('microsecond', s.signup_ts, p.purchase_ts)
+         END AS us
+  FROM s LEFT JOIN p ON p.user_id = s.user_id
+), grid AS (
+  SELECT * FROM (VALUES (CAST(3600000000 AS BIGINT), '1h'),
+                        (21600000000, '6h'), (86400000000, '1d'),
+                        (259200000000, '3d'), (604800000000, '7d'))
+         AS t(horizon_us, horizon)
+)
+SELECT horizon, horizon_us,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_signups,
+       CAST(SUM(CASE WHEN d.us IS NOT NULL AND d.us <= horizon_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+       CAST(CAST(SUM(CASE WHEN d.us IS NOT NULL AND d.us <= horizon_us
+                          THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+         / (SELECT COUNT(*) FROM d) AS conversion_share
+FROM grid, d
+GROUP BY horizon, horizon_us
+""",
+)
+def conversion_horizon_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative signup->purchase conversion at fixed horizons
+    (1h / 6h / 1d / 3d / 7d) — the CDF summary of
+    time_to_conversion's per-user latencies, and the table that
+    sets attribution windows and experiment readout delays ('92% of
+    converters convert inside 3 days, so a 7-day wait adds nothing').
+    Latencies are exact integer microseconds; each horizon row is
+    one integer count against a broadcast 5-row grid with ONE share
+    division — no percentile machinery, no float comparisons."""
+    ev = load(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    d = s.join(p, "user_id", "left").select(
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, signup_ts, purchase_ts)"
+        ).alias("us"),
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_signups"))
+    grid = spark.createDataFrame(
+        [
+            (3600000000, "1h"),
+            (21600000000, "6h"),
+            (86400000000, "1d"),
+            (259200000000, "3d"),
+            (604800000000, "7d"),
+        ],
+        "horizon_us bigint, horizon string",
+    )
+    return (
+        d.crossJoin(F.broadcast(grid))
+        .groupBy("horizon", "horizon_us")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("us").isNotNull()
+                    & (F.col("us") <= F.col("horizon_us")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_converted")
+        )
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "horizon",
+            "horizon_us",
+            "n_signups",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double") / F.col("n_signups")
+            ).alias("conversion_share"),
+        )
+    )
