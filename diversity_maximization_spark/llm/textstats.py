@@ -1821,3 +1821,68 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("burstiness").desc(), "word")
         .limit(25)
     )
+
+
+@query(
+    "corpus_vocab_growth",
+    oracle="""
+WITH mx AS (
+  SELECT CAST(MAX(doc_id) AS BIGINT) AS m FROM documents
+), w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents
+), grid AS (
+  SELECT unnest(generate_series(1, 10)) AS decile
+)
+SELECT g.decile,
+       ((SELECT m FROM mx) * g.decile) // 10 AS doc_id_cutoff,
+       CAST(COUNT(DISTINCT CASE WHEN w.doc_id
+                                     <= ((SELECT m FROM mx) * g.decile)
+                                        // 10
+                                THEN w.word END) AS BIGINT)
+         AS vocab_size,
+       CAST(SUM(CASE WHEN w.doc_id <= ((SELECT m FROM mx) * g.decile)
+                                      // 10
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_tokens
+FROM grid g, w
+GROUP BY g.decile
+""",
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical vocabulary-growth (Heaps) curve: distinct word
+    types and total tokens at ten corpus prefixes (docs up to each
+    decile of the doc_id range) — the scaling readout that says
+    whether more crawl keeps buying new vocabulary or the corpus
+    has saturated (log-log slope ~ Heaps beta; the raw curve ships
+    instead of a fitted exponent so no log() parity is at stake).
+    ONE explode pass with ten conditional aggregates against a
+    broadcast decile grid — the corpus is read once, not ten times;
+    all outputs exact integers. Deterministic prefixes by doc_id,
+    not sampling."""
+    d = load(spark, sf_dir, "documents")
+    mx = d.agg(F.max("doc_id").cast("bigint").alias("m"))
+    w = words_df(d).select("doc_id", "word")
+    grid = spark.range(1, 11).select(F.col("id").alias("decile"))
+    return (
+        w.crossJoin(F.broadcast(grid))
+        .crossJoin(F.broadcast(mx))
+        .groupBy("decile")
+        .agg(
+            F.max(F.expr("(m * decile) div 10")).alias("doc_id_cutoff"),
+            F.countDistinct(
+                F.when(
+                    F.col("doc_id") <= F.expr("(m * decile) div 10"),
+                    F.col("word"),
+                )
+            )
+            .cast("bigint")
+            .alias("vocab_size"),
+            F.sum(
+                F.when(
+                    F.col("doc_id") <= F.expr("(m * decile) div 10"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    )
