@@ -2624,3 +2624,93 @@ def conversion_horizon_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion_share"),
         )
     )
+
+
+@query(
+    "attribution_model_compare",
+    oracle="""
+WITH touched AS (
+  SELECT event_type, value,
+         LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS channel
+  FROM events
+), lt AS (
+  SELECT COALESCE(channel, '(direct)') AS channel,
+         CAST(COUNT(*) AS BIGINT) AS lt_purchases
+  FROM touched WHERE event_type = 'purchase' GROUP BY 1
+), fp AS (
+  SELECT user_id, ts, event_id FROM (
+    SELECT user_id, ts, event_id,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+), pri AS (
+  SELECT f.user_id,
+         CASE e.event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 ELSE 0 END AS bit
+  FROM fp f JOIN events e
+    ON e.user_id = f.user_id AND e.event_type <> 'purchase'
+   AND (e.ts < f.ts OR (e.ts = f.ts AND e.event_id < f.event_id))
+), um AS (
+  SELECT f.user_id, COALESCE(BIT_OR(p.bit), 0) AS mask
+  FROM fp f LEFT JOIN pri p ON p.user_id = f.user_id
+  GROUP BY f.user_id
+), mc AS (
+  SELECT mask, CAST(COUNT(*) AS BIGINT) AS cnt FROM um GROUP BY mask
+), vv AS (
+  SELECT s.s, CAST(COALESCE(SUM(mc.cnt), 0) AS BIGINT) AS v
+  FROM generate_series(0, 15) s(s)
+  LEFT JOIN mc ON (mc.mask & s.s) = mc.mask
+  GROUP BY s.s
+), ch AS (
+  SELECT * FROM (VALUES ('click', 1), ('error', 2),
+                        ('signup', 4), ('view', 8)) AS t(channel, bit)
+), shap AS (
+  SELECT ch.channel,
+         CAST(CAST(SUM((CASE bit_count(v1.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                             WHEN 2 THEN 2 ELSE 6 END)
+                       * (v2.v - v1.v)) AS BIGINT) AS DOUBLE) / 24.0
+           AS shapley_credit
+  FROM ch
+  JOIN vv v1 ON (v1.s & ch.bit) = 0
+  JOIN vv v2 ON v2.s = v1.s + ch.bit
+  GROUP BY ch.channel
+)
+SELECT COALESCE(lt.channel, shap.channel) AS channel,
+       CAST(COALESCE(lt.lt_purchases, 0) AS BIGINT) AS last_touch_credit,
+       shap.shapley_credit
+FROM lt FULL OUTER JOIN shap ON shap.channel = lt.channel
+""",
+)
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution model comparison table: each channel's credit
+    under LAST-TOUCH (purchase counts) and under SHAPLEY (exact
+    game-theoretic split of first-purchase conversions) side by side
+    — the disagreement report that decides budget reallocation
+    fights (last-touch systematically over-credits closers and
+    starves upper-funnel touches; the delta per channel is the
+    point). Pure composition of the attribution_last_touch and
+    attribution_shapley kernels joined FULL OUTER on channel (so
+    '(direct)' — which Shapley deliberately excludes — still
+    appears), and the oracle composes both replay chains the same
+    way. All the determinism arguments inherit from the two parent
+    keys."""
+    from ..registry import QUERIES
+
+    lt = QUERIES["attribution_last_touch"](spark, sf_dir).select(
+        "channel", F.col("n_purchases").alias("last_touch_credit")
+    )
+    shap = QUERIES["attribution_shapley"](spark, sf_dir).select(
+        "channel", "shapley_credit"
+    )
+    return lt.join(shap, "channel", "full_outer").select(
+        "channel",
+        F.coalesce("last_touch_credit", F.lit(0))
+        .cast("bigint")
+        .alias("last_touch_credit"),
+        "shapley_credit",
+    )
