@@ -41,6 +41,7 @@ WHERE a.vec_id % 25 = 0 AND b.vec_id % 25 = 0
 
 @query(
     "div_eval_edge",
+    bounded_cross="declared pairwise diversity over the k-bounded solution set",
     oracle=f"SELECT 'edge' AS objective, round(MIN(dist), 6) AS value FROM ({_PAIR_ORACLE})",
 )
 def div_eval_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,6 +51,7 @@ def div_eval_edge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "div_eval_clique",
+    bounded_cross="declared pairwise diversity over the k-bounded solution set",
     oracle=f"SELECT 'clique' AS objective, round(SUM(dist), 6) AS value FROM ({_PAIR_ORACLE})",
 )
 def div_eval_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,6 +61,7 @@ def div_eval_clique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "div_eval_star",
+    bounded_cross="declared pairwise diversity over the k-bounded solution set",
     oracle=f"""
 SELECT 'star' AS objective, round(MIN(star_sum), 6) AS value FROM (
   SELECT a.vec_id, SUM({V.duck_l2_dist('a.embedding', 'b.embedding')}) AS star_sum
@@ -685,6 +688,7 @@ def div_matroid_transversal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "div_random_baseline",
+    bounded_cross="pairwise eval over the k-bounded random solution",
     oracle="""
 SELECT vec_id, label FROM embeddings
 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id

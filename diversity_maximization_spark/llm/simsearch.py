@@ -36,6 +36,7 @@ TOPK = 5
 
 @query(
     "sim_search_topk",
+    bounded_cross="theta tier of the size-dispatched distance join (<=128 rows)",
     oracle=f"""
 SELECT vec_id, neighbor, sim, rn FROM (
   SELECT a.vec_id AS vec_id, b.vec_id AS neighbor,
@@ -226,6 +227,7 @@ def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_embedding",
+    bounded_cross="pairwise tier over the bounded candidate set",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({V.duck_cosine_sim('a.embedding', 'b.embedding')}, 6) AS cos_sim
@@ -576,7 +578,16 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     production classification at corpus scale goes through the IVF /
     LSH candidate paths, and their quality is measured BY this key.
     The per-point top-5 is a rank-limit window (WindowGroupLimit
-    caps state at 5 per point)."""
+    caps state at 5 per point). Pair generation goes through
+    plans/distance_join.l2_topk_candidate_pairs — the same size
+    dispatch as sim_search_topk (theta <=128 rows, broadcast-BLAS
+    prune-only within the 2 GB budget, LSH buckets beyond), so this
+    eval can never accidentally materialize n^2 pairs on a large
+    table; the candidate margin (32 >> k=5) plus the exact
+    bit-matched re-score below keeps the truth set exact on the
+    theta and BLAS tiers."""
+    from ..plans.distance_join import l2_topk_candidate_pairs
+
     e = load(spark, sf_dir, "embeddings")
     a = e.select(
         F.col("vec_id").alias("a_id"),
@@ -590,12 +601,17 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.vector import l2_dist
 
-    pairs = a.join(b, F.col("a_id") != F.col("b_id")).select(
-        "a_id",
-        "true_label",
-        "nb_label",
-        F.col("b_id"),
-        l2_dist("a_emb", "b_emb").alias("d"),
+    cand = l2_topk_candidate_pairs(spark, e, n_cand=32)
+    pairs = (
+        cand.join(a, cand["vec_id"] == a["a_id"])
+        .join(b, cand["neighbor"] == b["b_id"])
+        .select(
+            "a_id",
+            "true_label",
+            "nb_label",
+            F.col("b_id"),
+            l2_dist("a_emb", "b_emb").alias("d"),
+        )
     )
     w = Window.partitionBy("a_id").orderBy(
         F.col("d").asc(), F.col("b_id").asc()

@@ -169,6 +169,7 @@ def agg_approx_cd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_having",
+    bounded_cross="1-row scalar-subquery broadcast (global avg)",
     oracle=f"""
 SELECT o_custkey, COUNT(*) AS n_orders, {duck_dsum('o_totalprice')} AS total_spend
 FROM orders
@@ -799,6 +800,7 @@ _TT_VAR = (
 
 @query(
     "agg_ttest_welch",
+    bounded_cross="1-row broadcast scalar (two-arm stats row)",
     oracle=f"""
 WITH g AS (
   SELECT event_type, COUNT(*) AS n,
@@ -937,6 +939,7 @@ _CHI_E = (
 
 @query(
     "agg_chi2_cells",
+    bounded_cross="bounded margins x 1-row grand total",
     oracle=f"""
 WITH cells AS (
   SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY source, lang
@@ -1490,6 +1493,7 @@ def agg_grouping_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_mutual_info",
+    bounded_cross="bounded margins x 1-row grand total",
     oracle="""
 WITH joint AS (
   SELECT event_type AS a, CAST(hour(ts) AS BIGINT) AS b,
@@ -2719,6 +2723,7 @@ def agg_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_lorenz_curve",
+    bounded_cross="1-row broadcast scalar (decile total)",
     oracle="""
 WITH spend AS (
   SELECT o_custkey,
@@ -3077,6 +3082,7 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_kendall_tau",
+    bounded_cross="bounded O(days^2) pair join",
     oracle="""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -3720,6 +3726,7 @@ def agg_ttest_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_cramers_v",
+    bounded_cross="1-row grand-total scalar onto the bounded cell table",
     oracle="""
 WITH cells AS (
   SELECT event_type AS r,
@@ -4546,6 +4553,7 @@ def agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_theil_index",
+    bounded_cross="1-row broadcast scalar (grand total / user count)",
     oracle=f"""
 WITH cust AS (
   SELECT c.c_nationkey AS nk,
@@ -4949,6 +4957,7 @@ def agg_bayes_daily_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_eb_shrinkage",
+    bounded_cross="1-row broadcast scalar (prior moment row)",
     oracle="""
 WITH per AS (
   SELECT c.c_nationkey AS nation,
@@ -5012,6 +5021,7 @@ def agg_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_decile_lift",
+    bounded_cross="1-row broadcast scalar (decile totals)",
     oracle="""
 WITH s AS (
   SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS sc,
@@ -5100,6 +5110,7 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_overdispersion",
+    bounded_cross="1-row broadcast scalar (moment row)",
     oracle="""
 WITH uk AS (
   SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS k
@@ -5357,6 +5368,7 @@ def pps_systematic_over(
 
 @query(
     "agg_simpsons_paradox",
+    bounded_cross="1-row pooled-direction scalar",
     oracle="""
 WITH cells AS (
   SELECT o_orderpriority AS pr,
@@ -5601,6 +5613,7 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_growth_accounting",
+    bounded_cross="1-row max-month bound x per-entity month table",
     oracle="""
 WITH um AS (
   SELECT DISTINCT user_id, date_trunc('month', ts) AS m FROM events
@@ -5732,6 +5745,7 @@ def growth_accounting_over(
 
 @query(
     "agg_revenue_retention",
+    bounded_cross="1-row max-month bound x per-entity month table",
     oracle="""
 WITH cm AS (
   SELECT o_custkey AS c, date_trunc('month', o_orderdate) AS m,
@@ -6065,6 +6079,7 @@ _A2 = _a2_exprs()
 
 @query(
     "agg_anova_twoway",
+    bounded_cross="1-row broadcast scalar (ssq grand-total row)",
     oracle=f"""
 WITH cells AS (
   SELECT o_custkey % 2 AS par, o_orderpriority AS pr,
@@ -6170,6 +6185,7 @@ def agg_anova_twoway(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_mde_curve",
+    bounded_cross="5-row planning grid crossed with the 1-row variance scalar",
     oracle="""
 WITH m AS (
   SELECT o_orderpriority AS segment,

@@ -153,6 +153,7 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_theta_self",
+    bounded_cross="declared theta self-join over a bounded slice",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({V.duck_l2_dist('a.embedding', 'b.embedding')}, 6) AS dist
@@ -284,6 +285,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "join_cross_dims",
+    bounded_cross="declared cross-dims semantics over two tiny dims",
     oracle="""
 SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
 """,

@@ -38,6 +38,7 @@ def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_gapfill_locf",
+    bounded_cross="tiny cross: 5 event types x generated hour grid",
     oracle=f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -135,6 +136,7 @@ def ts_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_resample_interp",
+    bounded_cross="tiny cross: 5 event types x generated hour grid",
     oracle=f"""
 WITH hourly AS (
   SELECT event_type, date_trunc('hour', ts) AS bucket,
@@ -605,6 +607,7 @@ def ts_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_stl_decompose",
+    bounded_cross="1-row broadcast scalar onto the O(days) rollup",
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -688,6 +691,7 @@ def ts_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_acf",
+    bounded_cross="tiny cross: 7-row lag grid + 1-row moment scalar",
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -949,6 +953,7 @@ def ts_downsample_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_mann_kendall",
+    bounded_cross="bounded O(days^2) pair join + 1-row scalar totals",
     oracle="""
 WITH daily AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1243,6 +1248,7 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_pre_post_impact",
+    bounded_cross="1-row broadcast scalar (pre-period sums pivot)",
     oracle="""
 WITH d AS (
   SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -1665,7 +1671,7 @@ FROM piv
 """
 
 
-@query("ts_ljungbox", oracle=_ljungbox_oracle())
+@query("ts_ljungbox", bounded_cross="1-row broadcast scalar (moment row) x bounded lag grid", oracle=_ljungbox_oracle())
 def ts_ljungbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ljung-Box portmanteau test on daily revenue: Q = n(n+2) *
     sum_{k=1..7} r_k^2/(n-k) against the chi-square(7) 0.05 critical
@@ -1860,7 +1866,7 @@ FROM r
 """
 
 
-@query("ts_croston", oracle=_croston_oracle())
+@query("ts_croston", bounded_cross="1-row broadcast scalar onto the O(days) rollup", oracle=_croston_oracle())
 def ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Croston's method for INTERMITTENT demand — the forecasting
     estimator for series that are mostly zeros (spare parts, long-
@@ -2001,7 +2007,7 @@ FROM r WHERE rn >= {m + 1}
 """
 
 
-@query("ts_holt_winters", oracle=_holt_winters_oracle())
+@query("ts_holt_winters", bounded_cross="1-row day-bounds row crossed into the dense day grid", oracle=_holt_winters_oracle())
 def ts_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (triple exponential smoothing) of daily
     revenue cents per event type, weekly seasonality: level, trend,
@@ -2292,6 +2298,7 @@ def ts_time_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "ts_best_split",
+    bounded_cross="1-row broadcast scalar (grand-total row)",
     oracle="""
 WITH daily AS (
   SELECT date_trunc('day', ts) AS day,

@@ -333,6 +333,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q22",
+    bounded_cross="1-row scalar-subquery broadcast (avg balance)",
     oracle=f"""
 WITH avgbal AS (
   SELECT CAST(SUM({cents('c_acctbal')}) AS DOUBLE) / 100 / COUNT(*) AS a

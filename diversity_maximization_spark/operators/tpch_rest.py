@@ -164,6 +164,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "tpch_q11",
+    bounded_cross="1-row scalar-subquery broadcast (group-value threshold)",
     oracle=f"""
 WITH val AS (
   SELECT l.l_partkey,

@@ -346,3 +346,80 @@ def l2_threshold_candidate_pairs(
     if dim is None:
         _, dim = corpus_stats(e)
     return lsh_candidate_pairs(e, dim)
+
+
+def blas_l2_topk_candidates(
+    spark: SparkSession, e: DataFrame, n_cand: int
+) -> DataFrame:
+    """(vec_id, neighbor) pairs: the n_cand nearest OTHER points per
+    query by BLAS L2 against the broadcast corpus — prune-only: the
+    candidate margin (n_cand >> the caller's k) absorbs the
+    |a|^2+|b|^2-2ab expansion's last-ulp ordering differences vs the
+    sequential fold; the caller re-scores survivors with the exact
+    bit-matched distance and applies its own tie-break."""
+    bc = _broadcast_corpus_raw(spark, e)
+
+    def gen(it):
+        import pandas as pd
+
+        cids, B, b2 = bc.value
+        pos = {int(v): i for i, v in enumerate(cids)}
+        for pdf in it:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            a2 = (A * A).sum(axis=1)
+            D2 = a2[:, None] + b2[None, :] - 2.0 * (A @ B.T)
+            qids = pdf["vec_id"].to_numpy()
+            out_q, out_n = [], []
+            for r, qid in enumerate(qids):
+                d = D2[r]
+                self_pos = pos.get(int(qid))
+                if self_pos is not None:
+                    d = d.copy()
+                    d[self_pos] = np.inf
+                m = min(n_cand, len(d) - (self_pos is not None))
+                top = np.argpartition(d, m - 1)[:m]
+                out_q.append(np.full(m, qid, dtype=np.int64))
+                out_n.append(cids[top])
+            yield pd.DataFrame(
+                {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
+            )
+
+    return e.select("vec_id", "embedding").mapInPandas(
+        gen, "vec_id bigint, neighbor bigint"
+    )
+
+
+def l2_topk_candidate_pairs(
+    spark: SparkSession,
+    e: DataFrame,
+    n_cand: int,
+    strategy: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """(vec_id, neighbor) candidate pairs for L2 top-k search, same
+    size dispatch as topk_candidate_pairs: theta only below
+    THETA_MAX_ROWS, broadcast-BLAS prune while the corpus fits the
+    2 GB broadcast budget, LSH buckets beyond — so an exact-kNN eval
+    can never accidentally materialize n^2 pairs on a large table."""
+    if strategy is None:
+        if dim is None:
+            _, dim = corpus_stats(e)
+        strategy = choose_strategy(e.count(), dim)
+    if strategy == "theta":
+        a = e.select(F.col("vec_id"))
+        b = e.select(F.col("vec_id").alias("neighbor"))
+        return a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor"))
+    if strategy == "broadcast_blas":
+        return blas_l2_topk_candidates(spark, e, n_cand)
+    if dim is None:
+        _, dim = corpus_stats(e)
+    pairs = lsh_candidate_pairs(e, dim)
+    return pairs.select(
+        F.col("vec_a").alias("vec_id"), F.col("vec_b").alias("neighbor")
+    ).unionAll(
+        pairs.select(
+            F.col("vec_b").alias("vec_id"), F.col("vec_a").alias("neighbor")
+        )
+    )

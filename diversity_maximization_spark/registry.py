@@ -29,9 +29,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Keys whose physical plan INTENTIONALLY contains a CartesianProduct
+# or BroadcastNestedLoopJoin, each with the bound that makes the cross
+# safe at scale (a 1-row scalar side, a constant grid, declared
+# pairwise semantics over a k-bounded set, ...). Populated by the
+# ``bounded_cross=`` argument of @query at the registration site —
+# the cartesian-sweep lint in tests/test_plans.py derives its
+# allowlist from THIS dict, so a new scalar cross must declare its
+# bound where it is written or the suite goes red.
+BOUNDED_CROSS: dict[str, str] = {}
 
-def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
-    """Register ``fn`` as queries()[name]; optionally its oracle SQL."""
+
+def query(
+    name: str,
+    oracle: Optional[str] = None,
+    bounded_cross: Optional[str] = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register ``fn`` as queries()[name]; optionally its oracle SQL.
+
+    ``bounded_cross`` declares that the key's plan intentionally
+    contains a cartesian/nested-loop join and states the domain bound
+    that keeps it O(small) — required for the plan lint to pass.
+    """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -39,6 +58,8 @@ def query(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle.strip()
+        if bounded_cross is not None:
+            BOUNDED_CROSS[name] = bounded_cross
         return fn
 
     return deco

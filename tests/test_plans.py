@@ -155,42 +155,15 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
     """Scale guard: no relational query may compile to
     CartesianProduct or BroadcastNestedLoopJoin unless it is an
     INTENTIONAL pairwise/cross operator. Catching a missing equi
-    condition here is cheaper than at 100 TB."""
-    from diversity_maximization_spark.registry import ORACLES
+    condition here is cheaper than at 100 TB.
 
-    intentional = {
-        # declared pairwise / cross semantics
-        "join_cross_dims", "join_theta_self", "div_eval_edge",
-        "div_eval_clique", "div_eval_star", "div_random_baseline",
-        "sim_search_topk", "dedup_embedding",
-        # scalar-subquery broadcast joins (one-row side)
-        "tpch_q11", "tpch_q22", "agg_having",
-        # intentional tiny cross: 5 event types x generated hour grid
-        "ts_gapfill_locf", "ts_resample_interp",
-        # intentional tiny cross: 7-row lag grid + 1-row moment scalar
-        "ts_acf",
-        # intentional tiny cross: O(days^2) pair join + scalar totals
-        "ts_mann_kendall",
-        # broadcast-scalar crosses (1-row / grid-sized side):
-        # two-arm stats row, margins-x-grand totals
-        "agg_ttest_welch", "agg_chi2_cells", "agg_mutual_info",
-        "ts_stl_decompose",
-        # round-4: 1-row broadcast scalars (decile total; pivot +
-        # pre-period sums) and the bounded O(days^2) pair join
-        "agg_lorenz_curve", "ts_pre_post_impact", "agg_kendall_tau",
-        # 1-row broadcast grand-total scalar onto the bounded cell table
-        "agg_cramers_v",
-        # round-4 third session: 1-row broadcast scalars (grand
-        # total / user count / moment row / decile totals) and the
-        # 1-row day-bounds row crossed into the dense day grid
-        "agg_theil_index", "agg_eb_shrinkage", "agg_decile_lift",
-        "agg_overdispersion", "ts_ljungbox", "ts_croston",
-        "ts_holt_winters",
-        # 1-row broadcast scalars: pooled-direction row, max-month
-        # bound row crossed into the per-entity month tables
-        "agg_simpsons_paradox", "agg_growth_accounting",
-        "agg_revenue_retention",
-    }
+    The allowlist is NOT hand-maintained here: it is derived from the
+    ``bounded_cross=`` declarations made at each @query registration
+    site (registry.BOUNDED_CROSS), so a new scalar cross must state
+    its domain bound where it is written or this sweep goes red."""
+    from diversity_maximization_spark.registry import BOUNDED_CROSS, ORACLES
+
+    intentional = set(BOUNDED_CROSS)
     families = ("tpch_", "join_", "agg_", "win_", "setop_", "sort_",
                 "topk_", "merge_", "ts_", "sql_", "fn_", "filter_",
                 "proj_")
@@ -203,6 +176,17 @@ def test_no_accidental_cartesian_or_nested_loop(spark, sf_dir):
             if bad in plan:
                 flagged.append((key, bad))
     assert flagged == [], f"unintended pair-blowup joins: {flagged}"
+
+
+def test_bounded_cross_declarations_are_wellformed():
+    """Every bounded_cross declaration names a registered key and
+    states a non-trivial bound (the lint's allowlist is only as good
+    as the reasons written at the registration sites)."""
+    from diversity_maximization_spark.registry import BOUNDED_CROSS, QUERIES
+
+    for key, reason in BOUNDED_CROSS.items():
+        assert key in QUERIES, f"bounded_cross on unregistered key {key}"
+        assert len(reason.strip()) >= 10, f"vacuous bounded_cross reason on {key}"
 
 
 def test_clustered_layout_pushes_range_filter(spark, sf_dir):
@@ -518,6 +502,19 @@ def test_knn_radius_is_equi_join_on_cells(spark, sf_dir):
     plan = plan_of(spark, "join_knn_radius", sf_dir)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_knn_classify_eval_is_dispatch_gated(spark, sf_dir):
+    """knn_classify_eval's pair generation must go through the
+    distance-join size dispatch — above THETA_MAX_ROWS the plan is
+    the broadcast-BLAS candidate stage (MapInPandas) feeding equi
+    joins, never an ungated n^2 theta join; the per-point top-5
+    keeps the rank-limit pushdown (WindowGroupLimit)."""
+    plan = plan_of(spark, "knn_classify_eval", sf_dir)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "MapInPandas" in plan, plan
     assert "WindowGroupLimit" in plan, plan
 
 
