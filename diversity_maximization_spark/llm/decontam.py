@@ -678,21 +678,43 @@ def select_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facility_location_over(e, k=_FL_K)
 
 
+# The kernel's pair table is crossJoin(broadcast(candidates)) —
+# O(n^2) rows by construction. The doctrine is coreset-fed input
+# (div_coreset_mr / div_coreset_tree reduce any corpus to <= a few
+# hundred exemplar candidates first); this bound turns the doctrine
+# into a hard guard so api.facility_location can never broadcast an
+# unbounded corpus: 8192 points -> a 4 MB broadcast at dim 64 and a
+# 67M-row integer pair table, the documented ceiling.
+FL_MAX_POINTS = 8192
+
+
 def facility_location_over(
     df: DataFrame,
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_points: int = FL_MAX_POINTS,
 ) -> DataFrame:
     """Greedy facility-location kernel over any (id, vector) frame —
     shared by select_facility_location and api.facility_location.
     Similarities quantize to BIGINT at 1e9 so greedy state is
     order-independent integers (see the registered key's docstring
-    for the scale argument)."""
+    for the scale argument). Refuses inputs above ``max_points``
+    (one column-pruned count up front): the n^2 pair table is only
+    sound on a coreset — reduce larger corpora with div_coreset_mr
+    first."""
     spark = df.sparkSession
     e = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
     )
+    n = e.count()
+    if n > max_points:
+        raise ValueError(
+            f"facility_location: {n} input points exceed the "
+            f"{max_points}-point pair-table bound; select exemplar "
+            "candidates with a coreset first (div_coreset_mr / "
+            "api.coreset) and run facility location over the coreset."
+        )
     sqf = "aggregate(transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
     en = e.select(
         "vec_id",

@@ -114,3 +114,25 @@ def test_bm25_scores_positive_and_bounded(spark, sf_dir):
     assert 0 < len(got) <= 20
     scores = [r.bm25 for r in got]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_facility_location_refuses_uncoreseted_corpus(spark):
+    """The kernel's n^2 pair table is only sound on a coreset: inputs
+    above FL_MAX_POINTS must be refused with a pointer to the coreset
+    path, never silently broadcast (the guard costs one column-pruned
+    count up front)."""
+    import pytest
+
+    from diversity_maximization_spark.llm.decontam import (
+        facility_location_over,
+    )
+
+    big = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="coreset"):
+        facility_location_over(big, k=2, max_points=99)
+    # at-or-below the bound still runs
+    got = facility_location_over(big.limit(5), k=2, max_points=99).collect()
+    assert len(got) == 2
