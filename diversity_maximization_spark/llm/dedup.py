@@ -211,7 +211,60 @@ def simhash_df(d: DataFrame) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only
+def _simhash_oracle_sig_sql() -> str:
+    """DuckDB CTE computing the EXACT same 64-bit SimHash as
+    _simhash_batches, bit for bit: md5 word hashes (identical hex in
+    hashlib and DuckDB), per-bit weighted sign sums over the word
+    counts, two's-complement assembly into BIGINT. Bit j of the
+    big-endian first-8-bytes value lives in hex nibble (63-j)//4 at
+    nibble bit j%4 — all small-int arithmetic, no int128 anywhere.
+    Validated char-for-char against the Python reference."""
+    acc_cols = ",\n".join(
+        "SUM(c * (CASE WHEN (((strpos('0123456789abcdef', "
+        f"substr(md5(word), {(63 - j) // 4 + 1}, 1)) - 1) >> {j % 4})"
+        f" & 1) = 1 THEN 1 ELSE -1 END)) AS a{j}"
+        for j in range(64)
+    )
+    sig_expr = " + ".join(
+        (
+            f"(CASE WHEN a{j} > 0 THEN "
+            "CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
+            if j == 63
+            else f"(CASE WHEN a{j} > 0 THEN CAST({1 << j} AS BIGINT)"
+            " ELSE 0 END)"
+        )
+        for j in range(64)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, word, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents)
+  GROUP BY doc_id, word
+), accs AS (
+  SELECT doc_id, {acc_cols} FROM words GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, {sig_expr} AS simhash FROM accs
+)
+"""
+
+
+@query(
+    "dedup_simhash",
+    oracle=_simhash_oracle_sig_sql()
+    + """
+, chunks AS (
+  SELECT doc_id, simhash, i AS chunk, (simhash >> (16 * i)) & 65535 AS val
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a
+JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+            AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+""",
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit signature into 4
     16-bit chunks, verify by hamming distance <= 12 via bit_count(xor)
@@ -221,7 +274,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hamming <= 3 (pigeonhole on 4 chunks); above that, candidate
     generation is lossy — a pair at hamming 4..12 is found only if its
     flipped bits cluster outside one chunk. This is the standard
-    LSH recall/cost trade; raise band count for higher recall."""
+    LSH recall/cost trade; raise band count for higher recall.
+
+    Hash-checked since round 5 (was rows-only): the md5 word-hash
+    family is bit-identical in DuckDB, so the oracle replays
+    signature bits (_simhash_oracle_sig_sql), the 4x16-bit banding
+    ((sig >> 16i) & 0xFFFF — mask-after-shift is fill-agnostic, so
+    DuckDB's arithmetic shift equals Spark's shiftrightunsigned
+    here), the banded candidate join, and the bit_count(xor) verify,
+    all in SQL."""
     d = load(spark, sf_dir, "documents")
     sig = simhash_df(d)
     chunks = sig.select(
@@ -259,44 +320,6 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= 12)
     )
-
-
-def _simhash_oracle_sig_sql() -> str:
-    """DuckDB CTE computing the EXACT same 64-bit SimHash as
-    _simhash_batches, bit for bit: md5 word hashes (identical hex in
-    hashlib and DuckDB), per-bit weighted sign sums over the word
-    counts, two's-complement assembly into BIGINT. Bit j of the
-    big-endian first-8-bytes value lives in hex nibble (63-j)//4 at
-    nibble bit j%4 — all small-int arithmetic, no int128 anywhere.
-    Validated char-for-char against the Python reference."""
-    acc_cols = ",\n".join(
-        "SUM(c * (CASE WHEN (((strpos('0123456789abcdef', "
-        f"substr(md5(word), {(63 - j) // 4 + 1}, 1)) - 1) >> {j % 4})"
-        f" & 1) = 1 THEN 1 ELSE -1 END)) AS a{j}"
-        for j in range(64)
-    )
-    sig_expr = " + ".join(
-        (
-            f"(CASE WHEN a{j} > 0 THEN "
-            "CAST(-9223372036854775808 AS BIGINT) ELSE 0 END)"
-            if j == 63
-            else f"(CASE WHEN a{j} > 0 THEN CAST({1 << j} AS BIGINT)"
-            " ELSE 0 END)"
-        )
-        for j in range(64)
-    )
-    return f"""
-WITH words AS (
-  SELECT doc_id, word, COUNT(*) AS c
-  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        FROM documents)
-  GROUP BY doc_id, word
-), accs AS (
-  SELECT doc_id, {acc_cols} FROM words GROUP BY doc_id
-), sigs AS (
-  SELECT doc_id, {sig_expr} AS simhash FROM accs
-)
-"""
 
 
 SIMHASH_EXACT_D = 3
@@ -1222,17 +1245,83 @@ def dedup_minhash_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("verify_yield"),
     )
 
-@query("dedup_cascade_report")  # rows-only: hash-family-specific tiers
+def _cascade_certified_oracle() -> str:
+    """Full-cascade oracle: the three tier pair sets replayed in one
+    SQL statement — exact-text star edges, the certified-minhash
+    chain (_minhash_certified_oracle, reused minus its final SELECT),
+    and the simhash banded chain (_simhash_oracle_sig_sql, CTE names
+    prefixed to avoid collisions) — then the marginal-catch counts."""
+    import re
+
+    mh_body = _minhash_certified_oracle()
+    mh_ctes, mh_final = mh_body.split("\nSELECT c.doc_a", 1)
+    mh_ctes = mh_ctes.strip()
+    assert mh_ctes.startswith("WITH ")
+    mh_ctes = mh_ctes[len("WITH ") :]
+    mh_final = ("SELECT c.doc_a" + mh_final).strip()
+
+    sh_ctes = _simhash_oracle_sig_sql().strip()
+    assert sh_ctes.startswith("WITH ")
+    sh_ctes = sh_ctes[len("WITH ") :]
+    for name in ("words", "accs", "sigs"):
+        sh_ctes = re.sub(rf"\b{name}\b", f"sh2_{name}", sh_ctes)
+    # the minhash chain also ends without a trailing comma; stitch
+    return f"""
+WITH {mh_ctes},
+t2 AS (SELECT doc_a AS a, doc_b AS b FROM ({mh_final})),
+{sh_ctes},
+chunks AS (
+  SELECT doc_id, simhash, i AS chunk, (simhash >> (16 * i)) & 65535 AS val
+  FROM sh2_sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+),
+t3 AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val
+              AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+),
+t1 AS (
+  SELECT ids[1] AS a, unnest(ids[2:]) AS b
+  FROM (SELECT list_sort(list(doc_id)) AS ids
+        FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1)
+),
+t12 AS (SELECT a, b FROM t1 UNION SELECT a, b FROM t2)
+SELECT '1_exact' AS tier,
+       CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_pairs,
+       CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_new_pairs
+UNION ALL
+SELECT '2_minhash_jaccard',
+       CAST((SELECT COUNT(*) FROM t2) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM t2
+             WHERE NOT EXISTS (SELECT 1 FROM t1
+                               WHERE t1.a = t2.a AND t1.b = t2.b))
+            AS BIGINT)
+UNION ALL
+SELECT '3_simhash',
+       CAST((SELECT COUNT(*) FROM t3) AS BIGINT),
+       CAST((SELECT COUNT(*) FROM t3
+             WHERE NOT EXISTS (SELECT 1 FROM t12
+                               WHERE t12.a = t3.a AND t12.b = t3.b))
+            AS BIGINT)
+"""
+
+
+@query("dedup_cascade_report", oracle=_cascade_certified_oracle())
 def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tiered-dedup marginal-catch report — the planning table for a
     production cascade (cheap exact pass first, then fuzzy tiers):
-    tier 1 = exact text hash, tier 2 = MinHash-LSH-verified Jaccard
-    >= 0.35, tier 3 = SimHash hamming <= 12. For each tier: total
-    pairs it finds and NEW pairs no earlier (cheaper) tier caught —
-    the marginal value that justifies the tier's cost at 100 TB.
-    Tiers reuse the registered operators' own pair generators, so
-    the report measures exactly what the engine ships. One small
-    full-outer pair union; counts exact."""
+    tier 1 = exact text hash, tier 2 = certified MinHash-LSH
+    (md5 hash family, Jaccard >= 0.2), tier 3 = SimHash hamming
+    <= 12. For each tier: total pairs it finds and NEW pairs no
+    earlier (cheaper) tier caught — the marginal value that
+    justifies the tier's cost at 100 TB. Tiers reuse the registered
+    operators' own pair generators, so the report measures exactly
+    what the engine ships. Hash-checked since round 5 (was
+    rows-only): the fuzzy tiers now point at the PORTABLE md5-family
+    generators (dedup_minhash_certified, dedup_simhash) whose chains
+    the oracle replays end to end, instead of the xxhash64 family
+    whose pair sets no independent engine can reproduce."""
     d = load(spark, sf_dir, "documents")
     exact = (
         _exact_dup_edges(d)
@@ -1242,7 +1331,7 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    mh = minhash_near_dup_pairs(d).select(
+    mh = QUERIES["dedup_minhash_certified"](spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     sh = QUERIES["dedup_simhash"](spark, sf_dir).select(

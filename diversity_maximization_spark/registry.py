@@ -66,84 +66,77 @@ def query(
 
 
 # The driver's correctness gate checks the FIRST 50 keys in
-# registration order (CORRECTNESS_r01–r03 == list(QUERIES)[:50] of
-# their rounds). The window therefore rotates per round to the keys
-# that most need DRIVER verification now. After r3's clean sweep,
-# 139 distinct keys are driver-verified; the only remaining hard-
-# signal gap is the never-sampled set, so round 4 is 50 keys that
-# have NEVER faced the driver harness (the full remaining list
-# lives in NEVER_SAMPLED.md for r5+ rotations): (a) every §2.2-core
-# A–L key still unsampled; (b) the round-3 stats/sketch additions
-# the r3 verdict named; (c) the two oracles repaired after round-3
-# ADVICE (drift_psi's shared decile formulation, ts_acf's
-# decimal-protected sum of squares) plus the rebuilt
-# sketch_kmv_distinct — their green rows are the proof of the fix;
-# (d) all 14 remaining TPC-H queries; (e) a spread across
-# streaming / lakehouse-sinks / sources / sketches / windows.
+# registration order. The window rotates per round to the keys that
+# most need DRIVER verification now. After r4's clean sweep the
+# cumulative driver-verified count is 189 with zero red; round 5
+# continues the never-sampled rotation the r4 verdict prescribed:
+# (a) the six oracle-bearing SURVEY §2.2 A–L stragglers — closing
+# out the declared core; (b) the round-4 unrolled-recurrence oracle
+# conversions that never faced the driver; (c) the two keys CHANGED
+# this round (knn_classify_eval's dispatch gate, facility_location's
+# coreset guard) — their green rows prove the fixes kept the hash;
+# (d) a spread over the newest round-4 analytics waves plus the
+# three keys whose intentional crosses the stale lint flagged
+# (driver proof that the answers were right all along).
 # Every key here MUST have an oracle (a no-oracle key in the
 # window is an automatic err slot) — enforced in tests.
 CHECK_WINDOW: list[str] = [
-    # (a) §2.2-core A–L keys never driver-sampled
-    "fn_unpivot",
-    "fn_levenshtein",
-    "sink_stream_memory",
-    "sink_stream_console",
-    "stream_static_join",
-    "text_pii_redact",
-    "doc_chunk",
-    "quality_repetition",
-    "pipeline_pretrain_corpus",
-    # (b) round-3 stats/sketch additions (verdict-named)
-    "agg_cov_matrix",
-    "agg_histogram_2d",
-    "agg_runs_test",
-    "ts_mann_kendall",
-    "sketch_kmv_distinct",
-    "agg_max_by",
-    "agg_exact_median_distributed",
-    "sample_group_kfold",
-    # (c) ADVICE-repaired oracles — driver proof of the fixes
-    "drift_psi",
-    "ts_acf",
-    # (d) all remaining TPC-H
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q17",
-    "tpch_q19",
-    "tpch_q20",
-    "tpch_q22",
-    # (e) streaming
-    "stream_topk_window",
-    "stream_stream_join",
-    "stream_dedup_within_watermark",
-    "stream_anomaly",
-    "stream_hll_wau",
-    # (e) lakehouse / sinks
-    "sink_compact",
-    "sink_partition_prune",
-    "sink_dynamic_overwrite",
-    "catalog_analyze_stats",
-    # (e) sources
-    "source_csv",
-    "source_jsonl",
-    "source_orc",
-    "source_python_datasource",
-    # (f) round-4 rows-only -> hash-checked conversions of the CORE
-    # reference family (unrolled-recurrence oracles) — driver proof
-    # that the native diversity pipeline hash-matches, the strongest
-    # single signal the window can buy this round
-    "div_gmm",
-    "div_coreset_mr",
-    "div_gmm_bow",
-    "graph_kcore",
+    # (a) §2.2 A–L oracle-bearing stragglers
+    "div_eval_tree",
+    "div_eval_cycle",
+    "div_matching",
+    "div_local_search",
+    "div_matroid_partition",
+    "dedup_components",
+    # (b) round-4 unrolled-recurrence conversions, never driver-faced
+    "select_mmr",
+    "div_kmeans",
+    "div_coreset_tree",
+    "text_pagerank_exact",
+    "ts_downsample_lttb",
+    "div_gmm_cosine",
+    "source_random_points",
+    # (c) keys changed in round 5 — same-hash proof of the fixes
+    "knn_classify_eval",
+    "select_facility_location",
+    # (d) the three stale-lint keys (intentional bounded crosses)
+    "agg_anova_twoway",
+    "agg_mde_curve",
+    "ts_best_split",
+    # (d) round-4 third-session analytics wave
+    "agg_srm_check",
+    "graph_modularity",
+    "attribution_shapley",
+    "graph_clustering_coeff",
+    "text_rake_words",
+    "win_longest_streak",
+    "graph_hits",
+    "agg_tost_equivalence",
+    "agg_mantel_haenszel",
+    "dedup_cluster_sizes",
+    "text_good_turing",
+    "agg_chao1_richness",
+    "agg_bayes_daily_update",
+    "graph_closeness_sample",
+    "quality_rank_fusion",
+    "attribution_model_compare",
+    # (d) spread over never-sampled analytics / graph / selection
+    "corpus_vocab_growth",
+    "conversion_horizon_cdf",
+    "ts_gini_daily",
+    "rolling_stickiness",
+    "agg_expected_shortfall",
+    "graph_ppr_exact",
+    "agg_markov_stationary",
+    "win_max_drawdown",
+    "sql_recursive_cte",
+    "agg_anova_oneway",
+    "sample_neyman_allocation",
+    "markov_absorption",
+    "attribution_markov_removal",
+    "er_resolve_entities",
+    "fn_phonetic",
+    "agg_trimmed_mean",
 ]
 
 
