@@ -117,6 +117,45 @@ def _assign_centroids(df: DataFrame, cents: np.ndarray, out_col: str) -> DataFra
     )
 
 
+def _fold_d2(a, b) -> float:
+    """Squared L2 as a strict LEFT FOLD over python floats — the
+    identical IEEE operation sequence as the engine's
+    aggregate(zip_with(...)) fold and the oracle's list_sum fold, so
+    driver-side selections made on these values replay bit-for-bit
+    in both engines (no numpy pairwise-summation drift)."""
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
+
+
+def _ff_foldexact(X: list, k: int) -> list[int]:
+    """Farthest-first traversal with fold-exact distances: seed =
+    index 0, then argmax of min-distance (strict >, so ties keep the
+    LOWEST index — the same pick as ORDER BY md DESC, pos ASC)."""
+    n = len(X)
+    k = min(k, n)
+    chosen = [0]
+    in_chosen = {0}
+    md = [_fold_d2(x, X[0]) for x in X]
+    for _ in range(1, k):
+        best, bi = -1.0, -1
+        for i in range(n):
+            if i in in_chosen:
+                continue
+            if md[i] > best:
+                best, bi = md[i], i
+        chosen.append(bi)
+        in_chosen.add(bi)
+        cx = X[bi]
+        for i in range(n):
+            d = _fold_d2(X[i], cx)
+            if d < md[i]:
+                md[i] = d
+    return chosen
+
+
 def ivf_topk(
     spark: SparkSession,
     e: DataFrame,
@@ -128,8 +167,9 @@ def ivf_topk(
     first centroids; each query probes its nprobe nearest centroid
     buckets; scoring runs as ONE cogrouped per-bucket BLAS GEMM
     (`applyInPandas` over the bucket key), emitting only each query's
-    per-bucket top-(k+1); a cheap global window re-ranks the
-    ≤ nprobe·(k+1) survivors per query.
+    per-bucket top-(k+3) candidates; the survivors are re-scored with
+    the exact fold cosine and a cheap global window re-ranks the
+    ≤ nprobe·(k+3) candidates per query.
 
     Scale shape: the shuffle moves each corpus vector once (to its
     bucket) and each query vector nprobe times — never pairs. The
@@ -137,35 +177,54 @@ def ivf_topk(
     nprobe/C) materialized pair rows, each carrying both embeddings
     (66 s at sf0.1); the cogrouped GEMM does the same arithmetic
     inside Arrow batches at a few seconds, and at 100 TB keeps every
-    bucket's matrix executor-local."""
+    bucket's matrix executor-local.
+
+    Determinism (hash-checked since round 5): centroid selection and
+    the probe map run fold-exact on the driver (_ff_foldexact — same
+    IEEE sequence as the SQL oracle's unrolled replay), assignment is
+    the JVM fold (_assign_centroids), and the emitted top-k is
+    re-scored with the exact fold cosine — the BLAS GEMM is only a
+    candidate PRUNE whose k+3 margin absorbs its summation-order
+    differences, so the result equals the exact top-k within probed
+    buckets and the whole pipeline replays in DuckDB
+    (_ivf_oracle)."""
     import pandas as pd
 
     sample = e.orderBy("vec_id").limit(512).collect()
-    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in sample])
-    cidx, _, _ = K.farthest_first(X, n_centroids, start=0)
+    Xf = [[float(v) for v in r["embedding"]] for r in sample]
+    X = np.array(Xf, dtype=np.float64)
+    cidx = _ff_foldexact(Xf, n_centroids)
     cents = X[cidx]
 
     data = _assign_centroids(e, cents, "bucket")
 
-    # per-centroid probe list: nprobe nearest centroids (tiny, literal)
-    D = K.pairwise_l2(np.vstack([cents]))
-    order = np.argsort(D, axis=1, kind="stable")
+    # per-centroid probe list: nprobe nearest centroids, fold-exact
+    # distances, ties -> lower centroid id (tiny, literal)
+    cf = [Xf[i] for i in cidx]
     probe_map = {
-        int(i): [int(x) for x in order[i, :nprobe]] for i in range(n_centroids)
+        i: sorted(
+            range(n_centroids), key=lambda j: (_fold_d2(cf[i], cf[j]), j)
+        )[:nprobe]
+        for i in range(n_centroids)
     }
     probe_entries = F.map_from_arrays(
         F.array(*[F.lit(i) for i in probe_map]),
         F.array(*[F.array(*[F.lit(x) for x in v]) for v in probe_map.values()]),
     )
+    # distinct column names per cogroup side: both sides descend from
+    # the same scan, and a shared attribute name lets the optimizer's
+    # column pruning collapse one side's embedding into the other's
+    # (observed as a missing column in the Arrow batch)
     queries = data.withColumn(
         "probe", F.explode(probe_entries[F.col("bucket")])
-    ).select("vec_id", "embedding", "probe")
+    ).select("vec_id", F.col("embedding").alias("q_emb"), "probe")
     members = data.select(
-        F.col("vec_id").alias("neighbor"), "embedding",
+        F.col("vec_id").alias("neighbor"),
+        F.col("embedding").alias("m_emb"),
         F.col("bucket").alias("probe"),
     )
 
-    kk = k + 1  # absorb the self row
+    kk = k + 3  # absorb the self row + the BLAS-vs-fold prune margin
 
     def _score(qpdf: pd.DataFrame, mpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(mpdf):
@@ -176,8 +235,8 @@ def ivf_topk(
                     "sim": pd.Series([], dtype="float64"),
                 }
             )
-        Q = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)
-        M = np.stack(mpdf["embedding"].to_numpy()).astype(np.float64)
+        Q = np.stack(qpdf["q_emb"].to_numpy()).astype(np.float64)
+        M = np.stack(mpdf["m_emb"].to_numpy()).astype(np.float64)
         Q /= np.linalg.norm(Q, axis=1, keepdims=True)
         M /= np.linalg.norm(M, axis=1, keepdims=True)
         S = Q @ M.T
@@ -209,18 +268,159 @@ def ivf_topk(
         .cogroup(members.groupBy("probe"))
         .applyInPandas(_score, "vec_id bigint, neighbor bigint, sim double")
     )
+    # exact fold re-score of the pruned candidates: the BLAS sims
+    # decided only WHICH ~nprobe*(k+3) rows survive; the ranking and
+    # the reported sim are the oracle-identical fold, so the output
+    # is bit-stable and equals the exact top-k within probed buckets
+    qe = e.select(F.col("vec_id"), F.col("embedding").alias("q_emb"))
+    ne = e.select(
+        F.col("vec_id").alias("neighbor"), F.col("embedding").alias("n_emb")
+    )
+    scored = (
+        part.select("vec_id", "neighbor")
+        .join(qe, "vec_id")
+        .join(ne, "neighbor")
+        .withColumn("sim", V.cosine_sim("q_emb", "n_emb"))
+    )
     w = Window.partitionBy("vec_id").orderBy(
         F.col("sim").desc(), F.col("neighbor")
     )
     return (
-        part.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("vec_id", "neighbor", F.round("sim", 6).alias("sim"), "rn")
     )
 
 
-@query("sim_search_ivf")  # rows-only: approximate; recall tested vs exact
+def _duck_fold_d2(a: str, b: str) -> str:
+    """Squared-L2 left fold (no sqrt) — bit-identical to _fold_d2 and
+    the engine's aggregate(zip_with) fold."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) "
+        f"* (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))))"
+    )
+
+
+def _ivf_oracle_ctes(
+    n_centroids: int = 16, nprobe: int = 8, sample_n: int = 512
+) -> str:
+    """CTE chain replaying the ENTIRE IVF pipeline in DuckDB: the
+    fold-exact farthest-first traversal over the first-512 sample
+    (unrolled n_centroids-1 rounds, MATERIALIZED — see the
+    unrolled-recurrence doctrine in PLANS.md), the fold-exact probe
+    map and nearest-centroid assignment, then the exact fold-cosine
+    ranking within each query's probed buckets. No per-bucket cut is
+    replayed: the oracle IS the exact top-k within probed buckets,
+    which the engine's k+3 BLAS prune margin guarantees it returns.
+    Ends with `ranked` (vec_id, neighbor, sim, rn)."""
+    d2 = _duck_fold_d2
+    parts = [
+        f"""samp AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS pos
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {sample_n})
+)""",
+        f"""s1 AS MATERIALIZED (
+  SELECT s.pos, s.vec_id, s.embedding,
+         {d2('s.embedding', 'c.embedding')} AS md
+  FROM samp s JOIN samp c ON c.pos = 0 WHERE s.pos <> 0
+)""",
+        """p1 AS MATERIALIZED (
+  SELECT pos, vec_id, embedding FROM s1 ORDER BY md DESC, pos ASC LIMIT 1
+)""",
+    ]
+    for r in range(2, n_centroids):
+        parts.append(
+            f"""s{r} AS MATERIALIZED (
+  SELECT s.pos, s.vec_id, s.embedding,
+         least(s.md, {d2('s.embedding', 'p.embedding')}) AS md
+  FROM s{r - 1} s, p{r - 1} p WHERE s.pos <> p.pos
+)"""
+        )
+        parts.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT pos, vec_id, embedding FROM s{r} ORDER BY md DESC, pos ASC LIMIT 1
+)"""
+        )
+    cents = " UNION ALL ".join(
+        ["SELECT 0 AS cidx, vec_id, embedding FROM samp WHERE pos = 0"]
+        + [
+            f"SELECT {r}, vec_id, embedding FROM p{r}"
+            for r in range(1, n_centroids)
+        ]
+    )
+    parts.append(f"cents AS MATERIALIZED ({cents})")
+    parts.append(
+        f"""pd AS (
+  SELECT a.cidx AS bucket, b.cidx AS probe,
+         ROW_NUMBER() OVER (PARTITION BY a.cidx
+                            ORDER BY {d2('a.embedding', 'b.embedding')} ASC,
+                                     b.cidx ASC) AS rn
+  FROM cents a, cents b
+)"""
+    )
+    parts.append(f"probes AS (SELECT bucket, probe FROM pd WHERE rn <= {nprobe})")
+    parts.append(
+        f"""ad AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2('e.embedding', 'c.embedding')} ASC,
+                                     c.cidx ASC) AS rn
+  FROM embeddings e, cents c
+)"""
+    )
+    parts.append(
+        """asg AS MATERIALIZED (
+  SELECT vec_id,
+         embedding,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+           AS sq,
+         cidx AS bucket
+  FROM ad WHERE rn = 1
+)"""
+    )
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(q.embedding)), "
+        "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))"
+    )
+    parts.append(
+        f"""scored AS MATERIALIZED (
+  SELECT q.vec_id, m.vec_id AS neighbor,
+         {dot} / (sqrt(q.sq) * sqrt(m.sq)) AS sim
+  FROM (SELECT a.vec_id, a.embedding, a.sq, p.probe
+        FROM asg a JOIN probes p ON p.bucket = a.bucket) q
+  JOIN asg m ON m.bucket = q.probe AND m.vec_id <> q.vec_id
+)"""
+    )
+    parts.append(
+        """ranked AS (
+  SELECT vec_id, neighbor, sim,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, neighbor ASC) AS rn
+  FROM scored
+)"""
+    )
+    return ",\n".join(parts)
+
+
+def _ivf_oracle() -> str:
+    return f"""
+WITH {_ivf_oracle_ctes()}
+SELECT vec_id, neighbor, round(sim, 6) AS sim, rn
+FROM ranked WHERE rn <= {TOPK}
+"""
+
+
+@query("sim_search_ivf", oracle=_ivf_oracle())
 def sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 — hash-checked since round 5 (was
+    rows-only): every selection the pipeline makes is fold-exact
+    (see ivf_topk), so the DuckDB oracle replays centroid traversal,
+    probe map, assignment, and the within-probed-buckets exact top-5
+    end to end. Naive-oracle cost is documented in PLANS.md."""
     e = load(spark, sf_dir, "embeddings")
     return ivf_topk(spark, e)
 
@@ -322,7 +522,35 @@ def dedup_embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim_search_recall_eval")  # rows-only: grades the approximate path
+def _recall_eval_oracle() -> str:
+    cos = V.duck_cosine_sim("a.embedding", "b.embedding")
+    return f"""
+WITH {_ivf_oracle_ctes()},
+ivf AS (SELECT vec_id, neighbor FROM ranked WHERE rn <= {TOPK}),
+ex AS (
+  SELECT a.vec_id, b.vec_id AS neighbor,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cos} DESC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+exact5 AS (SELECT vec_id, neighbor FROM ex WHERE rn <= {TOPK}),
+hits AS (
+  SELECT e.vec_id, COUNT(*) AS n_hit
+  FROM exact5 e JOIN ivf i
+    ON i.vec_id = e.vec_id AND i.neighbor = e.neighbor
+  GROUP BY e.vec_id
+),
+perq AS (
+  SELECT s.vec_id, CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {TOPK} AS recall
+  FROM (SELECT DISTINCT vec_id FROM exact5) s
+  LEFT JOIN hits h USING (vec_id)
+)
+SELECT recall, CAST(COUNT(*) AS BIGINT) AS n_queries
+FROM perq GROUP BY recall
+"""
+
+
+@query("sim_search_recall_eval", oracle=_recall_eval_oracle())
 def sim_search_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k report card for the IVF approximate path against the
     exact top-k — the evaluation any ANN deployment gates on before

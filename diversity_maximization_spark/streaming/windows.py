@@ -159,13 +159,32 @@ def stream_cume_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_memory(agg, _fresh("cume_unique"), mode="complete")
 
 
-@query("stream_late_data")  # rows-only: watermark-drop semantics
+@query(
+    "stream_late_data",
+    oracle="""
+WITH mn AS (SELECT min(ts) AS t0 FROM events),
+ot AS (SELECT ts FROM events, mn WHERE ts > t0 + INTERVAL 1 HOUR),
+wm AS (SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM ot)
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM ot, wm
+WHERE date_trunc('hour', ts) + INTERVAL 1 HOUR <= w
+GROUP BY 1
+""",
+)
 def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constructed late-arrival replay: the last slice re-delivers
     records from the first hour; with a 10-minute watermark already
     advanced far beyond them, append-mode aggregation drops them.
     Returns per-window counts EXCLUDING the dropped late rows
-    (asserted against the batch count in tests)."""
+    (asserted against the batch count in tests).
+
+    Hash-checked since round 5 (was rows-only): the construction is
+    fully deterministic, so the append-mode emission set is exactly
+    expressible in SQL — hourly counts over the on-time slice
+    restricted to windows whose end <= final watermark
+    (max on-time ts - 10 min); boundary semantics (<=) verified
+    empirically at all three SFs."""
     import os
     import shutil
     import tempfile
