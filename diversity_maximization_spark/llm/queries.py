@@ -233,6 +233,22 @@ PQ_ITERS = 10     # fixed Lloyd iterations (deterministic)
 PQ_SAMPLE = 2048  # training sample cap (first N by vec_id)
 
 
+def _pq_fold_d2(sub, cent):
+    """(n, K) squared distances accumulated DIM BY DIM (elementwise
+    += over the dsub axis) — per (row, centroid) this is the strict
+    left fold over dimensions, the same IEEE sequence as the
+    oracle's list_sum fold, while staying numpy-vectorized across
+    rows and centroids."""
+    import numpy as np
+
+    n, dsub = sub.shape
+    d2 = np.zeros((n, len(cent)), dtype=np.float64)
+    for j in range(dsub):
+        diff = sub[:, j, None] - cent[None, :, j]
+        d2 += diff * diff
+    return d2
+
+
 def pq_train_codebooks(spark: SparkSession, e: DataFrame):
     """Train product-quantization codebooks on the driver from a
     DETERMINISTIC sample (first PQ_SAMPLE vectors by vec_id): per
@@ -240,31 +256,125 @@ def pq_train_codebooks(spark: SparkSession, e: DataFrame):
     sample rows. The codebook is O(M*K*dim/M) floats — tiny — while
     the training sample is bounded, so this is the standard
     train-small / encode-everywhere split ANN systems use at scale.
-    Returns a numpy array (M, K, dsub)."""
+    Returns a numpy array (M, K, dsub).
+
+    Fold-exact since round 5 (enables the embed_pq oracle): the
+    assignment distances accumulate dim-by-dim (_pq_fold_d2) and the
+    centroid means are strict left folds over members in vec_id
+    order divided once by the count — both bit-identical to the
+    DuckDB replay (list_sum(list(x ORDER BY ...)) / n), so every
+    Lloyd selection the trainer makes is engine-independent."""
     import numpy as np
 
     sample = (
         e.orderBy("vec_id").limit(PQ_SAMPLE).select("embedding").collect()
     )
     X = np.array([r[0] for r in sample], dtype=np.float64)
-    dim = X.shape[1]
+    n, dim = X.shape
     dsub = dim // PQ_M
     books = np.empty((PQ_M, PQ_K, dsub))
     for m in range(PQ_M):
         sub = X[:, m * dsub : (m + 1) * dsub]
         cent = sub[:PQ_K].copy()
         for _ in range(PQ_ITERS):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = d2.argmin(axis=1)
+            assign = _pq_fold_d2(sub, cent).argmin(axis=1)
             for k in range(PQ_K):
-                mask = assign == k
-                if mask.any():
-                    cent[k] = sub[mask].mean(axis=0)
+                idx = np.flatnonzero(assign == k)
+                if len(idx):
+                    # strict left-fold mean in vec_id (= sample) order
+                    for j in range(dsub):
+                        s = 0.0
+                        for i in idx:
+                            s += float(sub[i, j])
+                        cent[k, j] = s / len(idx)
         books[m] = cent
     return books
 
 
-@query("embed_pq")  # rows-only: codebook is trainer-specific
+def _pq_oracle() -> str:
+    """Replay the ENTIRE PQ pipeline in DuckDB: the first-2048
+    training sample, PQ_K-row seeding, PQ_ITERS unrolled Lloyd
+    iterations (fold-exact distances, fold-exact member means in
+    vec_id order, empty clusters keep their centroid), then the
+    fold-exact encode of every vector. All 8 subspaces run in ONE
+    keyed chain (cells keyed by m — the multi-solve trick from the
+    Gauss/multi-source-BFS oracles)."""
+    dsub = 64 // PQ_M
+
+    def d2(a: str, c: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dsub}), "
+            f"j -> (CAST({a}[j] AS DOUBLE) - {c}[j]) "
+            f"* (CAST({a}[j] AS DOUBLE) - {c}[j])))"
+        )
+
+    parts = [
+        f"""pqs AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         CAST(ROW_NUMBER() OVER (ORDER BY vec_id) AS INTEGER) - 1 AS pos
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {PQ_SAMPLE})
+)""",
+        f"""psub AS MATERIALIZED (
+  SELECT vec_id, pos, m,
+         embedding[m * {dsub} + 1 : m * {dsub} + {dsub}] AS s
+  FROM pqs CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)
+)""",
+        f"""pc0 AS MATERIALIZED (
+  SELECT m, pos AS k,
+         list_transform(s, x -> CAST(x AS DOUBLE)) AS c
+  FROM psub WHERE pos < {PQ_K}
+)""",
+    ]
+    for r in range(1, PQ_ITERS + 1):
+        parts.append(
+            f"""pa{r} AS MATERIALIZED (
+  SELECT vec_id, m, s, k FROM (
+    SELECT b.vec_id, b.m, b.s, c.k,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m
+                              ORDER BY {d2('b.s', 'c.c')} ASC, c.k ASC) AS rn
+    FROM psub b JOIN pc{r - 1} c ON c.m = b.m) WHERE rn = 1
+)"""
+        )
+        parts.append(
+            f"""pc{r} AS MATERIALIZED (
+  SELECT cm.m, cm.k, COALESCE(n.c, cm.c) AS c
+  FROM pc{r - 1} cm LEFT JOIN (
+    SELECT m, k,
+           list_transform(generate_series(1, {dsub}),
+             j -> list_sum(list_transform(ms, v -> CAST(v[j] AS DOUBLE)))
+                  / len(ms)) AS c
+    FROM (SELECT m, k, list(s ORDER BY vec_id) AS ms
+          FROM pa{r} GROUP BY m, k)
+  ) n ON n.m = cm.m AND n.k = cm.k
+)"""
+        )
+    parts.append(
+        f"""penc AS MATERIALIZED (
+  SELECT vec_id, m, k, d2 FROM (
+    SELECT b.vec_id, b.m, c.k, {d2('b.s', 'c.c')} AS d2,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m
+                              ORDER BY {d2('b.s', 'c.c')} ASC, c.k ASC) AS rn
+    FROM (SELECT vec_id, m,
+                 embedding[m * {dsub} + 1 : m * {dsub} + {dsub}] AS s
+          FROM embeddings
+          CROSS JOIN (SELECT unnest(generate_series(0, {PQ_M - 1})) AS m)) b
+    JOIN pc{PQ_ITERS} c ON c.m = b.m) WHERE rn = 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT vec_id,
+       string_agg(CAST(k AS VARCHAR), ',' ORDER BY m) AS codes,
+       round(sqrt(list_sum(list(d2 ORDER BY m))), 6) AS recon_err
+FROM penc GROUP BY vec_id
+"""
+    )
+
+
+@query("embed_pq", oracle=_pq_oracle())
 def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization of the embedding column — the third
     compression tier next to embed_quantize (scalar int8) and
@@ -277,7 +387,11 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     word and exact reconstruction error; the corpus-level MSE is the
     quality metric ANN deployments track. Deterministic: fixed
     sample, fixed iterations, ties to the lowest centroid index.
-    Pinned against a pure-numpy replay in tests."""
+    Hash-checked since round 5 (was rows-only): trainer and encoder
+    are fold-exact (_pq_fold_d2 / left-fold means), so the DuckDB
+    oracle replays seeding, all PQ_ITERS Lloyd rounds, and the
+    encode bit for bit (_pq_oracle); rounding happens JVM-side
+    (F.round == DuckDB round, half away from zero)."""
     import numpy as np
     import pandas as pd
 
@@ -294,11 +408,11 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             err = np.zeros(len(X))
             for m in range(m_):
                 sub = X[:, m * dsub : (m + 1) * dsub]
-                d2 = ((sub[:, None, :] - B[m][None, :, :]) ** 2).sum(
-                    axis=2
-                )
+                d2 = _pq_fold_d2(sub, B[m])
                 a = d2.argmin(axis=1)
                 codes[:, m] = a
+                # += over m = left fold in subspace order, matching
+                # the oracle's list_sum(list(d2 ORDER BY m))
                 err += d2[np.arange(len(X)), a]
             yield pd.DataFrame(
                 {
@@ -306,12 +420,14 @@ def embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "codes": [
                         ",".join(str(c) for c in row) for row in codes
                     ],
-                    "recon_err": np.round(np.sqrt(err), 6),
+                    "recon_err": np.sqrt(err),
                 }
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
-        encode, "vec_id bigint, codes string, recon_err double"
+    return (
+        e.select("vec_id", "embedding")
+        .mapInPandas(encode, "vec_id bigint, codes string, recon_err double")
+        .withColumn("recon_err", F.round("recon_err", 6))
     )
 
 
