@@ -6364,3 +6364,401 @@ def agg_proportion_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ") AS BIGINT)"
         ).alias("n_required_10pct_lift"),
     )
+
+
+# chi-square upper 5% critical points (public distribution tables)
+_CHI2_CRIT_4DF = 9.487729036781154
+
+_KW_FINAL = """, m AS (
+  SELECT k, n_total, tsum,
+         CAST(12 AS DOUBLE) * hsum
+           / (CAST(n_total AS DOUBLE) * CAST(n_total + 1 AS DOUBLE))
+           - CAST(3 AS DOUBLE) * CAST(n_total + 1 AS DOUBLE) AS h,
+         CAST(1 AS DOUBLE) - CAST(tsum AS DOUBLE)
+           / (CAST(n_total AS DOUBLE) * CAST(n_total AS DOUBLE)
+              * CAST(n_total AS DOUBLE) - CAST(n_total AS DOUBLE)) AS c
+  FROM kw_s
+)
+SELECT k, n_total AS n, h, h / c AS h_corrected,
+       h / c > CAST(9.487729036781154 AS DOUBLE) AS significant
+FROM m"""
+
+
+@query(
+    "agg_kruskal_wallis",
+    bounded_cross="1-row tie-totals scalar crossed onto the 1-row group fold",
+    oracle=f"""
+WITH rows_ AS (
+  SELECT event_type AS grp, event_id,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events
+), numbered AS (
+  SELECT grp, c,
+         ROW_NUMBER() OVER (ORDER BY c, grp, event_id) AS rn
+  FROM rows_
+), vals AS (
+  SELECT c, MIN(rn) AS mn, MAX(rn) AS mx, CAST(COUNT(*) AS BIGINT) AS t
+  FROM numbered GROUP BY c
+), cg AS (
+  SELECT c, grp, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM numbered GROUP BY c, grp
+), per_g AS (
+  SELECT g.grp,
+         CAST(SUM(g.cnt * (v.mn + v.mx)) AS BIGINT) AS r2,
+         CAST(SUM(g.cnt) AS BIGINT) AS n
+  FROM cg g JOIN vals v USING (c) GROUP BY g.grp
+), gfold AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS n_total,
+         list_sum(list(CAST(r2 AS DOUBLE) * CAST(r2 AS DOUBLE) / (4 * n)
+                       ORDER BY grp)) AS hsum
+  FROM per_g
+), ties AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum FROM vals
+), kw_s AS (
+  SELECT k, n_total, hsum, tsum FROM gfold, ties
+){_KW_FINAL}
+""",
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H — the k-group rank test completing the
+    nonparametric tier (Mann-Whitney is its 2-group case): does
+    event value differ across the five event types? Same exactness
+    recipe as agg_mannwhitney_u: global midranks from the
+    distributed row-number plan (plans/global_rank.py, no
+    single-partition window), doubled rank sums r2_g =
+    sum(cnt * (mn + mx)) kept as exact BIGINTs, the k-bounded group
+    fold sum(r2_g^2 / (4 n_g)) in event_type order (Spark
+    F.aggregate over a sorted array == DuckDB list_sum over an
+    ORDER BY list), and H / tie-corrected H evaluated once from
+    exact integers with identical expression text — bit-exact, no
+    rounding. Significance vs the public chi-square(4) 5% critical
+    point, embedded as the same literal in both engines."""
+    from ..plans.global_rank import with_global_row_number
+
+    ev = load(spark, sf_dir, "events")
+    rows_ = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.expr(cents("value")).alias("c"),
+    )
+    numbered, _n = with_global_row_number(
+        rows_, ["c", "grp", "event_id"], out_col="rn"
+    )
+    vals = numbered.groupBy("c").agg(
+        F.min("rn").alias("mn"),
+        F.max("rn").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    cg = numbered.groupBy("c", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    per_g = (
+        cg.join(vals, "c")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("cnt") * (F.col("mn") + F.col("mx")))
+            .cast("bigint")
+            .alias("r2"),
+            F.sum("cnt").cast("bigint").alias("n"),
+        )
+    )
+    terms = per_g.select(
+        "grp",
+        "n",
+        (
+            F.col("r2").cast("double")
+            * F.col("r2").cast("double")
+            / (4 * F.col("n"))
+        ).alias("term"),
+    )
+    gfold = terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("hsum"),
+    )
+    ties = vals.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tsum")
+    )
+    kw_s = gfold.crossJoin(F.broadcast(ties))
+    kw_s.createOrReplaceTempView("kw_s")
+    return spark.sql(f"WITH kw_s AS (SELECT * FROM kw_s){_KW_FINAL}")
+
+
+@query(
+    "agg_friedman_test",
+    oracle="""
+WITH cell AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS blk, event_type AS trt,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), complete AS (
+  SELECT blk FROM cell GROUP BY blk HAVING COUNT(DISTINCT trt) = 5
+), r AS (
+  SELECT c.blk, c.trt, c.c,
+         ROW_NUMBER() OVER (PARTITION BY c.blk
+                            ORDER BY c.c, c.trt) AS rn
+  FROM cell c JOIN complete USING (blk)
+), mr AS (
+  SELECT blk, c, MIN(rn) AS mn, MAX(rn) AS mx FROM r GROUP BY blk, c
+), r2g AS (
+  SELECT r.trt, CAST(SUM(m.mn + m.mx) AS BIGINT) AS r2
+  FROM r JOIN mr m ON m.blk = r.blk AND m.c = r.c
+  GROUP BY r.trt
+), s AS (
+  SELECT CAST(SUM(r2 * r2) AS BIGINT) AS fsum,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM complete) AS b
+  FROM r2g
+)
+SELECT b AS n_blocks, k,
+       CAST(12 AS DOUBLE) * (CAST(fsum AS DOUBLE) / 4)
+         / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+         - CAST(3 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+         AS q,
+       CAST(12 AS DOUBLE) * (CAST(fsum AS DOUBLE) / 4)
+         / (CAST(b AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+         - CAST(3 AS DOUBLE) * CAST(b AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+         > CAST(9.487729036781154 AS DOUBLE) AS significant
+FROM s
+""",
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test — the repeated-measures rank test: do the five
+    event types differ in daily revenue when each calendar DAY is
+    its own block (controls for day-level shocks the way a paired
+    test controls for subjects)? Within-block midranks use the same
+    doubled-rank identity as agg_mannwhitney_u (mn + mx per tied
+    value, exact BIGINT); the per-treatment doubled rank sums r2_j
+    are tiny bounded integers, so sum(r2_j^2) is an exact BIGINT and
+    Q evaluates once from exact integers with identical expression
+    text — bit-exact. Only complete blocks (all 5 treatments
+    present) enter, per the classical design. The within-block rank
+    window partitions by day — bounded at 5 rows per partition.
+    Significance vs the chi-square(4) 5% point (public tables)."""
+    ev = load(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        F.date_trunc("day", "ts").alias("blk"),
+        F.col("event_type").alias("trt"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    complete = (
+        cell.groupBy("blk")
+        .agg(F.countDistinct("trt").alias("nt"))
+        .filter(F.col("nt") == 5)
+        .select("blk")
+    )
+    # bounded: 5 treatment rows per day-block partition
+    w = Window.partitionBy("blk").orderBy("c", "trt")
+    r = cell.join(complete, "blk").withColumn("rn", F.row_number().over(w))
+    mr = r.groupBy("blk", "c").agg(
+        F.min("rn").alias("mn"), F.max("rn").alias("mx")
+    )
+    r2g = (
+        r.join(mr, ["blk", "c"])
+        .groupBy("trt")
+        .agg(F.sum(F.col("mn") + F.col("mx")).cast("bigint").alias("r2"))
+    )
+    b = complete.count()
+    s = r2g.agg(
+        F.sum(F.col("r2") * F.col("r2")).cast("bigint").alias("fsum"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    ).withColumn("b", F.lit(b).cast("bigint"))
+    q = (
+        F.lit(12).cast("double")
+        * (F.col("fsum").cast("double") / 4)
+        / (
+            F.col("b").cast("double")
+            * F.col("k").cast("double")
+            * (F.col("k") + 1).cast("double")
+        )
+        - F.lit(3).cast("double")
+        * F.col("b").cast("double")
+        * (F.col("k") + 1).cast("double")
+    )
+    return s.select(
+        F.col("b").alias("n_blocks"),
+        "k",
+        q.alias("q"),
+        (q > F.lit(9.487729036781154).cast("double")).alias("significant"),
+    )
+
+
+@query(
+    "agg_moods_median",
+    bounded_cross="1-row global-median scalar onto the 10-cell table",
+    oracle="""
+WITH rows_ AS (
+  SELECT event_type AS grp, event_id,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events
+), numbered AS (
+  SELECT grp, c, ROW_NUMBER() OVER (ORDER BY c, grp, event_id) AS rn
+  FROM rows_
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_),
+med AS (
+  SELECT c AS mc FROM numbered, tot WHERE rn = (n + 1) // 2
+), cells AS (
+  SELECT grp, CASE WHEN c > (SELECT mc FROM med) THEN 1 ELSE 0 END AS above,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM rows_ GROUP BY 1, 2
+), margins AS (
+  SELECT c.grp, c.above, c.o,
+         SUM(c.o) OVER (PARTITION BY c.grp) AS rowt,
+         SUM(c.o) OVER (PARTITION BY c.above) AS colt
+  FROM cells c
+), chi AS (
+  SELECT list_sum(list(
+           (CAST(o AS DOUBLE)
+            - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n)
+           * (CAST(o AS DOUBLE)
+              - CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n)
+           / (CAST(rowt AS DOUBLE) * CAST(colt AS DOUBLE) / n)
+           ORDER BY grp, above)) AS chi2,
+         CAST(COUNT(DISTINCT grp) AS BIGINT) AS k,
+         MAX(n) AS n
+  FROM margins, tot
+)
+SELECT n, k, (SELECT CAST(mc AS DOUBLE) / 100 FROM med) AS grand_median,
+       chi2, k - 1 AS df,
+       chi2 > CAST(9.487729036781154 AS DOUBLE) AS significant
+FROM chi
+""",
+)
+def agg_moods_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test: split every event at the grand median of
+    value (lower-median convention, rank (n+1)//2 from the
+    distributed row-number plan) and chi-square the resulting
+    5x2 above/not-above table. All counts exact BIGINTs; the
+    10-cell chi-square folds in (grp, above) order via the sorted-
+    array fold == list_sum(ORDER BY) equivalence, each cell's
+    (O - E)^2 / E evaluated with identical expression text from
+    exact integers — bit-exact, no rounding. Significance vs the
+    chi-square(4) 5% point."""
+    from ..plans.global_rank import with_global_row_number
+
+    ev = load(spark, sf_dir, "events")
+    rows_ = ev.select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.expr(cents("value")).alias("c"),
+    )
+    numbered, n_total = with_global_row_number(
+        rows_, ["c", "grp", "event_id"], out_col="rn"
+    )
+    med_pos = (n_total + 1) // 2
+    mc = numbered.filter(F.col("rn") == med_pos).select("c").collect()[0][0]
+    cells = rows_.groupBy(
+        "grp",
+        F.when(F.col("c") > mc, 1).otherwise(0).alias("above"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    wr = Window.partitionBy("grp")
+    wc = Window.partitionBy("above")
+    margins = cells.select(
+        "grp",
+        "above",
+        "o",
+        F.sum("o").over(wr).alias("rowt"),
+        F.sum("o").over(wc).alias("colt"),
+    )
+    e_expr = (
+        F.col("rowt").cast("double") * F.col("colt").cast("double") / n_total
+    )
+    terms = margins.select(
+        "grp",
+        "above",
+        (
+            (F.col("o").cast("double") - e_expr)
+            * (F.col("o").cast("double") - e_expr)
+            / e_expr
+        ).alias("term"),
+    )
+    chi = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "above", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2"),
+        F.countDistinct("grp").cast("bigint").alias("k"),
+    )
+    return chi.select(
+        F.lit(n_total).cast("bigint").alias("n"),
+        "k",
+        (F.lit(mc).cast("double") / 100).alias("grand_median"),
+        "chi2",
+        (F.col("k") - 1).alias("df"),
+        (F.col("chi2") > F.lit(9.487729036781154).cast("double")).alias(
+            "significant"
+        ),
+    )
+
+
+@query(
+    "agg_hodges_lehmann",
+    bounded_cross="bounded O(days^2) Walsh-average pair join",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), walsh AS (
+  SELECT a.day AS da, b.day AS db, a.c + b.c AS w
+  FROM daily a JOIN daily b ON a.day <= b.day
+), ranked AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w, da, db) AS rn,
+         COUNT(*) OVER () AS m
+  FROM walsh
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+       CAST(MAX(m) AS BIGINT) AS n_pairs,
+       CAST(MAX(CASE WHEN rn = (m + 1) // 2 THEN w END) AS DOUBLE)
+         / 2 / 100 AS hl_estimate
+FROM ranked
+""",
+)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann location estimator of daily revenue: the
+    median of all Walsh averages (x_i + x_j)/2 over day pairs
+    i <= j — the robust center estimate behind the Wilcoxon
+    signed-rank interval (30-50% breakdown vs the mean, better
+    efficiency than the median). The pair table is the bounded
+    O(days^2) cross (~500 rows for a month); Walsh sums stay as
+    exact doubled-cents BIGINTs, the median picks rank (M+1)//2
+    (lower-median convention, deterministic (w, day, day)
+    tie-break), and the single division to currency happens once —
+    bit-exact."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("c").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("c").alias("cb"))
+    walsh = a.join(b, F.col("da") <= F.col("db")).select(
+        "da", "db", (F.col("ca") + F.col("cb")).alias("w")
+    )
+    # bounded: O(days^2) Walsh pairs (~500 rows), single-task fine
+    wn = Window.orderBy("w", "da", "db")
+    ranked = walsh.select(
+        "w",
+        F.row_number().over(wn).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    n_days = daily.count()
+    return ranked.agg(
+        F.lit(n_days).cast("bigint").alias("n_days"),
+        F.max("m").cast("bigint").alias("n_pairs"),
+        (
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(m + 1) div 2"), F.col("w")
+                )
+            ).cast("double")
+            / 2
+            / 100
+        ).alias("hl_estimate"),
+    )

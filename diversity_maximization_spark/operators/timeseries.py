@@ -2494,3 +2494,167 @@ def ts_gini_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("revenue_cents") > 0)
     )
+
+
+@query(
+    "ts_page_hinkley",
+    bounded_cross="1-row grand-total scalar onto the O(days) rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), m AS (
+  SELECT day, c,
+         ROW_NUMBER() OVER (ORDER BY day) AS t,
+         SUM(c) OVER (ORDER BY day
+                      ROWS UNBOUNDED PRECEDING) AS s
+  FROM daily
+), dev AS (
+  SELECT day,
+         CAST(s AS DOUBLE)
+           - CAST(t AS DOUBLE) * (CAST(total AS DOUBLE) / n) AS mt,
+         CAST(total AS DOUBLE) / 100 / n AS mean_rev
+  FROM m, tot
+), ph AS (
+  SELECT day, mean_rev,
+         (mt - MIN(mt) OVER (ORDER BY day
+                             ROWS UNBOUNDED PRECEDING)) / 100 AS ph
+  FROM dev
+)
+SELECT day, ph, ph > CAST(0.1 AS DOUBLE) * mean_rev AS alarm
+FROM ph
+""",
+)
+def ts_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector on daily revenue: the cumulative
+    deviation from the global mean, m_t = S_t - t*mean, minus its
+    running minimum — the classic sequential change-point statistic
+    (alarm when the current mass sits lambda above the historical
+    trough; lambda = 10% of mean daily revenue here). Exactness:
+    S_t is an order-independent BIGINT prefix sum, m_t is a per-row
+    float expression from exact integers (identical text both
+    engines), and the running MIN is order-independent — bit-exact,
+    no rounding. One O(days) rollup + one 1-row total scalar."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # bounded: O(days) daily rollup rows
+    wt = Window.orderBy("day")
+    # bounded: O(days) daily rollup rows
+    wp = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    m = daily.select(
+        "day",
+        F.row_number().over(wt).alias("t"),
+        F.sum("c").over(wp).alias("s"),
+    ).crossJoin(F.broadcast(tot))
+    dev = m.select(
+        "day",
+        (
+            F.col("s").cast("double")
+            - F.col("t").cast("double")
+            * (F.col("total").cast("double") / F.col("n"))
+        ).alias("mt"),
+        (F.col("total").cast("double") / 100 / F.col("n")).alias("mean_rev"),
+    )
+    ph = dev.select(
+        "day",
+        "mean_rev",
+        ((F.col("mt") - F.min("mt").over(wp)) / 100).alias("ph"),
+    )
+    return ph.select(
+        "day",
+        "ph",
+        (F.col("ph") > F.lit(0.1).cast("double") * F.col("mean_rev")).alias(
+            "alarm"
+        ),
+    )
+
+
+@query(
+    "ts_variance_ratio",
+    bounded_cross="two 1-row moment scalars crossed into one stats row",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagged AS (
+  SELECT day, c,
+         c - LAG(c, 1) OVER (ORDER BY day) AS d1,
+         c - LAG(c, 5) OVER (ORDER BY day) AS d5
+  FROM daily
+), m1 AS (
+  SELECT CAST(COUNT(d1) AS BIGINT) AS n1,
+         CAST(SUM(d1) AS BIGINT) AS s1,
+         CAST(SUM(d1 * d1) AS BIGINT) AS q1
+  FROM lagged
+), m5 AS (
+  SELECT CAST(COUNT(d5) AS BIGINT) AS n5,
+         CAST(SUM(d5) AS BIGINT) AS s5,
+         CAST(SUM(d5 * d5) AS BIGINT) AS q5
+  FROM lagged
+)
+SELECT n1, n5,
+       (CAST(q5 AS DOUBLE) / n5
+        - (CAST(s5 AS DOUBLE) / n5) * (CAST(s5 AS DOUBLE) / n5))
+       / (CAST(5 AS DOUBLE)
+          * (CAST(q1 AS DOUBLE) / n1
+             - (CAST(s1 AS DOUBLE) / n1) * (CAST(s1 AS DOUBLE) / n1)))
+       AS variance_ratio
+FROM m1, m5
+""",
+)
+def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay variance-ratio statistic (q=5) on daily revenue
+    differences: Var(5-day change) / (5 * Var(1-day change)) — the
+    random-walk diagnostic (VR ~ 1 under a drift-free walk, < 1
+    mean-reverting, > 1 trending). Both variances come from exact
+    BIGINT moment sums of integer-cents differences; the single
+    float expression is identical text in both engines — bit-exact,
+    no rounding."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        (F.col("c") - F.lag("c", 1).over(wd)).alias("d1"),
+        (F.col("c") - F.lag("c", 5).over(wd)).alias("d5"),
+    )
+    m1 = lagged.agg(
+        F.count("d1").cast("bigint").alias("n1"),
+        F.sum("d1").cast("bigint").alias("s1"),
+        F.sum(F.col("d1") * F.col("d1")).cast("bigint").alias("q1"),
+    )
+    m5 = lagged.agg(
+        F.count("d5").cast("bigint").alias("n5"),
+        F.sum("d5").cast("bigint").alias("s5"),
+        F.sum(F.col("d5") * F.col("d5")).cast("bigint").alias("q5"),
+    )
+    j = m1.crossJoin(F.broadcast(m5))
+    var1 = (
+        F.col("q1").cast("double") / F.col("n1")
+        - (F.col("s1").cast("double") / F.col("n1"))
+        * (F.col("s1").cast("double") / F.col("n1"))
+    )
+    var5 = (
+        F.col("q5").cast("double") / F.col("n5")
+        - (F.col("s5").cast("double") / F.col("n5"))
+        * (F.col("s5").cast("double") / F.col("n5"))
+    )
+    return j.select(
+        "n1",
+        "n5",
+        (var5 / (F.lit(5).cast("double") * var1)).alias("variance_ratio"),
+    )

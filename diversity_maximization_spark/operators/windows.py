@@ -1440,3 +1440,80 @@ def win_rank_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.abs(F.col("rank_gain")).desc(), "custkey")
         .limit(25)
     )
+
+
+@query(
+    "win_rolling_beta",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(ROUND((value) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND((value) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), w AS (
+  SELECT day,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n,
+         CAST(SUM(x) OVER win AS BIGINT) AS sx,
+         CAST(SUM(y) OVER win AS BIGINT) AS sy,
+         CAST(SUM(x * y) OVER win AS BIGINT) AS sxy,
+         CAST(SUM(x * x) OVER win AS BIGINT) AS sxx
+  FROM daily
+  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / nullif(CAST(n AS DOUBLE) * sxx
+                  - CAST(sx AS DOUBLE) * sx, 0) AS beta
+FROM w WHERE rn >= 14
+""",
+)
+def win_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day OLS slope of daily purchase revenue against
+    daily view revenue — the rolling-beta exposure measure (how many
+    cents of purchases ride on each cent of views this fortnight).
+    All five windowed sums are order-independent BIGINTs over
+    integer cents (largest term n*sxx stays far under int64 at any
+    SF of this value domain); beta is one float expression from
+    exact integers with identical text both engines — bit-exact, no
+    rounding. Emitted only for full 14-day windows."""
+    from .aggregates import cents
+
+    ev = load(spark, sf_dir, "events")
+    c = F.expr(cents("value"))
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    win = wd.rowsBetween(-13, 0)
+    w = daily.select(
+        "day",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(win).cast("bigint").alias("n"),
+        F.sum("x").over(win).cast("bigint").alias("sx"),
+        F.sum("y").over(win).cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(win).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(win).cast("bigint").alias("sxx"),
+    )
+    return w.filter(F.col("rn") >= 14).select(
+        "day",
+        (
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / F.nullif(
+                F.col("n").cast("double") * F.col("sxx")
+                - F.col("sx").cast("double") * F.col("sx"),
+                F.lit(0.0),
+            )
+        ).alias("beta"),
+    )
