@@ -1886,3 +1886,109 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_tokens"),
         )
     )
+
+
+@query(
+    "text_yule_k",
+    oracle="""
+WITH cnt AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+    SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY source, w
+)
+SELECT source,
+       CAST(SUM(f) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(10000 AS DOUBLE)
+         * (CAST(SUM(f * f) AS BIGINT) - CAST(SUM(f) AS BIGINT))
+         / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)) AS yule_k
+FROM cnt GROUP BY source
+""",
+)
+def text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the classical lexical-
+    repetitiveness constant (10^4 * (S2 - S1) / S1^2 over the word
+    frequency spectrum; higher = more repetitive vocabulary, the
+    stylometric cousin of entropy_source's template detector). S1
+    and S2 are exact BIGINT sums over per-source word counts; the
+    single float division has identical expression text in both
+    engines — bit-exact, no rounding. One explode pass, two
+    shuffled aggs."""
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    return cnt.groupBy("source").agg(
+        F.sum("f").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        (
+            F.lit(10000).cast("double")
+            * (
+                F.sum(F.col("f") * F.col("f")).cast("bigint")
+                - F.sum("f").cast("bigint")
+            )
+            / (F.sum("f").cast("double") * F.sum("f").cast("double"))
+        ).alias("yule_k"),
+    )
+
+
+@query(
+    "text_mattr",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, w, pos FROM (
+    SELECT d.doc_id, d.source,
+           unnest(string_split(d.text, ' ')) AS w,
+           generate_subscripts(string_split(d.text, ' '), 1) - 1 AS pos
+    FROM documents d)
+), win AS (
+  SELECT doc_id, source, pos // 50 AS w_id, w FROM toks
+), full_w AS (
+  SELECT doc_id, source, w_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct
+  FROM win GROUP BY doc_id, source, w_id
+  HAVING COUNT(*) = 50
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(n_distinct) AS DOUBLE) / (50 * COUNT(*)) AS mattr
+FROM full_w GROUP BY source
+""",
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed type-token ratio per source (MATTR family): split
+    every document into consecutive complete 50-token windows,
+    count distinct types per window, and report the source-level
+    ratio sum(distinct) / (50 * n_windows) — the length-robust
+    lexical-diversity measure (plain TTR shrinks with document
+    length; fixed windows remove that bias). All counts exact
+    BIGINTs aggregated per (doc, window) then per source; ONE final
+    division — bit-exact, no per-window float accumulation. The
+    explode carries the token position so windows are reproducible
+    (posexplode == generate_subscripts - 1)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    full_w = (
+        toks.groupBy(
+            "doc_id", "source", (F.col("pos") / 50).cast("bigint").alias("w_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct"),
+        )
+        .filter(F.col("n_tok") == 50)
+    )
+    return full_w.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        (
+            F.sum("n_distinct").cast("double")
+            / (50 * F.count(F.lit(1)))
+        ).alias("mattr"),
+    )

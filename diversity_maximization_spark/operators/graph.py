@@ -1469,3 +1469,128 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rich_club_coeff"),
         )
     )
+
+
+def _scc_oracle(max_n_log2: int = 13) -> str:
+    """Unrolled pointer-doubling replay of graph_scc: j{k} holds the
+    2^k-step successor of every node (k self-joins of the N-row
+    pointer table); after K = max_n_log2 rounds every pointer sits
+    on a cycle (tail length < N <= 2^K). Cycle nodes = the distinct
+    landing set; the min-label doubling over the cycle-restricted
+    successor then yields the cycle minimum (2^K >= any cycle
+    length). Pure integer arithmetic, MATERIALIZED per round."""
+    parts = [
+        """j0 AS MATERIALIZED (
+  SELECT doc_id AS u,
+         CASE WHEN doc_id IS NOT NULL THEN
+           (doc_id * 2654435761 % 4294967296)
+             % (SELECT COUNT(*) FROM documents) END AS p
+  FROM documents
+)"""
+    ]
+    for k in range(1, max_n_log2 + 1):
+        parts.append(
+            f"""j{k} AS MATERIALIZED (
+  SELECT a.u, b.p FROM j{k - 1} a JOIN j{k - 1} b ON a.p = b.u
+)"""
+        )
+    parts.append(
+        f"""cyc AS MATERIALIZED (
+  SELECT DISTINCT p AS u FROM j{max_n_log2}
+)"""
+    )
+    parts.append(
+        """m0 AS MATERIALIZED (
+  SELECT c.u, j.p, c.u AS m
+  FROM cyc c JOIN j0 j ON j.u = c.u
+)"""
+    )
+    for k in range(1, max_n_log2 + 1):
+        parts.append(
+            f"""m{k} AS MATERIALIZED (
+  SELECT a.u, b.p, least(a.m, b.m) AS m
+  FROM m{k - 1} a JOIN m{k - 1} b ON a.p = b.u
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT j.u AS doc_id,
+       CAST(COALESCE(m.m, j.u) AS BIGINT) AS scc_id,
+       m.m IS NOT NULL AS on_cycle
+FROM j0 j LEFT JOIN m{max_n_log2} m ON m.u = j.u
+"""
+    )
+
+
+@query("graph_scc", oracle=_scc_oracle())
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the synthetic FUNCTIONAL
+    digraph succ(u) = (u * 2654435761 mod 2^32) mod N over dense
+    doc_ids (every node has out-degree 1, so SCCs are exactly the
+    cycles of the permutation-like map plus singleton tail nodes —
+    the rho-shaped structure of pseudo-random functional graphs).
+    Scale-correct algorithm: POINTER DOUBLING — K = ceil(log2 N)
+    self-join rounds square the successor map, landing every node's
+    pointer on a cycle; the distinct landing set IS the cycle node
+    set, and K more min-label doubling rounds over the
+    cycle-restricted map give each cycle's minimum node as the
+    component id. 2K equi-join shuffles total instead of O(N)
+    sequential steps; all-integer state, no floats anywhere —
+    bit-exact by construction. Tail nodes are their own singleton
+    SCC (scc_id = doc_id, on_cycle = false)."""
+    d = load(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"), F.max("doc_id").alias("mx")
+    ).collect()[0]
+    n = stats["n"]
+    if n != stats["mx"] + 1:
+        raise ValueError("graph_scc requires dense doc_ids 0..N-1")
+    rounds = max(n - 1, 1).bit_length()  # 2^rounds >= n
+
+    u = F.col("doc_id")
+    succ = ((u * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(n)
+    j = d.select(u.alias("u"), succ.cast("bigint").alias("p"))
+    base = j.localCheckpoint(eager=True)
+    ptr = base
+    for _ in range(rounds):
+        hop = ptr.select(F.col("u").alias("hu"), F.col("p").alias("hp"))
+        ptr = (
+            ptr.join(hop, ptr["p"] == hop["hu"])
+            .select("u", F.col("hp").alias("p"))
+            .localCheckpoint(eager=True)
+        )
+    cyc = ptr.select(F.col("p").alias("u")).distinct()
+    m = (
+        cyc.join(base, "u")
+        .select("u", "p", F.col("u").alias("m"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        hop = m.select(
+            F.col("u").alias("hu"),
+            F.col("p").alias("hp"),
+            F.col("m").alias("hm"),
+        )
+        m = (
+            m.join(hop, m["p"] == hop["hu"])
+            .select(
+                "u",
+                F.col("hp").alias("p"),
+                F.least("m", "hm").alias("m"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        base.join(
+            m.select(F.col("u").alias("mu"), "m"),
+            base["u"] == F.col("mu"),
+            "left",
+        )
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("m", "u").cast("bigint").alias("scc_id"),
+            F.col("m").isNotNull().alias("on_cycle"),
+        )
+    )
