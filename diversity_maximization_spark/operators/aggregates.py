@@ -6762,3 +6762,179 @@ def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("hl_estimate"),
     )
+
+
+@query(
+    "agg_gini_impurity",
+    bounded_cross="1-row parent-impurity scalar onto the 1-row hour fold",
+    oracle="""
+WITH cls AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nc FROM events GROUP BY 1
+), parent AS (
+  SELECT CAST(SUM(nc) AS BIGINT) AS n,
+         CAST(SUM(nc * nc) AS BIGINT) AS ssc
+  FROM cls
+), hc AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h, event_type,
+         CAST(COUNT(*) AS BIGINT) AS nhc
+  FROM events GROUP BY 1, 2
+), hstat AS (
+  SELECT h, CAST(SUM(nhc) AS BIGINT) AS nh,
+         CAST(SUM(nhc * nhc) AS BIGINT) AS ssh
+  FROM hc GROUP BY h
+), child AS (
+  SELECT list_sum(list(
+           (CAST(nh AS DOUBLE) * CAST(nh AS DOUBLE) - CAST(ssh AS DOUBLE))
+           / (CAST(nh AS DOUBLE) * (SELECT n FROM parent))
+           ORDER BY h)) AS wchild,
+         CAST(COUNT(*) AS BIGINT) AS n_splits
+  FROM hstat
+)
+SELECT p.n,
+       (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) - CAST(p.ssc AS DOUBLE))
+         / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)) AS parent_gini,
+       c.wchild AS weighted_child_gini,
+       (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE) - CAST(p.ssc AS DOUBLE))
+         / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE)) - c.wchild AS gain,
+       c.n_splits
+FROM parent p, child c
+""",
+)
+def agg_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity gain of splitting event_type by hour-of-day —
+    the decision-tree split criterion as a distributed aggregate
+    (the feature-screening primitive for categorical targets).
+    Parent impurity 1 - sum(p_c^2) and each hour-bucket's child
+    impurity come from exact BIGINT squared counts; the weighted
+    child sum folds the 24-row hour table in hour order (sorted
+    fold == list_sum ORDER BY) with each term evaluated from exact
+    integers by identical expression text — bit-exact, no rounding.
+    Two data-sized aggs; everything after runs on <= 24 rows."""
+    ev = load(spark, sf_dir, "events")
+    cls = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nc")
+    )
+    parent = cls.agg(
+        F.sum("nc").cast("bigint").alias("n"),
+        F.sum(F.col("nc") * F.col("nc")).cast("bigint").alias("ssc"),
+    )
+    hc = ev.groupBy(
+        F.hour("ts").cast("bigint").alias("h"), "event_type"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nhc"))
+    hstat = hc.groupBy("h").agg(
+        F.sum("nhc").cast("bigint").alias("nh"),
+        F.sum(F.col("nhc") * F.col("nhc")).cast("bigint").alias("ssh"),
+    )
+    n_total = parent.collect()[0]
+    n, ssc = n_total["n"], n_total["ssc"]
+    terms = hstat.select(
+        "h",
+        (
+            (
+                F.col("nh").cast("double") * F.col("nh").cast("double")
+                - F.col("ssh").cast("double")
+            )
+            / (F.col("nh").cast("double") * F.lit(n))
+        ).alias("term"),
+    )
+    child = terms.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("h", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("wchild"),
+        F.count(F.lit(1)).cast("bigint").alias("n_splits"),
+    )
+    nd = F.lit(float(n))
+    parent_gini = (nd * nd - F.lit(float(ssc))) / (nd * nd)
+    return child.select(
+        F.lit(n).cast("bigint").alias("n"),
+        parent_gini.alias("parent_gini"),
+        F.col("wchild").alias("weighted_child_gini"),
+        (parent_gini - F.col("wchild")).alias("gain"),
+        "n_splits",
+    )
+
+
+@query(
+    "agg_price_elasticity",
+    oracle="""
+WITH pq AS (
+  SELECT p.p_partkey,
+         CAST(ROUND(ln(p.p_retailprice) * 100000) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(SUM(CAST(ROUND(l.l_quantity * 100) AS BIGINT))
+                            AS DOUBLE) / 100) * 100000) AS BIGINT) AS y
+  FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+  GROUP BY p.p_partkey, p.p_retailprice
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pq
+)
+SELECT n,
+       (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         AS elasticity,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+         / n / 100000 AS intercept_ln
+FROM m
+""",
+)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price elasticity of demand: the log-log OLS slope of total
+    quantity sold on retail price across parts — d ln(qty) /
+    d ln(price), the canonical demand-curve estimate. Float
+    discipline (the entropy_source recipe): each part's ln(price)
+    and ln(qty) are fixed-pointed ONCE to integer 1e-5 units, so
+    every OLS moment (sx, sy, sxy, sxx) is an exact
+    order-independent BIGINT (products bounded ~1e17 at any test
+    SF) and the closed-form slope evaluates once from exact
+    integers with identical text both engines. Residual accepted
+    risk: Java Math.log vs libm ln within 1 ulp of a .5 quantization
+    boundary — deterministic and verified green on the fixture at
+    all SFs. The quantity sum per part is exact integer cents."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    pq = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_partkey", "p_retailprice")
+        .agg(F.sum(F.expr(cents("l_quantity"))).alias("qc"))
+        .select(
+            F.round(F.log("p_retailprice") * 100000)
+            .cast("bigint")
+            .alias("x"),
+            F.round(
+                F.log(F.col("qc").cast("double") / 100) * 100000
+            )
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    m = pq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        "n",
+        slope.alias("elasticity"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("n")
+            / 100000
+        ).alias("intercept_ln"),
+    )

@@ -2714,3 +2714,171 @@ def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_touch_credit"),
         "shapley_credit",
     )
+
+
+@query(
+    "survival_logrank",
+    oracle="""
+WITH s AS (
+  SELECT user_id, user_id % 2 AS arm, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT s.arm,
+         CASE WHEN p.tp IS NOT NULL
+              THEN CAST(floor((epoch_us(p.tp) - epoch_us(s.t0))
+                              / 86400000000) AS BIGINT)
+              ELSE CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                               - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+         END AS dur,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+), risk AS (
+  SELECT dur,
+         CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+         CAST(COUNT(*) AS BIGINT) AS t
+  FROM durs GROUP BY dur
+), atrisk AS (
+  SELECT dur, d1, d,
+         CAST(SUM(t1) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                            AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1,
+         CAST(SUM(t) OVER (ORDER BY dur ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS BIGINT) AS n
+  FROM risk
+), terms AS (
+  SELECT dur, d1,
+         CAST(d AS DOUBLE) * CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE) AS e1t,
+         CAST(d AS DOUBLE) * (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(1 AS DOUBLE) - CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE))
+           * (CAST(n - d AS DOUBLE) / CAST(n - 1 AS DOUBLE)) AS vt
+  FROM atrisk WHERE d > 0 AND n > 1
+), folds AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         list_sum(list(e1t ORDER BY dur)) AS e1,
+         list_sum(list(vt ORDER BY dur)) AS v
+  FROM terms
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_users, o1, e1,
+       (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v AS chi2,
+       (CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / v
+         > CAST(3.841458820694124 AS DOUBLE) AS significant
+FROM folds
+""",
+)
+def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test on the signup -> first-purchase
+    survival cohort (arms = user_id parity, the same deterministic
+    A/B split as agg_beta_posterior): at every event day, compare
+    arm-0's observed deaths to its hypergeometric expectation given
+    the pooled at-risk counts; chi2 = (O - E)^2 / V with the
+    standard variance term. Exactness: all at-risk and death counts
+    are exact BIGINTs (reverse cumulative sums over the O(days)
+    risk table), each day's E and V terms evaluate from those
+    integers with identical expression text, and the two float
+    accumulations fold in dur order (sorted-array fold == list_sum
+    ORDER BY) — bit-exact, no rounding. Completes the survival
+    family: survival_km estimates each curve, this key tests
+    whether two curves differ. Significance vs the chi-square(1)
+    5% point (public tables)."""
+    ev = load(spark, sf_dir, "events")
+    end_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+        " TIMESTAMP_NTZ'2024-01-31 00:00:00')"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .select("user_id", (F.col("user_id") % 2).alias("arm"), "t0")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s.select("user_id", "t0"), "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    diff_us = F.when(
+        F.col("tp").isNotNull(),
+        F.expr("timestampdiff(MICROSECOND, t0, tp)").cast("double"),
+    ).otherwise(
+        end_us.cast("double")
+        - F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', t0)"
+        ).cast("double")
+    )
+    durs = s.join(p, "user_id", "left").select(
+        "arm",
+        F.floor(diff_us / 86400000000).cast("long").alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    risk = durs.groupBy("dur").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("ev").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+    )
+    # bounded: O(distinct days) risk-table rows
+    wrev = Window.orderBy("dur").rowsBetween(0, Window.unboundedFollowing)
+    atrisk = risk.select(
+        "dur",
+        "d1",
+        "d",
+        F.sum("t1").over(wrev).cast("bigint").alias("n1"),
+        F.sum("t").over(wrev).cast("bigint").alias("n"),
+    )
+    dd = F.col("d").cast("double")
+    r1 = F.col("n1").cast("double") / F.col("n").cast("double")
+    terms = atrisk.filter((F.col("d") > 0) & (F.col("n") > 1)).select(
+        "dur",
+        "d1",
+        (dd * F.col("n1").cast("double") / F.col("n").cast("double")).alias(
+            "e1t"
+        ),
+        (
+            dd
+            * r1
+            * (F.lit(1).cast("double") - r1)
+            * (
+                (F.col("n") - F.col("d")).cast("double")
+                / (F.col("n") - 1).cast("double")
+            )
+        ).alias("vt"),
+    )
+    n_users = s.count()
+    folds = terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dur", "e1t"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["e1t"],
+        ).alias("e1"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("dur", "vt"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["vt"],
+        ).alias("v"),
+    )
+    chi2 = (
+        (F.col("o1").cast("double") - F.col("e1"))
+        * (F.col("o1").cast("double") - F.col("e1"))
+        / F.col("v")
+    )
+    return folds.select(
+        F.lit(n_users).cast("bigint").alias("n_users"),
+        "o1",
+        "e1",
+        chi2.alias("chi2"),
+        (chi2 > F.lit(3.841458820694124).cast("double")).alias("significant"),
+    )
