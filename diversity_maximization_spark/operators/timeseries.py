@@ -2658,3 +2658,291 @@ def ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n5",
         (var5 / (F.lit(5).cast("double") * var1)).alias("variance_ratio"),
     )
+
+
+@query(
+    "ts_hurst_rs",
+    bounded_cross="3-row block-size grid folds crossed for the slope",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (ORDER BY date_trunc('day', ts)) - 1 AS t
+  FROM events GROUP BY date_trunc('day', ts)
+), sizes AS (SELECT unnest([5, 10, 15]) AS m),
+blocks AS (
+  SELECT s.m, d.t // s.m AS blk, d.t % s.m AS i, d.c
+  FROM daily d JOIN sizes s
+    ON d.t < s.m * ((SELECT COUNT(*) FROM daily) // s.m)
+), bstat AS (
+  SELECT m, blk, CAST(SUM(c) AS BIGINT) AS sx,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM blocks GROUP BY m, blk
+), cum AS (
+  SELECT b.m, b.blk,
+         CAST(SUM(b.c) OVER (PARTITION BY b.m, b.blk ORDER BY b.i
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pc,
+         b.i, s.sx, s.ssq
+  FROM blocks b JOIN bstat s ON s.m = b.m AND s.blk = b.blk
+), dev AS (
+  SELECT m, blk, sx, ssq,
+         MAX(m * pc - (i + 1) * sx) AS mxd,
+         MIN(m * pc - (i + 1) * sx) AS mnd
+  FROM cum GROUP BY m, blk, sx, ssq
+), rs AS (
+  SELECT m, blk,
+         (CAST(mxd AS DOUBLE) - CAST(mnd AS DOUBLE))
+           / sqrt(CAST(m AS DOUBLE) * ssq - CAST(sx AS DOUBLE) * sx) AS rs
+  FROM dev
+  WHERE m * ssq > sx * sx
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         list_sum(list(rs ORDER BY blk)) / COUNT(*) AS mean_rs
+  FROM rs GROUP BY m
+), fit AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(ln(CAST(m AS DOUBLE)) ORDER BY m)) AS slx,
+         list_sum(list(ln(mean_rs) ORDER BY m)) AS sly,
+         list_sum(list(ln(CAST(m AS DOUBLE)) * ln(mean_rs) ORDER BY m))
+           AS slxy,
+         list_sum(list(ln(CAST(m AS DOUBLE)) * ln(CAST(m AS DOUBLE))
+                       ORDER BY m)) AS slxx
+  FROM per_m
+)
+SELECT p.m, p.n_blocks, round(p.mean_rs, 6) AS mean_rs,
+       round((CAST(f.k AS DOUBLE) * f.slxy - f.slx * f.sly)
+             / (CAST(f.k AS DOUBLE) * f.slxx - f.slx * f.slx), 6)
+         AS hurst
+FROM per_m p, fit f
+""",
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range (R/S) analysis of daily revenue with the Hurst
+    exponent: for block sizes m = 5/10/15 days, each complete block
+    reports R (range of cumulative mean-deviations) over S
+    (population std); H is the log-log OLS slope of mean R/S on m —
+    the long-memory diagnostic (H=0.5 random walk, >0.5 trending).
+    Exactness: cumulative deviations are SCALED BY m so they stay
+    integer (m*prefix - (i+1)*total — no mean division inside the
+    prefix), R/S per block is one float expression from exact
+    BIGINTs (the m scale cancels between R and S), per-size means
+    fold in block order, and the ln-based slope is rounded to 6 dp
+    (Java log vs libm 1-ulp discipline). Zero-variance blocks are
+    excluded in both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    d = daily.select(
+        "c", (F.row_number().over(wd) - 1).cast("bigint").alias("t")
+    )
+    n_days = d.count()
+    sizes = spark.createDataFrame([(5,), (10,), (15,)], "m bigint")
+    blocks = d.crossJoin(F.broadcast(sizes)).filter(
+        F.col("t") < F.col("m") * F.floor(F.lit(n_days) / F.col("m"))
+    ).select(
+        "m",
+        F.expr("t div m").alias("blk"),
+        (F.col("t") % F.col("m")).alias("i"),
+        "c",
+    )
+    bstat = blocks.groupBy("m", "blk").agg(
+        F.sum("c").cast("bigint").alias("sx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    # bounded: <= m rows per (m, blk) partition
+    wblk = (
+        Window.partitionBy("m", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = blocks.select(
+        "m",
+        "blk",
+        "i",
+        F.sum("c").over(wblk).cast("bigint").alias("pc"),
+    ).join(bstat, ["m", "blk"])
+    dev = cum.groupBy("m", "blk", "sx", "ssq").agg(
+        F.max(
+            F.col("m") * F.col("pc") - (F.col("i") + 1) * F.col("sx")
+        ).alias("mxd"),
+        F.min(
+            F.col("m") * F.col("pc") - (F.col("i") + 1) * F.col("sx")
+        ).alias("mnd"),
+    )
+    rs = dev.filter(
+        F.col("m") * F.col("ssq") > F.col("sx") * F.col("sx")
+    ).select(
+        "m",
+        "blk",
+        (
+            (F.col("mxd").cast("double") - F.col("mnd").cast("double"))
+            / F.sqrt(
+                F.col("m").cast("double") * F.col("ssq")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+        ).alias("rs"),
+    )
+    per_m = rs.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        (
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("blk", "rs"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["rs"],
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_rs"),
+    )
+    lx = F.log(F.col("m").cast("double"))
+    ly = F.log(F.col("mean_rs"))
+    fit = per_m.select("m", lx.alias("lx"), ly.alias("ly")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", F.col("lx").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("slx"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("m", F.col("ly").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("sly"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("m", (F.col("lx") * F.col("ly")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("slxy"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("m", (F.col("lx") * F.col("lx")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("slxx"),
+    )
+    return per_m.crossJoin(F.broadcast(fit)).select(
+        "m",
+        "n_blocks",
+        F.round("mean_rs", 6).alias("mean_rs"),
+        F.round(
+            (F.col("k").cast("double") * F.col("slxy") - F.col("slx") * F.col("sly"))
+            / (F.col("k").cast("double") * F.col("slxx") - F.col("slx") * F.col("slx")),
+            6,
+        ).alias("hurst"),
+    )
+
+
+@query(
+    "ts_seasonal_strength",
+    bounded_cross="1-row grand-moment scalar onto the O(days) rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         dayofweek(date_trunc('day', ts)) + 1 AS dow,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), dw AS (
+  SELECT dow, CAST(SUM(c) AS BIGINT) AS sd,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM daily GROUP BY dow
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(SUM(c * c) AS BIGINT) AS ssq
+  FROM daily
+), rem AS (
+  SELECT d.day,
+         CAST(d.c AS DOUBLE) - CAST(w.sd AS DOUBLE) / w.nd AS r
+  FROM daily d JOIN dw w USING (dow)
+), rfold AS (
+  SELECT list_sum(list(r ORDER BY day)) AS sr,
+         list_sum(list(r * r ORDER BY day)) AS srr
+  FROM rem
+)
+SELECT t.n AS n_days,
+       CAST(t.ssq AS DOUBLE) / t.n
+         - (CAST(t.s AS DOUBLE) / t.n) * (CAST(t.s AS DOUBLE) / t.n)
+         AS var_total,
+       f.srr / t.n - (f.sr / t.n) * (f.sr / t.n) AS var_remainder,
+       greatest(CAST(0 AS DOUBLE),
+                CAST(1 AS DOUBLE)
+                - (f.srr / t.n - (f.sr / t.n) * (f.sr / t.n))
+                / (CAST(t.ssq AS DOUBLE) / t.n
+                   - (CAST(t.s AS DOUBLE) / t.n)
+                     * (CAST(t.s AS DOUBLE) / t.n)))
+         AS seasonal_strength
+FROM tot t, rfold f
+""",
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal strength of daily revenue (the STL-style F_s
+    diagnostic): 1 - Var(remainder) / Var(series), where the weekly
+    seasonal component is each day-of-week's mean and the remainder
+    is the day's deviation from its dow mean — near 1 = strongly
+    weekly-periodic, near 0 = no weekly pattern. Var(series) comes
+    straight from exact BIGINT moments; the remainder residuals are
+    per-row float expressions from exact integers and their two
+    accumulations fold in day order (sorted fold == list_sum ORDER
+    BY) — bit-exact, no rounding. dayofweek parity: Spark is 1-7
+    Sunday-first, DuckDB 0-6, so the oracle adds 1."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.dayofweek(F.date_trunc("day", "ts")).alias("dow"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    dw = daily.groupBy("dow").agg(
+        F.sum("c").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ssq"),
+    )
+    rem = daily.join(dw, "dow").select(
+        "day",
+        (
+            F.col("c").cast("double")
+            - F.col("sd").cast("double") / F.col("nd")
+        ).alias("r"),
+    )
+    rfold = rem.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", F.col("r").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("sr"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("day", (F.col("r") * F.col("r")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("srr"),
+    )
+    j = tot.crossJoin(F.broadcast(rfold))
+    var_total = F.col("ssq").cast("double") / F.col("n") - (
+        F.col("s").cast("double") / F.col("n")
+    ) * (F.col("s").cast("double") / F.col("n"))
+    var_rem = F.col("srr") / F.col("n") - (F.col("sr") / F.col("n")) * (
+        F.col("sr") / F.col("n")
+    )
+    return j.select(
+        F.col("n").alias("n_days"),
+        var_total.alias("var_total"),
+        var_rem.alias("var_remainder"),
+        F.greatest(
+            F.lit(0).cast("double"),
+            F.lit(1).cast("double") - var_rem / var_total,
+        ).alias("seasonal_strength"),
+    )
