@@ -103,7 +103,33 @@ CHECK_WINDOW: list[str] = [
     "agg_anova_twoway",
     "agg_mde_curve",
     "ts_best_split",
-    # (d) round-4 third-session analytics wave
+    # (e) round-5 rows-only -> hash-checked conversions — driver
+    # proof that the converted pipelines (portable simhash family,
+    # retiered cascade, deterministic late-data replay, fold-exact
+    # IVF + recall eval, fold-exact PQ) hash-match
+    "dedup_simhash",
+    "dedup_cascade_report",
+    "stream_late_data",
+    "sim_search_ivf",
+    "sim_search_recall_eval",
+    "embed_pq",
+    # (f) round-5 new keys — first driver exposure
+    "agg_kruskal_wallis",
+    "agg_friedman_test",
+    "agg_moods_median",
+    "agg_hodges_lehmann",
+    "ts_page_hinkley",
+    "ts_variance_ratio",
+    "win_rolling_beta",
+    "text_yule_k",
+    "text_mattr",
+    "graph_scc",
+    "survival_logrank",
+    "agg_gini_impurity",
+    "agg_price_elasticity",
+    "ts_hurst_rs",
+    "ts_seasonal_strength",
+    # (g) round-4 third-session analytics wave (never sampled)
     "agg_srm_check",
     "graph_modularity",
     "attribution_shapley",
@@ -115,28 +141,6 @@ CHECK_WINDOW: list[str] = [
     "agg_mantel_haenszel",
     "dedup_cluster_sizes",
     "text_good_turing",
-    "agg_chao1_richness",
-    "agg_bayes_daily_update",
-    "graph_closeness_sample",
-    "quality_rank_fusion",
-    "attribution_model_compare",
-    # (d) spread over never-sampled analytics / graph / selection
-    "corpus_vocab_growth",
-    "conversion_horizon_cdf",
-    "ts_gini_daily",
-    "rolling_stickiness",
-    "agg_expected_shortfall",
-    "graph_ppr_exact",
-    "agg_markov_stationary",
-    "win_max_drawdown",
-    "sql_recursive_cte",
-    "agg_anova_oneway",
-    "sample_neyman_allocation",
-    "markov_absorption",
-    "attribution_markov_removal",
-    "er_resolve_entities",
-    "fn_phonetic",
-    "agg_trimmed_mean",
 ]
 
 
