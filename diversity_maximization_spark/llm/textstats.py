@@ -1992,3 +1992,101 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (50 * F.count(F.lit(1)))
         ).alias("mattr"),
     )
+
+
+@query(
+    "corpus_bigram_entropy",
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id, w, pos FROM (
+    SELECT source, doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM documents)
+), bi AS (
+  SELECT a.source, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1 AND a.source = b.source
+), bcnt AS (
+  SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+  FROM bi GROUP BY source, w1, w2
+), ucnt AS (
+  SELECT source, w1, CAST(SUM(c) AS BIGINT) AS c
+  FROM bcnt GROUP BY source, w1
+), hb AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n2,
+         CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS micro
+  FROM bcnt GROUP BY source
+), hu AS (
+  SELECT source,
+         CAST(SUM(CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+           AS micro
+  FROM ucnt GROUP BY source
+)
+SELECT hb.source, hb.n2 AS n_bigrams,
+       round(ln(CAST(hb.n2 AS DOUBLE))
+             - CAST(hb.micro AS DOUBLE) / 1000000 / hb.n2, 6)
+         AS h_bigram,
+       round(CAST(hu.micro AS DOUBLE) / 1000000 / hb.n2
+             - CAST(hb.micro AS DOUBLE) / 1000000 / hb.n2, 6)
+         AS h_conditional
+FROM hb JOIN hu USING (source)
+""",
+)
+def corpus_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram and conditional next-word entropy per source (nats) —
+    the order-2 extension of entropy_source and the sharper
+    template-generation detector (a source can have high unigram
+    entropy yet near-zero conditional entropy when sentences repeat
+    wholesale): H(w2|w1) = H(bigram) - H(first word of bigram) =
+    sum(c1 ln c1)/N2 - sum(c2 ln c2)/N2. Same micro-nat fixed-point
+    discipline as entropy_source: every c*ln(c) term quantizes once
+    to integer micro-nats so the sums are exact order-independent
+    BIGINTs; outputs rounded to 6 dp. The bigram table comes from a
+    positional self-join on (doc, pos+1) — one explode, one
+    equi-join shuffle on doc_id."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    a = toks.select("source", "doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("b_doc"),
+        (F.col("pos") - 1).alias("b_pos"),
+        F.col("w").alias("w2"),
+    )
+    bi = a.join(
+        b,
+        (a["doc_id"] == b["b_doc"]) & (a["pos"] == b["b_pos"]),
+    ).select("source", "w1", "w2")
+    bcnt = bi.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ucnt = bcnt.groupBy("source", "w1").agg(
+        F.sum("c").cast("bigint").alias("c")
+    )
+    micro = "CAST(ROUND(c * ln(c) * 1000000) AS BIGINT)"
+    hb = bcnt.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("n2"),
+        F.sum(F.expr(micro)).cast("bigint").alias("micro_b"),
+    )
+    hu = ucnt.groupBy("source").agg(
+        F.sum(F.expr(micro)).cast("bigint").alias("micro_u")
+    )
+    return hb.join(hu, "source").select(
+        "source",
+        F.col("n2").alias("n_bigrams"),
+        F.round(
+            F.log(F.col("n2").cast("double"))
+            - F.col("micro_b").cast("double") / 1000000 / F.col("n2"),
+            6,
+        ).alias("h_bigram"),
+        F.round(
+            F.col("micro_u").cast("double") / 1000000 / F.col("n2")
+            - F.col("micro_b").cast("double") / 1000000 / F.col("n2"),
+            6,
+        ).alias("h_conditional"),
+    )

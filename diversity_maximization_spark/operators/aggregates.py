@@ -6938,3 +6938,255 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100000
         ).alias("intercept_ln"),
     )
+
+
+@query(
+    "agg_benjamini_hochberg",
+    bounded_cross="1-row global-share scalar onto the 25-nation cell table",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), seg_tot AS (
+  SELECT seg, CAST(SUM(o) AS BIGINT) AS st FROM cells GROUP BY seg
+), grand AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS g FROM cells
+), nat_tot AS (
+  SELECT nation, CAST(SUM(o) AS BIGINT) AS nt FROM cells GROUP BY nation
+), full_cells AS (
+  SELECT n.nation, s.seg, n.nt, s.st, COALESCE(c.o, 0) AS o
+  FROM nat_tot n CROSS JOIN seg_tot s
+  LEFT JOIN cells c ON c.nation = n.nation AND c.seg = s.seg
+), chi AS (
+  SELECT nation,
+         list_sum(list(
+           (CAST(o AS DOUBLE)
+            - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           * (CAST(o AS DOUBLE)
+              - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           / (CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           ORDER BY seg)) AS chi2
+  FROM full_cells GROUP BY nation
+), pv AS (
+  SELECT nation, chi2,
+         exp(-chi2 / 2) * (CAST(1 AS DOUBLE) + chi2 / 2) AS p
+  FROM chi
+), ranked AS (
+  SELECT nation, chi2, p,
+         ROW_NUMBER() OVER (ORDER BY p, nation) AS rnk,
+         COUNT(*) OVER () AS m
+  FROM pv
+), cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN p <= rnk * CAST(0.05 AS DOUBLE) / m
+                           THEN rnk END), 0) AS kstar
+  FROM ranked
+)
+SELECT nation, round(chi2, 6) AS chi2, round(p, 9) AS p_value,
+       CAST(rnk AS BIGINT) AS rnk,
+       rnk * CAST(0.05 AS DOUBLE) / m AS bh_threshold,
+       rnk <= (SELECT kstar FROM cutoff) AS rejected
+FROM ranked
+""",
+)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over 25 simultaneous
+    chi-square tests — does nation i's market-segment mix deviate
+    from the global mix? — the multiple-testing correction every
+    segment-screening dashboard needs (Bonferroni is too blunt at
+    m=25). Exactness: each nation's chi-square folds its 5 cells in
+    segment order from exact integer counts; the p-value uses the
+    CLOSED FORM for even df (df=4: p = exp(-x/2)(1 + x/2)) so no
+    incomplete-gamma approximation is needed; the BH step-up finds
+    the largest rank k with p_(k) <= k*alpha/m and rejects ranks
+    <= k. Ranking ties break by nation. Cross-engine exp() is <=1
+    ulp (accepted, verified at all SFs); displayed chi2/p rounded,
+    the BH comparison runs on raw doubles identical in both
+    engines."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    seg_tot = cells.groupBy("seg").agg(
+        F.sum("o").cast("bigint").alias("st")
+    )
+    nat_tot = cells.groupBy("nation").agg(
+        F.sum("o").cast("bigint").alias("nt")
+    )
+    g = cells.agg(F.sum("o")).collect()[0][0]
+    full_cells = (
+        nat_tot.crossJoin(F.broadcast(seg_tot))
+        .join(cells, ["nation", "seg"], "left")
+        .select(
+            "nation",
+            "seg",
+            "nt",
+            "st",
+            F.coalesce("o", F.lit(0)).alias("o"),
+        )
+    )
+    e = F.col("nt").cast("double") * F.col("st") / F.lit(g)
+    terms = full_cells.select(
+        "nation",
+        "seg",
+        (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("term"),
+    )
+    chi = terms.groupBy("nation").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    pv = chi.select(
+        "nation",
+        "chi2",
+        (
+            F.exp(-F.col("chi2") / 2)
+            * (F.lit(1).cast("double") + F.col("chi2") / 2)
+        ).alias("p"),
+    )
+    # bounded: 25 nation rows
+    wr = Window.orderBy("p", "nation")
+    ranked = pv.select(
+        "nation",
+        "chi2",
+        "p",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    kstar_row = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p")
+                    <= F.col("rnk") * F.lit(0.05).cast("double") / F.col("m"),
+                    F.col("rnk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kstar")
+    ).collect()[0]
+    kstar = kstar_row["kstar"]
+    return ranked.select(
+        "nation",
+        F.round("chi2", 6).alias("chi2"),
+        F.round("p", 9).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        (F.col("rnk") * F.lit(0.05).cast("double") / F.col("m")).alias(
+            "bh_threshold"
+        ),
+        (F.col("rnk") <= F.lit(kstar)).alias("rejected"),
+    )
+
+
+def _duck_md5_32(arg: str) -> str:
+    """First 32 bits of md5(arg) as BIGINT — identical to Spark's
+    conv(substring(md5(x), 1, 8), 16, 10) (nibble-sum form)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({arg}), {k}, 1)) - 1)"
+        f" * {16 ** (8 - k)}"
+        for k in range(1, 9)
+    ) + ")"
+
+
+_PERM_B = 32  # deterministic hash permutations
+
+
+@query(
+    "agg_permutation_test",
+    bounded_cross="1-row observed-diff scalar onto the 32-row permutation table",
+    oracle=f"""
+WITH base AS (
+  SELECT event_id, user_id % 2 AS arm,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+), obs AS (
+  SELECT CAST(SUM(CASE WHEN arm = 0 THEN c END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN arm = 1 THEN c END) AS DOUBLE)
+           / SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS d_obs
+  FROM base
+), perm AS (
+  SELECT b.b,
+         {_duck_md5_32("CAST(base.event_id AS VARCHAR) || '|' || CAST(b.b AS VARCHAR)")} % 2
+           AS parm,
+         base.c
+  FROM base CROSS JOIN (SELECT unnest(generate_series(1, {_PERM_B})) AS b) b
+), pdiff AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN parm = 0 THEN c END) AS DOUBLE)
+           / SUM(CASE WHEN parm = 0 THEN 1 ELSE 0 END)
+         - CAST(SUM(CASE WHEN parm = 1 THEN c END) AS DOUBLE)
+           / SUM(CASE WHEN parm = 1 THEN 1 ELSE 0 END) AS d
+  FROM perm GROUP BY b
+)
+SELECT (SELECT d_obs FROM obs) AS d_obs,
+       CAST(SUM(CASE WHEN abs(d) >= abs((SELECT d_obs FROM obs))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+       CAST(1 + SUM(CASE WHEN abs(d) >= abs((SELECT d_obs FROM obs))
+                    THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(1 + {_PERM_B} AS DOUBLE) AS p_value
+FROM pdiff
+""",
+)
+def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test of the purchase-value difference between the
+    user-parity arms, with {B} DETERMINISTIC pseudo-permutations:
+    permutation b reassigns each event by the portable 32-bit md5
+    hash of (event_id, b) mod 2 — the same null-resampling logic as
+    a random-label permutation test, but reproducible across engines
+    and runs (no RNG state, the sample_hash_split doctrine). The
+    p-value is the add-one-smoothed fraction of permuted |mean
+    diffs| at least as extreme as observed. All sums are exact
+    integer cents; each diff is one float expression from exact
+    integers — bit-exact. One 32x explode of the filtered slice,
+    two hash aggs.""".format(B=_PERM_B)
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr(cents("value")).alias("c"),
+    )
+    d_of = lambda arm_col: (
+        F.sum(F.when(F.col(arm_col) == 0, F.col("c"))).cast("double")
+        / F.sum(F.when(F.col(arm_col) == 0, 1).otherwise(0))
+        - F.sum(F.when(F.col(arm_col) == 1, F.col("c"))).cast("double")
+        / F.sum(F.when(F.col(arm_col) == 1, 1).otherwise(0))
+    )
+    d_obs = base.agg(d_of("arm").alias("d_obs")).collect()[0]["d_obs"]
+    bgrid = spark.range(1, _PERM_B + 1).select(F.col("id").alias("b"))
+    perm = base.crossJoin(F.broadcast(bgrid)).select(
+        "b",
+        (
+            F.expr(
+                "conv(substring(md5(concat_ws('|', event_id, b)), 1, 8),"
+                " 16, 10)"
+            ).cast("bigint")
+            % 2
+        ).alias("parm"),
+        "c",
+    )
+    pdiff = perm.groupBy("b").agg(d_of("parm").alias("d"))
+    return pdiff.agg(
+        F.lit(d_obs).alias("d_obs"),
+        F.sum(
+            F.when(F.abs(F.col("d")) >= abs(d_obs), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_extreme"),
+        (
+            (
+                1
+                + F.sum(
+                    F.when(F.abs(F.col("d")) >= abs(d_obs), 1).otherwise(0)
+                )
+            ).cast("double")
+            / F.lit(float(1 + _PERM_B))
+        ).alias("p_value"),
+    )

@@ -2946,3 +2946,139 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).cast("double") - var_rem / var_total,
         ).alias("seasonal_strength"),
     )
+
+
+@query(
+    "ts_kpss",
+    bounded_cross="1-row grand-total scalar onto the O(days) rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM daily
+), e AS (
+  SELECT day,
+         ROW_NUMBER() OVER (ORDER BY day) AS t,
+         SUM(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pc,
+         CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n AS ed,
+         s, n
+  FROM daily, tot
+), lagged AS (
+  SELECT day, t, n,
+         (CAST(n AS DOUBLE) * pc - CAST(t AS DOUBLE) * s) / n AS st,
+         ed,
+         LAG(ed, 1) OVER (ORDER BY day) AS e1,
+         LAG(ed, 2) OVER (ORDER BY day) AS e2,
+         LAG(ed, 3) OVER (ORDER BY day) AS e3,
+         LAG(ed, 4) OVER (ORDER BY day) AS e4
+  FROM e
+), folds AS (
+  SELECT MAX(n) AS n,
+         list_sum(list(st * st ORDER BY day)) AS ss2,
+         list_sum(list(ed * ed ORDER BY day)) AS g0,
+         list_sum(list(COALESCE(ed * e1, 0) ORDER BY day)) AS g1,
+         list_sum(list(COALESCE(ed * e2, 0) ORDER BY day)) AS g2,
+         list_sum(list(COALESCE(ed * e3, 0) ORDER BY day)) AS g3,
+         list_sum(list(COALESCE(ed * e4, 0) ORDER BY day)) AS g4
+  FROM lagged
+), lrv AS (
+  SELECT n, ss2,
+         (g0 + 2 * (CAST(0.8 AS DOUBLE) * g1 + CAST(0.6 AS DOUBLE) * g2
+                    + CAST(0.4 AS DOUBLE) * g3
+                    + CAST(0.2 AS DOUBLE) * g4)) / n AS s2
+  FROM folds
+)
+SELECT n,
+       ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s2) AS kpss_eta,
+       ss2 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * s2)
+         > CAST(0.463 AS DOUBLE) AS reject_stationarity
+FROM lrv
+""",
+)
+def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily revenue: eta =
+    sum(S_t^2) / (n^2 * s^2_lrv), where S_t are cumulative
+    mean-deviations and the long-run variance uses a Bartlett kernel
+    with 4 lags — the complement to a unit-root test (here the NULL
+    is stationarity; reject above the published 5% point 0.463).
+    Exactness: S_t is computed as (n*prefix - t*total)/n so the
+    prefix stays an exact BIGINT (no float accumulation inside the
+    scan); residuals e_t and every lag product are per-row floats
+    from exact integers; all six accumulations fold in day order
+    (list_sum ORDER BY == sorted-array fold); the Bartlett weights
+    are exact decimals embedded identically — bit-exact, no
+    rounding."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    tot = daily.agg(
+        F.sum("c").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    wp = wd.rowsBetween(Window.unboundedPreceding, 0)
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        F.row_number().over(wd).alias("t"),
+        F.sum("c").over(wp).alias("pc"),
+        (F.col("c").cast("double") - F.col("s").cast("double") / F.col("n"))
+        .alias("ed"),
+        "s",
+        "n",
+    )
+    lagged = e.select(
+        "day",
+        "n",
+        (
+            (
+                F.col("n").cast("double") * F.col("pc")
+                - F.col("t").cast("double") * F.col("s")
+            )
+            / F.col("n")
+        ).alias("st"),
+        "ed",
+        F.lag("ed", 1).over(wd).alias("e1"),
+        F.lag("ed", 2).over(wd).alias("e2"),
+        F.lag("ed", 3).over(wd).alias("e3"),
+        F.lag("ed", 4).over(wd).alias("e4"),
+    )
+
+    def fold(expr, name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias(name)
+
+    folds = lagged.agg(
+        F.max("n").alias("n"),
+        fold(F.col("st") * F.col("st"), "ss2"),
+        fold(F.col("ed") * F.col("ed"), "g0"),
+        fold(F.coalesce(F.col("ed") * F.col("e1"), F.lit(0.0)), "g1"),
+        fold(F.coalesce(F.col("ed") * F.col("e2"), F.lit(0.0)), "g2"),
+        fold(F.coalesce(F.col("ed") * F.col("e3"), F.lit(0.0)), "g3"),
+        fold(F.coalesce(F.col("ed") * F.col("e4"), F.lit(0.0)), "g4"),
+    )
+    s2 = (
+        F.col("g0")
+        + 2
+        * (
+            F.lit(0.8).cast("double") * F.col("g1")
+            + F.lit(0.6).cast("double") * F.col("g2")
+            + F.lit(0.4).cast("double") * F.col("g3")
+            + F.lit(0.2).cast("double") * F.col("g4")
+        )
+    ) / F.col("n")
+    eta = F.col("ss2") / (
+        F.col("n").cast("double") * F.col("n").cast("double") * s2
+    )
+    return folds.select(
+        "n",
+        eta.alias("kpss_eta"),
+        (eta > F.lit(0.463).cast("double")).alias("reject_stationarity"),
+    )

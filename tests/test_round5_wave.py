@@ -184,3 +184,40 @@ def test_cascade_report_tier_monotonicity(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.n_new_pairs <= r.n_pairs
     assert rows["1_exact"].n_new_pairs == rows["1_exact"].n_pairs
+
+
+def test_benjamini_hochberg_stepup_shape(spark, sf_dir):
+    rows = sorted(
+        QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(rows) == 25
+    # p sorted ascending with rank; rejections form a prefix of ranks
+    ps = [r.p_value for r in rows]
+    assert ps == sorted(ps)
+    rejected = [r.rnk for r in rows if r.rejected]
+    assert rejected == list(range(1, len(rejected) + 1))
+    # BH is never more conservative than nothing: every rejected row
+    # satisfies its own threshold OR a later rank did
+    for r in rows:
+        assert 0 <= r.p_value <= 1
+
+
+def test_kpss_eta_positive(spark, sf_dir):
+    r = one(spark, "ts_kpss", sf_dir)
+    assert r.kpss_eta > 0
+    assert r.reject_stationarity == (r.kpss_eta > 0.463)
+
+
+def test_permutation_test_bounds(spark, sf_dir):
+    r = one(spark, "agg_permutation_test", sf_dir)
+    assert 0 <= r.n_extreme <= 32
+    assert abs(r.p_value - (1 + r.n_extreme) / 33) < 1e-12
+
+
+def test_bigram_entropy_conditional_leq_marginal(spark, sf_dir):
+    rows = QUERIES["corpus_bigram_entropy"](spark, sf_dir).collect()
+    for r in rows:
+        # conditioning cannot raise entropy
+        assert r.h_conditional <= r.h_bigram + 1e-9
+        assert r.h_conditional >= -1e-9
