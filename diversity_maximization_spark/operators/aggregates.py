@@ -7190,3 +7190,116 @@ def agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(float(1 + _PERM_B))
         ).alias("p_value"),
     )
+
+
+@query(
+    "agg_conformal_interval",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(ROUND((value) * 100) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('purchase', 'click', 'view')
+), train AS (
+  SELECT event_type,
+         CAST(SUM(c) AS DOUBLE) / COUNT(*) AS pred,
+         CAST(COUNT(*) AS BIGINT) AS n_train
+  FROM base WHERE event_id % 2 = 0 GROUP BY event_type
+), calib AS (
+  SELECT b.event_type, b.event_id,
+         abs(CAST(b.c AS DOUBLE) - t.pred) AS r
+  FROM base b JOIN train t USING (event_type)
+  WHERE b.event_id % 2 = 1
+), ranked AS (
+  SELECT event_type, r,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY r, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_cal
+  FROM calib
+), q AS (
+  SELECT event_type, MAX(n_cal) AS n_calib,
+         MAX(CASE WHEN rn = (9 * (n_cal + 1) + 9) // 10 THEN r END) AS q90
+  FROM ranked GROUP BY event_type
+)
+SELECT t.event_type, t.n_train, CAST(q.n_calib AS BIGINT) AS n_calib,
+       t.pred / 100 AS prediction,
+       q.q90 / 100 AS q90,
+       CAST((SELECT COUNT(*) FROM calib c
+             WHERE c.event_type = t.event_type AND c.r <= q.q90) AS DOUBLE)
+         / q.n_calib AS coverage
+FROM train t JOIN q USING (event_type)
+""",
+)
+def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction intervals per event type: train on
+    even event_ids (the point predictor is the training mean),
+    calibrate on odd ids, and take the ceil(0.9 * (n+1))-th smallest
+    absolute residual as the finite-sample-valid 90% interval
+    half-width — the distribution-free uncertainty quantification
+    every ML scoring pipeline should ship next to its predictions.
+    Exactness: the training mean is exact-cents-sum / count; each
+    residual is one float expression from exact integers; the
+    conformal quantile is an exact RANK PICK (k = (9(n+1)+9)//10 in
+    pure integers — never ceil(0.9 * x), whose IEEE 0.9 rounds the
+    boundary wrong) with (r, event_id) tie-break; coverage is an
+    exact count over one division. No folds, no rounding."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select("event_id", "event_type", F.expr(cents("value")).alias("c"))
+    train = (
+        base.filter(F.col("event_id") % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            (F.sum("c").cast("double") / F.count(F.lit(1))).alias("pred"),
+            F.count(F.lit(1)).cast("bigint").alias("n_train"),
+        )
+    )
+    calib = (
+        base.filter(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(train.select("event_type", "pred")), "event_type")
+        .select(
+            "event_type",
+            "event_id",
+            F.abs(F.col("c").cast("double") - F.col("pred")).alias("r"),
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r", "event_id")
+    wc = Window.partitionBy("event_type")
+    ranked = calib.select(
+        "event_type",
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_cal"),
+    )
+    q = ranked.groupBy("event_type").agg(
+        F.max("n_cal").alias("n_calib"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(9 * (n_cal + 1) + 9) div 10"),
+                F.col("r"),
+            )
+        ).alias("q90"),
+    )
+    cov = (
+        calib.join(F.broadcast(q.select("event_type", "q90")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("q90"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_in")
+        )
+    )
+    return (
+        train.join(q, "event_type")
+        .join(cov, "event_type")
+        .select(
+            "event_type",
+            "n_train",
+            F.col("n_calib").cast("bigint").alias("n_calib"),
+            (F.col("pred") / 100).alias("prediction"),
+            (F.col("q90") / 100).alias("q90"),
+            (F.col("n_in").cast("double") / F.col("n_calib")).alias(
+                "coverage"
+            ),
+        )
+    )

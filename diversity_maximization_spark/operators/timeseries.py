@@ -3082,3 +3082,177 @@ def ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
         eta.alias("kpss_eta"),
         (eta > F.lit(0.463).cast("double")).alias("reject_stationarity"),
     )
+
+
+def _adf_oracle() -> str:
+    from .behavior import _gauss_chain
+
+    rss = (
+        "dyy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)"
+        " + (b0 * (b0 * n + b1 * s1 + b2 * s2)"
+        "    + b1 * (b0 * s1 + b1 * s11 + b2 * s12)"
+        "    + b2 * (b0 * s2 + b1 * s12 + b2 * s22))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), lagd AS (
+  SELECT day, c,
+         LAG(c, 1) OVER (ORDER BY day) AS y1,
+         LAG(c, 2) OVER (ORDER BY day) AS y2
+  FROM daily
+), reg AS (
+  SELECT c - y1 AS dy, y1 AS yl, y1 - y2 AS dl
+  FROM lagd WHERE y2 IS NOT NULL
+), m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yl) AS BIGINT) AS s1,
+         CAST(SUM(dl) AS BIGINT) AS s2,
+         CAST(SUM(yl * yl) AS BIGINT) AS s11,
+         CAST(SUM(yl * dl) AS BIGINT) AS s12,
+         CAST(SUM(dl * dl) AS BIGINT) AS s22,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(yl * dy) AS BIGINT) AS s1y,
+         CAST(SUM(dl * dy) AS BIGINT) AS s2y,
+         CAST(SUM(dy * dy) AS BIGINT) AS dyy
+  FROM reg
+), gj0 AS MATERIALIZED (
+  SELECT i, j, v FROM (
+    SELECT 0 AS i, 0 AS j, CAST(n AS DOUBLE) AS v FROM m
+    UNION ALL SELECT 0, 1, CAST(s1 AS DOUBLE) FROM m
+    UNION ALL SELECT 0, 2, CAST(s2 AS DOUBLE) FROM m
+    UNION ALL SELECT 0, 3, CAST(sy AS DOUBLE) FROM m
+    UNION ALL SELECT 0, 4, 1.0 FROM m
+    UNION ALL SELECT 0, 5, 0.0 FROM m
+    UNION ALL SELECT 0, 6, 0.0 FROM m
+    UNION ALL SELECT 1, 0, CAST(s1 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 1, CAST(s11 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 2, CAST(s12 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 3, CAST(s1y AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 4, 0.0 FROM m
+    UNION ALL SELECT 1, 5, 1.0 FROM m
+    UNION ALL SELECT 1, 6, 0.0 FROM m
+    UNION ALL SELECT 2, 0, CAST(s2 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 1, CAST(s12 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 2, CAST(s22 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 3, CAST(s2y AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 4, 0.0 FROM m
+    UNION ALL SELECT 2, 5, 0.0 FROM m
+    UNION ALL SELECT 2, 6, 1.0 FROM m
+  )
+){_gauss_chain('gj0', '', pivots=3)}
+, coef AS MATERIALIZED (
+  SELECT
+    (SELECT v FROM gj3 WHERE i = 0 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 0 AND j = 0) AS b0,
+    (SELECT v FROM gj3 WHERE i = 1 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 1 AND j = 1) AS b1,
+    (SELECT v FROM gj3 WHERE i = 2 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 2 AND j = 2) AS b2,
+    (SELECT v FROM gj3 WHERE i = 1 AND j = 5)
+      / (SELECT v FROM gj3 WHERE i = 1 AND j = 1) AS inv11
+), md AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y, CAST(dyy AS DOUBLE) AS dyy,
+         n AS n_int
+  FROM m
+)
+SELECT CAST(n_int AS BIGINT) AS n, b1 AS beta,
+       b1 / sqrt((({rss}) / (n - 3)) * inv11) AS t_stat,
+       b1 / sqrt((({rss}) / (n - 3)) * inv11)
+         < CAST(-2.86 AS DOUBLE) AS unit_root_rejected
+FROM md, coef
+"""
+
+
+@query("ts_adf", oracle=_adf_oracle())
+def ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller test (one lag, with constant) on
+    daily revenue: regress delta-y on [1, y_{t-1}, delta-y_{t-1}]
+    and report the t-statistic of the y_{t-1} coefficient against
+    the 5% Dickey-Fuller point (-2.86, public tables) — the
+    unit-root complement of ts_kpss (here the NULL is a unit root).
+    Exactness: all ten regression moments are exact BIGINTs over
+    integer cents; the 3x3 normal equations solve AND the (X'X)^-1
+    diagonal needed for the standard error replay the fixed-order
+    no-pivot _gauss_jordan elimination (behavior.py) — the oracle
+    unrolls the identical IEEE steps via _gauss_chain with the
+    matrix augmented by the identity; RSS and the t-stat evaluate
+    with the same fixed-order expression text in both engines —
+    bit-exact, no rounding. No pivoting is safe: X'X is positive
+    definite for a non-degenerate regressor set."""
+    from .behavior import _gauss_jordan
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    lagd = daily.select(
+        "c",
+        F.lag("c", 1).over(wd).alias("y1"),
+        F.lag("c", 2).over(wd).alias("y2"),
+    ).filter(F.col("y2").isNotNull())
+    reg = lagd.select(
+        (F.col("c") - F.col("y1")).alias("dy"),
+        F.col("y1").alias("yl"),
+        (F.col("y1") - F.col("y2")).alias("dl"),
+    )
+    mrow = reg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yl").cast("bigint").alias("s1"),
+        F.sum("dl").cast("bigint").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("s11"),
+        F.sum(F.col("yl") * F.col("dl")).cast("bigint").alias("s12"),
+        F.sum(F.col("dl") * F.col("dl")).cast("bigint").alias("s22"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("yl") * F.col("dy")).cast("bigint").alias("s1y"),
+        F.sum(F.col("dl") * F.col("dy")).cast("bigint").alias("s2y"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("dyy"),
+    ).collect()[0]
+    n = float(mrow["n"])
+    s1, s2 = float(mrow["s1"]), float(mrow["s2"])
+    s11, s12, s22 = (
+        float(mrow["s11"]),
+        float(mrow["s12"]),
+        float(mrow["s22"]),
+    )
+    sy, s1y, s2y = float(mrow["sy"]), float(mrow["s1y"]), float(mrow["s2y"])
+    dyy = float(mrow["dyy"])
+    # 3x7 augmented [X'X | X'y | I], fixed-order no-pivot elimination
+    A = [
+        [n, s1, s2, sy, 1.0, 0.0, 0.0],
+        [s1, s11, s12, s1y, 0.0, 1.0, 0.0],
+        [s2, s12, s22, s2y, 0.0, 0.0, 1.0],
+    ]
+    for p in range(3):
+        piv = A[p]
+        for i in range(3):
+            if i == p:
+                continue
+            f = A[i][p] / piv[p]
+            A[i] = [A[i][j] - f * piv[j] for j in range(7)]
+    b0 = A[0][3] / A[0][0]
+    b1 = A[1][3] / A[1][1]
+    b2 = A[2][3] / A[2][2]
+    inv11 = A[1][5] / A[1][1]
+    rss = (
+        dyy
+        - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+        + (
+            b0 * (b0 * n + b1 * s1 + b2 * s2)
+            + b1 * (b0 * s1 + b1 * s11 + b2 * s12)
+            + b2 * (b0 * s2 + b1 * s12 + b2 * s22)
+        )
+    )
+    t_stat = b1 / ((rss / (n - 3)) * inv11) ** 0.5
+    return spark.createDataFrame(
+        [(int(mrow["n"]), b1, t_stat, t_stat < -2.86)],
+        "n bigint, beta double, t_stat double, unit_root_rejected boolean",
+    )

@@ -221,3 +221,39 @@ def test_bigram_entropy_conditional_leq_marginal(spark, sf_dir):
         # conditioning cannot raise entropy
         assert r.h_conditional <= r.h_bigram + 1e-9
         assert r.h_conditional >= -1e-9
+
+
+def test_adf_vs_numpy_ols(spark, sf_dir):
+    """The ADF coefficient must match an independent numpy
+    least-squares fit of the same regression to float tolerance
+    (the exact Gauss path is the contract; numpy is the sanity
+    cross-check)."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)")).alias("c"))
+        .orderBy("day")
+        .collect()
+    )
+    y = np.array([r.c for r in daily], dtype=np.float64)
+    dy = y[2:] - y[1:-1]
+    X = np.stack([np.ones(len(dy)), y[1:-1], y[1:-1] - y[:-2]], axis=1)
+    beta = np.linalg.lstsq(X, dy, rcond=None)[0]
+    r = one(spark, "ts_adf", sf_dir)
+    assert abs(r.beta - beta[1]) < 1e-6 * max(1.0, abs(beta[1]))
+    assert r.unit_root_rejected == (r.t_stat < -2.86)
+
+
+def test_conformal_coverage_at_least_nominal(spark, sf_dir):
+    """Split-conformal guarantee: empirical calibration coverage of
+    the q90 interval is >= 0.9 minus the finite-sample slack 1/(n+1)
+    (it is exactly the fraction of residuals <= the k-th smallest,
+    k = ceil(0.9 (n+1)))."""
+    rows = QUERIES["agg_conformal_interval"](spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == {"purchase", "click", "view"}
+    for r in rows:
+        assert r.q90 >= 0
+        assert r.coverage >= 0.9 - 1.0 / (r.n_calib + 1)
+        assert r.coverage <= 1.0
