@@ -7303,3 +7303,108 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "agg_brier_score",
+    bounded_cross="5-row segment probability table folded into one score row",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS seg,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), train AS (
+  SELECT seg,
+         CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p
+  FROM base WHERE o_orderkey % 2 = 0 GROUP BY seg
+), test AS (
+  SELECT b.seg, t.p,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b.y) AS BIGINT) AS ny
+  FROM base b JOIN train t USING (seg)
+  WHERE b.o_orderkey % 2 = 1
+  GROUP BY b.seg, t.p
+), folds AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_test,
+         list_sum(list(n * p * p - 2 * p * ny + ny ORDER BY seg)) AS ss,
+         list_sum(list(CAST(ny AS DOUBLE) * (n - ny) / n / n * n
+                       ORDER BY seg)) AS ref_ss
+  FROM test
+)
+SELECT n_test,
+       ss / n_test AS brier,
+       ref_ss / n_test AS brier_refitted,
+       CAST(1 AS DOUBLE) - (ss / n_test) / (ref_ss / n_test)
+         AS skill_vs_refit
+FROM folds
+""",
+)
+def agg_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score of a per-segment probability forecast: train-half
+    (even order keys) purchase-fulfilment rates predict the test
+    half; Brier = mean (p - y)^2 — the proper scoring rule every
+    probabilistic classifier gates on — decomposed per segment as
+    n*p^2 - 2*p*ny + ny so only exact integer counts and the
+    per-segment p enter (y is 0/1, so y^2 = y). A same-data
+    refitted-rate reference (ny(n-ny)/n per segment) gives the
+    skill score. Both accumulations fold the 5-row segment table in
+    segment order — bit-exact, no rounding."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    train = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("seg")
+        .agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("p"))
+    )
+    test = (
+        base.filter(F.col("o_orderkey") % 2 == 1)
+        .join(F.broadcast(train), "seg")
+        .groupBy("seg", "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("ny"),
+        )
+    )
+    terms = test.select(
+        "seg",
+        "n",
+        (
+            F.col("n") * F.col("p") * F.col("p")
+            - 2 * F.col("p") * F.col("ny")
+            + F.col("ny")
+        ).alias("t1"),
+        (
+            F.col("ny").cast("double")
+            * (F.col("n") - F.col("ny"))
+            / F.col("n")
+            / F.col("n")
+            * F.col("n")
+        ).alias("t2"),
+    )
+    folds = terms.agg(
+        F.sum("n").cast("bigint").alias("n_test"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", F.col("t1").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("ss"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", F.col("t2").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("ref_ss"),
+    )
+    return folds.select(
+        "n_test",
+        (F.col("ss") / F.col("n_test")).alias("brier"),
+        (F.col("ref_ss") / F.col("n_test")).alias("brier_refitted"),
+        (
+            F.lit(1).cast("double")
+            - (F.col("ss") / F.col("n_test"))
+            / (F.col("ref_ss") / F.col("n_test"))
+        ).alias("skill_vs_refit"),
+    )

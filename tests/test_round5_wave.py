@@ -290,3 +290,11 @@ def test_cointegration_vs_numpy(spark, sf_dir):
     r = one(spark, "ts_cointegration", sf_dir)
     assert abs(r.hedge_slope - b) < 1e-6 * max(1.0, abs(b))
     assert r.cointegrated == (r.t_stat < -3.34)
+
+
+def test_brier_score_bounds(spark, sf_dir):
+    r = one(spark, "agg_brier_score", sf_dir)
+    assert 0 <= r.brier <= 1
+    assert 0 <= r.brier_refitted <= 0.25 + 1e-12  # p(1-p) max
+    # the train-rate forecast can't beat the refitted rates by much
+    assert r.skill_vs_refit <= 1e-6
