@@ -786,7 +786,13 @@ WITH nn AS (
 )
 SELECT CAST(true_label AS INT) AS true_label,
        CAST(predicted_label AS INT) AS predicted_label,
-       CAST(COUNT(*) AS BIGINT) AS n
+       CAST(COUNT(*) AS BIGINT) AS n,
+       (SELECT CASE
+            WHEN COUNT(*) <= 128 THEN 'theta'
+            WHEN COUNT(*) * (SELECT len(embedding) FROM embeddings LIMIT 1) * 8
+                 <= 2147483648 THEN 'broadcast_blas'
+            ELSE 'lsh_bucketed' END
+        FROM embeddings) AS tier
 FROM pred GROUP BY true_label, predicted_label
 """
 
@@ -809,14 +815,38 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     caps state at 5 per point). Pair generation goes through
     plans/distance_join.l2_topk_candidate_pairs — the same size
     dispatch as sim_search_topk (theta <=128 rows, broadcast-BLAS
-    prune-only within the 2 GB budget, LSH buckets beyond), so this
-    eval can never accidentally materialize n^2 pairs on a large
-    table; the candidate margin (32 >> k=5) plus the exact
-    bit-matched re-score below keeps the truth set exact on the
-    theta and BLAS tiers."""
-    from ..plans.distance_join import l2_topk_candidate_pairs
+    prune-only within the 2 GB budget), so this eval can never
+    accidentally materialize n^2 pairs on a large table; the
+    candidate margin (32 >> k=5) plus the exact bit-matched re-score
+    below keeps the truth set exact on the theta and BLAS tiers.
+    EXACTNESS CONTRACT, machine-visible two ways: (1) the output
+    carries a literal ``tier`` column (the chosen strategy, also
+    recomputed arithmetically by the oracle from COUNT(*)/dim, so a
+    dispatch drift fails the hash gate loudly); (2) above the 2 GB
+    broadcast budget — where the only candidate path is lossy LSH
+    and "ground truth" would silently degrade to "high-recall
+    approximation" — this key RAISES instead of returning (the
+    facility_location coreset-guard precedent): measure approximate-
+    tier retrieval quality with sim_search_recall_eval, don't call
+    an approximation a truth set."""
+    from ..plans.distance_join import (
+        choose_strategy,
+        corpus_stats,
+        l2_topk_candidate_pairs,
+    )
 
     e = load(spark, sf_dir, "embeddings")
+    n_rows, dim = corpus_stats(e)
+    strategy = choose_strategy(n_rows, dim)
+    if strategy == "lsh_bucketed":
+        raise ValueError(
+            "knn_classify_eval is an EXACT leave-one-out truth set; at "
+            f"{n_rows} x {dim}-d the corpus exceeds the broadcast-BLAS "
+            "budget and only the lossy LSH candidate tier remains. "
+            "Refusing to emit an approximate confusion matrix as ground "
+            "truth — evaluate approximate tiers with "
+            "sim_search_recall_eval instead."
+        )
     a = e.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
@@ -829,7 +859,9 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.vector import l2_dist
 
-    cand = l2_topk_candidate_pairs(spark, e, n_cand=32)
+    cand = l2_topk_candidate_pairs(
+        spark, e, n_cand=32, strategy=strategy, dim=dim
+    )
     pairs = (
         cand.join(a, cand["vec_id"] == a["a_id"])
         .join(b, cand["neighbor"] == b["b_id"])
@@ -858,7 +890,11 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("true_label", F.col("nb_label").alias("predicted_label"))
     )
-    return pred.groupBy(
-        F.col("true_label").cast("int").alias("true_label"),
-        F.col("predicted_label").cast("int").alias("predicted_label"),
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        pred.groupBy(
+            F.col("true_label").cast("int").alias("true_label"),
+            F.col("predicted_label").cast("int").alias("predicted_label"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .withColumn("tier", F.lit(strategy))
+    )

@@ -1547,6 +1547,16 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = stats["n"]
     if n != stats["mx"] + 1:
         raise ValueError("graph_scc requires dense doc_ids 0..N-1")
+    if n > 8192:
+        # The registered oracle is unrolled at max_n_log2=13 (covers
+        # N <= 2^13); beyond that it under-doubles and would fail the
+        # hash gate as a SPURIOUS mismatch. Fail loudly instead (the
+        # dense-id-guard precedent). Lift by registering
+        # _scc_oracle(ceil(log2 N)) for the larger fixture.
+        raise ValueError(
+            f"graph_scc oracle is unrolled for N <= 8192 (got {n}); "
+            "re-register with _scc_oracle(max_n_log2=ceil(log2 N))"
+        )
     rounds = max(n - 1, 1).bit_length()  # 2^rounds >= n
 
     u = F.col("doc_id")

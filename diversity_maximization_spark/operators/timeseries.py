@@ -3179,15 +3179,16 @@ def ts_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit-root complement of ts_kpss (here the NULL is a unit root).
     Exactness: all ten regression moments are exact BIGINTs over
     integer cents; the 3x3 normal equations solve AND the (X'X)^-1
-    diagonal needed for the standard error replay the fixed-order
-    no-pivot _gauss_jordan elimination (behavior.py) — the oracle
-    unrolls the identical IEEE steps via _gauss_chain with the
-    matrix augmented by the identity; RSS and the t-stat evaluate
-    with the same fixed-order expression text in both engines —
-    bit-exact, no rounding. No pivoting is safe: X'X is positive
-    definite for a non-degenerate regressor set."""
-    from .behavior import _gauss_jordan
-
+    diagonal needed for the standard error use the same fixed-order
+    no-pivot elimination STEP as behavior._gauss_jordan
+    (f = A[i][p]/piv[p] over pre-step row values) — inlined here
+    because the matrix is identity-augmented to 3x7 to extract the
+    inverse diagonal, a shape _gauss_jordan's n x (n+1) contract
+    doesn't cover; the oracle unrolls the identical IEEE steps via
+    _gauss_chain with the same augmentation. RSS and the t-stat
+    evaluate with the same fixed-order expression text in both
+    engines — bit-exact, no rounding. No pivoting is safe: X'X is
+    positive definite for a non-degenerate regressor set."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.sum(F.expr(cents("value"))).cast("bigint").alias("c")

@@ -167,7 +167,19 @@ def blas_topk_candidates(
                     s = s.copy()
                     s[self_pos] = -np.inf
                 m = min(n_cand, len(s) - (self_pos is not None))
-                top = np.argpartition(-s, m - 1)[:m]
+                # Stable cut: argpartition alone keeps an ARBITRARY
+                # subset of equal-sim candidates at the boundary
+                # (duplicated embeddings make bit-equal sims real);
+                # the exact re-score ranks ties by neighbor id ASC, so
+                # the cut must too — resolve only the boundary tie
+                # group by cid ASC (O(n), same fix as the L2 variant).
+                part = np.argpartition(-s, m - 1)[:m]
+                thr = s[part].min()
+                strict = np.flatnonzero(s > thr)
+                ties = np.flatnonzero(s == thr)
+                need = m - len(strict)
+                keep = ties[np.argsort(cids[ties], kind="stable")[:need]]
+                top = np.concatenate([strict, keep])
                 out_q.append(np.full(m, qid, dtype=np.int64))
                 out_n.append(cids[top])
             yield pd.DataFrame(
@@ -379,7 +391,22 @@ def blas_l2_topk_candidates(
                     d = d.copy()
                     d[self_pos] = np.inf
                 m = min(n_cand, len(d) - (self_pos is not None))
-                top = np.argpartition(d, m - 1)[:m]
+                # argpartition alone keeps an ARBITRARY subset of
+                # equal-distance candidates at the cut boundary; the
+                # downstream exact ranking (and the all-pairs oracle)
+                # breaks distance ties by neighbor id ASC, so the cut
+                # must too (same discipline as the IVF _score lexsort,
+                # llm/simsearch.py). O(n) exact: partition, then
+                # resolve only the boundary tie group by cid ASC.
+                # thr is always finite: the single inf (self) can't be
+                # among the m smallest because m <= #finite entries.
+                part = np.argpartition(d, m - 1)[:m]
+                thr = d[part].max()
+                strict = np.flatnonzero(d < thr)
+                ties = np.flatnonzero(d == thr)
+                need = m - len(strict)
+                keep = ties[np.argsort(cids[ties], kind="stable")[:need]]
+                top = np.concatenate([strict, keep])
                 out_q.append(np.full(m, qid, dtype=np.int64))
                 out_n.append(cids[top])
             yield pd.DataFrame(

@@ -67,80 +67,77 @@ def query(
 
 # The driver's correctness gate checks the FIRST 50 keys in
 # registration order. The window rotates per round to the keys that
-# most need DRIVER verification now. After r4's clean sweep the
-# cumulative driver-verified count is 189 with zero red; round 5
-# continues the never-sampled rotation the r4 verdict prescribed:
-# (a) the six oracle-bearing SURVEY §2.2 A–L stragglers — closing
-# out the declared core; (b) the round-4 unrolled-recurrence oracle
-# conversions that never faced the driver; (c) the two keys CHANGED
-# this round (knn_classify_eval's dispatch gate, facility_location's
-# coreset guard) — their green rows prove the fixes kept the hash;
-# (d) a spread over the newest round-4 analytics waves plus the
-# three keys whose intentional crosses the stale lint flagged
-# (driver proof that the answers were right all along).
+# most need DRIVER verification now. After r5's clean sweep the
+# cumulative driver-verified count is 239 with zero red; round 6
+# continues the never-sampled rotation the r5 verdict prescribed
+# ("the single highest-leverage action while 289/528 lack the hard
+# signal"):
+# (a) knn_classify_eval — CHANGED this round (tier column + LSH-tier
+# guard + stable candidate-cut tie-break, per ADVICE r5) so its r5
+# green row is stale; the new row proves the contract change against
+# the updated oracle;
+# (b) the eight post-full-sweep round-5 additions the verdict named
+# first (their r5 artifact rows came from targeted runs, not the
+# full sweep);
+# (c) the remaining never-sampled backlog in NEVER_SAMPLED.md order
+# (newest waves first) — 41 keys spanning the round-4 analytics,
+# finance/ts, graph and sampling waves.
 # Every key here MUST have an oracle (a no-oracle key in the
 # window is an automatic err slot) — enforced in tests.
 CHECK_WINDOW: list[str] = [
-    # (a) §2.2 A–L oracle-bearing stragglers
-    "div_eval_tree",
-    "div_eval_cycle",
-    "div_matching",
-    "div_local_search",
-    "div_matroid_partition",
-    "dedup_components",
-    # (b) round-4 unrolled-recurrence conversions, never driver-faced
-    "select_mmr",
-    "div_kmeans",
-    "div_coreset_tree",
-    "text_pagerank_exact",
-    "ts_downsample_lttb",
-    "div_gmm_cosine",
-    "source_random_points",
-    # (c) keys changed in round 5 — same-hash proof of the fixes
+    # (a) changed this round — driver re-proof of the new contract
     "knn_classify_eval",
-    "select_facility_location",
-    # (d) the three stale-lint keys (intentional bounded crosses)
-    "agg_anova_twoway",
-    "agg_mde_curve",
-    "ts_best_split",
-    # (e) round-5 rows-only -> hash-checked conversions — driver
-    # proof that the converted pipelines (portable simhash family,
-    # retiered cascade, deterministic late-data replay, fold-exact
-    # IVF + recall eval, fold-exact PQ) hash-match
-    "dedup_simhash",
-    "dedup_cascade_report",
-    "stream_late_data",
-    "sim_search_ivf",
-    "sim_search_recall_eval",
-    "embed_pq",
-    # (f) round-5 new keys — first driver exposure
-    "agg_kruskal_wallis",
-    "agg_friedman_test",
-    "agg_moods_median",
-    "agg_hodges_lehmann",
-    "ts_page_hinkley",
-    "ts_variance_ratio",
-    "win_rolling_beta",
-    "text_yule_k",
-    "text_mattr",
-    "graph_scc",
-    "survival_logrank",
-    "agg_gini_impurity",
-    "agg_price_elasticity",
-    "ts_hurst_rs",
-    "ts_seasonal_strength",
-    # (g) round-4 third-session analytics wave (never sampled)
-    "agg_srm_check",
-    "graph_modularity",
-    "attribution_shapley",
-    "graph_clustering_coeff",
-    "text_rake_words",
-    "win_longest_streak",
-    "graph_hits",
-    "agg_tost_equivalence",
-    "agg_mantel_haenszel",
-    "dedup_cluster_sizes",
-    "text_good_turing",
+    # (b) the eight verdict-named post-sweep r5 additions
+    "agg_brier_score",
+    "ts_cointegration",
+    "ts_adf",
+    "agg_conformal_interval",
+    "agg_benjamini_hochberg",
+    "ts_kpss",
+    "agg_permutation_test",
+    "corpus_bigram_entropy",
+    # (c) never-sampled backlog, NEVER_SAMPLED.md order
+    "attribution_model_compare",
+    "corpus_vocab_growth",
+    "conversion_horizon_cdf",
+    "ts_gini_daily",
+    "agg_proportion_sizing",
+    "agg_risk_difference",
+    "ts_obv",
+    "rolling_stickiness",
+    "agg_expected_shortfall",
+    "agg_abc_classification",
+    "graph_rich_club",
+    "win_rank_movers",
+    "interval_allocate_hours",
+    "agg_kmeans_silhouette",
+    "geo_dbscan",
+    "sink_integrity_manifest",
+    "ts_time_underwater",
+    "agg_revenue_retention",
+    "agg_growth_accounting",
+    "agg_new_vs_returning",
+    "fn_semver",
+    "agg_price_volume_mix",
+    "agg_simpsons_paradox",
+    "ts_time_weighted_return",
+    "fn_luhn",
+    "text_word_burstiness",
+    "dedup_threshold_sweep",
+    "sample_pps_systematic",
+    "agg_gumbel_daily_max",
+    "ts_record_highs",
+    "agg_eb_shrinkage",
+    "ts_ulcer_index",
+    "agg_decile_lift",
+    "agg_overdispersion",
+    "ts_croston",
+    "er_fs_weights",
+    "win_alarm_debounce",
+    "ts_holt_winters",
+    "agg_theil_index",
+    "ts_sma_crossover",
+    "join_asof_forward",
 ]
 
 
