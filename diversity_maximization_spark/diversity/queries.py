@@ -193,6 +193,85 @@ def div_eval_bipartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(vals, "objective string, value double")
 
 
+_BIPART14_FILTER = "vec_id % 25 = 0 AND vec_id < 350"  # exactly 14 pts
+
+_BIPART14_ORACLE = f"""
+WITH cand AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, embedding
+  FROM embeddings WHERE {_BIPART14_FILTER}
+), pairs AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(round({V.duck_l2_dist('a.embedding', 'b.embedding')} * 1e9)
+              AS BIGINT) AS dq
+  FROM cand a JOIN cand b ON a.i < b.i
+), masks AS (
+  SELECT m FROM (SELECT unnest(generate_series(0, 16383)) AS m)
+  WHERE bit_count(m) = 7 AND (m & 1) = 1
+), cuts AS (
+  SELECT m, SUM(CASE WHEN ((m >> i) & 1) <> ((m >> j) & 1)
+                     THEN dq ELSE 0 END) AS cut
+  FROM masks, pairs GROUP BY m
+)
+SELECT 'bipartition14' AS objective,
+       round(CAST(MIN(cut) AS DOUBLE) / 1e9, 6) AS value
+FROM cuts
+"""
+
+
+@query(
+    "div_eval_bipartition_exhaustive",
+    bounded_cross="constant 1716-mask x 91-pair enumeration grid over a "
+    "14-point seeded candidate subset — bound fixed by the key, not data",
+    oracle=_BIPART14_ORACLE,
+)
+def div_eval_bipartition_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT remote-bipartition value of a fixed 14-point candidate
+    subset (vec_id % 25 = 0, vec_id < 350 — present at every fixture
+    SF) — the driver-facing hash-checked companion of
+    div_eval_bipartition, whose full candidate set is past the
+    exhaustive bound and evaluates by swap descent (rows-only,
+    descent-vs-exhaustive cross-checked in tests). Here BOTH engines
+    enumerate every balanced bipartition outright: masks m over 14
+    bits with popcount 7 and bit 0 fixed (C(13,6) = 1716 — the same
+    halved enumeration as kernel.eval_bipartition), pair distances
+    are the fold-exact L2 quantized once to integer nano-units, and
+    each cut is an exact BIGINT sum over the 91-pair grid, so shuffle
+    order cannot perturb the minimum. min balanced cut is NP-hard in
+    general; at a pinned k=14 the enumeration is a 156k-row constant
+    grid that Catalyst evaluates entirely in whole-stage codegen."""
+    cand = load(spark, sf_dir, "embeddings").filter(_BIPART14_FILTER)
+    # bounded: 14-row candidate set, unpartitioned window is constant
+    w = Window.orderBy("vec_id")
+    idx = cand.select(
+        (F.row_number().over(w) - 1).alias("i"), "vec_id", "embedding"
+    )
+    a = idx.select(F.col("i"), F.col("embedding").alias("ea"))
+    b = idx.select(F.col("i").alias("j"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        F.round(V.l2_dist("ea", "eb") * 1e9).cast("bigint").alias("dq"),
+    )
+    masks = (
+        spark.range(0, 16384)
+        .select(F.col("id").alias("m"))
+        .filter("bit_count(m) = 7 AND (m & 1) = 1")
+    )
+    cuts = (
+        masks.crossJoin(pairs)
+        .filter(
+            "(shiftright(m, CAST(i AS INT)) & 1) <> "
+            "(shiftright(m, CAST(j AS INT)) & 1)"
+        )
+        .groupBy("m")
+        .agg(F.sum("dq").alias("cut"))
+    )
+    return cuts.agg(
+        F.lit("bipartition14").alias("objective"),
+        F.round(F.min("cut").cast("double") / F.lit(1e9), 6).alias("value"),
+    )
+
+
 def _duck_sqdist(a: str, b: str) -> str:
     """Squared-L2 as a strict left fold — bit-identical to
     gmm._sqdist_to_lit's aggregate(zip_with(...)) (list_sum is a

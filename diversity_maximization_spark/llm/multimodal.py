@@ -151,10 +151,17 @@ def mpng_decode(data: bytes) -> list[bytes]:
 
 def _synth_payload(doc_id: int, text: str, media_type: str) -> bytes:
     """Deterministic REAL media file from the doc: PNG, WAV, or an
-    MPNG video container of N_TOTAL_FRAMES real PNG frames."""
-    seed = hashlib.sha256(f"{doc_id}:{text}".encode()).digest()
+    MPNG video container of N_TOTAL_FRAMES real PNG frames.
+
+    The byte stream is derived by HEX-STRING sha256 chaining
+    (sha256 over "seedhex:i" text, not raw digest bytes) so a SQL
+    engine with a VARCHAR-only sha256 (DuckDB) can regenerate the
+    identical bytes — that is what lets multimodal_decode_census
+    hash-check the whole synth -> encode -> decode pipeline against
+    an arithmetic replay that never touches a codec."""
+    seed_hex = hashlib.sha256(f"{doc_id}:{text}".encode()).hexdigest()
     stream = b"".join(
-        hashlib.sha256(seed + bytes([i])).digest() for i in range(26)
+        hashlib.sha256(f"{seed_hex}:{i}".encode()).digest() for i in range(26)
     )  # 832 bytes >= max(IMG_W*IMG_H*3 = 768, WAV_SAMPLES*2 = 800)
     if media_type == "image/png":
         return png_encode(stream[: IMG_W * IMG_H * 3], IMG_W, IMG_H)
@@ -165,7 +172,7 @@ def _synth_payload(doc_id: int, text: str, media_type: str) -> bytes:
     frames = []
     for i in range(N_TOTAL_FRAMES):
         fstream = b"".join(
-            hashlib.sha256(seed + b"frame%d" % i + bytes([j])).digest()
+            hashlib.sha256(f"{seed_hex}:frame{i}:{j}".encode()).digest()
             for j in range(24)
         )  # 768 bytes = IMG_W*IMG_H*3
         frames.append(png_encode(fstream[: IMG_W * IMG_H * 3], IMG_W, IMG_H))
@@ -250,6 +257,96 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, media_type string, n_bytes int, width int, height int, "
         "mean_luma double",
     )
+
+
+def _duck_stream_bytes(hashes_expr: str) -> str:
+    """DuckDB: flatten a list of sha256 hex strings into the byte list
+    they encode (2 hex nibbles per byte, 32 bytes per hash) — the
+    exact bytes hashlib .digest() concatenation produces."""
+    nib = "strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1"
+    b0 = nib.format(pos="2 * o + 1")
+    b1 = nib.format(pos="2 * o + 2")
+    return (
+        f"flatten(list_transform({hashes_expr}, "
+        f"h -> list_transform(generate_series(0, 31), "
+        f"o -> ({b0}) * 16 + ({b1}))))"
+    )
+
+
+def _decode_census_oracle() -> str:
+    """Arithmetic replay of multimodal_decode's (width, height,
+    mean_luma) WITHOUT any codec: regenerate the synth byte stream by
+    the same hex-string sha256 chain, then compute what the PNG/WAV/
+    MPNG decode MUST report if every encoder/decoder round-trips
+    bit-exactly. Luma/amplitude sums are the same left folds in the
+    same term order; round_even mirrors Python round (half-even)."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    vid_hashes = (
+        "list_transform(generate_series(0, 23), "
+        "j -> sha256(seed || ':frame0:' || CAST(j AS VARCHAR)))"
+    )
+    luma = (
+        "round_even(list_sum(list_transform(generate_series(0, 255), "
+        "p -> CAST(0.299 AS DOUBLE) * bs[3 * p + 1] "
+        "+ CAST(0.587 AS DOUBLE) * bs[3 * p + 2] "
+        "+ CAST(0.114 AS DOUBLE) * bs[3 * p + 3])) / 256 / 255.0, 6)"
+    )
+    amp = (
+        "round_even(CAST(list_sum(list_transform(generate_series(0, 399), "
+        "k -> abs(CASE WHEN bs[2 * k + 1] + 256 * bs[2 * k + 2] >= 32768 "
+        "THEN bs[2 * k + 1] + 256 * bs[2 * k + 2] - 65536 "
+        "ELSE bs[2 * k + 1] + 256 * bs[2 * k + 2] END))) AS DOUBLE) "
+        "/ 400 / 32768.0, 6)"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         ['image/png', 'audio/wav', 'video/mpng'][CAST(doc_id % 3 AS INT) + 1]
+           AS media_type,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents
+), streams AS MATERIALIZED (
+  SELECT doc_id, media_type,
+         CASE WHEN media_type = 'video/mpng'
+              THEN {_duck_stream_bytes(vid_hashes)}
+              ELSE {_duck_stream_bytes(img_hashes)} END AS bs
+  FROM base
+)
+SELECT doc_id, media_type,
+       CAST(CASE media_type WHEN 'image/png' THEN {IMG_W}
+            WHEN 'audio/wav' THEN {WAV_SAMPLES} ELSE 8 END AS INT) AS width,
+       CAST(CASE media_type WHEN 'image/png' THEN {IMG_H}
+            WHEN 'audio/wav' THEN {WAV_RATE} ELSE {IMG_W} END AS INT) AS height,
+       CASE WHEN media_type = 'audio/wav' THEN {amp} ELSE {luma} END
+         AS mean_luma
+FROM streams
+"""
+
+
+@query("multimodal_decode_census", oracle=_decode_census_oracle())
+def multimodal_decode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked census of the multimodal pipeline — the SQL-
+    verifiable projection of multimodal_decode (everything but
+    n_bytes, whose DEFLATE-compressed length no second engine can
+    predict). The engine runs the REAL pipeline: synth bytes ->
+    stdlib PNG/WAV/MPNG encode -> container -> CRC-checked decode ->
+    features. The oracle regenerates the synth bytes by the same
+    hex-chained sha256 and computes the expected decode report with
+    pure arithmetic — so any corruption anywhere in the codec round
+    trip (filter bytes, chunk framing, PCM packing, frame order)
+    lands as a hash mismatch on the affected doc. The N_TOTAL_FRAMES
+    and geometry constants are replayed as literals; luma/amplitude
+    means are identical left folds term by term."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d)
+    return media.mapInPandas(
+        _decode_batches,
+        "doc_id bigint, media_type string, n_bytes int, width int, "
+        "height int, mean_luma double",
+    ).select("doc_id", "media_type", "width", "height", "mean_luma")
 
 
 TARGET_W, TARGET_H = 32, 32

@@ -460,17 +460,51 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_embedding_lsh")  # rows-only: approximate; recall tested vs exact
+def _lsh_dedup_oracle(n_bands: int = 8) -> str:
+    from ..plans.distance_join import duck_simhash_sigs
+
+    sig_case = " ".join(f"WHEN {b} THEN sig{b}" for b in range(n_bands))
+    cos = V.duck_cosine_sim("ea.embedding", "eb.embedding")
+    return f"""
+WITH sigs AS MATERIALIZED (
+  SELECT vec_id, {duck_simhash_sigs('embedding')} FROM embeddings
+), banded AS MATERIALIZED (
+  SELECT vec_id, b AS band_id, CASE b {sig_case} END AS sig
+  FROM sigs, (SELECT unnest(generate_series(0, {n_bands - 1})) AS b)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM banded a JOIN banded b
+    ON a.band_id = b.band_id AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b, round({cos}, 6) AS cos_sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {cos} > 0.35
+"""
+
+
+@query("dedup_embedding_lsh", oracle=_lsh_dedup_oracle())
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs via the no-broadcast LSH-bucketed
     strategy (plans/distance_join.py strategy 3) — the plan shape that
     survives 100 TB: SimHash band signatures as shuffle equi-join
     keys, exact fold re-score of colliding pairs. Output is a subset
-    of dedup_embedding; recall asserted in tests/test_llm.py."""
+    of dedup_embedding; recall asserted in tests/test_llm.py.
+
+    Hash-checked since round 6 (was rows-only): the signature family
+    is the PORTABLE Rademacher tier (portable_simhash_bands — md5-
+    derived +-1 plane literals, strict-left-fold projections), so
+    DuckDB replays signatures, banding, candidate join, and the exact
+    fold re-score bit-for-bit. The numpy/gaussian tier remains the
+    dispatch path inside distance_join for the keys where exact
+    replay isn't required — the same certified-twin pattern as
+    dedup_minhash (xxhash64) vs dedup_minhash_certified (md5)."""
     thresh = 0.35
     e = load(spark, sf_dir, "embeddings")
-    dim = len(e.select("embedding").first()[0])
-    cand = lsh_candidate_pairs(e, dim)
+    from ..plans.distance_join import portable_lsh_candidate_pairs
+
+    cand = portable_lsh_candidate_pairs(e, EMBEDDING_DIM)
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     return (

@@ -1557,6 +1557,17 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"graph_scc oracle is unrolled for N <= 8192 (got {n}); "
             "re-register with _scc_oracle(max_n_log2=ceil(log2 N))"
         )
+    return _scc_pointer_doubling(d, n)
+
+
+def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
+    """The graph_scc engine core, oracle-free: pointer-doubling SCC
+    over succ(u) = (u * 2654435761 mod 2^32) mod n for a documents
+    frame with dense doc_ids 0..n-1. Split out so the scale-ladder
+    probe (tools/scale_ladder.py) can measure the ENGINE beyond the
+    registered oracle's N <= 8192 unroll ceiling — the ceiling is an
+    oracle artifact, not an engine limit (the engine is 2*ceil(log2 n)
+    equi-join rounds at any n)."""
     rounds = max(n - 1, 1).bit_length()  # 2^rounds >= n
 
     u = F.col("doc_id")

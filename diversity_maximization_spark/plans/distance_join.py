@@ -272,6 +272,132 @@ def simhash_bands(
     )
 
 
+def portable_planes(n_planes: int = 32, dim: int = 64) -> list[list[float]]:
+    """Deterministic Rademacher (+-1) hyperplane family derived from
+    md5 — the PORTABLE SimHash tier. Sign-random-projection needs only
+    a symmetric coordinate distribution, so +-1 entries are as valid
+    as gaussians (Achlioptas-style sparse/signed projections, public
+    result) and make the projection EXACTLY replayable: plane values
+    are embedded as literals in both engines (the Python-literal
+    recipe), and the projection is a strict left fold both sides —
+    no BLAS summation-order gap, no sign flips at proj ~ 0."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"plane|{p}|{d}".encode()).digest()[0] % 2
+            else -1.0
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def portable_simhash_bands(
+    e: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """(vec_id, band_id, sig) band signatures from the portable
+    Rademacher planes, computed entirely JVM-side: each projection is
+    aggregate(zip_with(embedding, plane, *), +) — a strict left fold,
+    bit-identical to DuckDB's list_sum replay (duck_simhash_sigs), so
+    the banded candidate set is hash-checkable. Same output contract
+    as simhash_bands (the numpy/gaussian production tier kept for the
+    dispatch path, where exact replay isn't required)."""
+    planes = portable_planes(n_planes, dim)
+    per = n_planes // bands
+
+    def proj(p: int):
+        plane = F.array(*[F.lit(v) for v in planes[p]])
+        return F.aggregate(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                plane,
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            sum(
+                (
+                    F.when(proj(b * per + r) >= 0, F.lit(1 << r)).otherwise(
+                        F.lit(0)
+                    )
+                    for r in range(per)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    return e.select(
+        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(
+        "vec_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.sig").alias("sig"),
+    )
+
+
+def duck_simhash_sigs(
+    emb_expr: str = "embedding",
+    n_planes: int = 32,
+    bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """DuckDB scalar expressions replaying portable_simhash_bands'
+    band signatures bit-for-bit: same plane literals, same left-fold
+    projection (list_sum over an index-ordered list_transform), same
+    bit packing. Returns a SELECT-list fragment 'sig0, sig1, ...'."""
+    planes = portable_planes(n_planes, dim)
+    per = n_planes // bands
+
+    def proj(p: int) -> str:
+        lits = ", ".join(f"CAST({v!r} AS DOUBLE)" for v in planes[p])
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({emb_expr}[i] AS DOUBLE) * ([{lits}])[i]))"
+        )
+
+    sigs = []
+    for b in range(bands):
+        bits = " + ".join(
+            f"(CASE WHEN {proj(b * per + r)} >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(per)
+        )
+        sigs.append(f"CAST({bits} AS BIGINT) AS sig{b}")
+    return ", ".join(sigs)
+
+
+def portable_lsh_candidate_pairs(
+    e: DataFrame,
+    dim: int,
+    n_planes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Distinct (vec_a < vec_b) pairs colliding in >= 1 portable band
+    — same no-broadcast shuffle equi-join shape as
+    lsh_candidate_pairs, hash-checkable end to end."""
+    sig = portable_simhash_bands(e, dim, n_planes, bands)
+    a = sig.select(F.col("vec_id").alias("vec_a"), "band_id", "sig")
+    b = sig.select(F.col("vec_id").alias("vec_b"), "band_id", "sig")
+    return (
+        a.join(b, ["band_id", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+
+
 def lsh_candidate_pairs(
     e: DataFrame,
     dim: int,

@@ -141,7 +141,13 @@ def embedding_replay(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str
     return replay
 
 
-def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> DataFrame:
+def streaming_coreset_snapshots(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> DataFrame:
+    """All per-micro-batch snapshots (shard, seq, rank, vec_id,
+    weight, tau) of the serial streaming coreset — one snapshot per
+    replayed file. The final-seq slice is the coreset; the full table
+    is what the census key audits batch by batch."""
     replay = embedding_replay(spark, sf_dir, n_slices)
 
     st = (
@@ -171,7 +177,11 @@ def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> Da
         .start()
     )
     q.awaitTermination()
-    all_snaps = spark.table(name)
+    return spark.table(name)
+
+
+def streaming_coreset(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> DataFrame:
+    all_snaps = streaming_coreset_snapshots(spark, sf_dir, n_slices)
     last = all_snaps.agg(F.max("seq")).collect()[0][0]
     return all_snaps.filter(F.col("seq") == last).select(
         "rank", "vec_id", "weight", F.round("tau", 6).alias("tau")
@@ -193,19 +203,35 @@ def div_coreset_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_coreset(spark, sf_dir)
 
 
-def streaming_coreset_sharded(
+def shard_mix(col: str = "vec_id", n_shards: int = 4) -> F.Column:
+    """PORTABLE shard key: the Knuth multiplicative mix mapped through
+    [0, 1) then floor(u * n_shards) — never low-bits-mod-p (the
+    multiplier is 1 mod 4, so low bits track the id). Bit-identical in
+    DuckDB (`_duck_shard_mix`): the mix is exact integer arithmetic
+    below 2^63 and u is an exact dyadic rational, so the double
+    multiply/floor agree — which is what makes the per-shard census
+    key hash-checkable (xxhash64, the previous shard key, exists only
+    in Spark)."""
+    mix = (F.col(col) % F.lit(2147483648)) * F.lit(2654435761) % F.lit(
+        4294967296
+    )
+    return F.floor(
+        mix.cast("double") / F.lit(4294967296.0) * F.lit(n_shards)
+    ).cast("int")
+
+
+def _duck_shard_mix(col: str = "vec_id", n_shards: int = 4) -> str:
+    return (
+        f"CAST(floor((({col} % 2147483648) * 2654435761 % 4294967296)"
+        f" / 4294967296.0 * {n_shards}) AS INT)"
+    )
+
+
+def streaming_coreset_sharded_snapshots(
     spark: SparkSession, sf_dir: str, n_shards: int = 4, n_slices: int = 4
 ) -> DataFrame:
-    """Parallel stateful coreset: points are hash-sharded, each shard
-    key maintains its own (tau, centers) state concurrently in the
-    state store — n_shards independent doubling summaries built in one
-    streaming query. The per-shard coresets then COMPOSE exactly like
-    the MapReduce variant: union the weighted centers and re-merge
-    with the same fold (weights carried), giving a single summary of
-    <= k' centers. This is the scale shape: state is partitioned by
-    shard across executors, and only the tiny per-shard summaries meet
-    at the end."""
-    emb = load(spark, sf_dir, "embeddings")
+    """All per-micro-batch snapshots of the sharded streaming coreset
+    (one state key per shard, shard = the portable Knuth mix)."""
     replay = embedding_replay(spark, sf_dir, n_slices)
 
     st = (
@@ -217,7 +243,7 @@ def streaming_coreset_sharded(
 
     snap = (
         st.select(
-            F.pmod(F.xxhash64("vec_id"), F.lit(n_shards)).cast("int").alias("g"),
+            shard_mix("vec_id", n_shards).alias("g"),
             "vec_id",
             "embedding",
         )
@@ -239,12 +265,30 @@ def streaming_coreset_sharded(
         .start()
     )
     q.awaitTermination()
-    all_snaps = spark.table(name)
+    return spark.table(name)
+
+
+def streaming_coreset_sharded(
+    spark: SparkSession, sf_dir: str, n_shards: int = 4, n_slices: int = 4
+) -> DataFrame:
+    """Parallel stateful coreset: points are hash-sharded, each shard
+    key maintains its own (tau, centers) state concurrently in the
+    state store — n_shards independent doubling summaries built in one
+    streaming query. The per-shard coresets then COMPOSE exactly like
+    the MapReduce variant: union the weighted centers and re-merge
+    with the same fold (weights carried), giving a single summary of
+    <= k' centers. This is the scale shape: state is partitioned by
+    shard across executors, and only the tiny per-shard summaries meet
+    at the end. Shard key is the PORTABLE Knuth mix (shard_mix) so the
+    per-shard census is hash-checkable in DuckDB."""
+    emb = load(spark, sf_dir, "embeddings")
+    all_snaps = streaming_coreset_sharded_snapshots(
+        spark, sf_dir, n_shards, n_slices
+    )
 
     # final snapshot per shard (seq counts per key, so max per shard)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("shard").orderBy(F.col("seq").desc(), "rank")
     latest = (
         all_snaps.withColumn(
             "is_last",
@@ -287,6 +331,80 @@ def streaming_coreset_sharded(
 def div_coreset_stream_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sharded parallel streaming coreset + composition."""
     return streaming_coreset_sharded(spark, sf_dir)
+
+
+def _census_oracle(n_slices: int = 4) -> str:
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM embeddings),
+seqs AS (SELECT unnest(generate_series(1, {n_slices})) AS seq)
+SELECT CAST(s.seq AS INT) AS seq,
+       CAST((SELECT COUNT(*) FROM embeddings e, nn
+             WHERE s.seq = {n_slices}
+                OR e.vec_id < s.seq * greatest(1, CAST(nn.n // {n_slices} AS BIGINT))
+            ) AS BIGINT) AS total_weight
+FROM seqs s ORDER BY seq
+"""
+
+
+@query("stream_coreset_census", oracle=_census_oracle())
+def stream_coreset_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-by-batch MASS-CONSERVATION census of the serial streaming
+    coreset — the hash-checked half of the streaming-coreset contract.
+    The doubling fold conserves weight (a merged center's delegate
+    count moves to its survivor), so after micro-batch s the snapshot's
+    total weight must equal the number of points the replay has
+    delivered — which the oracle computes INDEPENDENTLY from the
+    deterministic vec_id slicing (batch i carries vec_id in
+    [i*per, (i+1)*per), per = n // n_slices; the last batch carries
+    the tail). A dropped or double-counted point at ANY batch
+    boundary — state-store fault, replay misorder, a fold that leaks
+    weight on overflow re-merge — breaks the hash at the exact seq it
+    happens. What this census deliberately does NOT gate: the center
+    GEOMETRY, which stays pinned by the radius/cardinality invariant
+    tests and the batch-boundary-independence hash gates in
+    tests/test_streaming.py (the fold itself is not SQL-expressible —
+    its overflow re-merge loop is data-dependent; see NEVER_SAMPLED.md
+    for the measured infeasibility precedent)."""
+    snaps = streaming_coreset_snapshots(spark, sf_dir)
+    return (
+        snaps.groupBy(F.col("seq").cast("int").alias("seq"))
+        .agg(F.sum("weight").cast("bigint").alias("total_weight"))
+        .orderBy("seq")
+    )
+
+
+@query(
+    "stream_coreset_shard_census",
+    oracle=f"""
+SELECT {_duck_shard_mix("vec_id", 4)} AS shard,
+       CAST(COUNT(*) AS BIGINT) AS total_weight
+FROM embeddings GROUP BY 1 ORDER BY shard
+""",
+)
+def stream_coreset_shard_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard mass-conservation census of the SHARDED streaming
+    coreset: each shard key's final snapshot must carry exactly the
+    weight of the points the portable Knuth-mix router sent it, which
+    the oracle recomputes from scratch with the bit-identical mix
+    (shard_mix / _duck_shard_mix — exact integer arithmetic plus an
+    exact dyadic double divide, so both engines route every vec_id to
+    the same shard). This hash-gates the scale-path machinery the
+    serial census can't see: shard routing, per-key state isolation in
+    the state store, and weight conservation within every concurrent
+    fold. Center geometry stays invariant-pinned (see
+    stream_coreset_census)."""
+    snaps = streaming_coreset_sharded_snapshots(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    final = snaps.withColumn(
+        "is_last",
+        F.col("seq") == F.max("seq").over(Window.partitionBy("shard")),
+    ).filter("is_last")
+    return (
+        final.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.sum("weight").cast("bigint").alias("total_weight"))
+        .orderBy("shard")
+    )
 
 
 class _CoresetProcessor:
