@@ -29,7 +29,6 @@ from ..plans.distance_join import (
 from ..registry import query
 from ..sources import load
 from ..sources.tables import EMBEDDING_DIM
-from ..diversity import kernel as K
 
 TOPK = 5
 
@@ -302,18 +301,12 @@ def _duck_fold_d2(a: str, b: str) -> str:
     )
 
 
-def _ivf_oracle_ctes(
-    n_centroids: int = 16, nprobe: int = 8, sample_n: int = 512
-) -> str:
-    """CTE chain replaying the ENTIRE IVF pipeline in DuckDB: the
-    fold-exact farthest-first traversal over the first-512 sample
-    (unrolled n_centroids-1 rounds, MATERIALIZED — see the
-    unrolled-recurrence doctrine in PLANS.md), the fold-exact probe
-    map and nearest-centroid assignment, then the exact fold-cosine
-    ranking within each query's probed buckets. No per-bucket cut is
-    replayed: the oracle IS the exact top-k within probed buckets,
-    which the engine's k+3 BLAS prune margin guarantees it returns.
-    Ends with `ranked` (vec_id, neighbor, sim, rn)."""
+def _ff_head_ctes(n_centroids: int = 16, sample_n: int = 512) -> list[str]:
+    """CTE fragments replaying the fold-exact farthest-first traversal
+    over the first-`sample_n` sample, ending with `cents`
+    (cidx, vec_id, embedding) — shared by the IVF and SemDeDup
+    oracles (both engines pick centroids with _ff_foldexact over the
+    same sample, so one replay serves both)."""
     d2 = _duck_fold_d2
     parts = [
         f"""samp AS MATERIALIZED (
@@ -352,6 +345,48 @@ def _ivf_oracle_ctes(
         ]
     )
     parts.append(f"cents AS MATERIALIZED ({cents})")
+    return parts
+
+
+def _assign_ctes() -> list[str]:
+    """CTE fragments for the fold-exact nearest-centroid assignment
+    (`ad`, then `asg` with the squared-norm fold) — the replay of
+    _assign_centroids' argmin-with-lowest-cidx-tie-break."""
+    d2 = _duck_fold_d2
+    return [
+        f"""ad AS (
+  SELECT e.vec_id, e.embedding, c.cidx,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {d2('e.embedding', 'c.embedding')} ASC,
+                                     c.cidx ASC) AS rn
+  FROM embeddings e, cents c
+)""",
+        """asg AS MATERIALIZED (
+  SELECT vec_id,
+         embedding,
+         list_sum(list_transform(generate_series(1, len(embedding)),
+           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
+           AS sq,
+         cidx AS bucket
+  FROM ad WHERE rn = 1
+)""",
+    ]
+
+
+def _ivf_oracle_ctes(
+    n_centroids: int = 16, nprobe: int = 8, sample_n: int = 512
+) -> str:
+    """CTE chain replaying the ENTIRE IVF pipeline in DuckDB: the
+    fold-exact farthest-first traversal over the first-512 sample
+    (unrolled n_centroids-1 rounds, MATERIALIZED — see the
+    unrolled-recurrence doctrine in PLANS.md), the fold-exact probe
+    map and nearest-centroid assignment, then the exact fold-cosine
+    ranking within each query's probed buckets. No per-bucket cut is
+    replayed: the oracle IS the exact top-k within probed buckets,
+    which the engine's k+3 BLAS prune margin guarantees it returns.
+    Ends with `ranked` (vec_id, neighbor, sim, rn)."""
+    d2 = _duck_fold_d2
+    parts = _ff_head_ctes(n_centroids, sample_n)
     parts.append(
         f"""pd AS (
   SELECT a.cidx AS bucket, b.cidx AS probe,
@@ -362,26 +397,7 @@ def _ivf_oracle_ctes(
 )"""
     )
     parts.append(f"probes AS (SELECT bucket, probe FROM pd WHERE rn <= {nprobe})")
-    parts.append(
-        f"""ad AS (
-  SELECT e.vec_id, e.embedding, c.cidx,
-         ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                            ORDER BY {d2('e.embedding', 'c.embedding')} ASC,
-                                     c.cidx ASC) AS rn
-  FROM embeddings e, cents c
-)"""
-    )
-    parts.append(
-        """asg AS MATERIALIZED (
-  SELECT vec_id,
-         embedding,
-         list_sum(list_transform(generate_series(1, len(embedding)),
-           i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))
-           AS sq,
-         cidx AS bucket
-  FROM ad WHERE rn = 1
-)"""
-    )
+    parts.extend(_assign_ctes())
     dot = (
         "list_sum(list_transform(generate_series(1, len(q.embedding)), "
         "i -> CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)))"
@@ -623,7 +639,57 @@ SEMDEDUP_THRESHOLD = 0.96
 SEMDEDUP_CLUSTERS = 16
 
 
-@query("dedup_semdedup")  # rows-only: iterative float clustering
+def _semdedup_oracle(t: float = 0.96) -> str:
+    """Full SQL replay of the SemDeDup pipeline: the shared FF-
+    centroid + assignment CTEs (identical to the IVF oracle's — both
+    engines cluster with the same fold-exact traversal over the same
+    first-512 sample), per-cluster vec_id ordering, the within-cluster
+    pairwise fold-cosine table, then the GREEDY KEEP RECURRENCE as a
+    recursive CTE carrying each cluster's kept-id list one rank at a
+    time — a row-wise iteration, so (unlike the unrolled chains) its
+    depth costs nothing at plan time."""
+    head = ",\n".join(_ff_head_ctes() + _assign_ctes())
+    dot = (
+        "list_sum(list_transform(generate_series(1, len(a.embedding)), "
+        "i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))"
+    )
+    cond = (
+        "COALESCE((SELECT MAX(pc.cos) FROM pc "
+        "WHERE pc.cluster = r.cluster AND pc.id_a = r.vec_id "
+        "AND list_contains(g.kept_ids, pc.id_b)), CAST(-2 AS DOUBLE)) "
+        f"<= CAST({t!r} AS DOUBLE)"
+    )
+    return f"""
+WITH RECURSIVE {head},
+rows_r AS MATERIALIZED (
+  SELECT bucket AS cluster, vec_id, embedding,
+         CASE WHEN sq = 0 THEN CAST(1 AS DOUBLE) ELSE sq END AS sqn,
+         ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+  FROM asg
+),
+pc AS MATERIALIZED (
+  SELECT a.cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+         {dot} / (sqrt(a.sqn) * sqrt(b.sqn)) AS cos
+  FROM rows_r a JOIN rows_r b
+    ON a.cluster = b.cluster AND a.vec_id <> b.vec_id
+),
+g AS (
+  SELECT cluster, rn, vec_id, TRUE AS kept, [vec_id] AS kept_ids
+  FROM rows_r WHERE rn = 1
+  UNION ALL
+  SELECT cluster, rn, vec_id, k AS kept,
+         CASE WHEN k THEN list_append(kept_ids, vec_id)
+              ELSE kept_ids END AS kept_ids
+  FROM (
+    SELECT r.cluster, r.rn, r.vec_id, g.kept_ids, {cond} AS k
+    FROM g JOIN rows_r r ON r.cluster = g.cluster AND r.rn = g.rn + 1
+  )
+)
+SELECT vec_id, CAST(cluster AS INT) AS cluster, kept FROM g
+"""
+
+
+@query("dedup_semdedup", oracle=_semdedup_oracle())
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -639,17 +705,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas greedy pass per cluster whose pairwise work is
     sum(|cluster|^2) << n^2 and embarrassingly parallel across
     clusters. Ascending-id greedy order makes the kept set
-    deterministic on any layout (pinned by tests against a local
-    numpy replay). Returns every vector with its cluster and
-    kept/dropped verdict."""
+    deterministic on any layout. Returns every vector with its
+    cluster and kept/dropped verdict.
+
+    Hash-checked since round 6 (was rows-only): centroids come from
+    the same fold-exact traversal as the IVF index (_ff_foldexact
+    over the first-512 sample — one SQL replay serves both), and the
+    greedy pass runs FOLD-EXACT too: squared norms and dot products
+    accumulate dim by dim (an elementwise += over the axis IS a left
+    fold per element), cosine = dot / (sqrt(sq_a) * sqrt(sq_b)) in
+    that exact expression order — bit-identical to the oracle's
+    list_sum folds, so every keep/drop decision replays in DuckDB's
+    recursive-CTE greedy (_semdedup_oracle)."""
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
     sample = e.orderBy("vec_id").limit(512).collect()
-    X = np.stack(
-        [np.asarray(r["embedding"], dtype=np.float64) for r in sample]
-    )
-    cidx, _, _ = K.farthest_first(X, SEMDEDUP_CLUSTERS, start=0)
+    Xf = [[float(v) for v in r["embedding"]] for r in sample]
+    X = np.array(Xf, dtype=np.float64)
+    cidx = _ff_foldexact(Xf, SEMDEDUP_CLUSTERS)
     data = _assign_centroids(e, X[cidx], "cluster")
     t = SEMDEDUP_THRESHOLD
 
@@ -658,15 +732,25 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         M = np.stack(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        M = M / norms[:, None]
+        # fold-exact squared norms: dim-by-dim += IS a left fold per row
+        sq = np.zeros(len(M))
+        for d in range(M.shape[1]):
+            sq += M[:, d] * M[:, d]
+        sq[sq == 0] = 1.0
+        rt = np.sqrt(sq)
         kept_rows: list[int] = []
         kept = np.zeros(len(pdf), dtype=bool)
         for i in range(len(pdf)):
-            if not kept_rows or (M[kept_rows] @ M[i]).max() <= t:
-                kept[i] = True
-                kept_rows.append(i)
+            if kept_rows:
+                dots = np.zeros(len(kept_rows))
+                Mk = M[kept_rows]
+                for d in range(M.shape[1]):
+                    dots += Mk[:, d] * M[i, d]
+                sims = dots / (rt[np.array(kept_rows)] * rt[i])
+                if sims.max() > t:
+                    continue
+            kept[i] = True
+            kept_rows.append(i)
         out = pdf[["vec_id", "cluster"]].copy()
         out["kept"] = kept
         return out

@@ -40,6 +40,31 @@ from pyspark.sql import functions as F
 # Corpus sizes (rows x dim x 8 bytes) up to ~2 GB use broadcast_blas.
 BROADCAST_BLAS_MAX_BYTES = 2 << 30
 
+# Per-task scratch cap for the BLAS tiers: the query-block x corpus
+# similarity/distance matrix is limited to ~64 MB of doubles
+# (8M cells). Without this, an Arrow batch of 10k rows against a
+# 20k-row corpus allocates 1.6 GB PER TASK (x32 concurrent tasks =
+# executor OOM/GC collapse) — measured as a >2 scaling slope in the
+# round-6 scale ladder before the cap. Each block is independent
+# per query row, so the cut changes nothing but peak memory.
+_BLAS_BLOCK_CELLS = 8 << 20
+
+
+def _query_block_rows(n_corpus: int) -> int:
+    return max(16, _BLAS_BLOCK_CELLS // max(n_corpus, 1))
+
+
+def _blocked(it, n_corpus: int):
+    """Re-chunk Arrow batches so each query block's corpus matrix
+    stays under _BLAS_BLOCK_CELLS doubles (rows are independent, so
+    this changes peak memory only)."""
+    blk = _query_block_rows(n_corpus)
+    for pdf in it:
+        for s in range(0, len(pdf), blk):
+            sub = pdf.iloc[s : s + blk]
+            if len(sub):
+                yield sub
+
 
 # Below this, the O(n^2) theta join is cheaper than a BLAS prefilter
 # pass (candidate sets from coresets/evaluators are tens of rows).
@@ -152,9 +177,7 @@ def blas_topk_candidates(
 
         cids, corpus = bc.value
         pos = {int(v): i for i, v in enumerate(cids)}
-        for pdf in it:
-            if not len(pdf):
-                continue
+        for pdf in _blocked(it, len(cids)):
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             S = An @ corpus.T
@@ -201,9 +224,7 @@ def blas_threshold_pairs(
         import pandas as pd
 
         cids, corpus = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
+        for pdf in _blocked(it, len(cids)):
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             S = An @ corpus.T
@@ -444,9 +465,7 @@ def blas_l2_threshold_pairs(
         import pandas as pd
 
         cids, B, b2 = bc.value
-        for pdf in it:
-            if not len(pdf):
-                continue
+        for pdf in _blocked(it, len(cids)):
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a2 = (A * A).sum(axis=1)
             D2 = a2[:, None] + b2[None, :] - 2.0 * (A @ B.T)
@@ -502,9 +521,7 @@ def blas_l2_topk_candidates(
 
         cids, B, b2 = bc.value
         pos = {int(v): i for i, v in enumerate(cids)}
-        for pdf in it:
-            if not len(pdf):
-                continue
+        for pdf in _blocked(it, len(cids)):
             A = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             a2 = (A * A).sum(axis=1)
             D2 = a2[:, None] + b2[None, :] - 2.0 * (A @ B.T)

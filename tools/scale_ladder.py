@@ -60,9 +60,21 @@ VOCAB = (
 ).split()
 
 
-def gen_rung(rung_dir: str, mult: int, seed: int = 20260815) -> None:
+def gen_rung(
+    rung_dir: str, mult: int, seed: int = 20260815, vocab_size: int = 0
+) -> None:
+    """vocab_size=0 keeps the fixture-like 32-token vocabulary (dense
+    shingle collisions — the fixture's own regime); vocab_size>0 draws
+    from a zipf-ish synthetic vocabulary of that size (realistic
+    corpus: sparse shingles, bounded LSH buckets)."""
     os.makedirs(rung_dir, exist_ok=True)
     rng = np.random.RandomState(seed + mult)
+    if vocab_size:
+        ranks = np.arange(1, vocab_size + 1, dtype=np.float64)
+        zipf_p = (1.0 / ranks) / (1.0 / ranks).sum()
+        vocab_arr = np.array([f"w{i}" for i in range(vocab_size)])
+    else:
+        zipf_p, vocab_arr = None, np.array(VOCAB)
 
     n_emb = BASE_EMB * mult
     centers = rng.randn(10, DIM) * 2.0
@@ -87,7 +99,9 @@ def gen_rung(rung_dir: str, mult: int, seed: int = 20260815) -> None:
             texts.append(texts[rng.randint(0, i)])
         else:
             texts.append(
-                " ".join(rng.choice(VOCAB, size=lengths[i]).tolist())
+                " ".join(
+                    rng.choice(vocab_arr, size=lengths[i], p=zipf_p).tolist()
+                )
             )
     langs = rng.choice(["en", "zh", "de", "fr"], size=n_doc)
     sources = np.array([f"src{i % 8}" for i in range(n_doc)])
@@ -118,6 +132,30 @@ def run_key(spark, key: str, rung_dir: str, n_doc: int) -> float:
     if key == "graph_scc":
         d = load(spark, rung_dir, "documents")
         _scc_pointer_doubling(d, n_doc).count()
+    elif key == "sim_search_lsh_probe":
+        # force the no-broadcast LSH tier regardless of corpus size:
+        # the 100 TB scale path whose slope must stay ~linear
+        from diversity_maximization_spark.functions import vector as V
+        from diversity_maximization_spark.plans.distance_join import (
+            lsh_candidate_pairs,
+        )
+        from diversity_maximization_spark.sources import load as _ld
+        from pyspark.sql import functions as SF
+
+        e = _ld(spark, rung_dir, "embeddings")
+        cand = lsh_candidate_pairs(e, 64)
+        a = e.select(
+            SF.col("vec_id").alias("vec_a"), SF.col("embedding").alias("ea")
+        )
+        b = e.select(
+            SF.col("vec_id").alias("vec_b"), SF.col("embedding").alias("eb")
+        )
+        (
+            cand.join(a, "vec_a")
+            .join(b, "vec_b")
+            .withColumn("cs", V.cosine_sim("ea", "eb"))
+            .filter(SF.col("cs") > 0.35)
+        ).count()
     else:
         registry.QUERIES[key](spark, rung_dir).count()
     return time.time() - t0
@@ -134,6 +172,8 @@ def main() -> int:
         ),
     )
     ap.add_argument("--out", default=".tmp/scale_ladder.json")
+    ap.add_argument("--vocab-size", type=int, default=0)
+    ap.add_argument("--ladder-dir", default=".tmp/ladder")
     args = ap.parse_args()
     rungs = [int(x) for x in args.rungs.split(",")]
     keys = args.keys.split(",")
@@ -145,18 +185,18 @@ def main() -> int:
     spark = get_spark("dms-scale-ladder")
 
     for m in rungs:
-        rd = f".tmp/ladder/L{m}"
+        rd = f"{args.ladder_dir}/L{m}"
         if not os.path.exists(f"{rd}/documents.parquet"):
             print(f"generating rung {m}x ...", flush=True)
-            gen_rung(rd, m)
+            gen_rung(rd, m, vocab_size=args.vocab_size)
 
     results: dict[str, dict] = {}
     for key in keys:
         # one untimed warm run at the smallest rung (JVM/codegen warm)
-        run_key(spark, key, f".tmp/ladder/L{rungs[0]}", BASE_DOC * rungs[0])
+        run_key(spark, key, f"{args.ladder_dir}/L{rungs[0]}", BASE_DOC * rungs[0])
         times: dict[int, float] = {}
         for m in rungs:
-            t = run_key(spark, key, f".tmp/ladder/L{m}", BASE_DOC * m)
+            t = run_key(spark, key, f"{args.ladder_dir}/L{m}", BASE_DOC * m)
             times[m] = round(t, 3)
             print(f"{key} @ {m}x: {t:.2f}s", flush=True)
         lo, hi = rungs[0], rungs[-1]
