@@ -1,0 +1,201 @@
+"""Property + plan tests for the round-6 operator wave.
+
+Round 6's additions are mostly rows-only -> hash-checked conversions
+(the oracle hash-match is the correctness gate); these tests pin the
+INVARIANTS that must hold at any scale factor and the cross-
+implementation identities the conversions rely on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from diversity_maximization_spark.registry import QUERIES
+from diversity_maximization_spark.sources import load
+
+
+# --- streaming-coreset census keys ----------------------------------------
+
+
+def test_stream_coreset_census_mass_conservation(spark, sf_dir):
+    rows = QUERIES["stream_coreset_census"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    seqs = sorted(r["seq"] for r in rows)
+    assert seqs == [1, 2, 3, 4]
+    by_seq = {r["seq"]: r["total_weight"] for r in rows}
+    # cumulative, monotone, ends at n (every point delivered once)
+    assert by_seq[4] == n
+    assert all(by_seq[s] <= by_seq[s + 1] for s in (1, 2, 3))
+
+
+def test_stream_coreset_shard_census_matches_routing(spark, sf_dir):
+    from diversity_maximization_spark.streaming.coreset import shard_mix
+
+    rows = QUERIES["stream_coreset_shard_census"](spark, sf_dir).collect()
+    got = {r["shard"]: r["total_weight"] for r in rows}
+    expected = {
+        r["g"]: r["cnt"]
+        for r in load(spark, sf_dir, "embeddings")
+        .select(shard_mix("vec_id", 4).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert got == expected
+    assert sum(got.values()) == load(spark, sf_dir, "embeddings").count()
+
+
+# --- exhaustive bipartition ------------------------------------------------
+
+
+def test_bipartition_exhaustive_matches_kernel(spark, sf_dir):
+    """The Spark mask-enumeration value must equal the driver kernel's
+    exhaustive optimum on the same 14 points (float-vs-quantized gap
+    is bounded by 91 * 0.5e-9)."""
+    from diversity_maximization_spark.diversity import kernel as K
+
+    r = QUERIES["div_eval_bipartition_exhaustive"](spark, sf_dir).collect()
+    assert len(r) == 1 and r[0]["objective"] == "bipartition14"
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 25 = 0 AND vec_id < 350")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(cand) == 14
+    X = np.stack([np.asarray(c["embedding"], dtype=np.float64) for c in cand])
+    D = K.pairwise_l2(X)
+    exact = K.eval_bipartition(D, exhaustive_max=14)
+    assert abs(r[0]["value"] - exact) < 1e-4
+
+
+# --- portable SimHash tier --------------------------------------------------
+
+
+def test_portable_planes_deterministic_and_balanced():
+    from diversity_maximization_spark.plans.distance_join import (
+        portable_planes,
+    )
+
+    p1 = portable_planes(32, 64)
+    p2 = portable_planes(32, 64)
+    assert p1 == p2
+    flat = [v for row in p1 for v in row]
+    assert set(flat) == {1.0, -1.0}
+    # md5 bits are unbiased: the +1 fraction is near 1/2
+    frac = sum(1 for v in flat if v > 0) / len(flat)
+    assert 0.4 < frac < 0.6
+
+
+def test_portable_lsh_subset_of_exact(spark, sf_dir):
+    """Every emitted near-dup pair must clear the exact threshold and
+    appear in the exact (oracled) dedup_embedding pair set."""
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_lsh"](spark, sf_dir).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding"](spark, sf_dir).collect()
+    }
+    assert lsh <= exact
+
+
+# --- SemDeDup fold-exact greedy ---------------------------------------------
+
+
+def test_semdedup_greedy_invariants(spark, sf_dir):
+    from diversity_maximization_spark.llm.simsearch import (
+        SEMDEDUP_THRESHOLD,
+        _fold_d2,
+    )
+
+    rows = QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    # first (lowest vec_id) member of every cluster is always kept
+    first = {}
+    for r in sorted(rows, key=lambda r: r["vec_id"]):
+        first.setdefault(r["cluster"], r)
+    assert all(r["kept"] for r in first.values())
+
+
+def test_semdedup_local_replay(spark, sf_dir):
+    """Driver-side replay of the fold-exact greedy must reproduce the
+    engine's kept set exactly (bit-identical decisions, not just
+    approximately equal)."""
+    from diversity_maximization_spark.llm.simsearch import (
+        SEMDEDUP_CLUSTERS,
+        SEMDEDUP_THRESHOLD,
+        _assign_centroids,
+        _ff_foldexact,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    sample = e.orderBy("vec_id").limit(512).collect()
+    Xf = [[float(v) for v in r["embedding"]] for r in sample]
+    cidx = _ff_foldexact(Xf, SEMDEDUP_CLUSTERS)
+    X = np.array(Xf, dtype=np.float64)
+    assigned = (
+        _assign_centroids(e, X[cidx], "cluster")
+        .select("vec_id", "cluster", "embedding")
+        .collect()
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["kept"])
+        for r in QUERIES["dedup_semdedup"](spark, sf_dir).collect()
+    }
+    t = SEMDEDUP_THRESHOLD
+    by_cluster: dict[int, list] = {}
+    for r in sorted(assigned, key=lambda r: r["vec_id"]):
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        kept_vecs: list[list[float]] = []
+        for r in members:
+            v = [float(x) for x in r["embedding"]]
+            sq = 0.0
+            for x in v:
+                sq += x * x
+            if sq == 0:
+                sq = 1.0
+            keep = True
+            for kv, ksq in kept_vecs:
+                dot = 0.0
+                for a, b in zip(v, kv):
+                    dot += a * b
+                if dot / ((sq**0.5) * (ksq**0.5)) > t:
+                    keep = False
+                    break
+            if keep:
+                kept_vecs.append((v, sq))
+            assert got[r["vec_id"]] == (cl, keep), (cl, r["vec_id"])
+
+
+# --- multimodal decode census ------------------------------------------------
+
+
+def test_multimodal_census_consistent_with_decode(spark, sf_dir):
+    """The census must be exactly the decode key minus n_bytes —
+    same rows, same values."""
+    dec = {
+        r["doc_id"]: (r["media_type"], r["width"], r["height"], r["mean_luma"])
+        for r in QUERIES["multimodal_decode"](spark, sf_dir).collect()
+    }
+    cen = {
+        r["doc_id"]: (r["media_type"], r["width"], r["height"], r["mean_luma"])
+        for r in QUERIES["multimodal_decode_census"](spark, sf_dir).collect()
+    }
+    assert dec == cen
+
+
+def test_blas_block_cap():
+    from diversity_maximization_spark.plans.distance_join import (
+        _BLAS_BLOCK_CELLS,
+        _query_block_rows,
+    )
+
+    assert _query_block_rows(20_000) * 20_000 <= _BLAS_BLOCK_CELLS
+    assert _query_block_rows(1) >= 16
+    # tiny corpora never block below 16 rows
+    assert _query_block_rows(10**9) == 16
