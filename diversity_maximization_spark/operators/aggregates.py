@@ -7408,3 +7408,63 @@ def agg_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ref_ss") / F.col("n_test"))
         ).alias("skill_vs_refit"),
     )
+
+
+@query(
+    "agg_pareto_front",
+    oracle=f"""
+SELECT p.p_partkey, {cents('p.p_retailprice')} AS price_cents,
+       CAST(p.p_size AS INT) AS p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part o
+  WHERE {cents('o.p_retailprice')} <= {cents('p.p_retailprice')}
+    AND o.p_size >= p.p_size
+    AND ({cents('o.p_retailprice')} < {cents('p.p_retailprice')}
+         OR o.p_size > p.p_size)
+)
+""",
+)
+def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SKYLINE operator: the Pareto frontier of parts minimizing
+    retail price while maximizing size — every part not DOMINATED by
+    another (cheaper-or-equal AND bigger-or-equal, strict somewhere).
+    The classic multi-criteria shortlist query (cheapest part at
+    every quality level).
+
+    Scale-correct plan that never sorts or self-joins the part table
+    globally: p_size is a BOUNDED domain (TPC-H: 1..50), so one
+    shuffle builds the 50-row (size -> min price) table, a bounded
+    suffix-min window over it yields min price among STRICTLY LARGER
+    sizes, and a broadcast join back flags dominance per row —
+    dominated iff a same-size part is strictly cheaper OR a larger
+    size exists at less-or-equal price. O(n) scan + O(sizes) state;
+    the naive NOT EXISTS theta join is the oracle, not the plan.
+    All comparisons on exact integer cents — hash-stable."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.expr(cents("p_retailprice")).alias("price_cents"),
+        F.col("p_size").cast("int").alias("p_size"),
+    )
+    by_size = p.groupBy("p_size").agg(F.min("price_cents").alias("minp"))
+    # bounded: p_size domain is 1..50 (TPC-H), so this window runs
+    # over at most 50 rows
+    w = Window.orderBy(F.col("p_size").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # the largest size has no larger sizes: empty frame -> NULL, which
+    # must mean "not dominated", not a three-valued-logic drop
+    sfx = by_size.select(
+        "p_size",
+        "minp",
+        F.coalesce(
+            F.min("minp").over(w), F.lit(2**62).cast("bigint")
+        ).alias("minp_larger"),
+    )
+    joined = p.join(F.broadcast(sfx), "p_size")
+    dominated = (F.col("minp") < F.col("price_cents")) | (
+        F.col("minp_larger") <= F.col("price_cents")
+    )
+    return joined.filter(~dominated).select(
+        "p_partkey", "price_cents", "p_size"
+    )

@@ -2882,3 +2882,110 @@ def survival_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > F.lit(3.841458820694124).cast("double")).alias("significant"),
     )
+
+
+_MAHA_CHI2_2_99 = 9.21034037197618  # chi-square(2) 99% point, public tables
+
+
+def _mahalanobis_oracle() -> str:
+    return f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS xc,
+         CAST(COUNT(*) AS BIGINT) AS yc
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+         CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+         CAST(SUM(yc * yc) AS BIGINT) AS syy,
+         CAST(SUM(xc * yc) AS BIGINT) AS sxy
+  FROM u
+), c AS (
+  SELECT CAST(n AS DOUBLE) AS nd,
+         CAST(sx AS DOUBLE) / n AS mx, CAST(sy AS DOUBLE) / n AS my,
+         CAST(sxx AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sx AS DOUBLE) / n) AS vxx,
+         CAST(syy AS DOUBLE) / n - (CAST(sy AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS vyy,
+         CAST(sxy AS DOUBLE) / n - (CAST(sx AS DOUBLE) / n)
+           * (CAST(sy AS DOUBLE) / n) AS vxy
+  FROM m
+)
+SELECT u.user_id,
+       round((c.vyy * (CAST(u.xc AS DOUBLE) - c.mx)
+                    * (CAST(u.xc AS DOUBLE) - c.mx)
+         - 2 * c.vxy * (CAST(u.xc AS DOUBLE) - c.mx)
+                     * (CAST(u.yc AS DOUBLE) - c.my)
+         + c.vxx * (CAST(u.yc AS DOUBLE) - c.my)
+                 * (CAST(u.yc AS DOUBLE) - c.my))
+         / (c.vxx * c.vyy - c.vxy * c.vxy), 6) AS md2,
+       (c.vyy * (CAST(u.xc AS DOUBLE) - c.mx)
+              * (CAST(u.xc AS DOUBLE) - c.mx)
+         - 2 * c.vxy * (CAST(u.xc AS DOUBLE) - c.mx)
+                     * (CAST(u.yc AS DOUBLE) - c.my)
+         + c.vxx * (CAST(u.yc AS DOUBLE) - c.my)
+                 * (CAST(u.yc AS DOUBLE) - c.my))
+         / (c.vxx * c.vyy - c.vxy * c.vxy)
+         > CAST({_MAHA_CHI2_2_99!r} AS DOUBLE) AS outlier
+FROM u, c
+"""
+
+
+@query(
+    "anomaly_mahalanobis",
+    bounded_cross="1-row broadcast scalar (global moment row)",
+    oracle=_mahalanobis_oracle(),
+)
+def anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: squared Mahalanobis distance of
+    every user's (total spend, event count) pair from the population
+    centroid under the 2x2 population covariance, flagged against the
+    99% chi-square(2) point — catches users whose spend/activity
+    COMBINATION is anomalous even when each marginal looks normal
+    (the classic fraud-screen that z-scores per column cannot do).
+
+    Exactness: per-user features and all five covariance moments are
+    exact BIGINTs (cents x counts stay well under 2^63); means,
+    variances, and the closed-form 2x2 inverse evaluate from those
+    exact integers in the same expression order in both engines, and
+    every user's md2 is one fixed float expression over them —
+    bit-exact before the final display round. Plan: one groupBy user,
+    one 1-row moment aggregate joined back as a broadcast scalar, one
+    linear pass — no window, no driver loop over users."""
+    ev = load(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(ROUND(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("xc"),
+        F.count(F.lit(1)).cast("bigint").alias("yc"),
+    )
+    m = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum("yc").cast("bigint").alias("sy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("bigint").alias("syy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("bigint").alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    c = m.select(
+        mx.alias("mx"),
+        my.alias("my"),
+        (F.col("sxx").cast("double") / F.col("n") - mx * mx).alias("vxx"),
+        (F.col("syy").cast("double") / F.col("n") - my * my).alias("vyy"),
+        (F.col("sxy").cast("double") / F.col("n") - mx * my).alias("vxy"),
+    )
+    dx = F.col("xc").cast("double") - F.col("mx")
+    dy = F.col("yc").cast("double") - F.col("my")
+    md2 = (
+        F.col("vyy") * dx * dx
+        - 2 * F.col("vxy") * dx * dy
+        + F.col("vxx") * dy * dy
+    ) / (F.col("vxx") * F.col("vyy") - F.col("vxy") * F.col("vxy"))
+    return u.crossJoin(F.broadcast(c)).select(
+        "user_id",
+        F.round(md2, 6).alias("md2"),
+        (md2 > F.lit(_MAHA_CHI2_2_99).cast("double")).alias("outlier"),
+    )

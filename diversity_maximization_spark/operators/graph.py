@@ -1560,6 +1560,32 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scc_pointer_doubling(d, n)
 
 
+def _stats_barrier(df: DataFrame, r: int, every: int = 4) -> DataFrame:
+    """Checkpoint with a PERIODIC STATS RESET for self-derived join
+    loops. localCheckpoint truncates lineage but rewriteStats
+    PROPAGATES sizeInBytes into the LogicalRDD, and visitJoin
+    MULTIPLIES the two children's stats — in a pointer-doubling loop
+    both join sides descend from the same table, so the stat SQUARES
+    every round: bits double per round, and by round ~14 Catalyst's
+    stat arithmetic is Toom-Cook multiplication of multi-megabit
+    BigIntegers (measured: an 18-minute driver-side burn at
+    rounds=16 / 60k rows in the round-6 scale ladder, 0 executor
+    tasks running). Every `every` rounds a parquet round-trip resets
+    the stat to the true file size — the honest stats barrier every
+    self-joining iterative plan needs; between barriers the stat
+    grows only 2^every x file-size bits. Loops whose join keeps one
+    side constant (label propagation vs a fixed edge table) only grow
+    the stat LINEARLY and don't need this."""
+    df = df.localCheckpoint(eager=True)
+    if r % every == every - 1:
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="dms_stats_barrier_")
+        df.write.mode("overwrite").parquet(path)
+        df = df.sparkSession.read.parquet(path)
+    return df
+
+
 def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
     """The graph_scc engine core, oracle-free: pointer-doubling SCC
     over succ(u) = (u * 2654435761 mod 2^32) mod n for a documents
@@ -1575,12 +1601,13 @@ def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
     j = d.select(u.alias("u"), succ.cast("bigint").alias("p"))
     base = j.localCheckpoint(eager=True)
     ptr = base
-    for _ in range(rounds):
+    for r in range(rounds):
         hop = ptr.select(F.col("u").alias("hu"), F.col("p").alias("hp"))
-        ptr = (
-            ptr.join(hop, ptr["p"] == hop["hu"])
-            .select("u", F.col("hp").alias("p"))
-            .localCheckpoint(eager=True)
+        ptr = _stats_barrier(
+            ptr.join(hop, ptr["p"] == hop["hu"]).select(
+                "u", F.col("hp").alias("p")
+            ),
+            r,
         )
     cyc = ptr.select(F.col("p").alias("u")).distinct()
     m = (
@@ -1588,20 +1615,19 @@ def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
         .select("u", "p", F.col("u").alias("m"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(rounds):
+    for r in range(rounds):
         hop = m.select(
             F.col("u").alias("hu"),
             F.col("p").alias("hp"),
             F.col("m").alias("hm"),
         )
-        m = (
-            m.join(hop, m["p"] == hop["hu"])
-            .select(
+        m = _stats_barrier(
+            m.join(hop, m["p"] == hop["hu"]).select(
                 "u",
                 F.col("hp").alias("p"),
                 F.least("m", "hm").alias("m"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            r,
         )
     return (
         base.join(

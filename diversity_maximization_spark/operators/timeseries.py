@@ -3439,3 +3439,291 @@ def ts_cointegration(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.alias("t_stat"),
         (t < F.lit(-3.34).cast("double")).alias("cointegrated"),
     )
+
+
+def _arch_lm_oracle() -> str:
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dz AS (
+  SELECT day, c - LAG(c, 1) OVER (ORDER BY day) AS dy FROM daily
+), z AS (
+  SELECT day, CAST((dy * dy) // 1000000 AS BIGINT) AS z FROM dz
+  WHERE dy IS NOT NULL
+), pairs AS (
+  SELECT z, LAG(z, 1) OVER (ORDER BY day) AS zl FROM z
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(zl) AS BIGINT) AS s1,
+         CAST(SUM(zl * zl) AS BIGINT) AS s11,
+         CAST(SUM(z) AS BIGINT) AS sy,
+         CAST(SUM(zl * z) AS BIGINT) AS s1y,
+         CAST(SUM(z * z) AS BIGINT) AS syy
+  FROM pairs WHERE zl IS NOT NULL
+), t AS (
+  SELECT n,
+         CAST(n * s1y - s1 * sy AS DOUBLE) AS a,
+         CAST(n * s11 - s1 * s1 AS DOUBLE) AS b,
+         CAST(n * syy - sy * sy AS DOUBLE) AS cd
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) * ((a * a) / (b * cd)) AS lm_stat,
+       CAST(n AS DOUBLE) * ((a * a) / (b * cd))
+         > CAST(3.841458820694124 AS DOUBLE) AS arch_effect
+FROM t
+"""
+
+
+@query("ts_arch_lm", oracle=_arch_lm_oracle())
+def ts_arch_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH(1) LM test for volatility clustering in daily
+    revenue changes: regress the QUANTIZED squared change
+    z_t = floor(dy_t^2 / 1e6) on [1, z_{t-1}]; LM = n * R^2 against
+    the 5% chi-square(1) point (3.8415, public tables). Volatility
+    clustering (today's shock size predicting tomorrow's) is what
+    separates heteroscedastic revenue streams from white noise — the
+    precondition for any GARCH-style model.
+
+    Exactness: the quantization keeps every regression moment an
+    exact BIGINT (dy^2 ~ 1e12 would overflow BIGINT when squared
+    again; floor-dividing by 1e6 bounds sum(z^2) ~ 1e15), and the
+    three normal-equation terms n*s1y - s1*sy etc. are PRODUCTS OF
+    EXACT BIGINTS computed before any float touches them — R^2 and
+    the LM statistic evaluate from three exact integers cast to
+    double in the same expression order in both engines. One daily
+    rollup shuffle; everything after is O(days), # bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    z = (
+        daily.select("day", (F.col("c") - F.lag("c", 1).over(wd)).alias("dy"))
+        .filter(F.col("dy").isNotNull())
+        .select("day", F.expr("CAST((dy * dy) div 1000000 AS BIGINT)").alias("z"))
+    )
+    # bounded: O(days) rows
+    wz = Window.orderBy("day")
+    pairs = z.select("z", F.lag("z", 1).over(wz).alias("zl")).filter(
+        F.col("zl").isNotNull()
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zl").cast("bigint").alias("s1"),
+        F.sum(F.col("zl") * F.col("zl")).cast("bigint").alias("s11"),
+        F.sum("z").cast("bigint").alias("sy"),
+        F.sum(F.col("zl") * F.col("z")).cast("bigint").alias("s1y"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("syy"),
+    )
+    a = (F.col("n") * F.col("s1y") - F.col("s1") * F.col("sy")).cast("double")
+    b = (F.col("n") * F.col("s11") - F.col("s1") * F.col("s1")).cast("double")
+    cd = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    lm = F.col("n").cast("double") * ((a * a) / (b * cd))
+    return m.select(
+        F.col("n"),
+        lm.alias("lm_stat"),
+        (lm > F.lit(3.841458820694124).cast("double")).alias("arch_effect"),
+    )
+
+
+def _granger_oracle() -> str:
+    from .behavior import _gauss_chain
+
+    rss_u = (
+        "dyy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)"
+        " + (b0 * (b0 * n + b1 * s1 + b2 * s2)"
+        "    + b1 * (b0 * s1 + b1 * s11 + b2 * s12)"
+        "    + b2 * (b0 * s2 + b1 * s12 + b2 * s22))"
+    )
+    rss_r = (
+        "dyy - 2 * (r0 * sy + r1 * s1y)"
+        " + (r0 * (r0 * n + r1 * s1) + r1 * (r0 * s1 + r1 * s11))"
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND((value) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS cb,
+         CAST(SUM(CASE WHEN event_type = 'view'
+                       THEN CAST(ROUND((value) * 100) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS ca
+  FROM events GROUP BY 1
+), lagd AS (
+  SELECT day, cb - LAG(cb, 1) OVER (ORDER BY day) AS dyb,
+         ca - LAG(ca, 1) OVER (ORDER BY day) AS dya
+  FROM daily
+), reg AS (
+  SELECT dyb AS dy,
+         LAG(dyb, 1) OVER (ORDER BY day) AS yl,
+         LAG(dya, 1) OVER (ORDER BY day) AS xl
+  FROM lagd WHERE dyb IS NOT NULL
+), regf AS (SELECT dy, yl, xl FROM reg WHERE yl IS NOT NULL AND xl IS NOT NULL
+), m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yl) AS BIGINT) AS s1,
+         CAST(SUM(xl) AS BIGINT) AS s2,
+         CAST(SUM(yl * yl) AS BIGINT) AS s11,
+         CAST(SUM(yl * xl) AS BIGINT) AS s12,
+         CAST(SUM(xl * xl) AS BIGINT) AS s22,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(yl * dy) AS BIGINT) AS s1y,
+         CAST(SUM(xl * dy) AS BIGINT) AS s2y,
+         CAST(SUM(dy * dy) AS BIGINT) AS dyy
+  FROM regf
+), gj0 AS MATERIALIZED (
+  SELECT i, j, v FROM (
+    SELECT 0 AS i, 0 AS j, CAST(n AS DOUBLE) AS v FROM m
+    UNION ALL SELECT 0, 1, CAST(s1 AS DOUBLE) FROM m
+    UNION ALL SELECT 0, 2, CAST(s2 AS DOUBLE) FROM m
+    UNION ALL SELECT 0, 3, CAST(sy AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 0, CAST(s1 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 1, CAST(s11 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 2, CAST(s12 AS DOUBLE) FROM m
+    UNION ALL SELECT 1, 3, CAST(s1y AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 0, CAST(s2 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 1, CAST(s12 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 2, CAST(s22 AS DOUBLE) FROM m
+    UNION ALL SELECT 2, 3, CAST(s2y AS DOUBLE) FROM m
+  )
+){_gauss_chain('gj0', '', pivots=3)}
+, coef AS MATERIALIZED (
+  SELECT
+    (SELECT v FROM gj3 WHERE i = 0 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 0 AND j = 0) AS b0,
+    (SELECT v FROM gj3 WHERE i = 1 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 1 AND j = 1) AS b1,
+    (SELECT v FROM gj3 WHERE i = 2 AND j = 3)
+      / (SELECT v FROM gj3 WHERE i = 2 AND j = 2) AS b2
+), md AS (
+  SELECT CAST(n AS DOUBLE) AS n, CAST(s1 AS DOUBLE) AS s1,
+         CAST(s2 AS DOUBLE) AS s2, CAST(s11 AS DOUBLE) AS s11,
+         CAST(s12 AS DOUBLE) AS s12, CAST(s22 AS DOUBLE) AS s22,
+         CAST(sy AS DOUBLE) AS sy, CAST(s1y AS DOUBLE) AS s1y,
+         CAST(s2y AS DOUBLE) AS s2y, CAST(dyy AS DOUBLE) AS dyy,
+         n AS n_int
+  FROM m
+), rcoef AS (
+  SELECT (s11 * sy - s1 * s1y) / (n * s11 - s1 * s1) AS r0,
+         (n * s1y - s1 * sy) / (n * s11 - s1 * s1) AS r1
+  FROM md
+)
+SELECT CAST(n_int AS BIGINT) AS n,
+       (({rss_r}) - ({rss_u})) / (({rss_u}) / (n - 3)) AS f_stat,
+       (({rss_r}) - ({rss_u})) / (({rss_u}) / (n - 3))
+         > CAST(3.841458820694124 AS DOUBLE) AS causal
+FROM md, coef, rcoef
+"""
+
+
+@query("ts_granger", oracle=_granger_oracle())
+def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality F-test: do yesterday's VIEW revenue changes
+    help predict today's PURCHASE revenue changes beyond purchase's
+    own lag? Unrestricted model dyB_t ~ [1, dyB_{t-1}, dyA_{t-1}]
+    vs restricted dyB_t ~ [1, dyB_{t-1}]; F = (RSS_r - RSS_u) /
+    (RSS_u / (n - 3)) against the 5% F(1, inf) = chi2(1) point.
+    The browse-to-buy lead-lag question every marketplace asks.
+
+    Exactness: all ten moments are exact BIGINTs over integer cents;
+    the 3x3 unrestricted solve replays the fixed-order no-pivot
+    elimination via _gauss_chain (ts_adf's recipe), the restricted
+    2-var solve is the closed form over exact-bigint moments cast to
+    double, and both RSS expressions share their text with the
+    oracle — bit-exact. One daily rollup shuffle, then O(days),
+    # bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.expr(cents("value")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("cb"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "view", F.expr(cents("value"))
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("ca"),
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    lagd = daily.select(
+        "day",
+        (F.col("cb") - F.lag("cb", 1).over(wd)).alias("dyb"),
+        (F.col("ca") - F.lag("ca", 1).over(wd)).alias("dya"),
+    ).filter(F.col("dyb").isNotNull())
+    # bounded: O(days) rows
+    wl = Window.orderBy("day")
+    reg = lagd.select(
+        F.col("dyb").alias("dy"),
+        F.lag("dyb", 1).over(wl).alias("yl"),
+        F.lag("dya", 1).over(wl).alias("xl"),
+    ).filter(F.col("yl").isNotNull() & F.col("xl").isNotNull())
+    mrow = reg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yl").cast("bigint").alias("s1"),
+        F.sum("xl").cast("bigint").alias("s2"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("s11"),
+        F.sum(F.col("yl") * F.col("xl")).cast("bigint").alias("s12"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("s22"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("yl") * F.col("dy")).cast("bigint").alias("s1y"),
+        F.sum(F.col("xl") * F.col("dy")).cast("bigint").alias("s2y"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("dyy"),
+    ).collect()[0]
+    n = float(mrow["n"])
+    s1, s2 = float(mrow["s1"]), float(mrow["s2"])
+    s11, s12, s22 = (
+        float(mrow["s11"]),
+        float(mrow["s12"]),
+        float(mrow["s22"]),
+    )
+    sy, s1y, s2y = float(mrow["sy"]), float(mrow["s1y"]), float(mrow["s2y"])
+    dyy = float(mrow["dyy"])
+    # unrestricted 3x4, fixed-order no-pivot elimination (ADF recipe)
+    A = [
+        [n, s1, s2, sy],
+        [s1, s11, s12, s1y],
+        [s2, s12, s22, s2y],
+    ]
+    for p in range(3):
+        piv = A[p]
+        for i in range(3):
+            if i == p:
+                continue
+            f = A[i][p] / piv[p]
+            A[i] = [A[i][j] - f * piv[j] for j in range(4)]
+    b0 = A[0][3] / A[0][0]
+    b1 = A[1][3] / A[1][1]
+    b2 = A[2][3] / A[2][2]
+    rss_u = (
+        dyy
+        - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+        + (
+            b0 * (b0 * n + b1 * s1 + b2 * s2)
+            + b1 * (b0 * s1 + b1 * s11 + b2 * s12)
+            + b2 * (b0 * s2 + b1 * s12 + b2 * s22)
+        )
+    )
+    # restricted 2-var closed form over exact-moment doubles
+    r0 = (s11 * sy - s1 * s1y) / (n * s11 - s1 * s1)
+    r1 = (n * s1y - s1 * sy) / (n * s11 - s1 * s1)
+    rss_r = (
+        dyy
+        - 2 * (r0 * sy + r1 * s1y)
+        + (r0 * (r0 * n + r1 * s1) + r1 * (r0 * s1 + r1 * s11))
+    )
+    f_stat = (rss_r - rss_u) / (rss_u / (n - 3))
+    return spark.createDataFrame(
+        [(int(mrow["n"]), f_stat, f_stat > 3.841458820694124)],
+        "n bigint, f_stat double, causal boolean",
+    )

@@ -241,6 +241,22 @@ def blas_threshold_pairs(
 # --- strategy 3: LSH-bucketed equi-join (the no-broadcast scale path) ------
 
 
+def adaptive_band_bits(n_rows: int, target_bucket: int = 64) -> int:
+    """Bits per SimHash band so the EXPECTED bucket size stays
+    ~target_bucket regardless of corpus size. A FIXED band width does
+    not scale: 4-bit bands mean 16 buckets per band forever, so
+    bucket size grows linearly with n and the band self-join
+    quadratically — measured in the round-6 scale ladder as a 2.25
+    slope (242 s at 20k rows) on the forced-LSH probe. With bits =
+    log2(n / target_bucket) the per-band pair count is ~n *
+    target_bucket / 2 — linear in n. The trade: each extra bit
+    lowers per-band recall for low-similarity pairs, so the band
+    COUNT (not width) is the recall knob at scale."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n_rows, 2) / target_bucket)))
+
+
 def simhash_bands(
     e: DataFrame,
     dim: int,
@@ -422,14 +438,24 @@ def portable_lsh_candidate_pairs(
 def lsh_candidate_pairs(
     e: DataFrame,
     dim: int,
-    n_planes: int = 32,
+    n_planes: int | None = None,
     bands: int = 8,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Distinct (vec_a < vec_b) pairs colliding in >= 1 band — a
     single ordinary shuffle hash join of the (band_id, sig) rows
     against themselves, which AQE sizes/skew-splits like any other
-    join. No broadcast anywhere: this is the 100 TB shape."""
+    join. No broadcast anywhere: this is the 100 TB shape.
+
+    Band width ADAPTS to corpus size (adaptive_band_bits) so bucket
+    sizes — and with them the candidate-pair count — stay bounded
+    per row at any n; pass n_planes explicitly to pin a fixed
+    family instead."""
+    if n_planes is None:
+        if n_rows is None:
+            n_rows = e.count()
+        n_planes = bands * adaptive_band_bits(n_rows)
     sig = simhash_bands(e, dim, n_planes, bands, seed)
     a = sig.select(F.col("vec_id").alias("vec_a"), "band_id", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band_id", "sig")

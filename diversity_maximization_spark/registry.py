@@ -79,8 +79,14 @@ def query(
 # (b) the eight post-full-sweep round-5 additions the verdict named
 # first (their r5 artifact rows came from targeted runs, not the
 # full sweep);
-# (c) the remaining never-sampled backlog in NEVER_SAMPLED.md order
-# (newest waves first) — 41 keys spanning the round-4 analytics,
+# (c) the eleven keys ADDED or CHANGED in round 6 — the four new
+# analytics (ARCH LM, Granger, skyline, Mahalanobis), the four census
+# keys, the two rows-only -> hash-checked conversions
+# (dedup_embedding_lsh portable planes, dedup_semdedup fold-exact),
+# and graph_scc (oracle-ceiling guard + the stats-barrier plan fix —
+# its green row proves the fix kept the hash);
+# (d) the remaining never-sampled backlog in NEVER_SAMPLED.md order
+# (newest waves first) — 30 keys spanning the round-4 analytics,
 # finance/ts, graph and sampling waves.
 # Every key here MUST have an oracle (a no-oracle key in the
 # window is an automatic err slot) — enforced in tests.
@@ -96,7 +102,20 @@ CHECK_WINDOW: list[str] = [
     "ts_kpss",
     "agg_permutation_test",
     "corpus_bigram_entropy",
-    # (c) never-sampled backlog, NEVER_SAMPLED.md order
+    # (c) round-6 new / changed keys — first driver exposure or
+    # same-hash proof of a plan fix
+    "ts_arch_lm",
+    "ts_granger",
+    "agg_pareto_front",
+    "anomaly_mahalanobis",
+    "stream_coreset_census",
+    "stream_coreset_shard_census",
+    "div_eval_bipartition_exhaustive",
+    "multimodal_decode_census",
+    "dedup_embedding_lsh",
+    "dedup_semdedup",
+    "graph_scc",
+    # (d) never-sampled backlog, NEVER_SAMPLED.md order
     "attribution_model_compare",
     "corpus_vocab_growth",
     "conversion_horizon_cdf",
@@ -127,17 +146,6 @@ CHECK_WINDOW: list[str] = [
     "sample_pps_systematic",
     "agg_gumbel_daily_max",
     "ts_record_highs",
-    "agg_eb_shrinkage",
-    "ts_ulcer_index",
-    "agg_decile_lift",
-    "agg_overdispersion",
-    "ts_croston",
-    "er_fs_weights",
-    "win_alarm_debounce",
-    "ts_holt_winters",
-    "agg_theil_index",
-    "ts_sma_crossover",
-    "join_asof_forward",
 ]
 
 

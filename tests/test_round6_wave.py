@@ -199,3 +199,67 @@ def test_blas_block_cap():
     assert _query_block_rows(1) >= 16
     # tiny corpora never block below 16 rows
     assert _query_block_rows(10**9) == 16
+
+
+# --- round-6 analytics wave ---------------------------------------------------
+
+
+def test_arch_lm_invariants(spark, sf_dir):
+    r = QUERIES["ts_arch_lm"](spark, sf_dir).collect()
+    assert len(r) == 1
+    assert r[0]["n"] > 0
+    # LM = n * R^2 with R^2 in [0, 1]
+    assert 0 <= r[0]["lm_stat"] <= r[0]["n"] + 1e-9
+    assert r[0]["arch_effect"] == (r[0]["lm_stat"] > 3.841458820694124)
+
+
+def test_granger_invariants(spark, sf_dir):
+    r = QUERIES["ts_granger"](spark, sf_dir).collect()
+    assert len(r) == 1
+    # adding a regressor can only lower RSS -> F >= 0
+    assert r[0]["f_stat"] >= -1e-9
+    assert r[0]["causal"] == (r[0]["f_stat"] > 3.841458820694124)
+
+
+def test_pareto_front_is_exactly_the_undominated_set(spark, sf_dir):
+    rows = QUERIES["agg_pareto_front"](spark, sf_dir).collect()
+    sky = {(r["price_cents"], r["p_size"]) for r in rows}
+    part = (
+        load(spark, sf_dir, "part")
+        .selectExpr(
+            "p_partkey",
+            "CAST(ROUND(p_retailprice * 100) AS BIGINT) AS pc",
+            "CAST(p_size AS INT) AS sz",
+        )
+        .collect()
+    )
+    pts = [(r["pc"], r["sz"]) for r in part]
+    naive = {
+        p
+        for p in pts
+        if not any(
+            o[0] <= p[0]
+            and o[1] >= p[1]
+            and (o[0] < p[0] or o[1] > p[1])
+            for o in pts
+        )
+    }
+    assert sky == naive
+    # every returned row really is a part row
+    assert len(rows) == sum(1 for p in pts if p in naive)
+
+
+def test_mahalanobis_invariants(spark, sf_dir):
+    rows = QUERIES["anomaly_mahalanobis"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert len(rows) == n
+    # md2 is a squared distance: non-negative; mean of md2 over the
+    # population equals the feature dimension (2) for the population
+    # covariance — a textbook identity, here within float tolerance
+    vals = [r["md2"] for r in rows]
+    assert all(v >= -1e-9 for v in vals)
+    assert abs(sum(vals) / len(vals) - 2.0) < 1e-3
+    for r in rows[:50]:
+        assert r["outlier"] == (r["md2"] > 9.21034037197618) or abs(
+            r["md2"] - 9.21034037197618
+        ) < 1e-5
