@@ -3727,3 +3727,155 @@ def ts_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(int(mrow["n"]), f_stat, f_stat > 3.841458820694124)],
         "n bigint, f_stat double, causal boolean",
     )
+
+
+def _pacf_oracle(max_lag: int = 3) -> str:
+    from .behavior import _gauss_chain
+
+    # cell table: one (d, i, j, v) solve per lag d — AR(d) normal
+    # equations [X'X | X'y] with X = [1, l1..ld], shared sample
+    cells = []
+    names = {0: "nn"}
+    for i in range(1, max_lag + 1):
+        names[i] = f"s{i}"
+    for d in range(1, max_lag + 1):
+        for i in range(d + 1):
+            for j in range(d + 1):
+                if i == 0 and j == 0:
+                    v = "nn"
+                elif i == 0:
+                    v = f"s{j}"
+                elif j == 0:
+                    v = f"s{i}"
+                else:
+                    v = f"s{min(i, j)}{max(i, j)}"
+                cells.append(
+                    f"SELECT {d} AS d, {i} AS i, {j} AS j,"
+                    f" CAST({v} AS DOUBLE) AS v FROM m"
+                )
+            rhs = "sy" if i == 0 else f"s{i}y"
+            cells.append(
+                f"SELECT {d}, {i}, {d + 1}, CAST({rhs} AS DOUBLE) FROM m"
+            )
+    pacf_rows = " UNION ALL ".join(
+        f"""SELECT CAST({d} AS INT) AS lag,
+       (SELECT v FROM gj{max_lag + 1} WHERE d = {d} AND i = {d} AND j = {d + 1})
+         / (SELECT v FROM gj{max_lag + 1} WHERE d = {d} AND i = {d} AND j = {d})
+         AS pacf"""
+        for d in range(1, max_lag + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dz AS (
+  SELECT day, c - LAG(c, 1) OVER (ORDER BY day) AS dy FROM daily
+), lagged AS (
+  SELECT day, dy,
+         LAG(dy, 1) OVER (ORDER BY day) AS l1,
+         LAG(dy, 2) OVER (ORDER BY day) AS l2,
+         LAG(dy, 3) OVER (ORDER BY day) AS l3
+  FROM dz WHERE dy IS NOT NULL
+), smp AS (SELECT * FROM lagged WHERE l3 IS NOT NULL
+), m AS MATERIALIZED (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         CAST(SUM(l1) AS BIGINT) AS s1, CAST(SUM(l2) AS BIGINT) AS s2,
+         CAST(SUM(l3) AS BIGINT) AS s3,
+         CAST(SUM(l1 * l1) AS BIGINT) AS s11,
+         CAST(SUM(l1 * l2) AS BIGINT) AS s12,
+         CAST(SUM(l1 * l3) AS BIGINT) AS s13,
+         CAST(SUM(l2 * l2) AS BIGINT) AS s22,
+         CAST(SUM(l2 * l3) AS BIGINT) AS s23,
+         CAST(SUM(l3 * l3) AS BIGINT) AS s33,
+         CAST(SUM(dy) AS BIGINT) AS sy,
+         CAST(SUM(l1 * dy) AS BIGINT) AS s1y,
+         CAST(SUM(l2 * dy) AS BIGINT) AS s2y,
+         CAST(SUM(l3 * dy) AS BIGINT) AS s3y
+  FROM smp
+), gj0 AS MATERIALIZED (
+  {" UNION ALL ".join(cells)}
+){_gauss_chain('gj0', 'd', pivots=max_lag + 1)}
+{pacf_rows}
+"""
+
+
+@query("ts_pacf", oracle=_pacf_oracle())
+def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of daily revenue changes at lags 1-3
+    via the REGRESSION definition: PACF(k) = the lag-k coefficient of
+    the AR(k) fit [1, dy_{t-1}..dy_{t-k}] -> dy_t — what an ACF
+    (ts_acf) cannot give you: the lag-k effect with the shorter lags
+    PARTIALLED OUT, the standard plot for picking AR model order.
+    All three fits share the common maximal sample (first three rows
+    dropped) so one moment row feeds every solve.
+
+    Exactness: the 14 regression moments are exact BIGINTs over
+    integer cents; the three normal-equation solves replay the
+    fixed-order no-pivot elimination in ONE keyed _gauss_chain (cell
+    table keyed by solve id d — the Markov-absorption multi-solve
+    recipe), with smaller matrices passing pivot rounds through
+    unchanged. One daily rollup shuffle; O(days) after, # bounded."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    dz = daily.select(
+        "day", (F.col("c") - F.lag("c", 1).over(wd)).alias("dy")
+    ).filter(F.col("dy").isNotNull())
+    # bounded: O(days) rows
+    wl = Window.orderBy("day")
+    lagged = dz.select(
+        "dy",
+        F.lag("dy", 1).over(wl).alias("l1"),
+        F.lag("dy", 2).over(wl).alias("l2"),
+        F.lag("dy", 3).over(wl).alias("l3"),
+    ).filter(F.col("l3").isNotNull())
+    mr = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+        *[
+            F.sum(F.col(f"l{i}")).cast("bigint").alias(f"s{i}")
+            for i in (1, 2, 3)
+        ],
+        *[
+            F.sum(F.col(f"l{i}") * F.col(f"l{j}"))
+            .cast("bigint")
+            .alias(f"s{i}{j}")
+            for i in (1, 2, 3)
+            for j in (1, 2, 3)
+            if i <= j
+        ],
+        F.sum("dy").cast("bigint").alias("sy"),
+        *[
+            F.sum(F.col(f"l{i}") * F.col("dy")).cast("bigint").alias(f"s{i}y")
+            for i in (1, 2, 3)
+        ],
+    ).collect()[0]
+
+    def mom(i: int, j: int) -> float:
+        if i == 0 and j == 0:
+            return float(mr["nn"])
+        if i == 0:
+            return float(mr[f"s{j}"])
+        if j == 0:
+            return float(mr[f"s{i}"])
+        return float(mr[f"s{min(i, j)}{max(i, j)}"])
+
+    out = []
+    for k in (1, 2, 3):
+        A = [
+            [mom(i, j) for j in range(k + 1)]
+            + [float(mr["sy"]) if i == 0 else float(mr[f"s{i}y"])]
+            for i in range(k + 1)
+        ]
+        for p in range(k + 1):
+            piv = A[p]
+            for i in range(k + 1):
+                if i == p:
+                    continue
+                f = A[i][p] / piv[p]
+                A[i] = [A[i][j] - f * piv[j] for j in range(k + 2)]
+        out.append((k, A[k][k + 1] / A[k][k]))
+    return spark.createDataFrame(out, "lag int, pacf double")

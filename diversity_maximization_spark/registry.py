@@ -79,14 +79,14 @@ def query(
 # (b) the eight post-full-sweep round-5 additions the verdict named
 # first (their r5 artifact rows came from targeted runs, not the
 # full sweep);
-# (c) the eleven keys ADDED or CHANGED in round 6 — the four new
+# (c) the twelve keys ADDED or CHANGED in round 6 — the four new
 # analytics (ARCH LM, Granger, skyline, Mahalanobis), the four census
 # keys, the two rows-only -> hash-checked conversions
 # (dedup_embedding_lsh portable planes, dedup_semdedup fold-exact),
 # and graph_scc (oracle-ceiling guard + the stats-barrier plan fix —
 # its green row proves the fix kept the hash);
 # (d) the remaining never-sampled backlog in NEVER_SAMPLED.md order
-# (newest waves first) — 30 keys spanning the round-4 analytics,
+# (newest waves first) — 29 keys spanning the round-4 analytics,
 # finance/ts, graph and sampling waves.
 # Every key here MUST have an oracle (a no-oracle key in the
 # window is an automatic err slot) — enforced in tests.
@@ -115,6 +115,7 @@ CHECK_WINDOW: list[str] = [
     "dedup_embedding_lsh",
     "dedup_semdedup",
     "graph_scc",
+    "ts_pacf",
     # (d) never-sampled backlog, NEVER_SAMPLED.md order
     "attribution_model_compare",
     "corpus_vocab_growth",
@@ -145,7 +146,6 @@ CHECK_WINDOW: list[str] = [
     "dedup_threshold_sweep",
     "sample_pps_systematic",
     "agg_gumbel_daily_max",
-    "ts_record_highs",
 ]
 
 

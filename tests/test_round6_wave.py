@@ -263,3 +263,11 @@ def test_mahalanobis_invariants(spark, sf_dir):
         assert r["outlier"] == (r["md2"] > 9.21034037197618) or abs(
             r["md2"] - 9.21034037197618
         ) < 1e-5
+
+
+def test_pacf_invariants(spark, sf_dir):
+    rows = {r["lag"]: r["pacf"] for r in QUERIES["ts_pacf"](spark, sf_dir).collect()}
+    assert sorted(rows) == [1, 2, 3]
+    # a partial autocorrelation is a correlation: |pacf| <= 1 up to
+    # float slack on a non-degenerate sample
+    assert all(abs(v) <= 1.0 + 1e-9 for v in rows.values())
