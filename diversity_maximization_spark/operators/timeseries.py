@@ -3879,3 +3879,91 @@ def ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 A[i] = [A[i][j] - f * piv[j] for j in range(k + 2)]
         out.append((k, A[k][k + 1] / A[k][k]))
     return spark.createDataFrame(out, "lag int, pacf double")
+
+
+def _sharpe_oracle() -> str:
+    # epoch-us day key keeps the fold ORDER BY purely integer
+    return """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(SUM(CAST(ROUND((value) * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), rets AS (
+  SELECT day,
+         CAST(c - LAG(c, 1) OVER (ORDER BY day) AS DOUBLE)
+           / CAST(LAG(c, 1) OVER (ORDER BY day) AS DOUBLE) AS r
+  FROM daily
+), rf AS (SELECT day, r FROM rets WHERE r IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(r ORDER BY day)) AS sr,
+         list_sum(list(r * r ORDER BY day)) AS srr,
+         list_sum(list(CASE WHEN r < 0 THEN r * r ELSE CAST(0 AS DOUBLE) END
+                       ORDER BY day)) AS sdd
+  FROM rf
+)
+SELECT n,
+       (sr / n) / sqrt(srr / n - (sr / n) * (sr / n)) * sqrt(252)
+         AS sharpe_annualized,
+       (sr / n) / sqrt(sdd / n) * sqrt(252) AS sortino_annualized
+FROM m
+"""
+
+
+@query("ts_sharpe", oracle=_sharpe_oracle())
+def ts_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annualized Sharpe and Sortino ratios of the daily revenue
+    return series (zero risk-free rate; population std; sqrt(252)
+    annualization — public conventions): risk-adjusted performance
+    and its downside-only variant, the summary every revenue/PnL
+    dashboard leads with.
+
+    Exactness: daily cents are exact BIGINTs; each day's return is
+    ONE float division of the same two integers in both engines; the
+    three return moments fold the O(days) series in day order via a
+    strict left fold (Spark F.aggregate over an array_sort'ed
+    collect_list == DuckDB list_sum over ORDER BY list — bit-equal),
+    and the ratios evaluate in the same expression order — no
+    rounding anywhere. One daily rollup shuffle; O(days) after."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    wd = Window.orderBy("day")
+    rets = daily.select(
+        "day",
+        (
+            (F.col("c") - F.lag("c", 1).over(wd)).cast("double")
+            / F.lag("c", 1).over(wd).cast("double")
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    arr = F.array_sort(F.collect_list(F.struct("day", "r")))
+
+    def fold(val):
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda acc, x: acc + val(x),
+        )
+
+    m = rets.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(lambda x: x["r"]).alias("sr"),
+        fold(lambda x: x["r"] * x["r"]).alias("srr"),
+        fold(
+            lambda x: F.when(x["r"] < 0, x["r"] * x["r"]).otherwise(F.lit(0.0))
+        ).alias("sdd"),
+    )
+    mean = F.col("sr") / F.col("n")
+    return m.select(
+        "n",
+        (
+            mean
+            / F.sqrt(F.col("srr") / F.col("n") - mean * mean)
+            * F.sqrt(F.lit(252.0))
+        ).alias("sharpe_annualized"),
+        (mean / F.sqrt(F.col("sdd") / F.col("n")) * F.sqrt(F.lit(252.0))).alias(
+            "sortino_annualized"
+        ),
+    )

@@ -271,3 +271,18 @@ def test_pacf_invariants(spark, sf_dir):
     # a partial autocorrelation is a correlation: |pacf| <= 1 up to
     # float slack on a non-degenerate sample
     assert all(abs(v) <= 1.0 + 1e-9 for v in rows.values())
+
+
+def test_sharpe_invariants(spark, sf_dir):
+    r = QUERIES["ts_sharpe"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["n"] > 0
+    # downside variance <= total second moment -> |sortino| >= |sharpe|
+    # whenever the mean return is positive and both are finite
+    import math
+
+    assert math.isfinite(row["sharpe_annualized"])
+    assert math.isfinite(row["sortino_annualized"])
+    if row["sharpe_annualized"] > 0:
+        assert row["sortino_annualized"] >= row["sharpe_annualized"] * 0.5
