@@ -61,7 +61,15 @@ def shingles_df(d: DataFrame) -> DataFrame:
     CollapseProject inlines the alias into the lambda: O(words^2)
     string splits per doc, measured 4.2s vs 0.4s at sf0.1.)
     Semantics identical to the DuckDB oracle in dedup_ngram_jaccard:
-    consecutive word windows, distinct per doc, empties dropped."""
+    consecutive word windows, distinct per doc, empties dropped.
+
+    Parallelism guard (round-6 ladder finding): a small-file scan
+    yields 1-2 input partitions and EXPLODE never re-splits, so the
+    whole shingle -> md5-signature pipeline ran on 2 of 32 cores at
+    the 60k-doc rung (68 s where ~8 s is the arithmetic). When the
+    scan has fewer partitions than the cluster's parallelism,
+    repartition the (narrow) documents first — a no-op at 100 TB,
+    where the scan already carries thousands of splits."""
 
     def gen(batches):
         for pdf in batches:
@@ -78,9 +86,11 @@ def shingles_df(d: DataFrame) -> DataFrame:
                 shs.extend(uniq)
             yield pd.DataFrame({"doc_id": ids, "shingle": shs})
 
-    return d.select("doc_id", "text").mapInPandas(
-        gen, "doc_id bigint, shingle string"
-    )
+    src = d.select("doc_id", "text")
+    par = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < par:
+        src = src.repartition(par)
+    return src.mapInPandas(gen, "doc_id bigint, shingle string")
 
 
 def minhash_signatures(sh: DataFrame) -> DataFrame:
