@@ -195,7 +195,9 @@ def with_media(d: DataFrame) -> DataFrame:
                 {"doc_id": pdf["doc_id"], "media_type": mts, "payload": payloads}
             )
 
-    return d.select("doc_id", "text").mapInPandas(
+    from ..plans.distance_join import ensure_parallelism
+
+    return ensure_parallelism(d.select("doc_id", "text")).mapInPandas(
         gen, "doc_id bigint, media_type string, payload binary"
     )
 

@@ -66,6 +66,19 @@ def _blocked(it, n_corpus: int):
                 yield sub
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition a NARROW input up to the cluster's default
+    parallelism when its scan has fewer partitions (round-6 ladder
+    finding, same as llm/dedup.shingles_df): a small parquet file
+    scans as 1-2 partitions and mapInPandas never re-splits, so the
+    per-row-heavy BLAS/signature passes inherit 1-2-way parallelism.
+    A no-op on real large scans, which already carry many splits."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 # Below this, the O(n^2) theta join is cheaper than a BLAS prefilter
 # pass (candidate sets from coresets/evaluators are tens of rows).
 THETA_MAX_ROWS = 128
@@ -209,7 +222,9 @@ def blas_topk_candidates(
                 {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return ensure_parallelism(
+        e.select("vec_id", "embedding")
+    ).mapInPandas(
         gen, "vec_id bigint, neighbor bigint"
     )
 
@@ -233,7 +248,9 @@ def blas_threshold_pairs(
             qi, ci = np.nonzero(mask)
             yield pd.DataFrame({"vec_a": qids[qi], "vec_b": cids[ci]})
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return ensure_parallelism(
+        e.select("vec_id", "embedding")
+    ).mapInPandas(
         gen, "vec_a bigint, vec_b bigint"
     )
 
@@ -304,7 +321,9 @@ def simhash_bands(
                 }
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return ensure_parallelism(
+        e.select("vec_id", "embedding")
+    ).mapInPandas(
         gen, "vec_id bigint, band_id int, sig bigint"
     )
 
@@ -500,7 +519,9 @@ def blas_l2_threshold_pairs(
             qi, ci = np.nonzero(mask)
             yield pd.DataFrame({"vec_a": qids[qi], "vec_b": cids[ci]})
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return ensure_parallelism(
+        e.select("vec_id", "embedding")
+    ).mapInPandas(
         gen, "vec_a bigint, vec_b bigint"
     )
 
@@ -582,7 +603,9 @@ def blas_l2_topk_candidates(
                 {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
             )
 
-    return e.select("vec_id", "embedding").mapInPandas(
+    return ensure_parallelism(
+        e.select("vec_id", "embedding")
+    ).mapInPandas(
         gen, "vec_id bigint, neighbor bigint"
     )
 
