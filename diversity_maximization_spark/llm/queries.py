@@ -171,6 +171,182 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", *proj_cols)
 
 
+# ------------------------------------------------ power iteration
+
+_POWER_DIM = 64
+_POWER_SQUARINGS = 8  # M^(2^8) = M^256 -- overwhelming eigengap amplification
+_POWER_PSCALE = 10_000_000  # per-row product fixed point (1e7)
+_POWER_SSCALE = 1_000_000  # squared-matrix entry fixed point (1e6)
+_POWER_VSCALE = 10_000  # output loading fixed point (1e4)
+
+
+def _pca_power_oracle() -> str:
+    """Scaled-integer matrix-power iteration in DuckDB -- the
+    hash-checked companion of embed_pca's eigendecomposition (which
+    is LAPACK and stays rows-only). Every data-dependent step is
+    exact: per-row second-moment contributions are quantized with
+    FLOOR(prod * 1e7 + 0.5) (floor-plus-half, NOT round -- round-half
+    tie behavior differs per engine, the embed_centroids_report
+    lesson) and bigint-summed order-free; each of the 8 squarings is
+    bigint multiply/sum over the 64 x 64 quantized matrix (entries
+    <= 1e6, sums <= 64e12 -- inside 2^53, so the renorm division's
+    double arithmetic is EXACT) followed by a renormalization whose
+    divide / multiply sequence is IEEE-identical in both engines.
+    MATERIALIZED is load-bearing: each CTE is referenced twice and
+    DuckDB would otherwise re-expand the chain exponentially."""
+    d = _POWER_DIM
+    k = _POWER_SQUARINGS
+    head = f"""
+WITH pairs AS MATERIALIZED (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(SUM(CAST(FLOOR((CAST(embedding[ii.i + 1] AS DOUBLE)
+               * CAST(embedding[jj.j + 1] AS DOUBLE))
+               * {_POWER_PSCALE}.0 + 0.5) AS BIGINT)) AS BIGINT) AS m
+  FROM embeddings,
+       generate_series(0, {d - 1}) ii(i),
+       generate_series(0, {d - 1}) jj(j)
+  GROUP BY ii.i, jj.j
+), s0 AS MATERIALIZED (
+  SELECT i, j,
+         CAST(FLOOR(CAST(m AS DOUBLE)
+              / CAST((SELECT MAX(ABS(m)) FROM pairs) AS DOUBLE)
+              * {_POWER_SSCALE}.0 + 0.5) AS BIGINT) AS s
+  FROM pairs
+)"""
+    rounds = []
+    for t in range(1, k + 1):
+        rounds.append(f"""
+, t{t} AS MATERIALIZED (
+  SELECT a.i AS i, b.j AS j, CAST(SUM(a.s * b.s) AS BIGINT) AS t
+  FROM s{t - 1} a JOIN s{t - 1} b ON a.j = b.i
+  GROUP BY a.i, b.j
+), s{t} AS MATERIALIZED (
+  SELECT i, j,
+         CAST(FLOOR(CAST(t AS DOUBLE)
+              / CAST((SELECT MAX(ABS(t)) FROM t{t}) AS DOUBLE)
+              * {_POWER_SSCALE}.0 + 0.5) AS BIGINT) AS s
+  FROM t{t}
+)"""
+        )
+    tail = f"""
+, u AS MATERIALIZED (
+  SELECT i AS dim, CAST(SUM(s) AS BIGINT) AS u FROM s{k} GROUP BY i
+), fin AS MATERIALIZED (
+  SELECT dim,
+         CAST(FLOOR(CAST(u AS DOUBLE)
+              / CAST((SELECT MAX(ABS(u)) FROM u) AS DOUBLE)
+              * {_POWER_VSCALE}.0 + 0.5) AS BIGINT) AS v
+  FROM u
+), pick AS (SELECT v FROM fin ORDER BY ABS(v) DESC, dim LIMIT 1)
+SELECT CAST(f.dim AS INTEGER) AS dim,
+       CAST(CASE WHEN (SELECT v FROM pick) < 0 THEN -f.v ELSE f.v END
+            AS BIGINT) AS loading_scaled
+FROM fin f
+"""
+    return head + "".join(rounds) + tail
+
+
+@query("embed_pca_power", oracle=_pca_power_oracle())
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact PCA companion tier: the leading principal direction
+    of the UNCENTERED second-moment matrix X^T X by repeated matrix
+    SQUARING in scaled-integer arithmetic (8 squarings = M^256, then
+    one matvec with the ones vector) -- a recurrence both engines
+    replay bit-for-bit, closing (for the dominant direction) the gap
+    NEVER_SAMPLED.md documents for embed_pca's LAPACK eigensolve.
+    Squaring beats the classic per-vector iteration here twice over:
+    log-depth (8 rounds reach the amplification 256 sequential matvec
+    rounds would) and a shorter oracle chain.
+
+    Scale shape (same as embed_pca): the only data-sized pass is the
+    quantized-moment aggregation -- each partition folds its rows into
+    a 64 x 64 int64 partial inside one Arrow-batched mapInPandas, the
+    4096-row partials groupBy-SUM exactly (integer, order-free), and
+    the squarings run on the driver over the 32 KB matrix in
+    arbitrary-precision Python ints. 100 TB of rows still produce one
+    4096-row partial per partition and a 4096-row shuffle.
+
+    Exactness contract: per-row quantization is FLOOR(prod*1e7 + 0.5)
+    on DOUBLE-cast floats (numpy float64 does the identical IEEE
+    sequence). After the initial renorm every matrix entry is <= 1e6,
+    so squaring sums are <= 64e12 -- exact in int64 AND in the renorm
+    division's double conversion (< 2^53). The initial renorm divides
+    the raw moment m (possibly > 2^53 on a huge corpus) by max|m| in
+    double -- both engines execute the identical IEEE sequence
+    (m / mmax) * 1e6 left-to-right, so the hash gate holds at any
+    scale. Sign convention: the max-|loading| dimension (tie: lowest
+    dim) is made positive. Output: (dim, loading_scaled) -- 64
+    integer rows.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.distance_join import ensure_parallelism
+
+    d = _POWER_DIM
+    e = load(spark, sf_dir, "embeddings")
+
+    def partials(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            for i in range(d):
+                q = np.floor((X[:, i : i + 1] * X) * float(_POWER_PSCALE) + 0.5)
+                acc[i] += q.astype(np.int64).sum(axis=0)
+            seen = True
+        if seen:
+            ii, jj = np.indices((d, d))
+            yield pd.DataFrame(
+                {"i": ii.ravel(), "j": jj.ravel(), "m": acc.ravel()}
+            )
+
+    rows = (
+        ensure_parallelism(e.select("embedding"))
+        .mapInPandas(partials, "i int, j int, m bigint")
+        .groupBy("i", "j")
+        .agg(F.sum("m").alias("m"))
+        .collect()  # bounded: 64 x 64 = 4096 rows regardless of data size
+    )
+    M = [[0] * d for _ in range(d)]
+    for r in rows:
+        M[r["i"]][r["j"]] = int(r["m"])
+
+    def renorm(T, scale):
+        tmax = max(abs(x) for row in T for x in row)
+        return [
+            [
+                math.floor(float(x) / float(tmax) * float(scale) + 0.5)
+                for x in row
+            ]
+            for row in T
+        ]
+
+    S = renorm(M, _POWER_SSCALE)
+    for _ in range(_POWER_SQUARINGS):
+        S = renorm(
+            [
+                [sum(S[i][l] * S[l][j] for l in range(d)) for j in range(d)]
+                for i in range(d)
+            ],
+            _POWER_SSCALE,
+        )
+    u = [sum(S[i][j] for j in range(d)) for i in range(d)]
+    umax = max(abs(x) for x in u)
+    v = [
+        math.floor(float(x) / float(umax) * float(_POWER_VSCALE) + 0.5)
+        for x in u
+    ]
+    jstar = min(range(d), key=lambda i: (-abs(v[i]), i))
+    if v[jstar] < 0:
+        v = [-x for x in v]
+    return spark.createDataFrame(
+        [(i, int(v[i])) for i in range(d)], "dim int, loading_scaled bigint"
+    )
+
+
 @query(
     "embed_centroids_report",
     oracle="""

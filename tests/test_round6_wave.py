@@ -286,3 +286,29 @@ def test_sharpe_invariants(spark, sf_dir):
     assert math.isfinite(row["sortino_annualized"])
     if row["sharpe_annualized"] > 0:
         assert row["sortino_annualized"] >= row["sharpe_annualized"] * 0.5
+
+
+def test_pca_power_matches_numpy_top_eigvec(spark, sf_dir):
+    """The quantized power iterate must align with numpy's leading
+    eigenvector of the uncentered second moment X^T X (the quantity
+    the scaled-integer recurrence approximates): |cos| >= 0.99."""
+    rows = QUERIES["embed_pca_power"](spark, sf_dir).collect()
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"]] = r["loading_scaled"]
+    X = np.stack(
+        [
+            r["embedding"]
+            for r in load(spark, sf_dir, "embeddings")
+            .select("embedding")
+            .collect()
+        ]
+    ).astype(np.float64)
+    w, V = np.linalg.eigh(X.T @ X)
+    top = V[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos >= 0.99
+    # sign convention: the max-|loading| dim is positive (tie: lowest)
+    j = int(np.argmax(np.abs(v)))
+    assert v[j] > 0
