@@ -2989,3 +2989,66 @@ def anomaly_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(md2, 6).alias("md2"),
         (md2 > F.lit(_MAHA_CHI2_2_99).cast("double")).alias("outlier"),
     )
+
+
+@query(
+    "seq_pattern_support",
+    oracle="""
+WITH tot AS (
+  SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders
+), pat AS (
+  SELECT DISTINCT a.o_custkey, a.o_orderpriority AS p1,
+         b.o_orderpriority AS p2
+  FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+   AND (a.o_orderdate < b.o_orderdate
+        OR (a.o_orderdate = b.o_orderdate
+            AND a.o_orderkey < b.o_orderkey))
+)
+SELECT p1, p2, CAST(COUNT(*) AS BIGINT) AS support,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n_cust FROM tot) AS support_frac
+FROM pat GROUP BY p1, p2
+""",
+)
+def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern support mining (the GSP/PrefixSpan length-2
+    tier): for every ordered priority pair (p1 then p2, ANY gap —
+    subsequence containment, not adjacency, which is what separates
+    this from markov_transitions' adjacent-step counts), the number
+    of customers whose order history contains it. Per-customer pair
+    generation is an equi-join on custkey with a lexicographic
+    (date, key) precedence filter — O(sum n_c^2) with n_c bounded by
+    orders-per-customer (<= ~40), so the shuffle is keyed and skew-
+    free at any corpus size; the 5x5 pattern domain bounds the
+    output. support_frac divides identical exact integers, so the
+    double is engine-identical."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    a = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_orderdate").alias("da"),
+        F.col("o_orderpriority").alias("p1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_orderdate").alias("db"),
+        F.col("o_orderpriority").alias("p2"),
+    )
+    pat = (
+        a.join(b, "ck")
+        .filter(
+            (F.col("da") < F.col("db"))
+            | ((F.col("da") == F.col("db")) & (F.col("ka") < F.col("kb")))
+        )
+        .select("ck", "p1", "p2")
+        .distinct()
+    )
+    n_cust = o.select("o_custkey").distinct().count()
+    return pat.groupBy("p1", "p2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("support"),
+        (F.count(F.lit(1)).cast("double") / F.lit(n_cust)).alias(
+            "support_frac"
+        ),
+    )

@@ -3967,3 +3967,267 @@ def ts_sharpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sortino_annualized"
         ),
     )
+
+
+_MP_WIN = 8  # matrix-profile subsequence length (days)
+
+
+@query(
+    "ts_matrix_profile",
+    bounded_cross=(
+        "O(days^2) window-pair grid over the ~2.4k-day daily rollup "
+        "(~5.8M pairs), data-size-independent"
+    ),
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS d
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT day, d,
+         ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx
+  FROM daily
+), w AS (
+  SELECT a.idx AS i, a.day AS day, list(b.d ORDER BY b.idx) AS arr
+  FROM s a JOIN s b ON b.idx BETWEEN a.idx AND a.idx + {_MP_WIN - 1}
+  GROUP BY a.idx, a.day
+  HAVING COUNT(*) = {_MP_WIN}
+), p AS (
+  SELECT wa.i AS i, wa.day AS day, wb.i AS j, wb.day AS nn_day,
+         CAST(list_sum(list_transform(generate_series(1, {_MP_WIN}),
+              k -> (wa.arr[k] - wb.arr[k]) * (wa.arr[k] - wb.arr[k])))
+           AS BIGINT) AS d2
+  FROM w wa JOIN w wb ON ABS(wa.i - wb.i) >= {_MP_WIN}
+)
+SELECT CAST(day AS TIMESTAMP) AS day,
+       CAST(nn_day AS TIMESTAMP) AS nn_day,
+       d2
+FROM (SELECT day, nn_day, d2,
+             ROW_NUMBER() OVER (PARTITION BY i ORDER BY d2, j) AS rn
+      FROM p)
+WHERE rn = 1
+""",
+)
+def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean matrix profile of daily revenue (window m={_MP_WIN}
+    days): for every {_MP_WIN}-day window, the squared distance to
+    its nearest NON-OVERLAPPING neighbor window (exclusion zone
+    |i - j| >= m) and that neighbor's start day — the motif/discord
+    detector (Yeh et al., ICDM 2016) in its exact-integer form: the
+    series is whole DOLLARS per day (exact cents sum, then positive
+    floor division — identical div///), so every window distance is
+    an exact bigint both engines reproduce term by term.
+
+    Scale shape: one data-sized groupBy produces the O(days) rollup;
+    everything after — window assembly and the days^2 pair grid
+    (~5.8M pairs at 2.4k days) — is bounded by the CALENDAR, not the
+    data, and the per-window argmin is a day-partitioned
+    window-rank, so a 100x corpus only grows the first aggregate.
+    Overflow: dollar diffs <= ~5e7 at sf0.1 -> d2 <= 8 * 2.5e15 =
+    2e16; guarded against corpora where the daily max would push the
+    sum past int64. Tie-break: lowest neighbor index."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
+        .select("day", F.expr("c div 100").alias("d"))
+    )
+    maxd = daily.agg(F.max(F.abs(F.col("d")))).first()[0]
+    if maxd is None or maxd > 100_000_000:
+        raise ValueError(
+            "ts_matrix_profile: daily dollars exceed the int64 window-"
+            "distance budget (8 * (2*max)^2) — rescale the series first"
+        )
+    # bounded: O(days) daily rollup rows — the index + window passes
+    w_idx = Window.orderBy("day")
+    s = daily.withColumn("idx", F.row_number().over(w_idx) - 1)
+    # bounded: O(days) rollup rows — frame assembles the 8-day window
+    w_arr = Window.orderBy("idx").rowsBetween(0, _MP_WIN - 1)
+    wins = (
+        s.select(
+            "idx",
+            "day",
+            F.collect_list("d").over(w_arr).alias("arr"),
+        )
+        .filter(F.size("arr") == _MP_WIN)
+    )
+    a = wins.select(
+        F.col("idx").alias("i"), F.col("day").alias("day"), F.col("arr").alias("arr_a")
+    )
+    b = wins.select(
+        F.col("idx").alias("j"),
+        F.col("day").alias("nn_day"),
+        F.col("arr").alias("arr_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.abs(F.col("i") - F.col("j")) >= _MP_WIN)
+    d2 = F.aggregate(
+        F.zip_with("arr_a", "arr_b", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s_, v: s_ + v,
+    ).alias("d2")
+    scored = pairs.select("i", "day", "j", "nn_day", d2)
+    best = scored.groupBy("i", "day").agg(
+        F.min(F.struct("d2", "j", "nn_day")).alias("m")
+    )
+    return best.select(
+        "day", F.col("m.nn_day").alias("nn_day"), F.col("m.d2").alias("d2")
+    )
+
+
+_DTW_BAND = 64  # Sakoe-Chiba radius (days)
+_DTW_NATIONS = ("NATION_0", "NATION_1")
+
+
+@query(
+    "ts_dtw",
+    oracle=f"""
+WITH RECURSIVE cal AS MATERIALIZED (
+  SELECT day, ROW_NUMBER() OVER (ORDER BY day) - 1 AS idx
+  FROM (SELECT DISTINCT date_trunc('day', o_orderdate) AS day FROM orders)
+), nrev AS MATERIALIZED (
+  SELECT n.n_name, date_trunc('day', o.o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS d
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  WHERE n.n_name IN ('{_DTW_NATIONS[0]}', '{_DTW_NATIONS[1]}')
+  GROUP BY 1, 2
+), ser AS MATERIALIZED (
+  SELECT cal.idx,
+         COALESCE(MAX(CASE WHEN nrev.n_name = '{_DTW_NATIONS[0]}'
+                           THEN nrev.d END), 0) AS a,
+         COALESCE(MAX(CASE WHEN nrev.n_name = '{_DTW_NATIONS[1]}'
+                           THEN nrev.d END), 0) AS b
+  FROM cal LEFT JOIN nrev ON nrev.day = cal.day
+  GROUP BY cal.idx
+), lists AS MATERIALIZED (
+  SELECT list(a ORDER BY idx) AS la, list(b ORDER BY idx) AS lb,
+         COUNT(*) AS t
+  FROM ser
+),
+moves(kind, di, dj, cur) AS (
+  VALUES (0, 0, 0, true), (1, 1, 0, true), (1, 0, 1, true),
+         (1, 1, 1, false)
+),
+dp AS (
+  SELECT 0 AS step, 0 AS i, 0 AS j, ABS(l.la[1] - l.lb[1]) AS g
+  FROM lists l
+  UNION ALL
+  SELECT t.step + 1 AS step, t.ti AS i, t.tj AS j,
+         CASE WHEN t.kind = 0 THEN MIN(t.g)
+              ELSE MIN(t.g)
+                   + ANY_VALUE(ABS(t.la[t.ti + 1] - t.lb[t.tj + 1])) END
+           AS g
+  FROM (
+    SELECT p.step, m.kind, p.i + m.di AS ti, p.j + m.dj AS tj, p.g,
+           l.la, l.lb, l.t
+    FROM dp p
+    JOIN moves m
+      ON (m.cur AND p.i + p.j = p.step)
+      OR (NOT m.cur AND p.i + p.j = p.step - 1)
+    CROSS JOIN lists l
+  ) t
+  WHERE t.kind = 0
+     OR (t.ti < t.t AND t.tj < t.t AND ABS(t.ti - t.tj) <= {_DTW_BAND})
+  GROUP BY t.step, t.kind, t.ti, t.tj
+)
+SELECT (SELECT t FROM lists) AS n_days,
+       CAST(MIN(g) AS BIGINT) AS dtw_l1,
+       CAST(MIN(g) AS DOUBLE) / (2 * (SELECT t FROM lists) - 1)
+         AS per_step
+FROM dp
+WHERE i = (SELECT t FROM lists) - 1 AND j = (SELECT t FROM lists) - 1
+""",
+)
+def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic time warping (Sakoe-Chiba band, radius {_DTW_BAND}
+    days) between two nations' daily-revenue series on the shared
+    order calendar — the alignment-tolerant series distance exact
+    correlation can't give (one nation's demand pattern LAGGING the
+    other's still scores as similar). Series are whole dollars per
+    day (exact cents sum, positive floor division), costs are L1, so
+    the whole DP is integer arithmetic — no IEEE anywhere.
+
+    Scale shape: the only data-sized work is the orders-to-nation
+    daily rollup (keyed equi-join on custkey, broadcast nation dim);
+    the banded DP is O(T * band) on the CALENDAR-bounded series
+    (~2.4k days -> ~310k cells) and runs on the driver in exact
+    Python ints — the local-finish tier every ts_* key uses. The
+    oracle replays the identical recurrence as a recursive-CTE
+    WAVEFRONT: cells on anti-diagonal d depend only on diagonals
+    d-1 / d-2, so each recursion step emits one diagonal plus a
+    one-step pass-through of the previous one (a cell's three
+    predecessor reads become three forward CONTRIBUTIONS grouped by
+    target with MIN — the single-self-reference rewrite), with costs
+    read from two MATERIALIZED day-lists. Oracle cost ~8 s at sf0.1
+    (2 * T recursion steps; documented naive-oracle cost, the engine
+    side is O(days * band) locally). Overflow: path length <= 2T,
+    per-step cost <= max daily dollars -> g <= ~5e9 at sf0.1."""
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nat),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .filter(F.col("n_name").isin(*_DTW_NATIONS))
+        .groupBy(
+            F.date_trunc("day", "o_orderdate").alias("day"), "n_name"
+        )
+        .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
+        .select("day", "n_name", F.expr("c div 100").alias("d"))
+    )
+    cal = o.select(
+        F.date_trunc("day", "o_orderdate").alias("day")
+    ).distinct()
+    ser = (
+        cal.join(nrev, "day", "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(
+                F.max(
+                    F.when(F.col("n_name") == _DTW_NATIONS[0], F.col("d"))
+                ),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.max(
+                    F.when(F.col("n_name") == _DTW_NATIONS[1], F.col("d"))
+                ),
+                F.lit(0),
+            ).alias("b"),
+        )
+        .collect()  # bounded: O(calendar days) rows, data-independent
+    )
+    ser.sort(key=lambda r: r["day"])
+    a = [int(r["a"]) for r in ser]
+    b = [int(r["b"]) for r in ser]
+    t = len(a)
+    r_ = _DTW_BAND
+    prev: dict = {}
+    for i in range(t):
+        cur: dict = {}
+        for j in range(max(0, i - r_), min(t - 1, i + r_) + 1):
+            c = abs(a[i] - b[j])
+            if i == 0 and j == 0:
+                cur[j] = c
+                continue
+            cands = []
+            if j - 1 in cur:
+                cands.append(cur[j - 1])
+            if j in prev:
+                cands.append(prev[j])
+            if j - 1 in prev:
+                cands.append(prev[j - 1])
+            cur[j] = c + min(cands)
+        prev = cur
+    dtw = prev[t - 1]
+    return spark.createDataFrame(
+        [(t, dtw, float(dtw) / (2 * t - 1))],
+        "n_days bigint, dtw_l1 bigint, per_step double",
+    )

@@ -312,3 +312,75 @@ def test_pca_power_matches_numpy_top_eigvec(spark, sf_dir):
     # sign convention: the max-|loading| dim is positive (tie: lowest)
     j = int(np.argmax(np.abs(v)))
     assert v[j] > 0
+
+
+def test_matrix_profile_invariants(spark, sf_dir):
+    rows = QUERIES["ts_matrix_profile"](spark, sf_dir).collect()
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    # one profile row per window start
+    assert len(rows) == n_days - 8 + 1
+    assert all(r["d2"] >= 0 for r in rows)
+    # the neighbor is never the window itself
+    assert all(r["nn_day"] != r["day"] for r in rows)
+
+
+def test_dtw_bounds(spark, sf_dir):
+    r = QUERIES["ts_dtw"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert row["dtw_l1"] >= 0
+    # the banded DTW is upper-bounded by the rigid (diagonal-path)
+    # alignment, which the band always contains
+    from diversity_maximization_spark.operators.timeseries import (
+        _DTW_NATIONS,
+    )
+
+    o = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nrev = (
+        o.join(cust, o["o_custkey"] == cust["c_custkey"])
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name").isin(*_DTW_NATIONS))
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"), "n_name")
+        .agg(
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100"
+            ).alias("d")
+        )
+    )
+    cal = o.select(F.date_trunc("day", "o_orderdate").alias("day")).distinct()
+    ser = (
+        cal.join(nrev, "day", "left")
+        .groupBy("day")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("n_name") == _DTW_NATIONS[0], F.col("d"))),
+                F.lit(0),
+            ).alias("a"),
+            F.coalesce(
+                F.max(F.when(F.col("n_name") == _DTW_NATIONS[1], F.col("d"))),
+                F.lit(0),
+            ).alias("b"),
+        )
+        .collect()
+    )
+    rigid = sum(abs(int(r2["a"]) - int(r2["b"])) for r2 in ser)
+    assert row["dtw_l1"] <= rigid
+    assert row["n_days"] == len(ser)
+
+
+def test_seq_pattern_support_bounds(spark, sf_dir):
+    rows = QUERIES["seq_pattern_support"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    n_cust = (
+        load(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    for r in rows:
+        assert 0 < r["support"] <= n_cust
+        assert abs(r["support_frac"] - r["support"] / n_cust) < 1e-12
