@@ -7468,3 +7468,142 @@ def agg_pareto_front(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.filter(~dominated).select(
         "p_partkey", "price_cents", "p_size"
     )
+
+
+_ISO_BINS = 20
+
+
+def _iso_violation(p: str) -> str:
+    """PAVA violation predicate on the DuckDB state row alias ``p``:
+    the last two stack blocks violate monotonicity, compared by
+    CROSS-MULTIPLICATION so the test is exact-integer (no division
+    anywhere in the merge loop)."""
+    return (
+        f"(len({p}.sums) >= 2 AND "
+        f"{p}.sums[len({p}.sums)-1] * {p}.ns[len({p}.ns)] > "
+        f"{p}.sums[len({p}.sums)] * {p}.ns[len({p}.ns)-1])"
+    )
+
+
+@query(
+    "agg_isotonic_calibration",
+    oracle=f"""
+WITH RECURSIVE bins AS MATERIALIZED (
+  SELECT bin,
+         CAST(SUM(pos) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (
+    SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+           NTILE({_ISO_BINS}) OVER (
+             ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                      o_orderkey) AS bin
+    FROM orders)
+  GROUP BY bin
+), bl AS MATERIALIZED (
+  SELECT list(s ORDER BY bin) AS ls, list(n ORDER BY bin) AS ln FROM bins
+),
+dp AS (
+  SELECT 1 AS pos, [l.ls[1]] AS sums, [l.ln[1]] AS ns,
+         [CAST(1 AS BIGINT)] AS widths
+  FROM bl l
+  UNION ALL
+  SELECT CASE WHEN {_iso_violation('p')} THEN p.pos
+              ELSE p.pos + 1 END AS pos,
+         CASE WHEN {_iso_violation('p')}
+              THEN list_slice(p.sums, 1, len(p.sums) - 2)
+                   || [p.sums[len(p.sums) - 1] + p.sums[len(p.sums)]]
+              ELSE p.sums || [l.ls[p.pos + 1]] END AS sums,
+         CASE WHEN {_iso_violation('p')}
+              THEN list_slice(p.ns, 1, len(p.ns) - 2)
+                   || [p.ns[len(p.ns) - 1] + p.ns[len(p.ns)]]
+              ELSE p.ns || [l.ln[p.pos + 1]] END AS ns,
+         CASE WHEN {_iso_violation('p')}
+              THEN list_slice(p.widths, 1, len(p.widths) - 2)
+                   || [p.widths[len(p.widths) - 1]
+                       + p.widths[len(p.widths)]]
+              ELSE p.widths || [CAST(1 AS BIGINT)] END AS widths
+  FROM dp p CROSS JOIN bl l
+  WHERE {_iso_violation('p')} OR p.pos < {_ISO_BINS}
+),
+fin AS MATERIALIZED (
+  SELECT sums, ns, widths FROM dp p
+  WHERE p.pos = {_ISO_BINS} AND NOT {_iso_violation('p')}
+)
+SELECT CAST(k AS INTEGER) AS block_idx,
+       CAST(1 + COALESCE(list_sum(list_slice(widths, 1, k - 1)), 0)
+            AS BIGINT) AS bin_from,
+       CAST(list_sum(list_slice(widths, 1, k)) AS BIGINT) AS bin_to,
+       ns[k] AS n_rows, sums[k] AS pos_sum,
+       CAST(sums[k] AS DOUBLE) / ns[k] AS iso_rate
+FROM fin, unnest(generate_series(1, len(sums))) t(k)
+""",
+)
+def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the score -> positive-rate curve by
+    pool-adjacent-violators (PAVA; Barlow et al. 1972 — what sklearn's
+    IsotonicRegression fits): the {_ISO_BINS} equal-frequency score
+    bins of agg_calibration_bins, pooled left-to-right until the
+    positive rate is non-decreasing in score. The monotone fit is the
+    step function probability calibrators actually deploy; the raw
+    reliability diagram (calibration_bins) can zigzag.
+
+    Exactness: the merge loop compares pooled rates by CROSS-
+    MULTIPLICATION (s_a * n_b > s_b * n_a — exact bigints, no
+    division until the final per-block rate, which divides identical
+    integers). Scale shape: the data-sized work is the global NTILE
+    (two-phase range-bucket machinery, no SinglePartition sort) and
+    one groupBy to {_ISO_BINS} rows; PAVA itself is a <= 2*{_ISO_BINS}-step
+    stack loop on the driver over the bounded bin table. The oracle
+    replays the IDENTICAL stack machine as a recursive CTE over
+    list-of-bigint state (one append OR one merge per step, <= 39
+    steps). Output: one row per pooled block with its bin span,
+    exact counts, and the isotonic rate."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(cents("o_totalprice")).alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    numbered, n_total = with_global_row_number(o, ["sc", "o_orderkey"])
+    binned = numbered.withColumn(
+        "bin", ntile_expr("_rn", n_total, _ISO_BINS)
+    )
+    rows = (
+        binned.groupBy("bin")
+        .agg(
+            F.sum("pos").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .collect()  # bounded: exactly _ISO_BINS rows
+    )
+    rows.sort(key=lambda r: r["bin"])
+    sums = []
+    ns = []
+    widths = []
+    for r in rows:
+        sums.append(int(r["s"]))
+        ns.append(int(r["n"]))
+        widths.append(1)
+        while len(sums) >= 2 and sums[-2] * ns[-1] > sums[-1] * ns[-2]:
+            sums[-2:] = [sums[-2] + sums[-1]]
+            ns[-2:] = [ns[-2] + ns[-1]]
+            widths[-2:] = [widths[-2] + widths[-1]]
+    out = []
+    start = 1
+    for k in range(len(sums)):
+        out.append(
+            (
+                k + 1,
+                start,
+                start + widths[k] - 1,
+                ns[k],
+                sums[k],
+                float(sums[k]) / ns[k],
+            )
+        )
+        start += widths[k]
+    return spark.createDataFrame(
+        out,
+        "block_idx int, bin_from bigint, bin_to bigint, n_rows bigint,"
+        " pos_sum bigint, iso_rate double",
+    )

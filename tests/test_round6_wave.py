@@ -384,3 +384,24 @@ def test_seq_pattern_support_bounds(spark, sf_dir):
     for r in rows:
         assert 0 < r["support"] <= n_cust
         assert abs(r["support_frac"] - r["support"] / n_cust) < 1e-12
+
+
+def test_isotonic_calibration_is_monotone_and_mass_conserving(spark, sf_dir):
+    rows = QUERIES["agg_isotonic_calibration"](spark, sf_dir).collect()
+    rows.sort(key=lambda r: r["block_idx"])
+    rates = [r["iso_rate"] for r in rows]
+    assert rates == sorted(rates)  # the whole point of PAVA
+    # strictly increasing across blocks (equal rates would have merged)
+    assert all(a < b for a, b in zip(rates, rates[1:]))
+    # blocks tile the 20 bins exactly and conserve counts
+    assert rows[0]["bin_from"] == 1 and rows[-1]["bin_to"] == 20
+    for a, b in zip(rows, rows[1:]):
+        assert b["bin_from"] == a["bin_to"] + 1
+    n = load(spark, sf_dir, "orders").count()
+    assert sum(r["n_rows"] for r in rows) == n
+    pos = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .count()
+    )
+    assert sum(r["pos_sum"] for r in rows) == pos
