@@ -4231,3 +4231,111 @@ def ts_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(t, dtw, float(dtw) / (2 * t - 1))],
         "n_days bigint, dtw_l1 bigint, per_step double",
     )
+
+
+# Seasonal candidate periods (days) and their quantized trig tables.
+# math.cos/sin run ONCE here at import; both engines consume the same
+# integer literals, so no libm call is inside the hash gate.
+_PGRAM_PERIODS = (7, 30, 91, 365)
+_PGRAM_TRIG_SCALE = 1_000_000
+
+
+def _pgram_trig_rows() -> list:
+    import math
+
+    rows = []
+    for p in _PGRAM_PERIODS:
+        for r in range(p):
+            ang = 2.0 * math.pi * r / p
+            rows.append(
+                (
+                    p,
+                    r,
+                    math.floor(
+                        math.cos(ang) * _PGRAM_TRIG_SCALE + 0.5
+                    ),
+                    math.floor(
+                        math.sin(ang) * _PGRAM_TRIG_SCALE + 0.5
+                    ),
+                )
+            )
+    return rows
+
+
+_PGRAM_TRIG = _pgram_trig_rows()
+
+
+def _pgram_oracle() -> str:
+    vals = ",".join(f"({p},{r},{cq},{sq})" for p, r, cq, sq in _PGRAM_TRIG)
+    return f"""
+WITH s AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS x,
+         ROW_NUMBER() OVER (ORDER BY date_trunc('day', o_orderdate)) - 1
+           AS t
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+), trig(period, r, cq, sq) AS (VALUES {vals})
+SELECT g.period,
+       CAST(SUM(s.x * g.cq) AS BIGINT) AS sc_micro,
+       CAST(SUM(s.x * g.sq) AS BIGINT) AS ss_micro,
+       (CAST(CAST(SUM(s.x * g.cq) AS BIGINT) AS DOUBLE) / 1000000.0)
+         * (CAST(CAST(SUM(s.x * g.cq) AS BIGINT) AS DOUBLE) / 1000000.0)
+       + (CAST(CAST(SUM(s.x * g.sq) AS BIGINT) AS DOUBLE) / 1000000.0)
+         * (CAST(CAST(SUM(s.x * g.sq) AS BIGINT) AS DOUBLE) / 1000000.0)
+         AS power
+FROM s JOIN trig g ON s.t % g.period = g.r
+GROUP BY g.period
+"""
+
+
+@query("ts_periodogram", oracle=_pgram_oracle())
+def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DFT power of daily revenue at the candidate seasonal periods
+    (weekly/monthly/quarterly/yearly) — the seasonality detector that
+    says WHICH cycle dominates, where ts_acf only says "something at
+    lag k". Sc(P) = sum_t x_t cos(2 pi (t mod P)/P) and the sine
+    twin, power = (Sc/1e6)^2 + (Ss/1e6)^2.
+
+    No libm inside the gate: the trig values are quantized to 1e6
+    fixed point ONCE at import (module constant) and embedded as the
+    SAME integer literals in the Spark plan and the oracle SQL, so
+    every data-dependent step is an exact bigint product/sum
+    (dollars <= ~2.3e7 x 1e6 x 2400 days ~ 5.5e16 < 2^63) and the
+    one double expression divides/squares identical integers in the
+    same order. Scale shape: one data-sized groupBy to the O(days)
+    rollup, a broadcast join against the 493-row literal trig table,
+    and a 4-group aggregate."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
+        .select("day", F.expr("c div 100").alias("x"))
+    )
+    # bounded: O(days) daily rollup rows — index assignment only
+    w_idx = Window.orderBy("day")
+    s = daily.withColumn("t", F.row_number().over(w_idx) - 1)
+    trig = spark.createDataFrame(
+        _PGRAM_TRIG, "period int, r int, cq bigint, sq bigint"
+    )
+    # explode the 4-element literal period array data-side so the
+    # trig lookup is a two-key EQUI join (BroadcastHashJoin), not a
+    # nested-loop on the modulo predicate
+    exploded = s.select(
+        "x",
+        F.explode(
+            F.array(*[F.lit(p) for p in _PGRAM_PERIODS])
+        ).alias("period"),
+        "t",
+    ).withColumn("r", F.col("t") % F.col("period"))
+    joined = exploded.join(F.broadcast(trig), ["period", "r"])
+    sc = F.sum(F.col("x") * F.col("cq")).cast("bigint")
+    ss = F.sum(F.col("x") * F.col("sq")).cast("bigint")
+    return joined.groupBy("period").agg(
+        sc.alias("sc_micro"),
+        ss.alias("ss_micro"),
+        (
+            (sc.cast("double") / 1000000.0) * (sc.cast("double") / 1000000.0)
+            + (ss.cast("double") / 1000000.0)
+            * (ss.cast("double") / 1000000.0)
+        ).alias("power"),
+    )

@@ -405,3 +405,52 @@ def test_isotonic_calibration_is_monotone_and_mass_conserving(spark, sf_dir):
         .count()
     )
     assert sum(r["pos_sum"] for r in rows) == pos
+
+
+def test_k_truss_supports_match_local_recount(spark, sf_dir):
+    """Every surviving edge's support must equal the triangle count
+    a local adjacency-set recount finds inside the truss, and clear
+    the k-2 threshold."""
+    from diversity_maximization_spark.operators.graph import TRUSS_K
+
+    rows = QUERIES["graph_k_truss"](spark, sf_dir).collect()
+    edges = {(r["u"], r["v"]) for r in rows}
+    adj: dict = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    for r in rows:
+        s_local = len(adj[r["u"]] & adj[r["v"]])
+        assert s_local == r["support"]
+        assert r["support"] >= TRUSS_K - 2
+
+
+def test_periodogram_matches_float_trig(spark, sf_dir):
+    """The quantized-literal DFT power must agree with a float-trig
+    numpy recomputation to ~1e-4 relative (quantization at 1e-6 per
+    trig value over <= 2.4k terms)."""
+    import math
+
+    rows = {
+        r["period"]: r for r in QUERIES["ts_periodogram"](spark, sf_dir).collect()
+    }
+    assert sorted(rows) == [7, 30, 91, 365]
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "sum(CAST(ROUND(o_totalprice * 100) AS BIGINT)) div 100"
+            ).alias("x")
+        )
+        .orderBy("day")
+        .collect()
+    )
+    xs = [int(r["x"]) for r in daily]
+    for p, row in rows.items():
+        sc = sum(x * math.cos(2 * math.pi * (t % p) / p) for t, x in enumerate(xs))
+        ss = sum(x * math.sin(2 * math.pi * (t % p) / p) for t, x in enumerate(xs))
+        ref = sc * sc + ss * ss
+        assert row["power"] >= 0
+        scale = max(ref, 1.0)
+        assert abs(row["power"] - ref) / scale < 1e-4
