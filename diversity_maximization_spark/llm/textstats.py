@@ -2090,3 +2090,139 @@ def corpus_bigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("h_conditional"),
     )
+
+
+@query(
+    "corpus_heaps_law",
+    oracle="""
+WITH d AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) AS pos,
+         len(string_split(text, ' ')) AS ntok, text
+  FROM documents
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+w AS MATERIALIZED (
+  SELECT word, MIN(pos) AS first_pos
+  FROM (SELECT pos, unnest(string_split(text, ' ')) AS word FROM d)
+  GROUP BY word
+), cp AS (
+  SELECT k, ((k * (SELECT n FROM nn)) // 10) AS nk
+  FROM unnest(generate_series(1, 10)) t(k)
+), tk AS MATERIALIZED (
+  SELECT cp.k, CAST(SUM(d.ntok) AS BIGINT) AS t
+  FROM cp JOIN d ON d.pos <= cp.nk GROUP BY cp.k
+), vk AS MATERIALIZED (
+  SELECT cp.k, CAST(COUNT(*) AS BIGINT) AS v
+  FROM cp JOIN w ON w.first_pos <= cp.nk GROUP BY cp.k
+), pts AS (
+  SELECT CAST(FLOOR(LN(CAST(tk.t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS x,
+         CAST(FLOOR(LN(CAST(vk.v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS y
+  FROM tk JOIN vk ON vk.k = tk.k
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT (SELECT n FROM nn) AS n_docs,
+       (SELECT v FROM vk WHERE k = 10) AS vocab_final,
+       (SELECT t FROM tk WHERE k = 10) AS tokens_final,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+       (CAST(sy AS DOUBLE) / 1000000
+        - CAST(n * sxy - sx * sy AS DOUBLE)
+          / CAST(n * sxx - sx * sx AS DOUBLE)
+          * (CAST(sx AS DOUBLE) / 1000000)) / 10 AS intercept_ln
+FROM s
+""",
+)
+def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (V(T) ~ K * T^beta; Heaps
+    1978): walk the corpus in doc_id order, record (cumulative
+    tokens, cumulative distinct vocabulary) at the 10 document-count
+    deciles, and fit the log-log OLS line. beta ~0.4-0.6 marks
+    natural text; beta near 0 screams template/duplicated corpus and
+    near 1 screams noise — the growth-curve twin of quality_zipf_fit,
+    and the estimator for "how much NEW vocabulary will the next
+    10 TB bring".
+
+    Exactness: V(n_k) needs no sequential scan — it is COUNT(first
+    occurrence position <= n_k) where first_pos is a plain MIN per
+    word; both cumulative curves are conditional exact-integer
+    aggregates. The 10 log points are quantized engine-side with
+    FLOOR(LN(int) * 1e6 + 0.5) (the adamic_adar ln discipline — ln of
+    IDENTICAL integers in both engines, quantized once), and the OLS
+    slope is exact-bigint sums with ONE double division. Scale shape:
+    the doc numbering is the two-phase global-rank machinery, the
+    explode feeds one hash aggregate per word, and everything after
+    is 10 rows."""
+    from ..plans.global_rank import with_global_row_number
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    numbered, n_docs = with_global_row_number(d, ["doc_id"], out_col="pos")
+    numbered = numbered.select(
+        "pos", F.size(F.split("text", " ")).alias("ntok"), "text"
+    ).localCheckpoint(eager=True)
+    nks = [(k, (k * n_docs) // 10) for k in range(1, 11)]
+    t_row = numbered.agg(
+        *[
+            F.sum(F.when(F.col("pos") <= nk, F.col("ntok")))
+            .cast("bigint")
+            .alias(f"t{k}")
+            for k, nk in nks
+        ]
+    ).first()
+    first_pos = (
+        numbered.select(
+            "pos", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.min("pos").alias("first_pos"))
+    )
+    v_row = first_pos.agg(
+        *[
+            F.count(F.when(F.col("first_pos") <= nk, F.lit(1)))
+            .cast("bigint")
+            .alias(f"v{k}")
+            for k, nk in nks
+        ]
+    ).first()
+    pts = spark.createDataFrame(
+        [(int(t_row[f"t{k}"]), int(v_row[f"v{k}"])) for k, _ in nks],
+        "t bigint, v bigint",
+    ).select(
+        F.expr(
+            "CAST(FLOOR(LN(CAST(t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(FLOOR(LN(CAST(v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    beta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return s.select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        F.lit(int(v_row["v10"])).cast("bigint").alias("vocab_final"),
+        F.lit(int(t_row["t10"])).cast("bigint").alias("tokens_final"),
+        beta.alias("beta"),
+        (
+            (
+                F.col("sy").cast("double") / 1000000
+                - beta * (F.col("sx").cast("double") / 1000000)
+            )
+            / 10
+        ).alias("intercept_ln"),
+    )

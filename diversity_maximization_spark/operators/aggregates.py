@@ -7607,3 +7607,74 @@ def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_idx int, bin_from bigint, bin_to bigint, n_rows bigint,"
         " pos_sum bigint, iso_rate double",
     )
+
+
+@query(
+    "agg_average_precision",
+    oracle="""
+WITH r AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos,
+         ROW_NUMBER() OVER (
+           ORDER BY -CAST(round(value * 100) AS BIGINT), event_id
+         ) AS k
+  FROM events
+), p AS (
+  SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS j
+  FROM r WHERE pos = 1
+), a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM((j * 1000000000) // k) AS BIGINT) AS ap_nano_sum
+  FROM p
+)
+SELECT n_pos, ap_nano_sum,
+       CAST(ap_nano_sum AS DOUBLE) / n_pos / 1000000000
+         AS average_precision
+FROM a
+""",
+)
+def agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the area under the precision-recall curve,
+    step-interpolated — sklearn's average_precision_score with a
+    deterministic tie order): rank events by score descending
+    (event_id tie-break), AP = mean over positives of
+    precision-at-that-positive = (1/n+) * sum_j (j / k_j) where the
+    j-th positive sits at global rank k_j. The imbalanced-label
+    companion of agg_roc_auc — PR space ignores the true-negative
+    mass that inflates ROC on rare-positive corpora.
+
+    Exactness: each per-positive precision is quantized as the
+    positive-operand floor division (j * 1e9) // k_j — identical
+    div / // semantics — and bigint-summed order-free; ONE double
+    division chain at the end on identical integers. Scale shape:
+    both global rankings run through the two-phase range-bucket
+    machinery (plans/global_rank.py — no SinglePartition sort); the
+    positives pass reuses the same order. j <= n+ <= 1.5e5 at sf0.1
+    -> terms <= 1.5e14, sums well inside int64 even at 100x."""
+    from ..plans.global_rank import with_global_row_number
+
+    ev = load(spark, sf_dir, "events").select(
+        (-F.expr(cents("value"))).alias("neg_s"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+    numbered, _ = with_global_row_number(
+        ev, ["neg_s", "event_id"], out_col="k"
+    )
+    positives = numbered.filter(F.col("pos") == 1).select("k")
+    ranked_pos, n_pos = with_global_row_number(positives, ["k"], out_col="j")
+    agg = ranked_pos.agg(
+        F.sum(F.expr("(j * 1000000000) div k")).cast("bigint").alias(
+            "ap_nano_sum"
+        )
+    )
+    return agg.select(
+        F.lit(n_pos).cast("bigint").alias("n_pos"),
+        "ap_nano_sum",
+        (
+            F.col("ap_nano_sum").cast("double")
+            / F.lit(n_pos)
+            / F.lit(1000000000)
+        ).alias("average_precision"),
+    )

@@ -4339,3 +4339,76 @@ def ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (ss.cast("double") / 1000000.0)
         ).alias("power"),
     )
+
+
+def _perm_pattern_case(a: str, b: str, c: str) -> str:
+    """SQL CASE assigning the Bandt-Pompe ordinal pattern of the
+    triple ({a},{b},{c}) with POSITION tie-break (equal values rank
+    by earlier index — the (value, index) lexicographic order), as
+    the permutation string of positions sorted ascending. Pure
+    integer comparisons — identical text both engines."""
+    ab = f"({a} < {b} OR {a} = {b})"  # pos 0 before pos 1 on ties
+    ac = f"({a} < {c} OR {a} = {c})"
+    bc = f"({b} < {c} OR {b} = {c})"
+    return (
+        f"CASE WHEN {ab} AND {ac} AND {bc} THEN '012' "
+        f"WHEN {ab} AND {ac} AND NOT {bc} THEN '021' "
+        f"WHEN NOT {ab} AND {ac} AND {bc} THEN '102' "
+        f"WHEN {ab} AND NOT {ac} AND NOT {bc} THEN '201' "
+        f"WHEN NOT {ab} AND NOT {ac} AND {bc} THEN '120' "
+        f"ELSE '210' END"
+    )
+
+
+@query(
+    "ts_permutation_patterns",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS x,
+         ROW_NUMBER() OVER (ORDER BY date_trunc('day', o_orderdate)) - 1
+           AS t
+  FROM orders GROUP BY date_trunc('day', o_orderdate)
+), tr AS (
+  SELECT {_perm_pattern_case('a.x', 'b.x', 'c.x')} AS pattern
+  FROM s a JOIN s b ON b.t = a.t + 1 JOIN s c ON c.t = a.t + 2
+), tot AS (SELECT COUNT(*) AS n FROM tr)
+SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT n FROM tot) AS frac
+FROM tr GROUP BY pattern
+""",
+)
+def ts_permutation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal-pattern (Bandt-Pompe, order 3) distribution of daily
+    revenue: every 3-day window is reduced to the permutation of its
+    value ranks (position tie-break), and the six pattern frequencies
+    are the nonlinear-dynamics fingerprint — a random walk spreads
+    mass evenly, trends pile onto '012'/'210', mean-reversion onto
+    the zigzags ('021'/'102'/'120'/'201'). The input to permutation
+    entropy, kept as exact counts (frac divides identical integers).
+
+    Scale shape: one data-sized groupBy to the O(days) rollup, two
+    calendar-index equi self-joins, a 6-group aggregate. All pattern
+    logic is integer comparisons shared verbatim with the oracle."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
+        .select("day", F.expr("c div 100").alias("x"))
+    )
+    # bounded: O(days) daily rollup rows — index assignment only
+    w_idx = Window.orderBy("day")
+    s = daily.withColumn("t", F.row_number().over(w_idx) - 1).select(
+        "t", "x"
+    )
+    a = s.select(F.col("t").alias("t"), F.col("x").alias("xa"))
+    b = s.select((F.col("t") - 1).alias("t"), F.col("x").alias("xb"))
+    c = s.select((F.col("t") - 2).alias("t"), F.col("x").alias("xc"))
+    tr = a.join(b, "t").join(c, "t").select(
+        F.expr(_perm_pattern_case("xa", "xb", "xc")).alias("pattern")
+    )
+    n_tot = tr.count()
+    return tr.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        (F.count(F.lit(1)).cast("double") / F.lit(n_tot)).alias("frac"),
+    )

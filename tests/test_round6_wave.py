@@ -454,3 +454,61 @@ def test_periodogram_matches_float_trig(spark, sf_dir):
         assert row["power"] >= 0
         scale = max(ref, 1.0)
         assert abs(row["power"] - ref) / scale < 1e-4
+
+
+def test_average_precision_matches_local_recompute(spark, sf_dir):
+    r = QUERIES["agg_average_precision"](spark, sf_dir).collect()[0]
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("s"),
+            "event_id",
+            (F.col("event_type") == "purchase").alias("pos"),
+        )
+        .collect()
+    )
+    ev.sort(key=lambda x: (-x["s"], x["event_id"]))
+    cum = 0
+    total = 0
+    n_pos = 0
+    for k, row in enumerate(ev, start=1):
+        if row["pos"]:
+            cum += 1
+            n_pos += 1
+            total += (cum * 10**9) // k
+    assert r["n_pos"] == n_pos
+    assert r["ap_nano_sum"] == total
+    assert 0.0 < r["average_precision"] <= 1.0
+
+
+def test_permutation_patterns_cover_all_windows(spark, sf_dir):
+    rows = QUERIES["ts_permutation_patterns"](spark, sf_dir).collect()
+    assert len(rows) <= 6
+    assert all(
+        sorted(r["pattern"]) == ["0", "1", "2"] for r in rows
+    )
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_windows"] for r in rows) == n_days - 2
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
+
+
+def test_heaps_law_is_sane(spark, sf_dir):
+    r = QUERIES["corpus_heaps_law"](spark, sf_dir).collect()[0]
+    # the fixture vocabulary saturates early, so beta lands in
+    # [0, 1): 0.0 exactly when all 10 checkpoints see the full vocab
+    # (the "template corpus" signal), strictly below 1 always
+    assert 0.0 <= r["beta"] < 1.0
+    assert r["vocab_final"] > 0 and r["tokens_final"] >= r["vocab_final"]
+    import math
+
+    if r["beta"] > 0.0:
+        pred = r["intercept_ln"] + r["beta"] * math.log(r["tokens_final"])
+        assert abs(pred - math.log(r["vocab_final"])) < 0.5
+    else:
+        # flat fit: the intercept IS the (log) saturated vocabulary
+        assert abs(r["intercept_ln"] - math.log(r["vocab_final"])) < 1e-3
