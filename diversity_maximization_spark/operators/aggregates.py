@@ -7678,3 +7678,122 @@ def agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000000)
         ).alias("average_precision"),
     )
+
+
+@query(
+    "agg_bland_altman",
+    bounded_cross="1-row broadcast scalar (global diff-moment row)",
+    oracle="""
+WITH ls AS (
+  SELECT l_orderkey AS ok,
+         CAST(SUM(CAST(FLOOR((CAST(l_extendedprice AS DOUBLE)
+              * (1 - CAST(l_discount AS DOUBLE)))
+              * (1 + CAST(l_tax AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+           AS BIGINT) AS s_micro
+  FROM lineitem GROUP BY l_orderkey
+), d AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) * 10000 - ls.s_micro
+           AS d
+  FROM orders o JOIN ls ON o.o_orderkey = ls.ok
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd_,
+         CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE)
+           AS ss
+  FROM d
+), st AS (
+  SELECT n,
+         CAST(sd_ AS DOUBLE) / n AS mean_d,
+         sqrt((ss - (CAST(sd_ AS DOUBLE) / n) * CAST(sd_ AS DOUBLE))
+              / (n - 1)) AS sd_d
+  FROM m
+)
+SELECT st.n AS n_orders,
+       st.mean_d AS mean_diff_micro,
+       st.sd_d AS sd_diff_micro,
+       st.mean_d - 1.96 * st.sd_d AS loa_lo,
+       st.mean_d + 1.96 * st.sd_d AS loa_hi,
+       CAST(SUM(CASE WHEN CAST(d.d AS DOUBLE) < st.mean_d - 1.96 * st.sd_d
+                       OR CAST(d.d AS DOUBLE) > st.mean_d + 1.96 * st.sd_d
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outside
+FROM d, st
+GROUP BY st.n, st.mean_d, st.sd_d
+""",
+)
+def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman agreement analysis (Bland & Altman 1986) between
+    the two ways this schema states an order's value: the header
+    o_totalprice vs the lineitem-derived sum(extendedprice *
+    (1-discount) * (1+tax)) — the reconciliation report a warehouse
+    runs between a rollup column and its source-of-truth detail.
+    Reports the bias (mean difference), the spread (SD), the 95%
+    limits of agreement, and how many orders fall outside them.
+
+    Exactness: each line's value is quantized ONCE to integer micro
+    units with FLOOR(x * 1e6 + 0.5) on a fixed double expression
+    (identical IEEE sequence both engines), so per-order sums and the
+    diff d are exact bigints; d^2 goes through decimal(38)/HUGEINT
+    (the ts_acf overflow discipline — d can reach ~6e11 micro, d^2
+    ~4e23) and the moments collapse to doubles in one fixed order.
+    Scale shape: one keyed groupBy over lineitem, one equi-join to
+    orders, a 1-row moment aggregate joined back as a broadcast
+    scalar, one linear flag pass — no window, no driver loop."""
+    li = load(spark, sf_dir, "lineitem")
+    ls = li.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.sum(
+            F.expr(
+                "CAST(FLOOR((CAST(l_extendedprice AS DOUBLE)"
+                " * (1 - CAST(l_discount AS DOUBLE)))"
+                " * (1 + CAST(l_tax AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            )
+        )
+        .cast("bigint")
+        .alias("s_micro")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        (F.expr(cents("o_totalprice")) * 10000).alias("o_micro"),
+    )
+    d = o.join(ls, "ok").select(
+        (F.col("o_micro") - F.col("s_micro")).alias("d")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd_"),
+        F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+        .cast("double")
+        .alias("ss"),
+    )
+    st = m.select(
+        "n",
+        (F.col("sd_").cast("double") / F.col("n")).alias("mean_d"),
+        F.sqrt(
+            (
+                F.col("ss")
+                - (F.col("sd_").cast("double") / F.col("n"))
+                * F.col("sd_").cast("double")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd_d"),
+    )
+    flagged = d.crossJoin(F.broadcast(st))
+    lo = F.col("mean_d") - 1.96 * F.col("sd_d")
+    hi = F.col("mean_d") + 1.96 * F.col("sd_d")
+    return flagged.groupBy("n", "mean_d", "sd_d").agg(
+        F.sum(
+            F.when(
+                (F.col("d").cast("double") < lo)
+                | (F.col("d").cast("double") > hi),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_outside")
+    ).select(
+        F.col("n").alias("n_orders"),
+        F.col("mean_d").alias("mean_diff_micro"),
+        F.col("sd_d").alias("sd_diff_micro"),
+        lo.alias("loa_lo"),
+        hi.alias("loa_hi"),
+        "n_outside",
+    )

@@ -512,3 +512,21 @@ def test_heaps_law_is_sane(spark, sf_dir):
     else:
         # flat fit: the intercept IS the (log) saturated vocabulary
         assert abs(r["intercept_ln"] - math.log(r["vocab_final"])) < 1e-3
+
+
+def test_bland_altman_flags_match_bounds(spark, sf_dir):
+    r = QUERIES["agg_bland_altman"](spark, sf_dir).collect()[0]
+    assert r["loa_lo"] < r["mean_diff_micro"] < r["loa_hi"]
+    assert r["sd_diff_micro"] > 0
+    assert 0 <= r["n_outside"] <= r["n_orders"]
+    # ~95% limits: the outside fraction should be small
+    assert r["n_outside"] / r["n_orders"] < 0.15
+
+
+def test_katz_dominates_isolated_and_respects_degree(spark, sf_dir):
+    rows = QUERIES["graph_katz"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    base = 10**12
+    # every score >= the base mass; bounded by the geometric fixpoint
+    for r in rows:
+        assert base <= r["katz_scaled"] <= int(base / (1 - 24 / 64)) + 1
