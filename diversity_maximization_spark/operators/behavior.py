@@ -3052,3 +3052,259 @@ def seq_pattern_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "support_frac"
         ),
     )
+
+
+_REC_TOPK = 50
+
+
+@query(
+    "rec_eval_popularity",
+    oracle=f"""
+WITH last_o AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders)
+  WHERE rn = 1
+), test_p AS (
+  SELECT DISTINCT t.ck, l.l_partkey AS p
+  FROM last_o t JOIN lineitem l ON l.l_orderkey = t.ok
+), train AS (
+  SELECT l.l_partkey AS p, COUNT(*) AS cnt
+  FROM lineitem l
+  WHERE l.l_orderkey NOT IN (SELECT ok FROM last_o)
+  GROUP BY l.l_partkey
+), top AS (
+  SELECT p, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rnk
+  FROM train QUALIFY rnk <= {_REC_TOPK}
+), best AS (
+  SELECT tp.ck, MIN(t.rnk) AS best_rank
+  FROM test_p tp LEFT JOIN top t ON t.p = tp.p
+  GROUP BY tp.ck
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN best_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_10,
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits_at_{_REC_TOPK},
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL
+                     THEN 1000000000 // best_rank ELSE 0 END) AS BIGINT)
+         AS rr_nano_sum,
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL
+                     THEN 1000000000 // best_rank ELSE 0 END) AS DOUBLE)
+         / COUNT(*) / 1000000000 AS mrr
+FROM best
+""",
+)
+def rec_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender evaluation harness, popularity baseline: hold out
+    every customer's LAST order (leave-last-basket-out — the standard
+    temporal split), rank parts by training-set popularity, and score
+    hit-rate@10 / @{_REC_TOPK} and MRR of each held-out basket
+    against the top-{_REC_TOPK} list. The floor every real
+    recommender must beat, and the eval plumbing (temporal split,
+    deterministic ranking, reciprocal-rank aggregation) is the
+    reusable part.
+
+    Exactness: the split is a keyed window (per-customer, date+key
+    ties); the ranking is (count DESC, partkey) — fully
+    deterministic; reciprocal ranks are quantized with the
+    positive-operand floor division 1e9 // rank and bigint-summed.
+    Scale shape: one keyed window for the split, one anti-join to
+    drop test orders from training counts, a part-keyed hash
+    aggregate; the top-{_REC_TOPK} list is fetched once (bounded 50
+    rows) and broadcast back against the test baskets — the heavy
+    tables never meet in a pair join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    last_o = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok"))
+    )
+    test_p = (
+        last_o.join(li, last_o["ok"] == li["l_orderkey"])
+        .select("ck", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    train = (
+        li.join(
+            last_o.select("ok"),
+            li["l_orderkey"] == F.col("ok"),
+            "left_anti",
+        )
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_rows = (
+        train.orderBy(F.col("cnt").desc(), "p").limit(_REC_TOPK).collect()
+    )  # bounded: exactly _REC_TOPK rows at any data size
+    top = spark.createDataFrame(
+        [(int(r["p"]), i + 1) for i, r in enumerate(top_rows)],
+        "p bigint, rnk int",
+    )
+    best = (
+        test_p.join(F.broadcast(top), "p", "left")
+        .groupBy("ck")
+        .agg(F.min("rnk").alias("best_rank"))
+    )
+    rr = F.when(
+        F.col("best_rank").isNotNull(),
+        F.expr("1000000000 div best_rank"),
+    ).otherwise(F.lit(0))
+    return best.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("best_rank") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_10"),
+        F.sum(F.when(F.col("best_rank").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias(f"hits_at_{_REC_TOPK}"),
+        F.sum(rr).cast("bigint").alias("rr_nano_sum"),
+        (
+            F.sum(rr).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000000)
+        ).alias("mrr"),
+    )
+
+
+@query(
+    "survival_nelson_aalen",
+    oracle="""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT CASE WHEN p.tp IS NOT NULL
+              THEN CAST(floor((epoch_us(p.tp) - epoch_us(s.t0))
+                              / 86400000000) AS BIGINT)
+              ELSE CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                               - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+         END AS dur,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+), risk AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM durs GROUP BY dur
+), tbl AS (
+  SELECT dur, d,
+         CAST(SUM(n_total) OVER (ORDER BY dur
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n
+  FROM risk
+), cum AS (
+  SELECT dur, d, n,
+         CAST(SUM((d * 1000000000) // n) OVER (
+              ORDER BY dur ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS h_nano,
+         CAST(SUM((d * 1000000000000) // (n * n)) OVER (
+              ORDER BY dur ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS v_pico
+  FROM tbl
+)
+SELECT dur AS day, n AS n_at_risk, d AS n_events,
+       h_nano AS cumhaz_nano,
+       CAST(h_nano AS DOUBLE) / 1000000000 AS cumhaz,
+       sqrt(CAST(v_pico AS DOUBLE) / 1000000000000) AS se
+FROM cum WHERE d > 0
+""",
+)
+def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for the same
+    signup -> first-purchase study as survival_km: H(t) =
+    sum_{event days <= t} d_j / n_j with the standard variance
+    sum d_j / n_j^2 — the additive twin of KM's product (and the
+    better-behaved one at small risk sets; -ln S vs H is the classic
+    model check).
+
+    Exactness is SIMPLER than KM's sequential float fold: each
+    per-day term is quantized once with positive-operand floor
+    division ((d * 1e9) // n; variance at 1e12), so the cumulative
+    curves are ORDER-FREE integer sums — no IEEE sequencing contract
+    at all. Scale shape: two first-touch aggregates + one user_id
+    equi-join reduce subjects to the O(distinct durations) risk
+    table, which is bounded by the STUDY LENGTH in days (calendar,
+    not data) — the suffix/prefix finish runs on the driver over
+    that bounded table (the ts_* local-finish tier; d stays under
+    the 1e12 quantizer's int64 budget up to ~9M events/day)."""
+    ev = load(spark, sf_dir, "events")
+    end_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'2024-01-01 00:00:00',"
+        " TIMESTAMP_NTZ'2024-01-31 00:00:00')"
+    )
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    diff_us = F.when(
+        F.col("tp").isNotNull(),
+        F.expr("timestampdiff(MICROSECOND, t0, tp)").cast("double"),
+    ).otherwise(
+        end_us.cast("double")
+        - F.expr(
+            "timestampdiff(MICROSECOND,"
+            " TIMESTAMP_NTZ'2024-01-01 00:00:00', t0)"
+        ).cast("double")
+    )
+    durs = s.join(p, "user_id", "left").select(
+        F.floor(diff_us / 86400000000).cast("long").alias("dur"),
+        F.when(F.col("tp").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    risk = (
+        durs.groupBy("dur")
+        .agg(
+            F.sum("ev").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .collect()  # bounded: O(study-length days) rows
+    )
+    risk.sort(key=lambda r: r["dur"])
+    if any(int(r["d"]) > 8_000_000 for r in risk):
+        raise ValueError(
+            "survival_nelson_aalen: daily event count exceeds the 1e12"
+            " variance quantizer's int64 budget — lower the scale"
+        )
+    n = sum(int(r["n_total"]) for r in risk)
+    out = []
+    h_nano = 0
+    v_pico = 0
+    for r in risk:
+        d = int(r["d"])
+        h_nano += (d * 1_000_000_000) // n
+        v_pico += (d * 1_000_000_000_000) // (n * n)
+        if d > 0:
+            out.append(
+                (
+                    int(r["dur"]),
+                    n,
+                    d,
+                    h_nano,
+                    float(h_nano) / 1_000_000_000,
+                    (float(v_pico) / 1_000_000_000_000) ** 0.5,
+                )
+            )
+        n -= int(r["n_total"])
+    return spark.createDataFrame(
+        out,
+        "day bigint, n_at_risk bigint, n_events bigint,"
+        " cumhaz_nano bigint, cumhaz double, se double",
+    )

@@ -530,3 +530,31 @@ def test_katz_dominates_isolated_and_respects_degree(spark, sf_dir):
     # every score >= the base mass; bounded by the geometric fixpoint
     for r in rows:
         assert base <= r["katz_scaled"] <= int(base / (1 - 24 / 64)) + 1
+
+
+def test_rec_eval_popularity_bounds(spark, sf_dir):
+    r = QUERIES["rec_eval_popularity"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_customers"]
+    assert 0 <= r["hits_at_10"] <= r["hits_at_50"] <= r["n_customers"]
+    assert 0.0 <= r["mrr"] <= 1.0
+    # rr is bounded by hit@50 (each hit contributes at most 1e9)
+    assert r["rr_nano_sum"] <= r["hits_at_50"] * 10**9
+
+
+def test_nelson_aalen_tracks_km(spark, sf_dir):
+    """H(t) and -ln S(t) must agree to first order; both estimators
+    run on the identical risk table."""
+    import math
+
+    na = {r["day"]: r for r in QUERIES["survival_nelson_aalen"](spark, sf_dir).collect()}
+    km = {r["day"]: r for r in QUERIES["survival_km"](spark, sf_dir).collect()}
+    assert set(na) == set(km)
+    for day, r in na.items():
+        assert r["n_at_risk"] == km[day]["n_at_risk"]
+        assert r["n_events"] == km[day]["n_events"]
+        # cumhaz is monotone, positive, and -ln(S) >= H >= 0
+        h = r["cumhaz"]
+        s = km[day]["survival"]
+        assert h >= 0 and r["se"] >= 0
+        if s > 0:  # S hits exactly 0 when the last risk set dies out
+            assert -math.log(s) >= h - 1e-9
