@@ -876,3 +876,65 @@ def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_frames int, n_cuts int, first_cut int,"
         " mean_frame_diff double",
     )
+
+
+def _duck_img_stream() -> str:
+    """DuckDB: the 768 RGB bytes of an image doc's synth stream."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    return f"list_slice({_duck_stream_bytes(img_hashes)}, 1, {IMG_W * IMG_H * 3})"
+
+
+@query(
+    "multimodal_histogram_census",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_img_stream()} AS bs FROM base
+)
+SELECT doc_id, CAST(t.bin AS INTEGER) AS bin,
+       CAST(len(list_filter(bs, b -> b // 32 = t.bin)) AS BIGINT)
+         AS n_bytes
+FROM streams, unnest(generate_series(0, 7)) t(bin)
+""",
+)
+def multimodal_histogram_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pixel-value histogram census — the second hash-checked
+    projection of the image pipeline (multimodal_decode_census gates
+    the luma-weighted MEAN; this gates the byte-value DISTRIBUTION,
+    which a palette/channel corruption can break while preserving
+    the mean): decode every REAL PNG payload and bucket all
+    {IMG_W}x{IMG_H}x3 channel bytes into 8 value bins. The oracle
+    regenerates the synth stream by the same hex-chained sha256 and
+    counts bins arithmetically — any bit drift anywhere in the
+    encode/decode round trip moves a count. Exact integers only.
+    Scale shape: one Arrow mapInPandas next to the data emitting 8
+    rows per image doc; one hash aggregate."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "image/png")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, bins, counts = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = png_decode(p)
+                hist = [0] * 8
+                for b in rgb:
+                    hist[b // 32] += 1
+                for k in range(8):
+                    ids.append(doc_id)
+                    bins.append(k)
+                    counts.append(hist[k])
+            yield pd.DataFrame(
+                {"doc_id": ids, "bin": bins, "n_bytes": counts}
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id bigint, bin int, n_bytes bigint"
+    )

@@ -7797,3 +7797,108 @@ def agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("loa_hi"),
         "n_outside",
     )
+
+
+@query(
+    "agg_stratified_att",
+    oracle="""
+WITH cb AS (
+  SELECT c_custkey,
+         NTILE(10) OVER (ORDER BY CAST(round(c_acctbal * 100) AS BIGINT),
+                         c_custkey) AS stratum
+  FROM customer
+), o AS (
+  SELECT cb.stratum,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders JOIN cb ON o_custkey = cb.c_custkey
+), s AS (
+  SELECT stratum,
+         CAST(SUM(tr) AS BIGINT) AS n_t,
+         CAST(COUNT(*) - SUM(tr) AS BIGINT) AS n_c,
+         CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+         CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c
+  FROM o GROUP BY stratum
+), ok AS (
+  SELECT * FROM s WHERE n_t > 0 AND n_c > 0
+), tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS nt FROM ok)
+SELECT (SELECT nt FROM tot) AS n_treated,
+       CAST(COUNT(*) AS BIGINT) AS n_strata,
+       CAST(SUM(n_t * ((y_t * 10000) // n_t - (y_c * 10000) // n_c))
+            AS BIGINT) AS att_qcents_wsum,
+       CAST(SUM(n_t * ((y_t * 10000) // n_t - (y_c * 10000) // n_c))
+            AS DOUBLE) / (SELECT nt FROM tot) / 10000 / 100
+         AS att_dollars
+FROM ok
+""",
+)
+def agg_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified average treatment effect on the treated
+    (Cochran 1968 post-stratification — the simplest honest causal
+    adjustment): does URGENT priority move order value once customer
+    wealth is controlled for? Customers are stratified into account-
+    balance deciles (exact global NTILE); within each stratum the
+    treated-vs-control mean-outcome gap is weighted by the stratum's
+    treated count; strata lacking either arm drop out (common-support
+    trimming, reported via n_strata).
+
+    Exactness: per-stratum means are quantized ONCE as positive-
+    operand floor divisions ((sum * 1e4) // n, quarter-milli-cent
+    resolution; stratum_sum * 1e4 stays inside int64 at a 100x
+    corpus), the
+    weighted sum is an exact bigint, and the final ATT is one double
+    chain over identical integers. Scale shape: one global NTILE
+    over customers (two-phase machinery), one keyed equi-join to
+    orders, a 10-row stratum table — no window over orders, no
+    driver loop."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.expr(cents("c_acctbal")).alias("ab")
+    )
+    numbered, n_cust = with_global_row_number(
+        cust, ["ab", "c_custkey"], out_col="_rn"
+    )
+    cb = numbered.select(
+        "c_custkey", ntile_expr("_rn", n_cust, 10).alias("stratum")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr(cents("o_totalprice")).alias("y"),
+        )
+        .join(cb, F.col("o_custkey") == F.col("c_custkey"))
+    )
+    s = o.groupBy("stratum").agg(
+        F.sum("tr").cast("bigint").alias("n_t"),
+        (F.count(F.lit(1)) - F.sum("tr")).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y_t"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("y_c"),
+    ).filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    gap = F.expr("(y_t * 10000) div n_t - (y_c * 10000) div n_c")
+    agg = s.agg(
+        F.sum("n_t").cast("bigint").alias("n_treated"),
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.col("n_t") * gap).cast("bigint").alias(
+            "att_qcents_wsum"
+        ),
+    )
+    return agg.select(
+        "n_treated",
+        "n_strata",
+        "att_qcents_wsum",
+        (
+            F.col("att_qcents_wsum").cast("double")
+            / F.col("n_treated")
+            / 10000
+            / 100
+        ).alias("att_dollars"),
+    )

@@ -558,3 +558,30 @@ def test_nelson_aalen_tracks_km(spark, sf_dir):
         assert h >= 0 and r["se"] >= 0
         if s > 0:  # S hits exactly 0 when the last risk set dies out
             assert -math.log(s) >= h - 1e-9
+
+
+def test_stratified_att_bounds(spark, sf_dir):
+    r = QUERIES["agg_stratified_att"](spark, sf_dir).collect()[0]
+    assert 0 < r["n_strata"] <= 10
+    assert r["n_treated"] > 0
+    # the priority label is assigned independently of value in the
+    # synthetic fixture, so the adjusted effect is small relative to
+    # the raw mean order value (~150k dollars-scale)
+    assert abs(r["att_dollars"]) < 200_000
+
+
+def test_histogram_census_conserves_pixels(spark, sf_dir):
+    rows = QUERIES["multimodal_histogram_census"](spark, sf_dir).collect()
+    from collections import defaultdict
+
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["bin"] <= 7
+        per_doc[r["doc_id"]] += r["n_bytes"]
+    n_img = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 0)
+        .count()
+    )
+    assert len(per_doc) == n_img
+    assert all(v == 16 * 16 * 3 for v in per_doc.values())
