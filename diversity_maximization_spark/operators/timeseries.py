@@ -4412,3 +4412,148 @@ def ts_permutation_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         (F.count(F.lit(1)).cast("double") / F.lit(n_tot)).alias("frac"),
     )
+
+
+_NW_LAGS = 5
+
+
+@query(
+    "ts_newey_west",
+    bounded_cross="tiny cross: 5-row lag grid + 1-row moment scalar",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           // 100 AS x
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS t,
+         CAST(SUM(x) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE)
+           AS sxx
+  FROM daily
+), lagged AS (
+  SELECT l.lag,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(CAST(SUM(CAST(a.x AS HUGEINT) * b.x) AS VARCHAR) AS DOUBLE)
+           AS sxy,
+         CAST(SUM(a.x) AS BIGINT) AS sh,
+         CAST(SUM(b.x) AS BIGINT) AS st_
+  FROM daily a
+  JOIN (SELECT unnest(generate_series(1, {_NW_LAGS})) AS lag) l ON TRUE
+  JOIN daily b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+  GROUP BY l.lag
+), g AS (
+  SELECT lag,
+         (sxy - (CAST(s AS DOUBLE) / t) * (sh + st_)
+              + n_pairs * (CAST(s AS DOUBLE) / t)
+                * (CAST(s AS DOUBLE) / t)) / t AS gamma_l
+  FROM lagged, m
+), g0 AS (
+  SELECT (sxx - 2 * (CAST(s AS DOUBLE) / t) * s
+              + t * (CAST(s AS DOUBLE) / t) * (CAST(s AS DOUBLE) / t)) / t
+           AS gamma0,
+         t
+  FROM m
+)
+SELECT g0.t AS n_days,
+       CAST((SELECT s FROM m) AS DOUBLE) / g0.t / 100 AS mean_daily_dollars,
+       sqrt(g0.gamma0 / g0.t) AS se_iid,
+       sqrt((g0.gamma0
+             + 2 * (SELECT SUM((1.0 - lag / {_NW_LAGS + 1}.0) * gamma_l)
+                    FROM g)) / g0.t) AS se_nw,
+       sqrt((g0.gamma0
+             + 2 * (SELECT SUM((1.0 - lag / {_NW_LAGS + 1}.0) * gamma_l)
+                    FROM g)) / g0.t) / sqrt(g0.gamma0 / g0.t)
+         AS se_inflation
+FROM g0
+""",
+)
+def ts_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newey-West (1987) HAC standard error of the mean daily
+    revenue: autocorrelated days make the naive se = sqrt(gamma0/T)
+    lie; the Bartlett-weighted correction gamma0 + 2 * sum_(l<=5)
+    (1 - l/6) * gamma_l is what an honest uncertainty band on "mean
+    daily revenue" must use. Reports both and the inflation ratio —
+    the single number that says how badly iid inference would have
+    overstated precision.
+
+    Exactness: every sum is an exact integer (cross products through
+    HUGEINT/decimal(38) — the ts_acf discipline); autocovariances
+    use the full-sample mean with head/tail correction sums, all
+    assembled in one fixed double expression per lag. Scale shape:
+    one data-sized groupBy to the O(days) rollup, a calendar-shifted
+    equi-join for the 5 lag pair sets (LAG would mis-pair across
+    gaps), a 1-row moment scalar — same plan family as ts_acf."""
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
+        .select("day", F.expr("c div 100").alias("x"))
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("t"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    lags = spark.range(1, _NW_LAGS + 1).select(F.col("id").alias("lag"))
+    shifted = daily.crossJoin(F.broadcast(lags)).select(
+        (
+            F.col("day") + F.expr("make_interval(0, 0, 0, lag, 0, 0, 0)")
+        ).alias("day"),
+        F.col("x").alias("xa"),
+        "lag",
+    )
+    pairs = shifted.join(
+        daily.select("day", F.col("x").alias("xb")), "day"
+    )
+    lagged = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("xa").cast("decimal(38,0)") * F.col("xb"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum("xa").cast("bigint").alias("sh"),
+        F.sum("xb").cast("bigint").alias("st_"),
+    )
+    mu = F.col("s").cast("double") / F.col("t")
+    g = lagged.crossJoin(F.broadcast(m)).select(
+        "lag",
+        (
+            (
+                F.col("sxy")
+                - mu * (F.col("sh") + F.col("st_"))
+                + F.col("n_pairs") * mu * mu
+            )
+            / F.col("t")
+        ).alias("gamma_l"),
+    )
+    nw_sum = g.agg(
+        F.sum(
+            (F.lit(1.0) - F.col("lag") / F.lit(float(_NW_LAGS + 1)))
+            * F.col("gamma_l")
+        ).alias("w_sum")
+    )
+    g0 = m.select(
+        "t",
+        "s",
+        (
+            (F.col("sxx") - 2 * mu * F.col("s") + F.col("t") * mu * mu)
+            / F.col("t")
+        ).alias("gamma0"),
+    )
+    out = g0.crossJoin(F.broadcast(nw_sum))
+    se_iid = F.sqrt(F.col("gamma0") / F.col("t"))
+    se_nw = F.sqrt(
+        (F.col("gamma0") + 2 * F.col("w_sum")) / F.col("t")
+    )
+    return out.select(
+        F.col("t").alias("n_days"),
+        (F.col("s").cast("double") / F.col("t") / 100).alias(
+            "mean_daily_dollars"
+        ),
+        se_iid.alias("se_iid"),
+        se_nw.alias("se_nw"),
+        (se_nw / se_iid).alias("se_inflation"),
+    )

@@ -585,3 +585,13 @@ def test_histogram_census_conserves_pixels(spark, sf_dir):
     )
     assert len(per_doc) == n_img
     assert all(v == 16 * 16 * 3 for v in per_doc.values())
+
+
+def test_newey_west_inflation_vs_iid(spark, sf_dir):
+    r = QUERIES["ts_newey_west"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 10
+    assert r["se_iid"] > 0 and r["se_nw"] > 0
+    # the Bartlett kernel keeps the correction PSD, so se_nw can
+    # shrink below iid only via negative autocovariance — bounded
+    assert r["se_inflation"] > 0.2
+    assert abs(r["se_inflation"] - r["se_nw"] / r["se_iid"]) < 1e-12
