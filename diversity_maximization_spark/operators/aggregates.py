@@ -7902,3 +7902,210 @@ def agg_stratified_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("att_dollars"),
     )
+
+
+@query(
+    "agg_ece",
+    oracle="""
+WITH r AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS rn,
+         NTILE(10) OVER (
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS bin
+  FROM orders
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM r),
+b AS (
+  SELECT bin, CAST(SUM(pos) AS BIGINT) AS pos_b,
+         CAST(SUM(rn) AS BIGINT) AS ranksum_b
+  FROM r GROUP BY bin
+)
+SELECT (SELECT n FROM nn) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(ABS(pos_b * (SELECT n FROM nn) - ranksum_b)) AS BIGINT)
+         AS ece_num,
+       CAST(SUM(ABS(pos_b * (SELECT n FROM nn) - ranksum_b)) AS DOUBLE)
+         / (SELECT n FROM nn) / (SELECT n FROM nn) AS ece
+FROM b
+""",
+)
+def agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error of the rank-normalized score
+    against the binary label, over the same 10 equal-frequency bins
+    as agg_calibration_bins: ECE = sum_b (n_b/N) * |acc_b - conf_b|
+    with conf the mean normalized rank. The headline number model
+    monitoring dashboards track; isotonic (agg_isotonic_calibration)
+    is the FIX, ECE is the ALARM.
+
+    Exactness by algebra, not quantization: with conf_b =
+    ranksum_b/(n_b*N) and acc_b = pos_b/n_b, each bin term
+    (n_b/N)*|acc_b - conf_b| collapses to |pos_b*N - ranksum_b| / N^2
+    — so the WHOLE statistic is one exact bigint numerator
+    (pos_b * N <= 2.25e14 at a 100x corpus) over N^2, no per-bin
+    float ever summed. Scale shape: one global row-number + NTILE
+    pass (two-phase machinery), a 10-row aggregate, one division."""
+    from ..plans.global_rank import ntile_expr, with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(cents("o_totalprice")).alias("sc"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    numbered, n_total = with_global_row_number(
+        o, ["sc", "o_orderkey"], out_col="rn"
+    )
+    binned = numbered.withColumn("bin", ntile_expr("rn", n_total, 10))
+    b = binned.groupBy("bin").agg(
+        F.sum("pos").cast("bigint").alias("pos_b"),
+        F.sum("rn").cast("bigint").alias("ranksum_b"),
+    )
+    agg = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(
+            F.abs(F.col("pos_b") * F.lit(n_total) - F.col("ranksum_b"))
+        )
+        .cast("bigint")
+        .alias("ece_num"),
+    )
+    return agg.select(
+        F.lit(n_total).cast("bigint").alias("n_rows"),
+        "n_bins",
+        "ece_num",
+        (
+            F.col("ece_num").cast("double") / F.lit(n_total) / F.lit(n_total)
+        ).alias("ece"),
+    )
+
+
+_IPF_PAIRS = 4  # row+column scaling pairs to unroll
+_IPF_CUTOFF = "1996-01-01"  # sample = first calendar year of orders
+
+
+def _raking_oracle() -> str:
+    head = f"""
+WITH oc AS MATERIALIZED (
+  SELECT o.o_orderpriority AS p, r.r_name AS rg, o.o_orderdate AS d
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+), grid AS MATERIALIZED (
+  SELECT pp.p, rr.rg
+  FROM (SELECT DISTINCT p FROM oc) pp, (SELECT DISTINCT rg FROM oc) rr
+), w0 AS MATERIALIZED (
+  SELECT g.p, g.rg,
+         CAST(COALESCE(s.cnt, 0) * 1000000 AS BIGINT) AS w
+  FROM grid g LEFT JOIN (
+    SELECT p, rg, COUNT(*) AS cnt FROM oc
+    WHERE d < TIMESTAMP '{_IPF_CUTOFF} 00:00:00' GROUP BY p, rg
+  ) s ON s.p = g.p AND s.rg = g.rg
+), tp AS MATERIALIZED (
+  SELECT p, CAST(COUNT(*) AS BIGINT) AS t FROM oc GROUP BY p
+), tr AS MATERIALIZED (
+  SELECT rg, CAST(COUNT(*) AS BIGINT) AS t FROM oc GROUP BY rg
+)"""
+    parts = [head]
+    prev = "w0"
+    for k in range(1, _IPF_PAIRS + 1):
+        parts.append(f"""
+, wr{k} AS MATERIALIZED (
+  SELECT w.p, w.rg,
+         CASE WHEN rs.rs = 0 THEN w.w
+              ELSE (w.w * ((tp.t * 1000000000000) // rs.rs)) // 1000000
+         END AS w
+  FROM {prev} w
+  JOIN (SELECT p, CAST(SUM(w) AS BIGINT) AS rs FROM {prev} GROUP BY p)
+    rs ON rs.p = w.p
+  JOIN tp ON tp.p = w.p
+), wc{k} AS MATERIALIZED (
+  SELECT w.p, w.rg,
+         CASE WHEN cs.cs = 0 THEN w.w
+              ELSE (w.w * ((tr.t * 1000000000000) // cs.cs)) // 1000000
+         END AS w
+  FROM wr{k} w
+  JOIN (SELECT rg, CAST(SUM(w) AS BIGINT) AS cs FROM wr{k} GROUP BY rg)
+    cs ON cs.rg = w.rg
+  JOIN tr ON tr.rg = w.rg
+)""")
+        prev = f"wc{k}"
+    parts.append(f"""
+SELECT p AS priority, rg AS region, w AS weight_micro
+FROM {prev}
+""")
+    return "".join(parts)
+
+
+@query("agg_raking", oracle=_raking_oracle())
+def agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raking / iterative proportional fitting (Deming & Stephan
+    1940) of the first-year order sample to the FULL-period
+    priority-by-region margins — the survey-calibration step that
+    turns a biased sample into population-consistent weights, and
+    the classic fix when a panel over-represents one region. Four
+    row/column scaling pairs on the 5x5 cell table.
+
+    Exactness: weights live at 1e6 fixed point; each scaling step is
+    TWO positive-operand floor divisions (ratio quantized to 1e6 as
+    (target * 1e12) // marginal_sum, then (w * ratio) // 1e6 — both
+    inside int64 at any corpus size because the cell table is
+    schema-bounded), so the oracle unrolls the identical integer
+    recurrence. Zero rows/columns pass through untouched. Scale
+    shape: the data-sized work is one join chain + two margin
+    aggregates collapsing to <= 25 cells + 10 margins; the IPF loop
+    runs on the driver over that bounded table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    oc = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(n),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("r_name").alias("rg"),
+            F.col("o_orderdate").alias("d"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sample = (
+        oc.filter(F.col("d") < F.lit(_IPF_CUTOFF).cast("timestamp"))
+        .groupBy("p", "rg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # bounded: <= 5x5 cells
+    )
+    tp = {
+        row["p"]: int(row["t"])
+        for row in oc.groupBy("p").agg(F.count(F.lit(1)).alias("t")).collect()
+    }
+    tr = {
+        row["rg"]: int(row["t"])
+        for row in oc.groupBy("rg").agg(F.count(F.lit(1)).alias("t")).collect()
+    }
+    ps = sorted(tp)
+    rgs = sorted(tr)
+    w = {(p, rg): 0 for p in ps for rg in rgs}
+    for row in sample:
+        w[(row["p"], row["rg"])] = int(row["cnt"]) * 1_000_000
+    for _ in range(_IPF_PAIRS):
+        for p in ps:
+            rs = sum(w[(p, rg)] for rg in rgs)
+            if rs:
+                ratio = (tp[p] * 1_000_000_000_000) // rs
+                for rg in rgs:
+                    w[(p, rg)] = (w[(p, rg)] * ratio) // 1_000_000
+        for rg in rgs:
+            cs = sum(w[(p, rg)] for p in ps)
+            if cs:
+                ratio = (tr[rg] * 1_000_000_000_000) // cs
+                for p in ps:
+                    w[(p, rg)] = (w[(p, rg)] * ratio) // 1_000_000
+    return spark.createDataFrame(
+        [(p, rg, w[(p, rg)]) for p in ps for rg in rgs],
+        "priority string, region string, weight_micro bigint",
+    )

@@ -595,3 +595,47 @@ def test_newey_west_inflation_vs_iid(spark, sf_dir):
     # shrink below iid only via negative autocovariance — bounded
     assert r["se_inflation"] > 0.2
     assert abs(r["se_inflation"] - r["se_nw"] / r["se_iid"]) < 1e-12
+
+
+def test_ece_identity_and_range(spark, sf_dir):
+    r = QUERIES["agg_ece"](spark, sf_dir).collect()[0]
+    assert r["n_bins"] == 10
+    assert 0.0 <= r["ece"] <= 1.0
+    assert abs(r["ece"] - r["ece_num"] / r["n_rows"] ** 2) < 1e-15
+
+
+def test_raking_matches_margins(spark, sf_dir):
+    """After 4 IPF pairs the column margins are matched exactly (the
+    last step scales columns) and row margins to quantization
+    tolerance."""
+    rows = QUERIES["agg_raking"](spark, sf_dir).collect()
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    rg = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    oc = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(rg, F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    tp = {
+        x["o_orderpriority"]: x["t"]
+        for x in oc.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .collect()
+    }
+    tr = {
+        x["r_name"]: x["t"]
+        for x in oc.groupBy("r_name").agg(F.count(F.lit(1)).alias("t")).collect()
+    }
+    from collections import defaultdict
+
+    col = defaultdict(int)
+    row = defaultdict(int)
+    for x in rows:
+        col[x["region"]] += x["weight_micro"]
+        row[x["priority"]] += x["weight_micro"]
+    for k, v in col.items():
+        assert abs(v / 1e6 - tr[k]) < 0.01  # exact up to floor-div dust
+    for k, v in row.items():
+        assert abs(v / 1e6 - tp[k]) / tp[k] < 0.01  # one col-step behind
