@@ -8109,3 +8109,158 @@ def agg_raking(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, rg, w[(p, rg)]) for p in ps for rg in rgs],
         "priority string, region string, weight_micro bigint",
     )
+
+
+@query(
+    "agg_qte",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+         o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+           ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                    o_orderkey) AS rk
+  FROM orders
+), ng AS (
+  SELECT tr, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY tr
+), idx AS (
+  SELECT ng.tr, t.p,
+         CAST(CEIL(t.p * ng.n / 100.0) AS BIGINT) AS k
+  FROM ng, unnest(generate_series(10, 90, 10)) t(p)
+), q AS (
+  SELECT i.p, i.tr, s.sc
+  FROM idx i JOIN s ON s.tr = i.tr AND s.rk = i.k
+)
+SELECT CAST(a.p AS INTEGER) AS decile,
+       a.sc AS q_treated_cents,
+       b.sc AS q_control_cents,
+       a.sc - b.sc AS qte_cents,
+       CAST(a.sc - b.sc AS DOUBLE) / 100 AS qte_dollars
+FROM q a JOIN q b ON a.p = b.p AND a.tr = 1 AND b.tr = 0
+""",
+)
+def agg_qte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects (Doksum 1974): the
+    treated-vs-control gap at every decile of the order-value
+    distribution, not just the mean — the distributional view ATT
+    (agg_stratified_att) can't give (a policy can leave the mean
+    flat while fattening one tail). Treated = URGENT priority.
+
+    Exactness: each decile is an ORDER STATISTIC — the value at rank
+    ceil(p*n/100) under the deterministic (cents, key) order — so
+    every output is an exact integer difference; no interpolation,
+    no float percentile. Scale shape: ONE pass of the two-phase
+    global-rank machinery ordered by (group, score, key) — the
+    per-group rank is the global rank minus the leading group's
+    offset, so no per-group single-task sort exists — then an
+    18-row literal index fetch joined back. ceil(p*n/100) uses
+    identical integer arithmetic ((p*n + 99) // 100) both engines."""
+    from ..plans.global_rank import with_global_row_number
+
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("sc"),
+        "o_orderkey",
+    )
+    numbered, n_total = with_global_row_number(
+        o, ["tr", "sc", "o_orderkey"], out_col="rn"
+    )
+    counts = {
+        r["tr"]: r["n"]
+        for r in numbered.groupBy("tr")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_c, n_t = int(counts[0]), int(counts[1])
+    # global rn is (control block) then (treated block): tr leads the
+    # order, so treated ranks start after the n_c control rows
+    targets = []  # (global_rn, tr, decile)
+    for p in range(10, 100, 10):
+        targets.append(((p * n_c + 99) // 100, 0, p))
+        targets.append((n_c + (p * n_t + 99) // 100, 1, p))
+    tgt = spark.createDataFrame(
+        targets, "rn bigint, tr_want int, decile int"
+    )
+    picked = numbered.join(F.broadcast(tgt), "rn").select(
+        "decile", "tr", "sc"
+    )
+    a = picked.filter(F.col("tr") == 1).select(
+        "decile", F.col("sc").alias("q_treated_cents")
+    )
+    b = picked.filter(F.col("tr") == 0).select(
+        "decile", F.col("sc").alias("q_control_cents")
+    )
+    return a.join(b, "decile").select(
+        "decile",
+        "q_treated_cents",
+        "q_control_cents",
+        (F.col("q_treated_cents") - F.col("q_control_cents")).alias(
+            "qte_cents"
+        ),
+        (
+            (F.col("q_treated_cents") - F.col("q_control_cents")).cast(
+                "double"
+            )
+            / 100
+        ).alias("qte_dollars"),
+    )
+
+
+@query(
+    "agg_gamma_mom",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders
+), st AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mu,
+         (ss - (CAST(s AS DOUBLE) / n) * s) / (n - 1) AS var
+  FROM m
+)
+SELECT n AS n_orders,
+       mu / 100 AS mean_dollars,
+       (mu * mu) / var AS shape_k,
+       var / mu / 100 AS scale_theta_dollars
+FROM st
+""",
+)
+def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments Gamma fit of the order-value distribution
+    (k = mean^2/var, theta = var/mean) — the two-parameter positive
+    model pricing/risk teams reach for before anything heavier, and
+    the natural sibling of agg_gumbel_daily_max (extremes) and
+    agg_hill_tail (tail index): this one fits the BODY.
+
+    Exactness: mean and variance come from exact integer cents sums
+    (squares through HUGEINT/decimal(38) — the ts_acf discipline);
+    k and theta are fixed double expressions over those identical
+    integers. One aggregate, one row."""
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    )
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss") - mu * F.col("s")) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").alias("n_orders"),
+        (mu / 100).alias("mean_dollars"),
+        ((mu * mu) / var).alias("shape_k"),
+        (var / mu / 100).alias("scale_theta_dollars"),
+    )

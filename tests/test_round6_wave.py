@@ -639,3 +639,33 @@ def test_raking_matches_margins(spark, sf_dir):
         assert abs(v / 1e6 - tr[k]) < 0.01  # exact up to floor-div dust
     for k, v in row.items():
         assert abs(v / 1e6 - tp[k]) / tp[k] < 0.01  # one col-step behind
+
+
+def test_qte_deciles_are_order_statistics(spark, sf_dir):
+    rows = {r["decile"]: r for r in QUERIES["agg_qte"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(10, 100, 10))
+    # quantiles are monotone within each arm
+    qt = [rows[p]["q_treated_cents"] for p in sorted(rows)]
+    qc = [rows[p]["q_control_cents"] for p in sorted(rows)]
+    assert qt == sorted(qt) and qc == sorted(qc)
+    # spot-check the control median against a local recompute
+    vals = sorted(
+        r["c"]
+        for r in load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select(F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("c"))
+        .collect()
+    )
+    k = (50 * len(vals) + 99) // 100
+    assert rows[50]["q_control_cents"] == vals[k - 1]
+
+
+def test_gamma_mom_moments(spark, sf_dir):
+    r = QUERIES["agg_gamma_mom"](spark, sf_dir).collect()[0]
+    assert r["shape_k"] > 0 and r["scale_theta_dollars"] > 0
+    # k * theta must reproduce the mean
+    assert (
+        abs(r["shape_k"] * r["scale_theta_dollars"] - r["mean_dollars"])
+        / r["mean_dollars"]
+        < 1e-9
+    )
