@@ -8264,3 +8264,94 @@ def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((mu * mu) / var).alias("shape_k"),
         (var / mu / 100).alias("scale_theta_dollars"),
     )
+
+
+_PIDX_Y0, _PIDX_Y1 = 1995, 1996
+
+
+@query(
+    "agg_price_index",
+    oracle=f"""
+WITH py AS (
+  SELECT l_partkey AS pk,
+         CAST(year(l_shipdate) AS INTEGER) AS y,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS v,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem
+  WHERE year(l_shipdate) IN ({_PIDX_Y0}, {_PIDX_Y1})
+  GROUP BY l_partkey, year(l_shipdate)
+), u AS (
+  SELECT pk, y, (v * 1000) // q AS pm, q FROM py
+), b AS (
+  SELECT a.pk, a.pm AS p0, a.q AS q0, c.pm AS p1, c.q AS q1
+  FROM u a JOIN u c ON a.pk = c.pk
+  WHERE a.y = {_PIDX_Y0} AND c.y = {_PIDX_Y1}
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+         CAST(SUM(p1 * q0) AS BIGINT) AS l_num,
+         CAST(SUM(p0 * q0) AS BIGINT) AS l_den,
+         CAST(SUM(p1 * q1) AS BIGINT) AS p_num,
+         CAST(SUM(p0 * q1) AS BIGINT) AS p_den
+  FROM b
+)
+SELECT n_parts,
+       CAST(l_num AS DOUBLE) / l_den AS laspeyres,
+       CAST(p_num AS DOUBLE) / p_den AS paasche,
+       sqrt((CAST(l_num AS DOUBLE) / l_den)
+            * (CAST(p_num AS DOUBLE) / p_den)) AS fisher
+FROM s
+""",
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laspeyres / Paasche / Fisher price indices between the
+    {_PIDX_Y0} and {_PIDX_Y1} ship years over parts traded in BOTH —
+    the index-number machinery behind every inflation / price-change
+    dashboard (Laspeyres weights by base-year baskets, Paasche by
+    current, Fisher is their geometric mean and the superlative
+    compromise).
+
+    Exactness: per part-year unit prices are quantized ONCE as the
+    positive-operand floor division (value_cents * 1e3) // quantity
+    (milli-cent resolution; p*q products stay ~1e12/part so the
+    cross-basket sums sit inside int64 at a 100x corpus), so all
+    four basket sums are exact bigints and the three indices are
+    fixed double expressions over identical integers. Scale shape:
+    one part-year hash aggregate over lineitem (year filter pushed
+    to the scan), a part-keyed self-join of the two year slices, a
+    1-row sum."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").alias("y"),
+        F.expr(cents("l_extendedprice")).alias("vc"),
+        F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qn"),
+    ).filter(F.col("y").isin(_PIDX_Y0, _PIDX_Y1))
+    py = li.groupBy("pk", "y").agg(
+        F.sum("vc").cast("bigint").alias("v"),
+        F.sum("qn").cast("bigint").alias("q"),
+    )
+    u = py.select(
+        "pk", "y", F.expr("(v * 1000) div q").alias("pm"), "q"
+    )
+    a = u.filter(F.col("y") == _PIDX_Y0).select(
+        "pk", F.col("pm").alias("p0"), F.col("q").alias("q0")
+    )
+    c = u.filter(F.col("y") == _PIDX_Y1).select(
+        "pk", F.col("pm").alias("p1"), F.col("q").alias("q1")
+    )
+    b = a.join(c, "pk")
+    s = b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("p1") * F.col("q0")).cast("bigint").alias("l_num"),
+        F.sum(F.col("p0") * F.col("q0")).cast("bigint").alias("l_den"),
+        F.sum(F.col("p1") * F.col("q1")).cast("bigint").alias("p_num"),
+        F.sum(F.col("p0") * F.col("q1")).cast("bigint").alias("p_den"),
+    )
+    lasp = F.col("l_num").cast("double") / F.col("l_den")
+    paas = F.col("p_num").cast("double") / F.col("p_den")
+    return s.select(
+        "n_parts",
+        lasp.alias("laspeyres"),
+        paas.alias("paasche"),
+        F.sqrt(lasp * paas).alias("fisher"),
+    )

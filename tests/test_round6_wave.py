@@ -669,3 +669,11 @@ def test_gamma_mom_moments(spark, sf_dir):
         / r["mean_dollars"]
         < 1e-9
     )
+
+
+def test_price_index_fisher_between_l_and_p(spark, sf_dir):
+    r = QUERIES["agg_price_index"](spark, sf_dir).collect()[0]
+    assert r["n_parts"] > 0
+    lo, hi = sorted([r["laspeyres"], r["paasche"]])
+    assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12  # geometric mean
+    assert 0.5 < r["fisher"] < 2.0  # no hyperinflation in the fixture
