@@ -8355,3 +8355,222 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         paas.alias("paasche"),
         F.sqrt(lasp * paas).alias("fisher"),
     )
+
+
+@query(
+    "agg_cvm_test",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+         o_orderkey
+  FROM orders
+), r AS (
+  SELECT tr,
+         ROW_NUMBER() OVER (ORDER BY sc, o_orderkey) AS r,
+         ROW_NUMBER() OVER (PARTITION BY tr ORDER BY sc, o_orderkey) AS i
+  FROM s
+), g AS (
+  SELECT CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN tr = 1 THEN (r - i) * (r - i) ELSE 0 END)
+              AS BIGINT) AS st,
+         CAST(SUM(CASE WHEN tr = 0 THEN (r - i) * (r - i) ELSE 0 END)
+              AS BIGINT) AS sc2
+  FROM r
+)
+SELECT nt AS n_treated,
+       nc AS n_control,
+       CAST(CAST(CAST(nt AS HUGEINT) * st + CAST(nc AS HUGEINT) * sc2
+                 AS VARCHAR) AS DOUBLE) AS u_stat,
+       CAST(CAST(CAST(nt AS HUGEINT) * st + CAST(nc AS HUGEINT) * sc2
+                 AS VARCHAR) AS DOUBLE)
+         / (CAST(nt AS DOUBLE) * CAST(nc AS DOUBLE) * CAST(nt + nc AS DOUBLE))
+         - CAST(4 * nt * nc - 1 AS DOUBLE) / CAST(6 * (nt + nc) AS DOUBLE)
+         AS t_stat
+FROM g
+""",
+)
+def agg_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér–von Mises test (Anderson 1962 rank form)
+    comparing the URGENT-priority order-value distribution against
+    the rest — the whole-distribution companion of agg_ks_test (KS
+    sees the single largest CDF gap; CvM integrates the squared gap,
+    so it catches broad shape shifts KS underweights):
+    U = n*sum_i (r_i - i)^2 + m*sum_j (s_j - j)^2 over combined ranks,
+    T = U/(n*m*N) - (4nm - 1)/(6N). Ranks are made unique by the
+    deterministic (cents, orderkey) total order (ties broken
+    identically in both engines — the statistic is defined ON that
+    order, documented).
+
+    Scale shape: THREE passes of the two-phase global-rank machinery
+    (combined rank over (sc, key); within-group index per group
+    slice, each range-bucketed by the score, never a 2-partition
+    window), a key-equi-join-free union, one hash aggregate to a
+    single row. U goes through decimal(38,0) (~2e19 at sf0.1, ~2e27
+    at 100x — inside 38 digits), then the decimal->double /
+    HUGEINT->VARCHAR->double cast pair the agg_gamma_mom precedent
+    proved bit-equal."""
+    from ..plans.global_rank import with_global_row_number
+
+    base = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("sc"),
+        "o_orderkey",
+    )
+    ranked, _ = with_global_row_number(
+        base, ["sc", "o_orderkey"], out_col="r"
+    )
+    t1, n_t = with_global_row_number(
+        ranked.filter(F.col("tr") == 1), ["sc", "o_orderkey"], out_col="i"
+    )
+    t0, n_c = with_global_row_number(
+        ranked.filter(F.col("tr") == 0), ["sc", "o_orderkey"], out_col="i"
+    )
+    both = t1.unionByName(t0)
+    d2 = (F.col("r") - F.col("i")) * (F.col("r") - F.col("i"))
+    g = both.agg(
+        F.sum(F.when(F.col("tr") == 1, d2).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("st"),
+        F.sum(F.when(F.col("tr") == 0, d2).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("sc2"),
+    )
+    u_dec = (
+        F.lit(n_t).cast("decimal(38,0)") * F.col("st")
+        + F.lit(n_c).cast("decimal(38,0)") * F.col("sc2")
+    )
+    u_d = u_dec.cast("double")
+    n_tot = n_t + n_c
+    return g.select(
+        F.lit(n_t).cast("bigint").alias("n_treated"),
+        F.lit(n_c).cast("bigint").alias("n_control"),
+        u_d.alias("u_stat"),
+        (
+            u_d
+            / (
+                F.lit(float(n_t))
+                * F.lit(float(n_c))
+                * F.lit(float(n_tot))
+            )
+            - F.lit(float(4 * n_t * n_c - 1)) / F.lit(float(6 * n_tot))
+        ).alias("t_stat"),
+    )
+
+
+@query(
+    "agg_tukey_hsd",
+    bounded_cross=(
+        "5-priority pairwise grid (10 pairs) + 1-row pooled-MSE scalar"
+    ),
+    oracle="""
+WITH g AS (
+  SELECT o_orderpriority AS g,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders GROUP BY 1
+), st AS (
+  SELECT g, n,
+         CAST(s AS DOUBLE) / n AS m,
+         (ss - (CAST(s AS DOUBLE) / n) * s) AS sse
+  FROM g
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(sse ORDER BY g)) AS ssesum
+  FROM st
+), mse AS (
+  SELECT ssesum / CAST(nn - k AS DOUBLE) AS mse, nn - k AS df_error
+  FROM tot
+)
+SELECT a.g AS prio_a, b.g AS prio_b,
+       ABS(a.m - b.m) / 100 AS mean_diff_dollars,
+       sqrt(mse.mse / 2 * (1.0 / CAST(a.n AS DOUBLE)
+                           + 1.0 / CAST(b.n AS DOUBLE))) / 100 AS se_dollars,
+       ABS(a.m - b.m)
+         / sqrt(mse.mse / 2 * (1.0 / CAST(a.n AS DOUBLE)
+                               + 1.0 / CAST(b.n AS DOUBLE))) AS q_stat,
+       mse.df_error AS df_error
+FROM st a JOIN st b ON a.g < b.g, mse
+""",
+)
+def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparisons across the five
+    order-priority groups: studentized-range q statistic per pair,
+    |mean_i - mean_j| / sqrt(MSE/2 * (1/n_i + 1/n_j)), with the
+    pooled within-group MSE and its error df — the step every ANOVA
+    (agg_anova_twoway) must be followed by before naming WHICH
+    groups differ. Reports the statistic and df (the q critical
+    value is a table lookup the caller owns).
+
+    Exactness: per-group n/sum/sum-of-squares are exact integer
+    cents (squares through HUGEINT / decimal(38)); each group's SSE
+    is the gamma_mom (ss - mu*s) expression; the 5 SSEs fold in
+    group order via the ts_sharpe strict-fold pair (F.aggregate over
+    array_sort == list_sum over ORDER BY) so the pooled MSE is
+    bit-identical; pairs and q are fixed double expressions. Scale
+    shape: ONE two-phase hash aggregate to 5 rows, then a declared
+    bounded 5x5 pair grid with a 1-row MSE scalar cross."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(cents("o_totalprice")).alias("c"),
+    )
+    g = o.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    m = F.col("s").cast("double") / F.col("n")
+    st = g.select(
+        "g", "n", m.alias("m"), (F.col("ss") - m * F.col("s")).alias("sse")
+    )
+    arr = F.array_sort(F.collect_list(F.struct("g", "sse")))
+    tot = st.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.aggregate(
+            arr, F.lit(0.0), lambda acc, x: acc + x["sse"]
+        ).alias("ssesum"),
+    )
+    mse = tot.select(
+        (F.col("ssesum") / (F.col("nn") - F.col("k")).cast("double")).alias(
+            "mse"
+        ),
+        (F.col("nn") - F.col("k")).alias("df_error"),
+    )
+    a = st.select(
+        F.col("g").alias("prio_a"), F.col("n").alias("na"), F.col("m").alias("ma")
+    )
+    b = st.select(
+        F.col("g").alias("prio_b"), F.col("n").alias("nb"), F.col("m").alias("mb")
+    )
+    # bounded: 5x5 priority pair grid + 1-row MSE scalar
+    pairs = a.join(F.broadcast(b), F.col("prio_a") < F.col("prio_b")).crossJoin(
+        F.broadcast(mse)
+    )
+    diff = F.abs(F.col("ma") - F.col("mb"))
+    se = F.sqrt(
+        F.col("mse")
+        / F.lit(2)
+        * (
+            F.lit(1.0) / F.col("na").cast("double")
+            + F.lit(1.0) / F.col("nb").cast("double")
+        )
+    )
+    return pairs.select(
+        "prio_a",
+        "prio_b",
+        (diff / F.lit(100)).alias("mean_diff_dollars"),
+        (se / F.lit(100)).alias("se_dollars"),
+        (diff / se).alias("q_stat"),
+        "df_error",
+    )

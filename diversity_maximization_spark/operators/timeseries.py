@@ -4557,3 +4557,118 @@ def ts_newey_west(spark: SparkSession, sf_dir: str) -> DataFrame:
         se_nw.alias("se_nw"),
         (se_nw / se_iid).alias("se_inflation"),
     )
+
+
+MACD_FAST = 2 / 13   # EMA(12) smoothing factor 2/(12+1)
+MACD_SLOW = 2 / 27   # EMA(26) smoothing factor 2/(26+1)
+MACD_SIG = 0.2       # EMA(9) smoothing factor 2/(9+1)
+_OMF, _OMS, _OMG = 1 - MACD_FAST, 1 - MACD_SLOW, 1 - MACD_SIG
+
+# A 17-significant-digit numeric literal parses as DECIMAL in DuckDB
+# (int64-scaled — 1.5e16 > 2^53, so the decimal->double cast is NOT
+# the correctly-rounded string parse and drifts one ULP per step).
+# Routing the alpha literals through CAST('<repr>' AS DOUBLE) forces
+# the same correctly-rounded parse Python's repr round-trip uses.
+_AFD = f"CAST('{MACD_FAST!r}' AS DOUBLE)"
+_ASD = f"CAST('{MACD_SLOW!r}' AS DOUBLE)"
+_AGD = f"CAST('{MACD_SIG!r}' AS DOUBLE)"
+_OMFD = f"CAST('{_OMF!r}' AS DOUBLE)"
+_OMSD = f"CAST('{_OMS!r}' AS DOUBLE)"
+_OMGD = f"CAST('{_OMG!r}' AS DOUBLE)"
+
+
+@query(
+    "ts_macd",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(day AS TIMESTAMP) AS day,
+         CAST(c AS DOUBLE) / 100 AS x,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM daily
+), r AS (
+  SELECT day, rn, x, x AS ef, x AS es,
+         CAST(0.0 AS DOUBLE) AS macd, CAST(0.0 AS DOUBLE) AS sig
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.day, s.rn, s.x,
+         {_AFD} * s.x + {_OMFD} * r.ef AS ef,
+         {_ASD} * s.x + {_OMSD} * r.es AS es,
+         ({_AFD} * s.x + {_OMFD} * r.ef)
+           - ({_ASD} * s.x + {_OMSD} * r.es) AS macd,
+         {_AGD} * (({_AFD} * s.x + {_OMFD} * r.ef)
+                   - ({_ASD} * s.x + {_OMSD} * r.es))
+           + {_OMGD} * r.sig AS sig
+  FROM r JOIN s ON s.rn = r.rn + 1
+)
+SELECT day, x AS revenue, ef AS ema_fast, es AS ema_slow,
+       macd, sig AS signal_line, macd - sig AS histogram
+FROM r
+""",
+)
+def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12, 26, 9) of the daily order-revenue series — the
+    momentum indicator every trading/metrics dashboard stacks under
+    the price pane: fast EMA minus slow EMA, a signal EMA of that
+    difference, and their histogram. Seeds follow the public
+    convention: both EMAs start at x_1 (so macd_1 = 0) and the
+    signal line starts at 0.
+
+    Execution shape: one hash aggregate to the O(days) daily rollup
+    (exact integer cents), then ONE Arrow applyInPandas strict fold
+    over the day-ordered series — three floats of state, sequential
+    in days but constant memory, and bounded by the calendar
+    (~2.4k rows) regardless of corpus size. Hash-exactness: each
+    day's input is ONE float division of the same exact integers,
+    and both engines evaluate literally the same IEEE expression
+    tree per step (`a*x + (1-a)*acc` with repr-round-tripped alpha
+    literals); the oracle replays the identical three-accumulator
+    recurrence with a recursive CTE, one step per day (the ts_holt
+    pattern extended to a chained fold)."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    af, asl, asg = MACD_FAST, MACD_SLOW, MACD_SIG
+    omf, oms, omg = _OMF, _OMS, _OMG
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day")
+        ef = es = sig = None
+        out = []
+        for c in pdf["c"].to_numpy():
+            x = c / 100.0
+            if ef is None:
+                ef, es, macd, sig = x, x, 0.0, 0.0
+            else:
+                ef = af * x + omf * ef
+                es = asl * x + oms * es
+                macd = ef - es
+                sig = asg * macd + omg * sig
+            out.append((x, ef, es, macd, sig, macd - sig))
+        import pandas as pd
+
+        cols = pd.DataFrame(
+            out,
+            columns=[
+                "revenue", "ema_fast", "ema_slow",
+                "macd", "signal_line", "histogram",
+            ],
+            index=pdf.index,
+        )
+        return pdf[["day"]].join(cols)
+
+    # bounded: single-key fold over the O(days) daily rollup
+    return (
+        daily.groupBy(F.lit(1).alias("_k"))
+        .applyInPandas(
+            lambda _, pdf: fold(pdf),
+            "day timestamp, revenue double, ema_fast double, "
+            "ema_slow double, macd double, signal_line double, "
+            "histogram double",
+        )
+    )

@@ -677,3 +677,78 @@ def test_price_index_fisher_between_l_and_p(spark, sf_dir):
     lo, hi = sorted([r["laspeyres"], r["paasche"]])
     assert lo - 1e-12 <= r["fisher"] <= hi + 1e-12  # geometric mean
     assert 0.5 < r["fisher"] < 2.0  # no hyperinflation in the fixture
+
+
+# --- continuation-session wave 54: MACD / CvM / Tukey HSD ------------------
+
+
+def test_macd_identities(spark, sf_dir):
+    rows = QUERIES["ts_macd"](spark, sf_dir).orderBy("day").collect()
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days
+    first = rows[0]
+    assert first["macd"] == 0.0 and first["signal_line"] == 0.0
+    for r in rows:
+        assert r["histogram"] == r["macd"] - r["signal_line"]
+        assert abs(r["macd"] - (r["ema_fast"] - r["ema_slow"])) < 1e-9
+    # the fast EMA tracks the last value more closely than the slow one
+    last = rows[-1]
+    assert abs(last["ema_fast"] - last["revenue"]) <= abs(
+        last["ema_slow"] - last["revenue"]
+    ) or abs(last["macd"]) < 1e-6
+
+
+def test_cvm_matches_local_rank_recompute(spark, sf_dir):
+    r = QUERIES["agg_cvm_test"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("sc"),
+            "o_orderkey",
+        )
+        .collect()
+    )
+    ordered = sorted(rows, key=lambda x: (x["sc"], x["o_orderkey"]))
+    n = sum(1 for x in ordered if x["tr"] == 1)
+    m = len(ordered) - n
+    assert (r["n_treated"], r["n_control"]) == (n, m)
+    it = ic = 0
+    u = 0
+    st = sc_ = 0
+    for pos, x in enumerate(ordered, start=1):
+        if x["tr"] == 1:
+            it += 1
+            st += (pos - it) ** 2
+        else:
+            ic += 1
+            sc_ += (pos - ic) ** 2
+    u = n * st + m * sc_
+    assert r["u_stat"] == float(u)
+    t = float(u) / (float(n) * float(m) * float(n + m)) - float(
+        4 * n * m - 1
+    ) / float(6 * (n + m))
+    assert abs(r["t_stat"] - t) < 1e-12
+
+
+def test_tukey_hsd_pairs(spark, sf_dir):
+    rows = QUERIES["agg_tukey_hsd"](spark, sf_dir).collect()
+    assert len(rows) == 10  # C(5,2)
+    prios = set()
+    for r in rows:
+        assert r["prio_a"] < r["prio_b"]
+        assert r["q_stat"] >= 0 and r["se_dollars"] > 0
+        assert (
+            abs(r["q_stat"] - (r["mean_diff_dollars"] / r["se_dollars"]))
+            < 1e-6 * max(1.0, r["q_stat"])
+        )
+        prios |= {r["prio_a"], r["prio_b"]}
+    assert len(prios) == 5
+    assert len({r["df_error"] for r in rows}) == 1
