@@ -8574,3 +8574,129 @@ def agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (diff / se).alias("q_stat"),
         "df_error",
     )
+
+
+@query(
+    "agg_design_effect",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sw,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS sww
+  FROM orders
+)
+SELECT n AS n_orders,
+       CAST(n AS DOUBLE) * sww / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+         AS deff,
+       (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) / sww AS n_eff,
+       sqrt(CAST(n AS DOUBLE) * sww
+            / (CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) - 1) AS cv_weights
+FROM m
+""",
+)
+def agg_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish design effect of a value-weighted estimator over orders
+    (weights = order value): DEFF = n*sum(w^2)/(sum w)^2 = 1 + cv^2
+    of the weights, with the effective sample size n_eff =
+    (sum w)^2 / sum(w^2) — the one number survey/sampling teams use
+    to price unequal weighting, completing the repo's survey-methods
+    family (sample_neyman_allocation plans strata, sample_ht_estimate
+    expands, agg_raking calibrates; this AUDITS the resulting
+    weights).
+
+    Exactness: sum(w) is an exact bigint of integer cents; sum(w^2)
+    goes through HUGEINT / decimal(38) and the proven
+    decimal->double / VARCHAR->double cast pair; DEFF, n_eff and the
+    weight CV are fixed double expressions over those identical
+    numbers. Scale shape: ONE two-phase hash aggregate to a single
+    row — nothing else."""
+    m = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("w")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w"))
+        .cast("double")
+        .alias("sww"),
+    )
+    n_d = F.col("n").cast("double")
+    sw_d = F.col("sw").cast("double")
+    deff = n_d * F.col("sww") / (sw_d * sw_d)
+    return m.select(
+        F.col("n").alias("n_orders"),
+        deff.alias("deff"),
+        ((sw_d * sw_d) / F.col("sww")).alias("n_eff"),
+        F.sqrt(deff - F.lit(1)).alias("cv_weights"),
+    )
+
+
+@query(
+    "agg_grubbs",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mx,
+         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS mn
+  FROM orders
+), st AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mu,
+         sqrt((ss - (CAST(s AS DOUBLE) / n) * s) / (n - 1)) AS sd,
+         GREATEST(CAST(mx AS DOUBLE) - CAST(s AS DOUBLE) / n,
+                  CAST(s AS DOUBLE) / n - CAST(mn AS DOUBLE)) AS dev
+  FROM m
+)
+SELECT n AS n_orders,
+       mu / 100 AS mean_dollars,
+       sd / 100 AS sd_dollars,
+       dev / 100 AS max_dev_dollars,
+       dev / sd AS g_stat
+FROM st
+""",
+)
+def agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs outlier statistic for the order-value population:
+    G = max|x - mean| / s, the classical single-outlier screen (the
+    parametric cousin of anomaly_iqr_fences / anomaly_mad_robust —
+    those fence, this TESTS, with the critical value a t-table
+    lookup the caller owns).
+
+    Exactness: the extreme deviation is GREATEST(max - mu, mu - min)
+    over exact integer extremes and the exact-cents mean — max/min
+    are associative, so the distributed aggregate is order-free;
+    variance follows the gamma_mom (ss - mu*s)/(n-1) discipline; G
+    is a fixed double expression. Scale shape: ONE two-phase hash
+    aggregate to a single row."""
+    m = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+        F.max("c").cast("bigint").alias("mx"),
+        F.min("c").cast("bigint").alias("mn"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss") - mu * F.col("s")) / (F.col("n") - 1)
+    )
+    dev = F.greatest(
+        F.col("mx").cast("double") - mu, mu - F.col("mn").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_orders"),
+        (mu / 100).alias("mean_dollars"),
+        (sd / 100).alias("sd_dollars"),
+        (dev / 100).alias("max_dev_dollars"),
+        (dev / sd).alias("g_stat"),
+    )

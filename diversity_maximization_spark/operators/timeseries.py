@@ -4672,3 +4672,185 @@ def ts_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "histogram double",
         )
     )
+
+
+@query(
+    "ts_turning_points",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT c,
+         LAG(c) OVER (ORDER BY day) AS p,
+         LEAD(c) OVER (ORDER BY day) AS nx
+  FROM daily
+), t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN p IS NOT NULL AND nx IS NOT NULL
+                        AND ((c > p AND c > nx) OR (c < p AND c < nx))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM l
+)
+SELECT n AS n_days,
+       tp AS n_turning,
+       CAST(2 * (n - 2) AS DOUBLE) / 3 AS expected,
+       CAST(16 * n - 29 AS DOUBLE) / 90 AS variance,
+       (CAST(tp AS DOUBLE) - CAST(2 * (n - 2) AS DOUBLE) / 3)
+         / sqrt(CAST(16 * n - 29 AS DOUBLE) / 90) AS z_score
+FROM t
+""",
+)
+def ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turning-points test for randomness of the daily-revenue series
+    (Kendall's phase count): an interior day is a turning point when
+    it is a strict local max or min; under IID the count is
+    asymptotically N(2(n-2)/3, (16n-29)/90), so the z-score flags
+    serial dependence — the nonparametric cousin of agg_runs_test
+    (signs vs a level) applied to the series' SHAPE.
+
+    Exactness: peak/trough flags are pure integer comparisons on
+    exact daily cents (strict inequalities — tied neighbours are not
+    turning points, identically in both engines); the count is an
+    exact bigint and the three floats are fixed expressions over
+    (n, tp). Scale shape: one hash aggregate to the O(days) rollup,
+    one bounded window pass, a 1-row aggregate."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "c",
+        F.lag("c").over(w).alias("p"),
+        F.lead("c").over(w).alias("nx"),
+    )
+    is_tp = (
+        F.col("p").isNotNull()
+        & F.col("nx").isNotNull()
+        & (
+            ((F.col("c") > F.col("p")) & (F.col("c") > F.col("nx")))
+            | ((F.col("c") < F.col("p")) & (F.col("c") < F.col("nx")))
+        )
+    )
+    t = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("bigint").alias("tp"),
+    )
+    expected = (2 * (F.col("n") - 2)).cast("double") / F.lit(3)
+    variance = (16 * F.col("n") - 29).cast("double") / F.lit(90)
+    return t.select(
+        F.col("n").alias("n_days"),
+        F.col("tp").alias("n_turning"),
+        expected.alias("expected"),
+        variance.alias("variance"),
+        ((F.col("tp").cast("double") - expected) / F.sqrt(variance)).alias(
+            "z_score"
+        ),
+    )
+
+
+@query(
+    "ts_control_chart",
+    bounded_cross=(
+        "1-row control-limit scalar onto the O(days) daily rollup"
+    ),
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT day, c, ABS(c - LAG(c) OVER (ORDER BY day)) AS mr
+  FROM daily
+), lim AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS DOUBLE) / 100 / COUNT(*) AS center,
+         CAST(SUM(mr) AS DOUBLE) / (COUNT(*) - 1) / 100 AS mr_bar
+  FROM l
+), lim2 AS (
+  SELECT n, center, mr_bar,
+         center + 2.66 * mr_bar AS ucl,
+         center - 2.66 * mr_bar AS lcl
+  FROM lim
+)
+SELECT lim2.n AS n_days,
+       lim2.center AS center_dollars,
+       lim2.mr_bar AS mr_bar_dollars,
+       lim2.ucl AS ucl_dollars,
+       lim2.lcl AS lcl_dollars,
+       CAST(SUM(CASE WHEN CAST(l.c AS DOUBLE) / 100 > lim2.ucl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_above_ucl,
+       CAST(SUM(CASE WHEN CAST(l.c AS DOUBLE) / 100 < lim2.lcl
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_below_lcl
+FROM l, lim2
+GROUP BY 1, 2, 3, 4, 5
+""",
+)
+def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shewhart individuals/moving-range (I-MR) control chart of
+    daily revenue: center line, MR-bar, the 3-sigma-equivalent
+    control limits center ± 2.66*MR-bar (2.66 = 3/d2(2), the public
+    SPC constant for n=2 moving ranges), and the out-of-control day
+    counts — the monitoring chart ops teams run on any KPI, and the
+    chart-limits complement of the sequential detectors
+    (ts_cusum_drift, ts_page_hinkley).
+
+    Exactness: daily values and moving ranges are exact integer
+    cents (|c - prev| stays integer, so the MR sum is
+    order-independent); center and MR-bar are single float divisions
+    of those integers; the violation comparisons see bit-identical
+    doubles in both engines. Scale shape: one hash aggregate to the
+    O(days) rollup, one bounded window pass, a declared 1-row limit
+    scalar cross, a 1-row count."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day", "c", F.abs(F.col("c") - F.lag("c").over(w)).alias("mr")
+    )
+    lim = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum("c").cast("double") / F.lit(100) / F.count(F.lit(1))
+        ).alias("center"),
+        (
+            F.sum("mr").cast("double")
+            / (F.count(F.lit(1)) - F.lit(1))
+            / F.lit(100)
+        ).alias("mr_bar"),
+    ).select(
+        "n",
+        "center",
+        "mr_bar",
+        (F.col("center") + F.lit(2.66) * F.col("mr_bar")).alias("ucl"),
+        (F.col("center") - F.lit(2.66) * F.col("mr_bar")).alias("lcl"),
+    )
+    # bounded: 1-row limit scalar onto the O(days) frame
+    joined = lagged.crossJoin(F.broadcast(lim))
+    x = F.col("c").cast("double") / F.lit(100)
+    return joined.groupBy(
+        "n", "center", "mr_bar", "ucl", "lcl"
+    ).agg(
+        F.sum(F.when(x > F.col("ucl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above_ucl"),
+        F.sum(F.when(x < F.col("lcl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below_lcl"),
+    ).select(
+        F.col("n").alias("n_days"),
+        F.col("center").alias("center_dollars"),
+        F.col("mr_bar").alias("mr_bar_dollars"),
+        F.col("ucl").alias("ucl_dollars"),
+        F.col("lcl").alias("lcl_dollars"),
+        "n_above_ucl",
+        "n_below_lcl",
+    )

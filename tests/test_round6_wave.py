@@ -752,3 +752,54 @@ def test_tukey_hsd_pairs(spark, sf_dir):
         prios |= {r["prio_a"], r["prio_b"]}
     assert len(prios) == 5
     assert len({r["df_error"] for r in rows}) == 1
+
+
+# --- continuation-session wave 55: SPC / randomness / survey audit ---------
+
+
+def test_turning_points_matches_local(spark, sf_dir):
+    r = QUERIES["ts_turning_points"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["day"], row["c"])
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    vals = [c for _, c in daily]
+    tp = sum(
+        1
+        for i in range(1, len(vals) - 1)
+        if (vals[i] > vals[i - 1] and vals[i] > vals[i + 1])
+        or (vals[i] < vals[i - 1] and vals[i] < vals[i + 1])
+    )
+    assert r["n_days"] == len(vals) and r["n_turning"] == tp
+    assert abs(r["expected"] - 2 * (len(vals) - 2) / 3) < 1e-9
+
+
+def test_control_chart_limits(spark, sf_dir):
+    r = QUERIES["ts_control_chart"](spark, sf_dir).collect()[0]
+    assert r["lcl_dollars"] < r["center_dollars"] < r["ucl_dollars"]
+    assert abs(
+        (r["ucl_dollars"] - r["center_dollars"]) - 2.66 * r["mr_bar_dollars"]
+    ) < 1e-9
+    # violations are a small minority of days on any sane series
+    assert r["n_above_ucl"] + r["n_below_lcl"] < r["n_days"] / 4
+
+
+def test_design_effect_identities(spark, sf_dir):
+    r = QUERIES["agg_design_effect"](spark, sf_dir).collect()[0]
+    assert r["deff"] >= 1.0  # Cauchy-Schwarz
+    assert r["n_eff"] <= r["n_orders"]
+    assert abs(r["deff"] * r["n_eff"] - r["n_orders"]) / r["n_orders"] < 1e-12
+    assert abs(r["cv_weights"] ** 2 - (r["deff"] - 1)) < 1e-9
+
+
+def test_grubbs_statistic(spark, sf_dir):
+    r = QUERIES["agg_grubbs"](spark, sf_dir).collect()[0]
+    import math
+
+    n = r["n_orders"]
+    # G is bounded by (n-1)/sqrt(n) for any sample
+    assert 0 < r["g_stat"] <= (n - 1) / math.sqrt(n)
+    assert abs(r["g_stat"] - r["max_dev_dollars"] / r["sd_dollars"]) < 1e-9
