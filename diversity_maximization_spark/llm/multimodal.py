@@ -938,3 +938,91 @@ def multimodal_histogram_census(
     return media.mapInPandas(
         gen, "doc_id bigint, bin int, n_bytes bigint"
     )
+
+
+def _duck_wav_stream() -> str:
+    """DuckDB: the 800 PCM bytes of an audio doc's synth stream."""
+    wav_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    return f"list_slice({_duck_stream_bytes(wav_hashes)}, 1, {WAV_SAMPLES * 2})"
+
+
+_WAV_SMP = (
+    "(CASE WHEN bs[2 * {k} + 1] + 256 * bs[2 * {k} + 2] >= 32768 "
+    "THEN bs[2 * {k} + 1] + 256 * bs[2 * {k} + 2] - 65536 "
+    "ELSE bs[2 * {k} + 1] + 256 * bs[2 * {k} + 2] END)"
+)
+
+
+@query(
+    "multimodal_audio_energy_census",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_wav_stream()} AS bs FROM base
+)
+SELECT doc_id, CAST(t.w AS INTEGER) AS win,
+       CAST(list_sum(list_transform(generate_series(50 * t.w, 50 * t.w + 49),
+            k -> abs({_WAV_SMP.format(k="k")}))) AS BIGINT) AS abs_sum,
+       CAST(list_sum(list_transform(generate_series(50 * t.w, 50 * t.w + 48),
+            k -> CASE WHEN ({_WAV_SMP.format(k="k")} >= 0)
+                       != ({_WAV_SMP.format(k="(k + 1)")} >= 0)
+                 THEN 1 ELSE 0 END)) AS BIGINT) AS zero_crossings
+FROM streams, unnest(generate_series(0, 7)) t(w)
+""",
+)
+def multimodal_audio_energy_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Windowed audio-energy census — the hash-checked projection of
+    the AUDIO pipeline front end (multimodal_decode_census gates the
+    whole-file mean amplitude; this gates the per-window energy
+    PROFILE that multimodal_audio_vad thresholds on, in 8 windows of
+    50 samples): decode every REAL WAV payload (stdlib wave module,
+    the full RIFF round trip) and report each window's exact integer
+    |amplitude| sum and zero-crossing count. The oracle regenerates
+    the synth PCM bytes by the same hex-chained sha256 and computes
+    both integers arithmetically (two's-complement little-endian
+    16-bit reconstruction in SQL) — any bit drift anywhere in the
+    WAV encode/decode round trip moves a count. EXACT INTEGERS ONLY
+    — no float enters the gate. Scale shape: one Arrow mapInPandas
+    next to the data emitting 8 rows per audio doc; no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 1
+    )
+    media = with_media(d)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, wins, sums, zcs = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                _n, _rate, samples = wav_decode(p)
+                for w in range(8):
+                    seg = samples[50 * w : 50 * w + 50]
+                    ids.append(doc_id)
+                    wins.append(w)
+                    sums.append(sum(abs(s) for s in seg))
+                    zcs.append(
+                        sum(
+                            1
+                            for a, b in zip(seg, seg[1:])
+                            if (a >= 0) != (b >= 0)
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win": wins,
+                    "abs_sum": sums,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id bigint, win int, abs_sum bigint, zero_crossings bigint",
+    )

@@ -8700,3 +8700,70 @@ def agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dev / 100).alias("max_dev_dollars"),
         (dev / sd).alias("g_stat"),
     )
+
+
+@query(
+    "agg_negbin_mom",
+    oracle="""
+WITH k AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM k
+), st AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mu,
+         (CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s) / (n - 1) AS var
+  FROM m
+)
+SELECT n AS n_customers,
+       mu AS mean_orders,
+       var AS var_orders,
+       var / mu AS dispersion,
+       (mu * mu) / (var - mu) AS r_size,
+       ((mu * mu) / (var - mu))
+         / ((mu * mu) / (var - mu) + mu) AS p_success
+FROM st
+""",
+)
+def agg_negbin_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments negative-binomial fit of the orders-per-
+    customer count distribution (NB2: var = mu + mu^2/r, so
+    r = mu^2/(var - mu), p = r/(r + mu)) — the standard
+    overdispersed count model behind purchase-frequency / BG-NBD
+    style CLV work, completing the MoM family (agg_gamma_mom fits
+    the value BODY, agg_gumbel_daily_max the extremes,
+    agg_hill_tail the tail; this fits the COUNTS). The dispersion
+    index var/mu is reported so an equidispersed fixture (r -> inf)
+    reads honestly; customers with zero orders are out of frame
+    (truncated-sample caveat in the name of determinism).
+
+    Exactness: per-customer counts, their sum and their square sum
+    are exact bigints (counts are tiny — no HUGEINT needed); mean,
+    variance and the two NB parameters are fixed double expressions
+    over those identical integers. Scale shape: one hash aggregate
+    to O(customers) rows, a second to one row."""
+    k = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    m = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss").cast("double") - mu * F.col("s")) / (F.col("n") - 1)
+    r_size = (mu * mu) / (var - mu)
+    return m.select(
+        F.col("n").alias("n_customers"),
+        mu.alias("mean_orders"),
+        var.alias("var_orders"),
+        (var / mu).alias("dispersion"),
+        r_size.alias("r_size"),
+        (r_size / (r_size + mu)).alias("p_success"),
+    )

@@ -4854,3 +4854,235 @@ def ts_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_above_ucl",
         "n_below_lcl",
     )
+
+
+KALMAN_Q = 1e8   # process-noise variance (dollars^2)
+KALMAN_R = 1e10  # observation-noise variance (dollars^2)
+
+
+@query(
+    "ts_kalman_level",
+    oracle=f"""
+WITH RECURSIVE daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), s AS (
+  SELECT CAST(day AS TIMESTAMP) AS day,
+         CAST(c AS DOUBLE) / 100 AS z,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM daily
+), r AS (
+  SELECT day, rn, z, z AS x, CAST({KALMAN_R!r} AS DOUBLE) AS p,
+         CAST(0.0 AS DOUBLE) AS k
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.day, s.rn, s.z,
+         r.x + ((r.p + {KALMAN_Q!r}) / ((r.p + {KALMAN_Q!r}) + {KALMAN_R!r}))
+               * (s.z - r.x) AS x,
+         (1.0 - ((r.p + {KALMAN_Q!r}) / ((r.p + {KALMAN_Q!r}) + {KALMAN_R!r})))
+           * (r.p + {KALMAN_Q!r}) AS p,
+         ((r.p + {KALMAN_Q!r}) / ((r.p + {KALMAN_Q!r}) + {KALMAN_R!r})) AS k
+  FROM r JOIN s ON s.rn = r.rn + 1
+)
+SELECT day, z AS observed, x AS level, p AS p_var, k AS gain
+FROM r
+""",
+)
+def ts_kalman_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-level (random-walk-plus-noise) Kalman filter over daily
+    revenue: the optimal recursive smoother whose gain ADAPTS from
+    the posterior variance — the principled cousin of the
+    fixed-alpha smoothers (ts_ewma converges to the steady-state
+    gain; this key exposes the transient and the variance track).
+    Seeds x_1 = z_1, P_1 = R (gain reported 0 for the seed row);
+    per step: P+Q -> K = (P+Q)/(P+Q+R) -> x += K(z-x) ->
+    P = (1-K)(P+Q), with public fixed Q/R literals.
+
+    Execution contract identical to ts_macd: one hash aggregate to
+    the O(days) rollup, one Arrow strict fold with two floats of
+    state, calendar-bounded. Both engines evaluate literally the
+    same IEEE expression tree per step (the gain subexpression is
+    recomputed identically where reused), so the recursive-CTE
+    replay is bit-exact."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    q, rv = KALMAN_Q, KALMAN_R
+
+    def fold(pdf):
+        pdf = pdf.sort_values("day")
+        x = p = None
+        out = []
+        for c in pdf["c"].to_numpy():
+            z = c / 100.0
+            if x is None:
+                x, p, k = z, rv, 0.0
+            else:
+                pp = p + q
+                k = pp / (pp + rv)
+                x = x + k * (z - x)
+                p = (1.0 - k) * pp
+            out.append((z, x, p, k))
+        import pandas as pd
+
+        cols = pd.DataFrame(
+            out,
+            columns=["observed", "level", "p_var", "gain"],
+            index=pdf.index,
+        )
+        return pdf[["day"]].join(cols)
+
+    # bounded: single-key fold over the O(days) daily rollup
+    return daily.groupBy(F.lit(1).alias("_k")).applyInPandas(
+        lambda _, pdf: fold(pdf),
+        "day timestamp, observed double, level double, p_var double, "
+        "gain double",
+    )
+
+
+SAMPEN_M = 2        # template length
+SAMPEN_R_FRAC = 0.2  # tolerance as a fraction of the series std
+
+
+@query(
+    "ts_sample_entropy",
+    bounded_cross=(
+        "O(days^2) template-pair grid over the ~2.4k-day daily "
+        "rollup (~2.9M pairs), data-size-independent"
+    ),
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
+  FROM daily
+), th AS (
+  SELECT n,
+         CAST(FLOOR(0.2 * sqrt((ss - (CAST(s AS DOUBLE) / n) * s) / (n - 1))
+                    + 0.5) AS BIGINT) AS thr
+  FROM m
+), t AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, c AS a0,
+         LEAD(c, 1) OVER (ORDER BY day) AS a1,
+         LEAD(c, 2) OVER (ORDER BY day) AS a2
+  FROM daily QUALIFY a2 IS NOT NULL
+), cnt AS (
+  SELECT
+    CAST(SUM(CASE WHEN GREATEST(ABS(a.a0 - b.a0), ABS(a.a1 - b.a1))
+                       <= (SELECT thr FROM th) THEN 1 ELSE 0 END) AS BIGINT)
+      AS b_count,
+    CAST(SUM(CASE WHEN GREATEST(ABS(a.a0 - b.a0), ABS(a.a1 - b.a1),
+                                ABS(a.a2 - b.a2))
+                       <= (SELECT thr FROM th) THEN 1 ELSE 0 END) AS BIGINT)
+      AS a_count
+  FROM t a JOIN t b ON a.i < b.i
+)
+SELECT (SELECT n FROM th) AS n_days,
+       (SELECT thr FROM th) AS thr_cents,
+       b_count, a_count,
+       CAST(a_count AS DOUBLE) / b_count AS ratio,
+       CASE WHEN a_count > 0 AND b_count > 0
+            THEN -CAST(FLOOR(LN(CAST(a_count AS DOUBLE) / b_count) * 1000000
+                             + 0.5) AS BIGINT) / 1e6
+            ELSE NULL END AS sampen
+FROM cnt
+""",
+)
+def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample entropy (Richman–Moorman, m=2, r=0.2*sd, Chebyshev) of
+    the daily-revenue series: -ln(A/B) where B counts template pairs
+    of length m within tolerance and A the same at m+1 — the
+    regularity measure physiology/anomaly pipelines run on any KPI
+    stream; low SampEn = self-similar/regular, high = irregular.
+    Complements ts_permutation_patterns (ordinal shape) and
+    ts_hurst_rs (long-range memory) with template-matching
+    regularity.
+
+    Exactness: templates and Chebyshev distances are exact integer
+    cents; the tolerance is quantized ONCE via FLOOR(0.2*sd + 0.5)
+    from exact moments (both engines see identical doubles under
+    sqrt); A and B are exact integer pair counts; the final ln is
+    quantized at 1e-6 (the corpus_heaps_law discipline) so the
+    statistic carries no raw-libm bit in the hash gate. Scale shape:
+    one hash aggregate to the O(days) rollup, one bounded window
+    pass, then a DECLARED calendar-bounded days^2 pair grid
+    (~2.9M integer comparisons — the ts_matrix_profile budget),
+    one 1-row aggregate."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    mrow = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    ).collect()[0]
+    n, s, ss = int(mrow["n"]), int(mrow["s"]), float(mrow["ss"])
+    import math as _m
+
+    sd = _m.sqrt((ss - (float(s) / n) * s) / (n - 1))
+    thr = int(_m.floor(SAMPEN_R_FRAC * sd + 0.5))
+
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    t = (
+        daily.select(
+            F.row_number().over(w).alias("i"),
+            F.col("c").alias("a0"),
+            F.lead("c", 1).over(w).alias("a1"),
+            F.lead("c", 2).over(w).alias("a2"),
+        )
+        .filter(F.col("a2").isNotNull())
+    )
+    a = t.select(
+        F.col("i").alias("ia"), F.col("a0").alias("x0"),
+        F.col("a1").alias("x1"), F.col("a2").alias("x2"),
+    )
+    b = t.select(
+        F.col("i").alias("ib"), F.col("a0").alias("y0"),
+        F.col("a1").alias("y1"), F.col("a2").alias("y2"),
+    )
+    # bounded: days^2 template-pair grid (declared)
+    pairs = a.join(F.broadcast(b), F.col("ia") < F.col("ib"))
+    d2 = F.greatest(
+        F.abs(F.col("x0") - F.col("y0")), F.abs(F.col("x1") - F.col("y1"))
+    )
+    d3 = F.greatest(
+        F.abs(F.col("x0") - F.col("y0")),
+        F.abs(F.col("x1") - F.col("y1")),
+        F.abs(F.col("x2") - F.col("y2")),
+    )
+    cnt = pairs.agg(
+        F.sum(F.when(d2 <= F.lit(thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b_count"),
+        F.sum(F.when(d3 <= F.lit(thr), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a_count"),
+    )
+    ratio = F.col("a_count").cast("double") / F.col("b_count")
+    return cnt.select(
+        F.lit(n).cast("bigint").alias("n_days"),
+        F.lit(thr).cast("bigint").alias("thr_cents"),
+        "b_count",
+        "a_count",
+        ratio.alias("ratio"),
+        F.when(
+            (F.col("a_count") > 0) & (F.col("b_count") > 0),
+            -F.floor(
+                F.log(F.col("a_count").cast("double") / F.col("b_count"))
+                * F.lit(1000000)
+                + F.lit(0.5)
+            ).cast("bigint")
+            / F.lit(1e6),
+        ).alias("sampen"),
+    )

@@ -803,3 +803,83 @@ def test_grubbs_statistic(spark, sf_dir):
     # G is bounded by (n-1)/sqrt(n) for any sample
     assert 0 < r["g_stat"] <= (n - 1) / math.sqrt(n)
     assert abs(r["g_stat"] - r["max_dev_dollars"] / r["sd_dollars"]) < 1e-9
+
+
+# --- continuation-session wave 56: Kalman / SampEn / NB-MoM / audio census -
+
+
+def test_kalman_level_convergence(spark, sf_dir):
+    rows = QUERIES["ts_kalman_level"](spark, sf_dir).orderBy("day").collect()
+    assert rows[0]["gain"] == 0.0 and rows[0]["level"] == rows[0]["observed"]
+    # posterior variance decreases from the diffuse seed and stabilizes
+    assert rows[0]["p_var"] > rows[-1]["p_var"]
+    gains = [r["gain"] for r in rows[1:]]
+    # steady-state prior variance S solves S^2 - QS - QR = 0;
+    # the converged gain is K* = S/(S+R)
+    import math
+
+    from diversity_maximization_spark.operators.timeseries import (
+        KALMAN_Q,
+        KALMAN_R,
+    )
+
+    s_ss = (KALMAN_Q + math.sqrt(KALMAN_Q**2 + 4 * KALMAN_Q * KALMAN_R)) / 2
+    kss = s_ss / (s_ss + KALMAN_R)
+    assert abs(gains[-1] - kss) < 1e-6
+    # level stays inside the observed envelope
+    zs = [r["observed"] for r in rows]
+    assert min(zs) <= rows[-1]["level"] <= max(zs)
+
+
+def test_sample_entropy_counts(spark, sf_dir):
+    r = QUERIES["ts_sample_entropy"](spark, sf_dir).collect()[0]
+    # A-templates are a subset of B-matches (extra coordinate only cuts)
+    assert 0 < r["a_count"] <= r["b_count"]
+    assert 0 < r["ratio"] <= 1
+    import math
+
+    assert abs(r["sampen"] - (-round(math.log(r["ratio"]) * 1e6) / 1e6)) < 2e-6
+    assert r["thr_cents"] > 0
+
+
+def test_negbin_mom_identities(spark, sf_dir):
+    r = QUERIES["agg_negbin_mom"](spark, sf_dir).collect()[0]
+    assert abs(r["dispersion"] - r["var_orders"] / r["mean_orders"]) < 1e-12
+    # NB2 identity: var reproduced from (r, mu)
+    mu, rs = r["mean_orders"], r["r_size"]
+    assert abs((mu + mu * mu / rs) - r["var_orders"]) < 1e-6 * r["var_orders"]
+    assert 0 < r["p_success"] < 1 or rs < 0  # equidispersed fixture guard
+
+
+def test_audio_energy_census_matches_decode(spark, sf_dir):
+    rows = QUERIES["multimodal_audio_energy_census"](spark, sf_dir).collect()
+    from diversity_maximization_spark.llm.multimodal import (
+        WAV_SAMPLES,
+        _synth_payload,
+        wav_decode,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 1)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == 8 * len(docs)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["win"]] = r
+    # spot-check three docs against a direct local decode
+    for doc_id in sorted(docs)[:3]:
+        _n, _rate, samples = wav_decode(
+            _synth_payload(doc_id, docs[doc_id], "audio/wav")
+        )
+        assert _n == WAV_SAMPLES
+        for w in range(8):
+            seg = samples[50 * w : 50 * w + 50]
+            got = by_doc[doc_id][w]
+            assert got["abs_sum"] == sum(abs(s) for s in seg)
+            assert got["zero_crossings"] == sum(
+                1 for a, b in zip(seg, seg[1:]) if (a >= 0) != (b >= 0)
+            )
