@@ -8767,3 +8767,385 @@ def agg_negbin_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_size.alias("r_size"),
         (r_size / (r_size + mu)).alias("p_success"),
     )
+
+
+@query(
+    "agg_log_loss",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderpriority AS seg,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), train AS (
+  SELECT seg, CAST(SUM(y) AS DOUBLE) / COUNT(*) AS p
+  FROM base WHERE o_orderkey % 2 = 0 GROUP BY seg
+), test AS (
+  SELECT b.seg, t.p,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b.y) AS BIGINT) AS ny
+  FROM base b JOIN train t USING (seg)
+  WHERE b.o_orderkey % 2 = 1
+  GROUP BY b.seg, t.p
+), q AS (
+  SELECT seg, n, ny,
+         CAST(FLOOR(LN(p) * 1000000 + 0.5) AS BIGINT) AS l1,
+         CAST(FLOOR(LN(1 - p) * 1000000 + 0.5) AS BIGINT) AS l0,
+         CAST(FLOOR(LN(CAST(ny AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+           AS r1,
+         CAST(FLOOR(LN(1 - CAST(ny AS DOUBLE) / n) * 1000000 + 0.5)
+              AS BIGINT) AS r0
+  FROM test
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_test,
+         CAST(SUM(-(ny * l1 + (n - ny) * l0)) AS BIGINT) AS ll_micro,
+         CAST(SUM(-(ny * r1 + (n - ny) * r0)) AS BIGINT) AS ref_micro
+  FROM q
+)
+SELECT n_test,
+       CAST(ll_micro AS DOUBLE) / 1000000 / n_test AS log_loss,
+       CAST(ref_micro AS DOUBLE) / 1000000 / n_test AS log_loss_refitted,
+       CAST(1 AS DOUBLE)
+         - (CAST(ll_micro AS DOUBLE) / 1000000 / n_test)
+           / (CAST(ref_micro AS DOUBLE) / 1000000 / n_test)
+         AS skill_vs_refit
+FROM tot
+""",
+)
+def agg_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-entropy (log loss) of the agg_brier_score segment
+    forecast: train-half fulfilment rates score the test half under
+    -mean[y ln p + (1-y) ln(1-p)] — the OTHER canonical proper
+    scoring rule (Brier is quadratic and bounded; log loss punishes
+    confident misses unboundedly), with the same refitted-rate
+    reference and skill score so the two keys read side by side.
+
+    Exactness: within a segment every row shares p, so the loss
+    collapses to -(ny*ln(p) + (n-ny)*ln(1-p)); each ln is quantized
+    ONCE at 1e-6 (the corpus_heaps_law discipline — both engines see
+    the identical double p), making every per-segment term an exact
+    bigint micro-nat product and the total an order-free integer
+    sum — NO float fold anywhere, unlike brier's ordered fold.
+    Scale shape: two hash aggregates to 5 rows, one broadcast join,
+    a 1-row sum."""
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    train = (
+        base.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy("seg")
+        .agg((F.sum("y").cast("double") / F.count(F.lit(1))).alias("p"))
+    )
+    test = (
+        base.filter(F.col("o_orderkey") % 2 == 1)
+        .join(F.broadcast(train), "seg")
+        .groupBy("seg", "p")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("ny"),
+        )
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col) * F.lit(1000000) + F.lit(0.5)).cast(
+            "bigint"
+        )
+
+    rate = F.col("ny").cast("double") / F.col("n")
+    terms = test.select(
+        "n",
+        "ny",
+        lnq(F.col("p")).alias("l1"),
+        lnq(F.lit(1) - F.col("p")).alias("l0"),
+        lnq(rate).alias("r1"),
+        lnq(F.lit(1) - rate).alias("r0"),
+    )
+    tot = terms.agg(
+        F.sum("n").cast("bigint").alias("n_test"),
+        F.sum(
+            -(F.col("ny") * F.col("l1") + (F.col("n") - F.col("ny")) * F.col("l0"))
+        )
+        .cast("bigint")
+        .alias("ll_micro"),
+        F.sum(
+            -(F.col("ny") * F.col("r1") + (F.col("n") - F.col("ny")) * F.col("r0"))
+        )
+        .cast("bigint")
+        .alias("ref_micro"),
+    )
+    ll = F.col("ll_micro").cast("double") / F.lit(1000000) / F.col("n_test")
+    ref = F.col("ref_micro").cast("double") / F.lit(1000000) / F.col("n_test")
+    return tot.select(
+        "n_test",
+        ll.alias("log_loss"),
+        ref.alias("log_loss_refitted"),
+        (F.lit(1).cast("double") - ll / ref).alias("skill_vs_refit"),
+    )
+
+
+@query(
+    "agg_fleiss_kappa",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr,
+         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+           AS ca,
+         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT)
+           AS cn
+  FROM lineitem GROUP BY 1
+), four AS (
+  SELECT * FROM per WHERE nl = 4
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cr * cr + ca * ca + cn * cn) AS BIGINT) AS s,
+         CAST(SUM(cr) AS BIGINT) AS tr,
+         CAST(SUM(ca) AS BIGINT) AS ta,
+         CAST(SUM(cn) AS BIGINT) AS tn
+  FROM four
+), st AS (
+  SELECT n,
+         CAST(s - 4 * n AS DOUBLE) / CAST(12 * n AS DOUBLE) AS p_bar,
+         CAST(tr * tr + ta * ta + tn * tn AS DOUBLE)
+           / CAST(16 * n * n AS DOUBLE) AS p_e
+  FROM m
+)
+SELECT n AS n_items,
+       p_bar, p_e,
+       (p_bar - p_e) / (1 - p_e) AS kappa
+FROM st
+""",
+)
+def agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement for a FIXED panel
+    of m raters per item, generalizing agg_cohens_kappa's two-rater
+    form: items are orders with exactly 4 lineitems, the 4 lines are
+    the 'raters', and the 3 return-flag states are the categories
+    (do an order's lines agree on its return outcome beyond chance?).
+    P_i = (sum_j n_ij^2 - m) / (m(m-1)), kappa =
+    (P_bar - P_e)/(1 - P_e) with P_e from pooled category shares.
+
+    Exactness: every quantity is an exact bigint (per-item category
+    counts, their squares <= 16, pooled totals and THEIR squares —
+    ~6e13 at a 100x corpus, inside int64); P_bar, P_e and kappa are
+    fixed double expressions over those integers. Scale shape: one
+    hash aggregate over lineitem to O(orders) rows, a second to one
+    row."""
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nl"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cr"),
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("bigint")
+            .alias("ca"),
+            F.sum(F.when(F.col("l_returnflag") == "N", 1).otherwise(0))
+            .cast("bigint")
+            .alias("cn"),
+        )
+        .filter(F.col("nl") == 4)
+    )
+    m = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.col("cr") * F.col("cr")
+            + F.col("ca") * F.col("ca")
+            + F.col("cn") * F.col("cn")
+        )
+        .cast("bigint")
+        .alias("s"),
+        F.sum("cr").cast("bigint").alias("tr"),
+        F.sum("ca").cast("bigint").alias("ta"),
+        F.sum("cn").cast("bigint").alias("tn"),
+    )
+    p_bar = (F.col("s") - 4 * F.col("n")).cast("double") / (
+        12 * F.col("n")
+    ).cast("double")
+    p_e = (
+        F.col("tr") * F.col("tr")
+        + F.col("ta") * F.col("ta")
+        + F.col("tn") * F.col("tn")
+    ).cast("double") / (16 * F.col("n") * F.col("n")).cast("double")
+    return m.select(
+        F.col("n").alias("n_items"),
+        p_bar.alias("p_bar"),
+        p_e.alias("p_e"),
+        ((p_bar - p_e) / (F.lit(1) - p_e)).alias("kappa"),
+    )
+
+
+@query(
+    "agg_cochrans_q",
+    oracle="""
+WITH flags AS (
+  SELECT l_orderkey,
+         CAST(MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+           AS t1,
+         CAST(MAX(CASE WHEN CAST(round(l_discount * 100) AS BIGINT) >= 6
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t2,
+         CAST(MAX(CASE WHEN CAST(round(l_quantity) AS BIGINT) >= 40
+                       THEN 1 ELSE 0 END) AS BIGINT) AS t3
+  FROM lineitem GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t1) AS BIGINT) AS c1,
+         CAST(SUM(t2) AS BIGINT) AS c2,
+         CAST(SUM(t3) AS BIGINT) AS c3,
+         CAST(SUM((t1 + t2 + t3) * (t1 + t2 + t3)) AS BIGINT) AS sr2
+  FROM flags
+)
+SELECT n AS n_orders, c1 AS c_returns, c2 AS c_discounted, c3 AS c_bulk,
+       CAST(2 * (3 * (c1 * c1 + c2 * c2 + c3 * c3)
+                 - (c1 + c2 + c3) * (c1 + c2 + c3)) AS DOUBLE)
+         / CAST(3 * (c1 + c2 + c3) - sr2 AS DOUBLE) AS q_stat,
+       CAST(2 AS BIGINT) AS df
+FROM m
+""",
+)
+def agg_cochrans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q test for k=3 correlated binary outcomes per order
+    (any returned line / any deep-discount line / any bulk-quantity
+    line): do the three 'defect' rates differ across outcomes
+    measured on the SAME orders? — the k-treatment generalization of
+    agg_mcnemar_test (k=2) and the binary analogue of
+    agg_friedman_test. Q = (k-1)[k*sum C_j^2 - T^2]/(kT - sum R_i^2)
+    ~ chi2(k-1) under exchangeability.
+
+    Exactness: flags, column totals, T and the row-sum squares are
+    all exact bigints (C^2 ~ 2e15 at a 100x corpus — inside int64);
+    Q is ONE double division of two exact integers. Scale shape: one
+    hash aggregate over lineitem to O(orders) rows, a second to one
+    row."""
+    flags = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("t1"),
+            F.max(
+                F.when(F.expr(cents("l_discount")) >= 6, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("t2"),
+            F.max(
+                F.when(
+                    F.expr("CAST(round(l_quantity) AS BIGINT)") >= 40, 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("t3"),
+        )
+    )
+    r = F.col("t1") + F.col("t2") + F.col("t3")
+    m = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t1").cast("bigint").alias("c1"),
+        F.sum("t2").cast("bigint").alias("c2"),
+        F.sum("t3").cast("bigint").alias("c3"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    t = F.col("c1") + F.col("c2") + F.col("c3")
+    num = 2 * (
+        3
+        * (
+            F.col("c1") * F.col("c1")
+            + F.col("c2") * F.col("c2")
+            + F.col("c3") * F.col("c3")
+        )
+        - t * t
+    )
+    den = 3 * t - F.col("sr2")
+    return m.select(
+        F.col("n").alias("n_orders"),
+        F.col("c1").alias("c_returns"),
+        F.col("c2").alias("c_discounted"),
+        F.col("c3").alias("c_bulk"),
+        (num.cast("double") / den.cast("double")).alias("q_stat"),
+        F.lit(2).cast("bigint").alias("df"),
+    )
+
+
+@query(
+    "agg_lognormal_mom",
+    oracle="""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders
+), lq AS (
+  SELECT n,
+         CAST(FLOOR(LN(CAST(s AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+           AS l1,
+         CAST(FLOOR(LN(ss / n) * 1000000 + 0.5) AS BIGINT) AS l2
+  FROM m
+)
+SELECT n AS n_orders,
+       CAST(4 * l1 - l2 AS DOUBLE) / 2000000 AS mu_log_cents,
+       sqrt(CAST(l2 - 2 * l1 AS DOUBLE) / 1000000) AS sigma_log,
+       CAST(FLOOR(EXP(CAST(4 * l1 - l2 AS DOUBLE) / 2000000) + 0.5)
+            AS BIGINT) / 100.0 AS median_dollars
+FROM lq
+""",
+)
+def agg_lognormal_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-of-moments lognormal fit of the order-value
+    distribution via the raw moments (E[X] = exp(mu + s^2/2),
+    E[X^2] = exp(2mu + 2s^2) => mu = 2 ln m1 - ln m2 / 2,
+    s^2 = ln m2 - 2 ln m1) — the multiplicative-process model that
+    competes with agg_gamma_mom on skewed money data; the implied
+    median exp(mu) is the robust center the mean overstates.
+
+    Exactness: m1 and m2 come from exact integer cents (squares
+    through HUGEINT/decimal(38)); each ln is quantized ONCE at 1e-6,
+    so mu and s^2 are exact INTEGER combinations (4*l1 - l2 over
+    2e6; l2 - 2*l1 over 1e6) — the estimator arithmetic carries no
+    raw libm bit. The median re-exponentiates the identical double
+    and half-up rounds to integer cents (boundary risk ~1 ulp at
+    1e-2 absolute — the standard quantization caveat). One hash
+    aggregate, one row."""
+    m = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    lq = m.select(
+        "n",
+        F.floor(
+            F.log(F.col("s").cast("double") / F.col("n")) * F.lit(1000000)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("l1"),
+        F.floor(
+            F.log(F.col("ss") / F.col("n")) * F.lit(1000000) + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("l2"),
+    )
+    mu = (4 * F.col("l1") - F.col("l2")).cast("double") / F.lit(2000000)
+    return lq.select(
+        F.col("n").alias("n_orders"),
+        mu.alias("mu_log_cents"),
+        F.sqrt(
+            (F.col("l2") - 2 * F.col("l1")).cast("double") / F.lit(1000000)
+        ).alias("sigma_log"),
+        (
+            F.floor(F.exp(mu) + F.lit(0.5)).cast("bigint") / F.lit(100.0)
+        ).alias("median_dollars"),
+    )

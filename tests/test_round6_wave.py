@@ -883,3 +883,72 @@ def test_audio_energy_census_matches_decode(spark, sf_dir):
             assert got["zero_crossings"] == sum(
                 1 for a, b in zip(seg, seg[1:]) if (a >= 0) != (b >= 0)
             )
+
+
+# --- continuation-session wave 57: scoring / agreement / count fits --------
+
+
+def test_log_loss_vs_brier_family(spark, sf_dir):
+    r = QUERIES["agg_log_loss"](spark, sf_dir).collect()[0]
+    b = QUERIES["agg_brier_score"](spark, sf_dir).collect()[0]
+    assert r["n_test"] == b["n_test"]  # same split, same frame
+    assert r["log_loss"] > 0
+    # refit can't beat the refitted-rate optimum by construction
+    assert r["log_loss_refitted"] <= r["log_loss"] + 1e-9
+    assert r["skill_vs_refit"] <= 0 + 1e-9
+
+
+def test_fleiss_kappa_range(spark, sf_dir):
+    r = QUERIES["agg_fleiss_kappa"](spark, sf_dir).collect()[0]
+    n4 = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .count()
+        .filter(F.col("count") == 4)
+        .count()
+    )
+    assert r["n_items"] == n4
+    assert 0 <= r["p_bar"] <= 1 and 0 < r["p_e"] < 1
+    assert -1 <= r["kappa"] <= 1
+
+
+def test_cochrans_q_local_recompute(spark, sf_dir):
+    r = QUERIES["agg_cochrans_q"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("t1"),
+            F.max(
+                F.when(F.expr("CAST(round(l_discount*100) AS BIGINT)") >= 6, 1)
+                .otherwise(0)
+            ).alias("t2"),
+            F.max(
+                F.when(F.expr("CAST(round(l_quantity) AS BIGINT)") >= 40, 1)
+                .otherwise(0)
+            ).alias("t3"),
+        )
+        .collect()
+    )
+    c = [sum(x["t1"] for x in rows), sum(x["t2"] for x in rows),
+         sum(x["t3"] for x in rows)]
+    sr2 = sum((x["t1"] + x["t2"] + x["t3"]) ** 2 for x in rows)
+    t = sum(c)
+    q = 2 * (3 * sum(ci * ci for ci in c) - t * t) / (3 * t - sr2)
+    assert (r["c_returns"], r["c_discounted"], r["c_bulk"]) == tuple(c)
+    assert abs(r["q_stat"] - q) < 1e-9
+    assert r["q_stat"] >= 0
+
+
+def test_lognormal_mom_identities(spark, sf_dir):
+    r = QUERIES["agg_lognormal_mom"](spark, sf_dir).collect()[0]
+    g = QUERIES["agg_gamma_mom"](spark, sf_dir).collect()[0]
+    import math
+
+    assert r["sigma_log"] > 0
+    # implied median must undercut the mean for a right-skewed fit
+    assert r["median_dollars"] < g["mean_dollars"]
+    # mu reproduces the median
+    assert (
+        abs(math.exp(r["mu_log_cents"]) / 100 - r["median_dollars"]) < 0.01
+    )
