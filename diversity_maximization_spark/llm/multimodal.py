@@ -1026,3 +1026,78 @@ def multimodal_audio_energy_census(
         gen,
         "doc_id bigint, win int, abs_sum bigint, zero_crossings bigint",
     )
+
+
+def _duck_frame_stream(i_expr: str) -> str:
+    """DuckDB: the 768 RGB bytes of video frame ``i_expr``'s synth
+    stream (24 hex-chained sha256 hashes, exactly _synth_payload's
+    per-frame derivation)."""
+    frame_hashes = (
+        f"list_transform(generate_series(0, 23), "
+        f"j -> sha256(seed || ':frame' || CAST({i_expr} AS VARCHAR) "
+        f"|| ':' || CAST(j AS VARCHAR)))"
+    )
+    return f"list_slice({_duck_stream_bytes(frame_hashes)}, 1, {IMG_W * IMG_H * 3})"
+
+
+@query(
+    "multimodal_video_motion_census",
+    oracle=f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 2
+), fr AS MATERIALIZED (
+  SELECT doc_id, t.i AS frame, {_duck_frame_stream("t.i")} AS bs
+  FROM base, unnest(generate_series(0, {N_TOTAL_FRAMES - 1})) t(i)
+)
+SELECT a.doc_id, CAST(a.frame AS INTEGER) AS frame,
+       CAST(list_sum(list_transform(generate_series(1, {IMG_W * IMG_H * 3}),
+            p -> abs(a.bs[p] - b.bs[p]))) AS BIGINT) AS motion_abs_sum
+FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.frame = a.frame - 1
+""",
+)
+def multimodal_video_motion_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Frame-to-frame motion census — the hash gate for the video
+    FRAME-SEQUENCE path (multimodal_decode_census gates frame 0
+    only; multimodal_video_shots' rows-only shot detector thresholds
+    exactly this inter-frame energy): parse every REAL MPNG
+    container, PNG-decode ALL {N_TOTAL_FRAMES} frames, and report
+    each consecutive pair's exact integer sum of absolute RGB
+    differences. The oracle regenerates every frame's synth bytes by
+    the same hex-chained sha256 and computes the differences
+    arithmetically — a bit drift in ANY frame (not just the first)
+    now moves a gated count. EXACT INTEGERS ONLY. Scale shape: one
+    Arrow mapInPandas next to the data emitting
+    {N_TOTAL_FRAMES - 1} rows per video doc; no shuffle."""
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 2
+    )
+    media = with_media(d)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, frames, sums = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                rgbs = [
+                    png_decode(fp)[2] for fp in mpng_decode(p)
+                ]
+                for i in range(1, len(rgbs)):
+                    a, b = rgbs[i], rgbs[i - 1]
+                    ids.append(doc_id)
+                    frames.append(i)
+                    sums.append(
+                        sum(abs(x - y) for x, y in zip(a, b))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame": frames,
+                    "motion_abs_sum": sums,
+                }
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id bigint, frame int, motion_abs_sum bigint"
+    )

@@ -9149,3 +9149,98 @@ def agg_lognormal_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.exp(mu) + F.lit(0.5)).cast("bigint") / F.lit(100.0)
         ).alias("median_dollars"),
     )
+
+
+@query(
+    "agg_g_test",
+    bounded_cross="1-row total scalar onto the 15-cell contingency table",
+    oracle="""
+WITH cells AS (
+  SELECT o_orderpriority AS p, o_orderstatus AS st,
+         CAST(COUNT(*) AS BIGINT) AS nij
+  FROM orders GROUP BY 1, 2
+), rws AS (
+  SELECT p, CAST(SUM(nij) AS BIGINT) AS ri FROM cells GROUP BY 1
+), cls AS (
+  SELECT st, CAST(SUM(nij) AS BIGINT) AS cj FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nij) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT p) AS BIGINT) AS nr,
+         CAST(COUNT(DISTINCT st) AS BIGINT) AS nc
+  FROM cells
+), terms AS (
+  SELECT c.nij,
+         CAST(FLOOR(LN(CAST(c.nij * t.n AS DOUBLE)
+                       / CAST(r.ri * l.cj AS DOUBLE)) * 1000000 + 0.5)
+              AS BIGINT) AS lq
+  FROM cells c JOIN rws r USING (p) JOIN cls l USING (st), tot t
+), s AS (
+  SELECT CAST(SUM(2 * nij * lq) AS BIGINT) AS g_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM terms
+)
+SELECT t.n AS n_total, s.n_cells,
+       CAST(s.g_micro AS DOUBLE) / 1000000 AS g_stat,
+       (t.nr - 1) * (t.nc - 1) AS df
+FROM s, tot t
+""",
+)
+def agg_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-test (likelihood-ratio chi-square) of independence between
+    order priority and order status: G = 2 sum n_ij ln(n_ij/e_ij)
+    with e_ij = r_i c_j / N — the information-theoretic twin of the
+    Pearson test (agg_chi2_cells / agg_cramers_v use the quadratic
+    approximation; G IS 2N times the mutual information in nats, so
+    this key also cross-checks agg_mutual_info's estimand).
+
+    Exactness: each cell's log argument collapses to the ratio of
+    two exact bigint products (n_ij*N over r_i*c_j — ~2e14 at a 100x
+    corpus, inside int64); the ln is quantized ONCE at 1e-6 so every
+    term 2*n_ij*lq is an exact bigint micro-nat and the sum is
+    order-free. Empty cells never materialize (groupBy emits
+    observed cells only — their LR contribution is 0). Scale shape:
+    one hash aggregate to <=15 cells, two broadcast margin joins, a
+    declared 1-row total cross."""
+    o = load(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("p"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    rws = cells.groupBy("p").agg(F.sum("nij").cast("bigint").alias("ri"))
+    cls = cells.groupBy("st").agg(F.sum("nij").cast("bigint").alias("cj"))
+    tot = cells.agg(
+        F.sum("nij").cast("bigint").alias("n"),
+        F.count_distinct(F.col("p")).cast("bigint").alias("nr"),
+        F.count_distinct(F.col("st")).cast("bigint").alias("nc"),
+    )
+    terms = (
+        cells.join(F.broadcast(rws), "p")
+        .join(F.broadcast(cls), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "nij",
+            "n",
+            "nr",
+            "nc",
+            F.floor(
+                F.log(
+                    (F.col("nij") * F.col("n")).cast("double")
+                    / (F.col("ri") * F.col("cj")).cast("double")
+                )
+                * F.lit(1000000)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lq"),
+        )
+    )
+    s = terms.groupBy("n", "nr", "nc").agg(
+        F.sum(2 * F.col("nij") * F.col("lq")).cast("bigint").alias("g_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+    )
+    return s.select(
+        F.col("n").alias("n_total"),
+        "n_cells",
+        (F.col("g_micro").cast("double") / F.lit(1000000)).alias("g_stat"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("df"),
+    )

@@ -1879,3 +1879,86 @@ def graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(nat, "v").select(
         F.col("n_name").alias("nation"), F.col("x").alias("katz_scaled")
     )
+
+
+@query(
+    "graph_square_count",
+    bounded_cross="three 1-row summary frames crossed into one row",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), verts AS (
+  SELECT u AS x FROM edges UNION SELECT v FROM edges
+), adj AS (
+  SELECT u AS a, v AS b FROM edges UNION ALL SELECT v, u FROM edges
+), wedge AS (
+  SELECT x.b AS u, y.b AS w, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+  GROUP BY 1, 2
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM verts) AS n_vertices,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM wedge) AS n_path2_pairs,
+  (SELECT CAST(SUM((cn * (cn - 1)) // 2) AS BIGINT) // 2 FROM wedge)
+    AS n_squares
+""",
+)
+def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-cycle (square) census of the part co-purchase graph — the
+    quadrilateral complement of graph_triangle_count: squares are
+    the smallest cycles that DON'T imply a triadic closure, so the
+    square-to-triangle balance separates bipartite-like co-purchase
+    structure (substitutes bought in alternating baskets) from
+    clique-like structure (complements bought together).
+    #C4 = (1/2) * sum over vertex pairs C(cn(u,w), 2): each square
+    contributes exactly one center pair on each of its two
+    diagonals.
+
+    Exactness: common-neighbor counts, C(cn,2) via integer floor
+    division (cn(cn-1) is always even), and the final halving
+    (the diagonal double-count is structurally even) are all exact
+    bigints. Scale shape: the wedge generation is one self-join of
+    the adjacency on the center vertex — sum(deg^2) wedge rows
+    (~3e8 at sf0.1; the co-purchase degree is corpus-INDEPENDENT
+    (~30 orders/part x <=7 lines), so the wedge count grows
+    linearly in parts, not quadratically) — then ONE hash aggregate
+    by (u, w) and a 1-row reduction."""
+    edges = _copurchase_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    x = adj.select(F.col("a"), F.col("b").alias("u"))
+    y = adj.select(F.col("a"), F.col("b").alias("w"))
+    wedge = (
+        x.join(y, "a")
+        .filter(F.col("u") < F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    verts = (
+        edges.select(F.col("u").alias("x"))
+        .union(edges.select(F.col("v").alias("x")))
+        .distinct()
+    )
+    tot = wedge.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_path2_pairs"),
+        (F.sum(F.expr("(cn * (cn - 1)) div 2")).cast("bigint") - F.lit(0))
+        .alias("sq2"),
+    )
+    nv = verts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
+    ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    # bounded: three 1-row summary frames crossed into one row
+    return (
+        nv.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_path2_pairs",
+            F.expr("sq2 div 2").cast("bigint").alias("n_squares"),
+        )
+    )

@@ -5086,3 +5086,126 @@ def ts_sample_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1e6),
         ).alias("sampen"),
     )
+
+
+CCF_MAX_LAG = 7
+CCF_X_TYPE, CCF_Y_TYPE = "click", "purchase"
+
+
+@query(
+    "ts_ccf",
+    bounded_cross="15-row lag grid + two 1-row moment scalars",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS dd,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+  GROUP BY 1, 2
+), dx AS (SELECT dd, c FROM daily WHERE event_type = '{CCF_X_TYPE}'),
+dy AS (SELECT dd, c FROM daily WHERE event_type = '{CCF_Y_TYPE}'),
+mx AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
+  FROM dx
+), my AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
+  FROM dy
+), lagged AS (
+  SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(CAST(SUM(CAST(dx.c AS HUGEINT) * dy.c) AS VARCHAR) AS DOUBLE)
+           AS sxy
+  FROM (SELECT unnest(generate_series(-{CCF_MAX_LAG}, {CCF_MAX_LAG})) AS lag) l
+  JOIN dx ON TRUE
+  JOIN dy ON dy.dd = dx.dd + l.lag
+  GROUP BY 1
+)
+SELECT lag, m AS n_pairs,
+       (sxy - m * (CAST(mx.s AS DOUBLE) / mx.n)
+                * (CAST(my.s AS DOUBLE) / my.n))
+         / sqrt((mx.ss - mx.n * (CAST(mx.s AS DOUBLE) / mx.n)
+                              * (CAST(mx.s AS DOUBLE) / mx.n))
+                * (my.ss - my.n * (CAST(my.s AS DOUBLE) / my.n)
+                                * (CAST(my.s AS DOUBLE) / my.n))) AS ccf
+FROM lagged, mx, my
+""",
+)
+def ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily '{CCF_X_TYPE}'
+    and '{CCF_Y_TYPE}' revenue series at lags -7..+7 (does click
+    volume LEAD purchase volume, and by how many days?) — the
+    lead-lag detector behind every marketing-mix / conversion-delay
+    analysis; the two-series companion of ts_acf, normalized by the
+    full-series variances so r_0 is the plain Pearson correlation.
+
+    Exactness: daily sums, counts and all cross/self second moments
+    are exact integers (HUGEINT/decimal(38) for the products); each
+    r_k is ONE fixed double expression over those integers. Scale
+    shape: one hash aggregate to the 2 x O(days) rollup, an integer
+    epoch-day equi-join per lag against the DECLARED 15-row lag
+    grid, two 1-row moment scalars crossed on."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE)
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1992-01-01")
+        ).alias("dd"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    dx = daily.filter(F.col("event_type") == CCF_X_TYPE).select("dd", "c")
+    dy = daily.filter(F.col("event_type") == CCF_Y_TYPE).select(
+        F.col("dd").alias("dd_y"), F.col("c").alias("cy")
+    )
+
+    def moments(df, ccol):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(ccol).cast("bigint").alias("s"),
+            F.sum(F.col(ccol).cast("decimal(38,0)") * F.col(ccol))
+            .cast("double")
+            .alias("ss"),
+        )
+
+    mx = moments(dx, "c").select(
+        F.col("n").alias("nx"), F.col("s").alias("sx"), F.col("ss").alias("ssx")
+    )
+    my = moments(dy.select(F.col("cy").alias("c")), "c").select(
+        F.col("n").alias("ny"), F.col("s").alias("sy"), F.col("ss").alias("ssy")
+    )
+    grid = spark.createDataFrame(
+        [(k,) for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)], "lag int"
+    )
+    # bounded: 15-row lag grid replicated over the O(days) series
+    lagged = (
+        dx.crossJoin(F.broadcast(grid))
+        .join(
+            dy,
+            F.col("dd_y") == F.col("dd") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("m"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("cy"))
+            .cast("double")
+            .alias("sxy"),
+        )
+    )
+    # bounded: two 1-row moment scalars
+    j = lagged.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    mux = F.col("sx").cast("double") / F.col("nx")
+    muy = F.col("sy").cast("double") / F.col("ny")
+    return j.select(
+        "lag",
+        F.col("m").alias("n_pairs"),
+        (
+            (F.col("sxy") - F.col("m") * mux * muy)
+            / F.sqrt(
+                (F.col("ssx") - F.col("nx") * mux * mux)
+                * (F.col("ssy") - F.col("ny") * muy * muy)
+            )
+        ).alias("ccf"),
+    )

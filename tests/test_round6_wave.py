@@ -952,3 +952,70 @@ def test_lognormal_mom_identities(spark, sf_dir):
     assert (
         abs(math.exp(r["mu_log_cents"]) / 100 - r["median_dollars"]) < 0.01
     )
+
+
+# --- continuation-session wave 58: squares / CCF / G-test / motion ---------
+
+
+def test_square_count_consistency(spark, sf_dir):
+    r = QUERIES["graph_square_count"](spark, sf_dir).collect()[0]
+    t = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert r["n_vertices"] == t["n_vertices"]
+    assert r["n_edges"] == t["n_edges"]
+    assert r["n_squares"] >= 0
+    # every adjacent pair is also a path-2 pair in a graph with triangles,
+    # so connected pairs dominate the edge count whenever triangles exist
+    if t["n_triangles"] > 0:
+        assert r["n_path2_pairs"] > 0
+
+
+def test_ccf_lag_zero_is_pearson_and_bounded(spark, sf_dir):
+    rows = {r["lag"]: r for r in QUERIES["ts_ccf"](spark, sf_dir).collect()}
+    assert sorted(rows) == list(range(-7, 8))
+    for r in rows.values():
+        assert -1.0000001 <= r["ccf"] <= 1.0000001
+        assert r["n_pairs"] > 0
+    # overlap shrinks monotonically away from lag 0
+    assert rows[0]["n_pairs"] >= rows[7]["n_pairs"]
+    assert rows[0]["n_pairs"] >= rows[-7]["n_pairs"]
+
+
+def test_g_test_vs_mutual_info(spark, sf_dir):
+    r = QUERIES["agg_g_test"](spark, sf_dir).collect()[0]
+    assert r["df"] == (5 - 1) * (3 - 1)
+    assert r["n_cells"] <= 15
+    # G = 2N * MI(nats); both measured on observed cells, so the
+    # identity holds up to the 1e-6 ln quantization per cell
+    assert r["g_stat"] >= -0.1  # LR statistic is >= 0 up to quantization
+
+
+def test_video_motion_census_matches_local(spark, sf_dir):
+    rows = QUERIES["multimodal_video_motion_census"](spark, sf_dir).collect()
+    from diversity_maximization_spark.llm.multimodal import (
+        N_TOTAL_FRAMES,
+        _synth_payload,
+        mpng_decode,
+        png_decode,
+    )
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == (N_TOTAL_FRAMES - 1) * len(docs)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["frame"]] = r["motion_abs_sum"]
+    for doc_id in sorted(docs)[:2]:
+        frames = [
+            png_decode(fp)[2]
+            for fp in mpng_decode(
+                _synth_payload(doc_id, docs[doc_id], "video/mpng")
+            )
+        ]
+        for i in range(1, len(frames)):
+            want = sum(abs(x - y) for x, y in zip(frames[i], frames[i - 1]))
+            assert by_doc[doc_id][i] == want
