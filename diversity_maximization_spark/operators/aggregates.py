@@ -9244,3 +9244,106 @@ def agg_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("g_micro").cast("double") / F.lit(1000000)).alias("g_stat"),
         ((F.col("nr") - 1) * (F.col("nc") - 1)).alias("df"),
     )
+
+
+# Portable Knuth multiplicative hash on a bigint key (the
+# sample_hash_split discipline), emitting a 0..99 pseudo-bucket.
+def _kbucket(key: str) -> str:
+    return f"((({key}) % 2147483648) * 2654435761 % 4294967296) % 100"
+
+
+@query(
+    "sample_cluster_two_stage",
+    bounded_cross="1-row PSU-count scalar onto the 1-row total frame",
+    oracle=f"""
+WITH psu AS (
+  SELECT n_nationkey FROM nation
+  WHERE {_kbucket('n_nationkey')} < 40
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m FROM psu
+), ssu AS (
+  SELECT c.c_nationkey,
+         CAST(round(c.c_acctbal * 100) AS BIGINT) AS y
+  FROM customer c JOIN psu ON psu.n_nationkey = c.c_nationkey
+  WHERE {_kbucket('c.c_custkey')} < 20
+), per AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS BIGINT) AS nk,
+         CAST(SUM(y) * 5 AS BIGINT) AS t
+  FROM ssu GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(nk) AS BIGINT) AS n_sampled,
+         CAST(SUM(t) AS BIGINT) AS ts,
+         CAST(CAST(SUM(CAST(t AS HUGEINT) * t) AS VARCHAR) AS DOUBLE) AS tss
+  FROM per
+)
+SELECT m.m AS n_psu_selected,
+       tot.n_sampled,
+       25.0 / m.m * tot.ts / 100 AS ht_total_dollars,
+       25.0 * sqrt((tss - (CAST(tot.ts AS DOUBLE) / m.m) * tot.ts)
+                   / (m.m * (m.m - 1))) / 100 AS se_total_dollars
+FROM tot, m
+""",
+)
+def sample_cluster_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage cluster sample of customer account balances:
+    stage 1 hash-selects ~40% of the 25 nation PSUs, stage 2
+    hash-selects ~20% of each selected nation's customers (both by
+    the portable Knuth bucket — reproducible on any engine, no RNG
+    state), then the classic two-stage estimator: per-PSU totals
+    expanded by 1/f2 = 5, T_hat = (25/m) * sum t_i, with the
+    between-PSU with-replacement variance V_hat =
+    25^2 * s_t^2 / m — the design every field survey and
+    distributed-audit sample runs, completing the survey family
+    (neyman plans strata, ht expands, raking calibrates,
+    design_effect audits; this one CLUSTERS).
+
+    Exactness: both selections are integer hash comparisons;
+    per-PSU expanded totals are exact cents bigints; the variance
+    numerator follows the (tss - mean*ts) exact-int pattern
+    (HUGEINT/decimal(38) for t^2). Scale shape: a broadcast
+    semi-join against the <=25-row PSU list, one hash aggregate per
+    nation, a 1-row reduction with a declared scalar cross."""
+    nat = load(spark, sf_dir, "nation").select("n_nationkey")
+    psu = nat.filter(F.expr(_kbucket("n_nationkey")) < 40)
+    cust = load(spark, sf_dir, "customer")
+    ssu = (
+        cust.join(
+            F.broadcast(psu),
+            cust["c_nationkey"] == psu["n_nationkey"],
+        )
+        .filter(F.expr(_kbucket("c_custkey")) < 20)
+        .select(
+            "c_nationkey", F.expr(cents("c_acctbal")).alias("y")
+        )
+    )
+    per = ssu.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        (F.sum("y") * 5).cast("bigint").alias("t"),
+    )
+    tot = per.agg(
+        F.sum("nk").cast("bigint").alias("n_sampled"),
+        F.sum("t").cast("bigint").alias("ts"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("t"))
+        .cast("double")
+        .alias("tss"),
+    )
+    mrow = psu.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # bounded: 1-row PSU-count scalar onto the 1-row total frame
+    j = tot.crossJoin(F.broadcast(mrow))
+    ts_d = F.col("ts").cast("double")
+    return j.select(
+        F.col("m").alias("n_psu_selected"),
+        "n_sampled",
+        (F.lit(25.0) / F.col("m") * F.col("ts") / F.lit(100)).alias(
+            "ht_total_dollars"
+        ),
+        (
+            F.lit(25.0)
+            * F.sqrt(
+                (F.col("tss") - (ts_d / F.col("m")) * F.col("ts"))
+                / (F.col("m") * (F.col("m") - 1))
+            )
+            / F.lit(100)
+        ).alias("se_total_dollars"),
+    )

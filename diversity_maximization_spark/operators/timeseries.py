@@ -5209,3 +5209,260 @@ def ts_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("ccf"),
     )
+
+
+HAAR_N = 1024      # power-of-two analysis window (first 1024 days)
+HAAR_LEVELS = 10   # log2(HAAR_N)
+
+
+@query(
+    "ts_haar_energy",
+    bounded_cross="10-row level grid replicated over the bounded window",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, c
+  FROM daily QUALIFY i < {HAAR_N}
+), grid AS (
+  SELECT l, CAST(1 << l AS BIGINT) AS bs, CAST(1 << (l - 1) AS BIGINT) AS hs
+  FROM unnest(generate_series(1, {HAAR_LEVELS})) t(l)
+), coeff AS (
+  SELECT g.l, idx.i // g.bs AS k,
+         CAST(SUM(CASE WHEN (idx.i // g.hs) % 2 = 0 THEN idx.c
+                       ELSE -idx.c END) AS BIGINT) AS d
+  FROM idx, grid g
+  GROUP BY 1, 2
+)
+SELECT CAST(l AS INTEGER) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+       CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE)
+         AS energy,
+       CAST(CAST(SUM(CAST(d AS HUGEINT) * d) AS VARCHAR) AS DOUBLE)
+         / CAST(1 << l AS BIGINT) AS power
+FROM coeff
+GROUP BY l
+""",
+)
+def ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnormalized Haar wavelet energy spectrum of the first
+    {HAAR_N} days of daily revenue: at level l the detail
+    coefficient of block k is (sum of the block's first half) -
+    (sum of its second half); energy_l = sum_k d^2 and power_l =
+    energy_l / 2^l satisfy the exact Parseval identity
+    sum_l power_l + (sum x)^2/N = sum x^2 — the multi-resolution
+    variance decomposition (which TIMESCALE carries the volatility?)
+    that ts_periodogram answers for fixed frequencies and this
+    answers for dyadic scales.
+
+    Exactness: every coefficient is an exact bigint signed sum of
+    daily cents (level-10 magnitude ~9e13 at a 100x corpus — inside
+    int64); energies go through HUGEINT/decimal(38). Scale shape:
+    one hash aggregate to the O(days) rollup, a DECLARED 10-row
+    level-grid replication (10x the bounded window — the grouping-
+    sets shape), ONE hash aggregate per (level, block), a 10-row
+    reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(w) - 1).alias("i"), "c"
+    ).filter(F.col("i") < HAAR_N)
+    grid = spark.createDataFrame(
+        [(l, 1 << l, 1 << (l - 1)) for l in range(1, HAAR_LEVELS + 1)],
+        "l int, bs bigint, hs bigint",
+    )
+    # bounded: 10-row level grid over the <=1024-row window
+    coeff = (
+        idx.crossJoin(F.broadcast(grid))
+        .groupBy("l", F.expr("i div bs").alias("k"))
+        .agg(
+            F.sum(
+                F.when(F.expr("(i div hs) % 2") == 0, F.col("c")).otherwise(
+                    -F.col("c")
+                )
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+    )
+    return (
+        coeff.groupBy("l")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+            F.sum(F.col("d").cast("decimal(38,0)") * F.col("d"))
+            .cast("double")
+            .alias("energy"),
+        )
+        .select(
+            F.col("l").cast("int").alias("level"),
+            "n_coeffs",
+            "energy",
+            (F.col("energy") / F.expr("CAST(1 << l AS BIGINT)")).alias(
+                "power"
+            ),
+        )
+    )
+
+
+@query(
+    "ts_bass_diffusion",
+    oracle="""
+WITH s AS (
+  SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS st
+  FROM events WHERE event_type = 'signup' GROUP BY 1
+), cum AS (
+  SELECT day, st,
+         COALESCE(SUM(st) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nprev
+  FROM s
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m0,
+         CAST(SUM(nprev) AS BIGINT) AS m1,
+         CAST(SUM(nprev * nprev) AS BIGINT) AS m2,
+         CAST(CAST(SUM(CAST(nprev AS HUGEINT) * nprev * nprev) AS VARCHAR)
+              AS DOUBLE) AS m3,
+         CAST(CAST(SUM(CAST(nprev AS HUGEINT) * nprev * nprev * nprev)
+              AS VARCHAR) AS DOUBLE) AS m4,
+         CAST(SUM(st) AS BIGINT) AS sy,
+         CAST(SUM(st * nprev) AS BIGINT) AS sy1,
+         CAST(CAST(SUM(CAST(st AS HUGEINT) * nprev * nprev) AS VARCHAR)
+              AS DOUBLE) AS sy2
+  FROM cum
+), d AS (
+  SELECT CAST(m0 AS DOUBLE) AS m0, CAST(m1 AS DOUBLE) AS m1,
+         CAST(m2 AS DOUBLE) AS m2, m3, m4,
+         CAST(sy AS DOUBLE) AS sy, CAST(sy1 AS DOUBLE) AS sy1, sy2
+  FROM m
+), sol AS (
+  SELECT m0,
+    (m0 * (m2 * m4 - m3 * m3) - m1 * (m1 * m4 - m3 * m2)
+       + m2 * (m1 * m3 - m2 * m2)) AS det,
+    (sy * (m2 * m4 - m3 * m3) - m1 * (sy1 * m4 - m3 * sy2)
+       + m2 * (sy1 * m3 - m2 * sy2)) AS da,
+    (m0 * (sy1 * m4 - sy2 * m3) - sy * (m1 * m4 - m3 * m2)
+       + m2 * (m1 * sy2 - m2 * sy1)) AS db,
+    (m0 * (m2 * sy2 - m3 * sy1) - m1 * (m1 * sy2 - sy1 * m2)
+       + sy * (m1 * m3 - m2 * m2)) AS dc
+  FROM d
+), co AS (
+  SELECT m0, da / det AS a, db / det AS b, dc / det AS c FROM sol
+)
+SELECT CAST(m0 AS BIGINT) AS n_days, a AS coef_a, b AS coef_b, c AS coef_c,
+       CASE WHEN b * b - 4 * a * c >= 0 AND c < 0
+            THEN (-b - sqrt(b * b - 4 * a * c)) / (2 * c) END AS market_m,
+       CASE WHEN b * b - 4 * a * c >= 0 AND c < 0
+            THEN a / ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)) END
+         AS p_innovation,
+       CASE WHEN b * b - 4 * a * c >= 0 AND c < 0
+            THEN b + a / ((-b - sqrt(b * b - 4 * a * c)) / (2 * c)) END
+         AS q_imitation
+FROM co
+""",
+)
+def ts_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion model of the signup adoption curve via the
+    classic discrete-time regression (Bass 1969): daily adopters
+    S_t = a + b*N_{t-1} + c*N_{t-1}^2 over the observed signup-day
+    series, then the structural parameters m (market size), p
+    (innovation) and q (imitation) from the quadratic's roots
+    (NULL when the fit is not S-shaped: discriminant < 0 or c >= 0,
+    the honest answer on a stationary adoption series — identical
+    double comparisons gate both engines) —
+    the growth-curve fit every product/marketing forecast starts
+    from, complementing ts_holt (trend) and agg_growth_accounting
+    (composition).
+
+    Exactness: the cumulative-adopter regressors and all OLS
+    moments up to N^4 are exact integers (HUGEINT/decimal(38) for
+    the cubic/quartic sums — ~4e28 at a 100x corpus, inside 38
+    digits); the 3x3 normal equations are solved in CLOSED FORM
+    (Cramer expansions written in identical expression order in
+    both engines — no iterative solver), and (m, p, q) are fixed
+    double expressions of (a, b, c). Scale shape: one hash
+    aggregate to the O(days) series, one bounded running-total
+    window, a 1-row moment reduction."""
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("st"))
+    )
+    # bounded: O(days) signup-day rollup rows
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    cum = s.select(
+        "st", F.coalesce(F.sum("st").over(w), F.lit(0)).alias("nprev")
+    )
+    np_ = F.col("nprev")
+    m = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m0i"),
+        F.sum(np_).cast("bigint").alias("m1i"),
+        F.sum(np_ * np_).cast("bigint").alias("m2i"),
+        F.sum(np_.cast("decimal(38,0)") * np_ * np_).cast("double").alias("m3"),
+        F.sum(np_.cast("decimal(38,0)") * np_ * np_ * np_)
+        .cast("double")
+        .alias("m4"),
+        F.sum("st").cast("bigint").alias("syi"),
+        F.sum(F.col("st") * np_).cast("bigint").alias("sy1i"),
+        F.sum(F.col("st").cast("decimal(38,0)") * np_ * np_)
+        .cast("double")
+        .alias("sy2"),
+    )
+    d = m.select(
+        F.col("m0i").alias("n_days"),
+        F.col("m0i").cast("double").alias("m0"),
+        F.col("m1i").cast("double").alias("m1"),
+        F.col("m2i").cast("double").alias("m2"),
+        "m3",
+        "m4",
+        F.col("syi").cast("double").alias("sy"),
+        F.col("sy1i").cast("double").alias("sy1"),
+        "sy2",
+    )
+    m0, m1, m2 = F.col("m0"), F.col("m1"), F.col("m2")
+    m3, m4 = F.col("m3"), F.col("m4")
+    sy, sy1, sy2 = F.col("sy"), F.col("sy1"), F.col("sy2")
+    det = (
+        m0 * (m2 * m4 - m3 * m3)
+        - m1 * (m1 * m4 - m3 * m2)
+        + m2 * (m1 * m3 - m2 * m2)
+    )
+    da = (
+        sy * (m2 * m4 - m3 * m3)
+        - m1 * (sy1 * m4 - m3 * sy2)
+        + m2 * (sy1 * m3 - m2 * sy2)
+    )
+    db = (
+        m0 * (sy1 * m4 - sy2 * m3)
+        - sy * (m1 * m4 - m3 * m2)
+        + m2 * (m1 * sy2 - m2 * sy1)
+    )
+    dc = (
+        m0 * (m2 * sy2 - m3 * sy1)
+        - m1 * (m1 * sy2 - sy1 * m2)
+        + sy * (m1 * m3 - m2 * m2)
+    )
+    co = d.select(
+        "n_days",
+        (da / det).alias("a"),
+        (db / det).alias("b"),
+        (dc / det).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    ok = (b * b - 4 * a * c >= 0) & (c < 0)
+    mm = (-b - F.sqrt(b * b - 4 * a * c)) / (2 * c)
+    return co.select(
+        "n_days",
+        a.alias("coef_a"),
+        b.alias("coef_b"),
+        c.alias("coef_c"),
+        F.when(ok, mm).alias("market_m"),
+        F.when(ok, a / mm).alias("p_innovation"),
+        F.when(ok, b + a / mm).alias("q_imitation"),
+    )

@@ -1019,3 +1019,69 @@ def test_video_motion_census_matches_local(spark, sf_dir):
         for i in range(1, len(frames)):
             want = sum(abs(x - y) for x, y in zip(frames[i], frames[i - 1]))
             assert by_doc[doc_id][i] == want
+
+
+# --- continuation-session wave 59: wavelets / diffusion / cluster sample ---
+
+
+def test_haar_parseval_identity(spark, sf_dir):
+    rows = QUERIES["ts_haar_energy"](spark, sf_dir).collect()
+    assert sorted(r["level"] for r in rows) == list(range(1, 11))
+    for r in rows:
+        assert r["n_coeffs"] == 1024 >> r["level"]
+    daily = sorted(
+        (row["day"], row["c"])
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )[:1024]
+    xs = [c for _, c in daily]
+    total_sq = sum(x * x for x in xs)
+    mean_term = sum(xs) ** 2 / 1024
+    power_sum = sum(r["power"] for r in rows)
+    # exact Parseval: sum_l power_l + (sum x)^2/N == sum x^2
+    assert abs(power_sum + mean_term - total_sq) / total_sq < 1e-12
+
+
+def test_bass_diffusion_fit_quality(spark, sf_dir):
+    r = QUERIES["ts_bass_diffusion"](spark, sf_dir).collect()[0]
+    assert r["n_days"] > 0
+    # the OLS solution must satisfy the first normal equation:
+    # sum residuals == 0  <=>  sy = a*n + b*m1 + c*m2 (reconstructed)
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("st"))
+        .orderBy("day")
+        .collect()
+    )
+    nprev, acc = [], 0
+    for row in s:
+        nprev.append(acc)
+        acc += row["st"]
+    sy = sum(row["st"] for row in s)
+    pred = sum(
+        r["coef_a"] + r["coef_b"] * n + r["coef_c"] * n * n for n in nprev
+    )
+    assert abs(pred - sy) / sy < 1e-6
+    # stationary fixture: the S-curve guard must behave consistently
+    disc = r["coef_b"] ** 2 - 4 * r["coef_a"] * r["coef_c"]
+    if disc >= 0 and r["coef_c"] < 0:
+        assert r["market_m"] is not None and r["market_m"] > 0
+    else:
+        assert r["market_m"] is None
+
+
+def test_cluster_two_stage_hash_selection(spark, sf_dir):
+    r = QUERIES["sample_cluster_two_stage"](spark, sf_dir).collect()[0]
+    sel = [
+        n
+        for n in range(25)
+        if ((n % 2147483648) * 2654435761 % 4294967296) % 100 < 40
+    ]
+    assert r["n_psu_selected"] == len(sel)
+    assert r["n_sampled"] > 0
+    assert r["ht_total_dollars"] != 0
+    assert r["se_total_dollars"] >= 0
