@@ -2226,3 +2226,220 @@ def corpus_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10
         ).alias("intercept_ln"),
     )
+
+
+GV_TOP_WORDS = 8    # whole-word vocab entries
+GV_TOP_BIGRAMS = 16  # character-bigram vocab entries
+
+
+@query(
+    "tokenize_greedy_vocab",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents
+), wc AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks WHERE len(wd) > 0 GROUP BY 1
+), topw AS (
+  SELECT wd AS t FROM wc ORDER BY c DESC, wd LIMIT {GV_TOP_WORDS}
+), bg AS (
+  SELECT substr(wc.wd, s.p, 2) AS t, CAST(SUM(wc.c) AS BIGINT) AS tc
+  FROM wc, unnest(generate_series(1, len(wc.wd) - 1)) s(p)
+  GROUP BY 1
+), topb AS (
+  SELECT t FROM bg ORDER BY tc DESC, t LIMIT {GV_TOP_BIGRAMS}
+), vocab AS (
+  SELECT DISTINCT t FROM (SELECT t FROM topw UNION ALL SELECT t FROM topb)
+), dw AS (
+  SELECT DISTINCT wd FROM wc
+), best AS (
+  SELECT dw.wd, s.p,
+         COALESCE(MAX(CASE WHEN substr(dw.wd, s.p, len(v.t)) = v.t
+                           THEN len(v.t) END), 0) AS bl
+  FROM dw, unnest(generate_series(1, len(dw.wd))) s(p), vocab v
+  GROUP BY 1, 2
+), walk AS (
+  SELECT wd, 1 AS pos, 0 AS tok, 0 AS unk FROM dw
+  UNION ALL
+  SELECT walk.wd, walk.pos + GREATEST(b.bl, 1),
+         walk.tok + 1,
+         walk.unk + CASE WHEN b.bl = 0 THEN 1 ELSE 0 END
+  FROM walk JOIN best b ON b.wd = walk.wd AND b.p = walk.pos
+  WHERE walk.pos <= len(walk.wd)
+), done AS (
+  SELECT wd, tok, unk FROM walk WHERE pos > len(wd)
+)
+SELECT toks.doc_id,
+       CAST(SUM(d.tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(d.unk) AS BIGINT) AS n_unk_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_words
+FROM toks JOIN done d ON d.wd = toks.wd
+GROUP BY 1
+""",
+)
+def tokenize_greedy_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-match subword tokenization against a
+    DETERMINISTIC corpus-derived vocab (top-{GV_TOP_WORDS} whole
+    words + top-{GV_TOP_BIGRAMS} character bigrams by exact
+    frequency, ties by string): at each position take the longest
+    vocab entry that matches, else emit one unknown-char token —
+    the WordPiece-style INFERENCE pass, and the hash-checked
+    companion of the rows-only bpe_train/tokenize_bpe pair (their
+    justification is the unbounded merge-chain REPLAY cost; this
+    key pins the greedy-matching machinery itself to a DuckDB
+    recursive-CTE walk over a precomputed longest-match jump
+    table).
+
+    Exactness: vocab selection is exact integer counts with total
+    tie-breaking; the greedy walk is pure string/integer logic —
+    identical in both engines by construction. Scale shape: token
+    counting runs per DISTINCT word (an Arrow mapInPandas over the
+    deduplicated vocabulary — the corpus can have billions of
+    occurrences but only |V| distinct words do string work), then
+    one equi-join back to occurrences and a per-doc hash aggregate.
+    The <=24-entry vocab ships by closure, never a shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("wd")
+    ).filter(F.length("wd") > 0)
+    wc = toks.groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    topw = [
+        r["wd"]
+        for r in wc.orderBy(F.desc("c"), "wd").limit(GV_TOP_WORDS).collect()
+    ]
+    # sequence(1, 0) counts DOWN in Spark (vs empty in DuckDB/SQL) —
+    # exclude 1-char words before generating bigram positions.
+    bg = (
+        wc.filter(F.length("wd") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(wd) - 1), p -> substr(wd, p, 2))")
+            ).alias("t"),
+            "c",
+        )
+        .groupBy("t")
+        .agg(F.sum("c").cast("bigint").alias("tc"))
+    )
+    topb = [
+        r["t"]
+        for r in bg.orderBy(F.desc("tc"), "t").limit(GV_TOP_BIGRAMS).collect()
+    ]
+    vocab = sorted(set(topw) | set(topb), key=lambda t: (-len(t), t))
+
+    def tokenize(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            toks_out, unks = [], []
+            for w in pdf["wd"]:
+                pos, tok, unk = 0, 0, 0
+                n = len(w)
+                while pos < n:
+                    best = 0
+                    for t in vocab:  # longest-first order
+                        lt = len(t)
+                        if lt <= best:
+                            break
+                        if w[pos : pos + lt] == t:
+                            best = lt
+                            break
+                    if best == 0:
+                        unk += 1
+                        pos += 1
+                    else:
+                        pos += best
+                    tok += 1
+                toks_out.append(tok)
+                unks.append(unk)
+            yield pd.DataFrame(
+                {"wd": pdf["wd"], "tok": toks_out, "unk": unks}
+            )
+
+    dw = wc.select("wd")
+    done = dw.mapInPandas(tokenize, "wd string, tok bigint, unk bigint")
+    return toks.join(done, "wd").groupBy("doc_id").agg(
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        F.sum("unk").cast("bigint").alias("n_unk_chars"),
+        F.count(F.lit(1)).cast("bigint").alias("n_words"),
+    )
+
+
+@query(
+    "corpus_unigram_entropy",
+    bounded_cross="1-row token-total scalar onto the O(vocab) count table",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS wd FROM documents
+), wc AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS f
+  FROM toks WHERE len(wd) > 0 GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(f) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS v FROM wc
+), q AS (
+  SELECT CAST(SUM(f * CAST(FLOOR(LN(CAST(f AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sfl
+  FROM wc
+)
+SELECT tot.t AS n_tokens,
+       tot.v AS vocab_size,
+       CAST(FLOOR(LN(CAST(tot.t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         / 1e6
+         - CAST(q.sfl AS DOUBLE) / 1000000 / tot.t AS h_nats,
+       (CAST(FLOOR(LN(CAST(tot.t AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+          / 1e6
+        - CAST(q.sfl AS DOUBLE) / 1000000 / tot.t)
+         / CAST('0.6931471805599453' AS DOUBLE) AS h_bits
+FROM tot, q
+""",
+)
+def corpus_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the corpus unigram distribution via the
+    count identity H = ln T - (sum_w f_w ln f_w)/T — the
+    zeroth-order compressibility bound every tokenizer/quality
+    report leads with (corpus_bigram_entropy measures the
+    first-order conditional; the gap between them is the unigram
+    mutual information). Reported in nats and bits (ln 2 as a
+    repr-round-tripped CAST-string literal — the ts_macd DECIMAL-
+    literal lesson).
+
+    Exactness: per-word f*lnq(f) with the 1e-6-quantized ln is an
+    exact bigint micro-nat product, so the sum is ORDER-FREE; only
+    two final divisions are float. Scale shape: one hash aggregate
+    to O(vocab) rows, a 1-row reduction, a declared scalar cross."""
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.length("wd") > 0)
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    tot = wc.agg(
+        F.sum("f").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    q = wc.agg(
+        F.sum(
+            F.col("f")
+            * F.floor(
+                F.log(F.col("f").cast("double")) * F.lit(1000000) + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sfl")
+    )
+    # bounded: two 1-row frames crossed
+    j = tot.crossJoin(F.broadcast(q))
+    lnT = (
+        F.floor(
+            F.log(F.col("t").cast("double")) * F.lit(1000000) + F.lit(0.5)
+        ).cast("bigint")
+        / F.lit(1e6)
+    )
+    h = lnT - F.col("sfl").cast("double") / F.lit(1000000) / F.col("t")
+    ln2 = float.fromhex("0x1.62e42fefa39efp-1")
+    return j.select(
+        F.col("t").alias("n_tokens"),
+        F.col("v").alias("vocab_size"),
+        h.alias("h_nats"),
+        (h / F.lit(ln2)).alias("h_bits"),
+    )

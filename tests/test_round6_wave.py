@@ -1085,3 +1085,79 @@ def test_cluster_two_stage_hash_selection(spark, sf_dir):
     assert r["n_sampled"] > 0
     assert r["ht_total_dollars"] != 0
     assert r["se_total_dollars"] >= 0
+
+
+# --- continuation-session wave 60: greedy tokenizer / unigram entropy ------
+
+
+def test_greedy_vocab_tokenizer_local_replay(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["tokenize_greedy_vocab"](spark, sf_dir).collect()
+    }
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(3)
+        .collect()
+    )
+    # rebuild the deterministic vocab locally
+    from collections import Counter
+
+    all_words = Counter()
+    for d in load(spark, sf_dir, "documents").select("text").collect():
+        for w in d["text"].split(" "):
+            if w:
+                all_words[w] += 1
+    topw = [w for w, _ in sorted(all_words.items(), key=lambda kv: (-kv[1], kv[0]))[:8]]
+    bigr = Counter()
+    for w, c in all_words.items():
+        if len(w) >= 2:
+            for p in range(len(w) - 1):
+                bigr[w[p : p + 2]] += c
+    topb = [t for t, _ in sorted(bigr.items(), key=lambda kv: (-kv[1], kv[0]))[:16]]
+    vocab = sorted(set(topw) | set(topb), key=lambda t: (-len(t), t))
+
+    def greedy(w):
+        pos = tok = unk = 0
+        while pos < len(w):
+            best = 0
+            for t in vocab:
+                if len(t) <= best:
+                    break
+                if w[pos : pos + len(t)] == t:
+                    best = len(t)
+                    break
+            if best == 0:
+                unk += 1
+                pos += 1
+            else:
+                pos += best
+            tok += 1
+        return tok, unk
+
+    for d in docs:
+        words = [w for w in d["text"].split(" ") if w]
+        tk = sum(greedy(w)[0] for w in words)
+        uk = sum(greedy(w)[1] for w in words)
+        got = rows[d["doc_id"]]
+        assert (got["n_tokens"], got["n_unk_chars"], got["n_words"]) == (
+            tk,
+            uk,
+            len(words),
+        )
+
+
+def test_unigram_entropy_bounds(spark, sf_dir):
+    r = QUERIES["corpus_unigram_entropy"](spark, sf_dir).collect()[0]
+    import math
+
+    assert 0 < r["h_nats"] <= math.log(r["vocab_size"]) + 1e-6
+    assert abs(r["h_bits"] - r["h_nats"] / math.log(2)) < 1e-9
+    # bigram conditional entropy can't exceed the unigram entropy
+    bg = QUERIES["corpus_bigram_entropy"](spark, sf_dir).collect()[0]
+    cols = {c.lower(): v for c, v in bg.asDict().items()}
+    for name, v in cols.items():
+        if "nats" in name and v is not None:
+            assert v <= r["h_nats"] + 0.05
