@@ -9347,3 +9347,188 @@ def sample_cluster_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100)
         ).alias("se_total_dollars"),
     )
+
+
+_JT_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _jt_prefix_cte(t: int) -> str:
+    g = _JT_GROUPS[t]
+    return f"""p{t} AS (
+  SELECT g, ROW_NUMBER() OVER (ORDER BY sc, k) AS rp,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY sc, k) AS i
+  FROM s WHERE g <= '{g}'
+), c{t} AS (
+  SELECT CAST(SUM(rp - i) AS BIGINT) AS c FROM p{t} WHERE g = '{g}'
+)"""
+
+
+@query(
+    "agg_jonckheere",
+    oracle=f"""
+WITH s AS (
+  SELECT o_orderpriority AS g,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS sc,
+         o_orderkey AS k
+  FROM orders
+), {", ".join(_jt_prefix_cte(t) for t in range(1, 5))},
+cnts AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY g
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS nn,
+         CAST(SUM(n * n) AS BIGINT) AS sn2,
+         CAST(CAST(SUM(CAST(n AS HUGEINT) * n * (2 * n + 3)) AS VARCHAR)
+              AS DOUBLE) AS sv
+  FROM cnts
+), jj AS (
+  SELECT c1.c + c2.c + c3.c + c4.c AS j FROM c1, c2, c3, c4
+), ev AS (
+  SELECT nn, j,
+         CAST(nn * nn - sn2 AS DOUBLE) / 4 AS e_j,
+         (CAST(CAST(CAST(nn AS HUGEINT) * nn * (2 * nn + 3) AS VARCHAR)
+               AS DOUBLE) - sv) / 72 AS var_j
+  FROM tot, jj
+)
+SELECT nn AS n_total, j AS j_stat, e_j, var_j,
+       (CAST(j AS DOUBLE) - e_j) / sqrt(var_j) AS z_score
+FROM ev
+""",
+)
+def agg_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra test for an ORDERED alternative across the
+    five priority doses (does order value trend monotonically with
+    urgency?): J = sum over group pairs i<j of the Mann-Whitney
+    count U_ij, against its null mean (N^2 - sum n_i^2)/4 and
+    variance [N^2(2N+3) - sum n_i^2(2n_i+3)]/72 — strictly more
+    powerful than Kruskal-Wallis when the doses are ordered, which
+    the TPC-H priorities literally are. Ties broken by the
+    deterministic (cents, orderkey) total order (the agg_cvm_test
+    contract: the statistic is defined ON that order).
+
+    Exactness: J collapses to sum(prefix_rank - within_rank) over
+    each group's rows — the identity sum_{i<j} U_ij =
+    sum_b (rank of b among groups <= its own, minus its
+    within-group rank) — so J is an exact bigint from EIGHT passes
+    of the two-phase global-rank machinery (4 prefix unions + 4
+    within-group, all range-bucketed by the score); the null
+    moments go through HUGEINT/python-int (~7e21 at 100x) with the
+    proven correctly-rounded double conversions. Scale shape: 8
+    rank passes + key-equi-joins, one hash aggregate."""
+    from ..plans.global_rank import with_global_row_number
+
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("g"),
+        F.expr(cents("o_totalprice")).alias("sc"),
+        F.col("o_orderkey").alias("k"),
+    )
+    j_total = 0
+    for t in range(1, 5):
+        gt = _JT_GROUPS[t]
+        sub = base.filter(F.col("g") <= gt)
+        rp_df, _ = with_global_row_number(sub, ["sc", "k"], out_col="rp")
+        own = rp_df.filter(F.col("g") == gt).select("k", "rp")
+        i_df, _ = with_global_row_number(
+            base.filter(F.col("g") == gt), ["sc", "k"], out_col="i"
+        )
+        contrib = (
+            own.join(i_df.select("k", "i"), "k")
+            .agg(F.sum(F.col("rp") - F.col("i")).cast("bigint").alias("c"))
+            .collect()[0]["c"]
+        )
+        j_total += int(contrib)
+    cnts = {
+        r["g"]: int(r["n"])
+        for r in base.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
+    }
+    nn = sum(cnts.values())
+    sn2 = sum(n * n for n in cnts.values())
+    sv = float(sum(n * n * (2 * n + 3) for n in cnts.values()))
+    hv = float(nn * nn * (2 * nn + 3))
+    one = spark.createDataFrame(
+        [(nn, j_total, sn2, sv, hv)],
+        "nn bigint, j bigint, sn2 bigint, sv double, hv double",
+    )
+    e_j = (F.col("nn") * F.col("nn") - F.col("sn2")).cast("double") / F.lit(4)
+    var_j = (F.col("hv") - F.col("sv")) / F.lit(72)
+    return one.select(
+        F.col("nn").alias("n_total"),
+        F.col("j").alias("j_stat"),
+        e_j.alias("e_j"),
+        var_j.alias("var_j"),
+        ((F.col("j").cast("double") - e_j) / F.sqrt(var_j)).alias("z_score"),
+    )
+
+
+@query(
+    "agg_palma_ratio",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS sc, o_orderkey
+  FROM orders
+), r AS (
+  SELECT sc, ROW_NUMBER() OVER (ORDER BY sc, o_orderkey) AS rn
+  FROM s
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sc) AS BIGINT) AS tot
+  FROM s
+), sh AS (
+  SELECT
+    CAST(SUM(CASE WHEN r.rn <= (4 * n.n) // 10 THEN r.sc ELSE 0 END)
+         AS BIGINT) AS bot40,
+    CAST(SUM(CASE WHEN r.rn > n.n - (n.n // 10) THEN r.sc ELSE 0 END)
+         AS BIGINT) AS top10
+  FROM r, n
+)
+SELECT n.n AS n_orders,
+       CAST(sh.top10 AS DOUBLE) / n.tot AS top10_share,
+       CAST(sh.bot40 AS DOUBLE) / n.tot AS bottom40_share,
+       CAST(sh.top10 AS DOUBLE) / sh.bot40 AS palma_ratio
+FROM sh, n
+""",
+)
+def agg_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palma inequality ratio of the order-value distribution: the
+    top-10% value share over the bottom-40% share — the
+    concentration summary that replaced Gini in much of the
+    inequality literature because it reads directly as 'how many
+    bottom-40s fit in the top decile', completing the family
+    (agg_gini curvature, agg_theil_index decomposability,
+    agg_lorenz_curve the full curve, agg_hhi market form). Decile
+    membership is by the deterministic (cents, orderkey) rank;
+    cutoffs use identical integer floor arithmetic (4n//10, n//10).
+
+    Exactness: ranks from ONE pass of the two-phase global-rank
+    machinery; both shares are exact bigint cent sums over exact
+    integer rank ranges; the three ratios are fixed double
+    expressions. Scale shape: one rank pass, one hash aggregate with
+    a declared 1-row count scalar."""
+    from ..plans.global_rank import with_global_row_number
+
+    s = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("sc"), "o_orderkey"
+    )
+    r, n = with_global_row_number(s, ["sc", "o_orderkey"], out_col="rn")
+    tot_row = s.agg(F.sum("sc").cast("bigint").alias("tot")).collect()[0]
+    tot = int(tot_row["tot"])
+    b_cut = (4 * n) // 10
+    t_cut = n - (n // 10)
+    sh = r.agg(
+        F.sum(F.when(F.col("rn") <= b_cut, F.col("sc")).otherwise(0))
+        .cast("bigint")
+        .alias("bot40"),
+        F.sum(F.when(F.col("rn") > t_cut, F.col("sc")).otherwise(0))
+        .cast("bigint")
+        .alias("top10"),
+    )
+    return sh.select(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        (F.col("top10").cast("double") / F.lit(tot)).alias("top10_share"),
+        (F.col("bot40").cast("double") / F.lit(tot)).alias(
+            "bottom40_share"
+        ),
+        (F.col("top10").cast("double") / F.col("bot40")).alias(
+            "palma_ratio"
+        ),
+    )

@@ -5466,3 +5466,89 @@ def ts_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, a / mm).alias("p_innovation"),
         F.when(ok, b + a / mm).alias("q_imitation"),
     )
+
+
+@query(
+    "ts_seasonal_mase",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), l AS (
+  SELECT c,
+         LAG(c, 1) OVER (ORDER BY day) AS p1,
+         LAG(c, 7) OVER (ORDER BY day) AS p7
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN p1 IS NOT NULL THEN ABS(c - p1) END) AS BIGINT)
+           AS s1,
+         CAST(SUM(CASE WHEN p1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n1,
+         CAST(SUM(CASE WHEN p7 IS NOT NULL THEN ABS(c - p7) END) AS BIGINT)
+           AS s7,
+         CAST(SUM(CASE WHEN p7 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n7
+  FROM l
+)
+SELECT n AS n_days,
+       CAST(s7 AS DOUBLE) / n7 / 100 AS mae_seasonal_dollars,
+       CAST(s1 AS DOUBLE) / n1 / 100 AS mae_naive_dollars,
+       (CAST(s7 AS DOUBLE) / n7) / (CAST(s1 AS DOUBLE) / n1) AS mase
+FROM m
+""",
+)
+def ts_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE of the weekly seasonal-naive forecast (x_hat_t = x_{t-7})
+    scaled by the one-step naive benchmark (Hyndman-Koehler 2006) —
+    the scale-free forecast-accuracy number that lets revenue series
+    of different magnitudes share one dashboard; < 1 means weekly
+    seasonality carries real signal beyond persistence.
+    Complements ts_forecast_eval (which scores a fitted model; this
+    scores the BENCHMARKS that any model must beat).
+
+    Exactness: both absolute-error sums are exact integer cents
+    (|c - lag| stays integer, order-free distributed sums); the
+    three ratios are fixed double expressions. Scale shape: one hash
+    aggregate to the O(days) rollup, one bounded window pass, a
+    1-row reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "c",
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lag("c", 7).over(w).alias("p7"),
+    )
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("p1").isNotNull(), F.abs(F.col("c") - F.col("p1")))
+        )
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("p1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(
+            F.when(F.col("p7").isNotNull(), F.abs(F.col("c") - F.col("p7")))
+        )
+        .cast("bigint")
+        .alias("s7"),
+        F.sum(F.when(F.col("p7").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n7"),
+    )
+    mae7 = F.col("s7").cast("double") / F.col("n7")
+    mae1 = F.col("s1").cast("double") / F.col("n1")
+    return m.select(
+        F.col("n").alias("n_days"),
+        (mae7 / 100).alias("mae_seasonal_dollars"),
+        (mae1 / 100).alias("mae_naive_dollars"),
+        (mae7 / mae1).alias("mase"),
+    )

@@ -1161,3 +1161,51 @@ def test_unigram_entropy_bounds(spark, sf_dir):
     for name, v in cols.items():
         if "nats" in name and v is not None:
             assert v <= r["h_nats"] + 0.05
+
+
+# --- continuation-session wave 61: trend test / inequality / MASE ----------
+
+
+def test_jonckheere_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["agg_jonckheere"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("sc"),
+            F.col("o_orderkey").alias("k"),
+        )
+        .collect()
+    )
+    groups = sorted({x["g"] for x in rows})
+    by_g = {g: sorted((x["sc"], x["k"]) for x in rows if x["g"] == g) for g in groups}
+    j = 0
+    for a in range(len(groups)):
+        for b in range(a + 1, len(groups)):
+            for va in by_g[groups[a]]:
+                for vb in by_g[groups[b]]:
+                    if va < vb:
+                        j += 1
+    assert r["j_stat"] == j
+    n = len(rows)
+    sn2 = sum(len(v) ** 2 for v in by_g.values())
+    assert abs(r["e_j"] - (n * n - sn2) / 4) < 1e-9
+    assert r["var_j"] > 0
+
+
+def test_palma_shares(spark, sf_dir):
+    r = QUERIES["agg_palma_ratio"](spark, sf_dir).collect()[0]
+    assert 0 < r["bottom40_share"] < r["top10_share"] < 1
+    assert abs(
+        r["palma_ratio"] - r["top10_share"] / r["bottom40_share"]
+    ) < 1e-9 * r["palma_ratio"]
+    # top decile of a positive distribution holds > 10% of mass
+    assert r["top10_share"] > 0.10
+
+
+def test_seasonal_mase_consistency(spark, sf_dir):
+    r = QUERIES["ts_seasonal_mase"](spark, sf_dir).collect()[0]
+    assert r["mae_seasonal_dollars"] > 0 and r["mae_naive_dollars"] > 0
+    assert abs(
+        r["mase"] - r["mae_seasonal_dollars"] / r["mae_naive_dollars"]
+    ) < 1e-9
