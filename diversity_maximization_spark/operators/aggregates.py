@@ -9532,3 +9532,137 @@ def agg_palma_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "palma_ratio"
         ),
     )
+
+
+TTEST1_MU0_DOLLARS = 150000  # hypothesized mean order value
+
+
+@query(
+    "agg_ttest_one_sample",
+    oracle=f"""
+WITH m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders
+), st AS (
+  SELECT n,
+         CAST(s AS DOUBLE) / n AS mu,
+         sqrt((ss - (CAST(s AS DOUBLE) / n) * s) / (n - 1)) AS sd
+  FROM m
+)
+SELECT n AS n_orders,
+       mu / 100 AS mean_dollars,
+       (mu - {TTEST1_MU0_DOLLARS * 100}) / 100 AS diff_dollars,
+       (mu - {TTEST1_MU0_DOLLARS * 100}) / (sd / sqrt(CAST(n AS DOUBLE)))
+         AS t_stat,
+       n - 1 AS df
+FROM st
+""",
+)
+def agg_ttest_one_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample t-test of the mean order value against the
+    hypothesized mu0 = ${TTEST1_MU0_DOLLARS:,} — the missing first
+    rung of the t family (agg_ttest_welch compares two groups,
+    agg_ttest_paired matched pairs; this tests ONE mean against a
+    spec/target, the daily 'are we on plan?' question).
+
+    Exactness: the gamma_mom exact-moment discipline (integer cents,
+    HUGEINT/decimal(38) squares); t is a fixed double expression;
+    mu0 enters as an integer-cent literal. ONE hash aggregate."""
+    m = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt((F.col("ss") - mu * F.col("s")) / (F.col("n") - 1))
+    mu0c = F.lit(TTEST1_MU0_DOLLARS * 100)
+    return m.select(
+        F.col("n").alias("n_orders"),
+        (mu / 100).alias("mean_dollars"),
+        ((mu - mu0c) / 100).alias("diff_dollars"),
+        ((mu - mu0c) / (sd / F.sqrt(F.col("n").cast("double")))).alias(
+            "t_stat"
+        ),
+        (F.col("n") - 1).alias("df"),
+    )
+
+
+RR_FLIP_PCT = 25  # randomized-response flip probability (percent)
+
+
+@query(
+    "privacy_rr_frequency",
+    bounded_cross="1-row observed-count scalar onto the 1-row total",
+    oracle=f"""
+WITH resp AS (
+  SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS truth,
+         CASE WHEN {{h}} < {RR_FLIP_PCT} THEN 1 ELSE 0 END AS flip
+  FROM orders
+), obs AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN flip = 1 THEN 1 - truth ELSE truth END)
+              AS BIGINT) AS yes,
+         CAST(SUM(truth) AS BIGINT) AS true_yes
+  FROM resp
+)
+SELECT n AS n_respondents,
+       yes AS observed_yes,
+       CAST(yes AS DOUBLE) / n AS observed_rate,
+       (CAST(yes AS DOUBLE) / n - {RR_FLIP_PCT / 100!r})
+         / {(100 - 2 * RR_FLIP_PCT) / 100!r} AS estimated_rate,
+       CAST(true_yes AS DOUBLE) / n AS true_rate
+FROM obs
+""".format(h="(((o_orderkey % 2147483648) * 2654435761 % 4294967296) % 100)"),
+)
+def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized-response frequency estimation: each
+    respondent's sensitive bit (order fulfilled?) is flipped with
+    probability p = {RR_FLIP_PCT}% (here a DETERMINISTIC portable
+    Knuth-bucket 'coin' so the mechanism is replayable — a
+    documented demo of the estimator, not a DP deployment), and the
+    population rate is debiased as (observed - p)/(1 - 2p) — the
+    classic local-privacy primitive under privacy_dp_counts /
+    privacy_k_anon's umbrella, and the estimator every LDP telemetry
+    system (RAPPOR-style) builds on.
+
+    Exactness: flips and observed counts are exact integer hash
+    comparisons; the debias is one fixed double expression (p as a
+    repr literal). The true rate is reported alongside so the
+    estimator's bias on this corpus is visible. ONE hash
+    aggregate."""
+    h = F.expr("(((o_orderkey % 2147483648) * 2654435761 % 4294967296) % 100)")
+    truth = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    flip = F.when(h < RR_FLIP_PCT, 1).otherwise(0)
+    obs = load(spark, sf_dir, "orders").select(
+        truth.alias("truth"), flip.alias("flip")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("flip") == 1, 1 - F.col("truth")).otherwise(
+                F.col("truth")
+            )
+        )
+        .cast("bigint")
+        .alias("yes"),
+        F.sum("truth").cast("bigint").alias("true_yes"),
+    )
+    rate = F.col("yes").cast("double") / F.col("n")
+    return obs.select(
+        F.col("n").alias("n_respondents"),
+        F.col("yes").alias("observed_yes"),
+        rate.alias("observed_rate"),
+        (
+            (rate - F.lit(RR_FLIP_PCT / 100))
+            / F.lit((100 - 2 * RR_FLIP_PCT) / 100)
+        ).alias("estimated_rate"),
+        (F.col("true_yes").cast("double") / F.col("n")).alias("true_rate"),
+    )

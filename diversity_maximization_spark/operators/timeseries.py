@@ -5552,3 +5552,123 @@ def ts_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (mae1 / 100).alias("mae_naive_dollars"),
         (mae7 / mae1).alias("mase"),
     )
+
+
+def _bseg_score() -> str:
+    """Shared split-score text: |mean_left - mean_right| * n1*n2/n."""
+    return (
+        "abs(CAST(cs AS DOUBLE) / i - CAST(tot - cs AS DOUBLE) / (n - i))"
+        " * i * (n - i) / n"
+    )
+
+
+@query(
+    "ts_binary_segmentation",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), cum AS (
+  SELECT day, c,
+         CAST(SUM(c) OVER (ORDER BY day) AS BIGINT) AS cs,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+         (SELECT CAST(SUM(c) AS BIGINT) FROM daily) AS tot,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n
+  FROM cum_base
+), cum_base AS (SELECT day, c FROM daily),
+s1 AS (
+  SELECT day FROM cum WHERE i < n
+  ORDER BY {_bseg_score()} DESC, day LIMIT 1
+), halves AS (
+  SELECT d.day, d.c,
+         CASE WHEN d.day <= (SELECT day FROM s1) THEN 0 ELSE 1 END AS side
+  FROM daily d
+), hcum AS (
+  SELECT side, day,
+         CAST(SUM(c) OVER (PARTITION BY side ORDER BY day) AS BIGINT) AS cs,
+         CAST(ROW_NUMBER() OVER (PARTITION BY side ORDER BY day) AS BIGINT)
+           AS i,
+         CAST(SUM(c) OVER (PARTITION BY side) AS BIGINT) AS tot,
+         CAST(COUNT(*) OVER (PARTITION BY side) AS BIGINT) AS n
+  FROM halves
+), s2 AS (
+  SELECT side, day,
+         ROW_NUMBER() OVER (PARTITION BY side
+                            ORDER BY {_bseg_score()} DESC, day) AS rk
+  FROM hcum WHERE i < n
+)
+SELECT CAST(0 AS INTEGER) AS depth, CAST(0 AS INTEGER) AS segment,
+       CAST((SELECT day FROM s1) AS TIMESTAMP) AS split_after_day
+UNION ALL
+SELECT 1, CAST(side AS INTEGER), CAST(day AS TIMESTAMP)
+FROM s2 WHERE rk = 1
+""",
+)
+def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 binary segmentation of daily revenue (Scott-Knott /
+    standard changepoint recursion): the ts_best_split argmax on the
+    full series, then the same argmax INSIDE each resulting half —
+    three change points structuring the series into four regimes;
+    the multi-changepoint extension users reach for the moment one
+    split isn't enough.
+
+    Exactness: every candidate score derives from exact cumulative
+    integer sums (per side) with the identical float score
+    expression; each argmax is a deterministic ORDER BY score DESC,
+    day LIMIT 1. Scale shape: one O(days) rollup, bounded-domain
+    cumulative windows, THREE 1-row TakeOrderedAndProject argmaxes
+    (the halves share one partitioned window pass — no per-half
+    rescan of the fact table)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.sum(F.expr(cents("value"))).cast("bigint").alias("c")
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    tot_n = daily.agg(
+        F.sum("c").cast("bigint").alias("tot"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).collect()[0]
+    tot, n = int(tot_n["tot"]), int(tot_n["n"])
+    cum = daily.select(
+        "day",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("cs"),
+        F.row_number().over(w).cast("bigint").alias("i"),
+    ).withColumn("tot", F.lit(tot)).withColumn("n", F.lit(n))
+    score = F.expr(_bseg_score())
+    s1 = (
+        cum.filter(F.col("i") < F.col("n"))
+        .orderBy(score.desc(), "day")
+        .limit(1)
+        .collect()[0]["day"]
+    )
+    halves = daily.withColumn(
+        "side", F.when(F.col("day") <= F.lit(s1), 0).otherwise(1)
+    )
+    ws = Window.partitionBy("side").orderBy("day")
+    wp = Window.partitionBy("side")
+    hcum = halves.select(
+        "side",
+        "day",
+        F.sum("c").over(ws).cast("bigint").alias("cs"),
+        F.row_number().over(ws).cast("bigint").alias("i"),
+        F.sum("c").over(wp).cast("bigint").alias("tot"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n"),
+    )
+    wr = Window.partitionBy("side").orderBy(score.desc(), "day")
+    s2 = (
+        hcum.filter(F.col("i") < F.col("n"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.lit(1).cast("int").alias("depth"),
+            F.col("side").cast("int").alias("segment"),
+            F.col("day").alias("split_after_day"),
+        )
+    )
+    top = daily.sparkSession.createDataFrame(
+        [(0, 0, s1)], "depth int, segment int, split_after_day timestamp"
+    )
+    return top.unionByName(s2)

@@ -1209,3 +1209,47 @@ def test_seasonal_mase_consistency(spark, sf_dir):
     assert abs(
         r["mase"] - r["mae_seasonal_dollars"] / r["mae_naive_dollars"]
     ) < 1e-9
+
+
+# --- continuation-session wave 62: binary seg / one-sample t / LDP ---------
+
+
+def test_binary_segmentation_structure(spark, sf_dir):
+    rows = QUERIES["ts_binary_segmentation"](spark, sf_dir).collect()
+    assert len(rows) == 3
+    top = [r for r in rows if r["depth"] == 0][0]
+    kids = sorted(
+        (r for r in rows if r["depth"] == 1), key=lambda r: r["segment"]
+    )
+    assert [k["segment"] for k in kids] == [0, 1]
+    # left child splits before the top split, right child after
+    assert kids[0]["split_after_day"] <= top["split_after_day"]
+    assert kids[1]["split_after_day"] > top["split_after_day"]
+    # depth-0 split agrees with the single-split key
+    best = QUERIES["ts_best_split"](spark, sf_dir).collect()[0]
+    assert top["split_after_day"] == best["split_after_day"]
+
+
+def test_one_sample_t_consistency(spark, sf_dir):
+    r = QUERIES["agg_ttest_one_sample"](spark, sf_dir).collect()[0]
+    from diversity_maximization_spark.operators.aggregates import (
+        TTEST1_MU0_DOLLARS,
+    )
+
+    assert abs(
+        r["diff_dollars"] - (r["mean_dollars"] - TTEST1_MU0_DOLLARS)
+    ) < 1e-9
+    assert r["df"] == r["n_orders"] - 1
+    # sign of t matches sign of the difference
+    assert (r["t_stat"] > 0) == (r["diff_dollars"] > 0)
+
+
+def test_rr_frequency_debias(spark, sf_dir):
+    r = QUERIES["privacy_rr_frequency"](spark, sf_dir).collect()[0]
+    assert 0 <= r["observed_rate"] <= 1
+    # debias identity
+    p = 0.25
+    est = (r["observed_rate"] - p) / (1 - 2 * p)
+    assert abs(r["estimated_rate"] - est) < 1e-12
+    # with a hash coin the estimate lands near the true rate
+    assert abs(r["estimated_rate"] - r["true_rate"]) < 0.08
