@@ -1016,3 +1016,139 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .withColumn("tier", F.lit(strategy))
     )
+
+
+LOF_K = 10
+
+
+def _lof_oracle() -> str:
+    from ..functions.vector import duck_l2_dist
+
+    d = duck_l2_dist("a.embedding", "b.embedding")
+    return f"""
+WITH nn AS (
+  SELECT a.vec_id AS a, b.vec_id AS b, {d} AS d,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {d} ASC, b.vec_id ASC) AS rn
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), knn AS (
+  SELECT * FROM nn WHERE rn <= {LOF_K}
+), kd AS (
+  SELECT a, MAX(d) AS kdist FROM knn GROUP BY a
+), reach AS (
+  SELECT k.a, k.b, k.rn, GREATEST(kb.kdist, k.d) AS r
+  FROM knn k JOIN kd kb ON kb.a = k.b
+), lrd AS (
+  SELECT a, CAST({LOF_K} AS DOUBLE) / list_sum(list(r ORDER BY rn)) AS lrd
+  FROM reach GROUP BY a
+), lof AS (
+  SELECT k.a,
+         list_sum(list(lb.lrd ORDER BY k.rn)) / {LOF_K} / la.lrd AS lof
+  FROM knn k JOIN lrd lb ON lb.a = k.b JOIN lrd la ON la.a = k.a
+  GROUP BY k.a, la.lrd
+)
+SELECT kd.a AS vec_id, kd.kdist AS k_dist, lrd.lrd AS lrd, lof.lof AS lof
+FROM kd JOIN lrd ON lrd.a = kd.a JOIN lof ON lof.a = kd.a
+"""
+
+
+@query("anomaly_lof", oracle=_lof_oracle())
+def anomaly_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig 2000, k={LOF_K}) over the
+    embedding corpus — the DENSITY-relative outlier score the
+    z-score family (anomaly_daily_zscore / _mad_robust /
+    _mahalanobis) cannot express: a point is anomalous relative to
+    its NEIGHBORHOOD's density, so clusters of different densities
+    each keep their own normal band. LOF(a) = mean_b lrd(b)/lrd(a)
+    over a's k nearest, lrd = k / sum reachdist,
+    reachdist(a<-b) = max(kdist(b), d(a,b)).
+
+    Exactness: neighbor sets come from the same size-dispatched
+    candidate machinery as knn_classify_eval (margin 32 >> k, exact
+    bit-matched l2_dist re-score, (d, id)-stable ranking; RAISES on
+    the lossy LSH tier — same truth-set doctrine), and every
+    k-element sum folds in neighbor-RANK order via the strict-fold
+    pair (F.aggregate over array_sort == list_sum over ORDER BY
+    rn) so the float chain is bit-identical. Scale shape: candidate
+    generation is the bucketed/BLAS distance-join path (never raw
+    n^2 on the engine side); everything after is O(n*k) rows of
+    key-equi-joins and hash aggregates."""
+    from ..functions.vector import l2_dist
+    from ..plans.distance_join import (
+        choose_strategy,
+        corpus_stats,
+        l2_topk_candidate_pairs,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    n_rows, dim = corpus_stats(e)
+    strategy = choose_strategy(n_rows, dim)
+    if strategy == "lsh_bucketed":
+        raise ValueError(
+            "anomaly_lof needs the EXACT k-NN graph; above the "
+            "broadcast-BLAS budget only the lossy LSH candidate tier "
+            "remains. Refusing to score approximate neighborhoods as "
+            "LOF ground truth."
+        )
+    cand = l2_topk_candidate_pairs(
+        spark, e, n_cand=32, strategy=strategy, dim=dim
+    )
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))
+    from pyspark.sql.window import Window as W
+
+    scored = (
+        cand.join(a, cand["vec_id"] == a["a_id"])
+        .join(b, cand["neighbor"] == b["b_id"])
+        .select(
+            "a_id",
+            "b_id",
+            l2_dist("a_emb", "b_emb").alias("d"),
+        )
+    )
+    wr = W.partitionBy("a_id").orderBy(F.asc("d"), F.asc("b_id"))
+    knn = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= LOF_K)
+        .select("a_id", "b_id", "d", "rn")
+    )
+    kd = knn.groupBy("a_id").agg(F.max("d").alias("kdist"))
+    kd_b = kd.select(F.col("a_id").alias("b_id"), F.col("kdist").alias("kdist_b"))
+    reach = knn.join(kd_b, "b_id").select(
+        "a_id",
+        "b_id",
+        "rn",
+        F.greatest(F.col("kdist_b"), F.col("d")).alias("r"),
+    )
+
+    def rank_fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("rn", F.col(col).alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    lrd = reach.groupBy("a_id").agg(
+        (F.lit(float(LOF_K)) / rank_fold("r")).alias("lrd")
+    )
+    lrd_b = lrd.select(F.col("a_id").alias("b_id"), F.col("lrd").alias("lrd_b"))
+    lof = (
+        knn.join(lrd_b, "b_id")
+        .join(lrd, "a_id")
+        .groupBy("a_id", "lrd")
+        .agg(rank_fold("lrd_b").alias("slrd"))
+        .select(
+            "a_id",
+            (F.col("slrd") / F.lit(LOF_K) / F.col("lrd")).alias("lof"),
+        )
+    )
+    return (
+        kd.join(lrd, "a_id")
+        .join(lof, "a_id")
+        .select(
+            F.col("a_id").alias("vec_id"),
+            F.col("kdist").alias("k_dist"),
+            "lrd",
+            "lof",
+        )
+    )

@@ -9666,3 +9666,147 @@ def privacy_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("estimated_rate"),
         (F.col("true_yes").cast("double") / F.col("n")).alias("true_rate"),
     )
+
+
+@query(
+    "agg_holm_bonferroni",
+    bounded_cross="1-row global-share scalar onto the 25-nation cell table",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), seg_tot AS (
+  SELECT seg, CAST(SUM(o) AS BIGINT) AS st FROM cells GROUP BY seg
+), grand AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS g FROM cells
+), nat_tot AS (
+  SELECT nation, CAST(SUM(o) AS BIGINT) AS nt FROM cells GROUP BY nation
+), full_cells AS (
+  SELECT n.nation, s.seg, n.nt, s.st, COALESCE(c.o, 0) AS o
+  FROM nat_tot n CROSS JOIN seg_tot s
+  LEFT JOIN cells c ON c.nation = n.nation AND c.seg = s.seg
+), chi AS (
+  SELECT nation,
+         list_sum(list(
+           (CAST(o AS DOUBLE)
+            - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           * (CAST(o AS DOUBLE)
+              - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           / (CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           ORDER BY seg)) AS chi2
+  FROM full_cells GROUP BY nation
+), pv AS (
+  SELECT nation, chi2,
+         exp(-chi2 / 2) * (CAST(1 AS DOUBLE) + chi2 / 2) AS p
+  FROM chi
+), ranked AS (
+  SELECT nation, p,
+         ROW_NUMBER() OVER (ORDER BY p, nation) AS rnk,
+         COUNT(*) OVER () AS m
+  FROM pv
+), flags AS (
+  SELECT nation, p, rnk, m,
+         CAST(0.05 AS DOUBLE) / (m - rnk + 1) AS holm_threshold,
+         p <= CAST(0.05 AS DOUBLE) / (m - rnk + 1) AS step_ok
+  FROM ranked
+), cutoff AS (
+  SELECT COALESCE(MIN(CASE WHEN NOT step_ok THEN rnk END) - 1,
+                  (SELECT MAX(m) FROM flags)) AS kstar
+  FROM flags
+)
+SELECT nation, round(p, 9) AS p_value, CAST(rnk AS BIGINT) AS rnk,
+       holm_threshold,
+       rnk <= (SELECT kstar FROM cutoff) AS rejected_holm,
+       p <= CAST(0.05 AS DOUBLE) / m AS rejected_bonferroni
+FROM flags
+""",
+)
+def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm step-down correction (with the plain Bonferroni column
+    for contrast) over the SAME 25 nation-vs-global segment-mix
+    chi-square family agg_benjamini_hochberg controls by FDR — the
+    FWER-controlling counterpart: reject ranks 1..k* where k* is
+    the last rank before the first p_(i) > alpha/(m-i+1) failure.
+    Holm dominates Bonferroni uniformly, and reading all three keys
+    side by side shows the FDR-vs-FWER power gap on real counts.
+
+    Exactness: identical pv construction to the BH key (exact
+    integer cells, segment-ordered strict folds, closed-form even-df
+    p; cross-engine exp <= 1 ulp, accepted and verified); the
+    step-down cutoff is a MIN over integer ranks. Scale shape: two
+    hash aggregates to <= 25x5 cells, bounded 25-row windows."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    seg_tot = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("st"))
+    nat_tot = cells.groupBy("nation").agg(
+        F.sum("o").cast("bigint").alias("nt")
+    )
+    g = cells.agg(F.sum("o")).collect()[0][0]
+    full_cells = (
+        nat_tot.crossJoin(F.broadcast(seg_tot))
+        .join(cells, ["nation", "seg"], "left")
+        .select(
+            "nation", "seg", "nt", "st", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("nt").cast("double") * F.col("st") / F.lit(g)
+    terms = full_cells.select(
+        "nation",
+        "seg",
+        (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("term"),
+    )
+    chi = terms.groupBy("nation").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    pv = chi.select(
+        "nation",
+        (
+            F.exp(-F.col("chi2") / 2)
+            * (F.lit(1).cast("double") + F.col("chi2") / 2)
+        ).alias("p"),
+    )
+    # bounded: 25 nation rows
+    wr = Window.orderBy("p", "nation")
+    ranked = pv.select(
+        "nation",
+        "p",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thr = F.lit(0.05).cast("double") / (F.col("m") - F.col("rnk") + 1)
+    flags = ranked.select(
+        "nation",
+        "p",
+        "rnk",
+        "m",
+        thr.alias("holm_threshold"),
+        (F.col("p") <= thr).alias("step_ok"),
+    )
+    kstar = flags.agg(
+        F.coalesce(
+            F.min(F.when(~F.col("step_ok"), F.col("rnk"))) - 1,
+            F.max("m"),
+        ).alias("kstar")
+    ).collect()[0]["kstar"]
+    return flags.select(
+        "nation",
+        F.round("p", 9).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        "holm_threshold",
+        (F.col("rnk") <= F.lit(int(kstar))).alias("rejected_holm"),
+        (F.col("p") <= F.lit(0.05).cast("double") / F.col("m")).alias(
+            "rejected_bonferroni"
+        ),
+    )

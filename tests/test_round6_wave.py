@@ -1253,3 +1253,52 @@ def test_rr_frequency_debias(spark, sf_dir):
     assert abs(r["estimated_rate"] - est) < 1e-12
     # with a hash coin the estimate lands near the true rate
     assert abs(r["estimated_rate"] - r["true_rate"]) < 0.08
+
+
+# --- continuation-session wave 63: Holm / LOF ------------------------------
+
+
+def test_holm_dominates_bonferroni_and_bh_dominates_holm(spark, sf_dir):
+    holm = {r["nation"]: r for r in QUERIES["agg_holm_bonferroni"](spark, sf_dir).collect()}
+    bh = {r["nation"]: r for r in QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect()}
+    assert set(holm) == set(bh)
+    for n, r in holm.items():
+        # Holm rejects everything Bonferroni rejects
+        if r["rejected_bonferroni"]:
+            assert r["rejected_holm"]
+        # BH (FDR) rejects everything Holm (FWER) rejects
+        if r["rejected_holm"]:
+            assert bh[n]["rejected"]
+    # the Holm rejection set is a rank prefix
+    rejected_ranks = sorted(r["rnk"] for r in holm.values() if r["rejected_holm"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+
+
+def test_lof_against_local_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {r["vec_id"]: r for r in QUERIES["anomaly_lof"](spark, sf_dir).collect()}
+    e = load(spark, sf_dir, "embeddings").orderBy("vec_id").collect()
+    ids = [r["vec_id"] for r in e]
+    X = np.array([list(map(float, r["embedding"])) for r in e])
+    n = len(ids)
+    assert len(rows) == n
+    # brute-force recompute for the 5 lowest ids
+    d = np.sqrt(((X[:, None, :] - X[None, :, :]) ** 2).sum(-1))
+    np.fill_diagonal(d, np.inf)
+    k = 10
+    order = np.argsort(d, axis=1, kind="stable")
+    knn = order[:, :k]
+    kdist = np.array([d[i, knn[i, -1]] for i in range(n)])
+    reach_sum = np.array(
+        [sum(max(kdist[j], d[i, j]) for j in knn[i]) for i in range(n)]
+    )
+    lrd = k / reach_sum
+    lof = np.array([lrd[knn[i]].mean() / lrd[i] for i in range(n)])
+    for idx in range(5):
+        got = rows[ids[idx]]
+        assert abs(got["k_dist"] - kdist[idx]) < 1e-9
+        assert abs(got["lof"] - lof[idx]) < 1e-6
+    # sanity: most points are inliers (LOF near 1)
+    med = sorted(r["lof"] for r in rows.values())[n // 2]
+    assert 0.8 < med < 1.3
