@@ -9810,3 +9810,220 @@ def agg_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected_bonferroni"
         ),
     )
+
+
+RDD_CUTOFF_C = 15_000_000  # $150k in cents
+RDD_BANDWIDTH = 5_000_000  # +-$50k
+
+
+def _rdd_side_sql(name: str, lo: str, hi: str) -> str:
+    return f"""{name} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(u) AS BIGINT) AS su,
+         CAST(CAST(SUM(CAST(u AS HUGEINT) * u) AS VARCHAR) AS DOUBLE) AS su2,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(u * y) AS BIGINT) AS suy
+  FROM base WHERE u >= {lo} AND u < {hi}
+)"""
+
+
+@query(
+    "agg_rdd_sharp",
+    bounded_cross="two 1-row side-moment scalars crossed into one row",
+    oracle=f"""
+WITH base AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) - {RDD_CUTOFF_C} AS u,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), {_rdd_side_sql("l", str(-RDD_BANDWIDTH), "0")},
+{_rdd_side_sql("r", "0", str(RDD_BANDWIDTH))},
+fit AS (
+  SELECT l.n AS nl, r.n AS nr,
+         (CAST(l.sy AS DOUBLE)
+          - ((CAST(l.n AS DOUBLE) * l.suy - CAST(l.su AS DOUBLE) * l.sy)
+             / (CAST(l.n AS DOUBLE) * l.su2
+                - CAST(l.su AS DOUBLE) * CAST(l.su AS DOUBLE)))
+            * l.su) / l.n AS al,
+         (CAST(r.sy AS DOUBLE)
+          - ((CAST(r.n AS DOUBLE) * r.suy - CAST(r.su AS DOUBLE) * r.sy)
+             / (CAST(r.n AS DOUBLE) * r.su2
+                - CAST(r.su AS DOUBLE) * CAST(r.su AS DOUBLE)))
+            * r.su) / r.n AS ar
+  FROM l, r
+)
+SELECT nl AS n_left, nr AS n_right,
+       al AS rate_left_at_cutoff,
+       ar AS rate_right_at_cutoff,
+       ar - al AS rdd_effect
+FROM fit
+""",
+)
+def agg_rdd_sharp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharp regression-discontinuity estimate at the $150k order-
+    value cutoff: local LINEAR fits of the fulfilment rate on each
+    side within a +-$50k bandwidth, compared AT the cutoff — the
+    quasi-experimental jump estimator (Thistlethwaite-Campbell)
+    completing the causal family (agg_diff_in_diff trends,
+    agg_stratified_att strata, agg_cuped variance reduction; this
+    exploits a THRESHOLD rule). A synthetic fixture has no true
+    discontinuity — the honest expected estimate is ~0, which is
+    exactly what a placebo RDD should report.
+
+    Exactness: each side's simple-OLS moments are exact integers
+    (centered running variable u = cents - c; u^2 sums through
+    HUGEINT/decimal(38) — int64 would overflow at a 100x corpus);
+    slopes and cutoff intercepts are fixed double expressions in
+    identical order. Scale shape: ONE bandwidth-filtered scan (the
+    predicate pushes to parquet), two 1-row side aggregates, a
+    declared scalar cross."""
+    base = load(spark, sf_dir, "orders").select(
+        (F.expr(cents("o_totalprice")) - F.lit(RDD_CUTOFF_C)).alias("u"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+
+    def side(lo, hi, pfx):
+        return base.filter(
+            (F.col("u") >= lo) & (F.col("u") < hi)
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"{pfx}n"),
+            F.sum("u").cast("bigint").alias(f"{pfx}su"),
+            F.sum(F.col("u").cast("decimal(38,0)") * F.col("u"))
+            .cast("double")
+            .alias(f"{pfx}su2"),
+            F.sum("y").cast("bigint").alias(f"{pfx}sy"),
+            F.sum(F.col("u") * F.col("y")).cast("bigint").alias(f"{pfx}suy"),
+        )
+
+    l = side(-RDD_BANDWIDTH, 0, "l")
+    r = side(0, RDD_BANDWIDTH, "r")
+    # bounded: two 1-row side-moment frames
+    j = l.crossJoin(F.broadcast(r))
+
+    def alpha(pfx):
+        n_d = F.col(f"{pfx}n").cast("double")
+        su_d = F.col(f"{pfx}su").cast("double")
+        beta = (n_d * F.col(f"{pfx}suy") - su_d * F.col(f"{pfx}sy")) / (
+            n_d * F.col(f"{pfx}su2") - su_d * su_d
+        )
+        return (F.col(f"{pfx}sy").cast("double") - beta * F.col(f"{pfx}su")) / F.col(
+            f"{pfx}n"
+        )
+
+    al, ar = alpha("l"), alpha("r")
+    return j.select(
+        F.col("ln").alias("n_left"),
+        F.col("rn").alias("n_right"),
+        al.alias("rate_left_at_cutoff"),
+        ar.alias("rate_right_at_cutoff"),
+        (ar - al).alias("rdd_effect"),
+    )
+
+
+CEM_BUCKET_CENTS = 100_000  # $1k coarsening buckets
+
+
+@query(
+    "agg_cem_att",
+    oracle=f"""
+WITH base AS (
+  SELECT o.o_orderkey,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) // {CEM_BUCKET_CENTS}
+           AS b,
+         l.nl AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), cells AS (
+  SELECT b,
+         CAST(SUM(CASE WHEN tr = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(SUM(CASE WHEN tr = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+         CAST(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS BIGINT) AS syt,
+         CAST(SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS BIGINT) AS syc
+  FROM base GROUP BY b
+), matched AS (
+  SELECT * FROM cells WHERE nt > 0 AND nc > 0
+), folds AS (
+  SELECT CAST(SUM(nt) AS BIGINT) AS n_t,
+         CAST(SUM(nc) AS BIGINT) AS n_c,
+         CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         list_sum(list(CAST(syt AS DOUBLE)
+                       - CAST(nt AS DOUBLE) * syc / nc ORDER BY b)) AS num
+  FROM matched
+)
+SELECT n_t AS n_treated_matched,
+       n_c AS n_control_matched,
+       n_buckets AS n_buckets_matched,
+       num / n_t AS att_lines
+FROM folds
+""",
+)
+def agg_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarsened-exact-matching ATT (Iacus-King-Porro): treated
+    (URGENT) orders matched to controls within $1k order-value
+    buckets; unmatched buckets drop (the CEM pruning step), and the
+    effect on the line-count outcome is the matched-stratum
+    difference ATT = mean over treated of (y_t - control bucket
+    mean) — the transparent non-parametric matching design next to
+    agg_stratified_att's quantile strata (CEM coarsens the
+    COVARIATE, not its ranks, so the common-support pruning is
+    explicit in n_buckets_matched).
+
+    Exactness: bucket ids, per-bucket counts and outcome sums are
+    exact integers; each matched bucket's term syt - nt*syc/nc is
+    one fixed double expression folded in BUCKET order via the
+    strict-fold pair (bounded domain: price-range/1k buckets).
+    Scale shape: one lineitem count aggregate, one bucket hash
+    aggregate, a bounded fold."""
+    o = load(spark, sf_dir, "orders")
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    base = o.join(nl, o["o_orderkey"] == nl["l_orderkey"]).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(
+            f"CAST(round(o_totalprice * 100) AS BIGINT) div {CEM_BUCKET_CENTS}"
+        ).alias("b"),
+        "y",
+    )
+    cells = base.groupBy("b").agg(
+        F.sum(F.when(F.col("tr") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nt"),
+        F.sum(F.when(F.col("tr") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("nc"),
+        F.sum(F.when(F.col("tr") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syt"),
+        F.sum(F.when(F.col("tr") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("syc"),
+    )
+    matched = cells.filter((F.col("nt") > 0) & (F.col("nc") > 0))
+    term = (
+        F.col("syt").cast("double")
+        - F.col("nt").cast("double") * F.col("syc") / F.col("nc")
+    )
+    folds = matched.agg(
+        F.sum("nt").cast("bigint").alias("n_t"),
+        F.sum("nc").cast("bigint").alias("n_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("b", term.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("num"),
+    )
+    return folds.select(
+        F.col("n_t").alias("n_treated_matched"),
+        F.col("n_c").alias("n_control_matched"),
+        F.col("n_buckets").alias("n_buckets_matched"),
+        (F.col("num") / F.col("n_t")).alias("att_lines"),
+    )

@@ -1302,3 +1302,61 @@ def test_lof_against_local_numpy(spark, sf_dir):
     # sanity: most points are inliers (LOF near 1)
     med = sorted(r["lof"] for r in rows.values())[n // 2]
     assert 0.8 < med < 1.3
+
+
+# --- continuation-session wave 64: RDD / CEM --------------------------------
+
+
+def test_rdd_placebo_near_zero(spark, sf_dir):
+    r = QUERIES["agg_rdd_sharp"](spark, sf_dir).collect()[0]
+    assert r["n_left"] > 10 and r["n_right"] > 10
+    # synthetic fixture has no discontinuity: placebo effect is small
+    assert abs(r["rdd_effect"]) < 0.35
+    assert abs(
+        r["rdd_effect"]
+        - (r["rate_right_at_cutoff"] - r["rate_left_at_cutoff"])
+    ) < 1e-12
+
+
+def test_cem_att_matches_local(spark, sf_dir):
+    r = QUERIES["agg_cem_att"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("y")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr(
+                "CAST(round(o_totalprice*100) AS BIGINT) div 100000"
+            ).alias("b"),
+            "y",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    cells = defaultdict(lambda: [0, 0, 0, 0])
+    for x in rows:
+        c = cells[x["b"]]
+        if x["tr"]:
+            c[0] += 1
+            c[2] += x["y"]
+        else:
+            c[1] += 1
+            c[3] += x["y"]
+    num = n_t = nb = 0
+    for b in sorted(cells):
+        nt, nc, syt, syc = cells[b]
+        if nt > 0 and nc > 0:
+            num += syt - nt * syc / nc
+            n_t += nt
+            nb += 1
+    assert r["n_treated_matched"] == n_t
+    assert r["n_buckets_matched"] == nb
+    assert abs(r["att_lines"] - num / n_t) < 1e-9
