@@ -5672,3 +5672,221 @@ def ts_binary_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(0, 0, s1)], "depth int, segment int, split_after_day timestamp"
     )
     return top.unionByName(s2)
+
+
+STOCH_WINDOW = 14  # lookback days for %K
+
+
+@query(
+    "ts_stochastic_oscillator",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), w AS (
+  SELECT CAST(day AS TIMESTAMP) AS day, c,
+         MIN(c) OVER (ORDER BY day
+                      ROWS BETWEEN {STOCH_WINDOW - 1} PRECEDING
+                      AND CURRENT ROW) AS lo,
+         MAX(c) OVER (ORDER BY day
+                      ROWS BETWEEN {STOCH_WINDOW - 1} PRECEDING
+                      AND CURRENT ROW) AS hi,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM daily
+), k AS (
+  SELECT day, rn,
+         CAST(c - lo AS DOUBLE) / CAST(hi - lo AS DOUBLE) * 100 AS pct_k
+  FROM w WHERE rn >= {STOCH_WINDOW} AND hi > lo
+), d AS (
+  SELECT day, pct_k,
+         LAG(pct_k, 1) OVER (ORDER BY day) AS k1,
+         LAG(pct_k, 2) OVER (ORDER BY day) AS k2
+  FROM k
+)
+SELECT day, pct_k,
+       CASE WHEN k2 IS NOT NULL THEN (pct_k + k1 + k2) / 3 END AS pct_d
+FROM d
+""",
+)
+def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K/%D over daily revenue: %K locates
+    today inside the {STOCH_WINDOW}-day high-low range, %D is its
+    3-day smoothing — the bounded-momentum indicator completing the
+    technical family (ts_rsi velocity, ts_bollinger_bands
+    dispersion, ts_macd trend; this one is RANGE position).
+
+    Exactness: rolling MIN/MAX over exact integer cents are
+    order-free (no float in the extremes); %K is one float division
+    of two exact integer differences; %D is the EXPLICIT 3-term sum
+    (k + lag1 + lag2)/3 rather than a sliding AVG — sliding-window
+    float aggregates use add/subtract rebalancing whose rounding an
+    oracle cannot replay, the same trap the I-MR key avoided by
+    integer MRs. Flat-range days (hi == lo) are excluded rather than
+    0/0. Scale shape: one hash aggregate to the O(days) rollup, two
+    bounded window passes."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    wf = w.rowsBetween(-(STOCH_WINDOW - 1), 0)
+    base = daily.select(
+        "day",
+        "c",
+        F.min("c").over(wf).alias("lo"),
+        F.max("c").over(wf).alias("hi"),
+        F.row_number().over(w).alias("rn"),
+    )
+    k = base.filter(
+        (F.col("rn") >= STOCH_WINDOW) & (F.col("hi") > F.col("lo"))
+    ).select(
+        "day",
+        (
+            (F.col("c") - F.col("lo")).cast("double")
+            / (F.col("hi") - F.col("lo")).cast("double")
+            * 100
+        ).alias("pct_k"),
+    )
+    wd = Window.orderBy("day")
+    d = k.select(
+        "day",
+        "pct_k",
+        F.lag("pct_k", 1).over(wd).alias("k1"),
+        F.lag("pct_k", 2).over(wd).alias("k2"),
+    )
+    return d.select(
+        "day",
+        "pct_k",
+        F.when(
+            F.col("k2").isNotNull(),
+            (F.col("pct_k") + F.col("k1") + F.col("k2")) / 3,
+        ).alias("pct_d"),
+    )
+
+
+VAR_ALPHA_PCT = 5  # 95% VaR
+
+
+@query(
+    "ts_var_backtest",
+    bounded_cross="1-row VaR-threshold scalar onto the O(days) returns",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), rets AS (
+  SELECT day,
+         CAST(c - LAG(c) OVER (ORDER BY day) AS DOUBLE)
+           / LAG(c) OVER (ORDER BY day) AS r
+  FROM daily QUALIFY r IS NOT NULL
+), ranked AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r, day) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM rets
+), var_t AS (
+  SELECT r AS var_r, n FROM ranked
+  WHERE rn = ({VAR_ALPHA_PCT} * n + 99) // 100
+), viol AS (
+  SELECT v.n,
+         v.var_r,
+         CAST(SUM(CASE WHEN rets.r < v.var_r THEN 1 ELSE 0 END) AS BIGINT)
+           AS x
+  FROM rets, var_t v
+  GROUP BY v.n, v.var_r
+)
+SELECT n AS n_days,
+       var_r AS var_95,
+       x AS n_violations,
+       CAST(x AS DOUBLE) / n AS violation_rate,
+       -2 * ((CAST(n - x AS DOUBLE)
+              * (CAST(FLOOR(LN(CAST('{1 - VAR_ALPHA_PCT / 100!r}' AS DOUBLE))
+                            * 1000000 + 0.5) AS BIGINT) / 1e6)
+              + CAST(x AS DOUBLE)
+                * (CAST(FLOOR(LN(CAST('{VAR_ALPHA_PCT / 100!r}' AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) / 1e6))
+             - (CAST(n - x AS DOUBLE)
+                * (CAST(FLOOR(LN(1 - CAST(x AS DOUBLE) / n) * 1000000 + 0.5)
+                        AS BIGINT) / 1e6)
+                + CAST(x AS DOUBLE)
+                  * (CAST(FLOOR(LN(CAST(x AS DOUBLE) / n) * 1000000 + 0.5)
+                          AS BIGINT) / 1e6))) AS kupiec_lr
+FROM viol
+""",
+)
+def ts_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kupiec proportion-of-failures VaR backtest: the in-sample 95%
+    historical VaR of daily revenue returns (exact order statistic
+    at rank ceil(0.05 n), ties by day), its violation count, and
+    the POF likelihood ratio -2[ln L(p0) - ln L(p_hat)] ~ chi2(1) —
+    the regulatory check (Basel traffic light) that the exceedance
+    RATE matches the stated coverage, extending the risk family
+    (agg_expected_shortfall sizes the tail; this AUDITS the
+    quantile's calibration).
+
+    Exactness: returns are single float divisions of exact integer
+    pairs; the VaR cut is a deterministic rank; violations are
+    exact comparisons/counts; each ln in the LR is quantized at
+    1e-6 so the statistic is fixed arithmetic over (n, x). Scale
+    shape: O(days) rollup, bounded windows, a declared 1-row
+    threshold cross."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    rets = daily.select(
+        "day",
+        (
+            (F.col("c") - F.lag("c").over(w)).cast("double")
+            / F.lag("c").over(w)
+        ).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    wr = Window.orderBy("r", "day")
+    ranked = rets.select(
+        "r",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    var_t = ranked.filter(
+        F.col("rn") == (VAR_ALPHA_PCT * F.col("n") + 99) / 100
+    )
+    # integer division guard: Spark '/' is float — use floor-div expr
+    var_t = ranked.filter(
+        F.col("rn") == F.expr(f"({VAR_ALPHA_PCT} * n + 99) div 100")
+    ).select(F.col("r").alias("var_r"), "n")
+    # bounded: 1-row VaR threshold
+    viol = (
+        rets.crossJoin(F.broadcast(var_t))
+        .groupBy("n", "var_r")
+        .agg(
+            F.sum(F.when(F.col("r") < F.col("var_r"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col) * F.lit(1000000) + F.lit(0.5)).cast(
+            "bigint"
+        ) / F.lit(1e6)
+
+    p0 = VAR_ALPHA_PCT / 100
+    n_d = F.col("n").cast("double")
+    x_d = F.col("x").cast("double")
+    nx_d = (F.col("n") - F.col("x")).cast("double")
+    rate = x_d / F.col("n")
+    ll0 = nx_d * lnq(F.lit(1 - p0)) + x_d * lnq(F.lit(p0))
+    ll1 = nx_d * lnq(F.lit(1) - rate) + x_d * lnq(rate)
+    return viol.select(
+        F.col("n").alias("n_days"),
+        F.col("var_r").alias("var_95"),
+        F.col("x").alias("n_violations"),
+        rate.alias("violation_rate"),
+        (F.lit(-2) * (ll0 - ll1)).alias("kupiec_lr"),
+    )

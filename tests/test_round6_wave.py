@@ -1360,3 +1360,27 @@ def test_cem_att_matches_local(spark, sf_dir):
     assert r["n_treated_matched"] == n_t
     assert r["n_buckets_matched"] == nb
     assert abs(r["att_lines"] - num / n_t) < 1e-9
+
+
+# --- continuation-session wave 65: stochastic oscillator / VaR backtest ----
+
+
+def test_stochastic_oscillator_bounds(spark, sf_dir):
+    rows = QUERIES["ts_stochastic_oscillator"](spark, sf_dir).orderBy("day").collect()
+    assert len(rows) > 100
+    for r in rows:
+        assert 0 <= r["pct_k"] <= 100
+        if r["pct_d"] is not None:
+            assert 0 <= r["pct_d"] <= 100
+    # %D is the explicit 3-term mean
+    for i in range(2, min(50, len(rows))):
+        want = (rows[i]["pct_k"] + rows[i - 1]["pct_k"] + rows[i - 2]["pct_k"]) / 3
+        assert abs(rows[i]["pct_d"] - want) < 1e-9
+
+
+def test_var_backtest_coverage(spark, sf_dir):
+    r = QUERIES["ts_var_backtest"](spark, sf_dir).collect()[0]
+    assert r["var_95"] < 0 or r["var_95"] < 0.05  # left-tail quantile
+    # violations = strictly-below count; must be near the rank cut
+    assert 0 < r["n_violations"] <= (5 * r["n_days"] + 99) // 100
+    assert r["kupiec_lr"] >= -1e-6  # LR is nonnegative up to quantization
