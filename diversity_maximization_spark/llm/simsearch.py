@@ -1152,3 +1152,174 @@ def anomaly_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lof",
         )
     )
+
+
+ISO_TREES = 8
+ISO_DEPTH = 10
+ISO_BINS = 1 << ISO_DEPTH  # per-dim quantization (max revisits = depth)
+
+
+def _iso_dim(t: int, j: int) -> int:
+    """Portable tree/level -> dimension selector (Knuth mix)."""
+    return ((t * 1000003 + j) * 2654435761 % 4294967296) % 64
+
+
+_ISO_GRID = [
+    (t, j, _iso_dim(t, j),
+     sum(1 for jj in range(1, j) if _iso_dim(t, jj) == _iso_dim(t, j)))
+    for t in range(ISO_TREES)
+    for j in range(1, ISO_DEPTH + 1)
+]  # (tree, level, dim, revisit_index)
+
+
+def _iso_oracle() -> str:
+    grid_vals = ", ".join(f"({t}, {j}, {d}, {r})" for t, j, d, r in _ISO_GRID)
+    return f"""
+WITH grid AS (
+  SELECT * FROM (VALUES {grid_vals}) AS g(t, j, dim, ridx)
+), rng AS (
+  SELECT u.dim, MIN(u.v) AS lo, MAX(u.v) AS hi
+  FROM (SELECT unnest(generate_series(0, 63)) AS dim, e.embedding FROM embeddings e) s,
+       LATERAL (SELECT s.dim AS dim, CAST(s.embedding[s.dim + 1] AS DOUBLE) AS v) u
+  GROUP BY u.dim
+), q AS (
+  SELECT e.vec_id, r.dim,
+         CASE WHEN r.hi > r.lo THEN
+           LEAST({ISO_BINS - 1}, GREATEST(0,
+             CAST(FLOOR((CAST(e.embedding[r.dim + 1] AS DOUBLE) - r.lo)
+                        * {ISO_BINS} / (r.hi - r.lo)) AS BIGINT)))
+         ELSE 0 END AS qv
+  FROM embeddings e, rng r
+), bits AS (
+  SELECT q.vec_id, g.t, g.j,
+         CAST((q.qv >> g.ridx) & 1 AS BIGINT) AS bit
+  FROM grid g JOIN q ON q.dim = g.dim
+), cells AS (
+  SELECT b.vec_id, b.t, d.d,
+         CAST(SUM(CASE WHEN b.j <= d.d THEN b.bit * (1 << b.j) ELSE 0 END)
+              AS BIGINT) AS cell
+  FROM bits b, unnest(generate_series(1, {ISO_DEPTH})) d(d)
+  GROUP BY 1, 2, 3
+), occ AS (
+  SELECT t, d, cell, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2, 3
+), iso AS (
+  SELECT c.vec_id, c.t,
+         COALESCE(MIN(CASE WHEN o.n = 1 THEN c.d END), {ISO_DEPTH + 1})
+           AS depth
+  FROM cells c JOIN occ o ON o.t = c.t AND o.d = c.d AND o.cell = c.cell
+  GROUP BY 1, 2
+)
+SELECT vec_id,
+       CAST(SUM(depth) AS DOUBLE) / {ISO_TREES} AS mean_iso_depth,
+       CAST(MIN(depth) AS BIGINT) AS min_iso_depth,
+       CAST(SUM(CASE WHEN depth <= {ISO_DEPTH} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_isolated_trees
+FROM iso GROUP BY vec_id
+"""
+
+
+@query("anomaly_isolation_grid", oracle=_iso_oracle())
+def anomaly_isolation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic isolation forest over the embeddings: {ISO_TREES}
+    trees of depth {ISO_DEPTH} whose splits are MIDPOINT cuts of
+    data-independent per-dimension ranges (dimension order by a
+    portable Knuth mix). Midpoint splits make every node a dyadic
+    grid cell, so 'the depth at which a point is isolated' becomes
+    'the first depth at which its cell count is 1' — the
+    iForest-style density score (low depth = anomalous) computed by
+    pure hash aggregates, no trees materialized and no RNG state.
+    Complements anomaly_lof: LOF is neighborhood-relative (exact
+    k-NN graph), this is axis-parallel partition depth (one pass,
+    cheap at any scale) — the screening-vs-confirmation pair a real
+    pipeline runs in that order.
+
+    Exactness: per-dim ranges are exact float MIN/MAX; quantized
+    coordinates are single fixed float expressions floor-clamped to
+    integers; everything after (bits, dyadic cell ids, counts,
+    isolation depths) is exact integer arithmetic. Scale shape: one
+    range aggregate, one bounded 80-row grid replication, two hash
+    aggregates and a key-equi-join — fully linear, no pairwise
+    anything."""
+    e = load(spark, sf_dir, "embeddings")
+    # per-dim ranges (64 rows -> driver floats -> literals; exact
+    # min/max so the values equal the oracle's inline aggregates)
+    expl = e.select(
+        F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("dim", F.col("v").cast("double").alias("v"))
+    rng = {
+        int(r["dim"]): (float(r["lo"]), float(r["hi"]))
+        for r in expl.groupBy("dim")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+        .collect()
+    }
+    grid = spark.createDataFrame(
+        _ISO_GRID, "t int, j int, dim int, ridx int"
+    )
+    lo_arr = F.array(*[F.lit(rng[d][0]) for d in range(64)])
+    hi_arr = F.array(*[F.lit(rng[d][1]) for d in range(64)])
+    q = (
+        e.withColumn("lo_a", lo_arr)
+        .withColumn("hi_a", hi_arr)
+        .select(
+            "vec_id",
+            F.expr(
+                f"transform(sequence(0, 63), d -> "
+                f"CASE WHEN element_at(hi_a, d + 1) > element_at(lo_a, d + 1) THEN "
+                f"LEAST({ISO_BINS - 1}, GREATEST(0, "
+                f"CAST(FLOOR((CAST(element_at(embedding, d + 1) AS DOUBLE) "
+                f"- element_at(lo_a, d + 1)) "
+                f"* {ISO_BINS} / (element_at(hi_a, d + 1) - element_at(lo_a, d + 1))) "
+                f"AS BIGINT))) "
+                f"ELSE CAST(0 AS BIGINT) END)"
+            ).alias("qvs"),
+        )
+    )
+    # bounded: 80-row (tree, level) grid replication
+    bits = q.crossJoin(F.broadcast(grid)).select(
+        "vec_id",
+        "t",
+        "j",
+        F.expr("CAST(shiftright(element_at(qvs, dim + 1), ridx) & 1 AS BIGINT)")
+        .alias("bit"),
+    )
+    depths = spark.range(1, ISO_DEPTH + 1).select(
+        F.col("id").cast("int").alias("d")
+    )
+    # bounded: 10-row depth grid
+    cells = (
+        bits.crossJoin(F.broadcast(depths))
+        .groupBy("vec_id", "t", "d")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("j") <= F.col("d"),
+                    F.col("bit") * F.expr("CAST(shiftleft(1, j) AS BIGINT)"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("cell")
+        )
+    )
+    occ = cells.groupBy("t", "d", "cell").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    iso = (
+        cells.join(occ, ["t", "d", "cell"])
+        .groupBy("vec_id", "t")
+        .agg(
+            F.coalesce(
+                F.min(F.when(F.col("n") == 1, F.col("d"))),
+                F.lit(ISO_DEPTH + 1),
+            ).alias("depth")
+        )
+    )
+    return iso.groupBy("vec_id").agg(
+        (F.sum("depth").cast("double") / F.lit(ISO_TREES)).alias(
+            "mean_iso_depth"
+        ),
+        F.min("depth").cast("bigint").alias("min_iso_depth"),
+        F.sum(F.when(F.col("depth") <= ISO_DEPTH, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_isolated_trees"),
+    )

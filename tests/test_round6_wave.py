@@ -1384,3 +1384,27 @@ def test_var_backtest_coverage(spark, sf_dir):
     # violations = strictly-below count; must be near the rank cut
     assert 0 < r["n_violations"] <= (5 * r["n_days"] + 99) // 100
     assert r["kupiec_lr"] >= -1e-6  # LR is nonnegative up to quantization
+
+
+# --- continuation-session wave 66: isolation grid ---------------------------
+
+
+def test_isolation_grid_properties(spark, sf_dir):
+    rows = QUERIES["anomaly_isolation_grid"](spark, sf_dir).collect()
+    n = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    for r in rows:
+        assert 1 <= r["min_iso_depth"] <= 11
+        assert r["min_iso_depth"] <= r["mean_iso_depth"] <= 11
+        assert 0 <= r["n_isolated_trees"] <= 8
+    # LOF cross-check: the most isolated points should skew to higher
+    # LOF than the deepest points on the shared corpus (rank-level
+    # agreement between two different outlier lenses)
+    lof = {
+        r["vec_id"]: r["lof"]
+        for r in QUERIES["anomaly_lof"](spark, sf_dir).collect()
+    }
+    by_depth = sorted(rows, key=lambda r: r["mean_iso_depth"])
+    shallow = [lof[r["vec_id"]] for r in by_depth[:25]]
+    deep = [lof[r["vec_id"]] for r in by_depth[-25:]]
+    assert sum(shallow) / len(shallow) >= sum(deep) / len(deep) * 0.9
