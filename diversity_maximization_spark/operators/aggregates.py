@@ -10027,3 +10027,111 @@ def agg_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_buckets").alias("n_buckets_matched"),
         (F.col("num") / F.col("n_t")).alias("att_lines"),
     )
+
+
+@query(
+    "agg_fairness_report",
+    bounded_cross="1-row extremes scalar onto the 5-group table",
+    oracle="""
+WITH pred AS (
+  SELECT c.c_mktsegment AS grp,
+         CASE WHEN o.o_totalprice >
+              (SELECT median(o_totalprice) FROM orders) THEN 1 ELSE 0 END
+           AS yhat,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(yhat) AS BIGINT) AS npos,
+         CAST(SUM(CASE WHEN y = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS tp,
+         CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+         CAST(SUM(CASE WHEN y = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS fp,
+         CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+  FROM pred GROUP BY grp
+), ext AS (
+  SELECT MAX(CAST(npos AS DOUBLE) / n) AS mx_sel,
+         MIN(CAST(npos AS DOUBLE) / n) AS mn_sel,
+         MAX(CAST(tp AS DOUBLE) / p) AS mx_tpr,
+         MIN(CAST(tp AS DOUBLE) / p) AS mn_tpr
+  FROM g
+)
+SELECT g.grp,
+       g.n,
+       CAST(g.npos AS DOUBLE) / g.n AS selection_rate,
+       CAST(g.tp AS DOUBLE) / g.p AS tpr,
+       CAST(g.fp AS DOUBLE) / g.neg AS fpr,
+       ext.mx_sel - ext.mn_sel AS demographic_parity_gap,
+       ext.mx_tpr - ext.mn_tpr AS equal_opportunity_gap,
+       ext.mn_sel / ext.mx_sel AS disparate_impact_ratio
+FROM g, ext
+""",
+)
+def agg_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-fairness audit of a threshold classifier across the five
+    customer market segments: per-group selection rate, TPR and FPR
+    (classifier = order value above the corpus median; outcome =
+    fulfilment), plus the three standard gap metrics every
+    responsible-AI review reports — demographic-parity gap,
+    equal-opportunity (TPR) gap, and the four-fifths
+    disparate-impact ratio. Completes the eval family
+    (agg_classifier_eval accuracy, agg_roc_auc ranking, agg_ece
+    calibration; this audits GROUP SKEW).
+
+    Exactness: the threshold is the exact-median order statistic
+    (both engines' median of the same doubles — 2-dp values, exact
+    compare); all confusion cells are exact integer counts; rates
+    and gaps are fixed double expressions with the extremes taken
+    over the bounded 5-group table. Scale shape: one broadcast-able
+    dimension join, one hash aggregate to 5 rows, a bounded extreme
+    scan, a declared 1-row cross."""
+    o = load(spark, sf_dir, "orders")
+    med = o.agg(F.expr("median(o_totalprice)").alias("m")).collect()[0]["m"]
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("grp")
+    )
+    pred = o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"]).select(
+        "grp",
+        F.when(F.col("o_totalprice") > F.lit(med), 1).otherwise(0).alias(
+            "yhat"
+        ),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = pred.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yhat").cast("bigint").alias("npos"),
+        F.sum(F.when((F.col("y") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+        F.sum(F.when((F.col("y") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    sel = F.col("npos").cast("double") / F.col("n")
+    tpr = F.col("tp").cast("double") / F.col("p")
+    ext = g.agg(
+        F.max(sel).alias("mx_sel"),
+        F.min(sel).alias("mn_sel"),
+        F.max(tpr).alias("mx_tpr"),
+        F.min(tpr).alias("mn_tpr"),
+    )
+    # bounded: 1-row extremes scalar onto the 5-group table
+    j = g.crossJoin(F.broadcast(ext))
+    return j.select(
+        "grp",
+        "n",
+        sel.alias("selection_rate"),
+        tpr.alias("tpr"),
+        (F.col("fp").cast("double") / F.col("neg")).alias("fpr"),
+        (F.col("mx_sel") - F.col("mn_sel")).alias("demographic_parity_gap"),
+        (F.col("mx_tpr") - F.col("mn_tpr")).alias("equal_opportunity_gap"),
+        (F.col("mn_sel") / F.col("mx_sel")).alias("disparate_impact_ratio"),
+    )

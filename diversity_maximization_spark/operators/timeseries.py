@@ -5890,3 +5890,82 @@ def ts_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("violation_rate"),
         (F.lit(-2) * (ll0 - ll1)).alias("kupiec_lr"),
     )
+
+
+@query(
+    "ts_pettitt",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT day,
+         CAST(ROW_NUMBER() OVER (ORDER BY c, day) AS BIGINT) AS r
+  FROM daily
+), cum AS (
+  SELECT day,
+         CAST(SUM(r) OVER (ORDER BY day) AS BIGINT) AS sr,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM rk
+), u AS (
+  SELECT day, t, n, 2 * sr - t * (n + 1) AS ut
+  FROM cum WHERE t < n
+)
+SELECT CAST(day AS TIMESTAMP) AS change_day,
+       CAST(t AS BIGINT) AS t_index,
+       CAST(abs(ut) AS BIGINT) AS k_stat,
+       CAST(n AS BIGINT) AS n_days
+FROM u
+ORDER BY abs(ut) DESC, day
+LIMIT 1
+""",
+)
+def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt changepoint test on daily revenue — the RANK-based
+    (distribution-free) single change-point locator next to
+    ts_best_split's mean-shift score: U_t = sum_{i<=t, j>t}
+    sign(x_i - x_j) collapses, for a tie-broken total order, to
+    2*cumsum(rank) - t(n+1), so the whole statistic is exact
+    integer arithmetic and the change day is argmax |U_t|. Robust
+    where best_split is not: a variance-stable level shift in a
+    heavy-tailed series moves ranks long before it moves means.
+
+    Exactness: ranks use the deterministic (cents, day) order; U_t
+    is exact bigint; the argmax is ORDER BY |U| DESC, day LIMIT 1.
+    Scale shape: one hash aggregate to the O(days) rollup, two
+    bounded window passes, a 1-row TakeOrderedAndProject."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    wr = Window.orderBy("c", "day")
+    rk = daily.select(
+        "day", F.row_number().over(wr).cast("bigint").alias("r")
+    )
+    wd = Window.orderBy("day")
+    cum = rk.select(
+        "day",
+        F.sum("r").over(wd).cast("bigint").alias("sr"),
+        F.row_number().over(wd).cast("bigint").alias("t"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    u = cum.filter(F.col("t") < F.col("n")).select(
+        "day",
+        "t",
+        "n",
+        (2 * F.col("sr") - F.col("t") * (F.col("n") + 1)).alias("ut"),
+    )
+    return (
+        u.orderBy(F.abs(F.col("ut")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.col("t").alias("t_index"),
+            F.abs(F.col("ut")).cast("bigint").alias("k_stat"),
+            F.col("n").alias("n_days"),
+        )
+    )

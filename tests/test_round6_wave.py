@@ -1408,3 +1408,46 @@ def test_isolation_grid_properties(spark, sf_dir):
     shallow = [lof[r["vec_id"]] for r in by_depth[:25]]
     deep = [lof[r["vec_id"]] for r in by_depth[-25:]]
     assert sum(shallow) / len(shallow) >= sum(deep) / len(deep) * 0.9
+
+
+# --- continuation-session wave 67: Pettitt / fairness -----------------------
+
+
+def test_pettitt_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["ts_pettitt"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["day"], row["c"])
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    # tie-broken ranks over (c, day)
+    order = sorted(range(len(daily)), key=lambda i: (daily[i][1], daily[i][0]))
+    rank = [0] * len(daily)
+    for pos, i in enumerate(order, start=1):
+        rank[i] = pos
+    n = len(daily)
+    best = (-1, None)
+    sr = 0
+    for t in range(1, n):
+        sr += rank[t - 1]
+        ut = abs(2 * sr - t * (n + 1))
+        if ut > best[0]:
+            best = (ut, daily[t - 1][0])
+    assert r["k_stat"] == best[0]
+    assert r["change_day"] == best[1]
+    assert r["n_days"] == n
+
+
+def test_fairness_report_gaps(spark, sf_dir):
+    rows = QUERIES["agg_fairness_report"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    sels = [r["selection_rate"] for r in rows]
+    tprs = [r["tpr"] for r in rows]
+    g = rows[0]
+    assert abs(g["demographic_parity_gap"] - (max(sels) - min(sels))) < 1e-12
+    assert abs(g["equal_opportunity_gap"] - (max(tprs) - min(tprs))) < 1e-12
+    assert 0 < g["disparate_impact_ratio"] <= 1
+    for r in rows:
+        assert 0 <= r["fpr"] <= 1 and 0 <= r["tpr"] <= 1
