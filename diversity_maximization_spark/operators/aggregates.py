@@ -10135,3 +10135,148 @@ def agg_fairness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mx_tpr") - F.col("mn_tpr")).alias("equal_opportunity_gap"),
         (F.col("mn_sel") / F.col("mx_sel")).alias("disparate_impact_ratio"),
     )
+
+
+NV_CU, NV_CO = 9, 1  # newsvendor under/over-stock unit costs (9:1)
+
+
+@query(
+    "agg_newsvendor",
+    oracle=f"""
+WITH demand AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, day) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM demand
+), pick AS (
+  SELECT d AS q_star, n FROM r
+  WHERE rn = ({NV_CU} * n + {NV_CU + NV_CO} - 1) // {NV_CU + NV_CO}
+), m AS (
+  SELECT CAST(SUM(d) AS BIGINT) AS sd, CAST(COUNT(*) AS BIGINT) AS n
+  FROM demand
+)
+SELECT m.n AS n_days,
+       CAST(m.sd AS DOUBLE) / m.n AS mean_daily_demand,
+       CAST({NV_CU} AS DOUBLE) / {NV_CU + NV_CO} AS critical_fractile,
+       pick.q_star AS q_star_orders
+FROM m, pick
+""",
+)
+def agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor optimal stocking level for daily order demand:
+    q* = F^-1(cu/(cu+co)) — the empirical-quantile solution of the
+    single-period inventory problem at a {NV_CU}:{NV_CO}
+    understock:overstock cost ratio (critical fractile 0.9), the OR
+    classic behind every perishable/capacity pre-commit decision.
+    Complements agg_expected_shortfall (which prices the tail this
+    quantile cuts).
+
+    Exactness: daily demand counts are exact integers; q* is the
+    exact order statistic at rank ceil(f*n) under the deterministic
+    (demand, day) order — integer ceiling arithmetic identical in
+    both engines. Scale shape: one O(days) rollup, one bounded rank
+    window, a 1-row pick with a declared scalar cross."""
+    demand = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    # bounded: O(days) daily rollup rows
+    wr = Window.orderBy("d", "day")
+    r = demand.select(
+        "d",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    pick = r.filter(
+        F.col("rn")
+        == F.expr(f"({NV_CU} * n + {NV_CU + NV_CO} - 1) div {NV_CU + NV_CO}")
+    ).select(F.col("d").alias("q_star"), "n")
+    m = demand.agg(
+        F.sum("d").cast("bigint").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("nn"),
+    )
+    # bounded: 1-row quantile pick
+    j = m.crossJoin(F.broadcast(pick))
+    return j.select(
+        F.col("nn").alias("n_days"),
+        (F.col("sd").cast("double") / F.col("nn")).alias(
+            "mean_daily_demand"
+        ),
+        (F.lit(NV_CU).cast("double") / F.lit(NV_CU + NV_CO)).alias(
+            "critical_fractile"
+        ),
+        F.col("q_star").alias("q_star_orders"),
+    )
+
+
+SS_Z_90 = 1.2815515655446004  # Phi^-1(0.90), public constant
+SS_LEAD_DAYS = 7
+
+
+@query(
+    "agg_safety_stock",
+    oracle=f"""
+WITH demand AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(COUNT(*) AS BIGINT) AS d
+  FROM orders GROUP BY 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS s,
+         CAST(SUM(d * d) AS BIGINT) AS ss
+  FROM demand
+)
+SELECT n AS n_days,
+       CAST(s AS DOUBLE) / n AS mean_daily_demand,
+       sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s) / (n - 1))
+         AS sd_daily_demand,
+       CAST('{SS_Z_90!r}' AS DOUBLE)
+         * sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s) / (n - 1))
+         * sqrt(CAST({SS_LEAD_DAYS} AS DOUBLE)) AS safety_stock_orders,
+       (CAST(s AS DOUBLE) / n) * {SS_LEAD_DAYS}
+         + CAST('{SS_Z_90!r}' AS DOUBLE)
+           * sqrt((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) / n) * s) / (n - 1))
+           * sqrt(CAST({SS_LEAD_DAYS} AS DOUBLE)) AS reorder_point_orders
+FROM m
+""",
+)
+def agg_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safety stock and reorder point for daily order demand at a
+    90% cycle service level over a {SS_LEAD_DAYS}-day lead time:
+    SS = z * sd_daily * sqrt(L), ROP = mean_daily * L + SS — the
+    continuous-review (s, Q) inventory formulas, the planning twin
+    of agg_newsvendor's single-period quantile (z as a
+    repr-round-tripped CAST-string literal, the ts_macd lesson).
+
+    Exactness: demand moments are exact integers; every output is a
+    fixed double expression over them. ONE hash aggregate chain."""
+    demand = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    m = demand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("s"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("ss"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("ss").cast("double") - mu * F.col("s")) / (F.col("n") - 1)
+    )
+    ss_ = (
+        F.lit(SS_Z_90)
+        * sd
+        * F.sqrt(F.lit(SS_LEAD_DAYS).cast("double"))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        mu.alias("mean_daily_demand"),
+        sd.alias("sd_daily_demand"),
+        ss_.alias("safety_stock_orders"),
+        (mu * F.lit(SS_LEAD_DAYS) + ss_).alias("reorder_point_orders"),
+    )

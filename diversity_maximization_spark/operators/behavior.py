@@ -3308,3 +3308,83 @@ def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day bigint, n_at_risk bigint, n_events bigint,"
         " cumhaz_nano bigint, cumhaz double, se double",
     )
+
+
+@query(
+    "agg_littles_law",
+    bounded_cross="two 1-row scalars (horizon, job moments) crossed",
+    oracle="""
+WITH jobs AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         CAST(epoch_us(MIN(ts)) AS BIGINT) AS s,
+         CAST(epoch_us(MAX(ts)) AS BIGINT) + 60000000 AS e
+  FROM events GROUP BY 1, 2
+), hz AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS h0, CAST(MAX(e) AS BIGINT) AS h1
+  FROM jobs
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(e - s) AS BIGINT) AS busy_us
+  FROM jobs
+)
+SELECT m.n AS n_jobs,
+       CAST(hz.h1 - hz.h0 AS DOUBLE) / 3600000000 AS horizon_hours,
+       CAST(m.n AS DOUBLE) / (CAST(hz.h1 - hz.h0 AS DOUBLE) / 3600000000)
+         AS lambda_per_hour,
+       CAST(m.busy_us AS DOUBLE) / m.n / 60000000 AS w_mean_minutes,
+       CAST(m.busy_us AS DOUBLE) / (hz.h1 - hz.h0) AS l_time_avg,
+       (CAST(m.n AS DOUBLE) / (CAST(hz.h1 - hz.h0 AS DOUBLE) / 3600000000))
+         * (CAST(m.busy_us AS DOUBLE) / m.n / 60000000) / 60
+         / (CAST(m.busy_us AS DOUBLE) / (hz.h1 - hz.h0)) AS littles_ratio
+FROM m, hz
+""",
+)
+def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Little's law audit of user activity: jobs are per-(user, day)
+    activity spans (first to last event + a 1-minute floor);
+    L = time-average concurrent jobs, lambda = arrival rate,
+    W = mean span — and L = lambda * W (Brumelle/Little identity,
+    exact here because the time-average concurrency integral equals
+    the exact integer sum of span durations over the horizon —
+    sum(cur * dt) == sum(durations) for any interval set). The
+    reported ratio folds the unit conversions back out and reads
+    1.0 up to float — the ops-queueing sanity check every capacity
+    model starts from; interval_concurrency gives the per-day PEAK
+    view of the same sweep.
+
+    Exactness: all spans and the horizon are exact integer
+    epoch-microseconds; the five outputs are fixed double
+    expressions over three exact integers. Scale shape: one hash
+    aggregate to O(user-days), two 1-row reductions, a declared
+    scalar cross."""
+    ev = load(spark, sf_dir, "events")
+    jobs = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.expr("CAST(unix_micros(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)").alias("s"),
+        (F.expr("CAST(unix_micros(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT)") + 60000000).alias(
+            "e"
+        ),
+    )
+    hz = jobs.agg(
+        F.min("s").cast("bigint").alias("h0"),
+        F.max("e").cast("bigint").alias("h1"),
+    )
+    m = jobs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("e") - F.col("s")).cast("bigint").alias("busy_us"),
+    )
+    j = m.crossJoin(F.broadcast(hz))
+    hor = (F.col("h1") - F.col("h0")).cast("double")
+    hor_h = hor / F.lit(3600000000)
+    lam = F.col("n").cast("double") / hor_h
+    w_min = F.col("busy_us").cast("double") / F.col("n") / F.lit(60000000)
+    l_avg = F.col("busy_us").cast("double") / (F.col("h1") - F.col("h0"))
+    return j.select(
+        F.col("n").alias("n_jobs"),
+        hor_h.alias("horizon_hours"),
+        lam.alias("lambda_per_hour"),
+        w_min.alias("w_mean_minutes"),
+        l_avg.alias("l_time_avg"),
+        (lam * w_min / F.lit(60) / l_avg).alias("littles_ratio"),
+    )

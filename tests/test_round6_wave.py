@@ -1451,3 +1451,43 @@ def test_fairness_report_gaps(spark, sf_dir):
     assert 0 < g["disparate_impact_ratio"] <= 1
     for r in rows:
         assert 0 <= r["fpr"] <= 1 and 0 <= r["tpr"] <= 1
+
+
+# --- continuation-session wave 68: OR / queueing ----------------------------
+
+
+def test_littles_law_identity(spark, sf_dir):
+    r = QUERIES["agg_littles_law"](spark, sf_dir).collect()[0]
+    assert r["n_jobs"] > 0 and r["horizon_hours"] > 0
+    # Brumelle/Little identity holds exactly (same integer sums)
+    assert abs(r["littles_ratio"] - 1.0) < 1e-9
+    assert r["w_mean_minutes"] >= 1.0  # the 1-minute span floor
+
+
+def test_newsvendor_quantile(spark, sf_dir):
+    r = QUERIES["agg_newsvendor"](spark, sf_dir).collect()[0]
+    ds = sorted(
+        row["d"]
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .collect()
+    )
+    k = (9 * len(ds) + 9) // 10
+    assert r["q_star_orders"] == ds[k - 1]
+    assert r["critical_fractile"] == 0.9
+    # q* at the 90th percentile exceeds the mean for any distribution
+    # that is not left-degenerate
+    assert r["q_star_orders"] >= r["mean_daily_demand"] * 0.9
+
+
+def test_safety_stock_consistency(spark, sf_dir):
+    r = QUERIES["agg_safety_stock"](spark, sf_dir).collect()[0]
+    import math
+
+    want = 1.2815515655446004 * r["sd_daily_demand"] * math.sqrt(7)
+    assert abs(r["safety_stock_orders"] - want) < 1e-9
+    assert abs(
+        r["reorder_point_orders"]
+        - (r["mean_daily_demand"] * 7 + r["safety_stock_orders"])
+    ) < 1e-9
