@@ -10280,3 +10280,168 @@ def agg_safety_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss_.alias("safety_stock_orders"),
         (mu * F.lit(SS_LEAD_DAYS) + ss_).alias("reorder_point_orders"),
     )
+
+
+@query(
+    "agg_iptw_ate",
+    oracle="""
+WITH base AS (
+  SELECT o_orderpriority AS seg,
+         CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS tr,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders
+), cells AS (
+  SELECT seg,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(tr) AS BIGINT) AS nt,
+         CAST(SUM(tr * y) AS BIGINT) AS syt,
+         CAST(SUM((1 - tr) * y) AS BIGINT) AS syc
+  FROM base GROUP BY seg
+), terms AS (
+  SELECT seg, n, nt,
+         CAST(syt AS DOUBLE) / (CAST(nt AS DOUBLE) / n) AS wy_t,
+         CAST(nt AS DOUBLE) / (CAST(nt AS DOUBLE) / n) AS w_t,
+         CAST(syc AS DOUBLE) / (1 - CAST(nt AS DOUBLE) / n) AS wy_c,
+         CAST(n - nt AS DOUBLE) / (1 - CAST(nt AS DOUBLE) / n) AS w_c
+  FROM cells
+), folds AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+         list_sum(list(wy_t ORDER BY seg)) AS swy_t,
+         list_sum(list(w_t ORDER BY seg)) AS sw_t,
+         list_sum(list(wy_c ORDER BY seg)) AS swy_c,
+         list_sum(list(w_c ORDER BY seg)) AS sw_c
+  FROM terms
+)
+SELECT n_total,
+       swy_t / sw_t AS mean_treated_iptw,
+       swy_c / sw_c AS mean_control_iptw,
+       swy_t / sw_t - swy_c / sw_c AS ate_iptw
+FROM folds
+""",
+)
+def agg_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-probability-of-treatment-weighted ATE (Horvitz-
+    Thompson / Hajek form) with a CLOSED-FORM propensity model —
+    the segment-saturated propensity e(seg) = P(T|seg) is the exact
+    within-segment treatment rate, so the logistic fit every IPTW
+    pipeline runs has an exact solution here and the estimator
+    needs no iteration: ATE = Hajek-weighted treated mean minus
+    control mean. Treatment is the deterministic orderkey % 3
+    pseudo-assignment (the sample_ab_assignment convention). The
+    estimating-equation counterpart of agg_stratified_att (same
+    strata, weighting instead of post-stratification — with a
+    saturated model the two coincide asymptotically, readable side
+    by side).
+
+    Exactness: per-segment counts/sums are exact integers; each
+    segment's four weighted terms are fixed double expressions, and
+    the cross-segment accumulations fold in SEGMENT order via the
+    strict-fold pair. Scale shape: one hash aggregate to 5 rows,
+    one bounded fold."""
+    base = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("seg"),
+        F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0).alias("tr"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    cells = base.groupBy("seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("tr").cast("bigint").alias("nt"),
+        F.sum(F.col("tr") * F.col("y")).cast("bigint").alias("syt"),
+        F.sum((1 - F.col("tr")) * F.col("y")).cast("bigint").alias("syc"),
+    )
+    e = F.col("nt").cast("double") / F.col("n")
+    terms = cells.select(
+        "seg",
+        "n",
+        (F.col("syt").cast("double") / e).alias("wy_t"),
+        (F.col("nt").cast("double") / e).alias("w_t"),
+        (F.col("syc").cast("double") / (F.lit(1) - e)).alias("wy_c"),
+        ((F.col("n") - F.col("nt")).cast("double") / (F.lit(1) - e)).alias(
+            "w_c"
+        ),
+    )
+
+    def seg_fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", F.col(col).alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    folds = terms.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        seg_fold("wy_t").alias("swy_t"),
+        seg_fold("w_t").alias("sw_t"),
+        seg_fold("wy_c").alias("swy_c"),
+        seg_fold("w_c").alias("sw_c"),
+    )
+    mt = F.col("swy_t") / F.col("sw_t")
+    mc = F.col("swy_c") / F.col("sw_c")
+    return folds.select(
+        "n_total",
+        mt.alias("mean_treated_iptw"),
+        mc.alias("mean_control_iptw"),
+        (mt - mc).alias("ate_iptw"),
+    )
+
+
+@query(
+    "agg_last_digit_test",
+    bounded_cross="1-row corpus-count scalar onto the 10-digit table",
+    oracle="""
+WITH obs AS (
+  SELECT CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 10 AS INTEGER)
+           AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM orders GROUP BY 1
+), n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders
+), digits AS (
+  SELECT CAST(unnest(generate_series(0, 9)) AS INTEGER) AS digit
+)
+SELECT d.digit,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       CAST(n.n AS DOUBLE) / 10 AS expected,
+       CAST((10 * COALESCE(o.n_obs, 0) - n.n)
+            * (10 * COALESCE(o.n_obs, 0) - n.n) AS DOUBLE)
+         / CAST(10 * n.n AS DOUBLE) AS chi2_term
+FROM digits d LEFT JOIN obs o ON o.digit = d.digit, n
+""",
+)
+def agg_last_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-digit uniformity screen on order cents — the forensic
+    companion of agg_benford: genuine transactional amounts have
+    UNIFORM last digits (chi2 vs n/10 expected), while fabricated
+    or psychologically-priced amounts cluster on 0/5/9; reading
+    this next to the Benford first-digit screen catches both tail
+    types. Per-digit chi-square contribution via the exact-integer
+    identity (obs - n/10)^2/(n/10) = (10*obs - n)^2 / (10n).
+
+    Exactness: digit counts are exact; the chi2 numerator
+    (10*obs - n)^2 is exact bigint (~2e16 at a 100x corpus, inside
+    int64); one float division per row. Scale shape: one hash
+    aggregate to <=10 rows, a broadcast join to the literal digit
+    table, a declared 1-row count cross."""
+    o = load(spark, sf_dir, "orders")
+    obs = (
+        o.select(
+            (F.expr(cents("o_totalprice")) % 10).cast("int").alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    n1 = o.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    digits = spark.createDataFrame([(d,) for d in range(10)], "digit int")
+    base = digits.join(F.broadcast(obs), "digit", "left").crossJoin(
+        F.broadcast(n1)
+    )
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0).cast("bigint"))
+    diff = 10 * n_obs - F.col("n")
+    return base.select(
+        "digit",
+        n_obs.alias("n_obs"),
+        (F.col("n").cast("double") / 10).alias("expected"),
+        ((diff * diff).cast("double") / (10 * F.col("n")).cast("double")).alias(
+            "chi2_term"
+        ),
+    )

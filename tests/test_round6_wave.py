@@ -1491,3 +1491,53 @@ def test_safety_stock_consistency(spark, sf_dir):
         r["reorder_point_orders"]
         - (r["mean_daily_demand"] * 7 + r["safety_stock_orders"])
     ) < 1e-9
+
+
+# --- continuation-session wave 69: IPTW / last-digit ------------------------
+
+
+def test_iptw_matches_stratified_identity(spark, sf_dir):
+    r = QUERIES["agg_iptw_ate"](spark, sf_dir).collect()[0]
+    # with a saturated (segment-exact) propensity, the Hajek IPTW
+    # treated mean equals the plain treated mean within segment
+    # weighting; recompute locally
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("seg"),
+            F.when(F.col("o_orderkey") % 3 == 0, 1).otherwise(0).alias("tr"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    c = defaultdict(lambda: [0, 0, 0, 0])
+    for x in rows:
+        cc = c[x["seg"]]
+        cc[0] += 1
+        cc[1] += x["tr"]
+        cc[2] += x["tr"] * x["y"]
+        cc[3] += (1 - x["tr"]) * x["y"]
+    swy_t = sw_t = swy_c = sw_c = 0.0
+    for seg in sorted(c):
+        n, nt, syt, syc = c[seg]
+        e = nt / n
+        swy_t += syt / e
+        sw_t += nt / e
+        swy_c += syc / (1 - e)
+        sw_c += (n - nt) / (1 - e)
+    assert abs(r["ate_iptw"] - (swy_t / sw_t - swy_c / sw_c)) < 1e-9
+    assert abs(r["mean_treated_iptw"] - swy_t / sw_t) < 1e-12
+
+
+def test_last_digit_uniformity(spark, sf_dir):
+    rows = QUERIES["agg_last_digit_test"](spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(10))
+    n = sum(r["n_obs"] for r in rows)
+    for r in rows:
+        assert abs(r["expected"] - n / 10) < 1e-9
+        assert r["chi2_term"] >= 0
+    # a clean synthetic price population is near-uniform in last digit
+    chi2 = sum(r["chi2_term"] for r in rows)
+    assert chi2 < 50
