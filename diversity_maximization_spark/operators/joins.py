@@ -1486,3 +1486,57 @@ def dbscan_over(
             .alias("cluster_id"),
         )
     )
+
+
+@query(
+    "join_division",
+    oracle="""
+WITH divisor AS (
+  SELECT DISTINCT o_orderpriority AS prio FROM orders
+), pairs AS (
+  SELECT DISTINCT o_custkey, o_orderpriority AS prio FROM orders
+), qualified AS (
+  SELECT o_custkey
+  FROM pairs
+  GROUP BY o_custkey
+  HAVING COUNT(*) = (SELECT COUNT(*) FROM divisor)
+)
+SELECT c.c_custkey, c.c_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM divisor) AS n_required
+FROM customer c JOIN qualified q ON q.o_custkey = c.c_custkey
+""",
+)
+def join_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational DIVISION — 'customers who ordered under ALL five
+    order priorities' — the classic for-all operator SQL lacks a
+    keyword for, and the one canonical join pattern the join family
+    (semi/anti/outer/asof/range/theta/fuzzy...) was still missing.
+    Codd's textbook forms are the double NOT EXISTS or the set
+    difference; the scale-correct relational-algebra plan used here
+    is the COUNTING form: distinct (dividend, divisor-member)
+    pairs, a per-dividend count, HAVING count == |divisor|.
+
+    Exactness: pure key joins and exact integer counts — no floats
+    anywhere. Scale shape: the distinct-pair aggregate shuffles one
+    row per (customer x held priority) — bounded by 5x customers,
+    never the raw fact table; the divisor cardinality is a 1-row
+    scalar; the final customer join is key-equi (broadcast-able
+    dimension at any scale where customers fit the dim tier,
+    shuffle-join otherwise)."""
+    o = load(spark, sf_dir, "orders")
+    divisor = o.select("o_orderpriority").distinct()
+    n_div = divisor.count()
+    pairs = o.select("o_custkey", "o_orderpriority").distinct()
+    qualified = (
+        pairs.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("held"))
+        .filter(F.col("held") == n_div)
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return c.join(
+        qualified, c["c_custkey"] == qualified["o_custkey"]
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.lit(n_div).cast("bigint").alias("n_required"),
+    )

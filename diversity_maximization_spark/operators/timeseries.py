@@ -5969,3 +5969,149 @@ def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_days"),
         )
     )
+
+
+SAX_WIN = 16    # window length (days)
+SAX_STRIDE = 4  # window stride
+SAX_SEGS = 4    # PAA segments per window (4 days each)
+
+
+@query(
+    "ts_sax_motifs",
+    bounded_cross="4-row segment-offset grid over the O(days) rollup",
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), idx AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i, c,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), contrib AS (
+  SELECT (idx.i // {SAX_STRIDE}) - k.k AS w, k.k AS seg, idx.c, idx.n
+  FROM idx, unnest(generate_series(0, {SAX_SEGS - 1})) k(k)
+  WHERE (idx.i // {SAX_STRIDE}) - k.k >= 0
+    AND {SAX_WIN} + {SAX_STRIDE} * ((idx.i // {SAX_STRIDE}) - k.k) <= idx.n
+), segs AS (
+  SELECT w, seg, CAST(SUM(c) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS nd
+  FROM contrib GROUP BY 1, 2
+  HAVING COUNT(*) = {SAX_STRIDE}
+), ranked AS (
+  SELECT w, seg, s,
+         ROW_NUMBER() OVER (ORDER BY s, w, seg) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM segs
+), bp AS (
+  SELECT MAX(CASE WHEN rn = (1 * m + 3) // 4 THEN s END) AS q1,
+         MAX(CASE WHEN rn = (2 * m + 3) // 4 THEN s END) AS q2,
+         MAX(CASE WHEN rn = (3 * m + 3) // 4 THEN s END) AS q3
+  FROM ranked
+), words AS (
+  SELECT segs.w,
+         CAST(SUM((CASE WHEN segs.s <= bp.q1 THEN 0
+                        WHEN segs.s <= bp.q2 THEN 1
+                        WHEN segs.s <= bp.q3 THEN 2
+                        ELSE 3 END)
+                  * (CASE segs.seg WHEN 0 THEN 64 WHEN 1 THEN 16
+                                   WHEN 2 THEN 4 ELSE 1 END))
+              AS BIGINT) AS word
+  FROM segs, bp
+  GROUP BY segs.w
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM words) AS share
+FROM words GROUP BY word
+""",
+)
+def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif census of daily revenue (Lin-Keogh symbolic
+    aggregate approximation, made fully deterministic): sliding
+    {SAX_WIN}-day windows at stride {SAX_STRIDE}, PAA to {SAX_SEGS}
+    segment sums, a 4-letter alphabet from the EMPIRICAL quartiles
+    of all segment sums (exact order statistics instead of Gaussian
+    breakpoints — no erf needed), each window a base-4 word, and
+    the word histogram — repeated words ARE the motifs, the
+    symbolic complement of ts_matrix_profile's exact-distance
+    nearest-neighbor motifs.
+
+    Exactness: segment sums are exact integer cents; breakpoints
+    are rank-based order statistics under the deterministic
+    (sum, window, segment) order; symbolization and word packing
+    are pure integer comparisons. Scale shape: one O(days) rollup,
+    a DECLARED 4-row offset-grid replication (each day feeds its 4
+    covering windows), three hash aggregates, one bounded rank
+    window."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    idx = daily.select(
+        (F.row_number().over(w) - 1).alias("i"),
+        "c",
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    kgrid = spark.createDataFrame([(k,) for k in range(SAX_SEGS)], "k int")
+    # bounded: 4-row offset grid
+    contrib = (
+        idx.crossJoin(F.broadcast(kgrid))
+        .withColumn("w", F.expr(f"(i div {SAX_STRIDE}) - k"))
+        .filter(
+            (F.col("w") >= 0)
+            & (
+                F.lit(SAX_WIN) + F.lit(SAX_STRIDE) * F.col("w")
+                <= F.col("n")
+            )
+        )
+    )
+    segs = (
+        contrib.groupBy("w", F.col("k").alias("seg"))
+        .agg(
+            F.sum("c").cast("bigint").alias("s"),
+            F.count(F.lit(1)).alias("nd"),
+        )
+        .filter(F.col("nd") == SAX_STRIDE)
+    )
+    wr = Window.orderBy("s", "w", "seg")
+    ranked = segs.select(
+        "s",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("m"),
+    )
+    bps = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.expr("(1 * m + 3) div 4"), F.col("s"))
+        ).alias("q1"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(2 * m + 3) div 4"), F.col("s"))
+        ).alias("q2"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(3 * m + 3) div 4"), F.col("s"))
+        ).alias("q3"),
+    ).collect()[0]
+    q1, q2, q3 = int(bps["q1"]), int(bps["q2"]), int(bps["q3"])
+    sym = (
+        F.when(F.col("s") <= q1, 0)
+        .when(F.col("s") <= q2, 1)
+        .when(F.col("s") <= q3, 2)
+        .otherwise(3)
+    )
+    pw = (
+        F.when(F.col("seg") == 0, 64)
+        .when(F.col("seg") == 1, 16)
+        .when(F.col("seg") == 2, 4)
+        .otherwise(1)
+    )
+    words = segs.groupBy("w").agg(
+        F.sum(sym * pw).cast("bigint").alias("word")
+    )
+    n_windows = words.count()
+    return words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        (F.count(F.lit(1)).cast("double") / F.lit(n_windows)).alias("share"),
+    )

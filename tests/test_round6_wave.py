@@ -1541,3 +1541,37 @@ def test_last_digit_uniformity(spark, sf_dir):
     # a clean synthetic price population is near-uniform in last digit
     chi2 = sum(r["chi2_term"] for r in rows)
     assert chi2 < 50
+
+
+# --- continuation-session wave 70: SAX motifs / relational division ---------
+
+
+def test_sax_words_partition_windows(spark, sf_dir):
+    rows = QUERIES["ts_sax_motifs"](spark, sf_dir).collect()
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    n_windows = (n_days - 16) // 4 + 1
+    assert sum(r["n_occurrences"] for r in rows) == n_windows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert 0 <= r["word"] <= 255  # 4 base-4 letters
+    # a real series repeats shapes: at least one motif occurs twice
+    assert max(r["n_occurrences"] for r in rows) >= 2
+
+
+def test_division_for_all_semantics(spark, sf_dir):
+    rows = QUERIES["join_division"](spark, sf_dir).collect()
+    got = {r["c_custkey"] for r in rows}
+    per_cust = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.countDistinct("o_orderpriority").alias("k"))
+        .collect()
+    )
+    want = {r["o_custkey"] for r in per_cust if r["k"] == 5}
+    assert got == want
+    assert all(r["n_required"] == 5 for r in rows)
