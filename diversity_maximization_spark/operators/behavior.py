@@ -3388,3 +3388,164 @@ def agg_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         l_avg.alias("l_time_avg"),
         (lam * w_min / F.lit(60) / l_avg).alias("littles_ratio"),
     )
+
+
+@query(
+    "rec_eval_itemknn",
+    oracle="""
+WITH last_o AS (
+  SELECT o_custkey AS ck, o_orderkey AS ok FROM (
+    SELECT o_custkey, o_orderkey,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM orders)
+  WHERE rn = 1
+), tr_items AS (
+  SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS p
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_orderkey NOT IN (SELECT ok FROM last_o)
+), basket AS (
+  SELECT DISTINCT l.l_orderkey AS ok, l.l_partkey AS p
+  FROM lineitem l
+  WHERE l.l_orderkey NOT IN (SELECT ok FROM last_o)
+), co AS (
+  SELECT a.p AS i, b.p AS j, CAST(COUNT(*) AS BIGINT) AS c
+  FROM basket a JOIN basket b ON a.ok = b.ok AND a.p <> b.p
+  GROUP BY 1, 2
+), cand AS (
+  SELECT t.ck, co.j, CAST(SUM(co.c) AS BIGINT) AS score
+  FROM tr_items t JOIN co ON co.i = t.p
+  GROUP BY 1, 2
+), unseen AS (
+  SELECT c.ck, c.j, c.score
+  FROM cand c LEFT JOIN tr_items t ON t.ck = c.ck AND t.p = c.j
+  WHERE t.p IS NULL
+), recs AS (
+  SELECT ck, j, ROW_NUMBER() OVER (PARTITION BY ck
+           ORDER BY score DESC, j) AS rnk
+  FROM unseen QUALIFY rnk <= 50
+), test_p AS (
+  SELECT DISTINCT t.ck, l.l_partkey AS p
+  FROM last_o t JOIN lineitem l ON l.l_orderkey = t.ok
+), best AS (
+  SELECT tp.ck, MIN(r.rnk) AS best_rank
+  FROM test_p tp LEFT JOIN recs r ON r.ck = tp.ck AND r.j = tp.p
+  GROUP BY tp.ck
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CASE WHEN best_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS hits_at_10,
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS hits_at_50,
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL
+                     THEN 1000000000 // best_rank ELSE 0 END) AS BIGINT)
+         AS rr_nano_sum,
+       CAST(SUM(CASE WHEN best_rank IS NOT NULL
+                     THEN 1000000000 // best_rank ELSE 0 END) AS DOUBLE)
+         / COUNT(*) / 1000000000 AS mrr
+FROM best
+""",
+)
+def rec_eval_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-based collaborative filtering under the SAME leave-last-
+    basket-out protocol as rec_eval_popularity: train-basket
+    co-occurrence counts score each customer's unseen candidates
+    (score(c, j) = sum over the customer's training items i of
+    co(i, j) — exact integer co-counts, the classic item-item CF
+    kernel), top-50 PERSONALIZED lists replace the single global
+    popularity list, and the identical hit@10/@50 + MRR harness
+    makes the two keys directly comparable — the lift of
+    personalization over the popularity floor, measured.
+
+    Exactness: the split, co-counts, candidate scores, seen-item
+    exclusion and (score DESC, part) ranking are all exact integer
+    operations; MRR uses the quantized 1e9 // rank reciprocal.
+    Scale shape: co-occurrence is a within-basket self-join (<= 42
+    pairs per order — basket-bounded, linear in orders); candidate
+    generation joins user-items to co-lists and hash-aggregates one
+    row per (customer, candidate); ranking is a per-customer
+    partitioned window (WindowGroupLimit caps at 50); the heavy
+    tables never meet in an unbounded pair join."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    last_o = (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ok"))
+    )
+    train_li = li.join(
+        last_o.select(F.col("ok").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    )
+    tr_items = (
+        train_li.join(
+            o.select("o_orderkey", "o_custkey"),
+            train_li["l_orderkey"] == o["o_orderkey"],
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    basket = train_li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = basket.select("ok", F.col("p").alias("i"))
+    b = basket.select(F.col("ok").alias("ok2"), F.col("p").alias("j"))
+    co = (
+        a.join(b, (a["ok"] == b["ok2"]) & (F.col("i") != F.col("j")))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cand = (
+        tr_items.join(co, tr_items["p"] == co["i"])
+        .groupBy("ck", "j")
+        .agg(F.sum("c").cast("bigint").alias("score"))
+    )
+    unseen = cand.join(
+        tr_items.select("ck", F.col("p").alias("j")),
+        ["ck", "j"],
+        "left_anti",
+    )
+    wr = Window.partitionBy("ck").orderBy(F.desc("score"), "j")
+    recs = (
+        unseen.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 50)
+        .select("ck", "j", "rnk")
+    )
+    test_p = (
+        li.join(last_o, li["l_orderkey"] == last_o["ok"])
+        .select("ck", F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    best = (
+        test_p.join(
+            recs,
+            (test_p["ck"] == recs["ck"]) & (test_p["p"] == recs["j"]),
+            "left",
+        )
+        .select(test_p["ck"].alias("tck"), "rnk")
+        .groupBy("tck")
+        .agg(F.min("rnk").alias("best_rank"))
+    )
+    rr = F.when(
+        F.col("best_rank").isNotNull(),
+        F.expr("1000000000 div best_rank"),
+    ).otherwise(0)
+    return best.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.when(F.col("best_rank") <= 10, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_10"),
+        F.sum(F.when(F.col("best_rank").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("hits_at_50"),
+        F.sum(rr).cast("bigint").alias("rr_nano_sum"),
+        (
+            F.sum(rr).cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000000)
+        ).alias("mrr"),
+    )

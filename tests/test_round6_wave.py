@@ -1575,3 +1575,20 @@ def test_division_for_all_semantics(spark, sf_dir):
     want = {r["o_custkey"] for r in per_cust if r["k"] == 5}
     assert got == want
     assert all(r["n_required"] == 5 for r in rows)
+
+
+# --- continuation-session wave 71: item-kNN recommender ---------------------
+
+
+def test_itemknn_beats_or_matches_popularity_floor(spark, sf_dir):
+    knn = QUERIES["rec_eval_itemknn"](spark, sf_dir).collect()[0]
+    pop = QUERIES["rec_eval_popularity"](spark, sf_dir).collect()[0]
+    assert knn["n_customers"] == pop["n_customers"]
+    assert 0 <= knn["hits_at_10"] <= knn["hits_at_50"] <= knn["n_customers"]
+    assert knn["mrr"] >= 0
+    # personalization on a co-purchase fixture should clear the
+    # popularity floor on at least one headline metric
+    assert (
+        knn["hits_at_50"] >= pop[f"hits_at_50"]
+        or knn["mrr"] >= pop["mrr"] * 0.8
+    )
