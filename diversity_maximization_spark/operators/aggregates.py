@@ -10445,3 +10445,201 @@ def agg_last_digit_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_term"
         ),
     )
+
+
+@query(
+    "agg_atkinson",
+    oracle="""
+WITH t AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CAST(round(1000000000000.0
+              * ln(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)))
+              AS BIGINT) AS lq
+  FROM orders
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(lq AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sl
+  FROM t
+)
+SELECT n AS n_orders,
+       CAST(s AS DOUBLE) / n / 100 AS mean_dollars,
+       exp(sl / 1000000000000 / n) / 100 AS geomean_dollars,
+       1 - (exp(sl / 1000000000000 / n) / 100)
+           / (CAST(s AS DOUBLE) / n / 100) AS atkinson_eps1
+FROM m
+""",
+)
+def agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atkinson inequality index at epsilon = 1 over order values:
+    A_1 = 1 - geomean/mean — the welfare-theoretic member of the
+    inequality family (agg_gini rank-based, agg_theil_index
+    entropy-based, agg_palma_ratio share-based; Atkinson is the
+    one with an explicit inequality-aversion parameter, and at
+    eps=1 it is the geometric-mean shortfall).
+
+    Exactness: per-row ln quantized at 1e-12 relative (the
+    agg_theil_index discipline — both engines see the identical
+    double and the quantization absorbs the <=1-ulp libm spread);
+    the quantized sum rides HUGEINT/decimal(38) (~2.6e18 at sf0.1 —
+    outgrows int64 at 100x, so the wide type is load-bearing);
+    geomean re-exponentiates one identical double. ONE hash
+    aggregate."""
+    t = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    ).select(
+        "c",
+        F.round(
+            F.lit(1000000000000.0) * F.log(F.col("c").cast("double"))
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("lq").cast("decimal(38,0)")).cast("double").alias("sl"),
+    )
+    mean_d = F.col("s").cast("double") / F.col("n") / 100
+    geo_d = F.exp(F.col("sl") / F.lit(1000000000000) / F.col("n")) / 100
+    return m.select(
+        F.col("n").alias("n_orders"),
+        mean_d.alias("mean_dollars"),
+        geo_d.alias("geomean_dollars"),
+        (F.lit(1) - geo_d / mean_d).alias("atkinson_eps1"),
+    )
+
+
+MVP_X_TYPE, MVP_Y_TYPE = "click", "purchase"
+
+
+@query(
+    "agg_min_variance_portfolio",
+    bounded_cross="two 1-row moment scalars + 1-row cross-moment",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS dd,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('{MVP_X_TYPE}', '{MVP_Y_TYPE}')
+  GROUP BY 1, 2
+), rx AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS r
+  FROM daily WHERE event_type = '{MVP_X_TYPE}' QUALIFY r IS NOT NULL
+), ry AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS r
+  FROM daily WHERE event_type = '{MVP_Y_TYPE}' QUALIFY r IS NOT NULL
+), j AS (
+  SELECT rx.r AS x, ry.r AS y, rx.dd
+  FROM rx JOIN ry ON ry.dd = rx.dd
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(x ORDER BY dd)) AS sx,
+         list_sum(list(y ORDER BY dd)) AS sy,
+         list_sum(list(x * x ORDER BY dd)) AS sxx,
+         list_sum(list(y * y ORDER BY dd)) AS syy,
+         list_sum(list(x * y ORDER BY dd)) AS sxy
+  FROM j
+), st AS (
+  SELECT n,
+         (sxx - sx / n * sx) / (n - 1) AS vx,
+         (syy - sy / n * sy) / (n - 1) AS vy,
+         (sxy - sx / n * sy) / (n - 1) AS cxy
+  FROM m
+)
+SELECT n AS n_days,
+       vx AS var_x, vy AS var_y, cxy AS cov_xy,
+       (vy - cxy) / (vx + vy - 2 * cxy) AS w_x_min_var,
+       vx * ((vy - cxy) / (vx + vy - 2 * cxy))
+         * ((vy - cxy) / (vx + vy - 2 * cxy))
+         + vy * (1 - (vy - cxy) / (vx + vy - 2 * cxy))
+              * (1 - (vy - cxy) / (vx + vy - 2 * cxy))
+         + 2 * cxy * ((vy - cxy) / (vx + vy - 2 * cxy))
+               * (1 - (vy - cxy) / (vx + vy - 2 * cxy))
+         AS min_portfolio_var
+FROM st
+""",
+)
+def agg_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset minimum-variance portfolio (Markowitz closed form)
+    over the daily '{MVP_X_TYPE}' and '{MVP_Y_TYPE}' return series:
+    w*_x = (var_y - cov)/(var_x + var_y - 2 cov) and the resulting
+    portfolio variance — the diversification arithmetic under
+    ts_sharpe's risk-adjusted view and ts_ccf's dependence view of
+    the same two streams.
+
+    Exactness: returns are float divisions of exact integer pairs;
+    the five moments fold the overlapping-day pairs in DAY order
+    via the strict-fold pair (ts_sharpe discipline); w* and the
+    portfolio variance are fixed double expressions over those
+    identical moments. Scale shape: one 2-series rollup, bounded
+    day-ordered folds, a 1-row reduction."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(MVP_X_TYPE, MVP_Y_TYPE)
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1992-01-01")
+        ).alias("dd"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+
+    def rets(tp, out):
+        # bounded: O(days) per-type rollup rows
+        w = Window.orderBy("dd")
+        return (
+            daily.filter(F.col("event_type") == tp)
+            .select(
+                "dd",
+                (
+                    (F.col("c") - F.lag("c").over(w)).cast("double")
+                    / F.lag("c").over(w)
+                ).alias(out),
+            )
+            .filter(F.col(out).isNotNull())
+        )
+
+    rx = rets(MVP_X_TYPE, "x")
+    ry = rets(MVP_Y_TYPE, "y").select(F.col("dd").alias("dd_y"), "y")
+    j = rx.join(ry, rx["dd"] == ry["dd_y"]).select("dd", "x", "y")
+    arr = F.array_sort(
+        F.collect_list(F.struct("dd", F.col("x").alias("x"), F.col("y").alias("y")))
+    )
+
+    def fold(f):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, e: acc + f(e))
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+    )
+    n = F.col("n")
+    vx = (F.col("sxx") - F.col("sx") / n * F.col("sx")) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") / n * F.col("sy")) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") / n * F.col("sy")) / (n - 1)
+    st = m.select(
+        n.alias("n_days"), vx.alias("vx"), vy.alias("vy"), cxy.alias("cxy")
+    )
+    wx = (F.col("vy") - F.col("cxy")) / (
+        F.col("vx") + F.col("vy") - 2 * F.col("cxy")
+    )
+    return st.select(
+        F.col("n_days"),
+        F.col("vx").alias("var_x"),
+        F.col("vy").alias("var_y"),
+        F.col("cxy").alias("cov_xy"),
+        wx.alias("w_x_min_var"),
+        (
+            F.col("vx") * wx * wx
+            + F.col("vy") * (1 - wx) * (1 - wx)
+            + 2 * F.col("cxy") * wx * (1 - wx)
+        ).alias("min_portfolio_var"),
+    )

@@ -6115,3 +6115,78 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
         (F.count(F.lit(1)).cast("double") / F.lit(n_windows)).alias("share"),
     )
+
+
+@query(
+    "ts_parkinson_vol",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS hi,
+         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS lo
+  FROM orders GROUP BY 1
+), q AS (
+  SELECT CAST(round(1000000000000.0
+              * ln(CAST(hi AS DOUBLE) / lo)) AS BIGINT) AS lq
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(lq AS HUGEINT) * lq) AS VARCHAR) AS DOUBLE)
+           AS sq
+  FROM q
+)
+SELECT n AS n_days,
+       sqrt(sq / 1e24
+            / (4 * CAST('0.6931471805599453' AS DOUBLE) * n))
+         AS parkinson_vol_daily,
+       sqrt(sq / 1e24
+            / (4 * CAST('0.6931471805599453' AS DOUBLE) * n))
+         * sqrt(252.0) AS parkinson_vol_annualized
+FROM m
+""",
+)
+def ts_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parkinson high-low range volatility of the daily order-price
+    distribution: sigma_P = sqrt(sum ln(H/L)^2 / (4 ln2 n)) — the
+    range-based estimator that is ~5x more statistically efficient
+    than close-to-close volatility, completing the OHLC family
+    (ts_ohlc builds the bars; ts_sharpe consumes close-to-close;
+    this consumes the RANGE).
+
+    Exactness: per-day ln(H/L) is quantized ONCE at 1e-12 (the
+    theil/atkinson discipline) so each squared term is an exact
+    HUGEINT/decimal(38) product and the sum is order-free; the
+    final sqrt/annualization is one fixed expression (ln 2 as a
+    CAST-string literal). Scale shape: one hash aggregate to the
+    O(days) rollup, a 1-row reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.max(F.expr(cents("o_totalprice"))).cast("bigint").alias("hi"),
+            F.min(F.expr(cents("o_totalprice"))).cast("bigint").alias("lo"),
+        )
+    )
+    q = daily.select(
+        F.round(
+            F.lit(1000000000000.0)
+            * F.log(F.col("hi").cast("double") / F.col("lo"))
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("lq").cast("decimal(38,0)") * F.col("lq"))
+        .cast("double")
+        .alias("sq"),
+    )
+    ln2 = float.fromhex("0x1.62e42fefa39efp-1")
+    vol = F.sqrt(
+        F.col("sq") / F.lit(1e24) / (F.lit(4) * F.lit(ln2) * F.col("n"))
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        vol.alias("parkinson_vol_daily"),
+        (vol * F.sqrt(F.lit(252.0))).alias("parkinson_vol_annualized"),
+    )

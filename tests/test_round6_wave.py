@@ -1592,3 +1592,39 @@ def test_itemknn_beats_or_matches_popularity_floor(spark, sf_dir):
         knn["hits_at_50"] >= pop[f"hits_at_50"]
         or knn["mrr"] >= pop["mrr"] * 0.8
     )
+
+
+# --- continuation-session wave 72: Atkinson / Markowitz / Parkinson ---------
+
+
+def test_atkinson_bounds(spark, sf_dir):
+    r = QUERIES["agg_atkinson"](spark, sf_dir).collect()[0]
+    # AM-GM: geomean <= mean, so A_1 in [0, 1)
+    assert 0 <= r["atkinson_eps1"] < 1
+    assert r["geomean_dollars"] <= r["mean_dollars"]
+    assert abs(
+        r["atkinson_eps1"] - (1 - r["geomean_dollars"] / r["mean_dollars"])
+    ) < 1e-12
+
+
+def test_min_variance_portfolio(spark, sf_dir):
+    r = QUERIES["agg_min_variance_portfolio"](spark, sf_dir).collect()[0]
+    assert r["var_x"] > 0 and r["var_y"] > 0
+    # the min-variance portfolio never exceeds either single asset
+    assert r["min_portfolio_var"] <= min(r["var_x"], r["var_y"]) + 1e-12
+    # analytic optimum: derivative zero => recompute matches
+    wx = (r["var_y"] - r["cov_xy"]) / (
+        r["var_x"] + r["var_y"] - 2 * r["cov_xy"]
+    )
+    assert abs(r["w_x_min_var"] - wx) < 1e-12
+
+
+def test_parkinson_positive_and_scaled(spark, sf_dir):
+    r = QUERIES["ts_parkinson_vol"](spark, sf_dir).collect()[0]
+    assert r["parkinson_vol_daily"] > 0
+    import math
+
+    assert abs(
+        r["parkinson_vol_annualized"]
+        - r["parkinson_vol_daily"] * math.sqrt(252)
+    ) < 1e-12
