@@ -3549,3 +3549,276 @@ def rec_eval_itemknn(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000000)
         ).alias("mrr"),
     )
+
+
+RMST_TAU = 365  # restriction horizon (days)
+
+
+@query(
+    "survival_rmst",
+    oracle=f"""
+WITH s AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS tp
+  FROM events e JOIN s USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s.t0
+  GROUP BY e.user_id
+), durs AS (
+  SELECT s.user_id,
+         CASE WHEN p.tp IS NOT NULL
+              THEN CAST(floor((epoch_us(p.tp) - epoch_us(s.t0))
+                              / 86400000000) AS BIGINT)
+              ELSE CAST(floor((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                               - epoch_us(s.t0)) / 86400000000) AS BIGINT)
+         END AS dur,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS ev
+  FROM s LEFT JOIN p ON s.user_id = p.user_id
+), risk AS (
+  SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_events,
+         CAST(COUNT(*) AS BIGINT) AS n_total
+  FROM durs GROUP BY dur
+), tbl AS (
+  SELECT dur, n_events,
+         CAST(SUM(n_total) OVER (ORDER BY dur
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_at_risk
+  FROM risk
+), curve AS (
+  SELECT dur, n_events, n_at_risk,
+         list(1.0 - CAST(n_events AS DOUBLE) / n_at_risk)
+           OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING) AS fs
+  FROM tbl
+), ev_curve AS (
+  SELECT dur AS day, list_reduce(fs, (a, x) -> a * x) AS survival
+  FROM curve WHERE n_events > 0
+), seg AS (
+  SELECT day, survival,
+         COALESCE(LEAD(day) OVER (ORDER BY day), {RMST_TAU}) AS nxt
+  FROM ev_curve WHERE day < {RMST_TAU}
+), parts AS (
+  SELECT day,
+         survival * (LEAST(nxt, {RMST_TAU}) - day) AS contrib,
+         survival
+  FROM seg
+), head AS (
+  SELECT LEAST(COALESCE(MIN(day), {RMST_TAU}), {RMST_TAU}) AS d1
+  FROM ev_curve
+)
+SELECT CAST({RMST_TAU} AS BIGINT) AS tau_days,
+       CAST(head.d1 AS DOUBLE)
+         + COALESCE(list_sum(list(parts.contrib ORDER BY parts.day)), 0.0)
+         AS rmst_days,
+       CAST(COUNT(parts.day) AS BIGINT) AS n_event_days_in_tau,
+       COALESCE(arg_max(parts.survival, parts.day), 1.0) AS survival_at_tau
+FROM head LEFT JOIN parts ON TRUE
+GROUP BY head.d1
+""",
+)
+def survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to tau = {RMST_TAU} days for
+    the signup -> first-purchase process: the area under the
+    Kaplan-Meier step curve — 'average purchase-free days in the
+    first year' — the regulator-preferred effect summary when
+    hazards aren't proportional, completing the survival family
+    (survival_km the curve, survival_nelson_aalen the cumulative
+    hazard, survival_logrank the comparison; this INTEGRATES).
+
+    Exactness: the step curve comes from the registered
+    survival_km machinery (sequential left-fold products — the
+    proven bit-identical chain); each segment contribution is
+    S * (integer day gap) and the area folds in DAY order via the
+    strict-fold pair. Scale shape: the KM reduction (two
+    first-touch aggregates + an equi-join) then O(distinct days)
+    bounded windows and a 1-row fold."""
+    km = survival_km(spark, sf_dir).select("day", "survival")
+    # bounded: O(distinct event days) curve rows
+    w = Window.orderBy("day")
+    seg = (
+        km.filter(F.col("day") < RMST_TAU)
+        .select(
+            "day",
+            "survival",
+            F.coalesce(F.lead("day").over(w), F.lit(RMST_TAU)).alias("nxt"),
+        )
+    )
+    parts = seg.select(
+        "day",
+        "survival",
+        (
+            F.col("survival")
+            * (F.least(F.col("nxt"), F.lit(RMST_TAU)) - F.col("day"))
+        ).alias("contrib"),
+    )
+    d1 = km.agg(
+        F.least(
+            F.coalesce(F.min("day"), F.lit(RMST_TAU)), F.lit(RMST_TAU)
+        ).alias("d1")
+    ).collect()[0]["d1"]
+    agg = parts.agg(
+        F.coalesce(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("day", F.col("contrib").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ),
+            F.lit(0.0),
+        ).alias("area"),
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.coalesce(F.max_by("survival", "day"), F.lit(1.0)).alias("s_tau"),
+    )
+    return agg.select(
+        F.lit(RMST_TAU).cast("bigint").alias("tau_days"),
+        (F.lit(float(d1)) + F.col("area")).alias("rmst_days"),
+        F.col("nd").alias("n_event_days_in_tau"),
+        F.col("s_tau").alias("survival_at_tau"),
+    )
+
+
+@query(
+    "agg_meta_analysis",
+    bounded_cross="1-row pooled scalar onto the <=25-nation effect table",
+    oracle="""
+WITH base AS (
+  SELECT c.c_nationkey AS nk,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+), g AS (
+  SELECT nk,
+         CAST(SUM(tr) AS BIGINT) AS nt,
+         CAST(SUM(tr * y) AS BIGINT) AS yt,
+         CAST(SUM(1 - tr) AS BIGINT) AS nc,
+         CAST(SUM((1 - tr) * y) AS BIGINT) AS yc
+  FROM base GROUP BY nk
+), eff AS (
+  SELECT nk,
+         CAST(yt AS DOUBLE) / nt - CAST(yc AS DOUBLE) / nc AS d,
+         (CAST(yt AS DOUBLE) / nt) * (1 - CAST(yt AS DOUBLE) / nt) / nt
+           + (CAST(yc AS DOUBLE) / nc) * (1 - CAST(yc AS DOUBLE) / nc) / nc
+           AS v
+  FROM g WHERE nt > 0 AND nc > 0
+), ok AS (
+  SELECT nk, d, v FROM eff WHERE v > 0
+), pool AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(d / v ORDER BY nk)) AS swd,
+         list_sum(list(1 / v ORDER BY nk)) AS sw
+  FROM ok
+), q AS (
+  SELECT pool.k, pool.swd, pool.sw,
+         list_sum(list((ok.d - pool.swd / pool.sw)
+                       * (ok.d - pool.swd / pool.sw) / ok.v
+                  ORDER BY ok.nk)) AS q_stat
+  FROM ok, pool
+  GROUP BY pool.k, pool.swd, pool.sw
+)
+SELECT k AS k_nations,
+       swd / sw AS pooled_effect,
+       sqrt(1 / sw) AS se_pooled,
+       q_stat,
+       GREATEST(0.0, (q_stat - (k - 1)) / q_stat) AS i_squared
+FROM q
+""",
+)
+def agg_meta_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-effect meta-analysis of the per-nation URGENT-priority
+    fulfilment effect: each nation is a 'study' with risk difference
+    d_i and variance v_i; inverse-variance pooling gives the common
+    effect and its SE, Cochran's Q and Higgins' I^2 quantify
+    between-nation heterogeneity — the evidence-synthesis machinery
+    (and the formal version of 'does the effect replicate across
+    segments?' that agg_simpsons_paradox eyeballs).
+
+    Exactness: per-nation counts are exact integers; d_i and v_i
+    are fixed double expressions; all cross-nation accumulations
+    fold in NATION order via the strict-fold pair, with the pooled
+    scalar crossed back for Q. Degenerate nations (no arm or zero
+    variance) are excluded by exact comparisons. Scale shape: one
+    broadcast dim join + a 25-row hash aggregate; everything after
+    is bounded."""
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            F.col("c_nationkey").alias("nk"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        )
+    )
+    g = base.groupBy("nk").agg(
+        F.sum("tr").cast("bigint").alias("nt"),
+        F.sum(F.col("tr") * F.col("y")).cast("bigint").alias("yt"),
+        F.sum(1 - F.col("tr")).cast("bigint").alias("nc"),
+        F.sum((1 - F.col("tr")) * F.col("y")).cast("bigint").alias("yc"),
+    )
+    pt = F.col("yt").cast("double") / F.col("nt")
+    pc = F.col("yc").cast("double") / F.col("nc")
+    eff = g.filter((F.col("nt") > 0) & (F.col("nc") > 0)).select(
+        "nk",
+        (pt - pc).alias("d"),
+        (
+            pt * (1 - pt) / F.col("nt") + pc * (1 - pc) / F.col("nc")
+        ).alias("v"),
+    )
+    ok = eff.filter(F.col("v") > 0)
+
+    def nk_fold(expr_fn):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("nk", F.col("d").alias("d"), F.col("v").alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + expr_fn(x),
+        )
+
+    pool = ok.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        nk_fold(lambda x: x["d"] / x["v"]).alias("swd"),
+        nk_fold(lambda x: F.lit(1.0) / x["v"]).alias("sw"),
+    )
+    # bounded: 1-row pooled scalar onto <=25 nation rows
+    joined = ok.crossJoin(F.broadcast(pool))
+    pooled = F.col("swd") / F.col("sw")
+    q = joined.groupBy("k", "swd", "sw").agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "nk",
+                        (
+                            (F.col("d") - pooled)
+                            * (F.col("d") - pooled)
+                            / F.col("v")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("q_stat")
+    )
+    return q.select(
+        F.col("k").alias("k_nations"),
+        (F.col("swd") / F.col("sw")).alias("pooled_effect"),
+        F.sqrt(F.lit(1.0) / F.col("sw")).alias("se_pooled"),
+        "q_stat",
+        F.greatest(
+            F.lit(0.0),
+            (F.col("q_stat") - (F.col("k") - 1)) / F.col("q_stat"),
+        ).alias("i_squared"),
+    )

@@ -1628,3 +1628,28 @@ def test_parkinson_positive_and_scaled(spark, sf_dir):
         r["parkinson_vol_annualized"]
         - r["parkinson_vol_daily"] * math.sqrt(252)
     ) < 1e-12
+
+
+# --- continuation-session wave 73: RMST / meta-analysis ---------------------
+
+
+def test_rmst_bounded_by_tau_and_km(spark, sf_dir):
+    r = QUERIES["survival_rmst"](spark, sf_dir).collect()[0]
+    assert 0 < r["rmst_days"] <= r["tau_days"]
+    assert 0 <= r["survival_at_tau"] <= 1
+    # RMST >= tau * S(tau): the curve never dips below its endpoint
+    assert r["rmst_days"] >= r["tau_days"] * r["survival_at_tau"] - 1e-9
+    km = QUERIES["survival_km"](spark, sf_dir).collect()
+    in_tau = [x for x in km if x["day"] < 365]
+    assert r["n_event_days_in_tau"] == len(in_tau)
+
+
+def test_meta_analysis_identities(spark, sf_dir):
+    r = QUERIES["agg_meta_analysis"](spark, sf_dir).collect()[0]
+    assert r["k_nations"] > 5
+    assert r["se_pooled"] > 0
+    assert 0 <= r["i_squared"] < 1
+    assert r["q_stat"] >= 0
+    # pooled effect lies within the convex hull of study effects
+    # (fixed-effect pooling is a weighted average)
+    assert -1 <= r["pooled_effect"] <= 1
