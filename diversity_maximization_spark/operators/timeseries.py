@@ -6190,3 +6190,185 @@ def ts_parkinson_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
         vol.alias("parkinson_vol_daily"),
         (vol * F.sqrt(F.lit(252.0))).alias("parkinson_vol_annualized"),
     )
+
+
+DFA_SIZES = [8, 16, 32, 64, 128, 256]
+
+
+@query(
+    "ts_dfa",
+    bounded_cross=(
+        "6-row size grid over the O(days) profile + 1-row slope scalar"
+    ),
+    oracle=f"""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM daily
+), prof AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+         CAST(SUM(tot.n * daily.c - tot.s)
+              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS yp,
+         tot.n AS n
+  FROM daily, tot
+), segm AS (
+  SELECT sz.s, prof.i // sz.s AS seg,
+         (prof.i % sz.s) + 1 AS t, prof.yp, prof.n
+  FROM prof, unnest(ARRAY{DFA_SIZES}) sz(s)
+  WHERE prof.i // sz.s < prof.n // sz.s
+), mo AS (
+  SELECT s, seg, MAX(n) AS n,
+         CAST(CAST(SUM(CAST(yp AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sy,
+         CAST(CAST(SUM(CAST(t AS HUGEINT) * yp) AS VARCHAR) AS DOUBLE) AS sty,
+         CAST(CAST(SUM(CAST(yp AS HUGEINT) * yp) AS VARCHAR) AS DOUBLE) AS syy
+  FROM segm GROUP BY s, seg
+), rss AS (
+  SELECT s, seg, n,
+         syy - sy * sy / s
+             - ((s * sty - (s * (s + 1) / 2.0) * sy)
+                / (s * (s * (s + 1) * (2 * s + 1) / 6.0)
+                   - (s * (s + 1) / 2.0) * (s * (s + 1) / 2.0)))
+               * (sty - (s * (s + 1) / 2.0) * sy / s) AS r
+  FROM mo
+), fl AS (
+  SELECT s, MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS n_segments,
+         list_sum(list(r ORDER BY seg)) AS srss
+  FROM rss GROUP BY s
+), fv AS (
+  SELECT s, n_segments,
+         sqrt(srss / (n_segments * s)) / n AS fluct
+  FROM fl
+), pts AS (
+  SELECT CAST(FLOOR(LN(CAST(s AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(fluct) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM fv
+), sl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy2, CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts
+)
+SELECT fv.s AS scale, fv.n_segments, fv.fluct,
+       CAST(sl.m * sl.sxy - sl.sx * sl.sy2 AS DOUBLE)
+         / CAST(sl.m * sl.sxx - sl.sx * sl.sx AS DOUBLE) AS dfa_alpha
+FROM fv, sl
+""",
+)
+def ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended fluctuation analysis of daily revenue (Peng 1994):
+    integrate the centered series, split into non-overlapping
+    windows at scales {DFA_SIZES}, LINEARLY detrend each window in
+    closed form, and fit the log-log slope of RMS fluctuation vs
+    scale — the trend-robust long-memory exponent next to
+    ts_hurst_rs (alpha ~ H for stationary signals, but DFA survives
+    polynomial trends that break R/S).
+
+    Exactness: the profile is kept in EXACT integers by scaling
+    through n (Y'_t = sum(n*x_i - S); Y'^2 sums ride
+    HUGEINT/decimal(38) — ~6e37 at a 100x corpus, inside 38 digits
+    only because the calendar bounds n); per-window St/Stt are
+    closed-form polynomial constants of the scale; each window's
+    RSS is one fixed double expression over exact moments; RSS sums
+    fold in window order (bounded <= days/8 windows); the final
+    slope is the corpus_heaps_law quantized-ln integer OLS. Scale
+    shape: one rollup, one bounded cumsum window, a DECLARED 6-row
+    scale-grid replication, two hash aggregates."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+    ).collect()[0]
+    n, stot = int(tot["n"]), int(tot["s"])
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    prof = daily.select(
+        (F.row_number().over(w) - 1).alias("i"),
+        F.sum(F.lit(n) * F.col("c") - F.lit(stot))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("yp"),
+    )
+    sizes = daily.sparkSession.createDataFrame(
+        [(s,) for s in DFA_SIZES], "s int"
+    )
+    # bounded: 6-row scale grid
+    segm = (
+        prof.crossJoin(F.broadcast(sizes))
+        .withColumn("seg", F.expr("i div s"))
+        .withColumn("t", F.expr("(i % s) + 1"))
+        .filter(F.col("seg") < F.lit(n) / F.col("s"))
+        .filter(F.expr(f"seg < {n} div s"))
+    )
+    mo = segm.groupBy("s", "seg").agg(
+        F.sum(F.col("yp").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("t").cast("decimal(38,0)") * F.col("yp"))
+        .cast("double")
+        .alias("sty"),
+        F.sum(F.col("yp").cast("decimal(38,0)") * F.col("yp"))
+        .cast("double")
+        .alias("syy"),
+    )
+    s_ = F.col("s")
+    st = s_ * (s_ + 1) / F.lit(2.0)
+    stt = s_ * (s_ * (s_ + 1) * (2 * s_ + 1) / F.lit(6.0))
+    b = (s_ * F.col("sty") - st * F.col("sy")) / (stt - st * st)
+    rss = mo.select(
+        "s",
+        "seg",
+        (
+            F.col("syy")
+            - F.col("sy") * F.col("sy") / s_
+            - b * (F.col("sty") - st * F.col("sy") / s_)
+        ).alias("r"),
+    )
+    fl = rss.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", F.col("r").alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("srss"),
+    )
+    fv = fl.select(
+        "s",
+        "n_segments",
+        (
+            F.sqrt(F.col("srss") / (F.col("n_segments") * F.col("s")))
+            / F.lit(n)
+        ).alias("fluct"),
+    )
+    pts = fv.select(
+        F.floor(F.log(F.col("s").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log("fluct") * 1000000 + 0.5).cast("bigint").alias("y"),
+    )
+    sl = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy2"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    # bounded: 1-row slope scalar onto the 6-row scale table
+    j = fv.crossJoin(F.broadcast(sl))
+    return j.select(
+        F.col("s").alias("scale"),
+        "n_segments",
+        "fluct",
+        (
+            (F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy2")).cast(
+                "double"
+            )
+            / (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+        ).alias("dfa_alpha"),
+    )

@@ -1653,3 +1653,27 @@ def test_meta_analysis_identities(spark, sf_dir):
     # pooled effect lies within the convex hull of study effects
     # (fixed-effect pooling is a weighted average)
     assert -1 <= r["pooled_effect"] <= 1
+
+
+# --- continuation-session wave 74: DFA ---------------------------------------
+
+
+def test_dfa_scales_and_alpha(spark, sf_dir):
+    rows = QUERIES["ts_dfa"](spark, sf_dir).orderBy("scale").collect()
+    assert [r["scale"] for r in rows] == [8, 16, 32, 64, 128, 256]
+    n_days = (
+        load(spark, sf_dir, "orders")
+        .select(F.date_trunc("day", "o_orderdate"))
+        .distinct()
+        .count()
+    )
+    for r in rows:
+        assert r["n_segments"] == n_days // r["scale"]
+        assert r["fluct"] > 0
+    # fluctuation grows with scale for any real series
+    fl = [r["fluct"] for r in rows]
+    assert fl == sorted(fl)
+    alpha = rows[0]["dfa_alpha"]
+    assert len({r["dfa_alpha"] for r in rows}) == 1
+    # white-noise-like daily revenue: alpha near 0.5, far from 1.5
+    assert 0.1 < alpha < 1.2
