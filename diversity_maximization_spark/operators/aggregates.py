@@ -10643,3 +10643,191 @@ def agg_min_variance_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 2 * F.col("cxy") * wx * (1 - wx)
         ).alias("min_portfolio_var"),
     )
+
+
+@query(
+    "agg_gravity_trade",
+    oracle="""
+WITH flows AS (
+  SELECT s.s_nationkey AS i, c.c_nationkey AS j,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS f
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE s.s_nationkey <> c.c_nationkey
+  GROUP BY 1, 2
+), mass_out AS (
+  SELECT i, CAST(SUM(f) AS BIGINT) AS mo FROM flows GROUP BY i
+), mass_in AS (
+  SELECT j, CAST(SUM(f) AS BIGINT) AS mi FROM flows GROUP BY j
+), reg AS (
+  SELECT n_nationkey AS nk, n_regionkey AS rk FROM nation
+), pts AS (
+  SELECT fl.i, fl.j,
+         CAST(FLOOR(LN(CAST(fl.f AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS y,
+         CAST(FLOOR(LN(CAST(mo.mo AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           + CAST(FLOOR(LN(CAST(mi.mi AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS x,
+         CASE WHEN ri.rk = rj.rk THEN 1 ELSE 0 END AS r
+  FROM flows fl
+  JOIN mass_out mo ON mo.i = fl.i
+  JOIN mass_in mi ON mi.j = fl.j
+  JOIN reg ri ON ri.nk = fl.i
+  JOIN reg rj ON rj.nk = fl.j
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m0,
+         CAST(SUM(x) AS BIGINT) AS m1,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS m2,
+         CAST(SUM(r) AS BIGINT) AS r1,
+         CAST(SUM(x * r) AS BIGINT) AS xr,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy,
+         CAST(SUM(r * y) AS BIGINT) AS sry
+  FROM pts
+), d AS (
+  SELECT CAST(m0 AS DOUBLE) AS n, CAST(m1 AS DOUBLE) AS sx, m2 AS sxx,
+         CAST(r1 AS DOUBLE) AS sr, CAST(xr AS DOUBLE) AS sxr,
+         CAST(r1 AS DOUBLE) AS srr,
+         CAST(sy AS DOUBLE) AS sy, sxy, CAST(sry AS DOUBLE) AS sry
+  FROM m
+), sol AS (
+  SELECT n,
+    (n * (sxx * srr - sxr * sxr) - sx * (sx * srr - sxr * sr)
+       + sr * (sx * sxr - sxx * sr)) AS det,
+    (sy * (sxx * srr - sxr * sxr) - sx * (sxy * srr - sxr * sry)
+       + sr * (sxy * sxr - sxx * sry)) AS da,
+    (n * (sxy * srr - sry * sxr) - sy * (sx * srr - sxr * sr)
+       + sr * (sx * sry - sr * sxy)) AS db,
+    (n * (sxx * sry - sxr * sxy) - sx * (sx * sry - sxy * sr)
+       + sy * (sx * sxr - sxx * sr)) AS dc
+  FROM d
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       da / det AS coef_intercept,
+       db / det AS mass_elasticity,
+       dc / det AS same_region_coef,
+       exp(dc / det) AS region_multiplier
+FROM sol
+""",
+)
+def agg_gravity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gravity model of inter-nation trade flows (Tinbergen):
+    ln(flow_ij) = a + b*ln(M_i * M_j) + c*same_region over the
+    supplier-nation -> customer-nation value flows, solved in
+    CLOSED FORM (3x3 Cramer, the ts_bass_diffusion discipline) —
+    the workhorse of empirical trade economics: b is the mass
+    elasticity, exp(c) the within-region trade multiplier. Built on
+    the same flow edges as graph_katz, but modeling INTENSITY, not
+    topology.
+
+    Exactness: flows and masses are exact cent sums; every ln is
+    quantized at 1e-6 and the combined-mass regressor is DEFINED as
+    lq(M_i) + lq(M_j) (exact integer micro-nats); the same-region
+    dummy is exact (r^2 = r, so Srr = Sr); all normal-equation
+    moments are exact integers (x*y products through
+    HUGEINT/decimal(38)); the Cramer expansions evaluate in
+    identical order. Scale shape: the flow aggregate shuffles one
+    row per (i, j) pair (<= 600 cells regardless of corpus size);
+    everything after is bounded."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("i"), F.col("c_nationkey").alias("j")
+        )
+        .agg(
+            F.sum(F.expr(cents("l_extendedprice"))).cast("bigint").alias("f")
+        )
+    )
+    mass_out = flows.groupBy("i").agg(F.sum("f").cast("bigint").alias("mo"))
+    mass_in = flows.groupBy("j").agg(F.sum("f").cast("bigint").alias("mi"))
+    reg = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), F.col("n_regionkey").alias("rk")
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col.cast("double")) * 1000000 + 0.5).cast(
+            "bigint"
+        )
+
+    pts = (
+        flows.join(F.broadcast(mass_out), "i")
+        .join(F.broadcast(mass_in), "j")
+        .join(
+            F.broadcast(reg.select(F.col("nk").alias("i"), F.col("rk").alias("ri"))),
+            "i",
+        )
+        .join(
+            F.broadcast(reg.select(F.col("nk").alias("j"), F.col("rk").alias("rj"))),
+            "j",
+        )
+        .select(
+            lnq(F.col("f")).alias("y"),
+            (lnq(F.col("mo")) + lnq(F.col("mi"))).alias("x"),
+            F.when(F.col("ri") == F.col("rj"), 1).otherwise(0).alias("r"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m0"),
+        F.sum("x").cast("bigint").alias("m1"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("m2"),
+        F.sum("r").cast("bigint").alias("r1"),
+        F.sum(F.col("x") * F.col("r")).cast("bigint").alias("xr"),
+        F.sum("y").cast("bigint").alias("sy0"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("r") * F.col("y")).cast("bigint").alias("sry0"),
+    )
+    d = m.select(
+        F.col("m0").cast("double").alias("n"),
+        F.col("m1").cast("double").alias("sx"),
+        F.col("m2").alias("sxx"),
+        F.col("r1").cast("double").alias("sr"),
+        F.col("xr").cast("double").alias("sxr"),
+        F.col("r1").cast("double").alias("srr"),
+        F.col("sy0").cast("double").alias("sy"),
+        "sxy",
+        F.col("sry0").cast("double").alias("sry"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sr, sxr, srr = F.col("sr"), F.col("sxr"), F.col("srr")
+    sy, sxy, sry = F.col("sy"), F.col("sxy"), F.col("sry")
+    det = (
+        n * (sxx * srr - sxr * sxr)
+        - sx * (sx * srr - sxr * sr)
+        + sr * (sx * sxr - sxx * sr)
+    )
+    da = (
+        sy * (sxx * srr - sxr * sxr)
+        - sx * (sxy * srr - sxr * sry)
+        + sr * (sxy * sxr - sxx * sry)
+    )
+    db = (
+        n * (sxy * srr - sry * sxr)
+        - sy * (sx * srr - sxr * sr)
+        + sr * (sx * sry - sr * sxy)
+    )
+    dc = (
+        n * (sxx * sry - sxr * sxy)
+        - sx * (sx * sry - sxy * sr)
+        + sy * (sx * sxr - sxx * sr)
+    )
+    return d.select(
+        n.cast("bigint").alias("n_pairs"),
+        (da / det).alias("coef_intercept"),
+        (db / det).alias("mass_elasticity"),
+        (dc / det).alias("same_region_coef"),
+        F.exp(dc / det).alias("region_multiplier"),
+    )

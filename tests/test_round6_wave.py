@@ -1677,3 +1677,51 @@ def test_dfa_scales_and_alpha(spark, sf_dir):
     assert len({r["dfa_alpha"] for r in rows}) == 1
     # white-noise-like daily revenue: alpha near 0.5, far from 1.5
     assert 0.1 < alpha < 1.2
+
+
+# --- continuation-session wave 75: gravity model -----------------------------
+
+
+def test_gravity_ols_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    r = QUERIES["agg_gravity_trade"](spark, sf_dir).collect()[0]
+    # rebuild the design locally
+    flows = (
+        load(spark, sf_dir, "lineitem")
+        .join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load(spark, sf_dir, "customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(load(spark, sf_dir, "supplier"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("i"), F.col("c_nationkey").alias("j"))
+        .agg(F.sum(F.expr("CAST(round(l_extendedprice*100) AS BIGINT)")).alias("f"))
+        .collect()
+    )
+    regions = {
+        x["n_nationkey"]: x["n_regionkey"]
+        for x in load(spark, sf_dir, "nation").collect()
+    }
+    mo, mi = {}, {}
+    for x in flows:
+        mo[x["i"]] = mo.get(x["i"], 0) + x["f"]
+        mi[x["j"]] = mi.get(x["j"], 0) + x["f"]
+
+    def lq(v):
+        return math.floor(math.log(v) * 1e6 + 0.5)
+
+    X, Y = [], []
+    for x in flows:
+        X.append(
+            [1.0, lq(mo[x["i"]]) + lq(mi[x["j"]]),
+             1.0 if regions[x["i"]] == regions[x["j"]] else 0.0]
+        )
+        Y.append(lq(x["f"]))
+    beta = np.linalg.lstsq(np.array(X), np.array(Y, float), rcond=None)[0]
+    assert r["n_pairs"] == len(flows)
+    assert abs(r["coef_intercept"] - beta[0]) < 1e-3 * max(1, abs(beta[0]))
+    assert abs(r["mass_elasticity"] - beta[1]) < 1e-6 * max(1, abs(beta[1]))
+    assert abs(r["same_region_coef"] - beta[2]) < 1e-3 * max(1, abs(beta[2]))
+    # mass elasticity of a volume-driven flow matrix is positive
+    assert r["mass_elasticity"] > 0
