@@ -10831,3 +10831,129 @@ def agg_gravity_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (dc / det).alias("same_region_coef"),
         F.exp(dc / det).alias("region_multiplier"),
     )
+
+
+@query(
+    "agg_oaxaca",
+    bounded_cross="two 1-row group-moment scalars crossed into one row",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+         l.nl AS x
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT tr,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM base GROUP BY tr
+), fit AS (
+  SELECT tr, n,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS beta
+  FROM g
+), w AS (
+  SELECT t.n AS n_treated, c.n AS n_control,
+         (t.my - c.my) / 100 AS gap_dollars,
+         c.beta * (t.mx - c.mx) / 100 AS explained_dollars,
+         ((t.my - c.my) - c.beta * (t.mx - c.mx)) / 100
+           AS unexplained_dollars,
+         t.beta / 100 AS beta_treated_dollars_per_line,
+         c.beta / 100 AS beta_control_dollars_per_line
+  FROM fit t, fit c WHERE t.tr = 1 AND c.tr = 0
+)
+SELECT * FROM w
+""",
+)
+def agg_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oaxaca-Blinder decomposition of the URGENT-vs-rest order-value
+    gap with basket size (line count) as the endowment: gap =
+    explained (control coefficients x endowment difference) +
+    unexplained (coefficient/structure difference) — the canonical
+    wage-gap decomposition, here answering 'do urgent orders cost
+    more because they are BIGGER, or because urgency itself
+    prices differently?'. Completes the causal/econometric shelf
+    with the decomposition view (DiD trends, RDD thresholds, CEM
+    matching, IPTW weighting; this PARTITIONS a gap).
+
+    Exactness: per-group simple-OLS moments are exact integers
+    (x*y through HUGEINT/decimal(38)); betas, means and the three
+    decomposition terms are fixed double expressions; the two
+    1-row group fits meet in a declared scalar cross. An
+    independent numpy replay pins the algebra (the gravity/bass
+    Cramer lesson). Scale shape: one lineitem count aggregate, one
+    2-group hash aggregate, a 1-row cross."""
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr(cents("o_totalprice")).alias("y"),
+            "x",
+        )
+    )
+    g = base.groupBy("tr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    fit = g.select(
+        "tr",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (
+            (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy"))
+            / (n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("beta"),
+    )
+    t = fit.filter(F.col("tr") == 1).select(
+        F.col("n").alias("n_treated"),
+        F.col("mx").alias("mxt"),
+        F.col("my").alias("myt"),
+        F.col("beta").alias("bt"),
+    )
+    c = fit.filter(F.col("tr") == 0).select(
+        F.col("n").alias("n_control"),
+        F.col("mx").alias("mxc"),
+        F.col("my").alias("myc"),
+        F.col("beta").alias("bc"),
+    )
+    # bounded: two 1-row group fits
+    j = t.crossJoin(F.broadcast(c))
+    gap = (F.col("myt") - F.col("myc")) / 100
+    expl = F.col("bc") * (F.col("mxt") - F.col("mxc")) / 100
+    return j.select(
+        "n_treated",
+        "n_control",
+        gap.alias("gap_dollars"),
+        expl.alias("explained_dollars"),
+        (
+            (
+                (F.col("myt") - F.col("myc"))
+                - F.col("bc") * (F.col("mxt") - F.col("mxc"))
+            )
+            / 100
+        ).alias("unexplained_dollars"),
+        (F.col("bt") / 100).alias("beta_treated_dollars_per_line"),
+        (F.col("bc") / 100).alias("beta_control_dollars_per_line"),
+    )

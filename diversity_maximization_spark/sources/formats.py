@@ -325,3 +325,53 @@ def _permissive_fixture(spark: SparkSession, sf_dir: str) -> str:
                 )
     _PERMISSIVE_CACHE[sf_dir] = path
     return path
+
+
+# Fixed-width layout: event_id[12] user_id[12] event_type[10] ts[27]
+# value[28] — numbers right-aligned space-padded, strings left-aligned.
+_FW = [("event_id", 12), ("user_id", 12), ("event_type", 10),
+       ("ts", 27), ("value", 28)]
+
+
+@query("source_fixed_width", oracle=EVENTS_ORACLE)
+def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> FIXED-WIDTH text -> read back by column position —
+    the mainframe/COBOL copybook ingest path every enterprise data
+    platform still needs (no delimiters, no quoting: layout IS the
+    schema). The writer pads each field to its declared width
+    (numbers left-padded, strings right-padded); the reader is
+    spark.read.text + substring/trim/cast — schema DECLARED by
+    (offset, width) pairs, never inferred. Timestamps and doubles
+    ride their canonical string forms (CAST round-trips are exact
+    in both directions), so a one-character layout drift fails the
+    hash against the parquet original."""
+    key = (sf_dir, "fixedwidth")
+    if key not in _CACHE:
+        out = tempfile.mkdtemp(prefix="dms_fw_")
+        ev = load(spark, sf_dir, "events").select(
+            F.concat(
+                F.lpad(F.col("event_id").cast("string"), 12, " "),
+                F.lpad(F.col("user_id").cast("string"), 12, " "),
+                F.rpad(F.col("event_type"), 10, " "),
+                F.rpad(F.col("ts").cast("string"), 27, " "),
+                F.rpad(F.col("value").cast("string"), 28, " "),
+            ).alias("value")
+        )
+        ev.write.mode("overwrite").text(out)
+        _CACHE[key] = out
+    lines = spark.read.text(_CACHE[key])
+    pos = 1
+    cols = []
+    types = {
+        "event_id": "bigint",
+        "user_id": "bigint",
+        "event_type": "string",
+        "ts": "timestamp_ntz",
+        "value": "double",
+    }
+    for name, width in _FW:
+        c = F.trim(F.substring(F.col("value"), pos, width))
+        cols.append(c.cast(types[name]).alias(name))
+        pos += width
+    out_df = lines.select(*cols)
+    return out_df.select("event_id", "ts", "user_id", "event_type", "value")

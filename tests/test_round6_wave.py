@@ -1725,3 +1725,52 @@ def test_gravity_ols_matches_numpy(spark, sf_dir):
     assert abs(r["same_region_coef"] - beta[2]) < 1e-3 * max(1, abs(beta[2]))
     # mass elasticity of a volume-driven flow matrix is positive
     assert r["mass_elasticity"] > 0
+
+
+# --- continuation-session wave 76: fixed-width source / Oaxaca ---------------
+
+
+def test_fixed_width_roundtrip_count_and_types(spark, sf_dir):
+    df = QUERIES["source_fixed_width"](spark, sf_dir)
+    n = load(spark, sf_dir, "events").count()
+    assert df.count() == n
+    types = dict(df.dtypes)
+    assert types["event_id"] == "bigint" and types["value"] == "double"
+    assert types["ts"].startswith("timestamp")
+
+
+def test_oaxaca_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["agg_oaxaca"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("x")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("y"),
+            "x",
+        )
+        .collect()
+    )
+    out = {}
+    for tr in (0, 1):
+        xs = np.array([z["x"] for z in rows if z["tr"] == tr], float)
+        ys = np.array([float(z["y"]) for z in rows if z["tr"] == tr])
+        beta, alpha = np.polyfit(xs, ys, 1)
+        out[tr] = (xs.mean(), ys.mean(), beta)
+    gap = (out[1][1] - out[0][1]) / 100
+    expl = out[0][2] * (out[1][0] - out[0][0]) / 100
+    assert abs(r["gap_dollars"] - gap) < 1e-6 * max(1, abs(gap))
+    assert abs(r["explained_dollars"] - expl) < 1e-4 * max(1, abs(expl))
+    assert abs(
+        r["gap_dollars"]
+        - (r["explained_dollars"] + r["unexplained_dollars"])
+    ) < 1e-9
