@@ -6372,3 +6372,117 @@ def ts_dfa(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("dfa_alpha"),
     )
+
+
+@query(
+    "ts_seasonal_mann_kendall",
+    bounded_cross=(
+        "month-partitioned O((days/12)^2) pair join + 1-row totals"
+    ),
+    oracle="""
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         CAST(month(ts) AS INTEGER) AS m,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.m,
+         CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1
+              ELSE 0 END AS sgn
+  FROM daily a JOIN daily b ON a.m = b.m AND a.day < b.day
+), per_m AS (
+  SELECT m, CAST(SUM(sgn) AS BIGINT) AS s_m FROM pairs GROUP BY m
+), cnt AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_m FROM daily GROUP BY m
+), ties AS (
+  SELECT m, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_m
+  FROM (SELECT m, COUNT(*) AS t FROM daily GROUP BY m, c)
+  GROUP BY m
+), tot AS (
+  SELECT CAST(SUM(p.s_m) AS BIGINT) AS s,
+         CAST(SUM(c.n_m) AS BIGINT) AS n,
+         CAST(SUM(CAST(c.n_m AS BIGINT) * (c.n_m - 1) * (2 * c.n_m + 5)
+                  - COALESCE(t.tie_m, 0)) AS BIGINT) AS var18
+  FROM per_m p
+  JOIN cnt c ON c.m = p.m
+  LEFT JOIN ties t ON t.m = p.m
+)
+SELECT s, n,
+       CAST(var18 AS DOUBLE) / 18 AS var_s,
+       CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18)
+            WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1)
+                 / sqrt(CAST(var18 AS DOUBLE) / 18)
+            ELSE CAST(0 AS DOUBLE) END AS z
+FROM tot
+""",
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test (Hirsch-Slack): the MK sign
+    statistic computed WITHIN each calendar month and summed —
+    January compares only to other Januaries, so a strong seasonal
+    cycle can't masquerade as (or mask) a monotone trend the way it
+    can in the plain ts_mann_kendall; the standard for
+    environmental/KPI series with known seasonality. Variance sums
+    the per-month tie-corrected terms.
+
+    Exactness: sign pairs, per-month S and tie terms are exact
+    integers; the z-score (with continuity correction) is one fixed
+    double expression. Scale shape: the pair join is PARTITIONED by
+    month — 12 grids of (days/12)^2 (~12x the plain key's cell
+    count reduction), calendar-bounded and data-size-independent;
+    then three tiny hash aggregates."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"),
+        F.month("ts").cast("int").alias("m"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+    a = daily.select(
+        F.col("m"), F.col("day").alias("da"), F.col("c").alias("ca")
+    )
+    b = daily.select(
+        F.col("m").alias("mb"), F.col("day").alias("db"), F.col("c").alias("cb")
+    )
+    # bounded: month-partitioned days^2 pair grid (declared)
+    pairs = a.join(
+        b, (F.col("m") == F.col("mb")) & (F.col("da") < F.col("db"))
+    ).select(
+        "m",
+        F.when(F.col("cb") > F.col("ca"), 1)
+        .when(F.col("cb") < F.col("ca"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    per_m = pairs.groupBy("m").agg(F.sum("sgn").cast("bigint").alias("s_m"))
+    cnt = daily.groupBy("m").agg(F.count(F.lit(1)).cast("bigint").alias("n_m"))
+    ties = (
+        daily.groupBy("m", "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("m")
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+            .cast("bigint")
+            .alias("tie_m")
+        )
+    )
+    tot = (
+        per_m.join(cnt, "m")
+        .join(ties, "m", "left")
+        .agg(
+            F.sum("s_m").cast("bigint").alias("s"),
+            F.sum("n_m").cast("bigint").alias("n"),
+            F.sum(
+                F.col("n_m") * (F.col("n_m") - 1) * (2 * F.col("n_m") + 5)
+                - F.coalesce(F.col("tie_m"), F.lit(0))
+            )
+            .cast("bigint")
+            .alias("var18"),
+        )
+    )
+    var_s = F.col("var18").cast("double") / 18
+    z = (
+        F.when(F.col("s") > 0, (F.col("s").cast("double") - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (F.col("s").cast("double") + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0).cast("double"))
+    )
+    return tot.select("s", "n", var_s.alias("var_s"), z.alias("z"))

@@ -1774,3 +1774,41 @@ def test_oaxaca_matches_numpy(spark, sf_dir):
         r["gap_dollars"]
         - (r["explained_dollars"] + r["unexplained_dollars"])
     ) < 1e-9
+
+
+# --- continuation-session wave 77: seasonal Mann-Kendall --------------------
+
+
+def test_seasonal_mk_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["ts_seasonal_mann_kendall"](spark, sf_dir).collect()[0]
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("day"),
+            F.month("ts").alias("m"),
+        )
+        .agg(F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_m = defaultdict(list)
+    for x in daily:
+        by_m[x["m"]].append((x["day"], x["c"]))
+    s = 0
+    var18 = 0
+    for m, rows in by_m.items():
+        rows.sort()
+        vals = [c for _, c in rows]
+        for i in range(len(vals)):
+            for j in range(i + 1, len(vals)):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        n_m = len(vals)
+        tie = 0
+        from collections import Counter
+
+        for t in Counter(vals).values():
+            tie += t * (t - 1) * (2 * t + 5)
+        var18 += n_m * (n_m - 1) * (2 * n_m + 5) - tie
+    assert r["s"] == s
+    assert abs(r["var_s"] - var18 / 18) < 1e-9
