@@ -10957,3 +10957,236 @@ def agg_oaxaca(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bt") / 100).alias("beta_treated_dollars_per_line"),
         (F.col("bc") / 100).alias("beta_control_dollars_per_line"),
     )
+
+
+@query(
+    "agg_cronbach_alpha",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS nl,
+         CAST(SUM(CASE WHEN l_linenumber = 1
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+              AS BIGINT) AS i1,
+         CAST(SUM(CASE WHEN l_linenumber = 2
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+              AS BIGINT) AS i2,
+         CAST(SUM(CASE WHEN l_linenumber = 3
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+              AS BIGINT) AS i3,
+         CAST(SUM(CASE WHEN l_linenumber = 4
+                  THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+              AS BIGINT) AS i4
+  FROM lineitem GROUP BY 1
+), four AS (
+  SELECT i1, i2, i3, i4, i1 + i2 + i3 + i4 AS tot
+  FROM per WHERE nl = 4
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(i1) AS BIGINT) AS s1,
+         CAST(CAST(SUM(CAST(i1 AS HUGEINT) * i1) AS VARCHAR) AS DOUBLE)
+           AS ss1,
+         CAST(SUM(i2) AS BIGINT) AS s2,
+         CAST(CAST(SUM(CAST(i2 AS HUGEINT) * i2) AS VARCHAR) AS DOUBLE)
+           AS ss2,
+         CAST(SUM(i3) AS BIGINT) AS s3,
+         CAST(CAST(SUM(CAST(i3 AS HUGEINT) * i3) AS VARCHAR) AS DOUBLE)
+           AS ss3,
+         CAST(SUM(i4) AS BIGINT) AS s4,
+         CAST(CAST(SUM(CAST(i4 AS HUGEINT) * i4) AS VARCHAR) AS DOUBLE)
+           AS ss4,
+         CAST(SUM(tot) AS BIGINT) AS st,
+         CAST(CAST(SUM(CAST(tot AS HUGEINT) * tot) AS VARCHAR) AS DOUBLE)
+           AS sst
+  FROM four
+), v AS (
+  SELECT n,
+         (ss1 - (CAST(s1 AS DOUBLE) / n) * s1) / (n - 1)
+           + (ss2 - (CAST(s2 AS DOUBLE) / n) * s2) / (n - 1)
+           + (ss3 - (CAST(s3 AS DOUBLE) / n) * s3) / (n - 1)
+           + (ss4 - (CAST(s4 AS DOUBLE) / n) * s4) / (n - 1) AS sum_vi,
+         (sst - (CAST(st AS DOUBLE) / n) * st) / (n - 1) AS v_tot
+  FROM m
+)
+SELECT n AS n_orders,
+       sum_vi / 10000 AS sum_item_var_dollars2,
+       v_tot / 10000 AS total_var_dollars2,
+       (4.0 / 3.0) * (1 - sum_vi / v_tot) AS cronbach_alpha
+FROM v
+""",
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over 4-line orders, treating the four line
+    prices (by line number) as a 4-item scale and the order total as
+    the scale score: alpha = k/(k-1) * (1 - sum item variances /
+    total variance) — the internal-consistency reliability
+    coefficient (psychometrics' most-reported number), and the
+    within-basket coherence view next to agg_fleiss_kappa's
+    categorical agreement on the same 4-line fixture.
+
+    Exactness: all five variance pairs use exact integer cents with
+    HUGEINT/decimal(38) squares and the gamma_mom (ss - mu*s)
+    expression; the item-variance sum is a FIXED four-term
+    expression (k is a constant, not a fold). One hash aggregate
+    over lineitem, one 1-row reduction."""
+    c = F.expr(cents("l_extendedprice"))
+    per = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nl"),
+            *[
+                F.sum(F.when(F.col("l_linenumber") == k, c))
+                .cast("bigint")
+                .alias(f"i{k}")
+                for k in (1, 2, 3, 4)
+            ],
+        )
+        .filter(F.col("nl") == 4)
+        .withColumn(
+            "tot",
+            F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4"),
+        )
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for k in ("i1", "i2", "i3", "i4", "tot"):
+        aggs.append(F.sum(k).cast("bigint").alias(f"s_{k}"))
+        aggs.append(
+            F.sum(F.col(k).cast("decimal(38,0)") * F.col(k))
+            .cast("double")
+            .alias(f"ss_{k}")
+        )
+    m = per.agg(*aggs)
+
+    def var(k):
+        return (
+            F.col(f"ss_{k}")
+            - (F.col(f"s_{k}").cast("double") / F.col("n")) * F.col(f"s_{k}")
+        ) / (F.col("n") - 1)
+
+    sum_vi = var("i1") + var("i2") + var("i3") + var("i4")
+    v_tot = var("tot")
+    return m.select(
+        F.col("n").alias("n_orders"),
+        (sum_vi / 10000).alias("sum_item_var_dollars2"),
+        (v_tot / 10000).alias("total_var_dollars2"),
+        ((F.lit(4.0) / F.lit(3.0)) * (F.lit(1) - sum_vi / v_tot)).alias(
+            "cronbach_alpha"
+        ),
+    )
+
+
+@query(
+    "agg_lmg_importance",
+    oracle="""
+WITH base AS (
+  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+         l.nl AS x1,
+         CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS x2
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS BIGINT) AS s1,
+         CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+         CAST(SUM(x2) AS BIGINT) AS s2,
+         CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(x1 AS HUGEINT) * y) AS VARCHAR) AS DOUBLE)
+           AS s1y,
+         CAST(SUM(x2 * y) AS BIGINT) AS s2y,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy
+  FROM base
+), c AS (
+  SELECT n,
+         s11 - CAST(s1 AS DOUBLE) * s1 / n AS c11,
+         CAST(s2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n AS c22,
+         s12 - CAST(s1 AS DOUBLE) * s2 / n AS c12,
+         s1y - CAST(s1 AS DOUBLE) * sy / n AS c1y,
+         CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy / n AS c2y,
+         syy - CAST(sy AS DOUBLE) * sy / n AS cyy
+  FROM m
+), r AS (
+  SELECT n,
+         (c1y * c1y) / (c11 * cyy) AS r1,
+         (c2y * c2y) / (c22 * cyy) AS r2,
+         ((c22 * c1y * c1y - 2 * c12 * c1y * c2y + c11 * c2y * c2y)
+          / (c11 * c22 - c12 * c12)) / cyy AS r12
+  FROM c
+)
+SELECT n AS n_orders, r1 AS r2_x1_alone, r2 AS r2_x2_alone,
+       r12 AS r2_full,
+       (r1 + (r12 - r2)) / 2 AS lmg_x1,
+       (r2 + (r12 - r1)) / 2 AS lmg_x2
+FROM r
+""",
+)
+def agg_lmg_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LMG / Shapley R^2 decomposition for the two order-value
+    drivers (basket size x1, urgency x2): each driver's importance
+    is its R^2 contribution averaged over both entry orders —
+    lmg_1 = [R^2(1) + (R^2(12) - R^2(2))]/2 — the standard
+    'relative importance' answer when drivers are correlated and
+    raw R^2s double-count (the regression twin of
+    attribution_shapley's touchpoint game; x2^2 = x2 keeps every
+    moment exact).
+
+    Exactness: all centered second moments come from exact integer
+    sums (y products through HUGEINT/decimal(38)); the three R^2
+    values (two simple, one two-variable in closed form) and the
+    two LMG shares are fixed double expressions; the LMG shares
+    sum to R^2_full by construction (pinned in tests with a numpy
+    replay, per the closed-form rule). ONE hash aggregate."""
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x1"))
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.expr(cents("o_totalprice")).alias("y"),
+            "x1",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("x2"),
+        )
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    c11 = F.col("s11") - F.col("s1").cast("double") * F.col("s1") / n
+    c22 = F.col("s2").cast("double") - F.col("s2").cast("double") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1").cast("double") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1").cast("double") * F.col("sy") / n
+    c2y = F.col("s2y").cast("double") - F.col("s2").cast("double") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / n
+    r1 = (c1y * c1y) / (c11 * cyy)
+    r2 = (c2y * c2y) / (c22 * cyy)
+    r12 = (
+        (c22 * c1y * c1y - 2 * c12 * c1y * c2y + c11 * c2y * c2y)
+        / (c11 * c22 - c12 * c12)
+    ) / cyy
+    return m.select(
+        n.alias("n_orders"),
+        r1.alias("r2_x1_alone"),
+        r2.alias("r2_x2_alone"),
+        r12.alias("r2_full"),
+        ((r1 + (r12 - r2)) / 2).alias("lmg_x1"),
+        ((r2 + (r12 - r1)) / 2).alias("lmg_x2"),
+    )

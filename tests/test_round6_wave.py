@@ -1812,3 +1812,56 @@ def test_seasonal_mk_matches_bruteforce(spark, sf_dir):
         var18 += n_m * (n_m - 1) * (2 * n_m + 5) - tie
     assert r["s"] == s
     assert abs(r["var_s"] - var18 / 18) < 1e-9
+
+
+# --- continuation-session wave 78: Cronbach / LMG ----------------------------
+
+
+def test_cronbach_alpha_range(spark, sf_dir):
+    r = QUERIES["agg_cronbach_alpha"](spark, sf_dir).collect()[0]
+    # alpha <= 1 always; independent items push it toward 0/negative
+    assert r["cronbach_alpha"] <= 1
+    assert r["sum_item_var_dollars2"] > 0 and r["total_var_dollars2"] > 0
+    want = (4 / 3) * (
+        1 - r["sum_item_var_dollars2"] / r["total_var_dollars2"]
+    )
+    assert abs(r["cronbach_alpha"] - want) < 1e-9
+
+
+def test_lmg_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["agg_lmg_importance"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("x1")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("y"),
+            "x1",
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("x2"),
+        )
+        .collect()
+    )
+    y = np.array([float(x["y"]) for x in rows])
+    X1 = np.array([float(x["x1"]) for x in rows])
+    X2 = np.array([float(x["x2"]) for x in rows])
+
+    def r2(X):
+        A = np.column_stack([np.ones_like(y)] + X)
+        beta, *_ = np.linalg.lstsq(A, y, rcond=None)
+        resid = y - A @ beta
+        return 1 - resid.var() / y.var()
+
+    r1, r2_, r12 = r2([X1]), r2([X2]), r2([X1, X2])
+    assert abs(r["r2_x1_alone"] - r1) < 1e-9
+    assert abs(r["r2_x2_alone"] - r2_) < 1e-9
+    assert abs(r["r2_full"] - r12) < 1e-9
+    # LMG shares sum to the full R^2
+    assert abs(r["lmg_x1"] + r["lmg_x2"] - r["r2_full"]) < 1e-12
