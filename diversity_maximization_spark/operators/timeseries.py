@@ -6486,3 +6486,93 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("double"))
     )
     return tot.select("s", "n", var_s.alias("var_s"), z.alias("z"))
+
+
+@query(
+    "ts_spectral_entropy",
+    bounded_cross="1-row total-power scalar onto the 4-period table",
+    oracle=f"""
+WITH pg AS ({_pgram_oracle().strip()}),
+tot AS (
+  SELECT list_sum(list(power ORDER BY period)) AS ptot FROM pg
+), sh AS (
+  SELECT pg.period, pg.power, pg.power / tot.ptot AS p
+  FROM pg, tot
+), ent AS (
+  SELECT list_sum(list(
+           -p * (CAST(FLOOR(LN(p) * 1000000 + 0.5) AS BIGINT) / 1e6)
+           ORDER BY period)) AS h
+  FROM sh
+), dom AS (
+  SELECT period FROM sh ORDER BY power DESC, period LIMIT 1
+)
+SELECT CAST(4 AS BIGINT) AS n_periods,
+       ent.h AS h_nats,
+       ent.h / CAST('1.3862943611198906' AS DOUBLE) AS h_normalized,
+       CAST(dom.period AS INTEGER) AS dominant_period
+FROM ent, dom
+""",
+)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of the candidate-period power distribution:
+    H = -sum p_i ln p_i over ts_periodogram's normalized
+    weekly/monthly/quarterly/yearly powers, plus the dominant
+    period — ONE number for 'how concentrated is the seasonality?'
+    (H -> 0: a single cycle owns the series; H -> ln 4: no
+    preferred cycle), the summary dashboards alarm on where the
+    periodogram is the diagnostic.
+
+    Exactness: powers come from the periodogram's import-quantized
+    integer-trig machinery (no libm in the data path); shares are
+    identical doubles; each ln is quantized at 1e-6 and the 4-term
+    entropy folds in PERIOD order; ln 4 is a CAST-string literal.
+    Scale shape: the periodogram plan (O(days) rollup + broadcast
+    trig join) then 4-row arithmetic."""
+    pg = ts_periodogram(spark, sf_dir).select("period", "power")
+    tot = pg.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("period", F.col("power").alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("ptot")
+    )
+    # bounded: 1-row total onto 4 rows
+    sh = pg.crossJoin(F.broadcast(tot)).select(
+        "period", "power", (F.col("power") / F.col("ptot")).alias("p")
+    )
+    ent = sh.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "period",
+                        (
+                            -F.col("p")
+                            * (
+                                F.floor(
+                                    F.log("p") * F.lit(1000000) + F.lit(0.5)
+                                ).cast("bigint")
+                                / F.lit(1e6)
+                            )
+                        ).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("h")
+    )
+    dom = (
+        sh.orderBy(F.desc("power"), "period")
+        .limit(1)
+        .select(F.col("period").cast("int").alias("dominant_period"))
+    )
+    ln4 = float.fromhex("0x1.62e42fefa39efp+0")
+    return ent.crossJoin(F.broadcast(dom)).select(
+        F.lit(4).cast("bigint").alias("n_periods"),
+        F.col("h").alias("h_nats"),
+        (F.col("h") / F.lit(ln4)).alias("h_normalized"),
+        "dominant_period",
+    )

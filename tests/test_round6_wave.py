@@ -1865,3 +1865,19 @@ def test_lmg_matches_numpy(spark, sf_dir):
     assert abs(r["r2_full"] - r12) < 1e-9
     # LMG shares sum to the full R^2
     assert abs(r["lmg_x1"] + r["lmg_x2"] - r["r2_full"]) < 1e-12
+
+
+# --- continuation-session wave 79: spectral entropy --------------------------
+
+
+def test_spectral_entropy_bounds(spark, sf_dir):
+    import math
+
+    r = QUERIES["ts_spectral_entropy"](spark, sf_dir).collect()[0]
+    assert 0 <= r["h_nats"] <= math.log(4) + 1e-6
+    assert 0 <= r["h_normalized"] <= 1 + 1e-9
+    assert r["dominant_period"] in (7, 30, 91, 365)
+    # consistency with the periodogram's own argmax
+    pg = QUERIES["ts_periodogram"](spark, sf_dir).collect()
+    dom = max(pg, key=lambda x: (x["power"], -x["period"]))["period"]
+    assert r["dominant_period"] == dom
