@@ -11190,3 +11190,88 @@ def agg_lmg_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((r1 + (r12 - r2)) / 2).alias("lmg_x1"),
         ((r2 + (r12 - r1)) / 2).alias("lmg_x2"),
     )
+
+
+POT_Q_PCT = 95  # exceedance threshold quantile
+
+
+@query(
+    "agg_pot_gpd",
+    bounded_cross="1-row threshold scalar onto the exceedance scan",
+    oracle=f"""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+  FROM orders
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM s
+), thr AS (
+  SELECT c AS u, n FROM r
+  WHERE rn = ({POT_Q_PCT} * n + 99) // 100
+), exc AS (
+  SELECT s.c - t.u AS e, t.u, t.n
+  FROM s, thr t WHERE s.c > t.u
+), m AS (
+  SELECT MAX(u) AS u, MAX(n) AS n,
+         CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(e) AS BIGINT) AS se,
+         CAST(CAST(SUM(CAST(e AS HUGEINT) * e) AS VARCHAR) AS DOUBLE) AS see
+  FROM exc
+), st AS (
+  SELECT u, n, k,
+         CAST(se AS DOUBLE) / k AS mb,
+         (see - (CAST(se AS DOUBLE) / k) * se) / (k - 1) AS vb
+  FROM m
+)
+SELECT n AS n_orders, k AS n_exceedances,
+       CAST(u AS DOUBLE) / 100 AS threshold_dollars,
+       mb / 100 AS mean_excess_dollars,
+       0.5 * (1 - mb * mb / vb) AS gpd_xi,
+       (mb / 2) * (mb * mb / vb + 1) / 100 AS gpd_sigma_dollars
+FROM st
+""",
+)
+def agg_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peaks-over-threshold GPD fit of order-value exceedances above
+    the {POT_Q_PCT}th percentile (method of moments: xi =
+    (1 - m^2/v)/2, sigma = m(m^2/v + 1)/2) — the third leg of the
+    extreme-value family (agg_gumbel_daily_max fits block maxima,
+    agg_hill_tail the log-tail index; POT uses ALL exceedances, the
+    estimator practitioners actually deploy for VaR beyond data).
+    xi < 0 reads as a bounded tail, xi > 0 heavy.
+
+    Exactness: the threshold is the exact order statistic under the
+    (cents, key) order; excesses and their moments are exact
+    integers (squares via HUGEINT/decimal(38)); xi and sigma are
+    fixed double expressions. Scale shape: one global-rank pick,
+    one filtered scan with a declared 1-row threshold cross, a
+    1-row reduction."""
+    s = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c"), "o_orderkey"
+    )
+    from ..plans.global_rank import with_global_row_number
+
+    r, n = with_global_row_number(s, ["c", "o_orderkey"], out_col="rn")
+    kq = (POT_Q_PCT * n + 99) // 100
+    u = int(
+        r.filter(F.col("rn") == kq).select("c").collect()[0]["c"]
+    )
+    exc = s.filter(F.col("c") > u).select((F.col("c") - u).alias("e"))
+    m = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("e").cast("bigint").alias("se"),
+        F.sum(F.col("e").cast("decimal(38,0)") * F.col("e"))
+        .cast("double")
+        .alias("see"),
+    )
+    mb = F.col("se").cast("double") / F.col("k")
+    vb = (F.col("see") - mb * F.col("se")) / (F.col("k") - 1)
+    return m.select(
+        F.lit(n).cast("bigint").alias("n_orders"),
+        F.col("k").alias("n_exceedances"),
+        F.lit(float(u) / 100).alias("threshold_dollars"),
+        (mb / 100).alias("mean_excess_dollars"),
+        (F.lit(0.5) * (F.lit(1) - mb * mb / vb)).alias("gpd_xi"),
+        ((mb / 2) * (mb * mb / vb + 1) / 100).alias("gpd_sigma_dollars"),
+    )

@@ -6576,3 +6576,110 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("h") / F.lit(ln4)).alias("h_normalized"),
         "dominant_period",
     )
+
+
+@query(
+    "ts_mincer_zarnowitz",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT c AS y, LAG(c, 7) OVER (ORDER BY day) AS f
+  FROM daily QUALIFY f IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f) AS BIGINT) AS sf,
+         CAST(CAST(SUM(CAST(f AS HUGEINT) * f) AS VARCHAR) AS DOUBLE) AS sff,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(f AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sfy,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(y - f AS HUGEINT) * (y - f)) AS VARCHAR)
+              AS DOUBLE) AS sdd
+  FROM p
+), fit AS (
+  SELECT n, sdd,
+         (CAST(n AS DOUBLE) * sfy - CAST(sf AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf) AS b,
+         syy - CAST(sy AS DOUBLE) * sy / n
+           - ((CAST(n AS DOUBLE) * sfy - CAST(sf AS DOUBLE) * sy)
+              / (CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf))
+             * (sfy - CAST(sf AS DOUBLE) * sy / n) AS sse,
+         syy - CAST(sy AS DOUBLE) * sy / n AS sst,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sfy - CAST(sf AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf)) * sf)
+           / n AS a
+  FROM m
+)
+SELECT n AS n_days,
+       a / 100 AS alpha_dollars,
+       b AS beta,
+       1 - sse / sst AS r2,
+       ((sdd - sse) / 2) / (sse / (n - 2)) AS f_joint
+FROM fit
+""",
+)
+def ts_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mincer-Zarnowitz forecast-rationality regression of daily
+    revenue on its weekly seasonal-naive forecast (lag-7): actual =
+    a + b*forecast; an unbiased efficient forecast has (a, b) =
+    (0, 1), and the joint F statistic [(RSS_restricted - SSE)/2] /
+    [SSE/(n-2)] tests exactly that (the restricted model IS the
+    y = f identity, so its RSS is just sum (y - f)^2) — the
+    calibration-of-forecasts audit that ts_seasonal_mase's accuracy
+    number can't give (a forecast can be accurate but biased).
+
+    Exactness: all six moments are exact integers (products via
+    HUGEINT/decimal(38)); a, b, R^2 and F are fixed double
+    expressions in identical order. Scale shape: one O(days)
+    rollup, one bounded lag window, a 1-row reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    p = daily.select(
+        F.col("c").alias("y"), F.lag("c", 7).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("f").cast("bigint").alias("sf"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+        .cast("double")
+        .alias("sff"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sfy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(
+            (F.col("y") - F.col("f")).cast("decimal(38,0)")
+            * (F.col("y") - F.col("f"))
+        )
+        .cast("double")
+        .alias("sdd"),
+    )
+    n_d = F.col("n").cast("double")
+    b = (n_d * F.col("sfy") - F.col("sf").cast("double") * F.col("sy")) / (
+        n_d * F.col("sff") - F.col("sf").cast("double") * F.col("sf")
+    )
+    sst = F.col("syy") - F.col("sy").cast("double") * F.col("sy") / F.col("n")
+    sse = sst - b * (
+        F.col("sfy") - F.col("sf").cast("double") * F.col("sy") / F.col("n")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sf")) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_days"),
+        (a / 100).alias("alpha_dollars"),
+        b.alias("beta"),
+        (F.lit(1) - sse / sst).alias("r2"),
+        (((F.col("sdd") - sse) / 2) / (sse / (F.col("n") - 2))).alias(
+            "f_joint"
+        ),
+    )

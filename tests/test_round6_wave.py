@@ -1881,3 +1881,44 @@ def test_spectral_entropy_bounds(spark, sf_dir):
     pg = QUERIES["ts_periodogram"](spark, sf_dir).collect()
     dom = max(pg, key=lambda x: (x["power"], -x["period"]))["period"]
     assert r["dominant_period"] == dom
+
+
+# --- continuation-session wave 80: MZ regression / POT-GPD -------------------
+
+
+def test_mincer_zarnowitz_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["ts_mincer_zarnowitz"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (row["day"], row["c"])
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    vals = [c for _, c in daily]
+    y = np.array(vals[7:], float)
+    f = np.array(vals[:-7], float)
+    b, a = np.polyfit(f, y, 1)
+    assert r["n_days"] == len(y)
+    assert abs(r["beta"] - b) < 1e-9 * max(1, abs(b))
+    assert abs(r["alpha_dollars"] - a / 100) < 1e-6 * max(1, abs(a / 100))
+    sse = ((y - (a + b * f)) ** 2).sum()
+    sdd = ((y - f) ** 2).sum()
+    f_joint = ((sdd - sse) / 2) / (sse / (len(y) - 2))
+    assert abs(r["f_joint"] - f_joint) < 1e-6 * max(1, f_joint)
+    assert r["f_joint"] >= -1e-9
+
+
+def test_pot_gpd_moments(spark, sf_dir):
+    r = QUERIES["agg_pot_gpd"](spark, sf_dir).collect()[0]
+    assert r["n_exceedances"] < 0.06 * r["n_orders"]
+    assert r["mean_excess_dollars"] > 0
+    # MoM identity: sigma/(1 - xi) reproduces the mean excess when
+    # xi < 1 (GPD mean)
+    if r["gpd_xi"] < 1:
+        implied_mean = r["gpd_sigma_dollars"] / (1 - r["gpd_xi"])
+        assert abs(implied_mean - r["mean_excess_dollars"]) < 0.05 * max(
+            1, r["mean_excess_dollars"]
+        )
