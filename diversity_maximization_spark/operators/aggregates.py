@@ -11275,3 +11275,112 @@ def agg_pot_gpd(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * (F.lit(1) - mb * mb / vb)).alias("gpd_xi"),
         ((mb / 2) * (mb * mb / vb + 1) / 100).alias("gpd_sigma_dollars"),
     )
+
+
+@query(
+    "agg_energy_distance",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+  FROM orders
+), all_r AS (
+  SELECT tr, c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM s
+), grp_r AS (
+  SELECT tr, c,
+         ROW_NUMBER() OVER (PARTITION BY tr ORDER BY c, o_orderkey) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY tr) AS BIGINT) AS n
+  FROM s
+), sums AS (
+  SELECT
+    (SELECT CAST(CAST(SUM(CAST(2 * rn - 1 - n AS HUGEINT) * c)
+                 AS VARCHAR) AS DOUBLE) FROM all_r) AS s_all,
+    (SELECT CAST(CAST(SUM(CAST(2 * rn - 1 - n AS HUGEINT) * c)
+                 AS VARCHAR) AS DOUBLE) FROM grp_r WHERE tr = 1) AS s_t,
+    (SELECT CAST(CAST(SUM(CAST(2 * rn - 1 - n AS HUGEINT) * c)
+                 AS VARCHAR) AS DOUBLE) FROM grp_r WHERE tr = 0) AS s_c,
+    (SELECT CAST(SUM(tr) AS BIGINT) FROM s) AS nt,
+    (SELECT CAST(SUM(1 - tr) AS BIGINT) FROM s) AS nc
+), st AS (
+  SELECT nt, nc,
+         (s_all - s_t - s_c) / (CAST(nt AS DOUBLE) * nc) AS ab,
+         s_t / (CAST(nt AS DOUBLE) * nt) AS aa,
+         s_c / (CAST(nc AS DOUBLE) * nc) AS bb
+  FROM sums
+)
+SELECT nt AS n_treated, nc AS n_control,
+       ab / 100 AS mean_cross_dollars,
+       (2 * ab - aa - bb) / 100 AS energy_dist_dollars,
+       (CAST(nt AS DOUBLE) * nc / (nt + nc)) * (2 * ab - aa - bb) / 100
+         AS energy_stat
+FROM st
+""",
+)
+def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance two-sample test (Szekely-Rizzo) between
+    URGENT and other order values: E = 2 E|X-Y| - E|X-X'| - E|Y-Y'|
+    — the characteristic-function-complete test that detects ANY
+    distributional difference (KS sees the largest CDF gap, CvM the
+    integrated square; energy distance is zero IFF the laws are
+    equal), with the nt*nc/(nt+nc)-scaled statistic practitioners
+    permute. In 1-D the three pairwise-|diff| sums collapse to the
+    EXACT rank identity sum (2i - 1 - n) x_(i), so no pair ever
+    materializes.
+
+    Exactness: all three weighted rank sums are exact integers
+    (coefficients x values through HUGEINT/decimal(38) — ~3e17 at
+    sf0.1, ~3e23 at 100x, the wide type is load-bearing); ranks use
+    the deterministic (cents, key) order; the E-statistics are
+    fixed double expressions. Scale shape: THREE passes of the
+    two-phase global-rank machinery (combined + each group slice,
+    all score-bucketed), three 1-row reductions."""
+    from ..plans.global_rank import with_global_row_number
+
+    s = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("c"),
+        "o_orderkey",
+    )
+
+    def wsum(df):
+        ranked, n = with_global_row_number(
+            df, ["c", "o_orderkey"], out_col="rn"
+        )
+        row = ranked.agg(
+            F.sum(
+                (2 * F.col("rn") - 1 - F.lit(n)).cast("decimal(38,0)")
+                * F.col("c")
+            )
+            .cast("double")
+            .alias("w")
+        ).collect()[0]
+        return float(row["w"]), n
+
+    s_all, n_all = wsum(s)
+    s_t, n_t = wsum(s.filter(F.col("tr") == 1))
+    s_c, n_c = wsum(s.filter(F.col("tr") == 0))
+    one = s.sparkSession.createDataFrame(
+        [(n_t, n_c, s_all, s_t, s_c)],
+        "nt bigint, nc bigint, s_all double, s_t double, s_c double",
+    )
+    ab = (F.col("s_all") - F.col("s_t") - F.col("s_c")) / (
+        F.col("nt").cast("double") * F.col("nc")
+    )
+    aa = F.col("s_t") / (F.col("nt").cast("double") * F.col("nt"))
+    bb = F.col("s_c") / (F.col("nc").cast("double") * F.col("nc"))
+    e = 2 * ab - aa - bb
+    return one.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        (ab / 100).alias("mean_cross_dollars"),
+        (e / 100).alias("energy_dist_dollars"),
+        (
+            (F.col("nt").cast("double") * F.col("nc") / (F.col("nt") + F.col("nc")))
+            * e
+            / 100
+        ).alias("energy_stat"),
+    )

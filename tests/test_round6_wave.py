@@ -1922,3 +1922,45 @@ def test_pot_gpd_moments(spark, sf_dir):
         assert abs(implied_mean - r["mean_excess_dollars"]) < 0.05 * max(
             1, r["mean_excess_dollars"]
         )
+
+
+# --- continuation-session wave 81: energy distance ---------------------------
+
+
+def test_energy_distance_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["agg_energy_distance"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    xs = sorted(x["c"] for x in rows if x["tr"] == 1)
+    ys = sorted(x["c"] for x in rows if x["tr"] == 0)
+
+    def pair_sum(v):
+        # exact rank identity instead of O(n^2)
+        n = len(v)
+        return sum((2 * i - 1 - n) * x for i, x in enumerate(v, 1))
+
+    s_t, s_c = pair_sum(xs), pair_sum(ys)
+    s_all = pair_sum(sorted(xs + ys))
+    nt, nc = len(xs), len(ys)
+    ab = (s_all - s_t - s_c) / (nt * nc)
+    aa = s_t / (nt * nt)
+    bb = s_c / (nc * nc)
+    e = 2 * ab - aa - bb
+    assert abs(r["energy_dist_dollars"] - e / 100) < 1e-6 * max(1, e / 100)
+    assert r["energy_dist_dollars"] >= 0  # E-distance is nonnegative
+    # spot: one brute-force cross mean on a small slice
+    import random
+
+    random.seed(7)
+    sx = random.sample(xs, min(60, len(xs)))
+    sy = random.sample(ys, min(60, len(ys)))
+    bf = sum(abs(a - b) for a in sx for b in sy) / (len(sx) * len(sy))
+    assert abs(bf / 100 - r["mean_cross_dollars"]) < 0.25 * bf / 100
