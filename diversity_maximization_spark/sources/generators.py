@@ -151,3 +151,68 @@ def source_random_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = d if out is None else out.unionAll(d)
     return out
+
+
+HALTON_N = 4096
+_HALTON_DIGITS = 12  # 2^12 = 4096, 3^8 > 4096
+
+
+@query(
+    "source_quasirandom",
+    oracle=f"""
+WITH idx AS (
+  SELECT unnest(generate_series(1, {HALTON_N})) AS i
+), pts AS (
+  SELECT i,
+         list_sum(list_transform(generate_series(0, {_HALTON_DIGITS - 1}),
+           k -> CAST((i // CAST(pow(2, k) AS BIGINT)) % 2 AS BIGINT)
+                * CAST(pow(2, {_HALTON_DIGITS} - 1 - k) AS BIGINT)))
+           AS xb,
+         list_sum(list_transform(generate_series(0, 7),
+           k -> CAST((i // CAST(pow(3, k) AS BIGINT)) % 3 AS BIGINT)
+                * CAST(pow(3, 7 - k) AS BIGINT))) AS yb
+  FROM idx
+)
+SELECT i,
+       CAST(xb AS DOUBLE) / {2 ** _HALTON_DIGITS} AS x,
+       CAST(yb AS DOUBLE) / {3 ** 8} AS y
+FROM pts
+""",
+)
+def source_quasirandom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2-D Halton low-discrepancy sequence ({HALTON_N}
+    points, bases 2 and 3) — the quasi-Monte-Carlo point source for
+    integration/space-filling sampling, generated by PURE INTEGER
+    radical-inverse arithmetic (digit-reverse i in each base, scale
+    by base^-digits) so any engine reproduces the identical stream
+    with no RNG state — the QMC counterpart of
+    source_random_points' hash-uniform generator.
+
+    Exactness: every digit extraction, reversal and weighted sum is
+    exact integer arithmetic; the only floats are two final
+    divisions by exact powers. Scale shape: a range source +
+    narrow map — embarrassingly parallel, no shuffle (at 100x
+    simply raise N; the plan is a single mapPartitions over a
+    range)."""
+    idx = spark.range(1, HALTON_N + 1).select(F.col("id").alias("i"))
+    xb = sum(
+        (
+            ((F.col("i") / F.lit(2**k)).cast("bigint") % 2)
+            * F.lit(2 ** (_HALTON_DIGITS - 1 - k))
+            for k in range(_HALTON_DIGITS)
+        ),
+        F.lit(0),
+    )
+    yb = sum(
+        (
+            ((F.col("i") / F.lit(3**k)).cast("bigint") % 3)
+            * F.lit(3 ** (7 - k))
+            for k in range(8)
+        ),
+        F.lit(0),
+    )
+    return idx.select(
+        "i",
+        (xb.cast("double") / F.lit(2**_HALTON_DIGITS)).alias("x"),
+        (yb.cast("double") / F.lit(3**8)).alias("y"),
+    )

@@ -1964,3 +1964,31 @@ def test_energy_distance_matches_bruteforce(spark, sf_dir):
     sy = random.sample(ys, min(60, len(ys)))
     bf = sum(abs(a - b) for a in sx for b in sy) / (len(sx) * len(sy))
     assert abs(bf / 100 - r["mean_cross_dollars"]) < 0.25 * bf / 100
+
+
+# --- continuation-session wave 82: Halton QMC source -------------------------
+
+
+def test_halton_low_discrepancy(spark, sf_dir):
+    rows = QUERIES["source_quasirandom"](spark, sf_dir).collect()
+    assert len(rows) == 4096
+    xs = [r["x"] for r in rows]
+    ys = [r["y"] for r in rows]
+    assert all(0 <= v < 1 for v in xs + ys)
+    # local replay of the radical inverse for a few indices
+    def rad(i, b, digits):
+        v, f = 0, 0
+        for k in range(digits):
+            v = v * b + (i // b**k) % b
+        return v / b**digits
+
+    by_i = {r["i"]: r for r in rows}
+    for i in (1, 2, 7, 100, 4095):
+        assert abs(by_i[i]["x"] - rad(i, 2, 12)) < 1e-12
+        assert abs(by_i[i]["y"] - rad(i, 3, 8)) < 1e-12
+    # QMC property: quadrant counts are near-perfectly balanced —
+    # far tighter than random sampling's ~1/sqrt(N) noise
+    q = [0] * 4
+    for x, y in zip(xs, ys):
+        q[(x >= 0.5) * 2 + (y >= 0.5)] += 1
+    assert max(q) - min(q) < 64
