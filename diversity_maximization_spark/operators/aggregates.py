@@ -10142,6 +10142,7 @@ NV_CU, NV_CO = 9, 1  # newsvendor under/over-stock unit costs (9:1)
 
 @query(
     "agg_newsvendor",
+    bounded_cross="1-row quantile-pick scalar onto the 1-row moment frame",
     oracle=f"""
 WITH demand AS (
   SELECT date_trunc('day', o_orderdate) AS day,

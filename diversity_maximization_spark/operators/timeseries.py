@@ -5750,6 +5750,7 @@ def ts_stochastic_oscillator(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("pct_k"),
     )
+    # bounded: O(days) rollup-scale rows
     wd = Window.orderBy("day")
     d = k.select(
         "day",
@@ -5847,6 +5848,7 @@ def ts_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lag("c").over(w)
         ).alias("r"),
     ).filter(F.col("r").isNotNull())
+    # bounded: O(days) rollup-scale rows
     wr = Window.orderBy("r", "day")
     ranked = rets.select(
         "r",
@@ -5946,6 +5948,7 @@ def ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = daily.select(
         "day", F.row_number().over(wr).cast("bigint").alias("r")
     )
+    # bounded: O(days) rollup-scale rows
     wd = Window.orderBy("day")
     cum = rk.select(
         "day",
@@ -6077,6 +6080,7 @@ def ts_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("nd") == SAX_STRIDE)
     )
+    # bounded: O(days) rollup-scale rows
     wr = Window.orderBy("s", "w", "seg")
     ranked = segs.select(
         "s",
