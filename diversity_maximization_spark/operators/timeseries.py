@@ -6687,3 +6687,164 @@ def ts_mincer_zarnowitz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_joint"
         ),
     )
+
+
+@query(
+    "ts_diebold_mariano",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT c AS y,
+         LAG(c, 1) OVER (ORDER BY day) AS f1,
+         LAG(c, 7) OVER (ORDER BY day) AS f7
+  FROM daily QUALIFY f7 IS NOT NULL
+), d AS (
+  SELECT ABS(y - f7) - ABS(y - f1) AS dt FROM p
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(dt) AS BIGINT) AS sd,
+         CAST(CAST(SUM(CAST(dt AS HUGEINT) * dt) AS VARCHAR) AS DOUBLE)
+           AS sdd
+  FROM d
+)
+SELECT n AS n_days,
+       CAST(sd AS DOUBLE) / n / 100 AS mean_loss_diff_dollars,
+       (CAST(sd AS DOUBLE) / n)
+         / sqrt(((sdd - (CAST(sd AS DOUBLE) / n) * sd) / (n - 1)) / n)
+         AS dm_stat
+FROM m
+""",
+)
+def ts_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diebold-Mariano test comparing the weekly seasonal-naive
+    forecast (lag-7) against the one-step naive (lag-1) under
+    absolute loss: d_t = |e_seasonal| - |e_naive|, DM =
+    mean(d)/se(mean) — the SIGNIFICANCE companion of
+    ts_seasonal_mase's ratio (MASE < 1 says seasonal wins; DM says
+    whether that win clears sampling noise). Plain iid variance
+    (the lag-0 special case; HAC belongs to ts_newey_west's
+    machinery and is cited there).
+
+    Exactness: both loss series are exact integer cents, so d_t and
+    its moments are exact integers (squares via HUGEINT/
+    decimal(38)); DM is one fixed double expression. Scale shape:
+    one O(days) rollup, one bounded lag window, a 1-row
+    reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    p = daily.select(
+        F.col("c").alias("y"),
+        F.lag("c", 1).over(w).alias("f1"),
+        F.lag("c", 7).over(w).alias("f7"),
+    ).filter(F.col("f7").isNotNull())
+    d = p.select(
+        (F.abs(F.col("y") - F.col("f7")) - F.abs(F.col("y") - F.col("f1")))
+        .alias("dt")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dt").cast("bigint").alias("sd"),
+        F.sum(F.col("dt").cast("decimal(38,0)") * F.col("dt"))
+        .cast("double")
+        .alias("sdd"),
+    )
+    mean_d = F.col("sd").cast("double") / F.col("n")
+    var_d = (F.col("sdd") - mean_d * F.col("sd")) / (F.col("n") - 1)
+    return m.select(
+        F.col("n").alias("n_days"),
+        (mean_d / 100).alias("mean_loss_diff_dollars"),
+        (mean_d / F.sqrt(var_d / F.col("n"))).alias("dm_stat"),
+    )
+
+
+@query(
+    "ts_theil_u",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM orders GROUP BY 1
+), p AS (
+  SELECT c AS y, LAG(c, 7) OVER (ORDER BY day) AS f,
+         LAG(c, 1) OVER (ORDER BY day) AS prev
+  FROM daily QUALIFY f IS NOT NULL AND prev IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(y - f AS HUGEINT) * (y - f)) AS VARCHAR)
+              AS DOUBLE) AS sef,
+         CAST(CAST(SUM(CAST(y - prev AS HUGEINT) * (y - prev)) AS VARCHAR)
+              AS DOUBLE) AS sen,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(f AS HUGEINT) * f) AS VARCHAR) AS DOUBLE) AS sff
+  FROM p
+)
+SELECT n AS n_days,
+       sqrt(sef / n) / (sqrt(syy / n) + sqrt(sff / n)) AS theil_u1,
+       sqrt(sef / sen) AS theil_u2
+FROM m
+""",
+)
+def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U forecast-skill statistics for the weekly
+    seasonal-naive forecast: U1 = RMSE/(RMS(y) + RMS(f)) in [0, 1]
+    (0 = perfect), and U2 = RMSE(forecast)/RMSE(naive) (< 1 beats
+    persistence) — the classic skill pair that, with MASE (absolute
+    loss), DM (significance) and MZ (rationality), completes the
+    forecast-evaluation shelf.
+
+    Exactness: all four quadratic sums are exact integers
+    (HUGEINT/decimal(38)); both U statistics are fixed double
+    expressions. One rollup, one bounded window, a 1-row
+    reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    p = daily.select(
+        F.col("c").alias("y"),
+        F.lag("c", 7).over(w).alias("f"),
+        F.lag("c", 1).over(w).alias("prev"),
+    ).filter(F.col("f").isNotNull() & F.col("prev").isNotNull())
+
+    def sq(a, b):
+        return (
+            F.sum(
+                (F.col(a) - F.col(b)).cast("decimal(38,0)")
+                * (F.col(a) - F.col(b))
+            )
+            .cast("double")
+        )
+
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        sq("y", "f").alias("sef"),
+        sq("y", "prev").alias("sen"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+        .cast("double")
+        .alias("sff"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        (
+            F.sqrt(F.col("sef") / F.col("n"))
+            / (
+                F.sqrt(F.col("syy") / F.col("n"))
+                + F.sqrt(F.col("sff") / F.col("n"))
+            )
+        ).alias("theil_u1"),
+        F.sqrt(F.col("sef") / F.col("sen")).alias("theil_u2"),
+    )

@@ -1992,3 +1992,23 @@ def test_halton_low_discrepancy(spark, sf_dir):
     for x, y in zip(xs, ys):
         q[(x >= 0.5) * 2 + (y >= 0.5)] += 1
     assert max(q) - min(q) < 64
+
+
+# --- continuation-session wave 83: DM test / Theil U -------------------------
+
+
+def test_diebold_mariano_vs_mase_direction(spark, sf_dir):
+    dm = QUERIES["ts_diebold_mariano"](spark, sf_dir).collect()[0]
+    mase = QUERIES["ts_seasonal_mase"](spark, sf_dir).collect()[0]
+    # DM's loss differential and MASE's ratio must agree in direction
+    if mase["mase"] < 1:
+        assert dm["mean_loss_diff_dollars"] < 0
+    else:
+        assert dm["mean_loss_diff_dollars"] >= 0
+    assert dm["n_days"] > 100
+
+
+def test_theil_u_bounds(spark, sf_dir):
+    r = QUERIES["ts_theil_u"](spark, sf_dir).collect()[0]
+    assert 0 <= r["theil_u1"] <= 1
+    assert r["theil_u2"] > 0
