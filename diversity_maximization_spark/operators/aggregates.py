@@ -11385,3 +11385,146 @@ def agg_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("energy_stat"),
     )
+
+
+@query(
+    "agg_benjamini_yekutieli",
+    bounded_cross="1-row global-share scalar onto the 25-nation cell table",
+    oracle="""
+WITH cells AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM customer GROUP BY 1, 2
+), seg_tot AS (
+  SELECT seg, CAST(SUM(o) AS BIGINT) AS st FROM cells GROUP BY seg
+), grand AS (
+  SELECT CAST(SUM(o) AS BIGINT) AS g FROM cells
+), nat_tot AS (
+  SELECT nation, CAST(SUM(o) AS BIGINT) AS nt FROM cells GROUP BY nation
+), full_cells AS (
+  SELECT n.nation, s.seg, n.nt, s.st, COALESCE(c.o, 0) AS o
+  FROM nat_tot n CROSS JOIN seg_tot s
+  LEFT JOIN cells c ON c.nation = n.nation AND c.seg = s.seg
+), chi AS (
+  SELECT nation,
+         list_sum(list(
+           (CAST(o AS DOUBLE)
+            - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           * (CAST(o AS DOUBLE)
+              - CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           / (CAST(nt AS DOUBLE) * st / (SELECT g FROM grand))
+           ORDER BY seg)) AS chi2
+  FROM full_cells GROUP BY nation
+), pv AS (
+  SELECT nation,
+         exp(-chi2 / 2) * (CAST(1 AS DOUBLE) + chi2 / 2) AS p
+  FROM chi
+), ranked AS (
+  SELECT nation, p,
+         ROW_NUMBER() OVER (ORDER BY p, nation) AS rnk,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM pv
+), cm AS (
+  SELECT list_sum(list(1.0 / rnk ORDER BY rnk)) AS c
+  FROM ranked
+), cutoff AS (
+  SELECT COALESCE(MAX(CASE WHEN r.p <= r.rnk * CAST(0.05 AS DOUBLE)
+                                       / (r.m * cm.c)
+                           THEN r.rnk END), 0) AS kstar
+  FROM ranked r, cm
+)
+SELECT r.nation, round(r.p, 9) AS p_value,
+       CAST(r.rnk AS BIGINT) AS rnk,
+       r.rnk * CAST(0.05 AS DOUBLE) / (r.m * cm.c) AS by_threshold,
+       r.rnk <= (SELECT kstar FROM cutoff) AS rejected_by
+FROM ranked r, cm
+""",
+)
+def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Yekutieli FDR control over the same 25 nation
+    chi-square tests as the BH and Holm keys — the correction that
+    stays valid under ARBITRARY dependence between tests (BH
+    assumes positive dependence) by paying the harmonic factor
+    c(m) = sum 1/i. The three keys side by side display the full
+    power ordering BY <= Holm/Bonferroni-ish <= BH and WHY each is
+    chosen. Identical pv construction (exact cells, closed-form
+    even-df p, <=1-ulp exp accepted); the harmonic constant folds
+    in rank order (bounded 25 terms); the step-up cutoff mirrors
+    BH's. Same bounded scale shape as the siblings."""
+    c = load(spark, sf_dir, "customer")
+    cells = c.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    seg_tot = cells.groupBy("seg").agg(F.sum("o").cast("bigint").alias("st"))
+    nat_tot = cells.groupBy("nation").agg(
+        F.sum("o").cast("bigint").alias("nt")
+    )
+    g = cells.agg(F.sum("o")).collect()[0][0]
+    full_cells = (
+        nat_tot.crossJoin(F.broadcast(seg_tot))
+        .join(cells, ["nation", "seg"], "left")
+        .select(
+            "nation", "seg", "nt", "st", F.coalesce("o", F.lit(0)).alias("o")
+        )
+    )
+    e = F.col("nt").cast("double") * F.col("st") / F.lit(g)
+    terms = full_cells.select(
+        "nation",
+        "seg",
+        (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("term"),
+    )
+    chi = terms.groupBy("nation").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("seg", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    pv = chi.select(
+        "nation",
+        (
+            F.exp(-F.col("chi2") / 2)
+            * (F.lit(1).cast("double") + F.col("chi2") / 2)
+        ).alias("p"),
+    )
+    # bounded: 25 nation rows
+    wr = Window.orderBy("p", "nation")
+    ranked = pv.select(
+        "nation",
+        "p",
+        F.row_number().over(wr).alias("rnk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    )
+    cm = ranked.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("rnk", (F.lit(1.0) / F.col("rnk")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("c")
+    )
+    j = ranked.crossJoin(F.broadcast(cm))
+    thr = F.col("rnk") * F.lit(0.05).cast("double") / (F.col("m") * F.col("c"))
+    kstar = j.agg(
+        F.coalesce(
+            F.max(F.when(F.col("p") <= thr, F.col("rnk"))), F.lit(0)
+        ).alias("k")
+    ).collect()[0]["k"]
+    return j.select(
+        "nation",
+        F.round("p", 9).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        thr.alias("by_threshold"),
+        (F.col("rnk") <= F.lit(int(kstar))).alias("rejected_by"),
+    )

@@ -2012,3 +2012,19 @@ def test_theil_u_bounds(spark, sf_dir):
     r = QUERIES["ts_theil_u"](spark, sf_dir).collect()[0]
     assert 0 <= r["theil_u1"] <= 1
     assert r["theil_u2"] > 0
+
+
+# --- continuation-session wave 84: Benjamini-Yekutieli -----------------------
+
+
+def test_by_is_most_conservative_fdr(spark, sf_dir):
+    by = {r["nation"]: r for r in QUERIES["agg_benjamini_yekutieli"](spark, sf_dir).collect()}
+    bh = {r["nation"]: r for r in QUERIES["agg_benjamini_hochberg"](spark, sf_dir).collect()}
+    assert set(by) == set(bh)
+    for n, r in by.items():
+        # BY rejects a subset of BH (its thresholds are c(m) smaller)
+        if r["rejected_by"]:
+            assert bh[n]["rejected"]
+        assert r["by_threshold"] <= bh[n]["bh_threshold"] + 1e-15
+    rejected_ranks = sorted(r["rnk"] for r in by.values() if r["rejected_by"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
