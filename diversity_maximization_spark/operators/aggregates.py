@@ -11528,3 +11528,118 @@ def agg_benjamini_yekutieli(spark: SparkSession, sf_dir: str) -> DataFrame:
         thr.alias("by_threshold"),
         (F.col("rnk") <= F.lit(int(kstar))).alias("rejected_by"),
     )
+
+
+@query(
+    "agg_jackknife_variance",
+    bounded_cross="1-row grand-total scalar onto the 25-nation table",
+    oracle="""
+WITH g AS (
+  SELECT c_nationkey AS nk,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s_g
+  FROM customer GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS grps
+  FROM g
+), reps AS (
+  SELECT g.nk,
+         CAST(tot.s - g.s_g AS DOUBLE) / (tot.n - g.n_g) AS theta_g,
+         tot.s, tot.n, tot.grps
+  FROM g, tot
+), tb AS (
+  SELECT MAX(grps) AS grps,
+         CAST(MAX(s) AS DOUBLE) / MAX(n) AS theta,
+         list_sum(list(theta_g ORDER BY nk)) / MAX(grps) AS theta_bar
+  FROM reps
+), jk AS (
+  SELECT MAX(tb.grps) AS grps, MAX(tb.theta) AS theta,
+         MAX(tb.theta_bar) AS theta_bar,
+         list_sum(list(
+           (reps.theta_g - tb.theta_bar)
+           * (reps.theta_g - tb.theta_bar)
+           ORDER BY reps.nk)) AS ssq
+  FROM reps, tb
+)
+SELECT CAST(grps AS BIGINT) AS n_groups,
+       theta / 100 AS mean_acctbal_dollars,
+       sqrt((grps - 1.0) / grps * ssq) / 100 AS jackknife_se_dollars,
+       theta_bar / 100 AS mean_of_replicates_dollars
+FROM jk
+""",
+)
+def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of the mean account
+    balance, with nations as the 25 replicate groups: each replicate
+    re-estimates the mean without one nation, and
+    V_jk = (G-1)/G * sum (theta_g - theta_bar)^2 — the
+    replicate-weight variance machinery production surveys publish
+    SEs with (no closed-form design variance needed), completing the
+    survey family's ESTIMATION leg (two-stage samples the design,
+    DEFF audits the weights; this measures the uncertainty).
+
+    Exactness: per-nation and grand sums are exact cents; every
+    replicate estimate is one fixed double division of those
+    integers; both cross-replicate accumulations fold in NATION
+    order via the strict-fold pair. Scale shape: one hash aggregate
+    to 25 rows, a declared 1-row total cross, bounded folds."""
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_g"),
+            F.sum(F.expr(cents("c_acctbal"))).cast("bigint").alias("s_g"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("grps"),
+    )
+    reps = g.crossJoin(F.broadcast(tot)).select(
+        "nk",
+        (
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+        ).alias("theta_g"),
+        "s",
+        "n",
+        "grps",
+    )
+
+    def nk_fold(col_expr):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nk", col_expr.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    first = reps.agg(
+        F.max("grps").alias("grps"),
+        (F.max("s").cast("double") / F.max("n")).alias("theta"),
+        nk_fold(F.col("theta_g")).alias("sum_theta"),
+    ).collect()[0]
+    grps = int(first["grps"])
+    theta_bar = float(first["sum_theta"]) / grps
+    ssq_row = reps.agg(
+        nk_fold(
+            (F.col("theta_g") - F.lit(theta_bar))
+            * (F.col("theta_g") - F.lit(theta_bar))
+        ).alias("ssq")
+    ).collect()[0]
+    one = reps.sparkSession.createDataFrame(
+        [(grps, float(first["theta"]), theta_bar, float(ssq_row["ssq"]))],
+        "grps bigint, theta double, theta_bar double, ssq double",
+    )
+    return one.select(
+        F.col("grps").alias("n_groups"),
+        (F.col("theta") / 100).alias("mean_acctbal_dollars"),
+        (
+            F.sqrt(
+                (F.col("grps") - F.lit(1.0)) / F.col("grps") * F.col("ssq")
+            )
+            / 100
+        ).alias("jackknife_se_dollars"),
+        (F.col("theta_bar") / 100).alias("mean_of_replicates_dollars"),
+    )

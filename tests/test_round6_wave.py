@@ -2028,3 +2028,31 @@ def test_by_is_most_conservative_fdr(spark, sf_dir):
         assert r["by_threshold"] <= bh[n]["bh_threshold"] + 1e-15
     rejected_ranks = sorted(r["rnk"] for r in by.values() if r["rejected_by"])
     assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+
+
+# --- continuation-session wave 85: jackknife variance ------------------------
+
+
+def test_jackknife_matches_local(spark, sf_dir):
+    import math
+
+    r = QUERIES["agg_jackknife_variance"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_g"),
+            F.sum(F.expr("CAST(round(c_acctbal*100) AS BIGINT)")).alias("s_g"),
+        )
+        .collect()
+    )
+    N = sum(x["n_g"] for x in rows)
+    S = sum(x["s_g"] for x in rows)
+    thetas = [(S - x["s_g"]) / (N - x["n_g"]) for x in rows]
+    g = len(rows)
+    tb = sum(thetas) / g
+    ssq = sum((t - tb) ** 2 for t in thetas)
+    se = math.sqrt((g - 1) / g * ssq) / 100
+    assert r["n_groups"] == g
+    assert abs(r["jackknife_se_dollars"] - se) < 1e-6 * max(1e-9, se)
+    assert abs(r["mean_acctbal_dollars"] - S / N / 100) < 1e-9
