@@ -11643,3 +11643,107 @@ def agg_jackknife_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("jackknife_se_dollars"),
         (F.col("theta_bar") / 100).alias("mean_of_replicates_dollars"),
     )
+
+
+@query(
+    "agg_weibull_rank_fit",
+    oracle="""
+WITH s AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+  FROM orders
+), r AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c, o_orderkey) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM s
+), pts AS (
+  SELECT CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(-LN(1 - (i - 0.375) / (n + 0.25))) * 1000000 + 0.5)
+              AS BIGINT) AS y
+  FROM r
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * x) AS VARCHAR) AS DOUBLE) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM pts
+), fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS k,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+           / n AS a
+  FROM m
+)
+SELECT n AS n_orders,
+       k AS weibull_shape,
+       FLOOR(exp(-a / k / 1000000) / 100 * 10000 + 0.5) / 10000
+         AS weibull_scale_dollars
+FROM fit
+""",
+)
+def agg_weibull_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull probability-plot fit of order values (median-rank
+    regression, the reliability-engineering standard): with Benard
+    plotting positions F_i = (i - 0.375)/(n + 0.25), regress
+    ln(-ln(1-F)) on ln(x) — the slope IS the shape k and
+    exp(-intercept/k) the scale — completing the distribution-
+    fitting shelf (gamma/lognormal body, NB counts, gumbel maxima,
+    GPD exceedances; Weibull is THE lifetime/strength model).
+    k > 1 reads as wear-out-like concentration, k < 1 heavy-lower-
+    tail.
+
+    Exactness: ranks come from one pass of the global-rank
+    machinery under the (cents, key) order; both per-row lns are
+    quantized at 1e-6 (plotting positions are identical doubles by
+    construction), so the OLS moments are exact integers (x*y via
+    HUGEINT/decimal(38), ~1.7e20 at sf0.1 — the wide type is
+    load-bearing); slope/intercept/scale are fixed double
+    expressions, numpy-pinned per the closed-form rule; the final
+    exp is quantized at 1e-4 dollars (the cross-engine exp 1-ulp
+    spread bit at sf0.1 — caught by the hash gate, absorbed by
+    half-up rounding). Scale shape: one rank pass, one 1-row
+    moment reduction."""
+    from ..plans.global_rank import with_global_row_number
+
+    s = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c"), "o_orderkey"
+    )
+    r, n = with_global_row_number(s, ["c", "o_orderkey"], out_col="i")
+    fpos = (F.col("i") - F.lit(0.375)) / (F.lit(n) + F.lit(0.25))
+    pts = r.select(
+        F.floor(F.log(F.col("c").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(-F.log(F.lit(1) - fpos)) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    k = (n_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    a = (F.col("sy").cast("double") - k * F.col("sx")) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_orders"),
+        k.alias("weibull_shape"),
+        (
+            F.floor(
+                F.exp(-a / k / F.lit(1000000)) / 100 * 10000 + F.lit(0.5)
+            )
+            / 10000
+        ).alias("weibull_scale_dollars"),
+    )

@@ -2056,3 +2056,38 @@ def test_jackknife_matches_local(spark, sf_dir):
     assert r["n_groups"] == g
     assert abs(r["jackknife_se_dollars"] - se) < 1e-6 * max(1e-9, se)
     assert abs(r["mean_acctbal_dollars"] - S / N / 100) < 1e-9
+
+
+# --- continuation-session wave 86: Weibull rank fit --------------------------
+
+
+def test_weibull_rank_fit_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    r = QUERIES["agg_weibull_rank_fit"](spark, sf_dir).collect()[0]
+    vals = sorted(
+        x["c"]
+        for x in load(spark, sf_dir, "orders")
+        .select(F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("c"))
+        .collect()
+    )
+    n = len(vals)
+    x = np.array(
+        [math.floor(math.log(v) * 1e6 + 0.5) for v in vals], float
+    )
+    y = np.array(
+        [
+            math.floor(
+                math.log(-math.log(1 - (i - 0.375) / (n + 0.25))) * 1e6 + 0.5
+            )
+            for i in range(1, n + 1)
+        ],
+        float,
+    )
+    k, a = np.polyfit(x, y, 1)
+    assert abs(r["weibull_shape"] - k) < 1e-6 * max(1, abs(k))
+    scale = math.exp(-a / k / 1e6) / 100
+    assert abs(r["weibull_scale_dollars"] - scale) < 1e-3 * scale
+    assert r["weibull_shape"] > 0
