@@ -11747,3 +11747,144 @@ def agg_weibull_rank_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("weibull_scale_dollars"),
     )
+
+
+@query(
+    "agg_hotelling_t2",
+    bounded_cross="two 1-row group-moment scalars crossed into one row",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o.o_totalprice * 100) AS BIGINT) AS y,
+         l.nl AS x
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT tr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(y AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(x AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sxy
+  FROM base GROUP BY tr
+), w AS (
+  SELECT t.n AS n1, c.n AS n2,
+         CAST(t.sx AS DOUBLE) / t.n - CAST(c.sx AS DOUBLE) / c.n AS dx,
+         CAST(t.sy AS DOUBLE) / t.n - CAST(c.sy AS DOUBLE) / c.n AS dy,
+         ((CAST(t.sxx AS DOUBLE) - (CAST(t.sx AS DOUBLE) / t.n) * t.sx)
+          + (CAST(c.sxx AS DOUBLE) - (CAST(c.sx AS DOUBLE) / c.n) * c.sx))
+           / (t.n + c.n - 2) AS vxx,
+         ((t.syy - (CAST(t.sy AS DOUBLE) / t.n) * t.sy)
+          + (c.syy - (CAST(c.sy AS DOUBLE) / c.n) * c.sy))
+           / (t.n + c.n - 2) AS vyy,
+         ((t.sxy - (CAST(t.sx AS DOUBLE) / t.n) * t.sy)
+          + (c.sxy - (CAST(c.sx AS DOUBLE) / c.n) * c.sy))
+           / (t.n + c.n - 2) AS vxy
+  FROM g t, g c WHERE t.tr = 1 AND c.tr = 0
+)
+SELECT n1 AS n_treated, n2 AS n_control,
+       dx AS mean_diff_lines,
+       dy / 100 AS mean_diff_dollars,
+       (CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+         * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+         / (vxx * vyy - vxy * vxy) AS t2_stat,
+       (CAST(n1 AS DOUBLE) + n2 - 2 - 1)
+         / ((CAST(n1 AS DOUBLE) + n2 - 2) * 2)
+         * ((CAST(n1 AS DOUBLE) * n2 / (n1 + n2))
+            * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+            / (vxx * vyy - vxy * vxy)) AS f_stat
+FROM w
+""",
+)
+def agg_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hotelling's T^2 two-sample test on the (basket size, order
+    value) mean VECTOR, URGENT vs the rest: T^2 = (n1 n2/(n1+n2))
+    d' S_pooled^-1 d with the 2x2 pooled covariance inverted in
+    closed form (the anomaly_mahalanobis discipline), plus the
+    exact F-scaling (n1+n2-p-1)/((n1+n2-2)p) — the multivariate
+    generalization of agg_ttest_welch that respects the correlation
+    between the two outcomes (two separate t-tests double-count the
+    shared variance; T^2 does not).
+
+    Exactness: per-group moment matrices are exact integers (y
+    products via HUGEINT/decimal(38)); the quadratic form expands
+    the 2x2 inverse literally (dx*(vyy*dx - vxy*dy) + dy*(...)
+    over the determinant) in identical order; numpy-pinned per the
+    closed-form rule. Scale shape: one lineitem count aggregate,
+    one 2-group hash aggregate, a declared 1-row cross."""
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr(cents("o_totalprice")).alias("y"),
+            "x",
+        )
+    )
+    g = base.groupBy("tr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sxy"),
+    )
+    t = g.filter(F.col("tr") == 1).select(
+        *[F.col(c).alias(f"t_{c}") for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+    )
+    c = g.filter(F.col("tr") == 0).select(
+        *[F.col(c).alias(f"c_{c}") for c in ("n", "sx", "sxx", "sy", "syy", "sxy")]
+    )
+    j = t.crossJoin(F.broadcast(c))
+
+    def mean(p, col):
+        return F.col(f"{p}_{col}").cast("double") / F.col(f"{p}_n")
+
+    dof = F.col("t_n") + F.col("c_n") - 2
+    dx = mean("t", "sx") - mean("c", "sx")
+    dy = mean("t", "sy") - mean("c", "sy")
+    vxx = (
+        (F.col("t_sxx").cast("double") - mean("t", "sx") * F.col("t_sx"))
+        + (F.col("c_sxx").cast("double") - mean("c", "sx") * F.col("c_sx"))
+    ) / dof
+    vyy = (
+        (F.col("t_syy") - mean("t", "sy") * F.col("t_sy"))
+        + (F.col("c_syy") - mean("c", "sy") * F.col("c_sy"))
+    ) / dof
+    vxy = (
+        (F.col("t_sxy") - mean("t", "sx") * F.col("t_sy"))
+        + (F.col("c_sxy") - mean("c", "sx") * F.col("c_sy"))
+    ) / dof
+    scale = F.col("t_n").cast("double") * F.col("c_n") / (
+        F.col("t_n") + F.col("c_n")
+    )
+    t2 = (
+        scale
+        * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+        / (vxx * vyy - vxy * vxy)
+    )
+    fs = (
+        (F.col("t_n").cast("double") + F.col("c_n") - 2 - 1)
+        / ((F.col("t_n").cast("double") + F.col("c_n") - 2) * 2)
+        * t2
+    )
+    return j.select(
+        F.col("t_n").alias("n_treated"),
+        F.col("c_n").alias("n_control"),
+        dx.alias("mean_diff_lines"),
+        (dy / 100).alias("mean_diff_dollars"),
+        t2.alias("t2_stat"),
+        fs.alias("f_stat"),
+    )

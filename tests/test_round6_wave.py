@@ -2091,3 +2091,39 @@ def test_weibull_rank_fit_matches_numpy(spark, sf_dir):
     scale = math.exp(-a / k / 1e6) / 100
     assert abs(r["weibull_scale_dollars"] - scale) < 1e-3 * scale
     assert r["weibull_shape"] > 0
+
+
+# --- continuation-session wave 87: Hotelling T^2 -----------------------------
+
+
+def test_hotelling_t2_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["agg_hotelling_t2"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("x")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("y"),
+            "x",
+        )
+        .collect()
+    )
+    A = np.array([[z["x"], z["y"]] for z in rows if z["tr"] == 1], float)
+    B = np.array([[z["x"], z["y"]] for z in rows if z["tr"] == 0], float)
+    n1, n2 = len(A), len(B)
+    d = A.mean(0) - B.mean(0)
+    S = ((n1 - 1) * np.cov(A.T) + (n2 - 1) * np.cov(B.T)) / (n1 + n2 - 2)
+    t2 = n1 * n2 / (n1 + n2) * d @ np.linalg.solve(S, d)
+    assert abs(r["t2_stat"] - t2) < 1e-6 * max(1, t2)
+    assert r["t2_stat"] >= 0
+    f = (n1 + n2 - 3) / ((n1 + n2 - 2) * 2) * t2
+    assert abs(r["f_stat"] - f) < 1e-6 * max(1, f)
