@@ -11888,3 +11888,162 @@ def agg_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
         t2.alias("t2_stat"),
         fs.alias("f_stat"),
     )
+
+
+YUEN_TRIM_PCT = 10  # symmetric trim fraction per tail
+
+
+@query(
+    "agg_yuen_test",
+    bounded_cross="two 1-row trimmed-moment scalars crossed into one row",
+    oracle=f"""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+  FROM orders
+), r AS (
+  SELECT tr, c,
+         ROW_NUMBER() OVER (PARTITION BY tr ORDER BY c, o_orderkey) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY tr) AS BIGINT) AS n
+  FROM s
+), wz AS (
+  SELECT tr, n, ({YUEN_TRIM_PCT} * n) // 100 AS g,
+         CASE WHEN i <= ({YUEN_TRIM_PCT} * n) // 100 THEN 'lo'
+              WHEN i > n - ({YUEN_TRIM_PCT} * n) // 100 THEN 'hi'
+              ELSE 'mid' END AS zone,
+         c, i
+  FROM r
+), bounds AS (
+  SELECT tr,
+         MIN(CASE WHEN zone = 'mid' THEN c END) AS lo_c,
+         MAX(CASE WHEN zone = 'mid' THEN c END) AS hi_c
+  FROM wz GROUP BY tr
+), win AS (
+  SELECT wz.tr, wz.n, wz.g,
+         CASE WHEN wz.zone = 'lo' THEN b.lo_c
+              WHEN wz.zone = 'hi' THEN b.hi_c
+              ELSE wz.c END AS w,
+         CASE WHEN wz.zone = 'mid' THEN wz.c END AS t
+  FROM wz JOIN bounds b ON b.tr = wz.tr
+), m AS (
+  SELECT tr, MAX(n) AS n, MAX(g) AS g,
+         CAST(COUNT(t) AS BIGINT) AS h,
+         CAST(SUM(t) AS BIGINT) AS st,
+         CAST(SUM(w) AS BIGINT) AS sw,
+         CAST(CAST(SUM(CAST(w AS HUGEINT) * w) AS VARCHAR) AS DOUBLE) AS sww
+  FROM win GROUP BY tr
+), f AS (
+  SELECT tr, n, h,
+         CAST(st AS DOUBLE) / h AS tmean,
+         (sww - (CAST(sw AS DOUBLE) / n) * sw) / (n - 1) AS wvar
+  FROM m
+)
+SELECT a.h AS h_treated, b.h AS h_control,
+       (a.tmean - b.tmean) / 100 AS trimmed_diff_dollars,
+       (a.tmean - b.tmean)
+         / sqrt((CAST(a.n - 1 AS DOUBLE) * a.wvar) / (a.h * (a.h - 1))
+                + (CAST(b.n - 1 AS DOUBLE) * b.wvar) / (b.h * (b.h - 1)))
+         AS yuen_t
+FROM f a, f b WHERE a.tr = 1 AND b.tr = 0
+""",
+)
+def agg_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yuen's trimmed-means robust t-test (URGENT vs rest order
+    values, {YUEN_TRIM_PCT}% symmetric trim): trimmed means compared
+    with WINSORIZED variances — the heavy-tail-robust replacement
+    for Welch's t (agg_ttest_welch breaks down exactly where money
+    data lives; Yuen keeps nominal error rates under contamination).
+    Winsorized values clamp each tail to the innermost surviving
+    observation.
+
+    Exactness: trim boundaries are exact integer rank cuts under
+    the (cents, key) order; winsorized values stay exact integers
+    (clamped to data values), so all moments are exact
+    (HUGEINT/decimal(38) squares); the statistic is one fixed
+    double expression. Scale shape: per-group rank windows (the
+    2-partition trade-off the agg_qte/cvm precedents document —
+    acceptable because the heavy reduction follows immediately),
+    one 2-row hash aggregate, a declared 1-row cross."""
+    s = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("c"),
+        "o_orderkey",
+    )
+    # bounded: 2-partition rank window feeding an immediate reduction
+    wr = Window.partitionBy("tr").orderBy("c", "o_orderkey")
+    wn = Window.partitionBy("tr")
+    r = s.select(
+        "tr",
+        "c",
+        F.row_number().over(wr).alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    gcut = F.expr(f"({YUEN_TRIM_PCT} * n) div 100")
+    wz = r.select(
+        "tr",
+        "n",
+        gcut.alias("g"),
+        F.when(F.col("i") <= gcut, "lo")
+        .when(F.col("i") > F.col("n") - gcut, "hi")
+        .otherwise("mid")
+        .alias("zone"),
+        "c",
+    )
+    bounds = wz.groupBy("tr").agg(
+        F.min(F.when(F.col("zone") == "mid", F.col("c"))).alias("lo_c"),
+        F.max(F.when(F.col("zone") == "mid", F.col("c"))).alias("hi_c"),
+    )
+    win = wz.join(bounds, "tr").select(
+        "tr",
+        "n",
+        "g",
+        F.when(F.col("zone") == "lo", F.col("lo_c"))
+        .when(F.col("zone") == "hi", F.col("hi_c"))
+        .otherwise(F.col("c"))
+        .alias("w"),
+        F.when(F.col("zone") == "mid", F.col("c")).alias("t"),
+    )
+    m = win.groupBy("tr").agg(
+        F.max("n").alias("n"),
+        F.max("g").alias("g"),
+        F.count("t").cast("bigint").alias("h"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w"))
+        .cast("double")
+        .alias("sww"),
+    )
+    f = m.select(
+        "tr",
+        "n",
+        "h",
+        (F.col("st").cast("double") / F.col("h")).alias("tmean"),
+        (
+            (F.col("sww") - (F.col("sw").cast("double") / F.col("n")) * F.col("sw"))
+            / (F.col("n") - 1)
+        ).alias("wvar"),
+    )
+    a = f.filter(F.col("tr") == 1).select(
+        F.col("h").alias("ha"), F.col("n").alias("na"),
+        F.col("tmean").alias("ma"), F.col("wvar").alias("va"),
+    )
+    b = f.filter(F.col("tr") == 0).select(
+        F.col("h").alias("hb"), F.col("n").alias("nb"),
+        F.col("tmean").alias("mb"), F.col("wvar").alias("vb"),
+    )
+    j = a.crossJoin(F.broadcast(b))
+    d = F.col("ma") - F.col("mb")
+    se = F.sqrt(
+        ((F.col("na") - 1).cast("double") * F.col("va"))
+        / (F.col("ha") * (F.col("ha") - 1))
+        + ((F.col("nb") - 1).cast("double") * F.col("vb"))
+        / (F.col("hb") * (F.col("hb") - 1))
+    )
+    return j.select(
+        F.col("ha").alias("h_treated"),
+        F.col("hb").alias("h_control"),
+        (d / 100).alias("trimmed_diff_dollars"),
+        (d / se).alias("yuen_t"),
+    )

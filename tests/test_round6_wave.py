@@ -2127,3 +2127,43 @@ def test_hotelling_t2_matches_numpy(spark, sf_dir):
     assert r["t2_stat"] >= 0
     f = (n1 + n2 - 3) / ((n1 + n2 - 2) * 2) * t2
     assert abs(r["f_stat"] - f) < 1e-6 * max(1, f)
+
+
+# --- continuation-session wave 88: Yuen robust t -----------------------------
+
+
+def test_yuen_matches_local(spark, sf_dir):
+    import math
+
+    r = QUERIES["agg_yuen_test"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+
+    def yuen_parts(vals):
+        vals = sorted(vals)
+        n = len(vals)
+        g = (10 * n) // 100
+        mid = vals[g : n - g]
+        win = [mid[0]] * g + mid + [mid[-1]] * g
+        h = len(mid)
+        tmean = sum(mid) / h
+        sw = sum(win)
+        wvar = (sum(v * v for v in win) - sw * sw / n) / (n - 1)
+        return n, h, tmean, wvar
+
+    na, ha, ma, va = yuen_parts([x["c"] for x in rows if x["tr"] == 1])
+    nb, hb, mb, vb = yuen_parts([x["c"] for x in rows if x["tr"] == 0])
+    se = math.sqrt(
+        (na - 1) * va / (ha * (ha - 1)) + (nb - 1) * vb / (hb * (hb - 1))
+    )
+    t = (ma - mb) / se
+    assert (r["h_treated"], r["h_control"]) == (ha, hb)
+    assert abs(r["yuen_t"] - t) < 1e-9 * max(1, abs(t))
