@@ -12047,3 +12047,96 @@ def agg_yuen_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d / 100).alias("trimmed_diff_dollars"),
         (d / se).alias("yuen_t"),
     )
+
+
+@query(
+    "agg_rank_biserial",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+  FROM orders
+), r AS (
+  SELECT tr,
+         ROW_NUMBER() OVER (ORDER BY c, tr, o_orderkey) AS r,
+         ROW_NUMBER() OVER (PARTITION BY tr
+                            ORDER BY c, o_orderkey) AS i
+  FROM s
+), lteq AS (
+  SELECT CAST(SUM(CASE WHEN tr = 1 THEN r - i ELSE 0 END) AS BIGINT) AS le
+  FROM r
+), ties AS (
+  SELECT CAST(SUM(nt * nc) AS BIGINT) AS eq
+  FROM (SELECT c,
+               CAST(SUM(tr) AS BIGINT) AS nt,
+               CAST(SUM(1 - tr) AS BIGINT) AS nc
+        FROM s GROUP BY c)
+), nn AS (
+  SELECT CAST(SUM(tr) AS BIGINT) AS nt, CAST(SUM(1 - tr) AS BIGINT) AS nc
+  FROM s
+)
+SELECT nn.nt AS n_treated, nn.nc AS n_control,
+       CAST(lteq.le AS DOUBLE) - CAST(ties.eq AS DOUBLE) / 2 AS u_mw,
+       2 * (CAST(lteq.le AS DOUBLE) - CAST(ties.eq AS DOUBLE) / 2)
+         / (CAST(nn.nt AS DOUBLE) * nn.nc) - 1 AS rank_biserial,
+       (CAST(lteq.le AS DOUBLE) - CAST(ties.eq AS DOUBLE) / 2)
+         / (CAST(nn.nt AS DOUBLE) * nn.nc) AS common_language_es
+FROM lteq, ties, nn
+""",
+)
+def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biserial correlation (Cliff's delta) and the common-
+    language effect size for URGENT vs other order values — the
+    EFFECT-SIZE companions the agg_mannwhitney_u significance test
+    should always be reported with (cohens_d assumes normality;
+    these read directly as 'probability a random urgent order
+    exceeds a random other one'). Exact tie handling: ordering by
+    (value, group, key) puts equal-valued controls before treated,
+    so sum(r - i) over treated counts #less-than PLUS #equal
+    exactly, and U = that sum minus half the exact per-value tie
+    pair count.
+
+    Exactness: both rank passes use the two-phase global-rank
+    machinery (score-bucketed); the tie-pair table is one hash
+    aggregate of exact products; U and both effect sizes are fixed
+    double expressions. Scale shape: two rank passes, two 1-row
+    reductions."""
+    from ..plans.global_rank import with_global_row_number
+
+    s = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("c"),
+        "o_orderkey",
+    )
+    ra, _ = with_global_row_number(s, ["c", "tr", "o_orderkey"], out_col="r")
+    t1, n_t = with_global_row_number(
+        ra.filter(F.col("tr") == 1), ["c", "o_orderkey"], out_col="i"
+    )
+    le = int(
+        t1.agg(F.sum(F.col("r") - F.col("i")).cast("bigint").alias("le"))
+        .collect()[0]["le"]
+    )
+    eq = int(
+        s.groupBy("c")
+        .agg(
+            F.sum("tr").cast("bigint").alias("nt"),
+            F.sum(1 - F.col("tr")).cast("bigint").alias("nc"),
+        )
+        .agg(F.sum(F.col("nt") * F.col("nc")).cast("bigint").alias("eq"))
+        .collect()[0]["eq"]
+    )
+    n_c = s.filter(F.col("tr") == 0).count()
+    one = s.sparkSession.createDataFrame(
+        [(n_t, n_c, le, eq)], "nt bigint, nc bigint, le bigint, eq bigint"
+    )
+    u = F.col("le").cast("double") - F.col("eq").cast("double") / 2
+    nm = F.col("nt").cast("double") * F.col("nc")
+    return one.select(
+        F.col("nt").alias("n_treated"),
+        F.col("nc").alias("n_control"),
+        u.alias("u_mw"),
+        (2 * u / nm - 1).alias("rank_biserial"),
+        (u / nm).alias("common_language_es"),
+    )

@@ -2167,3 +2167,34 @@ def test_yuen_matches_local(spark, sf_dir):
     t = (ma - mb) / se
     assert (r["h_treated"], r["h_control"]) == (ha, hb)
     assert abs(r["yuen_t"] - t) < 1e-9 * max(1, abs(t))
+
+
+# --- continuation-session wave 89: rank-biserial -----------------------------
+
+
+def test_rank_biserial_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["agg_rank_biserial"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("tr"),
+            F.expr("CAST(round(o_totalprice*100) AS BIGINT)").alias("c"),
+        )
+        .collect()
+    )
+    xs = sorted(x["c"] for x in rows if x["tr"] == 1)
+    ys = sorted(x["c"] for x in rows if x["tr"] == 0)
+    import bisect
+
+    # exact U with half-tie counting via binary search
+    u2 = 0  # 2U to stay integer
+    for v in xs:
+        lt = bisect.bisect_left(ys, v)
+        eq = bisect.bisect_right(ys, v) - lt
+        u2 += 2 * lt + eq
+    assert abs(r["u_mw"] - u2 / 2) < 1e-6
+    nm = len(xs) * len(ys)
+    assert abs(r["rank_biserial"] - (u2 / nm - 1)) < 1e-9
+    assert 0 <= r["common_language_es"] <= 1
