@@ -2443,3 +2443,159 @@ def corpus_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.alias("h_nats"),
         (h / F.lit(ln2)).alias("h_bits"),
     )
+
+
+BD_TOP_WORDS = 16
+
+
+@query(
+    "text_burrows_delta",
+    bounded_cross="20x20 source pair grid over the bounded profile table",
+    oracle=f"""
+WITH toks AS (
+  SELECT source, unnest(string_split(text, ' ')) AS wd FROM documents
+), tk AS (
+  SELECT source, wd FROM toks WHERE len(wd) > 0
+), topw AS (
+  SELECT wd FROM (
+    SELECT wd, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY wd
+  ) ORDER BY c DESC, wd LIMIT {BD_TOP_WORDS}
+), stot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS t FROM tk GROUP BY source
+), cells AS (
+  SELECT s.source, w.wd,
+         CAST(COALESCE(x.c, 0) AS DOUBLE) / s.t AS f
+  FROM stot s
+  CROSS JOIN topw w
+  LEFT JOIN (SELECT source, wd, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tk GROUP BY source, wd) x
+    ON x.source = s.source AND x.wd = w.wd
+), wm AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS k,
+         list_sum(list(f ORDER BY source)) AS sf,
+         list_sum(list(f * f ORDER BY source)) AS sff
+  FROM cells GROUP BY wd
+), ws AS (
+  SELECT wd, sf / k AS mu,
+         sqrt((sff - sf / k * sf) / (k - 1)) AS sd
+  FROM wm
+), z AS (
+  SELECT c.source, c.wd, (c.f - ws.mu) / ws.sd AS z
+  FROM cells c JOIN ws ON ws.wd = c.wd
+  WHERE ws.sd > 0
+), pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         list_sum(list(ABS(a.z - b.z) ORDER BY a.wd)) AS sabs,
+         CAST(COUNT(*) AS BIGINT) AS nw
+  FROM z a JOIN z b ON a.wd = b.wd AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b, sabs / nw AS burrows_delta
+FROM pairs
+""",
+)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between all source pairs:
+    z-score each source's relative frequency of the {BD_TOP_WORDS}
+    most common words against the cross-source mean/sd, then
+    Delta(a, b) = mean |z_a - z_b| — THE authorship-attribution
+    measure (Burrows 2002), and a register/domain-drift detector
+    for corpus curation (corpus_js_divergence compares whole
+    distributions; Delta deliberately looks only at function-word
+    style). Zero-variance words drop by exact comparison.
+
+    Exactness: counts and totals are exact integers; relative
+    frequencies are identical single divisions; the cross-source
+    moments, z-scores and pair sums all fold in source/word order
+    via the strict-fold pair over BOUNDED tables (20 sources x 16
+    words). Scale shape: one token hash aggregate (data-sized),
+    then everything lives on the 320-cell profile table with a
+    DECLARED 20x20 pair grid."""
+    d = load(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.explode(F.split("text", " ")).alias("wd")
+    ).filter(F.length("wd") > 0)
+    topw = [
+        r["wd"]
+        for r in tk.groupBy("wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), "wd")
+        .limit(BD_TOP_WORDS)
+        .collect()
+    ]
+    stot = tk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("t")
+    )
+    cnts = (
+        tk.filter(F.col("wd").isin(topw))
+        .groupBy("source", "wd")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    wgrid = d.sparkSession.createDataFrame([(w,) for w in topw], "wd string")
+    cells = (
+        stot.crossJoin(F.broadcast(wgrid))
+        .join(F.broadcast(cnts), ["source", "wd"], "left")
+        .select(
+            "source",
+            "wd",
+            (
+                F.coalesce(F.col("c"), F.lit(0)).cast("double") / F.col("t")
+            ).alias("f"),
+        )
+    )
+
+    def fold_by(key, col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct(key, col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    wm = cells.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        fold_by("source", F.col("f")).alias("sf"),
+        fold_by("source", F.col("f") * F.col("f")).alias("sff"),
+    )
+    ws = wm.select(
+        "wd",
+        (F.col("sf") / F.col("k")).alias("mu"),
+        F.sqrt(
+            (F.col("sff") - F.col("sf") / F.col("k") * F.col("sf"))
+            / (F.col("k") - 1)
+        ).alias("sd"),
+    )
+    z = (
+        cells.join(F.broadcast(ws), "wd")
+        .filter(F.col("sd") > 0)
+        .select(
+            "source", "wd", ((F.col("f") - F.col("mu")) / F.col("sd")).alias("z")
+        )
+    )
+    a = z.select(
+        F.col("source").alias("src_a"), F.col("wd"), F.col("z").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("src_b"), F.col("wd").alias("wdb"),
+        F.col("z").alias("zb"),
+    )
+    # bounded: 20x20 source pair grid on the 320-cell profile
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("wd") == F.col("wdb")) & (F.col("src_a") < F.col("src_b")),
+    )
+    return pairs.groupBy("src_a", "src_b").agg(
+        (
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "wd", F.abs(F.col("za") - F.col("zb")).alias("v")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            )
+            / F.count(F.lit(1))
+        ).alias("burrows_delta")
+    )

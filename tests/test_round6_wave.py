@@ -2198,3 +2198,21 @@ def test_rank_biserial_matches_bruteforce(spark, sf_dir):
     nm = len(xs) * len(ys)
     assert abs(r["rank_biserial"] - (u2 / nm - 1)) < 1e-9
     assert 0 <= r["common_language_es"] <= 1
+
+
+# --- continuation-session wave 90: Burrows' Delta ----------------------------
+
+
+def test_burrows_delta_metric_properties(spark, sf_dir):
+    rows = QUERIES["text_burrows_delta"](spark, sf_dir).collect()
+    srcs = set()
+    for r in rows:
+        assert r["src_a"] < r["src_b"]
+        assert r["burrows_delta"] >= 0
+        srcs |= {r["src_a"], r["src_b"]}
+    n = len(srcs)
+    assert len(rows) == n * (n - 1) // 2
+    # synthetic same-process sources: deltas cluster well below the
+    # 2-sigma scale a genuinely different author would produce
+    vals = sorted(r["burrows_delta"] for r in rows)
+    assert vals[len(vals) // 2] < 2.0
