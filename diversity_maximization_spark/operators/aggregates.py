@@ -12140,3 +12140,92 @@ def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2 * u / nm - 1).alias("rank_biserial"),
         (u / nm).alias("common_language_es"),
     )
+
+
+@query(
+    "agg_page_trend",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         o_orderpriority AS prio,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), v AS (
+  SELECT yr, prio,
+         CAST(s AS DOUBLE) / n AS m,
+         CAST(SUBSTR(prio, 1, 1) AS INTEGER) AS j
+  FROM cells
+), rk AS (
+  SELECT yr, j,
+         CAST(ROW_NUMBER() OVER (PARTITION BY yr ORDER BY m, prio)
+              AS BIGINT) AS r
+  FROM v
+), colsum AS (
+  SELECT j, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY j
+), l AS (
+  SELECT CAST(SUM(j * rj) AS BIGINT) AS l,
+         (SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) FROM rk) AS b
+  FROM colsum
+)
+SELECT l AS page_l, b AS n_blocks,
+       CAST(b * 5 * 36 AS DOUBLE) / 4 AS e_l,
+       CAST(b * 25 * 6 * 24 AS DOUBLE) / 144 AS var_l,
+       (CAST(l AS DOUBLE) - CAST(b * 5 * 36 AS DOUBLE) / 4)
+         / sqrt(CAST(b * 25 * 6 * 24 AS DOUBLE) / 144) AS z
+FROM l
+""",
+)
+def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L test for an ORDERED alternative in a randomized-block
+    design: blocks are order YEARS, treatments the 5 priorities in
+    their natural dose order, and within each year the priorities'
+    mean order values are ranked; L = sum over treatments of
+    j * (rank column sum), with null mean bk(k+1)^2/4 and variance
+    bk^2(k+1)(k^2-1)/144 (k = 5 literals folded into the
+    expressions) — the blocked counterpart of agg_jonckheere (which
+    pools all rows; Page respects year-level baselines the way
+    agg_friedman_test does for the unordered case).
+
+    Exactness: cell means are identical single divisions of exact
+    integers; within-block ranks are deterministic ((mean, prio)
+    ties); L and both null moments are exact integer arithmetic.
+    Scale shape: one 35-cell hash aggregate, bounded 5-row block
+    windows, a 1-row reduction."""
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    v = cells.select(
+        "yr",
+        "prio",
+        (F.col("s").cast("double") / F.col("n")).alias("m"),
+        F.substring("prio", 1, 1).cast("int").alias("j"),
+    )
+    wb = Window.partitionBy("yr").orderBy("m", "prio")
+    rk = v.select(
+        "yr", "j", F.row_number().over(wb).cast("bigint").alias("r")
+    )
+    colsum = rk.groupBy("j").agg(F.sum("r").cast("bigint").alias("rj"))
+    b = rk.select("yr").distinct().count()
+    lrow = colsum.agg(
+        F.sum(F.col("j") * F.col("rj")).cast("bigint").alias("l")
+    )
+    e_l = float(b * 5 * 36) / 4
+    var_l = float(b * 25 * 6 * 24) / 144
+    return lrow.select(
+        F.col("l").alias("page_l"),
+        F.lit(b).cast("bigint").alias("n_blocks"),
+        F.lit(e_l).alias("e_l"),
+        F.lit(var_l).alias("var_l"),
+        ((F.col("l").cast("double") - F.lit(e_l)) / F.sqrt(F.lit(var_l))).alias(
+            "z"
+        ),
+    )

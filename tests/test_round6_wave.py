@@ -2216,3 +2216,35 @@ def test_burrows_delta_metric_properties(spark, sf_dir):
     # 2-sigma scale a genuinely different author would produce
     vals = sorted(r["burrows_delta"] for r in rows)
     assert vals[len(vals) // 2] < 2.0
+
+
+# --- continuation-session wave 91: Page trend test ---------------------------
+
+
+def test_page_l_matches_bruteforce(spark, sf_dir):
+    r = QUERIES["agg_page_trend"](spark, sf_dir).collect()[0]
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice*100) AS BIGINT)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_yr = defaultdict(list)
+    for c in cells:
+        by_yr[c["yr"]].append((c["s"] / c["n"], c["prio"]))
+    colsum = defaultdict(int)
+    for yr, vals in by_yr.items():
+        for rank, (_, prio) in enumerate(sorted(vals), start=1):
+            colsum[int(prio[0])] += rank
+    l = sum(j * rj for j, rj in colsum.items())
+    b = len(by_yr)
+    assert r["page_l"] == l and r["n_blocks"] == b
+    assert abs(r["e_l"] - b * 5 * 36 / 4) < 1e-9
