@@ -12229,3 +12229,130 @@ def agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "z"
         ),
     )
+
+
+@query(
+    "agg_morans_i",
+    bounded_cross="25x25 nation adjacency grid + 1-row moment scalar",
+    oracle="""
+WITH v AS (
+  SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+         CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(CAST(s AS DOUBLE) / cnt ORDER BY nk)) AS sm
+  FROM v
+), z AS (
+  SELECT v.nk, v.rk,
+         CAST(v.s AS DOUBLE) / v.cnt - m.sm / m.n AS z, m.n
+  FROM v, m
+), num AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w,
+         list_sum(list(a.z * b.z ORDER BY a.nk, b.nk)) AS cross_sum,
+         MAX(a.n) AS n
+  FROM z a JOIN z b ON a.rk = b.rk AND a.nk <> b.nk
+), den AS (
+  SELECT list_sum(list(z * z ORDER BY nk)) AS ssz FROM z
+)
+SELECT num.n AS n_nations, num.w AS n_links,
+       (CAST(num.n AS DOUBLE) / num.w) * num.cross_sum / den.ssz
+         AS morans_i,
+       -1.0 / (num.n - 1) AS e_i_null
+FROM num, den
+""",
+)
+def agg_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of mean account balance over
+    the same-region nation adjacency (w_ij = 1 iff nations share a
+    region): I = (n/W) sum w_ij z_i z_j / sum z_i^2 against the
+    null E[I] = -1/(n-1) — the first statistic of spatial
+    econometrics (do neighboring markets co-move?), a dimension
+    (SPACE) the engine's time/graph autocorrelation keys
+    (ts_acf, graph_degree_assortativity) didn't yet cover.
+
+    Exactness: nation means are identical divisions of exact cent
+    sums; all cross/self products fold in nation order via the
+    strict-fold pair over the BOUNDED 25-node table and its
+    declared 25x25 adjacency grid. Scale shape: one broadcast dim
+    join + a 25-row hash aggregate; everything after is bounded."""
+    v = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.sum(F.expr(cents("c_acctbal"))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+
+    def nk_fold(df, key_cols, col):
+        return F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(*key_cols, col.alias("v")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    mean_col = F.col("s").cast("double") / F.col("cnt")
+    m = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        nk_fold(v, ["nk"], mean_col).alias("sm"),
+    ).collect()[0]
+    n, sm = int(m["n"]), float(m["sm"])
+    z = v.select(
+        "nk", "rk", (mean_col - F.lit(sm / n)).alias("z")
+    )
+    a = z.select(F.col("nk"), F.col("rk"), F.col("z").alias("za"))
+    b = z.select(
+        F.col("nk").alias("nkb"), F.col("rk").alias("rkb"),
+        F.col("z").alias("zb"),
+    )
+    # bounded: 25x25 same-region adjacency grid
+    links = a.join(
+        F.broadcast(b),
+        (F.col("rk") == F.col("rkb")) & (F.col("nk") != F.col("nkb")),
+    )
+    num = links.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("nk", "nkb", (F.col("za") * F.col("zb")).alias("v"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("cross_sum"),
+    ).collect()[0]
+    ssz = float(
+        z.agg(nk_fold(z, ["nk"], F.col("z") * F.col("z")).alias("ssz"))
+        .collect()[0]["ssz"]
+    )
+    one = v.sparkSession.createDataFrame(
+        [(n, int(num["w"]), float(num["cross_sum"]), ssz)],
+        "n bigint, w bigint, cross_sum double, ssz double",
+    )
+    return one.select(
+        F.col("n").alias("n_nations"),
+        F.col("w").alias("n_links"),
+        (
+            (F.col("n").cast("double") / F.col("w"))
+            * F.col("cross_sum")
+            / F.col("ssz")
+        ).alias("morans_i"),
+        (F.lit(-1.0) / (F.col("n") - 1)).alias("e_i_null"),
+    )

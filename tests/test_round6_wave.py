@@ -2248,3 +2248,41 @@ def test_page_l_matches_bruteforce(spark, sf_dir):
     b = len(by_yr)
     assert r["page_l"] == l and r["n_blocks"] == b
     assert abs(r["e_l"] - b * 5 * 36 / 4) < 1e-9
+
+
+# --- continuation-session wave 92: Moran's I ---------------------------------
+
+
+def test_morans_i_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["agg_morans_i"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "customer")
+        .join(
+            load(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"), F.col("n_regionkey").alias("rk"))
+        .agg(
+            F.sum(F.expr("CAST(round(c_acctbal*100) AS BIGINT)")).alias("s"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    means = {x["nk"]: x["s"] / x["cnt"] for x in rows}
+    regions = {x["nk"]: x["rk"] for x in rows}
+    n = len(means)
+    mu = sum(means.values()) / n
+    z = {k: v - mu for k, v in means.items()}
+    w = cross = 0.0
+    for a in means:
+        for b in means:
+            if a != b and regions[a] == regions[b]:
+                w += 1
+                cross += z[a] * z[b]
+    ssz = sum(v * v for v in z.values())
+    i = (n / w) * cross / ssz
+    assert r["n_nations"] == n and r["n_links"] == w
+    assert abs(r["morans_i"] - i) < 1e-9 * max(1, abs(i))
+    assert abs(r["e_i_null"] + 1 / (n - 1)) < 1e-12
