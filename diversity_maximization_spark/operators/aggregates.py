@@ -12356,3 +12356,140 @@ def agg_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("morans_i"),
         (F.lit(-1.0) / (F.col("n") - 1)).alias("e_i_null"),
     )
+
+
+@query(
+    "agg_geary_c",
+    bounded_cross="25x25 nation adjacency grid + 1-row moment scalar",
+    oracle="""
+WITH v AS (
+  SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+         CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(CAST(s AS DOUBLE) / cnt ORDER BY nk)) AS sm
+  FROM v
+), z AS (
+  SELECT v.nk, v.rk, CAST(v.s AS DOUBLE) / v.cnt AS x,
+         CAST(v.s AS DOUBLE) / v.cnt - m.sm / m.n AS z, m.n
+  FROM v, m
+), num AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS w,
+         list_sum(list((a.x - b.x) * (a.x - b.x) ORDER BY a.nk, b.nk))
+           AS dsq,
+         MAX(a.n) AS n
+  FROM z a JOIN z b ON a.rk = b.rk AND a.nk <> b.nk
+), den AS (
+  SELECT list_sum(list(z * z ORDER BY nk)) AS ssz FROM z
+)
+SELECT num.n AS n_nations, num.w AS n_links,
+       (CAST(num.n - 1 AS DOUBLE) / (2 * num.w)) * num.dsq / den.ssz
+         AS geary_c
+FROM num, den
+""",
+)
+def agg_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C contiguity ratio over the same-region nation
+    adjacency — Moran's I's LOCAL-difference twin: C =
+    ((n-1)/2W) sum w_ij (x_i - x_j)^2 / sum z^2, null value 1
+    (C < 1 positive spatial association, C > 1 negative). Moran
+    weights cross-products of deviations (global view); Geary
+    weights squared neighbor DIFFERENCES (local view) — the two
+    together are the standard spatial-autocorrelation report.
+
+    Exactness and scale shape identical to agg_morans_i: exact
+    nation means, nation-ordered strict folds, the declared bounded
+    25x25 grid."""
+    v = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.sum(F.expr(cents("c_acctbal"))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    mean_col = F.col("s").cast("double") / F.col("cnt")
+    m = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nk", mean_col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("sm"),
+    ).collect()[0]
+    n, sm = int(m["n"]), float(m["sm"])
+    z = v.select(
+        "nk",
+        "rk",
+        mean_col.alias("x"),
+        (mean_col - F.lit(sm / n)).alias("z"),
+    )
+    a = z.select("nk", "rk", F.col("x").alias("xa"))
+    b = z.select(
+        F.col("nk").alias("nkb"), F.col("rk").alias("rkb"),
+        F.col("x").alias("xb"),
+    )
+    # bounded: 25x25 same-region adjacency grid
+    links = a.join(
+        F.broadcast(b),
+        (F.col("rk") == F.col("rkb")) & (F.col("nk") != F.col("nkb")),
+    )
+    num = links.agg(
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "nk",
+                        "nkb",
+                        (
+                            (F.col("xa") - F.col("xb"))
+                            * (F.col("xa") - F.col("xb"))
+                        ).alias("v"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("dsq"),
+    ).collect()[0]
+    ssz = float(
+        z.agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("nk", (F.col("z") * F.col("z")).alias("v"))
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("ssz")
+        ).collect()[0]["ssz"]
+    )
+    one = v.sparkSession.createDataFrame(
+        [(n, int(num["w"]), float(num["dsq"]), ssz)],
+        "n bigint, w bigint, dsq double, ssz double",
+    )
+    return one.select(
+        F.col("n").alias("n_nations"),
+        F.col("w").alias("n_links"),
+        (
+            ((F.col("n") - 1).cast("double") / (2 * F.col("w")))
+            * F.col("dsq")
+            / F.col("ssz")
+        ).alias("geary_c"),
+    )

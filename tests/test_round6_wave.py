@@ -2286,3 +2286,20 @@ def test_morans_i_matches_numpy(spark, sf_dir):
     assert r["n_nations"] == n and r["n_links"] == w
     assert abs(r["morans_i"] - i) < 1e-9 * max(1, abs(i))
     assert abs(r["e_i_null"] + 1 / (n - 1)) < 1e-12
+
+
+# --- continuation-session wave 93: Geary's C ---------------------------------
+
+
+def test_geary_vs_moran_coherence(spark, sf_dir):
+    g = QUERIES["agg_geary_c"](spark, sf_dir).collect()[0]
+    m = QUERIES["agg_morans_i"](spark, sf_dir).collect()[0]
+    assert g["n_nations"] == m["n_nations"]
+    assert g["n_links"] == m["n_links"]
+    assert g["geary_c"] > 0
+    # the two statistics must agree on the SIGN of association:
+    # Moran above its null mean iff Geary below 1 (inverse scales)
+    if m["morans_i"] > m["e_i_null"] + 0.05:
+        assert g["geary_c"] < 1.1
+    if m["morans_i"] < m["e_i_null"] - 0.05:
+        assert g["geary_c"] > 0.9
