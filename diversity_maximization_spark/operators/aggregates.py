@@ -12493,3 +12493,97 @@ def agg_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("ssz")
         ).alias("geary_c"),
     )
+
+
+@query(
+    "agg_bic_bayes_factor",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS tr,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders
+), g AS (
+  SELECT tr, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(c AS HUGEINT) * c) AS VARCHAR) AS DOUBLE) AS ss
+  FROM base GROUP BY tr
+), tot AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(s) AS BIGINT) AS s,
+         list_sum(list(ss ORDER BY tr)) AS ss,
+         list_sum(list(ss - (CAST(s AS DOUBLE) / n) * s ORDER BY tr))
+           AS sse1
+  FROM g
+), m AS (
+  SELECT n, sse1,
+         ss - (CAST(s AS DOUBLE) / n) * s AS sse0
+  FROM tot
+)
+SELECT n AS n_orders,
+       sse0 / 10000 AS sse_pooled_dollars2,
+       sse1 / 10000 AS sse_two_means_dollars2,
+       CAST(n AS DOUBLE)
+         * (CAST(FLOOR(LN(sse0) * 1000000 + 0.5) AS BIGINT) / 1e6
+            - CAST(FLOOR(LN(sse1) * 1000000 + 0.5) AS BIGINT) / 1e6)
+         - (CAST(FLOOR(LN(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+            / 1e6) AS two_ln_bf10
+FROM m
+""",
+)
+def agg_bic_bayes_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BIC-approximate Bayes factor for 'do URGENT and other orders
+    share a mean?': 2 ln BF10 ~ n ln(SSE0/SSE1) - ln n (the
+    Schwarz/Wagenmakers unit-information approximation) — the
+    Bayesian counterpart of the t family's p-values, reporting
+    EVIDENCE (positive favors two means, and the ln n term is the
+    built-in Occam penalty frequentist tests lack).
+
+    Exactness: both SSEs come from exact integer moments (the
+    group-ordered strict fold for SSE1's two-term sum); each ln is
+    quantized at 1e-6, so the statistic is fixed arithmetic over
+    identical quantized integers. ONE 2-group hash aggregate."""
+    base = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("tr"),
+        F.expr(cents("o_totalprice")).alias("c"),
+    )
+    g = base.groupBy("tr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c"))
+        .cast("double")
+        .alias("ss"),
+    )
+
+    def tr_fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("tr", col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        tr_fold(F.col("ss")).alias("ss"),
+        tr_fold(
+            F.col("ss") - (F.col("s").cast("double") / F.col("n")) * F.col("s")
+        ).alias("sse1"),
+    )
+    sse0 = F.col("ss") - (F.col("s").cast("double") / F.col("n")) * F.col("s")
+
+    def lnq(col):
+        return F.floor(F.log(col) * F.lit(1000000) + F.lit(0.5)).cast(
+            "bigint"
+        ) / F.lit(1e6)
+
+    return tot.select(
+        F.col("n").alias("n_orders"),
+        (sse0 / 10000).alias("sse_pooled_dollars2"),
+        (F.col("sse1") / 10000).alias("sse_two_means_dollars2"),
+        (
+            F.col("n").cast("double") * (lnq(sse0) - lnq(F.col("sse1")))
+            - lnq(F.col("n").cast("double"))
+        ).alias("two_ln_bf10"),
+    )

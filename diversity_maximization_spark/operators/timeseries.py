@@ -6848,3 +6848,78 @@ def ts_theil_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("theil_u1"),
         F.sqrt(F.col("sef") / F.col("sen")).alias("theil_u2"),
     )
+
+
+@query(
+    "ts_amihud_illiquidity",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM orders GROUP BY 1
+), r AS (
+  SELECT day, v,
+         CAST(ABS(v - LAG(v) OVER (ORDER BY day)) AS DOUBLE)
+           / LAG(v) OVER (ORDER BY day) AS ar
+  FROM daily QUALIFY ar IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(ar / (CAST(v AS DOUBLE) / 100) ORDER BY day))
+           AS silliq
+  FROM r
+)
+SELECT n AS n_days,
+       silliq / n * 1e9 AS amihud_x1e9
+FROM m
+""",
+)
+def ts_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud (2002) illiquidity ratio of the daily revenue series:
+    mean over days of |return| / dollar volume (scaled by 1e9 for
+    readability) — THE standard price-impact proxy in empirical
+    market microstructure: how much does a dollar of flow move the
+    series? Completes the finance shelf's microstructure corner
+    next to the volatility (Parkinson) and momentum (MACD/RSI)
+    views.
+
+    Exactness: each day's |return| is one float division of exact
+    integer pairs; the per-day ratio divides by the identical
+    dollar volume; the day-ordered strict fold makes the mean
+    bit-exact. One rollup, one bounded window, a 1-row
+    reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("v"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    r = daily.select(
+        "day",
+        "v",
+        (
+            F.abs(F.col("v") - F.lag("v").over(w)).cast("double")
+            / F.lag("v").over(w)
+        ).alias("ar"),
+    ).filter(F.col("ar").isNotNull())
+    m = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "day",
+                        (F.col("ar") / (F.col("v").cast("double") / 100)).alias(
+                            "v2"
+                        ),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v2"],
+        ).alias("silliq"),
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        (F.col("silliq") / F.col("n") * F.lit(1e9)).alias("amihud_x1e9"),
+    )

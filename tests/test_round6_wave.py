@@ -2303,3 +2303,28 @@ def test_geary_vs_moran_coherence(spark, sf_dir):
         assert g["geary_c"] < 1.1
     if m["morans_i"] < m["e_i_null"] - 0.05:
         assert g["geary_c"] > 0.9
+
+
+# --- continuation-session wave 94: BIC Bayes factor / Amihud -----------------
+
+
+def test_bic_bf_consistent_with_welch(spark, sf_dir):
+    r = QUERIES["agg_bic_bayes_factor"](spark, sf_dir).collect()[0]
+    # SSE1 <= SSE0 always (extra parameter can only fit better)
+    assert r["sse_two_means_dollars2"] <= r["sse_pooled_dollars2"]
+    # identity: 2lnBF = n ln(SSE0/SSE1) - ln n (via quantized lns)
+    import math
+
+    n = r["n_orders"]
+    want = n * (
+        math.floor(math.log(r["sse_pooled_dollars2"] * 1e4) * 1e6 + 0.5) / 1e6
+        - math.floor(math.log(r["sse_two_means_dollars2"] * 1e4) * 1e6 + 0.5)
+        / 1e6
+    ) - math.floor(math.log(n) * 1e6 + 0.5) / 1e6
+    assert abs(r["two_ln_bf10"] - want) < 1e-4 * max(1, abs(want))
+
+
+def test_amihud_positive(spark, sf_dir):
+    r = QUERIES["ts_amihud_illiquidity"](spark, sf_dir).collect()[0]
+    assert r["amihud_x1e9"] > 0
+    assert r["n_days"] > 100
