@@ -12587,3 +12587,133 @@ def agg_bic_bayes_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
             - lnq(F.col("n").cast("double"))
         ).alias("two_ln_bf10"),
     )
+
+
+@query(
+    "agg_local_morans",
+    bounded_cross="25x25 nation adjacency grid + 1-row moment scalar",
+    oracle="""
+WITH v AS (
+  SELECT c.c_nationkey AS nk, n.n_regionkey AS rk,
+         CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(CAST(s AS DOUBLE) / cnt ORDER BY nk)) AS sm
+  FROM v
+), z AS (
+  SELECT v.nk, v.rk,
+         CAST(v.s AS DOUBLE) / v.cnt - m.sm / m.n AS z, m.n
+  FROM v, m
+), m2 AS (
+  SELECT list_sum(list(z * z ORDER BY nk)) / MAX(n) AS mom2 FROM z
+), nb AS (
+  SELECT a.nk, a.z, a.rk,
+         CAST(COUNT(b.nk) AS BIGINT) AS deg,
+         list_sum(list(b.z ORDER BY b.nk)) AS zsum
+  FROM z a LEFT JOIN z b ON a.rk = b.rk AND a.nk <> b.nk
+  GROUP BY a.nk, a.z, a.rk
+)
+SELECT nb.nk AS nation, nb.deg AS n_neighbors,
+       nb.z * COALESCE(nb.zsum, 0.0) / nb.deg / m2.mom2 AS local_i,
+       CASE WHEN nb.z >= 0 AND nb.zsum >= 0 THEN 'HH'
+            WHEN nb.z < 0 AND nb.zsum < 0 THEN 'LL'
+            WHEN nb.z >= 0 THEN 'HL' ELSE 'LH' END AS quadrant
+FROM nb, m2 WHERE nb.deg > 0
+""",
+)
+def agg_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Moran's I (Anselin's LISA) per nation over the same-
+    region adjacency: I_i = z_i * mean(neighbor z) / m2, with the
+    HH/LL/HL/LH quadrant label — the 'WHICH markets drive the
+    clustering' decomposition that the global agg_morans_i
+    averages away (sum of local Is recovers the global up to
+    scaling). Row-standardized weights (divide by degree).
+
+    Exactness: the same exact-mean frame as the global key;
+    neighbor sums fold in nation order; quadrants are exact sign
+    comparisons on identical doubles. Same bounded 25x25 shape."""
+    v = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "nation").select(
+                    "n_nationkey", "n_regionkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.sum(F.expr(cents("c_acctbal"))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    mean_col = F.col("s").cast("double") / F.col("cnt")
+    mrow = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("nk", mean_col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("sm"),
+    ).collect()[0]
+    n, sm = int(mrow["n"]), float(mrow["sm"])
+    z = v.select("nk", "rk", (mean_col - F.lit(sm / n)).alias("z"))
+    mom2 = float(
+        z.agg(
+            (
+                F.aggregate(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("nk", (F.col("z") * F.col("z")).alias("v"))
+                        )
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                )
+                / F.lit(n)
+            ).alias("m2")
+        ).collect()[0]["m2"]
+    )
+    a = z.select("nk", "rk", F.col("z").alias("za"))
+    b = z.select(
+        F.col("nk").alias("nkb"), F.col("rk").alias("rkb"),
+        F.col("z").alias("zb"),
+    )
+    # bounded: 25x25 same-region adjacency grid
+    nb = (
+        a.join(
+            F.broadcast(b),
+            (F.col("rk") == F.col("rkb")) & (F.col("nk") != F.col("nkb")),
+            "left",
+        )
+        .groupBy("nk", "za")
+        .agg(
+            F.count("nkb").cast("bigint").alias("deg"),
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("nkb", F.col("zb").alias("v")))
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x["v"],
+            ).alias("zsum"),
+        )
+        .filter(F.col("deg") > 0)
+    )
+    zsum = F.coalesce(F.col("zsum"), F.lit(0.0))
+    return nb.select(
+        F.col("nk").alias("nation"),
+        F.col("deg").alias("n_neighbors"),
+        (F.col("za") * zsum / F.col("deg") / F.lit(mom2)).alias("local_i"),
+        F.when((F.col("za") >= 0) & (zsum >= 0), "HH")
+        .when((F.col("za") < 0) & (zsum < 0), "LL")
+        .when(F.col("za") >= 0, "HL")
+        .otherwise("LH")
+        .alias("quadrant"),
+    )

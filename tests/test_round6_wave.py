@@ -2328,3 +2328,22 @@ def test_amihud_positive(spark, sf_dir):
     r = QUERIES["ts_amihud_illiquidity"](spark, sf_dir).collect()[0]
     assert r["amihud_x1e9"] > 0
     assert r["n_days"] > 100
+
+
+# --- continuation-session wave 95: local Moran's I ---------------------------
+
+
+def test_local_morans_aggregates_to_global_sign(spark, sf_dir):
+    rows = QUERIES["agg_local_morans"](spark, sf_dir).collect()
+    g = QUERIES["agg_morans_i"](spark, sf_dir).collect()[0]
+    assert len(rows) == g["n_nations"]  # every nation has same-region peers
+    for r in rows:
+        assert r["quadrant"] in ("HH", "LL", "HL", "LH")
+        # quadrant sign logic: HH/LL => positive local I
+        if r["quadrant"] in ("HH", "LL"):
+            assert r["local_i"] >= -1e-12
+        else:
+            assert r["local_i"] <= 1e-12
+    # the mean local I carries the global statistic's sign direction
+    mean_local = sum(r["local_i"] for r in rows) / len(rows)
+    assert (mean_local > 0) == (g["morans_i"] > 0) or abs(mean_local) < 0.05
