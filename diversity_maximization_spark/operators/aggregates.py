@@ -12717,3 +12717,72 @@ def agg_local_morans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("LH")
         .alias("quadrant"),
     )
+
+
+@query(
+    "agg_cr4_concentration",
+    bounded_cross="1-row grand-total scalar onto the 8-row top list",
+    oracle="""
+WITH rev AS (
+  SELECT s.s_suppkey,
+         CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS r
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS n
+  FROM rev
+), top AS (
+  SELECT r, ROW_NUMBER() OVER (ORDER BY r DESC, s_suppkey) AS rk
+  FROM rev QUALIFY rk <= 8
+)
+SELECT tot.n AS n_suppliers,
+       CAST(SUM(CASE WHEN top.rk <= 4 THEN top.r ELSE 0 END) AS DOUBLE)
+         / tot.t AS cr4,
+       CAST(SUM(top.r) AS DOUBLE) / tot.t AS cr8
+FROM top, tot
+GROUP BY tot.n, tot.t
+""",
+)
+def agg_cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four- and eight-firm concentration ratios of supplier revenue
+    (CR4/CR8): the share of the market held by the largest 4 and 8
+    suppliers — the antitrust screen read alongside agg_hhi (HHI
+    weights ALL squared shares; CRk asks only about the head, the
+    number merger guidelines quote first).
+
+    Exactness: supplier revenues and the grand total are exact cent
+    sums; the top-8 cut is a deterministic (revenue DESC, suppkey)
+    rank; both ratios divide exact integers. Scale shape: one hash
+    aggregate to O(suppliers), a WindowGroupLimit top-8 (rank-limit
+    pushdown, never a global sort), a declared 1-row total
+    cross."""
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.expr(cents("l_extendedprice"))).cast("bigint").alias("r")
+        )
+    )
+    tot = rev.agg(
+        F.sum("r").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # bounded: top-8 rank limit
+    wr = Window.orderBy(F.desc("r"), "l_suppkey")
+    top = (
+        rev.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 8)
+    )
+    j = top.crossJoin(F.broadcast(tot))
+    return j.groupBy("n", "t").agg(
+        (
+            F.sum(F.when(F.col("rk") <= 4, F.col("r")).otherwise(0)).cast(
+                "double"
+            )
+            / F.max("t")
+        ).alias("cr4"),
+        (F.sum("r").cast("double") / F.max("t")).alias("cr8"),
+    ).select(
+        F.col("n").alias("n_suppliers"), "cr4", "cr8"
+    )

@@ -2347,3 +2347,28 @@ def test_local_morans_aggregates_to_global_sign(spark, sf_dir):
     # the mean local I carries the global statistic's sign direction
     mean_local = sum(r["local_i"] for r in rows) / len(rows)
     assert (mean_local > 0) == (g["morans_i"] > 0) or abs(mean_local) < 0.05
+
+
+# --- continuation-session wave 96: CR4/CR8 -----------------------------------
+
+
+def test_cr4_cr8_ordering(spark, sf_dir):
+    r = QUERIES["agg_cr4_concentration"](spark, sf_dir).collect()[0]
+    assert 0 < r["cr4"] <= r["cr8"] <= 1
+    # consistency with a local recompute
+    revs = sorted(
+        (
+            x["r"]
+            for x in load(spark, sf_dir, "lineitem")
+            .groupBy("l_suppkey")
+            .agg(
+                F.sum(F.expr("CAST(round(l_extendedprice*100) AS BIGINT)")).alias("r")
+            )
+            .collect()
+        ),
+        reverse=True,
+    )
+    t = sum(revs)
+    assert abs(r["cr4"] - sum(revs[:4]) / t) < 1e-12
+    assert abs(r["cr8"] - sum(revs[:8]) / t) < 1e-12
+    assert r["n_suppliers"] == len(revs)
