@@ -12786,3 +12786,109 @@ def agg_cr4_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("n").alias("n_suppliers"), "cr4", "cr8"
     )
+
+
+@query(
+    "agg_taylors_law",
+    oracle="""
+WITH g AS (
+  SELECT c.c_nationkey AS nk,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS s,
+         CAST(CAST(SUM(CAST(CAST(round(o.o_totalprice * 100) AS BIGINT)
+                  AS HUGEINT)
+                  * CAST(round(o.o_totalprice * 100) AS BIGINT))
+              AS VARCHAR) AS DOUBLE) AS ss
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1
+), pts AS (
+  SELECT nk,
+         CAST(FLOOR(LN(CAST(s AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+           AS x,
+         CAST(FLOOR(LN((ss - (CAST(s AS DOUBLE) / n) * s) / (n - 1))
+                    * 1000000 + 0.5) AS BIGINT) AS y
+  FROM g WHERE n > 1
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT k AS n_groups,
+       (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         AS taylor_slope_b,
+       (CAST(sy AS DOUBLE)
+        - ((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)) * sx)
+         / k / 1000000 AS ln_a_intercept
+FROM m
+""",
+)
+def agg_taylors_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Taylor's power law (fluctuation scaling) across the 25 nation
+    markets: regress ln(variance) on ln(mean) of order values per
+    nation — variance ~ a * mean^b, with b = 1 the Poisson-like
+    regime and b -> 2 the clumped/heterogeneous regime; the
+    scaling diagnostic ecology exported to operations and finance
+    (how does dispersion grow with market size?). Sits beside
+    agg_overdispersion (one global index) with a CROSS-GROUP
+    scaling exponent.
+
+    Exactness: per-nation moments are exact integers
+    (HUGEINT/decimal(38) squares); both lns are quantized at 1e-6
+    so the OLS over 25 micro-nat points is exact integer
+    arithmetic with a closed-form slope (numpy-pinned per the
+    closed-form rule). Scale shape: one broadcast dim join + a
+    25-row hash aggregate, a 1-row reduction."""
+    g = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("s"),
+            F.sum(
+                F.expr(cents("o_totalprice")).cast("decimal(38,0)")
+                * F.expr(cents("o_totalprice"))
+            )
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss") - mu * F.col("s")) / (F.col("n") - 1)
+    pts = g.filter(F.col("n") > 1).select(
+        F.floor(F.log(mu) * 1000000 + 0.5).cast("bigint").alias("x"),
+        F.floor(F.log(var) * 1000000 + 0.5).cast("bigint").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    k_d = F.col("k").cast("double")
+    slope = (k_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        k_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("n_groups"),
+        slope.alias("taylor_slope_b"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx"))
+            / F.col("k")
+            / F.lit(1000000)
+        ).alias("ln_a_intercept"),
+    )

@@ -2372,3 +2372,44 @@ def test_cr4_cr8_ordering(spark, sf_dir):
     assert abs(r["cr4"] - sum(revs[:4]) / t) < 1e-12
     assert abs(r["cr8"] - sum(revs[:8]) / t) < 1e-12
     assert r["n_suppliers"] == len(revs)
+
+
+# --- continuation-session wave 97: Taylor's law ------------------------------
+
+
+def test_taylors_law_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    r = QUERIES["agg_taylors_law"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(round(o_totalprice*100) AS BIGINT)")).alias("s"),
+            F.sum(
+                F.expr("CAST(round(o_totalprice*100) AS BIGINT)").cast(
+                    "decimal(38,0)"
+                )
+                * F.expr("CAST(round(o_totalprice*100) AS BIGINT)")
+            ).cast("double").alias("ss"),
+        )
+        .collect()
+    )
+    xs, ys = [], []
+    for x in rows:
+        if x["n"] > 1:
+            mu = x["s"] / x["n"]
+            var = (x["ss"] - mu * x["s"]) / (x["n"] - 1)
+            xs.append(math.floor(math.log(mu) * 1e6 + 0.5))
+            ys.append(math.floor(math.log(var) * 1e6 + 0.5))
+    b, a = np.polyfit(np.array(xs, float), np.array(ys, float), 1)
+    assert r["n_groups"] == len(xs)
+    assert abs(r["taylor_slope_b"] - b) < 1e-9 * max(1, abs(b))
+    assert abs(r["ln_a_intercept"] - a / 1e6) < 1e-6 * max(1, abs(a / 1e6))
