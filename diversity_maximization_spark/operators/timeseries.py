@@ -6923,3 +6923,83 @@ def ts_amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (F.col("silliq") / F.col("n") * F.lit(1e9)).alias("amihud_x1e9"),
     )
+
+
+@query(
+    "ts_calmar_ratio",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM daily_src GROUP BY 1
+), daily_src AS (SELECT * FROM orders),
+dd AS (
+  SELECT day, c,
+         CAST(MAX(c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS peak,
+         CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM daily
+), m AS (
+  SELECT MAX(n) AS n,
+         MAX(CASE WHEN rn = 1 THEN c END) AS first_c,
+         MAX(CASE WHEN rn = n THEN c END) AS last_c,
+         MAX(CAST(peak - c AS DOUBLE) / peak) AS mdd
+  FROM dd
+)
+SELECT n AS n_days,
+       CAST(last_c AS DOUBLE) / first_c - 1 AS total_return,
+       (CAST(last_c AS DOUBLE) / first_c - 1) * 365 / (n - 1)
+         AS annualized_return,
+       mdd AS max_drawdown,
+       ((CAST(last_c AS DOUBLE) / first_c - 1) * 365 / (n - 1)) / mdd
+         AS calmar_ratio
+FROM m
+""",
+)
+def ts_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calmar ratio of the daily-revenue 'equity curve': linearized
+    annual return over the maximum peak-to-trough drawdown — the
+    drawdown-denominated risk-adjusted return that pairs with
+    ts_sharpe (volatility-denominated) and ts_ulcer_index
+    (drawdown-depth integral); the number drawdown-averse
+    allocators quote first.
+
+    Exactness: first/last/peak values are exact integers (running
+    MAX is order-free); each drawdown is one float division of two
+    exact integers and the max over days picks identical doubles;
+    the ratio is a fixed expression. Scale shape: one O(days)
+    rollup, one bounded window pass, a 1-row reduction."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    dd = daily.select(
+        "c",
+        F.max("c")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("peak"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    m = dd.agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("first_c"),
+        F.max(F.when(F.col("rn") == F.col("n"), F.col("c"))).alias("last_c"),
+        F.max(
+            (F.col("peak") - F.col("c")).cast("double") / F.col("peak")
+        ).alias("mdd"),
+    )
+    tret = F.col("last_c").cast("double") / F.col("first_c") - 1
+    aret = tret * 365 / (F.col("n") - 1)
+    return m.select(
+        F.col("n").alias("n_days"),
+        tret.alias("total_return"),
+        aret.alias("annualized_return"),
+        F.col("mdd").alias("max_drawdown"),
+        (aret / F.col("mdd")).alias("calmar_ratio"),
+    )

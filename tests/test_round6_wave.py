@@ -2413,3 +2413,18 @@ def test_taylors_law_matches_numpy(spark, sf_dir):
     assert r["n_groups"] == len(xs)
     assert abs(r["taylor_slope_b"] - b) < 1e-9 * max(1, abs(b))
     assert abs(r["ln_a_intercept"] - a / 1e6) < 1e-6 * max(1, abs(a / 1e6))
+
+
+# --- continuation-session wave 98: Calmar ratio ------------------------------
+
+
+def test_calmar_consistency(spark, sf_dir):
+    r = QUERIES["ts_calmar_ratio"](spark, sf_dir).collect()[0]
+    assert 0 < r["max_drawdown"] < 1
+    assert abs(
+        r["calmar_ratio"] - r["annualized_return"] / r["max_drawdown"]
+    ) < 1e-9 * max(1, abs(r["calmar_ratio"]))
+    assert abs(
+        r["annualized_return"]
+        - r["total_return"] * 365 / (r["n_days"] - 1)
+    ) < 1e-12
