@@ -12892,3 +12892,89 @@ def agg_taylors_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000)
         ).alias("ln_a_intercept"),
     )
+
+
+@query(
+    "agg_kendall_w",
+    oracle="""
+WITH cells AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+         o_orderpriority AS prio,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2
+), rk AS (
+  SELECT yr, prio,
+         CAST(ROW_NUMBER() OVER (PARTITION BY yr
+              ORDER BY CAST(s AS DOUBLE) / n, prio) AS BIGINT) AS r
+  FROM cells
+), colsum AS (
+  SELECT prio, CAST(SUM(r) AS BIGINT) AS rj FROM rk GROUP BY prio
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(rj) AS BIGINT) AS tot,
+         CAST(SUM(rj * rj) AS BIGINT) AS ss,
+         (SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) FROM rk) AS b
+  FROM colsum
+)
+SELECT b AS n_blocks, k AS n_treatments,
+       (12.0 * (CAST(ss AS DOUBLE) - CAST(tot AS DOUBLE) * tot / k))
+         / (CAST(b AS DOUBLE) * b * k * (k * k - 1)) AS kendall_w,
+       CAST(b AS DOUBLE) * (k - 1)
+         * ((12.0 * (CAST(ss AS DOUBLE) - CAST(tot AS DOUBLE) * tot / k))
+            / (CAST(b AS DOUBLE) * b * k * (k * k - 1))) AS friedman_chi2
+FROM m
+""",
+)
+def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W — do the order YEARS
+    agree on how the five priorities rank by mean value?
+    W = 12 S / (b^2 k (k^2 - 1)) over rank-column sums (S their
+    centered square sum), with the Friedman chi2 = b(k-1)W link
+    reported — the agreement number behind 'is the ranking stable
+    across periods?', the multi-rater RANKING complement of
+    agg_fleiss_kappa's categorical agreement, on the same blocked
+    frame as agg_page_trend (Page asks ORDERED trend; W asks ANY
+    consistent ranking).
+
+    Exactness: within-block ranks are deterministic; column sums,
+    their squares and S are exact integers; W and the chi2 are
+    fixed double expressions. One 35-cell aggregate, bounded
+    windows."""
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+        .agg(
+            F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    wb = Window.partitionBy("yr").orderBy(
+        F.col("s").cast("double") / F.col("n"), "prio"
+    )
+    rk = cells.select(
+        "yr", "prio", F.row_number().over(wb).cast("bigint").alias("r")
+    )
+    colsum = rk.groupBy("prio").agg(F.sum("r").cast("bigint").alias("rj"))
+    b = rk.select("yr").distinct().count()
+    m = colsum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("rj").cast("bigint").alias("tot"),
+        F.sum(F.col("rj") * F.col("rj")).cast("bigint").alias("ss"),
+    )
+    k_d = F.col("k").cast("double")
+    s_c = F.col("ss").cast("double") - F.col("tot").cast("double") * F.col(
+        "tot"
+    ) / F.col("k")
+    w = (12.0 * s_c) / (
+        F.lit(float(b)) * b * k_d * (k_d * k_d - 1)
+    )
+    return m.select(
+        F.lit(b).cast("bigint").alias("n_blocks"),
+        F.col("k").alias("n_treatments"),
+        w.alias("kendall_w"),
+        (F.lit(float(b)) * (k_d - 1) * w).alias("friedman_chi2"),
+    )

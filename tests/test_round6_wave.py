@@ -2428,3 +2428,14 @@ def test_calmar_consistency(spark, sf_dir):
         r["annualized_return"]
         - r["total_return"] * 365 / (r["n_days"] - 1)
     ) < 1e-12
+
+
+# --- continuation-session wave 99: Kendall's W -------------------------------
+
+
+def test_kendall_w_bounds_and_friedman_link(spark, sf_dir):
+    r = QUERIES["agg_kendall_w"](spark, sf_dir).collect()[0]
+    assert 0 <= r["kendall_w"] <= 1
+    assert r["n_treatments"] == 5
+    want = r["n_blocks"] * (r["n_treatments"] - 1) * r["kendall_w"]
+    assert abs(r["friedman_chi2"] - want) < 1e-9
