@@ -12978,3 +12978,76 @@ def agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.alias("kendall_w"),
         (F.lit(float(b)) * (k_d - 1) * w).alias("friedman_chi2"),
     )
+
+
+@query(
+    "agg_hoover_index",
+    bounded_cross="1-row (n, total) scalar onto the customer spend table",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM orders GROUP BY o_custkey
+), tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(sc) AS BIGINT) AS s
+  FROM spend
+), dev AS (
+  SELECT CAST(CAST(SUM(ABS(CAST(spend.sc AS HUGEINT) * tot.n - tot.s))
+              AS VARCHAR) AS DOUBLE) AS sad,
+         MAX(tot.n) AS n, MAX(tot.s) AS s
+  FROM spend, tot
+)
+SELECT n AS n_customers,
+       CAST(s AS DOUBLE) / n / 100 AS mean_spend_dollars,
+       sad / (2 * CAST(n AS DOUBLE) * s) AS hoover_index
+FROM dev
+""",
+)
+def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hoover (Robin Hood) index of customer spend concentration:
+    the share of total spend that would have to move to equalize
+    everyone — geometrically the maximum vertical gap between the
+    Lorenz curve and the diagonal, computed here by the EXACT
+    identity Hoover = sum|x_i - mu| / (2 n mu) = sum|n x_i - S| /
+    (2 n S), which turns the whole statistic into one absolute-
+    integer sum (no sort, no prefix — unlike the Lorenz/Gini pair,
+    Hoover needs no order statistics at all). Completes the
+    inequality family's most operational member ('how many dollars
+    must move?').
+
+    Exactness: every |n*x - S| term is an exact integer
+    (HUGEINT/decimal(38) — ~1e22 at a 100x corpus); one float
+    division closes it. Scale shape: one customer rollup, a
+    declared 1-row scalar cross, one absolute-sum reduction —
+    shuffle-light even by this repo's standards."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("sc"))
+    )
+    tot = spend.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("sc").cast("bigint").alias("s"),
+    )
+    # bounded: 1-row (n, total) scalar
+    dev = spend.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(
+                F.col("sc").cast("decimal(38,0)") * F.col("n") - F.col("s")
+            )
+        )
+        .cast("double")
+        .alias("sad"),
+        F.max("n").alias("n"),
+        F.max("s").alias("s"),
+    )
+    return dev.select(
+        F.col("n").alias("n_customers"),
+        (F.col("s").cast("double") / F.col("n") / 100).alias(
+            "mean_spend_dollars"
+        ),
+        (
+            F.col("sad")
+            / (2 * F.col("n").cast("double") * F.col("s"))
+        ).alias("hoover_index"),
+    )

@@ -2439,3 +2439,32 @@ def test_kendall_w_bounds_and_friedman_link(spark, sf_dir):
     assert r["n_treatments"] == 5
     want = r["n_blocks"] * (r["n_treatments"] - 1) * r["kendall_w"]
     assert abs(r["friedman_chi2"] - want) < 1e-9
+
+
+# --- continuation-session wave 100: Hoover index -----------------------------
+
+
+def test_hoover_identity_and_bounds(spark, sf_dir):
+    r = QUERIES["agg_hoover_index"](spark, sf_dir).collect()[0]
+    assert 0 <= r["hoover_index"] < 1
+    # local exact replay of the mean-deviation identity
+    vals = [
+        x["sc"]
+        for x in load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.expr("CAST(round(o_totalprice*100) AS BIGINT)")).alias("sc"))
+        .collect()
+    ]
+    n, s = len(vals), sum(vals)
+    sad = sum(abs(n * v - s) for v in vals)
+    assert abs(r["hoover_index"] - sad / (2 * n * s)) < 1e-12
+    # coherence: Hoover <= Gini for any distribution
+    gini_rows = QUERIES["agg_gini"](spark, sf_dir).collect()
+    gvals = [
+        v
+        for row in gini_rows
+        for k, v in row.asDict().items()
+        if "gini" in k.lower() and isinstance(v, float)
+    ]
+    if gvals:
+        assert r["hoover_index"] <= max(gvals) + 0.02
