@@ -13051,3 +13051,83 @@ def agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("n").cast("double") * F.col("s"))
         ).alias("hoover_index"),
     )
+
+
+@query(
+    "agg_price_dispersion",
+    oracle="""
+WITH up AS (
+  SELECT l_partkey,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+                  // CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST((CAST(round(l_extendedprice * 100) AS BIGINT)
+                             * 1000)
+                            // CAST(round(l_quantity) AS BIGINT) AS HUGEINT)
+                  * ((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+                     // CAST(round(l_quantity) AS BIGINT)))
+              AS VARCHAR) AS HUGEINT) AS ss
+  FROM lineitem GROUP BY 1
+), multi AS (
+  SELECT n, s, ss FROM up WHERE n >= 2
+), cls AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_multi,
+         CAST(SUM(CASE WHEN 100 * n * (n * ss - CAST(s AS HUGEINT) * s)
+                            > (n - 1) * CAST(s AS HUGEINT) * s
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+  FROM multi
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM up) AS n_parts,
+       cls.n_multi AS n_multi_observation_parts,
+       cls.n_high AS n_high_dispersion_parts,
+       CAST(cls.n_high AS DOUBLE) / cls.n_multi AS high_dispersion_share
+FROM cls
+""",
+)
+def agg_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price screen: for every part observed on >= 2
+    lineitems, classify whether its UNIT-price coefficient of
+    variation exceeds 10% — entirely in EXACT INTEGER arithmetic by
+    cross-multiplying the CV^2 > 0.01 inequality
+    (100 n (n*ss - s^2) > (n-1) s^2, unit prices quantized once at
+    milli-cents like agg_price_index) — the price-dispersion
+    diagnostic empirical IO runs on any marketplace, with zero
+    float entering the per-part decision.
+
+    Exactness: quantized unit prices, their sums and the inequality
+    sides are exact integers (HUGEINT/decimal(38) — s^2 terms reach
+    ~8e21 at 100x); only the final share divides. Scale shape: one
+    part-keyed hash aggregate, one classification aggregate."""
+    up_expr = (
+        f"({cents('l_extendedprice')} * 1000) div "
+        f"CAST(round(l_quantity) AS BIGINT)"
+    )
+    up = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.expr(up_expr).alias("p"), "l_partkey")
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("p").cast("bigint").alias("s"),
+            F.sum(F.col("p").cast("decimal(38,0)") * F.col("p")).alias("ss"),
+        )
+    )
+    n_parts = up.count()
+    multi = up.filter(F.col("n") >= 2)
+    s_dec = F.col("s").cast("decimal(38,0)")
+    lhs = 100 * F.col("n") * (F.col("n") * F.col("ss") - s_dec * F.col("s"))
+    rhs = (F.col("n") - 1) * s_dec * F.col("s")
+    cls = multi.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_multi"),
+        F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("bigint").alias(
+            "n_high"
+        ),
+    )
+    return cls.select(
+        F.lit(n_parts).cast("bigint").alias("n_parts"),
+        F.col("n_multi").alias("n_multi_observation_parts"),
+        F.col("n_high").alias("n_high_dispersion_parts"),
+        (F.col("n_high").cast("double") / F.col("n_multi")).alias(
+            "high_dispersion_share"
+        ),
+    )

@@ -2468,3 +2468,36 @@ def test_hoover_identity_and_bounds(spark, sf_dir):
     ]
     if gvals:
         assert r["hoover_index"] <= max(gvals) + 0.02
+
+
+# --- continuation-session wave 101: price dispersion -------------------------
+
+
+def test_price_dispersion_matches_local(spark, sf_dir):
+    r = QUERIES["agg_price_dispersion"](spark, sf_dir).collect()[0]
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(
+                "(CAST(round(l_extendedprice*100) AS BIGINT) * 1000) div "
+                "CAST(round(l_quantity) AS BIGINT)"
+            ).alias("p"),
+            "l_partkey",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for x in rows:
+        per[x["l_partkey"]].append(x["p"])
+    n_multi = n_high = 0
+    for ps in per.values():
+        if len(ps) >= 2:
+            n_multi += 1
+            n, s, ss = len(ps), sum(ps), sum(p * p for p in ps)
+            if 100 * n * (n * ss - s * s) > (n - 1) * s * s:
+                n_high += 1
+    assert r["n_parts"] == len(per)
+    assert r["n_multi_observation_parts"] == n_multi
+    assert r["n_high_dispersion_parts"] == n_high
