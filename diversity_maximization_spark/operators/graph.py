@@ -1962,3 +1962,105 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("sq2 div 2").cast("bigint").alias("n_squares"),
         )
     )
+
+
+@query(
+    "graph_degree_powerlaw",
+    oracle="""
+WITH pairs AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+), edges AS (
+  SELECT DISTINCT a.p AS u, b.p AS v
+  FROM pairs a JOIN pairs b ON a.o = b.o AND a.p < b.p
+), deg AS (
+  SELECT x, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY x
+), dist AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS cnt FROM deg GROUP BY d
+), ccdf AS (
+  SELECT d,
+         CAST(SUM(cnt) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS atleast
+  FROM dist
+), pts AS (
+  SELECT CAST(FLOOR(LN(CAST(d AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(FLOOR(LN(CAST(atleast AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS y
+  FROM ccdf WHERE d >= 2
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree,
+       m.k AS n_ccdf_points,
+       (CAST(m.k AS DOUBLE) * m.sxy - CAST(m.sx AS DOUBLE) * m.sy)
+         / (CAST(m.k AS DOUBLE) * m.sxx - CAST(m.sx AS DOUBLE) * m.sx)
+         AS ccdf_loglog_slope
+FROM m
+""",
+)
+def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log CCDF slope of the co-purchase degree distribution —
+    the heavy-tail diagnostic that decides whether degree-based
+    plans need skew handling: a slope near -(alpha - 1) with small
+    alpha means hubs dominate (salting/orientation mandatory); a
+    steep slope means the degree cap assumption behind the wedge
+    joins is safe. The empirical check FOR this repo's own
+    graph-plan doctrine, computed the corpus_heaps_law way.
+
+    Exactness: degrees, the distinct-degree distribution and the
+    reverse-cumulative CCDF are exact integers over a BOUNDED
+    (max-degree-sized) table; the quantized-ln OLS slope is exact
+    integer arithmetic with one closing division. Scale shape: the
+    co-purchase degree aggregate (linear), then everything lives on
+    <= max_degree rows."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionAll(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.max("d").cast("bigint").alias("max_degree"),
+    ).collect()[0]
+    dist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    # bounded: <= max_degree distinct-degree rows
+    w = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ccdf = dist.select(
+        "d", F.sum("cnt").over(w).cast("bigint").alias("atleast")
+    )
+    pts = ccdf.filter(F.col("d") >= 2).select(
+        F.floor(F.log(F.col("d").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.log(F.col("atleast").cast("double")) * 1000000 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    k_d = F.col("k").cast("double")
+    slope = (k_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        k_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return m.select(
+        F.lit(int(stats["n_nodes"])).cast("bigint").alias("n_nodes"),
+        F.lit(int(stats["max_degree"])).cast("bigint").alias("max_degree"),
+        F.col("k").alias("n_ccdf_points"),
+        slope.alias("ccdf_loglog_slope"),
+    )

@@ -2501,3 +2501,14 @@ def test_price_dispersion_matches_local(spark, sf_dir):
     assert r["n_parts"] == len(per)
     assert r["n_multi_observation_parts"] == n_multi
     assert r["n_high_dispersion_parts"] == n_high
+
+
+# --- continuation-session wave 102: degree power-law -------------------------
+
+
+def test_degree_powerlaw_slope_negative(spark, sf_dir):
+    r = QUERIES["graph_degree_powerlaw"](spark, sf_dir).collect()[0]
+    t = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert r["n_nodes"] == t["n_vertices"]
+    assert r["ccdf_loglog_slope"] < 0  # CCDF always decreases
+    assert 2 <= r["n_ccdf_points"] <= r["max_degree"]
