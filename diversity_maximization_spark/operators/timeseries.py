@@ -7003,3 +7003,117 @@ def ts_calmar_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mdd").alias("max_drawdown"),
         (aret / F.col("mdd")).alias("calmar_ratio"),
     )
+
+
+@query(
+    "ts_durbin_watson",
+    bounded_cross="1-row OLS-coefficient scalar onto the O(days) series",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM daily_src GROUP BY 1
+), daily_src AS (SELECT * FROM orders),
+p AS (
+  SELECT day, c AS y, LAG(c, 7) OVER (ORDER BY day) AS f
+  FROM daily QUALIFY f IS NOT NULL
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(f) AS BIGINT) AS sf,
+         CAST(CAST(SUM(CAST(f AS HUGEINT) * f) AS VARCHAR) AS DOUBLE) AS sff,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(CAST(SUM(CAST(f AS HUGEINT) * y) AS VARCHAR) AS DOUBLE) AS sfy
+  FROM p
+), co AS (
+  SELECT (CAST(n AS DOUBLE) * sfy - CAST(sf AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf) AS b,
+         (CAST(sy AS DOUBLE)
+          - ((CAST(n AS DOUBLE) * sfy - CAST(sf AS DOUBLE) * sy)
+             / (CAST(n AS DOUBLE) * sff - CAST(sf AS DOUBLE) * sf)) * sf)
+           / n AS a
+  FROM m
+), e AS (
+  SELECT p.day, p.y - (co.a + co.b * p.f) AS e
+  FROM p, co
+), d AS (
+  SELECT day, e, LAG(e) OVER (ORDER BY day) AS pe FROM e
+), s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(e * e ORDER BY day)) AS see,
+         list_sum(list(CASE WHEN pe IS NOT NULL
+                            THEN (e - pe) * (e - pe)
+                            ELSE CAST(0 AS DOUBLE) END ORDER BY day)) AS sdd
+  FROM d
+)
+SELECT n AS n_days, sdd / see AS durbin_watson
+FROM s
+""",
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation statistic on the residuals of
+    the Mincer-Zarnowitz lag-7 regression: DW = sum (e_t -
+    e_{t-1})^2 / sum e_t^2 — the first residual diagnostic run
+    after ANY regression (DW ~ 2 means white residuals; << 2
+    positive serial correlation, the silent killer of the
+    regression SEs the MZ F-test relies on).
+
+    Exactness: OLS coefficients come from exact integer moments (a
+    1-row scalar); every residual is the same fixed double
+    expression over (y, f, a, b); both quadratic sums fold in DAY
+    order via the strict-fold pair. Scale shape: one O(days)
+    rollup, bounded windows, a declared 1-row coefficient cross."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr(cents("o_totalprice"))).cast("bigint").alias("c"))
+    )
+    # bounded: O(days) daily rollup rows
+    w = Window.orderBy("day")
+    p = daily.select(
+        "day", F.col("c").alias("y"), F.lag("c", 7).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    m = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("f").cast("bigint").alias("sf"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("f"))
+        .cast("double")
+        .alias("sff"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("f").cast("decimal(38,0)") * F.col("y"))
+        .cast("double")
+        .alias("sfy"),
+    )
+    n_d = F.col("n").cast("double")
+    b = (n_d * F.col("sfy") - F.col("sf").cast("double") * F.col("sy")) / (
+        n_d * F.col("sff") - F.col("sf").cast("double") * F.col("sf")
+    )
+    a = (F.col("sy").cast("double") - b * F.col("sf")) / F.col("n")
+    co = m.select(a.alias("a"), b.alias("b"))
+    # bounded: 1-row coefficient scalar
+    e = p.crossJoin(F.broadcast(co)).select(
+        "day", (F.col("y") - (F.col("a") + F.col("b") * F.col("f"))).alias("e")
+    )
+    # bounded: O(days) residual rows
+    d = e.select("day", "e", F.lag("e").over(Window.orderBy("day")).alias("pe"))
+
+    def day_fold(col):
+        return F.aggregate(
+            F.array_sort(F.collect_list(F.struct("day", col.alias("v")))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        )
+
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        day_fold(F.col("e") * F.col("e")).alias("see"),
+        day_fold(
+            F.when(
+                F.col("pe").isNotNull(),
+                (F.col("e") - F.col("pe")) * (F.col("e") - F.col("pe")),
+            ).otherwise(F.lit(0.0))
+        ).alias("sdd"),
+    )
+    return s.select(
+        F.col("n").alias("n_days"),
+        (F.col("sdd") / F.col("see")).alias("durbin_watson"),
+    )

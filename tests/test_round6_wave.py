@@ -2512,3 +2512,27 @@ def test_degree_powerlaw_slope_negative(spark, sf_dir):
     assert r["n_nodes"] == t["n_vertices"]
     assert r["ccdf_loglog_slope"] < 0  # CCDF always decreases
     assert 2 <= r["n_ccdf_points"] <= r["max_degree"]
+
+
+# --- continuation-session wave 103: Durbin-Watson ----------------------------
+
+
+def test_durbin_watson_range_and_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["ts_durbin_watson"](spark, sf_dir).collect()[0]
+    assert 0 < r["durbin_watson"] < 4
+    daily = sorted(
+        (row["day"], row["c"])
+        for row in load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(o_totalprice*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    vals = [c for _, c in daily]
+    y = np.array(vals[7:], float)
+    f = np.array(vals[:-7], float)
+    b, a = np.polyfit(f, y, 1)
+    e = y - (a + b * f)
+    dw = ((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum()
+    assert abs(r["durbin_watson"] - dw) < 1e-6
