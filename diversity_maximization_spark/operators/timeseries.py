@@ -7117,3 +7117,137 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         (F.col("sdd") / F.col("see")).alias("durbin_watson"),
     )
+
+
+@query(
+    "ts_turbulence",
+    bounded_cross="1-row covariance scalar onto the O(days) return pairs",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS dd,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('{CCF_X_TYPE}', '{CCF_Y_TYPE}')
+  GROUP BY 1, 2
+), rx AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS x
+  FROM daily WHERE event_type = '{CCF_X_TYPE}' QUALIFY x IS NOT NULL
+), ry AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS y
+  FROM daily WHERE event_type = '{CCF_Y_TYPE}' QUALIFY y IS NOT NULL
+), j AS (
+  SELECT rx.dd, rx.x, ry.y FROM rx JOIN ry ON ry.dd = rx.dd
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(x ORDER BY dd)) AS sx,
+         list_sum(list(y ORDER BY dd)) AS sy,
+         list_sum(list(x * x ORDER BY dd)) AS sxx,
+         list_sum(list(y * y ORDER BY dd)) AS syy,
+         list_sum(list(x * y ORDER BY dd)) AS sxy
+  FROM j
+), cov AS (
+  SELECT n, sx / n AS mx, sy / n AS my,
+         (sxx - sx / n * sx) / (n - 1) AS vx,
+         (syy - sy / n * sy) / (n - 1) AS vy,
+         (sxy - sx / n * sy) / (n - 1) AS vxy
+  FROM m
+)
+SELECT j.dd AS day_index,
+       ((j.x - cov.mx) * (cov.vy * (j.x - cov.mx)
+                          - cov.vxy * (j.y - cov.my))
+        + (j.y - cov.my) * (cov.vx * (j.y - cov.my)
+                            - cov.vxy * (j.x - cov.mx)))
+         / (cov.vx * cov.vy - cov.vxy * cov.vxy) AS turbulence
+FROM j, cov
+""",
+)
+def ts_turbulence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kritzman-Li financial turbulence index: each day's
+    ({CCF_X_TYPE}, {CCF_Y_TYPE}) return pair scored by its
+    Mahalanobis distance from the full-sample mean under the
+    full-sample 2x2 covariance (closed-form inverse) — the
+    multivariate 'how unusual is today?' monitor that catches
+    correlation breaks plain z-scores miss (a day can be ordinary
+    in each series yet extraordinary in their JOINT move).
+    Completes the risk shelf beside VaR (tail size), Parkinson
+    (range vol) and min-variance (allocation).
+
+    Exactness: returns are float divisions of exact integer pairs;
+    the five moments fold in day order; every day's quadratic form
+    is one fixed expression over identical doubles. Scale shape:
+    one 2-series rollup, bounded folds, a declared 1-row covariance
+    cross onto the O(days) pairs — linear end to end."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin(CCF_X_TYPE, CCF_Y_TYPE)
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1992-01-01")
+        ).alias("dd"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+
+    def rets(tp, out):
+        # bounded: O(days) per-type rollup rows
+        w = Window.orderBy("dd")
+        return (
+            daily.filter(F.col("event_type") == tp)
+            .select(
+                "dd",
+                (
+                    (F.col("c") - F.lag("c").over(w)).cast("double")
+                    / F.lag("c").over(w)
+                ).alias(out),
+            )
+            .filter(F.col(out).isNotNull())
+        )
+
+    rx = rets(CCF_X_TYPE, "x")
+    ry = rets(CCF_Y_TYPE, "y").select(F.col("dd").alias("dd_y"), "y")
+    j = rx.join(ry, rx["dd"] == ry["dd_y"]).select("dd", "x", "y")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("dd", F.col("x").alias("x"), F.col("y").alias("y"))
+        )
+    )
+
+    def fold(f):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, e: acc + f(e))
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+    )
+    n = F.col("n")
+    cov = m.select(
+        (F.col("sx") / n).alias("mx"),
+        (F.col("sy") / n).alias("my"),
+        ((F.col("sxx") - F.col("sx") / n * F.col("sx")) / (n - 1)).alias("vx"),
+        ((F.col("syy") - F.col("sy") / n * F.col("sy")) / (n - 1)).alias("vy"),
+        ((F.col("sxy") - F.col("sx") / n * F.col("sy")) / (n - 1)).alias(
+            "vxy"
+        ),
+    )
+    # bounded: 1-row covariance scalar
+    out = j.crossJoin(F.broadcast(cov))
+    zx = F.col("x") - F.col("mx")
+    zy = F.col("y") - F.col("my")
+    det = F.col("vx") * F.col("vy") - F.col("vxy") * F.col("vxy")
+    return out.select(
+        F.col("dd").alias("day_index"),
+        (
+            (
+                zx * (F.col("vy") * zx - F.col("vxy") * zy)
+                + zy * (F.col("vx") * zy - F.col("vxy") * zx)
+            )
+            / det
+        ).alias("turbulence"),
+    )

@@ -2536,3 +2536,16 @@ def test_durbin_watson_range_and_numpy(spark, sf_dir):
     e = y - (a + b * f)
     dw = ((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum()
     assert abs(r["durbin_watson"] - dw) < 1e-6
+
+
+# --- continuation-session wave 104: turbulence index -------------------------
+
+
+def test_turbulence_mean_is_dimension(spark, sf_dir):
+    rows = QUERIES["ts_turbulence"](spark, sf_dir).collect()
+    vals = [r["turbulence"] for r in rows]
+    assert all(v >= 0 for v in vals)
+    # mean Mahalanobis^2 over the fitting sample ~ p = 2 (with the
+    # (n-1)/n sample-covariance factor)
+    mean_t = sum(vals) / len(vals)
+    assert 1.6 < mean_t < 2.4
