@@ -13131,3 +13131,66 @@ def agg_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "high_dispersion_share"
         ),
     )
+
+
+@query(
+    "agg_mean_log_deviation",
+    oracle="""
+WITH t AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+         CAST(round(1000000000000.0
+              * ln(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)))
+              AS BIGINT) AS lq
+  FROM orders
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s,
+         CAST(CAST(SUM(CAST(lq AS HUGEINT)) AS VARCHAR) AS DOUBLE) AS sl
+  FROM t
+)
+SELECT n AS n_orders,
+       (CAST(FLOOR(LN(CAST(s AS DOUBLE) / n) * 1000000 + 0.5) AS BIGINT)
+          / 1e6)
+         - sl / 1000000000000 / n AS mean_log_deviation
+FROM m
+""",
+)
+def agg_mean_log_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean log deviation (Theil's L, generalized entropy GE(0)) of
+    order values: MLD = ln(mean) - mean(ln x) — the inequality
+    member that weights the BOTTOM of the distribution (GE(1) =
+    Theil T weights the top; Atkinson(1) = 1 - exp(-MLD) links the
+    two), closing the generalized-entropy family the engine now
+    carries end to end (gini, lorenz, palma, hoover, theil,
+    atkinson, GE(0)).
+
+    Exactness: the per-row ln rides the established 1e-12
+    quantization with its decimal(38) sum; ln(mean) is quantized at
+    1e-6 over the identical exact-moment double; the statistic is
+    fixed arithmetic over those quantized integers. ONE hash
+    aggregate."""
+    t = load(spark, sf_dir, "orders").select(
+        F.expr(cents("o_totalprice")).alias("c")
+    ).select(
+        "c",
+        F.round(
+            F.lit(1000000000000.0) * F.log(F.col("c").cast("double"))
+        )
+        .cast("bigint")
+        .alias("lq"),
+    )
+    m = t.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("lq").cast("decimal(38,0)")).cast("double").alias("sl"),
+    )
+    ln_mu_q = F.floor(
+        F.log(F.col("s").cast("double") / F.col("n")) * F.lit(1000000)
+        + F.lit(0.5)
+    ).cast("bigint") / F.lit(1e6)
+    return m.select(
+        F.col("n").alias("n_orders"),
+        (
+            ln_mu_q - F.col("sl") / F.lit(1000000000000) / F.col("n")
+        ).alias("mean_log_deviation"),
+    )

@@ -2549,3 +2549,17 @@ def test_turbulence_mean_is_dimension(spark, sf_dir):
     # (n-1)/n sample-covariance factor)
     mean_t = sum(vals) / len(vals)
     assert 1.6 < mean_t < 2.4
+
+
+# --- continuation-session wave 105: mean log deviation -----------------------
+
+
+def test_mld_links_to_atkinson(spark, sf_dir):
+    import math
+
+    mld = QUERIES["agg_mean_log_deviation"](spark, sf_dir).collect()[0]
+    atk = QUERIES["agg_atkinson"](spark, sf_dir).collect()[0]
+    assert mld["mean_log_deviation"] >= 0  # Jensen
+    # Atkinson(1) = 1 - exp(-MLD), up to the two keys' quantizations
+    implied = 1 - math.exp(-mld["mean_log_deviation"])
+    assert abs(implied - atk["atkinson_eps1"]) < 1e-4
