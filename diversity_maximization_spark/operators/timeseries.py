@@ -7251,3 +7251,100 @@ def ts_turbulence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / det
         ).alias("turbulence"),
     )
+
+
+@query(
+    "ts_garman_klass",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS hi,
+         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS lo,
+         CAST(MIN_BY(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+              AS BIGINT) AS op,
+         CAST(MAX_BY(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+              AS BIGINT) AS cl
+  FROM orders GROUP BY 1
+), q AS (
+  SELECT CAST(round(1000000000000.0 * ln(CAST(hi AS DOUBLE) / lo))
+              AS BIGINT) AS lhl,
+         CAST(round(1000000000000.0 * ln(CAST(cl AS DOUBLE) / op))
+              AS BIGINT) AS lco
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(lhl AS HUGEINT) * lhl) AS VARCHAR) AS DOUBLE)
+           AS shl,
+         CAST(CAST(SUM(CAST(lco AS HUGEINT) * lco) AS VARCHAR) AS DOUBLE)
+           AS sco
+  FROM q
+)
+SELECT n AS n_days,
+       sqrt((0.5 * (shl / 1e24)
+             - (2 * CAST('0.6931471805599453' AS DOUBLE) - 1)
+               * (sco / 1e24)) / n) AS gk_vol_daily,
+       sqrt((0.5 * (shl / 1e24)
+             - (2 * CAST('0.6931471805599453' AS DOUBLE) - 1)
+               * (sco / 1e24)) / n) * sqrt(252.0) AS gk_vol_annualized
+FROM m
+""",
+)
+def ts_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass OHLC volatility of the daily order-price
+    distribution: sigma^2 = mean[ 0.5 ln(H/L)^2 - (2 ln2 - 1)
+    ln(C/O)^2 ] — ~7.4x more efficient than close-to-close and the
+    drift-robust refinement of ts_parkinson_vol (which uses the
+    range only); open/close are the first/last order of the day by
+    key (the deterministic proxy this dateless fixture admits,
+    documented). Deterministic MIN_BY/MAX_BY: o_orderkey is unique.
+
+    Exactness: both per-day lns quantized at 1e-12 with exact
+    HUGEINT/decimal(38) squares (order-free sums); ln 2 is a
+    CAST-string literal; one fixed closing expression. One hash
+    aggregate, a 1-row reduction."""
+    c = F.expr(cents("o_totalprice"))
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.max(c).cast("bigint").alias("hi"),
+            F.min(c).cast("bigint").alias("lo"),
+            F.min_by(c, F.col("o_orderkey")).cast("bigint").alias("op"),
+            F.max_by(c, F.col("o_orderkey")).cast("bigint").alias("cl"),
+        )
+    )
+    q = daily.select(
+        F.round(
+            F.lit(1000000000000.0)
+            * F.log(F.col("hi").cast("double") / F.col("lo"))
+        )
+        .cast("bigint")
+        .alias("lhl"),
+        F.round(
+            F.lit(1000000000000.0)
+            * F.log(F.col("cl").cast("double") / F.col("op"))
+        )
+        .cast("bigint")
+        .alias("lco"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("lhl").cast("decimal(38,0)") * F.col("lhl"))
+        .cast("double")
+        .alias("shl"),
+        F.sum(F.col("lco").cast("decimal(38,0)") * F.col("lco"))
+        .cast("double")
+        .alias("sco"),
+    )
+    ln2 = float.fromhex("0x1.62e42fefa39efp-1")
+    var = (
+        F.lit(0.5) * (F.col("shl") / F.lit(1e24))
+        - (F.lit(2) * F.lit(ln2) - 1) * (F.col("sco") / F.lit(1e24))
+    ) / F.col("n")
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.sqrt(var).alias("gk_vol_daily"),
+        (F.sqrt(var) * F.sqrt(F.lit(252.0))).alias("gk_vol_annualized"),
+    )

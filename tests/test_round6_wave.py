@@ -2563,3 +2563,20 @@ def test_mld_links_to_atkinson(spark, sf_dir):
     # Atkinson(1) = 1 - exp(-MLD), up to the two keys' quantizations
     implied = 1 - math.exp(-mld["mean_log_deviation"])
     assert abs(implied - atk["atkinson_eps1"]) < 1e-4
+
+
+# --- continuation-session wave 106: Garman-Klass -----------------------------
+
+
+def test_garman_klass_near_parkinson(spark, sf_dir):
+    gk = QUERIES["ts_garman_klass"](spark, sf_dir).collect()[0]
+    pk = QUERIES["ts_parkinson_vol"](spark, sf_dir).collect()[0]
+    assert gk["gk_vol_daily"] > 0
+    # both estimate the same dispersion scale from the same ranges
+    ratio = gk["gk_vol_daily"] / pk["parkinson_vol_daily"]
+    assert 0.3 < ratio < 3.0
+    import math
+
+    assert abs(
+        gk["gk_vol_annualized"] - gk["gk_vol_daily"] * math.sqrt(252)
+    ) < 1e-12
