@@ -2599,3 +2599,81 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("burrows_delta")
     )
+
+
+@query(
+    "agg_chao2_richness",
+    oracle="""
+WITH inc AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS wd
+  FROM documents
+), clean AS (
+  SELECT source, wd FROM inc WHERE len(wd) > 0
+), freq AS (
+  SELECT wd, CAST(COUNT(*) AS BIGINT) AS k FROM clean GROUP BY wd
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+         CAST(SUM(CASE WHEN k = 1 THEN 1 ELSE 0 END) AS BIGINT) AS q1,
+         CAST(SUM(CASE WHEN k = 2 THEN 1 ELSE 0 END) AS BIGINT) AS q2,
+         (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM clean) AS t
+  FROM freq
+)
+SELECT s_obs AS species_observed, q1 AS uniques, q2 AS duplicates,
+       t AS n_sources,
+       CASE WHEN q2 > 0
+            THEN CAST(s_obs AS DOUBLE)
+                 + (CAST(t - 1 AS DOUBLE) / t)
+                   * CAST(q1 AS DOUBLE) * q1 / (2 * q2)
+            ELSE CAST(s_obs AS DOUBLE)
+                 + (CAST(t - 1 AS DOUBLE) / t)
+                   * CAST(q1 AS DOUBLE) * (q1 - 1) / 2 END AS chao2_estimate
+FROM m
+""",
+)
+def agg_chao2_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao2 incidence-based richness estimator of the corpus
+    vocabulary: from each word's PRESENCE across the 20 sources
+    (not its abundance), estimate how many words exist beyond the
+    observed — S + ((t-1)/t) q1^2/(2 q2) with the bias-corrected
+    q2 = 0 branch — the sampling-completeness twin of
+    agg_chao1_richness (abundance view) that survey-based corpus
+    audits need when only per-source presence is trustworthy.
+
+    Exactness: incidence counts, q1/q2 and t are exact integers
+    from one distinct + one hash aggregate; both estimator branches
+    are fixed double expressions selected by exact comparisons.
+    Scale shape: distinct (source, word) pairs (bounded by
+    t x vocab), two tiny aggregates."""
+    inc = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("wd"))
+        .filter(F.length("wd") > 0)
+        .distinct()
+    )
+    t = inc.select("source").distinct().count()
+    freq = inc.groupBy("wd").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    m = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("k") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    tf = F.lit(float(t - 1)) / F.lit(t)
+    est = F.when(
+        F.col("q2") > 0,
+        F.col("s_obs").cast("double")
+        + tf * F.col("q1").cast("double") * F.col("q1") / (2 * F.col("q2")),
+    ).otherwise(
+        F.col("s_obs").cast("double")
+        + tf * F.col("q1").cast("double") * (F.col("q1") - 1) / 2
+    )
+    return m.select(
+        F.col("s_obs").alias("species_observed"),
+        F.col("q1").alias("uniques"),
+        F.col("q2").alias("duplicates"),
+        F.lit(t).cast("bigint").alias("n_sources"),
+        est.alias("chao2_estimate"),
+    )

@@ -2580,3 +2580,15 @@ def test_garman_klass_near_parkinson(spark, sf_dir):
     assert abs(
         gk["gk_vol_annualized"] - gk["gk_vol_daily"] * math.sqrt(252)
     ) < 1e-12
+
+
+# --- continuation-session wave 107: Chao2 ------------------------------------
+
+
+def test_chao2_at_least_observed(spark, sf_dir):
+    r = QUERIES["agg_chao2_richness"](spark, sf_dir).collect()[0]
+    assert r["chao2_estimate"] >= r["species_observed"]
+    assert r["uniques"] >= 0 and r["duplicates"] >= 0
+    assert r["n_sources"] == 20
+    # the tiny synthetic vocab is fully observed: estimate ~ observed
+    assert r["chao2_estimate"] <= r["species_observed"] * 1.5
