@@ -7348,3 +7348,94 @@ def ts_garman_klass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(var).alias("gk_vol_daily"),
         (F.sqrt(var) * F.sqrt(F.lit(252.0))).alias("gk_vol_annualized"),
     )
+
+
+@query(
+    "ts_rogers_satchell",
+    oracle="""
+WITH daily AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(MAX(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS hi,
+         CAST(MIN(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS lo,
+         CAST(MIN_BY(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+              AS BIGINT) AS op,
+         CAST(MAX_BY(CAST(round(o_totalprice * 100) AS BIGINT), o_orderkey)
+              AS BIGINT) AS cl
+  FROM orders GROUP BY 1
+), q AS (
+  SELECT CAST(round(1000000000000.0 * ln(CAST(hi AS DOUBLE) / cl))
+              AS BIGINT) AS lhc,
+         CAST(round(1000000000000.0 * ln(CAST(hi AS DOUBLE) / op))
+              AS BIGINT) AS lho,
+         CAST(round(1000000000000.0 * ln(CAST(lo AS DOUBLE) / cl))
+              AS BIGINT) AS llc,
+         CAST(round(1000000000000.0 * ln(CAST(lo AS DOUBLE) / op))
+              AS BIGINT) AS llo
+  FROM daily
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(CAST(lhc AS HUGEINT) * lho
+                       + CAST(llc AS HUGEINT) * llo) AS VARCHAR) AS DOUBLE)
+           AS srs
+  FROM q
+)
+SELECT n AS n_days,
+       sqrt(srs / 1e24 / n) AS rs_vol_daily,
+       sqrt(srs / 1e24 / n) * sqrt(252.0) AS rs_vol_annualized
+FROM m
+""",
+)
+def ts_rogers_satchell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rogers-Satchell OHLC volatility: sigma^2 = mean[ln(H/C)ln(H/O)
+    + ln(L/C)ln(L/O)] — the DRIFT-INDEPENDENT member that completes
+    the range-estimator trio (Parkinson: range only; Garman-Klass:
+    efficient but zero-drift; RS stays unbiased under trend), so
+    the three keys side by side diagnose whether apparent
+    volatility is really drift. Same deterministic open/close
+    proxies as ts_garman_klass.
+
+    Exactness: four per-day lns quantized at 1e-12; each day's term
+    is an exact HUGEINT/decimal(38) product-sum, so the total is
+    order-free; one fixed closing expression. One hash aggregate,
+    a 1-row reduction."""
+    c = F.expr(cents("o_totalprice"))
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.max(c).cast("bigint").alias("hi"),
+            F.min(c).cast("bigint").alias("lo"),
+            F.min_by(c, F.col("o_orderkey")).cast("bigint").alias("op"),
+            F.max_by(c, F.col("o_orderkey")).cast("bigint").alias("cl"),
+        )
+    )
+
+    def lq(a, b):
+        return F.round(
+            F.lit(1000000000000.0)
+            * F.log(F.col(a).cast("double") / F.col(b))
+        ).cast("bigint")
+
+    q = daily.select(
+        lq("hi", "cl").alias("lhc"),
+        lq("hi", "op").alias("lho"),
+        lq("lo", "cl").alias("llc"),
+        lq("lo", "op").alias("llo"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.col("lhc").cast("decimal(38,0)") * F.col("lho")
+            + F.col("llc").cast("decimal(38,0)") * F.col("llo")
+        )
+        .cast("double")
+        .alias("srs"),
+    )
+    vol = F.sqrt(F.col("srs") / F.lit(1e24) / F.col("n"))
+    return m.select(
+        F.col("n").alias("n_days"),
+        vol.alias("rs_vol_daily"),
+        (vol * F.sqrt(F.lit(252.0))).alias("rs_vol_annualized"),
+    )

@@ -2592,3 +2592,13 @@ def test_chao2_at_least_observed(spark, sf_dir):
     assert r["n_sources"] == 20
     # the tiny synthetic vocab is fully observed: estimate ~ observed
     assert r["chao2_estimate"] <= r["species_observed"] * 1.5
+
+
+# --- continuation-session wave 108: Rogers-Satchell --------------------------
+
+
+def test_ohlc_vol_trio_coherent(spark, sf_dir):
+    rs = QUERIES["ts_rogers_satchell"](spark, sf_dir).collect()[0]
+    pk = QUERIES["ts_parkinson_vol"](spark, sf_dir).collect()[0]
+    assert rs["rs_vol_daily"] > 0
+    assert 0.2 < rs["rs_vol_daily"] / pk["parkinson_vol_daily"] < 5.0
