@@ -13194,3 +13194,101 @@ def agg_mean_log_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ln_mu_q - F.col("sl") / F.lit(1000000000000) / F.col("n")
         ).alias("mean_log_deviation"),
     )
+
+
+@query(
+    "agg_weighted_kappa",
+    bounded_cross="3x3 margin grid + 1-row total scalar",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o.o_totalprice < 100000 THEN 0
+              WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS a,
+         CASE WHEN l.nl <= 2 THEN 0 WHEN l.nl <= 4 THEN 1 ELSE 2 END AS b
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY a, b
+), ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS r FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS c FROM cells GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM cells),
+num AS (
+  SELECT CAST(SUM(ABS(a - b) * n) AS BIGINT) AS obs FROM cells
+), den AS (
+  SELECT CAST(SUM(ABS(ra.a - cb.b) * ra.r * cb.c) AS BIGINT) AS expd
+  FROM ra, cb
+)
+SELECT tot.nn AS n_orders,
+       CAST(num.obs AS DOUBLE) / tot.nn AS mean_abs_disagreement,
+       1 - CAST(tot.nn AS DOUBLE) * num.obs / den.expd AS weighted_kappa
+FROM tot, num, den
+""",
+)
+def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly-weighted Cohen's kappa between two ORDINAL raters —
+    the order-value tercile (fixed thresholds) and the basket-size
+    tercile: kappa_w = 1 - N sum|i-j| n_ij / sum|i-j| r_i c_j, the
+    agreement coefficient that charges partial credit for
+    near-misses (plain agg_cohens_kappa treats off-by-one and
+    off-by-two identically — wrong for ordinal scales). With
+    linear weights BOTH the observed and expected disagreement are
+    EXACT integers, so kappa is one division.
+
+    Exactness: fixed literal bucket thresholds (no rank pass
+    needed), exact 3x3 cells/margins, exact integer numerator and
+    denominator (~1e16 at 100x — inside int64... r*c reaches
+    ~2e14 * 3; the ABS-weighted sum stays ~1e15). Scale shape: one
+    lineitem count aggregate, one 9-cell aggregate, bounded margin
+    grids."""
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_totalprice") < 100000, 0)
+            .when(F.col("o_totalprice") < 300000, 1)
+            .otherwise(2)
+            .alias("a"),
+            F.when(F.col("nl") <= 2, 0)
+            .when(F.col("nl") <= 4, 1)
+            .otherwise(2)
+            .alias("b"),
+        )
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    ra = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("r"))
+    cb = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("c"))
+    nn = int(cells.agg(F.sum("n")).collect()[0][0])
+    obs = int(
+        cells.agg(
+            F.sum(F.abs(F.col("a") - F.col("b")) * F.col("n")).cast("bigint")
+        ).collect()[0][0]
+    )
+    expd = int(
+        ra.crossJoin(F.broadcast(cb))
+        .agg(
+            F.sum(
+                F.abs(F.col("a") - F.col("b")) * F.col("r") * F.col("c")
+            ).cast("bigint")
+        )
+        .collect()[0][0]
+    )
+    one = base.sparkSession.createDataFrame(
+        [(nn, obs, expd)], "nn bigint, obs bigint, expd bigint"
+    )
+    return one.select(
+        F.col("nn").alias("n_orders"),
+        (F.col("obs").cast("double") / F.col("nn")).alias(
+            "mean_abs_disagreement"
+        ),
+        (
+            F.lit(1)
+            - F.col("nn").cast("double") * F.col("obs") / F.col("expd")
+        ).alias("weighted_kappa"),
+    )

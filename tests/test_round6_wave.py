@@ -2602,3 +2602,38 @@ def test_ohlc_vol_trio_coherent(spark, sf_dir):
     pk = QUERIES["ts_parkinson_vol"](spark, sf_dir).collect()[0]
     assert rs["rs_vol_daily"] > 0
     assert 0.2 < rs["rs_vol_daily"] / pk["parkinson_vol_daily"] < 5.0
+
+
+# --- continuation-session wave 109: weighted kappa ---------------------------
+
+
+def test_weighted_kappa_bounds_and_replay(spark, sf_dir):
+    r = QUERIES["agg_weighted_kappa"](spark, sf_dir).collect()[0]
+    assert -1 <= r["weighted_kappa"] <= 1
+    rows = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "lineitem")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("nl")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_totalprice", "nl")
+        .collect()
+    )
+    from collections import Counter
+
+    cells = Counter()
+    for x in rows:
+        a = 0 if x["o_totalprice"] < 100000 else (1 if x["o_totalprice"] < 300000 else 2)
+        b = 0 if x["nl"] <= 2 else (1 if x["nl"] <= 4 else 2)
+        cells[(a, b)] += 1
+    n = sum(cells.values())
+    obs = sum(abs(a - b) * c for (a, b), c in cells.items())
+    ra = Counter()
+    cb = Counter()
+    for (a, b), c in cells.items():
+        ra[a] += c
+        cb[b] += c
+    expd = sum(abs(a - b) * ra[a] * cb[b] for a in ra for b in cb)
+    assert abs(r["weighted_kappa"] - (1 - n * obs / expd)) < 1e-12
