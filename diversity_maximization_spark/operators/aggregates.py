@@ -13292,3 +13292,118 @@ def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("nn").cast("double") * F.col("obs") / F.col("expd")
         ).alias("weighted_kappa"),
     )
+
+
+@query(
+    "agg_ordinal_association",
+    bounded_cross="9x9 ordinal cell-pair grid + margin scalars",
+    oracle="""
+WITH base AS (
+  SELECT CASE WHEN o.o_totalprice < 100000 THEN 0
+              WHEN o.o_totalprice < 300000 THEN 1 ELSE 2 END AS a,
+         CASE WHEN l.nl <= 2 THEN 0 WHEN l.nl <= 4 THEN 1 ELSE 2 END AS b
+  FROM orders o
+  JOIN (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS nl
+        FROM lineitem GROUP BY 1) l ON l.l_orderkey = o.o_orderkey
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY a, b
+), pair AS (
+  SELECT CAST(SUM(CASE WHEN (x.a < y.a AND x.b < y.b)
+                         OR (x.a > y.a AND x.b > y.b)
+                       THEN x.n * y.n ELSE 0 END) AS BIGINT) AS c2,
+         CAST(SUM(CASE WHEN (x.a < y.a AND x.b > y.b)
+                         OR (x.a > y.a AND x.b < y.b)
+                       THEN x.n * y.n ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN x.a = y.a AND x.b <> y.b
+                       THEN x.n * y.n ELSE 0 END) AS BIGINT) AS ty2,
+         CAST(SUM(CASE WHEN x.b = y.b AND x.a <> y.a
+                       THEN x.n * y.n ELSE 0 END) AS BIGINT) AS tx2
+  FROM cells x, cells y
+)
+SELECT CAST(c2 // 2 AS BIGINT) AS concordant,
+       CAST(d2 // 2 AS BIGINT) AS discordant,
+       CAST(c2 - d2 AS DOUBLE) / (c2 + d2) AS goodman_kruskal_gamma,
+       CAST(c2 - d2 AS DOUBLE) / (c2 + d2 + ty2) AS somers_d_yx,
+       CAST(c2 - d2 AS DOUBLE)
+         / sqrt(CAST(c2 + d2 + ty2 AS DOUBLE) * (c2 + d2 + tx2))
+         AS kendall_tau_b
+FROM pair
+""",
+)
+def agg_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ordinal-association triple — Goodman-Kruskal gamma,
+    Somers' D(y|x) and Kendall's tau-b — between the order-value
+    and basket-size terciles, all from ONE bounded 9x9 cell-pair
+    grid: gamma ignores ties (upper bound), Somers' D charges ties
+    on the dependent only (the asymmetric regression-flavored one,
+    and the c-statistic's cousin), tau-b charges both. Reading the
+    three together is how categorical-data analysis actually
+    reports ordinal association; agg_kendall_tau gives the raw-data
+    tau, this gives the contingency-table family.
+
+    Exactness: concordant/discordant/tie pair counts are exact
+    integer sums of cell products over the 81-pair grid (~3e15 at
+    100x — inside int64); the three coefficients are fixed double
+    expressions. Scale shape: one 9-cell aggregate, a bounded
+    81-pair fold."""
+    nl = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nl"))
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .join(nl, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.when(F.col("o_totalprice") < 100000, 0)
+            .when(F.col("o_totalprice") < 300000, 1)
+            .otherwise(2)
+            .alias("a"),
+            F.when(F.col("nl") <= 2, 0)
+            .when(F.col("nl") <= 4, 1)
+            .otherwise(2)
+            .alias("b"),
+        )
+    )
+    cells = base.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    x = cells.select(
+        F.col("a").alias("xa"), F.col("b").alias("xb"), F.col("n").alias("xn")
+    )
+    y = cells.select(
+        F.col("a").alias("ya"), F.col("b").alias("yb"), F.col("n").alias("yn")
+    )
+    # bounded: 9x9 cell-pair grid
+    grid = x.crossJoin(F.broadcast(y))
+    prod = F.col("xn") * F.col("yn")
+    conc = ((F.col("xa") < F.col("ya")) & (F.col("xb") < F.col("yb"))) | (
+        (F.col("xa") > F.col("ya")) & (F.col("xb") > F.col("yb"))
+    )
+    disc = ((F.col("xa") < F.col("ya")) & (F.col("xb") > F.col("yb"))) | (
+        (F.col("xa") > F.col("ya")) & (F.col("xb") < F.col("yb"))
+    )
+    tya = (F.col("xa") == F.col("ya")) & (F.col("xb") != F.col("yb"))
+    txb = (F.col("xb") == F.col("yb")) & (F.col("xa") != F.col("ya"))
+    pair = grid.agg(
+        F.sum(F.when(conc, prod).otherwise(0)).cast("bigint").alias("c2"),
+        F.sum(F.when(disc, prod).otherwise(0)).cast("bigint").alias("d2"),
+        F.sum(F.when(tya, prod).otherwise(0)).cast("bigint").alias("ty2"),
+        F.sum(F.when(txb, prod).otherwise(0)).cast("bigint").alias("tx2"),
+    )
+    cd = (F.col("c2") - F.col("d2")).cast("double")
+    return pair.select(
+        F.expr("c2 div 2").alias("concordant"),
+        F.expr("d2 div 2").alias("discordant"),
+        (cd / (F.col("c2") + F.col("d2"))).alias("goodman_kruskal_gamma"),
+        (cd / (F.col("c2") + F.col("d2") + F.col("ty2"))).alias(
+            "somers_d_yx"
+        ),
+        (
+            cd
+            / F.sqrt(
+                (F.col("c2") + F.col("d2") + F.col("ty2")).cast("double")
+                * (F.col("c2") + F.col("d2") + F.col("tx2"))
+            )
+        ).alias("kendall_tau_b"),
+    )

@@ -2637,3 +2637,21 @@ def test_weighted_kappa_bounds_and_replay(spark, sf_dir):
         cb[b] += c
     expd = sum(abs(a - b) * ra[a] * cb[b] for a in ra for b in cb)
     assert abs(r["weighted_kappa"] - (1 - n * obs / expd)) < 1e-12
+
+
+# --- continuation-session wave 110: ordinal association ----------------------
+
+
+def test_ordinal_association_ordering(spark, sf_dir):
+    r = QUERIES["agg_ordinal_association"](spark, sf_dir).collect()[0]
+    g, d, t = (
+        r["goodman_kruskal_gamma"],
+        r["somers_d_yx"],
+        r["kendall_tau_b"],
+    )
+    # |gamma| >= |tau_b| and |gamma| >= |somers| always (gamma drops ties)
+    assert abs(g) >= abs(t) - 1e-12
+    assert abs(g) >= abs(d) - 1e-12
+    # all three share a sign
+    assert (g >= 0) == (d >= 0) == (t >= 0)
+    assert r["concordant"] > 0 and r["discordant"] > 0
