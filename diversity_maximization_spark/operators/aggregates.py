@@ -13407,3 +13407,127 @@ def agg_ordinal_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kendall_tau_b"),
     )
+
+
+@query(
+    "agg_market_model",
+    oracle=f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1992-01-01',
+                   CAST(date_trunc('day', ts) AS DATE)) AS dd,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1, 2
+), rx AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS x
+  FROM daily WHERE event_type = 'click' QUALIFY x IS NOT NULL
+), ry AS (
+  SELECT dd, CAST(c - LAG(c) OVER (ORDER BY dd) AS DOUBLE)
+               / LAG(c) OVER (ORDER BY dd) AS y
+  FROM daily WHERE event_type = 'purchase' QUALIFY y IS NOT NULL
+), j AS (
+  SELECT rx.dd, rx.x, ry.y FROM rx JOIN ry ON ry.dd = rx.dd
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         list_sum(list(x ORDER BY dd)) AS sx,
+         list_sum(list(y ORDER BY dd)) AS sy,
+         list_sum(list(x * x ORDER BY dd)) AS sxx,
+         list_sum(list(y * y ORDER BY dd)) AS syy,
+         list_sum(list(x * y ORDER BY dd)) AS sxy
+  FROM j
+), fit AS (
+  SELECT n,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / (CAST(n AS DOUBLE) * sxx - sx * sx) AS beta,
+         (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / n AS alpha,
+         (CAST(n AS DOUBLE) * sxy - sx * sy)
+           * (CAST(n AS DOUBLE) * sxy - sx * sy)
+           / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+              * (CAST(n AS DOUBLE) * syy - sy * sy)) AS r2
+  FROM m
+)
+SELECT n AS n_days, alpha AS jensen_alpha_daily, beta, r2
+FROM fit
+""",
+)
+def agg_market_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-index market model of purchase returns on click
+    returns: beta (sensitivity of conversions to traffic moves),
+    Jensen's alpha (conversion return unexplained by traffic — the
+    'organic' component) and R^2 — the CAPM regression transplanted
+    to the funnel, closing the two-series finance shelf (ts_ccf
+    lead-lag, min-variance allocation, turbulence joint-outliers;
+    this one DECOMPOSES one series' moves by the other).
+
+    Exactness: returns are float divisions of exact integer pairs;
+    all five moments fold in day order via the strict-fold pair;
+    alpha/beta/R^2 are fixed double expressions in identical
+    order. One 2-series rollup, bounded folds, a 1-row
+    reduction."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(
+            F.date_trunc("day", "ts").cast("date"), F.lit("1992-01-01")
+        ).alias("dd"),
+    ).agg(F.sum(F.expr(cents("value"))).cast("bigint").alias("c"))
+
+    def rets(tp, out):
+        # bounded: O(days) per-type rollup rows
+        w = Window.orderBy("dd")
+        return (
+            daily.filter(F.col("event_type") == tp)
+            .select(
+                "dd",
+                (
+                    (F.col("c") - F.lag("c").over(w)).cast("double")
+                    / F.lag("c").over(w)
+                ).alias(out),
+            )
+            .filter(F.col(out).isNotNull())
+        )
+
+    rx = rets("click", "x")
+    ry = rets("purchase", "y").select(F.col("dd").alias("dd_y"), "y")
+    j = rx.join(ry, rx["dd"] == ry["dd_y"]).select("dd", "x", "y")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct("dd", F.col("x").alias("x"), F.col("y").alias("y"))
+        )
+    )
+
+    def fold(f):
+        return F.aggregate(arr, F.lit(0.0), lambda acc, e: acc + f(e))
+
+    m = j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold(lambda e: e["x"]).alias("sx"),
+        fold(lambda e: e["y"]).alias("sy"),
+        fold(lambda e: e["x"] * e["x"]).alias("sxx"),
+        fold(lambda e: e["y"] * e["y"]).alias("syy"),
+        fold(lambda e: e["x"] * e["y"]).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = num / (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+    alpha = (F.col("sy") - beta * F.col("sx")) / F.col("n")
+    r2 = (
+        num
+        * num
+        / (
+            (n_d * F.col("sxx") - F.col("sx") * F.col("sx"))
+            * (n_d * F.col("syy") - F.col("sy") * F.col("sy"))
+        )
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        alpha.alias("jensen_alpha_daily"),
+        beta.alias("beta"),
+        r2.alias("r2"),
+    )

@@ -2655,3 +2655,35 @@ def test_ordinal_association_ordering(spark, sf_dir):
     # all three share a sign
     assert (g >= 0) == (d >= 0) == (t >= 0)
     assert r["concordant"] > 0 and r["discordant"] > 0
+
+
+# --- continuation-session wave 111: market model -----------------------------
+
+
+def test_market_model_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = QUERIES["agg_market_model"](spark, sf_dir).collect()[0]
+    assert 0 <= r["r2"] <= 1
+    daily = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(F.expr("CAST(ROUND(value*100) AS BIGINT)")).alias("c"))
+        .collect()
+    )
+    series = {}
+    for t in ("click", "purchase"):
+        rows = sorted((x["day"], x["c"]) for x in daily if x["event_type"] == t)
+        rets = {}
+        for (d0, c0), (d1, c1) in zip(rows, rows[1:]):
+            rets[d1] = (c1 - c0) / c0
+        series[t] = rets
+    days = sorted(set(series["click"]) & set(series["purchase"]))
+    x = np.array([series["click"][d] for d in days])
+    y = np.array([series["purchase"][d] for d in days])
+    b, a = np.polyfit(x, y, 1)
+    assert r["n_days"] == len(days)
+    assert abs(r["beta"] - b) < 1e-9 * max(1, abs(b))
+    assert abs(r["jensen_alpha_daily"] - a) < 1e-9 * max(1, abs(a))
+    assert abs(r["r2"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-9
