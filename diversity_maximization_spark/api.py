@@ -223,7 +223,7 @@ def ann_topk(
 
     spark = df.sparkSession
     e = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"))
-    cand = topk_candidate_pairs(spark, e, k + 20)
+    cand = topk_candidate_pairs(spark, e, k + 20, k_exact=k)
     a = e.select("vec_id", F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     w = Window.partitionBy("vec_id").orderBy(

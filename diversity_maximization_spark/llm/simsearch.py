@@ -75,7 +75,9 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     three.
     """
     e = load(spark, sf_dir, "embeddings")
-    cand = topk_candidate_pairs(spark, e, TOPK + 20, dim=EMBEDDING_DIM)
+    cand = topk_candidate_pairs(
+        spark, e, TOPK + 20, dim=EMBEDDING_DIM, k_exact=TOPK
+    )
     a = e.select(F.col("vec_id"), F.col("embedding").alias("ea"))
     b = e.select(F.col("vec_id").alias("neighbor"), F.col("embedding").alias("eb"))
     pairs = (
@@ -978,7 +980,7 @@ def knn_classify_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vector import l2_dist
 
     cand = l2_topk_candidate_pairs(
-        spark, e, n_cand=32, strategy=strategy, dim=dim
+        spark, e, n_cand=32, strategy=strategy, dim=dim, k_exact=6
     )
     pairs = (
         cand.join(a, cand["vec_id"] == a["a_id"])
@@ -1091,7 +1093,7 @@ def anomaly_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
             "LOF ground truth."
         )
     cand = l2_topk_candidate_pairs(
-        spark, e, n_cand=32, strategy=strategy, dim=dim
+        spark, e, n_cand=32, strategy=strategy, dim=dim, k_exact=LOF_K
     )
     a = e.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_emb"))
     b = e.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb"))

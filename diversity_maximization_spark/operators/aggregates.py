@@ -13264,24 +13264,21 @@ def agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ra = cells.groupBy("a").agg(F.sum("n").cast("bigint").alias("r"))
     cb = cells.groupBy("b").agg(F.sum("n").cast("bigint").alias("c"))
-    nn = int(cells.agg(F.sum("n")).collect()[0][0])
-    obs = int(
-        cells.agg(
-            F.sum(F.abs(F.col("a") - F.col("b")) * F.col("n")).cast("bigint")
-        ).collect()[0][0]
+    # one lazy agg over cells for nn+obs, the bounded 3x3 margin grid
+    # for expd, crossJoined into a single 1-row plan (the
+    # agg_ordinal_association pattern) — no driver-side collect()s
+    no = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum(F.abs(F.col("a") - F.col("b")) * F.col("n"))
+        .cast("bigint")
+        .alias("obs"),
     )
-    expd = int(
-        ra.crossJoin(F.broadcast(cb))
-        .agg(
-            F.sum(
-                F.abs(F.col("a") - F.col("b")) * F.col("r") * F.col("c")
-            ).cast("bigint")
-        )
-        .collect()[0][0]
+    ed = ra.crossJoin(F.broadcast(cb)).agg(
+        F.sum(F.abs(F.col("a") - F.col("b")) * F.col("r") * F.col("c"))
+        .cast("bigint")
+        .alias("expd")
     )
-    one = base.sparkSession.createDataFrame(
-        [(nn, obs, expd)], "nn bigint, obs bigint, expd bigint"
-    )
+    one = no.crossJoin(F.broadcast(ed))
     return one.select(
         F.col("nn").alias("n_orders"),
         (F.col("obs").cast("double") / F.col("nn")).alias(

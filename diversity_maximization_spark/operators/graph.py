@@ -1946,8 +1946,7 @@ def graph_square_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = wedge.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_path2_pairs"),
-        (F.sum(F.expr("(cn * (cn - 1)) div 2")).cast("bigint") - F.lit(0))
-        .alias("sq2"),
+        F.sum(F.expr("(cn * (cn - 1)) div 2")).cast("bigint").alias("sq2"),
     )
     nv = verts.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
     ne = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -2027,10 +2026,13 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
+    # lazy 1-row stats frame crossJoined in at the end (same pattern as
+    # graph_square_count) — no eager collect(), the degree aggregate is
+    # computed once inside the single returned plan
     stats = deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
         F.max("d").cast("bigint").alias("max_degree"),
-    ).collect()[0]
+    )
     dist = deg.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     # bounded: <= max_degree distinct-degree rows
     w = Window.orderBy(F.desc("d")).rowsBetween(
@@ -2058,9 +2060,13 @@ def graph_degree_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
     slope = (k_d * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
         k_d * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
     )
-    return m.select(
-        F.lit(int(stats["n_nodes"])).cast("bigint").alias("n_nodes"),
-        F.lit(int(stats["max_degree"])).cast("bigint").alias("max_degree"),
-        F.col("k").alias("n_ccdf_points"),
-        slope.alias("ccdf_loglog_slope"),
+    return (
+        F.broadcast(stats)
+        .crossJoin(m)
+        .select(
+            "n_nodes",
+            "max_degree",
+            F.col("k").alias("n_ccdf_points"),
+            slope.alias("ccdf_loglog_slope"),
+        )
     )

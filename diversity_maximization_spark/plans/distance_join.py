@@ -109,6 +109,7 @@ def topk_candidate_pairs(
     n_cand: int,
     strategy: str | None = None,
     dim: int | None = None,
+    k_exact: int | None = None,
 ) -> DataFrame:
     """(vec_id, neighbor) candidate pairs for top-k search, physical
     strategy chosen by corpus size (choose_strategy) unless forced.
@@ -128,7 +129,7 @@ def topk_candidate_pairs(
         b = e.select(F.col("vec_id").alias("neighbor"))
         return a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor"))
     if strategy == "broadcast_blas":
-        return blas_topk_candidates(spark, e, n_cand)
+        return blas_topk_candidates(spark, e, n_cand, k_exact=k_exact)
     if dim is None:
         _, dim = corpus_stats(e)
     pairs = lsh_candidate_pairs(e, dim)
@@ -179,10 +180,23 @@ def _broadcast_corpus(spark: SparkSession, e: DataFrame):
 
 
 def blas_topk_candidates(
-    spark: SparkSession, e: DataFrame, n_cand: int
+    spark: SparkSession,
+    e: DataFrame,
+    n_cand: int,
+    k_exact: int | None = None,
+    eps: float = 1e-9,
 ) -> DataFrame:
     """(vec_id, neighbor) pairs: top n_cand cosine neighbors per query
-    by BLAS matmul against the broadcast corpus matrix."""
+    by BLAS matmul against the broadcast corpus matrix.
+
+    When ``k_exact`` is given the cut is TIE-AWARE: in addition to the
+    stable top-n_cand cut, every candidate whose BLAS score is within
+    ``eps`` of the k_exact-th best is kept, so a candidate that ties
+    the exact-fold rank-k boundary can never be pruned by the fixed
+    margin even when >(n_cand - k_exact) bit-equal duplicates crowd
+    the boundary (BLAS vs fold summation-order noise is ~1e-14 << eps;
+    the exact re-score downstream does all ranking, so the superset
+    only costs a few extra re-scored rows)."""
     bc = _broadcast_corpus(spark, e)
 
     def gen(it):
@@ -216,7 +230,16 @@ def blas_topk_candidates(
                 need = m - len(strict)
                 keep = ties[np.argsort(cids[ties], kind="stable")[:need]]
                 top = np.concatenate([strict, keep])
-                out_q.append(np.full(m, qid, dtype=np.int64))
+                if k_exact is not None and m >= 1:
+                    # tie-aware margin: keep EVERYTHING within eps of
+                    # the k-th best BLAS score so the exact-fold
+                    # boundary winner can't be crowded out by
+                    # >(n_cand-k) bit-equal duplicates
+                    kk = min(k_exact, m)
+                    kth = -np.partition(-s, kk - 1)[kk - 1]
+                    near = np.flatnonzero(s >= kth - eps)
+                    top = np.union1d(top, near)
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_n.append(cids[top])
             yield pd.DataFrame(
                 {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
@@ -553,14 +576,21 @@ def l2_threshold_candidate_pairs(
 
 
 def blas_l2_topk_candidates(
-    spark: SparkSession, e: DataFrame, n_cand: int
+    spark: SparkSession,
+    e: DataFrame,
+    n_cand: int,
+    k_exact: int | None = None,
+    eps: float = 1e-9,
 ) -> DataFrame:
     """(vec_id, neighbor) pairs: the n_cand nearest OTHER points per
     query by BLAS L2 against the broadcast corpus — prune-only: the
     candidate margin (n_cand >> the caller's k) absorbs the
     |a|^2+|b|^2-2ab expansion's last-ulp ordering differences vs the
     sequential fold; the caller re-scores survivors with the exact
-    bit-matched distance and applies its own tie-break."""
+    bit-matched distance and applies its own tie-break. ``k_exact``
+    additionally keeps every candidate within ``eps`` (relative to
+    magnitude ~1) of the k-th smallest distance — the tie-aware cut
+    (see blas_topk_candidates)."""
     bc = _broadcast_corpus_raw(spark, e)
 
     def gen(it):
@@ -597,7 +627,13 @@ def blas_l2_topk_candidates(
                 need = m - len(strict)
                 keep = ties[np.argsort(cids[ties], kind="stable")[:need]]
                 top = np.concatenate([strict, keep])
-                out_q.append(np.full(m, qid, dtype=np.int64))
+                if k_exact is not None and m >= 1:
+                    # tie-aware margin (see blas_topk_candidates)
+                    kk = min(k_exact, m)
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    near = np.flatnonzero(d <= kth + eps)
+                    top = np.union1d(top, near)
+                out_q.append(np.full(len(top), qid, dtype=np.int64))
                 out_n.append(cids[top])
             yield pd.DataFrame(
                 {"vec_id": np.concatenate(out_q), "neighbor": np.concatenate(out_n)}
@@ -616,6 +652,7 @@ def l2_topk_candidate_pairs(
     n_cand: int,
     strategy: str | None = None,
     dim: int | None = None,
+    k_exact: int | None = None,
 ) -> DataFrame:
     """(vec_id, neighbor) candidate pairs for L2 top-k search, same
     size dispatch as topk_candidate_pairs: theta only below
@@ -631,7 +668,7 @@ def l2_topk_candidate_pairs(
         b = e.select(F.col("vec_id").alias("neighbor"))
         return a.crossJoin(b).filter(F.col("vec_id") != F.col("neighbor"))
     if strategy == "broadcast_blas":
-        return blas_l2_topk_candidates(spark, e, n_cand)
+        return blas_l2_topk_candidates(spark, e, n_cand, k_exact=k_exact)
     if dim is None:
         _, dim = corpus_stats(e)
     pairs = lsh_candidate_pairs(e, dim)

@@ -348,13 +348,36 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (sf_dir, "fixedwidth")
     if key not in _CACHE:
         out = tempfile.mkdtemp(prefix="dms_fw_")
+
+        def fit(col, width: int, left: bool):
+            # lpad/rpad silently TRUNCATE over-width values; guard with
+            # raise_error so a layout violation fails the write loudly
+            # instead of corrupting the round-trip (executor-side, no
+            # driver pass)
+            s = col.cast("string")
+            padded = (
+                F.lpad(s, width, " ") if left else F.rpad(s, width, " ")
+            )
+            return F.when(
+                F.length(s) > width,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"source_fixed_width: value exceeds declared "
+                            f"width {width}: "
+                        ),
+                        s,
+                    )
+                ),
+            ).otherwise(padded)
+
         ev = load(spark, sf_dir, "events").select(
             F.concat(
-                F.lpad(F.col("event_id").cast("string"), 12, " "),
-                F.lpad(F.col("user_id").cast("string"), 12, " "),
-                F.rpad(F.col("event_type"), 10, " "),
-                F.rpad(F.col("ts").cast("string"), 27, " "),
-                F.rpad(F.col("value").cast("string"), 28, " "),
+                fit(F.col("event_id"), 12, True),
+                fit(F.col("user_id"), 12, True),
+                fit(F.col("event_type"), 10, False),
+                fit(F.col("ts"), 27, False),
+                fit(F.col("value"), 28, False),
             ).alias("value")
         )
         ev.write.mode("overwrite").text(out)
