@@ -64,88 +64,65 @@ def query(
 
     return deco
 
-
-# The driver's correctness gate checks the FIRST 50 keys in
-# registration order. The window rotates per round to the keys that
-# most need DRIVER verification now. After r5's clean sweep the
-# cumulative driver-verified count is 239 with zero red; round 6
-# continues the never-sampled rotation the r5 verdict prescribed
-# ("the single highest-leverage action while 289/528 lack the hard
-# signal"):
-# (a) knn_classify_eval — CHANGED this round (tier column + LSH-tier
-# guard + stable candidate-cut tie-break, per ADVICE r5) so its r5
-# green row is stale; the new row proves the contract change against
-# the updated oracle;
-# (b) the eight post-full-sweep round-5 additions the verdict named
-# first (their r5 artifact rows came from targeted runs, not the
-# full sweep);
-# (c) the twelve keys ADDED or CHANGED in round 6 — the four new
-# analytics (ARCH LM, Granger, skyline, Mahalanobis), the four census
-# keys, the two rows-only -> hash-checked conversions
-# (dedup_embedding_lsh portable planes, dedup_semdedup fold-exact),
-# and graph_scc (oracle-ceiling guard + the stats-barrier plan fix —
-# its green row proves the fix kept the hash);
-# (d) the remaining never-sampled backlog in NEVER_SAMPLED.md order
-# (newest waves first) — 29 keys spanning the round-4 analytics,
-# finance/ts, graph and sampling waves.
-# Every key here MUST have an oracle (a no-oracle key in the
-# window is an automatic err slot) — enforced in tests.
+# round-7 rotation: the next 50 never-driver-sampled keys in
+# NEVER_SAMPLED.md order (newest continuation waves first, per the
+# r6 verdict's item 1) — includes the three advice-flagged keys
+# whose plans changed this round (graph_degree_powerlaw now lazy,
+# agg_weighted_kappa single-pass, source_fixed_width width-guarded),
+# so the driver proves the FIXED plans. Every key here MUST have an
+# oracle (a no-oracle key in the window is an automatic err slot) —
+# enforced in tests.
 CHECK_WINDOW: list[str] = [
-    # (a) changed this round — driver re-proof of the new contract
-    "knn_classify_eval",
-    # (b) the eight verdict-named post-sweep r5 additions
-    "agg_brier_score",
-    "ts_cointegration",
-    "ts_adf",
-    "agg_conformal_interval",
-    "agg_benjamini_hochberg",
-    "ts_kpss",
-    "agg_permutation_test",
-    "corpus_bigram_entropy",
-    # (c) round-6 new / changed keys — first driver exposure or
-    # same-hash proof of a plan fix
-    "ts_arch_lm",
-    "ts_granger",
-    "agg_pareto_front",
-    "anomaly_mahalanobis",
-    "stream_coreset_census",
-    "stream_coreset_shard_census",
-    "div_eval_bipartition_exhaustive",
-    "multimodal_decode_census",
-    "dedup_embedding_lsh",
-    "dedup_semdedup",
-    "graph_scc",
-    "ts_pacf",
-    # (d) never-sampled backlog, NEVER_SAMPLED.md order
-    "attribution_model_compare",
-    "corpus_vocab_growth",
-    "conversion_horizon_cdf",
-    "ts_gini_daily",
-    "agg_proportion_sizing",
-    "agg_risk_difference",
-    "ts_obv",
-    "rolling_stickiness",
-    "agg_expected_shortfall",
-    "agg_abc_classification",
-    "graph_rich_club",
-    "win_rank_movers",
-    "interval_allocate_hours",
-    "agg_kmeans_silhouette",
-    "geo_dbscan",
-    "sink_integrity_manifest",
-    "ts_time_underwater",
-    "agg_revenue_retention",
-    "agg_growth_accounting",
-    "agg_new_vs_returning",
-    "fn_semver",
-    "agg_price_volume_mix",
-    "agg_simpsons_paradox",
-    "ts_time_weighted_return",
-    "fn_luhn",
-    "text_word_burstiness",
-    "dedup_threshold_sweep",
-    "sample_pps_systematic",
-    "agg_gumbel_daily_max",
+    "agg_market_model",
+    "agg_ordinal_association",
+    "agg_weighted_kappa",
+    "ts_rogers_satchell",
+    "agg_chao2_richness",
+    "ts_garman_klass",
+    "agg_mean_log_deviation",
+    "ts_turbulence",
+    "ts_durbin_watson",
+    "graph_degree_powerlaw",
+    "agg_price_dispersion",
+    "agg_hoover_index",
+    "agg_kendall_w",
+    "ts_calmar_ratio",
+    "agg_taylors_law",
+    "agg_cr4_concentration",
+    "agg_local_morans",
+    "agg_bic_bayes_factor",
+    "ts_amihud_illiquidity",
+    "agg_geary_c",
+    "agg_morans_i",
+    "agg_page_trend",
+    "text_burrows_delta",
+    "agg_rank_biserial",
+    "agg_yuen_test",
+    "agg_hotelling_t2",
+    "agg_weibull_rank_fit",
+    "agg_jackknife_variance",
+    "agg_benjamini_yekutieli",
+    "ts_diebold_mariano",
+    "ts_theil_u",
+    "source_quasirandom",
+    "agg_energy_distance",
+    "ts_mincer_zarnowitz",
+    "agg_pot_gpd",
+    "ts_spectral_entropy",
+    "agg_cronbach_alpha",
+    "agg_lmg_importance",
+    "ts_seasonal_mann_kendall",
+    "source_fixed_width",
+    "agg_oaxaca",
+    "agg_gravity_trade",
+    "ts_dfa",
+    "survival_rmst",
+    "agg_meta_analysis",
+    "agg_atkinson",
+    "agg_min_variance_portfolio",
+    "ts_parkinson_vol",
+    "rec_eval_itemknn",
+    "ts_sax_motifs",
 ]
 
 
