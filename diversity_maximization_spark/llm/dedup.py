@@ -682,27 +682,34 @@ def connected_components(
         .unionAll(edges.selectExpr("dst AS src", "src AS dst"))
         .distinct()
     )
-    labels = vertices.select(F.col("id"), F.col("id").alias("label"))
-    for _ in range(max_iter):
+    from ..plans.iterate import iterate_with_barrier
+
+    labels0 = vertices.select(
+        F.col("id"), F.col("id").alias("label"), F.lit(False).alias("chg")
+    )
+
+    def cc_round(labels: DataFrame, r: int) -> DataFrame:
         neigh = (
             sym.join(labels, sym.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.dst, "left")
-            .select(
-                "id",
-                F.least("label", F.coalesce("nmin", "label")).alias("label"),
-                (F.col("nmin") < F.col("label")).alias("chg"),
-            )
+        return labels.join(neigh, labels.id == neigh.dst, "left").select(
+            "id",
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            (F.col("nmin") < F.col("label")).alias("chg"),
         )
-        new_labels = new_labels.localCheckpoint()
-        changed = new_labels.filter("chg").count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
-            break
-    return labels
+
+    # constant edge side -> linear stat growth: lineage-only barrier;
+    # stop when a round changes no label (one cheap agg per round)
+    labels = iterate_with_barrier(
+        labels0,
+        cc_round,
+        max_iter,
+        squaring=False,
+        converged=lambda st, r: st.filter("chg").count() == 0,
+    )
+    return labels.drop("chg")
 
 
 def _exact_dup_edges(d: DataFrame) -> DataFrame:

@@ -525,7 +525,7 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(LPA_ROUNDS):
+    def lpa_round(labels: DataFrame, r: int) -> DataFrame:
         nbr = directed.join(
             labels.withColumnRenamed("node", "dst").withColumnRenamed(
                 "lbl", "nbr_lbl"
@@ -543,15 +543,13 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
             .filter(F.col("rn") == 1)
             .select("node", F.col("nbr_lbl").alias("new_lbl"))
         )
-        labels = (
-            labels.join(winner, "node", "left")
-            .select(
-                "node",
-                F.coalesce("new_lbl", "lbl").alias("lbl"),
-            )
-            .localCheckpoint(eager=True)
+        return labels.join(winner, "node", "left").select(
+            "node",
+            F.coalesce("new_lbl", "lbl").alias("lbl"),
         )
-    return labels
+
+    # constant edge side -> linear stat growth: lineage-only barrier
+    return iterate_with_barrier(labels, lpa_round, LPA_ROUNDS, squaring=False)
 
 
 @query("graph_lpa_communities", oracle=_lpa_oracle())
@@ -1560,30 +1558,12 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _scc_pointer_doubling(d, n)
 
 
-def _stats_barrier(df: DataFrame, r: int, every: int = 4) -> DataFrame:
-    """Checkpoint with a PERIODIC STATS RESET for self-derived join
-    loops. localCheckpoint truncates lineage but rewriteStats
-    PROPAGATES sizeInBytes into the LogicalRDD, and visitJoin
-    MULTIPLIES the two children's stats — in a pointer-doubling loop
-    both join sides descend from the same table, so the stat SQUARES
-    every round: bits double per round, and by round ~14 Catalyst's
-    stat arithmetic is Toom-Cook multiplication of multi-megabit
-    BigIntegers (measured: an 18-minute driver-side burn at
-    rounds=16 / 60k rows in the round-6 scale ladder, 0 executor
-    tasks running). Every `every` rounds a parquet round-trip resets
-    the stat to the true file size — the honest stats barrier every
-    self-joining iterative plan needs; between barriers the stat
-    grows only 2^every x file-size bits. Loops whose join keeps one
-    side constant (label propagation vs a fixed edge table) only grow
-    the stat LINEARLY and don't need this."""
-    df = df.localCheckpoint(eager=True)
-    if r % every == every - 1:
-        import tempfile
+# The round-6 stats-squaring fix, promoted to the shared audited
+# primitive (r6 verdict item 4): plans/iterate.py owns the full
+# failure-mode writeup and the pinned bounded-stat-growth test.
+from ..plans.iterate import iterate_with_barrier, stats_barrier
 
-        path = tempfile.mkdtemp(prefix="dms_stats_barrier_")
-        df.write.mode("overwrite").parquet(path)
-        df = df.sparkSession.read.parquet(path)
-    return df
+_stats_barrier = stats_barrier
 
 
 def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
@@ -1600,35 +1580,35 @@ def _scc_pointer_doubling(d: DataFrame, n: int) -> DataFrame:
     succ = ((u * F.lit(2654435761)) % F.lit(4294967296)) % F.lit(n)
     j = d.select(u.alias("u"), succ.cast("bigint").alias("p"))
     base = j.localCheckpoint(eager=True)
-    ptr = base
-    for r in range(rounds):
+
+    def double_ptr(ptr: DataFrame, r: int) -> DataFrame:
         hop = ptr.select(F.col("u").alias("hu"), F.col("p").alias("hp"))
-        ptr = _stats_barrier(
-            ptr.join(hop, ptr["p"] == hop["hu"]).select(
-                "u", F.col("hp").alias("p")
-            ),
-            r,
+        return ptr.join(hop, ptr["p"] == hop["hu"]).select(
+            "u", F.col("hp").alias("p")
         )
+
+    # state-vs-state join: squaring barrier mandatory (r6 ladder bug 1)
+    ptr = iterate_with_barrier(base, double_ptr, rounds, squaring=True)
     cyc = ptr.select(F.col("p").alias("u")).distinct()
-    m = (
+    m0 = (
         cyc.join(base, "u")
         .select("u", "p", F.col("u").alias("m"))
         .localCheckpoint(eager=True)
     )
-    for r in range(rounds):
+
+    def double_min(m: DataFrame, r: int) -> DataFrame:
         hop = m.select(
             F.col("u").alias("hu"),
             F.col("p").alias("hp"),
             F.col("m").alias("hm"),
         )
-        m = _stats_barrier(
-            m.join(hop, m["p"] == hop["hu"]).select(
-                "u",
-                F.col("hp").alias("p"),
-                F.least("m", "hm").alias("m"),
-            ),
-            r,
+        return m.join(hop, m["p"] == hop["hu"]).select(
+            "u",
+            F.col("hp").alias("p"),
+            F.least("m", "hm").alias("m"),
         )
+
+    m = iterate_with_barrier(m0, double_min, rounds, squaring=True)
     return (
         base.join(
             m.select(F.col("u").alias("mu"), "m"),

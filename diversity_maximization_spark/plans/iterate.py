@@ -1,0 +1,79 @@
+"""Audited iteration primitives for self-derived join loops.
+
+Every iterative DataFrame algorithm in this engine (pointer doubling,
+min-label propagation, BFS frontiers, k-core/k-truss peeling, BPE
+merge rounds) re-derives the next state by joining the current state
+— often with itself. Two driver-side failure modes hide there, both
+invisible to correctness gates and only caught by the round-6 scale
+ladder:
+
+1. **Lineage growth**: without checkpointing, the logical plan doubles
+   per round and analysis/optimization time explodes. Fix:
+   ``localCheckpoint(eager=True)`` per round (cheap, keeps blocks on
+   executors).
+2. **Stats squaring**: ``localCheckpoint`` truncates lineage but
+   ``rewriteStats`` PROPAGATES sizeInBytes into the LogicalRDD, and
+   Catalyst's join-stats visitor MULTIPLIES the children's stats. When
+   both join sides descend from the same evolving state the stat
+   SQUARES every round — bits double per round, and by round ~14 the
+   driver is doing Toom-Cook multiplication of multi-megabit
+   BigIntegers (measured in round 6: an 18-minute driver-side hang at
+   rounds=16 / 60k rows, zero executor tasks). Fix: every ``every``
+   rounds a parquet round-trip resets the stat to the true file size,
+   bounding growth between barriers at 2^every x file-size bits.
+
+Loops that join the evolving state against a CONSTANT table (label
+propagation vs a fixed edge list) only grow the stat linearly per
+round and need mode (1) only; loops whose join is state-vs-state
+(pointer doubling, transitive closure by squaring) need mode (2).
+``iterate_with_barrier`` is the one audited loop driver for both; the
+pinned regression test (tests/test_plans.py) asserts the stat stays
+bounded across rounds so the hang cannot silently return.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def stats_barrier(
+    df: DataFrame, r: int, every: int = 4, squaring: bool = True
+) -> DataFrame:
+    """Checkpoint round ``r`` of an iterative loop.
+
+    Always truncates lineage with ``localCheckpoint(eager=True)``;
+    when ``squaring`` (the state-vs-state join case) ALSO resets
+    Catalyst's propagated sizeInBytes with a parquet round-trip every
+    ``every`` rounds, so the join-stats product can't square into
+    multi-megabit BigInteger arithmetic on the driver."""
+    df = df.localCheckpoint(eager=True)
+    if squaring and r % every == every - 1:
+        path = tempfile.mkdtemp(prefix="dms_stats_barrier_")
+        df.write.mode("overwrite").parquet(path)
+        df = df.sparkSession.read.parquet(path)
+    return df
+
+
+def iterate_with_barrier(
+    state: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    rounds: int,
+    every: int = 4,
+    squaring: bool = True,
+    converged: Callable[[DataFrame, int], bool] | None = None,
+) -> DataFrame:
+    """Run ``state = step(state, r)`` for up to ``rounds`` rounds with
+    the stats barrier applied after every step.
+
+    ``converged(state, r)`` (checked AFTER the barrier, so any action
+    it runs hits checkpointed data) stops early when it returns True.
+    ``squaring=False`` is the constant-join-side mode: lineage
+    truncation only, no parquet round-trips."""
+    for r in range(rounds):
+        state = stats_barrier(step(state, r), r, every=every, squaring=squaring)
+        if converged is not None and converged(state, r):
+            break
+    return state

@@ -650,3 +650,81 @@ def test_longest_streak_window_is_user_partitioned(spark, sf_dir):
     """win_longest_streak's island window partitions by user."""
     plan = plan_of(spark, "win_longest_streak", sf_dir)
     assert "SinglePartition" not in plan, plan
+
+
+# --- iterate_with_barrier: the r6 stats-squaring regression pin -----------
+
+
+def _size_stat_bits(df) -> int:
+    """Bit length of Catalyst's propagated sizeInBytes for df's
+    optimized plan — the quantity that SQUARED per round in the
+    round-6 pointer-doubling hang (multi-megabit BigIntegers by
+    round ~14; 18 min of driver-side Toom-Cook at rounds=16)."""
+    v = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    # py4j auto-converts small BigIntegers to python int; huge ones
+    # stay JavaObject with bitLength()
+    return int(v).bit_length() if isinstance(v, int) else v.bitLength()
+
+
+def test_iterate_with_barrier_bounds_stat_squaring(spark):
+    """A state-vs-state join loop driven by iterate_with_barrier must
+    keep the plan's sizeInBytes stat BOUNDED across rounds. Without
+    the periodic parquet stats barrier the stat squares per round
+    (localCheckpoint alone propagates it via rewriteStats, and the
+    join-stats visitor multiplies the children): 12 rounds would put
+    it well past 2^1000. With the barrier (every=4) growth between
+    resets is <= 2^4 x file size — assert a generous static bound."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.plans.iterate import (
+        iterate_with_barrier,
+    )
+
+    n = 64
+    base = spark.range(n).select(
+        F.col("id").alias("u"),
+        ((F.col("id") * 7 + 3) % n).alias("p"),
+    )
+
+    def double_ptr(ptr, r):
+        hop = ptr.select(F.col("u").alias("hu"), F.col("p").alias("hp"))
+        return ptr.join(hop, ptr["p"] == hop["hu"]).select(
+            "u", F.col("hp").alias("p")
+        )
+
+    out = iterate_with_barrier(
+        base.localCheckpoint(eager=True), double_ptr, 12, every=4
+    )
+    bits = _size_stat_bits(out)
+    assert bits < 64, f"sizeInBytes stat is {bits} bits — squaring is back"
+    # and the loop itself is still correct: p = succ^(2^12)(u) is a
+    # fixed point of the permutation's cycle structure - every p is a
+    # valid vertex and the frame kept exactly n rows
+    assert out.count() == n
+
+
+def test_iterate_with_barrier_converged_stops_early(spark):
+    """converged() must stop the loop after the barrier of the round
+    that satisfied it (the dedup_components contract: one cheap agg
+    per round, stop when no label changes)."""
+    from pyspark.sql import functions as F
+
+    from diversity_maximization_spark.plans.iterate import (
+        iterate_with_barrier,
+    )
+
+    calls = []
+
+    def step(df, r):
+        calls.append(r)
+        return df.select((F.col("x") + 1).alias("x"))
+
+    out = iterate_with_barrier(
+        spark.range(1).select(F.lit(0).alias("x")),
+        step,
+        10,
+        squaring=False,
+        converged=lambda st, r: st.agg(F.max("x")).first()[0] >= 3,
+    )
+    assert calls == [0, 1, 2]
+    assert out.first()["x"] == 3
