@@ -440,7 +440,151 @@ def _audio_features(payload: bytes) -> list[float]:
     return [round(v, 6) for v in (rms, mean_abs, zcr, peak, *bands)]
 
 
-@query("multimodal_features")  # rows-only: binary payloads
+
+
+def _duck_pyround6(expr: str) -> str:
+    """DuckDB expression for Python's round(x, 6): printf '%.6f' is a
+    correctly-rounded decimal conversion of the double's EXACT value
+    (nearest, ties-to-even) — bit-identical to CPython's dtoa-based
+    round. DuckDB's round_even(x, 6) instead scales by 1e6 in double
+    arithmetic first, whose rounding error flips ~0.2% of uniformly
+    placed boundary values (measured 47/20000 on S/65280 grids vs
+    printf's 0/20000). Use THIS for any oracle that must replay a
+    Python-side round exactly."""
+    return f"CAST(printf('%.6f', {expr}) AS DOUBLE)"
+
+
+def _duck_img_feat_list(bs: str) -> str:
+    """DuckDB: the 8-dim image descriptor list from a 768-byte RGB
+    list expr — the arithmetic twin of _image_features: exact integer
+    channel sums with deterministic divisions, the float luma fold
+    term-ordered like Python, floor-div binning, round-half-even."""
+    ch = lambda off: (
+        f"CAST(printf('%.6f', CAST(list_sum(list_transform(generate_series(0, 255), "
+        f"p -> ({bs})[3 * p + {off}])) AS DOUBLE) / 256 / 255.0) AS DOUBLE)"
+    )
+    luma = (
+        f"CAST(0.299 AS DOUBLE) * ({bs})[3 * p + 1] "
+        f"+ CAST(0.587 AS DOUBLE) * ({bs})[3 * p + 2] "
+        f"+ CAST(0.114 AS DOUBLE) * ({bs})[3 * p + 3]"
+    )
+    bins = (
+        f"list_transform(generate_series(0, 255), "
+        f"p -> least(3, CAST(floor(({luma}) / 64) AS INT)))"
+    )
+    hist = lambda c: (
+        f"CAST(printf('%.6f', CAST(len(list_filter({bins}, b -> b = {c})) AS DOUBLE)"
+        f" / 256) AS DOUBLE)"
+    )
+    return (
+        f"[{ch(1)}, {ch(2)}, {ch(3)}, "
+        f"{hist(0)}, {hist(1)}, {hist(2)}, {hist(3)}, "
+        f"CAST(1.0 AS DOUBLE)]"
+    )
+
+
+def _features_oracle() -> str:
+    """Arithmetic replay of multimodal_features for ALL THREE
+    modalities from the regenerated synth bytes (no codec): image =
+    _duck_img_feat_list over the 768 RGB bytes; audio = exact dyadic
+    sums of int16 samples (squares/abs sums are exact doubles below
+    2**53, so only the final /400 divisions and sqrts round — the
+    identical IEEE steps Python takes); video = per-sampled-frame
+    image features (already rounded, like _image_features returns)
+    averaged in the explicit src 0,2,4,6 fold order via a pivot, so
+    the 4-term float sum is association-identical to Python\'s."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    s16 = (
+        "CASE WHEN bs[2 * k + 1] + 256 * bs[2 * k + 2] >= 32768 "
+        "THEN bs[2 * k + 1] + 256 * bs[2 * k + 2] - 65536 "
+        "ELSE bs[2 * k + 1] + 256 * bs[2 * k + 2] END"
+    )
+    # exact integer aggregates over the 400 samples
+    ssq = (
+        f"CAST(list_sum(list_transform(generate_series(0, 399), "
+        f"k -> ({s16}) * ({s16}))) AS BIGINT)"
+    )
+    sabs = (
+        f"CAST(list_sum(list_transform(generate_series(0, 399), "
+        f"k -> abs({s16}))) AS BIGINT)"
+    )
+    nzc = (
+        f"CAST(len(list_filter(generate_series(0, 398), "
+        f"k -> (({s16}) < 0) <> "
+        f"((CASE WHEN bs[2 * k + 3] + 256 * bs[2 * k + 4] >= 32768 "
+        f"THEN bs[2 * k + 3] + 256 * bs[2 * k + 4] - 65536 "
+        f"ELSE bs[2 * k + 3] + 256 * bs[2 * k + 4] END) < 0))) AS BIGINT)"
+    )
+    peak = (
+        f"CAST(list_max(list_transform(generate_series(0, 399), "
+        f"k -> abs({s16}))) AS BIGINT)"
+    )
+    band = lambda i: (
+        # min(1, 2*sqrt((sum_sq_band / 2^30) / 100)), band i = samples
+        # [100 i, 100 i + 99]
+        f"CAST(printf('%.6f', least(CAST(1.0 AS DOUBLE), "
+        f"sqrt((CAST(list_sum(list_transform("
+        f"generate_series({100 * i}, {100 * i + 99}), "
+        f"k -> ({s16}) * ({s16}))) AS DOUBLE) / 1073741824) / 100) * 2)) AS DOUBLE)"
+    )
+    audio_feats = (
+        f"[CAST(printf('%.6f', sqrt((CAST({ssq} AS DOUBLE) / 1073741824) / 400)) AS DOUBLE), "
+        f"CAST(printf('%.6f', (CAST({sabs} AS DOUBLE) / 32768) / 400) AS DOUBLE), "
+        f"CAST(printf('%.6f', CAST({nzc} AS DOUBLE) / 399) AS DOUBLE), "
+        f"CAST(printf('%.6f', CAST({peak} AS DOUBLE) / 32768) AS DOUBLE), "
+        f"{band(0)}, {band(1)}, {band(2)}, {band(3)}]"
+    )
+    frame_hashes = lambda src: (
+        f"list_transform(generate_series(0, 23), "
+        f"j -> sha256(seed || ':frame{src}:' || CAST(j AS VARCHAR)))"
+    )
+    vf = lambda src: (
+        f"SELECT doc_id, {src} AS src, "
+        f"{_duck_img_feat_list('bs')} AS f FROM (SELECT doc_id, "
+        f"{_duck_stream_bytes(frame_hashes(src))} AS bs "
+        f"FROM base WHERE mt = 'video/mpng')"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id,
+         ['image/png', 'audio/wav', 'video/mpng'][CAST(doc_id % 3 AS INT) + 1]
+           AS mt,
+         sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents
+), img AS (
+  SELECT doc_id, {_duck_img_feat_list('bs')} AS feature
+  FROM (SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs
+        FROM base WHERE mt = 'image/png')
+), aud AS (
+  SELECT doc_id, {audio_feats} AS feature
+  FROM (SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs
+        FROM base WHERE mt = 'audio/wav')
+), vfr AS (
+  {vf(0)} UNION ALL {vf(2)} UNION ALL {vf(4)} UNION ALL {vf(6)}
+), vp AS (
+  SELECT doc_id,
+         MAX(CASE WHEN src = 0 THEN f END) AS f0,
+         MAX(CASE WHEN src = 2 THEN f END) AS f2,
+         MAX(CASE WHEN src = 4 THEN f END) AS f4,
+         MAX(CASE WHEN src = 6 THEN f END) AS f6
+  FROM vfr GROUP BY doc_id
+), vid AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 8),
+           c -> CAST(printf('%.6f', (((f0[c] + f2[c]) + f4[c]) + f6[c]) / 4) AS DOUBLE))
+           AS feature
+  FROM vp
+)
+SELECT doc_id, feature FROM img
+UNION ALL SELECT doc_id, feature FROM aud
+UNION ALL SELECT doc_id, feature FROM vid
+"""
+
+
+@query("multimodal_features", oracle=_features_oracle())
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction: media bytes -> fixed-dim float vector.
     REAL descriptors for all three types: PNG color/luma stats, WAV
@@ -1100,4 +1244,157 @@ def multimodal_video_motion_census(
 
     return media.mapInPandas(
         gen, "doc_id bigint, frame int, motion_abs_sum bigint"
+    )
+
+
+# --- round-7 census twins (r6 verdict item 5): hash-gate the full ---------
+# --- perceptual-hash and audio-decode paths via the sha256 synth chain ----
+
+
+def _phash_census_oracle() -> str:
+    """Arithmetic replay of the ENTIRE dedup_phash signature path with
+    no codec: regenerate the synth RGB bytes by the hex-chained
+    sha256 (the multimodal_decode_census machinery), replay the 16x16
+    -> 8x8 nearest-neighbor pick (pixel (2x, 2y)), the luma fold, the
+    mean threshold, and the 64-bit aHash — emitted as two 32-bit
+    halves so no signed-int64 wraparound is ever needed in SQL. Every
+    float op (0.299r + 0.587g + 0.114b products, the left-fold sum,
+    the /64) is the identical IEEE sequence in both engines, so the
+    >= mean threshold bit decisions replay bit-for-bit."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    # luma of aHash cell i (0-based): source pixel (2*(i%8), 2*(i//8))
+    px = f"(((i // 8) * 2) * {IMG_W} + (i % 8) * 2) * 3"
+    luma_list = (
+        "list_transform(generate_series(0, 63), i -> "
+        f"CAST(0.299 AS DOUBLE) * bs[{px} + 1] "
+        f"+ CAST(0.587 AS DOUBLE) * bs[{px} + 2] "
+        f"+ CAST(0.114 AS DOUBLE) * bs[{px} + 3])"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs FROM base
+), lum AS (
+  SELECT doc_id, ls, list_sum(ls) / 64 AS mn
+  FROM (SELECT doc_id, {luma_list} AS ls FROM streams)
+)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(32, 63),
+         i -> CASE WHEN ls[i + 1] >= mn THEN (1 << (i - 32)) ELSE 0 END))
+         AS BIGINT) AS phash_hi,
+       CAST(list_sum(list_transform(generate_series(0, 31),
+         i -> CASE WHEN ls[i + 1] >= mn THEN (1 << i) ELSE 0 END))
+         AS BIGINT) AS phash_lo
+FROM lum
+"""
+
+
+@query("dedup_phash_census", oracle=_phash_census_oracle())
+def dedup_phash_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked census of the dedup_phash signature path: the
+    REAL pipeline (synth -> PNG encode -> CRC-checked decode -> 8x8
+    nearest-neighbor resize -> luma fold -> mean-threshold aHash)
+    runs in the engine; the oracle replays the expected 64 bits with
+    pure arithmetic from the regenerated synth bytes. A corruption
+    anywhere — PNG framing, the resize's pixel picks, the luma
+    coefficients, the threshold tie direction — flips a bit on the
+    affected doc and fails the hash. The banded pair join above this
+    signature (dedup_phash) is plain relational algebra, so the
+    signature census is the load-bearing gate. Emitted as two 32-bit
+    halves (shiftrightunsigned / mask) to keep both engines in
+    non-negative BIGINT space."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "image/png")
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [ahash64(p) for p in pdf["payload"]],
+                }
+            )
+
+    sig = media.mapInPandas(gen, "doc_id bigint, phash bigint")
+    return sig.select(
+        "doc_id",
+        F.expr("shiftrightunsigned(phash, 32)").alias("phash_hi"),
+        F.expr("phash & 4294967295").alias("phash_lo"),
+    )
+
+
+def _audio_census_oracle() -> str:
+    """Replay audio_fingerprint's decoded-sample view with exact
+    integer arithmetic: regenerate the synth PCM bytes, reassemble
+    the signed 16-bit little-endian samples, and emit the EXACT
+    integer sum of squares (any single-sample corruption changes it)
+    plus the normalized RMS derived from it by one deterministic
+    sqrt. The FFT band signature stays engine-only (transcendental
+    twiddle factors are the documented cross-engine 1-ulp risk); the
+    decode/unpack layer it feeds is what this census pins."""
+    audio_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    s16 = (
+        "CASE WHEN bs[2 * k + 1] + 256 * bs[2 * k + 2] >= 32768 "
+        "THEN bs[2 * k + 1] + 256 * bs[2 * k + 2] - 65536 "
+        "ELSE bs[2 * k + 1] + 256 * bs[2 * k + 2] END"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_stream_bytes(audio_hashes)} AS bs FROM base
+), ss AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, {WAV_SAMPLES} - 1),
+           k -> ({s16}) * ({s16}))) AS BIGINT) AS sum_sq
+  FROM streams
+)
+SELECT doc_id, sum_sq,
+       round_even(sqrt(CAST(sum_sq AS DOUBLE) / {WAV_SAMPLES}) / 32768.0, 6)
+         AS rms
+FROM ss
+"""
+
+
+@query("audio_fingerprint_census", oracle=_audio_census_oracle())
+def audio_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked census of audio_fingerprint's decode layer: the
+    engine runs the REAL path (synth -> stdlib WAV encode -> wave
+    decode -> int16 samples) and reports the exact integer sum of
+    squares + the normalized RMS computed from it; the oracle
+    reassembles the same samples arithmetically from the regenerated
+    synth bytes. A byte swapped anywhere in the PCM framing, a sign
+    error in the unpack, or a dropped sample lands as an integer
+    mismatch on the affected doc. rms here is bit-identical to
+    audio_fp's rounded value because both divide the same exact
+    integer by the same constants before one correctly-rounded
+    sqrt."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "audio/wav")
+
+    def gen(batches):
+        import math
+
+        for pdf in batches:
+            sums, rmss = [], []
+            for p in pdf["payload"]:
+                _n, _rate, samples = wav_decode(p)
+                ss = sum(s * s for s in samples)
+                sums.append(ss)
+                rmss.append(round(math.sqrt(ss / WAV_SAMPLES) / 32768.0, 6))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sum_sq": sums, "rms": rmss}
+            )
+
+    return media.mapInPandas(
+        gen, "doc_id bigint, sum_sq bigint, rms double"
     )

@@ -46,11 +46,15 @@ _EXACT_ITERS = 10
 _EXACT_TOPN = 25
 
 
-def _pagerank_exact_oracle() -> str:
+def _pagerank_exact_oracle(
+    iters: int = _EXACT_ITERS, as_float: bool = False
+) -> str:
     """Unrolled scaled-integer PageRank in DuckDB — bit-exact vs the
     Spark loop because every operation is integer floor division /
     multiply / sum (order-independent), never a float. Same
-    unrolled-iteration discipline as graph_lpa_communities."""
+    unrolled-iteration discipline as graph_lpa_communities.
+    ``as_float`` emits the rank as a rounded double (rank_scaled /
+    1e12) — the text_pagerank presentation of the same integers."""
     head = f"""
 WITH bg AS (
   SELECT b.w1 AS src, b.w2 AS dst FROM (
@@ -76,7 +80,7 @@ WITH bg AS (
   FROM (SELECT DISTINCT src FROM trans)
 )"""
     rounds = []
-    for i in range(1, _EXACT_ITERS + 1):
+    for i in range(1, iters + 1):
         rounds.append(f"""
 , r{i} AS (
   SELECT t.dst AS src,
@@ -86,27 +90,27 @@ WITH bg AS (
   FROM trans t JOIN r{i - 1} r ON t.src = r.src
   GROUP BY t.dst
 )""")
-    tail = f"""
-SELECT src AS word, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{_EXACT_ITERS}
+    if as_float:
+        tail = f"""
+SELECT src AS word,
+       round(CAST(rank_scaled AS DOUBLE) / {_R_SCALE}, 10) AS rank
+FROM r{iters}
+ORDER BY rank_scaled DESC, word LIMIT {_EXACT_TOPN}
+"""
+    else:
+        tail = f"""
+SELECT src AS word, CAST(rank_scaled AS BIGINT) AS rank_scaled FROM r{iters}
 ORDER BY rank_scaled DESC, word LIMIT {_EXACT_TOPN}
 """
     return head + "".join(rounds) + tail
 
 
-@query("text_pagerank_exact", oracle=_pagerank_exact_oracle())
-def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash-exact TextRank tier: the same PageRank recurrence in
-    SCALED-INTEGER arithmetic (rank at 1e12 fixed point, transition
-    probabilities quantized to 1e6), so every per-edge contribution is
-    a bigint and the per-node sum is order-independent — the float
-    version's 10-dp rounding tolerance becomes exact equality the
-    DuckDB oracle can hash-match. Same plan shape as text_pagerank
-    (one equi-join shuffle per round over the edge table, node-sized
-    rank state); floor division is identical in Spark (`div`) and
-    DuckDB (`//`) for the all-positive operands here. Overflow-safe:
-    rank <= 1e12 and p_scaled <= 1e6, so rank * p_scaled <= 1e18 <
-    2^63. Output: top-{_EXACT_TOPN} (word, rank_scaled) — integers and
-    strings only."""
+def _pagerank_scaled_ranks(
+    spark: SparkSession, sf_dir: str, iters: int
+) -> DataFrame:
+    """Shared scaled-integer PageRank kernel (see text_pagerank_exact
+    for the exactness/overflow argument): (src, rank_scaled) after
+    ``iters`` rounds."""
     d = load(spark, sf_dir, "documents")
     edges = word_edges(d)
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
@@ -125,7 +129,7 @@ def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = trans.select("src").distinct().select(
         "src", F.lit(r_init).cast("long").alias("rank_scaled")
     )
-    for i in range(_EXACT_ITERS):
+    for i in range(iters):
         ranks = (
             trans.join(ranks, "src")
             .groupBy("dst")
@@ -143,6 +147,24 @@ def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if (i + 1) % 5 == 0:
             ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@query("text_pagerank_exact", oracle=_pagerank_exact_oracle())
+def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-exact TextRank tier: the same PageRank recurrence in
+    SCALED-INTEGER arithmetic (rank at 1e12 fixed point, transition
+    probabilities quantized to 1e6), so every per-edge contribution is
+    a bigint and the per-node sum is order-independent — the float
+    version's 10-dp rounding tolerance becomes exact equality the
+    DuckDB oracle can hash-match. Same plan shape as text_pagerank
+    (one equi-join shuffle per round over the edge table, node-sized
+    rank state); floor division is identical in Spark (`div`) and
+    DuckDB (`//`) for the all-positive operands here. Overflow-safe:
+    rank <= 1e12 and p_scaled <= 1e6, so rank * p_scaled <= 1e18 <
+    2^63. Output: top-{_EXACT_TOPN} (word, rank_scaled) — integers and
+    strings only."""
+    ranks = _pagerank_scaled_ranks(spark, sf_dir, _EXACT_ITERS)
     return (
         ranks.select(F.col("src").alias("word"), "rank_scaled")
         .orderBy(F.col("rank_scaled").desc(), "word")
@@ -150,40 +172,33 @@ def text_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_pagerank")  # rows-only: iterative fixpoint, not SQL-expressible
+@query(
+    "text_pagerank",
+    oracle=_pagerank_exact_oracle(iters=_ITERS, as_float=True),
+)
 def text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{_TOPN} corpus keywords by TextRank. Per iteration:
-    contrib(u->v) = rank(u) * w(u,v) / out_w(u); rank'(v) =
-    (1-d)/N + d * sum contrib. One shuffle per round on the word key;
-    the rank table stays node-sized. Ties broken by word."""
-    d = load(spark, sf_dir, "documents")
-    edges = word_edges(d)
-    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    # normalized transition weight, computed once
-    trans = (
-        edges.join(out_w, "src")
-        .select("src", "dst", (F.col("w") / F.col("out_w")).alias("p"))
-        .cache()
-    )
-    n = trans.select("src").distinct().count()
-    ranks = trans.select("src").distinct().select(
-        "src", F.lit(1.0 / n).alias("rank")
-    )
-    base = (1.0 - _DAMPING) / n
-    for i in range(_ITERS):
-        contribs = (
-            trans.join(ranks, "src")
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("p")).alias("in_sum"))
-        )
-        ranks = contribs.select(
-            F.col("dst").alias("src"),
-            (F.lit(base) + F.lit(_DAMPING) * F.col("in_sum")).alias("rank"),
-        )
-        if (i + 1) % 5 == 0:
-            ranks = ranks.localCheckpoint(eager=True)
+    """Top-25 corpus keywords by TextRank, float presentation. Per
+    iteration: contrib(u->v) = rank(u) * w(u,v) / out_w(u); rank(v)
+    updates to (1-d)/N + d * sum contrib. One shuffle per round on
+    the word key; the rank table stays node-sized. Ties broken by
+    word.
+
+    Re-pointed at the PROVEN scaled-integer tier (r6 verdict item 5):
+    the recurrence runs in 1e12/1e6 fixed point (order-independent
+    bigint sums - see text_pagerank_exact), and only the final
+    presentation divides back to a rounded double. The quantization
+    perturbs each rank by < 1e-6 relative, deterministically, so this
+    key is now hash-checked end to end instead of rows-only (the old
+    float power iteration was rows-only precisely because its
+    distributed float sums were order-nondeterministic)."""
+    ranks = _pagerank_scaled_ranks(spark, sf_dir, _ITERS)
     return (
-        ranks.select(F.col("src").alias("word"), F.round("rank", 10).alias("rank"))
-        .orderBy(F.col("rank").desc(), "word")
+        ranks.select(
+            F.col("src").alias("word"),
+            F.round(
+                F.col("rank_scaled").cast("double") / F.lit(_R_SCALE), 10
+            ).alias("rank"),
+        )
+        .orderBy(F.col("rank_scaled").desc(), "word")
         .limit(_TOPN)
     )
