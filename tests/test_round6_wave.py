@@ -2687,3 +2687,96 @@ def test_market_model_matches_numpy(spark, sf_dir):
     assert abs(r["beta"] - b) < 1e-9 * max(1, abs(b))
     assert abs(r["jensen_alpha_daily"] - a) < 1e-9 * max(1, abs(a))
     assert abs(r["r2"] - np.corrcoef(x, y)[0, 1] ** 2) < 1e-9
+
+
+# --- round-7: census twins + features oracle replay ------------------------
+
+
+def test_phash_census_recombines_to_ahash(spark, sf_dir):
+    """The census's 32-bit halves recombine to the exact signed-int64
+    aHash dedup_phash computes on the same payloads."""
+    from diversity_maximization_spark.llm.multimodal import (
+        ahash64,
+        with_media,
+    )
+    from diversity_maximization_spark.sources import load as _load
+
+    halves = {
+        r["doc_id"]: (r["phash_hi"], r["phash_lo"])
+        for r in QUERIES["dedup_phash_census"](spark, sf_dir).collect()
+    }
+    media = (
+        with_media(_load(spark, sf_dir, "documents"))
+        .filter("media_type = 'image/png'")
+        .limit(12)
+        .collect()
+    )
+    assert media
+    for r in media:
+        hi, lo = halves[r["doc_id"]]
+        v = (hi << 32) | lo
+        signed = v - (1 << 64) if v >= (1 << 63) else v
+        assert signed == ahash64(bytes(r["payload"])), r["doc_id"]
+
+
+def test_audio_census_sum_sq_exact_replay(spark, sf_dir):
+    """sum_sq equals a pure-python replay over the decoded samples,
+    and rms re-derives from it by the documented formula."""
+    import math
+
+    from diversity_maximization_spark.llm.multimodal import (
+        WAV_SAMPLES,
+        wav_decode,
+        with_media,
+    )
+    from diversity_maximization_spark.sources import load as _load
+
+    rows = {
+        r["doc_id"]: r
+        for r in QUERIES["audio_fingerprint_census"](spark, sf_dir).collect()
+    }
+    media = (
+        with_media(_load(spark, sf_dir, "documents"))
+        .filter("media_type = 'audio/wav'")
+        .limit(12)
+        .collect()
+    )
+    assert media
+    for m in media:
+        _n, _rate, samples = wav_decode(bytes(m["payload"]))
+        ss = sum(s * s for s in samples)
+        r = rows[m["doc_id"]]
+        assert r["sum_sq"] == ss
+        assert r["rms"] == round(math.sqrt(ss / WAV_SAMPLES) / 32768.0, 6)
+
+
+def test_features_video_mean_is_framewise_mean(spark, sf_dir):
+    """multimodal_features' video vectors equal the per-component
+    mean (python fold order) of the sampled frames' image features —
+    the exact contract its new DuckDB oracle replays."""
+    from diversity_maximization_spark.llm.multimodal import (
+        _image_features,
+        mpng_decode,
+        sample_frames,
+        with_media,
+    )
+    from diversity_maximization_spark.sources import load as _load
+
+    feats = {
+        r["doc_id"]: list(r["feature"])
+        for r in QUERIES["multimodal_features"](spark, sf_dir).collect()
+    }
+    vids = (
+        with_media(_load(spark, sf_dir, "documents"))
+        .filter("media_type = 'video/mpng'")
+        .limit(6)
+        .collect()
+    )
+    assert vids
+    for v in vids:
+        fs = [
+            _image_features(f)
+            for _src, f in sample_frames(mpng_decode(bytes(v["payload"])))
+        ]
+        want = [round(sum(c) / len(fs), 6) for c in zip(*fs)]
+        assert feats[v["doc_id"]] == want, v["doc_id"]
