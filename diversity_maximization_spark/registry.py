@@ -73,6 +73,16 @@ def query(
 # oracle (a no-oracle key in the window is an automatic err slot) —
 # enforced in tests.
 CHECK_WINDOW: list[str] = [
+    # (a) keys whose CONTRACT changed in round 7 — first driver
+    # exposure of the new oracles: text_pagerank (re-pointed at the
+    # scaled-integer tier, now hash-checked), multimodal_features
+    # (rows-only -> full arithmetic oracle), and the two new census
+    # twins of the perceptual-hash / audio-decode paths
+    "text_pagerank",
+    "multimodal_features",
+    "dedup_phash_census",
+    "audio_fingerprint_census",
+    # (b) never-sampled backlog, NEVER_SAMPLED.md order
     "agg_market_model",
     "agg_ordinal_association",
     "agg_weighted_kappa",
@@ -119,10 +129,6 @@ CHECK_WINDOW: list[str] = [
     "survival_rmst",
     "agg_meta_analysis",
     "agg_atkinson",
-    "agg_min_variance_portfolio",
-    "ts_parkinson_vol",
-    "rec_eval_itemknn",
-    "ts_sax_motifs",
 ]
 
 

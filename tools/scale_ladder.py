@@ -24,6 +24,24 @@ Probed keys (the round-5 verdict's list):
       at the oracle's N <= 8192 unroll ceiling (an oracle artifact, not
       an engine limit)
 
+Round-7 extension (the r6 verdict's item 3 — every self-joining or
+stateful loop can harbor another stats-squaring surprise): the rungs
+now also carry a synthetic lineitem (bounded-degree co-purchase
+graph; part pool scales with the rung so degree is rung-invariant)
+and a part table (ER blocking nouns scale with the rung so block
+size is rung-invariant), enabling
+
+  graph_lpa_communities, graph_kcore, graph_k_truss  - iterative
+      label/peel loops over the co-purchase graph
+  dedup_components_ngram, er_resolve_entities        - LSH/blocked
+      candidate edges + min-label components
+  stream_coreset_census, stream_coreset_shard_census - stateful
+      applyInPandasWithState replay over embeddings
+  bpe_train                                          - merge rounds
+
+Run them with:
+    python tools/scale_ladder.py --keys graph_lpa_communities,graph_kcore,graph_k_truss,dedup_components_ngram,er_resolve_entities,stream_coreset_census,stream_coreset_shard_census,bpe_train
+
 Synthetic data is generated with a fixed seed: embeddings are 10
 Gaussian label clusters on 64-d (float32, like the fixture); documents
 are 45-60-token texts over a 32-token vocabulary with a 5% exact-dup
@@ -52,6 +70,12 @@ sys.path.insert(0, ".")
 
 BASE_EMB = 2_000  # sf0.1 embeddings rows
 BASE_DOC = 6_000  # ~sf0.1 documents rows (5 000), rounded for clean 10x
+BASE_ORD = 10_000  # synthetic orders for the co-purchase graph rungs
+BASE_PART = 2_000  # part pool; scales with the rung so degree stays bounded
+BASE_NOUN = 30  # ER blocking nouns; scales with the rung so block size
+#                 stays bounded (more entities -> more distinct nouns —
+#                 the honest 100x shape; a FIXED noun vocab would make
+#                 within-block pairs quadratic by construction)
 DIM = 64
 VOCAB = (
     "batch part spark line column order small sort fast value scan slow "
@@ -103,6 +127,66 @@ def gen_rung(
                     rng.choice(vocab_arr, size=lengths[i], p=zipf_p).tolist()
                 )
             )
+    # --- co-purchase graph rung: minimal lineitem (graph_* keys read
+    # only l_orderkey/l_partkey; the loader asserts the full declared
+    # column set, so the rest ride as cheap constants) -----------------
+    import datetime
+
+    n_ord = BASE_ORD * mult
+    pool = BASE_PART * mult  # degree stays ~constant across rungs
+    per_ord = rng.randint(3, 6, size=n_ord)
+    lo_ok = np.repeat(np.arange(n_ord, dtype=np.int64), per_ord)
+    lo_pk = rng.randint(0, pool, size=len(lo_ok)).astype(np.int64)
+    nli = len(lo_ok)
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lo_ok),
+                "l_partkey": pa.array(lo_pk),
+                "l_suppkey": pa.array(np.zeros(nli, dtype=np.int64)),
+                "l_linenumber": pa.array(np.ones(nli, dtype=np.int32)),
+                "l_quantity": pa.array(np.ones(nli)),
+                "l_extendedprice": pa.array(np.ones(nli)),
+                "l_discount": pa.array(np.zeros(nli)),
+                "l_tax": pa.array(np.zeros(nli)),
+                "l_returnflag": pa.array(["N"] * nli),
+                "l_linestatus": pa.array(["O"] * nli),
+                "l_shipdate": pa.array(
+                    [datetime.date(1995, 1, 1)] * nli, type=pa.date32()
+                ),
+            }
+        ),
+        f"{rung_dir}/lineitem.parquet",
+    )
+
+    # --- ER rung: part names "c1 c2 c3 c4 noun"; noun vocab scales
+    # with the rung so blocking keeps block size (and the JW pair
+    # fan-out per block) constant — linear total work is the honest
+    # expectation, a superlinear slope is a blocking bug -------------
+    colors = np.array(
+        [f"col{i}" for i in range(40)]
+    )
+    nouns = np.array([f"noun{i}" for i in range(BASE_NOUN * mult)])
+    p_names = [
+        " ".join(rng.choice(colors, size=4).tolist())
+        + " "
+        + nouns[rng.randint(0, len(nouns))]
+        for _ in range(pool)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(np.arange(pool, dtype=np.int64)),
+                "p_name": pa.array(p_names),
+                "p_brand": pa.array(["Brand#1"] * pool),
+                "p_type": pa.array(["STANDARD"] * pool),
+                "p_size": pa.array(np.ones(pool, dtype=np.int32)),
+                "p_retailprice": pa.array(np.ones(pool)),
+            }
+        ),
+        f"{rung_dir}/part.parquet",
+    )
+
     langs = rng.choice(["en", "zh", "de", "fr"], size=n_doc)
     sources = np.array([f"src{i % 8}" for i in range(n_doc)])
     pq.write_table(
@@ -186,7 +270,10 @@ def main() -> int:
 
     for m in rungs:
         rd = f"{args.ladder_dir}/L{m}"
-        if not os.path.exists(f"{rd}/documents.parquet"):
+        if not (
+            os.path.exists(f"{rd}/part.parquet")
+            and os.path.exists(f"{rd}/documents.parquet")
+        ):
             print(f"generating rung {m}x ...", flush=True)
             gen_rung(rd, m, vocab_size=args.vocab_size)
 
