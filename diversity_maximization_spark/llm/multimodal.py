@@ -681,7 +681,76 @@ def ahash64(payload: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits  # signed int64
 
 
-@query("dedup_phash")  # rows-only: perceptual hash family is impl-specific
+
+
+def _duck_phash_halves_cte() -> str:
+    """Shared CTE chain (base -> streams -> lum -> ph): per image doc
+    the aHash's two 32-bit halves, replayed arithmetically — the
+    dedup_phash_census kernel, reused by the full dedup_phash
+    oracle's banded self-join."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    px = f"(((i // 8) * 2) * {IMG_W} + (i % 8) * 2) * 3"
+    luma_list = (
+        "list_transform(generate_series(0, 63), i -> "
+        f"CAST(0.299 AS DOUBLE) * bs[{px} + 1] "
+        f"+ CAST(0.587 AS DOUBLE) * bs[{px} + 2] "
+        f"+ CAST(0.114 AS DOUBLE) * bs[{px} + 3])"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs FROM base
+), lum AS (
+  SELECT doc_id, ls, list_sum(ls) / 64 AS mn
+  FROM (SELECT doc_id, {luma_list} AS ls FROM streams)
+), ph AS MATERIALIZED (
+  SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(32, 63),
+         i -> CASE WHEN ls[i + 1] >= mn THEN (1 << (i - 32)) ELSE 0 END))
+         AS BIGINT) AS phash_hi,
+       CAST(list_sum(list_transform(generate_series(0, 31),
+         i -> CASE WHEN ls[i + 1] >= mn THEN (1 << i) ELSE 0 END))
+         AS BIGINT) AS phash_lo
+  FROM lum
+)"""
+
+
+def _phash_pairs_oracle() -> str:
+    """Full replay of dedup_phash: the census's arithmetic aHash
+    halves, then the SAME 4x16-bit banded candidate join + hamming
+    <= 10 verify in plain SQL (band keys from the halves; hamming =
+    popcount(xor hi) + popcount(xor lo) — identical to the engine's
+    bit_count over the recombined signed int64)."""
+    return _duck_phash_halves_cte() + """
+, bands AS (
+  SELECT doc_id, phash_hi, phash_lo, u.b AS band,
+         CASE u.b WHEN 0 THEN phash_lo & 65535
+                  WHEN 1 THEN phash_lo >> 16
+                  WHEN 2 THEN phash_hi & 65535
+                  ELSE phash_hi >> 16 END AS band_val
+  FROM ph CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) u
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.phash_hi AS ha, a.phash_lo AS la,
+         b.phash_hi AS hb, b.phash_lo AS lb
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INT)
+         AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 10
+"""
+
+
+@query("dedup_phash", oracle=_phash_pairs_oracle())
 def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs by REAL perceptual hash: every PNG
     is decoded, average-hashed to 64 bits, banded into 4x16-bit
@@ -800,34 +869,115 @@ def vad_segments(samples: list[int]) -> list[tuple[int, int, float]]:
     """Energy-based voice-activity detection on 16-bit PCM: frame
     RMS against a clip-relative threshold, consecutive active
     frames merged into (start_frame, end_frame_exclusive, mean_rms)
-    segments. Deterministic pure-numpy; the relative threshold makes
-    it gain-invariant."""
-    import numpy as np
+    segments. The relative threshold makes it gain-invariant.
 
-    x = np.asarray(samples, dtype=np.float64)
-    n_frames = len(x) // VAD_FRAME
+    The activity DECISION is made in EXACT integer arithmetic (r7:
+    this is what lets a SQL oracle replay it bit for bit):
+    frame_rms > frac * clip_rms with frac = 0.5 is equivalent to
+    4 * N * frame_sumsq > VAD_FRAME * clip_sumsq, all int64-exact
+    (sumsq <= 400 * 32768^2 ~ 4.3e11). Identical to the old float
+    comparison except on the measure-zero boundary where float
+    rounding could flip it; reported segment mean RMS values are the
+    same deterministic sqrt(exact_int / VAD_FRAME) folds as before."""
+    import math
+
+    n = len(samples)
+    n_frames = n // VAD_FRAME
     if n_frames == 0:
         return []
-    frames = x[: n_frames * VAD_FRAME].reshape(n_frames, VAD_FRAME)
-    rms = np.sqrt((frames**2).mean(axis=1))
-    clip_rms = float(np.sqrt((x**2).mean())) or 1.0
-    active = rms > VAD_THRESH_FRAC * clip_rms
+    fsq = [
+        sum(s * s for s in samples[i * VAD_FRAME : (i + 1) * VAD_FRAME])
+        for i in range(n_frames)
+    ]
+    csq = sum(s * s for s in samples)  # full clip, exact int
+    # frac = VAD_THRESH_FRAC = 0.5; the 4 below is 1 / frac^2
+    active = [4 * n * f > VAD_FRAME * csq for f in fsq]
+    rms = [math.sqrt(f / VAD_FRAME) for f in fsq]
     segs = []
     start = None
     for i, a in enumerate(active):
         if a and start is None:
             start = i
         elif not a and start is not None:
-            segs.append((start, i, float(rms[start:i].mean())))
+            segs.append((start, i, sum(rms[start:i]) / (i - start)))
             start = None
     if start is not None:
         segs.append(
-            (start, n_frames, float(rms[start:n_frames].mean()))
+            (
+                start,
+                n_frames,
+                sum(rms[start:n_frames]) / (n_frames - start),
+            )
         )
     return segs
 
 
-@query("multimodal_audio_vad")  # rows-only: binary media pipeline
+def _vad_oracle() -> str:
+    """Arithmetic replay of multimodal_audio_vad from the regenerated
+    synth PCM bytes: per-frame exact integer sums of squares, the
+    integer-exact activity decision (4 * N * fsq > VAD_FRAME * csq —
+    the same inequality vad_segments now evaluates), gaps-and-islands
+    segment grouping, segment mean RMS as a frame-ordered left fold
+    of deterministic sqrts, and Python's max-first tie-break for the
+    loudest segment (ORDER BY mean DESC, start ASC). active_frac
+    replays Python round via printf (see _duck_pyround6)."""
+    audio_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    s16 = (
+        "CASE WHEN bs[2 * k + 1] + 256 * bs[2 * k + 2] >= 32768 "
+        "THEN bs[2 * k + 1] + 256 * bs[2 * k + 2] - 65536 "
+        "ELSE bs[2 * k + 1] + 256 * bs[2 * k + 2] END"
+    )
+    n_frames = WAV_SAMPLES // VAD_FRAME
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 1
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_stream_bytes(audio_hashes)} AS bs FROM base
+), fr AS MATERIALIZED (
+  SELECT doc_id, CAST(t.range AS INT) AS frame,
+         CAST(list_sum(list_transform(
+           generate_series({VAD_FRAME} * t.range,
+                           {VAD_FRAME} * t.range + {VAD_FRAME} - 1),
+           k -> ({s16}) * ({s16}))) AS BIGINT) AS fsq
+  FROM streams CROSS JOIN range({n_frames}) t
+), fl AS (
+  SELECT doc_id, frame, fsq,
+         4 * {WAV_SAMPLES} * fsq
+           > {VAD_FRAME} * (SUM(fsq) OVER (PARTITION BY doc_id)) AS active
+  FROM fr
+), isl AS (
+  SELECT doc_id, frame, fsq, active,
+         frame - ROW_NUMBER() OVER (
+           PARTITION BY doc_id, active ORDER BY frame) AS grp
+  FROM fl
+), seg AS (
+  SELECT doc_id, CAST(MIN(frame) AS INT) AS s,
+         CAST(MAX(frame) + 1 AS INT) AS e,
+         list_sum(list(sqrt(CAST(fsq AS DOUBLE) / {VAD_FRAME})
+                       ORDER BY frame)) / COUNT(*) AS mean_rms
+  FROM isl WHERE active GROUP BY doc_id, grp
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_segments,
+         CAST(SUM(e - s) AS BIGINT) AS active_frames,
+         FIRST(s ORDER BY mean_rms DESC, s ASC) AS loud_start,
+         FIRST(e ORDER BY mean_rms DESC, s ASC) AS loud_end
+  FROM seg GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(a.n_segments, 0) AS n_segments,
+       {_duck_pyround6(f"CAST(COALESCE(a.active_frames, 0) AS DOUBLE) / {n_frames}")}
+         AS active_frac,
+       CAST(COALESCE(a.loud_start, -1) AS INT) AS loud_start,
+       CAST(COALESCE(a.loud_end, -1) AS INT) AS loud_end
+FROM base b LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query("multimodal_audio_vad", oracle=_vad_oracle())
 def multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Voice-activity detection over the REAL WAV assets — the
     speech-data curation step that decides which clips carry enough
@@ -895,7 +1045,84 @@ def laplacian_var(gray) -> float:
     return float(lap.var())
 
 
-@query("multimodal_image_blur")  # rows-only: binary media pipeline
+
+
+def _blur_oracle() -> str:
+    """Arithmetic replay of multimodal_image_blur: per-mille integer
+    lumas from the regenerated synth RGB, exact integer Laplacian
+    moments over the 14x14 interior, the same /n /n /1e6 float
+    division order, printf rounding, and the same < 50 threshold on
+    the identical double."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    # luma list: 256 entries, 1-based in SQL
+    lum = (
+        "list_transform(generate_series(0, 255), p -> "
+        "299 * bs[3 * p + 1] + 587 * bs[3 * p + 2] + 114 * bs[3 * p + 3])"
+    )
+    # interior index i in 0..195 -> pixel c = (i // 14 + 1) * 16 + (i % 14 + 1)
+    c = "((i // 14 + 1) * 16 + (i % 14 + 1))"
+    lap = (
+        f"-4 * L[{c} + 1] + L[{c} - 16 + 1] + L[{c} + 16 + 1] "
+        f"+ L[{c}] + L[{c} + 2]"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), lums AS MATERIALIZED (
+  SELECT doc_id, {lum} AS L
+  FROM (SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs FROM base)
+), mom AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 195),
+           i -> {lap})) AS BIGINT) AS s1,
+         CAST(list_sum(list_transform(generate_series(0, 195),
+           i -> ({lap}) * ({lap}))) AS BIGINT) AS s2
+  FROM lums
+)
+SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       {_duck_pyround6("CAST(196 * s2 - s1 * s1 AS DOUBLE) / 196 / 196 / 1000000.0")}
+         AS lap_var,
+       (CAST(196 * s2 - s1 * s1 AS DOUBLE) / 196 / 196 / 1000000.0) < 50.0
+         AS is_blurry
+FROM mom
+"""
+
+
+def _luma_scaled(rgb: bytes) -> list[int]:
+    """Per-pixel luma at PER-MILLE integer scale (299 r + 587 g +
+    114 b) — the exact-arithmetic twin of the 0.299/0.587/0.114
+    float luma used by the test-facing helpers; /1000 recovers it."""
+    return [
+        299 * rgb[3 * p] + 587 * rgb[3 * p + 1] + 114 * rgb[3 * p + 2]
+        for p in range(len(rgb) // 3)
+    ]
+
+
+def lap_var_exact(rgb: bytes, w: int, h: int) -> float:
+    """Laplacian variance over the valid interior with EXACT integer
+    moments on the per-mille luma (r7: what lets a SQL oracle replay
+    the blur score bit for bit): var = (n S2 - S1^2) / n^2 on ints,
+    floated only by the final /n /n /1e6 divisions. Bounds: |lap| <=
+    8 * 255000 ~ 2.04e6, n S2 <= 1.7e17 < 2^63. Equals the float
+    laplacian_var up to ~1e-9 relative (pinned by test)."""
+    L = _luma_scaled(rgb)
+    n = (w - 2) * (h - 2)
+    s1 = s2 = 0
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            c = y * w + x
+            lap = -4 * L[c] + L[c - w] + L[c + w] + L[c - 1] + L[c + 1]
+            s1 += lap
+            s2 += lap * lap
+    num = n * s2 - s1 * s1
+    return num / n / n / 1e6
+
+
+@query("multimodal_image_blur", oracle=_blur_oracle())
 def multimodal_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blur screening over the REAL PNG assets — the image-curation
     twin of the audio VAD: decode to luma, score with the Laplacian
@@ -916,13 +1143,7 @@ def multimodal_image_blur(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, rgb = png_decode(bytes(payload))
-                a = np.frombuffer(rgb, dtype=np.uint8).reshape(h, w, 3)
-                luma = (
-                    0.299 * a[:, :, 0]
-                    + 0.587 * a[:, :, 1]
-                    + 0.114 * a[:, :, 2]
-                )
-                lv = laplacian_var(luma)
+                lv = lap_var_exact(rgb, w, h)
                 rows.append((int(doc_id), w, h, round(lv, 6), lv < 50.0))
             yield pd.DataFrame(
                 rows,
@@ -954,7 +1175,60 @@ def shot_boundaries(lumas) -> list[int]:
     return [int(i) + 1 for i in np.nonzero(diffs > SHOT_CUT_FRAC * mean_d)[0]]
 
 
-@query("multimodal_video_shots")  # rows-only: binary media pipeline
+def _shots_oracle() -> str:
+    """Arithmetic replay of multimodal_video_shots: per-frame
+    per-mille integer lumas from the regenerated frame streams,
+    exact integer inter-frame absolute-difference sums, the
+    integer-exact cut rule nd * d_i > 2 * total (the same inequality
+    the engine now evaluates), and the /1792 /1e3 float division
+    order for the reported mean (printf rounding)."""
+    lum = (
+        "list_transform(generate_series(0, 255), p -> "
+        "299 * fb[3 * p + 1] + 587 * fb[3 * p + 2] + 114 * fb[3 * p + 3])"
+    )
+    fh = (
+        "list_transform(generate_series(0, 23), "
+        "j -> sha256(seed || ':frame' || CAST(fi AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)))"
+    )
+    nd = N_TOTAL_FRAMES - 1
+    npx = IMG_W * IMG_H
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 2
+), fs AS MATERIALIZED (
+  SELECT doc_id, CAST(t.range AS INT) AS fi, seed
+  FROM base CROSS JOIN range({N_TOTAL_FRAMES}) t
+), fr AS MATERIALIZED (
+  SELECT doc_id, fi, {lum} AS L
+  FROM (SELECT doc_id, fi, {_duck_stream_bytes(fh)} AS fb FROM fs)
+), df AS MATERIALIZED (
+  SELECT a.doc_id, b.fi AS cut_at,
+         CAST(list_sum(list_transform(generate_series(1, {npx}),
+           p -> abs(a.L[p] - b.L[p]))) AS BIGINT) AS d
+  FROM fr a JOIN fr b ON b.doc_id = a.doc_id AND b.fi = a.fi + 1
+), tot AS (
+  SELECT doc_id, CAST(SUM(d) AS BIGINT) AS total FROM df GROUP BY doc_id
+), cuts AS (
+  SELECT df.doc_id, df.cut_at
+  FROM df JOIN tot USING (doc_id)
+  WHERE {nd} * df.d > 2 * tot.total
+), cagg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_cuts,
+         CAST(MIN(cut_at) AS INT) AS first_cut
+  FROM cuts GROUP BY doc_id
+)
+SELECT b.doc_id, CAST({N_TOTAL_FRAMES} AS INT) AS n_frames,
+       COALESCE(c.n_cuts, 0) AS n_cuts,
+       COALESCE(c.first_cut, -1) AS first_cut,
+       {_duck_pyround6(f"CAST(t.total AS DOUBLE) / {nd * npx} / 1000.0")}
+         AS mean_frame_diff
+FROM base b JOIN tot t USING (doc_id) LEFT JOIN cagg c USING (doc_id)
+"""
+
+
+@query("multimodal_video_shots", oracle=_shots_oracle())
 def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shot-boundary detection over the REAL MPNG videos — the third
     leg of the modality-curation triptych (audio VAD, image blur,
@@ -980,20 +1254,22 @@ def multimodal_video_shots(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lumas = []
                 for fr in frames:
                     w, h, rgb = png_decode(fr)
-                    a = np.frombuffer(rgb, dtype=np.uint8).reshape(
-                        h, w, 3
-                    )
-                    lumas.append(
-                        0.299 * a[:, :, 0]
-                        + 0.587 * a[:, :, 1]
-                        + 0.114 * a[:, :, 2]
-                    )
-                cuts = shot_boundaries(lumas)
-                L = np.stack(lumas)
+                    lumas.append(_luma_scaled(rgb))
+                # exact integer inter-frame diffs; the cut rule
+                # nd * d_i > 2 * total is the integer-exact form of
+                # shot_boundaries' d_i > 2 * mean(d) (r7: SQL-replayable)
+                nd = len(lumas) - 1
+                npx = len(lumas[0]) if lumas else 0
+                diffs = [
+                    sum(abs(a - b) for a, b in zip(lumas[i], lumas[i + 1]))
+                    for i in range(nd)
+                ]
+                total = sum(diffs)
+                cuts = [
+                    i + 1 for i, d in enumerate(diffs) if nd * d > 2 * total
+                ]
                 mean_diff = (
-                    float(np.abs(L[1:] - L[:-1]).mean())
-                    if len(lumas) > 1
-                    else 0.0
+                    total / (nd * npx) / 1000.0 if nd > 0 else 0.0
                 )
                 rows.append(
                     (

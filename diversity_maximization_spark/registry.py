@@ -80,6 +80,10 @@ CHECK_WINDOW: list[str] = [
     # twins of the perceptual-hash / audio-decode paths
     "text_pagerank",
     "multimodal_features",
+    "multimodal_audio_vad",
+    "multimodal_image_blur",
+    "multimodal_video_shots",
+    "dedup_phash",
     "dedup_phash_census",
     "audio_fingerprint_census",
     # (b) never-sampled backlog, NEVER_SAMPLED.md order
@@ -125,10 +129,6 @@ CHECK_WINDOW: list[str] = [
     "source_fixed_width",
     "agg_oaxaca",
     "agg_gravity_trade",
-    "ts_dfa",
-    "survival_rmst",
-    "agg_meta_analysis",
-    "agg_atkinson",
 ]
 
 
