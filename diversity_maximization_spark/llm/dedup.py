@@ -677,16 +677,22 @@ def connected_components(
     localCheckpoint per round so the plan stays flat; the loop stops
     when a round changes nothing (count of changed labels — one cheap
     agg per round). Deterministic: component id = min vertex id."""
+    # checkpoint the symmetrized edge set ONCE: the loop (and each
+    # round's convergence count) re-executes every lazy upstream
+    # otherwise — for er_resolve_entities that was the whole python
+    # Jaro-Winkler pass re-run per round (r7 ladder catch: 43 s at
+    # the 1x rung, ~4x the sum of its parts)
     sym = (
         edges.selectExpr("src", "dst")
         .unionAll(edges.selectExpr("dst AS src", "src AS dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     from ..plans.iterate import iterate_with_barrier
 
     labels0 = vertices.select(
         F.col("id"), F.col("id").alias("label"), F.lit(False).alias("chg")
-    )
+    ).localCheckpoint(eager=True)
 
     def cc_round(labels: DataFrame, r: int) -> DataFrame:
         neigh = (
@@ -1413,10 +1419,13 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out, components run on the tiny name graph, and the row
     table is touched only by the initial collapse."""
     part = load(spark, sf_dir, "part")
+    # cached: names feeds both block sides, the vertex set, and the
+    # final resolve join — without the cache the part groupBy re-runs
+    # four times per execution
     names = part.groupBy("p_name").agg(
         F.min("p_partkey").alias("id"),
         F.count(F.lit(1)).alias("n_parts"),
-    )
+    ).cache()
     a = names.select(
         F.col("p_name").alias("name_a"),
         F.col("id").alias("u"),
@@ -1436,9 +1445,16 @@ def er_resolve_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     def jw_udf(x: pd.Series, y: pd.Series) -> pd.Series:
         return pd.Series([_jaro_winkler(p, q) for p, q in zip(x, y)])
 
+    from ..plans.distance_join import ensure_parallelism
+
+    # the blocked pair stream is tiny in BYTES but heavy in CPU (one
+    # python JW eval per pair), so AQE's size-based coalescing packs
+    # it onto 1-2 cores — re-split before the UDF (the r6
+    # parallelism-starvation fix; no-op on already-wide plans)
     pairs = (
-        a.join(b, "block")
-        .filter(F.col("u") < F.col("v"))
+        ensure_parallelism(
+            a.join(b, "block").filter(F.col("u") < F.col("v"))
+        )
         .filter(jw_udf("name_a", "name_b") >= 0.95)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
     )

@@ -166,7 +166,19 @@ def gen_rung(
     colors = np.array(
         [f"col{i}" for i in range(40)]
     )
-    nouns = np.array([f"noun{i}" for i in range(BASE_NOUN * mult)])
+    # alphabetic suffixes: the ER blocking key is regexp [a-z]+$ — a
+    # digit-suffixed noun would extract an EMPTY block for every name
+    # and collapse the corpus into one quadratic block (found the hard
+    # way: the first r7 ladder run starved on a single 2M-pair block)
+    def _alpha(i: int) -> str:
+        s = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            s = chr(97 + r) + s
+        return s
+
+    nouns = np.array([f"noun{_alpha(i)}" for i in range(BASE_NOUN * mult)])
     p_names = [
         " ".join(rng.choice(colors, size=4).tolist())
         + " "
