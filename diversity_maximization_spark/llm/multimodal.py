@@ -578,9 +578,13 @@ WITH base AS MATERIALIZED (
            AS feature
   FROM vp
 )
-SELECT doc_id, feature FROM img
-UNION ALL SELECT doc_id, feature FROM aud
-UNION ALL SELECT doc_id, feature FROM vid
+SELECT doc_id,
+       feature[1] AS f1, feature[2] AS f2, feature[3] AS f3,
+       feature[4] AS f4, feature[5] AS f5, feature[6] AS f6,
+       feature[7] AS f7, feature[8] AS f8
+FROM (SELECT doc_id, feature FROM img
+      UNION ALL SELECT doc_id, feature FROM aud
+      UNION ALL SELECT doc_id, feature FROM vid)
 """
 
 
@@ -613,7 +617,16 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
-    return media.mapInPandas(gen, "doc_id bigint, feature array<double>")
+    # 8 SCALAR columns, not array<double>: the driver's pandas
+    # canonicalizer cannot hash list cells (pinned by
+    # tests/test_registry.py), so an oracled key must stay scalar-only
+    wide = media.mapInPandas(
+        gen, "doc_id bigint, feature array<double>"
+    )
+    return wide.select(
+        "doc_id",
+        *[F.col("feature")[i].alias(f"f{i + 1}") for i in range(FEAT_DIM)],
+    )
 
 
 N_TOTAL_FRAMES = 8

@@ -206,8 +206,11 @@ def test_multimodal_features_shape(spark, sf_dir):
     from diversity_maximization_spark.llm.multimodal import FEAT_DIM
 
     rows = QUERIES["multimodal_features"](spark, sf_dir).collect()
-    assert all(len(r["feature"]) == FEAT_DIM for r in rows)
-    assert all(0.0 <= x <= 1.0 for r in rows for x in r["feature"])
+    # r7: 8 scalar columns f1..f8 (driver canonicalizer can't hash
+    # list cells, and this key is oracled now)
+    assert all(len(r) == FEAT_DIM + 1 for r in rows)
+    vals = [r[f"f{i}"] for r in rows for i in range(1, FEAT_DIM + 1)]
+    assert all(0.0 <= x <= 1.0 for x in vals)
 
 
 def test_connected_components_match_union_find(spark, sf_dir):

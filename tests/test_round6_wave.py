@@ -2763,7 +2763,7 @@ def test_features_video_mean_is_framewise_mean(spark, sf_dir):
     from diversity_maximization_spark.sources import load as _load
 
     feats = {
-        r["doc_id"]: list(r["feature"])
+        r["doc_id"]: [r[f"f{i}"] for i in range(1, 9)]
         for r in QUERIES["multimodal_features"](spark, sf_dir).collect()
     }
     vids = (
