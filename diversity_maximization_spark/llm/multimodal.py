@@ -1687,3 +1687,153 @@ def audio_fingerprint_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(
         gen, "doc_id bigint, sum_sq bigint, rms double"
     )
+
+
+def _resize_census_oracle() -> str:
+    """Arithmetic replay of multimodal_resize: the 32x32 thumb is a
+    2x2 nearest-neighbor replication of the 16x16 source (sy = ty//2,
+    sx = tx//2), so every thumb byte is a known synth byte. The
+    census value is the position-weighted integer checksum
+    sum((p+1) * byte_p) over the 3072 decoded thumb bytes — any
+    moved, dropped, or altered byte anywhere in decode -> resize ->
+    re-encode -> decode changes it. Bounded: 3072 * 3072 * 255
+    ~ 2.4e9 < 2^63."""
+    img_hashes = (
+        "list_transform(generate_series(0, 25), "
+        "i -> sha256(seed || ':' || CAST(i AS VARCHAR)))"
+    )
+    # thumb byte p (0-based, p = (ty*32 + tx)*3 + c):
+    # source byte = ((ty//2)*16 + tx//2)*3 + c
+    srcb = (
+        "bs[((((p // 3) // 32) // 2) * 16 + ((p // 3) % 32) // 2) * 3"
+        " + (p % 3) + 1]"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 0
+), streams AS MATERIALIZED (
+  SELECT doc_id, {_duck_stream_bytes(img_hashes)} AS bs FROM base
+)
+SELECT doc_id, CAST({TARGET_W} AS INT) AS width,
+       CAST({TARGET_H} AS INT) AS height,
+       CAST(list_sum(list_transform(
+         generate_series(0, {TARGET_W * TARGET_H * 3} - 1),
+         p -> (p + 1) * {srcb})) AS BIGINT) AS thumb_checksum
+FROM streams
+"""
+
+
+@query("multimodal_resize_census", oracle=_resize_census_oracle())
+def multimodal_resize_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked census of multimodal_resize: the engine runs the
+    REAL pipeline (synth -> PNG -> decode -> nearest-neighbor 32x32
+    -> PNG re-encode -> CRC-checked decode) and reports the
+    position-weighted integer checksum of the decoded thumb bytes;
+    the oracle computes the same checksum from the regenerated synth
+    bytes via the resize index arithmetic — no codec. Only the
+    DEFLATE-compressed thumb length stays engine-only (the same
+    n_bytes carve-out as multimodal_decode_census)."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "image/png")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cks = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, rgb = png_decode(bytes(p))
+                thumb_png = png_encode(
+                    _resize_rgb(rgb, w, h, TARGET_W, TARGET_H),
+                    TARGET_W,
+                    TARGET_H,
+                )
+                tw, th, trgb = png_decode(thumb_png)
+                assert (tw, th) == (TARGET_W, TARGET_H)
+                ids.append(int(doc_id))
+                cks.append(sum((i + 1) * b for i, b in enumerate(trgb)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": TARGET_W,
+                    "height": TARGET_H,
+                    "thumb_checksum": cks,
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id bigint, width int, height int, thumb_checksum bigint",
+    )
+
+
+def _frame_sample_census_oracle() -> str:
+    """Arithmetic replay of multimodal_frame_sample: sampled ordinal i
+    maps to source frame 2 i (FRAME_STRIDE = 2 of N_TOTAL_FRAMES = 8),
+    and each sampled frame's decoded RGB is the 768-byte frame stream
+    — checksummed position-weighted like the resize census. Gates the
+    container parse, the stride policy, and every frame byte."""
+    fh = (
+        "list_transform(generate_series(0, 23), "
+        "j -> sha256(seed || ':frame' || CAST(2 * t.range AS VARCHAR) "
+        "|| ':' || CAST(j AS VARCHAR)))"
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, sha256(CAST(doc_id AS VARCHAR) || ':' || text) AS seed
+  FROM documents WHERE doc_id % 3 = 2
+), fs AS MATERIALIZED (
+  SELECT doc_id, CAST(t.range AS INT) AS frame_idx,
+         CAST(2 * t.range AS INT) AS src_frame,
+         {_duck_stream_bytes(fh)} AS fb
+  FROM base CROSS JOIN range({N_FRAMES}) t
+)
+SELECT doc_id, frame_idx, src_frame,
+       CAST(list_sum(list_transform(generate_series(0, 767),
+         p -> (p + 1) * fb[p + 1])) AS BIGINT) AS frame_checksum
+FROM fs
+"""
+
+
+@query(
+    "multimodal_frame_sample_census",
+    oracle=_frame_sample_census_oracle(),
+)
+def multimodal_frame_sample_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-checked census of multimodal_frame_sample: the engine
+    parses the REAL MPNG container, stride-samples, PNG-decodes each
+    sampled frame and reports its position-weighted RGB checksum; the
+    oracle regenerates the same bytes from the frame hash chains. A
+    frame served out of order, a mis-parsed length prefix, or one
+    corrupted byte lands as a mismatch on the exact (doc, ordinal)."""
+    d = load(spark, sf_dir, "documents")
+    media = with_media(d).filter(F.col("media_type") == "video/mpng")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, idxs, srcs, cks = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                sampled = sample_frames(mpng_decode(bytes(p)))
+                for i, (src, frame) in enumerate(sampled):
+                    _w, _h, rgb = png_decode(frame)
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    srcs.append(src)
+                    cks.append(
+                        sum((k + 1) * b for k, b in enumerate(rgb))
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "src_frame": srcs,
+                    "frame_checksum": cks,
+                }
+            )
+
+    return media.mapInPandas(
+        gen,
+        "doc_id bigint, frame_idx int, src_frame int,"
+        " frame_checksum bigint",
+    )

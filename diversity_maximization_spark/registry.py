@@ -86,6 +86,8 @@ CHECK_WINDOW: list[str] = [
     "dedup_phash",
     "dedup_phash_census",
     "audio_fingerprint_census",
+    "multimodal_resize_census",
+    "multimodal_frame_sample_census",
     # (b) never-sampled backlog, NEVER_SAMPLED.md order
     "agg_market_model",
     "agg_ordinal_association",
@@ -127,8 +129,6 @@ CHECK_WINDOW: list[str] = [
     "agg_lmg_importance",
     "ts_seasonal_mann_kendall",
     "source_fixed_width",
-    "agg_oaxaca",
-    "agg_gravity_trade",
 ]
 
 

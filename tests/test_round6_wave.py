@@ -2780,3 +2780,42 @@ def test_features_video_mean_is_framewise_mean(spark, sf_dir):
         ]
         want = [round(sum(c) / len(fs), 6) for c in zip(*fs)]
         assert feats[v["doc_id"]] == want, v["doc_id"]
+
+
+def test_resize_census_checksum_matches_thumbs(spark, sf_dir):
+    """The census checksum equals the position-weighted sum over the
+    ACTUAL thumb bytes multimodal_resize emits."""
+    from diversity_maximization_spark.llm.multimodal import png_decode
+
+    cks = {
+        r["doc_id"]: r["thumb_checksum"]
+        for r in QUERIES["multimodal_resize_census"](spark, sf_dir).collect()
+    }
+    thumbs = QUERIES["multimodal_resize"](spark, sf_dir).limit(8).collect()
+    assert thumbs
+    for t in thumbs:
+        _w, _h, rgb = png_decode(bytes(t["thumb"]))
+        assert cks[t["doc_id"]] == sum(
+            (i + 1) * b for i, b in enumerate(rgb)
+        ), t["doc_id"]
+
+
+def test_frame_sample_census_matches_frames(spark, sf_dir):
+    """Census rows align 1:1 with multimodal_frame_sample's output:
+    same (doc, ordinal, src) triples, checksums over the same decoded
+    frame bytes."""
+    from diversity_maximization_spark.llm.multimodal import png_decode
+
+    cks = {
+        (r["doc_id"], r["frame_idx"]): (r["src_frame"], r["frame_checksum"])
+        for r in QUERIES["multimodal_frame_sample_census"](
+            spark, sf_dir
+        ).collect()
+    }
+    frames = QUERIES["multimodal_frame_sample"](spark, sf_dir).collect()
+    assert frames and len(frames) == len(cks)
+    for fr in frames[:12]:
+        src, ck = cks[(fr["doc_id"], fr["frame_idx"])]
+        assert src == fr["src_frame"]
+        _w, _h, rgb = png_decode(bytes(fr["frame"]))
+        assert ck == sum((i + 1) * b for i, b in enumerate(rgb))
