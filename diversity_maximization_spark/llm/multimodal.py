@@ -1121,7 +1121,16 @@ def lap_var_exact(rgb: bytes, w: int, h: int) -> float:
     the blur score bit for bit): var = (n S2 - S1^2) / n^2 on ints,
     floated only by the final /n /n /1e6 divisions. Bounds: |lap| <=
     8 * 255000 ~ 2.04e6, n S2 <= 1.7e17 < 2^63. Equals the float
-    laplacian_var up to ~1e-9 relative (pinned by test)."""
+    laplacian_var up to ~1e-9 relative (pinned by test).
+
+    Float pipeline (r8, ADVICE fix): num may exceed 2^53 (a sharp
+    checkerboard reaches ~4e16), so Python's one-step correctly
+    rounded ``num / n`` bigint division could differ 1 ulp from the
+    oracle's cast-then-divide. We therefore round num to double FIRST
+    (``float(num)`` — same round-half-even as DuckDB's CAST(num AS
+    DOUBLE)) and then apply the identical /n /n /1e6 sequence, making
+    every rounding step bit-identical to the oracle for ALL inputs;
+    below 2^53 the conversion is exact, so values are unchanged."""
     L = _luma_scaled(rgb)
     n = (w - 2) * (h - 2)
     s1 = s2 = 0
@@ -1132,7 +1141,7 @@ def lap_var_exact(rgb: bytes, w: int, h: int) -> float:
             s1 += lap
             s2 += lap * lap
     num = n * s2 - s1 * s1
-    return num / n / n / 1e6
+    return float(num) / n / n / 1e6
 
 
 @query("multimodal_image_blur", oracle=_blur_oracle())
@@ -1648,7 +1657,7 @@ WITH base AS MATERIALIZED (
   FROM streams
 )
 SELECT doc_id, sum_sq,
-       round_even(sqrt(CAST(sum_sq AS DOUBLE) / {WAV_SAMPLES}) / 32768.0, 6)
+       {_duck_pyround6(f"sqrt(CAST(sum_sq AS DOUBLE) / {WAV_SAMPLES}) / 32768.0")}
          AS rms
 FROM ss
 """

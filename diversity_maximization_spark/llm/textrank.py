@@ -91,9 +91,16 @@ WITH bg AS (
   GROUP BY t.dst
 )""")
     if as_float:
+        # Round in EXACT INTEGER space, not via round(x, 10): DuckDB's
+        # decimal-scaling rounding and Spark's BigDecimal HALF_UP can
+        # disagree when rank_scaled % 100 == 50 lands exactly on a
+        # 10-dp tie (the _duck_pyround6 finding class). Half-up in
+        # bigint — (x + 50) // 100 for the all-positive ranks here —
+        # then ONE exact double division by 1e10 is bit-identical in
+        # both engines (the quotient <= 1e10 is exactly representable).
         tail = f"""
 SELECT src AS word,
-       round(CAST(rank_scaled AS DOUBLE) / {_R_SCALE}, 10) AS rank
+       CAST((rank_scaled + 50) // 100 AS DOUBLE) / 10000000000.0 AS rank
 FROM r{iters}
 ORDER BY rank_scaled DESC, word LIMIT {_EXACT_TOPN}
 """
@@ -192,11 +199,16 @@ def text_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     float power iteration was rows-only precisely because its
     distributed float sums were order-nondeterministic)."""
     ranks = _pagerank_scaled_ranks(spark, sf_dir, _ITERS)
+    # 10-dp presentation via exact-integer half-up then one exact
+    # double division (see _pagerank_exact_oracle tail) — never
+    # F.round on a double, which can tie-break differently from the
+    # oracle's round() when rank_scaled % 100 == 50.
     return (
         ranks.select(
             F.col("src").alias("word"),
-            F.round(
-                F.col("rank_scaled").cast("double") / F.lit(_R_SCALE), 10
+            (
+                F.expr("(rank_scaled + 50) div 100").cast("double")
+                / F.lit(10_000_000_000.0)
             ).alias("rank"),
         )
         .orderBy(F.col("rank_scaled").desc(), "word")

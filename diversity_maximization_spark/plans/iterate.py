@@ -33,6 +33,7 @@ bounded across rounds so the hang cannot silently return.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 from typing import Callable
 
@@ -48,12 +49,28 @@ def stats_barrier(
     when ``squaring`` (the state-vs-state join case) ALSO resets
     Catalyst's propagated sizeInBytes with a parquet round-trip every
     ``every`` rounds, so the join-stats product can't square into
-    multi-megabit BigInteger arithmetic on the driver."""
+    multi-megabit BigInteger arithmetic on the driver.
+
+    The round-trip dir is deleted BEFORE returning (r8, ADVICE fix —
+    the old code leaked one /tmp dir per barrier): the read-back is
+    immediately re-checkpointed eagerly, which pins every partition in
+    the block manager while PRESERVING the parquet relation's
+    file-size stat in the resulting LogicalRDD (rewriteStats copies
+    the child's sizeInBytes — the reset is exactly what the barrier
+    exists for), so the files are never re-read and can be removed at
+    once. Driver-local tempdir ⇒ local/single-node only, as before; a
+    cluster deployment would point this at shared storage and clean
+    asynchronously."""
     df = df.localCheckpoint(eager=True)
     if squaring and r % every == every - 1:
         path = tempfile.mkdtemp(prefix="dms_stats_barrier_")
-        df.write.mode("overwrite").parquet(path)
-        df = df.sparkSession.read.parquet(path)
+        try:
+            df.write.mode("overwrite").parquet(path)
+            df = df.sparkSession.read.parquet(path).localCheckpoint(
+                eager=True
+            )
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
     return df
 
 
