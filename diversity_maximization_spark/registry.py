@@ -64,71 +64,63 @@ def query(
 
     return deco
 
-# round-7 rotation: the next 50 never-driver-sampled keys in
-# NEVER_SAMPLED.md order (newest continuation waves first, per the
-# r6 verdict's item 1) — includes the three advice-flagged keys
-# whose plans changed this round (graph_degree_powerlaw now lazy,
-# agg_weighted_kappa single-pass, source_fixed_width width-guarded),
-# so the driver proves the FIXED plans. Every key here MUST have an
-# oracle (a no-oracle key in the window is an automatic err slot) —
-# enforced in tests.
+# round-8 rotation: the next 50 never-driver-sampled keys, strictly
+# in NEVER_SAMPLED.md order (r7 verdict item 1 — no contract-changed
+# keys this round burn slots; the three r7-ADVICE rounding fixes were
+# oracle-side tie alignments re-proven by the local strict gate).
+# Every key here MUST have an oracle (a no-oracle key in the window
+# is an automatic err slot) — enforced in tests.
 CHECK_WINDOW: list[str] = [
-    # (a) keys whose CONTRACT changed in round 7 — first driver
-    # exposure of the new oracles: text_pagerank (re-pointed at the
-    # scaled-integer tier, now hash-checked), multimodal_features
-    # (rows-only -> full arithmetic oracle), and the two new census
-    # twins of the perceptual-hash / audio-decode paths
-    "text_pagerank",
-    "multimodal_features",
-    "multimodal_audio_vad",
-    "multimodal_image_blur",
-    "multimodal_video_shots",
-    "dedup_phash",
-    "dedup_phash_census",
-    "audio_fingerprint_census",
-    "multimodal_resize_census",
-    "multimodal_frame_sample_census",
-    # (b) never-sampled backlog, NEVER_SAMPLED.md order
-    "agg_market_model",
-    "agg_ordinal_association",
-    "agg_weighted_kappa",
-    "ts_rogers_satchell",
-    "agg_chao2_richness",
-    "ts_garman_klass",
-    "agg_mean_log_deviation",
-    "ts_turbulence",
-    "ts_durbin_watson",
-    "graph_degree_powerlaw",
-    "agg_price_dispersion",
-    "agg_hoover_index",
-    "agg_kendall_w",
-    "ts_calmar_ratio",
-    "agg_taylors_law",
-    "agg_cr4_concentration",
-    "agg_local_morans",
-    "agg_bic_bayes_factor",
-    "ts_amihud_illiquidity",
-    "agg_geary_c",
-    "agg_morans_i",
-    "agg_page_trend",
-    "text_burrows_delta",
-    "agg_rank_biserial",
-    "agg_yuen_test",
-    "agg_hotelling_t2",
-    "agg_weibull_rank_fit",
-    "agg_jackknife_variance",
-    "agg_benjamini_yekutieli",
-    "ts_diebold_mariano",
-    "ts_theil_u",
-    "source_quasirandom",
-    "agg_energy_distance",
-    "ts_mincer_zarnowitz",
-    "agg_pot_gpd",
-    "ts_spectral_entropy",
-    "agg_cronbach_alpha",
-    "agg_lmg_importance",
-    "ts_seasonal_mann_kendall",
-    "source_fixed_width",
+    "agg_gravity_trade",
+    "agg_oaxaca",
+    "ts_dfa",
+    "survival_rmst",
+    "agg_meta_analysis",
+    "agg_atkinson",
+    "agg_min_variance_portfolio",
+    "ts_parkinson_vol",
+    "rec_eval_itemknn",
+    "ts_sax_motifs",
+    "join_division",
+    "agg_iptw_ate",
+    "agg_last_digit_test",
+    "agg_littles_law",
+    "agg_newsvendor",
+    "agg_safety_stock",
+    "ts_pettitt",
+    "agg_fairness_report",
+    "anomaly_isolation_grid",
+    "ts_stochastic_oscillator",
+    "ts_var_backtest",
+    "agg_rdd_sharp",
+    "agg_cem_att",
+    "agg_holm_bonferroni",
+    "anomaly_lof",
+    "ts_binary_segmentation",
+    "agg_ttest_one_sample",
+    "privacy_rr_frequency",
+    "agg_jonckheere",
+    "agg_palma_ratio",
+    "ts_seasonal_mase",
+    "tokenize_greedy_vocab",
+    "corpus_unigram_entropy",
+    "ts_haar_energy",
+    "ts_bass_diffusion",
+    "sample_cluster_two_stage",
+    "graph_square_count",
+    "ts_ccf",
+    "agg_g_test",
+    "multimodal_video_motion_census",
+    "agg_log_loss",
+    "agg_fleiss_kappa",
+    "agg_cochrans_q",
+    "agg_lognormal_mom",
+    "ts_kalman_level",
+    "ts_sample_entropy",
+    "agg_negbin_mom",
+    "multimodal_audio_energy_census",
+    "ts_turning_points",
+    "ts_control_chart",
 ]
 
 

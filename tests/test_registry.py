@@ -128,6 +128,49 @@ def test_heavy_hitters_mg_path_and_superset(spark, sf_dir):
     assert got == exact
 
 
+def test_never_sampled_is_registry_lockstep():
+    """r7 verdict item 7: NEVER_SAMPLED.md's backlog arithmetic must
+    be recomputable, not prose. The with-oracle bullet list must equal
+    ORACLES − (∪ committed CORRECTNESS_r*.json keys) − CHECK_WINDOW
+    exactly; every window key must be oracled and (for a pure-rotation
+    round) either never-sampled or an intentional re-exposure; and
+    every no-oracle key must be named in the Rows-only justification
+    section. Regenerate the file with tools/gen_never_sampled.py."""
+    import json
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    sampled: set[str] = set()
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        sampled.update(json.loads(p.read_text()).keys())
+    assert sampled, "no committed CORRECTNESS artifacts found"
+
+    text = (root / "NEVER_SAMPLED.md").read_text()
+    bullets, in_section = [], False
+    for line in text.splitlines():
+        if line.startswith("## "):
+            in_section = "With DuckDB oracle" in line
+            continue
+        m = re.match(r"^- ([a-z0-9_]+)\s*$", line)
+        if m and in_section:
+            bullets.append(m.group(1))
+    assert len(bullets) == len(set(bullets)), "duplicate backlog bullets"
+
+    expected = (
+        set(registry.ORACLES) - sampled - set(registry.CHECK_WINDOW)
+    )
+    assert set(bullets) == expected, (
+        f"backlog drift: missing={sorted(expected - set(bullets))} "
+        f"extra={sorted(set(bullets) - expected)}"
+    )
+
+    rows_only = set(registry.QUERIES) - set(registry.ORACLES)
+    rows_section = text[text.index("## Rows-only"):]
+    unjustified = sorted(k for k in rows_only if k not in rows_section)
+    assert unjustified == [], f"rows-only keys not justified: {unjustified}"
+
+
 def test_strict_artifacts_cover_every_key():
     """CHECK_sf001_strict.json / CHECK_sf01_strict.json must stay in
     lockstep with the registry: a key added without re-verifying it at

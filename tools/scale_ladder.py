@@ -76,6 +76,11 @@ BASE_NOUN = 30  # ER blocking nouns; scales with the rung so block size
 #                 stays bounded (more entities -> more distinct nouns —
 #                 the honest 100x shape; a FIXED noun vocab would make
 #                 within-block pairs quadratic by construction)
+BASE_EV = 10_000  # events rows (sf0.1 has 100k -> the 10x rung matches it)
+BASE_USER = 150  # user pool scales with the rung so per-user event
+#                  density (and thus stream-join state + pair fan-out
+#                  per user) is rung-invariant — linear is the honest
+#                  expectation for the watermarked streaming keys
 DIM = 64
 VOCAB = (
     "batch part spark line column order small sort fast value scan slow "
@@ -197,6 +202,43 @@ def gen_rung(
             }
         ),
         f"{rung_dir}/part.parquet",
+    )
+
+    # --- events rung: monotone-ts stream over a rung-scaled user pool
+    # (round-8 ladder extension — watermarked streaming keys). ts is
+    # written as TIMESTAMP(NANOS) like the real fixture so the loader's
+    # nanosAsLong -> timestamp_ntz path is exercised verbatim. ~9 s
+    # mean gap at 1x keeps the event-time span rung-invariant (the
+    # watermark horizon covers the same wall-clock range per rung,
+    # so streaming state per user is constant by construction).
+    n_ev = BASE_EV * mult
+    gaps_ms = np.cumsum(rng.randint(1, 18_000, size=n_ev)) // mult
+    ev_ts = np.datetime64("2024-01-01T00:00:00", "ns") + gaps_ms.astype(
+        "timedelta64[ms]"
+    )
+    ev_types = rng.choice(
+        np.array(["view", "click", "signup", "purchase", "error"]),
+        size=n_ev,
+        p=[0.4, 0.3, 0.1, 0.1, 0.1],
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(n_ev, dtype=np.int64)),
+                "ts": pa.array(ev_ts, type=pa.timestamp("ns")),
+                "user_id": pa.array(
+                    rng.randint(0, BASE_USER * mult, size=n_ev).astype(
+                        np.int64
+                    )
+                ),
+                "event_type": pa.array(ev_types),
+                "value": pa.array(np.round(rng.rand(n_ev) * 200, 2)),
+                "props": pa.array(
+                    [f'{{"k": {int(k)}}}' for k in rng.randint(0, 100, n_ev)]
+                ),
+            }
+        ),
+        f"{rung_dir}/events.parquet",
     )
 
     langs = rng.choice(["en", "zh", "de", "fr"], size=n_doc)
