@@ -765,6 +765,155 @@ def div_matroid_transversal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(out, "vec_id bigint, label int")
 
 
+# 12 points present at every fixture SF (min fixture has 500 rows):
+# 0, 29, ..., 319 — the seeded exhaustive-twin candidate set shared by
+# div_matroid_transversal_exhaustive / div_kcenter_outliers_exhaustive.
+_SEED12_FILTER = "vec_id % 29 = 0 AND vec_id < 320"
+
+# topic mask: point with label l covers topics {l mod 4, (l+3) mod 4}
+# over a 4-topic universe — the same transversal structure as
+# div_matroid_transversal, shrunk so the matching polytope enumerates.
+_T12_TM = "(1 << (label % 4)) | (1 << ((label % 4 + 3) % 4))"
+
+_T12_ORACLE = f"""
+WITH cand AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, vec_id, label,
+         {_T12_TM} AS tm, embedding
+  FROM embeddings WHERE {_SEED12_FILTER}
+), pairs AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j,
+         CAST(round({V.duck_l2_dist('a.embedding', 'b.embedding')} * 1e9)
+              AS BIGINT) AS dq
+  FROM cand a JOIN cand b ON a.i < b.i
+), masks AS (
+  SELECT m FROM (SELECT unnest(generate_series(0, 4095)) AS m)
+  WHERE bit_count(m) = 4
+), hallcells AS (
+  SELECT k.m, sub.s, COUNT(*) AS cnt,
+         bit_count(bit_or(c.tm)) AS cov
+  FROM masks k
+  JOIN (SELECT unnest(generate_series(1, 4095)) AS s) sub
+    ON (sub.s & k.m) = sub.s
+  JOIN cand c ON ((sub.s >> c.i) & 1) = 1
+  GROUP BY k.m, sub.s
+), indep AS (
+  SELECT m FROM hallcells
+  GROUP BY m
+  HAVING SUM(CASE WHEN cov < cnt THEN 1 ELSE 0 END) = 0
+), vals AS (
+  SELECT k.m, SUM(p.dq) AS vq
+  FROM indep k JOIN pairs p
+    ON ((k.m >> p.i) & 1) = 1 AND ((k.m >> p.j) & 1) = 1
+  GROUP BY k.m
+), best AS (
+  SELECT m, vq FROM vals ORDER BY vq DESC, m ASC LIMIT 1
+)
+SELECT CAST(bit_count(b.m & ((1 << c.i) - 1)) AS INT) AS rank,
+       c.vec_id, CAST(c.label AS INT) AS label,
+       round(CAST(b.vq AS DOUBLE) / 1e9, 6) AS clique_val
+FROM best b JOIN cand c ON ((b.m >> c.i) & 1) = 1
+"""
+
+
+@query(
+    "div_matroid_transversal_exhaustive",
+    bounded_cross="constant enumeration grids over a 12-point seeded "
+    "candidate set: 495 4-subsets x 15 Hall sub-subsets x <=4 points, "
+    "and 495 x 66 pairs — bounds fixed by the key, not data",
+    oracle=_T12_ORACLE,
+)
+def div_matroid_transversal_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT transversal-matroid diversity maximization on a fixed
+    12-point seeded subset — the hash-checked companion of
+    div_matroid_transversal (whose coreset-fed local search under a
+    10-topic matroid is a driver kernel no SQL can replay; see
+    NEVER_SAMPLED.md). Both engines enumerate outright: every
+    4-subset of the 12 candidates (C(12,4) = 495 bitmasks),
+    independence decided by Hall's theorem over ALL non-empty
+    sub-subsets (|∪topics(T)| >= |T| for every T — exactly "a system
+    of distinct representatives exists", i.e. the 4 points match to 4
+    distinct topics), clique value as an exact BIGINT sum of
+    nano-quantized pair distances, argmax tie-broken by mask. Every
+    comparison is on integers, so shuffle order cannot perturb the
+    winner. The grids are constants (495 x 15 Hall cells, 495 x 66
+    pairs) evaluated in whole-stage codegen — the same bounded-cross
+    doctrine as div_eval_bipartition_exhaustive."""
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .filter(_SEED12_FILTER)
+        .select(
+            # bounded: 12-row seeded candidate set, constant window
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("i"),
+            "vec_id",
+            "label",
+            F.expr(_T12_TM).alias("tm"),
+            "embedding",
+        )
+    )
+    a = cand.select("i", F.col("embedding").alias("ea"))
+    b = cand.select(F.col("i").alias("j"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("i") < F.col("j")).select(
+        "i",
+        "j",
+        F.round(V.l2_dist("ea", "eb") * 1e9).cast("bigint").alias("dq"),
+    )
+    masks = (
+        spark.range(0, 4096)
+        .select(F.col("id").alias("m"))
+        .filter("bit_count(m) = 4")
+    )
+    subs = spark.range(1, 4096).select(F.col("id").alias("s"))
+    hallcells = (
+        masks.join(subs, F.expr("(s & m) = s"))
+        .join(
+            cand.select("i", "tm"), F.expr("((s >> CAST(i AS INT)) & 1) = 1")
+        )
+        .groupBy("m", "s")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("bit_count(bit_or(tm))").alias("cov"),
+        )
+    )
+    indep = (
+        hallcells.groupBy("m")
+        .agg(
+            F.sum(F.when(F.col("cov") < F.col("cnt"), 1).otherwise(0)).alias(
+                "viol"
+            )
+        )
+        .filter("viol = 0")
+        .select("m")
+    )
+    vals = (
+        indep.join(
+            pairs,
+            F.expr(
+                "((m >> CAST(i AS INT)) & 1) = 1 AND "
+                "((m >> CAST(j AS INT)) & 1) = 1"
+            ),
+        )
+        .groupBy("m")
+        .agg(F.sum("dq").alias("vq"))
+    )
+    best = vals.orderBy(F.col("vq").desc(), "m").limit(1)
+    return (
+        best.join(cand, F.expr("((m >> CAST(i AS INT)) & 1) = 1"))
+        .select(
+            F.expr(
+                "CAST(bit_count(m & (shiftleft(1, CAST(i AS INT)) - 1)) "
+                "AS INT)"
+            ).alias("rank"),
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round(F.col("vq").cast("double") / F.lit(1e9), 6).alias(
+                "clique_val"
+            ),
+        )
+    )
+
+
 @query(
     "div_random_baseline",
     bounded_cross="pairwise eval over the k-bounded random solution",
@@ -1295,4 +1444,129 @@ def div_kcenter_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows,
         "rank int, vec_id bigint, label int, robust_radius double,"
         " excluded_weight double",
+    )
+
+
+_KCO_Z = 2  # outlier weight budget (exact integer units)
+
+_KCO12_ORACLE = f"""
+WITH cand AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS i, vec_id, label,
+         (vec_id % 3) + 1 AS w, embedding
+  FROM embeddings WHERE {_SEED12_FILTER}
+), dmat AS MATERIALIZED (
+  SELECT a.i AS c, b.i AS p, b.w,
+         CAST(round({V.duck_l2_dist('a.embedding', 'b.embedding')} * 1e9)
+              AS BIGINT) AS dq
+  FROM cand a JOIN cand b ON true
+), radii AS (
+  SELECT DISTINCT dq AS r FROM dmat
+), masks AS (
+  SELECT m FROM (SELECT unnest(generate_series(0, 4095)) AS m)
+  WHERE bit_count(m) = 3
+), mind AS (
+  SELECT k.m, d.p, MIN(d.dq) AS md, MIN(d.w) AS w
+  FROM masks k JOIN dmat d ON ((k.m >> d.c) & 1) = 1
+  GROUP BY k.m, d.p
+), feas AS (
+  SELECT k.m, r.r,
+         SUM(CASE WHEN k.md > r.r THEN k.w ELSE 0 END) AS unc
+  FROM mind k, radii r
+  GROUP BY k.m, r.r
+  HAVING SUM(CASE WHEN k.md > r.r THEN k.w ELSE 0 END) <= {_KCO_Z}
+), best AS (
+  SELECT m, r, unc FROM feas ORDER BY r ASC, m ASC LIMIT 1
+)
+SELECT CAST(bit_count(b.m & ((1 << c.i) - 1)) AS INT) AS rank,
+       c.vec_id, CAST(c.label AS INT) AS label,
+       round(CAST(b.r AS DOUBLE) / 1e9, 6) AS robust_radius,
+       CAST(b.unc AS BIGINT) AS excluded_weight
+FROM best b JOIN cand c ON ((b.m >> c.i) & 1) = 1
+"""
+
+
+@query(
+    "div_kcenter_outliers_exhaustive",
+    bounded_cross="constant enumeration grids over a 12-point seeded "
+    "candidate set: 220 3-subsets x 144 distance cells and 2640 "
+    "min-dist rows x <=67 candidate radii — bounds fixed by the key",
+    oracle=_KCO12_ORACLE,
+)
+def div_kcenter_outliers_exhaustive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT weighted k-center-with-outliers on the fixed 12-point
+    seeded subset — the hash-checked companion of div_kcenter_outliers
+    (whose binary-search-over-greedy replay was measured at ~550
+    chained CTEs / 139 s of DuckDB PLANNING in round 4 and stays
+    rows-only; this twin gates the same semantic ingredients — exact
+    quantized distances, weighted coverage, the min-feasible-radius
+    objective — at a size where the true OPTIMUM enumerates). Both
+    engines: every 3-subset of the 12 candidates (C(12,3) = 220
+    bitmasks), deterministic integer weights w = vec_id % 3 + 1,
+    candidate radii = the distinct nano-quantized pairwise distances
+    (<= 67 incl. 0), uncovered weight as an exact BIGINT sum over the
+    (mask, point) min-distance table, answer = the lexicographically
+    (r, m)-smallest feasible cell under the pinned outlier budget
+    z = {_KCO_Z}. All comparisons on integers; constant grids in
+    whole-stage codegen (the div_eval_bipartition_exhaustive
+    doctrine)."""
+    cand = (
+        load(spark, sf_dir, "embeddings")
+        .filter(_SEED12_FILTER)
+        .select(
+            # bounded: 12-row seeded candidate set, constant window
+            (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("i"),
+            "vec_id",
+            "label",
+            F.expr("(vec_id % 3) + 1").alias("w"),
+            "embedding",
+        )
+    )
+    a = cand.select(F.col("i").alias("c"), F.col("embedding").alias("ea"))
+    b = cand.select(
+        F.col("i").alias("p"), "w", F.col("embedding").alias("eb")
+    )
+    dmat = a.crossJoin(b).select(
+        "c",
+        "p",
+        "w",
+        F.round(V.l2_dist("ea", "eb") * 1e9).cast("bigint").alias("dq"),
+    )
+    radii = dmat.select(F.col("dq").alias("r")).distinct()
+    masks = (
+        spark.range(0, 4096)
+        .select(F.col("id").alias("m"))
+        .filter("bit_count(m) = 3")
+    )
+    mind = (
+        masks.join(dmat, F.expr("((m >> CAST(c AS INT)) & 1) = 1"))
+        .groupBy("m", "p")
+        .agg(F.min("dq").alias("md"), F.min("w").alias("w"))
+    )
+    feas = (
+        mind.crossJoin(radii)
+        .groupBy("m", "r")
+        .agg(
+            F.sum(
+                F.when(F.col("md") > F.col("r"), F.col("w")).otherwise(0)
+            ).alias("unc")
+        )
+        .filter(F.col("unc") <= _KCO_Z)
+    )
+    best = feas.orderBy("r", "m").limit(1)
+    return (
+        best.join(cand, F.expr("((m >> CAST(i AS INT)) & 1) = 1"))
+        .select(
+            F.expr(
+                "CAST(bit_count(m & (shiftleft(1, CAST(i AS INT)) - 1)) "
+                "AS INT)"
+            ).alias("rank"),
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            F.round(F.col("r").cast("double") / F.lit(1e9), 6).alias(
+                "robust_radius"
+            ),
+            F.col("unc").cast("bigint").alias("excluded_weight"),
+        )
     )

@@ -428,3 +428,102 @@ def test_kcenter_outliers_ignores_planted_junk():
     # junk and one must span all three clusters -> radius inflates
     # by an order of magnitude over the robust solution
     assert r0 > 5 * r and ex0 == 0.0
+
+
+def test_transversal_exhaustive_matches_bruteforce(spark, sf_dir):
+    """Independent replay of div_matroid_transversal_exhaustive: an
+    itertools enumeration with TransversalMatroid as the independence
+    oracle (Hopcroft-Karp-free Hall check lives only in the SQL side,
+    so this cross-checks the Hall formulation against the matching
+    oracle) must agree on the winning subset and its clique value."""
+    import itertools
+
+    import numpy as np
+
+    from diversity_maximization_spark.diversity.matroid import (
+        TransversalMatroid,
+    )
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 29 = 0 AND vec_id < 320")
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert len(rows) == 12
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    labels = [int(r["label"]) for r in rows]
+    topics = {
+        i: frozenset({labels[i] % 4, (labels[i] % 4 + 3) % 4})
+        for i in range(12)
+    }
+    m = TransversalMatroid(topics)
+    dq = {}
+    for i, j in itertools.combinations(range(12), 2):
+        dq[(i, j)] = int(round(float(np.linalg.norm(X[i] - X[j])) * 1e9))
+    best = None
+    for sub in itertools.combinations(range(12), 4):
+        if not m.is_independent(list(sub)):
+            continue
+        vq = sum(dq[p] for p in itertools.combinations(sub, 2))
+        mask = sum(1 << i for i in sub)
+        if best is None or (-vq, mask) < (-best[0], best[1]):
+            best = (vq, mask, sub)
+    assert best is not None
+    got = QUERIES["div_matroid_transversal_exhaustive"](
+        spark, sf_dir
+    ).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [
+        int(rows[i]["vec_id"]) for i in best[2]
+    ]
+    assert got[0]["clique_val"] == round(best[0] / 1e9, 6)
+
+
+def test_kcenter_exhaustive_matches_bruteforce(spark, sf_dir):
+    """Independent replay of div_kcenter_outliers_exhaustive: full
+    (subset, radius) enumeration in numpy must agree on the minimal
+    feasible radius, the tie-broken winner, and its excluded weight."""
+    import itertools
+
+    import numpy as np
+
+    from diversity_maximization_spark.registry import QUERIES
+    from diversity_maximization_spark.sources import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter("vec_id % 29 = 0 AND vec_id < 320")
+        .orderBy("vec_id")
+        .collect()
+    )
+    X = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    w = np.array([int(r["vec_id"]) % 3 + 1 for r in rows])
+    n = len(rows)
+    D = np.array(
+        [
+            [int(round(float(np.linalg.norm(X[i] - X[j])) * 1e9)) for j in range(n)]
+            for i in range(n)
+        ],
+        dtype=np.int64,
+    )
+    radii = sorted(set(D.flatten().tolist()))
+    best = None
+    for sub in itertools.combinations(range(n), 3):
+        mask = sum(1 << i for i in sub)
+        md = D[list(sub), :].min(axis=0)
+        for r in radii:
+            unc = int(w[md > r].sum())
+            if unc <= 2:
+                if best is None or (r, mask) < (best[0], best[1]):
+                    best = (r, mask, sub, unc)
+                break  # larger radii for this subset can't improve r
+    got = QUERIES["div_kcenter_outliers_exhaustive"](spark, sf_dir).orderBy(
+        "rank"
+    ).collect()
+    assert [r["vec_id"] for r in got] == [
+        int(rows[i]["vec_id"]) for i in best[2]
+    ]
+    assert got[0]["robust_radius"] == round(best[0] / 1e9, 6)
+    assert got[0]["excluded_weight"] == best[3]
