@@ -55,7 +55,6 @@ def calibrate(spark, sf_dir: str) -> dict[str, float]:
     - spark_range_agg_sec: a fixed 50M-row range groupBy in THIS
       session — the Spark runtime's job-execution speed today.
     """
-    import duckdb
     import numpy as np
 
     from diversity_maximization_spark import registry
