@@ -74,6 +74,72 @@ def write_replay_files(
     return final
 
 
+_FLUSH_CACHE: dict[str, str] = {}
+
+
+def write_replay_files_with_flush(
+    spark: SparkSession, sf_dir: str, n_slices: int = 4
+) -> str:
+    """The base replay plus two trailing watermark-flush slices.
+
+    OUTER stream-stream joins withhold a null-extended row until the
+    global watermark PASSES the row's join window — a replay that
+    simply runs out of files would never emit the unmatched tail (the
+    documented outer-join caveat). Two sentinel micro-batch files fix
+    that deterministically: each carries one far-future signup and
+    one far-future purchase (2030-01-01 / 2030-01-02 — beyond any
+    fixture's event-time span) under NEGATIVE user ids that match no
+    real key and not each other, so the first sentinel batch advances
+    BOTH sides' watermark past every real event and the second forces
+    one more data batch in which the evicted unmatched state is
+    actually emitted (no reliance on no-data-batch scheduling). The
+    sentinels themselves either stay withheld or surface as negative
+    user ids — consumers filter user_id >= 0."""
+    if sf_dir in _FLUSH_CACHE:
+        return _FLUSH_CACHE[sf_dir]
+    base = write_replay_files(spark, sf_dir, n_slices)
+    final = tempfile.mkdtemp(prefix="dms_stream_flush_")
+    stamp = 1_700_000_000
+    files = sorted(os.listdir(base))
+    for i, f in enumerate(files):
+        dst = os.path.join(final, f)
+        shutil.copy(os.path.join(base, f), dst)
+        os.utime(dst, (stamp + 60 * i, stamp + 60 * i))
+    for j, day in enumerate(("2030-01-01", "2030-01-02")):
+        sent = spark.createDataFrame(
+            [
+                (
+                    -(10 * j + 1),
+                    f"{day} 00:00:00",
+                    -(10 * j + 1),
+                    "signup",
+                    0.0,
+                    "{}",
+                ),
+                (
+                    -(10 * j + 2),
+                    f"{day} 00:00:00",
+                    -(10 * j + 2),
+                    "purchase",
+                    0.0,
+                    "{}",
+                ),
+            ],
+            "event_id bigint, ts string, user_id bigint, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        tmp = tempfile.mkdtemp(prefix="dms_stream_sent_")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        dst = os.path.join(final, f"9{j:03d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        t = stamp + 60 * (len(files) + j + 1)
+        os.utime(dst, (t, t))
+    _FLUSH_CACHE[sf_dir] = final
+    return final
+
+
 def stream_events(spark: SparkSession, replay_dir: str) -> DataFrame:
     """Watermarks require TIMESTAMP (ltz); session tz is pinned to UTC
     here (runtime-settable conf — the driver constructs its own

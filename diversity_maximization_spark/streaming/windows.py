@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from ..sources import load
-from .replay import run_to_memory, stream_events, write_replay_files
+from .replay import (
+    run_to_memory,
+    stream_events,
+    write_replay_files,
+    write_replay_files_with_flush,
+)
 
 _counter = itertools.count()
 
@@ -422,6 +427,75 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="append",
     )
     return out
+
+
+@query(
+    "stream_stream_left_join",
+    oracle="""
+SELECT s.user_id, s.event_id AS signup_id, p.event_id AS purchase_id
+FROM events s LEFT JOIN events p
+  ON s.user_id = p.user_id AND p.event_type = 'purchase'
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+WHERE s.event_type = 'signup'
+""",
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join — the eviction-correctness twin
+    of stream_stream_join: every signup must emit exactly once, with
+    its in-window purchases or null-extended, and a null row may only
+    surface once the global watermark PASSES the signup's 5-minute
+    window (emitting earlier would produce a spurious null next to a
+    later real match; never emitting is the documented
+    outer-join-at-stream-end caveat). The replay appends two sentinel
+    flush batches (replay.write_replay_files_with_flush) so the
+    watermark provably crosses every real event and the withheld
+    unmatched state drains inside the replay itself — equality with
+    the batch LEFT JOIN oracle then proves BOTH no-dup/no-drop on
+    matches AND exactly-once null extension on non-matches. At
+    100 TB/day this is the attribution join with abandoned-signup
+    accounting; state stays bounded by the watermark horizon exactly
+    as in the inner variant."""
+    replay = write_replay_files_with_flush(spark, sf_dir)
+    s = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "45 minutes")
+    )
+    p = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_p"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", "45 minutes")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_id") == F.col("user_p"))
+        & (F.col("ts_p") >= F.col("ts_s"))
+        & (F.col("ts_p") <= F.col("ts_s") + F.expr("INTERVAL 5 MINUTE")),
+        "leftOuter",
+    )
+    out = run_to_memory(
+        joined.select("user_id", "signup_id", "purchase_id"),
+        _fresh("ssljoin"),
+        mode="append",
+    )
+    # Drop the watermark-flush sentinels on the MATERIALIZED batch
+    # result, never inside the streaming plan: a user_id filter in the
+    # streaming plan is pushed below the left-side EventTimeWatermark
+    # node, which silently removes the sentinel signups BEFORE they can
+    # advance the left watermark — the global watermark then stalls at
+    # max(real ts) - 45 min and the last ~50 min of unmatched signups
+    # are withheld forever (observed: 4 tail rows missing at sf0.01).
+    return out.filter(F.col("user_id") >= 0)
 
 
 @query(

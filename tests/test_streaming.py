@@ -191,3 +191,31 @@ def test_tws_gate_honest_both_ways(spark, sf_dir):
         assert "div_coreset_stream_tws" not in QUERIES
         with pytest.raises(ImportError):
             from google.protobuf import descriptor  # noqa: F401
+
+
+def test_stream_stream_left_join_flush_semantics(spark, sf_dir):
+    """Pins the outer-join flush mechanics independent of the oracle:
+    (a) at least one unmatched signup is emitted null-extended (the
+    withheld-tail class the sentinel batches exist to drain), (b) no
+    sentinel (negative user_id) leaks to the result, (c) the matched
+    subset equals the inner stream_stream_join result exactly, and
+    (d) signups are exactly-once: left-row multiplicity equals
+    max(1, in-window purchase count) per signup."""
+    from collections import Counter
+
+    rows = QUERIES["stream_stream_left_join"](spark, sf_dir).collect()
+    assert any(r["purchase_id"] is None for r in rows)
+    assert all(r["user_id"] >= 0 for r in rows)
+    inner = QUERIES["stream_stream_join"](spark, sf_dir).collect()
+    matched = sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in rows
+        if r["purchase_id"] is not None
+    )
+    assert matched == sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"]) for r in inner
+    )
+    per_signup = Counter(r["signup_id"] for r in rows)
+    matched_per_signup = Counter(r["signup_id"] for r in inner)
+    for sid, n in per_signup.items():
+        assert n == max(1, matched_per_signup.get(sid, 0))
