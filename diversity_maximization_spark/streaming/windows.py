@@ -499,6 +499,69 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_full_join",
+    oracle="""
+SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+       s.event_id AS signup_id, p.event_id AS purchase_id
+FROM (SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'signup') s
+FULL JOIN (SELECT user_id, event_id, ts FROM events
+           WHERE event_type = 'purchase') p
+  ON s.user_id = p.user_id
+ AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 5 MINUTE
+""",
+)
+def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM FULL OUTER join — state on BOTH sides must evict
+    AND null-extend: every signup emits (with purchases or null, as in
+    the left variant) and every purchase that attributed to no signup
+    ALSO emits once the watermark passes its window — the complete
+    attribution ledger (converted, abandoned-signup, and organic-
+    purchase rows in one result). Same sentinel-flush replay and same
+    materialized-side sentinel filter as stream_stream_left_join (the
+    filter must see COALESCE of both sides, since unmatched rows carry
+    only one side's user id)."""
+    replay = write_replay_files_with_flush(spark, sf_dir)
+    s = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("user_s"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("ts_s"),
+        )
+        .withWatermark("ts_s", "45 minutes")
+    )
+    p = (
+        stream_events(spark, replay)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("user_p"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("ts_p"),
+        )
+        .withWatermark("ts_p", "45 minutes")
+    )
+    joined = s.join(
+        p,
+        (F.col("user_s") == F.col("user_p"))
+        & (F.col("ts_p") >= F.col("ts_s"))
+        & (F.col("ts_p") <= F.col("ts_s") + F.expr("INTERVAL 5 MINUTE")),
+        "fullOuter",
+    )
+    out = run_to_memory(
+        joined.select(
+            F.coalesce("user_s", "user_p").alias("user_id"),
+            "signup_id",
+            "purchase_id",
+        ),
+        _fresh("ssfjoin"),
+        mode="append",
+    )
+    return out.filter(F.col("user_id") >= 0)
+
+
+@query(
     "stream_dedup_within_watermark",
     oracle="SELECT DISTINCT user_id, event_type FROM events",
 )

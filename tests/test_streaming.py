@@ -219,3 +219,20 @@ def test_stream_stream_left_join_flush_semantics(spark, sf_dir):
     matched_per_signup = Counter(r["signup_id"] for r in inner)
     for sid, n in per_signup.items():
         assert n == max(1, matched_per_signup.get(sid, 0))
+
+
+def test_stream_stream_full_join_covers_both_sides(spark, sf_dir):
+    """The full-outer result must be the union of the left-outer
+    result and the unmatched-purchase rows: same matched set, same
+    null-extended signups, plus >= 1 purchase with NULL signup_id, and
+    no sentinel leakage."""
+    rows = QUERIES["stream_stream_full_join"](spark, sf_dir).collect()
+    assert all(r["user_id"] >= 0 for r in rows)
+    assert any(r["signup_id"] is None for r in rows)
+    left = QUERIES["stream_stream_left_join"](spark, sf_dir).collect()
+    as_t = lambda rs: sorted(
+        (r["user_id"], r["signup_id"], r["purchase_id"])
+        for r in rs
+        if r["signup_id"] is not None
+    )
+    assert as_t(rows) == as_t(left)
