@@ -11,6 +11,7 @@ the source table).
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -27,8 +28,18 @@ EVENT_SCHEMA = (
 
 # one replay dir per (sf_dir, n_slices) per process: the slices are a
 # deterministic function of the fixture, and every streaming key pays
-# the ~2-4 s write otherwise
+# the ~2-4 s write otherwise. Cached dirs are removed at interpreter
+# exit (same /tmp-growth class as the round-7 stats_barrier advice
+# finding — a long-lived host running many sweeps would otherwise
+# accumulate one dir set per process); mid-process they must stay,
+# since cached streams re-read the files on every query run.
 _REPLAY_CACHE: dict[tuple[str, int], str] = {}
+
+
+@atexit.register
+def _cleanup_replay_dirs() -> None:
+    for d in list(_REPLAY_CACHE.values()) + list(_FLUSH_CACHE.values()):
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def write_replay_files(
