@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 
 
@@ -424,7 +425,7 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    mv_dir = tempfile.mkdtemp(prefix="dms_mv_")
+    mv_dir = scratch_dir(prefix="dms_mv_")
     day_agg(ev.filter(F.col("ts") < split)).write.mode(
         "overwrite"
     ).parquet(mv_dir)

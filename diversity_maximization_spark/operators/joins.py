@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..functions import vector as V
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 from .aggregates import cents, dsum, dsum2, duck_dsum, duck_dsum2
 
@@ -319,8 +320,12 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    from ..scratch import register_scratch
+
     db = "dms_buckets"
-    db_loc = os.path.join(tempfile.gettempdir(), f"dms_buckets_db_{os.getpid()}")
+    db_loc = register_scratch(
+        os.path.join(tempfile.gettempdir(), f"dms_buckets_db_{os.getpid()}")
+    )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{db_loc}'")
     # Suffix is per (dir, process): a bare driver session's default
     # warehouse is ./spark-warehouse, whose directories outlive the
@@ -331,7 +336,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl, key in (("orders", "o_custkey"), ("customer", "c_custkey")):
         name = f"{db}.{tbl}_b{sfx}"
         if not spark.catalog.tableExists(name):
-            path = tempfile.mkdtemp(prefix=f"dms_bucket_{tbl}_")
+            path = scratch_dir(prefix=f"dms_bucket_{tbl}_")
             (
                 load(spark, sf_dir, tbl)
                 .write.mode("overwrite")

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 
 
@@ -127,13 +128,13 @@ def sink_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins n_rows to the original table — compaction must be
     row-lossless."""
     ev = load(spark, sf_dir, "events")
-    frag_dir = tempfile.mkdtemp(prefix="dms_frag_")
+    frag_dir = scratch_dir(prefix="dms_frag_")
     ev.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
     n_files_before = (
         frag.select(F.input_file_name().alias("f")).distinct().count()
     )
-    compact_dir = tempfile.mkdtemp(prefix="dms_compact_")
+    compact_dir = scratch_dir(prefix="dms_compact_")
     frag.repartition(4).write.mode("overwrite").parquet(compact_dir)
     back = spark.read.parquet(compact_dir)
     # input_file_name() is non-deterministic to Catalyst, so the file
@@ -169,7 +170,7 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     back-fill semantics. This is the add-a-column-without-rewriting
     path every long-lived 100 TB table takes."""
     ev = load(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="dms_evolve_")
+    out_dir = scratch_dir(prefix="dms_evolve_")
     ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
         f"{out_dir}/part=a"
     )
@@ -225,7 +226,7 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
     )
-    base = tempfile.mkdtemp(prefix="dms_dynover_")
+    base = scratch_dir(prefix="dms_dynover_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(base)
 
     corrected = ev.filter(F.col("event_type") == "click").withColumn(
@@ -282,7 +283,7 @@ def catalog_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for tbl in ("nation", "region"):
         name = f"{db}.{tbl}_s{sfx}"
         if not spark.catalog.tableExists(name):
-            path = tempfile.mkdtemp(prefix=f"dms_stats_{tbl}_")
+            path = scratch_dir(prefix=f"dms_stats_{tbl}_")
             load(spark, sf_dir, tbl).write.mode("overwrite").option(
                 "path", path
             ).saveAsTable(name)
@@ -334,7 +335,7 @@ def sink_sharded_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("shard"),
     )
-    out = tempfile.mkdtemp(prefix="dms_shards_")
+    out = scratch_dir(prefix="dms_shards_")
     d.write.partitionBy("shard").mode("overwrite").parquet(out)
     back = spark.read.parquet(out)
     return back.groupBy("shard").agg(
@@ -389,7 +390,7 @@ def sink_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " % 4 AS BIGINT)"
         ).alias("shard"),
     )
-    out = tempfile.mkdtemp(prefix="dms_manifest_")
+    out = scratch_dir(prefix="dms_manifest_")
     (
         o.repartition(4, "shard")
         .sortWithinPartitions("shard", "k")

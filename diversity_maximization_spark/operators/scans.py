@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import TABLES, load
 
 _SCAN_ORACLE = " UNION ALL ".join(
@@ -84,7 +85,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     lifetime (no driver-side collect — the read-back stays lazy and
     distributed)."""
     ev = load(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="dms_sink_")
+    out_dir = scratch_dir(prefix="dms_sink_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     return spark.read.parquet(out_dir).select(*TABLES["events"])
 
@@ -110,7 +111,7 @@ def sink_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the two partition dirs). Oracle = the same aggregate over
     the original table, proving prune-correctness."""
     ev = load(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="dms_prune_")
+    out_dir = scratch_dir(prefix="dms_prune_")
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     back = spark.read.parquet(out_dir).filter(
         F.col("event_type").isin("click", "purchase")
@@ -149,7 +150,7 @@ def sink_clustered_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     Z-order on query keys. Oracle = the same aggregate over the
     original table, proving layout round-trip correctness."""
     li = load(spark, sf_dir, "lineitem")
-    out_dir = tempfile.mkdtemp(prefix="dms_cluster_")
+    out_dir = scratch_dir(prefix="dms_cluster_")
     (
         li.repartitionByRange(8, "l_shipdate")
         .sortWithinPartitions("l_shipdate")
@@ -189,7 +190,7 @@ def write_zorder_layout(spark: SparkSession, sf_dir: str) -> str:
         "dy", day.cast("bigint")
     )
     zv = _morton_expr("ck", "dy")
-    out_dir = tempfile.mkdtemp(prefix="dms_zorder_")
+    out_dir = scratch_dir(prefix="dms_zorder_")
     (
         zsrc.withColumn("zv", zv)
         .repartitionByRange(8, "zv")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 
 # h_j(x) = ((x mod 2^31) * A_j mod 2^32) mod w — Knuth multiplicative
@@ -367,7 +368,7 @@ def sketch_hll_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    d = tempfile.mkdtemp(prefix="dms_hll_")
+    d = scratch_dir(prefix="dms_hll_")
     daily.write.mode("overwrite").parquet(d)
     back = spark.read.parquet(d)
     est_row = back.agg(

@@ -22,10 +22,15 @@ def get_spark(app_name: str = "diversity-maximization-spark") -> SparkSession:
     # per-process managed-table warehouse (bucketed tables): keeps the
     # repo clean and avoids location collisions across sessions, since
     # the in-memory catalog forgets tables but their dirs persist
-    warehouse = os.environ.get(
-        "SPARK_WAREHOUSE_DIR",
-        os.path.join(tempfile.gettempdir(), f"dms_warehouse_{os.getpid()}"),
-    )
+    warehouse = os.environ.get("SPARK_WAREHOUSE_DIR")
+    if warehouse is None:
+        # engine-owned default: register for exit-time cleanup (a
+        # user-provided SPARK_WAREHOUSE_DIR is never deleted)
+        from .scratch import register_scratch
+
+        warehouse = register_scratch(
+            os.path.join(tempfile.gettempdir(), f"dms_warehouse_{os.getpid()}")
+        )
     return (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from . import load
 
 _CACHE: dict[tuple[str, str], str] = {}
@@ -33,7 +34,7 @@ def _written(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     """Write events once per (sf_dir, fmt) per process; return path."""
     key = (sf_dir, fmt)
     if key not in _CACHE:
-        out = tempfile.mkdtemp(prefix=f"dms_{fmt}_")
+        out = scratch_dir(prefix=f"dms_{fmt}_")
         ev = load(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         )
@@ -84,7 +85,7 @@ def source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     involved — a lossy writer or reader fails the hash)."""
     key = (sf_dir, "orc")
     if key not in _CACHE:
-        out = tempfile.mkdtemp(prefix="dms_orc_")
+        out = scratch_dir(prefix="dms_orc_")
         load(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id", "event_type", "value"
         ).write.mode("overwrite").orc(out)
@@ -311,7 +312,7 @@ def _permissive_fixture(spark: SparkSession, sf_dir: str) -> str:
         .orderBy("event_id")
         .collect()
     )
-    d = tempfile.mkdtemp(prefix="dms_badcsv_")
+    d = scratch_dir(prefix="dms_badcsv_")
     path = os.path.join(d, "events_dirty.csv")
     with open(path, "w") as f:
         f.write("event_id,user_id,event_type,value\n")
@@ -347,7 +348,7 @@ def source_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash against the parquet original."""
     key = (sf_dir, "fixedwidth")
     if key not in _CACHE:
-        out = tempfile.mkdtemp(prefix="dms_fw_")
+        out = scratch_dir(prefix="dms_fw_")
 
         def fit(col, width: int, left: bool):
             # lpad/rpad silently TRUNCATE over-width values; guard with

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 
 KPRIME = 16
@@ -124,7 +125,7 @@ def embedding_replay(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str
     emb = load(spark, sf_dir, "embeddings")
     n = emb.count()
     per = max(1, n // n_slices)
-    replay = tempfile.mkdtemp(prefix="dms_score_")
+    replay = scratch_dir(prefix="dms_score_")
     for i in range(n_slices):
         lo, hi = i * per, (i + 1) * per if i < n_slices - 1 else n
         part = emb.filter(
@@ -132,7 +133,7 @@ def embedding_replay(spark: SparkSession, sf_dir: str, n_slices: int = 4) -> str
             if i < n_slices - 1
             else (F.col("vec_id") >= lo)
         )
-        d = tempfile.mkdtemp()
+        d = scratch_dir("dms_slice_")
         part.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(d)
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
         shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))
@@ -466,7 +467,7 @@ def div_coreset_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     n_slices = 4
     per = max(1, n // n_slices)
-    replay = tempfile.mkdtemp(prefix="dms_tws_")
+    replay = scratch_dir(prefix="dms_tws_")
     for i in range(n_slices):
         lo, hi = i * per, (i + 1) * per if i < n_slices - 1 else n
         part = emb.filter(
@@ -474,7 +475,7 @@ def div_coreset_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             if i < n_slices - 1
             else (F.col("vec_id") >= lo)
         )
-        d = tempfile.mkdtemp()
+        d = scratch_dir("dms_slice_")
         part.orderBy("vec_id").coalesce(1).write.mode("overwrite").parquet(d)
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
         shutil.copy(os.path.join(d, f), os.path.join(replay, f"{i:04d}.parquet"))

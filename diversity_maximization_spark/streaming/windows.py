@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..scratch import scratch_dir
 from ..sources import load
 from .replay import (
     run_to_memory,
@@ -201,11 +202,11 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     on_time = ev.filter(F.col("ts") > cutoff)
     late = ev.filter(F.col("ts") <= cutoff)  # will arrive LAST -> dropped
 
-    replay = tempfile.mkdtemp(prefix="dms_late_")
-    checkpoint = tempfile.mkdtemp(prefix="dms_late_ckpt_")
+    replay = scratch_dir(prefix="dms_late_")
+    checkpoint = scratch_dir(prefix="dms_late_ckpt_")
 
     def add_file(part, idx):
-        d = tempfile.mkdtemp()
+        d = scratch_dir("dms_slice_")
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
         dst = os.path.join(replay, f"{idx:04d}.parquet")
@@ -339,7 +340,7 @@ def sink_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = write_replay_files(spark, sf_dir)
     st = stream_events(spark, replay)
-    out_dir = _tf.mkdtemp(prefix="dms_feb_")
+    out_dir = scratch_dir(prefix="dms_feb_")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         (
@@ -661,9 +662,9 @@ def stream_checkpoint_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     full = write_replay_files(spark, sf_dir)
     files = sorted(os.listdir(full))
-    src = tempfile.mkdtemp(prefix="dms_ckres_src_")
-    ckpt = tempfile.mkdtemp(prefix="dms_ckres_ck_")
-    out = tempfile.mkdtemp(prefix="dms_ckres_out_")
+    src = scratch_dir(prefix="dms_ckres_src_")
+    ckpt = scratch_dir(prefix="dms_ckres_ck_")
+    out = scratch_dir(prefix="dms_ckres_out_")
 
     def run_once():
         st = (
@@ -804,7 +805,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = write_replay_files(spark, sf_dir)
     st = stream_events(spark, replay)
-    state_dir = tempfile.mkdtemp(prefix="dms_cdc_state_")
+    state_dir = scratch_dir(prefix="dms_cdc_state_")
     shutil.rmtree(state_dir, ignore_errors=True)
 
     def apply_batch(batch_df, batch_id):
@@ -839,7 +840,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.writeStream.foreachBatch(apply_batch)
         .trigger(availableNow=True)
         .option(
-            "checkpointLocation", tempfile.mkdtemp(prefix="dms_cdc_ckpt_")
+            "checkpointLocation", scratch_dir(prefix="dms_cdc_ckpt_")
         )
         .start()
     )
@@ -970,7 +971,7 @@ def stream_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     replay = write_replay_files(spark, sf_dir)
     st = stream_events(spark, replay)
-    out_dir = _tf.mkdtemp(prefix="dms_hllwau_")
+    out_dir = scratch_dir(prefix="dms_hllwau_")
 
     def write_batch(bdf: DataFrame, batch_id: int) -> None:
         (
@@ -1064,10 +1065,10 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = ev.filter(F.col("ts") <= cutoff)
     cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
-    replay = tempfile.mkdtemp(prefix="dms_latem_")
+    replay = scratch_dir(prefix="dms_latem_")
 
     def add_file(part, idx):
-        d = tempfile.mkdtemp()
+        d = scratch_dir("dms_slice_")
         part.coalesce(1).write.mode("overwrite").parquet(d)
         f = [x for x in os.listdir(d) if x.endswith(".parquet")][0]
         dst = os.path.join(replay, f"{idx:04d}.parquet")
