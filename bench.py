@@ -8,12 +8,22 @@ warmed (one trivial job) before any query is timed, so numbers are
 steady-state job time, not JVM/session startup. Each query is forced
 with a full collect() — the same materialization the driver's
 correctness check performs.
+
+Rep structure (r8 verdict item 3): the loop is REP-MAJOR — each of
+the 3 reps times every headline query once and then times the three
+host-speed anchors in the same process window, so every rep carries
+its own load-contemporaneous normalizer. The JSON emits
+``ratio_per_rep`` (rep_total / that rep's spark anchor) and its
+median; BASELINE.md's drift rule compares the MEDIAN ratio across
+rounds, never wall seconds (the r8 single-shot anchor ratio moved
+26.75–35.1 on identical code purely from when the anchor ran).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -36,61 +46,55 @@ HEADLINE = [
     "tfidf",
 ]
 
+N_REPS = 3
 
-def calibrate(spark, sf_dir: str) -> dict[str, float]:
-    """In-process host-speed anchors (r7 verdict item 2).
 
-    BENCH wall-seconds on this shared box drift uniformly ±35% round
-    to round from external load (the r7 16.6 s vs r6 11.6 s
-    adjudication); these anchors, timed in the SAME process right
-    before the headline loop, let a reader normalize across rounds
-    (report spark_total / anchor, not wall seconds — BASELINE.md
-    "Drift normalization"). Three anchors, min-of-3 each:
+def _anchor_state(spark, sf_dir: str):
+    """Build + warm the anchor workloads once; reps then time them.
 
     - numpy_matmul_sec: pure-CPU 1536^2 dgemm — raw core speed/steal,
       no JVM, no I/O;
     - duckdb_pricing_sec: the BASELINE.md headline query
       (agg_pricing_summary oracle) in DuckDB over the same parquet —
-      the baseline engine's own speed today;
+      the baseline engine's own speed at that moment;
     - spark_range_agg_sec: a fixed 50M-row range groupBy in THIS
-      session — the Spark runtime's job-execution speed today.
+      session — the Spark runtime's job-execution speed at that
+      moment.
     """
     import numpy as np
 
     from diversity_maximization_spark import registry
     from diversity_maximization_spark.testing import duck_connection
 
-    anchors: dict[str, float] = {}
-
-    rng = np.random.RandomState(0)
-    a = rng.rand(1536, 1536)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        b = a @ a
-        best = min(best, time.perf_counter() - t0)
-        del b
-    anchors["numpy_matmul_sec"] = round(best, 4)
+    a = np.random.RandomState(0).rand(1536, 1536)
+    _ = a @ a  # BLAS thread-pool warm
 
     con = duck_connection(sf_dir)
     sql = registry.ORACLES["agg_pricing_summary"]
     con.execute(sql).fetchall()  # warm (footer cache, JIT)
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        con.execute(sql).fetchall()
-        best = min(best, time.perf_counter() - t0)
-    anchors["duckdb_pricing_sec"] = round(best, 4)
-    con.close()
 
     probe = spark.range(50_000_000)
     probe.groupBy((probe.id % 97).alias("g")).count().collect()  # warm
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        probe.groupBy((probe.id % 97).alias("g")).count().collect()
-        best = min(best, time.perf_counter() - t0)
-    anchors["spark_range_agg_sec"] = round(best, 4)
+    return a, con, sql, probe
+
+
+def time_anchors(state) -> dict[str, float]:
+    """One timed execution of each anchor (already warmed)."""
+    a, con, sql, probe = state
+    anchors: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    b = a @ a
+    anchors["numpy_matmul_sec"] = round(time.perf_counter() - t0, 4)
+    del b
+
+    t0 = time.perf_counter()
+    con.execute(sql).fetchall()
+    anchors["duckdb_pricing_sec"] = round(time.perf_counter() - t0, 4)
+
+    t0 = time.perf_counter()
+    probe.groupBy((probe.id % 97).alias("g")).count().collect()
+    anchors["spark_range_agg_sec"] = round(time.perf_counter() - t0, 4)
     return anchors
 
 
@@ -128,35 +132,51 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).collect()
 
     load_before = os.getloadavg()
-    anchors = calibrate(spark, sf_dir)
+    astate = _anchor_state(spark, sf_dir)
 
-    # Three timed executions per query, min reported: this box shows
-    # uniform +-35% run-to-run swings from external load, and
-    # BASELINE.md's budget is defined on steady-state job time — the
-    # min of warm runs is the low-noise estimator of that. All three
-    # reps are kept so per-rep totals (noise spread) land in the JSON.
-    times: dict[str, float] = {}
-    reps: dict[str, list[float]] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES.get(name)
-        if fn is None:
-            continue
-        try:
-            runs = []
-            for _ in range(3):
+    # Rep-major: each rep times every query once, then the anchors —
+    # this box shows uniform ±35% run-to-run swings from external
+    # load, so each rep's total is divided by its OWN anchor reading.
+    # Per-query headline numbers stay min-of-reps (the low-noise
+    # estimator of steady-state job time, as before).
+    reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    anchors_per_rep: list[dict[str, float]] = []
+    failed: set[str] = set()
+    for _ in range(N_REPS):
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None or name in failed:
+                continue
+            try:
                 t0 = time.perf_counter()
                 rows = fn(spark, sf_dir).collect()
-                runs.append(time.perf_counter() - t0)
+                reps[name].append(time.perf_counter() - t0)
                 del rows
-            times[name] = round(min(runs), 3)
-            reps[name] = [round(t, 3) for t in runs]
-        except Exception as exc:  # keep benching the rest
-            print(f"bench: {name} failed: {exc}", file=sys.stderr)
-            times[name] = -1.0
+            except Exception as exc:  # keep benching the rest
+                print(f"bench: {name} failed: {exc}", file=sys.stderr)
+                failed.add(name)
+        anchors_per_rep.append(time_anchors(astate))
+    astate[1].close()  # duckdb connection
+
+    times = {
+        name: (round(min(runs), 3) if runs and name not in failed else -1.0)
+        for name, runs in reps.items()
+        if runs or name in failed
+    }
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    ok = [n for n, r in reps.items() if len(r) == N_REPS and n not in failed]
     rep_totals = [
-        round(sum(r[i] for r in reps.values()), 3) for i in range(3)
+        round(sum(reps[n][i] for n in ok), 3) for i in range(N_REPS)
     ]
+    ratio_per_rep = [
+        round(rep_totals[i] / anchors_per_rep[i]["spark_range_agg_sec"], 2)
+        for i in range(N_REPS)
+    ]
+    ratio_median = round(statistics.median(ratio_per_rep), 2)
+    anchors_median = {
+        k: round(statistics.median(a[k] for a in anchors_per_rep), 4)
+        for k in anchors_per_rep[0]
+    }
     load_after = os.getloadavg()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,13 +192,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf_val,
-                # Drift normalization (r7 verdict item 2): compare
-                # value / anchors across rounds, not wall seconds —
-                # see BASELINE.md "Drift normalization".
-                "anchors": anchors,
-                "value_over_spark_anchor": round(
-                    total / anchors["spark_range_agg_sec"], 2
-                ),
+                # Drift normalization (r7 item 2, r8 item 3): compare
+                # the MEDIAN per-rep ratio across rounds, not wall
+                # seconds — see BASELINE.md "Drift normalization".
+                "anchors": anchors_median,
+                "anchors_per_rep": anchors_per_rep,
+                "ratio_per_rep": ratio_per_rep,
+                "ratio_median": ratio_median,
+                "value_over_spark_anchor": ratio_median,
                 "rep_totals": rep_totals,
                 "loadavg_before": [round(x, 2) for x in load_before],
                 "loadavg_after": [round(x, 2) for x in load_after],

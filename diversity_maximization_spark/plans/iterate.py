@@ -58,8 +58,12 @@ def stats_barrier(
     file-size stat in the resulting LogicalRDD (rewriteStats copies
     the child's sizeInBytes — the reset is exactly what the barrier
     exists for), so the files are never re-read and can be removed at
-    once. Driver-local tempdir ⇒ local/single-node only, as before; a
-    cluster deployment would point this at shared storage and clean
+    once. Failure-recovery note (r8 ADVICE): localCheckpoint blocks
+    are not fault-tolerant, and the source parquet is gone — losing a
+    block after this returns is a HARD job failure, not a recompute.
+    Acceptable in the documented local/single-node scope (one JVM, no
+    executor loss short of process death); a cluster deployment would
+    use reliable ``checkpoint()`` against shared storage and clean
     asynchronously."""
     df = df.localCheckpoint(eager=True)
     if squaring and r % every == every - 1:

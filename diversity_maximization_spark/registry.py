@@ -64,63 +64,70 @@ def query(
 
     return deco
 
-# round-8 rotation: the next 50 never-driver-sampled keys, strictly
-# in NEVER_SAMPLED.md order (r7 verdict item 1 — no contract-changed
-# keys this round burn slots; the three r7-ADVICE rounding fixes were
-# oracle-side tie alignments re-proven by the local strict gate).
+# round-9 rotation: the next 50 never-driver-sampled keys, strictly
+# in NEVER_SAMPLED.md order (r8 verdict item 1; freeze held: new keys
+# this round <= 50 rotated). Policy note (r8 ADVICE, registry.py:68):
+# when a key's emitted contract changes mid-round (e.g. an oracle-side
+# tie/rounding alignment), the accepted re-proof is the full strict
+# local gate at BOTH SFs (CHECK_sf001_strict / CHECK_sf01_strict) --
+# such keys do NOT jump the NEVER_SAMPLED.md rotation order, because
+# the strict gate has predicted the driver 300/300 over r3-r8 and
+# burning window slots on re-proof would slow backlog retirement.
+# Already-driver-sampled keys whose contract changes are re-proven the
+# same way (documented per-round in ROUND_NOTES.md).
 # Every key here MUST have an oracle (a no-oracle key in the window
-# is an automatic err slot) — enforced in tests.
+# is an automatic err slot) -- enforced in tests.
 CHECK_WINDOW: list[str] = [
-    "agg_gravity_trade",
-    "agg_oaxaca",
-    "ts_dfa",
-    "survival_rmst",
-    "agg_meta_analysis",
-    "agg_atkinson",
-    "agg_min_variance_portfolio",
-    "ts_parkinson_vol",
-    "rec_eval_itemknn",
-    "ts_sax_motifs",
-    "join_division",
-    "agg_iptw_ate",
-    "agg_last_digit_test",
-    "agg_littles_law",
-    "agg_newsvendor",
-    "agg_safety_stock",
-    "ts_pettitt",
-    "agg_fairness_report",
-    "anomaly_isolation_grid",
-    "ts_stochastic_oscillator",
-    "ts_var_backtest",
-    "agg_rdd_sharp",
-    "agg_cem_att",
-    "agg_holm_bonferroni",
-    "anomaly_lof",
-    "ts_binary_segmentation",
-    "agg_ttest_one_sample",
-    "privacy_rr_frequency",
-    "agg_jonckheere",
-    "agg_palma_ratio",
-    "ts_seasonal_mase",
-    "tokenize_greedy_vocab",
-    "corpus_unigram_entropy",
-    "ts_haar_energy",
-    "ts_bass_diffusion",
-    "sample_cluster_two_stage",
-    "graph_square_count",
-    "ts_ccf",
-    "agg_g_test",
-    "multimodal_video_motion_census",
-    "agg_log_loss",
-    "agg_fleiss_kappa",
-    "agg_cochrans_q",
-    "agg_lognormal_mom",
-    "ts_kalman_level",
-    "ts_sample_entropy",
-    "agg_negbin_mom",
-    "multimodal_audio_energy_census",
-    "ts_turning_points",
-    "ts_control_chart",
+    "stream_stream_full_join",
+    "stream_stream_left_join",
+    "div_matroid_transversal_exhaustive",
+    "div_kcenter_outliers_exhaustive",
+    "agg_design_effect",
+    "agg_grubbs",
+    "ts_macd",
+    "agg_cvm_test",
+    "agg_tukey_hsd",
+    "agg_price_index",
+    "agg_qte",
+    "agg_gamma_mom",
+    "agg_ece",
+    "agg_raking",
+    "ts_newey_west",
+    "agg_stratified_att",
+    "multimodal_histogram_census",
+    "rec_eval_popularity",
+    "survival_nelson_aalen",
+    "agg_bland_altman",
+    "graph_katz",
+    "agg_average_precision",
+    "ts_permutation_patterns",
+    "corpus_heaps_law",
+    "graph_k_truss",
+    "ts_periodogram",
+    "agg_isotonic_calibration",
+    "ts_matrix_profile",
+    "ts_dtw",
+    "seq_pattern_support",
+    "embed_pca_power",
+    "ts_sharpe",
+    "agg_eb_shrinkage",
+    "ts_ulcer_index",
+    "agg_decile_lift",
+    "agg_overdispersion",
+    "ts_croston",
+    "er_fs_weights",
+    "win_alarm_debounce",
+    "ts_holt_winters",
+    "agg_theil_index",
+    "ts_sma_crossover",
+    "join_asof_forward",
+    "text_log_odds_words",
+    "fn_month_arith",
+    "corpus_js_divergence",
+    "agg_icc",
+    "text_hapax_ratio",
+    "ts_rsi",
+    "graph_reciprocity",
 ]
 
 

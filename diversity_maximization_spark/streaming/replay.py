@@ -85,7 +85,7 @@ def write_replay_files(
     return final
 
 
-_FLUSH_CACHE: dict[str, str] = {}
+_FLUSH_CACHE: dict[tuple[str, int], str] = {}
 
 
 def write_replay_files_with_flush(
@@ -106,8 +106,8 @@ def write_replay_files_with_flush(
     actually emitted (no reliance on no-data-batch scheduling). The
     sentinels themselves either stay withheld or surface as negative
     user ids — consumers filter user_id >= 0."""
-    if sf_dir in _FLUSH_CACHE:
-        return _FLUSH_CACHE[sf_dir]
+    if (sf_dir, n_slices) in _FLUSH_CACHE:
+        return _FLUSH_CACHE[(sf_dir, n_slices)]
     base = write_replay_files(spark, sf_dir, n_slices)
     final = tempfile.mkdtemp(prefix="dms_stream_flush_")
     stamp = 1_700_000_000
@@ -147,7 +147,7 @@ def write_replay_files_with_flush(
         shutil.rmtree(tmp, ignore_errors=True)
         t = stamp + 60 * (len(files) + j + 1)
         os.utime(dst, (t, t))
-    _FLUSH_CACHE[sf_dir] = final
+    _FLUSH_CACHE[(sf_dir, n_slices)] = final
     return final
 
 

@@ -194,3 +194,33 @@ def test_strict_artifacts_cover_every_key():
             if v.get("status") not in ("pass", "rows_only")
         }
         assert not bad, f"{name} non-green entries: {bad}"
+
+
+def test_round_artifacts_are_git_tracked():
+    """Every CORRECTNESS_r*/BENCH_r* file present on disk must be
+    tracked in git (r8 verdict item 2 — the end-of-round artifacts sat
+    untracked at judging time four rounds running). Same invariant as
+    ``python tools/driver_sim.py --check-artifacts``; skips when git
+    metadata is unavailable (e.g. an exported tree)."""
+    import subprocess
+    from pathlib import Path
+
+    import pytest
+
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        ["git", "ls-files"], cwd=root, capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        pytest.skip("not a git checkout")
+    tracked = set(proc.stdout.splitlines())
+    on_disk = sorted(
+        p.name
+        for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
+        for p in root.glob(pat)
+    )
+    untracked = [f for f in on_disk if f not in tracked]
+    assert untracked == [], (
+        f"round artifacts on disk but untracked in git: {untracked} "
+        "-- git add + commit them before judging"
+    )
