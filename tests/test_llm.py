@@ -776,3 +776,85 @@ def test_shot_boundaries_planted_cut():
     bright = [np.full((8, 8), 200.0) + i * 0.01 for i in range(5)]
     assert shot_boundaries(dark + bright) == [5]
     assert shot_boundaries(dark) == []
+
+
+def test_dft_twiddles_match_numpy_rfft():
+    """The scaled-integer DFT behind audio_fingerprint_dft_exhaustive
+    must agree with np.fft.rfft — the production FFT audio_fp uses —
+    on arbitrary int16 windows, within the twiddle quantization bound
+    (|err per term| <= 0.5/SCALE * |x|, summed over N terms). This is
+    the link that lets the hash-gated twin stand in for the
+    rows-only audio_fingerprint's FFT arithmetic."""
+    import numpy as np
+
+    from diversity_maximization_spark.llm.multimodal import (
+        _DFT_BINS,
+        _DFT_N,
+        _DFT_SCALE,
+        _dft_twiddles,
+    )
+
+    tw = {(k, n): (c, s) for k, n, c, s in _dft_twiddles()}
+    rng = np.random.RandomState(7)
+    for _ in range(20):
+        x = rng.randint(-32768, 32768, size=_DFT_N).astype(np.int64)
+        ref = np.fft.rfft(x.astype(np.float64))
+        # per-term quantization error <= 0.5/SCALE * |x[n]|
+        bound = 0.5 / _DFT_SCALE * np.abs(x).sum() + 1e-9
+        for k in range(1, _DFT_BINS + 1):
+            re = sum(int(x[n]) * tw[(k, n)][0] for n in range(_DFT_N))
+            im = sum(int(x[n]) * tw[(k, n)][1] for n in range(_DFT_N))
+            assert abs(re / _DFT_SCALE - ref[k].real) <= bound
+            assert abs(im / _DFT_SCALE - ref[k].imag) <= bound
+
+
+def test_dft_exhaustive_matches_brute_force(spark, sf_dir):
+    """Full-pipeline golden: the Spark plan of
+    audio_fingerprint_dft_exhaustive must equal a plain-Python replay
+    (decode -> 16-sample window -> integer DFT -> band energies ->
+    2x-median threshold -> bit pack) on every audio doc at this SF."""
+    from diversity_maximization_spark.llm.multimodal import (
+        _DFT_BINS,
+        _DFT_N,
+        _dft_twiddles,
+        _synth_payload,
+        wav_decode,
+    )
+    from diversity_maximization_spark.sources import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter("doc_id % 3 = 1")
+        .select("doc_id", "text")
+        .collect()
+    )
+    tw = {(k, n): (c, s) for k, n, c, s in _dft_twiddles()}
+    expect = {}
+    for r in docs:
+        _n, _rate, samples = wav_decode(
+            _synth_payload(r["doc_id"], r["text"], "audio/wav")
+        )
+        x = samples[:_DFT_N]
+        e = [0] * 4
+        for k in range(1, _DFT_BINS + 1):
+            re = sum(x[n] * tw[(k, n)][0] for n in range(_DFT_N))
+            im = sum(x[n] * tw[(k, n)][1] for n in range(_DFT_N))
+            e[(k - 1) // 2] += re * re + im * im
+        med2 = sum(sorted(e)[1:3])
+        fp = sum(1 << b for b in range(4) if 2 * e[b] > med2)
+        dom = min(range(4), key=lambda b: (-e[b], b))
+        expect[r["doc_id"]] = (fp, dom, e[0], e[1], e[2], e[3])
+
+    rows = QUERIES["audio_fingerprint_dft_exhaustive"](
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert expect[r["doc_id"]] == (
+            r["fingerprint"],
+            r["dominant_band"],
+            r["band_e0"],
+            r["band_e1"],
+            r["band_e2"],
+            r["band_e3"],
+        ), r["doc_id"]
