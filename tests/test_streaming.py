@@ -236,3 +236,28 @@ def test_stream_stream_full_join_covers_both_sides(spark, sf_dir):
         if r["signup_id"] is not None
     )
     assert as_t(rows) == as_t(left)
+
+
+def test_stream_coreset_center_geometry_golden(spark, sf_dir):
+    """r8 verdict item 7 — the CENTER SET golden (not just mass/radius
+    invariants): the serial streaming coreset at sf0.001 must emit
+    exactly these (vec_id, weight) centers with exactly this tau.
+    test_stream_coreset_equals_batch_fold can't catch a semantic
+    drift in fold_point itself (both sides share it); these literals
+    were produced by the round-9 fold (growth 1.1, closest-pair
+    floor * 1.000001, (dist, index) merge tie-break, vec_id-ordered
+    replay) and FAIL if the doubling threshold, merge order, or
+    tie-break ever changes. If testdata is regenerated with a new
+    seed, re-pin via the replay snippet in this test's git blame."""
+    rows = QUERIES["div_coreset_stream"](spark, sf_dir).collect()
+    got = sorted((r["vec_id"], r["weight"]) for r in rows)
+    assert got == [
+        (0, 74),
+        (2, 90),
+        (4, 74),
+        (18, 71),
+        (35, 90),
+        (64, 73),
+        (290, 28),
+    ], got
+    assert all(abs(r["tau"] - 1.420371) < 5e-7 for r in rows), rows[0]["tau"]
