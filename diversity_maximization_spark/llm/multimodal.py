@@ -2002,14 +2002,16 @@ def audio_fingerprint_dft_exhaustive(
         .over(Window.partitionBy("doc_id").orderBy(F.desc("e"), "b"))
         .alias("rd"),
     )
-    med = ranked.groupBy("doc_id").agg(
+    # med2 as a same-partition window sum (NOT a groupBy + self-join,
+    # which would recompute the decode branch on both join sides)
+    withmed = ranked.withColumn(
+        "med2",
         F.sum(
             F.when(F.col("rn").isin(2, 3), F.col("e")).otherwise(F.lit(0))
-        ).alias("med2")
+        ).over(Window.partitionBy("doc_id")),
     )
     return (
-        ranked.join(med, "doc_id")
-        .groupBy("doc_id")
+        withmed.groupBy("doc_id")
         .agg(
             F.sum(
                 F.when(

@@ -42,6 +42,18 @@ size is rung-invariant), enabling
 Run them with:
     python tools/scale_ladder.py --keys graph_lpa_communities,graph_kcore,graph_k_truss,dedup_components_ngram,er_resolve_entities,stream_coreset_census,stream_coreset_shard_census,bpe_train
 
+Round-9 extension (the r8 verdict's item 6 — measure the
+skew-resilience claim, don't argue it): the rungs now carry zipf(1.2)
+join/group keys — lineitem.l_suppkey drawn zipf over a rung-scaled
+supplier pool and a synthetic orders table with zipf o_custkey over a
+rung-scaled customer pool. Zipf(1.2) normalizes to a rung-INVARIANT
+hot-key fraction (~1/zeta(1.2) ~ 18% of ALL rows on key 0), so the
+hottest key's row count grows 10x across the ladder — exactly the
+single-task funnel the salted plans exist to break:
+
+  join_skew_salted   - salt-8 scattered fact x replicated dim
+  win_topk_salted    - two-phase (group, salt) -> group top-k
+
 Synthetic data is generated with a fixed seed: embeddings are 10
 Gaussian label clusters on 64-d (float32, like the fixture); documents
 are 45-60-token texts over a 32-token vocabulary with a 5% exact-dup
@@ -77,6 +89,8 @@ BASE_NOUN = 30  # ER blocking nouns; scales with the rung so block size
 #                 the honest 100x shape; a FIXED noun vocab would make
 #                 within-block pairs quadratic by construction)
 BASE_EV = 10_000  # events rows (sf0.1 has 100k -> the 10x rung matches it)
+BASE_SUPP = 100  # supplier pool; scales with the rung (zipf l_suppkey)
+BASE_CUST = 1_000  # customer pool; scales with the rung (zipf o_custkey)
 BASE_USER = 150  # user pool scales with the rung so per-user event
 #                  density (and thus stream-join state + pair fan-out
 #                  per user) is rung-invariant — linear is the honest
@@ -143,12 +157,18 @@ def gen_rung(
     lo_ok = np.repeat(np.arange(n_ord, dtype=np.int64), per_ord)
     lo_pk = rng.randint(0, pool, size=len(lo_ok)).astype(np.int64)
     nli = len(lo_ok)
+    # zipf(1.2) supplier key: hot-key FRACTION is rung-invariant
+    # (~18% of rows on s_suppkey 0), so its absolute row count grows
+    # with the rung -- the skew regime join_skew_salted must survive
+    n_supp = BASE_SUPP * mult
+    zr = np.arange(1, n_supp + 1, dtype=np.float64) ** -1.2
+    lo_sk = rng.choice(n_supp, size=nli, p=zr / zr.sum()).astype(np.int64)
     pq.write_table(
         pa.table(
             {
                 "l_orderkey": pa.array(lo_ok),
                 "l_partkey": pa.array(lo_pk),
-                "l_suppkey": pa.array(np.zeros(nli, dtype=np.int64)),
+                "l_suppkey": pa.array(lo_sk),
                 "l_linenumber": pa.array(np.ones(nli, dtype=np.int32)),
                 "l_quantity": pa.array(np.ones(nli)),
                 "l_extendedprice": pa.array(np.ones(nli)),
@@ -162,6 +182,44 @@ def gen_rung(
             }
         ),
         f"{rung_dir}/lineitem.parquet",
+    )
+
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+                "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+                "s_nationkey": pa.array(
+                    (np.arange(n_supp) % 25).astype(np.int32)
+                ),
+                "s_acctbal": pa.array(np.round(rng.rand(n_supp) * 9000, 2)),
+            }
+        ),
+        f"{rung_dir}/supplier.parquet",
+    )
+
+    # --- zipf-customer orders: win_topk_salted's group key; same
+    # rung-invariant hot-key fraction as l_suppkey above ---------------
+    n_cust = BASE_CUST * mult
+    zc = np.arange(1, n_cust + 1, dtype=np.float64) ** -1.2
+    o_ck = rng.choice(n_cust, size=n_ord, p=zc / zc.sum()).astype(np.int64)
+    o_dates = np.datetime64("1995-01-01", "us") + rng.randint(
+        0, 2000, size=n_ord
+    ).astype("timedelta64[D]").astype("timedelta64[us]")
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(np.arange(n_ord, dtype=np.int64)),
+                "o_custkey": pa.array(o_ck),
+                "o_orderstatus": pa.array(["O"] * n_ord),
+                "o_totalprice": pa.array(
+                    np.round(rng.rand(n_ord) * 500000, 2)
+                ),
+                "o_orderdate": pa.array(o_dates, type=pa.timestamp("us")),
+                "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
+            }
+        ),
+        f"{rung_dir}/orders.parquet",
     )
 
     # --- ER rung: part names "c1 c2 c3 c4 noun"; noun vocab scales
@@ -327,6 +385,7 @@ def main() -> int:
         if not (
             os.path.exists(f"{rd}/part.parquet")
             and os.path.exists(f"{rd}/documents.parquet")
+            and os.path.exists(f"{rd}/orders.parquet")
         ):
             print(f"generating rung {m}x ...", flush=True)
             gen_rung(rd, m, vocab_size=args.vocab_size)
