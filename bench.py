@@ -191,6 +191,15 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                # Per-rep raw timings survive even when a query fails
+                # on a later rep (r9 ADVICE): a flaky-once query keeps
+                # its earlier successful reps here next to the -1.0
+                # sentinel in "queries", so transient failures stay
+                # diagnosable across rounds.
+                "reps": {
+                    name: [round(t, 3) for t in runs]
+                    for name, runs in reps.items()
+                },
                 "sf": sf_val,
                 # Drift normalization (r7 item 2, r8 item 3): compare
                 # the MEDIAN per-rep ratio across rounds, not wall

@@ -65,11 +65,17 @@ def check_artifacts() -> int:
         for pat in ("CORRECTNESS_r*.json", "BENCH_r*.json")
         for p in root.glob(pat)
     )
-    tracked = set(
-        subprocess.run(
-            ["git", "ls-files"], cwd=root, capture_output=True, text=True
-        ).stdout.splitlines()
+    proc = subprocess.run(
+        ["git", "ls-files"], cwd=root, capture_output=True, text=True
     )
+    if proc.returncode != 0:
+        # Outside a git checkout (e.g. an exported tree) ls-files fails
+        # and stdout is empty; treating that as "everything untracked"
+        # would be a false alarm (r9 ADVICE) — mirror the pytest twin,
+        # which skips in this situation.
+        print("not a git checkout; skipping artifact tracking check")
+        return 0
+    tracked = set(proc.stdout.splitlines())
     untracked = [f for f in on_disk if f not in tracked]
     if untracked:
         print("UNTRACKED round artifacts (git add + commit them):")
