@@ -158,6 +158,37 @@ def main() -> None:
         anchors_per_rep.append(time_anchors(astate))
     astate[1].close()  # duckdb connection
 
+    # Secondary measurement (r10, guide §1.4): the same queries timed
+    # against the built-in noop sink, which computes every column of
+    # every row and discards it. The PRIMARY numbers above stay
+    # collect()-timed (unchanged methodology — identical to every
+    # prior round and to the driver's correctness materialization),
+    # but collect() additionally pays row-pickling of the result to
+    # the Python driver, which for the large-result queries is most
+    # of the measured time (win_sessionize at sf0.1: 1.61 s collect
+    # vs 0.54 s noop — 95k rows of pickling, not engine time). The
+    # noop numbers isolate engine compute; compare THEM when judging
+    # plan changes, and the collect numbers for cross-round drift.
+    noop_reps: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = registry.QUERIES.get(name)
+            if fn is None or name in failed:
+                continue
+            try:
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                noop_reps[name].append(time.perf_counter() - t0)
+            except Exception as exc:
+                print(f"bench: {name} noop failed: {exc}", file=sys.stderr)
+    queries_noop = {
+        name: round(min(runs), 3)
+        for name, runs in noop_reps.items()
+        if runs
+    }
+
     times = {
         name: (round(min(runs), 3) if runs and name not in failed else -1.0)
         for name, runs in reps.items()
@@ -201,6 +232,12 @@ def main() -> None:
                     for name, runs in reps.items()
                 },
                 "sf": sf_val,
+                # noop-sink timings (engine compute without the
+                # collect()-to-Python row pickling); see comment at
+                # the measurement site. Additive — "queries" above is
+                # unchanged in membership and methodology.
+                "queries_noop": queries_noop,
+                "value_noop": round(sum(queries_noop.values()), 3),
                 # Drift normalization (r7 item 2, r8 item 3): compare
                 # the MEDIAN per-rep ratio across rounds, not wall
                 # seconds — see BASELINE.md "Drift normalization".

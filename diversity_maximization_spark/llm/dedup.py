@@ -156,17 +156,35 @@ def minhash_near_dup_pairs(
     signature -> band buckets -> bucket self-join -> sparse
     exact-Jaccard verification.
     Property (tests): every exact-duplicate pair must appear.
-    (The shingle cache is read four times — signatures, sizes, both
-    verify sides — which is why it is cached; callers running many
-    queries in one driver session can spark.catalog.clearCache().)"""
+    (The shingle cache is read three times — the combined
+    signature+size aggregation and both verify sides — which is why
+    it is cached; callers running many queries in one driver session
+    can spark.catalog.clearCache().)"""
     d = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     sh = shingles_df(d).cache()
-    sig = minhash_signatures(sh)
+    # One combined per-doc aggregation (guide §2.3/§2.4): the 16
+    # minhash mins AND the shingle count come out of a single shuffle
+    # over the cached shingle table, instead of the former separate
+    # minhash_signatures + groupBy().count() pair — one less full
+    # pass over the (big at 100 TB) shingle table and one less
+    # Exchange. Cached because three subtrees consume it (banding +
+    # both size joins); the cache holds one narrow row per doc.
+    sig = (
+        sh.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+                for i in range(N_MINHASH)
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+        .cache()
+    )
 
     cand = lsh_candidate_pairs(sig)
 
     # exact Jaccard verification via the sparse shingle join
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = sig.select("doc_id", "n_sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     common = (

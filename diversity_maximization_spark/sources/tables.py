@@ -52,6 +52,18 @@ TABLES: dict[str, list[str]] = {
 
 EMBEDDING_DIM = 64
 
+# (session id, sf_dir, table) -> verified parquet StructType. A query
+# like tpch_q5 calls load() six times and the bench repeats every
+# query 3x; without this, EVERY call pays a driver-side parquet footer
+# schema-inference pass (guide §6 — metadata work on the driver is
+# serial and shows up as "nothing running"). The first load of a
+# table in a session does the real inference AND the declared-column
+# drift assertion; later loads reuse the verified schema via
+# spark.read.schema(...), which skips footer inference entirely. This
+# caches only schema METADATA within one process — every query still
+# computes from the parquet files (no result or data caching).
+_SCHEMA_CACHE: dict[tuple[int, str, str], object] = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, asserting its declared columns.
@@ -68,10 +80,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # factory's confs, so the nanos-compat conf must be (re)set here —
     # it is a runtime-settable SQL conf, safe to set before every read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    key = (id(spark), sf_dir, name)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+        return _postprocess(df, name, cols)
+    df = spark.read.parquet(path)
     missing = set(cols) - set(df.columns)
     if missing:
         raise ValueError(f"fixture {name} missing declared columns {missing}")
+    _SCHEMA_CACHE[key] = df.schema
+    return _postprocess(df, name, cols)
+
+
+def _postprocess(df: DataFrame, name: str, cols: list[str]) -> DataFrame:
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
             "ts",
