@@ -1743,16 +1743,26 @@ def graph_k_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the fixpoint, loudly hash-breaks if a corpus ever needs
     more). Output: surviving edges with within-truss support."""
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    n_edges = edges.count()
     while True:
-        sup = _edge_support(edges)
+        # Checkpoint the support table: the peel trim consumes it now
+        # and, at the fixpoint, the FINAL output reuses it — without
+        # the checkpoint the returned plan would re-run the whole
+        # triangle enumeration (the O(m^(3/2)) wedge join, the most
+        # expensive pass here) a second time at materialization.
+        sup = _edge_support(edges).localCheckpoint(eager=True)
         keep = sup.filter(F.col("s") >= TRUSS_K - 2).select("u", "v")
-        n_before = edges.count()
         edges = edges.join(keep, ["u", "v"], "left_semi").localCheckpoint(
             eager=True
         )
-        if edges.count() == n_before:
+        n_now = edges.count()
+        if n_now == n_edges:
             break
-    return edges.join(_edge_support(edges), ["u", "v"]).select(
+        n_edges = n_now
+    # At the fixpoint the trim removed nothing, so `sup` restricted to
+    # the surviving edges IS the within-truss support — no extra
+    # triangle pass (one count per round instead of two, carried).
+    return edges.join(sup, ["u", "v"]).select(
         "u", "v", F.col("s").alias("support")
     )
 

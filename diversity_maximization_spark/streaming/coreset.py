@@ -31,6 +31,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from ..registry import query
 from ..scratch import scratch_dir
 from ..sources import load
+from .replay import stream_conf
 
 KPRIME = 16
 
@@ -170,14 +171,15 @@ def streaming_coreset_snapshots(
         )
     )
     name = _fresh("score")
-    q = (
-        snap.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -258,14 +260,15 @@ def streaming_coreset_sharded_snapshots(
         )
     )
     name = _fresh("scoreshard")
-    q = (
-        snap.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -506,14 +509,15 @@ def div_coreset_stream_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = _fresh("tws")
-        q = (
-            snap.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with stream_conf(spark):
+            q = (
+                snap.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if saved is None:
             spark.conf.unset(provider_key)
@@ -672,14 +676,15 @@ def div_coreset_stream_matroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     name = _fresh("scorematroid")
-    q = (
-        snap.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     all_snaps = spark.table(name)
     last = all_snaps.agg(F.max("seq")).collect()[0][0]
     summary = (
@@ -861,14 +866,15 @@ def stream_coreset_matroid_census(
         )
     )
     name = _fresh("mcensus")
-    q = (
-        snap.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            snap.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     all_snaps = spark.table(name)
     last = all_snaps.agg(F.max("seq")).collect()[0][0]
     return (

@@ -5,7 +5,12 @@ from pyspark.sql import functions as F
 
 from ..registry import query
 from . import coreset, windows  # noqa: F401  (register their keys)
-from .replay import run_to_memory, stream_events, write_replay_files
+from .replay import (
+    run_to_memory,
+    stream_conf,
+    stream_events,
+    write_replay_files,
+)
 
 
 @query("stream_coreset")  # SURVEY §2.2-J: alias of div_coreset_stream
@@ -46,14 +51,15 @@ def sink_stream_console(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    q = (
-        agg.writeStream.format("console")
-        .option("numRows", 5)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            agg.writeStream.format("console")
+            .option("numRows", 5)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     agg2 = (
         stream_events(spark, replay)
         .groupBy("event_type")

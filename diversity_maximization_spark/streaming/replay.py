@@ -15,6 +15,7 @@ import atexit
 import os
 import shutil
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -165,18 +166,57 @@ def stream_events(spark: SparkSession, replay_dir: str) -> DataFrame:
     )
 
 
+def stream_shuffle_partitions(spark: SparkSession) -> int:
+    """Shuffle-partition count for STREAMING queries (state-store
+    partition count). Streaming disables AQE, so the static
+    `spark.sql.shuffle.partitions` is never coalesced the way batch
+    exchanges are — and every stateful operator pays a per-partition
+    state-store open/commit (plus its task) in EVERY micro-batch,
+    whether or not the partition holds data. Measured at sf0.01
+    (stream_stream_left_join, 6 micro-batches, idle host): 33-42 s at
+    the session's 32 partitions vs 8.8-9.1 s at 8 — the state commits
+    were ~75% of the query. Default scales with the cluster
+    (defaultParallelism/4, floor 4: micro-batch state ops are
+    commit-bound, not compute-bound, so they want several-fold fewer
+    partitions than batch shuffles); production deployments size it
+    to stateful-key cardinality via SPARK_GRAFT_STREAM_SHUFFLE.
+    Result-invariant: state is per-key, partitioning only places
+    keys, and the memory-sink output is order-canonicalized."""
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return max(1, int(env))
+    return max(4, spark.sparkContext.defaultParallelism // 4)
+
+
+@contextmanager
+def stream_conf(spark: SparkSession):
+    """Scope `spark.sql.shuffle.partitions` to one streaming run (set
+    before .start(), restored after awaitTermination — the value is
+    pinned into the query's checkpoint at first batch, so batch
+    queries planned after the restore are unaffected)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(stream_shuffle_partitions(spark))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
     """Run the streaming query to completion against a memory sink and
     return the final result table."""
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

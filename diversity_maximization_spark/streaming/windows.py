@@ -20,6 +20,7 @@ from ..scratch import scratch_dir
 from ..sources import load
 from .replay import (
     run_to_memory,
+    stream_conf,
     stream_events,
     write_replay_files,
     write_replay_files_with_flush,
@@ -228,16 +229,17 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cnt",
             )
         )
-        q = (
-            agg.writeStream.foreachBatch(
-                lambda bdf, _id: collected.extend(bdf.collect())
+        with stream_conf(spark):
+            q = (
+                agg.writeStream.foreachBatch(
+                    lambda bdf, _id: collected.extend(bdf.collect())
+                )
+                .outputMode("append")
+                .option("checkpointLocation", checkpoint)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode("append")
-            .option("checkpointLocation", checkpoint)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+            q.awaitTermination()
 
     # Run 1: on-time data only -> advances the watermark to ~max(ts)-10min.
     # Run 2 (same checkpoint): the late file arrives; every row is behind
@@ -356,12 +358,13 @@ def sink_stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        st.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            st.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.read.parquet(out_dir)
         .groupBy("event_type")
@@ -836,15 +839,16 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(state_dir)
         os.rename(tmp, state_dir)
 
-    q = (
-        st.writeStream.foreachBatch(apply_batch)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation", scratch_dir(prefix="dms_cdc_ckpt_")
+    with stream_conf(spark):
+        q = (
+            st.writeStream.foreachBatch(apply_batch)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", scratch_dir(prefix="dms_cdc_ckpt_")
+            )
+            .start()
         )
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     final = spark.read.parquet(state_dir)
     return final.filter(~F.col("is_delete")).select(
         "user_id",
@@ -981,12 +985,13 @@ def stream_hll_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(out_dir)
         )
 
-    q = (
-        st.writeStream.foreachBatch(write_batch)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            st.writeStream.foreachBatch(write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     daily = (
         spark.read.parquet(out_dir)
         .groupBy("day")
@@ -1086,14 +1091,15 @@ def stream_late_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     name = _fresh("latem")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_conf(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     n_input = sum(p["numInputRows"] for p in q.recentProgress)
     emitted = spark.table(name).agg(F.sum("cnt")).collect()[0][0] or 0
     return spark.createDataFrame(
