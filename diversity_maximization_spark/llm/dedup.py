@@ -700,10 +700,15 @@ def connected_components(
     # otherwise — for er_resolve_entities that was the whole python
     # Jaro-Winkler pass re-run per round (r7 ladder catch: 43 s at
     # the 1x rung, ~4x the sum of its parts)
+    # distinct() leaves the edge table hash(src,dst)-partitioned, but
+    # every propagation round joins it on src alone — repartition on
+    # src BEFORE the checkpoint so the loop never re-exchanges the
+    # edge table (guide §2.4: one upfront shuffle buys one per round).
     sym = (
         edges.selectExpr("src", "dst")
         .unionAll(edges.selectExpr("dst AS src", "src AS dst"))
         .distinct()
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
     from ..plans.iterate import iterate_with_barrier

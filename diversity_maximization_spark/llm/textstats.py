@@ -331,9 +331,16 @@ def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     pre = bgc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # Join the two VOCAB-sized count tables first and attach the
+    # result to the instance table once: the former
+    # bg⋈bgc⋈pre chain shuffled the full corpus-sized bigram
+    # instance table TWICE (by (w1,w2), then again by w1). lp is
+    # bigram-vocabulary-sized, so this drops one full-corpus
+    # Exchange (guide §2.3/§2.4); the per-doc sum adds the identical
+    # log(c2/c1) doubles as before.
+    lp = bgc.join(pre, "w1")
     return (
-        bg.join(bgc, ["w1", "w2"])
-        .join(pre, "w1")
+        bg.join(lp, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

@@ -1409,10 +1409,16 @@ def dbscan_over(
     core = deg.filter(
         F.col("n") >= min_neighbors
     ).select("vec_id")
+    # Checkpoint the core-core edge table PARTITIONED ON u, the key
+    # every propagation round joins on: the build chain leaves it
+    # hash(v)-partitioned, so without the repartition the loop pays a
+    # full edge-table Exchange in EVERY round (guide §2.4 — one
+    # upfront shuffle buys R round shuffles of the biggest table).
     ce = (
         prs.join(core.withColumnRenamed("vec_id", "u"), "u")
         .join(core.withColumnRenamed("vec_id", "v"), "v")
         .select("u", "v")
+        .repartition("u")
         .localCheckpoint(eager=True)
     )
     # min-label propagation + pointer jumping (label = label(label))
@@ -1425,11 +1431,16 @@ def dbscan_over(
             .groupBy("v")
             .agg(F.min("label").alias("nmin"))
         )
-        hopped = labels.join(
-            neigh, labels.id == neigh.v, "left"
-        ).select(
+        # carry the round-start label so chg covers the HOP as well as
+        # the jump: a round that changes nothing anywhere is a true
+        # fixpoint, which retires the former extra probe-hop join at
+        # termination (one fewer edge-table pass per query)
+        hopped = labels.select(
+            "id", F.col("label").alias("label0")
+        ).join(neigh, F.col("id") == neigh.v, "left").select(
             "id",
-            F.least("label", F.coalesce("nmin", "label")).alias("label"),
+            "label0",
+            F.least("label0", F.coalesce("nmin", "label0")).alias("label"),
         )
         lab2 = hopped.select(
             F.col("id").alias("jid"), F.col("label").alias("jlabel")
@@ -1442,7 +1453,8 @@ def dbscan_over(
                     "label", F.coalesce("jlabel", "label")
                 ).alias("label"),
                 (
-                    F.coalesce("jlabel", "label") < F.col("label")
+                    F.least("label", F.coalesce("jlabel", "label"))
+                    < F.col("label0")
                 ).alias("chg"),
             )
             .localCheckpoint(eager=True)
@@ -1450,19 +1462,7 @@ def dbscan_over(
         changed = jumped.filter("chg").count()
         labels = jumped.drop("chg")
         if changed == 0:
-            # one extra hop check: stop only when a hop also changes
-            # nothing (jump-stability alone does not imply hop-
-            # stability on the first rounds)
-            probe_hop = (
-                ce.join(labels, ce.u == labels.id)
-                .groupBy("v")
-                .agg(F.min("label").alias("nmin"))
-                .join(labels, F.col("v") == labels.id)
-                .filter(F.col("nmin") < F.col("label"))
-                .count()
-            )
-            if probe_hop == 0:
-                break
+            break
     comp = labels.select(
         F.col("id").alias("vec_id"), F.col("label").alias("cluster_id")
     )
