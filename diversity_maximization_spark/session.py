@@ -35,7 +35,14 @@ def get_spark(app_name: str = "diversity-maximization-spark") -> SparkSession:
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.warehouse.dir", warehouse)
-        .config("spark.sql.shuffle.partitions", "32")
+        # batch shuffles: a fixed moderate width locally (AQE coalesces
+        # the small ones at runtime); on a cluster override via env —
+        # the streaming state-store width is derived separately in
+        # streaming/replay.py (AQE never applies there)
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
