@@ -1369,6 +1369,11 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle replays end to end, instead of the xxhash64 family
     whose pair sets no independent engine can reproduce."""
     d = load(spark, sf_dir, "documents")
+    # cache the three pair tables: each is consumed by TWO actions
+    # (its total count and a left-anti count against later tiers) —
+    # uncached, the full certified-minhash and simhash pipelines
+    # re-executed once per action (guide §5: reuse > recompute for
+    # expensive lineage; the pair tables are tiny)
     exact = (
         _exact_dup_edges(d)
         .select(
@@ -1376,12 +1381,17 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .cache()
     )
-    mh = QUERIES["dedup_minhash_certified"](spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    mh = (
+        QUERIES["dedup_minhash_certified"](spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .cache()
     )
-    sh = QUERIES["dedup_simhash"](spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    sh = (
+        QUERIES["dedup_simhash"](spark, sf_dir)
+        .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .cache()
     )
 
     def tier(df: DataFrame, name: str, prev: DataFrame | None):
@@ -1394,6 +1404,10 @@ def dedup_cascade_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         tier(mh, "2_minhash_jaccard", exact),
         tier(sh, "3_simhash", exact.unionByName(mh).distinct()),
     ]
+    # rows are plain Python ints at this point; the report DataFrame
+    # below has no lineage into the caches, so release them eagerly
+    for df in (exact, mh, sh):
+        df.unpersist()
     return spark.createDataFrame(
         rows, "tier string, n_pairs bigint, n_new_pairs bigint"
     )
@@ -1537,17 +1551,22 @@ def er_blocking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("sdx", F.soundex("w"))
     a = p.select(F.col("p_partkey").alias("pa"), F.col("p_name").alias("na"))
     b = p.select(F.col("p_partkey").alias("pb"), F.col("p_name").alias("nb"))
+    # cached: each pair table is consumed by TWO actions (its own
+    # count and the hit join) — uncached, each part self-join ran
+    # twice (guide §5); released as soon as the counts are local ints
     truth = a.join(b, (F.col("na") == F.col("nb")) & (F.col("pa") < F.col("pb"))).select(
         "pa", "pb"
-    )
+    ).cache()
     wa = words.select(F.col("p_partkey").alias("pa"), F.col("sdx").alias("sa"))
     wb = words.select(F.col("p_partkey").alias("pb"), F.col("sdx").alias("sb"))
     blocked = wa.join(
         wb, (F.col("sa") == F.col("sb")) & (F.col("pa") < F.col("pb"))
-    ).select("pa", "pb")
+    ).select("pa", "pb").cache()
     n_true = truth.count()
     n_cand = blocked.count()
     n_hit = truth.join(blocked, ["pa", "pb"]).count()
+    truth.unpersist()
+    blocked.unpersist()
     return spark.createDataFrame(
         [
             (
