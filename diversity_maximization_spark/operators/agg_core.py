@@ -859,26 +859,57 @@ FROM orders
 def agg_exact_median_distributed(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """EXACT global median WITHOUT a single-partition sort — the
-    distributed-selection plan: global row numbers come from the
-    range-bucket machinery (plans/global_rank.py: quantile
-    boundaries, per-bucket offsets, Arrow-numbered buckets), then
-    the two middle order statistics are picked by rank and averaged.
-    A plain median() pulls every value through one task at 100 TB;
-    this shape touches each row once and sorts only within buckets.
-    Cents are exact integers, so the even-count midpoint is
-    deterministic IEEE in both engines."""
-    from ..plans.global_rank import with_global_row_number
+    """EXACT global median WITHOUT a single-partition sort — true
+    distributed SELECTION (r10, guide §2.3/§2.4): range buckets +
+    exact per-bucket counts locate which bucket holds each middle
+    rank, then ONLY the target bucket(s) — ~n/32 rows — are sorted
+    (a bucket-partitioned window) to pick the two middle order
+    statistics; every other bucket is filtered out before any sort
+    or shuffle. The previous shape ran the full global-row-number
+    pipeline (whole-table shuffle + sort + Arrow numbering) to use
+    two of its rows. A plain median() pulls every value through one
+    task at 100 TB; this shape touches each row once for counts and
+    sorts only the middle bucket. Same bucket boundaries, same
+    (c, o_orderkey) total order, so the selected order statistics —
+    and the hash — are identical. Cents are exact integers, so the
+    even-count midpoint is deterministic IEEE in both engines."""
+    from ..plans.global_rank import with_range_bucket
 
     o = load(spark, sf_dir, "orders").select(
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
         "o_orderkey",
     )
-    numbered, n = with_global_row_number(
-        o, ["c", "o_orderkey"], out_col="rn"
-    )
+    bucketed = with_range_bucket(o, "c").localCheckpoint(eager=False)
+    counts = {
+        r["_gr_bucket"]: r["n"]
+        for r in bucketed.groupBy("_gr_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(counts.values())
     lo, hi = (n + 1) // 2, n // 2 + 1
-    mids = numbered.filter(F.col("rn").isin(lo, hi))
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    targets = {
+        b
+        for b in counts
+        for r in (lo, hi)
+        if offsets[b] < r <= offsets[b] + counts[b]
+    }
+    in_bucket = bucketed.filter(
+        F.col("_gr_bucket").isin(*[int(b) for b in targets])
+    )
+    w = Window.partitionBy("_gr_bucket").orderBy("c", "o_orderkey")
+    off_expr = F.lit(0)
+    for b in targets:
+        off_expr = F.when(
+            F.col("_gr_bucket") == int(b), F.lit(int(offsets[b]))
+        ).otherwise(off_expr)
+    mids = in_bucket.withColumn(
+        "rn", off_expr + F.row_number().over(w)
+    ).filter(F.col("rn").isin(lo, hi))
     return mids.agg(
         (
             (F.sum("c").cast("double") / F.count(F.lit(1)))

@@ -2925,43 +2925,96 @@ def agg_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic (cents, orderkey) total order (the agg_cvm_test
     contract: the statistic is defined ON that order).
 
-    Exactness: J collapses to sum(prefix_rank - within_rank) over
-    each group's rows — the identity sum_{i<j} U_ij =
-    sum_b (rank of b among groups <= its own, minus its
-    within-group rank) — so J is an exact bigint from EIGHT passes
-    of the two-phase global-rank machinery (4 prefix unions + 4
-    within-group, all range-bucketed by the score); the null
-    moments go through HUGEINT/python-int (~7e21 at 100x) with the
-    proven correctly-rounded double conversions. Scale shape: 8
-    rank passes + key-equi-joins, one hash aggregate."""
-    from ..plans.global_rank import with_global_row_number
+    Exactness: J collapses further than the prefix-rank identity —
+    sum_{i<j} U_ij = sum_b #{a : group(a) < group(b), a precedes b
+    in the deterministic (sc, k) total order} (rp - i of the old
+    8-pass formulation IS that predecessor count, summed over every
+    group's rows; the lowest group contributes 0). So J is an exact
+    bigint from ONE range-bucketed sorted Arrow pass (r10, guide
+    §2.3/§4.2): per-(bucket, group) counts give exact cross-bucket
+    offsets (the global-rank offset trick), and one sorted
+    mapInPandas accumulates per-row lower-group predecessor counts
+    — replacing 8 full global-rank pipelines + 4 equi-joins. The
+    null moments go through HUGEINT/python-int (~7e21 at 100x) with
+    the proven correctly-rounded double conversions. Scale shape:
+    one quantile pass + one bucket-count pass + one sorted pass,
+    one tiny aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.global_rank import with_range_bucket
 
     base = load(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("g"),
         F.expr(cents("o_totalprice")).alias("sc"),
         F.col("o_orderkey").alias("k"),
     )
-    j_total = 0
-    for t in range(1, 5):
-        gt = _JT_GROUPS[t]
-        sub = base.filter(F.col("g") <= gt)
-        rp_df, _ = with_global_row_number(sub, ["sc", "k"], out_col="rp")
-        own = rp_df.filter(F.col("g") == gt).select("k", "rp")
-        i_df, _ = with_global_row_number(
-            base.filter(F.col("g") == gt), ["sc", "k"], out_col="i"
-        )
-        contrib = (
-            own.join(i_df.select("k", "i"), "k")
-            .agg(F.sum(F.col("rp") - F.col("i")).cast("bigint").alias("c"))
-            .collect()[0]["c"]
-        )
-        j_total += int(contrib)
-    cnts = {
-        r["g"]: int(r["n"])
-        for r in base.groupBy("g")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .collect()
-    }
+    spark_conf_nb = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    bucketed = with_range_bucket(base, "sc", spark_conf_nb).localCheckpoint(
+        eager=False
+    )
+    cell = bucketed.groupBy("_gr_bucket", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).collect()
+    gidx = {g: i for i, g in enumerate(_JT_GROUPS)}
+    # offsets[b][gi] = rows of group gi in buckets STRICTLY before b
+    per_bucket: dict[int, list[int]] = {}
+    for r in cell:
+        per_bucket.setdefault(r["_gr_bucket"], [0] * len(_JT_GROUPS))[
+            gidx[r["g"]]
+        ] += int(r["n"])
+    offsets: dict[int, list[int]] = {}
+    run = [0] * len(_JT_GROUPS)
+    for b in sorted(per_bucket):
+        offsets[b] = list(run)
+        for i_, v in enumerate(per_bucket[b]):
+            run[i_] += v
+    cnts = {g: run[gidx[g]] for g in _JT_GROUPS if run[gidx[g]]}
+    ng = len(_JT_GROUPS)
+
+    def jpass(batches):
+        # running per-(bucket, group) counts, seeded with the exact
+        # cross-bucket offsets; rows arrive sorted by (sc, k) and
+        # buckets are contiguous under that sort, so each row's
+        # lower-group predecessor count = offset part + within-task
+        # part (state persists across batches of the task)
+        state = {b: list(o) for b, o in offsets.items()}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buckets = pdf["_gr_bucket"].to_numpy()
+            gs = pdf["g"].map(gidx).to_numpy()
+            j = 0
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1]))
+            )
+            seg_ends = np.concatenate((seg_starts[1:], [len(buckets)]))
+            for s, e in zip(seg_starts, seg_ends):
+                b = int(buckets[s])
+                garr = gs[s:e]
+                cnt0 = state[b]
+                lower = np.zeros(len(garr), dtype=np.int64)
+                for gi in range(1, ng):
+                    m = garr == gi
+                    if m.any():
+                        # exclusive prefix count of strictly-lower
+                        # groups (the row itself is == gi, never < gi)
+                        lower[m] = np.cumsum(garr < gi)[m]
+                pre = np.concatenate(([0], np.cumsum(cnt0)))[:-1]
+                j += int(lower.sum() + pre[garr].sum())
+                for gi in range(ng):
+                    cnt0[gi] += int((garr == gi).sum())
+            yield pd.DataFrame({"j": np.array([j], dtype=np.int64)})
+
+    j_total = int(
+        bucketed.repartition(spark_conf_nb, "_gr_bucket")
+        .sortWithinPartitions("sc", "k")
+        .mapInPandas(jpass, "j bigint")
+        .agg(F.sum("j").cast("bigint").alias("j"))
+        .collect()[0]["j"]
+    )
     nn = sum(cnts.values())
     sn2 = sum(n * n for n in cnts.values())
     sv = float(sum(n * n * (2 * n + 3) for n in cnts.values()))

@@ -620,7 +620,10 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow int64 on large graphs) and evaluates in identical order
     on both engines — bit-exact, no rounding. Scale shape: edges are
     the within-order pair join (bounded by order width^2), degrees
-    one groupBy, moments one aggregate."""
+    one groupBy, moments one aggregate. The edge table is
+    localCheckpointed (r10, guide §5): it feeds THREE executions —
+    n_vertices, n_edges and the moment aggregate — which uncheckpointed
+    each re-ran the pair self-join + distinct from the scan."""
     li = load(spark, sf_dir, "lineitem")
     pairs = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
@@ -631,6 +634,7 @@ def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     dir_ = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = dir_.groupBy(F.col("u").alias("x")).agg(
@@ -732,7 +736,12 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums order-independent bigints) with the restart mass
     concentrated on the seed set instead of uniform. One equi-join
     shuffle per iteration over the edge table; rank state stays
-    node-sized; top-25 is TakeOrdered."""
+    node-sized; top-25 is TakeOrdered. The destination's seed flag
+    is folded into the cached transition table ONCE (r10, guide
+    §2.4): is_seed is functionally dependent on dst, so grouping by
+    (dst, is_seed) — exactly the oracle's GROUP BY t.dst, s.src —
+    replaces the former per-round broadcast join against the seed
+    set with zero extra exchanges."""
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
     pairs = li.select(
@@ -746,6 +755,15 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
     )
     out_w = und.groupBy("src").agg(F.sum("w").alias("out_w"))
+    seeds = (
+        part.where(F.col("p_brand") == _PPR_BRAND)
+        .select(F.col("p_partkey").alias("src"))
+        .join(und.select("src").distinct(), "src")
+        .cache()
+    )
+    seed_flag = seeds.withColumn("is_seed", F.lit(1))
+    # dst_seed folded into the cached edge table once: the broadcast
+    # seed join runs here a single time instead of once per round
     trans = (
         und.join(out_w, "src")
         .select(
@@ -753,17 +771,19 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dst",
             F.expr(f"(w * {_PPR_P}) div out_w").alias("p_scaled"),
         )
+        .join(
+            F.broadcast(
+                seed_flag.select(
+                    F.col("src").alias("dst"), F.col("is_seed").alias("dst_seed")
+                )
+            ),
+            "dst",
+            "left",
+        )
         .cache()
     )
     nodes = trans.select("src").distinct()
-    seeds = nodes.join(
-        part.where(F.col("p_brand") == _PPR_BRAND).select(
-            F.col("p_partkey").alias("src")
-        ),
-        "src",
-    ).cache()
     n_seeds = seeds.count()
-    seed_flag = seeds.withColumn("is_seed", F.lit(1))
     base_seed = ((15 * _PPR_R) // 100) // n_seeds
     ranks = (
         nodes.join(seed_flag, "src", "left")
@@ -778,18 +798,20 @@ def graph_ppr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_PPR_ITERS):
         ranks = (
             trans.join(ranks, "src")
-            .groupBy("dst")
+            # is_seed(dst) is functionally dependent on dst — same
+            # grouping the oracle uses (GROUP BY t.dst, s.src), so no
+            # post-aggregation join is needed
+            .groupBy("dst", "dst_seed")
             .agg(
                 F.sum(
                     F.expr(f"(rank_scaled * p_scaled) div {_PPR_P}")
                 ).alias("in_sum")
             )
-            .join(seed_flag.select(F.col("src").alias("dst"), "is_seed"), "dst", "left")
             .select(
                 F.col("dst").alias("src"),
                 (
                     F.when(
-                        F.col("is_seed").isNotNull(), F.lit(base_seed)
+                        F.col("dst_seed").isNotNull(), F.lit(base_seed)
                     ).otherwise(F.lit(0))
                     + F.expr("(85 * in_sum) div 100")
                 )

@@ -4022,56 +4022,63 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one data-sized groupBy produces the O(days) rollup;
     everything after — window assembly and the days^2 pair grid
     (~5.8M pairs at 2.4k days) — is bounded by the CALENDAR, not the
-    data, and the per-window argmin is a day-partitioned
-    window-rank, so a 100x corpus only grows the first aggregate.
+    data, so it runs in the driver-local exact-integer tier (r10,
+    guide §4.2: the JVM crossJoin materialized ~5.8M array pairs and
+    folded 8-term zip_with sums per pair, ~13 s at any SF; vectorized
+    int64 numpy over the collected O(days) rollup does the identical
+    arithmetic in milliseconds — same local-finish tier as ts_dtw,
+    and a 100x corpus still only grows the first aggregate).
     Overflow: dollar diffs <= ~5e7 at sf0.1 -> d2 <= 8 * 2.5e15 =
     2e16; guarded against corpora where the daily max would push the
-    sum past int64. Tie-break: lowest neighbor index."""
+    sum past int64. Tie-break: lowest neighbor index (np.argmin's
+    first-minimum = the old min(struct(d2, j)) lexicographic rule)."""
+    import numpy as np
+
     o = load(spark, sf_dir, "orders")
     daily = (
         o.groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
         .agg(F.sum(F.expr(cents("o_totalprice"))).alias("c"))
         .select("day", F.expr("c div 100").alias("d"))
     )
-    maxd = daily.agg(F.max(F.abs(F.col("d")))).first()[0]
+    # bounded: O(calendar days) rows, data-independent (the ts_dtw
+    # local-finish contract); maxd now read from the same collect
+    ser = daily.collect()
+    maxd = max((abs(int(r["d"])) for r in ser), default=None)
     if maxd is None or maxd > 100_000_000:
         raise ValueError(
             "ts_matrix_profile: daily dollars exceed the int64 window-"
             "distance budget (8 * (2*max)^2) — rescale the series first"
         )
-    # bounded: O(days) daily rollup rows — the index + window passes
-    w_idx = Window.orderBy("day")
-    s = daily.withColumn("idx", F.row_number().over(w_idx) - 1)
-    # bounded: O(days) rollup rows — frame assembles the 8-day window
-    w_arr = Window.orderBy("idx").rowsBetween(0, _MP_WIN - 1)
-    wins = (
-        s.select(
-            "idx",
-            "day",
-            F.collect_list("d").over(w_arr).alias("arr"),
+    ser.sort(key=lambda r: r["day"])
+    days = [r["day"] for r in ser]
+    d = np.array([int(r["d"]) for r in ser], dtype=np.int64)
+    n_win = len(d) - _MP_WIN + 1
+    if n_win <= 0:  # fewer days than one window: no output rows
+        return spark.createDataFrame(
+            [], "day timestamp, nn_day timestamp, d2 bigint"
         )
-        .filter(F.size("arr") == _MP_WIN)
+    # windows[i, k] = d[i + k] — all full _MP_WIN-day windows
+    win = np.lib.stride_tricks.sliding_window_view(d, _MP_WIN).astype(
+        np.int64
     )
-    a = wins.select(
-        F.col("idx").alias("i"), F.col("day").alias("day"), F.col("arr").alias("arr_a")
-    )
-    b = wins.select(
-        F.col("idx").alias("j"),
-        F.col("day").alias("nn_day"),
-        F.col("arr").alias("arr_b"),
-    )
-    pairs = a.crossJoin(b).filter(F.abs(F.col("i") - F.col("j")) >= _MP_WIN)
-    d2 = F.aggregate(
-        F.zip_with("arr_a", "arr_b", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda s_, v: s_ + v,
-    ).alias("d2")
-    scored = pairs.select("i", "day", "j", "nn_day", d2)
-    best = scored.groupBy("i", "day").agg(
-        F.min(F.struct("d2", "j", "nn_day")).alias("m")
-    )
-    return best.select(
-        "day", F.col("m.nn_day").alias("nn_day"), F.col("m.d2").alias("d2")
+    # exact int64 pair grid: D[i, j] = sum_k (win[i,k] - win[j,k])^2
+    big = np.int64(2**62)
+    dist = np.zeros((n_win, n_win), dtype=np.int64)
+    for k in range(_MP_WIN):
+        diff = win[:, k][:, None] - win[:, k][None, :]
+        dist += diff * diff
+    # exclusion zone |i - j| < _MP_WIN -> sentinel above any real d2
+    ii = np.arange(n_win)
+    mask = np.abs(ii[:, None] - ii[None, :]) < _MP_WIN
+    dist[mask] = big
+    nn = dist.argmin(axis=1)  # first minimum = lowest j on ties
+    rows = [
+        (days[i], days[int(nn[i])], int(dist[i, int(nn[i])]))
+        for i in range(n_win)
+        if dist[i, int(nn[i])] < big  # n_win <= 2*_MP_WIN-1 edge case
+    ]
+    return spark.createDataFrame(
+        rows, "day timestamp, nn_day timestamp, d2 bigint"
     )
 
 
