@@ -984,34 +984,29 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
     to answer 'how many entities exist that BOTH passes missed'.
     Reported against the true two-week union as ground truth. All
     counts exact; both estimates are single float expressions of
-    exact integers. Three semi-joined distinct-counts over one
-    filtered scan."""
+    exact integers. ONE pass (r10, guide §2.3): the old shape ran
+    FOUR count actions — two distinct-counts, a join count and a
+    union count — each re-scanning and re-shuffling events; per-user
+    week flags + one groupBy + one 1-row aggregate produce the
+    identical four integers lazily (n1 = sum max(i1), m12 =
+    sum i1*i2, union = count of the flag table)."""
     ev = load(spark, sf_dir, "events")
     wk = F.date_trunc("week", "ts")
-    w1d = ev.where(wk == F.expr("TIMESTAMP_NTZ'2024-01-01 00:00:00'")).select(
-        "user_id"
-    ).distinct()
-    w2d = ev.where(wk == F.expr("TIMESTAMP_NTZ'2024-01-08 00:00:00'")).select(
-        "user_id"
-    ).distinct()
-    n1 = w1d.count()
-    n2 = w2d.count()
-    m12 = w1d.join(w2d, "user_id").count()
-    true_union = (
-        ev.where(
-            wk.isin(
-                F.expr("TIMESTAMP_NTZ'2024-01-01 00:00:00'"),
-                F.expr("TIMESTAMP_NTZ'2024-01-08 00:00:00'"),
-            )
-        )
-        .select("user_id")
-        .distinct()
-        .count()
+    w1 = F.expr("TIMESTAMP_NTZ'2024-01-01 00:00:00'")
+    w2 = F.expr("TIMESTAMP_NTZ'2024-01-08 00:00:00'")
+    flags = ev.where(wk.isin(w1, w2)).select(
+        "user_id",
+        F.when(wk == w1, 1).otherwise(0).alias("i1"),
+        F.when(wk == w2, 1).otherwise(0).alias("i2"),
     )
-    spark_sess = ev.sparkSession
-    out = spark_sess.createDataFrame(
-        [(n1, n2, m12, true_union)],
-        "n1 bigint, n2 bigint, m12 bigint, true_union bigint",
+    per_user = flags.groupBy("user_id").agg(
+        F.max("i1").alias("i1"), F.max("i2").alias("i2")
+    )
+    out = per_user.agg(
+        F.sum("i1").cast("bigint").alias("n1"),
+        F.sum("i2").cast("bigint").alias("n2"),
+        F.sum(F.col("i1") * F.col("i2")).cast("bigint").alias("m12"),
+        F.count(F.lit(1)).cast("bigint").alias("true_union"),
     )
     return out.select(
         "n1",

@@ -3901,12 +3901,22 @@ def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, and U = that sum minus half the exact per-value tie
     pair count.
 
-    Exactness: both rank passes use the two-phase global-rank
-    machinery (score-bucketed); the tie-pair table is one hash
-    aggregate of exact products; U and both effect sizes are fixed
-    double expressions. Scale shape: two rank passes, two 1-row
-    reductions."""
-    from ..plans.global_rank import with_global_row_number
+    Exactness: sum(r - i) over treated rows equals the number of
+    (control, treated) pairs where the control precedes the treated
+    in the (c, tr, k) total order — the 2-group case of the
+    agg_jonckheere predecessor identity — so `le` comes from ONE
+    range-bucketed sorted Arrow pass (r10, guide §2.3: the old
+    shape ran TWO full global-rank pipelines, a control count and
+    the le reduction); the per-(bucket, tr) cell counts give the
+    cross-bucket control offsets AND n_t/n_c for free; the tie-pair
+    table is one hash aggregate over the same checkpointed bucket
+    table; U and both effect sizes are fixed double expressions.
+    Scale shape: one quantile pass + one cell count + one sorted
+    pass + one tie aggregate."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.global_rank import with_range_bucket
 
     s = load(spark, sf_dir, "orders").select(
         F.when(F.col("o_orderpriority") == "1-URGENT", 1)
@@ -3915,16 +3925,59 @@ def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(cents("o_totalprice")).alias("c"),
         "o_orderkey",
     )
-    ra, _ = with_global_row_number(s, ["c", "tr", "o_orderkey"], out_col="r")
-    t1, n_t = with_global_row_number(
-        ra.filter(F.col("tr") == 1), ["c", "o_orderkey"], out_col="i"
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    bucketed = with_range_bucket(s, "c", nb).localCheckpoint(eager=False)
+    cell = (
+        bucketed.groupBy("_gr_bucket", "tr")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .collect()
     )
+    per_bucket: dict[int, list[int]] = {}
+    for r in cell:
+        per_bucket.setdefault(r["_gr_bucket"], [0, 0])[int(r["tr"])] += int(
+            r["n"]
+        )
+    n_c = sum(v[0] for v in per_bucket.values())
+    n_t = sum(v[1] for v in per_bucket.values())
+    # controls in buckets STRICTLY before b (jonckheere offset trick)
+    c_off: dict[int, int] = {}
+    run = 0
+    for b in sorted(per_bucket):
+        c_off[b] = run
+        run += per_bucket[b][0]
+
+    def lepass(batches):
+        state = dict(c_off)  # bucket -> controls seen before cursor
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            buckets = pdf["_gr_bucket"].to_numpy()
+            tr = pdf["tr"].to_numpy()
+            le = 0
+            seg_starts = np.flatnonzero(
+                np.concatenate(([True], buckets[1:] != buckets[:-1]))
+            )
+            seg_ends = np.concatenate((seg_starts[1:], [len(buckets)]))
+            for s_, e_ in zip(seg_starts, seg_ends):
+                b = int(buckets[s_])
+                t = tr[s_:e_]
+                # controls preceding each treated row = cross-bucket
+                # offset + exclusive within-segment cumulative
+                within = np.cumsum(t == 0)
+                m = t == 1
+                le += int(within[m].sum()) + state[b] * int(m.sum())
+                state[b] += int((t == 0).sum())
+            yield pd.DataFrame({"le": np.array([le], dtype=np.int64)})
+
     le = int(
-        t1.agg(F.sum(F.col("r") - F.col("i")).cast("bigint").alias("le"))
+        bucketed.repartition(nb, "_gr_bucket")
+        .sortWithinPartitions("c", "tr", "o_orderkey")
+        .mapInPandas(lepass, "le bigint")
+        .agg(F.sum("le").cast("bigint").alias("le"))
         .collect()[0]["le"]
     )
     eq = int(
-        s.groupBy("c")
+        bucketed.groupBy("c")
         .agg(
             F.sum("tr").cast("bigint").alias("nt"),
             F.sum(1 - F.col("tr")).cast("bigint").alias("nc"),
@@ -3932,7 +3985,6 @@ def agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("nt") * F.col("nc")).cast("bigint").alias("eq"))
         .collect()[0]["eq"]
     )
-    n_c = s.filter(F.col("tr") == 0).count()
     one = s.sparkSession.createDataFrame(
         [(n_t, n_c, le, eq)], "nt bigint, nc bigint, le bigint, eq bigint"
     )
