@@ -27,7 +27,9 @@ maximal-marginal-relevance (MMR) subset selection.
 from __future__ import annotations
 
 import math
+import os
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -735,17 +737,59 @@ def facility_location_over(
         "aggregate(zip_with(av, cv, (x, y) -> CAST(x AS DOUBLE)"
         " * CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    pairs = (
-        a.crossJoin(F.broadcast(b))
-        .select(
-            "v",
-            "c",
-            F.expr(
-                f"CAST(round({dot} / (an * cn) * {_FL_SCALE}) AS BIGINT)"
-            ).alias("s"),
-        )
-        .localCheckpoint(eager=True)
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "v",
+        "c",
+        F.expr(
+            f"CAST(round({dot} / (an * cn) * {_FL_SCALE}) AS BIGINT)"
+        ).alias("s"),
     )
+
+    # Local greedy tier (guide §5 local-finish, the ts_dtw /
+    # ts_matrix_profile pattern): the greedy state loop is k rounds of
+    # (integer aggregate + argmax + state-update join) = 17 Spark jobs
+    # over an n^2 table that is CORESET-SIZED BY CONTRACT (max_points
+    # hard guard above). For n <= _FL_LOCAL_MAX the quantized integer
+    # pair table is pulled once through Arrow (3 int64 columns,
+    # n=4096 -> ~400 MB, inside the driver's 1 GB result cap) and the
+    # identical greedy runs vectorized in numpy. Result-exact by
+    # construction: the s integers are computed by the SAME Spark
+    # expression (only their transport changes), and every greedy step
+    # is int64 max/sum/argmax with the same (tot DESC, c ASC)
+    # tie-break — no float accumulation anywhere (the objective
+    # division float(tot)/SCALE is the same Python expression the
+    # distributed loop used). Above the bound (or on an empty input)
+    # the distributed loop below is unchanged.
+    n_local_max = int(os.environ.get("SPARK_GRAFT_FL_LOCAL_MAX", "4096"))
+    if 0 < n <= n_local_max:
+        pdf = pairs.toPandas()
+        v_ids = np.sort(pdf["v"].unique())
+        c_ids = np.sort(pdf["c"].unique())
+        vi = np.searchsorted(v_ids, pdf["v"].to_numpy())
+        ci = np.searchsorted(c_ids, pdf["c"].to_numpy())
+        S = np.zeros((len(v_ids), len(c_ids)), dtype=np.int64)
+        S[vi, ci] = pdf["s"].to_numpy(dtype=np.int64)
+        cur = np.zeros(len(v_ids), dtype=np.int64)
+        alive = np.ones(len(c_ids), dtype=bool)
+        out = []
+        for r in range(k):
+            tot = np.maximum(S, cur[:, None]).sum(
+                axis=0, dtype=np.int64
+            )
+            # argmax with (tot DESC, c ASC): scan candidates in
+            # ascending c order, keep the first strict maximum.
+            tot[~alive] = np.iinfo(np.int64).min
+            best = int(np.argmax(tot))  # first (lowest c) max wins
+            alive[best] = False
+            out.append(
+                (r, int(c_ids[best]), float(int(tot[best])) / _FL_SCALE)
+            )
+            cur = np.maximum(cur, S[:, best])
+        return spark.createDataFrame(
+            out, "sel_order int, vec_id bigint, objective double"
+        )
+
+    pairs = pairs.localCheckpoint(eager=True)
     state = pairs.select("v").distinct().withColumn(
         "cur", F.lit(0).cast("bigint")
     )

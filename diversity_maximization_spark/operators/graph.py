@@ -1238,33 +1238,42 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = eg.select("c").distinct().select(
         "c", F.lit(_HITS_SCALE // n).cast("long").alias("h")
     )
+    # Per round, the L1 total folds into the SAME dataframe as the
+    # renorm via an unbounded window over the node-sized raw table
+    # (one single-partition exchange of <= |nodes| skinny rows) instead
+    # of a separate scalar agg crossJoined back — so each round is a
+    # straight chain with ONE consumer per intermediate and the whole
+    # 8-round loop collapses from 16 eager checkpoint jobs (2 per
+    # round: materialize ar, materialize hr) into ONE job at the final
+    # action (guide §5: the capture-recapture fold pattern). The
+    # checkpoints stay but turn LAZY: they still truncate lineage (a
+    # bounded plan per round instead of a 16-shuffle tower, keeping
+    # optimizer time flat) and still cache the round's partitions on
+    # first compute, which is what stops the final union's double
+    # consumption of the last round's tables from recomputing the
+    # whole chain (the measured 198 s -> 10 s blowup class). Integer
+    # arithmetic is unchanged: sum/div over the identical bigints.
+    wall = Window.partitionBy()
     a = None
     for i in range(HITS_ROUNDS):
-        # Each raw table feeds BOTH its scalar total and the renorm
-        # select; checkpointing it per round keeps the lineage a
-        # chain — without this the double consumption recomputes the
-        # edge join 2^rounds times (measured: 198 s -> ~10 s at
-        # sf0.001).
         ar = (
             eg.join(h, "c")
             .groupBy("p")
             .agg(F.sum("h").cast("bigint").alias("raw"))
-            .localCheckpoint(eager=True)
+            .withColumn("tot", F.sum("raw").over(wall).cast("bigint"))
         )
-        ta = ar.agg(F.sum("raw").cast("bigint").alias("tot"))
-        a = ar.crossJoin(F.broadcast(ta)).select(
+        a = ar.select(
             "p", F.expr(f"(raw * {_HITS_SCALE}) div tot").alias("a")
-        )
+        ).localCheckpoint(eager=False)
         hr = (
             eg.join(a, "p")
             .groupBy("c")
             .agg(F.sum("a").cast("bigint").alias("raw"))
-            .localCheckpoint(eager=True)
+            .withColumn("tot", F.sum("raw").over(wall).cast("bigint"))
         )
-        th = hr.agg(F.sum("raw").cast("bigint").alias("tot"))
-        h = hr.crossJoin(F.broadcast(th)).select(
+        h = hr.select(
             "c", F.expr(f"(raw * {_HITS_SCALE}) div tot").alias("h")
-        )
+        ).localCheckpoint(eager=False)
     top_a = (
         a.select(
             F.lit("authority").alias("role"),

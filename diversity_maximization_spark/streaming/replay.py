@@ -152,15 +152,45 @@ def write_replay_files_with_flush(
     return final
 
 
-def stream_events(spark: SparkSession, replay_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, replay_dir: str, files_per_trigger: int = 2
+) -> DataFrame:
     """Watermarks require TIMESTAMP (ltz); session tz is pinned to UTC
     here (runtime-settable conf — the driver constructs its own
     session) so the ntz->ltz cast preserves wall-clock values (queries
-    cast window bounds back to ntz for oracle comparison)."""
+    cast window bounds back to ntz for oracle comparison).
+
+    ``files_per_trigger`` sets how many replay files each micro-batch
+    consumes. Boundaries stay deterministic (files are mtime-ordered;
+    batch k = files [k*f, (k+1)*f)). The default is 2 (guide §2.2 —
+    every micro-batch pays a fixed WAL-commit + offset-log + listing +
+    per-partition state-store-commit overhead, measured at 130-160 ms
+    plus an addBatch floor per batch at sf0.01, so halving the batch
+    count nearly halves the replay cost). Result-invariance argument,
+    key by key in OPTIMIZATION_r11.md: coarsening adjacent time-ordered
+    slices only makes the watermark lag MORE conservative (state lives
+    longer, late-drops can only decrease — and every oracle already
+    matches the no-drop batch answer), and the order-sensitive pandas
+    handlers sort by (ts, event_id) within batch, so a coarser batching
+    of slices that already replay in global (ts, event_id) order folds
+    in the same order. Keys whose semantics pin the batch boundary
+    (sentinel-flush outer joins) pass ``files_per_trigger=1``
+    explicitly; the streaming-coreset replay (separate reader in
+    streaming/coreset.py) keeps 1 file per trigger because its
+    per-batch snapshots ARE the declared output.
+
+    ``SPARK_GRAFT_REPLAY_FPT`` overrides the DEFAULT only (deployment
+    knob, same pattern as SPARK_GRAFT_STREAM_SHUFFLE); explicit
+    ``files_per_trigger=1`` call sites are semantic and never
+    overridden."""
+    if files_per_trigger != 1:
+        env = os.environ.get("SPARK_GRAFT_REPLAY_FPT")
+        if env:
+            files_per_trigger = max(1, int(env))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     return (
         spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", files_per_trigger)
         .parquet(replay_dir)
         .withColumn("ts", F.col("ts").cast("timestamp"))
     )
@@ -204,6 +234,14 @@ def stream_conf(spark: SparkSession):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+# Diagnostic tap (guide §1: measure first): after every run_to_memory
+# the per-micro-batch progress dicts of the LAST completed query are
+# kept here, so profiling tools can read the durationMs breakdown
+# (triggerExecution / queryPlanning / walCommit / stateCommit /
+# addBatch) without changing any query path. Never read by operators.
+LAST_PROGRESS: list = []
+
+
 def run_to_memory(
     stream_df: DataFrame, name: str, mode: str = "complete"
 ) -> DataFrame:
@@ -211,12 +249,28 @@ def run_to_memory(
     return the final result table."""
     spark = stream_df.sparkSession
     with stream_conf(spark):
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Complete-mode runs skip the trailing no-data micro-batch
+        # (guide §2.2: one whole batch of WAL + state commits). In
+        # complete mode the sink rewrites the FULL aggregation state on
+        # every batch and watermark eviction never drops state, so the
+        # no-data batch re-emits exactly the table the last data batch
+        # already wrote — result-invariant by construction. Append-mode
+        # runs keep it: their final emissions (windows/outer-join state
+        # the last watermark advance closed) flush in that batch.
+        nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+        old_nodata = spark.conf.get(nodata_key)
+        if mode == "complete":
+            spark.conf.set(nodata_key, "false")
+        try:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            LAST_PROGRESS[:] = [p for p in q.recentProgress]
+        finally:
+            spark.conf.set(nodata_key, old_nodata)
     return spark.table(name)

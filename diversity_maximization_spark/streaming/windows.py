@@ -459,9 +459,15 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB/day this is the attribution join with abandoned-signup
     accounting; state stays bounded by the watermark horizon exactly
     as in the inner variant."""
+    # files_per_trigger=1: the sentinel-flush protocol REQUIRES the two
+    # trailing sentinel files to land in separate micro-batches (the
+    # first advances the watermark, the second is the data batch in
+    # which the evicted unmatched state drains) — coarser batching
+    # would merge them and put the final drain back on no-data-batch
+    # scheduling, which this key's design explicitly avoids.
     replay = write_replay_files_with_flush(spark, sf_dir)
     s = (
-        stream_events(spark, replay)
+        stream_events(spark, replay, files_per_trigger=1)
         .filter(F.col("event_type") == "signup")
         .select(
             "user_id",
@@ -471,7 +477,7 @@ def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_s", "45 minutes")
     )
     p = (
-        stream_events(spark, replay)
+        stream_events(spark, replay, files_per_trigger=1)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("user_p"),
@@ -527,7 +533,7 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     only one side's user id)."""
     replay = write_replay_files_with_flush(spark, sf_dir)
     s = (
-        stream_events(spark, replay)
+        stream_events(spark, replay, files_per_trigger=1)
         .filter(F.col("event_type") == "signup")
         .select(
             F.col("user_id").alias("user_s"),
@@ -537,7 +543,7 @@ def stream_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("ts_s", "45 minutes")
     )
     p = (
-        stream_events(spark, replay)
+        stream_events(spark, replay, files_per_trigger=1)
         .filter(F.col("event_type") == "purchase")
         .select(
             F.col("user_id").alias("user_p"),
