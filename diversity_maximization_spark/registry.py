@@ -64,73 +64,75 @@ def query(
 
     return deco
 
-# round-10 rotation: the next 50 never-driver-sampled keys, strictly
-# in NEVER_SAMPLED.md order (r9 verdict item 2; freeze held: new keys
-# this round <= 50 rotated; oracled backlog 211 -> 161). All 50 were
-# pre-cleared in the bare-session driver-faithful harness in round 9
-# at sf0.01 AND sf0.1 (ROUND_NOTES.md r9), and the judge independently
-# probed the first six green. Policy note (r8 ADVICE, registry.py:68):
-# when a key's emitted contract changes mid-round (e.g. an oracle-side
-# tie/rounding alignment), the accepted re-proof is the full strict
-# local gate at BOTH SFs (CHECK_sf001_strict / CHECK_sf01_strict) --
-# such keys do NOT jump the NEVER_SAMPLED.md rotation order, because
-# the strict gate has predicted the driver 350/350 over r3-r9 and
-# burning window slots on re-proof would slow backlog retirement.
-# Already-driver-sampled keys whose contract changes are re-proven the
-# same way (documented per-round in ROUND_NOTES.md).
+# round-11 rotation (r10 verdict items 2 and 6). The FIRST FOUR slots
+# are a one-time policy carve-out the r10 judge ordered: keys whose
+# implementation was REWRITTEN in round 10 after (or without) their
+# driver sampling — agg_jonckheere / agg_rank_biserial /
+# agg_exact_median_distributed were never driver-sampled and
+# ts_matrix_profile's r9 pass certifies the pre-rewrite code — jump
+# the NEVER_SAMPLED.md rotation order so the driver re-verifies the
+# NEW code paths. The remaining 46 are the next never-driver-sampled
+# keys strictly in NEVER_SAMPLED.md order (oracled backlog 162 ->
+# 116). All 46 are green on the strict local gate at sf0.001 AND
+# sf0.01 AND sf0.1 (CHECK_sf*_strict; re-confirmed this round).
+# Standing policy otherwise unchanged (r8 ADVICE, registry.py:68):
+# contract changes mid-round are re-proven via the full strict local
+# gate at both SFs and do NOT burn window slots.
 # Every key here MUST have an oracle (a no-oracle key in the window
 # is an automatic err slot) -- enforced in tests.
 CHECK_WINDOW: list[str] = [
-    "stream_decay_state",
-    "graph_adamic_adar",
-    "agg_levene_bf",
-    "ts_ohlc",
-    "agg_weighted_median",
-    "agg_capture_recapture",
-    "fn_rounding_modes",
-    "agg_bootstrap_diff_ci",
-    "agg_cohens_d",
-    "stream_bitmap_state",
-    "agg_spearman_rho",
-    "agg_cochran_armitage",
-    "agg_ttest_paired",
-    "agg_cramers_v",
-    "win_ignore_nulls",
-    "stream_minmax_state",
-    "stream_sessionize_state",
-    "agg_odds_ratio",
-    "sample_ht_estimate",
-    "agg_two_proportion_z",
-    "graph_ppr_exact",
-    "agg_mcnemar_test",
-    "agg_inverse_simpson",
-    "sample_rolling_origin_cv",
-    "agg_cohens_kappa",
-    "interval_overlap_duration",
-    "agg_wilson_ci",
-    "ts_bollinger_bands",
-    "agg_kendall_tau",
-    "agg_bitmap_presence",
-    "win_vwap",
-    "corpus_overlap_matrix",
-    "text_bm25_topk",
-    "fn_hash_family",
-    "win_ratio_to_report",
-    "sample_neyman_allocation",
-    "win_max_drawdown",
-    "ts_pre_post_impact",
-    "er_pair_features",
-    "dedup_exact_normalized",
-    "agg_beta_posterior",
-    "corpus_length_histogram",
-    "sample_importance",
-    "graph_degree_assortativity",
-    "agg_markov_stationary",
-    "sql_recursive_cte",
-    "agg_anova_oneway",
-    "ts_rolling_xcorr",
-    "fn_time_bucket",
-    "sketch_cms_heavy",
+    # rewritten-in-r10 carve-out (verdict item 6)
+    "agg_jonckheere",
+    "agg_rank_biserial",
+    "agg_exact_median_distributed",
+    "ts_matrix_profile",
+    # next 46 in NEVER_SAMPLED.md order
+    "sketch_log_histogram",
+    "agg_classifier_eval",
+    "agg_lorenz_curve",
+    "agg_roc_auc",
+    "agg_calibration_bins",
+    "dq_referential_integrity",
+    "feat_target_encode",
+    "anomaly_iqr_fences",
+    "ts_peak_detection",
+    "sketch_bloom_eval",
+    "win_gap_islands",
+    "markov_absorption",
+    "token_fertility_report",
+    "win_moving_p90",
+    "agg_sprt_sequential",
+    "fn_ip",
+    "assoc_rules_lift",
+    "agg_rfm_segmentation",
+    "path_common_prefixes",
+    "feat_impute",
+    "feat_hashing_trick",
+    "ts_ema_irregular",
+    "sim_search_recall_ndcg",
+    "attribution_markov_removal",
+    "agg_corr_cov",
+    "agg_skew_kurtosis",
+    "agg_weighted_avg",
+    "agg_string_concat",
+    "agg_bool_logic",
+    "agg_multi_distinct",
+    "agg_regr_trend",
+    "sample_poisson_bootstrap",
+    "sample_ab_assignment",
+    "agg_hhi",
+    "agg_ols_multi",
+    "agg_grouping_labels",
+    "agg_mutual_info",
+    "agg_percentile_disc",
+    "agg_approx_quantile_eval",
+    "agg_hill_tail",
+    "agg_ratio_delta_ci",
+    "retention_cohort",
+    "markov_transitions",
+    "anomaly_daily_zscore",
+    "rolling_dau",
+    "time_to_conversion",
 ]
 
 

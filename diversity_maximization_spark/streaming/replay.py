@@ -206,16 +206,19 @@ def stream_shuffle_partitions(spark: SparkSession) -> int:
     (stream_stream_left_join, 6 micro-batches, idle host): 33-42 s at
     the session's 32 partitions vs 8.8-9.1 s at 8 — the state commits
     were ~75% of the query. Default scales with the cluster
-    (defaultParallelism/4, floor 4: micro-batch state ops are
+    (defaultParallelism/8, floor 4: micro-batch state ops are
     commit-bound, not compute-bound, so they want several-fold fewer
-    partitions than batch shuffles); production deployments size it
+    partitions than batch shuffles — r11 paired A/B at sf0.01, 8 vs 4
+    partitions interleaved in one session: stream_dedup min 1.34 vs
+    1.02 s, stream_stream_join 3.58 vs 2.96 s, stream_decay_state
+    1.79 vs 1.75 s, 4 never slower); production deployments size it
     to stateful-key cardinality via SPARK_GRAFT_STREAM_SHUFFLE.
     Result-invariant: state is per-key, partitioning only places
     keys, and the memory-sink output is order-canonicalized."""
     env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
     if env:
         return max(1, int(env))
-    return max(4, spark.sparkContext.defaultParallelism // 4)
+    return max(4, spark.sparkContext.defaultParallelism // 8)
 
 
 @contextmanager
