@@ -887,6 +887,13 @@ def agg_exact_median_distributed(
         .collect()
     }
     n = sum(counts.values())
+    if n == 0:
+        # Empty input: the isin() below would be built with zero
+        # arguments and fail at plan-construction time (r10 ADVICE).
+        # Return the null-median row the pre-r10 shape produced.
+        return spark.createDataFrame(
+            [(None, 0)], "median_price double, n bigint"
+        )
     lo, hi = (n + 1) // 2, n // 2 + 1
     offsets, acc = {}, 0
     for b in sorted(counts):

@@ -4061,21 +4061,32 @@ def ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = np.lib.stride_tricks.sliding_window_view(d, _MP_WIN).astype(
         np.int64
     )
-    # exact int64 pair grid: D[i, j] = sum_k (win[i,k] - win[j,k])^2
+    # exact int64 pair grid D[i, j] = sum_k (win[i,k] - win[j,k])^2,
+    # evaluated in ROW CHUNKS so driver memory is O(chunk * n_win)
+    # (~128 MB) instead of O(n_win^2) at long calendars (r10 ADVICE:
+    # the full matrix was ~46 MB at 2.4k days but multi-GB at a
+    # 100-year daily calendar). Per-row argmin is independent of the
+    # chunking, so the result is bit-identical to the full grid.
     big = np.int64(2**62)
-    dist = np.zeros((n_win, n_win), dtype=np.int64)
-    for k in range(_MP_WIN):
-        diff = win[:, k][:, None] - win[:, k][None, :]
-        dist += diff * diff
-    # exclusion zone |i - j| < _MP_WIN -> sentinel above any real d2
     ii = np.arange(n_win)
-    mask = np.abs(ii[:, None] - ii[None, :]) < _MP_WIN
-    dist[mask] = big
-    nn = dist.argmin(axis=1)  # first minimum = lowest j on ties
+    nn = np.empty(n_win, dtype=np.int64)
+    nnd = np.empty(n_win, dtype=np.int64)
+    chunk = max(64, (1 << 24) // max(1, n_win))
+    for s in range(0, n_win, chunk):
+        e = min(s + chunk, n_win)
+        dist = np.zeros((e - s, n_win), dtype=np.int64)
+        for k in range(_MP_WIN):
+            diff = win[s:e, k][:, None] - win[:, k][None, :]
+            dist += diff * diff
+        # exclusion zone |i - j| < _MP_WIN -> sentinel above any real d2
+        dist[np.abs(ii[s:e, None] - ii[None, :]) < _MP_WIN] = big
+        idx = dist.argmin(axis=1)  # first minimum = lowest j on ties
+        nn[s:e] = idx
+        nnd[s:e] = dist[np.arange(e - s), idx]
     rows = [
-        (days[i], days[int(nn[i])], int(dist[i, int(nn[i])]))
+        (days[i], days[int(nn[i])], int(nnd[i]))
         for i in range(n_win)
-        if dist[i, int(nn[i])] < big  # n_win <= 2*_MP_WIN-1 edge case
+        if nnd[i] < big  # n_win <= 2*_MP_WIN-1 edge case
     ]
     return spark.createDataFrame(
         rows, "day timestamp, nn_day timestamp, d2 bigint"

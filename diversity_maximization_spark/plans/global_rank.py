@@ -86,9 +86,25 @@ def with_global_row_number(
     ``checkpoint=False`` skips the lazy localCheckpoints so the whole
     pipeline stays visible in one explain() — used by the plan tests
     to pin the MapInPandas/no-Window shape; production callers keep
-    the default.
+    the default. The env override ``SPARK_GRAFT_GR_CHECKPOINT=0``
+    forces it off for REGISTERED keys too, so the plan tests can
+    assert key-level shapes below the truncation boundary (r10
+    ADVICE) without the keys growing a test-only parameter.
+
+    Fault-tolerance note (r10 ADVICE): ``localCheckpoint`` pins the
+    materialized partitions to executor-local storage — on a cluster a
+    lost executor fails the query instead of recomputing lineage. That
+    is the documented trade for eliminating cross-action recompute in
+    local/batch-driver runs; deployments with preemptible workers
+    should prefer ``spark.checkpoint`` to reliable storage (set via
+    sparkContext.setCheckpointDir) or simply run with
+    SPARK_GRAFT_GR_CHECKPOINT=0 and accept the recompute.
     """
+    import os
+
     spark = df.sparkSession
+    if os.environ.get("SPARK_GRAFT_GR_CHECKPOINT", "1") == "0":
+        checkpoint = False
     if num_buckets is None:
         num_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     # Lazy localCheckpoints (guide §5 reuse-over-recompute): the

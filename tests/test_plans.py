@@ -203,14 +203,23 @@ def test_clustered_layout_pushes_range_filter(spark, sf_dir):
 def test_ntile_has_no_global_window(spark, sf_dir):
     """The scale-safe NTILE plan must contain NO Window node at all
     (the global quartiles come from the distributed row-number map).
-    Since the r10 lazy localCheckpoints the machinery's internals sit
-    below a Scan ExistingRDD in the key-level plan, so the
-    MapInPandas/no-Window PIPELINE shape is pinned directly on the
-    machinery in test_global_rank_pipeline_shape below."""
-    for key in ("win_ntile_pctrank", "feat_bucketize"):
-        plan = plan_of(spark, key, sf_dir)
-        assert "Window" not in plan, key
-        assert "MapInPandas" in plan or "ExistingRDD" in plan, key
+    Asserted at the KEY level with checkpointing forced off via
+    SPARK_GRAFT_GR_CHECKPOINT=0 (r10 ADVICE: with the lazy
+    localCheckpoints on, the machinery sits below a Scan ExistingRDD
+    boundary and the assertion was near-vacuous), so the whole
+    per-key pipeline — pre-processing included — is visible to the
+    Window/MapInPandas checks."""
+    import os
+
+    os.environ["SPARK_GRAFT_GR_CHECKPOINT"] = "0"
+    try:
+        for key in ("win_ntile_pctrank", "feat_bucketize"):
+            plan = plan_of(spark, key, sf_dir)
+            assert "Window" not in plan, key
+            assert "MapInPandas" in plan, key
+            assert "ExistingRDD" not in plan, key  # truncation really off
+    finally:
+        os.environ.pop("SPARK_GRAFT_GR_CHECKPOINT", None)
 
 
 def test_global_rank_pipeline_shape(spark, sf_dir):
@@ -218,6 +227,8 @@ def test_global_rank_pipeline_shape(spark, sf_dir):
     one explain shows the whole pipeline): Arrow numbering stage
     present, NO Window node, and exactly ONE Exchange (the bucket
     repartition) above the scan."""
+    import re
+
     from pyspark.sql import functions as F
 
     from diversity_maximization_spark.plans.global_rank import (
@@ -235,6 +246,11 @@ def test_global_rank_pipeline_shape(spark, sf_dir):
     )
     assert "MapInPandas" in plan
     assert "Window" not in plan
+    # exactly ONE Exchange — the bucket repartition (r10 ADVICE: the
+    # docstring claimed this but nothing counted the nodes). Count the
+    # operator-detail headers "(n) Exchange" so each node is counted
+    # once regardless of how often the tree section mentions it.
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert n > 0
 
 
