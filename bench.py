@@ -189,6 +189,49 @@ def main() -> None:
         if runs
     }
 
+    # Scaling probes (r10 verdict item 2, ADDITIVE — "queries" above is
+    # untouched in membership and methodology). The driver re-runs this
+    # bench at a lower $SPARK_GRAFT_CPUS to measure core scaling, but
+    # every sf0.1 fixture is a single parquet row group (one task per
+    # scan) and the headline queries are sub-second, so their 8-vs-32
+    # ratios sit at ~1.0 by construction (PERF_r10 scaling block).
+    # These two probes give the scaling measurement something that CAN
+    # scale: a generated multi-task CPU aggregate (defaultParallelism
+    # range tasks, no I/O) and a generated real shuffle (50M rows into
+    # 1M deterministic pmod(xxhash64) groups — guide §2.5 key
+    # discipline). Both are computed fresh per invocation from
+    # spark.range — nothing is read from or keyed on the fixtures.
+    from pyspark.sql import functions as SF
+
+    def _probe_cpu():
+        spark.range(6_400_000_000).selectExpr("sum(id % 1000)").collect()
+
+    def _probe_shuffle():
+        (
+            spark.range(50_000_000)
+            .groupBy(
+                SF.pmod(SF.xxhash64("id"), SF.lit(1_000_000)).alias("g")
+            )
+            .count()
+            .selectExpr("sum(g)", "count(1)")
+            .collect()
+        )
+
+    queries_scaling: dict[str, float] = {}
+    for pname, probe in (
+        ("probe_cpu_agg", _probe_cpu),
+        ("probe_shuffle_agg", _probe_shuffle),
+    ):
+        runs = []
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                probe()
+                runs.append(time.perf_counter() - t0)
+            queries_scaling[pname] = round(min(runs), 3)
+        except Exception as exc:  # pragma: no cover - keep bench alive
+            print(f"bench: {pname} failed: {exc}", file=sys.stderr)
+
     times = {
         name: (round(min(runs), 3) if runs and name not in failed else -1.0)
         for name, runs in reps.items()
@@ -238,6 +281,13 @@ def main() -> None:
                 # unchanged in membership and methodology.
                 "queries_noop": queries_noop,
                 "value_noop": round(sum(queries_noop.values()), 3),
+                # Core-scaling probes (additive; see the measurement
+                # site). Compare these two entries across the driver's
+                # 32-core and low-core runs — the fixture-bound
+                # headline queries cannot show parallel speedup at
+                # sf0.1 (single-row-group scans, sub-second jobs).
+                "queries_scaling": queries_scaling,
+                "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                 # Drift normalization (r7 item 2, r8 item 3): compare
                 # the MEDIAN per-rep ratio across rounds, not wall
                 # seconds — see BASELINE.md "Drift normalization".
