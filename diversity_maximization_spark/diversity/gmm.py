@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 
 
 def _sqdist_to_lit(vec_col: str, vec) -> F.Column:
-    lit_arr = F.array(*[F.lit(float(x)) for x in vec])
+    from ..functions.vector import lit_double_array
+
+    lit_arr = lit_double_array(vec)
     return F.aggregate(
         F.zip_with(
             F.col(vec_col),

@@ -31,6 +31,22 @@ def dot(a: str, b: str) -> Column:
     )
 
 
+def lit_double_array(values) -> Column:
+    """A driver-side float sequence as ONE parsed array<double> SQL
+    literal. Equivalent to ``F.array(*[F.lit(float(v)) ...])`` but a
+    single py4j round-trip instead of one per element — the
+    element-wise form costs ~1 ms of driver time per literal, which
+    dominates query CONSTRUCTION for centroid/plane/component arrays
+    (64-2048 elements, rebuilt on every call). Values round-trip
+    exactly: repr() emits the shortest digits that parse back to the
+    same double, and CAST(string AS DOUBLE) is that parse."""
+    return F.expr(
+        "array("
+        + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in values)
+        + ")"
+    )
+
+
 def sq_norm(a: str) -> Column:
     return F.expr(
         f"aggregate(zip_with({a}, {a}, (x, y) -> {_d('x')} * {_d('y')}), "

@@ -167,7 +167,7 @@ _MMR_LAMBDA = 0.5
 
 
 def _cos_to_lit(vec_col: str, vec) -> F.Column:
-    lit_arr = F.array(*[F.lit(float(x)) for x in vec])
+    lit_arr = V.lit_double_array(vec)
     dot = F.aggregate(
         F.zip_with(F.col(vec_col), lit_arr, lambda x, y: x.cast("double") * y),
         F.lit(0.0),

@@ -157,7 +157,7 @@ def embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     proj_cols = []
     for i in range(_PCA_DIM):
-        lit = F.array(*[F.lit(float(c)) for c in comps[i]])
+        lit = V.lit_double_array(comps[i])
         centered_dot = F.aggregate(
             F.zip_with(
                 F.col("embedding"),

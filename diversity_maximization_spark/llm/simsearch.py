@@ -97,9 +97,21 @@ def sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _assign_centroids(df: DataFrame, cents: np.ndarray, out_col: str) -> DataFrame:
     """Nearest-centroid id via a broadcast literal array of centroids
-    (linear scan per row, JVM-side; no shuffle)."""
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in cents]
+    (linear scan per row, JVM-side; no shuffle). The centroid matrix
+    is embedded as ONE parsed SQL literal rather than n_centroids*dim
+    F.lit() py4j round-trips (~1 s of driver time per construction);
+    values go through repr() -> CAST(string AS DOUBLE), which
+    round-trips shortest-repr doubles exactly, so the assignment
+    arithmetic is bit-identical."""
+    cent_arr = F.expr(
+        "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            + ")"
+            for c in cents
+        )
+        + ")"
     )
     # argmin over centroids of L2; ties -> lowest centroid id
     expr = F.expr(
@@ -1258,8 +1270,8 @@ def anomaly_isolation_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = spark.createDataFrame(
         _ISO_GRID, "t int, j int, dim int, ridx int"
     )
-    lo_arr = F.array(*[F.lit(rng[d][0]) for d in range(64)])
-    hi_arr = F.array(*[F.lit(rng[d][1]) for d in range(64)])
+    lo_arr = V.lit_double_array(rng[d][0] for d in range(64))
+    hi_arr = V.lit_double_array(rng[d][1] for d in range(64))
     q = (
         e.withColumn("lo_a", lo_arr)
         .withColumn("hi_a", hi_arr)

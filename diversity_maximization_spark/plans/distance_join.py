@@ -389,38 +389,42 @@ def portable_simhash_bands(
     planes = portable_planes(n_planes, dim)
     per = n_planes // bands
 
-    def proj(p: int):
-        plane = F.array(*[F.lit(v) for v in planes[p]])
-        return F.aggregate(
-            F.zip_with(
-                F.col("embedding").cast("array<double>"),
-                plane,
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda s, v: s + v,
+    # The whole banded-signature expression is built as ONE SQL string
+    # and parsed once: the previous Column-combinator construction
+    # issued a py4j call per plane literal (n_planes x dim = 2048
+    # F.lit round-trips plus fold combinators), ~3-4 s of pure driver
+    # time per query construction at sf-any (guide §5: driver work).
+    # The expression tree Catalyst sees is semantically identical —
+    # same strict left fold (zip_with multiply, aggregate add), same
+    # 0.0D init, same +-1.0D plane literals (exact round-trip), same
+    # CASE/bit-weight sig assembly — so signatures are bit-identical
+    # and the DuckDB replay (duck_simhash_sigs) is untouched.
+    def proj_sql(p: int) -> str:
+        plane = "array(" + ", ".join(
+            ("1.0D" if v > 0 else "-1.0D") for v in planes[p]
+        ) + ")"
+        return (
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), "
+            f"{plane}, (x, w) -> x * w), 0.0D, (s, v) -> s + v)"
         )
 
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            sum(
-                (
-                    F.when(proj(b * per + r) >= 0, F.lit(1 << r)).otherwise(
-                        F.lit(0)
-                    )
-                    for r in range(per)
-                ),
-                F.lit(0),
-            )
-            .cast("bigint")
-            .alias("sig"),
+    def sig_sql(b: int) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN ({proj_sql(b * per + r)}) >= 0 "
+            f"THEN {1 << r} ELSE 0 END)"
+            for r in range(per)
         )
-        for b in range(bands)
-    ]
-    return e.select(
-        "vec_id", F.explode(F.array(*band_cols)).alias("bb")
-    ).select(
+        return f"CAST(0 + {terms} AS BIGINT)"
+
+    bb = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('band_id', {b}, 'sig', {sig_sql(b)})"
+            for b in range(bands)
+        )
+        + ")"
+    )
+    return e.select("vec_id", F.explode(bb).alias("bb")).select(
         "vec_id",
         F.col("bb.band_id").alias("band_id"),
         F.col("bb.sig").alias("sig"),
