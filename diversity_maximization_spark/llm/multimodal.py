@@ -784,7 +784,15 @@ def dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    sig = media.mapInPandas(gen, "doc_id bigint, phash bigint")
+    # Lazy localCheckpoint: both sides of the banded self-join below
+    # descend from this table, and the two sides' exchanges do not
+    # canonicalize to one (different output aliases), so without it
+    # the Python PNG decode + aHash pass — the expensive part — runs
+    # TWICE per action. Measured at sf0.01 (min of 3 warm noop reps):
+    # 1.63 -> 0.85 s. Guide §5 reuse-over-recompute; values unchanged.
+    sig = media.mapInPandas(gen, "doc_id bigint, phash bigint").localCheckpoint(
+        eager=False
+    )
     bands = sig.select(
         "doc_id",
         "phash",

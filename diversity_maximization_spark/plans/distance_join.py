@@ -470,7 +470,12 @@ def portable_lsh_candidate_pairs(
     """Distinct (vec_a < vec_b) pairs colliding in >= 1 portable band
     — same no-broadcast shuffle equi-join shape as
     lsh_candidate_pairs, hash-checkable end to end."""
-    sig = portable_simhash_bands(e, dim, n_planes, bands)
+    # Lazy localCheckpoint: see lsh_candidate_pairs — the 32-fold
+    # JVM projection otherwise executes once per self-join side
+    # (measured at sf0.01, min of 3 warm reps: 0.73 -> 0.36 s).
+    sig = portable_simhash_bands(e, dim, n_planes, bands).localCheckpoint(
+        eager=False
+    )
     a = sig.select(F.col("vec_id").alias("vec_a"), "band_id", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band_id", "sig")
     return (
@@ -502,7 +507,13 @@ def lsh_candidate_pairs(
         if n_rows is None:
             n_rows = e.count()
         n_planes = bands * adaptive_band_bits(n_rows)
-    sig = simhash_bands(e, dim, n_planes, bands, seed)
+    # Lazy localCheckpoint: both self-join sides descend from the
+    # signature table and their exchanges do not canonicalize to one,
+    # so the (Python/numpy) projection pass would run twice per action
+    # (guide §5; same fix as dedup_phash, measured ~2x there).
+    sig = simhash_bands(e, dim, n_planes, bands, seed).localCheckpoint(
+        eager=False
+    )
     a = sig.select(F.col("vec_id").alias("vec_a"), "band_id", "sig")
     b = sig.select(F.col("vec_id").alias("vec_b"), "band_id", "sig")
     return (
