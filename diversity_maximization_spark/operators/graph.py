@@ -549,7 +549,13 @@ def _lpa_labels(edges: DataFrame) -> DataFrame:
         )
 
     # constant edge side -> linear stat growth: lineage-only barrier
-    return iterate_with_barrier(labels, lpa_round, LPA_ROUNDS, squaring=False)
+    # eager=False (r11): fixed round count, constant edge side, no
+    # per-round convergence action -> the whole propagation runs as
+    # ONE job at the consumer's action instead of LPA_ROUNDS blocking
+    # checkpoint jobs; plan truncation and stats behavior unchanged.
+    return iterate_with_barrier(
+        labels, lpa_round, LPA_ROUNDS, squaring=False, eager=False
+    )
 
 
 @query("graph_lpa_communities", oracle=_lpa_oracle())

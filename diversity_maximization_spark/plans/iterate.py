@@ -41,7 +41,11 @@ from pyspark.sql import DataFrame
 
 
 def stats_barrier(
-    df: DataFrame, r: int, every: int = 4, squaring: bool = True
+    df: DataFrame,
+    r: int,
+    every: int = 4,
+    squaring: bool = True,
+    eager: bool = True,
 ) -> DataFrame:
     """Checkpoint round ``r`` of an iterative loop.
 
@@ -64,8 +68,18 @@ def stats_barrier(
     Acceptable in the documented local/single-node scope (one JVM, no
     executor loss short of process death); a cluster deployment would
     use reliable ``checkpoint()`` against shared storage and clean
-    asynchronously."""
-    df = df.localCheckpoint(eager=True)
+    asynchronously.
+
+    ``eager=False`` (r11, constant-join-side loops with a FIXED round
+    count and no per-round convergence action only): the checkpoint
+    still truncates lineage at PLAN level immediately — the returned
+    frame's logical plan is a LogicalRDD either way, so analysis cost
+    and the stats protections are identical — but materialization
+    happens inside the caller's single final action instead of one
+    blocking job per round (the graph_hits r11 pattern). Loops that
+    run a per-round action anyway (convergence counts) gain nothing
+    and keep eager=True."""
+    df = df.localCheckpoint(eager=eager)
     if squaring and r % every == every - 1:
         path = tempfile.mkdtemp(prefix="dms_stats_barrier_")
         try:
@@ -85,6 +99,7 @@ def iterate_with_barrier(
     every: int = 4,
     squaring: bool = True,
     converged: Callable[[DataFrame, int], bool] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Run ``state = step(state, r)`` for up to ``rounds`` rounds with
     the stats barrier applied after every step.
@@ -94,7 +109,9 @@ def iterate_with_barrier(
     ``squaring=False`` is the constant-join-side mode: lineage
     truncation only, no parquet round-trips."""
     for r in range(rounds):
-        state = stats_barrier(step(state, r), r, every=every, squaring=squaring)
+        state = stats_barrier(
+            step(state, r), r, every=every, squaring=squaring, eager=eager
+        )
         if converged is not None and converged(state, r):
             break
     return state
