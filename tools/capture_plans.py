@@ -1,11 +1,13 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for the headline queries into
-plans/r10/<query>_<tag>.txt (optimization-round evidence; the judge
-checks plan claims against these files).
+"""Capture .explain("formatted") for queries into
+plans/<round>/<query>_<tag>.txt (optimization-round evidence; the
+judge checks plan claims against these files).
 
 Usage: python tools/capture_plans.py <tag> [query ...]
   tag: "before" / "after" (file suffix)
-  query: subset of bench.HEADLINE (default: all)
+  query: subset of registry keys (default: bench.HEADLINE)
+Env: PLANS_OUT_DIR overrides the output directory (default plans/r11
+of the repo the tool runs from).
 """
 
 from __future__ import annotations
@@ -30,7 +32,9 @@ def main() -> None:
     spark = get_spark()
     registry.load_all()
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    out_dir = os.environ.get("PLANS_OUT_DIR") or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+    )
     os.makedirs(out_dir, exist_ok=True)
     for name in names:
         fn = registry.QUERIES[name]
